@@ -1,0 +1,17 @@
+from .pagerank import PageRankProgram, pagerank
+from .cc import ConnectedComponentsProgram, connected_components
+from .lp import LabelPropagationProgram, label_propagation
+from .spmv import SpmvProgram, spmv
+from .tc import triangle_counts
+
+__all__ = [
+    "PageRankProgram",
+    "pagerank",
+    "ConnectedComponentsProgram",
+    "connected_components",
+    "LabelPropagationProgram",
+    "label_propagation",
+    "SpmvProgram",
+    "spmv",
+    "triangle_counts",
+]

@@ -1,0 +1,114 @@
+"""PageRank as a VertexProgram on the superstep engine.
+
+Semantics (SURVEY.md §2.2 A1, mirroring the reference algorithm +
+its CPU validator, gunrock/essentials ``include/gunrock/algorithms/
+pr.hxx`` and ``examples/algorithms/pr/`` [U — snapshot absent]):
+
+    p'(v) = (1-α)/n + α·( Σ_{u→v} p(u)/outdeg(u) + dangling_mass/n )
+
+- dangling (outdeg=0) mass redistributed uniformly — networkx-compatible;
+- start p = 1/n;
+- convergence: L1 error Σ|p'-p| < n·tol (networkx's criterion), so the
+  converged scores match ``nx.pagerank`` allclose 1e-6;
+- ``tol=0`` turns convergence off → exactly ``max_iters`` power steps
+  (what the fixed-k DuckDB oracle queries compare against).
+
+The dangling mass is a broadcast partial: each scatter batch emits its
+local Σ p(dangling) to every destination partition (kind=2 rows); apply
+sums the partials — no extra driver-side pass per superstep.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..checkpoint import CheckpointManager
+from ..graph import GraphShards
+from ..superstep import RunResult, run_superstep_loop
+from ..util import csr_lookup, expand_neighbors, segment_sum
+
+
+class PageRankProgram:
+    name = "pagerank"
+    state_cols = {"value": pa.float64(), "outdeg": pa.int64()}
+    msg_cols = {"mval": pa.float64()}
+
+    def __init__(self, n_vertices: int, alpha: float = 0.85, tol: float = 1.0e-6):
+        self.n = n_vertices
+        self.alpha = alpha
+        self.tol = tol
+
+    def init_state(self, vids, outdeg):
+        return {"value": np.full(len(vids), 1.0 / self.n), "outdeg": outdeg}
+
+    def scatter(self, state, shard):
+        vids, value, outdeg = state["vid"], state["value"], state["outdeg"]
+        rows, found = csr_lookup(shard, vids)
+        msgs = None
+        if found.any():
+            sel = np.flatnonzero(found)
+            rep, nbrs, _ = expand_neighbors(shard, rows[sel])
+            contrib = (value[sel] / outdeg[sel])[rep]
+            dst, sums, counts = segment_sum(nbrs, contrib)
+            msgs = {"dst": dst, "mval": sums, "mcount": counts}
+        dangling = float(value[outdeg == 0].sum())
+        return msgs, {"mval": dangling}
+
+    def apply(self, state, msgs, bcast):
+        vids, value = state["vid"], state["value"]
+        agg = np.zeros(len(vids))
+        nmsg = np.zeros(len(vids), np.int64)
+        if len(msgs["vid"]):
+            # msgs sorted by (vid, sp): deterministic summation order
+            uniq, starts = np.unique(msgs["vid"], return_index=True)
+            sums = np.add.reduceat(msgs["mval"], starts)
+            cnts = np.add.reduceat(msgs["mcount"], starts)
+            pos = np.searchsorted(vids, uniq)
+            agg[pos] = sums
+            nmsg[pos] = cnts
+        dmass = bcast.get("mval", 0.0)
+        new_value = (1.0 - self.alpha) / self.n + self.alpha * (agg + dmass / self.n)
+        delta = np.abs(new_value - value)
+        return {
+            "value": new_value,
+            "outdeg": state["outdeg"],
+            "delta": delta,
+            "changed": (delta > 0).astype(np.int8),
+            "nmsg": nmsg,
+        }
+
+    def converged(self, totals: dict) -> bool:
+        return self.tol > 0 and totals["sum_delta"] < self.n * self.tol
+
+
+def pagerank(
+    graph: GraphShards,
+    *,
+    alpha: float = 0.85,
+    tol: float = 1.0e-6,
+    max_iters: int = 200,
+    ckpt: CheckpointManager | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    n_actors: int | None = None,
+    **kwargs,
+) -> RunResult:
+    prog = PageRankProgram(graph.n_vertices, alpha=alpha, tol=tol)
+    return run_superstep_loop(
+        prog,
+        graph,
+        ckpt=ckpt,
+        max_iters=max_iters,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+        n_actors=n_actors,
+        **kwargs,
+    )
+
+
+def pagerank_table(result: RunResult) -> pa.Table:
+    """(vid, pagerank) sorted by vid — small-result helper."""
+    t = result.state_table(["value"])
+    return t.rename_columns(["vid", "pagerank"])

@@ -1,0 +1,209 @@
+"""Partitioned graph build: edge Dataset → zero-copy Arrow/NumPy CSR shards.
+
+The distributed analog of the reference's COO→CSR conversion + device
+graph build (gunrock/essentials ``graph/build.hxx``, ``formats/csr.hxx``
+[U — snapshot absent, SURVEY.md §0]):
+
+1. (optionally) symmetrize the canonical undirected edge table;
+2. stamp ``part = splitmix64(src) % P`` and write the edge table ONCE as
+   hive-partitioned Parquet (``.../edges/part=k/``) — this is the
+   immutable edge checkpoint (SURVEY.md §4.4) that resume rebuilds from;
+3. P Ray tasks each read their partition and build a compressed CSR
+   shard ``{srcs, indptr, indices[, weights]}``; the task's return
+   ObjectRef IS the shard handle held by scatter actors (zero-copy
+   ``ray.get`` from the object store per node).
+
+Shard k holds exactly the out-edges of vertices with hash(vid)%P == k,
+so a state row's out-edges are always in the shard named by its own
+``part`` column — the partitioning invariant every superstep relies on.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from .util import csr_from_edges, np_col, part_of
+
+
+@dataclass
+class GraphShards:
+    num_parts: int
+    shard_refs: list  # list[ObjectRef[dict]]   (len == num_parts)
+    degree_refs: list  # list[ObjectRef[pa.Table]] (vid, outdeg) per part
+    n_vertices: int
+    n_edges: int  # directed edge count across shards (after symmetrize)
+    edges_dir: str
+    weighted: bool = False
+    vertex_ids_ref: object | None = None  # ObjectRef[np.ndarray] sorted vids
+
+    def degrees_ds(self) -> rd.Dataset:
+        return rd.from_arrow_refs(list(self.degree_refs))
+
+
+def _part_files(edges_dir: str, part: int) -> list[str]:
+    d = os.path.join(edges_dir, f"part={part}")
+    if not os.path.isdir(d):
+        return []
+    return [
+        os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+
+
+def _count_rows(edges_dir: str, num_parts: int) -> int:
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for p in range(num_parts)
+        for f in _part_files(edges_dir, p)
+    )
+
+
+def _infer_vertex_ids(edges_dir: str, num_parts: int) -> np.ndarray:
+    vid_parts = []
+    for p in range(num_parts):
+        for f in _part_files(edges_dir, p):
+            t = pq.read_table(f, columns=["src", "dst"])
+            vid_parts.append(np.unique(np_col(t, "src")))
+            vid_parts.append(np.unique(np_col(t, "dst")))
+    return np.unique(np.concatenate(vid_parts)) if vid_parts else np.zeros(0, np.int64)
+
+
+@ray.remote
+def _build_shard(edges_dir: str, part: int, weighted: bool):
+    """Read one partition's edges and build its CSR shard.
+
+    Returns (shard_dict, degree_table).  NumPy arrays inside the shard
+    are stored in plasma and mapped zero-copy by every scatter actor on
+    the node.
+    """
+    d = os.path.join(edges_dir, f"part={part}")
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    if not os.path.isdir(d):
+        empty = {
+            "srcs": np.zeros(0, np.int64),
+            "indptr": np.zeros(1, np.int64),
+            "indices": np.zeros(0, np.int64),
+        }
+        if weighted:
+            empty["weights"] = np.zeros(0, np.float64)
+        deg = pa.table({"vid": pa.array([], pa.int64()), "outdeg": pa.array([], pa.int64())})
+        return empty, deg
+    tbl = pq.read_table(d, columns=cols)
+    src = np_col(tbl, "src")
+    dst = np_col(tbl, "dst")
+    w = np_col(tbl, "weight") if weighted else None
+    shard = csr_from_edges(src, dst, w)
+    deg = pa.table(
+        {
+            "vid": pa.array(shard["srcs"], pa.int64()),
+            "outdeg": pa.array(np.diff(shard["indptr"]), pa.int64()),
+        }
+    )
+    return shard, deg
+
+
+def build_graph(
+    edges: rd.Dataset,
+    work_dir: str,
+    num_parts: int,
+    *,
+    symmetrize: bool = True,
+    weighted: bool = False,
+    vertex_ids: np.ndarray | None = None,
+    n_vertices: int | None = None,
+) -> GraphShards:
+    """Edge Dataset (src:int64, dst:int64[, weight:double]) → GraphShards.
+
+    ``symmetrize=True`` treats the input as a canonical undirected edge
+    list (src<dst, deduped) and materializes both directions — what CC,
+    LP, TC-degree and undirected PageRank operate on.  ``vertex_ids``
+    (sorted, unique) defines the vertex universe including isolated
+    vertices; if omitted it is inferred from edge endpoints.
+    """
+    edges_dir = os.path.join(work_dir, "edges")
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        s = np_col(batch, "src")
+        d = np_col(batch, "dst")
+        w = np_col(batch, "weight") if weighted else None
+        keep = s != d  # simple graph: no self-loops
+        s, d = s[keep], d[keep]
+        if w is not None:
+            w = w[keep]
+        if symmetrize:
+            s, d = np.concatenate([s, d]), np.concatenate([d, s])
+            if w is not None:
+                w = np.concatenate([w, w])
+        out = {
+            "src": pa.array(s, pa.int64()),
+            "dst": pa.array(d, pa.int64()),
+            "part": pa.array(part_of(s, num_parts), pa.int32()),
+        }
+        if w is not None:
+            out["weight"] = pa.array(w, pa.float64())
+        return pa.table(out)
+
+    prepped = edges.map_batches(_prep, batch_format="pyarrow")
+    if os.path.isdir(edges_dir):
+        import shutil
+
+        shutil.rmtree(edges_dir)
+    prepped.write_parquet(edges_dir, partition_cols=["part"])
+
+    shard_futs = [
+        _build_shard.options(num_returns=2).remote(edges_dir, p, weighted)
+        for p in range(num_parts)
+    ]
+    shard_refs = [f[0] for f in shard_futs]
+    degree_refs = [f[1] for f in shard_futs]
+
+    # directed edge count from parquet footers (no data read)
+    n_edges = _count_rows(edges_dir, num_parts)
+    if vertex_ids is None:
+        vertex_ids = _infer_vertex_ids(edges_dir, num_parts)
+    else:
+        vertex_ids = np.asarray(vertex_ids, dtype=np.int64)
+    if n_vertices is None:
+        n_vertices = len(vertex_ids)
+
+    return GraphShards(
+        num_parts=num_parts,
+        shard_refs=shard_refs,
+        degree_refs=degree_refs,
+        n_vertices=int(n_vertices),
+        n_edges=int(n_edges),
+        edges_dir=edges_dir,
+        weighted=weighted,
+        vertex_ids_ref=ray.put(vertex_ids),
+    )
+
+
+def reload_graph(
+    edges_dir: str, num_parts: int, *, weighted: bool = False
+) -> GraphShards:
+    """Rebuild shards from the immutable edge checkpoint (resume path,
+    SURVEY.md §3.3) — the edge table is never rewritten."""
+    shard_futs = [
+        _build_shard.options(num_returns=2).remote(edges_dir, p, weighted)
+        for p in range(num_parts)
+    ]
+    shard_refs = [f[0] for f in shard_futs]
+    degree_refs = [f[1] for f in shard_futs]
+    n_edges = _count_rows(edges_dir, num_parts)
+    vertex_ids = _infer_vertex_ids(edges_dir, num_parts)
+    return GraphShards(
+        num_parts=num_parts,
+        shard_refs=shard_refs,
+        degree_refs=degree_refs,
+        n_vertices=len(vertex_ids),
+        n_edges=int(n_edges),
+        edges_dir=edges_dir,
+        weighted=weighted,
+        vertex_ids_ref=ray.put(vertex_ids),
+    )

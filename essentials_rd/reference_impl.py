@@ -1,0 +1,209 @@
+"""Pure-NumPy CPU reference validators.
+
+Mirrors the reference's pattern of shipping a CPU validator next to each
+GPU algorithm (gunrock/essentials ``examples/algorithms/pr/pr.cu``
+computes host PageRank and reports mismatches; ``examples/algorithms/
+sssp/sssp_cpu.hxx`` is the CPU Dijkstra [U — snapshot absent, SURVEY.md
+§0]).  These are the oracles the BASELINE.json north_star calls
+"essentials' own algorithm correctness checks (pr/cc/spmv test
+harnesses)": the Ray engine must match them allclose 1e-6 (PageRank) /
+exactly (CC, LP, TC).
+
+All functions take an edge list as (src, dst) int64 arrays over an
+explicit vertex id array (ids need not be dense) and are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _to_dense(vids: np.ndarray, src: np.ndarray, dst: np.ndarray):
+    """Map arbitrary int64 vertex ids to dense [0, n) indices."""
+    vids = np.unique(np.asarray(vids, dtype=np.int64))
+    s = np.searchsorted(vids, src)
+    d = np.searchsorted(vids, dst)
+    return vids, s, d
+
+
+def pagerank_ref(
+    vids: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    alpha: float = 0.85,
+    max_iters: int = 100,
+    tol: float = 1.0e-6,
+) -> np.ndarray:
+    """Power-iteration PageRank over a DIRECTED edge list.
+
+    Semantics pinned (SURVEY.md §2.2 A1): ``p' = (1-a)/n + a*(sum_in
+    p(u)/outdeg(u) + dangling_mass/n)``; dangling mass redistributed
+    uniformly (networkx-compatible); start uniform 1/n; stop when the L1
+    error ``sum|p'-p| < n*tol`` (networkx's criterion) or after
+    ``max_iters``.  Returns p aligned with sorted unique ``vids``.
+    """
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    p = np.full(n, 1.0 / n)
+    dangling = outdeg == 0
+    for _ in range(max_iters):
+        contrib = np.where(dangling, 0.0, p / np.maximum(outdeg, 1.0))
+        agg = np.bincount(d, weights=contrib[s], minlength=n)
+        dmass = p[dangling].sum()
+        p_new = (1.0 - alpha) / n + alpha * (agg + dmass / n)
+        err = np.abs(p_new - p).sum()
+        p = p_new
+        if err < n * tol:
+            break
+    return p
+
+
+def pagerank_fixed_ref(
+    vids: np.ndarray, src: np.ndarray, dst: np.ndarray, k: int, alpha: float = 0.85
+) -> np.ndarray:
+    """Exactly-k-iteration PageRank (no convergence test) — the oracle for
+    the fixed-iteration driver queries where DuckDB unrolls k steps."""
+    return pagerank_ref(vids, src, dst, alpha=alpha, max_iters=k, tol=0.0)
+
+
+def cc_ref(vids: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Connected components of the UNDIRECTED graph; label = min vid in the
+    component (the hash-min fixpoint).  Union-find, path-halving."""
+    vids, s, d = _to_dense(vids, src, dst)
+    parent = np.arange(len(vids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(s.tolist(), d.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in range(len(vids))], dtype=np.int64)
+    # min vid per component == vid of min dense index per component,
+    # because vids is sorted ascending.
+    comp_min = np.full(len(vids), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(comp_min, roots, vids)
+    return comp_min[roots]
+
+
+def lp_sync_ref(
+    vids: np.ndarray, src: np.ndarray, dst: np.ndarray, max_iters: int = 10
+) -> np.ndarray:
+    """Synchronous label propagation, deterministic.
+
+    Init label(v)=vid.  Each superstep every vertex takes the most
+    frequent label among its (distinct-edge) neighbors in the symmetrized
+    simple graph; ties broken by MIN label; isolated vertices keep their
+    label.  Stops when no label changes or after ``max_iters``.  This
+    exact semantics is mirrored by the engine and the DuckDB oracle
+    (SURVEY.md §2.2 A3 — deterministic, value-based tie-break).
+    """
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    # symmetrize + dedup + drop self-loops
+    a = np.concatenate([s, d])
+    b = np.concatenate([d, s])
+    keep = a != b
+    a, b = a[keep], b[keep]
+    pair = a * np.int64(n) + b
+    pair = np.unique(pair)
+    a, b = pair // n, pair % n
+    labels = vids.copy()
+    for _ in range(max_iters):
+        # votes: neighbor labels for each dst a<-b means a receives label[b]
+        recv, lab = a, labels[b]
+        # count per (recv, label); argmax count then min label
+        order = np.lexsort((lab, recv))
+        r_s, l_s = recv[order], lab[order]
+        grp = np.flatnonzero(np.r_[True, (r_s[1:] != r_s[:-1]) | (l_s[1:] != l_s[:-1])])
+        cnt = np.diff(np.r_[grp, len(r_s)])
+        g_r, g_l = r_s[grp], l_s[grp]
+        # per recv: pick max cnt, tie -> min label. Sort by (recv, -cnt, label).
+        sel = np.lexsort((g_l, -cnt, g_r))
+        first = np.flatnonzero(np.r_[True, g_r[sel][1:] != g_r[sel][:-1]])
+        win_r = g_r[sel][first]
+        win_l = g_l[sel][first]
+        new_labels = labels.copy()
+        new_labels[win_r] = win_l
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    return labels
+
+
+def lp_sync_fixed_ref(vids, src, dst, k: int) -> np.ndarray:
+    """Exactly-k-superstep sync LP (oracle for the unrolled SQL query).
+
+    Note: unlike :func:`lp_sync_ref` this does NOT stop early on
+    stabilization... it does, actually — a stabilized state is a fixpoint
+    of the update, so running further steps is a no-op and early-stop is
+    equivalent.  Kept as an alias for intent.
+    """
+    return lp_sync_ref(vids, src, dst, max_iters=k)
+
+
+def triangles_ref(
+    vids: np.ndarray, src: np.ndarray, dst: np.ndarray
+) -> tuple[int, np.ndarray]:
+    """Exact triangle count of the undirected simple graph.
+
+    Returns (total, per_vertex_counts aligned with sorted unique vids).
+    Forward/degree-ordering algorithm (SURVEY.md §2.2 A4): orient each
+    undirected edge from lower (degree, vid) rank to higher; a triangle
+    (u,v,w) is counted once at its lowest-ranked corner pair.
+    """
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    a = np.concatenate([s, d])
+    b = np.concatenate([d, s])
+    keep = a != b
+    a, b = a[keep], b[keep]
+    pair = np.unique(a * np.int64(n) + b)
+    a, b = pair // n, pair % n
+    deg = np.bincount(a, minlength=n)
+    rank = np.lexsort((np.arange(n), deg))  # not a rank yet
+    rank_of = np.empty(n, dtype=np.int64)
+    rank_of[rank] = np.arange(n)
+    fwd = rank_of[a] < rank_of[b]
+    oa, ob = a[fwd], b[fwd]
+    # adjacency (oriented), neighbor lists sorted by rank? sort by (oa, ob)
+    order = np.lexsort((ob, oa))
+    oa, ob = oa[order], ob[order]
+    starts = np.searchsorted(oa, np.arange(n))
+    ends = np.searchsorted(oa, np.arange(n) + 1)
+    per_vertex = np.zeros(n, dtype=np.int64)
+    total = 0
+    nbr = [ob[starts[i] : ends[i]] for i in range(n)]
+    for u, v in zip(oa.tolist(), ob.tolist()):
+        common = np.intersect1d(nbr[u], nbr[v], assume_unique=True)
+        c = len(common)
+        if c:
+            total += c
+            per_vertex[u] += c
+            per_vertex[v] += c
+            np.add.at(per_vertex, common, 1)
+    return total, per_vertex
+
+
+def spmv_ref(
+    vids: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    x: np.ndarray,
+) -> np.ndarray:
+    """y = A @ x where A[dst, src] = weight (message flows src→dst), x
+    aligned with sorted unique vids.  Oracle for the SpMV harness
+    (gunrock/essentials ``algorithms/spmv.hxx`` [U])."""
+    vids, s, d = _to_dense(vids, src, dst)
+    y = np.zeros(len(vids), dtype=np.float64)
+    np.add.at(y, d, np.asarray(weight, dtype=np.float64) * x[s])
+    return y

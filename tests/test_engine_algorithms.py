@@ -1,0 +1,168 @@
+"""Engine vs CPU validators on small fixtures (FIXTURES.md F2):
+path graph, star hub K1,50, cliques, duplicate edges — the
+"pr/cc/spmv test harness" mirror (BASELINE.json north_star)."""
+
+import numpy as np
+import pytest
+
+from essentials_rd.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    spmv,
+    triangle_counts,
+)
+from essentials_rd.algorithms.cc import components_table
+from essentials_rd.algorithms.lp import labels_table
+from essentials_rd.algorithms.pagerank import pagerank_table
+from essentials_rd.algorithms.spmv import spmv_table
+from essentials_rd.reference_impl import (
+    cc_ref,
+    lp_sync_ref,
+    pagerank_ref,
+    spmv_ref,
+    triangles_ref,
+)
+
+from .conftest import edges_ds, small_graph
+
+
+def _random_edges(n=30, m=90, seed=3):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    pairs = np.unique(src[keep] * np.int64(n) + dst[keep])
+    return pairs // n, pairs % n
+
+
+def _canon(src, dst):
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    pairs = np.unique(lo * np.int64(1 << 20) + hi)
+    return pairs // (1 << 20), pairs % (1 << 20)
+
+
+def test_spmv_matches_numpy(tmp_path):
+    src, dst = _random_edges()
+    rng = np.random.default_rng(5)
+    w = rng.random(len(src))
+    g = small_graph(tmp_path, src, dst, weight=w, P=3, symmetrize=False)
+    res = spmv(g)
+    t = spmv_table(res)
+    vids = np.asarray(t["vid"])
+    y_ref = spmv_ref(vids, src, dst, w, (vids % 97) / 97.0)
+    assert np.allclose(np.asarray(t["y"]), y_ref, atol=1e-12)
+
+
+def test_pagerank_fixed_k_matches_reference(tmp_path):
+    src, dst = _random_edges(n=25, m=80, seed=7)
+    g = small_graph(
+        tmp_path, src, dst, P=3, symmetrize=False,
+        vertex_ids=np.arange(25, dtype=np.int64),
+    )
+    res = pagerank(g, tol=0.0, max_iters=5, checkpoint_every=0, scatter_mode="fused")
+    t = pagerank_table(res)
+    p_ref = pagerank_ref(np.arange(25, dtype=np.int64), src, dst, max_iters=5, tol=0.0)
+    assert res.supersteps == 5
+    assert np.allclose(np.asarray(t["pagerank"]), p_ref, atol=1e-12)
+
+
+def test_pagerank_convergence_matches_reference_1e6(tmp_path):
+    # includes dangling vertices (directed random graph)
+    src, dst = _random_edges(n=30, m=70, seed=11)
+    vids = np.arange(30, dtype=np.int64)
+    g = small_graph(tmp_path, src, dst, P=2, symmetrize=False, vertex_ids=vids)
+    res = pagerank(g, alpha=0.6, tol=1e-8, max_iters=100, checkpoint_every=0,
+                   scatter_mode="fused")
+    assert res.converged
+    t = pagerank_table(res)
+    p_ref = pagerank_ref(vids, src, dst, alpha=0.6, tol=1e-12, max_iters=1000)
+    assert np.allclose(np.asarray(t["pagerank"]), p_ref, atol=1e-6)
+    assert abs(np.asarray(t["pagerank"]).sum() - 1.0) < 1e-9
+
+
+def test_cc_exact_two_cliques_and_isolated(tmp_path):
+    # two cliques {0..3}, {10..13}, a path 20-21-22, isolated 30
+    edges = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges += [(20, 21), (21, 22)]
+    e = np.array(edges, dtype=np.int64)
+    vids = np.unique(np.r_[e.ravel(), 30])
+    g = small_graph(tmp_path, e[:, 0], e[:, 1], P=3, vertex_ids=vids)
+    res = connected_components(g, checkpoint_every=0, scatter_mode="fused")
+    assert res.converged
+    t = components_table(res)
+    expected = cc_ref(vids, e[:, 0], e[:, 1])
+    # cc_ref covers only vids present; isolated 30 keeps label 30
+    assert np.asarray(t["label"]).tolist() == expected.tolist()
+
+
+def test_cc_star_hub(tmp_path):
+    # K1,50 hub — the skew fixture
+    hub = 0
+    leaves = np.arange(1, 51, dtype=np.int64)
+    src = np.full(50, hub, dtype=np.int64)
+    g = small_graph(tmp_path, src, leaves, P=4)
+    res = connected_components(g, checkpoint_every=0, scatter_mode="fused")
+    t = components_table(res)
+    assert set(np.asarray(t["label"]).tolist()) == {0}
+    # hub received one pre-combined message per partition, not 50 raw rows
+    total_msgs = res.total_messages
+    assert total_msgs >= 50  # raw message count metric counts raw votes
+
+
+def test_lp_matches_reference(tmp_path):
+    src, dst = _random_edges(n=24, m=60, seed=13)
+    src, dst = _canon(src, dst)
+    vids = np.unique(np.r_[src, dst])
+    g = small_graph(tmp_path, src, dst, P=3, vertex_ids=vids)
+    res = label_propagation(g, max_iters=7, checkpoint_every=0, scatter_mode="fused")
+    t = labels_table(res)
+    expected = lp_sync_ref(vids, src, dst, max_iters=7)
+    assert np.asarray(t["label"]).tolist() == expected.tolist()
+
+
+def test_tc_matches_reference(tmp_path):
+    src, dst = _random_edges(n=20, m=80, seed=17)
+    src, dst = _canon(src, dst)
+    vids = np.unique(np.r_[src, dst])
+    total, per_v = triangle_counts(
+        edges_ds(src, dst), str(tmp_path), 3, vertex_ids=vids
+    )
+    exp_total, exp_per_v = triangles_ref(vids, src, dst)
+    assert total == exp_total
+    rows = sorted(per_v.take_all(), key=lambda r: r["vid"])
+    got = {r["vid"]: r["triangles"] for r in rows}
+    for i, v in enumerate(vids.tolist()):
+        assert got.get(v, 0) == exp_per_v[i]
+
+
+def test_duplicate_and_selfloop_edges_ignored(tmp_path):
+    # self-loops dropped; duplicate edges in the input are tolerated by
+    # CC (min is idempotent)
+    src = np.array([1, 1, 2, 3, 3], dtype=np.int64)
+    dst = np.array([2, 2, 2, 4, 4], dtype=np.int64)
+    g = small_graph(tmp_path, src, dst, P=2)
+    res = connected_components(g, checkpoint_every=0, scatter_mode="fused")
+    t = components_table(res)
+    labels = dict(zip(np.asarray(t["vid"]).tolist(), np.asarray(t["label"]).tolist()))
+    assert labels == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+@pytest.mark.parametrize("mode", ["tasks", "actors", "fused"])
+def test_scatter_modes_equivalent(tmp_path, mode):
+    """All three scatter modes implement the same semantics (equal to
+    1e-12; exact float bits may differ across modes because partial-sum
+    grouping differs when a partition's state spans blocks — each mode
+    on its own is deterministic, covered by the resume tests)."""
+    src, dst = _random_edges(n=20, m=50, seed=23)
+    vids = np.arange(20, dtype=np.int64)
+    g = small_graph(tmp_path / mode, src, dst, P=3, symmetrize=False,
+                    vertex_ids=vids)
+    res = pagerank(g, tol=0.0, max_iters=3, checkpoint_every=0, scatter_mode=mode)
+    t = pagerank_table(res)
+    p_ref = pagerank_ref(vids, src, dst, max_iters=3, tol=0.0)
+    assert np.allclose(np.asarray(t["pagerank"]), p_ref, atol=1e-12)
