@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2)
+over the driver's parquet tables; ``oracle_sql()`` gives the equivalent
+DuckDB SQL per query (fixed-iteration graph algorithms are unrolled as
+chained CTEs so integer results match EXACTLY and float results match
+after half-up rounding to 6 dp on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The graph under test is the part co-purchase graph derived from
+``lineitem`` (same shared-key → pair → dedup shape as the corpus-derived
+repo graph, but reproducible from the registered SQL views); the
+corpus-shaped queries run over ``documents`` mapped onto the
+(repo, path, commit, lang, content) input shape.
+
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/shutdown() here or below.
 """
 
 from __future__ import annotations
@@ -18,27 +21,411 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+ALPHA = 0.85
+PR_ITERS = 8
+CC_ITERS = 32
+LP_ITERS = 4
+TOKEN_CAP = 1000
+TOP_K = 20
+
+_GRAPH_CACHE: dict = {}
+
+
+def _graph(sf_dir: str, *, symmetrize: bool = True, weighted: bool = False):
+    from essentials_rd.pipelines import copurchase_graph
+
+    key = (sf_dir, symmetrize, weighted)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = copurchase_graph(
+            sf_dir, symmetrize=symmetrize, weighted=weighted
+        )
+    return _GRAPH_CACHE[key]
+
+
+# --------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: derive the co-purchase edge table,
+    run PageRank (fixed 8 iters) + connected components to convergence,
+    return the joined per-vertex result."""
+    from essentials_rd.algorithms import connected_components, pagerank
+
+    sf_dir = "/root/testdata/sf0.001"
+    g, _ = _graph(sf_dir)
+    pr = pagerank(g, alpha=ALPHA, tol=0.0, max_iters=PR_ITERS,
+                  checkpoint_every=0, scatter_mode="fused")
+    cc = connected_components(g, max_iters=2 * CC_ITERS,
+                              checkpoint_every=0, scatter_mode="fused")
+    tp = pr.state_table(["value"])
+    tc = cc.state_table(["label"])
+    return pa.table(
+        {
+            "vid": tp["vid"],
+            "pagerank": tp["value"],
+            "component": tc["label"],
+        }
+    )
+
+
+# ------------------------------------------------------------- queries
+
+
+def _q_corpus_sha256(sf_dir: str):
+    from essentials_rd.derive import add_sha256, corpus_from_documents
+
+    ds = add_sha256(corpus_from_documents(sf_dir))
+    return ds.select_columns(["repo", "path", "sha256"])
+
+
+def _q_shared_token_edges(sf_dir: str):
+    from essentials_rd.derive import (
+        add_sha256,
+        corpus_from_documents,
+        dedup_edges,
+        shared_key_edges,
+        token_keys,
+    )
+
+    files = add_sha256(corpus_from_documents(sf_dir))
+    keys = token_keys(files, min_len=1)
+    pairs, _ = shared_key_edges(keys, cap=TOKEN_CAP, reason="shared_token")
+    deduped = dedup_edges(pairs)
+    return deduped.select_columns(["src_repo", "dst_repo", "weight"])
+
+
+def _q_copurchase_edges(sf_dir: str):
+    from essentials_rd.pipelines import copurchase_edges
+
+    return copurchase_edges(sf_dir)
+
+
+def _q_degree(sf_dir: str):
+    import ray
+
+    from essentials_rd.util import np_col
+
+    g, _ = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    deg = np.zeros(len(vids), np.int64)
+    for t in ray.get(list(g.degree_refs)):
+        pos = np.searchsorted(vids, np_col(t, "vid"))
+        deg[pos] += np_col(t, "outdeg")
+    return pa.table({"vid": pa.array(vids, pa.int64()),
+                     "degree": pa.array(deg, pa.int64())})
+
+
+def _pagerank_rounded(sf_dir: str) -> pa.Table:
+    from essentials_rd.algorithms import pagerank
+    from essentials_rd.pipelines import round_half_up
+
+    g, _ = _graph(sf_dir)
+    res = pagerank(g, alpha=ALPHA, tol=0.0, max_iters=PR_ITERS,
+                   checkpoint_every=0, scatter_mode="fused")
+    t = res.state_table(["value"])
+    vals = round_half_up(np.asarray(t["value"], dtype=np.float64), 6)
+    return pa.table({"vid": t["vid"], "pagerank": pa.array(vals, pa.float64())})
+
+
+def _q_pagerank(sf_dir: str):
+    return _pagerank_rounded(sf_dir)
+
+
+def _q_top_pagerank(sf_dir: str):
+    t = _pagerank_rounded(sf_dir)
+    idx = sorted(
+        range(t.num_rows),
+        key=lambda i: (-t["pagerank"][i].as_py(), t["vid"][i].as_py()),
+    )[:TOP_K]
+    return t.take(pa.array(idx))
+
+
+def _cc_table(sf_dir: str) -> pa.Table:
+    from essentials_rd.algorithms import connected_components
+    from essentials_rd.algorithms.cc import components_table
+
+    g, _ = _graph(sf_dir)
+    res = connected_components(g, max_iters=2 * CC_ITERS,
+                               checkpoint_every=0, scatter_mode="fused")
+    assert res.converged and res.supersteps <= CC_ITERS, (
+        "CC did not converge within the oracle's unrolled iteration count"
+    )
+    return components_table(res)
+
+
+def _q_cc(sf_dir: str):
+    return _cc_table(sf_dir)
+
+
+def _q_component_sizes(sf_dir: str):
+    t = _cc_table(sf_dir)
+    labels, counts = np.unique(np.asarray(t["label"]), return_counts=True)
+    return pa.table({"label": pa.array(labels, pa.int64()),
+                     "size": pa.array(counts.astype(np.int64), pa.int64())})
+
+
+def _q_lp(sf_dir: str):
+    from essentials_rd.algorithms import label_propagation
+    from essentials_rd.algorithms.lp import labels_table
+
+    g, _ = _graph(sf_dir)
+    res = label_propagation(g, max_iters=LP_ITERS, checkpoint_every=0,
+                            scatter_mode="fused")
+    return labels_table(res)
+
+
+def _q_triangles_total(sf_dir: str):
+    from essentials_rd.algorithms import triangle_counts
+    from essentials_rd.pipelines import _work_dir, part_universe
+
+    _, edges = _graph(sf_dir)
+    total, _ = triangle_counts(
+        edges.select_columns(["src", "dst"]), _work_dir("tc"), 8,
+        vertex_ids=part_universe(sf_dir),
+    )
+    return pa.table({"triangles": pa.array([total], pa.int64())})
+
+
+def _q_triangles_per_vertex(sf_dir: str):
+    from essentials_rd.algorithms import triangle_counts
+    from essentials_rd.pipelines import _work_dir, part_universe
+
+    _, edges = _graph(sf_dir)
+    _, per_v = triangle_counts(
+        edges.select_columns(["src", "dst"]), _work_dir("tcv"), 8,
+        vertex_ids=part_universe(sf_dir),
+    )
+    return per_v
+
+
+def _q_spmv(sf_dir: str):
+    from essentials_rd.algorithms import spmv
+    from essentials_rd.algorithms.spmv import spmv_table
+    from essentials_rd.pipelines import round_half_up
+
+    g, _ = _graph(sf_dir, symmetrize=False, weighted=True)
+    res = spmv(g)
+    t = spmv_table(res)
+    y = round_half_up(np.asarray(t["y"], dtype=np.float64), 6)
+    return pa.table({"vid": t["vid"], "y": pa.array(y, pa.float64())})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "corpus_sha256": _q_corpus_sha256,
+        "shared_token_edges": _q_shared_token_edges,
+        "copurchase_edges": _q_copurchase_edges,
+        "degree": _q_degree,
+        "pagerank_k8": _q_pagerank,
+        "top_pagerank": _q_top_pagerank,
+        "cc_labels": _q_cc,
+        "component_sizes": _q_component_sizes,
+        "lp_k4": _q_lp,
+        "triangles_total": _q_triangles_total,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "spmv": _q_spmv,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------- oracle SQL
+
+_GRAPH_CTES = """
+items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+verts AS MATERIALIZED (SELECT DISTINCT l_partkey AS vid FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS DOUBLE) AS weight
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
+),
+deg AS MATERIALIZED (
+  SELECT v.vid, count(e.src) AS outdeg
+  FROM verts v LEFT JOIN sym e ON e.src = v.vid GROUP BY v.vid
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)
+"""
+
+
+def _pagerank_sql() -> str:
+    steps = [
+        "p0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nn) AS val FROM verts)"
+    ]
+    for k in range(PR_ITERS):
+        steps.append(f"""
+agg{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(p.val / d.outdeg) AS s
+  FROM sym e JOIN p{k} p ON p.vid = e.src JOIN deg d ON d.vid = e.src
+  GROUP BY e.dst
+),
+dang{k} AS MATERIALIZED (
+  SELECT COALESCE(sum(p.val), 0.0) AS dm
+  FROM p{k} p JOIN deg d ON d.vid = p.vid WHERE d.outdeg = 0
+),
+p{k + 1} AS MATERIALIZED (
+  SELECT v.vid,
+         (1.0 - {ALPHA})/(SELECT n FROM nn)
+         + {ALPHA} * (COALESCE(a.s, 0.0) + (SELECT dm FROM dang{k})/(SELECT n FROM nn)) AS val
+  FROM verts v LEFT JOIN agg{k} a ON a.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT vid, ROUND(val, 6) AS pagerank FROM p{PR_ITERS} ORDER BY vid"
+    )
+
+
+def _top_pagerank_sql() -> str:
+    inner = _pagerank_sql().replace(" ORDER BY vid", "")
+    return (
+        f"SELECT vid, pagerank FROM ({inner}) "
+        f"ORDER BY pagerank DESC, vid ASC LIMIT {TOP_K}"
+    )
+
+
+def _cc_sql() -> str:
+    steps = ["l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)"]
+    for k in range(CC_ITERS):
+        steps.append(f"""
+m{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.label) AS ml
+  FROM sym e JOIN l{k} l ON l.vid = e.src GROUP BY e.dst
+),
+l{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.label, COALESCE(m.ml, v.label)) AS label
+  FROM l{k} v LEFT JOIN m{k} m ON m.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT vid, label FROM l{CC_ITERS} ORDER BY vid"
+    )
+
+
+def _component_sizes_sql() -> str:
+    inner = _cc_sql().replace(" ORDER BY vid", "")
+    return (
+        f"SELECT label, count(*) AS size FROM ({inner}) GROUP BY label ORDER BY label"
+    )
+
+
+def _lp_sql() -> str:
+    steps = ["b0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)"]
+    for k in range(LP_ITERS):
+        steps.append(f"""
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, l.label, count(*) AS c
+  FROM sym e JOIN b{k} l ON l.vid = e.src GROUP BY e.dst, l.label
+),
+w{k} AS MATERIALIZED (
+  SELECT vid, label FROM (
+    SELECT vid, label,
+           row_number() OVER (PARTITION BY vid ORDER BY c DESC, label ASC) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+),
+b{k + 1} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(w.label, v.label) AS label
+  FROM b{k} v LEFT JOIN w{k} w ON w.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT vid, label FROM b{LP_ITERS} ORDER BY vid"
+    )
+
+
+_ORIENTED_CTE = """
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN (da.outdeg < db.outdeg)
+              OR (da.outdeg = db.outdeg AND p.src < p.dst)
+         THEN p.src ELSE p.dst END AS u,
+         CASE WHEN (da.outdeg < db.outdeg)
+              OR (da.outdeg = db.outdeg AND p.src < p.dst)
+         THEN p.dst ELSE p.src END AS v
+  FROM pairs p JOIN deg da ON da.vid = p.src JOIN deg db ON db.vid = p.dst
+),
+tris AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e2.u = e1.v
+  JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+"""
+
+
+def _triangles_total_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, {_ORIENTED_CTE} "
+        f"SELECT count(*) AS triangles FROM tris"
+    )
+
+
+def _triangles_per_vertex_sql() -> str:
+    return f"""
+WITH {_GRAPH_CTES}, {_ORIENTED_CTE},
+corners AS (
+  SELECT a AS vid FROM tris UNION ALL
+  SELECT b FROM tris UNION ALL
+  SELECT c FROM tris
+)
+SELECT v.vid, CAST(count(c.vid) AS BIGINT) AS triangles
+FROM verts v LEFT JOIN corners c ON c.vid = v.vid
+GROUP BY v.vid ORDER BY v.vid
+"""
+
+
+def _spmv_sql() -> str:
+    return f"""
+WITH {_GRAPH_CTES},
+yagg AS (
+  SELECT dst AS vid, sum(weight * ((src % 97) / 97.0)) AS y
+  FROM pairs GROUP BY dst
+)
+SELECT v.vid, ROUND(COALESCE(a.y, 0.0), 6) AS y
+FROM verts v LEFT JOIN yagg a ON a.vid = v.vid ORDER BY v.vid
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "corpus_sha256": (
+            "SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path, "
+            "sha256(text) AS sha256 FROM documents"
+        ),
+        "shared_token_edges": f"""
+WITH keyed AS (
+  SELECT DISTINCT source AS repo, t.tok AS key
+  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) t
+  WHERE len(t.tok) >= 1
+),
+ok_keys AS (
+  SELECT key FROM keyed GROUP BY key
+  HAVING count(DISTINCT repo) BETWEEN 2 AND {TOKEN_CAP}
+)
+SELECT a.repo AS src_repo, b.repo AS dst_repo, CAST(count(*) AS DOUBLE) AS weight
+FROM keyed a JOIN keyed b ON a.key = b.key AND a.repo < b.repo
+JOIN ok_keys k ON k.key = a.key
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "copurchase_edges": (
+            f"WITH {_GRAPH_CTES} SELECT src, dst, weight FROM pairs ORDER BY src, dst"
+        ),
+        "degree": (
+            f"WITH {_GRAPH_CTES} SELECT vid, CAST(outdeg AS BIGINT) AS degree "
+            f"FROM deg ORDER BY vid"
+        ),
+        "pagerank_k8": _pagerank_sql(),
+        "top_pagerank": _top_pagerank_sql(),
+        "cc_labels": _cc_sql(),
+        "component_sizes": _component_sizes_sql(),
+        "lp_k4": _lp_sql(),
+        "triangles_total": _triangles_total_sql(),
+        "triangles_per_vertex": _triangles_per_vertex_sql(),
+        "spmv": _spmv_sql(),
+    }

@@ -191,6 +191,34 @@ def _empty_pairs() -> pa.Table:
     )
 
 
+def token_keys(files: rd.Dataset, min_len: int = 1) -> rd.Dataset:
+    """Distinct (repo, key=token, sha256=min) rows from whitespace-split
+    content tokens — the shared-KEY derivation generalized from paths to
+    arbitrary keys (used by the driver-checked shared-token query).
+
+    The per-batch pandas explode pre-distincts (repo, token) so the
+    shuffle moves one row per (repo, token) per batch, not per token
+    occurrence."""
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        df = batch.select(["repo", "content", "sha256"]).to_pandas()
+        df["key"] = df["content"].str.split(" ")
+        df = df.drop(columns=["content"]).explode("key")
+        df = df[df["key"].str.len() >= min_len]
+        g = (
+            df.groupby(["repo", "key"], sort=True)["sha256"].min().reset_index()
+        )
+        return pa.Table.from_pandas(g[["repo", "key", "sha256"]], preserve_index=False)
+
+    toks = files.map_batches(_tok, batch_format="pyarrow")
+    # global distinct across batches (a repo's tokens can span batches)
+    return (
+        toks.groupby(["repo", "key"])
+        .min("sha256")
+        .rename_columns({"min(sha256)": "sha256"})
+    )
+
+
 # ---------------------------------------------------- import references
 
 
