@@ -82,19 +82,30 @@ def _q_corpus_sha256(sf_dir: str):
 
 
 def _q_shared_token_edges(sf_dir: str):
+    import ray
+
     from essentials_rd.derive import (
         add_sha256,
+        build_vertices,
         corpus_from_documents,
-        dedup_edges,
+        dedup_edges_vid,
         shared_key_edges,
         token_keys,
+        vids_to_repos,
     )
 
     files = add_sha256(corpus_from_documents(sf_dir))
+    names, _ = build_vertices(files)
+    names_ref = ray.put(names)
     keys = token_keys(files, min_len=1)
-    pairs, _ = shared_key_edges(keys, cap=TOKEN_CAP, reason="shared_token")
-    deduped = dedup_edges(pairs)
-    return deduped.select_columns(["src_repo", "dst_repo", "weight"])
+    pairs, _ = shared_key_edges(keys, names_ref, cap=TOKEN_CAP, reason="shared_token")
+    deduped = dedup_edges_vid(pairs).select_columns(["src", "dst", "weight"])
+    return deduped.map_batches(
+        lambda t: vids_to_repos(
+            t, names_ref, {"src": "src_repo", "dst": "dst_repo"}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _q_copurchase_edges(sf_dir: str):

@@ -1,0 +1,201 @@
+"""Benchmark harness (BASELINE.md measurement protocol).
+
+Headline: the flagship corpus→graph pipeline at a size scaled to
+$GRAFT_SF_DIR's scale factor — deterministic synthetic source-code
+corpus (seed 42, cached in /tmp) → sha256 + import-reference edge
+derivation → partitioned CSR build → PageRank to convergence + CC to
+fixpoint.  Reports wall seconds plus TEPS (traversed edges/sec, from
+the engine's per-superstep raw message-count lineage — BASELINE.md).
+
+Also times three driver-table queries over $GRAFT_SF_DIR itself.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+`--scaling`: runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the SAME input (the in-sandbox substitute
+for the north_rule's N vs 4N cluster criterion) and reports both TEPS
+plus efficiency = (T_32/T_8)/4; also appends the numbers to
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORPUS_CACHE = "/tmp/essentials_rd_bench_corpus"
+WORK = "/tmp/essentials_rd_bench_work"
+
+# per-sf synthetic corpus size (edges ≈ 10 × vertices, 5% hub-directed)
+SIZES = {
+    "0.001": (3_000, 30_000),
+    "0.01": (30_000, 300_000),
+    "0.1": (300_000, 3_000_000),
+    "1": (3_000_000, 30_000_000),
+}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else "0.1"
+
+
+def run_headline() -> dict:
+    import numpy as np
+    import ray
+
+    from essentials_rd.algorithms import connected_components, pagerank
+    from essentials_rd.corpus import generate_bench_corpus
+    from essentials_rd.derive import add_sha256, derive_edges, read_corpus
+    from essentials_rd.graph import build_graph
+
+    sf = _sf_of(SF_DIR)
+    n_v, n_e = SIZES.get(sf, SIZES["0.1"])
+    meta = generate_bench_corpus(CORPUS_CACHE, n_vertices=n_v, n_edges=n_e, seed=42)
+
+    num_parts = 32
+    t0 = time.perf_counter()
+    files = add_sha256(read_corpus(meta["dir"]))
+    edges, vertices, names, n_heavy = derive_edges(files, cap=10_000)
+    edges = edges.materialize()
+    t_derive = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    g = build_graph(
+        edges.select_columns(["src", "dst"]),
+        os.path.join(WORK, f"graph_{sf}_{NUM_CPUS}"),
+        num_parts,
+        symmetrize=True,
+    )
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pr = pagerank(g, tol=1e-6, max_iters=60, checkpoint_every=0, scatter_mode="fused")
+    t_pr = time.perf_counter() - t0
+    pr_msgs = pr.total_messages
+
+    t0 = time.perf_counter()
+    cc = connected_components(g, max_iters=100, checkpoint_every=0, scatter_mode="fused")
+    t_cc = time.perf_counter() - t0
+    cc_msgs = cc.total_messages
+
+    return {
+        "derive_sec": round(t_derive, 2),
+        "build_sec": round(t_build, 2),
+        "pr_sec": round(t_pr, 2),
+        "pr_supersteps": pr.supersteps,
+        "pr_converged": pr.converged,
+        "pr_teps": int(pr_msgs / t_pr) if t_pr else 0,
+        "cc_sec": round(t_cc, 2),
+        "cc_supersteps": cc.supersteps,
+        "cc_teps": int(cc_msgs / t_cc) if t_cc else 0,
+        "n_vertices": g.n_vertices,
+        "n_edges_directed": g.n_edges,
+        "headline_sec": round(t_derive + t_build + t_pr + t_cc, 2),
+    }
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as e
+
+    out = {}
+    qs = e.queries()
+    for name in ("pagerank_k8", "cc_labels", "triangles_total"):
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume if lazy
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+        out[name] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def main() -> None:
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    h = run_headline()
+    q = run_queries()
+    out = {
+        "metric": "flagship corpus→graph pipeline (derive + build + PR-to-convergence + CC) wall sec",
+        "value": h["headline_sec"],
+        "unit": "sec",
+        "queries": q,
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        **h,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    warm = run(8)  # warm page cache + corpus cache (untimed)
+    lo = run(8)
+    hi = run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    pr_eff = (hi["pr_teps"] / lo["pr_teps"]) / (32 / 8) if lo["pr_teps"] else 0
+    result = {
+        "metric": "scaling efficiency (num_cpus 32 vs 8, same input, fresh processes)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "pr_teps_8": lo["pr_teps"],
+        "pr_teps_32": hi["pr_teps"],
+        "pr_teps_efficiency": round(pr_eff, 3),
+        "cc_teps_8": lo["cc_teps"],
+        "cc_teps_32": hi["cc_teps"],
+        "sf": lo["sf"],
+    }
+    print(json.dumps(result))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n## bench.py --scaling @ sf{lo['sf']} "
+            f"({time.strftime('%Y-%m-%d %H:%M')})\n\n"
+            f"| metric | num_cpus=8 | num_cpus=32 | efficiency (target ≥0.8) |\n"
+            f"|---|---|---|---|\n"
+            f"| headline wall s | {lo['value']} | {hi['value']} | {result['scaling_efficiency']} |\n"
+            f"| PR TEPS | {lo['pr_teps']} | {hi['pr_teps']} | {result['pr_teps_efficiency']} |\n"
+            f"| CC TEPS | {lo['cc_teps']} | {hi['cc_teps']} | — |\n"
+            f"| PR supersteps | {lo['pr_supersteps']} | {hi['pr_supersteps']} | — |\n"
+            f"| graph (V, E-directed) | {lo['n_vertices']}, {lo['n_edges_directed']} "
+            f"| same input | — |\n\n"
+            f"Full JSON: `{json.dumps({'lo': lo, 'hi': hi})}`\n"
+        )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -5,16 +5,18 @@ table derived from the source-code corpus (repo→repo edges via shared
 paths and import references, with content sha256 preserved per row)"):
 
     repo_files ──map_batches──▶ +sha256
-        ├─▶ (repo, key=path, sha256) ──groupby(key)──▶ shared-path pairs
-        │        (heavy keys with > cap distinct repos are DROPPED and
-        │         counted — the k² blowup guard, SURVEY.md §4.3)
-        ├─▶ regex import extraction ──▶ (src_repo, dst_repo, sha256)
-        └─▶ union ─▶ canonical u<v ─▶ groupby(src,dst) dedup,
-              weight = multiplicity, sha256 = min (deterministic rep)
+        ├─▶ (key_hash, key, repo_vid, sha256) ──groupby(key_hash)──▶
+        │     shared-key pairs (heavy keys with > cap distinct repos
+        │     are DROPPED and counted — the k² blowup guard)
+        ├─▶ regex import extraction ──▶ (src, dst, sha256) vid pairs
+        └─▶ union ─▶ groupby(src,dst) dedup: weight=Σ, sha256=min
 
-Vertex ids: dense int64 by sorted repo name, broadcast via ``ray.put``
-(SURVEY.md §2.5 T3 — the id map is |V|-sized ≪ |E|, so a broadcast
-binary-search lookup beats a shuffle join).
+Shuffle hygiene at 10^12-file scale: every groupby keys on int64
+(splitmix-style key hashes and dense repo vids), never on raw strings —
+strings are resolved to ints inside map_batches against the broadcast
+sorted-name array (``ray.put`` once; |V| ≪ |E|, SURVEY.md §2.5 T3).
+Key-hash collisions are disambiguated inside the pair-expansion group
+(sub-grouped by the actual key string), so results are exact.
 
 The reference has no relational layer — its only ingest is a Matrix
 Market reader (gunrock/essentials ``include/gunrock/io/matrix_market.
@@ -33,8 +35,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-
-from .util import np_col
 
 IMPORT_RE = re.compile(r"^\s*import\s+([A-Za-z_][\w.]*)", re.M)
 
@@ -90,7 +90,9 @@ def build_vertices(files: rd.Dataset) -> tuple[np.ndarray, rd.Dataset]:
 
     Returns (sorted numpy array of repo names, vertices Dataset with
     columns vid:int64, repo:string).  The name array is what gets
-    broadcast (``ray.put``) for lookups inside map_batches.
+    broadcast (``ray.put``) for lookups inside map_batches.  Because ids
+    are assigned in sorted-name order, vid order == repo-name order, so
+    canonicalizing pairs by vid equals canonicalizing by name.
     """
     uniq = files.select_columns(["repo"]).unique("repo")
     arr = np.array(sorted(uniq), dtype=object)
@@ -106,84 +108,74 @@ def repo_lookup(names_ref, col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     name array.  Unknown names map to -1."""
     names = ray.get(names_ref) if isinstance(names_ref, ray.ObjectRef) else names_ref
     vals = np.asarray(col.to_pylist(), dtype=object)
+    if len(vals) == 0 or len(names) == 0:
+        return np.full(len(vals), -1, dtype=np.int64)
     idx = np.searchsorted(names, vals)
     idx_c = np.minimum(idx, len(names) - 1)
     found = names[idx_c] == vals
     return np.where(found, idx_c, -1).astype(np.int64)
 
 
+def vids_to_repos(tbl: pa.Table, names_ref, cols: dict[str, str]) -> pa.Table:
+    """Map vid columns back to repo-name columns (cols: vid_col→out_col)."""
+    names = ray.get(names_ref) if isinstance(names_ref, ray.ObjectRef) else names_ref
+    out = {}
+    for c in tbl.column_names:
+        if c in cols:
+            vids = np.asarray(tbl.column(c).to_numpy(zero_copy_only=False))
+            out[cols[c]] = pa.array(names[vids].tolist(), pa.string())
+        else:
+            out[c] = tbl.column(c)
+    return pa.table(out)
+
+
+def _str_hash(col) -> np.ndarray:
+    """Deterministic vectorized 64-bit string hash (pandas siphash with
+    the fixed default key — stable across processes)."""
+    arr = np.asarray(col.to_pylist(), dtype=object)
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return pd.util.hash_array(arr, categorize=False).view(np.int64)
+
+
 # ------------------------------------------------- shared-key expansion
 
 
 def file_keys(files: rd.Dataset) -> rd.Dataset:
-    """Distinct (repo, key=path, sha256) rows for shared-path grouping."""
+    """(repo, key=path, sha256) rows for shared-path grouping."""
     return files.select_columns(["repo", "path", "sha256"]).rename_columns(
         {"path": "key"}
     )
 
 
-def shared_key_edges(
-    keys: rd.Dataset,
-    cap: int = 50,
-    reason: str = "shared_path",
-) -> tuple[rd.Dataset, int]:
-    """Repo pairs sharing a key, with the heavy-key cap.
+def token_keys(files: rd.Dataset, min_len: int = 1) -> rd.Dataset:
+    """(repo, key=token, sha256) rows from whitespace-split content
+    tokens — the shared-KEY derivation generalized from paths to
+    arbitrary keys.  Pre-distincts (repo, token) per batch so the
+    shuffle moves one row per (repo, token) per batch."""
 
-    Keys shared by more than ``cap`` distinct repos are dropped (their
-    count is returned — never silently): a path shared by k repos emits
-    k² pairs, so one pathological key (a README in every repo) would
-    dominate the whole shuffle (SURVEY.md §4.3 "cap + log").
-
-    Implementation: ``groupby(key).map_groups`` — each group is one
-    key's rows; pair expansion is vectorized (np.triu indices) inside.
-    Output: (src_repo, dst_repo, weight=1.0, reason, sha256=min of the
-    pair's two file hashes), canonical src_repo < dst_repo.
-    """
-
-    def _pairs(grp: pa.Table) -> pa.Table:
-        repos = np.asarray(grp.column("repo").to_pylist(), dtype=object)
-        shas = np.asarray(grp.column("sha256").to_pylist(), dtype=object)
-        # sort by (repo, sha) so the representative sha per repo is the
-        # MIN sha — deterministic regardless of arrival order
-        order = np.lexsort((shas, repos))
-        repos, shas = repos[order], shas[order]
-        uniq, first = np.unique(repos, return_index=True)
-        k = len(uniq)
-        if k < 2 or k > cap:
-            return _empty_pairs()
-        usha = shas[first]  # first sha per repo in sorted order (deterministic)
-        iu, iv = np.triu_indices(k, 1)
+    def _tok(batch: pa.Table) -> pa.Table:
+        df = batch.select(["repo", "content", "sha256"]).to_pandas()
+        df["key"] = df["content"].str.split(" ")
+        df = df.drop(columns=["content"]).explode("key")
+        df = df[df["key"].str.len() >= min_len]
+        g = df.groupby(["repo", "key"], sort=True)["sha256"].min().reset_index()
         return pa.table(
             {
-                "src_repo": pa.array(uniq[iu].tolist(), pa.string()),
-                "dst_repo": pa.array(uniq[iv].tolist(), pa.string()),
-                "weight": pa.array(np.ones(len(iu))),
-                "reason": pa.array([reason] * len(iu), pa.string()),
-                "sha256": pa.array(
-                    np.minimum(usha[iu], usha[iv]).tolist(), pa.string()
-                ),
+                "repo": pa.array(g["repo"].tolist(), pa.string()),
+                "key": pa.array(g["key"].tolist(), pa.string()),
+                "sha256": pa.array(g["sha256"].tolist(), pa.string()),
             }
         )
 
-    pairs = keys.groupby("key").map_groups(_pairs, batch_format="pyarrow")
-    # heavy-key audit: count the dropped keys (small aggregate, not silent).
-    # Counts DISTINCT repos per key (a key listed twice by one repo is not heavy).
-    distinct = keys.groupby(["key", "repo"]).count()
-    counts = distinct.groupby("key").count()
-    heavy = counts.map_batches(
-        lambda t: pa.table(
-            {"heavy": [pc.sum(pc.greater(t.column("count()"), cap)).as_py() or 0]}
-        ),
-        batch_format="pyarrow",
-    ).sum("heavy")
-    return pairs, int(heavy or 0)
+    return files.map_batches(_tok, batch_format="pyarrow")
 
 
 def _empty_pairs() -> pa.Table:
     return pa.table(
         {
-            "src_repo": pa.array([], pa.string()),
-            "dst_repo": pa.array([], pa.string()),
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
             "weight": pa.array([], pa.float64()),
             "reason": pa.array([], pa.string()),
             "sha256": pa.array([], pa.string()),
@@ -191,41 +183,166 @@ def _empty_pairs() -> pa.Table:
     )
 
 
-def token_keys(files: rd.Dataset, min_len: int = 1) -> rd.Dataset:
-    """Distinct (repo, key=token, sha256=min) rows from whitespace-split
-    content tokens — the shared-KEY derivation generalized from paths to
-    arbitrary keys (used by the driver-checked shared-token query).
+def shared_key_edges(
+    keys: rd.Dataset,
+    names_ref,
+    cap: int = 50,
+    reason: str = "shared_path",
+) -> tuple[rd.Dataset, int]:
+    """Vid pairs sharing a key, with the heavy-key cap.
 
-    The per-batch pandas explode pre-distincts (repo, token) so the
-    shuffle moves one row per (repo, token) per batch, not per token
-    occurrence."""
+    Keys shared by more than ``cap`` distinct repos are dropped and
+    counted (returned, never silent): a key shared by k repos emits k²
+    pairs, so one pathological key (a README in every repo) would
+    dominate the whole shuffle (SURVEY.md §4.3 "cap + log").
 
-    def _tok(batch: pa.Table) -> pa.Table:
-        df = batch.select(["repo", "content", "sha256"]).to_pandas()
-        df["key"] = df["content"].str.split(" ")
-        df = df.drop(columns=["content"]).explode("key")
-        df = df[df["key"].str.len() >= min_len]
-        g = (
-            df.groupby(["repo", "key"], sort=True)["sha256"].min().reset_index()
+    Dataflow: (key, repo, sha) → int64 (key_hash, repo_vid) inside
+    map_batches → distinct + per-key counts on int keys → broadcast the
+    (small) shareable-hash set → pair expansion ``groupby(key_hash).
+    map_groups`` over shareable keys only, sub-grouped by the actual key
+    string so hash collisions cannot merge two keys' pair sets.
+
+    Output: (src:int64, dst:int64, weight=1.0, reason, sha256 = min of
+    the pair's two per-repo min-hashes), canonical src < dst.
+    """
+
+    from .ops import hash_bucket_agg
+
+    def _to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "khash": pa.array(_str_hash(batch.column("key")), pa.int64()),
+                "key": batch.column("key"),
+                "rvid": pa.array(
+                    repo_lookup(names_ref, batch.column("repo")), pa.int64()
+                ),
+                "sha256": batch.column("sha256"),
+            }
         )
-        return pa.Table.from_pandas(g[["repo", "key", "sha256"]], preserve_index=False)
 
-    toks = files.map_batches(_tok, batch_format="pyarrow")
-    # global distinct across batches (a repo's tokens can span batches)
-    return (
-        toks.groupby(["repo", "key"])
-        .min("sha256")
-        .rename_columns({"min(sha256)": "sha256"})
+    keyed = keys.map_batches(_to_int, batch_format="pyarrow")
+
+    def _bucket(grp: pa.Table) -> pa.Table:
+        # every occurrence of a key is in this bucket: distinct, count,
+        # cap and pair-expand locally (vectorized; Python loop only over
+        # the shareable keys of this bucket)
+        df = grp.to_pandas()
+        d = (
+            df.groupby(["khash", "key", "rvid"], sort=True)["sha256"]
+            .min()
+            .reset_index()
+        )
+        sizes = d.groupby(["khash", "key"], sort=True)["rvid"].transform("size")
+        n_heavy_local = int(
+            (d[sizes > cap].groupby(["khash", "key"]).size()).shape[0]
+        )
+        share = d[(sizes >= 2) & (sizes <= cap)]
+        out_s, out_d, out_sha = [], [], []
+        for _, sub in share.groupby(["khash", "key"], sort=True):
+            rv = sub["rvid"].to_numpy()
+            sh = sub["sha256"].to_numpy()
+            k = len(rv)
+            iu, iv = np.triu_indices(k, 1)
+            out_s.append(rv[iu])
+            out_d.append(rv[iv])
+            out_sha.append(np.minimum(sh[iu], sh[iv]))
+        s = np.concatenate(out_s) if out_s else np.zeros(0, np.int64)
+        dd = np.concatenate(out_d) if out_d else np.zeros(0, np.int64)
+        sha = np.concatenate(out_sha) if out_sha else np.zeros(0, object)
+        # heavy-count marker row (always emitted → stable schema)
+        return pa.table(
+            {
+                "src": pa.array(np.r_[s, [-1]], pa.int64()),
+                "dst": pa.array(np.r_[dd, [-1]], pa.int64()),
+                "weight": pa.array(np.r_[np.ones(len(s)), [float(n_heavy_local)]]),
+                "reason": pa.array([reason] * len(s) + ["__heavy__"], pa.string()),
+                "sha256": pa.array(sha.tolist() + [""], pa.string()),
+            }
+        )
+
+    out = hash_bucket_agg(
+        keyed, lambda b: np.asarray(batch_khash(b)), _bucket
+    ).materialize()
+    n_heavy = int(
+        out.map_batches(
+            lambda t: t.filter(pc.equal(t.column("reason"), "__heavy__")),
+            batch_format="pyarrow",
+        ).sum("weight")
+        or 0
     )
+    pairs = out.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("reason"), "__heavy__")),
+        batch_format="pyarrow",
+    )
+    return pairs, n_heavy
+
+
+def batch_khash(batch: pa.Table) -> np.ndarray:
+    from .util import np_col
+
+    return np_col(batch, "khash").astype(np.int64)
 
 
 # ---------------------------------------------------- import references
 
 
+def prepare_files(files: rd.Dataset) -> rd.Dataset:
+    """One pass over the corpus: project away ``content`` after
+    extracting the import targets (list column).  Downstream consumers
+    (vertex map, shared keys, import edges) all read this slim table, so
+    the full-width corpus is scanned exactly once."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        s = batch.column("content").to_pandas()
+        matches = s.str.findall(IMPORT_RE)
+        return pa.table(
+            {
+                "repo": batch.column("repo"),
+                "path": batch.column("path"),
+                "sha256": batch.column("sha256"),
+                "imports": pa.array(matches.tolist(), pa.list_(pa.string())),
+            }
+        )
+
+    return files.map_batches(_prep, batch_format="pyarrow")
+
+
+def import_edges_prepped(prep: rd.Dataset, names_ref) -> rd.Dataset:
+    """(src, dst) vid pairs from the pre-extracted ``imports`` lists."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        lists = batch.column("imports")
+        counts = pc.list_value_length(lists).fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if counts.sum() == 0:
+            return _empty_pairs()
+        rep = np.repeat(np.arange(batch.num_rows), counts)
+        flat = lists.combine_chunks().flatten()
+        svid = repo_lookup(names_ref, batch.column("repo"))[rep]
+        sha = np.asarray(batch.column("sha256").to_pylist(), dtype=object)[rep]
+        tvid = repo_lookup(names_ref, flat)
+        keep = (tvid >= 0) & (svid >= 0) & (svid != tvid)
+        svid, tvid, sha = svid[keep], tvid[keep], sha[keep]
+        lo = np.minimum(svid, tvid)
+        hi = np.maximum(svid, tvid)
+        return pa.table(
+            {
+                "src": pa.array(lo, pa.int64()),
+                "dst": pa.array(hi, pa.int64()),
+                "weight": pa.array(np.ones(len(lo))),
+                "reason": pa.array(["import_ref"] * len(lo), pa.string()),
+                "sha256": pa.array(sha.tolist(), pa.string()),
+            }
+        )
+
+    return prep.map_batches(_explode, batch_format="pyarrow")
+
+
 def import_edges(files: rd.Dataset, names_ref) -> rd.Dataset:
-    """(src_repo, dst_repo) for each ``import X`` line whose target X is a
-    known repo name; sha256 = hash of the importing file's content.
-    Canonicalized to src_repo < dst_repo (undirected edge table)."""
+    """(src, dst) vid pairs for each ``import X`` line whose target X is
+    a known repo name; sha256 = hash of the importing file's content.
+    Canonicalized to src < dst (undirected edge table)."""
 
     def _extract(batch: pa.Table) -> pa.Table:
         s = batch.column("content").to_pandas()
@@ -234,20 +351,18 @@ def import_edges(files: rd.Dataset, names_ref) -> rd.Dataset:
         if counts.sum() == 0:
             return _empty_pairs()
         rep = np.repeat(np.arange(len(s)), counts)
-        targets = np.array(
-            [t for lst in matches for t in lst], dtype=object
-        )
-        src = np.asarray(batch.column("repo").to_pylist(), dtype=object)[rep]
+        targets = np.array([t for lst in matches for t in lst], dtype=object)
+        svid = repo_lookup(names_ref, batch.column("repo"))[rep]
         sha = np.asarray(batch.column("sha256").to_pylist(), dtype=object)[rep]
         tvid = repo_lookup(names_ref, pa.array(targets.tolist(), pa.string()))
-        keep = (tvid >= 0) & (src != targets)
-        src, dstr, sha = src[keep], targets[keep], sha[keep]
-        lo = np.minimum(src, dstr)
-        hi = np.maximum(src, dstr)
+        keep = (tvid >= 0) & (svid >= 0) & (svid != tvid)
+        svid, tvid, sha = svid[keep], tvid[keep], sha[keep]
+        lo = np.minimum(svid, tvid)
+        hi = np.maximum(svid, tvid)
         return pa.table(
             {
-                "src_repo": pa.array(lo.tolist(), pa.string()),
-                "dst_repo": pa.array(hi.tolist(), pa.string()),
+                "src": pa.array(lo, pa.int64()),
+                "dst": pa.array(hi, pa.int64()),
                 "weight": pa.array(np.ones(len(lo))),
                 "reason": pa.array(["import_ref"] * len(lo), pa.string()),
                 "sha256": pa.array(sha.tolist(), pa.string()),
@@ -260,37 +375,24 @@ def import_edges(files: rd.Dataset, names_ref) -> rd.Dataset:
 # ------------------------------------------------------------- dedup
 
 
-def dedup_edges(pairs: rd.Dataset) -> rd.Dataset:
-    """Merge duplicate (src_repo, dst_repo) pairs: weight=Σ, sha256=min,
-    reason=min (deterministic representatives).  Pre-combines inside
-    map_batches before the groupby so the shuffle moves partials, not
-    every raw pair (SURVEY.md §2.4 R5)."""
+def dedup_edges_vid(pairs: rd.Dataset) -> rd.Dataset:
+    """Merge duplicate (src, dst) vid pairs: weight=Σ, sha256=min,
+    reason=min (deterministic representatives).  Bucketed shuffle on a
+    pair hash + vectorized pandas aggregation per bucket — see
+    ops.grouped_pandas_agg (SURVEY.md §2.4 R5)."""
+    from .ops import grouped_pandas_agg
+    from .util import np_col
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = (
-            df.groupby(["src_repo", "dst_repo"], sort=True)
-            .agg(weight=("weight", "sum"), reason=("reason", "min"), sha256=("sha256", "min"))
-            .reset_index()
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    partial = pairs.map_batches(_partial, batch_format="pyarrow")
-    final = partial.groupby(["src_repo", "dst_repo"]).map_groups(
-        _merge_group, batch_format="pyarrow"
-    )
-    return final
-
-
-def _merge_group(grp: pa.Table) -> pa.Table:
-    return pa.table(
+    return grouped_pandas_agg(
+        pairs,
+        ["src", "dst"],
         {
-            "src_repo": grp.column("src_repo").slice(0, 1),
-            "dst_repo": grp.column("dst_repo").slice(0, 1),
-            "weight": pa.array([pc.sum(grp.column("weight")).as_py()]),
-            "reason": pa.array([pc.min(grp.column("reason")).as_py()], pa.string()),
-            "sha256": pa.array([pc.min(grp.column("sha256")).as_py()], pa.string()),
-        }
+            "weight": ("weight", "sum"),
+            "reason": ("reason", "min"),
+            "sha256": ("sha256", "min"),
+        },
+        key_fn=lambda b: np_col(b, "src") * np.int64(0x9E3779B1)
+        + np_col(b, "dst"),
     )
 
 
@@ -300,30 +402,15 @@ def _merge_group(grp: pa.Table) -> pa.Table:
 def derive_edges(
     files: rd.Dataset, cap: int = 50
 ) -> tuple[rd.Dataset, rd.Dataset, np.ndarray, int]:
-    """Corpus(+sha256) → (edges_vid, vertices, repo_names, heavy_dropped).
+    """Corpus(+sha256) → (edges, vertices, repo_names, heavy_dropped).
 
-    ``edges_vid``: src:int64, dst:int64 (canonical src<dst), weight:
-    double, reason:string, sha256:string.
+    ``edges``: src:int64, dst:int64 (canonical src<dst, dense vids by
+    sorted repo name), weight:double, reason:string, sha256:string.
     """
-    names, vertices = build_vertices(files)
+    prep = prepare_files(files).materialize()
+    names, vertices = build_vertices(prep)
     names_ref = ray.put(names)
-    keys = file_keys(files)
-    shared, n_heavy = shared_key_edges(keys, cap=cap)
-    imports = import_edges(files, names_ref)
-    edges_repo = dedup_edges(shared.union(imports))
-
-    def _to_vid(batch: pa.Table) -> pa.Table:
-        s = repo_lookup(names_ref, batch.column("src_repo"))
-        d = repo_lookup(names_ref, batch.column("dst_repo"))
-        return pa.table(
-            {
-                "src": pa.array(s, pa.int64()),
-                "dst": pa.array(d, pa.int64()),
-                "weight": batch.column("weight"),
-                "reason": batch.column("reason"),
-                "sha256": batch.column("sha256"),
-            }
-        )
-
-    edges = edges_repo.map_batches(_to_vid, batch_format="pyarrow")
+    shared, n_heavy = shared_key_edges(file_keys(prep), names_ref, cap=cap)
+    imports = import_edges_prepped(prep, names_ref)
+    edges = dedup_edges_vid(shared.union(imports))
     return edges, vertices, names, n_heavy

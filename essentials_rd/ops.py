@@ -1,0 +1,162 @@
+"""Generic distributed operators built on Ray Data primitives.
+
+These are the engine's relational/shuffle building blocks (SURVEY.md
+§2.4).  The central trick, shared with the superstep engine: instead of
+letting ``groupby(fine_key).aggregate`` shuffle + reduce row-wise over
+millions of distinct keys, stamp a coarse ``bucket = hash(key) % P``
+column, shuffle once on P int buckets, and run the real aggregation
+VECTORIZED (pandas/numpy C kernels) inside each bucket's ``map_groups``
+call.  Because the bucket is a pure function of the key, every
+occurrence of a key lands in the same bucket and per-bucket results are
+globally correct.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .util import hash64, np_col
+
+DEFAULT_BUCKETS = 64
+
+
+def hash_bucket_agg(
+    ds: rd.Dataset,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    group_fn: Callable[[pa.Table], pa.Table],
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """One coarse shuffle + vectorized per-bucket aggregation.
+
+    ``key_fn(batch) -> int64 array`` (the grouping key, pre-hash);
+    ``group_fn(bucket_table) -> table`` must aggregate ALL keys present
+    in the bucket (they are complete: same key → same bucket).
+    """
+
+    def _stamp(batch: pa.Table) -> pa.Table:
+        b = (hash64(key_fn(batch)) % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("__bucket__", pa.array(b, pa.int32()))
+
+    def _run(grp: pa.Table) -> pa.Table:
+        return group_fn(grp.drop_columns(["__bucket__"]))
+
+    return (
+        ds.map_batches(_stamp, batch_format="pyarrow")
+        .groupby("__bucket__")
+        .map_groups(_run, batch_format="pyarrow")
+    )
+
+
+def grouped_pandas_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    key_fn: Callable[[pa.Table], np.ndarray] | None = None,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Bucketed group-aggregate with pandas named aggregations.
+
+    ``aggs``: out_col → (in_col, "sum"|"min"|"max"|"count"|...).
+    Defaults to hashing the first key column (must be numeric unless
+    ``key_fn`` given).
+    """
+
+    if key_fn is None:
+        key_fn = lambda batch: np_col(batch, keys[0]).astype(np.int64)
+
+    def _agg(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        out = df.groupby(keys, sort=True).agg(
+            **{o: pd.NamedAgg(column=c, aggfunc=f) for o, (c, f) in aggs.items()}
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata()
+
+    return hash_bucket_agg(ds, key_fn, _agg, num_buckets)
+
+
+def neighbor_reduce(
+    msgs: rd.Dataset,
+    key: str,
+    value: str,
+    how: str = "sum",
+    hot_keys: np.ndarray | None = None,
+    num_salts: int = 8,
+) -> rd.Dataset:
+    """Standalone combine-by-destination with EXPLICIT hub salting — the
+    reference's ``neighborreduce`` segmented reduction (gunrock/
+    essentials ``framework/operators/neighborreduce/neighborreduce.hxx``
+    [U — snapshot absent, SURVEY.md §0]) as a two-stage shuffle.
+
+    Rows whose ``key`` is in ``hot_keys`` (e.g. vertices above the
+    99.9th in-degree percentile) are stamped ``salt = hash(row) %
+    num_salts``; stage 1 combines on (key, salt) — spreading each hub's
+    message stream over ``num_salts`` reducers — and stage 2 combines
+    the ≤ num_salts partials per hub.  Cold keys take a single stage.
+    (The superstep engine gets the same effect structurally from its
+    per-source-partition pre-combine; this operator is the explicit
+    form for free-standing message datasets, and the salting-equivalence
+    test pins that both give identical results.)
+    """
+    assert how in ("sum", "min", "max", "count")
+    hot = np.sort(hot_keys) if hot_keys is not None else np.zeros(0, np.int64)
+
+    def _stage1_key(batch: pa.Table) -> np.ndarray:
+        k = np_col(batch, key).astype(np.int64)
+        return k
+
+    def _stamp_salt(batch: pa.Table) -> pa.Table:
+        k = np_col(batch, key).astype(np.int64)
+        idx = np.searchsorted(hot, k)
+        is_hot = (idx < len(hot)) & (hot[np.minimum(idx, len(hot) - 1)] == k)
+        row_id = np.arange(batch.num_rows, dtype=np.int64)
+        salt = np.where(is_hot, (hash64(k * 1315423911 + row_id) % np.uint64(num_salts)).astype(np.int64), 0)
+        return batch.append_column("__salt__", pa.array(salt, pa.int64()))
+
+    def _agg(keys_: list[str]):
+        def _fn(grp: pa.Table) -> pa.Table:
+            df = grp.to_pandas()
+            out = df.groupby(keys_, sort=True)[value].agg(how).reset_index()
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata()
+
+        return _fn
+
+    salted = msgs.map_batches(_stamp_salt, batch_format="pyarrow")
+    stage1 = hash_bucket_agg(
+        salted,
+        lambda b: np_col(b, key).astype(np.int64) * np.int64(num_salts)
+        + np_col(b, "__salt__"),
+        _agg([key, "__salt__"]),
+    )
+    stage2 = hash_bucket_agg(
+        stage1,
+        lambda b: np_col(b, key).astype(np.int64),
+        lambda grp: _agg([key])(grp.drop_columns(["__salt__"])),
+    )
+    return stage2
+
+
+def top_k(ds: rd.Dataset, by: str, k: int, descending: bool = True) -> pa.Table:
+    """Distributed top-k: per-block partial top-k inside map_batches,
+    then a driver-side merge of ≤ k·num_blocks rows (SURVEY.md §2.4 R6)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = np_col(batch, by)
+        if len(v) <= k:
+            return batch
+        if descending:
+            idx = np.argpartition(-v, k)[:k]
+        else:
+            idx = np.argpartition(v, k)[:k]
+        return batch.take(pa.array(np.sort(idx)))
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    t = pa.Table.from_pylist(parts)
+    order = pa.compute.sort_indices(
+        t, sort_keys=[(by, "descending" if descending else "ascending")]
+    )
+    return t.take(order[:k])
