@@ -1,0 +1,136 @@
+"""CLI entry point — `python -m essentials_rd.cli` (SURVEY.md §3.2).
+
+On a real cluster this is what `ray job submit -- python -m
+essentials_rd.cli ...` runs; in the sandbox it is a plain process that
+owns its own `ray.init(address="local")`.  Parse → ingest → derive →
+build → superstep loop (checkpointed) → write result Parquet + metrics.
+
+Resume: `--resume` picks up from the last _SUCCESS superstep in
+--ckpt-dir, rebuilding CSR shards from the immutable edge checkpoint
+(SURVEY.md §3.3) — the kill-resume subprocess test drives exactly this
+path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="essentials_rd")
+    p.add_argument("--input", required=True, help="repo_files parquet file/dir")
+    p.add_argument("--algo", required=True, choices=["pr", "cc", "lp", "tc", "spmv"])
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--out", default=None, help="result parquet dir")
+    p.add_argument("--num-parts", type=int, default=16)
+    p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    p.add_argument("--alpha", type=float, default=0.85)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--max-iters", type=int, default=100)
+    p.add_argument("--cap", type=int, default=10_000, help="heavy shared-key cap")
+    p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--scatter-mode", default="tasks",
+                   choices=["tasks", "actors", "fused"])
+    p.add_argument("--resume", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from essentials_rd.algorithms import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        spmv,
+        triangle_counts,
+    )
+    from essentials_rd.checkpoint import CheckpointManager
+    from essentials_rd.derive import add_sha256, derive_edges, read_corpus
+    from essentials_rd.graph import build_graph, reload_graph
+
+    ckpt = CheckpointManager(args.ckpt_dir)
+    edges_dir = os.path.join(args.ckpt_dir, "edges")
+
+    if args.resume and os.path.isdir(edges_dir):
+        g = reload_graph(edges_dir, args.num_parts)
+        edges = None
+    else:
+        files = add_sha256(read_corpus(args.input))
+        edges, vertices, names, n_heavy = derive_edges(files, cap=args.cap)
+        edges = edges.materialize()
+        print(json.dumps({"event": "derived", "heavy_keys_dropped": n_heavy}),
+              flush=True)
+        g = build_graph(
+            edges.select_columns(["src", "dst"]),
+            args.ckpt_dir,
+            args.num_parts,
+            symmetrize=True,
+            weighted=False,
+        )
+
+    common = dict(ckpt=ckpt, checkpoint_every=args.checkpoint_every,
+                  resume=args.resume, scatter_mode=args.scatter_mode,
+                  max_iters=args.max_iters)
+
+    def log_step(k, lin):
+        print(json.dumps({"event": "superstep", "k": k,
+                          "changed": lin["changed"],
+                          "msg_count": lin["msg_count"],
+                          "wall_s": round(lin["wall_s"], 3)}), flush=True)
+
+    if args.algo == "pr":
+        res = pagerank(g, alpha=args.alpha, tol=args.tol, on_step_end=log_step,
+                       **common)
+        out_cols = ["value"]
+    elif args.algo == "cc":
+        res = connected_components(g, on_step_end=log_step, **common)
+        out_cols = ["label"]
+    elif args.algo == "lp":
+        res = label_propagation(g, on_step_end=log_step, **common)
+        out_cols = ["label"]
+    elif args.algo == "spmv":
+        res = spmv(g)
+        out_cols = ["x", "y"]
+    else:  # tc
+        if edges is None:
+            import ray.data as rd
+
+            edges = rd.read_parquet(edges_dir, columns=["src", "dst"])
+        total, per_v = triangle_counts(
+            edges.select_columns(["src", "dst"]),
+            os.path.join(args.ckpt_dir, "tc_work"), args.num_parts,
+        )
+        if args.out:
+            per_v.write_parquet(args.out)
+        print(json.dumps({"event": "done", "algo": "tc", "triangles": total}),
+              flush=True)
+        ray.shutdown()
+        return 0
+
+    if args.out:
+        res.state_dataset().select_columns(["vid"] + out_cols).write_parquet(args.out)
+    print(json.dumps({
+        "event": "done", "algo": args.algo, "supersteps": res.supersteps,
+        "converged": res.converged, "total_messages": res.total_messages,
+    }), flush=True)
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -111,31 +111,37 @@ def neighbor_reduce(
 
     def _stamp_salt(batch: pa.Table) -> pa.Table:
         k = np_col(batch, key).astype(np.int64)
-        idx = np.searchsorted(hot, k)
-        is_hot = (idx < len(hot)) & (hot[np.minimum(idx, len(hot) - 1)] == k)
+        if len(hot) == 0:
+            is_hot = np.zeros(len(k), dtype=bool)
+        else:
+            idx = np.searchsorted(hot, k)
+            is_hot = (idx < len(hot)) & (hot[np.minimum(idx, len(hot) - 1)] == k)
         row_id = np.arange(batch.num_rows, dtype=np.int64)
         salt = np.where(is_hot, (hash64(k * 1315423911 + row_id) % np.uint64(num_salts)).astype(np.int64), 0)
         return batch.append_column("__salt__", pa.array(salt, pa.int64()))
 
-    def _agg(keys_: list[str]):
+    def _agg(keys_: list[str], fn: str):
         def _fn(grp: pa.Table) -> pa.Table:
             df = grp.to_pandas()
-            out = df.groupby(keys_, sort=True)[value].agg(how).reset_index()
+            out = df.groupby(keys_, sort=True)[value].agg(fn).reset_index()
             return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata()
 
         return _fn
+
+    # partial counts re-combine by SUM, everything else by itself
+    how2 = "sum" if how == "count" else how
 
     salted = msgs.map_batches(_stamp_salt, batch_format="pyarrow")
     stage1 = hash_bucket_agg(
         salted,
         lambda b: np_col(b, key).astype(np.int64) * np.int64(num_salts)
         + np_col(b, "__salt__"),
-        _agg([key, "__salt__"]),
+        _agg([key, "__salt__"], how),
     )
     stage2 = hash_bucket_agg(
         stage1,
         lambda b: np_col(b, key).astype(np.int64),
-        lambda grp: _agg([key])(grp.drop_columns(["__salt__"])),
+        lambda grp: _agg([key], how2)(grp.drop_columns(["__salt__"])),
     )
     return stage2
 

@@ -1,0 +1,79 @@
+"""Kill-resume through the real CLI in subprocesses (BASELINE.json: "a
+killed `ray job submit` run resumes mid-iteration"): SIGKILL a running
+PageRank job mid-loop, resume in a fresh process, require the final
+state to equal an uninterrupted run exactly."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from essentials_rd.corpus import generate_corpus
+
+TIMEOUT = 240
+
+
+def _run_cli(args, **kw):
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    return subprocess.run(
+        [sys.executable, "-m", "essentials_rd.cli", *args],
+        capture_output=True, text=True, timeout=TIMEOUT, env=env, **kw
+    )
+
+
+@pytest.mark.slow
+def test_cli_kill_resume_pagerank(tmp_path):
+    corpus = tmp_path / "corpus"
+    generate_corpus(str(corpus), n_repos=150, seed=11, compute_expected=False)
+    inp = str(corpus / "repo_files.parquet")
+    common = ["--input", inp, "--algo", "pr", "--num-parts", "4",
+              "--num-cpus", "4", "--tol", "0", "--max-iters", "6",
+              "--cap", "50"]
+
+    # uninterrupted run
+    out_a = tmp_path / "out_a"
+    r = _run_cli([*common, "--ckpt-dir", str(tmp_path / "ck_a"), "--out", str(out_a)])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # killed run: SIGKILL once superstep 2 is checkpointed
+    ck_b = tmp_path / "ck_b"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "essentials_rd.cli", *common,
+         "--ckpt-dir", str(ck_b)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+    )
+    deadline = time.time() + TIMEOUT
+    killed = False
+    while time.time() < deadline:
+        if (ck_b / "step_00002._SUCCESS").exists():
+            proc.kill()
+            killed = True
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.2)
+    assert killed, "job finished before it could be killed — enlarge the corpus"
+    proc.wait(timeout=30)
+
+    # resume in a fresh process
+    out_b = tmp_path / "out_b"
+    r2 = _run_cli([*common, "--ckpt-dir", str(ck_b), "--out", str(out_b),
+                   "--resume"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    done = [json.loads(l) for l in r2.stdout.splitlines()
+            if l.startswith("{")][-1]
+    assert done["supersteps"] == 6
+
+    ta = pq.read_table(out_a).sort_by("vid")
+    tb = pq.read_table(out_b).sort_by("vid")
+    assert np.asarray(ta["vid"]).tolist() == np.asarray(tb["vid"]).tolist()
+    assert np.asarray(ta["value"]).tolist() == np.asarray(tb["value"]).tolist()

@@ -1,0 +1,86 @@
+"""Operator-level tests (SURVEY.md §2.4): bucketed aggregation,
+salting equivalence (salted == unsalted combine), distributed top-k."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from essentials_rd.ops import grouped_pandas_agg, hash_bucket_agg, neighbor_reduce, top_k
+from essentials_rd.util import np_col
+
+
+def _msgs(n=5000, keys=50, seed=3):
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, keys, n).astype(np.int64)
+    v = rng.random(n)
+    return pa.table({"dst": pa.array(k, pa.int64()), "msg": pa.array(v)}), k, v
+
+
+def test_grouped_pandas_agg_matches_numpy():
+    t, k, v = _msgs()
+    ds = rd.from_arrow(t)
+    out = grouped_pandas_agg(
+        ds, ["dst"], {"total": ("msg", "sum"), "n": ("msg", "count")}, num_buckets=7
+    ).take_all()
+    got = {r["dst"]: (r["total"], r["n"]) for r in out}
+    for key in np.unique(k):
+        m = k == key
+        assert got[key][1] == m.sum()
+        assert abs(got[key][0] - v[m].sum()) < 1e-9
+
+
+@pytest.mark.parametrize("how", ["sum", "min", "max", "count"])
+def test_neighbor_reduce_salted_equals_unsalted(how):
+    t, k, v = _msgs(n=8000, keys=30)
+    ds = rd.from_arrow(t)
+    # hub = the most frequent keys
+    uniq, counts = np.unique(k, return_counts=True)
+    hubs = uniq[np.argsort(-counts)[:3]]
+    plain = neighbor_reduce(rd.from_arrow(t), "dst", "msg", how=how).take_all()
+    salted = neighbor_reduce(
+        rd.from_arrow(t), "dst", "msg", how=how, hot_keys=hubs, num_salts=4
+    ).take_all()
+    p = {r["dst"]: r["msg"] for r in plain}
+    s = {r["dst"]: r["msg"] for r in salted}
+    assert set(p) == set(s)
+    for key in p:
+        assert abs(p[key] - s[key]) < 1e-9, (key, p[key], s[key])
+
+
+def test_neighbor_reduce_matches_numpy():
+    t, k, v = _msgs(n=4000, keys=20, seed=9)
+    out = neighbor_reduce(rd.from_arrow(t), "dst", "msg", how="sum").take_all()
+    got = {r["dst"]: r["msg"] for r in out}
+    for key in np.unique(k):
+        assert abs(got[key] - v[k == key].sum()) < 1e-9
+
+
+def test_top_k():
+    rng = np.random.default_rng(7)
+    v = rng.permutation(10_000).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"vid": pa.array(np.arange(len(v)), pa.int64()),
+                  "score": pa.array(v, pa.int64())})
+    ).repartition(8)
+    t = top_k(ds, "score", 10)
+    assert np_col(t, "score").tolist() == list(range(9999, 9989, -1))
+
+
+def test_hash_bucket_agg_key_completeness():
+    # every key must appear in exactly one bucket's group_fn call
+    t, k, _ = _msgs(n=2000, keys=40, seed=5)
+
+    def count_keys(grp: pa.Table) -> pa.Table:
+        u = np.unique(np_col(grp, "dst"))
+        return pa.table({"dst": pa.array(u, pa.int64()),
+                         "seen": pa.array(np.ones(len(u), np.int64), pa.int64())})
+
+    out = hash_bucket_agg(
+        rd.from_arrow(t), lambda b: np_col(b, "dst"), count_keys, num_buckets=5
+    ).take_all()
+    seen = {}
+    for r in out:
+        seen[r["dst"]] = seen.get(r["dst"], 0) + r["seen"]
+    assert set(seen) == set(np.unique(k).tolist())
+    assert all(v == 1 for v in seen.values())
