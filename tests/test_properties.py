@@ -1,0 +1,104 @@
+"""Property-based tests (SURVEY.md §5.2 item 4, hypothesis): PR sums to
+1, CC labels are fixpoint-stable and component-minimal, TC invariant
+under edge permutation — on the NumPy validators (fast), plus a bounded
+number of engine-in-the-loop examples (Ray runs are expensive)."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from essentials_rd.reference_impl import cc_ref, pagerank_ref, triangles_ref
+
+EDGE = st.tuples(st.integers(0, 23), st.integers(0, 23))
+
+
+@st.composite
+def edge_lists(draw, max_edges=60):
+    edges = draw(st.lists(EDGE, min_size=0, max_size=max_edges))
+    e = np.array([(a, b) for a, b in edges if a != b], dtype=np.int64).reshape(-1, 2)
+    return e
+
+
+@given(edge_lists())
+@settings(max_examples=60, deadline=None)
+def test_pagerank_sums_to_one(e):
+    vids = np.unique(np.r_[e.ravel(), [0]])
+    p = pagerank_ref(vids, e[:, 0], e[:, 1], tol=1e-12, max_iters=500)
+    assert abs(p.sum() - 1.0) < 1e-9
+    assert (p > 0).all()
+
+
+@given(edge_lists())
+@settings(max_examples=60, deadline=None)
+def test_cc_labels_minimal_and_consistent(e):
+    vids = np.unique(np.r_[e.ravel(), [0, 1]])
+    labels = cc_ref(vids, e[:, 0], e[:, 1])
+    lab = dict(zip(vids.tolist(), labels.tolist()))
+    # every edge joins equal labels; every label is the min vid of its class
+    for a, b in e.tolist():
+        assert lab[a] == lab[b]
+    for l in set(lab.values()):
+        members = [v for v, x in lab.items() if x == l]
+        assert min(members) == l
+
+
+@given(edge_lists(), st.randoms(use_true_random=False))
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_triangles_invariant_under_permutation(e, rnd):
+    if len(e) == 0:
+        return
+    vids = np.unique(e.ravel())
+    t1, _ = triangles_ref(vids, e[:, 0], e[:, 1])
+    perm = list(range(len(e)))
+    rnd.shuffle(perm)
+    e2 = e[perm]
+    # also flip random edge directions (undirected invariance)
+    flip = np.array([rnd.random() < 0.5 for _ in range(len(e2))])
+    s = np.where(flip, e2[:, 1], e2[:, 0])
+    d = np.where(flip, e2[:, 0], e2[:, 1])
+    t2, _ = triangles_ref(vids, s, d)
+    assert t1 == t2
+
+
+@pytest.mark.slow
+def test_engine_matches_reference_on_random_graphs(tmp_path):
+    """Engine vs validators on a handful of random graphs (bounded: each
+    engine run costs seconds)."""
+    from essentials_rd.algorithms import connected_components, pagerank
+    from essentials_rd.algorithms.cc import components_table
+    from essentials_rd.algorithms.pagerank import pagerank_table
+
+    from .conftest import small_graph
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 40))
+        m = int(rng.integers(0, 4 * n))
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        # engine input contract: canonical deduped undirected pairs
+        # (what derive_edges produces)
+        pairs0 = np.unique(np.minimum(src, dst) * np.int64(n) + np.maximum(src, dst))
+        src, dst = pairs0 // n, pairs0 % n
+        vids = np.arange(n, dtype=np.int64)
+        g = small_graph(tmp_path / f"g{seed}", src, dst, P=3, vertex_ids=vids,
+                        symmetrize=True)
+        res = pagerank(g, tol=0.0, max_iters=4, checkpoint_every=0,
+                       scatter_mode="fused")
+        t = pagerank_table(res)
+        # reference on the symmetrized simple graph
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        pairs = np.unique(lo * np.int64(n) + hi)
+        uu, vv = pairs // n, pairs % n
+        s2 = np.r_[uu, vv]
+        d2 = np.r_[vv, uu]
+        p_ref = pagerank_ref(vids, s2, d2, max_iters=4, tol=0.0)
+        assert np.allclose(np.asarray(t["pagerank"]), p_ref, atol=1e-12)
+
+        res_cc = connected_components(g, checkpoint_every=0, scatter_mode="fused")
+        tcc = components_table(res_cc)
+        assert np.asarray(tcc["label"]).tolist() == cc_ref(vids, s2, d2).tolist()
