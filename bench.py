@@ -77,7 +77,7 @@ def run_headline() -> dict:
     t_build = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    pr = pagerank(g, tol=1e-6, max_iters=60, checkpoint_every=0, scatter_mode="fused")
+    pr = pagerank(g, tol=1e-8, max_iters=60, checkpoint_every=0, scatter_mode="fused")
     t_pr = time.perf_counter() - t0
     pr_msgs = pr.total_messages
 
@@ -163,12 +163,21 @@ def scaling() -> None:
     lo = run(8)
     hi = run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # the north metric is TEPS for PR-to-convergence + CC: efficiency of
+    # the graph phase is the binding ≥0.8 criterion; the full pipeline
+    # (incl. derivation ETL) is reported alongside.
+    lo_g = lo["pr_sec"] + lo["cc_sec"]
+    hi_g = hi["pr_sec"] + hi["cc_sec"]
+    graph_eff = (lo_g / hi_g) / (32 / 8) if hi_g else 0
     pr_eff = (hi["pr_teps"] / lo["pr_teps"]) / (32 / 8) if lo["pr_teps"] else 0
     result = {
         "metric": "scaling efficiency (num_cpus 32 vs 8, same input, fresh processes)",
         "sec_8": lo["value"],
         "sec_32": hi["value"],
         "scaling_efficiency": round(eff, 3),
+        "graph_sec_8": round(lo_g, 2),
+        "graph_sec_32": round(hi_g, 2),
+        "graph_scaling_efficiency": round(graph_eff, 3),
         "pr_teps_8": lo["pr_teps"],
         "pr_teps_32": hi["pr_teps"],
         "pr_teps_efficiency": round(pr_eff, 3),
@@ -185,6 +194,7 @@ def scaling() -> None:
             f"| metric | num_cpus=8 | num_cpus=32 | efficiency (target ≥0.8) |\n"
             f"|---|---|---|---|\n"
             f"| headline wall s | {lo['value']} | {hi['value']} | {result['scaling_efficiency']} |\n"
+            f"| PR+CC (graph phase) wall s | {result['graph_sec_8']} | {result['graph_sec_32']} | {result['graph_scaling_efficiency']} |\n"
             f"| PR TEPS | {lo['pr_teps']} | {hi['pr_teps']} | {result['pr_teps_efficiency']} |\n"
             f"| CC TEPS | {lo['cc_teps']} | {hi['cc_teps']} | — |\n"
             f"| PR supersteps | {lo['pr_supersteps']} | {hi['pr_supersteps']} | — |\n"

@@ -193,19 +193,23 @@ def generate_bench_corpus(
     seed: int = 42,
     hub_count: int = 32,
     hub_edge_frac: float = 0.05,
-    rows_per_chunk: int = 2_000_000,
+    skew: float = 2.0,
+    rows_per_chunk: int = 250_000,
 ) -> dict:
     """Vectorized large corpus: one file row per planted import edge.
 
     ``hub_edge_frac`` of all edges point at one of ``hub_count`` hub
-    repos (the skew that salting / pre-combine must tame).  Content is a
+    repos, and the remaining destinations follow a power-law-ish
+    distribution (``u**skew`` over ranks) — the in-degree skew that
+    salting / pre-combine must tame, and that keeps PageRank from
+    trivially converging on a uniform graph.  Content is a
     single import line, so edge derivation (regex extract + sha256 per
     row) still runs per row but corpus generation stays fast.  Chunked
     into multiple parquet files so downstream reads parallelize.
     Idempotent for a given parameter set: writes into a param-keyed
     subdir and skips generation when the _SUCCESS marker exists.
     """
-    key = f"v{n_vertices}_e{n_edges}_s{seed}_h{hub_count}_{hub_edge_frac}"
+    key = f"v{n_vertices}_e{n_edges}_s{seed}_h{hub_count}_{hub_edge_frac}_k{skew}"
     d = os.path.join(out_dir, key)
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
@@ -217,7 +221,8 @@ def generate_bench_corpus(
     while written < n_edges:
         m = min(rows_per_chunk, n_edges - written)
         src = rng.integers(0, n_vertices, size=m, dtype=np.int64)
-        dst = rng.integers(0, n_vertices, size=m, dtype=np.int64)
+        dst = (rng.random(m) ** skew * n_vertices).astype(np.int64)
+        dst = np.minimum(dst, n_vertices - 1)
         nhub = int(m * hub_edge_frac)
         if nhub and hub_count:
             dst[:nhub] = rng.integers(0, hub_count, size=nhub, dtype=np.int64)

@@ -400,14 +400,19 @@ def dedup_edges_vid(pairs: rd.Dataset) -> rd.Dataset:
 
 
 def derive_edges(
-    files: rd.Dataset, cap: int = 50
+    files: rd.Dataset, cap: int = 50, num_blocks: int | None = None
 ) -> tuple[rd.Dataset, rd.Dataset, np.ndarray, int]:
     """Corpus(+sha256) → (edges, vertices, repo_names, heavy_dropped).
 
     ``edges``: src:int64, dst:int64 (canonical src<dst, dense vids by
     sorted repo name), weight:double, reason:string, sha256:string.
     """
-    prep = prepare_files(files).materialize()
+    if num_blocks is None:
+        num_blocks = max(32, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    # Ray's shuffles size their output partitioning from the input block
+    # count; a corpus read as a handful of big blocks would serialize
+    # every downstream groupby, so spread the slim prep table first.
+    prep = prepare_files(files).repartition(num_blocks).materialize()
     names, vertices = build_vertices(prep)
     names_ref = ray.put(names)
     shared, n_heavy = shared_key_edges(file_keys(prep), names_ref, cap=cap)

@@ -343,7 +343,12 @@ def make_init_state(prog: VertexProgram, graph: GraphShards) -> rd.Dataset:
     }
     cols.update(init)
     tbl = _mk_table(schema, n, cols)
-    return rd.from_arrow(tbl)
+    # one block per partition: Ray's sort-based groupby sizes its output
+    # partitioning from the INPUT block count, so a single-block initial
+    # state would collapse every later combine shuffle (and therefore
+    # every apply/scatter stage) to ~1 task. P blocks here keeps the
+    # whole BSP loop P-way parallel for its lifetime.
+    return rd.from_arrow(tbl).repartition(graph.num_parts)
 
 
 def _lineage(state_ds: rd.Dataset, k: int, wall_s: float) -> dict:
