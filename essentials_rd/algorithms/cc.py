@@ -34,6 +34,56 @@ class ConnectedComponentsProgram:
     state_cols = {"label": pa.int64(), "active": pa.int8()}
     msg_cols = {"mlabel": pa.int64()}
 
+    def __init__(self, pointer_jump_every: int = 0, num_partitions: int = 8):
+        """``pointer_jump_every=j`` > 0 enables the Shiloach-Vishkin
+        shortcut every j supersteps: ``label(v) <- label(label(v))`` via a
+        distributed self-join of the state on label->vid (SURVEY.md SS2.2
+        A2) -- halves the superstep count on long chains.  The shortcut
+        only lowers labels toward the (idempotent) min-label fixpoint, so
+        results are identical with or without it."""
+        self.pointer_jump_every = pointer_jump_every
+        self.num_partitions = num_partitions
+
+    def transform_state(self, ds, k: int):
+        if not self.pointer_jump_every or k % self.pointer_jump_every:
+            return ds
+        import pyarrow.compute as pc
+
+        from ..superstep import full_schema
+
+        schema = full_schema(self)
+
+        def _only(eq):
+            def _f(t: pa.Table) -> pa.Table:
+                op = pc.equal if eq else pc.not_equal
+                return t.filter(op(t.column("kind"), 0))
+
+            return _f
+
+        state = ds.map_batches(_only(True), batch_format="pyarrow")
+        rest = ds.map_batches(_only(False), batch_format="pyarrow")
+        labels = state.map_batches(
+            lambda t: pa.table({"jvid": t.column("vid"),
+                                "jlabel": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        joined = state.join(
+            labels,
+            join_type="inner",  # every label IS a vid: inner is total
+            num_partitions=self.num_partitions,
+            on=("label",),
+            right_on=("jvid",),
+        )
+
+        def _shortcut(t: pa.Table) -> pa.Table:
+            arrays = []
+            for f in schema:
+                col = t.column("jlabel") if f.name == "label" else t.column(f.name)
+                arrays.append(col.cast(f.type))
+            return pa.Table.from_arrays(arrays, schema=schema)
+
+        return joined.map_batches(_shortcut, batch_format="pyarrow").union(rest)
+
     def init_state(self, vids, outdeg):
         return {"label": vids.copy(), "active": np.ones(len(vids), np.int8)}
 
@@ -78,6 +128,7 @@ def connected_components(
     graph: GraphShards,
     *,
     max_iters: int = 200,
+    pointer_jump_every: int = 0,
     ckpt: CheckpointManager | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
@@ -85,7 +136,10 @@ def connected_components(
     **kwargs,
 ) -> RunResult:
     return run_superstep_loop(
-        ConnectedComponentsProgram(),
+        ConnectedComponentsProgram(
+            pointer_jump_every=pointer_jump_every,
+            num_partitions=graph.num_parts,
+        ),
         graph,
         ckpt=ckpt,
         max_iters=max_iters,

@@ -1,0 +1,71 @@
+"""Extra sources: Matrix Market reader (the reference's only input
+format — gunrock/essentials ``include/gunrock/io/matrix_market.hxx``
+[U — snapshot absent, SURVEY.md §0 / §2.3 S1]).
+
+Kept deliberately small: the corpus→edge derivation (derive.py) is this
+engine's primary ingest; ``read_mtx`` exists so classic graphs
+(chesapeake.mtx-style fixtures) can be cross-checked directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def read_mtx(path: str) -> tuple[rd.Dataset, dict]:
+    """Parse a MatrixMarket coordinate file into an edge Dataset
+    (src:int64, dst:int64, weight:double; 0-based ids).
+
+    Supports ``%%MatrixMarket matrix coordinate (real|integer|pattern)
+    (general|symmetric)``.  ``symmetric`` inputs are returned as the
+    canonical lower-triangle pair list (src<dst) — exactly the shape
+    ``build_graph(symmetrize=True)`` expects.  Returns (edges, meta).
+
+    The file header/parse runs on the driver (MatrixMarket is a
+    line-oriented text format with a header — not splittable without
+    scanning); for big graphs use Parquet edge tables instead.
+    """
+    with open(path) as f:
+        header = f.readline().strip().lower()
+        if not header.startswith("%%matrixmarket matrix coordinate"):
+            raise ValueError(f"unsupported MatrixMarket header: {header}")
+        parts = header.split()
+        field = parts[3] if len(parts) > 3 else "real"
+        sym = parts[4] if len(parts) > 4 else "general"
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        n_rows, n_cols, nnz = (int(x) for x in line.split())
+        data = np.loadtxt(f, ndmin=2) if field != "pattern" else np.loadtxt(
+            f, ndmin=2, usecols=(0, 1)
+        )
+    if data.size == 0:
+        src = np.zeros(0, np.int64)
+        dst = np.zeros(0, np.int64)
+        w = np.zeros(0, np.float64)
+    else:
+        src = data[:, 0].astype(np.int64) - 1
+        dst = data[:, 1].astype(np.int64) - 1
+        w = (
+            data[:, 2].astype(np.float64)
+            if field != "pattern" and data.shape[1] > 2
+            else np.ones(len(src))
+        )
+    if sym == "symmetric":
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        keep = lo != hi
+        src, dst, w = lo[keep], hi[keep], w[keep]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+    )
+    meta = {"n_rows": n_rows, "n_cols": n_cols, "nnz": nnz,
+            "field": field, "symmetry": sym}
+    return edges, meta

@@ -279,9 +279,33 @@ def _make_apply(prog: VertexProgram, schema_ref, fused: tuple | None = None):
             msg_tbl = _scatter_batch(prog, refs, P, schema, out)
             if msg_tbl.num_rows:
                 out = pa.concat_tables([out, msg_tbl])
+        # per-partition lineage metrics ride along as one kind=3 row —
+        # the engine extracts them with a map-only scan instead of a
+        # second groupby pass per superstep (incoming kind=3 rows from
+        # the previous superstep are dropped by the kind split above)
+        out = pa.concat_tables([out, _metric_row(schema, part, cols)])
         return out
 
     return _apply
+
+
+def _metric_row(schema: pa.Schema, part: int, state_cols: dict) -> pa.Table:
+    """kind=3 row: sp=rows, mcount=changed, nmsg=msg_count, delta=Σdelta."""
+    n = len(state_cols["vid"])
+    return _mk_table(
+        schema,
+        1,
+        {
+            "vid": np.array([-(part + 2)], np.int64),
+            "part": np.array([part], np.int32),
+            "kind": np.array([3], np.int8),
+            "sp": np.array([n], np.int32),
+            "mcount": np.array([int(state_cols["changed"].sum())], np.int64),
+            "nmsg": np.array([int(state_cols["nmsg"].sum())], np.int64),
+            "delta": np.array([float(state_cols["delta"].sum())], np.float64),
+            "changed": np.array([0], np.int8),
+        },
+    )
 
 
 @dataclass
@@ -343,6 +367,22 @@ def make_init_state(prog: VertexProgram, graph: GraphShards) -> rd.Dataset:
     }
     cols.update(init)
     tbl = _mk_table(schema, n, cols)
+    # per-part metric rows for step 0's lineage (zero deltas/messages)
+    pcounts = np.bincount(cols["part"], minlength=graph.num_parts)
+    metric_tbls = [
+        _metric_row(
+            schema,
+            p,
+            {
+                "vid": np.zeros(int(pcounts[p]), np.int64),
+                "changed": np.zeros(0, np.int8),
+                "nmsg": np.zeros(0, np.int64),
+                "delta": np.zeros(0, np.float64),
+            },
+        )
+        for p in range(graph.num_parts)
+    ]
+    tbl = pa.concat_tables([tbl] + metric_tbls)
     # one block per partition: Ray's sort-based groupby sizes its output
     # partitioning from the INPUT block count, so a single-block initial
     # state would collapse every later combine shuffle (and therefore
@@ -352,36 +392,34 @@ def make_init_state(prog: VertexProgram, graph: GraphShards) -> rd.Dataset:
 
 
 def _lineage(state_ds: rd.Dataset, k: int, wall_s: float) -> dict:
-    def _state_only(t: pa.Table) -> pa.Table:
-        kind = np_col(t, "kind")
-        if (kind != 0).any():
-            t = t.take(pa.array(np.flatnonzero(kind == 0)))
-        return t
+    """Collect the kind=3 per-partition metric rows (map-only scan +
+    take of P rows — no shuffle)."""
+    import pyarrow.compute as pc
 
     rows = (
-        state_ds.map_batches(_state_only, batch_format="pyarrow")
-        .groupby("part")
-        .aggregate(Count(), Sum("nmsg"), Sum("changed"), Sum("delta"), Max("delta"))
+        state_ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), 3)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["part", "sp", "mcount", "nmsg", "delta"])
         .take_all()
     )
     parts = [
         {
             "part": r["part"],
-            "rows": r["count()"],
-            "msg_count": r["sum(nmsg)"],
-            "changed": r["sum(changed)"],
-            "sum_delta": r["sum(delta)"],
-            "max_delta": r["max(delta)"],
+            "rows": r["sp"],
+            "msg_count": r["nmsg"],
+            "changed": r["mcount"],
+            "sum_delta": r["delta"],
         }
         for r in sorted(rows, key=lambda r: r["part"])
     ]
     totals = {
         "superstep": k,
-        "rows": sum(p["rows"] for p in parts),
+        "rows": int(sum(p["rows"] for p in parts)),
         "msg_count": int(sum(p["msg_count"] or 0 for p in parts)),
         "changed": int(sum(p["changed"] or 0 for p in parts)),
         "sum_delta": float(sum(p["sum_delta"] or 0.0 for p in parts)),
-        "max_delta": float(max((p["max_delta"] or 0.0) for p in parts)) if parts else 0.0,
         "wall_s": wall_s,
         "partitions": parts,
     }
@@ -499,6 +537,12 @@ def run_superstep_loop(
                 .groupby("part")
                 .map_groups(_make_apply(prog, schema), batch_format="pyarrow")
             )
+        # optional program hook (e.g. CC pointer-jumping): applied LAZILY
+        # before the materialization barrier so checkpoints already
+        # contain the transformed state (resume stays exact)
+        transform = getattr(prog, "transform_state", None)
+        if transform is not None:
+            new_state = transform(new_state, k)
         do_ckpt = ckpt is not None and checkpoint_every and (k % checkpoint_every == 0)
         if do_ckpt:
             state = ckpt.write_state(k, new_state)

@@ -96,7 +96,7 @@ def test_lineage_contents(tmp_path):
     assert lin["msg_count"] > 0
     assert len(lin["partitions"]) == g.num_parts
     for p in lin["partitions"]:
-        assert set(p) >= {"part", "rows", "msg_count", "changed", "sum_delta", "max_delta"}
+        assert set(p) >= {"part", "rows", "msg_count", "changed", "sum_delta"}
     # final superstep: no changes
     with open(ck.step_dir(k) + ".lineage.json") as f:
         lin_last = json.load(f)
