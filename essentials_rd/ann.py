@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast via
+``ray.put`` once, every batch does one float64 matmul against it and
+keeps a per-batch partial top-k; partials merge driver-side (k × blocks
+rows).  Scale path: ``ivf_topk`` clusters vectors into buckets (seeded
+k-means-ish assignment by nearest of C sampled centroids) and probes
+only the closest ``nprobe`` buckets per query — same per-batch kernel,
+probed buckets selected by a bucket column filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .util import np_col
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    lists = batch.column(col)
+    flat = np.asarray(lists.combine_chunks().flatten(), dtype=np.float64)
+    n = batch.num_rows
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+def brute_force_topk(
+    vectors: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    round_digits: int = 6,
+) -> pa.Table:
+    """(query_id, rank, vec_id, cosine) — exact top-k by cosine.
+
+    Determinism: similarities are computed in float64, rounded half-up
+    to ``round_digits``, ranked by (-cos, vec_id) — the exact order the
+    DuckDB oracle reproduces with list_cosine_similarity on DOUBLE[].
+    """
+    from .pipelines import round_half_up
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((qm, np.asarray(query_ids, dtype=np.int64)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qmat, qids = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = np_col(batch, id_col)
+        sims = m @ qmat.T  # (n, q)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qmat.shape[0]):
+            s = round_half_up(sims[:, qi], round_digits)
+            mask = np.ones(len(ids), dtype=bool)
+            if exclude_self:
+                mask &= ids != qids[qi]
+            cand = np.flatnonzero(mask)
+            if len(cand) > k:
+                order = np.lexsort((ids[cand], -s[cand]))[:k]
+                cand = cand[order]
+            out_q.append(np.full(len(cand), qids[qi]))
+            out_id.append(ids[cand])
+            out_s.append(s[cand])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    parts = vectors.map_batches(_partial, batch_format="pyarrow").take_all()
+    t = pa.Table.from_pylist(parts)
+    qs = np_col(t, "query_id")
+    vs = np_col(t, "vec_id")
+    ss = np_col(t, "cosine")
+    out = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    for q in np.unique(qs):
+        m = qs == q
+        order = np.lexsort((vs[m], -ss[m]))[:k]
+        out["query_id"].extend([int(q)] * len(order))
+        out["rank"].extend(range(1, len(order) + 1))
+        out["vec_id"].extend(vs[m][order].tolist())
+        out["cosine"].extend(ss[m][order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "cosine": pa.array(out["cosine"], pa.float64()),
+        }
+    )
+
+
+def assign_ivf_buckets(
+    vectors: rd.Dataset,
+    num_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[rd.Dataset, np.ndarray]:
+    """Seeded IVF: centroids = a deterministic sample of the vectors
+    (ids ≡ 0 mod ⌈n/C⌉ after sort — no RNG on data), every vector
+    assigned to its nearest centroid inside map_batches.  Returns the
+    bucketed dataset (+bucket col) and the centroid matrix."""
+    sample = vectors.take(num_centroids * 4)
+    mat = _normalize(
+        np.array([r[vec_col] for r in sample], dtype=np.float64)
+    )
+    rng = np.random.default_rng(seed)
+    sel = rng.choice(len(mat), size=min(num_centroids, len(mat)), replace=False)
+    centroids = mat[np.sort(sel)]
+    c_ref = ray.put(centroids)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        b = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    return vectors.map_batches(_assign, batch_format="pyarrow"), centroids
+
+
+def ivf_topk(
+    bucketed: rd.Dataset,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    **kw,
+) -> pa.Table:
+    """Approximate top-k: probe only the ``nprobe`` closest buckets per
+    query.  Recall measured against brute force in the tests."""
+    import pyarrow.compute as pc
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    buckets = np.unique(probe)
+    flt = bucketed.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t.column("bucket"), value_set=pa.array(buckets, pa.int32()))
+        ),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(flt, queries, query_ids, k=k, **kw)
