@@ -224,8 +224,90 @@ def _q_spmv(sf_dir: str):
     return pa.table({"vid": t["vid"], "y": pa.array(y, pa.float64())})
 
 
+def _q_text_stats(sf_dir: str):
+    import ray.data as rd
+
+    from essentials_rd.textops import text_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return text_stats(docs)
+
+
+def _q_exact_dup_groups(sf_dir: str):
+    import ray.data as rd
+
+    from essentials_rd.textops import exact_dup_groups
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    rows = exact_dup_groups(docs).take_all()
+    # explicit schema so an empty result still compares against the
+    # oracle's (equally empty) typed frame
+    return pa.table(
+        {
+            "sha256": pa.array([r["sha256"] for r in rows], pa.string()),
+            "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+            "keep_id": pa.array([r["keep_id"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _q_ann(sf_dir: str):
+    import ray.data as rd
+
+    from essentials_rd.ann import brute_force_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.filter(expr="vec_id < 3").take_all()),
+        key=lambda r: r["vec_id"],
+    )
+    queries_m = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    return brute_force_topk(ds, queries_m, qids, k=5)
+
+
+def _q_near_dup_pairs(sf_dir: str):
+    """Rows-only (MinHash+LSH is not SQL-expressible): near-duplicate
+    document pairs at Jaccard ≥ 0.7 — pinned by planted-dup pytest."""
+    import ray.data as rd
+
+    from essentials_rd.textops import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    return verify_jaccard(docs, pairs, threshold=0.7)
+
+
+def _q_lang_pred(sf_dir: str):
+    """Rows-only: n-gram/token language-ID (actor-pool stage); accuracy
+    pinned by pytest on disjoint-vocabulary fixtures."""
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.textops import build_lang_profiles, lang_id
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"]).materialize()
+    prof = build_lang_profiles(docs)
+    return lang_id(docs, ray.put(prof))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "text_stats": _q_text_stats,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "ann_cosine_top5": _q_ann,
+        "near_dup_pairs": _q_near_dup_pairs,
+        "lang_pred": _q_lang_pred,
         "corpus_sha256": _q_corpus_sha256,
         "shared_token_edges": _q_shared_token_edges,
         "copurchase_edges": _q_copurchase_edges,
@@ -405,6 +487,38 @@ FROM verts v LEFT JOIN yagg a ON a.vid = v.vid ORDER BY v.vid
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_stats": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "len(string_split(text, ' ')) AS n_tokens, "
+            "len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "exact_dup_groups": (
+            "SELECT sha256(text) AS sha256, count(*) AS n_docs, "
+            "min(doc_id) AS keep_id FROM documents "
+            "GROUP BY sha256(text) HAVING count(*) > 1"
+        ),
+        "ann_cosine_top5": """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 3
+),
+c AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+sims AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine
+  FROM q JOIN c ON c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM sims
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, cosine
+FROM ranked WHERE rn <= 5 ORDER BY query_id, rank
+""",
         "corpus_sha256": (
             "SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path, "
             "sha256(text) AS sha256 FROM documents"

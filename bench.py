@@ -235,7 +235,7 @@ def scaling() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            f"\n## bench.py --scaling @ sf{lo['sf']} "
+            f"\n## bench.py --scaling @ sf{result['sf']} "
             f"({time.strftime('%Y-%m-%d %H:%M')})\n\n"
             f"| metric | num_cpus=8 | num_cpus=32 | efficiency (target ≥0.8) |\n"
             f"|---|---|---|---|\n"

@@ -45,50 +45,157 @@ class ConnectedComponentsProgram:
         self.num_partitions = num_partitions
 
     def transform_state(self, ds, k: int):
+        """Shiloach-Vishkin shortcut pass, lazily appended to superstep k.
+
+        Correctness requirements (a jump that silently lowers labels
+        breaks the BSP contract in two ways — both are handled here):
+        1. jump-changed vertices must re-enter the FRONTIER (active=1,
+           changed=1, delta+=) or their lowered labels never scatter;
+        2. superstep k's per-partition metric rows were computed by
+           apply BEFORE the jump, so they are regenerated afterwards —
+           otherwise a ``changed==0`` apply step could end the loop
+           while the jump still moved labels (premature convergence).
+        The regeneration is a ``groupby(part)`` pass, which also
+        restores part-grouped blocks after the join scattered them.
+        """
         if not self.pointer_jump_every or k % self.pointer_jump_every:
             return ds
         import pyarrow.compute as pc
 
-        from ..superstep import full_schema
+        from ..superstep import _metric_row, full_schema
+        from ..util import np_col
 
         schema = full_schema(self)
+        pk_names = [f.name for f in schema if f.name.startswith("pk_")]
 
-        def _only(eq):
+        def _only(kinds):
             def _f(t: pa.Table) -> pa.Table:
-                op = pc.equal if eq else pc.not_equal
-                return t.filter(op(t.column("kind"), 0))
+                return t.filter(pc.is_in(t.column("kind"),
+                                         value_set=pa.array(kinds, pa.int8())))
 
             return _f
 
-        state = ds.map_batches(_only(True), batch_format="pyarrow")
-        rest = ds.map_batches(_only(False), batch_format="pyarrow")
-        labels = state.map_batches(
-            lambda t: pa.table({"jvid": t.column("vid"),
-                                "jlabel": t.column("label")}),
-            batch_format="pyarrow",
-        )
-        joined = state.join(
-            labels,
-            join_type="inner",  # every label IS a vid: inner is total
-            num_partitions=self.num_partitions,
-            on=("label",),
-            right_on=("jvid",),
+        from ..ops import hash_bucket_agg
+
+        state = ds.map_batches(_only([0]), batch_format="pyarrow")
+        # messages/broadcast pass through; stale kind=3 metric rows drop
+        rest = ds.map_batches(_only([1, 2]), batch_format="pyarrow")
+
+        # Bucketed self-join on label→vid (the portable partitioned hash
+        # join: tag both sides, one bucket shuffle, vectorized lookup in
+        # the bucket).  Ray 2.49's Dataset.join is avoided here: its
+        # acero finalize rejects list<> payload columns and trips on
+        # empty hash partitions of small inputs.
+        def _tag(is_lookup: bool):
+            def _f(t: pa.Table) -> pa.Table:
+                t = t.drop_columns(pk_names)
+                if is_lookup:
+                    t = pa.table(
+                        {
+                            "vid": t.column("vid"),
+                            "part": t.column("part"),
+                            "kind": t.column("kind"),
+                            "sp": t.column("sp"),
+                            "label": t.column("label"),
+                            "active": t.column("active"),
+                            "delta": t.column("delta"),
+                            "changed": t.column("changed"),
+                            "nmsg": t.column("nmsg"),
+                        }
+                    )
+                    return pa.table(
+                        {
+                            **{c: t.column(c) for c in t.column_names},
+                            "jkey": t.column("vid"),
+                            "tag": pa.array(
+                                np.ones(t.num_rows, np.int8), pa.int8()
+                            ),
+                        }
+                    )
+                return pa.table(
+                    {
+                        **{c: t.column(c) for c in t.column_names},
+                        "jkey": t.column("label"),
+                        "tag": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+                    }
+                )
+
+            return _f
+
+        left = state.map_batches(_tag(False), batch_format="pyarrow")
+        lookup = state.map_batches(_tag(True), batch_format="pyarrow")
+
+        def _join_bucket(grp: pa.Table) -> pa.Table:
+            tag = np_col(grp, "tag")
+            lk = grp.take(pa.array(np.flatnonzero(tag == 1)))
+            st = grp.take(pa.array(np.flatnonzero(tag == 0)))
+            keys = np_col(lk, "jkey")
+            vals = np_col(lk, "label")
+            korder = np.argsort(keys)
+            keys, vals = keys[korder], vals[korder]
+            old = np_col(st, "label")
+            pos = np.searchsorted(keys, old)
+            ok = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == old)
+            jlabel = np.where(ok, vals[np.minimum(pos, len(keys) - 1)], old)
+            new = np.minimum(old, jlabel)
+            jumped = new < old
+            cols = {
+                "vid": np_col(st, "vid"),
+                "part": np_col(st, "part"),
+                "kind": np_col(st, "kind"),
+                "sp": np_col(st, "sp"),
+                "label": new,
+                # 2 = "jump-activated, scatter pending" — in fused mode
+                # the superstep's scatter already ran before this
+                # transform, so the next apply must re-activate these
+                "active": np.where(jumped, np.int8(2),
+                                   np_col(st, "active")).astype(np.int8),
+                "changed": np.maximum(np_col(st, "changed"),
+                                      jumped.astype(np.int8)),
+                "delta": np_col(st, "delta") + (old - new).astype(np.float64),
+                "nmsg": np_col(st, "nmsg"),
+            }
+            from ..superstep import _mk_table
+
+            return _mk_table(schema, len(new), cols)
+
+        jumped_ds = hash_bucket_agg(
+            left.union(lookup),
+            lambda b: np_col(b, "jkey"),
+            _join_bucket,
+            num_buckets=max(self.num_partitions, 8),
         )
 
-        def _shortcut(t: pa.Table) -> pa.Table:
-            arrays = []
-            for f in schema:
-                col = t.column("jlabel") if f.name == "label" else t.column(f.name)
-                arrays.append(col.cast(f.type))
-            return pa.Table.from_arrays(arrays, schema=schema)
+        def _regroup(grp: pa.Table) -> pa.Table:
+            kind = np_col(grp, "kind")
+            s_idx = np.flatnonzero(kind == 0)
+            part = int(np_col(grp, "part")[0])
+            st = grp.take(pa.array(s_idx))
+            metric = _metric_row(
+                schema,
+                part,
+                {
+                    "vid": np_col(st, "vid"),
+                    "changed": np_col(st, "changed"),
+                    "nmsg": np_col(st, "nmsg"),
+                    "delta": np_col(st, "delta"),
+                },
+            )
+            return pa.concat_tables([grp, metric])
 
-        return joined.map_batches(_shortcut, batch_format="pyarrow").union(rest)
+        # (block-count growth from this 3-way union is capped by the
+        # engine's post-materialization repartition guard)
+        return (
+            jumped_ds.union(rest)
+            .groupby("part")
+            .map_groups(_regroup, batch_format="pyarrow")
+        )
 
     def init_state(self, vids, outdeg):
         return {"label": vids.copy(), "active": np.ones(len(vids), np.int8)}
 
     def scatter(self, state, shard):
-        act = state["active"] == 1
+        act = state["active"] >= 1  # 1 = changed, 2 = jump-pending
         if not act.any():
             return None, None
         vids, labels = state["vid"][act], state["label"][act]
@@ -112,6 +219,14 @@ class ConnectedComponentsProgram:
             np.minimum.at(new, pos, mins)
             nmsg[pos] = cnts
         changed = (new < old).astype(np.int8)
+        if getattr(self, "_scatter_mode", "tasks") == "fused":
+            # pointer-jump pending rows (active==2) have not scattered
+            # their lowered label yet (fused scatter ran before the
+            # jump): treat them as changed so this superstep's fused
+            # scatter emits them and the loop survives to apply the
+            # resulting messages
+            pending = (state["active"] == 2).astype(np.int8)
+            changed = np.maximum(changed, pending)
         return {
             "label": new,
             "active": changed,

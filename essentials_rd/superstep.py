@@ -40,9 +40,9 @@ from typing import Callable, Protocol
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Sum
 
 from .checkpoint import CheckpointManager
 from .graph import GraphShards
@@ -55,11 +55,24 @@ _BOOK_COLS: list[tuple[str, pa.DataType]] = [
     ("sp", pa.int32()),  # source partition of a message (determinism key)
 ]
 _METRIC_COLS: list[tuple[str, pa.DataType]] = [
-    ("mcount", pa.int64()),  # raw messages pre-combined into a msg row
     ("delta", pa.float64()),
     ("changed", pa.int8()),
     ("nmsg", pa.int64()),
 ]
+
+# Messages travel PACKED: one row per (source-partition →
+# destination-partition) per scatter batch, carrying list<> columns of
+# (dst, mcount, payload...).  The combine shuffle therefore moves
+# ~|V| state rows plus ~P² packed rows whose bytes are pure message
+# payload — no per-message row overhead, no null-state-column buffers
+# (Arrow IPC materializes data buffers even for all-null fixed-width
+# columns, which would double the shuffle volume row-wise).
+_PK_DST = "pk_dst"
+_PK_MCOUNT = "pk_mcount"
+
+
+def _pk(col: str) -> str:
+    return f"pk_{col}"
 
 
 class VertexProgram(Protocol):
@@ -94,15 +107,16 @@ class VertexProgram(Protocol):
 
 
 def full_schema(prog: VertexProgram) -> pa.Schema:
-    names = [n for n, _ in _BOOK_COLS] + list(prog.state_cols) + list(prog.msg_cols)
-    names += [n for n, _ in _METRIC_COLS]
-    assert len(set(names)) == len(names), f"column collision in {prog.name}"
-    fields = (
-        _BOOK_COLS
-        + list(prog.state_cols.items())
-        + list(prog.msg_cols.items())
-        + _METRIC_COLS
+    pk_cols = [(_PK_DST, pa.list_(pa.int64())), (_PK_MCOUNT, pa.list_(pa.int64()))]
+    pk_cols += [(_pk(c), pa.list_(t)) for c, t in prog.msg_cols.items()]
+    names = (
+        [n for n, _ in _BOOK_COLS]
+        + list(prog.state_cols)
+        + [n for n, _ in _METRIC_COLS]
+        + [n for n, _ in pk_cols]
     )
+    assert len(set(names)) == len(names), f"column collision in {prog.name}"
+    fields = _BOOK_COLS + list(prog.state_cols.items()) + _METRIC_COLS + pk_cols
     return pa.schema(fields)
 
 
@@ -116,6 +130,8 @@ def _mk_table(schema: pa.Schema, n: int, cols: dict) -> pa.Table:
         v = cols.get(f.name)
         if v is None:
             arrays.append(pa.nulls(n, f.type))
+        elif isinstance(v, (pa.Array, pa.ChunkedArray)):
+            arrays.append(v.cast(f.type) if v.type != f.type else v)
         elif np.isscalar(v):
             arrays.append(pa.array([v] * n, f.type))
         else:
@@ -157,26 +173,49 @@ def _scatter_batch(
         msgs, bcast = prog.scatter(state, _cached_shard(shard_refs[p]))
         if msgs is not None and len(msgs["dst"]):
             dst = np.asarray(msgs["dst"], dtype=np.int64)
+            mcount = np.asarray(msgs.get("mcount", np.ones(len(dst))), np.int64)
+            dp = part_of(dst, P)
+            order = np.argsort(dp, kind="stable")
+            uniq_dp, starts = np.unique(dp[order], return_index=True)
+            offsets = np.r_[starts, len(dst)].astype(np.int32)
+            nrows = len(uniq_dp)
+
+            def _pack(arr: np.ndarray, typ: pa.DataType) -> pa.Array:
+                return pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(arr[order], typ)
+                )
+
             cols = {
-                "vid": dst,
-                "part": part_of(dst, P),
-                "kind": np.full(len(dst), 1, np.int8),
-                "sp": np.full(len(dst), p, np.int32),
-                "mcount": np.asarray(msgs.get("mcount", np.ones(len(dst))), np.int64),
+                "vid": np.full(nrows, -1, np.int64),
+                "part": uniq_dp.astype(np.int32),
+                "kind": np.full(nrows, 1, np.int8),
+                "sp": np.full(nrows, p, np.int32),
+                # nmsg on a packed row = raw message count (lineage)
+                "nmsg": np.add.reduceat(mcount[order], starts).astype(np.int64),
+                _PK_DST: _pack(dst, pa.int64()),
+                _PK_MCOUNT: _pack(mcount, pa.int64()),
             }
-            for c in prog.msg_cols:
-                cols[c] = msgs[c]
-            out.append(_mk_table(schema, len(dst), cols))
+            for c, t in prog.msg_cols.items():
+                cols[_pk(c)] = _pack(np.asarray(msgs[c]), t)
+            out.append(_mk_table(schema, nrows, cols))
         if bcast is not None:
+            boff = pa.array(np.arange(P + 1, dtype=np.int32), pa.int32())
             cols = {
                 "vid": np.full(P, -1, np.int64),
                 "part": np.arange(P, dtype=np.int32),
                 "kind": np.full(P, 2, np.int8),
                 "sp": np.full(P, p, np.int32),
-                "mcount": np.ones(P, np.int64),
+                _PK_DST: pa.ListArray.from_arrays(
+                    boff, pa.array(np.full(P, -1, np.int64), pa.int64())
+                ),
+                _PK_MCOUNT: pa.ListArray.from_arrays(
+                    boff, pa.array(np.ones(P, np.int64), pa.int64())
+                ),
             }
-            for c, v in bcast.items():
-                cols[c] = np.full(P, v)
+            for c, t in prog.msg_cols.items():
+                cols[_pk(c)] = pa.ListArray.from_arrays(
+                    boff, pa.array(np.full(P, bcast[c]), t)
+                )
             out.append(_mk_table(schema, P, cols))
     if not out:
         return _empty(schema)
@@ -233,16 +272,27 @@ def _make_apply(prog: VertexProgram, schema_ref, fused: tuple | None = None):
 
         if len(m_idx):
             m_tbl = grp.take(pa.array(m_idx))
-            mvid = np_col(m_tbl, "vid")
+            # deterministic packed-row order: value-based key (sp, first
+            # dst, length) — a source partition can emit several packed
+            # rows (its state split across blocks), and arrival order
+            # must never influence float reduction order
             msp = np_col(m_tbl, "sp")
-            mcnt = np_col(m_tbl, "mcount")
-            mcols = {n: np_col(m_tbl, n) for n in msg_names}
-            # fully value-based sort (…, payload, mcount, sp, vid): a source
-            # partition may emit several rows for one dst (state split
-            # across blocks), so arrival order must never matter — float
-            # reduction order is pinned by the values themselves.
-            keys = tuple(mcols[n] for n in msg_names) + (mcnt, msp, mvid)
-            morder = np.lexsort(keys)
+            dl = m_tbl.column(_PK_DST).combine_chunks()
+            lens = np.asarray(pc.list_value_length(dl), dtype=np.int64)
+            firsts = np.asarray(
+                pc.list_element(dl, 0).to_numpy(zero_copy_only=False)
+            )
+            rorder = np.lexsort((lens, firsts, msp))
+            flat_idx = pa.array(rorder)
+            def _unpack(col_name):
+                col = m_tbl.column(col_name).combine_chunks().take(flat_idx)
+                return np.asarray(col.flatten().to_numpy(zero_copy_only=False))
+            mvid = _unpack(_PK_DST)
+            mcnt = _unpack(_PK_MCOUNT)
+            mcols = {n: _unpack(_pk(n)) for n in msg_names}
+            # stable sort by destination only: equal-key order inherits
+            # the deterministic packed-row order above
+            morder = np.argsort(mvid, kind="stable")
             msgs = {"vid": mvid[morder], "mcount": mcnt[morder]}
             for n in msg_names:
                 msgs[n] = mcols[n][morder]
@@ -256,8 +306,12 @@ def _make_apply(prog: VertexProgram, schema_ref, fused: tuple | None = None):
             b_tbl = grp.take(pa.array(b_idx))
             bsp = np_col(b_tbl, "sp")
             for n in msg_names:
-                col = np_col(b_tbl, n)
-                border = np.lexsort((col, bsp))  # value-based order (see msgs)
+                col = np.asarray(
+                    pc.list_element(
+                        b_tbl.column(_pk(n)).combine_chunks(), 0
+                    ).to_numpy(zero_copy_only=False)
+                )
+                border = np.lexsort((col, bsp))  # value-based order
                 bcast[n] = float(np.sum(col[border]))
 
         new = prog.apply(state, msgs, bcast)
@@ -290,17 +344,17 @@ def _make_apply(prog: VertexProgram, schema_ref, fused: tuple | None = None):
 
 
 def _metric_row(schema: pa.Schema, part: int, state_cols: dict) -> pa.Table:
-    """kind=3 row: sp=rows, mcount=changed, nmsg=msg_count, delta=Σdelta."""
+    """kind=3 row: vid=changed_count, sp=rows, nmsg=msg_count,
+    delta=Σdelta (the part is in the part column)."""
     n = len(state_cols["vid"])
     return _mk_table(
         schema,
         1,
         {
-            "vid": np.array([-(part + 2)], np.int64),
+            "vid": np.array([int(state_cols["changed"].sum())], np.int64),
             "part": np.array([part], np.int32),
             "kind": np.array([3], np.int8),
             "sp": np.array([n], np.int32),
-            "mcount": np.array([int(state_cols["changed"].sum())], np.int64),
             "nmsg": np.array([int(state_cols["nmsg"].sum())], np.int64),
             "delta": np.array([float(state_cols["delta"].sum())], np.float64),
             "changed": np.array([0], np.int8),
@@ -401,7 +455,7 @@ def _lineage(state_ds: rd.Dataset, k: int, wall_s: float) -> dict:
             lambda t: t.filter(pc.equal(t.column("kind"), 3)),
             batch_format="pyarrow",
         )
-        .select_columns(["part", "sp", "mcount", "nmsg", "delta"])
+        .select_columns(["part", "sp", "vid", "nmsg", "delta"])
         .take_all()
     )
     parts = [
@@ -409,7 +463,7 @@ def _lineage(state_ds: rd.Dataset, k: int, wall_s: float) -> dict:
             "part": r["part"],
             "rows": r["sp"],
             "msg_count": r["nmsg"],
-            "changed": r["mcount"],
+            "changed": r["vid"],
             "sum_delta": r["delta"],
         }
         for r in sorted(rows, key=lambda r: r["part"])
@@ -459,6 +513,9 @@ def run_superstep_loop(
         n_actors = max(1, min(graph.num_parts, int(ray.cluster_resources().get("CPU", 4))))
     assert scatter_mode in ("tasks", "actors", "fused")
     fused = scatter_mode == "fused"
+    # programs with mode-dependent frontier semantics (CC pointer
+    # jumping) can read the mode; harmless for everyone else
+    prog._scatter_mode = scatter_mode
     schema = full_schema(prog)
     scatter_task = functools.partial(
         _scatter_batch, prog, graph.shard_refs, graph.num_parts, schema
@@ -537,17 +594,30 @@ def run_superstep_loop(
                 .groupby("part")
                 .map_groups(_make_apply(prog, schema), batch_format="pyarrow")
             )
-        # optional program hook (e.g. CC pointer-jumping): applied LAZILY
-        # before the materialization barrier so checkpoints already
-        # contain the transformed state (resume stays exact)
+        # optional program hook (e.g. CC pointer-jumping): runs before
+        # the checkpoint write so checkpoints contain the transformed
+        # state (resume stays exact).  The input is materialized first —
+        # the transform fans out into several consumers (filters + both
+        # sides of its bucketed join), and each consumer of a LAZY
+        # dataset would re-execute the whole superstep prefix.
         transform = getattr(prog, "transform_state", None)
         if transform is not None:
-            new_state = transform(new_state, k)
+            pre = new_state.materialize()
+            new_state = transform(pre, k)
         do_ckpt = ckpt is not None and checkpoint_every and (k % checkpoint_every == 0)
+        mat = new_state.materialize()
+        # block-count guard: the sort-based groupby emits one output
+        # partition per INPUT block, and union(state, msgs) feeds it ~2×
+        # the state's blocks — unchecked, blocks double every superstep
+        # (and triple on pointer-jump steps).  Run the cap as its OWN
+        # execution: chaining a repartition onto the groupby pipeline
+        # can deadlock the streaming executor at low CPU counts.
+        if mat.num_blocks() > 3 * graph.num_parts:
+            mat = mat.repartition(graph.num_parts).materialize()
         if do_ckpt:
-            state = ckpt.write_state(k, new_state)
+            state = ckpt.write_state(k, mat)
         else:
-            state = new_state.materialize()
+            state = mat
         lin = _lineage(state, k, time.perf_counter() - t0)
         lin["fused"] = fused
         if do_ckpt:

@@ -53,9 +53,10 @@ def test_read_mtx_pattern(tmp_path):
 
 @pytest.mark.parametrize("mode", ["tasks", "fused"])
 def test_pointer_jump_same_result_fewer_steps(tmp_path, mode):
-    # path graph 0-1-2-...-25: hash-min needs ~n supersteps; with
-    # pointer jumping the label chain collapses exponentially
-    n = 26
+    # path graph 0-1-...-15: hash-min needs ~n supersteps; with pointer
+    # jumping the label chain collapses exponentially (a jump superstep
+    # costs an extra bucketed join, so the test keeps the path short)
+    n = 16
     src = np.arange(n - 1, dtype=np.int64)
     dst = src + 1
     vids = np.arange(n, dtype=np.int64)
@@ -63,7 +64,7 @@ def test_pointer_jump_same_result_fewer_steps(tmp_path, mode):
     plain = connected_components(g1, checkpoint_every=0, scatter_mode=mode)
     g2 = small_graph(tmp_path / "b", src, dst, P=3, vertex_ids=vids)
     jumped = connected_components(
-        g2, checkpoint_every=0, scatter_mode=mode, pointer_jump_every=1
+        g2, checkpoint_every=0, scatter_mode=mode, pointer_jump_every=2
     )
     t1, t2 = components_table(plain), components_table(jumped)
     expected = cc_ref(vids, src, dst)
