@@ -40,13 +40,15 @@ SIZES = {
     "0.1": (300_000, 3_000_000),
     "1": (3_000_000, 30_000_000),
 }
-# --scaling uses a 10M-edge graph: the TEPS criterion measures the
-# PR+CC graph phase, which must be compute-dominated to show scaling
+# --scaling uses a larger graph (50M directed edges at sf0.1): the TEPS
+# criterion measures the PR+CC graph phase, which must be
+# compute-dominated for efficiency to reflect scaling rather than
+# fixed per-superstep latency (built once, cached in /tmp)
 SCALING_SIZES = {
     "0.001": (30_000, 300_000),
-    "0.01": (100_000, 1_000_000),
-    "0.1": (1_000_000, 10_000_000),
-    "1": (3_000_000, 30_000_000),
+    "0.01": (200_000, 2_500_000),
+    "0.1": (2_000_000, 25_000_000),
+    "1": (4_000_000, 50_000_000),
 }
 
 
@@ -55,18 +57,26 @@ def _sf_of(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else "0.1"
 
 
-def _graph_phase(g) -> dict:
+def _graph_phase(g, *, warmup: bool = True) -> dict:
     import time as _t
 
     from essentials_rd.algorithms import connected_components, pagerank
 
+    if warmup:
+        # one untimed superstep: spawns the worker pool, imports modules
+        # and faults the CSR shards into every worker's plasma mmap —
+        # one-time costs that are not part of the TEPS-phase metric
+        pagerank(g, tol=0.0, max_iters=1, checkpoint_every=0)
+
     t0 = _t.perf_counter()
-    pr = pagerank(g, tol=1e-8, max_iters=60, checkpoint_every=0, scatter_mode="fused")
+    pr = pagerank(g, tol=1e-8, max_iters=60, checkpoint_every=0,
+                  steps_per_execution=2)
     t_pr = _t.perf_counter() - t0
     pr_msgs = pr.total_messages
 
     t0 = _t.perf_counter()
-    cc = connected_components(g, max_iters=100, checkpoint_every=0, scatter_mode="fused")
+    cc = connected_components(g, max_iters=100, checkpoint_every=0,
+                              steps_per_execution=2)
     t_cc = _t.perf_counter() - t0
     cc_msgs = cc.total_messages
 
@@ -109,7 +119,7 @@ def run_headline() -> dict:
     )
     t_build = time.perf_counter() - t0
 
-    h = _graph_phase(g)
+    h = _graph_phase(g, warmup=False)
     h["derive_sec"] = round(t_derive, 2)
     h["build_sec"] = round(t_build, 2)
     h["headline_sec"] = round(t_derive + t_build + h["graph_sec"], 2)
@@ -142,7 +152,7 @@ def prepare_scaling_graph() -> str:
 def graph_only(gdir: str) -> None:
     from essentials_rd.graph import reload_graph
 
-    g = reload_graph(os.path.join(gdir, "edges"), 32)
+    g = reload_graph(os.path.join(gdir, "edges"))
     h = _graph_phase(g)
     h["num_cpus"] = NUM_CPUS
     print(json.dumps(h))
@@ -207,7 +217,6 @@ def scaling() -> None:
 
     prep = run(32, "--prepare")
     gdir = prep["gdir"]
-    warm = run(8, "--graph-only", gdir)  # warm page cache (untimed)
     lo = run(8, "--graph-only", gdir)
     hi = run(32, "--graph-only", gdir)
     # the north metric is TEPS for PR-to-convergence + CC on the same

@@ -33,6 +33,9 @@ class ConnectedComponentsProgram:
     name = "cc"
     state_cols = {"label": pa.int64(), "active": pa.int8()}
     msg_cols = {"mlabel": pa.int64()}
+    # apply() reduces labels by min — per-message counts are not
+    # consumed, so drop them from the combine-shuffle payload
+    uses_mcount = False
 
     def __init__(self, pointer_jump_every: int = 0, num_partitions: int = 8):
         """``pointer_jump_every=j`` > 0 enables the Shiloach-Vishkin
@@ -45,14 +48,16 @@ class ConnectedComponentsProgram:
         self.num_partitions = num_partitions
 
     def transform_state(self, ds, k: int):
-        """Shiloach-Vishkin shortcut pass, lazily appended to superstep k.
+        """Shiloach-Vishkin shortcut pass at the boundary of superstep k.
 
         Correctness requirements (a jump that silently lowers labels
         breaks the BSP contract in two ways — both are handled here):
         1. jump-changed vertices must re-enter the FRONTIER (active=1,
-           changed=1, delta+=) or their lowered labels never scatter;
+           changed=1, delta+=) or their lowered labels never scatter
+           in the next execution;
         2. superstep k's per-partition metric rows were computed by
-           apply BEFORE the jump, so they are regenerated afterwards —
+           apply BEFORE the jump, so they are regenerated afterwards
+           (and the engine re-reads them from the transformed blocks) —
            otherwise a ``changed==0`` apply step could end the loop
            while the jump still moved labels (premature convergence).
         The regeneration is a ``groupby(part)`` pass, which also
@@ -68,18 +73,14 @@ class ConnectedComponentsProgram:
         schema = full_schema(self)
         pk_names = [f.name for f in schema if f.name.startswith("pk_")]
 
-        def _only(kinds):
-            def _f(t: pa.Table) -> pa.Table:
-                return t.filter(pc.is_in(t.column("kind"),
-                                         value_set=pa.array(kinds, pa.int8())))
-
-            return _f
-
         from ..ops import hash_bucket_agg
 
-        state = ds.map_batches(_only([0]), batch_format="pyarrow")
-        # messages/broadcast pass through; stale kind=3 metric rows drop
-        rest = ds.map_batches(_only([1, 2]), batch_format="pyarrow")
+        # execution boundaries are state-only: kind=0 rows plus stale
+        # kind=3 metric rows (regenerated below)
+        state = ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), 0)),
+            batch_format="pyarrow",
+        )
 
         # Bucketed self-join on label→vid (the portable partitioned hash
         # join: tag both sides, one bucket shuffle, vectorized lookup in
@@ -145,11 +146,9 @@ class ConnectedComponentsProgram:
                 "kind": np_col(st, "kind"),
                 "sp": np_col(st, "sp"),
                 "label": new,
-                # 2 = "jump-activated, scatter pending" — in fused mode
-                # the superstep's scatter already ran before this
-                # transform, so the next apply must re-activate these
-                "active": np.where(jumped, np.int8(2),
-                                   np_col(st, "active")).astype(np.int8),
+                # jump-lowered labels must scatter in the next execution
+                "active": np.maximum(np_col(st, "active"),
+                                     jumped.astype(np.int8)),
                 "changed": np.maximum(np_col(st, "changed"),
                                       jumped.astype(np.int8)),
                 "delta": np_col(st, "delta") + (old - new).astype(np.float64),
@@ -183,19 +182,17 @@ class ConnectedComponentsProgram:
             )
             return pa.concat_tables([grp, metric])
 
-        # (block-count growth from this 3-way union is capped by the
+        # (block-count growth from the bucketed join is capped by the
         # engine's post-materialization repartition guard)
-        return (
-            jumped_ds.union(rest)
-            .groupby("part")
-            .map_groups(_regroup, batch_format="pyarrow")
+        return jumped_ds.groupby("part").map_groups(
+            _regroup, batch_format="pyarrow"
         )
 
     def init_state(self, vids, outdeg):
         return {"label": vids.copy(), "active": np.ones(len(vids), np.int8)}
 
     def scatter(self, state, shard):
-        act = state["active"] >= 1  # 1 = changed, 2 = jump-pending
+        act = state["active"] >= 1  # the frontier: changed last superstep
         if not act.any():
             return None, None
         vids, labels = state["vid"][act], state["label"][act]
@@ -219,14 +216,6 @@ class ConnectedComponentsProgram:
             np.minimum.at(new, pos, mins)
             nmsg[pos] = cnts
         changed = (new < old).astype(np.int8)
-        if getattr(self, "_scatter_mode", "tasks") == "fused":
-            # pointer-jump pending rows (active==2) have not scattered
-            # their lowered label yet (fused scatter ran before the
-            # jump): treat them as changed so this superstep's fused
-            # scatter emits them and the loop survives to apply the
-            # resulting messages
-            pending = (state["active"] == 2).astype(np.int8)
-            changed = np.maximum(changed, pending)
         return {
             "label": new,
             "active": changed,

@@ -34,6 +34,9 @@ class PageRankProgram:
     name = "pagerank"
     state_cols = {"value": pa.float64(), "outdeg": pa.int64()}
     msg_cols = {"mval": pa.float64()}
+    # apply() sums mval — per-message counts are metrics-only, so drop
+    # them from the combine-shuffle payload (⅓ less shuffle volume)
+    uses_mcount = False
 
     def __init__(self, n_vertices: int, alpha: float = 0.85, tol: float = 1.0e-6):
         self.n = n_vertices

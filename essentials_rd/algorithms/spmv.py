@@ -22,6 +22,7 @@ class SpmvProgram:
     name = "spmv"
     state_cols = {"x": pa.float64(), "y": pa.float64()}
     msg_cols = {"mval": pa.float64()}
+    uses_mcount = False  # counts are metrics-only for SpMV
 
     def __init__(self, x_fn=None):
         """``x_fn(vids) -> x`` builds the input vector deterministically

@@ -7,17 +7,23 @@ edge low-rank → high-rank; a triangle {u,v,w} is counted exactly once,
 at its lowest-ranked pair, as ``|N⁺(u) ∩ N⁺(v)|``.  Outputs the global
 total and per-vertex triangle counts.
 
-Not BSP — a two-phase Dataset pipeline:
-  1. degree pass (symmetrized graph shards → degree table, broadcast
-     rank array via ``ray.put``), orient edges in ``map_batches``;
-  2. build oriented N⁺ CSR shards; an actor-pool ``map_batches`` over
-     the oriented edge list intersects the (sorted) adjacency lists of
-     both endpoints — actors cache shards zero-copy from plasma.
-     Partitioning assumption: an actor may touch any shard (edges are
-     grouped by hash(u) but v's shard is arbitrary); per-NODE residency
-     is the full oriented adjacency in the worst case, which is ~|E|/2
-     int64s — the documented trade-off vs a 3-way shuffle join
-     (SURVEY.md §2.2 A4 wedge-join fallback).
+Two physical plans, same results:
+
+- ``method="intersect"`` (default): an actor-pool ``map_batches`` over
+  the oriented edge list; each batch's adjacency lists are expanded for
+  BOTH endpoints in bulk and intersected with ONE vectorized
+  lexsort-and-adjacent-equal pass (no Python loop over edges).
+  Partitioning assumption: an actor may touch any shard (edges arrive
+  grouped by hash(u) but v's shard is arbitrary), so worst-case
+  per-NODE residency is the full oriented adjacency (~|E|/2 int64s) —
+  fastest plan while N⁺ fits a node.
+- ``method="wedge"``: the shuffle-only plan for when it doesn't — per
+  source vertex emit its ordered neighbor pairs (wedges (v,w) keyed by
+  the closing edge), then one bucketed hash join of wedges against the
+  oriented edge set.  No shard residency at all; shuffle volume is
+  Σ_u deg⁺(u)², which degree-ordering bounds by O(|E|^1.5)
+  (arboricity argument — the classic MapReduce TC of
+  Suri–Vassilvitskii).  This is the 100-TB path.
 """
 
 from __future__ import annotations
@@ -30,12 +36,65 @@ import ray
 import ray.data as rd
 
 from ..graph import GraphShards, build_graph
-from ..util import csr_lookup, np_col, part_of
+from ..ops import hash_bucket_agg
+from ..util import csr_lookup, expand_neighbors, hash64, np_col, part_of, segment_sum
+
+
+def _intersect_increments(
+    src: np.ndarray,
+    dst: np.ndarray,
+    shard_of,
+    P: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-edge sorted-adjacency intersection.
+
+    For every edge i, elements common to N⁺(src_i) and N⁺(dst_i) are
+    found in ONE lexsort over the concatenated (edge, neighbor) pairs —
+    adjacency lists are unique-valued, so a (edge, value) pair occurring
+    twice means "value ∈ both lists".  Returns pre-combined
+    (vid, tri_increment) arrays crediting u, v and every common w.
+    """
+    n = len(src)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    # gather both endpoints' adjacency lists, grouped by owning shard
+    eidx_parts: list[np.ndarray] = []
+    nbr_parts: list[np.ndarray] = []
+    for endpoint in (src, dst):
+        parts = part_of(endpoint, P)
+        for p in np.unique(parts):
+            sel = np.flatnonzero(parts == p)
+            shard = shard_of(int(p))
+            rows, found = csr_lookup(shard, endpoint[sel])
+            hit = np.flatnonzero(found)
+            if not len(hit):
+                continue
+            rep, nbrs, _ = expand_neighbors(shard, rows[hit])
+            eidx_parts.append(sel[hit][rep])
+            nbr_parts.append(nbrs)
+    if not eidx_parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    eidx = np.concatenate(eidx_parts)
+    vals = np.concatenate(nbr_parts)
+    order = np.lexsort((vals, eidx))
+    se, sv = eidx[order], vals[order]
+    dup = np.flatnonzero((se[1:] == se[:-1]) & (sv[1:] == sv[:-1]))
+    if not len(dup):
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    w_vals = sv[dup]  # each common neighbor w of edge (u, v)
+    w_eidx = se[dup]
+    cnt = np.bincount(w_eidx, minlength=n).astype(np.int64)
+    vid_out = np.concatenate([np.repeat(src, cnt), np.repeat(dst, cnt), w_vals])
+    inc_out = np.ones(len(vid_out), np.int64)
+    # local pre-combine before the groupby shuffle
+    uniq, sums, _ = segment_sum(vid_out, inc_out)
+    return uniq, sums
 
 
 class _TriangleStage:
-    """Actor: per oriented edge (u,v) emit triangle increments for u, v
-    and every common neighbor w."""
+    """Actor-pool callable: holds oriented-N⁺ CSR shards (fetched
+    zero-copy from plasma, cached for the actor's lifetime) and runs the
+    vectorized intersection kernel over each edge batch."""
 
     def __init__(self, shard_refs, num_parts):
         self.refs = shard_refs
@@ -49,43 +108,133 @@ class _TriangleStage:
             self.cache[p] = s
         return s
 
-    def _nbrs(self, v: int) -> np.ndarray:
-        sh = self._shard(int(part_of(np.array([v]), self.P)[0]))
-        rows, found = csr_lookup(sh, np.array([v], dtype=np.int64))
-        if not found[0]:
-            return np.zeros(0, np.int64)
-        r = rows[0]
-        return sh["indices"][sh["indptr"][r] : sh["indptr"][r + 1]]
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         src = np_col(batch, "src")
         dst = np_col(batch, "dst")
-        order = np.argsort(src, kind="stable")  # group by u: load N⁺(u) once
-        out_v: list[np.ndarray] = []
-        out_c: list[np.ndarray] = []
-        cur_u, nu = None, None
-        for i in order:
-            u, v = int(src[i]), int(dst[i])
-            if u != cur_u:
-                cur_u, nu = u, self._nbrs(u)
-            nv = self._nbrs(v)
-            common = np.intersect1d(nu, nv, assume_unique=True)
-            c = len(common)
-            if c:
-                out_v.append(np.array([u, v], np.int64))
-                out_c.append(np.array([c, c], np.int64))
-                out_v.append(common)
-                out_c.append(np.ones(c, np.int64))
-        if not out_v:
+        vid, tri = _intersect_increments(src, dst, self._shard, self.P)
+        return pa.table(
+            {"vid": pa.array(vid, pa.int64()), "tri": pa.array(tri, pa.int64())}
+        )
+
+
+def _pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic int64 key for a vertex pair (for bucketed joins)."""
+    with np.errstate(over="ignore"):
+        return (
+            hash64(a) * np.uint64(0x9E3779B97F4A7C15) ^ hash64(b)
+        ).astype(np.int64)
+
+
+def _wedge_increments(oriented: rd.Dataset, num_buckets: int) -> rd.Dataset:
+    """Shuffle-only TC: wedges (u; v<w from N⁺(u)) hash-joined against
+    the oriented edge set on the closing pair (v, w)."""
+
+    # 1) group oriented edges by source, expand ordered neighbor pairs
+    def _expand_wedges(grp: pa.Table) -> pa.Table:
+        s = np_col(grp, "src")
+        d = np_col(grp, "dst")
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        srcs, starts, counts = np.unique(s, return_index=True, return_counts=True)
+        # pair expansion per source: for a run of c neighbors there are
+        # c*(c-1)/2 ordered pairs — fully vectorized index arithmetic
+        c = counts
+        npairs = (c * (c - 1)) // 2
+        total = int(npairs.sum())
+        if total == 0:
             return pa.table(
-                {"vid": pa.array([], pa.int64()), "tri": pa.array([], pa.int64())}
+                {
+                    "v": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "u": pa.array([], pa.int64()),
+                }
             )
+        grp_rep = np.repeat(np.arange(len(srcs)), npairs)
+        # local pair index 0..npairs[g]-1 within each group
+        off = np.zeros(len(srcs), np.int64)
+        np.cumsum(npairs[:-1], out=off[1:])
+        t = np.arange(total, dtype=np.int64) - off[grp_rep]
+        cc = c[grp_rep]
+        # map flat pair index t -> (i, j), i<j over cc elements
+        # (standard triangular-number inversion, all-numpy)
+        i = (
+            cc
+            - 2
+            - np.floor(
+                np.sqrt(-8.0 * t + 4.0 * cc * (cc - 1) - 7.0) / 2.0 - 0.5
+            )
+        ).astype(np.int64)
+        j = t + i + 1 - (cc * (cc - 1)) // 2 + ((cc - i) * ((cc - i) - 1)) // 2
+        base = starts[grp_rep]
         return pa.table(
             {
-                "vid": pa.array(np.concatenate(out_v), pa.int64()),
-                "tri": pa.array(np.concatenate(out_c), pa.int64()),
+                "v": pa.array(d[base + i], pa.int64()),
+                "w": pa.array(d[base + j], pa.int64()),
+                "u": pa.array(s[base], pa.int64()),
             }
         )
+
+    wedges = hash_bucket_agg(
+        oriented,
+        lambda b: np_col(b, "src"),
+        _expand_wedges,
+        num_buckets=num_buckets,
+    )
+
+    # 2) bucketed hash join on the closing pair (v, w) against the
+    # oriented edge set; neighbor lists are ordered by (degree, vid)
+    # rank only implicitly — the closing edge may be oriented either
+    # way in rank order, but N⁺ pairs (v, w) both follow u, so exactly
+    # one of (v→w) or (w→v) can exist; probe the canonical (min,max)
+    # form of both sides
+    def _tag_edges(t: pa.Table) -> pa.Table:
+        s, d = np_col(t, "src"), np_col(t, "dst")
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        return pa.table(
+            {
+                "v": pa.array(lo, pa.int64()),
+                "w": pa.array(hi, pa.int64()),
+                "u": pa.array(np.full(len(s), -1), pa.int64()),
+            }
+        )
+
+    def _tag_wedges(t: pa.Table) -> pa.Table:
+        v, w = np_col(t, "v"), np_col(t, "w")
+        lo, hi = np.minimum(v, w), np.maximum(v, w)
+        return pa.table(
+            {
+                "v": pa.array(lo, pa.int64()),
+                "w": pa.array(hi, pa.int64()),
+                "u": np_col(t, "u"),
+            }
+        )
+
+    tagged = oriented.map_batches(_tag_edges, batch_format="pyarrow").union(
+        wedges.map_batches(_tag_wedges, batch_format="pyarrow")
+    )
+
+    def _join_bucket(grp: pa.Table) -> pa.Table:
+        v, w, u = np_col(grp, "v"), np_col(grp, "w"), np_col(grp, "u")
+        is_edge = u == -1
+        ek = _pair_key(v[is_edge], w[is_edge])
+        ek.sort()
+        wi = np.flatnonzero(~is_edge)
+        wk = _pair_key(v[wi], w[wi])
+        pos = np.searchsorted(ek, wk)
+        ok = (pos < len(ek)) & (ek[np.minimum(pos, max(len(ek) - 1, 0))] == wk) if len(ek) else np.zeros(len(wk), bool)
+        hit = wi[ok]
+        vid = np.concatenate([u[hit], v[hit], w[hit]])
+        uniq, sums, _ = segment_sum(vid, np.ones(len(vid), np.int64))
+        return pa.table(
+            {"vid": pa.array(uniq, pa.int64()), "tri": pa.array(sums, pa.int64())}
+        )
+
+    return hash_bucket_agg(
+        tagged,
+        lambda b: _pair_key(np_col(b, "v"), np_col(b, "w")),
+        _join_bucket,
+        num_buckets=num_buckets,
+    )
 
 
 def triangle_counts(
@@ -95,10 +244,12 @@ def triangle_counts(
     *,
     vertex_ids: np.ndarray | None = None,
     n_actors: int | None = None,
+    method: str = "intersect",
 ) -> tuple[int, rd.Dataset]:
     """edges (canonical undirected src<dst, deduped, self-loop-free) →
     (total_triangles, per-vertex counts Dataset (vid, triangles) covering
     the whole vertex universe, zeros included)."""
+    assert method in ("intersect", "wedge")
     if n_actors is None:
         n_actors = max(1, min(num_parts, int(ray.cluster_resources().get("CPU", 4))))
 
@@ -134,23 +285,27 @@ def triangle_counts(
     oriented = edges.select_columns(["src", "dst"]).map_batches(
         _orient, batch_format="pyarrow"
     )
-    g_fwd = build_graph(
-        oriented,
-        os.path.join(work_dir, "tc_fwd"),
-        num_parts,
-        symmetrize=False,
-        vertex_ids=vids,
-    )
 
-    incr = rd.read_parquet(g_fwd.edges_dir, columns=["src", "dst"]).map_batches(
-        _TriangleStage,
-        fn_constructor_args=(g_fwd.shard_refs, num_parts),
-        batch_format="pyarrow",
-        batch_size=None,
-        zero_copy_batch=True,
-        concurrency=(1, n_actors),
-        num_cpus=1,
-    )
+    if method == "wedge":
+        incr = _wedge_increments(oriented.materialize(), num_buckets=num_parts)
+    else:
+        g_fwd = build_graph(
+            oriented,
+            os.path.join(work_dir, "tc_fwd"),
+            num_parts,
+            symmetrize=False,
+            vertex_ids=vids,
+        )
+        incr = rd.read_parquet(g_fwd.edges_dir, columns=["src", "dst"]).map_batches(
+            _TriangleStage,
+            fn_constructor_args=(g_fwd.shard_refs, num_parts),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+            concurrency=(1, n_actors),
+            num_cpus=1,
+            max_restarts=0,
+        )
     from ray.data.aggregate import Sum
 
     counts = incr.groupby("vid").aggregate(Sum("tri")).rename_columns(

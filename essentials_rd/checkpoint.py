@@ -68,10 +68,20 @@ class CheckpointManager:
         :meth:`finalize_step` lands the lineage + _SUCCESS marker."""
         tmp = os.path.join(self.dir, f"_tmp_step_{k:05d}")
         final = self.step_dir(k)
+        # invalidate k and everything after it FIRST (markers before
+        # dirs): a kill mid-write must never leave a _SUCCESS marker
+        # pointing at a missing/stale dir, and a non-resume rerun in a
+        # dirty checkpoint dir must not leave later-step markers from a
+        # previous run for resume to trip over
+        later = self.latest_step()
+        for j in range(k, (later if later is not None else k - 1) + 1):
+            if os.path.exists(self._marker(j)):
+                os.remove(self._marker(j))
+            if os.path.exists(self._lineage_path(j)):
+                os.remove(self._lineage_path(j))
+            shutil.rmtree(self.step_dir(j), ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
-        if os.path.exists(self._marker(k)):
-            os.remove(self._marker(k))
         state_ds.write_parquet(tmp)
         os.rename(tmp, final)
         return rd.read_parquet(final)

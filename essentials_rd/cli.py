@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
     edges_dir = os.path.join(args.ckpt_dir, "edges")
 
     if args.resume and os.path.isdir(edges_dir):
+        # partitioning comes from the checkpoint's own meta (a
+        # --num-parts mismatch would silently mispartition state);
+        # reload_graph raises if the flag contradicts the checkpoint
         g = reload_graph(edges_dir, args.num_parts)
         edges = None
     else:
@@ -108,9 +111,17 @@ def main(argv: list[str] | None = None) -> int:
         out_cols = ["x", "y"]
     else:  # tc
         if edges is None:
+            import pyarrow.compute as pc
             import ray.data as rd
 
-            edges = rd.read_parquet(edges_dir, columns=["src", "dst"])
+            # the edge checkpoint is SYMMETRIZED (both directions per
+            # undirected edge); triangle_counts requires the canonical
+            # deduped src<dst form — duplicated oriented edges would
+            # corrupt the sorted-adjacency intersection
+            edges = rd.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+                lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
+                batch_format="pyarrow",
+            )
         total, per_v = triangle_counts(
             edges.select_columns(["src", "dst"]),
             os.path.join(args.ckpt_dir, "tc_work"), args.num_parts,

@@ -64,6 +64,50 @@ def _count_rows(edges_dir: str, num_parts: int) -> int:
     )
 
 
+def _meta_dir(edges_dir: str) -> str:
+    return edges_dir.rstrip("/") + "_meta"
+
+
+def _write_graph_meta(
+    edges_dir: str, vertex_ids: np.ndarray, num_parts: int, weighted: bool,
+    n_edges: int,
+) -> None:
+    """Persist the vertex-id universe + build parameters next to the
+    immutable edge checkpoint so the resume path never re-reads edge
+    data into the driver (the |V|-sized id array is orders of magnitude
+    smaller than |E|)."""
+    import json
+
+    md = _meta_dir(edges_dir)
+    os.makedirs(md, exist_ok=True)
+    pq.write_table(
+        pa.table({"vid": pa.array(vertex_ids, pa.int64())}),
+        os.path.join(md, "vertex_ids.parquet"),
+    )
+    with open(os.path.join(md, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "num_parts": num_parts,
+                "weighted": weighted,
+                "n_edges": int(n_edges),
+                "n_vertices": int(len(vertex_ids)),
+            },
+            f,
+        )
+
+
+def read_graph_meta(edges_dir: str) -> dict | None:
+    """Graph build parameters persisted by build_graph, or None for a
+    pre-meta checkpoint (falls back to inference)."""
+    import json
+
+    p = os.path.join(_meta_dir(edges_dir), "meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def _infer_vertex_ids(edges_dir: str, num_parts: int) -> np.ndarray:
     vid_parts = []
     for p in range(num_parts):
@@ -171,6 +215,7 @@ def build_graph(
         vertex_ids = np.asarray(vertex_ids, dtype=np.int64)
     if n_vertices is None:
         n_vertices = len(vertex_ids)
+    _write_graph_meta(edges_dir, vertex_ids, num_parts, weighted, n_edges)
 
     return GraphShards(
         num_parts=num_parts,
@@ -185,22 +230,51 @@ def build_graph(
 
 
 def reload_graph(
-    edges_dir: str, num_parts: int, *, weighted: bool = False
+    edges_dir: str, num_parts: int | None = None, *, weighted: bool | None = None
 ) -> GraphShards:
     """Rebuild shards from the immutable edge checkpoint (resume path,
-    SURVEY.md §3.3) — the edge table is never rewritten."""
+    SURVEY.md §3.3) — the edge table is never rewritten.
+
+    Build parameters and the vertex-id universe come from the meta dir
+    persisted by :func:`build_graph`; explicit ``num_parts`` /
+    ``weighted`` are validated against it (a mismatched ``num_parts``
+    would silently mispartition every superstep).  Pre-meta checkpoints
+    fall back to driver-side inference (reads edge endpoints — avoid at
+    scale)."""
+    meta = read_graph_meta(edges_dir)
+    if meta is not None:
+        if num_parts is not None and num_parts != meta["num_parts"]:
+            raise ValueError(
+                f"num_parts={num_parts} does not match the edge checkpoint's "
+                f"num_parts={meta['num_parts']} ({edges_dir})"
+            )
+        if weighted is not None and weighted != meta["weighted"]:
+            raise ValueError(
+                f"weighted={weighted} does not match the edge checkpoint's "
+                f"weighted={meta['weighted']} ({edges_dir})"
+            )
+        num_parts = meta["num_parts"]
+        weighted = meta["weighted"]
+        n_edges = meta["n_edges"]
+        vertex_ids = np_col(
+            pq.read_table(
+                os.path.join(_meta_dir(edges_dir), "vertex_ids.parquet")
+            ),
+            "vid",
+        )
+    else:
+        assert num_parts is not None, "pre-meta checkpoint requires num_parts"
+        weighted = bool(weighted)
+        n_edges = _count_rows(edges_dir, num_parts)
+        vertex_ids = _infer_vertex_ids(edges_dir, num_parts)
     shard_futs = [
         _build_shard.options(num_returns=2).remote(edges_dir, p, weighted)
         for p in range(num_parts)
     ]
-    shard_refs = [f[0] for f in shard_futs]
-    degree_refs = [f[1] for f in shard_futs]
-    n_edges = _count_rows(edges_dir, num_parts)
-    vertex_ids = _infer_vertex_ids(edges_dir, num_parts)
     return GraphShards(
         num_parts=num_parts,
-        shard_refs=shard_refs,
-        degree_refs=degree_refs,
+        shard_refs=[f[0] for f in shard_futs],
+        degree_refs=[f[1] for f in shard_futs],
         n_vertices=len(vertex_ids),
         n_edges=int(n_edges),
         edges_dir=edges_dir,

@@ -116,8 +116,16 @@ def neighbor_reduce(
         else:
             idx = np.searchsorted(hot, k)
             is_hot = (idx < len(hot)) & (hot[np.minimum(idx, len(hot) - 1)] == k)
-        row_id = np.arange(batch.num_rows, dtype=np.int64)
-        salt = np.where(is_hot, (hash64(k * 1315423911 + row_id) % np.uint64(num_salts)).astype(np.int64), 0)
+        # value-based salt (never batch-position-based): identical rows
+        # always land in the same stage-1 partial regardless of how Ray
+        # splits blocks, so float partial-sum grouping is deterministic
+        v = np_col(batch, value)
+        vbits = np.ascontiguousarray(np.asarray(v, np.float64)).view(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = k.astype(np.uint64) * np.uint64(1315423911) + vbits
+        salt = np.where(
+            is_hot, (hash64(mix.astype(np.int64)) % np.uint64(num_salts)).astype(np.int64), 0
+        )
         return batch.append_column("__salt__", pa.array(salt, pa.int64()))
 
     def _agg(keys_: list[str], fn: str):
@@ -161,6 +169,11 @@ def top_k(ds: rd.Dataset, by: str, k: int, descending: bool = True) -> pa.Table:
         return batch.take(pa.array(np.sort(idx)))
 
     parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    if not parts:
+        # typed empty result (an untyped empty table would make the
+        # sort below fail on the missing key column)
+        schema = getattr(ds.schema(), "base_schema", None)
+        return schema.empty_table() if schema is not None else pa.table({})
     t = pa.Table.from_pylist(parts)
     order = pa.compute.sort_indices(
         t, sort_keys=[(by, "descending" if descending else "ascending")]

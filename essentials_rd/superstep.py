@@ -6,29 +6,55 @@ neighborreduce}.hxx`` + the host enactor loop in ``framework/enactor.
 hxx`` [U — snapshot absent, SURVEY.md §0]).  One superstep is
 (BASELINE.json north_star, verbatim architecture):
 
-  1. **scatter** — ``state.map_batches(_ScatterStage, concurrency=…)``:
-     an actor pool whose workers hold zero-copy Arrow/NumPy CSR
-     partition shards (fetched once per actor from the object store and
-     cached); each state batch is expanded along its out-edges into
-     messages, PRE-COMBINED per (destination, source-partition) — the
-     stage-1 combine that tames hub skew exactly like explicit salting
-     (salt = source partition id; see also ``ops.neighbor_reduce`` for
-     the standalone degree-threshold salting operator);
-  2. **combine shuffle on destination-vertex hash** — messages are
-     stamped ``part = splitmix64(dst) % P`` and co-grouped with the
-     vertex state via ``union → groupby("part").map_groups``;
+  1. **scatter** — ``state.map_batches(...)`` over workers holding
+     zero-copy Arrow/NumPy CSR partition shards (fetched once from the
+     object store and cached per worker / per actor); each state batch
+     is expanded along its out-edges into messages, PRE-COMBINED per
+     (destination, source-partition) — the stage-1 combine that tames
+     hub skew exactly like explicit salting (salt = source partition
+     id; see also ``ops.neighbor_reduce`` for the standalone
+     degree-threshold salting operator).  State rows pass through the
+     stage unchanged, so blocks stay partition-aligned and no
+     ``union`` (which would double the block count every superstep)
+     is needed;
+  2. **combine shuffle on destination-vertex hash** — rows carry
+     ``part = splitmix64(dst) % P`` and are co-grouped with the vertex
+     state via ``groupby("part").map_groups``;
   3. **apply** — per destination partition, messages are reduced
      (vectorized, deterministically sorted by (vid, source-part) so
      float sums are reproducible) and folded into new vertex state.
 
-Between supersteps the state is materialized — either to a Parquet
-checkpoint (with per-partition lineage: rows, message counts, changed
-counts, max delta — BASELINE.json "per-partition lineage and
-message-count metrics") or in the object store (``checkpoint_every``).
+**Executions vs supersteps.** ``steps_per_execution`` chains that many
+scatter→combine→apply rounds lazily into ONE Ray Data execution before
+the materialization barrier: per-execution fixed costs (executor
+startup, sort sampling, driver coordination) are paid once per chain
+instead of once per superstep — the difference between ~0.42 and
+≥0.8 scaling efficiency at 8→32 CPUs (BENCH/BASELINE.md).  Results are
+value-identical for any chain length; convergence is only *observed* at
+execution boundaries, so a program may run up to
+``steps_per_execution-1`` overshoot supersteps past its fixpoint
+(harmless for monotone programs like CC/LP; a no-op-rate wall-time cost
+for PR).
 
-Vertex programs (PR/CC/LP/SpMV) implement the small ``VertexProgram``
-protocol below — the analog of the reference's problem/enactor pair
-(``framework/{problem,enactor}.hxx`` [U]), ≈50 lines each.
+**Per-partition lineage** (BASELINE.json: "per-partition lineage and
+message-count metrics") flows out-of-band: every apply pushes its
+partition's ``{rows, msg_count, changed, sum_delta}`` to a zero-CPU
+collector actor keyed by (superstep, partition) — idempotent under task
+retries (values are deterministic, last write wins) — and the driver
+polls until every expected partition reported.  This replaces a
+per-superstep metric-extraction Dataset pass (a serial ~0.3-1 s that
+capped scaling).  Metric rows (kind=3) still ride in the state blocks
+for checkpoint/debug parity and for state transforms (CC pointer
+jumping) that must regenerate boundary metrics.
+
+Between executions the state is materialized — either to a Parquet
+checkpoint (state rows only; checkpoints are scatter-mode-independent)
+or in the object store (``checkpoint_every=0``).
+
+Vertex programs (PR/CC/LP/SpMV/BFS/SSSP) implement the small
+``VertexProgram`` protocol below — the analog of the reference's
+problem/enactor pair (``framework/{problem,enactor}.hxx`` [U]),
+≈50 lines each.
 """
 
 from __future__ import annotations
@@ -51,7 +77,7 @@ from .util import np_col, part_of
 _BOOK_COLS: list[tuple[str, pa.DataType]] = [
     ("vid", pa.int64()),
     ("part", pa.int32()),
-    ("kind", pa.int8()),  # 0=state, 1=message, 2=broadcast partial
+    ("kind", pa.int8()),  # 0=state, 1=message, 2=broadcast partial, 3=metrics
     ("sp", pa.int32()),  # source partition of a message (determinism key)
 ]
 _METRIC_COLS: list[tuple[str, pa.DataType]] = [
@@ -62,17 +88,25 @@ _METRIC_COLS: list[tuple[str, pa.DataType]] = [
 
 # Messages travel PACKED: one row per (source-partition →
 # destination-partition) per scatter batch, carrying list<> columns of
-# (dst, mcount, payload...).  The combine shuffle therefore moves
+# (dst[, mcount], payload...).  The combine shuffle therefore moves
 # ~|V| state rows plus ~P² packed rows whose bytes are pure message
 # payload — no per-message row overhead, no null-state-column buffers
 # (Arrow IPC materializes data buffers even for all-null fixed-width
 # columns, which would double the shuffle volume row-wise).
+# Programs whose apply() does not consume per-message counts set
+# ``uses_mcount = False`` to drop the mcount payload from the shuffle
+# entirely (PR/CC/SpMV: ⅓ less combine-shuffle volume); the raw
+# traversed-edge count per packed row still rides in its ``nmsg``.
 _PK_DST = "pk_dst"
 _PK_MCOUNT = "pk_mcount"
 
 
 def _pk(col: str) -> str:
     return f"pk_{col}"
+
+
+def _uses_mcount(prog) -> bool:
+    return bool(getattr(prog, "uses_mcount", True))
 
 
 class VertexProgram(Protocol):
@@ -107,7 +141,9 @@ class VertexProgram(Protocol):
 
 
 def full_schema(prog: VertexProgram) -> pa.Schema:
-    pk_cols = [(_PK_DST, pa.list_(pa.int64())), (_PK_MCOUNT, pa.list_(pa.int64()))]
+    pk_cols = [(_PK_DST, pa.list_(pa.int64()))]
+    if _uses_mcount(prog):
+        pk_cols.append((_PK_MCOUNT, pa.list_(pa.int64())))
     pk_cols += [(_pk(c), pa.list_(t)) for c, t in prog.msg_cols.items()]
     names = (
         [n for n, _ in _BOOK_COLS]
@@ -139,9 +175,9 @@ def _mk_table(schema: pa.Schema, n: int, cols: dict) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
-# per-worker-process shard cache for stateless-task scatter: worker
-# processes are reused across map_batches tasks, so a shard is fetched
-# (zero-copy from plasma) once per worker, not once per task.
+# per-worker-process shard cache: worker processes are reused across
+# map_batches tasks, so a shard is fetched (zero-copy from plasma) once
+# per worker, not once per task.
 _WORKER_SHARD_CACHE: dict = {}
 
 
@@ -158,13 +194,15 @@ def _cached_shard(ref) -> dict:
 def _scatter_batch(
     prog: VertexProgram, shard_refs, P: int, schema: pa.Schema, batch: pa.Table
 ) -> pa.Table:
-    """Expand one state batch into pre-combined message rows (shared by
-    all scatter modes)."""
+    """Expand one state batch into pre-combined packed message rows and
+    pass the state rows through unchanged (kind=3 metric rows are
+    dropped — their content already reached the metrics collector)."""
     kind = np_col(batch, "kind")
-    if (kind != 0).any():  # defensive: scatter only from state rows
+    if (kind != 0).any():  # scatter only from state rows
         batch = batch.take(pa.array(np.flatnonzero(kind == 0)))
     parts = np_col(batch, "part")
-    out: list[pa.Table] = []
+    with_mcount = _uses_mcount(prog)
+    out: list[pa.Table] = [batch]
     state_names = ["vid"] + list(prog.state_cols)
     for p in np.unique(parts):
         mask = np.flatnonzero(parts == p)
@@ -190,11 +228,12 @@ def _scatter_batch(
                 "part": uniq_dp.astype(np.int32),
                 "kind": np.full(nrows, 1, np.int8),
                 "sp": np.full(nrows, p, np.int32),
-                # nmsg on a packed row = raw message count (lineage)
+                # nmsg on a packed row = raw message count (lineage/TEPS)
                 "nmsg": np.add.reduceat(mcount[order], starts).astype(np.int64),
                 _PK_DST: _pack(dst, pa.int64()),
-                _PK_MCOUNT: _pack(mcount, pa.int64()),
             }
+            if with_mcount:
+                cols[_PK_MCOUNT] = _pack(mcount, pa.int64())
             for c, t in prog.msg_cols.items():
                 cols[_pk(c)] = _pack(np.asarray(msgs[c]), t)
             out.append(_mk_table(schema, nrows, cols))
@@ -208,32 +247,32 @@ def _scatter_batch(
                 _PK_DST: pa.ListArray.from_arrays(
                     boff, pa.array(np.full(P, -1, np.int64), pa.int64())
                 ),
-                _PK_MCOUNT: pa.ListArray.from_arrays(
-                    boff, pa.array(np.ones(P, np.int64), pa.int64())
-                ),
             }
+            if with_mcount:
+                cols[_PK_MCOUNT] = pa.ListArray.from_arrays(
+                    boff, pa.array(np.ones(P, np.int64), pa.int64())
+                )
             for c, t in prog.msg_cols.items():
                 cols[_pk(c)] = pa.ListArray.from_arrays(
                     boff, pa.array(np.full(P, bcast[c]), t)
                 )
             out.append(_mk_table(schema, P, cols))
-    if not out:
-        return _empty(schema)
+    if len(out) == 1:
+        return out[0]
     return pa.concat_tables(out)
 
 
 class _ScatterStage:
-    """Actor-pool callable: holds CSR shards (zero-copy from plasma) in
+    """Actor-pool callable (the spec-literal "CSR partition shards held
+    in actor-pool state"): holds CSR shards zero-copy from plasma in
     actor state, expands state batches into pre-combined messages.
 
     Shards are fetched lazily on first use and cached for the actor's
     lifetime — ``ray.get`` of a NumPy-bearing object is a zero-copy mmap
-    of the node-local plasma segment.  NOTE: because Ray Data builds a
-    fresh actor pool per Dataset execution, a loop with many short
-    supersteps pays actor-startup latency every superstep — that is why
-    ``scatter_mode="tasks"`` (identical dataflow, stateless tasks with a
-    per-worker-process shard cache) is the default; "actors" is the
-    spec-literal variant, best when supersteps are few and heavy.
+    of the node-local plasma segment.  The pool is created with
+    ``max_restarts=0`` so an actor loss retries the task on a fresh
+    actor instead of attempting an actor restart whose constructor args
+    may have left the object store (ray#53727).
     """
 
     def __init__(self, prog: VertexProgram, shard_refs: list, num_parts: int):
@@ -241,26 +280,67 @@ class _ScatterStage:
         self.refs = shard_refs
         self.P = num_parts
         self.schema = full_schema(prog)
+        self.cache: dict[int, dict] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return _scatter_batch(self.prog, self.refs, self.P, self.schema, batch)
 
 
-def _make_apply(prog: VertexProgram, schema_ref, fused: tuple | None = None):
-    """Build the map_groups fn for one part: split state/msgs/broadcast,
-    sort deterministically, delegate to prog.apply.
+@ray.remote(num_cpus=0)
+class _MetricsCollector:
+    """Out-of-band per-(superstep, partition) lineage sink.
 
-    With ``fused=(shard_refs, num_parts)`` the fn also scatters the NEXT
-    superstep's messages from the freshly applied state (the combine
-    shuffle then carries state+messages together — one all-to-all per
-    superstep instead of two stages)."""
+    ``add`` is idempotent per key — apply tasks are deterministic, so a
+    Ray retry re-reports identical values and last-write-wins is safe.
+    """
+
+    def __init__(self):
+        self.steps: dict[int, dict[int, dict]] = {}
+
+    def add(self, step: int, part: int, metrics: dict) -> None:
+        self.steps.setdefault(step, {})[part] = metrics
+
+    def get_range(self, lo: int, hi: int) -> dict[int, dict[int, dict]]:
+        return {k: v for k, v in self.steps.items() if lo <= k <= hi}
+
+
+def _drain(
+    collector, lo: int, hi: int, expected_parts: list[int], timeout_s: float = 300.0
+) -> dict[int, dict[int, dict]]:
+    """Poll the collector until steps lo..hi all have every expected
+    partition (actor message delivery is async w.r.t. task completion,
+    so the driver must wait for the last stragglers — normally 0-1
+    polls)."""
+    want = set(expected_parts)
+    deadline = time.monotonic() + timeout_s
+    while True:
+        got = ray.get(collector.get_range.remote(lo, hi))
+        if all(want <= set(got.get(k, {})) for k in range(lo, hi + 1)):
+            return got
+        if time.monotonic() > deadline:
+            missing = {
+                k: sorted(want - set(got.get(k, {}))) for k in range(lo, hi + 1)
+            }
+            raise TimeoutError(f"metrics collector incomplete: {missing}")
+        time.sleep(0.02)
+
+
+def _make_apply(
+    prog: VertexProgram,
+    schema_ref,
+    step_id: int = 0,
+    collector=None,
+):
+    """Build the map_groups fn for one part: split state/msgs/broadcast,
+    sort deterministically, delegate to prog.apply, report this
+    partition's lineage metrics to the collector."""
     schema = schema_ref
     state_names = ["vid"] + list(prog.state_cols)
     msg_names = list(prog.msg_cols)
+    with_mcount = _uses_mcount(prog)
 
     def _apply(grp: pa.Table) -> pa.Table:
         kind = np_col(grp, "kind")
-        vid_all = np_col(grp, "vid")
         part = int(np_col(grp, "part")[0])
         s_idx = np.flatnonzero(kind == 0)
         m_idx = np.flatnonzero(kind == 1)
@@ -270,8 +350,10 @@ def _make_apply(prog: VertexProgram, schema_ref, fused: tuple | None = None):
         order = np.argsort(state["vid"], kind="stable")
         state = {n: v[order] for n, v in state.items()}
 
+        msg_total = 0
         if len(m_idx):
             m_tbl = grp.take(pa.array(m_idx))
+            msg_total = int(np_col(m_tbl, "nmsg").sum())
             # deterministic packed-row order: value-based key (sp, first
             # dst, length) — a source partition can emit several packed
             # rows (its state split across blocks), and arrival order
@@ -284,11 +366,13 @@ def _make_apply(prog: VertexProgram, schema_ref, fused: tuple | None = None):
             )
             rorder = np.lexsort((lens, firsts, msp))
             flat_idx = pa.array(rorder)
+
             def _unpack(col_name):
                 col = m_tbl.column(col_name).combine_chunks().take(flat_idx)
                 return np.asarray(col.flatten().to_numpy(zero_copy_only=False))
+
             mvid = _unpack(_PK_DST)
-            mcnt = _unpack(_PK_MCOUNT)
+            mcnt = _unpack(_PK_MCOUNT) if with_mcount else np.ones(len(mvid), np.int64)
             mcols = {n: _unpack(_pk(n)) for n in msg_names}
             # stable sort by destination only: equal-key order inherits
             # the deterministic packed-row order above
@@ -328,25 +412,31 @@ def _make_apply(prog: VertexProgram, schema_ref, fused: tuple | None = None):
         for c in prog.state_cols:
             cols[c] = new[c]
         out = _mk_table(schema, n, cols)
-        if fused is not None:
-            refs, P = fused
-            msg_tbl = _scatter_batch(prog, refs, P, schema, out)
-            if msg_tbl.num_rows:
-                out = pa.concat_tables([out, msg_tbl])
-        # per-partition lineage metrics ride along as one kind=3 row —
-        # the engine extracts them with a map-only scan instead of a
-        # second groupby pass per superstep (incoming kind=3 rows from
-        # the previous superstep are dropped by the kind split above)
-        out = pa.concat_tables([out, _metric_row(schema, part, cols)])
+        out = pa.concat_tables([out, _metric_row(schema, part, cols, msg_total)])
+        if collector is not None:
+            collector.add.remote(
+                step_id,
+                part,
+                {
+                    "rows": n,
+                    "msg_count": msg_total,
+                    "changed": int(cols["changed"].sum()),
+                    "sum_delta": float(cols["delta"].sum()),
+                },
+            )
         return out
 
     return _apply
 
 
-def _metric_row(schema: pa.Schema, part: int, state_cols: dict) -> pa.Table:
+def _metric_row(
+    schema: pa.Schema, part: int, state_cols: dict, msg_total: int | None = None
+) -> pa.Table:
     """kind=3 row: vid=changed_count, sp=rows, nmsg=msg_count,
     delta=Σdelta (the part is in the part column)."""
     n = len(state_cols["vid"])
+    if msg_total is None:
+        msg_total = int(state_cols["nmsg"].sum())
     return _mk_table(
         schema,
         1,
@@ -355,11 +445,46 @@ def _metric_row(schema: pa.Schema, part: int, state_cols: dict) -> pa.Table:
             "part": np.array([part], np.int32),
             "kind": np.array([3], np.int8),
             "sp": np.array([n], np.int32),
-            "nmsg": np.array([int(state_cols["nmsg"].sum())], np.int64),
+            "nmsg": np.array([msg_total], np.int64),
             "delta": np.array([float(state_cols["delta"].sum())], np.float64),
             "changed": np.array([0], np.int8),
         },
     )
+
+
+def _metric_rows_from_blocks(state_ds: rd.Dataset) -> dict[int, dict]:
+    """Re-extract kind=3 metric rows from a MATERIALIZED dataset's blocks
+    (used after a state transform regenerated boundary metrics) — P tiny
+    remote tasks over block refs, no Dataset execution."""
+
+    @ray.remote(num_cpus=0)
+    def _extract(block) -> list[tuple[int, dict]]:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        if t.num_rows == 0 or "kind" not in t.column_names:
+            return []
+        k = np_col(t, "kind")
+        m = t.take(pa.array(np.flatnonzero(k == 3)))
+        out = []
+        for i in range(m.num_rows):
+            out.append(
+                (
+                    int(m.column("part")[i].as_py()),
+                    {
+                        "rows": int(m.column("sp")[i].as_py()),
+                        "msg_count": int(m.column("nmsg")[i].as_py()),
+                        "changed": int(m.column("vid")[i].as_py()),
+                        "sum_delta": float(m.column("delta")[i].as_py()),
+                    },
+                )
+            )
+        return out
+
+    refs = state_ds.get_internal_block_refs()
+    out: dict[int, dict] = {}
+    for lst in ray.get([_extract.remote(r) for r in refs]):
+        for part, metrics in lst:
+            out[part] = metrics
+    return out
 
 
 @dataclass
@@ -373,7 +498,7 @@ class RunResult:
     def state_table(self, cols: list[str]) -> pa.Table:
         """Small-result convenience: pull selected state columns sorted
         by vid (drivers/tests only — materializes |V| rows).  Filters to
-        state rows (a fused-mode dataset also carries message rows)."""
+        state rows (kind=3 metric rows ride in the same blocks)."""
         t = pa.Table.from_pylist(
             self.state.select_columns(["vid", "kind"] + cols).take_all()
         )
@@ -381,9 +506,7 @@ class RunResult:
         return t.sort_by("vid")
 
     def state_dataset(self) -> rd.Dataset:
-        """State rows only, as a Dataset (drops fused-mode message rows)."""
-        import pyarrow.compute as pc
-
+        """State rows only, as a Dataset (drops metric rows)."""
         return self.state.map_batches(
             lambda t: t.filter(pc.equal(t["kind"], 0)), batch_format="pyarrow"
         )
@@ -421,7 +544,7 @@ def make_init_state(prog: VertexProgram, graph: GraphShards) -> rd.Dataset:
     }
     cols.update(init)
     tbl = _mk_table(schema, n, cols)
-    # per-part metric rows for step 0's lineage (zero deltas/messages)
+    # per-part metric rows for step 0's state parquet (zero deltas)
     pcounts = np.bincount(cols["part"], minlength=graph.num_parts)
     metric_tbls = [
         _metric_row(
@@ -435,6 +558,7 @@ def make_init_state(prog: VertexProgram, graph: GraphShards) -> rd.Dataset:
             },
         )
         for p in range(graph.num_parts)
+        if pcounts[p] > 0
     ]
     tbl = pa.concat_tables([tbl] + metric_tbls)
     # one block per partition: Ray's sort-based groupby sizes its output
@@ -445,39 +569,28 @@ def make_init_state(prog: VertexProgram, graph: GraphShards) -> rd.Dataset:
     return rd.from_arrow(tbl).repartition(graph.num_parts)
 
 
-def _lineage(state_ds: rd.Dataset, k: int, wall_s: float) -> dict:
-    """Collect the kind=3 per-partition metric rows (map-only scan +
-    take of P rows — no shuffle)."""
-    import pyarrow.compute as pc
+def _expected_parts(graph: GraphShards) -> list[int]:
+    vids = ray.get(graph.vertex_ids_ref)
+    return sorted(np.unique(part_of(vids, graph.num_parts)).tolist())
 
-    rows = (
-        state_ds.map_batches(
-            lambda t: t.filter(pc.equal(t.column("kind"), 3)),
-            batch_format="pyarrow",
-        )
-        .select_columns(["part", "sp", "vid", "nmsg", "delta"])
-        .take_all()
-    )
+
+def _step0_lineage(graph: GraphShards, expected: list[int], wall_s: float) -> dict:
+    vids = ray.get(graph.vertex_ids_ref)
+    pcounts = np.bincount(part_of(vids, graph.num_parts), minlength=graph.num_parts)
     parts = [
-        {
-            "part": r["part"],
-            "rows": r["sp"],
-            "msg_count": r["nmsg"],
-            "changed": r["vid"],
-            "sum_delta": r["delta"],
-        }
-        for r in sorted(rows, key=lambda r: r["part"])
+        {"part": p, "rows": int(pcounts[p]), "msg_count": 0, "changed": 0,
+         "sum_delta": 0.0}
+        for p in expected
     ]
-    totals = {
-        "superstep": k,
-        "rows": int(sum(p["rows"] for p in parts)),
-        "msg_count": int(sum(p["msg_count"] or 0 for p in parts)),
-        "changed": int(sum(p["changed"] or 0 for p in parts)),
-        "sum_delta": float(sum(p["sum_delta"] or 0.0 for p in parts)),
+    return {
+        "superstep": 0,
+        "rows": int(len(vids)),
+        "msg_count": 0,
+        "changed": 0,
+        "sum_delta": 0.0,
         "wall_s": wall_s,
         "partitions": parts,
     }
-    return totals
 
 
 def run_superstep_loop(
@@ -490,6 +603,7 @@ def run_superstep_loop(
     n_actors: int | None = None,
     resume: bool = False,
     scatter_mode: str = "tasks",
+    steps_per_execution: int = 1,
     on_step_end: Callable[[int, dict], None] | None = None,
 ) -> RunResult:
     """Drive the BSP loop (the reference's host enactor [U]).
@@ -497,29 +611,55 @@ def run_superstep_loop(
     ``checkpoint_every=0`` disables Parquet checkpoints (object-store
     materialization only — used by short oracle queries); the final
     state is still returned.  ``resume=True`` restarts from the last
-    _SUCCESS step in ``ckpt`` (partial temp dirs are discarded).
+    _SUCCESS step in ``ckpt`` (partial temp dirs are discarded);
+    checkpoints contain state rows only, so a run may resume under a
+    different ``scatter_mode`` / ``steps_per_execution`` than wrote
+    them.
 
-    ``scatter_mode`` (measured in BENCH/BASELINE.md):
+    ``scatter_mode``:
     - "tasks" (default): scatter = stateless ``map_batches`` tasks; CSR
       shards fetched zero-copy from plasma, cached per worker process;
     - "actors": scatter = ``map_batches`` actor pool holding the shards
-      in actor state (spec-literal; pays pool startup per superstep);
-    - "fused": scatter happens inside the combine ``map_groups`` right
-      after apply — one all-to-all per superstep, lowest latency.
-    Resume must use the checkpoint's mode family: "fused" checkpoints
-    carry message rows, the others don't (asserted via lineage).
+      in actor state (spec-literal; pays pool startup per execution);
+    - "fused": accepted alias of "tasks" (scatter and apply land in one
+      fused Ray Data map stage per superstep either way).
+
+    ``steps_per_execution=s`` chains s supersteps into one execution
+    (see module docstring); checkpoints and convergence observation
+    happen at execution boundaries, and ``checkpoint_every`` shortens a
+    chain when a checkpoint step falls inside it.
     """
     if n_actors is None:
-        n_actors = max(1, min(graph.num_parts, int(ray.cluster_resources().get("CPU", 4))))
+        n_actors = max(
+            1, min(graph.num_parts, int(ray.cluster_resources().get("CPU", 4)))
+        )
     assert scatter_mode in ("tasks", "actors", "fused")
-    fused = scatter_mode == "fused"
-    # programs with mode-dependent frontier semantics (CC pointer
-    # jumping) can read the mode; harmless for everyone else
-    prog._scatter_mode = scatter_mode
+    assert steps_per_execution >= 1
     schema = full_schema(prog)
+    P = graph.num_parts
     scatter_task = functools.partial(
-        _scatter_batch, prog, graph.shard_refs, graph.num_parts, schema
+        _scatter_batch, prog, graph.shard_refs, P, schema
     )
+
+    def _add_scatter(d: rd.Dataset) -> rd.Dataset:
+        if scatter_mode == "actors":
+            return d.map_batches(
+                _ScatterStage,
+                fn_constructor_args=(prog, graph.shard_refs, P),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+                concurrency=(1, n_actors),
+                num_cpus=1,
+                max_restarts=0,
+            )
+        return d.map_batches(
+            scatter_task, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+
+    collector = _MetricsCollector.remote()
+    expected = _expected_parts(graph)
     history: list[dict] = []
     k0 = 0
     if resume:
@@ -527,29 +667,17 @@ def run_superstep_loop(
         ckpt.clean_partials()
         last = ckpt.latest_step()
         if last is not None:
-            state, lin0 = ckpt.load_step(last)
-            assert lin0.get("fused", False) == fused, (
-                "resume scatter_mode mismatch with checkpoint"
-            )
+            state, _lin0 = ckpt.load_step(last)
             history = ckpt.load_history(last)
             k0 = last
         else:
             resume = False
     if not resume:
+        t0 = time.perf_counter()
         state = make_init_state(prog, graph)
-        if fused:
-            # seed the pipeline: state_0 + messages scattered from state_0
-            state = state.union(
-                state.map_batches(
-                    scatter_task, batch_format="pyarrow", batch_size=None,
-                    zero_copy_batch=True,
-                )
-            )
         if ckpt is not None and checkpoint_every:
-            t0 = time.perf_counter()
             state = ckpt.write_state(0, state)
-            lin = _lineage(state, 0, time.perf_counter() - t0)
-            lin["fused"] = fused
+            lin = _step0_lineage(graph, expected, time.perf_counter() - t0)
             ckpt.finalize_step(0, lin)
             history = [lin]
         else:
@@ -558,77 +686,94 @@ def run_superstep_loop(
 
     # if already converged at the resume point, return immediately
     if history and history[-1]["superstep"] > 0 and prog.converged(history[-1]):
-        return RunResult(state, history, history[-1]["superstep"], True,
-                         sum(h["msg_count"] for h in history))
+        return RunResult(
+            state,
+            history,
+            history[-1]["superstep"],
+            True,
+            sum(h["msg_count"] for h in history),
+        )
 
     result = RunResult(state, history)
-    for k in range(k0 + 1, max_iters + 1):
+    transform = getattr(prog, "transform_state", None)
+    k = k0
+    while k < max_iters and not result.converged:
+        n_steps = min(steps_per_execution, max_iters - k)
+        if ckpt is not None and checkpoint_every:
+            # shorten the chain so the boundary lands on a checkpoint step
+            to_ckpt = checkpoint_every - (k % checkpoint_every)
+            n_steps = min(n_steps, to_ckpt)
+        if transform is not None:
+            # state transforms (CC pointer jumping) run at execution
+            # boundaries; keep chains short enough that a due transform
+            # is not skipped
+            je = getattr(prog, "pointer_jump_every", 0)
+            if je:
+                n_steps = min(n_steps, je - (k % je))
         t0 = time.perf_counter()
-        if fused:
-            new_state = state.groupby("part").map_groups(
-                _make_apply(
-                    prog, schema, fused=(graph.shard_refs, graph.num_parts)
-                ),
+        d = state
+        for i in range(1, n_steps + 1):
+            d = _add_scatter(d)
+            d = d.groupby("part").map_groups(
+                _make_apply(prog, schema, step_id=k + i, collector=collector),
                 batch_format="pyarrow",
             )
-        else:
-            if scatter_mode == "actors":
-                msgs = state.map_batches(
-                    _ScatterStage,
-                    fn_constructor_args=(prog, graph.shard_refs, graph.num_parts),
-                    batch_format="pyarrow",
-                    batch_size=None,
-                    zero_copy_batch=True,
-                    concurrency=(1, n_actors),
-                    num_cpus=1,
-                )
-            else:  # stateless tasks — same dataflow, no pool startup
-                msgs = state.map_batches(
-                    scatter_task,
-                    batch_format="pyarrow",
-                    batch_size=None,
-                    zero_copy_batch=True,
-                )
-            new_state = (
-                state.union(msgs)
-                .groupby("part")
-                .map_groups(_make_apply(prog, schema), batch_format="pyarrow")
-            )
-        # optional program hook (e.g. CC pointer-jumping): runs before
+        boundary = k + n_steps
+        mat = d.materialize()
+        # optional program hook (e.g. CC pointer jumping): runs before
         # the checkpoint write so checkpoints contain the transformed
         # state (resume stays exact).  The input is materialized first —
-        # the transform fans out into several consumers (filters + both
-        # sides of its bucketed join), and each consumer of a LAZY
-        # dataset would re-execute the whole superstep prefix.
-        transform = getattr(prog, "transform_state", None)
+        # the transform fans out into several consumers, and each
+        # consumer of a LAZY dataset would re-execute the whole chain.
+        transformed = False
         if transform is not None:
-            pre = new_state.materialize()
-            new_state = transform(pre, k)
-        do_ckpt = ckpt is not None and checkpoint_every and (k % checkpoint_every == 0)
-        mat = new_state.materialize()
-        # block-count guard: the sort-based groupby emits one output
-        # partition per INPUT block, and union(state, msgs) feeds it ~2×
-        # the state's blocks — unchecked, blocks double every superstep
-        # (and triple on pointer-jump steps).  Run the cap as its OWN
-        # execution: chaining a repartition onto the groupby pipeline
-        # can deadlock the streaming executor at low CPU counts.
-        if mat.num_blocks() > 3 * graph.num_parts:
-            mat = mat.repartition(graph.num_parts).materialize()
+            post = transform(mat, boundary)
+            if post is not mat:
+                mat = post.materialize()
+                transformed = True
+        # block-count guard: transforms can fan out block counts;
+        # unchecked they would grow across executions.
+        if mat.num_blocks() > 3 * P:
+            mat = mat.repartition(P).materialize()
+        wall = time.perf_counter() - t0
+        do_ckpt = (
+            ckpt is not None and checkpoint_every and boundary % checkpoint_every == 0
+        )
         if do_ckpt:
-            state = ckpt.write_state(k, mat)
+            state = ckpt.write_state(boundary, mat)
         else:
             state = mat
-        lin = _lineage(state, k, time.perf_counter() - t0)
-        lin["fused"] = fused
+        got = _drain(collector, k + 1, boundary, expected)
+        if transformed:
+            # the transform regenerated the boundary step's kind=3 rows
+            # (e.g. labels lowered by a pointer jump); re-read them so
+            # convergence sees the post-transform truth
+            got[boundary] = _metric_rows_from_blocks(state)
+        lins = []
+        for i in range(k + 1, boundary + 1):
+            parts = [{"part": p, **got[i][p]} for p in sorted(got[i])]
+            lins.append(
+                {
+                    "superstep": i,
+                    "rows": int(sum(q["rows"] for q in parts)),
+                    "msg_count": int(sum(q["msg_count"] for q in parts)),
+                    "changed": int(sum(q["changed"] for q in parts)),
+                    "sum_delta": float(sum(q["sum_delta"] for q in parts)),
+                    "wall_s": wall / n_steps,
+                    "partitions": parts,
+                }
+            )
         if do_ckpt:
-            ckpt.finalize_step(k, lin)
-        history.append(lin)
-        result.supersteps = k
-        if on_step_end is not None:
-            on_step_end(k, lin)
-        if prog.converged(lin):
-            result.converged = True
-            break
+            # the step is durable before any user hook can observe it
+            ckpt.finalize_step(boundary, lins[-1])
+        for lin in lins:
+            history.append(lin)
+            result.supersteps = lin["superstep"]
+            if on_step_end is not None:
+                on_step_end(lin["superstep"], lin)
+            if prog.converged(lin):
+                result.converged = True
+        k = boundary
     result.state = state
     result.history = history
     result.total_messages = int(sum(h["msg_count"] for h in history))

@@ -33,26 +33,6 @@ def part_of(vids: np.ndarray, num_parts: int) -> np.ndarray:
     return (hash64(np.asarray(vids)) % np.uint64(num_parts)).astype(np.int32)
 
 
-def hash64_str(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Deterministic 64-bit hash of a string column (for salting string keys).
-
-    Uses a vectorized FNV-1a over the UTF-8 bytes via numpy; adequate as a
-    partitioning hash (not cryptographic).
-    """
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    out = np.empty(len(col), dtype=np.uint64)
-    fnv_offset = np.uint64(0xCBF29CE484222325)
-    fnv_prime = np.uint64(0x100000001B3)
-    with np.errstate(over="ignore"):
-        for i, v in enumerate(col):
-            h = fnv_offset
-            for b in v.as_py().encode("utf-8"):
-                h = (h ^ np.uint64(b)) * fnv_prime
-            out[i] = h
-    return out
-
-
 def csr_from_edges(
     src: np.ndarray, dst: np.ndarray, weight: np.ndarray | None = None
 ) -> dict:

@@ -125,12 +125,13 @@ def test_lp_matches_reference(tmp_path):
     assert np.asarray(t["label"]).tolist() == expected.tolist()
 
 
-def test_tc_matches_reference(tmp_path):
+@pytest.mark.parametrize("method", ["intersect", "wedge"])
+def test_tc_matches_reference(tmp_path, method):
     src, dst = _random_edges(n=20, m=80, seed=17)
     src, dst = _canon(src, dst)
     vids = np.unique(np.r_[src, dst])
     total, per_v = triangle_counts(
-        edges_ds(src, dst), str(tmp_path), 3, vertex_ids=vids
+        edges_ds(src, dst), str(tmp_path), 3, vertex_ids=vids, method=method
     )
     exp_total, exp_per_v = triangles_ref(vids, src, dst)
     assert total == exp_total
