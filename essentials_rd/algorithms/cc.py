@@ -209,12 +209,11 @@ class ConnectedComponentsProgram:
         new = old.copy()
         nmsg = np.zeros(len(vids), np.int64)
         if len(msgs["vid"]):
-            uniq, starts = np.unique(msgs["vid"], return_index=True)
-            mins = np.minimum.reduceat(msgs["mlabel"], starts)
-            cnts = np.add.reduceat(msgs["mcount"], starts)
-            pos = np.searchsorted(vids, uniq)
-            np.minimum.at(new, pos, mins)
-            nmsg[pos] = cnts
+            # packed-row order, not vid-grouped; min is order-exact and
+            # unbuffered minimum.at beats the argsort+reduceat path
+            pos = np.searchsorted(vids, msgs["vid"])
+            np.minimum.at(new, pos, msgs["mlabel"])
+            nmsg = np.bincount(pos, minlength=len(vids)).astype(np.int64)
         changed = (new < old).astype(np.int8)
         return {
             "label": new,

@@ -61,16 +61,16 @@ class PageRankProgram:
 
     def apply(self, state, msgs, bcast):
         vids, value = state["vid"], state["value"]
-        agg = np.zeros(len(vids))
-        nmsg = np.zeros(len(vids), np.int64)
+        n = len(vids)
+        agg = np.zeros(n)
+        nmsg = np.zeros(n, np.int64)
         if len(msgs["vid"]):
-            # msgs sorted by (vid, sp): deterministic summation order
-            uniq, starts = np.unique(msgs["vid"], return_index=True)
-            sums = np.add.reduceat(msgs["mval"], starts)
-            cnts = np.add.reduceat(msgs["mcount"], starts)
-            pos = np.searchsorted(vids, uniq)
-            agg[pos] = sums
-            nmsg[pos] = cnts
+            # msgs arrive in deterministic packed-row order (not
+            # vid-grouped): bincount accumulates per destination in that
+            # order — reproducible float sums with no O(M log M) sort
+            pos = np.searchsorted(vids, msgs["vid"])
+            agg = np.bincount(pos, weights=msgs["mval"], minlength=n)
+            nmsg = np.bincount(pos, minlength=n).astype(np.int64)
         dmass = bcast.get("mval", 0.0)
         new_value = (1.0 - self.alpha) / self.n + self.alpha * (agg + dmass / self.n)
         delta = np.abs(new_value - value)

@@ -48,10 +48,10 @@ class SpmvProgram:
         y = np.zeros(len(vids))
         nmsg = np.zeros(len(vids), np.int64)
         if len(msgs["vid"]):
-            uniq, starts = np.unique(msgs["vid"], return_index=True)
-            pos = np.searchsorted(vids, uniq)
-            y[pos] = np.add.reduceat(msgs["mval"], starts)
-            nmsg[pos] = np.add.reduceat(msgs["mcount"], starts)
+            # packed-row order, not vid-grouped: bincount per destination
+            pos = np.searchsorted(vids, msgs["vid"])
+            y = np.bincount(pos, weights=msgs["mval"], minlength=len(vids))
+            nmsg = np.bincount(pos, minlength=len(vids)).astype(np.int64)
         return {
             "x": state["x"],
             "y": y,

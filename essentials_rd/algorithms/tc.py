@@ -130,46 +130,19 @@ def _wedge_increments(oriented: rd.Dataset, num_buckets: int) -> rd.Dataset:
     the oriented edge set on the closing pair (v, w)."""
 
     # 1) group oriented edges by source, expand ordered neighbor pairs
+    # (vectorized triangular expansion — util.grouped_pair_expand)
     def _expand_wedges(grp: pa.Table) -> pa.Table:
+        from ..util import grouped_pair_expand
+
         s = np_col(grp, "src")
         d = np_col(grp, "dst")
         order = np.lexsort((d, s))
         s, d = s[order], d[order]
-        srcs, starts, counts = np.unique(s, return_index=True, return_counts=True)
-        # pair expansion per source: for a run of c neighbors there are
-        # c*(c-1)/2 ordered pairs — fully vectorized index arithmetic
-        c = counts
-        npairs = (c * (c - 1)) // 2
-        total = int(npairs.sum())
-        if total == 0:
-            return pa.table(
-                {
-                    "v": pa.array([], pa.int64()),
-                    "w": pa.array([], pa.int64()),
-                    "u": pa.array([], pa.int64()),
-                }
-            )
-        grp_rep = np.repeat(np.arange(len(srcs)), npairs)
-        # local pair index 0..npairs[g]-1 within each group
-        off = np.zeros(len(srcs), np.int64)
-        np.cumsum(npairs[:-1], out=off[1:])
-        t = np.arange(total, dtype=np.int64) - off[grp_rep]
-        cc = c[grp_rep]
-        # map flat pair index t -> (i, j), i<j over cc elements
-        # (standard triangular-number inversion, all-numpy)
-        i = (
-            cc
-            - 2
-            - np.floor(
-                np.sqrt(-8.0 * t + 4.0 * cc * (cc - 1) - 7.0) / 2.0 - 0.5
-            )
-        ).astype(np.int64)
-        j = t + i + 1 - (cc * (cc - 1)) // 2 + ((cc - i) * ((cc - i) - 1)) // 2
-        base = starts[grp_rep]
+        v, w, base = grouped_pair_expand(s, d)
         return pa.table(
             {
-                "v": pa.array(d[base + i], pa.int64()),
-                "w": pa.array(d[base + j], pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.int64()),
                 "u": pa.array(s[base], pa.int64()),
             }
         )

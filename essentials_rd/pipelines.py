@@ -31,51 +31,67 @@ def _work_dir(tag: str) -> str:
 
 
 def copurchase_items(sf_dir: str) -> rd.Dataset:
-    """Distinct (l_orderkey, l_partkey) — the keyed rows."""
+    """Distinct (l_orderkey, l_partkey) — the keyed rows.  Bucketed on
+    hash(l_orderkey) so the downstream pair expansion reuses the same
+    partitioning key (SURVEY.md §4.3: pick ONE key and keep it)."""
+    from .ops import hash_bucket_agg
+
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
-    return ds.groupby(["l_orderkey", "l_partkey"]).count().drop_columns(["count()"])
+
+    def _distinct(grp: pa.Table) -> pa.Table:
+        ok = np_col(grp, "l_orderkey")
+        pk = np_col(grp, "l_partkey")
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[keep], pa.int64()),
+                "l_partkey": pa.array(pk[keep], pa.int64()),
+            }
+        )
+
+    return hash_bucket_agg(ds, lambda b: np_col(b, "l_orderkey"), _distinct)
 
 
 def copurchase_edges(sf_dir: str) -> rd.Dataset:
     """Canonical undirected edges (src<dst, weight = #shared orders).
 
-    Pair expansion runs per order group (orders hold ≤ ~7 items, so the
-    k² expansion is bounded — the corpus derivation's heavy-key cap
-    exists for exactly the unbounded version of this); dedup+weight
-    merge is a groupby aggregate on the pair (SURVEY.md §2.4 R5)."""
+    One bucketed shuffle on hash(l_orderkey) brings every order's items
+    together; the k² pair expansion inside each bucket is ONE vectorized
+    triangular expansion over all of the bucket's orders (no Python
+    callback per order — at scale that would be one call per order key;
+    orders hold ≤ ~7 items, so the expansion itself is bounded — the
+    corpus derivation's heavy-key cap exists for the unbounded version).
+    Dedup+weight merge is a second bucketed aggregate on the pair
+    (SURVEY.md §2.4 R5)."""
+    from .ops import grouped_pandas_agg, hash_bucket_agg
+    from .util import grouped_pair_expand
 
-    def _pairs(grp: pa.Table) -> pa.Table:
-        parts = np.sort(np_col(grp, "l_partkey"))
-        k = len(parts)
-        if k < 2:
-            return pa.table(
-                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
-            )
-        iu, iv = np.triu_indices(k, 1)
+    def _expand(grp: pa.Table) -> pa.Table:
+        ok = np_col(grp, "l_orderkey")
+        pk = np_col(grp, "l_partkey")
+        a, b, _ = grouped_pair_expand(ok, pk)
         return pa.table(
-            {"src": pa.array(parts[iu], pa.int64()), "dst": pa.array(parts[iv], pa.int64())}
+            {
+                "src": pa.array(a, pa.int64()),
+                "dst": pa.array(b, pa.int64()),
+                "weight": pa.array(np.ones(len(a)), pa.float64()),
+            }
         )
 
-    pairs = copurchase_items(sf_dir).groupby("l_orderkey").map_groups(
-        _pairs, batch_format="pyarrow"
+    pairs = hash_bucket_agg(
+        copurchase_items(sf_dir),
+        lambda b: np_col(b, "l_orderkey"),
+        _expand,
     )
-    from ray.data.aggregate import Count
-
-    return (
-        pairs.groupby(["src", "dst"])
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "src": t.column("src"),
-                    "dst": t.column("dst"),
-                    "weight": pc.cast(t.column("count()"), pa.float64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    return grouped_pandas_agg(
+        pairs,
+        ["src", "dst"],
+        {"weight": ("weight", "sum")},
+        key_fn=lambda b: np_col(b, "src") * np.int64(0x9E3779B1) + np_col(b, "dst"),
     )
 
 

@@ -131,9 +131,14 @@ class VertexProgram(Protocol):
         ...
 
     def apply(self, state: dict, msgs: dict, bcast: dict) -> dict:
-        """Fold combined messages into state.  ``msgs`` arrays are sorted
-        by (vid, sp).  Must return state_cols plus delta/changed/nmsg
-        arrays aligned with ``state["vid"]``."""
+        """Fold combined messages into state.  ``msgs`` arrays arrive in
+        DETERMINISTIC packed-row order (packed rows sorted by the
+        value-based key (sp, first dst, length), then concatenated) but
+        NOT grouped by vid — reduce per vid with an order-deterministic
+        kernel (``np.bincount`` over ``searchsorted`` positions for
+        sums, ``np.minimum.at`` for mins; see PageRankProgram).  Must
+        return state_cols plus delta/changed/nmsg arrays aligned with
+        ``state["vid"]``."""
         ...
 
     def converged(self, totals: dict) -> bool:
@@ -141,7 +146,12 @@ class VertexProgram(Protocol):
 
 
 def full_schema(prog: VertexProgram) -> pa.Schema:
-    pk_cols = [(_PK_DST, pa.list_(pa.int64()))]
+    # engines set prog._i32_dst when every vertex id fits int32 (true
+    # until ~2.1e9 vertices): halves the dominant packed-dst payload of
+    # the combine shuffle.  At 10^12-file scale ids exceed int32 and the
+    # schema stays int64.
+    dst_t = pa.int32() if getattr(prog, "_i32_dst", False) else pa.int64()
+    pk_cols = [(_PK_DST, pa.list_(dst_t))]
     if _uses_mcount(prog):
         pk_cols.append((_PK_MCOUNT, pa.list_(pa.int64())))
     pk_cols += [(_pk(c), pa.list_(t)) for c, t in prog.msg_cols.items()]
@@ -230,7 +240,7 @@ def _scatter_batch(
                 "sp": np.full(nrows, p, np.int32),
                 # nmsg on a packed row = raw message count (lineage/TEPS)
                 "nmsg": np.add.reduceat(mcount[order], starts).astype(np.int64),
-                _PK_DST: _pack(dst, pa.int64()),
+                _PK_DST: _pack(dst, schema.field(_PK_DST).type.value_type),
             }
             if with_mcount:
                 cols[_PK_MCOUNT] = _pack(mcount, pa.int64())
@@ -245,7 +255,11 @@ def _scatter_batch(
                 "kind": np.full(P, 2, np.int8),
                 "sp": np.full(P, p, np.int32),
                 _PK_DST: pa.ListArray.from_arrays(
-                    boff, pa.array(np.full(P, -1, np.int64), pa.int64())
+                    boff,
+                    pa.array(
+                        np.full(P, -1, np.int64),
+                        schema.field(_PK_DST).type.value_type,
+                    ),
                 ),
             }
             if with_mcount:
@@ -373,13 +387,13 @@ def _make_apply(
 
             mvid = _unpack(_PK_DST)
             mcnt = _unpack(_PK_MCOUNT) if with_mcount else np.ones(len(mvid), np.int64)
-            mcols = {n: _unpack(_pk(n)) for n in msg_names}
-            # stable sort by destination only: equal-key order inherits
-            # the deterministic packed-row order above
-            morder = np.argsort(mvid, kind="stable")
-            msgs = {"vid": mvid[morder], "mcount": mcnt[morder]}
+            # handed over in packed-row order (NOT vid-sorted): programs
+            # reduce with bincount/minimum.at, whose summation order is
+            # the deterministic concatenation order — no O(M log M)
+            # argsort in the combine hot path
+            msgs = {"vid": mvid, "mcount": mcnt}
             for n in msg_names:
-                msgs[n] = mcols[n][morder]
+                msgs[n] = _unpack(_pk(n))
         else:
             msgs = {"vid": np.zeros(0, np.int64), "mcount": np.zeros(0, np.int64)}
             for n in msg_names:
@@ -635,8 +649,13 @@ def run_superstep_loop(
         )
     assert scatter_mode in ("tasks", "actors", "fused")
     assert steps_per_execution >= 1
-    schema = full_schema(prog)
     P = graph.num_parts
+    vids_all = ray.get(graph.vertex_ids_ref)
+    prog._i32_dst = bool(
+        len(vids_all) == 0
+        or (int(vids_all[-1]) < 2**31 and int(vids_all[0]) >= -(2**31))
+    )
+    schema = full_schema(prog)
     scatter_task = functools.partial(
         _scatter_batch, prog, graph.shard_refs, P, schema
     )
@@ -659,7 +678,7 @@ def run_superstep_loop(
         )
 
     collector = _MetricsCollector.remote()
-    expected = _expected_parts(graph)
+    expected = sorted(np.unique(part_of(vids_all, P)).tolist())
     history: list[dict] = []
     k0 = 0
     if resume:

@@ -1,12 +1,17 @@
 """Text-analysis + deduplication operators for large-scale training-data
 pipelines — beyond the reference's graph surface but first-class here:
-exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, token
-stats, language-ID, document fingerprints.
+exact dedup, MinHash+LSH near-dup, exact set-similarity join (prefix
+filtering), SimHash, n-gram Jaccard, token stats, language-ID, document
+fingerprints, near-dup clusters via the CC engine.
 
-All stages are vectorized ``map_batches`` over Arrow/pandas; dedup
-candidate generation is groupby shuffles keyed on int64 hashes; the
-near-dup candidate graph feeds the SAME hash-min CC engine used for the
-link graph (connected near-dup clusters).  Everything is seeded and
+All stages are vectorized ``map_batches`` over Arrow/pandas — token and
+shingle hashing go through ONE vectorized siphash call per batch
+(``pd.util.hash_array``; process-stable fixed key) plus numpy rolling
+combines, never a per-token Python ``hashlib`` loop.  Dedup candidate
+generation is bucketed shuffles keyed on int64 hashes; Jaccard
+verification is a distributed two-stage bucketed join (no driver
+materialization of texts); the near-dup pair graph feeds the SAME
+hash-min CC engine used for the link graph.  Everything is seeded and
 deterministic.
 """
 
@@ -23,6 +28,90 @@ import ray.data as rd
 from .util import hash64, np_col
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_POLY = np.uint64(0x100000001B3)  # rolling-combine multiplier
+
+
+# ------------------------------------------------- vectorized hashing
+
+
+def _flat_token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Split on single spaces and hash every token with ONE vectorized
+    siphash call.  Returns (doc_rep, token_hash) flat arrays."""
+    toks = texts.str.split(" ")
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    rep = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    flat = np.asarray(
+        [t for lst in toks for t in lst], dtype=object
+    )
+    if len(flat) == 0:
+        return rep, np.zeros(0, np.uint64)
+    h = pd.util.hash_array(flat, categorize=False)
+    return rep, h.astype(np.uint64)
+
+
+def _gram_sequence(
+    rep: np.ndarray, h: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Order-sensitive rolling combine of k consecutive token hashes
+    within each doc (the hashed analog of ``' '.join(t[i:i+k])``) in
+    POSITIONAL order; docs shorter than k yield one gram combining all
+    their tokens.  Returns (doc_rep, gram_hash), not deduplicated."""
+    n = len(h)
+    if n == 0 or k <= 1:
+        return rep, h
+    m = n - k + 1
+    with np.errstate(over="ignore"):
+        if m > 0:
+            c = h[:m].copy()
+            for j in range(1, k):
+                c = c * _POLY ^ h[j : j + m]
+            valid = rep[:m] == rep[k - 1 :]
+            out_rep = rep[:m][valid]
+            out_sh = c[valid]
+        else:
+            out_rep = np.zeros(0, np.int64)
+            out_sh = np.zeros(0, np.uint64)
+        # short docs (len < k): one gram combining all tokens
+        lens = np.bincount(rep, minlength=(int(rep.max()) + 1 if len(rep) else 0))
+        short = np.flatnonzero((lens > 0) & (lens < k))
+        if len(short):
+            starts = np.zeros(len(lens), np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            extra = np.empty(len(short), np.uint64)
+            for i, d in enumerate(short):
+                c = h[starts[d]]
+                for j in range(1, lens[d]):
+                    c = c * _POLY ^ h[starts[d] + j]
+                extra[i] = c
+            out_rep = np.concatenate([out_rep, short.astype(np.int64)])
+            out_sh = np.concatenate([out_sh, extra])
+        # keep positional order within docs: stable sort by doc only
+        order = np.argsort(out_rep, kind="stable")
+    return out_rep[order], out_sh[order]
+
+
+def _shingle_hashes(
+    rep: np.ndarray, h: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`_gram_sequence` but value-sorted within each doc (the
+    canonical order the shingle-SET operators rely on)."""
+    out_rep, out_sh = _gram_sequence(rep, h, k)
+    order = np.lexsort((out_sh, out_rep))
+    return out_rep[order], out_sh[order]
+
+
+def _doc_shingle_sets(
+    texts: pd.Series, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT shingle hashes, sorted.  Returns (doc_rep,
+    shingle, doc_starts) where doc_starts indexes each doc's run (docs
+    with zero tokens are impossible — ''.split(' ') is [''])."""
+    rep, h = _flat_token_hashes(texts)
+    srep, sh = _shingle_hashes(rep, h, k)
+    keep = np.r_[True, (srep[1:] != srep[:-1]) | (sh[1:] != sh[:-1])]
+    srep, sh = srep[keep], sh[keep]
+    starts = np.r_[0, np.flatnonzero(srep[1:] != srep[:-1]) + 1]
+    return srep, sh, starts
 
 
 # ----------------------------------------------------------- token stats
@@ -35,15 +124,18 @@ def text_stats(docs: rd.Dataset, text_col: str = "text",
 
     def _stats(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas()
-        toks = s.str.split(" ")
+        rep, h = _flat_token_hashes(s)
+        n_tokens = np.bincount(rep, minlength=len(s)).astype(np.int64)
+        order = np.lexsort((h, rep))
+        rr, hh = rep[order], h[order]
+        uniq = np.r_[True, (rr[1:] != rr[:-1]) | (hh[1:] != hh[:-1])]
+        n_uniq = np.bincount(rr[uniq], minlength=len(s)).astype(np.int64)
         return pa.table(
             {
                 id_col: batch.column(id_col),
                 "n_chars": pa.array(s.str.len().to_numpy(np.int64), pa.int64()),
-                "n_tokens": pa.array(toks.str.len().to_numpy(np.int64), pa.int64()),
-                "n_uniq_tokens": pa.array(
-                    toks.map(lambda t: len(set(t))).to_numpy(np.int64), pa.int64()
-                ),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
             }
         )
 
@@ -91,7 +183,7 @@ def exact_dup_groups(docs: rd.Dataset, text_col: str = "text",
 def dedup_exact(docs: rd.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> rd.Dataset:
     """Keep one representative (min id) per distinct text."""
-    from .ops import grouped_pandas_agg
+    from .ops import hash_bucket_agg
 
     def _hash(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col)
@@ -111,33 +203,10 @@ def dedup_exact(docs: rd.Dataset, text_col: str = "text",
             keep.drop(columns=["hkey"]), preserve_index=False
         ).replace_schema_metadata()
 
-    from .ops import hash_bucket_agg
-
     return hash_bucket_agg(hashed, lambda b: np_col(b, "hkey"), _first)
 
 
 # ------------------------------------------------------- minhash + LSH
-
-
-def _token_shingles(s: pd.Series, k: int) -> pd.Series:
-    toks = s.str.split(" ")
-    return toks.map(
-        lambda t: {" ".join(t[i : i + k]) for i in range(max(1, len(t) - k + 1))}
-    )
-
-
-def _minhash_sig(shingles: set, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_hashes minima over universal-hashed shingle values."""
-    if not shingles:
-        return np.full(len(a), np.iinfo(np.int64).max, dtype=np.uint64)
-    h = np.array(
-        [int(hashlib.blake2b(x.encode(), digest_size=8).hexdigest(), 16)
-         for x in sorted(shingles)],
-        dtype=np.uint64,
-    )
-    with np.errstate(over="ignore"):
-        m = (h[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-    return m.min(axis=1)
 
 
 def minhash_signatures(
@@ -148,24 +217,33 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> rd.Dataset:
-    """(id, sig: list<uint64 as int64>) MinHash signatures — stateless
-    map_batches; the hash coefficients are derived from the seed in
-    every task (cheap, no broadcast needed)."""
+    """(id, sig: list<int64>) MinHash signatures — stateless map_batches;
+    hash coefficients derived from the seed in every task (cheap, no
+    broadcast needed).  Per batch: one vectorized token-hash pass, a
+    rolling shingle combine, then ``num_hashes`` vectorized
+    minimum.reduceat sweeps over the per-doc distinct shingles — no
+    per-shingle Python loop."""
 
     def _sig(batch: pa.Table) -> pa.Table:
         rng = np.random.default_rng(seed)
         a = rng.integers(1, int(_MERSENNE), num_hashes, dtype=np.uint64)
         b = rng.integers(0, int(_MERSENNE), num_hashes, dtype=np.uint64)
         s = batch.column(text_col).to_pandas()
-        sigs = [
-            _minhash_sig(sh, a, b).astype(np.int64)
-            for sh in _token_shingles(s, shingle_k)
-        ]
+        srep, sh, starts = _doc_shingle_sets(s, shingle_k)
+        n = batch.num_rows
+        sig = np.full((n, num_hashes), np.iinfo(np.int64).max, dtype=np.uint64)
+        if len(sh):
+            docs_present = srep[starts]
+            with np.errstate(over="ignore"):
+                for t in range(num_hashes):
+                    vals = (sh * a[t] + b[t]) % _MERSENNE
+                    sig[docs_present, t] = np.minimum.reduceat(vals, starts)
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "sig": pa.array([x.tolist() for x in sigs],
-                                pa.list_(pa.int64())),
+                "sig": pa.array(
+                    sig.astype(np.int64).tolist(), pa.list_(pa.int64())
+                ),
             }
         )
 
@@ -183,60 +261,142 @@ def lsh_candidate_pairs(
 
     def _bands(batch: pa.Table) -> pa.Table:
         ids = np_col(batch, id_col)
-        sigs_np = [np.asarray(x, dtype=np.uint64) for x in
-                   batch.column("sig").to_pylist()]
-        rows_id, rows_bh = [], []
-        for i, sig in enumerate(sigs_np):
-            r = len(sig) // num_bands
-            bands = sig[: r * num_bands].reshape(num_bands, r)
-            with np.errstate(over="ignore"):
-                bh = np.array(
-                    [int(hash64(band.view(np.int64)).sum() % np.uint64(2**57))
-                     * num_bands + bi
-                     for bi, band in enumerate(bands)],
-                    dtype=np.int64,
-                )
-            rows_id.append(np.full(num_bands, ids[i]))
-            rows_bh.append(bh)
+        col = batch.column("sig").combine_chunks()
+        flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.uint64)
+        H = len(flat) // max(len(ids), 1) if len(ids) else 0
+        if len(ids) == 0 or H == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        r = H // num_bands
+        m = flat.reshape(len(ids), num_bands, r) if r else flat.reshape(len(ids), H, 1)[:, :num_bands, :]
+        # vectorized band hash: rolling combine of the band's rows
+        with np.errstate(over="ignore"):
+            bh = m[:, :, 0].copy()
+            for j in range(1, m.shape[2]):
+                bh = bh * _POLY ^ m[:, :, j]
+            bh = (hash64(bh.astype(np.int64).ravel()) % np.uint64(2**57)).astype(
+                np.int64
+            ) * num_bands + np.tile(np.arange(num_bands), len(ids))
         return pa.table(
             {
-                id_col: pa.array(np.concatenate(rows_id), pa.int64()),
-                "bucket": pa.array(np.concatenate(rows_bh), pa.int64()),
+                id_col: pa.array(np.repeat(ids, num_bands), pa.int64()),
+                "bucket": pa.array(bh, pa.int64()),
             }
         )
 
     banded = sigs.map_batches(_bands, batch_format="pyarrow")
 
     def _pairs(grp: pa.Table) -> pa.Table:
-        df = grp.to_pandas()
-        out_a, out_b = [], []
-        for _, sub in df.groupby("bucket", sort=True):
-            ids = np.unique(sub[id_col].to_numpy())
-            if len(ids) < 2 or len(ids) > 1000:  # bucket blow-up guard
-                continue
-            iu, iv = np.triu_indices(len(ids), 1)
-            out_a.append(ids[iu])
-            out_b.append(ids[iv])
-        if not out_a:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        return pa.table(
-            {
-                "a": pa.array(np.concatenate(out_a), pa.int64()),
-                "b": pa.array(np.concatenate(out_b), pa.int64()),
-            }
-        )
+        from .util import grouped_pair_expand
 
-    from .ops import hash_bucket_agg
+        df = grp.to_pandas()
+        d = df.drop_duplicates(["bucket", id_col])
+        sizes = d.groupby("bucket")["bucket"].transform("size")
+        d = d[(sizes >= 2) & (sizes <= 1000)]  # bucket blow-up guard
+        a, b, _ = grouped_pair_expand(
+            d["bucket"].to_numpy(np.int64), d[id_col].to_numpy(np.int64)
+        )
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    from .ops import grouped_pandas_agg, hash_bucket_agg
 
     pairs = hash_bucket_agg(banded, lambda b: np_col(b, "bucket"), _pairs)
     # distinct pairs (a pair can collide in several bands)
-    from .ops import grouped_pandas_agg
-
     return grouped_pandas_agg(
         pairs, ["a", "b"], {"n_bands": ("b", "count")},
         key_fn=lambda t: np_col(t, "a") * np.int64(0x9E3779B1) + np_col(t, "b"),
     )
+
+
+# ------------------------------------------ exact Jaccard verification
+
+
+def doc_shingles(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> rd.Dataset:
+    """(id, sh: list<int64>) — each doc's sorted distinct shingle-hash
+    set (the exact-Jaccard operand; one row per doc)."""
+
+    def _sh(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        srep, sh, starts = _doc_shingle_sets(s, shingle_k)
+        lists: list[list[int]] = [[] for _ in range(batch.num_rows)]
+        bounds = np.r_[starts, len(sh)]
+        docs_present = srep[starts] if len(sh) else np.zeros(0, np.int64)
+        for i, d in enumerate(docs_present):
+            lists[int(d)] = sh[bounds[i]: bounds[i + 1]].astype(np.int64).tolist()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "sh": pa.array(lists, pa.list_(pa.int64())),
+            }
+        )
+
+    return docs.map_batches(_sh, batch_format="pyarrow")
+
+
+_LIST_I64 = pa.list_(pa.int64())
+# unified row schema for the two-stage verification join: pair rows and
+# shingle rows travel through the same bucketed shuffles
+_VJ_SCHEMA = pa.schema(
+    [
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("sh_a", _LIST_I64),  # attached in stage 1
+        ("sh", _LIST_I64),  # a shingle row's own set
+        ("side", pa.int8()),  # 0 = pair row, 1 = shingle row
+    ]
+)
+
+
+def _vj_lookup(grp: pa.Table, key_col: str) -> tuple[pa.Table, pa.ChunkedArray]:
+    """Within a join bucket: sorted shingle rows → attach each pair row
+    its ``key_col`` doc's shingle list.  Returns (surviving pair rows,
+    attached list column)."""
+    side = np_col(grp, "side")
+    sh_rows = grp.take(pa.array(np.flatnonzero(side == 1)))
+    pr = grp.take(pa.array(np.flatnonzero(side == 0)))
+    ids = np_col(sh_rows, "a")
+    order = np.argsort(ids)
+    ids = ids[order]
+    sh_col = sh_rows.column("sh").combine_chunks().take(pa.array(order))
+    want = np_col(pr, key_col)
+    if len(ids):
+        pos = np.searchsorted(ids, want)
+        ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == want)
+    else:
+        pos = np.zeros(len(want), np.int64)
+        ok = np.zeros(len(want), bool)
+    pr = pr.take(pa.array(np.flatnonzero(ok)))
+    attached = sh_col.take(pa.array(pos[ok]))
+    return pr, attached
+
+
+def _jaccard_arrays(sa, sb) -> np.ndarray:
+    """Pairwise Jaccard of two aligned list<int64> columns of sorted
+    distinct shingle hashes."""
+    sa = sa.combine_chunks() if isinstance(sa, pa.ChunkedArray) else sa
+    sb = sb.combine_chunks() if isinstance(sb, pa.ChunkedArray) else sb
+    la = np.asarray(pc.list_value_length(sa), np.int64)
+    lb = np.asarray(pc.list_value_length(sb), np.int64)
+    flat_a = np.asarray(sa.flatten().to_numpy(zero_copy_only=False))
+    flat_b = np.asarray(sb.flatten().to_numpy(zero_copy_only=False))
+    off_a = np.r_[0, np.cumsum(la)]
+    off_b = np.r_[0, np.cumsum(lb)]
+    j = np.zeros(len(la))
+    for i in range(len(la)):
+        A = flat_a[off_a[i]: off_a[i + 1]]
+        B = flat_b[off_b[i]: off_b[i + 1]]
+        if len(A) == 0 or len(B) == 0:
+            continue
+        inter = len(np.intersect1d(A, B, assume_unique=True))
+        j[i] = inter / (len(A) + len(B) - inter)
+    return j
 
 
 def verify_jaccard(
@@ -246,51 +406,229 @@ def verify_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    as_dataset: bool = False,
+):
+    """Exact shingle-Jaccard on candidate pairs — fully distributed.
+
+    Two bucketed hash joins ship each side's shingle set to its pairs
+    (no driver materialization of texts or candidates: at 100 TB the
+    candidate set is not driver-small); the per-pair intersection uses
+    sorted int64 shingle-hash arrays.  Returns (a, b, jaccard) for pairs
+    ≥ threshold — a driver Table by default (the result is
+    post-threshold small), or the Dataset with ``as_dataset=True`` (to
+    feed near_dup_clusters / further pipelines)."""
+    from .ops import hash_bucket_agg
+
+    sh = doc_shingles(docs, text_col=text_col, id_col=id_col,
+                      shingle_k=shingle_k)
+
+    def _pair_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                t.column("a"),
+                t.column("b"),
+                pa.nulls(n, _LIST_I64),
+                pa.nulls(n, _LIST_I64),
+                pa.array(np.zeros(n, np.int8), pa.int8()),
+            ],
+            schema=_VJ_SCHEMA,
+        )
+
+    def _sh_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                t.column(id_col),
+                pa.array(np.full(n, -1, np.int64), pa.int64()),
+                pa.nulls(n, _LIST_I64),
+                t.column("sh"),
+                pa.array(np.ones(n, np.int8), pa.int8()),
+            ],
+            schema=_VJ_SCHEMA,
+        )
+
+    left1 = pairs.select_columns(["a", "b"]).map_batches(
+        _pair_rows, batch_format="pyarrow"
+    )
+    shr = sh.map_batches(_sh_rows, batch_format="pyarrow")
+
+    # stage 1: key = a (pair rows) / own id (shingle rows, stored in a)
+    def _join1(grp: pa.Table) -> pa.Table:
+        pr, attached = _vj_lookup(grp, "a")
+        n = pr.num_rows
+        return pa.Table.from_arrays(
+            [
+                pr.column("a"),
+                pr.column("b"),
+                attached,
+                pa.nulls(n, _LIST_I64),
+                pa.array(np.zeros(n, np.int8), pa.int8()),
+            ],
+            schema=_VJ_SCHEMA,
+        )
+
+    with_a = hash_bucket_agg(
+        left1.union(shr), lambda t: np_col(t, "a"), _join1
+    )
+
+    # stage 2: key = b (pair rows) / own id; jaccard computed in-bucket
+    def _key2(t: pa.Table) -> np.ndarray:
+        side = np_col(t, "side")
+        return np.where(side == 0, np_col(t, "b"), np_col(t, "a")).astype(np.int64)
+
+    def _join2(grp: pa.Table) -> pa.Table:
+        pr, attached = _vj_lookup(grp, "b")
+        a = np_col(pr, "a")
+        b = np_col(pr, "b")
+        j = _jaccard_arrays(pr.column("sh_a"), attached)
+        keep = j >= threshold
+        order = np.lexsort((b[keep], a[keep]))
+        return pa.table(
+            {
+                "a": pa.array(a[keep][order], pa.int64()),
+                "b": pa.array(b[keep][order], pa.int64()),
+                "jaccard": pa.array(j[keep][order], pa.float64()),
+            }
+        )
+
+    out = hash_bucket_agg(with_a.union(shr), _key2, _join2)
+    if as_dataset:
+        return out
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["a"], r["b"]))
+    return pa.table(
+        {
+            "a": pa.array([r["a"] for r in rows], pa.int64()),
+            "b": pa.array([r["b"] for r in rows], pa.int64()),
+            "jaccard": pa.array([r["jaccard"] for r in rows], pa.float64()),
+        }
+    )
+
+
+# ------------------------------ exact set-similarity join (prefix filter)
+
+
+def jaccard_similarity_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    group_cap: int = 10_000,
+    as_dataset: bool = False,
+):
+    """EXACT all-pairs token-shingle Jaccard ≥ threshold — the
+    prefix-filtering set-similarity join (PPJoin family): order each
+    doc's shingle set canonically (by hash), emit only its first
+    ``|S| - ceil(t·|S|) + 1`` shingles as blocking keys — any pair with
+    J ≥ t provably shares a prefix shingle — then pair-expand per key,
+    dedupe, and verify with the distributed exact-Jaccard join.  Unlike
+    MinHash+LSH this misses nothing, so a DuckDB oracle can reproduce it
+    row-for-row.  ``group_cap`` guards pathological blocking keys (drops
+    are counted in the returned dataset's lineage only at absurd skew —
+    at cap 10k a dropped key would mean 10k docs sharing a rare-prefix
+    shingle)."""
+    from .ops import grouped_pandas_agg, hash_bucket_agg
+    from .util import grouped_pair_expand
+
+    def _prefix_keys(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        ids = np_col(batch, id_col)
+        srep, sh, starts = _doc_shingle_sets(s, shingle_k)
+        if len(sh) == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        bounds = np.r_[starts, len(sh)]
+        sizes = np.diff(bounds)
+        # prefix length per doc: |S| - ceil(t*|S|) + 1
+        plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        keep = np.zeros(len(sh), bool)
+        for i in range(len(starts)):
+            keep[bounds[i]: bounds[i] + plen[i]] = True
+        docs_present = srep[starts]
+        ids_flat = ids[docs_present[np.searchsorted(starts, np.flatnonzero(keep), side="right") - 1]]
+        return pa.table(
+            {
+                "key": pa.array(sh[keep].astype(np.int64), pa.int64()),
+                id_col: pa.array(ids_flat, pa.int64()),
+            }
+        )
+
+    keys = docs.map_batches(_prefix_keys, batch_format="pyarrow")
+
+    def _expand(grp: pa.Table) -> pa.Table:
+        k = np_col(grp, "key")
+        i = np_col(grp, id_col)
+        order = np.lexsort((i, k))
+        k, i = k[order], i[order]
+        dedup = np.r_[True, (k[1:] != k[:-1]) | (i[1:] != i[:-1])]
+        k, i = k[dedup], i[dedup]
+        # cap guard: a blocking key shared by >group_cap docs would emit
+        # O(cap²) candidate pairs — drop it (pathological skew only)
+        _, inv, cnt = np.unique(k, return_inverse=True, return_counts=True)
+        ok = cnt[inv] <= group_cap
+        k, i = k[ok], i[ok]
+        a, b, _ = grouped_pair_expand(k, i)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    cand = hash_bucket_agg(keys, lambda b: np_col(b, "key"), _expand)
+    cand = grouped_pandas_agg(
+        cand, ["a", "b"], {"n_keys": ("b", "count")},
+        key_fn=lambda t: np_col(t, "a") * np.int64(0x9E3779B1) + np_col(t, "b"),
+    )
+    return verify_jaccard(
+        docs, cand, threshold=threshold, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, as_dataset=as_dataset,
+    )
+
+
+def near_dup_clusters(
+    docs: rd.Dataset,
+    work_dir: str,
+    threshold: float = 0.7,
+    num_parts: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    exact: bool = True,
 ) -> pa.Table:
-    """Exact shingle-Jaccard on the candidate pairs.  The candidate set
-    is assumed driver-small relative to the corpus (that is LSH's job);
-    texts for the touched ids are fetched via a broadcast id-filter scan.
-    Returns (a, b, jaccard) for pairs ≥ threshold, sorted."""
+    """Near-duplicate CLUSTERS: verified pair graph → the hash-min CC
+    engine (same superstep machinery as the link graph).  Returns
+    (doc_id, cluster) for every doc in ≥1 verified pair, cluster = min
+    doc_id of its connected component.  ``exact=True`` uses the
+    prefix-filter join (oracle-reproducible); False uses MinHash+LSH
+    candidates (approximate, cheaper at scale)."""
     import ray
 
-    cand = pairs.select_columns(["a", "b"]).take_all()
-    if not cand:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    ids_needed = sorted({r["a"] for r in cand} | {r["b"] for r in cand})
-    ids_ref = ray.put(np.array(ids_needed, dtype=np.int64))
+    from .algorithms import connected_components
+    from .algorithms.cc import components_table
+    from .graph import build_graph
 
-    def _pick(batch: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        ids = np_col(batch, id_col)
-        idx = np.searchsorted(want, ids)
-        ok = (idx < len(want)) & (want[np.minimum(idx, len(want) - 1)] == ids)
-        return batch.take(pa.array(np.flatnonzero(ok)))
-
-    texts = docs.map_batches(_pick, batch_format="pyarrow").select_columns(
-        [id_col, text_col]
-    ).take_all()
-    sh = {
-        r[id_col]: set(
-            " ".join(r[text_col].split(" ")[i : i + shingle_k])
-            for i in range(max(1, len(r[text_col].split(" ")) - shingle_k + 1))
+    if exact:
+        pairs = jaccard_similarity_pairs(
+            docs, threshold=threshold, text_col=text_col, id_col=id_col,
+            shingle_k=shingle_k, as_dataset=True,
         )
-        for r in texts
-    }
-    out_a, out_b, out_j = [], [], []
-    for r in sorted(cand, key=lambda r: (r["a"], r["b"])):
-        sa, sb = sh.get(r["a"], set()), sh.get(r["b"], set())
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out_a.append(r["a"])
-            out_b.append(r["b"])
-            out_j.append(j)
-    return pa.table({"a": pa.array(out_a, pa.int64()),
-                     "b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    else:
+        sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
+                                  shingle_k=shingle_k)
+        cand = lsh_candidate_pairs(sigs, id_col=id_col)
+        pairs = verify_jaccard(docs, cand, threshold=threshold,
+                               text_col=text_col, id_col=id_col,
+                               shingle_k=shingle_k, as_dataset=True)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t.column("a"), "dst": t.column("b")}),
+        batch_format="pyarrow",
+    ).materialize()
+    if edges.count() == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
+    g = build_graph(edges, work_dir, num_parts, symmetrize=True)
+    res = connected_components(g, checkpoint_every=0)
+    t = components_table(res)
+    return pa.table({id_col: t["vid"], "cluster": t["label"]})
 
 
 # ------------------------------------------------------------- simhash
@@ -298,28 +636,30 @@ def verify_jaccard(
 
 def simhash(docs: rd.Dataset, text_col: str = "text",
             id_col: str = "doc_id") -> rd.Dataset:
-    """64-bit SimHash over tokens (stateless map_batches)."""
+    """64-bit SimHash over tokens — one vectorized token-hash pass, bit
+    votes via a (tokens × 64) matrix reduced per doc with
+    ``np.add.reduceat`` (no per-doc/per-token Python loop)."""
 
     def _sim(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas()
-        out = np.zeros(len(s), dtype=np.int64)
-        for i, toks in enumerate(s.str.split(" ")):
-            if not toks:
-                continue
-            hs = np.array(
-                [int(hashlib.blake2b(t.encode(), digest_size=8).hexdigest(), 16)
-                 for t in toks],
-                dtype=np.uint64,
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            vote = (2 * bits - 1).sum(axis=0)
-            out[i] = np.int64(
-                np.uint64(((vote > 0).astype(np.uint64)
-                           << np.arange(64, dtype=np.uint64)).sum())
+        n = batch.num_rows
+        rep, h = _flat_token_hashes(s)
+        out = np.zeros(n, dtype=np.uint64)
+        if len(h):
+            bits = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int32)
+            votes2 = 2 * bits - 1  # (tokens, 64)
+            starts = np.r_[0, np.flatnonzero(rep[1:] != rep[:-1]) + 1]
+            doc_of = rep[starts]
+            sums = np.add.reduceat(votes2, starts, axis=0)
+            sel = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            out[doc_of] = ((sums > 0).astype(np.uint64) * sel[None, :]).sum(
+                axis=1, dtype=np.uint64
             )
         return pa.table({id_col: batch.column(id_col),
-                         "simhash": pa.array(out, pa.int64())})
+                         "simhash": pa.array(out.astype(np.int64), pa.int64())})
 
     return docs.map_batches(_sim, batch_format="pyarrow")
 
@@ -329,8 +669,11 @@ def simhash(docs: rd.Dataset, text_col: str = "text",
 
 def build_lang_profiles(docs: rd.Dataset, text_col: str = "text",
                         lang_col: str = "lang", top_k: int = 40) -> dict:
-    """Top-k tokens per language from labeled docs (driver-small model,
-    broadcast to the scoring stage)."""
+    """Top-k tokens per language with INTEGER corpus counts as weights
+    (driver-small model, broadcast to the scoring stage).  Integer
+    weights make the classifier's argmax exactly reproducible in SQL —
+    no float-summation-order ambiguity (see ``lang_id_sql``)."""
+    from .derive import _str_hash
     from .ops import grouped_pandas_agg
 
     def _explode(batch: pa.Table) -> pa.Table:
@@ -347,8 +690,6 @@ def build_lang_profiles(docs: rd.Dataset, text_col: str = "text",
         )
 
     counts = docs.map_batches(_explode, batch_format="pyarrow")
-    from .derive import _str_hash
-
     agg = grouped_pandas_agg(
         counts, ["lang", "tok"], {"n": ("n", "sum")},
         key_fn=lambda b: _str_hash(b.column("tok")),
@@ -359,32 +700,46 @@ def build_lang_profiles(docs: rd.Dataset, text_col: str = "text",
         by_lang.setdefault(r["lang"], []).append((r["n"], r["tok"]))
     for lang, items in by_lang.items():
         items.sort(key=lambda x: (-x[0], x[1]))
-        total = sum(n for n, _ in items)
-        prof[lang] = {t: n / total for n, t in items[:top_k]}
+        prof[lang] = {t: int(n) for n, t in items[:top_k]}
     return prof
 
 
 class LangIdStage:
     """Actor-pool language classifier: profiles loaded once per actor
-    from a broadcast ref (``__init__``), scoring per batch (``__call__``)
-    — the actor-pool pattern for stateful stages (SURVEY.md §2.5)."""
+    from a broadcast ref and compiled to a (token × lang) int weight
+    matrix (``__init__``); scoring per batch is one vectorized
+    token-lookup + ``np.add.at`` accumulation (``__call__``) — the
+    actor-pool pattern for stateful stages (SURVEY.md §2.5)."""
 
     def __init__(self, profiles_ref):
         import ray
 
-        self.profiles = ray.get(profiles_ref)
-        self.langs = sorted(self.profiles)
+        profiles = ray.get(profiles_ref)
+        self.langs = sorted(profiles)
+        vocab = sorted({t for p in profiles.values() for t in p})
+        self.vocab = np.array(vocab, dtype=object)
+        self.W = np.zeros((len(vocab), len(self.langs)), dtype=np.int64)
+        pos = {t: i for i, t in enumerate(vocab)}
+        for li, lang in enumerate(self.langs):
+            for t, n in profiles[lang].items():
+                self.W[pos[t], li] = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         s = batch.column("text").to_pandas()
-        preds = []
-        for toks in s.str.split(" "):
-            scores = {
-                l: sum(self.profiles[l].get(t, 0.0) for t in toks)
-                for l in self.langs
-            }
-            # deterministic: max score, tie → lexicographically first lang
-            preds.append(max(self.langs, key=lambda l: (scores[l], ), default=""))
+        n = batch.num_rows
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        toks = s.str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        rep = np.repeat(np.arange(n), counts)
+        flat = np.asarray([t for lst in toks for t in lst], dtype=object)
+        if len(flat) and len(self.vocab):
+            idx = np.searchsorted(self.vocab, flat)
+            idxc = np.minimum(idx, len(self.vocab) - 1)
+            ok = self.vocab[idxc] == flat
+            np.add.at(scores, rep[ok], self.W[idxc[ok]])
+        # deterministic: max score, tie → lexicographically first lang
+        pred_idx = np.argmax(scores, axis=1) if len(self.langs) else np.zeros(n, int)
+        preds = [self.langs[i] if self.langs else "" for i in pred_idx]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -401,6 +756,7 @@ def lang_id(docs: rd.Dataset, profiles_ref, concurrency: int = 4) -> rd.Dataset:
         batch_format="pyarrow",
         concurrency=(1, concurrency),
         num_cpus=1,
+        max_restarts=0,
     )
 
 
@@ -408,28 +764,37 @@ def lang_id(docs: rd.Dataset, profiles_ref, concurrency: int = 4) -> rd.Dataset:
 
 
 def fingerprints(docs: rd.Dataset, text_col: str = "text",
-                 id_col: str = "doc_id", window: int = 8) -> rd.Dataset:
-    """Winnowing-style fingerprint: min rolling token-hash per window →
-    set of (id, fingerprint) rows (for copy-detection joins)."""
+                 id_col: str = "doc_id", window: int = 8,
+                 gram_k: int = 5) -> rd.Dataset:
+    """Winnowing fingerprints (Schleimer et al. MOSS scheme): hash
+    ``gram_k``-token grams, take the min gram-hash per ``window`` →
+    set of (id, fingerprint) rows (for copy-detection joins).  Gram
+    hashing is one vectorized token-hash pass + a rolling combine; the
+    window min uses numpy stride tricks per doc.  Windowing k-GRAM
+    hashes (not single-token hashes) is what makes the fingerprint
+    position-sensitive — token-level mins degenerate to the vocabulary's
+    smallest hashes on any repetitive corpus."""
+    from numpy.lib.stride_tricks import sliding_window_view
 
     def _fp(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas()
+        trep, th = _flat_token_hashes(s)
+        rep, h = _gram_sequence(trep, th, gram_k)
         ids = np_col(batch, id_col)
         out_id, out_fp = [], []
-        for i, toks in enumerate(s.str.split(" ")):
-            hs = np.array(
-                [int(hashlib.blake2b(t.encode(), digest_size=8).hexdigest(), 16)
-                 for t in toks],
-                dtype=np.uint64,
-            )
-            if len(hs) == 0:
-                continue
-            n_w = max(1, len(hs) - window + 1)
-            mins = np.unique(
-                np.array([hs[j : j + window].min() for j in range(n_w)])
-            ).astype(np.int64)
-            out_id.append(np.full(len(mins), ids[i]))
-            out_fp.append(mins)
+        if len(h):
+            starts = np.r_[0, np.flatnonzero(rep[1:] != rep[:-1]) + 1]
+            bounds = np.r_[starts, len(h)]
+            doc_of = rep[starts]
+            for i, d in enumerate(doc_of):
+                hs = h[bounds[i]: bounds[i + 1]]
+                if len(hs) >= window:
+                    mins = sliding_window_view(hs, window).min(axis=1)
+                else:
+                    mins = hs.min(keepdims=True)
+                mins = np.unique(mins).astype(np.int64)
+                out_id.append(np.full(len(mins), ids[int(d)]))
+                out_fp.append(mins)
         if not out_id:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "fp": pa.array([], pa.int64())})

@@ -127,6 +127,42 @@ def segment_min(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndar
     return uniq, mins, counts
 
 
+def grouped_pair_expand(
+    group_key: np.ndarray, values: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All ordered pairs (a, b), a before b in value order, within each
+    group — fully vectorized (no Python loop over groups).
+
+    Returns (a, b, group_row) where ``group_row`` indexes the first row
+    of the pair's group in the (group, value)-sorted order (useful to
+    recover per-group side data).  A group of size c emits c·(c-1)/2
+    pairs; callers cap group sizes upstream (heavy-key guard) — this is
+    the k² expansion primitive under shared-key edge derivation,
+    co-purchase edges and TC wedges.
+    """
+    order = np.lexsort((values, group_key))
+    g, v = group_key[order], values[order]
+    uniq, starts, counts = np.unique(g, return_index=True, return_counts=True)
+    npairs = (counts * (counts - 1)) // 2
+    total = int(npairs.sum())
+    z = np.zeros(0, dtype=values.dtype)
+    if total == 0:
+        return z, z, np.zeros(0, np.int64)
+    grp_rep = np.repeat(np.arange(len(uniq)), npairs)
+    off = np.zeros(len(uniq), np.int64)
+    np.cumsum(npairs[:-1], out=off[1:])
+    t = np.arange(total, dtype=np.int64) - off[grp_rep]
+    c = counts[grp_rep]
+    # triangular-number inversion: flat pair index t -> (i, j), i < j
+    i = (
+        c - 2
+        - np.floor(np.sqrt(-8.0 * t + 4.0 * c * (c - 1) - 7.0) / 2.0 - 0.5)
+    ).astype(np.int64)
+    j = t + i + 1 - (c * (c - 1)) // 2 + ((c - i) * ((c - i) - 1)) // 2
+    base = starts[grp_rep]
+    return v[base + i], v[base + j], base
+
+
 def np_col(tbl: pa.Table, name: str) -> np.ndarray:
     """Column → numpy, zero-copy when the type allows and no nulls."""
     col = tbl.column(name)
