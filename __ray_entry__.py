@@ -27,6 +27,7 @@ import pyarrow as pa
 ALPHA = 0.85
 PR_ITERS = 8
 CC_ITERS = 32
+BFS_ITERS = 32
 LP_ITERS = 4
 TOKEN_CAP = 1000
 TOP_K = 20
@@ -212,6 +213,22 @@ def _q_triangles_per_vertex(sf_dir: str):
     return per_v
 
 
+def _q_bfs_depth(sf_dir: str):
+    import ray
+
+    from essentials_rd.algorithms import bfs
+    from essentials_rd.algorithms.bfs import depths_table
+
+    g, _ = _graph(sf_dir)
+    source = int(np.min(ray.get(g.vertex_ids_ref)))
+    res = bfs(g, source, max_iters=2 * BFS_ITERS, checkpoint_every=0,
+              scatter_mode="fused")
+    assert res.converged and res.supersteps <= BFS_ITERS, (
+        "BFS did not converge within the oracle's unrolled iteration count"
+    )
+    return depths_table(res)
+
+
 def _q_spmv(sf_dir: str):
     from essentials_rd.algorithms import spmv
     from essentials_rd.algorithms.spmv import spmv_table
@@ -269,9 +286,36 @@ def _q_ann(sf_dir: str):
     return brute_force_topk(ds, queries_m, qids, k=5)
 
 
+JACCARD_T = 0.7
+SHINGLE_K = 3
+LANG_TOPK = 40
+DUP_CC_ITERS = 16
+
+
 def _q_near_dup_pairs(sf_dir: str):
-    """Rows-only (MinHash+LSH is not SQL-expressible): near-duplicate
-    document pairs at Jaccard ≥ 0.7 — pinned by planted-dup pytest."""
+    """EXACT near-duplicate pairs at shingle-Jaccard ≥ 0.7 via the
+    prefix-filter set-similarity join — misses nothing, so the DuckDB
+    brute-force oracle reproduces it row-for-row (Jaccard over hashed
+    shingles == over shingle strings absent 64-bit collisions)."""
+    import ray.data as rd
+
+    from essentials_rd.pipelines import round_half_up
+    from essentials_rd.textops import jaccard_similarity_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    t = jaccard_similarity_pairs(docs, threshold=JACCARD_T,
+                                 shingle_k=SHINGLE_K)
+    j = round_half_up(np.asarray(t["jaccard"], dtype=np.float64), 6)
+    return pa.table({"a": t["a"], "b": t["b"],
+                     "jaccard": pa.array(j, pa.float64())})
+
+
+def _q_minhash_lsh_pairs(sf_dir: str):
+    """Rows-only (MinHash+LSH banding is not SQL-expressible): the
+    approximate candidate path, verified by exact Jaccard — pinned by
+    planted-dup pytest; the scale path for corpora where the exact
+    prefix-filter join's candidate volume is too high."""
     import ray.data as rd
 
     from essentials_rd.textops import (
@@ -282,14 +326,31 @@ def _q_near_dup_pairs(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).materialize()
-    sigs = minhash_signatures(docs)
+    sigs = minhash_signatures(docs, shingle_k=SHINGLE_K)
     pairs = lsh_candidate_pairs(sigs)
-    return verify_jaccard(docs, pairs, threshold=0.7)
+    return verify_jaccard(docs, pairs, threshold=JACCARD_T,
+                          shingle_k=SHINGLE_K)
+
+
+def _q_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: exact pair graph → the hash-min CC
+    engine; cluster = min doc_id of the component (docs in ≥1 pair)."""
+    import ray.data as rd
+
+    from essentials_rd.pipelines import _work_dir
+    from essentials_rd.textops import near_dup_clusters
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    t = near_dup_clusters(docs, _work_dir("dupcc"), threshold=JACCARD_T,
+                          shingle_k=SHINGLE_K, exact=True)
+    return t.sort_by("doc_id")
 
 
 def _q_lang_pred(sf_dir: str):
-    """Rows-only: n-gram/token language-ID (actor-pool stage); accuracy
-    pinned by pytest on disjoint-vocabulary fixtures."""
+    """Token language-ID (actor-pool stage, model built + broadcast
+    once).  INTEGER profile weights make the classifier's argmax exactly
+    reproducible in SQL — see ``_lang_pred_sql``."""
     import ray
     import ray.data as rd
 
@@ -297,8 +358,16 @@ def _q_lang_pred(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"]).materialize()
-    prof = build_lang_profiles(docs)
-    return lang_id(docs, ray.put(prof))
+    prof = build_lang_profiles(docs, top_k=LANG_TOPK)
+    rows = lang_id(docs, ray.put(prof)).take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "pred_lang": pa.array([r["pred_lang"] for r in rows], pa.string()),
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -307,6 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "ann_cosine_top5": _q_ann,
         "near_dup_pairs": _q_near_dup_pairs,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "dup_clusters": _q_dup_clusters,
         "lang_pred": _q_lang_pred,
         "corpus_sha256": _q_corpus_sha256,
         "shared_token_edges": _q_shared_token_edges,
@@ -317,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_labels": _q_cc,
         "component_sizes": _q_component_sizes,
         "lp_k4": _q_lp,
+        "bfs_depth": _q_bfs_depth,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
@@ -324,6 +396,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ---------------------------------------------------------- oracle SQL
+
+# distinct k-token shingle sets per document, exactly textops'
+# semantics: split on single spaces, k consecutive tokens, docs with
+# fewer than k tokens contribute ONE shingle of all their tokens
+_SHINGLE_CTE = f"""
+toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, list(DISTINCT shingle) AS s FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) < {SHINGLE_K} THEN array_to_string(t, ' ')
+                ELSE array_to_string(list_slice(t, i.i, i.i + {SHINGLE_K - 1}), ' ')
+           END AS shingle
+    FROM toks, LATERAL (
+      SELECT unnest(range(1, greatest(len(t) - {SHINGLE_K - 1}, 1) + 1)) AS i
+    ) i
+  ) GROUP BY doc_id
+),
+jpairs AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jacc
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+nd AS MATERIALIZED (SELECT a, b, jacc FROM jpairs WHERE jacc >= {JACCARD_T})
+"""
+
+
+def _near_dup_pairs_sql() -> str:
+    return (
+        f"WITH {_SHINGLE_CTE} "
+        f"SELECT a, b, ROUND(jacc, 6) AS jaccard FROM nd ORDER BY a, b"
+    )
+
+
+def _dup_clusters_sql() -> str:
+    steps = [
+        """ndsym AS (SELECT a AS src, b AS dst FROM nd
+                     UNION ALL SELECT b, a FROM nd),
+nverts AS (SELECT DISTINCT src AS vid FROM ndsym),
+x0 AS (SELECT vid, vid AS label FROM nverts)"""
+    ]
+    for k in range(DUP_CC_ITERS):
+        steps.append(f"""
+xm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.label) AS ml
+  FROM ndsym e JOIN x{k} l ON l.vid = e.src GROUP BY e.dst
+),
+x{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.label, COALESCE(m.ml, v.label)) AS label
+  FROM x{k} v LEFT JOIN xm{k} m ON m.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_SHINGLE_CTE}, {body} "
+        f"SELECT vid AS doc_id, label AS cluster FROM x{DUP_CC_ITERS} "
+        f"ORDER BY doc_id"
+    )
+
+
+def _lang_pred_sql() -> str:
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS MATERIALIZED (
+  SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2
+),
+prof AS MATERIALIZED (
+  SELECT lang, tok, n FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY n DESC, tok ASC) AS rn
+    FROM counts
+  ) WHERE rn <= {LANG_TOPK}
+),
+scores AS MATERIALIZED (
+  SELECT t.doc_id, p.lang AS plang, sum(p.n) AS s
+  FROM tok t JOIN prof p ON p.tok = t.tok GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, plang FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY s DESC, plang ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang,
+       COALESCE(b.plang, (SELECT min(lang) FROM documents)) AS pred_lang
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
 
 _GRAPH_CTES = """
 items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -397,6 +561,33 @@ l{k + 1} AS MATERIALIZED (
     return (
         f"WITH {_GRAPH_CTES}, {body} "
         f"SELECT vid, label FROM l{CC_ITERS} ORDER BY vid"
+    )
+
+
+def _bfs_sql() -> str:
+    big = 1 << 60
+    steps = [
+        f"""bsrc AS MATERIALIZED (SELECT min(vid) AS s FROM verts),
+d0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = (SELECT s FROM bsrc) THEN 0
+              ELSE {big} END AS depth FROM verts)"""
+    ]
+    for k in range(BFS_ITERS):
+        steps.append(f"""
+bm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.depth + 1) AS md
+  FROM sym e JOIN d{k} l ON l.vid = e.src AND l.depth < {big}
+  GROUP BY e.dst
+),
+d{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.depth, COALESCE(m.md, v.depth)) AS depth
+  FROM d{k} v LEFT JOIN bm{k} m ON m.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT vid, CASE WHEN depth >= {big} THEN -1 ELSE depth END AS depth "
+        f"FROM d{BFS_ITERS} ORDER BY vid"
     )
 
 
@@ -545,9 +736,13 @@ GROUP BY 1, 2 ORDER BY 1, 2
             f"WITH {_GRAPH_CTES} SELECT vid, CAST(outdeg AS BIGINT) AS degree "
             f"FROM deg ORDER BY vid"
         ),
+        "near_dup_pairs": _near_dup_pairs_sql(),
+        "dup_clusters": _dup_clusters_sql(),
+        "lang_pred": _lang_pred_sql(),
         "pagerank_k8": _pagerank_sql(),
         "top_pagerank": _top_pagerank_sql(),
         "cc_labels": _cc_sql(),
+        "bfs_depth": _bfs_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),

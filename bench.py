@@ -206,7 +206,50 @@ def main() -> None:
     ray.shutdown()
 
 
+def memcpy_envelope() -> dict:
+    """STREAM-like single-box memory-bandwidth envelope: how well pure
+    memcpy parallelizes N→4N *threads* on THIS machine.  On a real
+    cluster, 4N nodes bring 4× the memory channels; on one box all
+    cores share them, so this ratio caps any memory-bound workload's
+    measurable in-sandbox efficiency and is reported next to the engine
+    numbers for interpretation."""
+    import concurrent.futures as cf
+
+    import numpy as np
+
+    # one private 64 MB buffer per worker slot: threads never share
+    # cache lines, so the only shared resource is the memory bus
+    bufs = [np.random.default_rng(i).random(2**23) for i in range(32)]
+
+    def churn(i):
+        s = 0.0
+        for _ in range(4):
+            s += float(bufs[i].sum())
+        return s
+
+    def throughput(n_threads: int) -> float:
+        """total bytes summed per second with n concurrent threads"""
+        with cf.ThreadPoolExecutor(n_threads) as ex:
+            t0 = time.perf_counter()
+            list(ex.map(churn, range(n_threads)))
+            dt = time.perf_counter() - t0
+        return n_threads * 4 * bufs[0].nbytes / dt
+
+    throughput(2)  # warm
+    tp = {n: throughput(n) for n in (4, 8, 16, 32)}
+    return {
+        "memcpy_eff_4_16": round((tp[16] / tp[4]) / 4, 3),
+        "memcpy_eff_8_32": round((tp[32] / tp[8]) / 4, 3),
+        "memcpy_gbps": {n: round(v / 1e9, 1) for n, v in tp.items()},
+    }
+
+
 def scaling() -> None:
+    """North-rule evidence: the same PR+CC job on the same prebuilt
+    graph at two parallelism levels in fresh processes — BOTH N=4→4N=16
+    and N=8→4N=32 pairs, two repetitions per leg (min taken: Ray worker
+    pool warm-up and OS page cache make the first run noisy)."""
+
     def run(ncpu: int, *flags: str) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
@@ -217,44 +260,59 @@ def scaling() -> None:
 
     prep = run(32, "--prepare")
     gdir = prep["gdir"]
-    lo = run(8, "--graph-only", gdir)
-    hi = run(32, "--graph-only", gdir)
-    # the north metric is TEPS for PR-to-convergence + CC on the same
-    # input at two parallelism levels (fresh ray.init each)
-    lo_g, hi_g = lo["graph_sec"], hi["graph_sec"]
-    graph_eff = (lo_g / hi_g) / (32 / 8) if hi_g else 0
-    pr_eff = (hi["pr_teps"] / lo["pr_teps"]) / (32 / 8) if lo["pr_teps"] else 0
-    cc_eff = (hi["cc_teps"] / lo["cc_teps"]) / (32 / 8) if lo["cc_teps"] else 0
+    legs: dict[int, dict] = {}
+    for ncpu in (4, 8, 16, 32):
+        reps = [run(ncpu, "--graph-only", gdir) for _ in range(2)]
+        best = min(reps, key=lambda r: r["graph_sec"])
+        legs[ncpu] = best
+
+    def eff(lo: dict, hi: dict, key: str, ratio: float) -> float:
+        if key.endswith("teps"):
+            return round((hi[key] / lo[key]) / ratio, 3) if lo[key] else 0.0
+        return round((lo[key] / hi[key]) / ratio, 3) if hi[key] else 0.0
+
+    pairs = {"4_16": (legs[4], legs[16]), "8_32": (legs[8], legs[32])}
+    env = memcpy_envelope()
     result = {
-        "metric": "scaling efficiency (num_cpus 32 vs 8, same input, fresh processes)",
-        "graph_sec_8": round(lo_g, 2),
-        "graph_sec_32": round(hi_g, 2),
-        "graph_scaling_efficiency": round(graph_eff, 3),
-        "pr_teps_8": lo["pr_teps"],
-        "pr_teps_32": hi["pr_teps"],
-        "pr_teps_efficiency": round(pr_eff, 3),
-        "cc_teps_8": lo["cc_teps"],
-        "cc_teps_32": hi["cc_teps"],
-        "cc_teps_efficiency": round(cc_eff, 3),
-        "n_vertices": lo["n_vertices"],
-        "n_edges_directed": lo["n_edges_directed"],
+        "metric": "scaling efficiency (4N vs N CPUs, same input, fresh processes)",
         "sf": _sf_of(SF_DIR),
+        "n_vertices": legs[32]["n_vertices"],
+        "n_edges_directed": legs[32]["n_edges_directed"],
+        **env,
     }
+    for tag, (lo, hi) in pairs.items():
+        result[f"graph_eff_{tag}"] = eff(lo, hi, "graph_sec", 4)
+        result[f"pr_teps_eff_{tag}"] = eff(lo, hi, "pr_teps", 4)
+        result[f"cc_teps_eff_{tag}"] = eff(lo, hi, "cc_teps", 4)
     print(json.dumps(result))
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n## bench.py --scaling @ sf{result['sf']} "
             f"({time.strftime('%Y-%m-%d %H:%M')})\n\n"
-            f"| metric | num_cpus=8 | num_cpus=32 | efficiency (target ≥0.8) |\n"
-            f"|---|---|---|---|\n"
-            f"| PR+CC (graph phase) wall s | {result['graph_sec_8']} | {result['graph_sec_32']} | {result['graph_scaling_efficiency']} |\n"
-            f"| PR TEPS | {lo['pr_teps']} | {hi['pr_teps']} | {result['pr_teps_efficiency']} |\n"
-            f"| CC TEPS | {lo['cc_teps']} | {hi['cc_teps']} | {result['cc_teps_efficiency']} |\n"
-            f"| PR supersteps | {lo['pr_supersteps']} | {hi['pr_supersteps']} | — |\n"
-            f"| graph (V, E-directed) | {lo['n_vertices']}, {lo['n_edges_directed']} "
-            f"| same input | — |\n\n"
-            f"Full JSON: `{json.dumps({'lo': lo, 'hi': hi})}`\n"
+            f"Graph: V={result['n_vertices']}, E-directed="
+            f"{result['n_edges_directed']}; min of 2 reps per leg; "
+            f"identical config every leg.\n\n"
+            f"| metric | 4 cpus | 8 cpus | 16 cpus | 32 cpus |\n"
+            f"|---|---|---|---|---|\n"
+            f"| PR+CC graph phase wall s | "
+            + " | ".join(str(legs[n]["graph_sec"]) for n in (4, 8, 16, 32))
+            + " |\n| PR TEPS | "
+            + " | ".join(str(legs[n]["pr_teps"]) for n in (4, 8, 16, 32))
+            + " |\n| CC TEPS | "
+            + " | ".join(str(legs[n]["cc_teps"]) for n in (4, 8, 16, 32))
+            + " |\n\n"
+            f"| efficiency (target ≥0.8) | N=4→4N=16 | N=8→4N=32 |\n"
+            f"|---|---|---|\n"
+            f"| graph phase | {result['graph_eff_4_16']} | {result['graph_eff_8_32']} |\n"
+            f"| PR TEPS | {result['pr_teps_eff_4_16']} | {result['pr_teps_eff_8_32']} |\n"
+            f"| CC TEPS | {result['cc_teps_eff_4_16']} | {result['cc_teps_eff_8_32']} |\n"
+            f"| pure-memcpy hardware envelope | {env['memcpy_eff_4_16']} | {env['memcpy_eff_8_32']} |\n\n"
+            f"The memcpy row is the single-box ceiling for memory-bound "
+            f"work (all cores share one memory bus; 4N cluster NODES "
+            f"would bring 4N× the bandwidth).  Engine efficiency should "
+            f"be read against that envelope.\n\n"
+            f"Full JSON: `{json.dumps({'legs': legs, 'result': result})}`\n"
         )
 
 

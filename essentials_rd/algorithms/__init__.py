@@ -3,6 +3,8 @@ from .cc import ConnectedComponentsProgram, connected_components
 from .lp import LabelPropagationProgram, label_propagation
 from .spmv import SpmvProgram, spmv
 from .tc import triangle_counts
+from .bfs import BfsProgram, bfs
+from .sssp import SsspProgram, sssp
 
 __all__ = [
     "PageRankProgram",
@@ -14,4 +16,8 @@ __all__ = [
     "SpmvProgram",
     "spmv",
     "triangle_counts",
+    "BfsProgram",
+    "bfs",
+    "SsspProgram",
+    "sssp",
 ]

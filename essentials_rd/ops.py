@@ -179,3 +179,55 @@ def top_k(ds: rd.Dataset, by: str, k: int, descending: bool = True) -> pa.Table:
         t, sort_keys=[(by, "descending" if descending else "ascending")]
     )
     return t.take(order[:k])
+
+
+def deterministic_sample(
+    ds: rd.Dataset,
+    frac: float,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    seed: int = 42,
+) -> rd.Dataset:
+    """Value-deterministic sampling (SURVEY.md §2.4 R7): keep a row iff
+    ``hash64(key ^ seed-mix) / 2^64 < frac``.  Unlike
+    ``Dataset.random_sample`` the decision is a pure function of the
+    row's key, so the sample is identical across runs, block layouts and
+    cluster sizes — the property resume-safe pipelines and the degree-
+    histogram / hub-threshold estimators need.  ``key_fn(batch) ->
+    int64 array`` picks the sampled identity (e.g. vid, doc_id)."""
+    assert 0.0 <= frac <= 1.0
+    threshold = np.uint64(int(frac * float(2**64 - 1)))
+    mix = np.int64((seed * 0x9E3779B97F4A7C15) & (2**63 - 1))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        k = key_fn(batch).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = hash64(k + mix)
+        return batch.take(pa.array(np.flatnonzero(h < threshold)))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def run_batch(jobs: dict[str, Callable[[], object]], max_workers: int | None = None) -> dict:
+    """Run several independent problem instances CONCURRENTLY against
+    one Ray cluster — the reference's ``batch`` operator
+    (gunrock/essentials ``framework/operators/batch.hxx`` [U]: several
+    enactors sharing a device).  Each callable drives its own Dataset
+    pipeline / superstep loop; Ray's scheduler interleaves their tasks,
+    so total wall time ≈ the resource-bound makespan, not the sum.
+    Returns {name: result} with every job completed (exceptions
+    propagate after all jobs settle)."""
+    import concurrent.futures as cf
+
+    out: dict[str, object] = {}
+    errs: dict[str, BaseException] = {}
+    with cf.ThreadPoolExecutor(max_workers or len(jobs)) as ex:
+        futs = {name: ex.submit(fn) for name, fn in jobs.items()}
+        for name, fut in futs.items():
+            try:
+                out[name] = fut.result()
+            except BaseException as e:  # noqa: BLE001 — reported, not hidden
+                errs[name] = e
+    if errs:
+        first = next(iter(errs))
+        raise RuntimeError(f"run_batch: {len(errs)} job(s) failed: {sorted(errs)}") from errs[first]
+    return out

@@ -207,3 +207,61 @@ def spmv_ref(
     y = np.zeros(len(vids), dtype=np.float64)
     np.add.at(y, d, np.asarray(weight, dtype=np.float64) * x[s])
     return y
+
+
+def bfs_ref(
+    vids: np.ndarray, src: np.ndarray, dst: np.ndarray, source: int
+) -> np.ndarray:
+    """BFS hop depths from ``source`` along src→dst edges; -1 where
+    unreachable.  CPU validator mirroring the reference's per-example
+    host checks (``algorithms/bfs.hxx`` [U])."""
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    depth = np.full(n, -1, np.int64)
+    si = np.searchsorted(vids, source)
+    if si >= n or vids[si] != source:
+        return depth
+    order = np.argsort(s, kind="stable")
+    s, d = s[order], d[order]
+    starts = np.searchsorted(s, np.arange(n))
+    ends = np.searchsorted(s, np.arange(n) + 1)
+    depth[si] = 0
+    frontier = [int(si)]
+    k = 0
+    while frontier:
+        k += 1
+        nxt = []
+        for u in frontier:
+            for v in d[starts[u]: ends[u]]:
+                if depth[v] == -1:
+                    depth[v] = k
+                    nxt.append(int(v))
+        frontier = nxt
+    return depth
+
+
+def sssp_ref(
+    vids: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    source: int,
+) -> np.ndarray:
+    """Bellman-Ford shortest distances from ``source`` (non-negative
+    weights); +inf where unreachable.  Mirrors the reference's
+    ``sssp_cpu.hxx`` CPU validator [U]."""
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    dist = np.full(n, np.inf)
+    si = np.searchsorted(vids, source)
+    if si >= n or vids[si] != source:
+        return dist
+    dist[si] = 0.0
+    w = np.asarray(weight, dtype=np.float64)
+    for _ in range(n):
+        new = dist.copy()
+        np.minimum.at(new, d, dist[s] + w)
+        if np.all((new == dist) | (np.isinf(new) & np.isinf(dist))):
+            break
+        dist = new
+    return dist

@@ -345,17 +345,34 @@ def _make_apply(
     step_id: int = 0,
     collector=None,
 ):
-    """Build the map_groups fn for one part: split state/msgs/broadcast,
-    sort deterministically, delegate to prog.apply, report this
-    partition's lineage metrics to the collector."""
+    """Build the apply fn: split state/msgs/broadcast, order
+    deterministically, delegate to prog.apply, report each partition's
+    lineage metrics to the collector.
+
+    Returned callable is a ``map_batches`` fn over HASH-PARTITIONED
+    blocks (``repartition(keys=["part"])``): a block holds one or more
+    COMPLETE partitions (hash co-location guarantees a part never
+    splits), so the fn loops the parts present in its block."""
     schema = schema_ref
     state_names = ["vid"] + list(prog.state_cols)
     msg_names = list(prog.msg_cols)
     with_mcount = _uses_mcount(prog)
 
-    def _apply(grp: pa.Table) -> pa.Table:
+    def _apply_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _empty(schema)
+        parts = np_col(block, "part")
+        uniq = np.unique(parts)
+        if len(uniq) == 1:
+            return _apply_part(block, int(uniq[0]))
+        outs = []
+        for p in uniq:
+            sub = block.take(pa.array(np.flatnonzero(parts == p)))
+            outs.append(_apply_part(sub, int(p)))
+        return pa.concat_tables(outs)
+
+    def _apply_part(grp: pa.Table, part: int) -> pa.Table:
         kind = np_col(grp, "kind")
-        part = int(np_col(grp, "part")[0])
         s_idx = np.flatnonzero(kind == 0)
         m_idx = np.flatnonzero(kind == 1)
         b_idx = np.flatnonzero(kind == 2)
@@ -440,7 +457,7 @@ def _make_apply(
             )
         return out
 
-    return _apply
+    return _apply_block
 
 
 def _metric_row(
@@ -618,6 +635,7 @@ def run_superstep_loop(
     resume: bool = False,
     scatter_mode: str = "tasks",
     steps_per_execution: int = 1,
+    combine_shuffle: str = "sort",
     on_step_end: Callable[[int, dict], None] | None = None,
 ) -> RunResult:
     """Drive the BSP loop (the reference's host enactor [U]).
@@ -649,6 +667,42 @@ def run_superstep_loop(
         )
     assert scatter_mode in ("tasks", "actors", "fused")
     assert steps_per_execution >= 1
+    assert combine_shuffle in ("sort", "hash")
+    _ctx = rd.DataContext.get_current()
+    _prev_strategy = _ctx.shuffle_strategy
+    if combine_shuffle == "hash":
+        # hash-keyed repartition is only served under the HASH_SHUFFLE
+        # strategy; scope the switch to this loop (groupbys elsewhere
+        # keep the session default)
+        from ray.data.context import ShuffleStrategy
+
+        _ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return _run_superstep_loop_inner(
+            prog, graph, ckpt=ckpt, max_iters=max_iters,
+            checkpoint_every=checkpoint_every, n_actors=n_actors,
+            resume=resume, scatter_mode=scatter_mode,
+            steps_per_execution=steps_per_execution,
+            combine_shuffle=combine_shuffle, on_step_end=on_step_end,
+        )
+    finally:
+        _ctx.shuffle_strategy = _prev_strategy
+
+
+def _run_superstep_loop_inner(
+    prog: VertexProgram,
+    graph: GraphShards,
+    *,
+    ckpt: CheckpointManager | None,
+    max_iters: int,
+    checkpoint_every: int,
+    n_actors: int | None,
+    resume: bool,
+    scatter_mode: str,
+    steps_per_execution: int,
+    combine_shuffle: str,
+    on_step_end: Callable[[int, dict], None] | None,
+) -> RunResult:
     P = graph.num_parts
     vids_all = ray.get(graph.vertex_ids_ref)
     prog._i32_dst = bool(
@@ -733,10 +787,24 @@ def run_superstep_loop(
         d = state
         for i in range(1, n_steps + 1):
             d = _add_scatter(d)
-            d = d.groupby("part").map_groups(
-                _make_apply(prog, schema, step_id=k + i, collector=collector),
-                batch_format="pyarrow",
-            )
+            # combine shuffle on destination-vertex hash.  Two physical
+            # forms, value-identical (the apply kernels are
+            # order-deterministic over packed-row order):
+            # - "hash": keyed repartition (no sort) + stateless apply
+            #   over co-located blocks;
+            # - "sort": groupby("part").map_groups — range shuffle.
+            apply_fn = _make_apply(prog, schema, step_id=k + i,
+                                   collector=collector)
+            if combine_shuffle == "hash":
+                d = d.repartition(num_blocks=P, keys=["part"], sort=False)
+                d = d.map_batches(
+                    apply_fn, batch_format="pyarrow", batch_size=None,
+                    zero_copy_batch=True,
+                )
+            else:
+                d = d.groupby("part").map_groups(
+                    apply_fn, batch_format="pyarrow"
+                )
         boundary = k + n_steps
         mat = d.materialize()
         # optional program hook (e.g. CC pointer jumping): runs before

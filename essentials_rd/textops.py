@@ -378,25 +378,28 @@ def _vj_lookup(grp: pa.Table, key_col: str) -> tuple[pa.Table, pa.ChunkedArray]:
 
 
 def _jaccard_arrays(sa, sb) -> np.ndarray:
-    """Pairwise Jaccard of two aligned list<int64> columns of sorted
-    distinct shingle hashes."""
+    """Pairwise Jaccard of two aligned list<int64> columns of DISTINCT
+    shingle hashes — fully vectorized: tag each element with its pair id,
+    lexsort (pair, hash) across both sides, count (pair, hash) values
+    appearing twice (each side's set is distinct, so a duplicate ⇔ an
+    intersection element)."""
     sa = sa.combine_chunks() if isinstance(sa, pa.ChunkedArray) else sa
     sb = sb.combine_chunks() if isinstance(sb, pa.ChunkedArray) else sb
     la = np.asarray(pc.list_value_length(sa), np.int64)
     lb = np.asarray(pc.list_value_length(sb), np.int64)
+    n = len(la)
+    if n == 0:
+        return np.zeros(0)
     flat_a = np.asarray(sa.flatten().to_numpy(zero_copy_only=False))
     flat_b = np.asarray(sb.flatten().to_numpy(zero_copy_only=False))
-    off_a = np.r_[0, np.cumsum(la)]
-    off_b = np.r_[0, np.cumsum(lb)]
-    j = np.zeros(len(la))
-    for i in range(len(la)):
-        A = flat_a[off_a[i]: off_a[i + 1]]
-        B = flat_b[off_b[i]: off_b[i + 1]]
-        if len(A) == 0 or len(B) == 0:
-            continue
-        inter = len(np.intersect1d(A, B, assume_unique=True))
-        j[i] = inter / (len(A) + len(B) - inter)
-    return j
+    allp = np.concatenate([np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)])
+    allh = np.concatenate([flat_a, flat_b])
+    order = np.lexsort((allh, allp))
+    p, h = allp[order], allh[order]
+    dup = (p[1:] == p[:-1]) & (h[1:] == h[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n)
+    denom = la + lb - inter
+    return np.divide(inter, denom, out=np.zeros(n), where=denom > 0)
 
 
 def verify_jaccard(

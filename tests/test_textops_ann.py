@@ -168,3 +168,29 @@ def test_ivf_recall_vs_brute_force():
     te, ta = tops(exact), tops(approx)
     recalls = [len(te[q] & ta.get(q, set())) / 5 for q in te]
     assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
+
+
+def test_ivf_index_build_and_search(tmp_path):
+    import numpy as np
+    from essentials_rd.ann import build_ivf_index, ivf_search
+
+    rng = np.random.default_rng(9)
+    # 4 well-separated clusters in 8-d
+    centers = rng.normal(size=(4, 8)) * 5
+    vecs = np.concatenate([c + rng.normal(scale=0.2, size=(50, 8)) for c in centers])
+    ids = np.arange(len(vecs))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    }))
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(ds, idx, num_centroids=4, iters=3)
+    assert cents.shape == (4, 8)
+    qids = np.array([0, 50, 100], dtype=np.int64)
+    q = vecs[qids]
+    got = ivf_search(idx, q, qids, k=5, nprobe=1)
+    ref = brute_force_topk(ds, q, qids, k=5)
+    # well-separated clusters + converged kmeans: nprobe=1 recall is 100%
+    got_ids = {(r["query_id"], r["vec_id"]) for r in got.to_pylist()}
+    ref_ids = {(r["query_id"], r["vec_id"]) for r in ref.to_pylist()}
+    assert len(got_ids & ref_ids) / len(ref_ids) >= 0.9
