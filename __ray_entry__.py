@@ -241,6 +241,68 @@ def _q_spmv(sf_dir: str):
     return pa.table({"vid": t["vid"], "y": pa.array(y, pa.float64())})
 
 
+def _q_orders_per_nation(sf_dir: str):
+    """Two-shape join exercise (ops.join, SURVEY.md §2.4 R3): customer
+    ⋈(broadcast) nation — small side ray.put once — then orders
+    ⋈(partitioned hash) the result on o_custkey, grouped per nation.
+    Integer-only aggregates so the oracle compare is bit-exact."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_pandas_agg, join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey"])
+    cn = join(cust.rename_columns({"c_nationkey": "n_nationkey"}), nat,
+              on="n_nationkey", how="inner", broadcast=True)
+    oc = join(orders.rename_columns({"o_custkey": "c_custkey"}), cn,
+              on="c_custkey", how="inner", broadcast=False, num_buckets=32)
+    agg = grouped_pandas_agg(
+        oc,
+        keys=["n_name"],
+        aggs={
+            "n_orders": ("o_orderkey", "count"),
+            "max_orderkey": ("o_orderkey", "max"),
+        },
+        key_fn=lambda b: _str_hash(b.column("n_name")),
+        num_buckets=8,
+    )
+    rows = agg.take_all()
+    return pa.table(
+        {
+            "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
+            "n_orders": pa.array([r["n_orders"] for r in rows], pa.int64()),
+            "max_orderkey": pa.array([r["max_orderkey"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _q_cust_no_orders(sf_dir: str):
+    """Distributed ANTI join (ops.join how='anti'): customers that
+    placed no URGENT order (the unfiltered anti join is empty at every
+    sf — filtered at the read so the result is non-trivial)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    res = join(cust, orders.rename_columns({"o_custkey": "c_custkey"}),
+               on="c_custkey", how="anti", broadcast=False, num_buckets=32)
+    rows = res.take_all()
+    return pa.table(
+        {"c_custkey": pa.array([r["c_custkey"] for r in rows], pa.int64())}
+    )
+
+
 def _q_text_stats(sf_dir: str):
     import ray.data as rd
 
@@ -372,6 +434,8 @@ def _q_lang_pred(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "orders_per_nation": _q_orders_per_nation,
+        "cust_no_orders": _q_cust_no_orders,
         "text_stats": _q_text_stats,
         "exact_dup_groups": _q_exact_dup_groups,
         "ann_cosine_top5": _q_ann,
@@ -678,6 +742,18 @@ FROM verts v LEFT JOIN yagg a ON a.vid = v.vid ORDER BY v.vid
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "orders_per_nation": (
+            "SELECT n_name, count(o_orderkey) AS n_orders, "
+            "max(o_orderkey) AS max_orderkey "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "cust_no_orders": (
+            "SELECT c_custkey FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"
+        ),
         "text_stats": (
             "SELECT doc_id, length(text) AS n_chars, "
             "len(string_split(text, ' ')) AS n_tokens, "

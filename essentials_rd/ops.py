@@ -207,6 +207,162 @@ def deterministic_sample(
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def _join_key_fn(on: list[str]) -> Callable[[pa.Table], np.ndarray]:
+    """Combined deterministic int64 hash over the key columns (string
+    columns via pandas siphash — process-stable; numeric via hash64)."""
+
+    def _key(batch: pa.Table) -> np.ndarray:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in on:
+            col = batch.column(c)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                arr = np.asarray(col.to_pylist(), dtype=object)
+                k = (
+                    pd.util.hash_array(arr, categorize=False).view(np.int64)
+                    if len(arr)
+                    else np.zeros(0, np.int64)
+                )
+            else:
+                k = np_col(batch, c).astype(np.int64)
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(0x100000001B3) + hash64(k)
+        return h.astype(np.int64)
+
+    return _key
+
+
+def _pd_merge(ldf: pd.DataFrame, rdf: pd.DataFrame, on: list[str], how: str) -> pd.DataFrame:
+    if how in ("inner", "left"):
+        return ldf.merge(rdf, on=on, how=how)
+    if how == "semi":
+        return ldf.merge(rdf[on].drop_duplicates(), on=on, how="inner")
+    if how == "anti":
+        m = ldf.merge(rdf[on].drop_duplicates(), on=on, how="left", indicator=True)
+        return m.loc[m["_merge"] == "left_only"].drop(columns=["_merge"])
+    raise ValueError(f"unsupported join how={how!r}")
+
+
+def join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str | list[str],
+    how: str = "inner",
+    *,
+    broadcast: bool | None = None,
+    broadcast_limit: int = 1_000_000,
+    num_buckets: int = DEFAULT_BUCKETS,
+    rsuffix: str = "_r",
+) -> rd.Dataset:
+    """General distributed equi-join (SURVEY.md §2.4 R3) with the two
+    scale shapes a 100-TB pipeline needs, chosen per call:
+
+    - **broadcast hash join** (small right side): the right table is
+      materialized once, ``ray.put`` into the object store, and every
+      left batch merges against it inside ``map_batches`` — one pass
+      over the big side, ZERO shuffles.
+    - **partitioned hash join** (both sides big): both sides are
+      stamped with ``bucket = hash(key) % B`` and co-shuffled in a
+      single ``groupby("__bucket__")`` exchange; each bucket merges its
+      two complete sides with a vectorized pandas merge.  Same key →
+      same bucket, so per-bucket joins are globally correct.
+
+    ``how``: ``inner`` / ``left`` / ``semi`` / ``anti`` (semi/anti
+    project the right side to its key columns before any movement).
+    ``broadcast=None`` auto-picks: broadcast iff ``right.count() <=
+    broadcast_limit`` (executes the right pipeline).  Join keys must be
+    non-null.  Right value columns colliding with left names get
+    ``rsuffix``.  Ray 2.49's ``Dataset.join`` is deliberately not used
+    (see cc.py — sort-based, no broadcast path, unstable block counts).
+    """
+    import ray
+
+    on = [on] if isinstance(on, str) else list(on)
+    if how in ("semi", "anti"):
+        right = right.select_columns(on)
+
+    def _arrow_schema(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
+        s = getattr(ds.schema(), "base_schema", None)
+        if isinstance(s, pa.Schema):
+            return ds, s
+        # pandas/simple-block dataset: coerce blocks to Arrow once
+        ds = ds.map_batches(lambda b: b, batch_format="pyarrow")
+        return ds, ds.schema().base_schema
+
+    left, lschema = _arrow_schema(left)
+    right, rschema = _arrow_schema(right)
+    lcols = list(lschema.names)
+    rename = {
+        c: c + rsuffix for c in rschema.names if c not in on and c in lcols
+    }
+    if rename:
+        right = right.rename_columns(rename)
+        rschema = pa.schema(
+            [
+                pa.field(rename.get(n, n), rschema.field(n).type)
+                for n in rschema.names
+            ]
+        )
+    rcols = list(rschema.names)
+    rval_cols = [c for c in rcols if c not in on]
+
+    if broadcast is None:
+        broadcast = right.count() <= broadcast_limit
+
+    if broadcast:
+        rtab = pa.concat_tables(
+            ray.get(right.to_arrow_refs()), promote_options="default"
+        )
+        rdf_ref = ray.put(rtab.to_pandas())
+
+        def _bc_merge(batch: pa.Table) -> pa.Table:
+            rdf = ray.get(rdf_ref)
+            out = _pd_merge(batch.to_pandas(), rdf, on, how)
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata()
+
+        return left.map_batches(_bc_merge, batch_format="pyarrow")
+
+    # --- partitioned hash join: pad both sides to a union schema, tag,
+    # co-shuffle on the bucket, merge per bucket.
+    key_fn = _join_key_fn(on)
+    union_fields = (
+        [lschema.field(c) for c in lcols]
+        + [rschema.field(c) for c in rval_cols]
+        + [pa.field("__side__", pa.int8()), pa.field("__bucket__", pa.int32())]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def _tag(side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            bucket = (hash64(key_fn(batch)) % np.uint64(num_buckets)).astype(np.int32)
+            cols = []
+            for f in union_fields:
+                if f.name == "__side__":
+                    cols.append(pa.array(np.full(n, side, np.int8), pa.int8()))
+                elif f.name == "__bucket__":
+                    cols.append(pa.array(bucket, pa.int32()))
+                elif f.name in batch.column_names:
+                    cols.append(batch.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(cols, schema=union_schema)
+
+        return _fn
+
+    tagged = left.map_batches(_tag(0), batch_format="pyarrow").union(
+        right.map_batches(_tag(1), batch_format="pyarrow")
+    )
+
+    def _join_bucket(grp: pa.Table) -> pa.Table:
+        side = np_col(grp, "__side__")
+        lt = grp.filter(pa.array(side == 0)).select(lcols)
+        rt = grp.filter(pa.array(side == 1)).select(on + rval_cols)
+        out = _pd_merge(lt.to_pandas(), rt.to_pandas(), on, how)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata()
+
+    return tagged.groupby("__bucket__").map_groups(_join_bucket, batch_format="pyarrow")
+
+
 def run_batch(jobs: dict[str, Callable[[], object]], max_workers: int | None = None) -> dict:
     """Run several independent problem instances CONCURRENTLY against
     one Ray cluster — the reference's ``batch`` operator

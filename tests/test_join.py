@@ -1,0 +1,91 @@
+"""General join operator (SURVEY.md §2.4 R3): broadcast and
+partitioned paths vs a pandas-merge reference, all `how` modes."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from essentials_rd.ops import join
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        else:
+            df[c] = df[c].astype(float)
+    return df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _ref_merge(ldf, rdf, on, how):
+    if how in ("inner", "left"):
+        return ldf.merge(rdf, on=on, how=how, suffixes=("", "_r"))
+    if how == "semi":
+        return ldf.merge(rdf[on].drop_duplicates(), on=on, how="inner")
+    m = ldf.merge(rdf[on].drop_duplicates(), on=on, how="left", indicator=True)
+    return m.loc[m["_merge"] == "left_only"].drop(columns=["_merge"])
+
+
+def _tables(seed=7, nl=300, nr=120):
+    rng = np.random.default_rng(seed)
+    ldf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, nl),
+            "s": [f"s{v}" for v in rng.integers(0, 5, nl)],
+            "lval": np.arange(nl, dtype=np.int64),
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 80, nr),  # some keys unmatched either way
+            "s": [f"s{v}" for v in rng.integers(0, 5, nr)],
+            "rval": np.arange(nr, dtype=np.int64) * 10,
+            "lval": rng.integers(0, 9, nr),  # name collision -> rsuffix
+        }
+    )
+    return ldf, rdf
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_join_matches_pandas(how, broadcast):
+    ldf, rdf = _tables()
+    got = join(
+        rd.from_pandas(ldf).repartition(5),
+        rd.from_pandas(rdf).repartition(3),
+        on=["k", "s"],
+        how=how,
+        broadcast=broadcast,
+        num_buckets=8,
+    ).to_pandas()
+    want = _ref_merge(ldf, rdf, ["k", "s"], how)
+    if how in ("semi", "anti"):
+        assert sorted(got.columns) == sorted(ldf.columns)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_join_single_int_key_duplicates():
+    # m:n duplicate keys must produce the full cross product per key
+    ldf = pd.DataFrame({"k": [1, 1, 2, 3], "a": [10, 11, 12, 13]})
+    rdf = pd.DataFrame({"k": [1, 1, 1, 2], "b": [100, 101, 102, 103]})
+    for bc in (True, False):
+        got = join(
+            rd.from_pandas(ldf), rd.from_pandas(rdf), on="k", how="inner",
+            broadcast=bc, num_buckets=4,
+        ).to_pandas()
+        want = ldf.merge(rdf, on="k")
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_join_auto_broadcast_threshold():
+    ldf, rdf = _tables(nl=50, nr=10)
+    got = join(
+        rd.from_pandas(ldf), rd.from_pandas(rdf), on="k", how="inner",
+        broadcast=None, broadcast_limit=5,  # forces partitioned path
+        num_buckets=4,
+    ).to_pandas()
+    want = ldf.merge(rdf, on="k", suffixes=("", "_r"))
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
