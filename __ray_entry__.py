@@ -241,6 +241,34 @@ def _q_spmv(sf_dir: str):
     return pa.table({"vid": t["vid"], "y": pa.array(y, pa.float64())})
 
 
+COSINE_DUP_T = 0.4
+
+
+def _q_quality_score(sf_dir: str):
+    """Per-document quality signals (punct/stopword ratios, mean token
+    length) — stateless vectorized stage, oracle-exact after 6-dp
+    half-up rounding on both sides."""
+    import ray.data as rd
+
+    from essentials_rd.textops import quality_score
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return quality_score(docs)
+
+
+def _q_cosine_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (broadcast matrix + one
+    matmul per block; scale path = per-IVF-bucket, ann.py docstring)."""
+    import ray.data as rd
+
+    from essentials_rd.ann import cosine_near_dup_pairs
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    return cosine_near_dup_pairs(vecs, COSINE_DUP_T)
+
+
 def _q_orders_per_nation(sf_dir: str):
     """Two-shape join exercise (ops.join, SURVEY.md §2.4 R3): customer
     ⋈(broadcast) nation — small side ray.put once — then orders
@@ -434,6 +462,8 @@ def _q_lang_pred(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "quality_score": _q_quality_score,
+        "cosine_near_dup": _q_cosine_near_dup,
         "orders_per_nation": _q_orders_per_nation,
         "cust_no_orders": _q_cust_no_orders,
         "text_stats": _q_text_stats,
@@ -742,6 +772,31 @@ FROM verts v LEFT JOIN yagg a ON a.vid = v.vid ORDER BY v.vid
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_score": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "len(string_split(text, ' ')) AS n_tokens, "
+            "round(CAST(length(text) - length(regexp_replace(text, "
+            "'[.,;:!?]', '', 'g')) AS DOUBLE) "
+            "/ greatest(length(text), 1), 6) AS punct_ratio, "
+            "round(CAST(len(list_filter(string_split(text, ' '), t -> "
+            "list_contains(['the','a','an','of','to','in','and','is','for'], t)"
+            ")) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) "
+            "AS stopword_ratio, "
+            # sum(token lens) == n_chars - (n_tokens - 1) single-space seps
+            "round(CAST(length(text) - (len(string_split(text, ' ')) - 1) "
+            "AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) "
+            "AS mean_token_len "
+            "FROM documents"
+        ),
+        "cosine_near_dup": (
+            "WITH e AS MATERIALIZED (SELECT vec_id, "
+            "CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine "
+            "FROM e a, e b WHERE a.vec_id < b.vec_id AND "
+            "round(list_cosine_similarity(a.emb, b.emb), 6) "
+            f">= {COSINE_DUP_T}"
+        ),
         "orders_per_nation": (
             "SELECT n_name, count(o_orderkey) AS n_orders, "
             "max(o_orderkey) AS max_orderkey "

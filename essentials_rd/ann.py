@@ -102,6 +102,49 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: rd.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> rd.Dataset:
+    """Embedding-cosine near-duplicate PAIRS: all (a, b), a < b, with
+    round(cosine, 6) ≥ threshold.
+
+    Shape: the normalized full matrix is broadcast once (``ray.put``)
+    and every row-block does ONE float64 matmul against it — exact, and
+    distributed over the row blocks.  The broadcast bound is N×d
+    doubles; beyond object-store size, run this per IVF bucket
+    (``assign_ivf_buckets`` → groupby bucket → same kernel within each
+    bucket) for the approximate-but-scalable variant.
+    """
+    from .pipelines import round_half_up
+
+    tabs = ray.get(vectors.select_columns([id_col, vec_col]).to_arrow_refs())
+    full = pa.concat_tables(tabs, promote_options="default").combine_chunks()
+    fm = _normalize(_batch_matrix(full, vec_col))
+    fids = np_col(full, id_col).astype(np.int64)
+    ref = ray.put((fm, fids))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        fmat, ids_all = ray.get(ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = np_col(batch, id_col).astype(np.int64)
+        s = round_half_up(m @ fmat.T, round_digits)
+        keep = (s >= threshold) & (ids[:, None] < ids_all[None, :])
+        r, c = np.nonzero(keep)
+        return pa.table(
+            {
+                "a": pa.array(ids[r], pa.int64()),
+                "b": pa.array(ids_all[c], pa.int64()),
+                "cosine": pa.array(s[r, c], pa.float64()),
+            }
+        )
+
+    return vectors.map_batches(_pairs, batch_format="pyarrow")
+
+
 def assign_ivf_buckets(
     vectors: rd.Dataset,
     num_centroids: int = 16,

@@ -142,6 +142,53 @@ def text_stats(docs: rd.Dataset, text_col: str = "text",
     return docs.map_batches(_stats, batch_format="pyarrow")
 
 
+QUALITY_STOPWORDS = ("the", "a", "an", "of", "to", "in", "and", "is", "for")
+_PUNCT_CLASS = r"[.,;:!?]"
+
+
+def quality_score(docs: rd.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id") -> rd.Dataset:
+    """Per-document quality signals for corpus filtering (all ratios
+    rounded half-up to 6 dp so the DuckDB oracle is bit-exact):
+    punctuation ratio over chars, stopword ratio + mean token length
+    over single-space tokens.  Stateless vectorized ``map_batches`` —
+    no shuffle, linear at any scale."""
+    from .pipelines import round_half_up
+
+    stop = set(QUALITY_STOPWORDS)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        n = len(s)
+        n_chars = s.str.len().to_numpy(np.int64)
+        n_punct = s.str.count(_PUNCT_CLASS).to_numpy(np.int64)
+        toks = s.str.split(" ")
+        ex = toks.explode()
+        rep = np.repeat(np.arange(n), toks.str.len().to_numpy(np.int64))
+        n_tokens = np.bincount(rep, minlength=n).astype(np.int64)
+        is_stop = ex.isin(stop).to_numpy(bool)
+        n_stop = np.bincount(rep, weights=is_stop, minlength=n).astype(np.int64)
+        tok_chars = ex.str.len().to_numpy(np.int64)
+        sum_tok_len = np.bincount(rep, weights=tok_chars, minlength=n).astype(np.int64)
+        nc = np.maximum(n_chars, 1).astype(np.float64)
+        nt = np.maximum(n_tokens, 1).astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "punct_ratio": pa.array(
+                    round_half_up(n_punct / nc, 6), pa.float64()),
+                "stopword_ratio": pa.array(
+                    round_half_up(n_stop / nt, 6), pa.float64()),
+                "mean_token_len": pa.array(
+                    round_half_up(sum_tok_len / nt, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- exact dedup
 
 
