@@ -242,6 +242,31 @@ def _q_spmv(sf_dir: str):
 
 
 COSINE_DUP_T = 0.4
+SESSION_GAP_MIN = 30
+
+
+def _q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event stream (windows.py):
+    hourly window × event_type, integer-exact aggregates."""
+    import ray.data as rd
+
+    from essentials_rd.windows import tumbling_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+    return tumbling_window_agg(ev, every_minutes=60)
+
+
+def _q_user_sessions(sf_dir: str):
+    """Sessionization (30-min inactivity gap) — per-user session stats
+    via one user-bucketed shuffle (windows.py)."""
+    import ray.data as rd
+
+    from essentials_rd.windows import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    return sessionize(ev, gap_minutes=SESSION_GAP_MIN)
 
 
 def _q_quality_score(sf_dir: str):
@@ -462,6 +487,8 @@ def _q_lang_pred(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
         "orders_per_nation": _q_orders_per_nation,
@@ -772,6 +799,34 @@ FROM verts v LEFT JOIN yagg a ON a.vid = v.vid ORDER BY v.vid
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_hourly": (
+            "SELECT epoch_us(ts) // 3600000000 AS window, event_type, "
+            "count(*) AS n_events, min(event_id) AS min_id, "
+            "max(event_id) AS max_id "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "user_sessions": (
+            "WITH o AS MATERIALIZED ("
+            "  SELECT user_id, epoch_us(ts) AS t, event_id, "
+            "    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+            "      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > "
+            f"      {SESSION_GAP_MIN * 60 * 1000000} "
+            "    THEN 1 ELSE 0 END AS is_new "
+            "  FROM events "
+            "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), s AS MATERIALIZED ("
+            "  SELECT user_id, t, "
+            "    sum(is_new) OVER (PARTITION BY user_id "
+            "      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            "  FROM o"
+            "), per_sess AS MATERIALIZED ("
+            "  SELECT user_id, sid, count(*) AS len, max(t) - min(t) AS dur "
+            "  FROM s GROUP BY user_id, sid"
+            ") "
+            "SELECT user_id, sum(len) AS n_events, count(*) AS n_sessions, "
+            "max(len) AS max_session_events, max(dur) AS max_session_dur_us "
+            "FROM per_sess GROUP BY user_id"
+        ),
         "quality_score": (
             "SELECT doc_id, length(text) AS n_chars, "
             "len(string_split(text, ' ')) AS n_tokens, "

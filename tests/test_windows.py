@@ -1,0 +1,109 @@
+"""Windowed / sessionized aggregation (essentials_rd/windows.py):
+planted session boundaries vs a plain-pandas reference, plus the
+boundary case gap == threshold (must NOT split — split is strict >).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from essentials_rd.windows import US_PER_MIN, sessionize, tumbling_window_agg
+
+
+def _events(users, ts_us, ids):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts_us, pa.timestamp("us")),
+                "event_id": pa.array(ids, pa.int64()),
+                "event_type": pa.array([i % 3 for i in ids], pa.int64()),
+            }
+        )
+    )
+
+
+def test_sessionize_planted_boundaries():
+    gap = 30  # minutes
+    m = US_PER_MIN
+    # user 1: three events in one session, then a 31-min gap -> new session
+    # user 2: single event
+    # user 3: gap EXACTLY 30 min -> same session (split is strict >)
+    users = [1, 1, 1, 1, 2, 3, 3]
+    ts = [0, 5 * m, 10 * m, 41 * m, 7 * m, 0, 30 * m]
+    ids = list(range(7))
+    out = sessionize(_events(users, ts, ids), gap_minutes=gap).to_pandas()
+    out = out.set_index("user_id").sort_index()
+    assert out.loc[1, "n_sessions"] == 2
+    assert out.loc[1, "n_events"] == 4
+    assert out.loc[1, "max_session_events"] == 3
+    assert out.loc[1, "max_session_dur_us"] == 10 * m
+    assert out.loc[2, "n_sessions"] == 1
+    assert out.loc[2, "max_session_dur_us"] == 0
+    assert out.loc[3, "n_sessions"] == 1  # boundary: ==gap stays together
+    assert out.loc[3, "max_session_dur_us"] == 30 * m
+
+
+def test_sessionize_matches_pandas_reference():
+    rng = np.random.default_rng(7)
+    n = 3000
+    users = rng.integers(0, 40, n)
+    ts = np.sort(rng.integers(0, 10**10, n))
+    ids = np.arange(n)
+    got = (
+        sessionize(_events(users, ts, ids), gap_minutes=30, num_buckets=8)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    df = pd.DataFrame({"u": users, "t": ts, "e": ids}).sort_values(["u", "t", "e"])
+    new = (df["u"].diff() != 0) | (df["t"].diff() > 30 * US_PER_MIN)
+    df["sid"] = new.cumsum()
+    per = df.groupby(["u", "sid"]).agg(len=("e", "size"), dur=("t", lambda s: s.max() - s.min()))
+    want = (
+        per.groupby("u")
+        .agg(
+            n_events=("len", "sum"),
+            n_sessions=("len", "size"),
+            max_session_events=("len", "max"),
+            max_session_dur_us=("dur", "max"),
+        )
+        .reset_index()
+        .rename(columns={"u": "user_id"})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype("int64"), want.astype("int64")
+    )
+
+
+def test_tumbling_window_agg_matches_pandas():
+    rng = np.random.default_rng(11)
+    n = 2000
+    ts = rng.integers(0, 10**10, n)
+    ids = np.arange(n)
+    ds = _events(np.zeros(n, np.int64), ts, ids)
+    got = (
+        tumbling_window_agg(ds, every_minutes=60, num_buckets=8)
+        .to_pandas()
+        .sort_values(["window", "event_type"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(
+        {"window": ts // (60 * US_PER_MIN), "event_type": ids % 3, "event_id": ids}
+    )
+    want = (
+        df.groupby(["window", "event_type"])
+        .agg(
+            n_events=("event_id", "size"),
+            min_id=("event_id", "min"),
+            max_id=("event_id", "max"),
+        )
+        .reset_index()
+        .sort_values(["window", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
