@@ -148,10 +148,9 @@ def _q_pagerank(sf_dir: str):
 
 def _q_top_pagerank(sf_dir: str):
     t = _pagerank_rounded(sf_dir)
-    idx = sorted(
-        range(t.num_rows),
-        key=lambda i: (-t["pagerank"][i].as_py(), t["vid"][i].as_py()),
-    )[:TOP_K]
+    pr = np.asarray(t["pagerank"], dtype=np.float64)
+    vid = np.asarray(t["vid"], dtype=np.int64)
+    idx = np.lexsort((vid, -pr))[:TOP_K]
     return t.take(pa.array(idx))
 
 
