@@ -28,6 +28,7 @@ ALPHA = 0.85
 PR_ITERS = 8
 CC_ITERS = 32
 BFS_ITERS = 32
+SSSP_ITERS = 16
 LP_ITERS = 4
 TOKEN_CAP = 1000
 TOP_K = 20
@@ -226,6 +227,28 @@ def _q_bfs_depth(sf_dir: str):
         "BFS did not converge within the oracle's unrolled iteration count"
     )
     return depths_table(res)
+
+
+def _q_sssp_dist(sf_dir: str):
+    """Weighted single-source shortest paths from the min vertex id over
+    the symmetrized co-purchase graph (weight = #shared orders).
+    Bellman-Ford fixpoint; unreachable reported as -1 for SQL parity."""
+    import ray
+
+    from essentials_rd.algorithms import sssp
+    from essentials_rd.algorithms.sssp import distances_table
+
+    g, _ = _graph(sf_dir, weighted=True)
+    source = int(np.min(ray.get(g.vertex_ids_ref)))
+    res = sssp(g, source, max_iters=2 * SSSP_ITERS, checkpoint_every=0,
+               scatter_mode="fused")
+    assert res.converged and res.supersteps <= SSSP_ITERS, (
+        "SSSP did not converge within the oracle's unrolled iteration count"
+    )
+    t = distances_table(res)
+    dist = np.asarray(t["dist"], dtype=np.float64)
+    dist = np.where(np.isfinite(dist), dist, -1.0)
+    return pa.table({"vid": t["vid"], "dist": pa.array(dist, pa.float64())})
 
 
 def _q_spmv(sf_dir: str):
@@ -509,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "lp_k4": _q_lp,
         "bfs_depth": _q_bfs_depth,
+        "sssp_dist": _q_sssp_dist,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
@@ -708,6 +732,42 @@ d{k + 1} AS MATERIALIZED (
         f"WITH {_GRAPH_CTES}, {body} "
         f"SELECT vid, CASE WHEN depth >= {big} THEN -1 ELSE depth END AS depth "
         f"FROM d{BFS_ITERS} ORDER BY vid"
+    )
+
+
+def _sssp_sql() -> str:
+    """Bellman-Ford unrolled CTE over the weighted symmetrized edge set
+    (weight = #shared orders, from the ``pairs`` CTE).  Same shape as
+    ``_bfs_sql`` but relaxing ``dist + weight`` instead of ``depth + 1``.
+    Distances are integer-valued sums of integer weights, exact in
+    float64 on both sides."""
+    big = float(1 << 60)
+    steps = [
+        f"""symw AS MATERIALIZED (
+  SELECT src, dst, weight FROM pairs
+  UNION ALL SELECT dst AS src, src AS dst, weight FROM pairs
+),
+wsrc AS MATERIALIZED (SELECT min(vid) AS s FROM verts),
+w0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = (SELECT s FROM wsrc) THEN 0.0
+              ELSE {big} END AS dist FROM verts)"""
+    ]
+    for k in range(SSSP_ITERS):
+        steps.append(f"""
+wm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.dist + e.weight) AS md
+  FROM symw e JOIN w{k} l ON l.vid = e.src AND l.dist < {big}
+  GROUP BY e.dst
+),
+w{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.dist, COALESCE(m.md, v.dist)) AS dist
+  FROM w{k} v LEFT JOIN wm{k} m ON m.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT vid, CASE WHEN dist >= {big} THEN -1.0 ELSE dist END AS dist "
+        f"FROM w{SSSP_ITERS} ORDER BY vid"
     )
 
 
@@ -928,6 +988,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "top_pagerank": _top_pagerank_sql(),
         "cc_labels": _cc_sql(),
         "bfs_depth": _bfs_sql(),
+        "sssp_dist": _sssp_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),
