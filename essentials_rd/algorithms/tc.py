@@ -7,16 +7,24 @@ edge low-rank → high-rank; a triangle {u,v,w} is counted exactly once,
 at its lowest-ranked pair, as ``|N⁺(u) ∩ N⁺(v)|``.  Outputs the global
 total and per-vertex triangle counts.
 
+Vertices are relabelled to DENSE RANK IDS before counting (the rank
+order already computed for orientation): orientation becomes a plain
+``min/max``, every id fits 32 bits up to 4B vertices, and an oriented
+edge packs into one uint64 ``(src << 32) | dst`` key.
+
 Two physical plans, same results:
 
 - ``method="intersect"`` (default): an actor-pool ``map_batches`` over
-  the oriented edge list; each batch's adjacency lists are expanded for
-  BOTH endpoints in bulk and intersected with ONE vectorized
-  lexsort-and-adjacent-equal pass (no Python loop over edges).
-  Partitioning assumption: an actor may touch any shard (edges arrive
-  grouped by hash(u) but v's shard is arbitrary), so worst-case
-  per-NODE residency is the full oriented adjacency (~|E|/2 int64s) —
-  fastest plan while N⁺ fits a node.
+  the oriented edge list.  For each edge the SMALLER endpoint adjacency
+  is expanded in bulk (Σ min(deg⁺(u), deg⁺(v)) elements — ~3× less than
+  expanding both sides) and each candidate w is membership-tested
+  against the packed sorted edge-key array with ONE vectorized
+  ``np.searchsorted`` — no per-edge loop and no O(M log M) sort of the
+  expansion.  Partitioning assumption: an actor may touch any shard
+  (edges arrive grouped by hash(src) but the expand side is chosen per
+  edge), so worst-case per-NODE residency is the full oriented
+  adjacency + key array (~|E| uint64s each) — fastest plan while N⁺
+  fits a node.
 - ``method="wedge"``: the shuffle-only plan for when it doesn't — per
   source vertex emit its ordered neighbor pairs (wedges (v,w) keyed by
   the closing edge), then one bucketed hash join of wedges against the
@@ -35,71 +43,103 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..graph import GraphShards, build_graph
+from ..graph import build_graph
 from ..ops import hash_bucket_agg
 from ..util import csr_lookup, expand_neighbors, hash64, np_col, part_of, segment_sum
 
 
-def _intersect_increments(
+def _outdeg_of(x: np.ndarray, shard_of, P: int) -> np.ndarray:
+    """Vectorized per-vertex out-degree lookup across CSR shards."""
+    out = np.zeros(len(x), np.int64)
+    parts = part_of(x, P)
+    for p in np.unique(parts):
+        sel = np.flatnonzero(parts == p)
+        sh = shard_of(int(p))
+        rows, found = csr_lookup(sh, x[sel])
+        hit = np.flatnonzero(found)
+        if not len(hit):
+            continue
+        ip = sh["indptr"]
+        out[sel[hit]] = ip[rows[hit] + 1] - ip[rows[hit]]
+    return out
+
+
+def _membership_increments(
     src: np.ndarray,
     dst: np.ndarray,
     shard_of,
     P: int,
+    edge_keys: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized per-edge sorted-adjacency intersection.
+    """Min-side expansion + packed-key membership probe.
 
-    For every edge i, elements common to N⁺(src_i) and N⁺(dst_i) are
-    found in ONE lexsort over the concatenated (edge, neighbor) pairs —
-    adjacency lists are unique-valued, so a (edge, value) pair occurring
-    twice means "value ∈ both lists".  Returns pre-combined
-    (vid, tri_increment) arrays crediting u, v and every common w.
+    For every oriented edge (u, v): expand the smaller of N⁺(u), N⁺(v)
+    and test each candidate w against the sorted packed edge-key array
+    (w closes the triangle iff the oriented edge (other, w) exists).
+    Returns pre-combined (vid, tri_increment) arrays crediting u, v and
+    every common w.  All ids are dense ranks < 2³² (asserted by the
+    caller), so a pair packs losslessly into one uint64.
     """
     n = len(src)
+    zeros = (np.zeros(0, np.int64), np.zeros(0, np.int64))
     if n == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    # gather both endpoints' adjacency lists, grouped by owning shard
-    eidx_parts: list[np.ndarray] = []
-    nbr_parts: list[np.ndarray] = []
-    for endpoint in (src, dst):
-        parts = part_of(endpoint, P)
-        for p in np.unique(parts):
-            sel = np.flatnonzero(parts == p)
-            shard = shard_of(int(p))
-            rows, found = csr_lookup(shard, endpoint[sel])
-            hit = np.flatnonzero(found)
-            if not len(hit):
-                continue
-            rep, nbrs, _ = expand_neighbors(shard, rows[hit])
-            eidx_parts.append(sel[hit][rep])
-            nbr_parts.append(nbrs)
-    if not eidx_parts:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    eidx = np.concatenate(eidx_parts)
-    vals = np.concatenate(nbr_parts)
-    order = np.lexsort((vals, eidx))
-    se, sv = eidx[order], vals[order]
-    dup = np.flatnonzero((se[1:] == se[:-1]) & (sv[1:] == sv[:-1]))
-    if not len(dup):
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    w_vals = sv[dup]  # each common neighbor w of edge (u, v)
-    w_eidx = se[dup]
-    cnt = np.bincount(w_eidx, minlength=n).astype(np.int64)
+        return zeros
+    du = _outdeg_of(src, shard_of, P)
+    dv = _outdeg_of(dst, shard_of, P)
+    take_src = du <= dv
+    expand_x = np.where(take_src, src, dst)  # side whose N⁺ is expanded
+    other_y = np.where(take_src, dst, src)  # side probed for membership
+    key_parts: list[np.ndarray] = []
+    e_parts: list[np.ndarray] = []
+    w_parts: list[np.ndarray] = []
+    parts = part_of(expand_x, P)
+    for p in np.unique(parts):
+        sel = np.flatnonzero(parts == p)
+        sh = shard_of(int(p))
+        rows, found = csr_lookup(sh, expand_x[sel])
+        hit = np.flatnonzero(found)
+        if not len(hit):
+            continue
+        rep, nbrs, _ = expand_neighbors(sh, rows[hit])
+        eidx = sel[hit][rep]
+        key_parts.append(
+            (other_y[eidx].astype(np.uint64) << np.uint64(32))
+            | nbrs.astype(np.uint64)
+        )
+        e_parts.append(eidx)
+        w_parts.append(nbrs)
+    if not key_parts:
+        return zeros
+    key = np.concatenate(key_parts)
+    eidx = np.concatenate(e_parts)
+    nbrs = np.concatenate(w_parts)
+    if len(edge_keys):
+        pos = np.searchsorted(edge_keys, key)
+        ok = (pos < len(edge_keys)) & (
+            edge_keys[np.minimum(pos, len(edge_keys) - 1)] == key
+        )
+    else:
+        ok = np.zeros(len(key), bool)
+    w_vals = nbrs[ok]
+    cnt = np.bincount(eidx[ok], minlength=n).astype(np.int64)
     vid_out = np.concatenate([np.repeat(src, cnt), np.repeat(dst, cnt), w_vals])
-    inc_out = np.ones(len(vid_out), np.int64)
+    if not len(vid_out):
+        return zeros
     # local pre-combine before the groupby shuffle
-    uniq, sums, _ = segment_sum(vid_out, inc_out)
+    uniq, sums, _ = segment_sum(vid_out, np.ones(len(vid_out), np.int64))
     return uniq, sums
 
 
 class _TriangleStage:
-    """Actor-pool callable: holds oriented-N⁺ CSR shards (fetched
-    zero-copy from plasma, cached for the actor's lifetime) and runs the
-    vectorized intersection kernel over each edge batch."""
+    """Actor-pool callable: holds oriented-N⁺ CSR shards and the packed
+    sorted edge-key array (fetched zero-copy from plasma, built once per
+    actor) and runs the membership kernel over each edge batch."""
 
     def __init__(self, shard_refs, num_parts):
         self.refs = shard_refs
         self.P = num_parts
         self.cache: dict[int, dict] = {}
+        self._edge_keys: np.ndarray | None = None
 
     def _shard(self, p: int) -> dict:
         s = self.cache.get(p)
@@ -108,10 +148,26 @@ class _TriangleStage:
             self.cache[p] = s
         return s
 
+    def _keys(self) -> np.ndarray:
+        if self._edge_keys is None:
+            parts = []
+            for p in range(self.P):
+                sh = self._shard(p)
+                degs = np.diff(sh["indptr"])
+                srcs = np.repeat(sh["srcs"], degs)
+                parts.append(
+                    (srcs.astype(np.uint64) << np.uint64(32))
+                    | sh["indices"].astype(np.uint64)
+                )
+            self._edge_keys = (
+                np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
+            )
+        return self._edge_keys
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         src = np_col(batch, "src")
         dst = np_col(batch, "dst")
-        vid, tri = _intersect_increments(src, dst, self._shard, self.P)
+        vid, tri = _membership_increments(src, dst, self._shard, self.P, self._keys())
         return pa.table(
             {"vid": pa.array(vid, pa.int64()), "tri": pa.array(tri, pa.int64())}
         )
@@ -210,6 +266,41 @@ def _wedge_increments(oriented: rd.Dataset, num_buckets: int) -> rd.Dataset:
     )
 
 
+def _undirected_degrees(
+    edges: rd.Dataset, num_parts: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(vid, degree) of every vertex touched by the canonical edge
+    table, via per-batch pre-combine + one bucketed aggregate — no
+    graph build, no symmetrized edge materialization."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate([np_col(batch, "src"), np_col(batch, "dst")])
+        uniq, sums, _ = segment_sum(both, np.ones(len(both), np.int64))
+        return pa.table(
+            {"vid": pa.array(uniq, pa.int64()), "cnt": pa.array(sums, pa.int64())}
+        )
+
+    def _combine(grp: pa.Table) -> pa.Table:
+        uniq, sums, _ = segment_sum(np_col(grp, "vid"), np_col(grp, "cnt"))
+        return pa.table(
+            {"vid": pa.array(uniq, pa.int64()), "cnt": pa.array(sums, pa.int64())}
+        )
+
+    agg = hash_bucket_agg(
+        edges.map_batches(_partial, batch_format="pyarrow"),
+        lambda b: np_col(b, "vid"),
+        _combine,
+        num_buckets=num_parts,
+    )
+    # ≤ |V| rows come back to the driver (|V| ≪ |E|, same budget as the
+    # rank array itself, which is driver-side by construction)
+    blocks = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    t = pa.concat_tables(blocks)
+    return np_col(t, "vid"), np_col(t, "cnt")
+
+
 def triangle_counts(
     edges: rd.Dataset,
     work_dir: str,
@@ -226,22 +317,24 @@ def triangle_counts(
     if n_actors is None:
         n_actors = max(1, min(num_parts, int(ray.cluster_resources().get("CPU", 4))))
 
-    # phase 1: degrees of the symmetrized graph
-    g_sym = build_graph(
-        edges.select_columns(["src", "dst"]),
-        os.path.join(work_dir, "tc_sym"),
-        num_parts,
-        symmetrize=True,
-        vertex_ids=vertex_ids,
-    )
-    vids = ray.get(g_sym.vertex_ids_ref)
+    # phase 1: undirected degrees (one bucketed aggregate over the edge
+    # table) → (degree, vid) rank order for orientation
+    dvid, dcnt = _undirected_degrees(edges, num_parts)
+    if vertex_ids is None:
+        vids = np.sort(dvid)
+    else:
+        vids = np.asarray(vertex_ids, dtype=np.int64)
     deg = np.zeros(len(vids), np.int64)
-    for t in ray.get(list(g_sym.degree_refs)):
-        pos = np.searchsorted(vids, np_col(t, "vid"))
-        deg[pos] += np_col(t, "outdeg")
-    # rank by (degree, vid): rank_of[i] = position of vertex i in the order
-    rank_of = np.empty(len(vids), np.int64)
-    rank_of[np.lexsort((vids, deg))] = np.arange(len(vids))
+    deg[np.searchsorted(vids, dvid)] = dcnt
+    n_v = len(vids)
+    assert n_v < 2**32, (
+        "rank-packed intersect plan needs |V| < 2^32; use method='wedge'"
+    )
+    # rank_of[i] = dense rank of vertex vids[i]; vid_of_rank inverts it
+    rank_of = np.empty(n_v, np.int64)
+    order = np.lexsort((vids, deg))
+    rank_of[order] = np.arange(n_v)
+    vid_of_rank = vids[order]
     lookup_ref = ray.put((vids, rank_of))
 
     def _orient(batch: pa.Table) -> pa.Table:
@@ -251,8 +344,8 @@ def triangle_counts(
         s, d = s[keep], d[keep]
         rs = r[np.searchsorted(v, s)]
         rd_ = r[np.searchsorted(v, d)]
-        lo = np.where(rs < rd_, s, d)
-        hi = np.where(rs < rd_, d, s)
+        lo = np.minimum(rs, rd_)
+        hi = np.maximum(rs, rd_)
         return pa.table({"src": pa.array(lo, pa.int64()), "dst": pa.array(hi, pa.int64())})
 
     oriented = edges.select_columns(["src", "dst"]).map_batches(
@@ -267,9 +360,16 @@ def triangle_counts(
             os.path.join(work_dir, "tc_fwd"),
             num_parts,
             symmetrize=False,
-            vertex_ids=vids,
+            vertex_ids=np.arange(n_v, dtype=np.int64),
         )
-        incr = rd.read_parquet(g_fwd.edges_dir, columns=["src", "dst"]).map_batches(
+        # probe parallelism is block count (batch_size=None → one batch
+        # per block): split the stream past num_parts so every actor in
+        # the pool stays busy
+        incr = rd.read_parquet(
+            g_fwd.edges_dir,
+            columns=["src", "dst"],
+            override_num_blocks=max(num_parts, 2 * n_actors),
+        ).map_batches(
             _TriangleStage,
             fn_constructor_args=(g_fwd.shard_refs, num_parts),
             batch_format="pyarrow",
@@ -279,20 +379,38 @@ def triangle_counts(
             num_cpus=1,
             max_restarts=0,
         )
-    from ray.data.aggregate import Sum
-
-    counts = incr.groupby("vid").aggregate(Sum("tri")).rename_columns(
-        {"sum(tri)": "triangles"}
-    )
+    # ONE bucketed shuffle sums the per-batch partials AND fills the
+    # universe with zeros (unioned in rank space), then ranks map back
+    # to real vertex ids (bijective, ≤ |V| rows touched)
     zeros = rd.from_arrow(
-        pa.table({"vid": pa.array(vids, pa.int64()),
-                  "triangles": pa.array(np.zeros(len(vids), np.int64), pa.int64())})
+        pa.table({"vid": pa.array(np.arange(n_v, dtype=np.int64), pa.int64()),
+                  "tri": pa.array(np.zeros(n_v, np.int64), pa.int64())})
     )
-    per_vertex = (
-        counts.union(zeros)
-        .groupby("vid")
-        .aggregate(Sum("triangles"))
-        .rename_columns({"sum(triangles)": "triangles"})
-    ).materialize()
+
+    def _sum_bucket(grp: pa.Table) -> pa.Table:
+        uniq, sums, _ = segment_sum(np_col(grp, "vid"), np_col(grp, "tri"))
+        return pa.table(
+            {"vid": pa.array(uniq, pa.int64()), "tri": pa.array(sums, pa.int64())}
+        )
+
+    summed = hash_bucket_agg(
+        incr.union(zeros),
+        lambda b: np_col(b, "vid"),
+        _sum_bucket,
+        num_buckets=num_parts,
+    )
+
+    rank_map_ref = ray.put(vid_of_rank)
+
+    def _to_vid(batch: pa.Table) -> pa.Table:
+        m = ray.get(rank_map_ref)
+        return pa.table(
+            {
+                "vid": pa.array(m[np_col(batch, "vid")], pa.int64()),
+                "triangles": batch["tri"],
+            }
+        )
+
+    per_vertex = summed.map_batches(_to_vid, batch_format="pyarrow").materialize()
     total = int((per_vertex.sum("triangles") or 0) // 3)
     return total, per_vertex
