@@ -189,27 +189,29 @@ def _q_lp(sf_dir: str):
     return labels_table(res)
 
 
-def _q_triangles_total(sf_dir: str):
+_TC_CACHE: dict = {}
+
+
+def _tc(sf_dir: str):
     from essentials_rd.algorithms import triangle_counts
     from essentials_rd.pipelines import _work_dir, part_universe
 
-    _, edges = _graph(sf_dir)
-    total, _ = triangle_counts(
-        edges.select_columns(["src", "dst"]), _work_dir("tc"), 8,
-        vertex_ids=part_universe(sf_dir),
-    )
+    if sf_dir not in _TC_CACHE:
+        _, edges = _graph(sf_dir)
+        _TC_CACHE[sf_dir] = triangle_counts(
+            edges.select_columns(["src", "dst"]), _work_dir("tc"), 8,
+            vertex_ids=part_universe(sf_dir),
+        )
+    return _TC_CACHE[sf_dir]
+
+
+def _q_triangles_total(sf_dir: str):
+    total, _ = _tc(sf_dir)
     return pa.table({"triangles": pa.array([total], pa.int64())})
 
 
 def _q_triangles_per_vertex(sf_dir: str):
-    from essentials_rd.algorithms import triangle_counts
-    from essentials_rd.pipelines import _work_dir, part_universe
-
-    _, edges = _graph(sf_dir)
-    _, per_v = triangle_counts(
-        edges.select_columns(["src", "dst"]), _work_dir("tcv"), 8,
-        vertex_ids=part_universe(sf_dir),
-    )
+    _, per_v = _tc(sf_dir)
     return per_v
 
 
