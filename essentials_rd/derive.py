@@ -224,31 +224,54 @@ def shared_key_edges(
 
     def _bucket(grp: pa.Table) -> pa.Table:
         # every occurrence of a key is in this bucket: distinct, count,
-        # cap and pair-expand locally (vectorized; Python loop only over
-        # the shareable keys of this bucket)
-        df = grp.to_pandas()
-        d = (
-            df.groupby(["khash", "key", "rvid"], sort=True)["sha256"]
-            .min()
-            .reset_index()
+        # cap and pair-expand locally — fully vectorized (ONE
+        # grouped_pair_expand over the bucket; no Python loop over keys)
+        from .util import grouped_pair_expand, np_col
+
+        n_rows = grp.num_rows
+        if n_rows == 0:
+            kcode = np.zeros(0, np.int64)
+            rvid_all = np.zeros(0, np.int64)
+            sha_rank = np.zeros(0, np.int64)
+            sha_uq = np.zeros(0, object)
+        else:
+            # group identity is the key STRING (khash is only the
+            # shuffle key — equal strings always hash equal, so
+            # factorizing the string both disambiguates hash collisions
+            # and replaces the multi-column pandas groupby)
+            kcode, _ = pd.factorize(
+                grp.column("key").combine_chunks().to_pandas()
+            )
+            rvid_all = np_col(grp, "rvid")
+            sha_codes, sha_uq = pd.factorize(
+                grp.column("sha256").combine_chunks().to_pandas(), sort=True
+            )
+            sha_uq = np.asarray(sha_uq, object)
+            sha_rank = sha_codes.astype(np.int64)  # code order == lex order
+        # distinct (key, rvid) with min sha: sort by (packed id, sha
+        # rank), keep the first row of each packed run — all int kernels
+        pack = (kcode.astype(np.uint64) << np.uint64(32)) | rvid_all.astype(
+            np.uint64
         )
-        sizes = d.groupby(["khash", "key"], sort=True)["rvid"].transform("size")
-        n_heavy_local = int(
-            (d[sizes > cap].groupby(["khash", "key"]).size()).shape[0]
-        )
-        share = d[(sizes >= 2) & (sizes <= cap)]
-        out_s, out_d, out_sha = [], [], []
-        for _, sub in share.groupby(["khash", "key"], sort=True):
-            rv = sub["rvid"].to_numpy()
-            sh = sub["sha256"].to_numpy()
-            k = len(rv)
-            iu, iv = np.triu_indices(k, 1)
-            out_s.append(rv[iu])
-            out_d.append(rv[iv])
-            out_sha.append(np.minimum(sh[iu], sh[iv]))
-        s = np.concatenate(out_s) if out_s else np.zeros(0, np.int64)
-        dd = np.concatenate(out_d) if out_d else np.zeros(0, np.int64)
-        sha = np.concatenate(out_sha) if out_sha else np.zeros(0, object)
+        order = np.lexsort((sha_rank, pack))
+        po = pack[order]
+        first = np.r_[True, po[1:] != po[:-1]] if len(po) else np.zeros(0, bool)
+        drows = order[first]
+        kc = kcode[drows]
+        gid_first = np.r_[True, kc[1:] != kc[:-1]] if len(kc) else np.zeros(0, bool)
+        gid = np.cumsum(gid_first) - 1 if len(kc) else np.zeros(0, np.int64)
+        sizes = np.bincount(gid) if len(gid) else np.zeros(0, np.int64)
+        n_heavy_local = int((sizes > cap).sum())
+        row_sz = sizes[gid] if len(gid) else np.zeros(0, np.int64)
+        keep = (row_sz >= 2) & (row_sz <= cap)
+        rv = rvid_all[drows][keep]
+        sh = sha_uq[sha_rank[drows][keep]] if len(drows) else np.zeros(0, object)
+        gk = gid[keep]
+        # rows are (khash, key, rvid)-sorted, so within-group order is
+        # rvid-ascending; expanding index pairs keeps src < dst
+        ia, ib, _ = grouped_pair_expand(gk, np.arange(len(gk), dtype=np.int64))
+        s, dd = rv[ia], rv[ib]
+        sha = np.minimum(sh[ia], sh[ib]) if len(ia) else np.zeros(0, object)
         # heavy-count marker row (always emitted → stable schema)
         return pa.table(
             {
@@ -378,21 +401,56 @@ def import_edges(files: rd.Dataset, names_ref) -> rd.Dataset:
 def dedup_edges_vid(pairs: rd.Dataset) -> rd.Dataset:
     """Merge duplicate (src, dst) vid pairs: weight=Σ, sha256=min,
     reason=min (deterministic representatives).  Bucketed shuffle on a
-    pair hash + vectorized pandas aggregation per bucket — see
-    ops.grouped_pandas_agg (SURVEY.md §2.4 R5)."""
-    from .ops import grouped_pandas_agg
+    pair hash + run-boundary reductions per bucket (lexsort on the int
+    pair + ``reduceat``; string mins via sorted-factorize rank — no
+    pandas groupby in the hot path) (SURVEY.md §2.4 R5)."""
+    from .ops import hash_bucket_agg
     from .util import np_col
 
-    return grouped_pandas_agg(
+    def _dedup_bucket(grp: pa.Table) -> pa.Table:
+        src = np_col(grp, "src")
+        dst = np_col(grp, "dst")
+        w = np_col(grp, "weight")
+        order = np.lexsort((dst, src))
+        s, d, w = src[order], dst[order], w[order]
+        first = (
+            np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+            if len(s)
+            else np.zeros(0, bool)
+        )
+        starts = np.flatnonzero(first)
+
+        def _str_min(col: str) -> np.ndarray:
+            codes, uq = pd.factorize(
+                grp.column(col).combine_chunks().to_pandas(), sort=True
+            )
+            m = np.minimum.reduceat(codes.astype(np.int64)[order], starts)
+            return np.asarray(uq, object)[m]
+
+        if not len(starts):
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                    "reason": pa.array([], pa.string()),
+                    "sha256": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "src": pa.array(s[starts], pa.int64()),
+                "dst": pa.array(d[starts], pa.int64()),
+                "weight": pa.array(np.add.reduceat(w, starts), pa.float64()),
+                "reason": pa.array(_str_min("reason").tolist(), pa.string()),
+                "sha256": pa.array(_str_min("sha256").tolist(), pa.string()),
+            }
+        )
+
+    return hash_bucket_agg(
         pairs,
-        ["src", "dst"],
-        {
-            "weight": ("weight", "sum"),
-            "reason": ("reason", "min"),
-            "sha256": ("sha256", "min"),
-        },
-        key_fn=lambda b: np_col(b, "src") * np.int64(0x9E3779B1)
-        + np_col(b, "dst"),
+        lambda b: np_col(b, "src") * np.int64(0x9E3779B1) + np_col(b, "dst"),
+        _dedup_bucket,
     )
 
 
