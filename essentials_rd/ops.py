@@ -69,7 +69,39 @@ def grouped_pandas_agg(
     if key_fn is None:
         key_fn = lambda batch: np_col(batch, keys[0]).astype(np.int64)
 
+    _REDUCEAT = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
     def _agg(grp: pa.Table) -> pa.Table:
+        # fast path — integer keys, reduceat-able aggs: ONE lexsort +
+        # run-boundary reductions instead of a pandas groupby (which
+        # builds a MultiIndex and is ~40× slower per bucket)
+        karrs = [np_col(grp, k) for k in keys]
+        fast = all(a.dtype.kind in "iu" for a in karrs) and all(
+            f in ("sum", "min", "max", "count") for _, (_, f) in aggs.items()
+        )
+        if fast:
+            order = np.lexsort(tuple(karrs[::-1]))  # keys[0] primary
+            sk = [a[order] for a in karrs]
+            n = len(order)
+            if n:
+                diff = np.zeros(n - 1, bool)
+                for a in sk:
+                    diff |= a[1:] != a[:-1]
+                starts = np.flatnonzero(np.r_[True, diff])
+            else:
+                starts = np.zeros(0, np.int64)
+            cols: dict = {k: sk[i][starts] for i, k in enumerate(keys)}
+            for o, (c, f) in aggs.items():
+                v = np_col(grp, c)[order]
+                if f == "count":
+                    cols[o] = np.diff(np.r_[starts, n]).astype(np.int64)
+                else:
+                    cols[o] = (
+                        _REDUCEAT[f].reduceat(v, starts)
+                        if n
+                        else np.zeros(0, v.dtype)
+                    )
+            return pa.table({k: pa.array(v) for k, v in cols.items()})
         df = grp.to_pandas()
         out = df.groupby(keys, sort=True).agg(
             **{o: pd.NamedAgg(column=c, aggfunc=f) for o, (c, f) in aggs.items()}

@@ -56,13 +56,42 @@ def tumbling_window_agg(
         )
 
     def _agg(grp: pa.Table) -> pa.Table:
-        df = grp.to_pandas()
-        out = df.groupby(["window", key_col], sort=True).agg(
-            n_events=pd.NamedAgg(id_col, "count"),
-            min_id=pd.NamedAgg(id_col, "min"),
-            max_id=pd.NamedAgg(id_col, "max"),
-        ).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata()
+        # factorize the string key once, then ONE lexsort + run-boundary
+        # reductions (no pandas groupby in the per-bucket kernel)
+        n = grp.num_rows
+        key_t = grp.schema.field(key_col).type
+        if n == 0:
+            return pa.table(
+                {
+                    "window": pa.array([], pa.int64()),
+                    key_col: pa.array([], key_t),
+                    "n_events": pa.array([], pa.int64()),
+                    "min_id": pa.array([], pa.int64()),
+                    "max_id": pa.array([], pa.int64()),
+                }
+            )
+        w = np_col(grp, "window")
+        codes, uq = pd.factorize(
+            grp.column(key_col).combine_chunks().to_pandas(), sort=True
+        )
+        ids = np_col(grp, id_col)
+        order = np.lexsort((codes, w))
+        ws, cs, es = w[order], codes[order], ids[order]
+        diff = (ws[1:] != ws[:-1]) | (cs[1:] != cs[:-1])
+        starts = np.flatnonzero(np.r_[True, diff])
+        return pa.table(
+            {
+                "window": pa.array(ws[starts], pa.int64()),
+                key_col: pa.array(
+                    np.asarray(uq, object)[cs[starts]].tolist(), key_t
+                ),
+                "n_events": pa.array(
+                    np.diff(np.r_[starts, n]).astype(np.int64), pa.int64()
+                ),
+                "min_id": pa.array(np.minimum.reduceat(es, starts), pa.int64()),
+                "max_id": pa.array(np.maximum.reduceat(es, starts), pa.int64()),
+            }
+        )
 
     stamped = events.map_batches(_stamp, batch_format="pyarrow")
     return hash_bucket_agg(
@@ -98,6 +127,16 @@ def sessionize(
         )
 
     def _sessions(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "max_session_events": pa.array([], pa.int64()),
+                    "max_session_dur_us": pa.array([], pa.int64()),
+                }
+            )
         u = np_col(grp, user_col)
         t = np_col(grp, "__ts__")
         e = np_col(grp, id_col)
@@ -113,20 +152,28 @@ def sessionize(
         sess_user = u[starts]
         sess_len = (ends - starts + 1).astype(np.int64)
         sess_dur = t[ends] - t[starts]
-        df = pd.DataFrame(
+        # sessions are already user-contiguous (lexsort by user first):
+        # per-user stats are run-boundary reductions, no pandas groupby
+        nu = np.r_[True, sess_user[1:] != sess_user[:-1]]
+        ustarts = np.flatnonzero(nu)
+        return pa.table(
             {
-                user_col: sess_user,
-                "len": sess_len,
-                "dur": sess_dur,
+                user_col: pa.array(sess_user[ustarts], pa.int64()),
+                "n_events": pa.array(
+                    np.add.reduceat(sess_len, ustarts), pa.int64()
+                ),
+                "n_sessions": pa.array(
+                    np.diff(np.r_[ustarts, len(sess_user)]).astype(np.int64),
+                    pa.int64(),
+                ),
+                "max_session_events": pa.array(
+                    np.maximum.reduceat(sess_len, ustarts), pa.int64()
+                ),
+                "max_session_dur_us": pa.array(
+                    np.maximum.reduceat(sess_dur, ustarts), pa.int64()
+                ),
             }
         )
-        out = df.groupby(user_col, sort=True).agg(
-            n_events=pd.NamedAgg("len", "sum"),
-            n_sessions=pd.NamedAgg("len", "count"),
-            max_session_events=pd.NamedAgg("len", "max"),
-            max_session_dur_us=pd.NamedAgg("dur", "max"),
-        ).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata()
 
     projected = events.map_batches(_project, batch_format="pyarrow")
     return hash_bucket_agg(
