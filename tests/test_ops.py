@@ -84,3 +84,54 @@ def test_hash_bucket_agg_key_completeness():
         seen[r["dst"]] = seen.get(r["dst"], 0) + r["seen"]
     assert set(seen) == set(np.unique(k).tolist())
     assert all(v == 1 for v in seen.values())
+
+
+def test_grouped_pandas_agg_fast_path_multikey_matches_pandas():
+    # int multi-key + min/max/sum/count → exercises the lexsort/reduceat
+    # fast path; the pandas groupby is the reference semantics
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    a = rng.integers(-50, 50, n).astype(np.int64)
+    b = rng.integers(0, 9, n).astype(np.int64)
+    v = rng.integers(-1000, 1000, n).astype(np.int64)
+    w = rng.random(n)
+    t = pa.table({"a": pa.array(a), "b": pa.array(b),
+                  "v": pa.array(v), "w": pa.array(w)})
+    out = grouped_pandas_agg(
+        rd.from_arrow(t).repartition(6),
+        ["a", "b"],
+        {"vmin": ("v", "min"), "vmax": ("v", "max"),
+         "wsum": ("w", "sum"), "n": ("v", "count")},
+        key_fn=lambda bt: np_col(bt, "a") * np.int64(31) + np_col(bt, "b"),
+        num_buckets=5,
+    ).take_all()
+    ref = (
+        pd.DataFrame({"a": a, "b": b, "v": v, "w": w})
+        .groupby(["a", "b"], sort=True)
+        .agg(vmin=("v", "min"), vmax=("v", "max"),
+             wsum=("w", "sum"), n=("v", "count"))
+        .reset_index()
+    )
+    got = {(r["a"], r["b"]): r for r in out}
+    assert len(got) == len(ref)
+    for _, r in ref.iterrows():
+        g = got[(r["a"], r["b"])]
+        assert g["vmin"] == r["vmin"] and g["vmax"] == r["vmax"]
+        assert g["n"] == r["n"]
+        assert abs(g["wsum"] - r["wsum"]) < 1e-9
+
+
+def test_grouped_pandas_agg_string_value_min():
+    # string VALUE columns still take the fast path (object reduceat
+    # compares lexicographically); result must be the deterministic min
+    t = pa.table({
+        "k": pa.array([1, 1, 2, 2, 2], pa.int64()),
+        "s": pa.array(["b", "a", "z", "m", "q"], pa.string()),
+    })
+    out = grouped_pandas_agg(
+        rd.from_arrow(t), ["k"], {"smin": ("s", "min")}, num_buckets=2
+    ).take_all()
+    got = {r["k"]: r["smin"] for r in out}
+    assert got == {1: "a", 2: "m"}
