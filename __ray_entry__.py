@@ -30,6 +30,9 @@ CC_ITERS = 32
 BFS_ITERS = 32
 SSSP_ITERS = 16
 LP_ITERS = 4
+PPR_ITERS = 8
+KCORE_K = 3
+KCORE_ITERS = 32
 TOKEN_CAP = 1000
 TOP_K = 20
 
@@ -229,6 +232,41 @@ def _q_bfs_depth(sf_dir: str):
         "BFS did not converge within the oracle's unrolled iteration count"
     )
     return depths_table(res)
+
+
+def _q_ppr(sf_dir: str):
+    """Personalized PageRank from the min vertex id, exactly PPR_ITERS
+    power steps (tol=0) — compared against the unrolled-CTE oracle
+    after half-up rounding to 6 dp on both sides."""
+    import ray
+
+    from essentials_rd.algorithms import ppr
+    from essentials_rd.algorithms.ppr import ppr_table
+    from essentials_rd.pipelines import round_half_up
+
+    g, _ = _graph(sf_dir)
+    source = int(np.min(ray.get(g.vertex_ids_ref)))
+    res = ppr(g, source, tol=0.0, max_iters=PPR_ITERS, checkpoint_every=0,
+              scatter_mode="fused")
+    t = ppr_table(res)
+    vals = round_half_up(np.asarray(t["ppr"], dtype=np.float64), 6)
+    return pa.table({"vid": t["vid"], "ppr": pa.array(vals, pa.float64())})
+
+
+def _q_kcore(sf_dir: str):
+    """k-core membership (k=KCORE_K) by BSP peeling; oracle is the
+    unrolled simultaneous-peeling CTE (the k-core is unique, so both
+    fixpoints agree)."""
+    from essentials_rd.algorithms import kcore
+    from essentials_rd.algorithms.kcore import kcore_table
+
+    g, _ = _graph(sf_dir)
+    res = kcore(g, KCORE_K, max_iters=2 * KCORE_ITERS, checkpoint_every=0,
+                scatter_mode="fused")
+    assert res.converged and res.supersteps <= KCORE_ITERS, (
+        "k-core did not converge within the oracle's unrolled iteration count"
+    )
+    return kcore_table(res)
 
 
 def _q_sssp_dist(sf_dir: str):
@@ -535,6 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lp_k4": _q_lp,
         "bfs_depth": _q_bfs_depth,
         "sssp_dist": _q_sssp_dist,
+        "ppr_k8": _q_ppr,
+        "kcore3": _q_kcore,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
@@ -734,6 +774,62 @@ d{k + 1} AS MATERIALIZED (
         f"WITH {_GRAPH_CTES}, {body} "
         f"SELECT vid, CASE WHEN depth >= {big} THEN -1 ELSE depth END AS depth "
         f"FROM d{BFS_ITERS} ORDER BY vid"
+    )
+
+
+def _ppr_sql() -> str:
+    """Unrolled personalized-PageRank CTE: teleport AND dangling mass
+    restart at the seed (min vid); same dataflow shape as _pagerank_sql."""
+    pers = "CASE WHEN v.vid = (SELECT s FROM psrc) THEN 1.0 ELSE 0.0 END"
+    steps = [
+        """psrc AS MATERIALIZED (SELECT min(vid) AS s FROM verts),
+q0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = (SELECT s FROM psrc) THEN 1.0 ELSE 0.0 END AS val
+  FROM verts)"""
+    ]
+    for k in range(PPR_ITERS):
+        steps.append(f"""
+qagg{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(p.val / d.outdeg) AS s
+  FROM sym e JOIN q{k} p ON p.vid = e.src JOIN deg d ON d.vid = e.src
+  GROUP BY e.dst
+),
+qdang{k} AS MATERIALIZED (
+  SELECT COALESCE(sum(p.val), 0.0) AS dm
+  FROM q{k} p JOIN deg d ON d.vid = p.vid WHERE d.outdeg = 0
+),
+q{k + 1} AS MATERIALIZED (
+  SELECT v.vid,
+         (1.0 - {ALPHA}) * {pers}
+         + {ALPHA} * (COALESCE(a.s, 0.0) + (SELECT dm FROM qdang{k}) * {pers}) AS val
+  FROM verts v LEFT JOIN qagg{k} a ON a.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT vid, ROUND(val, 6) AS ppr FROM q{PPR_ITERS} ORDER BY vid"
+    )
+
+
+def _kcore_sql() -> str:
+    """Unrolled simultaneous-peeling CTE: c_{{t+1}} = vertices with ≥ k
+    neighbors still in c_t.  The k-core is the unique fixpoint, reached
+    well within KCORE_ITERS rounds (the engine asserts its own round
+    count against the same bound)."""
+    steps = ["c0 AS MATERIALIZED (SELECT vid FROM verts)"]
+    for t in range(KCORE_ITERS):
+        steps.append(f"""
+c{t + 1} AS MATERIALIZED (
+  SELECT e.src AS vid FROM sym e
+  JOIN c{t} s ON s.vid = e.src JOIN c{t} d ON d.vid = e.dst
+  GROUP BY e.src HAVING count(*) >= {KCORE_K}
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT v.vid, CAST(CASE WHEN c.vid IS NULL THEN 0 ELSE 1 END AS BIGINT)"
+        f" AS in_core "
+        f"FROM verts v LEFT JOIN c{KCORE_ITERS} c ON c.vid = v.vid ORDER BY v.vid"
     )
 
 
@@ -991,6 +1087,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "cc_labels": _cc_sql(),
         "bfs_depth": _bfs_sql(),
         "sssp_dist": _sssp_sql(),
+        "ppr_k8": _ppr_sql(),
+        "kcore3": _kcore_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),

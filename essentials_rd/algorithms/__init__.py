@@ -5,6 +5,8 @@ from .spmv import SpmvProgram, spmv
 from .tc import triangle_counts
 from .bfs import BfsProgram, bfs
 from .sssp import SsspProgram, sssp
+from .ppr import PprProgram, ppr
+from .kcore import KcoreProgram, kcore
 
 __all__ = [
     "PageRankProgram",
@@ -20,4 +22,8 @@ __all__ = [
     "bfs",
     "SsspProgram",
     "sssp",
+    "PprProgram",
+    "ppr",
+    "KcoreProgram",
+    "kcore",
 ]

@@ -23,7 +23,7 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="essentials_rd")
     p.add_argument("--input", required=True, help="repo_files parquet file/dir")
-    p.add_argument("--algo", required=True, choices=["pr", "cc", "lp", "tc", "spmv", "bfs", "sssp"])
+    p.add_argument("--algo", required=True, choices=["pr", "cc", "lp", "tc", "spmv", "bfs", "sssp", "ppr", "kcore"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out", default=None, help="result parquet dir")
     p.add_argument("--num-parts", type=int, default=16)
@@ -35,6 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--scatter-mode", default="tasks",
                    choices=["tasks", "actors", "fused"])
+    p.add_argument("--k", type=int, default=3, help="kcore k")
     p.add_argument("--source", type=int, default=None,
                    help="bfs/sssp source vertex (default: min vid)")
     p.add_argument("--resume", action="store_true")
@@ -111,10 +112,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algo == "spmv":
         res = spmv(g)
         out_cols = ["x", "y"]
-    elif args.algo in ("bfs", "sssp"):
+    elif args.algo in ("bfs", "sssp", "ppr"):
         import numpy as np
 
-        from .algorithms import bfs as _bfs, sssp as _sssp
+        from .algorithms import bfs as _bfs, ppr as _ppr, sssp as _sssp
 
         source = args.source
         if source is None:
@@ -122,9 +123,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.algo == "bfs":
             res = _bfs(g, source, on_step_end=log_step, **common)
             out_cols = ["depth"]
+        elif args.algo == "ppr":
+            res = _ppr(g, source, alpha=args.alpha, tol=args.tol,
+                       on_step_end=log_step, **common)
+            out_cols = ["value"]
         else:
             res = _sssp(g, source, on_step_end=log_step, **common)
             out_cols = ["dist"]
+    elif args.algo == "kcore":
+        from .algorithms import kcore as _kcore
+
+        res = _kcore(g, args.k, on_step_end=log_step, **common)
+        out_cols = ["alive", "adeg"]
     else:  # tc
         if edges is None:
             import pyarrow.compute as pc

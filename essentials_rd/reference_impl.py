@@ -265,3 +265,52 @@ def sssp_ref(
             break
         dist = new
     return dist
+
+
+def ppr_ref(
+    vids: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    source: int,
+    alpha: float = 0.85,
+    max_iters: int = 100,
+    tol: float = 1.0e-6,
+) -> np.ndarray:
+    """Personalized PageRank over a DIRECTED edge list (SURVEY.md §2.2
+    A7 family; upstream ``algorithms/ppr.hxx`` [U]): teleport AND
+    dangling mass restart at the seed; start p = e_seed; ``tol=0`` →
+    exactly ``max_iters`` power steps."""
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    pers = np.zeros(n)
+    pers[np.searchsorted(vids, source)] = 1.0
+    p = pers.copy()
+    dangling = outdeg == 0
+    for _ in range(max_iters):
+        contrib = np.where(dangling, 0.0, p / np.maximum(outdeg, 1.0))
+        agg = np.bincount(d, weights=contrib[s], minlength=n)
+        dmass = p[dangling].sum()
+        p_new = (1.0 - alpha) * pers + alpha * (agg + dmass * pers)
+        err = np.abs(p_new - p).sum()
+        p = p_new
+        if tol > 0 and err < tol:
+            break
+    return p
+
+
+def kcore_ref(
+    vids: np.ndarray, src: np.ndarray, dst: np.ndarray, k: int
+) -> np.ndarray:
+    """k-core membership (0/1) over a SYMMETRIZED edge list by direct
+    peeling (SURVEY.md §2.2 A7 family; upstream ``algorithms/kcore.hxx``
+    [U]): repeatedly drop vertices with < k remaining neighbors."""
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    alive = np.ones(n, bool)
+    while True:
+        deg = np.bincount(s[alive[s] & alive[d]], minlength=n)
+        newly = alive & (deg < k)
+        if not newly.any():
+            return alive.astype(np.int64)
+        alive &= ~newly

@@ -1,0 +1,80 @@
+"""PPR + k-core VertexPrograms vs their CPU reference validators."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from essentials_rd.graph import build_graph
+from essentials_rd.reference_impl import kcore_ref, ppr_ref
+from essentials_rd.util import np_col
+
+
+def _dedup_edges(n=80, m=400, seed=5):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    lo = np.minimum(src[keep], dst[keep])
+    hi = np.maximum(src[keep], dst[keep])
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
+def _ds(src, dst):
+    return rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+
+
+def test_ppr_matches_cpu_reference(tmp_path):
+    src, dst = _dedup_edges()
+    g = build_graph(_ds(src, dst), str(tmp_path / "g"), 4, symmetrize=True)
+    from essentials_rd.algorithms import ppr
+    from essentials_rd.algorithms.ppr import ppr_table
+
+    vids = ray.get(g.vertex_ids_ref)
+    source = int(vids[3])
+    res = ppr(g, source, tol=0.0, max_iters=12, checkpoint_every=0)
+    t = ppr_table(res)
+    sym_s, sym_d = np.r_[src, dst], np.r_[dst, src]
+    ref = ppr_ref(vids, sym_s, sym_d, source, max_iters=12, tol=0.0)
+    assert np.allclose(np.asarray(t["ppr"]), ref, atol=1e-9)
+    # a PPR vector is a probability distribution (mass conservation)
+    assert abs(np.asarray(t["ppr"]).sum() - 1.0) < 1e-9
+
+
+def test_ppr_converges_and_localizes(tmp_path):
+    src, dst = _dedup_edges(seed=11)
+    g = build_graph(_ds(src, dst), str(tmp_path / "g"), 4, symmetrize=True)
+    from essentials_rd.algorithms import ppr
+    from essentials_rd.algorithms.ppr import ppr_table
+
+    vids = ray.get(g.vertex_ids_ref)
+    source = int(vids[0])
+    res = ppr(g, source, tol=1e-10, checkpoint_every=0)
+    assert res.converged
+    t = ppr_table(res)
+    scores = np.asarray(t["ppr"])
+    # the seed holds the maximum personalized score
+    assert int(np.asarray(t["vid"])[np.argmax(scores)]) == source
+
+
+def test_kcore_matches_cpu_reference(tmp_path):
+    src, dst = _dedup_edges(seed=7)
+    g = build_graph(_ds(src, dst), str(tmp_path / "g"), 4, symmetrize=True)
+    from essentials_rd.algorithms import kcore
+    from essentials_rd.algorithms.kcore import kcore_table
+
+    vids = ray.get(g.vertex_ids_ref)
+    sym_s, sym_d = np.r_[src, dst], np.r_[dst, src]
+    for k in (2, 3, 4):
+        res = kcore(g, k, checkpoint_every=0)
+        assert res.converged
+        t = kcore_table(res)
+        ref = kcore_ref(vids, sym_s, sym_d, k)
+        assert np.array_equal(np.asarray(t["in_core"]), ref), f"k={k}"
+    # monotonicity: the 4-core is contained in the 2-core
+    in2 = kcore_ref(vids, sym_s, sym_d, 2)
+    in4 = kcore_ref(vids, sym_s, sym_d, 4)
+    assert np.all(in4 <= in2)
