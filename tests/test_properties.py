@@ -102,3 +102,54 @@ def test_engine_matches_reference_on_random_graphs(tmp_path):
         res_cc = connected_components(g, checkpoint_every=0, scatter_mode="fused")
         tcc = components_table(res_cc)
         assert np.asarray(tcc["label"]).tolist() == cc_ref(vids, s2, d2).tolist()
+
+
+@pytest.mark.slow
+def test_results_invariant_under_partition_count(tmp_path):
+    """The partitioning parameter P must not change results: integer
+    algorithms (CC, BFS, k-core) are bit-exact across P (min/count of
+    ints is order-free); PageRank floats agree to 1e-12 (float partial
+    sums regroup with P, so bit-identity is only guaranteed within one
+    config — the resume tests pin that)."""
+    from essentials_rd.algorithms import bfs, connected_components, kcore, pagerank
+    from essentials_rd.algorithms.bfs import depths_table
+    from essentials_rd.algorithms.cc import components_table
+    from essentials_rd.algorithms.kcore import kcore_table
+    from essentials_rd.algorithms.pagerank import pagerank_table
+
+    from .conftest import small_graph
+
+    rng = np.random.default_rng(13)
+    n, m = 50, 260
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    pairs = np.unique(
+        np.minimum(src[keep], dst[keep]) * np.int64(n)
+        + np.maximum(src[keep], dst[keep])
+    )
+    src, dst = pairs // n, pairs % n
+    vids = np.arange(n, dtype=np.int64)
+
+    out = {}
+    for P in (2, 5):
+        g = small_graph(tmp_path / f"p{P}", src, dst, P=P, vertex_ids=vids,
+                        symmetrize=True)
+        source = int(vids[0])
+        out[P] = {
+            "pr": np.asarray(pagerank_table(
+                pagerank(g, tol=0.0, max_iters=6, checkpoint_every=0,
+                         scatter_mode="fused"))["pagerank"]),
+            "cc": np.asarray(components_table(
+                connected_components(g, checkpoint_every=0,
+                                     scatter_mode="fused"))["label"]),
+            "bfs": np.asarray(depths_table(
+                bfs(g, source, checkpoint_every=0,
+                    scatter_mode="fused"))["depth"]),
+            "kcore": np.asarray(kcore_table(
+                kcore(g, 3, checkpoint_every=0,
+                      scatter_mode="fused"))["in_core"]),
+        }
+    assert np.allclose(out[2]["pr"], out[5]["pr"], atol=1e-12)
+    for key in ("cc", "bfs", "kcore"):
+        assert np.array_equal(out[2][key], out[5][key]), key
