@@ -269,6 +269,31 @@ def _q_kcore(sf_dir: str):
     return kcore_table(res)
 
 
+SPGEMM_MOD = 31
+
+
+def _q_spgemm(sf_dir: str):
+    """A·A over the weighted canonical co-purchase matrix, rows sampled
+    deterministically (src % SPGEMM_MOD == 0) to bound output — the
+    sample filter is pushed to the LEFT matrix before the join, so only
+    ~1/31 of A participates as rows.  Weights are integer-valued, so
+    sums of products are float64-exact on both sides."""
+    import pyarrow.compute as pc
+
+    from essentials_rd.algorithms import spgemm
+    from essentials_rd.pipelines import copurchase_edges
+
+    edges = copurchase_edges(sf_dir).select_columns(["src", "dst", "weight"])
+    def _sample_rows(t):
+        from essentials_rd.util import np_col
+
+        keep = np_col(t, "src") % SPGEMM_MOD == 0
+        return t.filter(pa.array(keep))
+
+    left = edges.map_batches(_sample_rows, batch_format="pyarrow")
+    return spgemm(left, edges, num_buckets=64)
+
+
 def _q_sssp_dist(sf_dir: str):
     """Weighted single-source shortest paths from the min vertex id over
     the symmetrized co-purchase graph (weight = #shared orders).
@@ -575,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_dist": _q_sssp_dist,
         "ppr_k8": _q_ppr,
         "kcore3": _q_kcore,
+        "spgemm_sample": _q_spgemm,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
@@ -833,6 +859,21 @@ c{t + 1} AS MATERIALIZED (
     )
 
 
+def _spgemm_sql() -> str:
+    return f"""
+WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p2 AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS DOUBLE) AS weight
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT a.src, b.dst, sum(a.weight * b.weight) AS weight
+FROM p2 a JOIN p2 b ON a.dst = b.src
+WHERE a.src % {SPGEMM_MOD} = 0
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def _sssp_sql() -> str:
     """Bellman-Ford unrolled CTE over the weighted symmetrized edge set
     (weight = #shared orders, from the ``pairs`` CTE).  Same shape as
@@ -1089,6 +1130,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "sssp_dist": _sssp_sql(),
         "ppr_k8": _ppr_sql(),
         "kcore3": _kcore_sql(),
+        "spgemm_sample": _spgemm_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),

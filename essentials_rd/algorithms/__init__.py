@@ -7,6 +7,7 @@ from .bfs import BfsProgram, bfs
 from .sssp import SsspProgram, sssp
 from .ppr import PprProgram, ppr
 from .kcore import KcoreProgram, kcore
+from .spgemm import spgemm
 
 __all__ = [
     "PageRankProgram",
@@ -26,4 +27,5 @@ __all__ = [
     "ppr",
     "KcoreProgram",
     "kcore",
+    "spgemm",
 ]

@@ -78,3 +78,36 @@ def test_kcore_matches_cpu_reference(tmp_path):
     in2 = kcore_ref(vids, sym_s, sym_d, 2)
     in4 = kcore_ref(vids, sym_s, sym_d, 4)
     assert np.all(in4 <= in2)
+
+
+def test_spgemm_matches_dense_numpy(tmp_path):
+    from essentials_rd.algorithms import spgemm
+
+    rng = np.random.default_rng(21)
+    n = 30
+    m = 140
+    def _mat(seed):
+        r = np.random.default_rng(seed)
+        s, d = r.integers(0, n, m), r.integers(0, n, m)
+        w = r.integers(1, 5, m).astype(np.float64)
+        # collapse duplicates like a real COO table
+        key = s * n + d
+        uk, inv = np.unique(key, return_inverse=True)
+        ww = np.bincount(inv, weights=w)
+        return uk // n, uk % n, ww
+    sa, da, wa = _mat(1)
+    sb, db, wb = _mat(2)
+    A = np.zeros((n, n)); A[sa, da] = wa
+    B = np.zeros((n, n)); B[sb, db] = wb
+    ref = A @ B
+    ds_a = rd.from_arrow(pa.table({"src": pa.array(sa, pa.int64()),
+                                   "dst": pa.array(da, pa.int64()),
+                                   "weight": pa.array(wa, pa.float64())}))
+    ds_b = rd.from_arrow(pa.table({"src": pa.array(sb, pa.int64()),
+                                   "dst": pa.array(db, pa.int64()),
+                                   "weight": pa.array(wb, pa.float64())}))
+    out = spgemm(ds_a, ds_b, num_buckets=4).take_all()
+    got = np.zeros((n, n))
+    for r_ in out:
+        got[r_["src"], r_["dst"]] = r_["weight"]
+    assert np.allclose(got, ref)
