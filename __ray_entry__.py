@@ -270,6 +270,23 @@ def _q_kcore(sf_dir: str):
 
 
 SPGEMM_MOD = 31
+EC_ITERS = 6
+
+
+def _q_eigencentrality(sf_dir: str):
+    """Eigenvector centrality, exactly EC_ITERS L1-normalized power
+    steps (tol=0); half-up 6dp rounding on both sides."""
+    from essentials_rd.algorithms import eigencentrality
+    from essentials_rd.algorithms.eigencentrality import centrality_table
+    from essentials_rd.pipelines import round_half_up
+
+    g, _ = _graph(sf_dir)
+    res = eigencentrality(g, tol=0.0, max_iters=EC_ITERS, checkpoint_every=0,
+                          scatter_mode="fused")
+    t = centrality_table(res)
+    vals = round_half_up(np.asarray(t["centrality"], dtype=np.float64), 6)
+    return pa.table({"vid": t["vid"],
+                     "centrality": pa.array(vals, pa.float64())})
 
 
 def _q_spgemm(sf_dir: str):
@@ -601,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_k8": _q_ppr,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
+        "eigencentrality_k6": _q_eigencentrality,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
@@ -856,6 +874,36 @@ c{t + 1} AS MATERIALIZED (
         f"SELECT v.vid, CAST(CASE WHEN c.vid IS NULL THEN 0 ELSE 1 END AS BIGINT)"
         f" AS in_core "
         f"FROM verts v LEFT JOIN c{KCORE_ITERS} c ON c.vid = v.vid ORDER BY v.vid"
+    )
+
+
+def _eigencentrality_sql() -> str:
+    """Unrolled L1-normalized power iteration: c' = (Σ_in c)/Z with
+    Z = Σ_u c(u)·outdeg(u) (total message mass)."""
+    steps = [
+        "e0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nn) AS val FROM verts)"
+    ]
+    for k in range(EC_ITERS):
+        steps.append(f"""
+ez{k} AS MATERIALIZED (
+  SELECT COALESCE(sum(p.val * d.outdeg), 0.0) AS z
+  FROM e{k} p JOIN deg d ON d.vid = p.vid
+),
+eagg{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(p.val) AS s
+  FROM sym e JOIN e{k} p ON p.vid = e.src GROUP BY e.dst
+),
+e{k + 1} AS MATERIALIZED (
+  SELECT v.vid,
+         CASE WHEN (SELECT z FROM ez{k}) > 0
+              THEN COALESCE(a.s, 0.0) / (SELECT z FROM ez{k})
+              ELSE 0.0 END AS val
+  FROM verts v LEFT JOIN eagg{k} a ON a.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT vid, ROUND(val, 6) AS centrality FROM e{EC_ITERS} ORDER BY vid"
     )
 
 
@@ -1131,6 +1179,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "ppr_k8": _ppr_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),
+        "eigencentrality_k6": _eigencentrality_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),

@@ -8,6 +8,7 @@ from .sssp import SsspProgram, sssp
 from .ppr import PprProgram, ppr
 from .kcore import KcoreProgram, kcore
 from .spgemm import spgemm
+from .eigencentrality import EigenCentralityProgram, eigencentrality
 
 __all__ = [
     "PageRankProgram",
@@ -28,4 +29,6 @@ __all__ = [
     "KcoreProgram",
     "kcore",
     "spgemm",
+    "EigenCentralityProgram",
+    "eigencentrality",
 ]

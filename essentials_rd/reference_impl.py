@@ -314,3 +314,29 @@ def kcore_ref(
         if not newly.any():
             return alive.astype(np.int64)
         alive &= ~newly
+
+
+def eigencentrality_ref(
+    vids: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    max_iters: int = 100,
+    tol: float = 1.0e-9,
+) -> np.ndarray:
+    """L1-normalized power iteration over a DIRECTED edge list
+    (SURVEY.md §2.2 A7 family; symmetric-case HITS, upstream
+    ``algorithms/hits.hxx`` [U]): c' = (Σ_in c) / (Σ_u c(u)·outdeg(u));
+    start uniform; ``tol=0`` → exactly ``max_iters`` steps."""
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    c = np.full(n, 1.0 / n)
+    for _ in range(max_iters):
+        z = float((c * outdeg).sum())
+        agg = np.bincount(d, weights=c[s], minlength=n)
+        c_new = agg / z if z > 0 else np.zeros(n)
+        err = np.abs(c_new - c).sum()
+        c = c_new
+        if tol > 0 and err < tol:
+            break
+    return c

@@ -6,7 +6,7 @@ import ray
 import ray.data as rd
 
 from essentials_rd.graph import build_graph
-from essentials_rd.reference_impl import kcore_ref, ppr_ref
+from essentials_rd.reference_impl import eigencentrality_ref, kcore_ref, ppr_ref
 from essentials_rd.util import np_col
 
 
@@ -111,3 +111,19 @@ def test_spgemm_matches_dense_numpy(tmp_path):
     for r_ in out:
         got[r_["src"], r_["dst"]] = r_["weight"]
     assert np.allclose(got, ref)
+
+
+def test_eigencentrality_matches_cpu_reference(tmp_path):
+    src, dst = _dedup_edges(seed=17)
+    g = build_graph(_ds(src, dst), str(tmp_path / "g"), 4, symmetrize=True)
+    from essentials_rd.algorithms import eigencentrality
+    from essentials_rd.algorithms.eigencentrality import centrality_table
+
+    vids = ray.get(g.vertex_ids_ref)
+    res = eigencentrality(g, tol=0.0, max_iters=10, checkpoint_every=0)
+    t = centrality_table(res)
+    sym_s, sym_d = np.r_[src, dst], np.r_[dst, src]
+    ref = eigencentrality_ref(vids, sym_s, sym_d, max_iters=10, tol=0.0)
+    got = np.asarray(t["centrality"])
+    assert np.allclose(got, ref, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-9  # L1-normalized every step
