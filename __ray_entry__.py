@@ -271,6 +271,34 @@ def _q_kcore(sf_dir: str):
 
 SPGEMM_MOD = 31
 EC_ITERS = 6
+COLOR_W = 3
+COLOR_ITERS = 40
+
+
+def _q_coloring(sf_dir: str):
+    """Deterministic Luby-style greedy coloring of the weight≥COLOR_W
+    co-purchase subgraph (full part universe; isolated vertices take
+    color 0).  The per-round priority is SQL-reproducible, so the
+    oracle replays the exact same rounds."""
+    import pyarrow.compute as pc
+
+    from essentials_rd.algorithms import color
+    from essentials_rd.algorithms.color import colors_table
+    from essentials_rd.graph import build_graph
+    from essentials_rd.pipelines import _work_dir, copurchase_edges, part_universe
+
+    edges = copurchase_edges(sf_dir).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("weight"), COLOR_W)),
+        batch_format="pyarrow",
+    ).select_columns(["src", "dst"])
+    g = build_graph(edges, _work_dir("colorg"), 8, symmetrize=True,
+                    vertex_ids=part_universe(sf_dir))
+    res = color(g, max_iters=2 * COLOR_ITERS, checkpoint_every=0,
+                scatter_mode="fused")
+    assert res.converged and res.supersteps <= COLOR_ITERS, (
+        "coloring did not converge within the oracle's unrolled rounds"
+    )
+    return colors_table(res)
 
 
 def _q_eigencentrality(sf_dir: str):
@@ -619,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
         "eigencentrality_k6": _q_eigencentrality,
+        "coloring_w3": _q_coloring,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
@@ -907,6 +936,46 @@ e{k + 1} AS MATERIALIZED (
     )
 
 
+def _coloring_sql() -> str:
+    """Unrolled Luby-greedy coloring over the weight≥COLOR_W subgraph.
+    The packed (priority, vid) key is exact HUGEINT arithmetic mirroring
+    the engine's uint64 kernel: ((v + (r+1)·K)·K) % 2³¹ · 2³² + v."""
+    K = 2654435761
+
+    def packed(col: str, r: int) -> str:
+        return (
+            f"CAST((CAST({col} + {(r + 1) * K} AS HUGEINT) * {K}) % 2147483648"
+            f" * 4294967296 + {col} AS BIGINT)"
+        )
+
+    steps = [
+        f"""cw AS MATERIALIZED (SELECT src, dst FROM pairs WHERE weight >= {COLOR_W}),
+symw AS MATERIALIZED (
+  SELECT src, dst FROM cw UNION ALL SELECT dst AS src, src AS dst FROM cw
+),
+u0 AS MATERIALIZED (SELECT vid FROM verts)"""
+    ]
+    for r in range(COLOR_ITERS):
+        steps.append(f"""
+pm{r} AS MATERIALIZED (
+  SELECT e.dst AS vid, max({packed('e.src', r)}) AS mx
+  FROM symw e JOIN u{r} s ON s.vid = e.src GROUP BY e.dst
+),
+w{r} AS MATERIALIZED (
+  SELECT v.vid FROM u{r} v LEFT JOIN pm{r} m ON m.vid = v.vid
+  WHERE m.mx IS NULL OR m.mx < {packed('v.vid', r)}
+),
+u{r + 1} AS MATERIALIZED (
+  SELECT v.vid FROM u{r} v LEFT JOIN w{r} w ON w.vid = v.vid
+  WHERE w.vid IS NULL
+)""")
+    body = ",".join(steps)
+    union = " UNION ALL ".join(
+        f"SELECT vid, {r} AS color FROM w{r}" for r in range(COLOR_ITERS)
+    )
+    return f"WITH {_GRAPH_CTES}, {body} SELECT vid, color FROM ({union}) ORDER BY vid"
+
+
 def _spgemm_sql() -> str:
     return f"""
 WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1180,6 +1249,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),
         "eigencentrality_k6": _eigencentrality_sql(),
+        "coloring_w3": _coloring_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),

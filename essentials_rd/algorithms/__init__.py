@@ -9,6 +9,7 @@ from .ppr import PprProgram, ppr
 from .kcore import KcoreProgram, kcore
 from .spgemm import spgemm
 from .eigencentrality import EigenCentralityProgram, eigencentrality
+from .color import ColorProgram, color
 
 __all__ = [
     "PageRankProgram",
@@ -31,4 +32,6 @@ __all__ = [
     "spgemm",
     "EigenCentralityProgram",
     "eigencentrality",
+    "ColorProgram",
+    "color",
 ]

@@ -340,3 +340,28 @@ def eigencentrality_ref(
         if tol > 0 and err < tol:
             break
     return c
+
+
+def color_ref(vids: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Deterministic Luby-style greedy coloring over a SYMMETRIZED edge
+    list (SURVEY.md §2.2 A7 family; upstream ``algorithms/color.hxx``
+    [U]), same per-round priority as the engine: round r colors every
+    uncolored vertex whose (priority, vid) beats all uncolored
+    neighbors'."""
+    K = np.uint64(2654435761)
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    col = np.full(n, -1, np.int64)
+    r = 0
+    while (col < 0).any():
+        v64 = vids.astype(np.uint64)
+        p = ((v64 + np.uint64(r + 1) * K) * K) % np.uint64(1 << 31)
+        packed = (p * np.uint64(1 << 32) + v64).astype(np.int64)
+        unc = col < 0
+        inc = np.full(n, np.iinfo(np.int64).min, np.int64)
+        live = unc[s]  # messages flow only from uncolored sources
+        np.maximum.at(inc, d[live], packed[s[live]])
+        wins = unc & (packed > inc)
+        col[wins] = r
+        r += 1
+    return col

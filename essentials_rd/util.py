@@ -127,6 +127,17 @@ def segment_min(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndar
     return uniq, mins, counts
 
 
+def segment_max(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Max of ``vals`` grouped by ``keys``. Returns (unique_keys, maxs, counts)."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=vals.dtype), np.zeros(0, dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    sk, sv = keys[order], vals[order]
+    uniq, starts, counts = np.unique(sk, return_index=True, return_counts=True)
+    maxs = np.maximum.reduceat(sv, starts)
+    return uniq, maxs, counts
+
+
 def grouped_pair_expand(
     group_key: np.ndarray, values: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

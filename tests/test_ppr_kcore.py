@@ -127,3 +127,26 @@ def test_eigencentrality_matches_cpu_reference(tmp_path):
     got = np.asarray(t["centrality"])
     assert np.allclose(got, ref, atol=1e-12)
     assert abs(got.sum() - 1.0) < 1e-9  # L1-normalized every step
+
+
+def test_coloring_matches_reference_and_is_proper(tmp_path):
+    from essentials_rd.reference_impl import color_ref
+
+    src, dst = _dedup_edges(seed=23)
+    g = build_graph(_ds(src, dst), str(tmp_path / "g"), 4, symmetrize=True)
+    from essentials_rd.algorithms import color
+    from essentials_rd.algorithms.color import colors_table
+
+    vids = ray.get(g.vertex_ids_ref)
+    res = color(g, checkpoint_every=0)
+    assert res.converged
+    t = colors_table(res)
+    got = np.asarray(t["color"])
+    sym_s, sym_d = np.r_[src, dst], np.r_[dst, src]
+    ref = color_ref(vids, sym_s, sym_d)
+    assert np.array_equal(got, ref)
+    # proper coloring: no edge joins two same-colored vertices
+    pos_s = np.searchsorted(vids, src)
+    pos_d = np.searchsorted(vids, dst)
+    assert (got[pos_s] != got[pos_d]).all()
+    assert (got >= 0).all()
