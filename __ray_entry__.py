@@ -339,6 +339,25 @@ def _q_spgemm(sf_dir: str):
     return spgemm(left, edges, num_buckets=64)
 
 
+def _q_msf(sf_dir: str):
+    """Borůvka minimum spanning forest of the weighted co-purchase
+    graph.  MST is not ANSI-SQL-expressible, so this is a rows-only
+    driver check; exactness is pinned by pytest vs a Kruskal validator
+    (unique forest under the (w, src, dst) tie-break)."""
+    from essentials_rd.algorithms import boruvka_msf
+    from essentials_rd.pipelines import copurchase_edges, part_universe
+
+    tbl, total = boruvka_msf(
+        copurchase_edges(sf_dir), part_universe(sf_dir)
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([tbl.num_rows], pa.int64()),
+            "total_weight": pa.array([total], pa.float64()),
+        }
+    )
+
+
 def _q_sssp_dist(sf_dir: str):
     """Weighted single-source shortest paths from the min vertex id over
     the symmetrized co-purchase graph (weight = #shared orders).
@@ -648,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spgemm_sample": _q_spgemm,
         "eigencentrality_k6": _q_eigencentrality,
         "coloring_w3": _q_coloring,
+        "msf_total": _q_msf,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,

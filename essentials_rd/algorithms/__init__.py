@@ -10,6 +10,7 @@ from .kcore import KcoreProgram, kcore
 from .spgemm import spgemm
 from .eigencentrality import EigenCentralityProgram, eigencentrality
 from .color import ColorProgram, color
+from .msf import boruvka_msf
 
 __all__ = [
     "PageRankProgram",
@@ -34,4 +35,5 @@ __all__ = [
     "eigencentrality",
     "ColorProgram",
     "color",
+    "boruvka_msf",
 ]

@@ -365,3 +365,35 @@ def color_ref(vids: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
         col[wins] = r
         r += 1
     return col
+
+
+def msf_ref(
+    vids: np.ndarray, src: np.ndarray, dst: np.ndarray, w: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Kruskal minimum spanning forest over canonical undirected edges
+    (SURVEY.md §2.2 A7 family; upstream ``algorithms/mst.hxx`` [U]),
+    ties broken by (weight, src, dst) — the same total order Borůvka
+    uses, so the forest is unique and comparable edge-for-edge.
+    Returns (src, dst, w) of the forest sorted by (src, dst)."""
+    vids = np.sort(np.unique(vids))
+    order = np.lexsort((dst, src, w))
+    parent = np.arange(len(vids), dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ms, md, mw = [], [], []
+    ps = np.searchsorted(vids, src)
+    pd_ = np.searchsorted(vids, dst)
+    for i in order:
+        ra, rb = find(ps[i]), find(pd_[i])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            ms.append(src[i]); md.append(dst[i]); mw.append(w[i])
+    s = np.array(ms, np.int64); d = np.array(md, np.int64)
+    ww = np.array(mw, np.float64)
+    o = np.lexsort((d, s))
+    return s[o], d[o], ww[o]

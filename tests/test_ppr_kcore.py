@@ -150,3 +150,30 @@ def test_coloring_matches_reference_and_is_proper(tmp_path):
     pos_d = np.searchsorted(vids, dst)
     assert (got[pos_s] != got[pos_d]).all()
     assert (got >= 0).all()
+
+
+def test_boruvka_msf_matches_kruskal(tmp_path):
+    from essentials_rd.algorithms import boruvka_msf
+    from essentials_rd.reference_impl import msf_ref
+
+    for seed in (3, 9, 27):
+        rng = np.random.default_rng(seed)
+        n, m = 70, 300
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        keep = src != dst
+        lo = np.minimum(src[keep], dst[keep])
+        hi = np.maximum(src[keep], dst[keep])
+        pairs = np.unique(lo * np.int64(n) + hi)
+        s, d = pairs // n, pairs % n
+        w = rng.integers(1, 40, len(s)).astype(np.float64)  # ties likely
+        vids = np.arange(n, dtype=np.int64)
+        ds = rd.from_arrow(pa.table({
+            "src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64()),
+            "weight": pa.array(w, pa.float64())})).repartition(5)
+        tbl, total = boruvka_msf(ds, vids)
+        rs, rd_, rw = msf_ref(vids, s, d, w)
+        assert np.array_equal(np_col(tbl, "src"), rs), seed
+        assert np.array_equal(np_col(tbl, "dst"), rd_), seed
+        assert np.allclose(np_col(tbl, "weight"), rw), seed
+        assert abs(total - rw.sum()) < 1e-9
