@@ -339,6 +339,18 @@ def _q_spgemm(sf_dir: str):
     return spgemm(left, edges, num_buckets=64)
 
 
+def _q_tfidf(sf_dir: str):
+    """Per-document top TF-IDF token (linear idf = tf·N/df, exact
+    integer ratio — bit-identical to the SQL oracle; ties by token)."""
+    import ray.data as rd
+
+    from essentials_rd.textops import tfidf_top1
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return tfidf_top1(docs)
+
+
 def _q_msf(sf_dir: str):
     """Borůvka minimum spanning forest of the weighted co-purchase
     graph.  MST is not ANSI-SQL-expressible, so this is a rows-only
@@ -668,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigencentrality_k6": _q_eigencentrality,
         "coloring_w3": _q_coloring,
         "msf_total": _q_msf,
+        "tfidf_top1": _q_tfidf,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
@@ -954,6 +967,31 @@ e{k + 1} AS MATERIALIZED (
         f"WITH {_GRAPH_CTES}, {body} "
         f"SELECT vid, ROUND(val, 6) AS centrality FROM e{EC_ITERS} ORDER BY vid"
     )
+
+
+def _tfidf_sql() -> str:
+    return """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+),
+df AS MATERIALIZED (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+nd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+sc AS MATERIALIZED (
+  SELECT t.doc_id, t.token,
+         t.tf * (SELECT n FROM nd) / d.df AS score
+  FROM tf t JOIN df d USING (token)
+),
+rr AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS rn
+  FROM sc
+)
+SELECT doc_id, token, ROUND(score, 6) AS score FROM rr WHERE rn = 1
+ORDER BY doc_id"""
 
 
 def _coloring_sql() -> str:
@@ -1270,6 +1308,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "spgemm_sample": _spgemm_sql(),
         "eigencentrality_k6": _eigencentrality_sql(),
         "coloring_w3": _coloring_sql(),
+        "tfidf_top1": _tfidf_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),

@@ -856,3 +856,104 @@ def fingerprints(docs: rd.Dataset, text_col: str = "text",
         )
 
     return docs.map_batches(_fp, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- TF-IDF
+
+
+def tfidf_top1(docs: rd.Dataset, text_col: str = "text",
+               id_col: str = "doc_id") -> rd.Dataset:
+    """Per-document top TF-IDF token: (doc_id, token, score) with
+    score = tf · N / df — the LINEAR-idf variant, chosen because it is
+    a ratio of exact integers and therefore bit-identical between
+    numpy and DuckDB (a log-damped idf would hinge on last-ulp libm
+    agreement at the 6-dp rounding boundary).  Ties break by token
+    ascending, so the winner is unique and oracle-comparable.
+
+    Dataflow: tokenize per batch (each doc is one row, so per-batch tf
+    is already complete per doc) → bucketed df aggregate on the token →
+    ONE partitioned hash join shipping df back to the (doc, token, tf)
+    rows → bucketed per-doc argmax.  Nothing is driver-collected; the
+    vocabulary table stays distributed."""
+    from .derive import _str_hash
+    from .ops import hash_bucket_agg, join
+    from .pipelines import round_half_up
+
+    n_docs = float(docs.count())
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        ids = np_col(batch, id_col)
+        toks = s.str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        rep = np.repeat(np.arange(len(s)), counts)
+        flat = toks.explode().to_numpy()
+        if not len(flat):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        codes, uq = pd.factorize(pd.Series(flat))
+        key = rep.astype(np.int64) * np.int64(len(uq)) + codes
+        uk, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        return pa.table(
+            {
+                id_col: pa.array(ids[(uk // len(uq))], pa.int64()),
+                "token": pa.array(
+                    np.asarray(uq, object)[uk % len(uq)].tolist(), pa.string()
+                ),
+                "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tf = docs.map_batches(_tf, batch_format="pyarrow")
+
+    def _df(grp: pa.Table) -> pa.Table:
+        codes, uq = pd.factorize(grp.column("token").combine_chunks().to_pandas())
+        cnt = np.bincount(codes).astype(np.int64)
+        return pa.table({"token": pa.array(np.asarray(uq, object).tolist(),
+                                           pa.string()),
+                         "df": pa.array(cnt, pa.int64())})
+
+    df_tbl = hash_bucket_agg(
+        tf.select_columns(["token"]),
+        lambda b: np.asarray(_str_hash(b.column("token"))),
+        _df,
+    )
+
+    scored = join(tf, df_tbl, on="token", broadcast=False)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        score = np_col(batch, "tf").astype(np.float64) * n_docs / np_col(
+            batch, "df"
+        ).astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "token": batch.column("token"),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+    def _top1(grp: pa.Table) -> pa.Table:
+        ids = np_col(grp, id_col)
+        sc = np_col(grp, "score")
+        tok = grp.column("token").combine_chunks().to_pandas().to_numpy()
+        order = np.lexsort((tok, -sc, ids))
+        si = ids[order]
+        first = np.r_[True, si[1:] != si[:-1]] if len(si) else np.zeros(0, bool)
+        sel = order[first]
+        return pa.table(
+            {
+                id_col: pa.array(ids[sel], pa.int64()),
+                "token": pa.array(tok[sel].tolist(), pa.string()),
+                "score": pa.array(
+                    round_half_up(sc[sel], 6), pa.float64()
+                ),
+            }
+        )
+
+    return hash_bucket_agg(
+        scored.map_batches(_score, batch_format="pyarrow"),
+        lambda b: np_col(b, id_col),
+        _top1,
+    )
