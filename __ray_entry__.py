@@ -351,6 +351,47 @@ def _q_tfidf(sf_dir: str):
     return tfidf_top1(docs)
 
 
+GEO_ITERS = 16
+
+
+def _q_geo(sf_dir: str):
+    """Location inference on the co-purchase graph: seeds = vids
+    divisible by 7 at (vid%180, vid%360); label-once mean propagation
+    to fixpoint; unlocated = -1; half-up 6dp rounding both sides."""
+    import ray
+
+    from essentials_rd.algorithms import geo
+    from essentials_rd.algorithms.geo import locations_table
+    from essentials_rd.pipelines import round_half_up
+
+    g, _ = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    seeds = vids[vids % 7 == 0]
+    res = geo(g, seeds, (seeds % 180).astype(np.float64),
+              (seeds % 360).astype(np.float64),
+              max_iters=2 * GEO_ITERS, checkpoint_every=0,
+              scatter_mode="fused")
+    assert res.converged and res.supersteps <= GEO_ITERS, (
+        "geo did not converge within the oracle's unrolled iteration count"
+    )
+    t = locations_table(res)
+    lat = np.asarray(t["lat"], np.float64)
+    lon = np.asarray(t["lon"], np.float64)
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "lat": pa.array(
+                np.where(lat < 0, -1.0, round_half_up(np.maximum(lat, 0), 6)),
+                pa.float64(),
+            ),
+            "lon": pa.array(
+                np.where(lon < 0, -1.0, round_half_up(np.maximum(lon, 0), 6)),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def _q_msf(sf_dir: str):
     """Borůvka minimum spanning forest of the weighted co-purchase
     graph.  MST is not ANSI-SQL-expressible, so this is a rows-only
@@ -680,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigencentrality_k6": _q_eigencentrality,
         "coloring_w3": _q_coloring,
         "msf_total": _q_msf,
+        "geo_infer": _q_geo,
         "tfidf_top1": _q_tfidf,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -966,6 +1008,36 @@ e{k + 1} AS MATERIALIZED (
     return (
         f"WITH {_GRAPH_CTES}, {body} "
         f"SELECT vid, ROUND(val, 6) AS centrality FROM e{EC_ITERS} ORDER BY vid"
+    )
+
+
+def _geo_sql() -> str:
+    """Unrolled label-once location propagation: round r locates every
+    unlocated vertex with >=1 neighbor located before r at the MEAN of
+    those neighbors (AVG = exact-sum/count, 6dp-rounded both sides)."""
+    steps = [
+        """g0 AS MATERIALIZED (
+  SELECT vid, CAST(vid % 180 AS DOUBLE) AS lat, CAST(vid % 360 AS DOUBLE) AS lon
+  FROM verts WHERE vid % 7 = 0)"""
+    ]
+    for r in range(GEO_ITERS):
+        steps.append(f"""
+gn{r} AS MATERIALIZED (
+  SELECT e.dst AS vid, avg(l.lat) AS lat, avg(l.lon) AS lon
+  FROM sym e JOIN g{r} l ON l.vid = e.src
+  LEFT JOIN g{r} already ON already.vid = e.dst
+  WHERE already.vid IS NULL
+  GROUP BY e.dst
+),
+g{r + 1} AS MATERIALIZED (
+  SELECT vid, lat, lon FROM g{r} UNION ALL SELECT vid, lat, lon FROM gn{r}
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT v.vid, COALESCE(ROUND(g.lat, 6), -1.0) AS lat, "
+        f"COALESCE(ROUND(g.lon, 6), -1.0) AS lon "
+        f"FROM verts v LEFT JOIN g{GEO_ITERS} g ON g.vid = v.vid ORDER BY v.vid"
     )
 
 
@@ -1309,6 +1381,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "eigencentrality_k6": _eigencentrality_sql(),
         "coloring_w3": _coloring_sql(),
         "tfidf_top1": _tfidf_sql(),
+        "geo_infer": _geo_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),

@@ -11,6 +11,7 @@ from .spgemm import spgemm
 from .eigencentrality import EigenCentralityProgram, eigencentrality
 from .color import ColorProgram, color
 from .msf import boruvka_msf
+from .geo import GeoProgram, geo
 
 __all__ = [
     "PageRankProgram",
@@ -36,4 +37,6 @@ __all__ = [
     "ColorProgram",
     "color",
     "boruvka_msf",
+    "GeoProgram",
+    "geo",
 ]

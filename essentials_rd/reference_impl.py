@@ -397,3 +397,37 @@ def msf_ref(
     ww = np.array(mw, np.float64)
     o = np.lexsort((d, s))
     return s[o], d[o], ww[o]
+
+
+def geo_ref(
+    vids: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    seed_vids: np.ndarray,
+    seed_lat: np.ndarray,
+    seed_lon: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Label-once location propagation over a SYMMETRIZED edge list
+    (SURVEY.md §2.2 A7 family; upstream ``algorithms/geo.hxx`` [U],
+    semantics pinned label-once/mean — see algorithms/geo.py): round r
+    locates every unlocated vertex with ≥1 neighbor located before r,
+    at the mean of those neighbors.  Unlocated stays (-1, -1)."""
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    lat = np.full(n, -1.0)
+    lon = np.full(n, -1.0)
+    located = np.zeros(n, bool)
+    pos = np.searchsorted(vids, seed_vids)
+    lat[pos], lon[pos] = seed_lat, seed_lon
+    located[pos] = True
+    while True:
+        live = located[s]
+        cnt = np.bincount(d[live], minlength=n)
+        newly = (~located) & (cnt > 0)
+        if not newly.any():
+            return lat, lon
+        sl = np.bincount(d[live], weights=lat[s[live]], minlength=n)
+        so = np.bincount(d[live], weights=lon[s[live]], minlength=n)
+        lat[newly] = sl[newly] / cnt[newly]
+        lon[newly] = so[newly] / cnt[newly]
+        located |= newly

@@ -177,3 +177,28 @@ def test_boruvka_msf_matches_kruskal(tmp_path):
         assert np.array_equal(np_col(tbl, "dst"), rd_), seed
         assert np.allclose(np_col(tbl, "weight"), rw), seed
         assert abs(total - rw.sum()) < 1e-9
+
+
+def test_geo_matches_cpu_reference(tmp_path):
+    from essentials_rd.algorithms import geo
+    from essentials_rd.algorithms.geo import locations_table
+    from essentials_rd.reference_impl import geo_ref
+
+    src, dst = _dedup_edges(seed=31)
+    g = build_graph(_ds(src, dst), str(tmp_path / "g"), 4, symmetrize=True)
+    vids = ray.get(g.vertex_ids_ref)
+    seeds = vids[vids % 7 == 0]
+    slat = (seeds % 180).astype(np.float64)
+    slon = (seeds % 360).astype(np.float64)
+    res = geo(g, seeds, slat, slon, checkpoint_every=0)
+    assert res.converged
+    t = locations_table(res)
+    sym_s, sym_d = np.r_[src, dst], np.r_[dst, src]
+    rlat, rlon = geo_ref(vids, sym_s, sym_d, seeds, slat, slon)
+    # later-round means average non-integer earlier means, so summation
+    # order costs ulps — allclose, with the located mask exact
+    assert np.array_equal(np.asarray(t["lat"]) < 0, rlat < 0)
+    assert np.allclose(np.asarray(t["lat"]), rlat, atol=1e-9)
+    assert np.allclose(np.asarray(t["lon"]), rlon, atol=1e-9)
+    # every vertex connected to a seed is located
+    assert (np.asarray(t["lat"]) >= 0).sum() >= len(seeds)
