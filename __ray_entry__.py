@@ -352,6 +352,26 @@ def _q_tfidf(sf_dir: str):
 
 
 GEO_ITERS = 16
+BC_SOURCES = 2
+BC_D = 6
+
+
+def _q_betweenness(sf_dir: str):
+    """Sampled-source Brandes betweenness (BC_SOURCES smallest vids),
+    unnormalized δ-sums — half-up 6dp rounding on both sides; the
+    forward BFS depth is asserted ≤ BC_D (the oracle's unrolled level
+    count)."""
+    import ray
+
+    from essentials_rd.algorithms import betweenness
+    from essentials_rd.pipelines import round_half_up
+
+    g, _ = _graph(sf_dir)
+    vids = np.sort(np.asarray(ray.get(g.vertex_ids_ref), np.int64))
+    t = betweenness(g, vids[:BC_SOURCES], max_depth=BC_D,
+                    scatter_mode="fused")
+    vals = round_half_up(np.asarray(t["bc"], dtype=np.float64), 6)
+    return pa.table({"vid": t["vid"], "bc": pa.array(vals, pa.float64())})
 
 
 def _q_geo(sf_dir: str):
@@ -722,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring_w3": _q_coloring,
         "msf_total": _q_msf,
         "geo_infer": _q_geo,
+        "bc_sampled": _q_betweenness,
         "tfidf_top1": _q_tfidf,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -1008,6 +1029,58 @@ e{k + 1} AS MATERIALIZED (
     return (
         f"WITH {_GRAPH_CTES}, {body} "
         f"SELECT vid, ROUND(val, 6) AS centrality FROM e{EC_ITERS} ORDER BY vid"
+    )
+
+
+def _bc_sql() -> str:
+    """Unrolled sampled-source Brandes: per source — BFS levels with
+    path counts sigma (level CTEs lv/sg), then per-level dependency
+    accumulation from the deepest unrolled level down (dl CTEs)."""
+    parts = []
+    finals = []
+    for i in range(BC_SOURCES):
+        parts.append(f"""
+bs{i} AS MATERIALIZED (SELECT vid AS s FROM verts ORDER BY vid LIMIT 1 OFFSET {i}),
+lv{i}_0 AS MATERIALIZED (SELECT s AS vid FROM bs{i}),
+vis{i}_0 AS MATERIALIZED (SELECT vid FROM lv{i}_0),
+sg{i}_0 AS MATERIALIZED (SELECT vid, 1.0 AS sigma FROM lv{i}_0)""")
+        for r in range(1, BC_D + 1):
+            parts.append(f"""
+lv{i}_{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS vid
+  FROM sym e JOIN lv{i}_{r - 1} p ON p.vid = e.src
+  LEFT JOIN vis{i}_{r - 1} w ON w.vid = e.dst WHERE w.vid IS NULL
+),
+vis{i}_{r} AS MATERIALIZED (
+  SELECT vid FROM vis{i}_{r - 1} UNION ALL SELECT vid FROM lv{i}_{r}
+),
+sg{i}_{r} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(p.sigma) AS sigma
+  FROM sym e JOIN sg{i}_{r - 1} p ON p.vid = e.src
+  JOIN lv{i}_{r} t ON t.vid = e.dst GROUP BY e.dst
+)""")
+        parts.append(f"""
+dl{i}_{BC_D} AS MATERIALIZED (SELECT vid, 0.0 AS delta FROM lv{i}_{BC_D})""")
+        for r in range(BC_D - 1, 0, -1):
+            parts.append(f"""
+dl{i}_{r} AS MATERIALIZED (
+  SELECT p.vid, p.sigma * sum((1.0 + COALESCE(d.delta, 0.0)) / c.sigma) AS delta
+  FROM sg{i}_{r} p JOIN sym e ON e.src = p.vid
+  JOIN sg{i}_{r + 1} c ON c.vid = e.dst
+  LEFT JOIN dl{i}_{r + 1} d ON d.vid = e.dst
+  GROUP BY p.vid, p.sigma
+)""")
+        finals.append(" UNION ALL ".join(
+            f"SELECT vid, delta FROM dl{i}_{r}" for r in range(1, BC_D + 1)
+        ))
+    body = ",".join(parts)
+    union = " UNION ALL ".join(finals)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT v.vid, ROUND(COALESCE(b.bc, 0.0), 6) AS bc "
+        f"FROM verts v LEFT JOIN "
+        f"(SELECT vid, sum(delta) AS bc FROM ({union}) GROUP BY vid) b "
+        f"ON b.vid = v.vid ORDER BY v.vid"
     )
 
 
@@ -1382,6 +1455,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "coloring_w3": _coloring_sql(),
         "tfidf_top1": _tfidf_sql(),
         "geo_infer": _geo_sql(),
+        "bc_sampled": _bc_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),

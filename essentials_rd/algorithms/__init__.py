@@ -12,6 +12,7 @@ from .eigencentrality import EigenCentralityProgram, eigencentrality
 from .color import ColorProgram, color
 from .msf import boruvka_msf
 from .geo import GeoProgram, geo
+from .bc import betweenness
 
 __all__ = [
     "PageRankProgram",
@@ -39,4 +40,5 @@ __all__ = [
     "boruvka_msf",
     "GeoProgram",
     "geo",
+    "betweenness",
 ]

@@ -1,0 +1,223 @@
+"""Betweenness centrality (sampled-source Brandes) as two
+VertexPrograms on the superstep engine.
+
+Semantics (SURVEY.md §2.2 A7 family; upstream gunrock/essentials
+``algorithms/bc.hxx`` [U — snapshot absent], which is Brandes with a
+source set): for each source s —
+
+  forward:  BFS levels + σ(v) = number of shortest s→v paths
+            (σ messages sum along frontier edges; σ are integers,
+            exact in float64),
+  backward: dependency accumulation from the deepest level up,
+            δ(u) += σ(u) · Σ_{child w} (1+δ(w))/σ(w)
+            (one BSP superstep per level; only one level scatters per
+            superstep, so receivers at level-1 accept unconditionally).
+
+The reported score is bc(v) = Σ_{s ∈ sources} δ_s(v) (v ≠ s) — the
+standard sampled-source Brandes partial sums, NOT normalized and NOT
+halved for undirectedness (pinned so the unrolled SQL oracle can
+reproduce it term-for-term).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..graph import GraphShards
+from ..superstep import RunResult, run_superstep_loop
+from ..util import csr_lookup, expand_neighbors, segment_sum
+
+_UNSET = np.int64(np.iinfo(np.int64).max)
+
+
+class _BcForwardProgram:
+    """BFS with shortest-path counting: depth + σ."""
+
+    name = "bc_fwd"
+    state_cols = {"depth": pa.int64(), "sigma": pa.float64(), "active": pa.int8(),
+                  "rnd": pa.int64()}
+    msg_cols = {"msig": pa.float64()}
+    uses_mcount = False
+
+    def __init__(self, source: int):
+        self.source = int(source)
+
+    def init_state(self, vids, outdeg):
+        depth = np.full(len(vids), _UNSET, np.int64)
+        sigma = np.zeros(len(vids))
+        active = np.zeros(len(vids), np.int8)
+        pos = np.searchsorted(vids, self.source)
+        if pos < len(vids) and vids[pos] == self.source:
+            depth[pos] = 0
+            sigma[pos] = 1.0
+            active[pos] = 1
+        return {"depth": depth, "sigma": sigma, "active": active,
+                "rnd": np.ones(len(vids), np.int64)}
+
+    def scatter(self, state, shard):
+        act = state["active"] >= 1
+        if not act.any():
+            return None, None
+        vids, sig = state["vid"][act], state["sigma"][act]
+        rows, found = csr_lookup(shard, vids)
+        if not found.any():
+            return None, None
+        sel = np.flatnonzero(found)
+        rep, nbrs, _ = expand_neighbors(shard, rows[sel])
+        dst, sums, counts = segment_sum(nbrs, sig[sel][rep])
+        return {"dst": dst, "msig": sums, "mcount": counts}, None
+
+    def apply(self, state, msgs, bcast):
+        vids = state["vid"]
+        depth = state["depth"].copy()
+        sigma = state["sigma"].copy()
+        n = len(vids)
+        inc = np.zeros(n)
+        nmsg = np.zeros(n, np.int64)
+        if len(msgs["vid"]):
+            pos = np.searchsorted(vids, msgs["vid"])
+            inc = np.bincount(pos, weights=msgs["msig"], minlength=n)
+            nmsg = np.bincount(pos, minlength=n).astype(np.int64)
+        # messages only ever come from the current frontier, so an
+        # unvisited vertex with incoming σ joins level rnd (a uniform
+        # counter — the partition-local frontier may be empty while
+        # messages arrive from other partitions)
+        rnd = int(state["rnd"][0]) if len(state["rnd"]) else 1
+        newly = (depth == _UNSET) & (inc > 0)
+        depth[newly] = rnd
+        sigma[newly] = inc[newly]
+        return {
+            "depth": depth,
+            "sigma": sigma,
+            "active": newly.astype(np.int8),
+            "rnd": np.full(n, rnd + 1, np.int64),
+            "delta": newly.astype(np.float64),
+            "changed": newly.astype(np.int8),
+            "nmsg": nmsg,
+        }
+
+    def converged(self, totals: dict) -> bool:
+        return totals["changed"] == 0
+
+
+class _BcBackwardProgram:
+    """Level-by-level dependency accumulation (lev counts down from the
+    deepest level; exactly one level scatters per superstep)."""
+
+    name = "bc_bwd"
+    state_cols = {
+        "depth": pa.int64(),
+        "sigma": pa.float64(),
+        "bdelta": pa.float64(),
+        "lev": pa.int64(),
+    }
+    msg_cols = {"mdep": pa.float64()}
+    uses_mcount = False
+
+    def __init__(self, depths_ref, sigmas_ref, start_level: int):
+        # np arrays aligned with the graph's sorted vid universe
+        self._depths_ref = depths_ref
+        self._sigmas_ref = sigmas_ref
+        self.start_level = int(start_level)
+
+    def init_state(self, vids, outdeg):
+        import ray
+
+        d_all, s_all = ray.get(self._depths_ref), ray.get(self._sigmas_ref)
+        # vids here is this partition's slice of the sorted universe
+        # (init_state receives the FULL sorted universe in this engine)
+        return {
+            "depth": d_all,
+            "sigma": s_all,
+            "bdelta": np.zeros(len(vids)),
+            "lev": np.full(len(vids), self.start_level, np.int64),
+        }
+
+    def scatter(self, state, shard):
+        lev = int(state["lev"][0]) if len(state["lev"]) else 0
+        send = state["depth"] == lev
+        if not send.any():
+            return None, None
+        vids = state["vid"][send]
+        val = (1.0 + state["bdelta"][send]) / state["sigma"][send]
+        rows, found = csr_lookup(shard, vids)
+        if not found.any():
+            return None, None
+        sel = np.flatnonzero(found)
+        rep, nbrs, _ = expand_neighbors(shard, rows[sel])
+        dst, sums, counts = segment_sum(nbrs, val[sel][rep])
+        return {"dst": dst, "mdep": sums, "mcount": counts}, None
+
+    def apply(self, state, msgs, bcast):
+        vids = state["vid"]
+        lev = int(state["lev"][0]) if len(state["lev"]) else 0
+        n = len(vids)
+        bdelta = state["bdelta"].copy()
+        inc = np.zeros(n)
+        nmsg = np.zeros(n, np.int64)
+        if len(msgs["vid"]):
+            pos = np.searchsorted(vids, msgs["vid"])
+            inc = np.bincount(pos, weights=msgs["mdep"], minlength=n)
+            nmsg = np.bincount(pos, minlength=n).astype(np.int64)
+        # only parents (depth == lev-1) accept; same-level / child edges
+        # deliver messages too, but those receivers are filtered here
+        recv = state["depth"] == lev - 1
+        bdelta[recv] += state["sigma"][recv] * inc[recv]
+        return {
+            "depth": state["depth"],
+            "sigma": state["sigma"],
+            "bdelta": bdelta,
+            "lev": np.full(n, lev - 1, np.int64),
+            "delta": np.where(recv, inc, 0.0),
+            "changed": recv.astype(np.int8),
+            "nmsg": nmsg,
+        }
+
+    def converged(self, totals: dict) -> bool:
+        return False  # driven by an exact max_iters
+
+
+def betweenness(
+    graph: GraphShards,
+    sources: np.ndarray,
+    max_depth: int | None = None,
+    **kwargs,
+) -> pa.Table:
+    """Sampled-source Brandes: (vid, bc) with bc = Σ_s δ_s(v), δ_s(s)
+    excluded.  One forward + one backward BSP run per source."""
+    import ray
+
+    vids = np.sort(np.asarray(ray.get(graph.vertex_ids_ref), np.int64))
+    bc = np.zeros(len(vids))
+    for s in np.asarray(sources, np.int64):
+        fwd = run_superstep_loop(
+            _BcForwardProgram(int(s)), graph, checkpoint_every=0, **kwargs
+        )
+        t = fwd.state_table(["depth", "sigma"])
+        depth = np.asarray(t["depth"], np.int64)
+        sigma = np.asarray(t["sigma"], np.float64)
+        finite = depth[depth != _UNSET]
+        L = int(finite.max()) if len(finite) else 0
+        assert max_depth is None or L <= max_depth, (
+            f"BFS depth {L} exceeds the oracle's unrolled bound {max_depth}"
+        )
+        if L >= 2:
+            bwd = run_superstep_loop(
+                _BcBackwardProgram(ray.put(depth), ray.put(sigma), L),
+                graph,
+                checkpoint_every=0,
+                max_iters=L - 1,
+                **kwargs,
+            )
+            tb = bwd.state_table(["bdelta"])
+            delta = np.asarray(tb["bdelta"], np.float64).copy()
+        elif L == 1:
+            delta = np.zeros(len(vids))
+        else:
+            delta = np.zeros(len(vids))
+        pos = np.searchsorted(vids, s)
+        delta[pos] = 0.0  # δ_s(s) excluded
+        bc += delta
+    return pa.table({"vid": pa.array(vids, pa.int64()),
+                     "bc": pa.array(bc, pa.float64())})

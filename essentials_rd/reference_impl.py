@@ -431,3 +431,40 @@ def geo_ref(
         lat[newly] = sl[newly] / cnt[newly]
         lon[newly] = so[newly] / cnt[newly]
         located |= newly
+
+
+def betweenness_ref(
+    vids: np.ndarray, src: np.ndarray, dst: np.ndarray, sources: np.ndarray
+) -> np.ndarray:
+    """Sampled-source Brandes over a SYMMETRIZED edge list (SURVEY.md
+    §2.2 A7 family; upstream ``algorithms/bc.hxx`` [U]): bc(v) =
+    Σ_{s∈sources} δ_s(v), unnormalized, δ_s(s) excluded."""
+    vids, s_, d_ = _to_dense(vids, src, dst)
+    n = len(vids)
+    bc = np.zeros(n)
+    for src_v in np.searchsorted(vids, sources):
+        depth = np.full(n, -1, np.int64)
+        sigma = np.zeros(n)
+        depth[src_v] = 0
+        sigma[src_v] = 1.0
+        lev = 0
+        while True:
+            on = depth[s_] == lev
+            tgt_new = (depth[d_] == -1) & on
+            if not tgt_new.any():
+                break
+            np.add.at(sigma, d_[tgt_new], sigma[s_[tgt_new]])
+            depth[d_[tgt_new]] = lev + 1
+            lev += 1
+        delta = np.zeros(n)
+        for l in range(lev, 1, -1):
+            child = depth[s_] == l
+            par = depth[d_] == l - 1
+            e = child & par
+            contrib = (1.0 + delta[s_[e]]) / sigma[s_[e]]
+            add = np.zeros(n)
+            np.add.at(add, d_[e], contrib)
+            delta += sigma * add
+        delta[src_v] = 0.0
+        bc += delta
+    return bc

@@ -202,3 +202,18 @@ def test_geo_matches_cpu_reference(tmp_path):
     assert np.allclose(np.asarray(t["lon"]), rlon, atol=1e-9)
     # every vertex connected to a seed is located
     assert (np.asarray(t["lat"]) >= 0).sum() >= len(seeds)
+
+
+def test_betweenness_matches_cpu_reference(tmp_path):
+    from essentials_rd.algorithms import betweenness
+    from essentials_rd.reference_impl import betweenness_ref
+
+    src, dst = _dedup_edges(seed=41)
+    g = build_graph(_ds(src, dst), str(tmp_path / "g"), 4, symmetrize=True)
+    vids = ray.get(g.vertex_ids_ref)
+    sources = np.sort(vids)[:2]
+    t = betweenness(g, sources, scatter_mode="fused")
+    sym_s, sym_d = np.r_[src, dst], np.r_[dst, src]
+    ref = betweenness_ref(vids, sym_s, sym_d, sources)
+    assert np.allclose(np.asarray(t["bc"]), ref, atol=1e-9)
+    assert (np.asarray(t["bc"]) >= -1e-12).all()
