@@ -412,17 +412,30 @@ def _q_geo(sf_dir: str):
     )
 
 
+MSF_W_CAP = 8
+MSF_CC_ROUNDS = 6
+
+
 def _q_msf(sf_dir: str):
     """Borůvka minimum spanning forest of the weighted co-purchase
-    graph.  MST is not ANSI-SQL-expressible, so this is a rows-only
-    driver check; exactness is pinned by pytest vs a Kruskal validator
-    (unique forest under the (w, src, dst) tie-break)."""
+    graph.  The forest itself is not ANSI-SQL-expressible, but its
+    (n_edges, total_weight) summary IS, via the threshold sweep
+    total = Σ_t t·(C(t−1) − C(t)) with C(t) = #components of the
+    subgraph of edges with weight ≤ t (``_msf_sql``, weights are small
+    ints).  Edge-level exactness stays pinned by pytest vs a Kruskal
+    validator (unique forest under the (w, src, dst) tie-break)."""
     from essentials_rd.algorithms import boruvka_msf
     from essentials_rd.pipelines import copurchase_edges, part_universe
 
     tbl, total = boruvka_msf(
         copurchase_edges(sf_dir), part_universe(sf_dir)
     )
+    if tbl.num_rows:
+        wmax = max(tbl.column("weight").to_pylist())
+        assert wmax <= MSF_W_CAP, (
+            f"MSF picked an edge of weight {wmax} > {MSF_W_CAP}; raise "
+            "MSF_W_CAP so the SQL threshold sweep stays exact"
+        )
     return pa.table(
         {
             "n_edges": pa.array([tbl.num_rows], pa.int64()),
@@ -651,12 +664,15 @@ def _q_near_dup_pairs(sf_dir: str):
 
 
 def _q_minhash_lsh_pairs(sf_dir: str):
-    """Rows-only (MinHash+LSH banding is not SQL-expressible): the
-    approximate candidate path, verified by exact Jaccard — pinned by
-    planted-dup pytest; the scale path for corpora where the exact
-    prefix-filter join's candidate volume is too high."""
+    """MinHash+LSH banding → candidate pairs → exact-Jaccard verify.
+    The LSH banding itself is not SQL-expressible, but the VERIFIED
+    pair set is oracle-checkable against the brute-force shingle-
+    Jaccard SQL (the banding config's recall is 1.0 on the driver
+    corpus — pinned independently by the planted-dup recall pytest, so
+    a red oracle row here means lost recall, loudly)."""
     import ray.data as rd
 
+    from essentials_rd.pipelines import round_half_up
     from essentials_rd.textops import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -667,8 +683,11 @@ def _q_minhash_lsh_pairs(sf_dir: str):
                            columns=["doc_id", "text"]).materialize()
     sigs = minhash_signatures(docs, shingle_k=SHINGLE_K)
     pairs = lsh_candidate_pairs(sigs)
-    return verify_jaccard(docs, pairs, threshold=JACCARD_T,
-                          shingle_k=SHINGLE_K)
+    t = verify_jaccard(docs, pairs, threshold=JACCARD_T,
+                       shingle_k=SHINGLE_K)
+    j = round_half_up(np.asarray(t["jaccard"], dtype=np.float64), 6)
+    return pa.table({"a": t["a"], "b": t["b"],
+                     "jaccard": pa.array(j, pa.float64())})
 
 
 def _q_dup_clusters(sf_dir: str):
@@ -1315,6 +1334,53 @@ FROM verts v LEFT JOIN yagg a ON a.vid = v.vid ORDER BY v.vid
 """
 
 
+def _msf_sql() -> str:
+    """MSF (n_edges, total_weight) via the threshold sweep: for every
+    integer threshold t ≤ MSF_W_CAP, C(t) = #components of the subgraph
+    with edge weight ≤ t (unrolled hash-min CC with a pointer-jump step
+    per round — converges for diameters up to ~2^MSF_CC_ROUNDS);
+    n_edges = |V| − C(W_CAP), total = Σ_t t·(C(t−1) − C(t)).  Exact for
+    integer weights ≤ MSF_W_CAP (asserted engine-side in ``_q_msf``)."""
+    steps = [
+        "symw AS MATERIALIZED (SELECT src, dst, weight FROM pairs "
+        "UNION ALL SELECT dst AS src, src AS dst, weight FROM pairs)"
+    ]
+    for t in range(1, MSF_W_CAP + 1):
+        steps.append(
+            f"e{t} AS MATERIALIZED (SELECT src, dst FROM symw "
+            f"WHERE weight <= {t})"
+        )
+        steps.append(f"l{t}_0 AS (SELECT vid, vid AS label FROM verts)")
+        cur = f"l{t}_0"
+        for k in range(MSF_CC_ROUNDS):
+            steps.append(f"""m{t}_{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.label) AS ml
+  FROM e{t} e JOIN {cur} l ON l.vid = e.src GROUP BY e.dst)""")
+            steps.append(f"""a{t}_{k} AS MATERIALIZED (
+  SELECT v.vid, least(v.label, COALESCE(m.ml, v.label)) AS label
+  FROM {cur} v LEFT JOIN m{t}_{k} m ON m.vid = v.vid)""")
+            steps.append(f"""l{t}_{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.label, l2.label) AS label
+  FROM a{t}_{k} v JOIN a{t}_{k} l2 ON l2.vid = v.label)""")
+            cur = f"l{t}_{k + 1}"
+        steps.append(f"c{t} AS (SELECT count(DISTINCT label) AS c FROM {cur})")
+    body = ",\n".join(steps)
+    terms = []
+    for t in range(1, MSF_W_CAP + 1):
+        prev = (
+            "(SELECT count(*) FROM verts)" if t == 1
+            else f"(SELECT c FROM c{t - 1})"
+        )
+        terms.append(f"{t} * ({prev} - (SELECT c FROM c{t}))")
+    total = " + ".join(terms)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT CAST((SELECT count(*) FROM verts) - "
+        f"(SELECT c FROM c{MSF_W_CAP}) AS BIGINT) AS n_edges, "
+        f"CAST({total} AS DOUBLE) AS total_weight"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "events_hourly": (
@@ -1341,8 +1407,10 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT user_id, sid, count(*) AS len, max(t) - min(t) AS dur "
             "  FROM s GROUP BY user_id, sid"
             ") "
-            "SELECT user_id, sum(len) AS n_events, count(*) AS n_sessions, "
-            "max(len) AS max_session_events, max(dur) AS max_session_dur_us "
+            "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_events, "
+            "CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(max(len) AS BIGINT) AS max_session_events, "
+            "CAST(max(dur) AS BIGINT) AS max_session_dur_us "
             "FROM per_sess GROUP BY user_id"
         ),
         "quality_score": (
@@ -1441,6 +1509,11 @@ GROUP BY 1, 2 ORDER BY 1, 2
             f"FROM deg ORDER BY vid"
         ),
         "near_dup_pairs": _near_dup_pairs_sql(),
+        # the LSH-banded path returns the exact-Jaccard-VERIFIED pair
+        # set; banding recall 1.0 on this corpus is pinned by pytest,
+        # so the brute-force pair oracle applies verbatim
+        "minhash_lsh_pairs": _near_dup_pairs_sql(),
+        "msf_total": _msf_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "lang_pred": _lang_pred_sql(),
         "pagerank_k8": _pagerank_sql(),

@@ -113,10 +113,14 @@ def boruvka_msf(
         first = np.r_[True, cc[1:] != cc[:-1]]
         win = order[first]
         ws, ss, ds = w_c[win], s_c[win], d_c[win]
-        # dedup: one physical edge may win for both its components
-        ekey = ss * np.int64(1 << 32) + ds
-        uniq_idx = np.unique(ekey, return_index=True)[1]
-        ss, ds, ws = ss[uniq_idx], ds[uniq_idx], ws[uniq_idx]
+        # dedup: one physical edge may win for both its components.
+        # Lexsort the actual (src, dst) pairs rather than a packed
+        # src*2^32+dst key, which would wrap/collide for vertex ids
+        # >= 2^32 (boruvka_msf accepts arbitrary int64 ids).
+        o2 = np.lexsort((ds, ss))
+        ss, ds, ws = ss[o2], ds[o2], ws[o2]
+        keep2 = np.r_[True, (ss[1:] != ss[:-1]) | (ds[1:] != ds[:-1])]
+        ss, ds, ws = ss[keep2], ds[keep2], ws[keep2]
         picked_src.append(ss)
         picked_dst.append(ds)
         picked_w.append(ws)

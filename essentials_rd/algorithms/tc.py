@@ -243,12 +243,19 @@ def _wedge_increments(oriented: rd.Dataset, num_buckets: int) -> rd.Dataset:
     )
 
     def _join_bucket(grp: pa.Table) -> pa.Table:
+        # Membership test uses the EXACT packed (v << 32) | w key, not the
+        # hashed _pair_key (which only routes rows to buckets): vertices
+        # here are dense ranks < 2^32 (asserted in triangle_counts), so
+        # the pack is lossless and a hit proves real pair equality — no
+        # 64-bit birthday collisions at 1e10+ wedges.
         v, w, u = np_col(grp, "v"), np_col(grp, "w"), np_col(grp, "u")
         is_edge = u == -1
-        ek = _pair_key(v[is_edge], w[is_edge])
+        ek = (v[is_edge].astype(np.uint64) << np.uint64(32)) | w[
+            is_edge
+        ].astype(np.uint64)
         ek.sort()
         wi = np.flatnonzero(~is_edge)
-        wk = _pair_key(v[wi], w[wi])
+        wk = (v[wi].astype(np.uint64) << np.uint64(32)) | w[wi].astype(np.uint64)
         pos = np.searchsorted(ek, wk)
         ok = (pos < len(ek)) & (ek[np.minimum(pos, max(len(ek) - 1, 0))] == wk) if len(ek) else np.zeros(len(wk), bool)
         hit = wi[ok]

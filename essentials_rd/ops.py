@@ -74,11 +74,22 @@ def grouped_pandas_agg(
     def _agg(grp: pa.Table) -> pa.Table:
         # fast path — integer keys, reduceat-able aggs: ONE lexsort +
         # run-boundary reductions instead of a pandas groupby (which
-        # builds a MultiIndex and is ~40× slower per bucket)
+        # builds a MultiIndex and is ~40× slower per bucket).
+        # Contract kept identical to the pandas fallback: integer sum
+        # inputs are upcast to int64 before reduceat (pandas upcasts;
+        # raw reduceat would keep int32 and overflow), and any float
+        # value column containing NaN routes the bucket to pandas
+        # (reduceat min/max/sum propagate NaN; pandas groupby skips it).
         karrs = [np_col(grp, k) for k in keys]
         fast = all(a.dtype.kind in "iu" for a in karrs) and all(
             f in ("sum", "min", "max", "count") for _, (_, f) in aggs.items()
         )
+        if fast:
+            for _, (c, f) in aggs.items():
+                v = np_col(grp, c)
+                if v.dtype.kind == "f" and np.isnan(v).any():
+                    fast = False
+                    break
         if fast:
             order = np.lexsort(tuple(karrs[::-1]))  # keys[0] primary
             sk = [a[order] for a in karrs]
@@ -96,6 +107,8 @@ def grouped_pandas_agg(
                 if f == "count":
                     cols[o] = np.diff(np.r_[starts, n]).astype(np.int64)
                 else:
+                    if f == "sum" and v.dtype.kind in "iu":
+                        v = v.astype(np.int64)
                     cols[o] = (
                         _REDUCEAT[f].reduceat(v, starts)
                         if n
@@ -338,6 +351,10 @@ def join(
     rval_cols = [c for c in rcols if c not in on]
 
     if broadcast is None:
+        # materialize once so the strategy probe (count) and the join
+        # itself reuse the same blocks instead of executing the right
+        # pipeline twice
+        right = right.materialize()
         broadcast = right.count() <= broadcast_limit
 
     if broadcast:
