@@ -116,6 +116,7 @@ def run_headline() -> dict:
         os.path.join(WORK, f"graph_{sf}_{NUM_CPUS}"),
         num_parts,
         symmetrize=True,
+        persist=False,  # headline never resumes; CLI keeps the checkpoint
     )
     t_build = time.perf_counter() - t0
 

@@ -130,16 +130,32 @@ def _membership_increments(
     return uniq, sums
 
 
+@ray.remote
+def _packed_edge_keys(*shards) -> np.ndarray:
+    """Sorted packed (src<<32)|dst key array over all shards — built
+    ONCE as a plasma object every probe actor maps zero-copy, instead
+    of each actor re-sorting |E| keys in its own heap."""
+    parts = []
+    for sh in shards:
+        degs = np.diff(sh["indptr"])
+        srcs = np.repeat(sh["srcs"], degs)
+        parts.append(
+            (srcs.astype(np.uint64) << np.uint64(32))
+            | sh["indices"].astype(np.uint64)
+        )
+    return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
+
+
 class _TriangleStage:
     """Actor-pool callable: holds oriented-N⁺ CSR shards and the packed
-    sorted edge-key array (fetched zero-copy from plasma, built once per
+    sorted edge-key array (both fetched zero-copy from plasma, once per
     actor) and runs the membership kernel over each edge batch."""
 
-    def __init__(self, shard_refs, num_parts):
+    def __init__(self, shard_refs, num_parts, keys_ref):
         self.refs = shard_refs
         self.P = num_parts
         self.cache: dict[int, dict] = {}
-        self._edge_keys: np.ndarray | None = None
+        self._edge_keys: np.ndarray = ray.get(keys_ref)
 
     def _shard(self, p: int) -> dict:
         s = self.cache.get(p)
@@ -148,26 +164,12 @@ class _TriangleStage:
             self.cache[p] = s
         return s
 
-    def _keys(self) -> np.ndarray:
-        if self._edge_keys is None:
-            parts = []
-            for p in range(self.P):
-                sh = self._shard(p)
-                degs = np.diff(sh["indptr"])
-                srcs = np.repeat(sh["srcs"], degs)
-                parts.append(
-                    (srcs.astype(np.uint64) << np.uint64(32))
-                    | sh["indices"].astype(np.uint64)
-                )
-            self._edge_keys = (
-                np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
-            )
-        return self._edge_keys
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         src = np_col(batch, "src")
         dst = np_col(batch, "dst")
-        vid, tri = _membership_increments(src, dst, self._shard, self.P, self._keys())
+        vid, tri = _membership_increments(
+            src, dst, self._shard, self.P, self._edge_keys
+        )
         return pa.table(
             {"vid": pa.array(vid, pa.int64()), "tri": pa.array(tri, pa.int64())}
         )
@@ -322,7 +324,10 @@ def triangle_counts(
     the whole vertex universe, zeros included)."""
     assert method in ("intersect", "wedge")
     if n_actors is None:
-        n_actors = max(1, min(num_parts, int(ray.cluster_resources().get("CPU", 4))))
+        # probe actors are NOT capped by num_parts: each actor fetches
+        # shards zero-copy from plasma (one physical copy per node), so
+        # more actors than shards costs no extra memory, only CPU
+        n_actors = max(1, int(ray.cluster_resources().get("CPU", 4)))
 
     # phase 1: undirected degrees (one bucketed aggregate over the edge
     # table) → (degree, vid) rank order for orientation
@@ -368,17 +373,21 @@ def triangle_counts(
             num_parts,
             symmetrize=False,
             vertex_ids=np.arange(n_v, dtype=np.int64),
+            persist=False,
         )
-        # probe parallelism is block count (batch_size=None → one batch
-        # per block): split the stream past num_parts so every actor in
-        # the pool stays busy
-        incr = rd.read_parquet(
-            g_fwd.edges_dir,
-            columns=["src", "dst"],
-            override_num_blocks=max(num_parts, 2 * n_actors),
-        ).map_batches(
+        # probe stream = the materialized prepped blocks (no parquet
+        # round-trip); probe parallelism is block count (batch_size=None
+        # → one batch per block): split past num_parts so every actor
+        # in the pool stays busy
+        mat = g_fwd.edges_ds
+        want_blocks = max(num_parts, 2 * n_actors)
+        probe = mat.select_columns(["src", "dst"])
+        if mat.num_blocks() < want_blocks:
+            probe = probe.repartition(want_blocks)
+        keys_ref = _packed_edge_keys.remote(*g_fwd.shard_refs)
+        incr = probe.map_batches(
             _TriangleStage,
-            fn_constructor_args=(g_fwd.shard_refs, num_parts),
+            fn_constructor_args=(g_fwd.shard_refs, num_parts, keys_ref),
             batch_format="pyarrow",
             batch_size=None,
             zero_copy_batch=True,

@@ -32,6 +32,37 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / nrm
 
 
+def _seed_matrix(
+    vectors: rd.Dataset, n_rows: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic, BLOCK-ORDER-INVARIANT seed sample: the ``n_rows``
+    vectors whose hashed id is smallest — a pure function of row
+    identity (ops.deterministic_sample's property), unlike
+    ``Dataset.take`` which returns whatever rows the first blocks hold
+    and therefore biases centroids toward the leading file shards."""
+    from .ops import top_k
+    from .util import hash64
+
+    def _stamp(batch: pa.Table) -> pa.Table:
+        h = hash64(np_col(batch, id_col).astype(np.int64))
+        return pa.table(
+            {
+                vec_col: batch.column(vec_col),
+                "__h__": pa.array((h >> np.uint64(1)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    t = top_k(
+        vectors.select_columns([id_col, vec_col]).map_batches(
+            _stamp, batch_format="pyarrow"
+        ),
+        "__h__",
+        n_rows,
+        descending=False,
+    )
+    return _normalize(_batch_matrix(t.combine_chunks(), vec_col))
+
+
 def brute_force_topk(
     vectors: rd.Dataset,
     queries: np.ndarray,
@@ -108,41 +139,125 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    broadcast_limit: int = 100_000,
+    num_centroids: int = 32,
+    assign_probes: int = 2,
+    kmeans_iters: int = 2,
 ) -> rd.Dataset:
     """Embedding-cosine near-duplicate PAIRS: all (a, b), a < b, with
     round(cosine, 6) ≥ threshold.
 
-    Shape: the normalized full matrix is broadcast once (``ray.put``)
-    and every row-block does ONE float64 matmul against it — exact, and
-    distributed over the row blocks.  The broadcast bound is N×d
-    doubles; beyond object-store size, run this per IVF bucket
-    (``assign_ivf_buckets`` → groupby bucket → same kernel within each
-    bucket) for the approximate-but-scalable variant.
+    Two physical plans, picked by table size:
+
+    - **broadcast** (``n ≤ broadcast_limit``): the normalized full
+      matrix is ``ray.put`` once and every row-block does ONE float64
+      matmul against it — exact, distributed over the row blocks,
+      bounded by N×d doubles of object-store memory.
+    - **IVF-bucketed** (larger tables — the 100-TB shape): k-means
+      centroids from a deterministic seed sample, every vector
+      multi-assigned to its ``assign_probes`` nearest buckets, the
+      same exact kernel run WITHIN each bucket group (no full-matrix
+      residency anywhere), duplicate discoveries deduped by one small
+      post-threshold shuffle.  Recall < 1 only for pairs sharing no
+      probe bucket — near-dup-grade thresholds make that rare (pinned
+      by the planted-dup pytest); per-worker memory is bounded by the
+      largest bucket, not N.
     """
     from .pipelines import round_half_up
 
-    tabs = ray.get(vectors.select_columns([id_col, vec_col]).to_arrow_refs())
-    full = pa.concat_tables(tabs, promote_options="default").combine_chunks()
-    fm = _normalize(_batch_matrix(full, vec_col))
-    fids = np_col(full, id_col).astype(np.int64)
-    ref = ray.put((fm, fids))
+    vectors = vectors.materialize()
+    if vectors.count() <= broadcast_limit:
+        tabs = ray.get(vectors.select_columns([id_col, vec_col]).to_arrow_refs())
+        full = pa.concat_tables(tabs, promote_options="default").combine_chunks()
+        fm = _normalize(_batch_matrix(full, vec_col))
+        fids = np_col(full, id_col).astype(np.int64)
+        ref = ray.put((fm, fids))
 
-    def _pairs(batch: pa.Table) -> pa.Table:
-        fmat, ids_all = ray.get(ref)
+        def _pairs(batch: pa.Table) -> pa.Table:
+            fmat, ids_all = ray.get(ref)
+            m = _normalize(_batch_matrix(batch, vec_col))
+            ids = np_col(batch, id_col).astype(np.int64)
+            s = round_half_up(m @ fmat.T, round_digits)
+            keep = (s >= threshold) & (ids[:, None] < ids_all[None, :])
+            r, c = np.nonzero(keep)
+            return pa.table(
+                {
+                    "a": pa.array(ids[r], pa.int64()),
+                    "b": pa.array(ids_all[c], pa.int64()),
+                    "cosine": pa.array(s[r, c], pa.float64()),
+                }
+            )
+
+        return vectors.map_batches(_pairs, batch_format="pyarrow")
+
+    # ---- IVF-bucketed exact-within-bucket plan
+    from .ops import hash_bucket_agg
+
+    centroids = kmeans_centroids(
+        vectors, num_centroids, iters=kmeans_iters, vec_col=vec_col,
+        id_col=id_col,
+    )
+    c_ref = ray.put(centroids)
+    p = min(assign_probes, len(centroids))
+
+    def _multi_assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
         m = _normalize(_batch_matrix(batch, vec_col))
-        ids = np_col(batch, id_col).astype(np.int64)
-        s = round_half_up(m @ fmat.T, round_digits)
-        keep = (s >= threshold) & (ids[:, None] < ids_all[None, :])
-        r, c = np.nonzero(keep)
+        sims = m @ c.T
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p] if p < c.shape[0] \
+            else np.tile(np.arange(c.shape[0]), (len(m), 1))
+        n = batch.num_rows
+        rep = np.repeat(np.arange(n), p)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(rep)),
+                vec_col: batch.column(vec_col).take(pa.array(rep)),
+                "bucket": pa.array(top.ravel().astype(np.int64), pa.int64()),
+            }
+        )
+
+    assigned = vectors.map_batches(_multi_assign, batch_format="pyarrow")
+
+    def _bucket_pairs(grp: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(grp, vec_col))
+        ids = np_col(grp, id_col).astype(np.int64)
+        s = round_half_up(m @ m.T, round_digits)
+        r, c = np.nonzero((s >= threshold) & (ids[:, None] < ids[None, :]))
         return pa.table(
             {
                 "a": pa.array(ids[r], pa.int64()),
-                "b": pa.array(ids_all[c], pa.int64()),
+                "b": pa.array(ids[c], pa.int64()),
                 "cosine": pa.array(s[r, c], pa.float64()),
             }
         )
 
-    return vectors.map_batches(_pairs, batch_format="pyarrow")
+    found = hash_bucket_agg(
+        assigned, lambda b: np_col(b, "bucket"), _bucket_pairs,
+        num_buckets=max(num_centroids, 16),
+    )
+
+    # a pair co-resident in several probe buckets is found up to
+    # ``assign_probes`` times — dedup the (post-threshold, small)
+    # result with one bucketed distinct
+    def _dedup(grp: pa.Table) -> pa.Table:
+        a, b = np_col(grp, "a"), np_col(grp, "b")
+        cos = np_col(grp, "cosine")
+        order = np.lexsort((b, a))
+        a, b, cos = a[order], b[order], cos[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return hash_bucket_agg(
+        found,
+        lambda t: np_col(t, "a") * np.int64(0x9E3779B1) + np_col(t, "b"),
+        _dedup,
+    )
 
 
 def assign_ivf_buckets(
@@ -156,10 +271,7 @@ def assign_ivf_buckets(
     (ids ≡ 0 mod ⌈n/C⌉ after sort — no RNG on data), every vector
     assigned to its nearest centroid inside map_batches.  Returns the
     bucketed dataset (+bucket col) and the centroid matrix."""
-    sample = vectors.take(num_centroids * 4)
-    mat = _normalize(
-        np.array([r[vec_col] for r in sample], dtype=np.float64)
-    )
+    mat = _seed_matrix(vectors, num_centroids * 4, id_col, vec_col)
     rng = np.random.default_rng(seed)
     sel = rng.choice(len(mat), size=min(num_centroids, len(mat)), replace=False)
     centroids = mat[np.sort(sel)]
@@ -205,14 +317,14 @@ def kmeans_centroids(
     iters: int = 4,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Distributed Lloyd iterations: per batch, assign to the nearest
     centroid and emit per-centroid (count, vector-sum) PARTIALS — a
     C×num_blocks-row result the driver folds into new centroids (the
     classic pre-aggregated combine: no per-vector shuffle).  Seeded,
     deterministic; empty clusters keep their previous centroid."""
-    sample = vectors.take(num_centroids * 4)
-    mat = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
+    mat = _seed_matrix(vectors, num_centroids * 4, id_col, vec_col)
     rng = np.random.default_rng(seed)
     sel = rng.choice(len(mat), size=min(num_centroids, len(mat)), replace=False)
     centroids = mat[np.sort(sel)]
@@ -264,7 +376,7 @@ def build_ivf_index(
     skip finished buckets).  Returns the centroid matrix (also saved)."""
     import os
 
-    centroids = kmeans_centroids(vectors, num_centroids, iters, seed, vec_col)
+    centroids = kmeans_centroids(vectors, num_centroids, iters, seed, vec_col, id_col)
     c_ref = ray.put(centroids)
 
     def _assign(batch: pa.Table) -> pa.Table:

@@ -39,9 +39,10 @@ class GraphShards:
     degree_refs: list  # list[ObjectRef[pa.Table]] (vid, outdeg) per part
     n_vertices: int
     n_edges: int  # directed edge count across shards (after symmetrize)
-    edges_dir: str
+    edges_dir: str  # "" for a no-checkpoint (persist=False) build
     weighted: bool = False
     vertex_ids_ref: object | None = None  # ObjectRef[np.ndarray] sorted vids
+    edges_ds: object | None = None  # materialized prepped edges (persist=False)
 
     def degrees_ds(self) -> rd.Dataset:
         return rd.from_arrow_refs(list(self.degree_refs))
@@ -118,6 +119,73 @@ def _infer_vertex_ids(edges_dir: str, num_parts: int) -> np.ndarray:
     return np.unique(np.concatenate(vid_parts)) if vid_parts else np.zeros(0, np.int64)
 
 
+def _empty_shard(weighted: bool):
+    empty = {
+        "srcs": np.zeros(0, np.int64),
+        "indptr": np.zeros(1, np.int64),
+        "indices": np.zeros(0, np.int64),
+    }
+    if weighted:
+        empty["weights"] = np.zeros(0, np.float64)
+    deg = pa.table(
+        {"vid": pa.array([], pa.int64()), "outdeg": pa.array([], pa.int64())}
+    )
+    return empty, deg
+
+
+@ray.remote
+def _split_block(tbl: pa.Table, num_parts: int):
+    """Shuffle map side of the no-checkpoint build: slice one prepped
+    block into its per-partition sub-tables.  The exchange stays in the
+    object store — no parquet write+read round-trip."""
+    if tbl.num_rows == 0 or "part" not in tbl.column_names:
+        # zero-row blocks may carry a degenerate schema
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        outs = [empty] * num_parts
+        return tuple(outs) if num_parts > 1 else outs[0]
+    part = np_col(tbl, "part")
+    order = np.argsort(part, kind="stable")
+    t = tbl.take(pa.array(order)).drop_columns(["part"])
+    sp = part[order]
+    bounds = np.searchsorted(sp, np.arange(num_parts + 1))
+    outs = [
+        t.slice(bounds[p], bounds[p + 1] - bounds[p]).combine_chunks()
+        for p in range(num_parts)
+    ]
+    return tuple(outs) if num_parts > 1 else outs[0]
+
+
+@ray.remote
+def _build_shard_from_tables(weighted: bool, *tabs):
+    """Shuffle reduce side of the no-checkpoint build: one partition's
+    sub-tables → CSR shard + degree table."""
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return _empty_shard(weighted)
+    tbl = pa.concat_tables(tabs)
+    src = np_col(tbl, "src")
+    dst = np_col(tbl, "dst")
+    w = np_col(tbl, "weight") if weighted else None
+    shard = csr_from_edges(src, dst, w)
+    deg = pa.table(
+        {
+            "vid": pa.array(shard["srcs"], pa.int64()),
+            "outdeg": pa.array(np.diff(shard["indptr"]), pa.int64()),
+        }
+    )
+    return shard, deg
+
+
+@ray.remote
+def _block_vertex_uniques(tbl: pa.Table) -> np.ndarray:
+    if tbl.num_rows == 0 or "src" not in tbl.column_names:
+        return np.zeros(0, np.int64)
+    return np.unique(
+        np.concatenate([np_col(tbl, "src"), np_col(tbl, "dst")])
+    )
+
+
 @ray.remote
 def _build_shard(edges_dir: str, part: int, weighted: bool):
     """Read one partition's edges and build its CSR shard.
@@ -129,15 +197,7 @@ def _build_shard(edges_dir: str, part: int, weighted: bool):
     d = os.path.join(edges_dir, f"part={part}")
     cols = ["src", "dst"] + (["weight"] if weighted else [])
     if not os.path.isdir(d):
-        empty = {
-            "srcs": np.zeros(0, np.int64),
-            "indptr": np.zeros(1, np.int64),
-            "indices": np.zeros(0, np.int64),
-        }
-        if weighted:
-            empty["weights"] = np.zeros(0, np.float64)
-        deg = pa.table({"vid": pa.array([], pa.int64()), "outdeg": pa.array([], pa.int64())})
-        return empty, deg
+        return _empty_shard(weighted)
     tbl = pq.read_table(d, columns=cols)
     src = np_col(tbl, "src")
     dst = np_col(tbl, "dst")
@@ -161,6 +221,7 @@ def build_graph(
     weighted: bool = False,
     vertex_ids: np.ndarray | None = None,
     n_vertices: int | None = None,
+    persist: bool = True,
 ) -> GraphShards:
     """Edge Dataset (src:int64, dst:int64[, weight:double]) → GraphShards.
 
@@ -169,6 +230,13 @@ def build_graph(
     LP, TC-degree and undirected PageRank operate on.  ``vertex_ids``
     (sorted, unique) defines the vertex universe including isolated
     vertices; if omitted it is inferred from edge endpoints.
+
+    ``persist=False`` skips the parquet edge checkpoint entirely: the
+    per-partition exchange happens in the object store (block split
+    tasks → per-part CSR build tasks) and the materialized prepped
+    edge Dataset is kept on ``GraphShards.edges_ds``.  Use for bench /
+    oracle runs that never resume; the CLI keeps ``persist=True`` —
+    the parquet checkpoint IS the resume source (SURVEY.md §3.3).
     """
     edges_dir = os.path.join(work_dir, "edges")
 
@@ -194,6 +262,53 @@ def build_graph(
         return pa.table(out)
 
     prepped = edges.map_batches(_prep, batch_format="pyarrow")
+
+    if not persist:
+        mat = prepped.materialize()
+        n_edges = mat.count()
+        block_refs = list(mat.to_arrow_refs())
+        nb = len(block_refs)
+        if num_parts > 1:
+            split = [
+                _split_block.options(num_returns=num_parts).remote(r, num_parts)
+                for r in block_refs
+            ]
+        else:
+            split = [[_split_block.remote(r, num_parts)] for r in block_refs]
+        shard_futs = [
+            _build_shard_from_tables.options(num_returns=2).remote(
+                weighted, *[split[b][p] for b in range(nb)]
+            )
+            for p in range(num_parts)
+        ]
+        shard_refs = [f[0] for f in shard_futs]
+        degree_refs = [f[1] for f in shard_futs]
+        if vertex_ids is None:
+            uparts = ray.get(
+                [_block_vertex_uniques.remote(r) for r in block_refs]
+            )
+            vertex_ids = (
+                np.unique(np.concatenate(uparts))
+                if uparts
+                else np.zeros(0, np.int64)
+            )
+        else:
+            vertex_ids = np.asarray(vertex_ids, dtype=np.int64)
+        # block until shards exist so "build" time is accounted here,
+        # not silently inside the first superstep
+        ray.wait(shard_refs, num_returns=len(shard_refs))
+        return GraphShards(
+            num_parts=num_parts,
+            shard_refs=shard_refs,
+            degree_refs=degree_refs,
+            n_vertices=int(n_vertices if n_vertices is not None else len(vertex_ids)),
+            n_edges=int(n_edges),
+            edges_dir="",
+            weighted=weighted,
+            vertex_ids_ref=ray.put(vertex_ids),
+            edges_ds=mat,
+        )
+
     if os.path.isdir(edges_dir):
         import shutil
 

@@ -110,6 +110,8 @@ def copurchase_graph(
 ) -> tuple[GraphShards, rd.Dataset]:
     edges = copurchase_edges(sf_dir).materialize()
     vids = part_universe(sf_dir)
+    # oracle/bench path never resumes: build shards straight from the
+    # materialized blocks (persist=False — no parquet round-trip)
     g = build_graph(
         edges,
         _work_dir("copurchase"),
@@ -117,6 +119,7 @@ def copurchase_graph(
         symmetrize=symmetrize,
         weighted=weighted,
         vertex_ids=vids,
+        persist=False,
     )
     return g, edges
 

@@ -675,7 +675,8 @@ def near_dup_clusters(
     if edges.count() == 0:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "cluster": pa.array([], pa.int64())})
-    g = build_graph(edges, work_dir, num_parts, symmetrize=True)
+    g = build_graph(edges, work_dir, num_parts, symmetrize=True,
+                    persist=False)
     res = connected_components(g, checkpoint_every=0)
     t = components_table(res)
     return pa.table({id_col: t["vid"], "cluster": t["label"]})
@@ -740,10 +741,27 @@ def build_lang_profiles(docs: rd.Dataset, text_col: str = "text",
         )
 
     counts = docs.map_batches(_explode, batch_format="pyarrow")
-    agg = grouped_pandas_agg(
+    agg_ds = grouped_pandas_agg(
         counts, ["lang", "tok"], {"n": ("n", "sum")},
         key_fn=lambda b: _str_hash(b.column("tok")),
-    ).take_all()
+    )
+
+    # distributed per-lang partial top-k: each post-aggregation batch
+    # keeps at most top_k rows per lang (every (lang, tok) is globally
+    # unique after the bucketed aggregate, so any row in the global
+    # top-k survives its batch's filter) — the driver merges
+    # ≤ top_k × n_langs × n_batches rows, never the corpus vocabulary
+    def _partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["lang", "n", "tok"], ascending=[True, False, True], kind="stable"
+        )
+        df = df.groupby("lang", sort=False).head(top_k)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata()
+
+    agg = agg_ds.map_batches(_partial_topk, batch_format="pyarrow").take_all()
     prof: dict[str, dict] = {}
     by_lang: dict[str, list] = {}
     for r in agg:

@@ -167,3 +167,38 @@ def test_scatter_modes_equivalent(tmp_path, mode):
     t = pagerank_table(res)
     p_ref = pagerank_ref(vids, src, dst, max_iters=3, tol=0.0)
     assert np.allclose(np.asarray(t["pagerank"]), p_ref, atol=1e-12)
+
+
+def test_persist_false_build_matches_checkpointed(tmp_path):
+    """The no-checkpoint (object-store exchange) build produces the
+    same graph — vertex universe, degrees, PR and CC results — as the
+    parquet-checkpointed build."""
+    import ray
+
+    from essentials_rd.util import np_col
+
+    src, dst = _random_edges(n=40, m=160, seed=11)
+    g1 = small_graph(tmp_path / "a", src, dst, P=3, symmetrize=True)
+    g2 = small_graph(tmp_path / "b", src, dst, P=3, symmetrize=True,
+                     persist=False)
+    assert g2.edges_dir == "" and g2.edges_ds is not None
+    assert g1.n_edges == g2.n_edges and g1.n_vertices == g2.n_vertices
+    assert np.array_equal(ray.get(g1.vertex_ids_ref),
+                          ray.get(g2.vertex_ids_ref))
+
+    def degs(g):
+        out = {}
+        for t in ray.get(list(g.degree_refs)):
+            for v, d in zip(np_col(t, "vid"), np_col(t, "outdeg")):
+                out[int(v)] = out.get(int(v), 0) + int(d)
+        return out
+
+    assert degs(g1) == degs(g2)
+    p1 = pagerank_table(pagerank(g1, tol=0.0, max_iters=4, checkpoint_every=0))
+    p2 = pagerank_table(pagerank(g2, tol=0.0, max_iters=4, checkpoint_every=0))
+    assert np.array_equal(np.asarray(p1["vid"]), np.asarray(p2["vid"]))
+    assert np.allclose(np.asarray(p1["pagerank"]), np.asarray(p2["pagerank"]),
+                       atol=0)
+    c1 = components_table(connected_components(g1, checkpoint_every=0))
+    c2 = components_table(connected_components(g2, checkpoint_every=0))
+    assert np.array_equal(np.asarray(c1["label"]), np.asarray(c2["label"]))

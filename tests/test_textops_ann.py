@@ -170,6 +170,78 @@ def test_ivf_recall_vs_brute_force():
     assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
 
 
+def test_cosine_near_dup_bucketed_matches_broadcast():
+    """The IVF-bucketed exact-within-bucket plan (forced via a tiny
+    broadcast_limit) finds the same pair set as the broadcast plan on
+    planted near-identical vectors, with bounded per-bucket memory."""
+    from essentials_rd.ann import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 12)) * 4.0
+    base = np.concatenate(
+        [c + rng.normal(scale=0.5, size=(40, 12)) for c in centers]
+    )
+    dups = base[:20] + rng.normal(scale=1e-3, size=(20, 12))
+    vecs = np.concatenate([base, dups])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })).repartition(5)
+    t = 0.999
+    bc = cosine_near_dup_pairs(ds, t).take_all()
+    bucketed = cosine_near_dup_pairs(
+        ds, t, broadcast_limit=10, num_centroids=6, assign_probes=2
+    ).take_all()
+
+    def keyed(rows):
+        return {(r["a"], r["b"], r["cosine"]) for r in rows}
+
+    assert keyed(bucketed) == keyed(bc)
+    planted = {(i, len(base) + i) for i in range(20)}
+    assert {(r["a"], r["b"]) for r in bc} >= planted
+
+
+def test_centroid_seeding_block_order_invariant():
+    """kmeans seeding is a pure function of row identity (smallest
+    hashed ids), so centroids do not depend on the block layout."""
+    from essentials_rd.ann import kmeans_centroids
+
+    ds, _ = _embeddings(n=120)
+    c1 = kmeans_centroids(ds, num_centroids=8, iters=1)
+    c2 = kmeans_centroids(ds.repartition(7), num_centroids=8, iters=1)
+    assert np.allclose(c1, c2)
+
+
+def test_build_lang_profiles_matches_local_reference():
+    """The distributed per-lang partial top-k collects the same model
+    as a local pandas computation over the whole corpus."""
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    vocab = {"aa": ["foo", "bar", "baz", "qux", "quux"],
+             "bb": ["uno", "dos", "tres", "cuatro", "cinco"]}
+    rows = []
+    for i in range(90):
+        lang = "aa" if i % 2 == 0 else "bb"
+        rows.append({
+            "doc_id": i, "lang": lang,
+            "text": " ".join(rng.choice(vocab[lang], size=25).tolist()),
+        })
+    ds = rd.from_items(rows).repartition(6)
+    k = 3
+    prof = build_lang_profiles(ds, top_k=k)
+
+    df = pd.DataFrame(rows)
+    df["tok"] = df["text"].str.split(" ")
+    df = df.explode("tok")
+    counts = df.groupby(["lang", "tok"]).size().reset_index(name="n")
+    expect = {}
+    for lang, g in counts.groupby("lang"):
+        g = g.sort_values(["n", "tok"], ascending=[False, True]).head(k)
+        expect[lang] = dict(zip(g["tok"], g["n"].astype(int)))
+    assert prof == expect
+
+
 def test_ivf_index_build_and_search(tmp_path):
     import numpy as np
     from essentials_rd.ann import build_ivf_index, ivf_search
