@@ -412,6 +412,31 @@ def _q_geo(sf_dir: str):
     )
 
 
+HITS_K = 4
+
+
+def _q_hits(sf_dir: str):
+    """Directed HITS (hubs + authorities) on the canonical src<dst
+    co-purchase digraph: HITS_K unnormalized (authority, hub) rounds
+    from h0=1 — all intermediates are exact integers in float64 — with
+    ONE final L1 normalization + 6dp half-up rounding on both sides."""
+    from essentials_rd.algorithms import hits, hits_graph_edges, hits_table
+    from essentials_rd.graph import build_graph
+    from essentials_rd.pipelines import (
+        _work_dir,
+        copurchase_edges,
+        part_universe,
+    )
+
+    tagged = hits_graph_edges(copurchase_edges(sf_dir))
+    g = build_graph(
+        tagged, _work_dir("hits"), 8, symmetrize=False, weighted=True,
+        vertex_ids=part_universe(sf_dir), persist=False,
+    )
+    res = hits(g, k=HITS_K)
+    return hits_table(res)
+
+
 MSF_W_CAP = 8
 MSF_CC_ROUNDS = 6
 
@@ -759,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spgemm_sample": _q_spgemm,
         "eigencentrality_k6": _q_eigencentrality,
         "coloring_w3": _q_coloring,
+        "hits_k4": _q_hits,
         "msf_total": _q_msf,
         "geo_infer": _q_geo,
         "bc_sampled": _q_betweenness,
@@ -1334,6 +1360,34 @@ FROM verts v LEFT JOIN yagg a ON a.vid = v.vid ORDER BY v.vid
 """
 
 
+def _hits_sql() -> str:
+    """Unrolled HITS: a_{k+1} = in-sum of h_k, h_{k+1} = out-sum of
+    a_{k+1} over the directed ``pairs`` CTE; every intermediate is an
+    exact integer, so the single final normalize+round matches the
+    engine bit-for-bit."""
+    steps = ["h0 AS MATERIALIZED (SELECT vid, 1.0 AS v FROM verts)"]
+    for k in range(HITS_K):
+        steps.append(f"""a{k + 1} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(x.s, 0.0) AS v FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, sum(h.v) AS s
+    FROM pairs e JOIN h{k} h ON h.vid = e.src GROUP BY e.dst
+  ) x ON x.vid = v.vid)""")
+        steps.append(f"""h{k + 1} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(y.s, 0.0) AS v FROM verts v LEFT JOIN (
+    SELECT e.src AS vid, sum(a.v) AS s
+    FROM pairs e JOIN a{k + 1} a ON a.vid = e.dst GROUP BY e.src
+  ) y ON y.vid = v.vid)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT h.vid, "
+        f"ROUND(h.v / (SELECT sum(v) FROM h{HITS_K}), 6) AS hub, "
+        f"ROUND(a.v / (SELECT sum(v) FROM a{HITS_K}), 6) AS auth "
+        f"FROM h{HITS_K} h JOIN a{HITS_K} a ON a.vid = h.vid "
+        f"ORDER BY h.vid"
+    )
+
+
 def _msf_sql() -> str:
     """MSF (n_edges, total_weight) via the threshold sweep: for every
     integer threshold t ≤ MSF_W_CAP, C(t) = #components of the subgraph
@@ -1513,6 +1567,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         # set; banding recall 1.0 on this corpus is pinned by pytest,
         # so the brute-force pair oracle applies verbatim
         "minhash_lsh_pairs": _near_dup_pairs_sql(),
+        "hits_k4": _hits_sql(),
         "msf_total": _msf_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "lang_pred": _lang_pred_sql(),

@@ -13,6 +13,7 @@ from .color import ColorProgram, color
 from .msf import boruvka_msf
 from .geo import GeoProgram, geo
 from .bc import betweenness
+from .hits import HitsProgram, hits, hits_graph_edges, hits_table
 
 __all__ = [
     "PageRankProgram",
@@ -41,4 +42,8 @@ __all__ = [
     "GeoProgram",
     "geo",
     "betweenness",
+    "HitsProgram",
+    "hits",
+    "hits_graph_edges",
+    "hits_table",
 ]

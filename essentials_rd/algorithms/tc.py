@@ -380,7 +380,7 @@ def triangle_counts(
         # → one batch per block): split past num_parts so every actor
         # in the pool stays busy
         mat = g_fwd.edges_ds
-        want_blocks = max(num_parts, 2 * n_actors)
+        want_blocks = max(num_parts, n_actors)
         probe = mat.select_columns(["src", "dst"])
         if mat.num_blocks() < want_blocks:
             probe = probe.repartition(want_blocks)
@@ -409,11 +409,13 @@ def triangle_counts(
             {"vid": pa.array(uniq, pa.int64()), "tri": pa.array(sums, pa.int64())}
         )
 
+    # reducer parallelism for the final combine is independent of the
+    # shard count: the partial stream is ~n_v × probe-blocks rows
     summed = hash_bucket_agg(
         incr.union(zeros),
         lambda b: np_col(b, "vid"),
         _sum_bucket,
-        num_buckets=num_parts,
+        num_buckets=max(num_parts, n_actors),
     )
 
     rank_map_ref = ray.put(vid_of_rank)

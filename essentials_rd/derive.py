@@ -52,8 +52,9 @@ def add_sha256(ds: rd.Dataset) -> rd.Dataset:
     reference input (BASELINE.json input_hint)."""
 
     def _sha(batch: pa.Table) -> pa.Table:
-        col = batch.column("content")
-        out = [hashlib.sha256(v.as_py().encode("utf-8")).hexdigest() for v in col]
+        # one C-level conversion pass, then the (inherent) per-row digest
+        vals = batch.column("content").to_pylist()
+        out = [hashlib.sha256(v.encode("utf-8")).hexdigest() for v in vals]
         return batch.append_column("sha256", pa.array(out, pa.string()))
 
     return ds.map_batches(_sha, batch_format="pyarrow")
@@ -103,17 +104,39 @@ def build_vertices(files: rd.Dataset) -> tuple[np.ndarray, rd.Dataset]:
     return arr, vertices
 
 
+# per-worker cache of the deserialized broadcast name array (+ its
+# Arrow twin for the index_in kernel): without it every batch call
+# re-deserializes the |V|-string object and re-converts it
+_NAMES_CACHE: dict[str, tuple[np.ndarray, pa.Array]] = {}
+
+
+def _names_objs(names_ref) -> tuple[np.ndarray, pa.Array]:
+    if isinstance(names_ref, ray.ObjectRef):
+        key = names_ref.hex()
+        hit = _NAMES_CACHE.get(key)
+        if hit is None:
+            names = ray.get(names_ref)
+            hit = (names, pa.array(names.tolist(), pa.string()))
+            if len(_NAMES_CACHE) >= 4:
+                _NAMES_CACHE.pop(next(iter(_NAMES_CACHE)))
+            _NAMES_CACHE[key] = hit
+        return hit
+    names = names_ref
+    return names, pa.array(names.tolist(), pa.string())
+
+
 def repo_lookup(names_ref, col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Vectorized repo-name → vid lookup against the broadcast sorted
-    name array.  Unknown names map to -1."""
-    names = ray.get(names_ref) if isinstance(names_ref, ray.ObjectRef) else names_ref
-    vals = np.asarray(col.to_pylist(), dtype=object)
-    if len(vals) == 0 or len(names) == 0:
-        return np.full(len(vals), -1, dtype=np.int64)
-    idx = np.searchsorted(names, vals)
-    idx_c = np.minimum(idx, len(names) - 1)
-    found = names[idx_c] == vals
-    return np.where(found, idx_c, -1).astype(np.int64)
+    name array (Arrow ``index_in`` hash kernel — no Python-object hop;
+    vid == sorted position because ids are assigned in sorted-name
+    order).  Unknown names map to -1."""
+    names, names_pa = _names_objs(names_ref)
+    if len(col) == 0 or len(names) == 0:
+        return np.full(len(col), -1, dtype=np.int64)
+    idx = pc.index_in(col, value_set=names_pa)
+    return np.asarray(
+        idx.fill_null(-1).to_numpy(zero_copy_only=False), dtype=np.int64
+    )
 
 
 def vids_to_repos(tbl: pa.Table, names_ref, cols: dict[str, str]) -> pa.Table:
@@ -131,11 +154,14 @@ def vids_to_repos(tbl: pa.Table, names_ref, cols: dict[str, str]) -> pa.Table:
 
 def _str_hash(col) -> np.ndarray:
     """Deterministic vectorized 64-bit string hash (pandas siphash with
-    the fixed default key — stable across processes)."""
-    arr = np.asarray(col.to_pylist(), dtype=object)
-    if len(arr) == 0:
+    the fixed default key — stable across processes).  ``categorize=
+    True`` factorizes first and hashes only the distinct strings —
+    identical output values, much faster on repetitive key columns
+    (tokens/paths repeat heavily)."""
+    if len(col) == 0:
         return np.zeros(0, dtype=np.int64)
-    return pd.util.hash_array(arr, categorize=False).view(np.int64)
+    arr = col.to_pandas().to_numpy(dtype=object)
+    return pd.util.hash_array(arr, categorize=True).view(np.int64)
 
 
 # ------------------------------------------------- shared-key expansion

@@ -468,3 +468,22 @@ def betweenness_ref(
         delta[src_v] = 0.0
         bc += delta
     return bc
+
+
+def hits_ref(
+    vids: np.ndarray, src: np.ndarray, dst: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """CPU HITS validator (dense, directed): k unnormalized
+    (authority, hub) rounds from h0=1, one final L1 normalization —
+    mirrors gunrock/essentials' hub/authority pair
+    (``algorithms/hits.hxx`` [U — snapshot absent])."""
+    n = len(vids)
+    si = np.searchsorted(vids, src)
+    di = np.searchsorted(vids, dst)
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(k):
+        a = np.bincount(di, weights=h[si], minlength=n)
+        h = np.bincount(si, weights=a[di], minlength=n)
+    hs, as_ = h.sum(), a.sum()
+    return (h / hs if hs > 0 else h), (a / as_ if as_ > 0 else a)

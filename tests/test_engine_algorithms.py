@@ -202,3 +202,25 @@ def test_persist_false_build_matches_checkpointed(tmp_path):
     c1 = components_table(connected_components(g1, checkpoint_every=0))
     c2 = components_table(connected_components(g2, checkpoint_every=0))
     assert np.array_equal(np.asarray(c1["label"]), np.asarray(c2["label"]))
+
+
+def test_hits_matches_reference(tmp_path):
+    """Directed HITS (alternating-parity program on the direction-
+    tagged weighted graph) vs the dense CPU validator."""
+    import ray.data as rd
+
+    from essentials_rd.algorithms import hits, hits_graph_edges, hits_table
+    from essentials_rd.graph import build_graph
+    from essentials_rd.reference_impl import hits_ref
+
+    src, dst = _random_edges(n=30, m=120, seed=17)
+    vids = np.arange(30, dtype=np.int64)
+    tagged = hits_graph_edges(edges_ds(src, dst))
+    g = build_graph(tagged, str(tmp_path / "g"), 3, symmetrize=False,
+                    weighted=True, vertex_ids=vids, persist=False)
+    res = hits(g, k=4)
+    t = hits_table(res, round_digits=12)
+    h_ref, a_ref = hits_ref(vids, src, dst, k=4)
+    assert np.array_equal(np.asarray(t["vid"]), vids)
+    assert np.allclose(np.asarray(t["hub"]), h_ref, atol=1e-9)
+    assert np.allclose(np.asarray(t["auth"]), a_ref, atol=1e-9)
