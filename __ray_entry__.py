@@ -531,6 +531,95 @@ def _q_user_sessions(sf_dir: str):
     return sessionize(ev, gap_minutes=SESSION_GAP_MIN)
 
 
+HOP_SIZE_MIN = 120
+HOP_MIN = 60
+TOPK_PER_LANG = 3
+QUANTILES = [0.25, 0.5, 0.75, 0.9]
+
+
+def _q_events_hopping(sf_dir: str):
+    """Hopping (overlapping) windows — size 2h advancing hourly; each
+    event replicated into its size/hop covering windows inside
+    map_batches, then the standard bucketed (window, key) aggregate."""
+    import ray.data as rd
+
+    from essentials_rd.windows import hopping_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+    return hopping_window_agg(ev, size_minutes=HOP_SIZE_MIN,
+                              hop_minutes=HOP_MIN)
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Exact per-group top-k (ops.grouped_top_k): the TOPK_PER_LANG
+    longest documents per language, ties by doc_id."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_top_k
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "doc_id": t.column("doc_id"),
+                "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    proj = docs.map_batches(_proj, batch_format="pyarrow")
+    out = grouped_top_k(
+        proj, ["lang"], "n_chars", TOPK_PER_LANG, descending=True,
+        tie_cols=["doc_id"], key_fn=lambda b: _str_hash(b.column("lang")),
+    )
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["lang"], r["rank"]))
+    return pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _q_quantity_quantiles(sf_dir: str):
+    """Exact discrete quantiles of l_quantity from the distributed
+    value histogram (ops.exact_quantiles, quantile_disc semantics)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import exact_quantiles
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity"])
+    vals = exact_quantiles(li, "l_quantity", QUANTILES)
+    return pa.table(
+        {
+            "q": pa.array(QUANTILES, pa.float64()),
+            "value": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+def _q_token_counts(sf_dir: str):
+    """Whitespace + BPE-ish regex token counts per document (the same
+    RE2-compatible pattern runs in DuckDB's regexp_extract_all)."""
+    import ray.data as rd
+
+    from essentials_rd.textops import token_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return token_counts(docs)
+
+
 def _q_quality_score(sf_dir: str):
     """Per-document quality signals (punct/stopword ratios, mean token
     length) — stateless vectorized stage, oracle-exact after 6-dp
@@ -756,7 +845,11 @@ def _q_lang_pred(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
+        "events_hopping": _q_events_hopping,
         "user_sessions": _q_user_sessions,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "quantity_quantiles": _q_quantity_quantiles,
+        "token_counts": _q_token_counts,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
         "orders_per_nation": _q_orders_per_nation,
@@ -1442,6 +1535,35 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, min(event_id) AS min_id, "
             "max(event_id) AS max_id "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_hopping": (
+            f"SELECT (epoch_us(ts) // {HOP_MIN * 60 * 1000000}) - o.off "
+            "AS window, event_type, count(*) AS n_events, "
+            "min(event_id) AS min_id, max(event_id) AS max_id "
+            "FROM events, LATERAL (SELECT unnest(range(0, "
+            f"{HOP_SIZE_MIN // HOP_MIN})) AS off) o "
+            "GROUP BY 1, 2"
+        ),
+        "top_docs_per_lang": (
+            "SELECT lang, doc_id, n_chars, rank FROM ("
+            "  SELECT lang, doc_id, length(text) AS n_chars, "
+            "    row_number() OVER (PARTITION BY lang "
+            "      ORDER BY length(text) DESC, doc_id ASC) AS rank "
+            "  FROM documents"
+            f") WHERE rank <= {TOPK_PER_LANG} ORDER BY lang, rank"
+        ),
+        "quantity_quantiles": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"CAST(quantile_disc(l_quantity, {q}) AS BIGINT) AS value "
+            "FROM lineitem"
+            for q in QUANTILES
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
+            "AS n_re_tokens FROM documents"
         ),
         "user_sessions": (
             "WITH o AS MATERIALIZED ("

@@ -226,6 +226,108 @@ def top_k(ds: rd.Dataset, by: str, k: int, descending: bool = True) -> pa.Table:
     return t.take(order[:k])
 
 
+def grouped_top_k(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    by: str,
+    k: int,
+    descending: bool = True,
+    tie_cols: list[str] | None = None,
+    key_fn: Callable[[pa.Table], np.ndarray] | None = None,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Exact top-k rows PER GROUP (SURVEY.md §2.4 R6 generalized): one
+    bucketed shuffle on the group key brings each group together, then a
+    vectorized in-bucket sort + head(k).  ``tie_cols`` (ascending) make
+    the selection deterministic under ties; output carries ``rank``
+    (1-based).  The result is ≤ k rows per group — driver-small per
+    group even when groups are huge."""
+    tie_cols = tie_cols or []
+    if key_fn is None:
+        key_fn = lambda b: np_col(b, group_cols[0]).astype(np.int64)
+
+    def _topk(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        df = df.sort_values(
+            group_cols + [by] + tie_cols,
+            ascending=[True] * len(group_cols) + [not descending]
+            + [True] * len(tie_cols),
+            kind="stable",
+        )
+        df = df.groupby(group_cols, sort=False).head(k).copy()
+        df["rank"] = df.groupby(group_cols, sort=False).cumcount() + 1
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata()
+
+    return hash_bucket_agg(ds, key_fn, _topk, num_buckets)
+
+
+def int_value_counts(
+    ds: rd.Dataset,
+    col: str,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """(value, count) of an integer column: per-batch pre-combine
+    (segment_sum) + one bucketed combine — the distributed histogram
+    that exact order statistics reduce to when the value domain is
+    bounded (counts move, rows never do)."""
+    from .util import segment_sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = np_col(batch, col).astype(np.int64)
+        uniq, sums, _ = segment_sum(v, np.ones(len(v), np.int64))
+        return pa.table(
+            {"value": pa.array(uniq, pa.int64()),
+             "count": pa.array(sums, pa.int64())}
+        )
+
+    def _combine(grp: pa.Table) -> pa.Table:
+        uniq, sums, _ = segment_sum(np_col(grp, "value"), np_col(grp, "count"))
+        return pa.table(
+            {"value": pa.array(uniq, pa.int64()),
+             "count": pa.array(sums, pa.int64())}
+        )
+
+    return hash_bucket_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        lambda b: np_col(b, "value"),
+        _combine,
+        num_buckets=num_buckets,
+    )
+
+
+def exact_quantiles(
+    ds: rd.Dataset, col: str, qs: list[float]
+) -> list[int]:
+    """EXACT discrete quantiles of an integer column (DuckDB
+    ``quantile_disc`` semantics: the sorted value at index
+    ``ceil(q·n) − 1``), computed from the distributed value histogram —
+    the driver sees one row per DISTINCT value, never the data."""
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(int_value_counts(ds, col).to_arrow_refs())
+        if t.num_rows
+    ]
+    if not parts:
+        return [0 for _ in qs]
+    t = pa.concat_tables(parts)
+    vals = np_col(t, "value")
+    cnts = np_col(t, "count")
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        idx = int(np.ceil(q * n)) - 1  # 0-based rank, quantile_disc rule
+        idx = min(max(idx, 0), n - 1)
+        out.append(int(vals[np.searchsorted(cum, idx + 1)]))
+    return out
+
+
 def deterministic_sample(
     ds: rd.Dataset,
     frac: float,

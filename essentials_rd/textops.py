@@ -828,6 +828,37 @@ def lang_id(docs: rd.Dataset, profiles_ref, concurrency: int = 4) -> rd.Dataset:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / single punctuation
+# marks — the merge-input segmentation BPE vocabularies train over
+# (RE2-compatible, so the DuckDB oracle runs the IDENTICAL pattern)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: rd.Dataset, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 pattern: str = BPE_TOKEN_RE) -> rd.Dataset:
+    """(doc_id, n_ws_tokens, n_re_tokens): whitespace token count plus a
+    BPE-ish regex token count — pattern compiled once per stage, counts
+    via one vectorized pandas ``str.count`` pass per batch."""
+    import re
+
+    compiled = re.compile(pattern)
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        nws = s.str.split(" ").str.len().to_numpy(np.int64)
+        nre = s.str.count(compiled).to_numpy(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_ws_tokens": pa.array(nws, pa.int64()),
+                "n_re_tokens": pa.array(nre, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_cnt, batch_format="pyarrow")
+
+
 # --------------------------------------------------- doc fingerprints
 
 

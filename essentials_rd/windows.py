@@ -102,6 +102,84 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    events: rd.Dataset,
+    ts_col: str = "ts",
+    size_minutes: int = 120,
+    hop_minutes: int = 60,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Overlapping (hopping) windows: size ``size_minutes``, advancing
+    every ``hop_minutes`` (size must be a multiple of hop).  Each event
+    lands in ``size/hop`` windows — the stamp stage replicates the row
+    once per covering window (a bounded, stateless fan-out inside
+    map_batches), then the SAME bucketed aggregate as the tumbling
+    case runs on (window, key).  ``window`` is the window's start time
+    in hop units (floor(t/hop) − offset)."""
+    assert size_minutes % hop_minutes == 0, "size must be a multiple of hop"
+    hop = np.int64(hop_minutes * US_PER_MIN)
+    k = size_minutes // hop_minutes
+
+    def _stamp(batch: pa.Table) -> pa.Table:
+        base = np.floor_divide(_epoch_us(batch, ts_col), hop)
+        n = batch.num_rows
+        rep = np.repeat(np.arange(n), k)
+        off = np.tile(np.arange(k, dtype=np.int64), n)
+        return pa.table(
+            {
+                "window": pa.array(base[rep] - off, pa.int64()),
+                key_col: batch.column(key_col).take(pa.array(rep)),
+                id_col: batch.column(id_col).take(pa.array(rep)),
+            }
+        )
+
+    def _agg(grp: pa.Table) -> pa.Table:
+        n = grp.num_rows
+        key_t = grp.schema.field(key_col).type
+        if n == 0:
+            return pa.table(
+                {
+                    "window": pa.array([], pa.int64()),
+                    key_col: pa.array([], key_t),
+                    "n_events": pa.array([], pa.int64()),
+                    "min_id": pa.array([], pa.int64()),
+                    "max_id": pa.array([], pa.int64()),
+                }
+            )
+        w = np_col(grp, "window")
+        codes, uq = pd.factorize(
+            grp.column(key_col).combine_chunks().to_pandas(), sort=True
+        )
+        ids = np_col(grp, id_col)
+        order = np.lexsort((codes, w))
+        ws, cs, es = w[order], codes[order], ids[order]
+        diff = (ws[1:] != ws[:-1]) | (cs[1:] != cs[:-1])
+        starts = np.flatnonzero(np.r_[True, diff])
+        return pa.table(
+            {
+                "window": pa.array(ws[starts], pa.int64()),
+                key_col: pa.array(
+                    np.asarray(uq, object)[cs[starts]].tolist(), key_t
+                ),
+                "n_events": pa.array(
+                    np.diff(np.r_[starts, n]).astype(np.int64), pa.int64()
+                ),
+                "min_id": pa.array(np.minimum.reduceat(es, starts), pa.int64()),
+                "max_id": pa.array(np.maximum.reduceat(es, starts), pa.int64()),
+            }
+        )
+
+    stamped = events.map_batches(_stamp, batch_format="pyarrow")
+    return hash_bucket_agg(
+        stamped,
+        lambda b: np_col(b, "window").astype(np.int64),
+        _agg,
+        num_buckets=num_buckets,
+    )
+
+
 def sessionize(
     events: rd.Dataset,
     gap_minutes: int = 30,

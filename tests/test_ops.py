@@ -135,3 +135,50 @@ def test_grouped_pandas_agg_string_value_min():
     ).take_all()
     got = {r["k"]: r["smin"] for r in out}
     assert got == {1: "a", 2: "m"}
+
+
+def test_grouped_top_k_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_top_k
+
+    rng = np.random.default_rng(8)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.integers(0, 7, n).astype(np.int64),
+        "v": rng.integers(0, 40, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    out = grouped_top_k(ds, ["g"], "v", 3, descending=True,
+                        tie_cols=["id"]).take_all()
+    ref = (df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+             .groupby("g").head(3))
+    ref = ref.assign(rank=ref.groupby("g").cumcount() + 1)
+    got = {(r["g"], r["rank"]): (r["v"], r["id"]) for r in out}
+    want = {(r.g, r.rank): (r.v, r.id) for r in ref.itertuples()}
+    assert got == want
+
+
+def test_exact_quantiles_match_duckdb_rule():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import exact_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(1, 60, 1111).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})).repartition(6)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = exact_quantiles(ds, "x", qs)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest($1) AS x", [vals.tolist()])
+    want = [con.execute(
+        f"SELECT CAST(quantile_disc(x, {q}) AS BIGINT) FROM t").fetchone()[0]
+        for q in qs]
+    assert got == want

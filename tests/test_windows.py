@@ -107,3 +107,42 @@ def test_tumbling_window_agg_matches_pandas():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_hopping_window_covers_each_event_k_times():
+    """Every event lands in exactly size/hop windows; per-window counts
+    match a local replication reference."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.windows import hopping_window_agg
+
+    rng = np.random.default_rng(3)
+    n = 400
+    ts = pd.to_datetime(
+        rng.integers(0, 6 * 3600, n) * 1_000_000, unit="us"
+    )
+    et = np.where(rng.random(n) < 0.5, "a", "b")
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts),
+        "event_type": pa.array(et.tolist(), pa.string()),
+    })).repartition(4)
+    out = hopping_window_agg(ev, size_minutes=120, hop_minutes=60).take_all()
+    assert sum(r["n_events"] for r in out) == 2 * n  # k = 2 copies each
+
+    us = ts.astype("int64").to_numpy() // 1000  # datetime64[ns] → µs
+    base = us // (60 * 60 * 1_000_000)
+    ref = {}
+    for off in (0, 1):
+        for w, t, i in zip(base - off, et, np.arange(n)):
+            key = (int(w), t)
+            agg = ref.setdefault(key, [0, i, i])
+            agg[0] += 1
+            agg[1] = min(agg[1], i)
+            agg[2] = max(agg[2], i)
+    got = {(r["window"], r["event_type"]):
+           [r["n_events"], r["min_id"], r["max_id"]] for r in out}
+    assert got == {k: list(map(int, v)) for k, v in ref.items()}
