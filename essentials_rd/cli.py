@@ -23,7 +23,10 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="essentials_rd")
     p.add_argument("--input", required=True, help="repo_files parquet file/dir")
-    p.add_argument("--algo", required=True, choices=["pr", "cc", "lp", "tc", "spmv", "bfs", "sssp", "ppr", "kcore"])
+    p.add_argument("--algo", required=True,
+                   choices=["pr", "cc", "lp", "tc", "spmv", "bfs", "sssp",
+                            "ppr", "kcore", "eigen", "color", "hits", "bc",
+                            "msf"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out", default=None, help="result parquet dir")
     p.add_argument("--num-parts", type=int, default=16)
@@ -135,6 +138,94 @@ def main(argv: list[str] | None = None) -> int:
 
         res = _kcore(g, args.k, on_step_end=log_step, **common)
         out_cols = ["alive", "adeg"]
+    elif args.algo == "eigen":
+        from .algorithms import eigencentrality
+
+        res = eigencentrality(g, tol=args.tol, on_step_end=log_step, **common)
+        out_cols = ["value"]
+    elif args.algo == "color":
+        from .algorithms import color as _color
+
+        res = _color(g, on_step_end=log_step, **common)
+        out_cols = ["color"]
+    elif args.algo == "hits":
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from .algorithms import hits as _hits
+        from .algorithms import hits_graph_edges, hits_table
+
+        if edges is None:
+            edges = rd.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+                lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
+                batch_format="pyarrow",
+            )
+        gh = build_graph(
+            hits_graph_edges(edges), os.path.join(args.ckpt_dir, "hits_work"),
+            args.num_parts, symmetrize=False, weighted=True, persist=False,
+        )
+        t = hits_table(_hits(gh, k=args.k))
+        if args.out:
+            import ray.data as _rd
+
+            _rd.from_arrow(t).write_parquet(args.out)
+        print(json.dumps({"event": "done", "algo": "hits",
+                          "rounds": args.k, "n_vertices": t.num_rows}),
+              flush=True)
+        ray.shutdown()
+        return 0
+    elif args.algo == "bc":
+        import numpy as np
+
+        from .algorithms import betweenness
+
+        vids = np.sort(np.asarray(ray.get(g.vertex_ids_ref), np.int64))
+        n_src = args.k if args.source is None else 1
+        sources = (np.asarray([args.source], np.int64)
+                   if args.source is not None else vids[:n_src])
+        t = betweenness(g, sources, scatter_mode=args.scatter_mode)
+        if args.out:
+            import ray.data as _rd
+
+            _rd.from_arrow(t).write_parquet(args.out)
+        print(json.dumps({"event": "done", "algo": "bc",
+                          "n_sources": int(len(sources)),
+                          "n_vertices": t.num_rows}), flush=True)
+        ray.shutdown()
+        return 0
+    elif args.algo == "msf":
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from .algorithms import boruvka_msf
+
+        if edges is None:
+            # the (unweighted) edge checkpoint has no weight column —
+            # resume computes the unit-weight spanning forest (still
+            # unique under the (w, src, dst) tie-break)
+            def _canon_unit(t):
+                t = t.filter(pc.less(t.column("src"), t.column("dst")))
+                return t.append_column(
+                    "weight",
+                    pa.array(np.ones(t.num_rows), pa.float64()),
+                )
+
+            edges = rd.read_parquet(
+                edges_dir, columns=["src", "dst"]
+            ).map_batches(_canon_unit, batch_format="pyarrow")
+        vids = np.sort(np.asarray(ray.get(g.vertex_ids_ref), np.int64))
+        tbl, total = boruvka_msf(edges, vids)
+        if args.out:
+            import ray.data as _rd
+
+            _rd.from_arrow(tbl).write_parquet(args.out)
+        print(json.dumps({"event": "done", "algo": "msf",
+                          "n_edges": tbl.num_rows,
+                          "total_weight": total}), flush=True)
+        ray.shutdown()
+        return 0
     else:  # tc
         if edges is None:
             import pyarrow.compute as pc

@@ -77,3 +77,29 @@ def test_cli_kill_resume_pagerank(tmp_path):
     tb = pq.read_table(out_b).sort_by("vid")
     assert np.asarray(ta["vid"]).tolist() == np.asarray(tb["vid"]).tolist()
     assert np.asarray(ta["value"]).tolist() == np.asarray(tb["value"]).tolist()
+
+
+@pytest.mark.slow
+def test_cli_round3_algos_smoke(tmp_path):
+    """Every round-3 CLI algo (eigen/color/hits/bc/msf) runs end-to-end
+    through the real entry point and writes a result parquet."""
+    corpus = tmp_path / "corpus"
+    generate_corpus(str(corpus), n_repos=150, seed=13, compute_expected=False)
+    inp = str(corpus / "repo_files.parquet")
+    expect_rows_col = {
+        "eigen": "value", "color": "color", "hits": "hub",
+        "bc": "bc", "msf": "weight",
+    }
+    for algo, col in expect_rows_col.items():
+        out = tmp_path / f"out_{algo}"
+        r = _run_cli([
+            "--input", inp, "--algo", algo, "--num-parts", "4",
+            "--num-cpus", "4", "--max-iters", "40", "--k", "2",
+            "--cap", "50", "--ckpt-dir", str(tmp_path / f"ck_{algo}"),
+            "--out", str(out),
+        ])
+        assert r.returncode == 0, (algo, r.stderr[-2000:])
+        done = json.loads(r.stdout.strip().splitlines()[-1])
+        assert done["event"] == "done" and done["algo"] == algo
+        t = pq.read_table(str(out))
+        assert t.num_rows > 0 and col in t.column_names, (algo, t.column_names)
