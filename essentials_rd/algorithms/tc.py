@@ -64,12 +64,26 @@ def _outdeg_of(x: np.ndarray, shard_of, P: int) -> np.ndarray:
     return out
 
 
+#: Probe chunks are capped at this many candidate (edge, neighbor)
+#: pairs so every temporary stays ~16 MB — small enough for the
+#: allocator to recycle between chunks instead of mmap/munmap-ing
+#: hundreds of MB per batch (page-fault-bound on this host: measured
+#: 49-90 s cold vs 1.3 s warm for the same 48.7M-candidate expand).
+_PROBE_CHUNK = 2_000_000
+
+#: Above this vertex-universe size the per-actor dense bincount
+#: accumulator (8 B × |V|) would strain worker heaps; fall back to
+#: chunk-local sorted pre-combine (bounded by the chunk, not |V|).
+_DENSE_ACC_LIMIT = 1 << 26
+
+
 def _membership_increments(
     src: np.ndarray,
     dst: np.ndarray,
     shard_of,
     P: int,
     edge_keys: np.ndarray,
+    n_ranks: int,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Min-side expansion + packed-key membership probe.
 
@@ -79,6 +93,15 @@ def _membership_increments(
     Returns pre-combined (vid, tri_increment) arrays crediting u, v and
     every common w.  All ids are dense ranks < 2³² (asserted by the
     caller), so a pair packs losslessly into one uint64.
+
+    The probe runs in ``_PROBE_CHUNK``-candidate chunks and pre-combines
+    into a dense ``np.bincount`` accumulator of length ``n_ranks``
+    (ids are dense ranks, so this is exact) — replacing the previous
+    whole-batch ``segment_sum`` whose O(M log M) argsort over the
+    concatenated increment stream dominated the kernel (measured 57 s
+    of a 63 s warm kernel at 48.7M candidates).  When ``n_ranks``
+    exceeds ``_DENSE_ACC_LIMIT`` the pre-combine is chunk-local sorted
+    reduction instead, keeping per-actor memory bounded by the chunk.
     """
     n = len(src)
     zeros = (np.zeros(0, np.int64), np.zeros(0, np.int64))
@@ -89,9 +112,10 @@ def _membership_increments(
     take_src = du <= dv
     expand_x = np.where(take_src, src, dst)  # side whose N⁺ is expanded
     other_y = np.where(take_src, dst, src)  # side probed for membership
-    key_parts: list[np.ndarray] = []
-    e_parts: list[np.ndarray] = []
-    w_parts: list[np.ndarray] = []
+    dense = n_ranks <= _DENSE_ACC_LIMIT
+    acc = np.zeros(n_ranks, np.int64) if dense else None
+    sparse_parts: list[tuple[np.ndarray, np.ndarray]] = []
+    n_keys = len(edge_keys)
     parts = part_of(expand_x, P)
     for p in np.unique(parts):
         sel = np.flatnonzero(parts == p)
@@ -100,33 +124,49 @@ def _membership_increments(
         hit = np.flatnonzero(found)
         if not len(hit):
             continue
-        rep, nbrs, _ = expand_neighbors(sh, rows[hit])
-        eidx = sel[hit][rep]
-        key_parts.append(
-            (other_y[eidx].astype(np.uint64) << np.uint64(32))
-            | nbrs.astype(np.uint64)
-        )
-        e_parts.append(eidx)
-        w_parts.append(nbrs)
-    if not key_parts:
+        sel = sel[hit]
+        rows = rows[hit]
+        ip = sh["indptr"]
+        ccum = np.cumsum(ip[rows + 1] - ip[rows])
+        start = 0
+        while start < len(rows):
+            base = int(ccum[start - 1]) if start else 0
+            end = int(np.searchsorted(ccum, base + _PROBE_CHUNK, side="right"))
+            end = min(max(end, start + 1), len(rows))
+            rep, nbrs, _ = expand_neighbors(sh, rows[start:end])
+            if not len(rep) or not n_keys:
+                start = end
+                continue
+            e_sel = sel[start:end][rep]
+            key = (
+                other_y[e_sel].astype(np.uint64) << np.uint64(32)
+            ) | nbrs.astype(np.uint64)
+            pos = np.searchsorted(edge_keys, key)
+            ok = (pos < n_keys) & (edge_keys[np.minimum(pos, n_keys - 1)] == key)
+            hits = np.flatnonzero(ok)
+            start = end
+            if not len(hits):
+                continue
+            e_hit = e_sel[hits]
+            credit = np.concatenate([src[e_hit], dst[e_hit], nbrs[hits]])
+            if dense:
+                acc += np.bincount(credit, minlength=n_ranks)
+            else:
+                uniq, sums, _ = segment_sum(
+                    credit, np.ones(len(credit), np.int64)
+                )
+                sparse_parts.append((uniq, sums))
+    if dense:
+        nz = np.flatnonzero(acc)
+        if not len(nz):
+            return zeros
+        return nz, acc[nz]
+    if not sparse_parts:
         return zeros
-    key = np.concatenate(key_parts)
-    eidx = np.concatenate(e_parts)
-    nbrs = np.concatenate(w_parts)
-    if len(edge_keys):
-        pos = np.searchsorted(edge_keys, key)
-        ok = (pos < len(edge_keys)) & (
-            edge_keys[np.minimum(pos, len(edge_keys) - 1)] == key
-        )
-    else:
-        ok = np.zeros(len(key), bool)
-    w_vals = nbrs[ok]
-    cnt = np.bincount(eidx[ok], minlength=n).astype(np.int64)
-    vid_out = np.concatenate([np.repeat(src, cnt), np.repeat(dst, cnt), w_vals])
-    if not len(vid_out):
-        return zeros
-    # local pre-combine before the groupby shuffle
-    uniq, sums, _ = segment_sum(vid_out, np.ones(len(vid_out), np.int64))
+    uniq, sums, _ = segment_sum(
+        np.concatenate([u for u, _ in sparse_parts]),
+        np.concatenate([s for _, s in sparse_parts]),
+    )
     return uniq, sums
 
 
@@ -151,9 +191,10 @@ class _TriangleStage:
     sorted edge-key array (both fetched zero-copy from plasma, once per
     actor) and runs the membership kernel over each edge batch."""
 
-    def __init__(self, shard_refs, num_parts, keys_ref):
+    def __init__(self, shard_refs, num_parts, keys_ref, n_ranks):
         self.refs = shard_refs
         self.P = num_parts
+        self.n_ranks = int(n_ranks)
         self.cache: dict[int, dict] = {}
         self._edge_keys: np.ndarray = ray.get(keys_ref)
 
@@ -168,7 +209,7 @@ class _TriangleStage:
         src = np_col(batch, "src")
         dst = np_col(batch, "dst")
         vid, tri = _membership_increments(
-            src, dst, self._shard, self.P, self._edge_keys
+            src, dst, self._shard, self.P, self._edge_keys, self.n_ranks
         )
         return pa.table(
             {"vid": pa.array(vid, pa.int64()), "tri": pa.array(tri, pa.int64())}
@@ -387,7 +428,7 @@ def triangle_counts(
         keys_ref = _packed_edge_keys.remote(*g_fwd.shard_refs)
         incr = probe.map_batches(
             _TriangleStage,
-            fn_constructor_args=(g_fwd.shard_refs, num_parts, keys_ref),
+            fn_constructor_args=(g_fwd.shard_refs, num_parts, keys_ref, n_v),
             batch_format="pyarrow",
             batch_size=None,
             zero_copy_batch=True,
