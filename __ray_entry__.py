@@ -608,6 +608,51 @@ def _q_quantity_quantiles(sf_dir: str):
     )
 
 
+ROLL_K = 3
+
+
+def _q_rolling_value(sf_dir: str):
+    """Per-user sliding 3-row window (SQL ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW) over event value-cents — one user-bucketed shuffle,
+    prefix-sum kernel (windows.rolling_window_agg); integer cents keep
+    the sum bit-exact vs the SQL window oracle."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.windows import rolling_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("__cents__", c)
+
+    return rolling_window_agg(ev.map_batches(_cents, batch_format="pyarrow"),
+                              k=ROLL_K)
+
+
+def _q_last_order_asof(sf_dir: str):
+    """Backward as-of join (ops.asof_join): every event picks the same
+    user's most recent order at-or-before the event time, ties on
+    o_orderdate broken by max o_orderkey; NULL when no prior order."""
+    import ray.data as rd
+
+    from essentials_rd.ops import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    return asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        left_carry=["event_id"], right_vals=["o_orderkey"],
+        out_names={"o_orderkey": "last_orderkey"},
+    )
+
+
 def _q_token_counts(sf_dir: str):
     """Whitespace + BPE-ish regex token counts per document (the same
     RE2-compatible pattern runs in DuckDB's regexp_extract_all)."""
@@ -850,6 +895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantity_quantiles": _q_quantity_quantiles,
         "token_counts": _q_token_counts,
+        "rolling_value_sum": _q_rolling_value,
+        "last_order_asof": _q_last_order_asof,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
         "orders_per_nation": _q_orders_per_nation,
@@ -1564,6 +1611,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
             "AS n_re_tokens FROM documents"
+        ),
+        "rolling_value_sum": (
+            "SELECT event_id, "
+            "CAST(sum(cents) OVER w AS BIGINT) AS roll_sum, "
+            "CAST(count(*) OVER w AS BIGINT) AS roll_n "
+            "FROM (SELECT event_id, user_id, ts, "
+            "  CAST(floor(value * 100) AS BIGINT) AS cents FROM events) "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            f"ROWS BETWEEN {ROLL_K - 1} PRECEDING AND CURRENT ROW)"
+        ),
+        "last_order_asof": (
+            "SELECT e.event_id, "
+            "(SELECT r.o_orderkey FROM orders r "
+            " WHERE r.o_custkey = e.user_id AND r.o_orderdate <= e.ts "
+            " ORDER BY r.o_orderdate DESC, r.o_orderkey DESC LIMIT 1) "
+            "AS last_orderkey "
+            "FROM events e"
         ),
         "user_sessions": (
             "WITH o AS MATERIALIZED ("

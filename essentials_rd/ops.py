@@ -514,6 +514,140 @@ def join(
     return tagged.groupby("__bucket__").map_groups(_join_bucket, batch_format="pyarrow")
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_carry: list[str],
+    right_vals: list[str],
+    out_names: dict[str, str] | None = None,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Backward as-of join — a custom operator the Dataset API lacks
+    (SURVEY.md §2.4): for every left row, attach the right row with the
+    same key and the greatest ``(ts, *right_vals)`` such that
+    ``right.ts <= left.ts`` (NULL vals when no such row).  The
+    lexicographic tie-break over the value columns makes the pick
+    deterministic when several right rows share the boundary timestamp.
+
+    Shape: ONE co-shuffle — both sides stamped with
+    ``bucket = hash64(key) % B`` and exchanged in a single
+    ``groupby("__bucket__")``; each bucket resolves its complete key
+    set with a vectorized two-level searchsorted (sort right by
+    (key, ts, vals) once, rank-compose (key_rank, ts_rank) into one
+    monotone int64, probe with side="right" − 1).  No driver
+    materialization; per-bucket memory is the bucket, not the table.
+
+    Keys and value/tie-break columns must be integer; timestamp
+    columns may be Arrow timestamps (cast to epoch µs internally).
+    """
+    import ray.data as rd  # noqa: F811 (runtime import mirror)
+
+    out_names = out_names or {}
+
+    def _ts_np(batch: pa.Table, col: str) -> np.ndarray:
+        c = batch.column(col).combine_chunks()
+        if pa.types.is_timestamp(c.type):
+            c = c.cast(pa.timestamp("us"))
+        return c.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    carry_fields = [
+        pa.field(c, pa.int64()) for c in left_carry
+    ]  # int64 carries keep the union schema simple and null-paddable
+    val_fields = [pa.field(v, pa.int64()) for v in right_vals]
+    union_schema = pa.schema(
+        [
+            pa.field("__k__", pa.int64()),
+            pa.field("__t__", pa.int64()),
+            pa.field("__side__", pa.int8()),
+        ]
+        + carry_fields
+        + val_fields
+        + [pa.field("__bucket__", pa.int32())]
+    )
+
+    def _tag(side: int, key: str, ts: str, cols: list[str]):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            k = np_col(batch, key).astype(np.int64)
+            arrs = [
+                pa.array(k, pa.int64()),
+                pa.array(_ts_np(batch, ts), pa.int64()),
+                pa.array(np.full(n, side, np.int8), pa.int8()),
+            ]
+            for f in carry_fields + val_fields:
+                if f.name in cols:
+                    arrs.append(batch.column(f.name).cast(pa.int64()))
+                else:
+                    arrs.append(pa.nulls(n, pa.int64()))
+            arrs.append(
+                pa.array(
+                    (hash64(k) % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                )
+            )
+            return pa.Table.from_arrays(arrs, schema=union_schema)
+
+        return _fn
+
+    tagged = left.map_batches(
+        _tag(0, left_key, left_ts, left_carry), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            _tag(1, right_key, right_ts, right_vals), batch_format="pyarrow"
+        )
+    )
+
+    def _resolve(grp: pa.Table) -> pa.Table:
+        side = np_col(grp, "__side__")
+        lt = grp.filter(pa.array(side == 0))
+        rt = grp.filter(pa.array(side == 1))
+        out_fields = [(out_names.get(c, c), c) for c in left_carry]
+        val_out = [(out_names.get(v, v), v) for v in right_vals]
+        if lt.num_rows == 0:
+            return pa.table(
+                {o: pa.array([], pa.int64()) for o, _ in out_fields + val_out}
+            )
+        lk = np_col(lt, "__k__")
+        ltv = np_col(lt, "__t__")
+        cols = {o: lt.column(c) for o, c in out_fields}
+        if rt.num_rows == 0:
+            for o, _ in val_out:
+                cols[o] = pa.nulls(lt.num_rows, pa.int64())
+            return pa.table(cols)
+        rk = np_col(rt, "__k__")
+        rtv = np_col(rt, "__t__")
+        rvals = [np_col(rt, v) for v in right_vals]
+        order = np.lexsort(tuple(reversed(rvals)) + (rtv, rk))
+        rk, rtv = rk[order], rtv[order]
+        rvals = [v[order] for v in rvals]
+        # rank-compose (key, ts) into one monotone int64 per side
+        uk, ustart = np.unique(rk, return_index=True)
+        kr_r = np.searchsorted(uk, rk)
+        ts_vals = np.unique(np.concatenate([rtv, ltv]))
+        u = np.int64(len(ts_vals) + 1)
+        comp_r = kr_r * u + np.searchsorted(ts_vals, rtv)
+        kr_l = np.searchsorted(uk, np.clip(lk, uk[0], uk[-1])) if len(uk) else np.zeros(len(lk), np.int64)
+        key_hit = (uk[np.minimum(kr_l, len(uk) - 1)] == lk) if len(uk) else np.zeros(len(lk), bool)
+        comp_l = kr_l * u + np.searchsorted(ts_vals, ltv)
+        idx = np.searchsorted(comp_r, comp_l, side="right") - 1
+        ok = key_hit & (idx >= 0)
+        safe = np.maximum(idx, 0)
+        ok &= comp_r[safe] // u == kr_l  # matched row is in the left key's segment
+        for (o, _), rv in zip(val_out, rvals):
+            vals = rv[safe]
+            cols[o] = pa.array(vals, pa.int64(), mask=~ok)
+        return pa.table(cols)
+
+    return tagged.groupby("__bucket__").map_groups(
+        _resolve, batch_format="pyarrow"
+    )
+
+
 def run_batch(jobs: dict[str, Callable[[], object]], max_workers: int | None = None) -> dict:
     """Run several independent problem instances CONCURRENTLY against
     one Ray cluster — the reference's ``batch`` operator

@@ -260,3 +260,76 @@ def sessionize(
         _sessions,
         num_buckets=num_buckets,
     )
+
+
+def rolling_window_agg(
+    events: rd.Dataset,
+    k: int = 3,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    val_col: str = "__cents__",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key sliding-window aggregate over the last ``k`` rows —
+    SQL ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` semantics,
+    partitioned by ``user_col`` and ordered by ``(ts, id)`` (a total
+    order because ids are unique): per event, the sum and count of
+    ``val_col`` over the window.  ``val_col`` must be int64 so the
+    result is bit-exact against a SQL window-function oracle.
+
+    Shape: same single user-bucketed shuffle as ``sessionize`` — each
+    user's full stream lands in one bucket, and the per-bucket kernel
+    is ONE lexsort + prefix-sum differences with per-user clamps (no
+    per-row loop, linear in the bucket).
+    """
+    kk = np.int64(k)
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: batch.column(user_col).cast(pa.int64()),
+                "__ts__": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                val_col: batch.column(val_col).cast(pa.int64()),
+            }
+        )
+
+    def _roll(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "roll_sum": pa.array([], pa.int64()),
+                    "roll_n": pa.array([], pa.int64()),
+                }
+            )
+        u = np_col(grp, user_col)
+        t = np_col(grp, "__ts__")
+        e = np_col(grp, id_col)
+        v = np_col(grp, val_col)
+        order = np.lexsort((e, t, u))
+        u, e, v = u[order], e[order], v[order]
+        n = len(u)
+        # per-row index of its user-segment start, then clamp the
+        # k-row lookback at that boundary
+        seg_starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        row_start = seg_starts[np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1]
+        i = np.arange(n, dtype=np.int64)
+        win_start = np.maximum(row_start, i - kk + 1)
+        prefix = np.r_[np.int64(0), np.cumsum(v)]
+        return pa.table(
+            {
+                id_col: pa.array(e, pa.int64()),
+                "roll_sum": pa.array(prefix[i + 1] - prefix[win_start], pa.int64()),
+                "roll_n": pa.array(i + 1 - win_start, pa.int64()),
+            }
+        )
+
+    projected = events.map_batches(_project, batch_format="pyarrow")
+    return hash_bucket_agg(
+        projected,
+        lambda b: np_col(b, user_col).astype(np.int64),
+        _roll,
+        num_buckets=num_buckets,
+    )

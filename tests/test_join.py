@@ -89,3 +89,101 @@ def test_join_auto_broadcast_threshold():
     ).to_pandas()
     want = ldf.merge(rdf, on="k", suffixes=("", "_r"))
     pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def _asof_ref(left, right):
+    """Row-by-row reference: latest (ts, val) right row per left row."""
+    import pandas as pd
+
+    ldf, rdf = left.to_pandas(), right.to_pandas()
+    out = []
+    for _, e in ldf.iterrows():
+        cand = rdf[(rdf["k"] == e["k"]) & (rdf["t"] <= e["t"])]
+        if len(cand):
+            best = cand.sort_values(["t", "v"]).iloc[-1]["v"]
+        else:
+            best = None
+        out.append((e["lid"], best))
+    return (
+        pd.DataFrame(out, columns=["lid", "v_out"])
+        .astype({"lid": "int64", "v_out": "Int64"})
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+
+def test_asof_join_matches_reference_and_bucket_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import asof_join
+
+    rng = np.random.default_rng(11)
+    nl, nr = 500, 200
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 20, nl), pa.int64()),
+            "t": pa.array(rng.integers(0, 1000, nl), pa.int64()),
+            "lid": pa.array(np.arange(nl), pa.int64()),
+        }
+    )
+    # force timestamp ties on the right so the value tie-break matters
+    right = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 25, nr), pa.int64()),
+            "t": pa.array(rng.integers(0, 1000, nr) // 50 * 50, pa.int64()),
+            "v": pa.array(rng.permutation(nr).astype("int64"), pa.int64()),
+        }
+    )
+    want = _asof_ref(left, right)
+    for nb in (1, 13):
+        got = (
+            asof_join(
+                rd.from_arrow(left), rd.from_arrow(right),
+                left_key="k", right_key="k", left_ts="t", right_ts="t",
+                left_carry=["lid"], right_vals=["v"],
+                out_names={"v": "v_out"}, num_buckets=nb,
+            )
+            .to_pandas()
+            .astype({"lid": "int64", "v_out": "Int64"})
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), f"num_buckets={nb}"
+
+
+def test_asof_join_empty_right_and_missing_keys():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import asof_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "t": pa.array([10, 20, 30], pa.int64()),
+            "lid": pa.array([0, 1, 2], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([2], pa.int64()),
+            "t": pa.array([25], pa.int64()),
+            "v": pa.array([7], pa.int64()),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_key="k", right_key="k", left_ts="t", right_ts="t",
+            left_carry=["lid"], right_vals=["v"], num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # key 2 exists but its only right row is AFTER the left ts -> null;
+    # keys 1 and 3 have no right rows at all -> null
+    assert got["v"].isna().all()

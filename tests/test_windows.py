@@ -146,3 +146,74 @@ def test_hopping_window_covers_each_event_k_times():
     got = {(r["window"], r["event_type"]):
            [r["n_events"], r["min_id"], r["max_id"]] for r in out}
     assert got == {k: list(map(int, v)) for k, v in ref.items()}
+
+
+def _mk_events(n_users=7, n_events=400, seed=3):
+    rng = np.random.default_rng(seed)
+    ts = pa.array(
+        (1_700_000_000_000_000 + rng.integers(0, 10**9, n_events)).astype("int64"),
+        pa.int64(),
+    ).cast(pa.timestamp("us"))
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n_events), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
+            "__cents__": pa.array(rng.integers(-50, 500, n_events), pa.int64()),
+        }
+    )
+
+
+def _roll_ref(tbl, k):
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    g = df.groupby("user_id", sort=False)["__cents__"]
+    df["roll_sum"] = g.rolling(k, min_periods=1).sum().reset_index(level=0, drop=True)
+    df["roll_n"] = g.rolling(k, min_periods=1).count().reset_index(level=0, drop=True)
+    return (
+        df[["event_id", "roll_sum", "roll_n"]]
+        .astype("int64")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_rolling_window_matches_pandas_and_bucket_invariant():
+    from essentials_rd.windows import rolling_window_agg
+
+    tbl = _mk_events()
+    # duplicate one (user, ts) pair to exercise the id tie-break
+    want = _roll_ref(tbl, 3)
+    prev = None
+    for nb in (1, 16):
+        got = (
+            rolling_window_agg(rd.from_arrow(tbl), k=3, num_buckets=nb)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), f"num_buckets={nb}"
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+
+
+def test_rolling_window_short_segments():
+    from essentials_rd.windows import rolling_window_agg
+
+    # single-event users: window is just the row itself
+    tbl = pa.table(
+        {
+            "event_id": pa.array([10, 11, 12], pa.int64()),
+            "ts": pa.array([1, 2, 3], pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([100, 200, 300], pa.int64()),
+            "__cents__": pa.array([5, -7, 9], pa.int64()),
+        }
+    )
+    got = (
+        rolling_window_agg(rd.from_arrow(tbl), k=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["roll_sum"].tolist() == [5, -7, 9]
+    assert got["roll_n"].tolist() == [1, 1, 1]
