@@ -250,27 +250,98 @@ def shared_key_edges(
     pairs, so one pathological key (a README in every repo) would
     dominate the whole shuffle (SURVEY.md §4.3 "cap + log").
 
-    Dataflow: (key, repo, sha) → int64 (key_hash, repo_vid) inside
-    map_batches → distinct + per-key counts on int keys → broadcast the
-    (small) shareable-hash set → pair expansion ``groupby(key_hash).
-    map_groups`` over shareable keys only, sub-grouped by the actual key
-    string so hash collisions cannot merge two keys' pair sets.
+    Dataflow (two passes, semi-join prune): **pass A** ships only
+    (khash:int64, rvid:int64) through an int-only bucketed count and
+    broadcasts the sorted khash set seen with ≥ 2 distinct repos —
+    a conservative superset of every truly-shared key (equal strings
+    always hash equal; collisions only add false candidates, never
+    drop true ones).  **Pass B** re-scans the keys, keeps candidate
+    rows only, and ships (khash, key, rvid, sha256) into the pair
+    expansion, sub-grouped by the actual key string so hash collisions
+    cannot merge two keys' pair sets.  Unshared keys — the vast
+    majority of a real corpus — never move their path/sha strings at
+    all.  Caveat: the candidate array is driver/broadcast-resident
+    (8 B × #shared keys), the same budget class as the repo-name map.
 
     Output: (src:int64, dst:int64, weight=1.0, reason, sha256 = min of
     the pair's two per-repo min-hashes), canonical src < dst.
+    ``cap`` must be ≥ 1 (a single-repo key can never be heavy, so
+    pass A's ≥2-repo filter cannot undercount heavies).
     """
 
     from .ops import hash_bucket_agg
+    from .util import np_col
 
-    def _to_int(batch: pa.Table) -> pa.Table:
+    assert cap >= 1
+
+    # ---- pass A: int-only candidate discovery
+    def _pairs_int(batch: pa.Table) -> pa.Table:
+        kh = _str_hash(batch.column("key"))
+        rv = repo_lookup(names_ref, batch.column("repo"))
+        order = np.lexsort((rv, kh))
+        kh, rv = kh[order], rv[order]
+        first = (
+            np.r_[True, (kh[1:] != kh[:-1]) | (rv[1:] != rv[:-1])]
+            if len(kh)
+            else np.zeros(0, bool)
+        )
         return pa.table(
             {
-                "khash": pa.array(_str_hash(batch.column("key")), pa.int64()),
-                "key": batch.column("key"),
+                "khash": pa.array(kh[first], pa.int64()),
+                "rvid": pa.array(rv[first], pa.int64()),
+            }
+        )
+
+    def _count_bucket(grp: pa.Table) -> pa.Table:
+        kh = np_col(grp, "khash")
+        rv = np_col(grp, "rvid")
+        order = np.lexsort((rv, kh))
+        kh, rv = kh[order], rv[order]
+        first = (
+            np.r_[True, (kh[1:] != kh[:-1]) | (rv[1:] != rv[:-1])]
+            if len(kh)
+            else np.zeros(0, bool)
+        )
+        kh = kh[first]
+        kfirst = np.r_[True, kh[1:] != kh[:-1]] if len(kh) else np.zeros(0, bool)
+        starts = np.flatnonzero(kfirst)
+        cnt = np.diff(np.r_[starts, len(kh)])
+        shared = starts[cnt >= 2]
+        return pa.table({"khash": pa.array(kh[shared], pa.int64())})
+
+    cand_blocks = ray.get(
+        hash_bucket_agg(
+            keys.map_batches(_pairs_int, batch_format="pyarrow"),
+            lambda b: np_col(b, "khash"),
+            _count_bucket,
+        ).to_arrow_refs()
+    )
+    cand_parts = [np_col(t, "khash") for t in cand_blocks if t.num_rows]
+    cand = (
+        np.sort(np.concatenate(cand_parts))
+        if cand_parts
+        else np.zeros(0, np.int64)
+    )
+    if not len(cand):
+        return rd.from_arrow(_empty_pairs()), 0
+    cand_ref = ray.put(cand)
+
+    # ---- pass B: ship strings for candidate keys only
+    def _to_int(batch: pa.Table) -> pa.Table:
+        kh = _str_hash(batch.column("key"))
+        c = ray.get(cand_ref)
+        pos = np.searchsorted(c, kh)
+        keep = (pos < len(c)) & (c[np.minimum(pos, len(c) - 1)] == kh)
+        t = batch.filter(pa.array(keep))
+        kh = kh[keep]
+        return pa.table(
+            {
+                "khash": pa.array(kh, pa.int64()),
+                "key": t.column("key"),
                 "rvid": pa.array(
-                    repo_lookup(names_ref, batch.column("repo")), pa.int64()
+                    repo_lookup(names_ref, t.column("repo")), pa.int64()
                 ),
-                "sha256": batch.column("sha256"),
+                "sha256": t.column("sha256"),
             }
         )
 
