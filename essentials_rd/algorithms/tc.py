@@ -38,6 +38,8 @@ from __future__ import annotations
 
 import os
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -186,34 +188,56 @@ def _packed_edge_keys(*shards) -> np.ndarray:
     return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
 
 
-class _TriangleStage:
-    """Actor-pool callable: holds oriented-N⁺ CSR shards and the packed
-    sorted edge-key array (both fetched zero-copy from plasma, once per
-    actor) and runs the membership kernel over each edge batch."""
+def _probe_batch(shard_refs, num_parts, keys_ref, n_ranks, batch: pa.Table) -> pa.Table:
+    """Task-mode probe kernel: plain ``map_batches`` tasks on the
+    long-lived worker pool, with shards and the packed key array
+    fetched zero-copy from plasma ONCE per worker process via the
+    engine's per-worker cache (`superstep._cached_shard`) — replacing
+    the former actor-pool stage whose per-execution actor spawn cost
+    more than the probe compute itself."""
+    from ..superstep import _cached_shard
 
-    def __init__(self, shard_refs, num_parts, keys_ref, n_ranks):
-        self.refs = shard_refs
-        self.P = num_parts
-        self.n_ranks = int(n_ranks)
-        self.cache: dict[int, dict] = {}
-        self._edge_keys: np.ndarray = ray.get(keys_ref)
+    keys = _cached_shard(keys_ref)
+    vid, tri = _membership_increments(
+        np_col(batch, "src"),
+        np_col(batch, "dst"),
+        lambda p: _cached_shard(shard_refs[p]),
+        num_parts,
+        keys,
+        n_ranks,
+    )
+    return pa.table(
+        {"vid": pa.array(vid, pa.int64()), "tri": pa.array(tri, pa.int64())}
+    )
 
-    def _shard(self, p: int) -> dict:
-        s = self.cache.get(p)
-        if s is None:
-            s = ray.get(self.refs[p])
-            self.cache[p] = s
-        return s
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        src = np_col(batch, "src")
-        dst = np_col(batch, "dst")
-        vid, tri = _membership_increments(
-            src, dst, self._shard, self.P, self._edge_keys, self.n_ranks
-        )
-        return pa.table(
-            {"vid": pa.array(vid, pa.int64()), "tri": pa.array(tri, pa.int64())}
-        )
+#: Above this rank-universe size the dense final combine (an 8-ary
+#: tree of length-|V| int64 accumulators + one driver-built table)
+#: would cost too much memory per task; fall back to the bucketed
+#: shuffle combine.
+_DENSE_FINAL_LIMIT = 1 << 24
+
+
+@ray.remote
+def _dense_block_sum(n_ranks: int, *tables) -> np.ndarray:
+    acc = np.zeros(n_ranks, np.int64)
+    for t in tables:
+        # 0-row blocks pass through map_batches without the UDF and
+        # arrive schema-less — skip them
+        if t.num_rows == 0 or "vid" not in t.schema.names:
+            continue
+        # each probe-block output has unique vids (bincount nonzeros),
+        # so fancy-index add is exact
+        acc[np_col(t, "vid")] += np_col(t, "tri")
+    return acc
+
+
+@ray.remote
+def _dense_arr_sum(*arrs) -> np.ndarray:
+    acc = arrs[0].copy()
+    for a in arrs[1:]:
+        acc += a
+    return acc
 
 
 def _pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -418,8 +442,8 @@ def triangle_counts(
         )
         # probe stream = the materialized prepped blocks (no parquet
         # round-trip); probe parallelism is block count (batch_size=None
-        # → one batch per block): split past num_parts so every actor
-        # in the pool stays busy
+        # → one batch per block): split past num_parts so every worker
+        # stays busy
         mat = g_fwd.edges_ds
         want_blocks = max(num_parts, n_actors)
         probe = mat.select_columns(["src", "dst"])
@@ -427,15 +451,39 @@ def triangle_counts(
             probe = probe.repartition(want_blocks)
         keys_ref = _packed_edge_keys.remote(*g_fwd.shard_refs)
         incr = probe.map_batches(
-            _TriangleStage,
-            fn_constructor_args=(g_fwd.shard_refs, num_parts, keys_ref, n_v),
+            functools.partial(
+                _probe_batch, g_fwd.shard_refs, num_parts, keys_ref, n_v
+            ),
             batch_format="pyarrow",
             batch_size=None,
             zero_copy_batch=True,
-            concurrency=(1, n_actors),
-            num_cpus=1,
-            max_restarts=0,
         )
+    if method == "intersect" and n_v <= _DENSE_FINAL_LIMIT:
+        # dense final combine: per-block (vid, tri) partials (ids are
+        # dense ranks) tree-reduce into ONE length-|V| accumulator —
+        # no shuffle, zeros included by construction; the driver-built
+        # result is the same O(|V|) budget as the rank map itself
+        blocks = incr.to_arrow_refs()
+        refs = [
+            _dense_block_sum.remote(n_v, *blocks[i : i + 8])
+            for i in range(0, max(len(blocks), 1), 8)
+        ]
+        while len(refs) > 8:
+            refs = [
+                _dense_arr_sum.remote(*refs[i : i + 8])
+                for i in range(0, len(refs), 8)
+            ]
+        acc = np.sum(ray.get(refs), axis=0) if len(refs) > 1 else ray.get(refs[0])
+        per_vertex = rd.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array(vid_of_rank, pa.int64()),
+                    "triangles": pa.array(acc, pa.int64()),
+                }
+            )
+        )
+        return int(acc.sum() // 3), per_vertex
+
     # ONE bucketed shuffle sums the per-batch partials AND fills the
     # universe with zeros (unioned in rank space), then ranks map back
     # to real vertex ids (bijective, ≤ |V| rows touched)
