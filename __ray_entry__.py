@@ -653,6 +653,33 @@ def _q_last_order_asof(sf_dir: str):
     )
 
 
+def _q_parts_per_order(sf_dir: str):
+    """Exact count(DISTINCT l_partkey) per order (ops.
+    grouped_distinct_count): only distinct pairs move through the one
+    key-bucketed shuffle."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_distinct_count
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    return grouped_distinct_count(li, "l_orderkey", "l_partkey",
+                                  out_col="n_parts")
+
+
+def _q_lang_char_quantiles(sf_dir: str):
+    """Exact per-language discrete quantiles of document length
+    (ops.grouped_quantiles, quantile_disc semantics) — the histogram
+    moves, the rows don't."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    return grouped_quantiles(docs, "lang", "n_chars", QUANTILES)
+
+
 def _q_token_counts(sf_dir: str):
     """Whitespace + BPE-ish regex token counts per document (the same
     RE2-compatible pattern runs in DuckDB's regexp_extract_all)."""
@@ -897,6 +924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "rolling_value_sum": _q_rolling_value,
         "last_order_asof": _q_last_order_asof,
+        "parts_per_order": _q_parts_per_order,
+        "lang_char_quantiles": _q_lang_char_quantiles,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
         "orders_per_nation": _q_orders_per_nation,
@@ -1611,6 +1640,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
             "AS n_re_tokens FROM documents"
+        ),
+        "parts_per_order": (
+            "SELECT l_orderkey, "
+            "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "lang_char_quantiles": " UNION ALL ".join(
+            f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+            f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value "
+            "FROM documents GROUP BY lang"
+            for q in QUANTILES
         ),
         "rolling_value_sum": (
             "SELECT event_id, "

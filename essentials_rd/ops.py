@@ -328,6 +328,162 @@ def exact_quantiles(
     return out
 
 
+def grouped_distinct_count(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    out_col: str = "n_distinct",
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Exact ``count(DISTINCT val) GROUP BY key`` for int64 key/value:
+    per-batch pair distinct (lexsort + run boundaries), one bucketed
+    shuffle on the key, per-bucket distinct again + run counts.  Only
+    distinct pairs ever move — the shuffle is bounded by the pair
+    cardinality, not the row count."""
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        k = np_col(batch, key_col)
+        v = np_col(batch, val_col)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        first = (
+            np.r_[True, (k[1:] != k[:-1]) | (v[1:] != v[:-1])]
+            if len(k)
+            else np.zeros(0, bool)
+        )
+        return pa.table(
+            {key_col: pa.array(k[first], pa.int64()),
+             val_col: pa.array(v[first], pa.int64())}
+        )
+
+    def _count(grp: pa.Table) -> pa.Table:
+        d = _distinct(grp)
+        k = np_col(d, key_col)
+        kfirst = np.r_[True, k[1:] != k[:-1]] if len(k) else np.zeros(0, bool)
+        starts = np.flatnonzero(kfirst)
+        return pa.table(
+            {
+                key_col: pa.array(k[starts], pa.int64()),
+                out_col: pa.array(
+                    np.diff(np.r_[starts, len(k)]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return hash_bucket_agg(
+        ds.map_batches(_distinct, batch_format="pyarrow"),
+        lambda b: np_col(b, key_col),
+        _count,
+        num_buckets=num_buckets,
+    )
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    qs: list[float],
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """EXACT per-group discrete quantiles (DuckDB ``quantile_disc``
+    semantics) of an int64 value column, grouped by a string or int
+    key: per-batch (key, value) histogram pre-combine, one bucketed
+    shuffle on the key, then a per-bucket cumulative-count kernel that
+    picks the rank ``ceil(q·n)−1`` row of each key's segment with one
+    global searchsorted (the cumsum is strictly increasing across
+    segments).  Rows never move — only (key, value, count) histogram
+    entries.  Output: (key, q:double, value:int64)."""
+
+    def _kcodes(col: pa.ChunkedArray):
+        codes, uq = pd.factorize(col.combine_chunks().to_pandas(), sort=True)
+        return codes.astype(np.int64), uq
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = np_col(batch, val_col).astype(np.int64)
+        kc, uq = _kcodes(batch.column(key_col))
+        order = np.lexsort((v, kc))
+        kc, v = kc[order], v[order]
+        first = (
+            np.r_[True, (kc[1:] != kc[:-1]) | (v[1:] != v[:-1])]
+            if len(kc)
+            else np.zeros(0, bool)
+        )
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(kc)]).astype(np.int64)
+        key_arr = pa.array(np.asarray(uq, object)[kc[starts]].tolist(),
+                           batch.schema.field(key_col).type) \
+            if not pa.types.is_integer(batch.schema.field(key_col).type) \
+            else pa.array(np.asarray(uq)[kc[starts]].astype(np.int64), pa.int64())
+        return pa.table(
+            {
+                key_col: key_arr,
+                "value": pa.array(v[starts], pa.int64()),
+                "count": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def _quantile_bucket(grp: pa.Table) -> pa.Table:
+        key_t = grp.schema.field(key_col).type
+        if grp.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], key_t),
+                    "q": pa.array([], pa.float64()),
+                    "value": pa.array([], pa.int64()),
+                }
+            )
+        kc, uq = _kcodes(grp.column(key_col))
+        v = np_col(grp, "value")
+        c = np_col(grp, "count")
+        order = np.lexsort((v, kc))
+        kc, v, c = kc[order], v[order], c[order]
+        # merge duplicate (key, value) histogram entries
+        first = np.r_[True, (kc[1:] != kc[:-1]) | (v[1:] != v[:-1])]
+        starts = np.flatnonzero(first)
+        kc, v = kc[starts], v[starts]
+        c = np.add.reduceat(c, starts)
+        cum = np.cumsum(c)
+        seg_first = np.r_[True, kc[1:] != kc[:-1]]
+        seg_starts = np.flatnonzero(seg_first)
+        base = np.r_[np.int64(0), cum][seg_starts]
+        seg_ends = np.r_[seg_starts[1:], len(kc)] - 1
+        n_k = cum[seg_ends] - base
+        out_k, out_q, out_v = [], [], []
+        for q in qs:
+            tgt = np.clip(np.ceil(q * n_k).astype(np.int64) - 1, 0, n_k - 1)
+            pos = np.searchsorted(cum, base + tgt + 1)
+            out_k.append(kc[seg_starts])
+            out_q.append(np.full(len(seg_starts), q))
+            out_v.append(v[pos])
+        kcat = np.concatenate(out_k)
+        if pa.types.is_integer(key_t):
+            key_arr = pa.array(np.asarray(uq)[kcat].astype(np.int64), key_t)
+        else:
+            key_arr = pa.array(np.asarray(uq, object)[kcat].tolist(), key_t)
+        return pa.table(
+            {
+                key_col: key_arr,
+                "q": pa.array(np.concatenate(out_q), pa.float64()),
+                "value": pa.array(np.concatenate(out_v), pa.int64()),
+            }
+        )
+
+    def _bucket_key(b: pa.Table) -> np.ndarray:
+        col = b.column(key_col)
+        if pa.types.is_integer(col.type):
+            return np_col(b, key_col)
+        from .derive import _str_hash
+
+        return _str_hash(col)
+
+    return hash_bucket_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        _bucket_key,
+        _quantile_bucket,
+        num_buckets=num_buckets,
+    )
+
+
 def deterministic_sample(
     ds: rd.Dataset,
     frac: float,

@@ -182,3 +182,62 @@ def test_exact_quantiles_match_duckdb_rule():
         f"SELECT CAST(quantile_disc(x, {q}) AS BIGINT) FROM t").fetchone()[0]
         for q in qs]
     assert got == want
+
+
+def test_grouped_distinct_count_matches_pandas():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_distinct_count
+
+    rng = np.random.default_rng(5)
+    k = rng.integers(0, 50, 5000).astype("int64")
+    v = rng.integers(0, 30, 5000).astype("int64")
+    tbl = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    want = (
+        tbl.to_pandas().groupby("k")["v"].nunique().rename("n").reset_index()
+        .sort_values("k").reset_index(drop=True)
+    )
+    for nb in (1, 16):
+        got = (
+            grouped_distinct_count(
+                rd.from_arrow(tbl), "k", "v", out_col="n", num_buckets=nb
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert got["k"].tolist() == want["k"].tolist()
+        assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_grouped_quantiles_matches_duckdb_semantics():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_quantiles
+
+    rng = np.random.default_rng(9)
+    lang = np.array(["aa", "bb", "cc"], object)[rng.integers(0, 3, 2000)]
+    v = rng.integers(0, 500, 2000).astype("int64")
+    tbl = pa.table({"lang": pa.array(lang.tolist(), pa.string()),
+                    "n": pa.array(v)})
+    qs = [0.25, 0.5, 0.9]
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        " UNION ALL ".join(
+            f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+            f"CAST(quantile_disc(n, {q}) AS BIGINT) AS value FROM t GROUP BY lang"
+            for q in qs
+        )
+        + " ORDER BY lang, q"
+    ).df().reset_index(drop=True)
+    for nb in (1, 8):
+        got = (
+            grouped_quantiles(rd.from_arrow(tbl), "lang", "n", qs,
+                              num_buckets=nb)
+            .to_pandas().sort_values(["lang", "q"]).reset_index(drop=True)
+        )
+        assert got.equals(want), f"num_buckets={nb}"
