@@ -653,6 +653,57 @@ def _q_last_order_asof(sf_dir: str):
     )
 
 
+SAMPLE_FRAC = 0.1
+SAMPLE_SEED = 42
+
+
+def _q_sampled_docs(sf_dir: str):
+    """Value-deterministic sampling (ops.deterministic_sample, R7):
+    keep iff splitmix64(doc_id + seed·golden) < frac·2⁶⁴ — a pure
+    function of the row, identical across runs/block layouts/cluster
+    sizes, and exactly reproducible by the SQL oracle's split-multiply
+    SplitMix64 emulation."""
+    import ray.data as rd
+
+    from essentials_rd.ops import deterministic_sample
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return deterministic_sample(
+        docs, SAMPLE_FRAC, lambda b: np_col(b, "doc_id"), seed=SAMPLE_SEED
+    )
+
+
+def _sampled_docs_sql() -> str:
+    """DuckDB twin of ops.deterministic_sample's keep rule: SplitMix64
+    finalizer in mod-2⁶⁴ HUGEINT arithmetic, 64×64 multiplies split
+    into 32-bit halves so int128 never overflows."""
+    m = "18446744073709551616"
+    threshold = int(SAMPLE_FRAC * float(2**64 - 1))
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+
+    def mulmod(za: str, c: int) -> str:
+        return (
+            f"CAST((((CAST({za} AS HUGEINT) >> 32) * {c} % 4294967296)"
+            f" * 4294967296 + (CAST({za} AS HUGEINT) % 4294967296) * {c})"
+            f" % {m} AS UBIGINT)"
+        )
+
+    return (
+        "WITH z0 AS (SELECT doc_id, n_chars, "
+        f"CAST((CAST(doc_id AS HUGEINT) + {mix} + 11400714819323198485)"
+        f" % {m} AS UBIGINT) AS z FROM documents), "
+        f"z1 AS (SELECT doc_id, n_chars, "
+        f"{mulmod('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM z0), "
+        f"z2 AS (SELECT doc_id, n_chars, "
+        f"{mulmod('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z FROM z1), "
+        "z3 AS (SELECT doc_id, n_chars, xor(z, z >> 31) AS z FROM z2) "
+        f"SELECT doc_id, n_chars FROM z3 "
+        f"WHERE z < CAST('{threshold}' AS UBIGINT)"
+    )
+
+
 def _q_parts_per_order(sf_dir: str):
     """Exact count(DISTINCT l_partkey) per order (ops.
     grouped_distinct_count): only distinct pairs move through the one
@@ -926,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_order_asof": _q_last_order_asof,
         "parts_per_order": _q_parts_per_order,
         "lang_char_quantiles": _q_lang_char_quantiles,
+        "sampled_docs": _q_sampled_docs,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
         "orders_per_nation": _q_orders_per_nation,
@@ -1641,6 +1693,7 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
             "AS n_re_tokens FROM documents"
         ),
+        "sampled_docs": _sampled_docs_sql(),
         "parts_per_order": (
             "SELECT l_orderkey, "
             "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "

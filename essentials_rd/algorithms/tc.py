@@ -340,38 +340,54 @@ def _wedge_increments(oriented: rd.Dataset, num_buckets: int) -> rd.Dataset:
     )
 
 
+@ray.remote
+def _deg_leaf(*tables) -> pa.Table:
+    parts = [
+        np.concatenate([np_col(t, "src"), np_col(t, "dst")])
+        for t in tables
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table({"vid": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    both = np.concatenate(parts)
+    uniq, sums, _ = segment_sum(both, np.ones(len(both), np.int64))
+    return pa.table(
+        {"vid": pa.array(uniq, pa.int64()), "cnt": pa.array(sums, pa.int64())}
+    )
+
+
+@ray.remote
+def _deg_merge(*tables) -> pa.Table:
+    uniq, sums, _ = segment_sum(
+        np.concatenate([np_col(t, "vid") for t in tables]),
+        np.concatenate([np_col(t, "cnt") for t in tables]),
+    )
+    return pa.table(
+        {"vid": pa.array(uniq, pa.int64()), "cnt": pa.array(sums, pa.int64())}
+    )
+
+
 def _undirected_degrees(
     edges: rd.Dataset, num_parts: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """(vid, degree) of every vertex touched by the canonical edge
-    table, via per-batch pre-combine + one bucketed aggregate — no
-    graph build, no symmetrized edge materialization."""
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        both = np.concatenate([np_col(batch, "src"), np_col(batch, "dst")])
-        uniq, sums, _ = segment_sum(both, np.ones(len(both), np.int64))
-        return pa.table(
-            {"vid": pa.array(uniq, pa.int64()), "cnt": pa.array(sums, pa.int64())}
-        )
-
-    def _combine(grp: pa.Table) -> pa.Table:
-        uniq, sums, _ = segment_sum(np_col(grp, "vid"), np_col(grp, "cnt"))
-        return pa.table(
-            {"vid": pa.array(uniq, pa.int64()), "cnt": pa.array(sums, pa.int64())}
-        )
-
-    agg = hash_bucket_agg(
-        edges.map_batches(_partial, batch_format="pyarrow"),
-        lambda b: np_col(b, "vid"),
-        _combine,
-        num_buckets=num_parts,
-    )
+    table, via a tree of per-block pre-combine tasks (sorted (vid,cnt)
+    partials, 8-ary segment-sum merges) — no shuffle, no graph build,
+    no symmetrized edge materialization.  Each merge output is ≤ |V|
+    rows, the same driver budget the rank array needs anyway."""
+    blocks = edges.to_arrow_refs()
+    refs = [
+        _deg_leaf.remote(*blocks[i : i + 4])
+        for i in range(0, max(len(blocks), 1), 4)
+    ]
+    while len(refs) > 1:
+        refs = [
+            _deg_merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)
+        ]
     # ≤ |V| rows come back to the driver (|V| ≪ |E|, same budget as the
     # rank array itself, which is driver-side by construction)
-    blocks = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
-    if not blocks:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    t = pa.concat_tables(blocks)
+    t = ray.get(refs[0])
     return np_col(t, "vid"), np_col(t, "cnt")
 
 
