@@ -42,9 +42,20 @@ IMPORT_RE = re.compile(r"^\s*import\s+([A-Za-z_][\w.]*)", re.M)
 # ---------------------------------------------------------------- ingest
 
 
-def read_corpus(path_or_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Read the repo_files parquet (file or directory of chunks)."""
-    return rd.read_parquet(path_or_dir, columns=columns)
+_DERIVE_COLUMNS = ("repo", "path", "content")
+
+
+def read_corpus(
+    path_or_dir: str,
+    columns: tuple[str, ...] | list[str] | None = _DERIVE_COLUMNS,
+) -> rd.Dataset:
+    """Read the repo_files parquet (file or directory of chunks),
+    pruned by default to the three columns the derive pipeline
+    consumes — ``commit``/``lang`` never leave storage.  Pass
+    ``columns=None`` for the full table."""
+    return rd.read_parquet(
+        path_or_dir, columns=list(columns) if columns is not None else None
+    )
 
 
 def add_sha256(ds: rd.Dataset) -> rd.Dataset:
@@ -528,7 +539,12 @@ def dedup_edges_vid(pairs: rd.Dataset) -> rd.Dataset:
     reason=min (deterministic representatives).  Bucketed shuffle on a
     pair hash + run-boundary reductions per bucket (lexsort on the int
     pair + ``reduceat``; string mins via sorted-factorize rank — no
-    pandas groupby in the hot path) (SURVEY.md §2.4 R5)."""
+    pandas groupby in the hot path) (SURVEY.md §2.4 R5).  Measured
+    note: swapping the groupby for ops.manual_bucket_agg is NEUTRAL
+    here — the input is a lazy union, so the manual exchange pays one
+    extra full materialization that cancels the saved sort; the manual
+    path only wins when the input already sits materialized (see
+    graph.py's no-checkpoint build)."""
     from .ops import hash_bucket_agg
     from .util import np_col
 

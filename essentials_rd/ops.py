@@ -18,6 +18,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from .util import hash64, np_col
@@ -50,6 +51,71 @@ def hash_bucket_agg(
         .groupby("__bucket__")
         .map_groups(_run, batch_format="pyarrow")
     )
+
+
+@ray.remote
+def _mba_split(tbl: pa.Table, num_buckets: int, key_fn):
+    """Map side of the manual exchange: slice one block into its
+    per-bucket sub-tables (one plasma object each via num_returns)."""
+    if tbl.num_rows == 0:
+        outs = [tbl] * num_buckets
+        return tuple(outs) if num_buckets > 1 else outs[0]
+    b = (hash64(key_fn(tbl)) % np.uint64(num_buckets)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    t = tbl.take(pa.array(order))
+    sb = b[order]
+    bounds = np.searchsorted(sb, np.arange(num_buckets + 1))
+    outs = [
+        t.slice(bounds[p], bounds[p + 1] - bounds[p]).combine_chunks()
+        for p in range(num_buckets)
+    ]
+    return tuple(outs) if num_buckets > 1 else outs[0]
+
+
+@ray.remote
+def _mba_reduce(group_fn, empty_result: pa.Table, *tabs) -> pa.Table:
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return empty_result
+    return group_fn(pa.concat_tables(tabs, promote_options="default"))
+
+
+def manual_bucket_agg(
+    ds: rd.Dataset,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    group_fn: Callable[[pa.Table], pa.Table],
+    empty_result: pa.Table,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Drop-in for :func:`hash_bucket_agg` that runs the exchange as
+    plain Ray tasks through the object store (per-block bucket split
+    with ``num_returns`` → one concat+aggregate task per bucket)
+    instead of Ray Data's sort-based ``groupby`` — the same trick that
+    cut the no-checkpoint graph build 6× (graph.py `_split_block`).
+    Semantics identical: same key → same bucket, ``group_fn`` sees the
+    complete bucket.  ``empty_result`` supplies the output schema for
+    buckets that receive no rows.  Materializes ``ds`` (its blocks
+    become the map inputs), so prefer it for aggregations that already
+    sit at a pipeline boundary."""
+    block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(empty_result)
+    if num_buckets > 1:
+        split = [
+            _mba_split.options(num_returns=num_buckets).remote(
+                r, num_buckets, key_fn
+            )
+            for r in block_refs
+        ]
+    else:
+        split = [[_mba_split.remote(r, num_buckets, key_fn)] for r in block_refs]
+    outs = [
+        _mba_reduce.remote(
+            group_fn, empty_result, *[split[b][p] for b in range(len(split))]
+        )
+        for p in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(outs)
 
 
 def grouped_pandas_agg(

@@ -241,3 +241,39 @@ def test_grouped_quantiles_matches_duckdb_semantics():
             .to_pandas().sort_values(["lang", "q"]).reset_index(drop=True)
         )
         assert got.equals(want), f"num_buckets={nb}"
+
+
+def test_manual_bucket_agg_equals_hash_bucket_agg():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg, manual_bucket_agg
+    from essentials_rd.util import np_col, segment_sum
+
+    rng = np.random.default_rng(3)
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 200, 4000).astype("int64")),
+            "v": pa.array(rng.integers(0, 10, 4000).astype("int64")),
+        }
+    )
+
+    def _agg(grp: pa.Table) -> pa.Table:
+        u, s, _ = segment_sum(np_col(grp, "k"), np_col(grp, "v"))
+        return pa.table({"k": pa.array(u, pa.int64()),
+                         "s": pa.array(s, pa.int64())})
+
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.int64())})
+    key = lambda b: np_col(b, "k")  # noqa: E731
+    ds = rd.from_arrow(tbl).repartition(7)
+    a = (hash_bucket_agg(ds, key, _agg, num_buckets=5).to_pandas()
+         .sort_values("k").reset_index(drop=True))
+    b = (manual_bucket_agg(ds, key, _agg, empty, num_buckets=5).to_pandas()
+         .sort_values("k").reset_index(drop=True))
+    assert a.equals(b)
+    # single-bucket degenerate path
+    c = (manual_bucket_agg(ds, key, _agg, empty, num_buckets=1).to_pandas()
+         .sort_values("k").reset_index(drop=True))
+    assert a.equals(c)
