@@ -277,3 +277,34 @@ def test_manual_bucket_agg_equals_hash_bucket_agg():
     c = (manual_bucket_agg(ds, key, _agg, empty, num_buckets=1).to_pandas()
          .sort_values("k").reset_index(drop=True))
     assert a.equals(c)
+
+
+def test_hll_distinct_accuracy_and_layout_invariance():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import hll_distinct
+
+    rng = np.random.default_rng(7)
+    # ~60k distinct ids among 200k rows
+    vals = rng.integers(0, 60_000, 200_000).astype("int64")
+    exact = len(np.unique(vals))
+    tbl = pa.table({"v": pa.array(vals)})
+    est = hll_distinct(rd.from_arrow(tbl).repartition(16), "v", p=14)
+    assert abs(est - exact) / exact < 0.02, (est, exact)
+    # deterministic and block-layout-invariant (register merge is a max)
+    est2 = hll_distinct(rd.from_arrow(tbl).repartition(3), "v", p=14)
+    assert est == est2
+
+
+def test_hll_small_range_linear_counting():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import hll_distinct
+
+    tbl = pa.table({"v": pa.array(np.arange(100, dtype="int64"))})
+    est = hll_distinct(rd.from_arrow(tbl), "v", p=12)
+    assert abs(est - 100) / 100 < 0.05, est
