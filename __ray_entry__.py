@@ -768,6 +768,34 @@ def _q_cosine_near_dup(sf_dir: str):
     return cosine_near_dup_pairs(vecs, COSINE_DUP_T)
 
 
+def _q_urgent_orders_by_priority(sf_dir: str):
+    """Predicate pushdown at the read: the priority filter goes into
+    ``read_parquet(filter=...)`` as a pyarrow dataset expression, so
+    non-matching row groups/rows never enter the pipeline — followed by
+    a small bucketed aggregate.  (SURVEY §4: "prune at the read".)"""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_pandas_agg
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pads.field("o_orderpriority") == "1-URGENT"),
+    )
+    return grouped_pandas_agg(
+        orders,
+        keys=["o_orderpriority"],
+        aggs={
+            "n_orders": ("o_orderkey", "count"),
+            "min_orderkey": ("o_orderkey", "min"),
+            "max_orderkey": ("o_orderkey", "max"),
+        },
+        key_fn=lambda b: _str_hash(b.column("o_orderpriority")),
+    )
+
+
 def _q_orders_per_nation(sf_dir: str):
     """Two-shape join exercise (ops.join, SURVEY.md §2.4 R3): customer
     ⋈(broadcast) nation — small side ray.put once — then orders
@@ -981,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
         "orders_per_nation": _q_orders_per_nation,
+        "urgent_orders_by_priority": _q_urgent_orders_by_priority,
         "cust_no_orders": _q_cust_no_orders,
         "text_stats": _q_text_stats,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -1770,6 +1799,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM e a, e b WHERE a.vec_id < b.vec_id AND "
             "round(list_cosine_similarity(a.emb, b.emb), 6) "
             f">= {COSINE_DUP_T}"
+        ),
+        "urgent_orders_by_priority": (
+            "SELECT o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(min(o_orderkey) AS BIGINT) AS min_orderkey, "
+            "CAST(max(o_orderkey) AS BIGINT) AS max_orderkey "
+            "FROM orders WHERE o_orderpriority = '1-URGENT' "
+            "GROUP BY o_orderpriority"
         ),
         "orders_per_nation": (
             "SELECT n_name, count(o_orderkey) AS n_orders, "
