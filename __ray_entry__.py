@@ -675,33 +675,144 @@ def _q_sampled_docs(sf_dir: str):
     )
 
 
+_MOD64 = "18446744073709551616"
+
+
+def _sm64_mulmod(za: str, c: int) -> str:
+    return (
+        f"CAST((((CAST({za} AS HUGEINT) >> 32) * {c} % 4294967296)"
+        f" * 4294967296 + (CAST({za} AS HUGEINT) % 4294967296) * {c})"
+        f" % {_MOD64} AS UBIGINT)"
+    )
+
+
+def _sm64_ctes(prefix: str, carry: str, key_expr: str, source: str) -> str:
+    """CTE chain computing ``z = splitmix64((key_expr) mod 2⁶⁴)`` —
+    exactly ``util.hash64`` — in HUGEINT arithmetic with 64×64
+    multiplies split into 32-bit halves so int128 never overflows.
+    The final CTE is ``{prefix}3(carry..., z)``."""
+    return (
+        f"{prefix}0 AS (SELECT {carry}, "
+        f"CAST(((CAST({key_expr} AS HUGEINT) % {_MOD64} + {_MOD64})"
+        f" % {_MOD64} + 11400714819323198485)"
+        f" % {_MOD64} AS UBIGINT) AS z FROM {source}), "
+        f"{prefix}1 AS (SELECT {carry}, "
+        f"{_sm64_mulmod('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM {prefix}0), "
+        f"{prefix}2 AS (SELECT {carry}, "
+        f"{_sm64_mulmod('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z FROM {prefix}1), "
+        f"{prefix}3 AS (SELECT {carry}, xor(z, z >> 31) AS z FROM {prefix}2)"
+    )
+
+
 def _sampled_docs_sql() -> str:
-    """DuckDB twin of ops.deterministic_sample's keep rule: SplitMix64
-    finalizer in mod-2⁶⁴ HUGEINT arithmetic, 64×64 multiplies split
-    into 32-bit halves so int128 never overflows."""
-    m = "18446744073709551616"
+    """DuckDB twin of ops.deterministic_sample's keep rule: the shared
+    SplitMix64 CTE chain (``_sm64_ctes``) over doc_id + seed·golden."""
     threshold = int(SAMPLE_FRAC * float(2**64 - 1))
     mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
-
-    def mulmod(za: str, c: int) -> str:
-        return (
-            f"CAST((((CAST({za} AS HUGEINT) >> 32) * {c} % 4294967296)"
-            f" * 4294967296 + (CAST({za} AS HUGEINT) % 4294967296) * {c})"
-            f" % {m} AS UBIGINT)"
-        )
-
+    chain = _sm64_ctes("z", "doc_id, n_chars", f"doc_id + {mix}", "documents")
     return (
-        "WITH z0 AS (SELECT doc_id, n_chars, "
-        f"CAST((CAST(doc_id AS HUGEINT) + {mix} + 11400714819323198485)"
-        f" % {m} AS UBIGINT) AS z FROM documents), "
-        f"z1 AS (SELECT doc_id, n_chars, "
-        f"{mulmod('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM z0), "
-        f"z2 AS (SELECT doc_id, n_chars, "
-        f"{mulmod('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z FROM z1), "
-        "z3 AS (SELECT doc_id, n_chars, xor(z, z >> 31) AS z FROM z2) "
+        f"WITH {chain} "
         f"SELECT doc_id, n_chars FROM z3 "
         f"WHERE z < CAST('{threshold}' AS UBIGINT)"
     )
+
+
+STRAT_TARGET = 30
+
+
+def _q_stratified_docs(sf_dir: str):
+    """Per-group deterministic sampling (ops.stratified_sample): ~30
+    docs per language, integer-exact thresholds, reproducible by the
+    SQL oracle through the shared SplitMix64 chain."""
+    import ray.data as rd
+
+    from essentials_rd.ops import stratified_sample
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return stratified_sample(
+        docs, "lang", lambda b: np_col(b, "doc_id"), STRAT_TARGET,
+        seed=SAMPLE_SEED,
+    )
+
+
+def _stratified_docs_sql() -> str:
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes(
+        "z", "doc_id, lang, n", f"doc_id + {mix}",
+        "(SELECT d.doc_id, d.lang, c.n FROM documents d "
+        "JOIN (SELECT lang, count(*) AS n FROM documents GROUP BY lang) c "
+        "ON c.lang = d.lang)",
+    )
+    return (
+        f"WITH {chain} "
+        f"SELECT doc_id, lang FROM z3 "
+        f"WHERE n <= {STRAT_TARGET} OR "
+        f"z < CAST(CAST({STRAT_TARGET} AS HUGEINT) * 18446744073709551615 "
+        f"// n AS UBIGINT)"
+    )
+
+
+def _q_event_gaps(sf_dir: str):
+    """Per-key LAG window (windows.lag_diff): gap to the user's previous
+    event under the (ts, event_id) total order, first row = -1."""
+    import ray.data as rd
+
+    from essentials_rd.windows import lag_diff
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    return lag_diff(ev)
+
+
+def _q_clustering_coeff(sf_dir: str):
+    """Per-vertex local clustering coefficient 2·tri(v)/(deg(v)·(deg(v)−1))
+    from the cached triangle counts + degree table (0 when deg < 2),
+    rounded half-up to 6 dp on both sides."""
+    from essentials_rd.pipelines import round_half_up
+    from essentials_rd.util import np_col
+
+    import ray.data as rd
+
+    _, per_v = _tc(sf_dir)
+    if isinstance(per_v, rd.Dataset):
+        per_v = pa.Table.from_pandas(per_v.to_pandas())
+    degt = _q_degree(sf_dir)
+    vid_t = np_col(per_v, "vid")
+    tri = np_col(per_v, "triangles").astype(np.float64)
+    vid_d = np_col(degt, "vid")
+    deg = np_col(degt, "degree")
+    # align the degree rows to the triangle rows by vid
+    pos = np.searchsorted(vid_d, vid_t)
+    assert np.array_equal(vid_d[pos], vid_t)
+    deg = deg[pos]
+    denom = (deg * (deg - 1)).astype(np.float64)
+    cc = np.zeros(len(tri), np.float64)
+    ok = deg >= 2
+    cc[ok] = round_half_up(2.0 * tri[ok] / denom[ok], 6)
+    return pa.table({"vid": pa.array(vid_t, pa.int64()),
+                     "clustering": pa.array(cc, pa.float64())})
+
+
+def _clustering_coeff_sql() -> str:
+    return f"""
+WITH {_GRAPH_CTES}, {_ORIENTED_CTE},
+corners AS (
+  SELECT a AS vid FROM tris UNION ALL
+  SELECT b FROM tris UNION ALL
+  SELECT c FROM tris
+),
+tri AS (
+  SELECT v.vid, count(c.vid) AS t
+  FROM verts v LEFT JOIN corners c ON c.vid = v.vid GROUP BY v.vid
+)
+SELECT t.vid,
+       CASE WHEN d.outdeg < 2 THEN 0.0
+            ELSE ROUND(2.0 * t.t / (d.outdeg * (d.outdeg - 1)), 6)
+       END AS clustering
+FROM tri t JOIN deg d ON d.vid = t.vid ORDER BY t.vid
+"""
 
 
 def _q_parts_per_order(sf_dir: str):
@@ -1006,6 +1117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_per_order": _q_parts_per_order,
         "lang_char_quantiles": _q_lang_char_quantiles,
         "sampled_docs": _q_sampled_docs,
+        "stratified_docs": _q_stratified_docs,
+        "event_gaps": _q_event_gaps,
+        "clustering_coeff": _q_clustering_coeff,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
         "orders_per_nation": _q_orders_per_nation,
@@ -1723,6 +1837,14 @@ def oracle_sql() -> dict[str, str]:
             "AS n_re_tokens FROM documents"
         ),
         "sampled_docs": _sampled_docs_sql(),
+        "stratified_docs": _stratified_docs_sql(),
+        "event_gaps": (
+            "SELECT event_id, user_id, "
+            "COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us "
+            "FROM events"
+        ),
+        "clustering_coeff": _clustering_coeff_sql(),
         "parts_per_order": (
             "SELECT l_orderkey, "
             "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "

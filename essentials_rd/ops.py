@@ -636,6 +636,67 @@ def deterministic_sample(
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: rd.Dataset,
+    group_col: str,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    target_per_group: int,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Per-group value-deterministic sampling — the training-data
+    rebalancing op ("take ~N docs per language"): groups with ≤ target
+    rows are kept whole; larger groups keep a row iff
+    ``splitmix64(key + seed·golden) < (target·(2⁶⁴−1)) // count_g``.
+
+    Thresholds are exact integer arithmetic (no float rounding), so the
+    SQL oracle reproduces the sample bit-for-bit; the keep decision is a
+    pure row function, invariant to runs / block layouts / cluster
+    sizes.  Pass 1 is a per-block partial count of ``group_col`` merged
+    driver-side — the standard small-side assumption (#groups ≪ driver
+    memory; languages/domains/buckets, not user ids).  Pass 2 streams.
+    """
+    assert target_per_group >= 0
+
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        vc = batch.column(group_col).to_pandas().value_counts()
+        return pa.table(
+            {
+                "g": pa.array(vc.index.astype(object)),
+                "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.select_columns([group_col])
+        .map_batches(_partial_counts, batch_format="pyarrow")
+        .take_all()
+    )  # #groups × #blocks rows — driver-small by the group-cardinality assumption
+    counts: dict = {}
+    for row in partials:
+        counts[row["g"]] = counts.get(row["g"], 0) + int(row["n"])
+    full = np.uint64(2**64 - 1)
+    thr = {
+        g: (
+            full
+            if c <= target_per_group
+            else np.uint64((target_per_group * (2**64 - 1)) // c)
+        )
+        for g, c in counts.items()
+    }
+    mix = np.int64((seed * 0x9E3779B97F4A7C15) & (2**63 - 1))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        k = key_fn(batch).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = hash64(k + mix)
+        g = batch.column(group_col).to_pandas()
+        t_row = g.map(thr).to_numpy(np.uint64)
+        keep = (h < t_row) | (t_row == full)  # full groups keep h == max too
+        return batch.take(pa.array(np.flatnonzero(keep)))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
 def _join_key_fn(on: list[str]) -> Callable[[pa.Table], np.ndarray]:
     """Combined deterministic int64 hash over the key columns (string
     columns via pandas siphash — process-stable; numeric via hash64)."""

@@ -262,6 +262,65 @@ def sessionize(
     )
 
 
+def lag_diff(
+    events: rd.Dataset,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+    first_value: int = -1,
+) -> rd.Dataset:
+    """Per-key LAG window function: for every event, the microsecond gap
+    to the key's PREVIOUS event under the total order ``(ts, id)`` —
+    SQL ``ts - LAG(ts) OVER (PARTITION BY user ORDER BY ts, id)`` with
+    each key's first row getting ``first_value``.  Same single
+    user-bucketed shuffle as ``sessionize``; per-bucket kernel is one
+    lexsort + a shifted diff (no per-row loop)."""
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: batch.column(user_col).cast(pa.int64()),
+                "__ts__": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+            }
+        )
+
+    def _gaps(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    user_col: pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        u = np_col(grp, user_col)
+        t = np_col(grp, "__ts__")
+        e = np_col(grp, id_col)
+        order = np.lexsort((e, t, u))
+        u, t, e = u[order], t[order], e[order]
+        gap = np.empty(len(u), np.int64)
+        gap[0] = first_value
+        gap[1:] = t[1:] - t[:-1]
+        gap[np.r_[True, u[1:] != u[:-1]]] = first_value
+        return pa.table(
+            {
+                id_col: pa.array(e, pa.int64()),
+                user_col: pa.array(u, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    projected = events.map_batches(_project, batch_format="pyarrow")
+    return hash_bucket_agg(
+        projected,
+        lambda b: np_col(b, user_col).astype(np.int64),
+        _gaps,
+        num_buckets=num_buckets,
+    )
+
+
 def rolling_window_agg(
     events: rd.Dataset,
     k: int = 3,

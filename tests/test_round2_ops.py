@@ -165,3 +165,30 @@ def test_near_dup_clusters_planted(tmp_path):
     # exact dup pair (1, 200) is its own component
     assert clusters[0] == clusters[100] == clusters[101] == clusters[102] == 0
     assert clusters[1] == clusters[200] == 1
+
+
+def test_stratified_sample_balances_and_is_layout_invariant():
+    from essentials_rd.ops import stratified_sample
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    groups = np.array(["a", "b", "c", "tiny"])[
+        np.minimum(rng.integers(0, 4, n), np.where(rng.random(n) < 0.99, 2, 3))
+    ]
+    keys = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"k": pa.array(keys), "g": pa.array(groups.astype(object))})
+    target = 100
+
+    def run(nblocks):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        out = stratified_sample(ds, "g", lambda b: np_col(b, "k"), target).to_pandas()
+        return out.sort_values("k").reset_index(drop=True)
+
+    s1, s2 = run(2), run(9)
+    assert s1.equals(s2)  # block-layout invariant
+    sizes = s1.groupby("g").size()
+    # tiny group kept whole; big groups land near the target (binomial)
+    tiny_n = int((groups == "tiny").sum())
+    assert sizes.get("tiny", 0) == tiny_n
+    for g in ("a", "b", "c"):
+        assert 0.5 * target <= sizes[g] <= 2.0 * target

@@ -217,3 +217,34 @@ def test_rolling_window_short_segments():
     )
     assert got["roll_sum"].tolist() == [5, -7, 9]
     assert got["roll_n"].tolist() == [1, 1, 1]
+
+
+def test_lag_diff_matches_pandas_and_bucket_invariant():
+    from essentials_rd.windows import lag_diff
+
+    rng = np.random.default_rng(11)
+    n = 2500
+    users = rng.integers(0, 37, n)
+    ts = rng.integers(0, 10**9, n)
+    ids = np.arange(n)
+    got = (
+        lag_diff(_events(users, ts, ids), num_buckets=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"user_id": users, "ts": ts, "event_id": ids})
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    want = (
+        df.assign(gap_us=(df.ts - df.groupby("user_id")["ts"].shift(1)).fillna(-1).astype(np.int64))
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(got["gap_us"].to_numpy(), want["gap_us"].to_numpy())
+    got2 = (
+        lag_diff(_events(users, ts, ids), num_buckets=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(got2)
