@@ -754,6 +754,21 @@ def _stratified_docs_sql() -> str:
     )
 
 
+HH_K = 25
+
+
+def _q_top_tokens(sf_dir: str):
+    """EXACT global top-25 tokens via the two-pass Misra–Gries
+    sketch-then-recount heavy hitter (textops.heavy_hitters_tokens):
+    O(m) driver traffic, no vocabulary shuffle, certified exact."""
+    import ray.data as rd
+
+    from essentials_rd.textops import heavy_hitters_tokens
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters_tokens(docs, k=HH_K)
+
+
 def _q_event_gaps(sf_dir: str):
     """Per-key LAG window (windows.lag_diff): gap to the user's previous
     event under the (ts, event_id) total order, first row = -1."""
@@ -1118,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_char_quantiles": _q_lang_char_quantiles,
         "sampled_docs": _q_sampled_docs,
         "stratified_docs": _q_stratified_docs,
+        "top_tokens": _q_top_tokens,
         "event_gaps": _q_event_gaps,
         "clustering_coeff": _q_clustering_coeff,
         "quality_score": _q_quality_score,
@@ -1838,6 +1854,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sampled_docs": _sampled_docs_sql(),
         "stratified_docs": _stratified_docs_sql(),
+        "top_tokens": (
+            "SELECT token, CAST(count(*) AS BIGINT) AS n "
+            "FROM (SELECT unnest(string_split(text, ' ')) AS token "
+            "FROM documents) GROUP BY token "
+            f"ORDER BY n DESC, token LIMIT {HH_K}"
+        ),
         "event_gaps": (
             "SELECT event_id, user_id, "
             "COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER "

@@ -1006,3 +1006,168 @@ def tfidf_top1(docs: rd.Dataset, text_col: str = "text",
         lambda b: np_col(b, id_col),
         _top1,
     )
+
+
+# ----------------------------------------------- heavy hitters (top tokens)
+
+
+def _block_token_counts(text_col, *tables) -> pd.Series:
+    """Exact single-space-token counts of a handful of blocks."""
+    parts = []
+    for t in tables:
+        if t.num_rows == 0 or text_col not in t.schema.names:
+            continue
+        toks = t.column(text_col).to_pandas().str.split(" ")
+        parts.extend(lst for lst in toks)
+    if not parts:
+        return pd.Series(dtype=np.int64)
+    flat = pd.Series(np.asarray([x for lst in parts for x in lst], dtype=object))
+    return flat.value_counts()
+
+
+def _mg_compress(vc: pd.Series, m: int) -> tuple[pd.Series, int]:
+    """Exact counts → m-counter Misra–Gries summary: subtract the
+    (m+1)-th largest count and keep the positive residuals.  Any
+    item's true count is within [residual, residual + d] — the bound
+    is independent of value_counts' tie order, so the summary is
+    deterministic where it matters."""
+    if len(vc) <= m:
+        return vc, 0
+    vals = np.sort(vc.to_numpy(np.int64))[::-1]
+    d = int(vals[m])
+    out = vc[vc > d] - d
+    return out, d
+
+
+def _mg_block_task(m: int, text_col: str, *tables):
+    vc, d = _mg_compress(_block_token_counts(text_col, *tables), m)
+    return vc.index.to_numpy(object), vc.to_numpy(np.int64), d
+
+
+def _mg_merge_task(m: int, *sketches):
+    toks = np.concatenate([s[0] for s in sketches])
+    res = np.concatenate([s[1] for s in sketches])
+    d_in = sum(s[2] for s in sketches)
+    merged = pd.Series(res).groupby(pd.Series(toks), sort=False).sum()
+    merged, d_extra = _mg_compress(merged, m)
+    return merged.index.to_numpy(object), merged.to_numpy(np.int64), d_in + d_extra
+
+
+def _exact_candidate_counts(cand: np.ndarray, text_col: str, *tables) -> np.ndarray:
+    idx = pd.Index(cand)
+    counts = np.zeros(len(cand), np.int64)
+    for t in tables:
+        if t.num_rows == 0 or text_col not in t.schema.names:
+            continue
+        toks = t.column(text_col).to_pandas().str.split(" ")
+        flat = np.asarray([x for lst in toks for x in lst], dtype=object)
+        pos = idx.get_indexer(flat)
+        pos = pos[pos >= 0]
+        counts += np.bincount(pos, minlength=len(cand)).astype(np.int64)
+    return counts
+
+
+def _vec_sum_task(*arrs) -> np.ndarray:
+    out = arrs[0].copy()
+    for a in arrs[1:]:
+        out += a
+    return out
+
+
+def heavy_hitters_tokens(
+    docs: rd.Dataset,
+    k: int = 25,
+    m: int = 4096,
+    text_col: str = "text",
+) -> pa.Table:
+    """EXACT global top-``k`` tokens by frequency without ever shuffling
+    the vocabulary — the two-pass sketch-then-recount heavy-hitter
+    pattern (Misra–Gries 1982): per-block m-counter summaries tree-merge
+    as Ray tasks into ≤ m candidates with a total undercount bound D
+    (any non-candidate's true count ≤ D); a second streaming pass counts
+    ONLY the candidates exactly (per-block int64 vectors, tree-summed).
+    The result is certified exact when the k-th candidate count exceeds
+    D — guaranteed on any Zipf-shaped corpus with m ≫ k; if the
+    certificate ever fails the operator falls back to the exact bucketed
+    group-count (correct at any distribution, just pays the shuffle).
+    Driver traffic is O(m), never O(vocabulary).  Tie-break: count
+    desc, then token asc — matching the SQL oracle's ORDER BY."""
+    import ray
+
+    mg_block = ray.remote(_mg_block_task)
+    mg_merge = ray.remote(_mg_merge_task)
+    exact_block = ray.remote(_exact_candidate_counts)
+    vec_sum = ray.remote(_vec_sum_task)
+
+    mat = docs.materialize()
+    blocks = list(mat.to_arrow_refs())
+    refs = [
+        mg_block.remote(m, text_col, *blocks[i : i + 4])
+        for i in range(0, max(len(blocks), 1), 4)
+    ]
+    while len(refs) > 1:
+        refs = [mg_merge.remote(m, *refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    cand, _lower, d_bound = ray.get(refs[0])
+
+    if len(cand):
+        cand_ref = ray.put(cand)
+        crefs = [
+            exact_block.remote(cand_ref, text_col, *blocks[i : i + 4])
+            for i in range(0, len(blocks), 4)
+        ]
+        while len(crefs) > 1:
+            crefs = [
+                vec_sum.remote(*crefs[i : i + 8]) for i in range(0, len(crefs), 8)
+            ]
+        exact = ray.get(crefs[0])
+    else:
+        exact = np.zeros(0, np.int64)
+
+    order = np.lexsort((cand, -exact))[:k]
+    # Exactness certificate: with D == 0 the sketch IS the full exact
+    # vocabulary; otherwise every non-candidate has true count <= D, so
+    # k candidates each counted strictly above D pin the global top-k.
+    certified = d_bound == 0 or (
+        len(order) == k and int(exact[order[-1]]) > d_bound
+    )
+    if not certified:
+        # exact fallback: bucketed group-count over the full token stream
+        from .ops import hash_bucket_agg, top_k
+
+        def _flat(batch: pa.Table) -> pa.Table:
+            toks = batch.column(text_col).to_pandas().str.split(" ")
+            flat = np.asarray([x for lst in toks for x in lst], dtype=object)
+            return pa.table({"token": pa.array(flat, pa.string())})
+
+        def _cnt(grp: pa.Table) -> pa.Table:
+            vc = grp.column("token").to_pandas().value_counts()
+            return pa.table(
+                {
+                    "token": pa.array(vc.index.to_numpy(object), pa.string()),
+                    "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+                }
+            )
+
+        counted = hash_bucket_agg(
+            docs.map_batches(_flat, batch_format="pyarrow"),
+            lambda b: pd.util.hash_array(
+                np.asarray(b.column("token").to_pylist(), dtype=object),
+                categorize=False,
+            ).view(np.int64) if b.num_rows else np.zeros(0, np.int64),
+            _cnt,
+        )
+        full = counted.to_pandas()
+        o = np.lexsort((full["token"].to_numpy(object), -full["n"].to_numpy()))[:k]
+        return pa.table(
+            {
+                "token": pa.array(full["token"].to_numpy(object)[o], pa.string()),
+                "n": pa.array(full["n"].to_numpy(np.int64)[o], pa.int64()),
+            }
+        )
+
+    return pa.table(
+        {
+            "token": pa.array(cand[order].tolist(), pa.string()),
+            "n": pa.array(exact[order], pa.int64()),
+        }
+    )

@@ -2,6 +2,7 @@
 text analysis — with NumPy/planted oracles."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray
@@ -266,3 +267,32 @@ def test_ivf_index_build_and_search(tmp_path):
     got_ids = {(r["query_id"], r["vec_id"]) for r in got.to_pylist()}
     ref_ids = {(r["query_id"], r["vec_id"]) for r in ref.to_pylist()}
     assert len(got_ids & ref_ids) / len(ref_ids) >= 0.9
+
+
+def test_heavy_hitters_exact_and_fallback():
+    from essentials_rd.textops import heavy_hitters_tokens
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"w{i}" for i in range(400)], dtype=object)
+    # Zipf-ish: token i appears with prob ~ 1/(i+1)
+    probs = 1.0 / np.arange(1, 401)
+    probs /= probs.sum()
+    docs = [
+        " ".join(rng.choice(vocab, size=40, p=probs)) for _ in range(300)
+    ]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())})).repartition(7)
+    flat = pd.Series(" ".join(docs).split(" "))
+    vc = flat.value_counts()
+    toks = vc.index.to_numpy(object)
+    order = np.lexsort((toks, -vc.to_numpy()))[:10]
+    want_tokens = toks[order].tolist()
+    want_counts = vc.to_numpy()[order].tolist()
+
+    got = heavy_hitters_tokens(ds, k=10, m=512).to_pandas()
+    assert got["token"].tolist() == want_tokens
+    assert got["n"].tolist() == want_counts
+
+    # m=2 breaks the certificate -> exact fallback must still be right
+    got_fb = heavy_hitters_tokens(ds, k=10, m=2).to_pandas()
+    assert got_fb["token"].tolist() == want_tokens
+    assert got_fb["n"].tolist() == want_counts
