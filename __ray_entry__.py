@@ -754,6 +754,80 @@ def _stratified_docs_sql() -> str:
     )
 
 
+NS_K = 3
+WALK_STEPS = 3
+
+
+def _q_neighbor_sample(sf_dir: str):
+    """GraphSAGE-style deterministic fanout sampling
+    (sampling.sample_neighbors): per vertex the NS_K neighbors with the
+    smallest splitmix64(src·2³² + dst + seed·golden) — one vectorized
+    task per CSR shard, zero shuffle, bit-reproduced by the SQL chain
+    + ROW_NUMBER oracle."""
+    from essentials_rd.sampling import sample_neighbors
+
+    g, _ = _graph(sf_dir)
+    return sample_neighbors(g, NS_K, seed=SAMPLE_SEED)
+
+
+def _neighbor_sample_sql() -> str:
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes(
+        "ns", "src, dst", f"src * 4294967296 + dst + {mix}", "sym"
+    )
+    return (
+        f"WITH {_GRAPH_CTES}, {chain}, "
+        "ranked AS (SELECT src, dst, "
+        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY z, dst) AS rn "
+        "FROM ns3) "
+        f"SELECT src, dst FROM ranked WHERE rn <= {NS_K}"
+    )
+
+
+def _q_random_walks(sf_dir: str):
+    """Deterministic random walks (sampling.random_walks): one
+    WALK_STEPS-step walk per vertex over the co-purchase graph, next
+    hop = (splitmix64(wid·2³² + v·2654435761 + t + seed·golden) mod
+    deg(v))-th dst-sorted neighbor; per-step object-store task
+    exchange, unrolled-CTE oracle."""
+    from essentials_rd.sampling import random_walks
+
+    g, _ = _graph(sf_dir)
+    return random_walks(g, WALK_STEPS, seed=SAMPLE_SEED)
+
+
+def _random_walks_sql() -> str:
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    steps = [
+        "rankadj AS MATERIALIZED (SELECT src, dst, "
+        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn "
+        "FROM sym)",
+        "w0 AS (SELECT vid AS wid, vid AS cur FROM verts)",
+    ]
+    for t in range(1, WALK_STEPS + 1):
+        steps.append(_sm64_ctes(
+            f"h{t}", "wid, cur",
+            f"wid * 4294967296 + cur * 2654435761 + {t} + {mix}",
+            f"w{t - 1}",
+        ))
+        steps.append(
+            f"p{t} AS (SELECT z.wid, z.cur, COALESCE(d.outdeg, 0) AS dg, "
+            f"z.z FROM h{t}3 z LEFT JOIN deg d ON d.vid = z.cur)"
+        )
+        steps.append(
+            f"w{t} AS (SELECT p.wid, "
+            f"CASE WHEN p.cur < 0 OR p.dg = 0 THEN -1 ELSE r.dst END AS cur "
+            f"FROM p{t} p LEFT JOIN rankadj r ON r.src = p.cur "
+            f"AND p.dg > 0 AND r.rn = CAST(p.z % GREATEST(p.dg, 1) AS BIGINT))"
+        )
+    body = ", ".join(steps)
+    sel = " UNION ALL ".join(
+        f"SELECT wid, {t} AS step, cur AS node FROM w{t}"
+        for t in range(1, WALK_STEPS + 1)
+    )
+    return f"WITH {_GRAPH_CTES}, {body} {sel}"
+
+
 HH_K = 25
 
 
@@ -1134,6 +1208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_docs": _q_sampled_docs,
         "stratified_docs": _q_stratified_docs,
         "top_tokens": _q_top_tokens,
+        "neighbor_sample_k3": _q_neighbor_sample,
+        "random_walks": _q_random_walks,
         "event_gaps": _q_event_gaps,
         "clustering_coeff": _q_clustering_coeff,
         "quality_score": _q_quality_score,
@@ -1854,6 +1930,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sampled_docs": _sampled_docs_sql(),
         "stratified_docs": _stratified_docs_sql(),
+        "neighbor_sample_k3": _neighbor_sample_sql(),
+        "random_walks": _random_walks_sql(),
         "top_tokens": (
             "SELECT token, CAST(count(*) AS BIGINT) AS n "
             "FROM (SELECT unnest(string_split(text, ' ')) AS token "

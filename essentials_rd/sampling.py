@@ -1,0 +1,189 @@
+"""Deterministic graph sampling — the GNN-training-data operators.
+
+Two samplers over the engine's CSR shards (GraphShards), both pure
+functions of (vertex ids, seed) so results are identical across runs,
+block layouts and cluster sizes, and both reproducible by a DuckDB
+oracle through the SplitMix64 SQL chain (``__ray_entry__._sm64_ctes``):
+
+- ``sample_neighbors``: GraphSAGE-style fanout sampling — for every
+  vertex keep the ``k`` out-neighbors with the smallest
+  ``splitmix64(src·2³² + dst + seed·golden)`` (tie-break dst).  One
+  vectorized task per CSR shard, no shuffle at all: the shard already
+  holds each vertex's full neighbor list.
+- ``random_walks``: one ``steps``-step walk per vertex (DeepWalk /
+  node2vec p=q=1 sampling): at step t the walk at v moves to the
+  ``(h mod deg(v))``-th neighbor in dst-sorted order, with
+  ``h = splitmix64(wid·2³² + v·2654435761 + t + seed·golden)`` — the
+  hash mixes the walk id so concurrent walks at the same vertex
+  diverge.  Walks at out-degree-0 vertices emit −1 and stay dead.
+  Execution is the engine's standard per-part exchange: per step, one
+  task per partition advances all walks currently at that partition's
+  vertices and splits its output by the next position's partition —
+  the same object-store task exchange as the no-checkpoint graph build
+  (``graph._split_block``), no parquet or driver round-trip.
+
+Both rely on the CSR invariant that ``indices`` are dst-sorted within
+each source row (``util.csr_from_edges`` lexsorts by (src, dst)), which
+is what makes "the r-th neighbor" SQL-expressible via ROW_NUMBER.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .graph import GraphShards
+from .util import csr_lookup, hash64, part_of
+
+_GOLDEN = 0x9E3779B97F4A7C15
+_CUR_MUL = np.uint64(2654435761)
+_WID_MUL = np.uint64(1 << 32)
+
+
+def _seed_mix(seed: int) -> np.uint64:
+    return np.uint64((seed * _GOLDEN) & (2**63 - 1))
+
+
+def _sample_shard(k: int, mix: np.uint64, shard: dict) -> pa.Table:
+    srcs = shard["srcs"]
+    indptr = shard["indptr"]
+    dst = shard["indices"]
+    if len(dst) == 0:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64())})
+    assert srcs[-1] < 2**32 and dst.max() < 2**32, (
+        "sample_neighbors packs (src, dst) into 64 bits: vertex ids "
+        "must be < 2^32"
+    )
+    counts = np.diff(indptr)
+    rep = np.repeat(np.arange(len(srcs), dtype=np.int64), counts)
+    src_e = srcs[rep]
+    with np.errstate(over="ignore"):
+        key = src_e.astype(np.uint64) * _WID_MUL + dst.astype(np.uint64) + mix
+    h = hash64(key)
+    order = np.lexsort((dst, h, rep))
+    rank = np.arange(len(dst), dtype=np.int64) - np.repeat(indptr[:-1], counts)
+    keep = order[rank < k]
+    return pa.table(
+        {
+            "src": pa.array(src_e[keep], pa.int64()),
+            "dst": pa.array(dst[keep], pa.int64()),
+        }
+    )
+
+
+def sample_neighbors(g: GraphShards, k: int, seed: int = 42) -> rd.Dataset:
+    """Per-vertex deterministic fanout sample: ≤ ``k`` out-edges per
+    vertex, chosen by smallest splitmix64 hash (then dst).  Isolated
+    vertices emit nothing.  Result: Dataset[src, dst]."""
+    task = ray.remote(_sample_shard)
+    mix = _seed_mix(seed)
+    refs = [task.remote(k, mix, ref) for ref in g.shard_refs]
+    return rd.from_arrow_refs(refs)
+
+
+def _walk_step(
+    t: int, mix: np.uint64, num_parts: int, shard: dict, *tabs
+) -> tuple:
+    """Advance every walk currently in this partition by one step.
+
+    Returns ``(full, split_0, ..., split_{P-1})``: the (wid, step,
+    node) rows for the result stream plus the new positions split by
+    the next vertex's partition."""
+    tabs = [x for x in tabs if x.num_rows]
+    empty_pos = pa.table({"wid": pa.array([], pa.int64()),
+                          "cur": pa.array([], pa.int64())})
+    if not tabs:
+        full = pa.table({"wid": pa.array([], pa.int64()),
+                         "step": pa.array([], pa.int64()),
+                         "node": pa.array([], pa.int64())})
+        return (full, *([empty_pos] * num_parts))
+    tbl = pa.concat_tables(tabs)
+    wid = np.asarray(tbl["wid"], dtype=np.int64)
+    cur = np.asarray(tbl["cur"], dtype=np.int64)
+    nxt = np.full(len(cur), -1, np.int64)
+    alive = cur >= 0
+    if alive.any():
+        rows, found = csr_lookup(shard, cur[alive])
+        indptr = shard["indptr"]
+        deg = np.where(found, indptr[rows + 1] - indptr[rows], 0)
+        with np.errstate(over="ignore"):
+            key = (
+                wid[alive].astype(np.uint64) * _WID_MUL
+                + cur[alive].astype(np.uint64) * _CUR_MUL
+                + np.uint64(t)
+                + mix
+            )
+        h = hash64(key)
+        ok = deg > 0
+        pick = np.zeros(len(h), np.int64)
+        pick[ok] = (h[ok] % deg[ok].astype(np.uint64)).astype(np.int64)
+        stepped = np.full(len(h), -1, np.int64)
+        stepped[ok] = shard["indices"][indptr[rows[ok]] + pick[ok]]
+        nxt[alive] = stepped
+    full = pa.table(
+        {
+            "wid": pa.array(wid, pa.int64()),
+            "step": pa.array(np.full(len(wid), t, np.int64), pa.int64()),
+            "node": pa.array(nxt, pa.int64()),
+        }
+    )
+    # split the new positions by next partition (dead walks -> part 0)
+    part = np.where(nxt >= 0, part_of(nxt, num_parts), 0)
+    order = np.argsort(part, kind="stable")
+    sp = part[order]
+    pos = pa.table({"wid": pa.array(wid[order], pa.int64()),
+                    "cur": pa.array(nxt[order], pa.int64())})
+    bounds = np.searchsorted(sp, np.arange(num_parts + 1))
+    splits = [
+        pos.slice(bounds[p], bounds[p + 1] - bounds[p]).combine_chunks()
+        for p in range(num_parts)
+    ]
+    return (full, *splits)
+
+
+def random_walks(g: GraphShards, steps: int, seed: int = 42) -> rd.Dataset:
+    """One deterministic ``steps``-step walk per vertex.  Result:
+    Dataset[wid, step, node] with ``steps`` rows per walk (node = −1
+    once the walk hits an out-degree-0 vertex).  Vertex ids must be
+    < 2^32 (packed hash keys); asserted in the shard tasks via
+    ``_sample_shard``'s invariant — here walk ids are vertex ids, so
+    the same bound applies."""
+    task = ray.remote(_walk_step)
+    mix = _seed_mix(seed)
+    P = g.num_parts
+    vids = ray.get(g.vertex_ids_ref)
+    assert len(vids) == 0 or vids[-1] < 2**32, (
+        "random_walks packs (wid, cur) hash keys: vertex ids must be < 2^32"
+    )
+    # initial positions, split by partition
+    part = part_of(vids, P)
+    order = np.argsort(part, kind="stable")
+    sv, sp = vids[order], part[order]
+    bounds = np.searchsorted(sp, np.arange(P + 1))
+    positions = [
+        [
+            ray.put(
+                pa.table(
+                    {
+                        "wid": pa.array(sv[bounds[p]: bounds[p + 1]], pa.int64()),
+                        "cur": pa.array(sv[bounds[p]: bounds[p + 1]], pa.int64()),
+                    }
+                )
+            )
+        ]
+        for p in range(P)
+    ]
+    step_outputs = []
+    for t in range(1, steps + 1):
+        outs = [
+            task.options(num_returns=1 + P).remote(
+                t, mix, P, g.shard_refs[p], *positions[p]
+            )
+            for p in range(P)
+        ]
+        step_outputs.extend(o[0] for o in outs)
+        positions = [[outs[q][1 + p] for q in range(P)] for p in range(P)]
+    return rd.from_arrow_refs(step_outputs)

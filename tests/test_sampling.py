@@ -1,0 +1,63 @@
+"""Graph sampling (essentials_rd/sampling.py): fanout sampling and
+random walks must be valid (edges really exist), bounded (≤ k per
+vertex / one node per step) and partition-count invariant — the
+determinism property the SQL oracles rely on."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from essentials_rd.graph import build_graph
+from essentials_rd.sampling import random_walks, sample_neighbors
+
+
+def _graph(num_parts, tmp_path, seed=3):
+    rng = np.random.default_rng(seed)
+    n_v, n_e = 200, 900
+    src = rng.integers(0, n_v, n_e)
+    dst = rng.integers(0, n_v, n_e)
+    keep = src != dst
+    s, d = np.minimum(src, dst)[keep], np.maximum(src, dst)[keep]
+    uniq = np.unique(s * 1000 + d)
+    s, d = uniq // 1000, uniq % 1000
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+    )
+    g = build_graph(ds, str(tmp_path / f"g{num_parts}"), num_parts,
+                    symmetrize=True, persist=False)
+    edges = set(zip(np.r_[s, d].tolist(), np.r_[d, s].tolist()))
+    return g, edges
+
+
+def test_sample_neighbors_valid_bounded_invariant(tmp_path):
+    g4, edges = _graph(4, tmp_path)
+    g7, _ = _graph(7, tmp_path)
+    out4 = sample_neighbors(g4, 3).to_pandas().sort_values(["src", "dst"])
+    out7 = sample_neighbors(g7, 3).to_pandas().sort_values(["src", "dst"])
+    assert out4.reset_index(drop=True).equals(out7.reset_index(drop=True))
+    assert all(
+        (s, d) in edges for s, d in zip(out4["src"], out4["dst"])
+    )
+    assert out4.groupby("src").size().max() <= 3
+    # k larger than every degree keeps the full adjacency
+    full = sample_neighbors(g4, 10**6).to_pandas()
+    assert len(full) == len(edges)
+
+
+def test_random_walks_valid_and_invariant(tmp_path):
+    g4, edges = _graph(4, tmp_path)
+    g7, _ = _graph(7, tmp_path)
+    w4 = random_walks(g4, 3).to_pandas().sort_values(["wid", "step"])
+    w7 = random_walks(g7, 3).to_pandas().sort_values(["wid", "step"])
+    assert w4.reset_index(drop=True).equals(w7.reset_index(drop=True))
+    # each walk has exactly `steps` rows and every hop is a real edge
+    sizes = w4.groupby("wid").size()
+    assert (sizes == 3).all()
+    for wid, grp in w4.groupby("wid"):
+        prev = wid
+        for node in grp.sort_values("step")["node"]:
+            if prev == -1:
+                assert node == -1
+            elif node != -1:
+                assert (prev, node) in edges
+            prev = node
