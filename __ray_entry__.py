@@ -754,6 +754,38 @@ def _stratified_docs_sql() -> str:
     )
 
 
+def _q_edge_jaccard(sf_dir: str):
+    """Per-edge neighborhood similarity (algorithms.similarity):
+    common-neighbor count + Jaccard for every canonical co-purchase
+    edge — TC's min-side packed-key probe crediting edges, no
+    shuffle."""
+    from essentials_rd.algorithms.similarity import edge_similarity
+
+    g, edges = _graph(sf_dir)
+    return edge_similarity(g, edges.select_columns(["src", "dst"]))
+
+
+def _edge_jaccard_sql() -> str:
+    return f"""
+WITH {_GRAPH_CTES},
+common AS (
+  SELECT p.src AS u, p.dst AS v, count(*) AS c
+  FROM pairs p
+  JOIN sym a ON a.src = p.src
+  JOIN sym b ON b.src = p.dst AND b.dst = a.dst
+  GROUP BY 1, 2
+)
+SELECT p.src, p.dst,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS common,
+       ROUND(1.0 * COALESCE(c.c, 0)
+             / (da.outdeg + db.outdeg - COALESCE(c.c, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN common c ON c.u = p.src AND c.v = p.dst
+JOIN deg da ON da.vid = p.src
+JOIN deg db ON db.vid = p.dst
+"""
+
+
 NS_K = 3
 WALK_STEPS = 3
 
@@ -1208,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_docs": _q_sampled_docs,
         "stratified_docs": _q_stratified_docs,
         "top_tokens": _q_top_tokens,
+        "edge_jaccard": _q_edge_jaccard,
         "neighbor_sample_k3": _q_neighbor_sample,
         "random_walks": _q_random_walks,
         "event_gaps": _q_event_gaps,
@@ -1930,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sampled_docs": _sampled_docs_sql(),
         "stratified_docs": _stratified_docs_sql(),
+        "edge_jaccard": _edge_jaccard_sql(),
         "neighbor_sample_k3": _neighbor_sample_sql(),
         "random_walks": _random_walks_sql(),
         "top_tokens": (

@@ -1,0 +1,121 @@
+"""Per-edge neighborhood similarity (common neighbors / Jaccard).
+
+The vertex-pair similarity metric family (gunrock's similarity apps;
+the building block of link prediction and graph-based dedup): for every
+canonical undirected edge (u, v),
+
+    common(u,v) = |N(u) ∩ N(v)|        (the edge's triangle support)
+    jaccard(u,v) = common / (deg(u) + deg(v) − common)
+
+Physical plan: the same min-side expansion + packed-key membership
+probe as triangle counting (``tc._membership_increments``) but over the
+FULL symmetrized adjacency and crediting EDGES instead of vertices —
+for each edge expand the smaller endpoint's neighbor list and test
+``(other, w)`` against the sorted packed (src<<32)|dst key array with
+one vectorized searchsorted per chunk.  A stateless ``map_batches``
+over the canonical edge table; shards and the key array are plasma
+objects fetched once per worker (``superstep._cached_shard``).  Work is
+Σ_e min(deg(u), deg(v)) — the intersect-plan bound; no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..graph import GraphShards
+from ..util import csr_lookup, expand_neighbors, np_col, part_of
+from .tc import _PROBE_CHUNK, _outdeg_of, _packed_edge_keys
+
+
+def _common_counts(
+    src: np.ndarray,
+    dst: np.ndarray,
+    shard_of,
+    P: int,
+    edge_keys: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(common, deg_src, deg_dst) per input edge, vectorized."""
+    n = len(src)
+    common = np.zeros(n, np.int64)
+    du = _outdeg_of(src, shard_of, P)
+    dv = _outdeg_of(dst, shard_of, P)
+    if n == 0 or not len(edge_keys):
+        return common, du, dv
+    take_src = du <= dv
+    expand_x = np.where(take_src, src, dst)
+    other_y = np.where(take_src, dst, src)
+    n_keys = len(edge_keys)
+    parts = part_of(expand_x, P)
+    for p in np.unique(parts):
+        sel = np.flatnonzero(parts == p)
+        sh = shard_of(int(p))
+        rows, found = csr_lookup(sh, expand_x[sel])
+        hit = np.flatnonzero(found)
+        if not len(hit):
+            continue
+        sel = sel[hit]
+        rows = rows[hit]
+        ip = sh["indptr"]
+        ccum = np.cumsum(ip[rows + 1] - ip[rows])
+        start = 0
+        while start < len(rows):
+            base = int(ccum[start - 1]) if start else 0
+            end = int(np.searchsorted(ccum, base + _PROBE_CHUNK, side="right"))
+            end = min(max(end, start + 1), len(rows))
+            rep, nbrs, _ = expand_neighbors(sh, rows[start:end])
+            if len(rep):
+                e_sel = sel[start:end][rep]
+                key = (
+                    other_y[e_sel].astype(np.uint64) << np.uint64(32)
+                ) | nbrs.astype(np.uint64)
+                pos = np.searchsorted(edge_keys, key)
+                ok = (pos < n_keys) & (
+                    edge_keys[np.minimum(pos, n_keys - 1)] == key
+                )
+                hits = np.flatnonzero(ok)
+                if len(hits):
+                    common += np.bincount(e_sel[hits], minlength=n)
+            start = end
+    return common, du, dv
+
+
+def edge_similarity(g: GraphShards, edges: rd.Dataset) -> rd.Dataset:
+    """(src, dst, common:int64, jaccard:double 6dp) per canonical edge.
+
+    ``edges`` is the deduped canonical (src<dst) pair table; ``g`` the
+    SYMMETRIZED GraphShards of the same graph (full neighborhoods).
+    Vertex ids must be < 2^32 (packed probe keys; same bound as TC)."""
+    from ..pipelines import round_half_up
+
+    keys_ref = _packed_edge_keys.remote(*g.shard_refs)
+    shard_refs = list(g.shard_refs)
+    P = g.num_parts
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        from ..superstep import _cached_shard
+
+        src, dst = np_col(batch, "src"), np_col(batch, "dst")
+        if len(src):
+            mx = max(int(src.max()), int(dst.max()))
+            assert mx < 2**32, "edge_similarity packs pairs into 64 bits"
+        keys = _cached_shard(keys_ref)
+        common, du, dv = _common_counts(
+            src, dst, lambda p: _cached_shard(shard_refs[p]), P, keys
+        )
+        denom = (du + dv - common).astype(np.float64)
+        jac = np.zeros(len(src), np.float64)
+        ok = denom > 0
+        jac[ok] = round_half_up(common[ok] / denom[ok], 6)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "common": pa.array(common, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return edges.map_batches(_batch, batch_format="pyarrow")

@@ -61,3 +61,34 @@ def test_random_walks_valid_and_invariant(tmp_path):
             elif node != -1:
                 assert (prev, node) in edges
             prev = node
+
+
+def test_edge_similarity_matches_bruteforce(tmp_path):
+    from collections import defaultdict
+
+    from essentials_rd.algorithms.similarity import edge_similarity
+
+    g, edges = _graph(4, tmp_path, seed=9)
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in canon], pa.int64()),
+                "dst": pa.array([b for _, b in canon], pa.int64()),
+            }
+        )
+    )
+    out = (
+        edge_similarity(g, eds)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    for i, (u, v) in enumerate(canon):
+        c = len(nbrs[u] & nbrs[v])
+        assert out.loc[i, "common"] == c
+        want = round(c / (len(nbrs[u]) + len(nbrs[v]) - c), 6)
+        assert abs(out.loc[i, "jaccard"] - want) < 2e-6
