@@ -786,6 +786,57 @@ JOIN deg db ON db.vid = p.dst
 """
 
 
+KTRUSS_K = 12
+KTRUSS_ROUNDS = 7
+
+
+def _q_ktruss(sf_dir: str):
+    """k-truss subgraph (algorithms.similarity.ktruss): iterative
+    support peeling, one no-checkpoint build + edge-support probe per
+    round; must reach fixpoint within the oracle's unrolled rounds."""
+    from essentials_rd.algorithms.similarity import ktruss
+
+    _, edges = _graph(sf_dir)
+    truss, rounds, converged = ktruss(edges, KTRUSS_K,
+                                      max_rounds=KTRUSS_ROUNDS)
+    assert converged, (
+        "ktruss did not converge within the oracle's unrolled rounds"
+    )
+    return truss
+
+
+def _ktruss_sql() -> str:
+    """Unrolled truss peeling: per round recompute each surviving
+    edge's in-subgraph support with the triple join and keep support
+    ≥ k−2.  Extra rounds past the engine's fixpoint are no-ops, so a
+    fixed unroll count compares exactly."""
+    steps = [
+        "e0 AS MATERIALIZED (SELECT src, dst FROM pairs)",
+    ]
+    for r in range(KTRUSS_ROUNDS - 1):
+        steps.append(
+            f"s{r} AS MATERIALIZED (SELECT src, dst FROM e{r} "
+            f"UNION ALL SELECT dst AS src, src AS dst FROM e{r})"
+        )
+        steps.append(f"""c{r} AS MATERIALIZED (
+  SELECT p.src, p.dst, count(*) AS c
+  FROM e{r} p
+  JOIN s{r} a ON a.src = p.src
+  JOIN s{r} b ON b.src = p.dst AND b.dst = a.dst
+  GROUP BY 1, 2
+)""")
+        steps.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT p.src, p.dst FROM e{r} p "
+            f"JOIN c{r} c ON c.src = p.src AND c.dst = p.dst "
+            f"WHERE c.c >= {KTRUSS_K - 2})"
+        )
+    body = ", ".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT src, dst FROM e{KTRUSS_ROUNDS - 1}"
+    )
+
+
 NS_K = 3
 WALK_STEPS = 3
 
@@ -1241,6 +1292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_docs": _q_stratified_docs,
         "top_tokens": _q_top_tokens,
         "edge_jaccard": _q_edge_jaccard,
+        "ktruss12": _q_ktruss,
         "neighbor_sample_k3": _q_neighbor_sample,
         "random_walks": _q_random_walks,
         "event_gaps": _q_event_gaps,
@@ -1964,6 +2016,7 @@ def oracle_sql() -> dict[str, str]:
         "sampled_docs": _sampled_docs_sql(),
         "stratified_docs": _stratified_docs_sql(),
         "edge_jaccard": _edge_jaccard_sql(),
+        "ktruss12": _ktruss_sql(),
         "neighbor_sample_k3": _neighbor_sample_sql(),
         "random_walks": _random_walks_sql(),
         "top_tokens": (

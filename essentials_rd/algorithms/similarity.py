@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..graph import GraphShards
+from ..graph import GraphShards, build_graph
 from ..util import csr_lookup, expand_neighbors, np_col, part_of
 from .tc import _PROBE_CHUNK, _outdeg_of, _packed_edge_keys
 
@@ -119,3 +119,35 @@ def edge_similarity(g: GraphShards, edges: rd.Dataset) -> rd.Dataset:
         )
 
     return edges.map_batches(_batch, batch_format="pyarrow")
+
+
+def ktruss(
+    edges: rd.Dataset,
+    k: int,
+    num_parts: int = 8,
+    max_rounds: int = 32,
+) -> tuple[rd.Dataset, int, bool]:
+    """k-truss subgraph: iteratively drop every edge supported by fewer
+    than k−2 triangles until fixpoint (Cohen 2008; gunrock-family
+    algorithm).  Each round is one no-checkpoint graph build over the
+    surviving canonical edges + one ``edge_similarity`` support pass +
+    a vectorized filter — all object-store exchanges, no parquet.
+    Returns (truss_edges, support_rounds, converged); the last round is
+    the fixpoint-confirming pass (no drops)."""
+    cur = edges.select_columns(["src", "dst"]).materialize()
+    n = cur.count()
+    rounds = 0
+    while rounds < max_rounds:
+        g = build_graph(cur, "", num_parts, symmetrize=True, persist=False)
+        sim = edge_similarity(g, cur)
+        nxt = (
+            sim.filter(expr=f"common >= {k - 2}")
+            .select_columns(["src", "dst"])
+            .materialize()
+        )
+        m = nxt.count()
+        rounds += 1
+        if m == n:
+            return nxt, rounds, True
+        cur, n = nxt, m
+    return cur, rounds, False

@@ -92,3 +92,41 @@ def test_edge_similarity_matches_bruteforce(tmp_path):
         assert out.loc[i, "common"] == c
         want = round(c / (len(nbrs[u]) + len(nbrs[v]) - c), 6)
         assert abs(out.loc[i, "jaccard"] - want) < 2e-6
+
+
+def test_ktruss_matches_bruteforce(tmp_path):
+    from collections import defaultdict
+
+    from essentials_rd.algorithms.similarity import ktruss
+
+    g, edges = _graph(4, tmp_path, seed=13)
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    k = 4
+
+    def peel(es):
+        es = set(es)
+        while True:
+            nbrs = defaultdict(set)
+            for a, b in es:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+            drop = {e for e in es if len(nbrs[e[0]] & nbrs[e[1]]) < k - 2}
+            if not drop:
+                return es
+            es -= drop
+
+    want = peel(canon)
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in canon], pa.int64()),
+                "dst": pa.array([b for _, b in canon], pa.int64()),
+            }
+        )
+    )
+    truss, rounds, converged = ktruss(eds, k, num_parts=4)
+    assert converged
+    got = {
+        (int(r["src"]), int(r["dst"])) for r in truss.to_pandas().to_dict("records")
+    }
+    assert got == want
