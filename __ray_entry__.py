@@ -754,6 +754,77 @@ def _stratified_docs_sql() -> str:
     )
 
 
+def _q_pagerank_weighted(sf_dir: str):
+    """Edge-weighted PageRank (WeightedPageRankProgram): mass splits
+    proportionally to co-purchase edge weights; fixed PR_ITERS power
+    steps vs the unrolled weighted-CTE oracle, 6-dp half-up on both
+    sides."""
+    from essentials_rd.algorithms.pagerank import pagerank_weighted
+    from essentials_rd.pipelines import round_half_up
+
+    g, _ = _graph(sf_dir, weighted=True)
+    res = pagerank_weighted(g, alpha=ALPHA, tol=0.0, max_iters=PR_ITERS,
+                            checkpoint_every=0, scatter_mode="fused")
+    t = res.state_table(["value"])
+    vals = round_half_up(np.asarray(t["value"], dtype=np.float64), 6)
+    return pa.table({"vid": t["vid"], "pagerank": pa.array(vals, pa.float64())})
+
+
+def _pagerank_weighted_sql() -> str:
+    steps = [
+        "symw AS MATERIALIZED (SELECT src, dst, weight FROM pairs "
+        "UNION ALL SELECT dst AS src, src AS dst, weight FROM pairs)",
+        "wdeg AS MATERIALIZED (SELECT v.vid, "
+        "COALESCE(sum(e.weight), 0.0) AS wsum, count(e.src) AS outdeg "
+        "FROM verts v LEFT JOIN symw e ON e.src = v.vid GROUP BY v.vid)",
+        "p0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nn) AS val FROM verts)",
+    ]
+    for k in range(PR_ITERS):
+        steps.append(f"""
+agg{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(p.val * e.weight / d.wsum) AS s
+  FROM symw e JOIN p{k} p ON p.vid = e.src JOIN wdeg d ON d.vid = e.src
+  GROUP BY e.dst
+),
+dang{k} AS MATERIALIZED (
+  SELECT COALESCE(sum(p.val), 0.0) AS dm
+  FROM p{k} p JOIN wdeg d ON d.vid = p.vid WHERE d.outdeg = 0
+),
+p{k + 1} AS MATERIALIZED (
+  SELECT v.vid,
+         (1.0 - {ALPHA})/(SELECT n FROM nn)
+         + {ALPHA} * (COALESCE(a.s, 0.0) + (SELECT dm FROM dang{k})/(SELECT n FROM nn)) AS val
+  FROM verts v LEFT JOIN agg{k} a ON a.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT vid, ROUND(val, 6) AS pagerank FROM p{PR_ITERS} ORDER BY vid"
+    )
+
+
+def _q_degree_hist(sf_dir: str):
+    """Degree histogram (the classic first diagnostic of a web-scale
+    graph): per-shard degree tables fold into one |V|-sized driver
+    array (the repo's documented O(|V|) ≪ O(|E|) driver allowance),
+    then a single bincount."""
+    import ray
+
+    from essentials_rd.util import np_col
+
+    g, _ = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    deg = np.zeros(len(vids), np.int64)
+    for t in ray.get(list(g.degree_refs)):
+        pos = np.searchsorted(vids, np_col(t, "vid"))
+        deg[pos] += np_col(t, "outdeg")
+    hist = np.bincount(deg)
+    nz = np.flatnonzero(hist)
+    return pa.table({"degree": pa.array(nz.astype(np.int64), pa.int64()),
+                     "n_vertices": pa.array(hist[nz].astype(np.int64),
+                                            pa.int64())})
+
+
 def _q_edge_jaccard(sf_dir: str):
     """Per-edge neighborhood similarity (algorithms.similarity):
     common-neighbor count + Jaccard for every canonical co-purchase
@@ -1291,6 +1362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_docs": _q_sampled_docs,
         "stratified_docs": _q_stratified_docs,
         "top_tokens": _q_top_tokens,
+        "pagerank_weighted_k8": _q_pagerank_weighted,
+        "degree_hist": _q_degree_hist,
         "edge_jaccard": _q_edge_jaccard,
         "ktruss12": _q_ktruss,
         "neighbor_sample_k3": _q_neighbor_sample,
@@ -2015,6 +2088,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sampled_docs": _sampled_docs_sql(),
         "stratified_docs": _stratified_docs_sql(),
+        "pagerank_weighted_k8": _pagerank_weighted_sql(),
+        "degree_hist": (
+            f"WITH {_GRAPH_CTES} "
+            "SELECT outdeg AS degree, CAST(count(*) AS BIGINT) AS n_vertices "
+            "FROM deg GROUP BY outdeg"
+        ),
         "edge_jaccard": _edge_jaccard_sql(),
         "ktruss12": _ktruss_sql(),
         "neighbor_sample_k3": _neighbor_sample_sql(),

@@ -86,6 +86,49 @@ class PageRankProgram:
         return self.tol > 0 and totals["sum_delta"] < self.n * self.tol
 
 
+class WeightedPageRankProgram(PageRankProgram):
+    """Edge-weighted PageRank: a vertex distributes its mass
+    proportionally to out-edge weights,
+
+        p'(v) = (1-α)/n + α·( Σ_{u→v} p(u)·w(u,v)/W⁺(u) + dangling/n )
+
+    with W⁺(u) = Σ out-weights.  Identical engine plumbing; scatter
+    scales each expanded contribution by its edge weight over the
+    source row's weight sum (cached per worker on the shard dict —
+    one reduceat per shard, not per batch).  Dangling = outdeg 0,
+    as in the unweighted program."""
+
+    name = "pagerank_w"
+
+    @staticmethod
+    def _row_wsums(shard) -> np.ndarray:
+        ws = shard.get("_row_wsums")
+        if ws is None:
+            ip = shard["indptr"]
+            w = shard["weights"]
+            ws = (
+                np.add.reduceat(w, ip[:-1])
+                if len(w)
+                else np.zeros(0, np.float64)
+            )
+            shard["_row_wsums"] = ws  # worker-local dict; arrays untouched
+        return ws
+
+    def scatter(self, state, shard):
+        vids, value, outdeg = state["vid"], state["value"], state["outdeg"]
+        rows, found = csr_lookup(shard, vids)
+        msgs = None
+        if found.any():
+            sel = np.flatnonzero(found)
+            rep, nbrs, eidx = expand_neighbors(shard, rows[sel])
+            wsum = self._row_wsums(shard)
+            contrib = (value[sel] / wsum[rows[sel]])[rep] * shard["weights"][eidx]
+            dst, sums, counts = segment_sum(nbrs, contrib)
+            msgs = {"dst": dst, "mval": sums, "mcount": counts}
+        dangling = float(value[outdeg == 0].sum())
+        return msgs, {"mval": dangling}
+
+
 def pagerank(
     graph: GraphShards,
     *,
@@ -99,6 +142,32 @@ def pagerank(
     **kwargs,
 ) -> RunResult:
     prog = PageRankProgram(graph.n_vertices, alpha=alpha, tol=tol)
+    return run_superstep_loop(
+        prog,
+        graph,
+        ckpt=ckpt,
+        max_iters=max_iters,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+        n_actors=n_actors,
+        **kwargs,
+    )
+
+
+def pagerank_weighted(
+    graph: GraphShards,
+    *,
+    alpha: float = 0.85,
+    tol: float = 1.0e-6,
+    max_iters: int = 200,
+    ckpt: CheckpointManager | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    n_actors: int | None = None,
+    **kwargs,
+) -> RunResult:
+    assert graph.weighted, "pagerank_weighted needs a weighted graph build"
+    prog = WeightedPageRankProgram(graph.n_vertices, alpha=alpha, tol=tol)
     return run_superstep_loop(
         prog,
         graph,

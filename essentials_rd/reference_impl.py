@@ -26,6 +26,37 @@ def _to_dense(vids: np.ndarray, src: np.ndarray, dst: np.ndarray):
     return vids, s, d
 
 
+def pagerank_weighted_ref(
+    vids: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    alpha: float = 0.85,
+    max_iters: int = 100,
+    tol: float = 1.0e-6,
+) -> np.ndarray:
+    """Edge-weighted PageRank reference: mass splits proportionally to
+    out-edge weights (W+(u) = sum of out-weights); dangling = outdeg 0,
+    redistributed uniformly; same start / stop rule as pagerank_ref."""
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    w = np.asarray(weight, dtype=np.float64)
+    wsum = np.bincount(s, weights=w, minlength=n)
+    outdeg = np.bincount(s, minlength=n)
+    dangling = outdeg == 0
+    p = np.full(n, 1.0 / n)
+    for _ in range(max_iters):
+        per_src = np.where(dangling, 0.0, p / np.maximum(wsum, 1e-300))
+        agg = np.bincount(d, weights=per_src[s] * w, minlength=n)
+        dmass = p[dangling].sum()
+        p_new = (1.0 - alpha) / n + alpha * (agg + dmass / n)
+        err = np.abs(p_new - p).sum()
+        p = p_new
+        if err < n * tol:
+            break
+    return p
+
+
 def pagerank_ref(
     vids: np.ndarray,
     src: np.ndarray,

@@ -3,7 +3,9 @@ path graph, star hub K1,50, cliques, duplicate edges — the
 "pr/cc/spmv test harness" mirror (BASELINE.json north_star)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
+import ray.data as rd
 
 from essentials_rd.algorithms import (
     connected_components,
@@ -12,6 +14,7 @@ from essentials_rd.algorithms import (
     spmv,
     triangle_counts,
 )
+from essentials_rd.graph import build_graph
 from essentials_rd.algorithms.cc import components_table
 from essentials_rd.algorithms.lp import labels_table
 from essentials_rd.algorithms.pagerank import pagerank_table
@@ -224,3 +227,39 @@ def test_hits_matches_reference(tmp_path):
     assert np.array_equal(np.asarray(t["vid"]), vids)
     assert np.allclose(np.asarray(t["hub"]), h_ref, atol=1e-9)
     assert np.allclose(np.asarray(t["auth"]), a_ref, atol=1e-9)
+
+
+def test_pagerank_weighted_matches_reference(tmp_path):
+    from essentials_rd.algorithms.pagerank import pagerank_weighted
+    from essentials_rd.reference_impl import pagerank_weighted_ref
+
+    rng = np.random.default_rng(17)
+    n_v, n_e = 150, 600
+    src = rng.integers(0, n_v, n_e)
+    dst = rng.integers(0, n_v, n_e)
+    keep = src != dst
+    s, d = np.minimum(src, dst)[keep], np.maximum(src, dst)[keep]
+    uniq, inv = np.unique(s * 1000 + d, return_index=True)
+    s, d = uniq // 1000, uniq % 1000
+    w = rng.integers(1, 6, len(s)).astype(np.float64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(s, pa.int64()),
+                "dst": pa.array(d, pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+    )
+    g = build_graph(ds, str(tmp_path / "wpr"), 4, symmetrize=True,
+                    weighted=True, persist=False)
+    res = pagerank_weighted(g, tol=1e-12, max_iters=120, checkpoint_every=0)
+    t = res.state_table(["value"])
+    got = np.asarray(t["value"], dtype=np.float64)
+    vids = np.asarray(t["vid"], dtype=np.int64)
+    want = pagerank_weighted_ref(
+        vids, np.r_[s, d], np.r_[d, s], np.r_[w, w],
+        tol=1e-12, max_iters=120,
+    )
+    assert np.allclose(got, want, atol=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-9
