@@ -982,6 +982,58 @@ def _random_walks_sql() -> str:
     return f"WITH {_GRAPH_CTES}, {body} {sel}"
 
 
+CONTAM_GRAM_K = 4
+CONTAM_FRAC = 0.1
+CONTAM_SEED = 9
+
+
+def _q_contaminated_docs(sf_dir: str):
+    """Benchmark decontamination (textops.contamination): the
+    deterministic 10% doc sample plays the held-out benchmark; every
+    remaining doc reports its count of DISTINCT shared token 4-grams
+    (exact-string semantics via hash-prefilter + verify)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import deterministic_sample
+    from essentials_rd.textops import contamination
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    key = lambda b: np_col(b, "doc_id")  # noqa: E731
+    bench = deterministic_sample(docs, CONTAM_FRAC, key, seed=CONTAM_SEED)
+    rest = deterministic_sample(docs, CONTAM_FRAC, key, seed=CONTAM_SEED,
+                                complement=True)
+    return contamination(rest, bench, gram_k=CONTAM_GRAM_K)
+
+
+def _contaminated_docs_sql() -> str:
+    k = CONTAM_GRAM_K
+    threshold = int(CONTAM_FRAC * float(2**64 - 1))
+    mix = (CONTAM_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes("cz", "doc_id, text", f"doc_id + {mix}", "documents")
+    return f"""
+WITH {chain},
+bench AS (SELECT doc_id, text FROM cz3 WHERE z < CAST('{threshold}' AS UBIGINT)),
+rest AS (SELECT doc_id, text FROM cz3 WHERE z >= CAST('{threshold}' AS UBIGINT)),
+btoks AS (SELECT string_split(text, ' ') AS ts FROM bench),
+bidx AS (SELECT ts, unnest(range(1, greatest(len(ts) - {k - 1}, 0) + 1)) AS i
+         FROM btoks),
+bgrams AS (SELECT DISTINCT array_to_string(list_slice(ts, i, i + {k - 1}), ' ')
+           AS gram FROM bidx),
+rtoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM rest),
+ridx AS (SELECT doc_id, ts,
+                unnest(range(1, greatest(len(ts) - {k - 1}, 0) + 1)) AS i
+         FROM rtoks),
+rgrams AS (SELECT doc_id,
+                  array_to_string(list_slice(ts, i, i + {k - 1}), ' ') AS gram
+           FROM ridx)
+SELECT r.doc_id, CAST(count(DISTINCT r.gram) AS BIGINT) AS n_shared
+FROM rgrams r JOIN bgrams b ON b.gram = r.gram
+GROUP BY r.doc_id
+"""
+
+
 HH_K = 25
 
 
@@ -1362,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_docs": _q_sampled_docs,
         "stratified_docs": _q_stratified_docs,
         "top_tokens": _q_top_tokens,
+        "contaminated_docs": _q_contaminated_docs,
         "pagerank_weighted_k8": _q_pagerank_weighted,
         "degree_hist": _q_degree_hist,
         "edge_jaccard": _q_edge_jaccard,
@@ -2096,6 +2149,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "edge_jaccard": _edge_jaccard_sql(),
         "ktruss12": _ktruss_sql(),
+        "contaminated_docs": _contaminated_docs_sql(),
         "neighbor_sample_k3": _neighbor_sample_sql(),
         "random_walks": _random_walks_sql(),
         "top_tokens": (

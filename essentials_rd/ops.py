@@ -615,6 +615,7 @@ def deterministic_sample(
     frac: float,
     key_fn: Callable[[pa.Table], np.ndarray],
     seed: int = 42,
+    complement: bool = False,
 ) -> rd.Dataset:
     """Value-deterministic sampling (SURVEY.md §2.4 R7): keep a row iff
     ``hash64(key ^ seed-mix) / 2^64 < frac``.  Unlike
@@ -631,7 +632,8 @@ def deterministic_sample(
         k = key_fn(batch).astype(np.int64)
         with np.errstate(over="ignore"):
             h = hash64(k + mix)
-        return batch.take(pa.array(np.flatnonzero(h < threshold)))
+        mask = (h >= threshold) if complement else (h < threshold)
+        return batch.take(pa.array(np.flatnonzero(mask)))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
 

@@ -1171,3 +1171,139 @@ def heavy_hitters_tokens(
             "n": pa.array(exact[order], pa.int64()),
         }
     )
+
+
+# ------------------------------------------- benchmark decontamination
+
+
+def _doc_grams(texts: pd.Series, k: int):
+    """Flat (row, start, gram_hash) for every length-k token window of
+    docs with ≥ k tokens (positional, SQL list_slice parity — short
+    docs yield nothing), plus the split token lists for exact-string
+    reconstruction at hash hits."""
+    toks = texts.str.split(" ")
+    counts = toks.str.len().to_numpy(np.int64)
+    rep = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    flat = np.asarray([t for lst in toks for t in lst], dtype=object)
+    empty = (toks, np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros(0, np.uint64))
+    n = len(flat)
+    m = n - k + 1
+    if n == 0 or m <= 0:
+        return empty
+    h = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        c = h[:m].copy()
+        for j in range(1, k):
+            c = c * _POLY ^ h[j: j + m]
+    valid = rep[:m] == rep[k - 1:]
+    if not valid.any():
+        return empty
+    gpos = np.flatnonzero(valid)
+    row = rep[gpos]
+    doc_starts = np.zeros(len(texts), np.int64)
+    np.cumsum(counts[:-1], out=doc_starts[1:])
+    start = gpos - doc_starts[row]
+    return toks, row, start, c[gpos]
+
+
+def contamination(
+    docs: rd.Dataset,
+    bench: rd.Dataset,
+    gram_k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Benchmark decontamination: per corpus document, the number of
+    DISTINCT token ``gram_k``-grams it shares with the benchmark set
+    (docs with ≥ 1 shared gram are contamination candidates — the
+    standard eval-leakage check before training).
+
+    The benchmark side is small by definition: its distinct gram
+    (hash, string) pairs are collected once and broadcast (``ray.put``),
+    the lang-profile/broadcast-join pattern.  The corpus side streams:
+    per batch one vectorized rolling token-hash pass builds every gram
+    hash, a searchsorted membership against the broadcast hash array
+    prefilters, and ONLY hash hits reconstruct their exact gram string
+    for verification — result is exact-string semantics (no 64-bit
+    collision risk) with the hot path fully vectorized."""
+    import ray
+
+    bparts = (
+        bench.select_columns([text_col])
+        .map_batches(
+            lambda b: _bench_gram_table(b, text_col, gram_k),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    if bparts:
+        gs = pd.unique(np.asarray([r["gram"] for r in bparts], dtype=object))
+        hs = np.asarray([r["h"] for r in bparts], dtype=np.uint64)
+        uniq_idx = pd.Index(np.asarray([r["gram"] for r in bparts], dtype=object))
+        first = ~uniq_idx.duplicated()
+        gs = uniq_idx.to_numpy(object)[first]
+        hs = hs[first]
+    else:
+        gs = np.zeros(0, object)
+        hs = np.zeros(0, np.uint64)
+    order = np.argsort(hs)
+    hs_sorted = hs[order]
+    strings_idx = pd.Index(gs)
+    bref = ray.put((hs_sorted, strings_idx))
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        from .util import np_col as _npc
+
+        hs_s, sidx = ray.get(bref)
+        ids = _npc(batch, id_col)
+        s = batch.column(text_col).to_pandas()
+        toks, row, start, gh = _doc_grams(s, gram_k)
+        out_ids = np.zeros(0, np.int64)
+        out_n = np.zeros(0, np.int64)
+        if len(gh) and len(hs_s):
+            pos = np.searchsorted(hs_s, gh)
+            hit = np.flatnonzero(
+                (pos < len(hs_s)) & (hs_s[np.minimum(pos, len(hs_s) - 1)] == gh)
+            )
+            if len(hit):
+                cand = [
+                    " ".join(toks.iloc[r][st: st + gram_k])
+                    for r, st in zip(row[hit], start[hit])
+                ]
+                ok = sidx.get_indexer(np.asarray(cand, dtype=object))
+                good = np.flatnonzero(ok >= 0)
+                if len(good):
+                    pairs = np.unique(
+                        row[hit[good]].astype(np.uint64) * np.uint64(2**32)
+                        + np.asarray(ok[good], dtype=np.uint64)
+                    )
+                    rws = (pairs >> np.uint64(32)).astype(np.int64)
+                    cnt = np.bincount(rws, minlength=len(s))
+                    nz = np.flatnonzero(cnt)
+                    out_ids = ids[nz]
+                    out_n = cnt[nz].astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "n_shared": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_scan, batch_format="pyarrow")
+
+
+def _bench_gram_table(batch: pa.Table, text_col: str, k: int) -> pa.Table:
+    s = batch.column(text_col).to_pandas()
+    toks, row, start, gh = _doc_grams(s, k)
+    grams = [
+        " ".join(toks.iloc[r][st: st + k]) for r, st in zip(row, start)
+    ]
+    df = pd.DataFrame({"gram": grams, "h": gh})
+    df = df.drop_duplicates("gram")
+    return pa.table(
+        {
+            "gram": pa.array(df["gram"].to_numpy(object), pa.string()),
+            "h": pa.array(df["h"].to_numpy(np.uint64), pa.uint64()),
+        }
+    )

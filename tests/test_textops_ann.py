@@ -296,3 +296,32 @@ def test_heavy_hitters_exact_and_fallback():
     got_fb = heavy_hitters_tokens(ds, k=10, m=2).to_pandas()
     assert got_fb["token"].tolist() == want_tokens
     assert got_fb["n"].tolist() == want_counts
+
+
+def test_contamination_planted_grams():
+    from essentials_rd.textops import contamination
+
+    bench_docs = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+    ]
+    corpus = [
+        "xx alpha beta gamma delta yy",          # shares 1 distinct 4-gram
+        "one two three four five something",      # shares 2 (overlapping)
+        "totally different words here now",       # clean
+        "alpha beta gamma delta epsilon qq four five six",  # shares 2
+        "a b c",                                  # shorter than k -> clean
+    ]
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(bench_docs, pa.string()),
+    }))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(corpus, pa.string()),
+    })).repartition(3)
+    out = (
+        contamination(docs, bench, gram_k=4)
+        .to_pandas().set_index("doc_id")["n_shared"].to_dict()
+    )
+    assert out == {0: 1, 1: 2, 3: 2}
