@@ -24,9 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="essentials_rd")
     p.add_argument("--input", required=True, help="repo_files parquet file/dir")
     p.add_argument("--algo", required=True,
-                   choices=["pr", "cc", "lp", "tc", "spmv", "bfs", "sssp",
-                            "ppr", "kcore", "eigen", "color", "hits", "bc",
-                            "msf"])
+                   choices=["pr", "wpr", "cc", "lp", "tc", "spmv", "bfs",
+                            "sssp", "ppr", "kcore", "eigen", "color", "hits",
+                            "bc", "msf", "ktruss", "esim", "nsample",
+                            "walks"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out", default=None, help="result parquet dir")
     p.add_argument("--num-parts", type=int, default=16)
@@ -38,7 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--scatter-mode", default="tasks",
                    choices=["tasks", "actors", "fused"])
-    p.add_argument("--k", type=int, default=3, help="kcore k")
+    p.add_argument("--k", type=int, default=3,
+                   help="kcore/ktruss k, nsample fanout, hits/bc rounds")
+    p.add_argument("--steps", type=int, default=3, help="walk steps")
+    p.add_argument("--seed", type=int, default=42,
+                   help="sampling seed (nsample/walks)")
     p.add_argument("--source", type=int, default=None,
                    help="bfs/sssp source vertex (default: min vid)")
     p.add_argument("--resume", action="store_true")
@@ -84,12 +89,16 @@ def main(argv: list[str] | None = None) -> int:
         edges = edges.materialize()
         print(json.dumps({"event": "derived", "heavy_keys_dropped": n_heavy}),
               flush=True)
+        # wpr checkpoints edge weights so --resume reloads a weighted
+        # graph; every other algorithm keeps the unweighted checkpoint
+        weighted_build = args.algo == "wpr"
+        cols = ["src", "dst"] + (["weight"] if weighted_build else [])
         g = build_graph(
-            edges.select_columns(["src", "dst"]),
+            edges.select_columns(cols),
             args.ckpt_dir,
             args.num_parts,
             symmetrize=True,
-            weighted=False,
+            weighted=weighted_build,
         )
 
     common = dict(ckpt=ckpt, checkpoint_every=args.checkpoint_every,
@@ -106,6 +115,60 @@ def main(argv: list[str] | None = None) -> int:
         res = pagerank(g, alpha=args.alpha, tol=args.tol, on_step_end=log_step,
                        **common)
         out_cols = ["value"]
+    elif args.algo == "wpr":
+        from .algorithms.pagerank import pagerank_weighted
+
+        res = pagerank_weighted(g, alpha=args.alpha, tol=args.tol,
+                                on_step_end=log_step, **common)
+        out_cols = ["value"]
+    elif args.algo in ("nsample", "walks"):
+        from .sampling import random_walks, sample_neighbors
+
+        if args.algo == "nsample":
+            out = sample_neighbors(g, args.k, seed=args.seed)
+        else:
+            out = random_walks(g, args.steps, seed=args.seed)
+        n = out.count()
+        if args.out:
+            out.write_parquet(args.out)
+        print(json.dumps({"event": "done", "algo": args.algo, "rows": n}),
+              flush=True)
+        ray.shutdown()
+        return 0
+    elif args.algo in ("ktruss", "esim"):
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from .algorithms.similarity import edge_similarity, ktruss as _ktruss
+
+        if edges is None:
+            # checkpoint is symmetrized; similarity ops take the
+            # canonical src<dst form
+            edges = rd.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+                lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
+                batch_format="pyarrow",
+            )
+        canon = edges.select_columns(["src", "dst"])
+        if args.algo == "esim":
+            out = edge_similarity(g, canon)
+            n = out.count()
+            if args.out:
+                out.write_parquet(args.out)
+            print(json.dumps({"event": "done", "algo": "esim", "rows": n}),
+                  flush=True)
+        else:
+            truss, rounds, converged = _ktruss(
+                canon, args.k, num_parts=args.num_parts,
+                max_rounds=args.max_iters,
+            )
+            n = truss.count()
+            if args.out:
+                truss.write_parquet(args.out)
+            print(json.dumps({"event": "done", "algo": "ktruss", "k": args.k,
+                              "rounds": rounds, "converged": converged,
+                              "edges": n}), flush=True)
+        ray.shutdown()
+        return 0
     elif args.algo == "cc":
         res = connected_components(g, on_step_end=log_step, **common)
         out_cols = ["label"]

@@ -81,14 +81,17 @@ def test_cli_kill_resume_pagerank(tmp_path):
 
 @pytest.mark.slow
 def test_cli_round3_algos_smoke(tmp_path):
-    """Every round-3 CLI algo (eigen/color/hits/bc/msf) runs end-to-end
-    through the real entry point and writes a result parquet."""
+    """Every round-3 CLI algo (eigen/color/hits/bc/msf/wpr/ktruss/esim/
+    nsample/walks) runs end-to-end through the real entry point and
+    writes a result parquet."""
     corpus = tmp_path / "corpus"
     generate_corpus(str(corpus), n_repos=150, seed=13, compute_expected=False)
     inp = str(corpus / "repo_files.parquet")
     expect_rows_col = {
         "eigen": "value", "color": "color", "hits": "hub",
-        "bc": "bc", "msf": "weight",
+        "bc": "bc", "msf": "weight", "wpr": "value",
+        "ktruss": "src", "esim": "jaccard", "nsample": "dst",
+        "walks": "node",
     }
     for algo, col in expect_rows_col.items():
         out = tmp_path / f"out_{algo}"
