@@ -1061,6 +1061,47 @@ def _q_event_gaps(sf_dir: str):
     return lag_diff(ev)
 
 
+WINDOW_US = 2 * 3600 * 1_000_000  # 2-hour post-purchase window
+
+
+def _q_events_in_windows(sf_dir: str):
+    """Bounded interval join (ops.interval_join): every event that
+    falls inside another SAME-USER purchase event's half-open 2-hour
+    window [purchase_ts, purchase_ts + 2h), self-pairs excluded — one
+    co-shuffle + per-bucket searchsorted window probe, never a per-key
+    scan."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.ops import interval_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        lo = t.column("ts").combine_chunks().cast(
+            pa.timestamp("us")).cast(pa.int64())
+        hi = pc.add(lo, WINDOW_US)
+        return pa.table({"window_event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "lo": lo, "hi": hi})
+
+    wins = ev.map_batches(_windows, batch_format="pyarrow")
+    pairs = interval_join(
+        ev.select_columns(["event_id", "ts", "user_id"]), wins,
+        left_key="user_id", right_key="user_id",
+        left_ts="ts", right_lo="lo", right_hi="hi",
+        left_carry=["event_id"], right_carry=["window_event_id"],
+        max_span=WINDOW_US,
+    )
+    return pairs.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("event_id"),
+                                        t.column("window_event_id"))),
+        batch_format="pyarrow",
+    )
+
+
 def _q_clustering_coeff(sf_dir: str):
     """Per-vertex local clustering coefficient 2·tri(v)/(deg(v)·(deg(v)−1))
     from the cached triangle counts + degree table (0 when deg < 2),
@@ -1422,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_sample_k3": _q_neighbor_sample,
         "random_walks": _q_random_walks,
         "event_gaps": _q_event_gaps,
+        "events_in_windows": _q_events_in_windows,
         "clustering_coeff": _q_clustering_coeff,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
@@ -2165,6 +2207,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events"
         ),
         "clustering_coeff": _clustering_coeff_sql(),
+        "events_in_windows": (
+            "SELECT l.event_id AS event_id, "
+            "r.event_id AS window_event_id "
+            "FROM events l JOIN events r ON l.user_id = r.user_id "
+            "AND r.event_type = 'purchase' "
+            "AND l.ts >= r.ts "
+            f"AND epoch_us(l.ts) < epoch_us(r.ts) + {WINDOW_US} "
+            "AND l.event_id <> r.event_id"
+        ),
         "parts_per_order": (
             "SELECT l_orderkey, "
             "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "

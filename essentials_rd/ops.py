@@ -993,6 +993,157 @@ def asof_join(
     )
 
 
+def interval_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    left_carry: list[str],
+    right_carry: list[str],
+    max_span: int,
+    out_names: dict[str, str] | None = None,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Bounded interval (range) join — a custom operator the Dataset
+    API lacks (SURVEY.md §2.4): emit one row per (left, right) pair
+    with the same key and ``right.lo <= left.ts < right.hi``
+    (half-open, one-to-many).  ``max_span`` is a caller-supplied upper
+    bound on every right interval's length (asserted per bucket) — the
+    standard bounded-range-join restriction that turns the inequality
+    join into a per-row window probe instead of a per-key scan.
+
+    Shape mirrors :func:`asof_join`: ONE co-shuffle (both sides stamped
+    with ``bucket = hash64(key) % B``), then each bucket resolves with
+    vectorized searchsorted over the (key_rank, lo)-composed order.
+    Because ``hi <= lo + max_span``, a match implies
+    ``ts - max_span < lo <= ts``, so candidates per left row are one
+    contiguous slice of the lo-sorted segment; the exact ``hi > ts``
+    test filters the expanded candidates.  Work per bucket is
+    O((L+R)·log R + matches); per-worker memory is the bucket plus its
+    match fan-out, never the table.
+
+    Keys, carries and interval columns must be integer (timestamps
+    pre-cast to epoch µs by the caller).
+    """
+    out_names = out_names or {}
+    l_fields = [pa.field(c, pa.int64()) for c in left_carry]
+    r_fields = [pa.field(c, pa.int64()) for c in right_carry]
+    union_schema = pa.schema(
+        [
+            pa.field("__k__", pa.int64()),
+            pa.field("__t__", pa.int64()),   # left ts | right lo
+            pa.field("__h__", pa.int64()),   # right hi (null on left)
+            pa.field("__side__", pa.int8()),
+        ]
+        + l_fields
+        + r_fields
+        + [pa.field("__bucket__", pa.int32())]
+    )
+
+    def _ts_np(batch: pa.Table, col: str) -> np.ndarray:
+        c = batch.column(col).combine_chunks()
+        if pa.types.is_timestamp(c.type):
+            c = c.cast(pa.timestamp("us"))
+        return c.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    def _tag(side: int, key: str, ts: str, hi: str | None, cols: list[str]):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            k = np_col(batch, key).astype(np.int64)
+            arrs = [
+                pa.array(k, pa.int64()),
+                pa.array(_ts_np(batch, ts), pa.int64()),
+                (pa.array(_ts_np(batch, hi), pa.int64()) if hi
+                 else pa.nulls(n, pa.int64())),
+                pa.array(np.full(n, side, np.int8), pa.int8()),
+            ]
+            for f in l_fields + r_fields:
+                if f.name in cols:
+                    arrs.append(batch.column(f.name).cast(pa.int64()))
+                else:
+                    arrs.append(pa.nulls(n, pa.int64()))
+            arrs.append(
+                pa.array(
+                    (hash64(k) % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                )
+            )
+            return pa.Table.from_arrays(arrs, schema=union_schema)
+
+        return _fn
+
+    tagged = left.map_batches(
+        _tag(0, left_key, left_ts, None, left_carry), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            _tag(1, right_key, right_lo, right_hi, right_carry),
+            batch_format="pyarrow",
+        )
+    )
+    out_fields = [(out_names.get(c, c), c) for c in left_carry]
+    rout_fields = [(out_names.get(c, c), c) for c in right_carry]
+    empty = pa.table(
+        {o: pa.array([], pa.int64()) for o, _ in out_fields + rout_fields}
+    )
+
+    def _resolve(grp: pa.Table) -> pa.Table:
+        side = np_col(grp, "__side__")
+        lt = grp.filter(pa.array(side == 0))
+        rt = grp.filter(pa.array(side == 1))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        lk, lts = np_col(lt, "__k__"), np_col(lt, "__t__")
+        rk, rlo = np_col(rt, "__k__"), np_col(rt, "__t__")
+        rhi = np_col(rt, "__h__")
+        span = rhi - rlo
+        assert span.max(initial=0) <= max_span, (
+            f"interval_join: right span {span.max()} exceeds "
+            f"max_span={max_span}"
+        )
+        order = np.lexsort((rlo, rk))
+        rk, rlo, rhi = rk[order], rlo[order], rhi[order]
+        uk = np.unique(rk)
+        kr_r = np.searchsorted(uk, rk)
+        vals = np.unique(np.concatenate([rlo, lts, lts - max_span]))
+        u = np.int64(len(vals) + 1)
+        comp_r = kr_r * u + np.searchsorted(vals, rlo)
+        kr_l = np.searchsorted(uk, np.clip(lk, uk[0], uk[-1]))
+        key_hit = uk[np.minimum(kr_l, len(uk) - 1)] == lk
+        # candidates: lo in (ts - max_span, ts]  (within the key segment
+        # by construction — ranks are < u so comps stay in [kr·u, kr·u+u))
+        start = np.searchsorted(
+            comp_r, kr_l * u + np.searchsorted(vals, lts - max_span),
+            side="right",
+        )
+        end = np.searchsorted(
+            comp_r, kr_l * u + np.searchsorted(vals, lts), side="right"
+        )
+        counts = np.where(key_hit, end - start, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        rep = np.repeat(np.arange(lt.num_rows, dtype=np.int64), counts)
+        csum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ridx = np.repeat(start, counts) + (
+            np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
+        )
+        keep = rhi[ridx] > lts[rep]
+        rep, ridx = rep[keep], ridx[keep]
+        cols = {o: lt.column(c).take(pa.array(rep)) for o, c in out_fields}
+        rsrc = order[ridx]
+        for o, c in rout_fields:
+            cols[o] = rt.column(c).take(pa.array(rsrc))
+        return pa.table(cols)
+
+    return tagged.groupby("__bucket__").map_groups(
+        _resolve, batch_format="pyarrow"
+    )
+
+
 def run_batch(jobs: dict[str, Callable[[], object]], max_workers: int | None = None) -> dict:
     """Run several independent problem instances CONCURRENTLY against
     one Ray cluster — the reference's ``batch`` operator
