@@ -374,6 +374,30 @@ def _q_betweenness(sf_dir: str):
     return pa.table({"vid": t["vid"], "bc": pa.array(vals, pa.float64())})
 
 
+HC_SOURCES = 4
+HC_D = 6
+
+
+def _q_harmonic(sf_dir: str):
+    """Sampled harmonic centrality (HC_SOURCES smallest vids) via ONE
+    multi-source bitmask BFS program, depth-truncated at HC_D so the
+    unrolled SQL oracle reproduces it level-for-level; half-up 6dp
+    rounding on both sides."""
+    import ray
+
+    from essentials_rd.algorithms import harmonic, harmonic_table
+    from essentials_rd.pipelines import round_half_up
+
+    g, _ = _graph(sf_dir)
+    vids = np.sort(np.asarray(ray.get(g.vertex_ids_ref), np.int64))
+    res = harmonic(g, vids[:HC_SOURCES], max_iters=HC_D,
+                   checkpoint_every=0, scatter_mode="fused")
+    t = harmonic_table(res)
+    vals = round_half_up(np.asarray(t["harmonic"], np.float64), 6)
+    return pa.table({"vid": t["vid"],
+                     "harmonic": pa.array(vals, pa.float64())})
+
+
 def _q_geo(sf_dir: str):
     """Location inference on the co-purchase graph: seeds = vids
     divisible by 7 at (vid%180, vid%360); label-once mean propagation
@@ -1497,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msf_total": _q_msf,
         "geo_infer": _q_geo,
         "bc_sampled": _q_betweenness,
+        "harmonic_sampled": _q_harmonic,
         "tfidf_top1": _q_tfidf,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -1835,6 +1860,40 @@ dl{i}_{r} AS MATERIALIZED (
         f"FROM verts v LEFT JOIN "
         f"(SELECT vid, sum(delta) AS bc FROM ({union}) GROUP BY vid) b "
         f"ON b.vid = v.vid ORDER BY v.vid"
+    )
+
+
+def _harmonic_sql() -> str:
+    """Unrolled multi-source BFS levels: per round r the per-vertex
+    count of sources first arriving at r contributes count/r — exactly
+    the engine's popcount(new_bits)/r accumulation."""
+    parts = [f"""
+hs AS MATERIALIZED (SELECT vid AS s FROM verts ORDER BY vid LIMIT {HC_SOURCES}),
+hr0 AS MATERIALIZED (SELECT s, s AS vid FROM hs),
+hv0 AS MATERIALIZED (SELECT s, vid FROM hr0)"""]
+    for r in range(1, HC_D + 1):
+        parts.append(f"""
+hr{r} AS MATERIALIZED (
+  SELECT p.s, e.dst AS vid
+  FROM sym e JOIN hr{r - 1} p ON p.vid = e.src
+  LEFT JOIN hv{r - 1} w ON w.s = p.s AND w.vid = e.dst
+  WHERE w.vid IS NULL GROUP BY p.s, e.dst
+),
+hv{r} AS MATERIALIZED (
+  SELECT s, vid FROM hv{r - 1} UNION ALL SELECT s, vid FROM hr{r}
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT vid, CAST(count(*) AS DOUBLE) / {r} AS contrib "
+        f"FROM hr{r} GROUP BY vid"
+        for r in range(1, HC_D + 1)
+    )
+    body = ",".join(parts)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT v.vid, ROUND(COALESCE(h.h, 0.0), 6) AS harmonic "
+        f"FROM verts v LEFT JOIN "
+        f"(SELECT vid, sum(contrib) AS h FROM ({union}) GROUP BY vid) h "
+        f"ON h.vid = v.vid ORDER BY v.vid"
     )
 
 
@@ -2393,6 +2452,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tfidf_top1": _tfidf_sql(),
         "geo_infer": _geo_sql(),
         "bc_sampled": _bc_sql(),
+        "harmonic_sampled": _harmonic_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),

@@ -14,6 +14,7 @@ from .msf import boruvka_msf
 from .geo import GeoProgram, geo
 from .bc import betweenness
 from .hits import HitsProgram, hits, hits_graph_edges, hits_table
+from .harmonic import MultiSourceBfsProgram, harmonic, harmonic_table
 
 __all__ = [
     "PageRankProgram",
@@ -46,4 +47,7 @@ __all__ = [
     "hits",
     "hits_graph_edges",
     "hits_table",
+    "MultiSourceBfsProgram",
+    "harmonic",
+    "harmonic_table",
 ]

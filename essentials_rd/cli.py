@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["pr", "wpr", "cc", "lp", "tc", "spmv", "bfs",
                             "sssp", "ppr", "kcore", "eigen", "color", "hits",
                             "bc", "msf", "ktruss", "esim", "nsample",
-                            "walks"])
+                            "walks", "harmonic"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out", default=None, help="result parquet dir")
     p.add_argument("--num-parts", type=int, default=16)
@@ -201,6 +201,14 @@ def main(argv: list[str] | None = None) -> int:
 
         res = _kcore(g, args.k, on_step_end=log_step, **common)
         out_cols = ["alive", "adeg"]
+    elif args.algo == "harmonic":
+        import numpy as np
+
+        from .algorithms import harmonic as _harmonic
+
+        vids = np.sort(np.asarray(ray.get(g.vertex_ids_ref), np.int64))
+        res = _harmonic(g, vids[:args.k], on_step_end=log_step, **common)
+        out_cols = ["h"]
     elif args.algo == "eigen":
         from .algorithms import eigencentrality
 

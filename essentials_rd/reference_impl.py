@@ -501,6 +501,32 @@ def betweenness_ref(
     return bc
 
 
+def harmonic_ref(
+    vids: np.ndarray, src: np.ndarray, dst: np.ndarray,
+    sources: np.ndarray, max_depth: int,
+) -> np.ndarray:
+    """Sampled harmonic centrality over a SYMMETRIZED edge list:
+    h(v) = Σ_{s∈sources, s≠v} 1/d(s,v), hops capped at ``max_depth``
+    (depth-truncated variant — matches the engine's max_iters cap)."""
+    vids, s_, d_ = _to_dense(vids, src, dst)
+    n = len(vids)
+    h = np.zeros(n)
+    for sv in np.searchsorted(vids, sources):
+        depth = np.full(n, -1, np.int64)
+        depth[sv] = 0
+        lev = 0
+        while lev < max_depth:
+            on = depth[s_] == lev
+            new = (depth[d_] == -1) & on
+            if not new.any():
+                break
+            depth[d_[new]] = lev + 1
+            lev += 1
+        reach = depth > 0
+        h[reach] += 1.0 / depth[reach]
+    return h
+
+
 def hits_ref(
     vids: np.ndarray, src: np.ndarray, dst: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -127,6 +127,33 @@ def segment_min(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndar
     return uniq, mins, counts
 
 
+def segment_or(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bitwise OR of ``vals`` grouped by ``keys`` — the idempotent
+    combine for bitmask frontiers (multi-source BFS).  Returns
+    (unique_keys, ors, counts)."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=vals.dtype), np.zeros(0, dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    sk, sv = keys[order], vals[order]
+    uniq, starts, counts = np.unique(sk, return_index=True, return_counts=True)
+    ors = np.bitwise_or.reduceat(sv, starts)
+    return uniq, ors, counts
+
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.int64)
+
+
+def popcount64(a: np.ndarray) -> np.ndarray:
+    """Per-element set-bit count of an int64/uint64 array (NumPy 1.x
+    has no bit_count ufunc — byte LUT over the raw view)."""
+    if len(a) == 0:
+        return np.zeros(0, np.int64)
+    b = np.ascontiguousarray(a).view(np.uint8).reshape(len(a), 8)
+    return _POP8[b].sum(axis=1)
+
+
 def segment_max(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Max of ``vals`` grouped by ``keys``. Returns (unique_keys, maxs, counts)."""
     if len(keys) == 0:

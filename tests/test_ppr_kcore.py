@@ -217,3 +217,40 @@ def test_betweenness_matches_cpu_reference(tmp_path):
     ref = betweenness_ref(vids, sym_s, sym_d, sources)
     assert np.allclose(np.asarray(t["bc"]), ref, atol=1e-9)
     assert (np.asarray(t["bc"]) >= -1e-12).all()
+
+
+def test_harmonic_matches_cpu_reference(tmp_path):
+    from essentials_rd.algorithms import harmonic, harmonic_table
+    from essentials_rd.reference_impl import harmonic_ref
+
+    src, dst = _dedup_edges(seed=47)
+    g = build_graph(_ds(src, dst), str(tmp_path / "g"), 4, symmetrize=True)
+    vids = ray.get(g.vertex_ids_ref)
+    sources = np.sort(vids)[:5]
+    res = harmonic(g, sources, max_iters=8, checkpoint_every=0,
+                   scatter_mode="fused")
+    t = harmonic_table(res)
+    sym_s, sym_d = np.r_[src, dst], np.r_[dst, src]
+    ref = harmonic_ref(vids, sym_s, sym_d, sources, max_depth=8)
+    # per-round sums are popcount/r — integer ratios, exact in float64
+    assert np.allclose(np.asarray(t["harmonic"]), ref, atol=1e-12)
+    # sources never count themselves (their own bit is set at depth 0)
+    assert res.converged
+
+
+def test_harmonic_depth_cap_truncates(tmp_path):
+    from essentials_rd.algorithms import harmonic, harmonic_table
+    from essentials_rd.reference_impl import harmonic_ref
+
+    # path 0-1-2-3-4-5: from source 0, depth cap 2 reaches only 1, 2
+    src = np.array([0, 1, 2, 3, 4], np.int64)
+    dst = np.array([1, 2, 3, 4, 5], np.int64)
+    g = build_graph(_ds(src, dst), str(tmp_path / "g"), 2, symmetrize=True)
+    res = harmonic(g, [0], max_iters=2, checkpoint_every=0)
+    t = harmonic_table(res)
+    vids = np.asarray(t["vid"])
+    ref = harmonic_ref(vids, np.r_[src, dst], np.r_[dst, src],
+                       np.array([0]), max_depth=2)
+    assert np.allclose(np.asarray(t["harmonic"]), ref)
+    assert np.asarray(t["harmonic"]).tolist() == [0.0, 1.0, 0.5, 0.0, 0.0, 0.0]
+    assert not res.converged  # truncated before the frontier died
