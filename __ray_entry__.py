@@ -1085,6 +1085,57 @@ def _q_event_gaps(sf_dir: str):
     return lag_diff(ev)
 
 
+SIMHASH_T = 3
+
+
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (textops.simhash_near_pairs): hamming ≤
+    SIMHASH_T via 4×16-bit pigeonhole banding + in-bucket exact
+    popcount verify; the token hash is the SQL-reproducible code-point
+    polynomial, so the oracle recomputes the full sketch bit-for-bit."""
+    import ray.data as rd
+
+    from essentials_rd.textops import simhash_near_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return simhash_near_pairs(docs, max_hamming=SIMHASH_T)
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of the full SimHash sketch: token key = code-point
+    polynomial (first 8 chars ·31^i + capped length ·31^8) through the
+    shared SplitMix64 chain, per-(doc, bit) ±1 votes, bit set when the
+    vote sum is positive, pairs by bit_count(xor) ≤ T."""
+    terms = " + ".join(
+        f"(CASE WHEN length(tok) >= {i + 1} THEN "
+        f"CAST(unicode(substr(tok, {i + 1}, 1)) AS HUGEINT) ELSE 0 END)"
+        f" * {31 ** i}"
+        for i in range(8)
+    )
+    key = f"({terms} + CAST(LEAST(length(tok), 64) AS HUGEINT) * {31 ** 8})"
+    chain = _sm64_ctes(
+        "sz", "doc_id", key,
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents)",
+    )
+    return (
+        f"WITH {chain}, "
+        "simbits AS (SELECT doc_id, b, "
+        "SUM(CASE WHEN (z >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        "FROM sz3, (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b), "
+        "simsh AS MATERIALIZED (SELECT doc_id, "
+        "CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << b "
+        "ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS h "
+        "FROM simbits GROUP BY doc_id) "
+        "SELECT a, b, hamming FROM ("
+        "SELECT x.doc_id AS a, y.doc_id AS b, "
+        "CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS hamming "
+        "FROM simsh x JOIN simsh y ON x.doc_id < y.doc_id"
+        f") WHERE hamming <= {SIMHASH_T}"
+    )
+
+
 WINDOW_US = 2 * 3600 * 1_000_000  # 2-hour post-purchase window
 
 
@@ -1488,6 +1539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "event_gaps": _q_event_gaps,
         "events_in_windows": _q_events_in_windows,
+        "simhash_pairs": _q_simhash_pairs,
         "clustering_coeff": _q_clustering_coeff,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
@@ -2453,6 +2505,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "geo_infer": _geo_sql(),
         "bc_sampled": _bc_sql(),
         "harmonic_sampled": _harmonic_sql(),
+        "simhash_pairs": _simhash_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),

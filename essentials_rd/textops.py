@@ -684,17 +684,47 @@ def near_dup_clusters(
 
 # ------------------------------------------------------------- simhash
 
+_P31 = np.uint64(31) ** np.arange(9, dtype=np.uint64)  # 31^0 .. 31^8
+
+
+def _flat_token_keys_oracle(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Split on single spaces and hash tokens with a DuckDB-reproducible
+    key: ``splitmix64(Σ_{i<8} codepoint(t[i])·31^i + min(len,64)·31^8)``
+    — same contract as :func:`_flat_token_hashes` but the hash VALUE is
+    exactly recomputable in SQL (the splitmix64 CTE chain over integer
+    code points), which is what lets simhash/winnowing results be
+    oracle-checked bit-for-bit.  Tokens agreeing on the first 8 code
+    points and capped length collide by design; for bit-vote/window-min
+    sketches that only biases, never breaks, the sketch.  Fully
+    vectorized: the fixed-width ``U8`` view exposes the first 8 UCS-4
+    code points as a (tokens, 8) uint32 matrix."""
+    toks = texts.str.split(" ")
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    rep = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    flat = np.asarray([t for lst in toks for t in lst], dtype=object)
+    if len(flat) == 0:
+        return rep, np.zeros(0, np.uint64)
+    u = np.asarray(flat, dtype="U64")  # length capped at 64 (SQL: LEAST)
+    lens = np.char.str_len(u).astype(np.uint64)
+    cp = np.asarray(u, dtype="U8").view(np.uint32).reshape(len(flat), 8)
+    key = (cp.astype(np.uint64) * _P31[None, :8]).sum(
+        axis=1, dtype=np.uint64
+    ) + lens * _P31[8]  # < 2^60 — never wraps
+    return rep, hash64(key.view(np.int64))
+
 
 def simhash(docs: rd.Dataset, text_col: str = "text",
             id_col: str = "doc_id") -> rd.Dataset:
     """64-bit SimHash over tokens — one vectorized token-hash pass, bit
     votes via a (tokens × 64) matrix reduced per doc with
-    ``np.add.reduceat`` (no per-doc/per-token Python loop)."""
+    ``np.add.reduceat`` (no per-doc/per-token Python loop).  Token
+    hashes come from :func:`_flat_token_keys_oracle`, so the full
+    sketch is recomputable by the DuckDB oracle."""
 
     def _sim(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas()
         n = batch.num_rows
-        rep, h = _flat_token_hashes(s)
+        rep, h = _flat_token_keys_oracle(s)
         out = np.zeros(n, dtype=np.uint64)
         if len(h):
             bits = (
@@ -713,6 +743,75 @@ def simhash(docs: rd.Dataset, text_col: str = "text",
                          "simhash": pa.array(out.astype(np.int64), pa.int64())})
 
     return docs.map_batches(_sim, batch_format="pyarrow")
+
+
+def simhash_near_pairs(
+    docs: rd.Dataset,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cap: int = 1000,
+) -> rd.Dataset:
+    """All doc pairs with SimHash hamming distance ≤ ``max_hamming`` —
+    Manku/Jain/Sarma (WWW'07) near-dup banding: split the 64-bit sketch
+    into ``num_bands`` equal chunks; by pigeonhole any pair within
+    ``max_hamming ≤ num_bands − 1`` bit flips agrees on ≥ 1 whole
+    chunk, so bucketing on (band, chunk_value) is a LOSSLESS blocking
+    for the exact hamming verify that follows inside each bucket.  One
+    bucketed shuffle of (id, simhash) rows; work per bucket is the
+    bucket's pair fan-out, with the same blow-up guard (+ counted drop)
+    as :func:`lsh_candidate_pairs`.  Output: (a, b, hamming), distinct.
+    """
+    assert max_hamming < num_bands, "pigeonhole needs max_hamming < bands"
+    assert 64 % num_bands == 0
+    width = 64 // num_bands
+    chunk_mask = np.uint64((1 << width) - 1)
+    sh = simhash(docs, text_col=text_col, id_col=id_col)
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        ids = np_col(batch, id_col)
+        h = np_col(batch, "simhash").view(np.uint64)
+        band = np.tile(np.arange(num_bands, dtype=np.uint64), len(ids))
+        chunk = (np.repeat(h, num_bands) >> (band * np.uint64(width))) \
+            & chunk_mask
+        bucket = (chunk * np.uint64(num_bands) + band).view(np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, num_bands), pa.int64()),
+            "sh": pa.array(np.repeat(h.view(np.int64), num_bands), pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+        })
+
+    banded = sh.map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(grp: pa.Table) -> pa.Table:
+        from .util import grouped_pair_expand, popcount64
+
+        df = grp.to_pandas().drop_duplicates(["bucket", id_col])
+        sizes = df.groupby("bucket")["bucket"].transform("size")
+        df = df[(sizes >= 2) & (sizes <= group_cap)]
+        a, b, _ = grouped_pair_expand(
+            df["bucket"].to_numpy(np.int64),
+            np.arange(len(df), dtype=np.int64),
+        )
+        ids = df[id_col].to_numpy(np.int64)
+        hs = df["sh"].to_numpy(np.int64)
+        ham = popcount64(hs[a] ^ hs[b])
+        keep = ham <= max_hamming
+        ia, ib = ids[a[keep]], ids[b[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pa.table({"a": pa.array(lo, pa.int64()),
+                         "b": pa.array(hi, pa.int64()),
+                         "hamming": pa.array(ham[keep], pa.int64())})
+
+    from .ops import grouped_pandas_agg, hash_bucket_agg
+
+    pairs = hash_bucket_agg(banded, lambda b: np_col(b, "bucket"), _pairs)
+    # a pair agrees on several bands — keep one row (hamming identical)
+    return grouped_pandas_agg(
+        pairs, ["a", "b"], {"hamming": ("hamming", "min")},
+        key_fn=lambda t: np_col(t, "a") * np.int64(0x9E3779B1) + np_col(t, "b"),
+    )
 
 
 # ------------------------------------------------------- language id

@@ -325,3 +325,47 @@ def test_contamination_planted_grams():
         .to_pandas().set_index("doc_id")["n_shared"].to_dict()
     )
     assert out == {0: 1, 1: 2, 3: 2}
+
+
+def test_simhash_near_pairs_banding_is_lossless():
+    from essentials_rd.textops import simhash_near_pairs
+    from essentials_rd.util import popcount64
+
+    ds, _ = _docs(n=40, dup_pairs=3, near_pairs=3)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(ds).take_all()}
+    ids = sorted(sh)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = int(popcount64(np.array([sh[a] ^ sh[b]], np.int64))[0])
+            if h <= 3:
+                want.add((a, b, h))
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_near_pairs(ds, max_hamming=3).take_all()
+    }
+    # pigeonhole banding must find EVERY pair brute force finds
+    assert got == want
+    assert len(want) >= 3  # the exact dups at least
+
+
+def test_simhash_token_key_matches_scalar_recompute():
+    """The vectorized U8-view code-point key equals a per-token scalar
+    recompute (the SQL oracle's formula)."""
+    import pandas as pd
+
+    from essentials_rd.textops import _flat_token_keys_oracle
+    from essentials_rd.util import hash64
+
+    texts = pd.Series(["hello world", "héllo wörld✓", "", "a  b",
+                       "x" * 100 + " yz"])
+    rep, h = _flat_token_keys_oracle(texts)
+    flat = [t for s in texts for t in s.split(" ")]
+    keys = []
+    for t in flat:
+        k = sum(ord(c) * 31 ** i for i, c in enumerate(t[:8]))
+        k += min(len(t), 64) * 31 ** 8
+        keys.append(k)
+    want = hash64(np.array(keys, np.int64))
+    assert np.array_equal(h, want)
+    assert len(rep) == len(flat)
