@@ -1102,18 +1102,25 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_near_pairs(docs, max_hamming=SIMHASH_T)
 
 
-def _simhash_sql() -> str:
-    """DuckDB twin of the full SimHash sketch: token key = code-point
-    polynomial (first 8 chars ·31^i + capped length ·31^8) through the
-    shared SplitMix64 chain, per-(doc, bit) ±1 votes, bit set when the
-    vote sum is positive, pairs by bit_count(xor) ≤ T."""
+def _token_key_sql() -> str:
+    """textops._flat_token_keys_oracle's key over a ``tok`` column:
+    code-point polynomial (first 8 chars ·31^i + capped length ·31^8),
+    fed into the shared SplitMix64 chain by the callers."""
     terms = " + ".join(
         f"(CASE WHEN length(tok) >= {i + 1} THEN "
         f"CAST(unicode(substr(tok, {i + 1}, 1)) AS HUGEINT) ELSE 0 END)"
         f" * {31 ** i}"
         for i in range(8)
     )
-    key = f"({terms} + CAST(LEAST(length(tok), 64) AS HUGEINT) * {31 ** 8})"
+    return f"({terms} + CAST(LEAST(length(tok), 64) AS HUGEINT) * {31 ** 8})"
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of the full SimHash sketch: token key = code-point
+    polynomial (first 8 chars ·31^i + capped length ·31^8) through the
+    shared SplitMix64 chain, per-(doc, bit) ±1 votes, bit set when the
+    vote sum is positive, pairs by bit_count(xor) ≤ T."""
+    key = _token_key_sql()
     chain = _sm64_ctes(
         "sz", "doc_id", key,
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
@@ -1133,6 +1140,82 @@ def _simhash_sql() -> str:
         "CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS hamming "
         "FROM simsh x JOIN simsh y ON x.doc_id < y.doc_id"
         f") WHERE hamming <= {SIMHASH_T}"
+    )
+
+
+WINNOW_W = 8   # fingerprint window (grams per min-window)
+WINNOW_K = 5   # tokens per gram
+
+
+def _q_winnow_fp(sf_dir: str):
+    """Winnowing fingerprints (textops.fingerprints, MOSS scheme):
+    distinct per-doc window-mins of rolling 5-token-gram hashes —
+    recomputable by the oracle because both the token key and the
+    ·POLY^next gram fold are exact mod-2⁶⁴ integer arithmetic."""
+    import ray.data as rd
+
+    from essentials_rd.textops import fingerprints
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return fingerprints(docs, window=WINNOW_W, gram_k=WINNOW_K)
+
+
+def _winnow_sql() -> str:
+    """DuckDB twin of textops.fingerprints: token keys through the
+    SplitMix64 chain, gram fold c←(c·POLY)^next via LEAD (NULL leads
+    beyond the doc leave the carry unchanged, which also yields the
+    short-doc all-token gram at i=1), then DISTINCT window-mins with
+    the whole-doc min for docs with fewer grams than the window."""
+    poly = 0x100000001B3
+    key = _token_key_sql()
+    chain = _sm64_ctes(
+        "wz", "doc_id, i", key,
+        "(SELECT doc_id, i.i AS i, t[i.i] AS tok "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),"
+        " LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i)",
+    )
+
+    def step(c: str, z: str) -> str:
+        return (f"CASE WHEN {z} IS NULL THEN {c} "
+                f"ELSE xor({_sm64_mulmod(c, poly)}, {z}) END")
+
+    g_chain = []
+    for j in range(1, WINNOW_K):
+        rest = ", ".join(f"n{x}" for x in range(j + 1, WINNOW_K))
+        rest = (", " + rest) if rest else ""
+        prev = "z" if j == 1 else "c"
+        g_chain.append(
+            f"g{j} AS (SELECT doc_id, i, cnt{rest}, "
+            f"{step(prev, f'n{j}')} AS c FROM g{j - 1})"
+        )
+    leads = ", ".join(
+        f"lead(z, {j}) OVER w AS n{j}" for j in range(1, WINNOW_K)
+    )
+    return (
+        f"WITH {chain}, "
+        f"g0 AS (SELECT doc_id, i, z, "
+        f"count(*) OVER (PARTITION BY doc_id) AS cnt, {leads} "
+        f"FROM wz3 WINDOW w AS (PARTITION BY doc_id ORDER BY i)), "
+        + ", ".join(g_chain) + ", "
+        f"grams AS MATERIALIZED (SELECT doc_id, i, c AS gh "
+        f"FROM g{WINNOW_K - 1} "
+        f"WHERE i + {WINNOW_K - 1} <= cnt OR (cnt < {WINNOW_K} AND i = 1)), "
+        f"wm AS (SELECT doc_id, gh, "
+        f"count(*) OVER (PARTITION BY doc_id) AS m, "
+        f"row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn, "
+        f"min(gh) OVER (PARTITION BY doc_id ORDER BY i "
+        f"ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin "
+        f"FROM grams), "
+        f"fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm "
+        f"WHERE m >= {WINNOW_W} AND rn <= m - {WINNOW_W - 1} "
+        f"UNION "
+        f"SELECT doc_id, min(gh) AS fp FROM wm WHERE m < {WINNOW_W} "
+        f"GROUP BY doc_id) "
+        f"SELECT doc_id, "
+        f"CAST(CASE WHEN fp >= CAST(9223372036854775808 AS UBIGINT) "
+        f"THEN CAST(fp AS HUGEINT) - {_MOD64} "
+        f"ELSE CAST(fp AS HUGEINT) END AS BIGINT) AS fp FROM fps"
     )
 
 
@@ -1540,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "events_in_windows": _q_events_in_windows,
         "simhash_pairs": _q_simhash_pairs,
+        "winnow_fp": _q_winnow_fp,
         "clustering_coeff": _q_clustering_coeff,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
@@ -2506,6 +2590,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "bc_sampled": _bc_sql(),
         "harmonic_sampled": _harmonic_sql(),
         "simhash_pairs": _simhash_sql(),
+        "winnow_fp": _winnow_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),

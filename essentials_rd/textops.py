@@ -971,12 +971,15 @@ def fingerprints(docs: rd.Dataset, text_col: str = "text",
     window min uses numpy stride tricks per doc.  Windowing k-GRAM
     hashes (not single-token hashes) is what makes the fingerprint
     position-sensitive — token-level mins degenerate to the vocabulary's
-    smallest hashes on any repetitive corpus."""
+    smallest hashes on any repetitive corpus.  Token hashes come from
+    :func:`_flat_token_keys_oracle` and the rolling combine is plain
+    mod-2⁶⁴ (·POLY ^ next), so the whole fingerprint set is recomputable
+    by the DuckDB oracle (LEAD-composed gram fold + window min)."""
     from numpy.lib.stride_tricks import sliding_window_view
 
     def _fp(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas()
-        trep, th = _flat_token_hashes(s)
+        trep, th = _flat_token_keys_oracle(s)
         rep, h = _gram_sequence(trep, th, gram_k)
         ids = np_col(batch, id_col)
         out_id, out_fp = [], []
