@@ -1143,6 +1143,113 @@ def _simhash_sql() -> str:
     )
 
 
+KM_C = 8       # k-means clusters
+KM_ITERS = 2   # unrolled Lloyd iterations
+
+
+def _km_seed_ranks() -> np.ndarray:
+    """The engine's centroid seeding is a pure function of (seed,
+    sample size): rng.choice over the C·4 smallest-hash rows.  Both
+    sides can therefore precompute the chosen RANKS (data-independent)
+    and the SQL picks the same rows by the same splitmix64 order."""
+    rng = np.random.default_rng(SAMPLE_SEED)
+    return np.sort(rng.choice(KM_C * 4, size=KM_C, replace=False))
+
+
+def _q_kmeans_buckets(sf_dir: str):
+    """Distributed Lloyd k-means (ann.kmeans_centroids: per-block
+    partial (count, vector-sum) combine, no per-vector shuffle) + final
+    nearest-centroid assignment; per-bucket (n, min_vid, max_vid).  The
+    argmax margins are ~1e-4 on this data — five orders above the
+    summation-order ulp noise between numpy and DuckDB, so integer
+    outputs match exactly."""
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.ann import _batch_matrix, _normalize, kmeans_centroids
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    vectors = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+    cent = kmeans_centroids(vectors, KM_C, iters=KM_ITERS, seed=SAMPLE_SEED)
+    c_ref = ray.put(cent)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _normalize(_batch_matrix(batch, "embedding"))
+        b = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "bucket": pa.array(b, pa.int64())})
+
+    asg = vectors.map_batches(_assign, batch_format="pyarrow")
+    return grouped_pandas_agg(
+        asg, ["bucket"],
+        {"n": ("vec_id", "count"), "min_vid": ("vec_id", "min"),
+         "max_vid": ("vec_id", "max")},
+        key_fn=lambda t: np_col(t, "bucket"),
+    )
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd twin: unnest embeddings to (vec_id, j, x),
+    L2-normalize, seed centroids by splitmix64-rank (the precomputed
+    data-independent choice ranks), then KM_ITERS assign/update rounds
+    (argmax dot with min-cid tie-break = np.argmax first-max) and a
+    final assignment; empty clusters keep their previous centroid."""
+    ranks = ", ".join(str(int(r) + 1) for r in _km_seed_ranks())
+    chain = _sm64_ctes("kz", "vec_id", "vec_id", "embeddings")
+
+    def assign(t: int) -> str:
+        return (
+            f"dot{t} AS (SELECT x.vec_id, c.cid, sum(x.x * c.c) AS d "
+            f"FROM xn x JOIN c{t} c USING (j) GROUP BY 1, 2), "
+            f"asg{t} AS (SELECT vec_id, cid FROM ("
+            f"SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY d DESC, cid ASC) AS rn FROM dot{t}) WHERE rn = 1)"
+        )
+
+    parts = [
+        "ex AS MATERIALIZED (SELECT vec_id, j.j AS j, "
+        "CAST(embedding[j.j] AS DOUBLE) AS x FROM embeddings, "
+        "LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS j) j), "
+        "xn AS MATERIALIZED (SELECT e.vec_id, e.j, "
+        "e.x / CASE WHEN n.nv = 0 THEN 1 ELSE n.nv END AS x FROM ex e "
+        "JOIN (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM ex "
+        "GROUP BY vec_id) n USING (vec_id)), "
+        f"{chain}, "
+        "rk AS (SELECT vec_id, row_number() OVER "
+        "(ORDER BY (z >> 1), vec_id) AS r FROM kz3), "
+        f"seeds AS (SELECT vec_id, row_number() OVER (ORDER BY r) - 1 "
+        f"AS cid FROM rk WHERE r IN ({ranks})), "
+        "c0 AS MATERIALIZED (SELECT s.cid, x.j, x.x AS c "
+        "FROM seeds s JOIN xn x USING (vec_id))"
+    ]
+    for t in range(KM_ITERS):
+        parts.append(assign(t))
+        parts.append(
+            f"cnt{t} AS (SELECT cid, count(*) AS n FROM asg{t} "
+            f"GROUP BY cid), "
+            f"mean{t} AS (SELECT a.cid, x.j, sum(x.x) / max(n.n) AS m "
+            f"FROM asg{t} a JOIN xn x USING (vec_id) "
+            f"JOIN cnt{t} n ON n.cid = a.cid GROUP BY a.cid, x.j), "
+            f"c{t + 1} AS MATERIALIZED ("
+            f"SELECT m.cid, m.j, m.m / CASE WHEN q.nv = 0 THEN 1 "
+            f"ELSE q.nv END AS c FROM mean{t} m JOIN "
+            f"(SELECT cid, sqrt(sum(m*m)) AS nv FROM mean{t} "
+            f"GROUP BY cid) q USING (cid) "
+            f"UNION ALL SELECT c.cid, c.j, c.c FROM c{t} c "
+            f"LEFT JOIN cnt{t} k ON k.cid = c.cid WHERE k.cid IS NULL)"
+        )
+    parts.append(assign(KM_ITERS))
+    return (
+        "WITH " + ", ".join(parts) +
+        f" SELECT CAST(cid AS BIGINT) AS bucket, "
+        f"CAST(count(*) AS BIGINT) AS n, min(vec_id) AS min_vid, "
+        f"max(vec_id) AS max_vid FROM asg{KM_ITERS} GROUP BY cid"
+    )
+
+
 WINNOW_W = 8   # fingerprint window (grams per min-window)
 WINNOW_K = 5   # tokens per gram
 
@@ -1624,6 +1731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_windows": _q_events_in_windows,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_fp": _q_winnow_fp,
+        "kmeans_buckets": _q_kmeans_buckets,
         "clustering_coeff": _q_clustering_coeff,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
@@ -2591,6 +2699,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "harmonic_sampled": _harmonic_sql(),
         "simhash_pairs": _simhash_sql(),
         "winnow_fp": _winnow_sql(),
+        "kmeans_buckets": _kmeans_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),
