@@ -1143,6 +1143,93 @@ def _simhash_sql() -> str:
     )
 
 
+def _q_user_top_event(sf_dir: str):
+    """Per-user modal event type (ops.grouped_mode): per-block partial
+    (user, type, n) counts combine before the single bucketed shuffle;
+    argmax with the deterministic (count desc, type asc) tie-break."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_mode
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type",
+                        key_fn=lambda b: np_col(b, "user_id"))
+
+
+def _q_revenue_by_region(sf_dir: str):
+    """TPC-H-Q5-shaped star join: lineitem ⋈(partitioned hash) orders
+    on the orderkey — the big-big exchange — then the three dimension
+    hops (customer→nation→region) collapse into ONE broadcast
+    custkey→region_name lookup built driver-side from the tiny dims
+    and ray.put once.  Revenue is made integer-exact per row
+    (half-up-rounded micros) BEFORE the sum, so the grouped totals are
+    bit-identical to the oracle regardless of summation order."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_pandas_agg, join
+    from essentials_rd.pipelines import round_half_up
+    from essentials_rd.util import np_col
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    j = join(li, orders, on="l_orderkey", how="inner", broadcast=False,
+             num_buckets=32)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rk = np_col(reg, "r_regionkey")
+    rorder = np.argsort(rk)
+    rname = np.asarray(reg["r_name"], dtype=object)[rorder]
+    nk = np_col(nat, "n_nationkey")
+    norder = np.argsort(nk)
+    n_region = np_col(nat, "n_regionkey")[norder]
+    ck = np_col(cust, "c_custkey")
+    corder = np.argsort(ck)
+    c_keys = ck[corder]
+    c_nat = np_col(cust, "c_nationkey")[corder]
+    c_region_name = rname[
+        np.searchsorted(rk[rorder], n_region[
+            np.searchsorted(nk[norder], c_nat)])
+    ]
+    map_ref = ray.put((c_keys, c_region_name))
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(map_ref)
+        pos = np.searchsorted(keys, np_col(batch, "o_custkey"))
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        micros = round_half_up(price * (1.0 - disc) * 1e6, 0).astype(
+            np.int64)
+        return pa.table({
+            "r_name": pa.array(names[pos].tolist(), pa.string()),
+            "revenue_micros": pa.array(micros, pa.int64()),
+        })
+
+    rows = j.map_batches(_rev, batch_format="pyarrow")
+    return grouped_pandas_agg(
+        rows, ["r_name"],
+        {"revenue_micros": ("revenue_micros", "sum"),
+         "n_items": ("revenue_micros", "count")},
+        key_fn=lambda b: _str_hash(b.column("r_name")),
+        num_buckets=8,
+    )
+
+
 KM_C = 8       # k-means clusters
 KM_ITERS = 2   # unrolled Lloyd iterations
 
@@ -1732,6 +1819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "winnow_fp": _q_winnow_fp,
         "kmeans_buckets": _q_kmeans_buckets,
+        "revenue_by_region": _q_revenue_by_region,
+        "user_top_event": _q_user_top_event,
         "clustering_coeff": _q_clustering_coeff,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
@@ -2700,6 +2789,23 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "simhash_pairs": _simhash_sql(),
         "winnow_fp": _winnow_sql(),
         "kmeans_buckets": _kmeans_sql(),
+        "user_top_event": (
+            "SELECT user_id, event_type, n FROM ("
+            "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type ASC) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+        ),
+        "revenue_by_region": (
+            "SELECT r_name, CAST(sum(CAST(ROUND(l_extendedprice * "
+            "(1 - l_discount) * 1000000, 0) AS BIGINT)) AS BIGINT) "
+            "AS revenue_micros, CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name"
+        ),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "triangles_total": _triangles_total_sql(),

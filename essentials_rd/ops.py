@@ -993,6 +993,47 @@ def asof_join(
     )
 
 
+def grouped_mode(
+    ds: rd.Dataset,
+    key: str,
+    val: str,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Per-key MODE (most frequent value) with the deterministic
+    (count desc, value asc) tie-break — the label-propagation combine
+    exposed as a standalone relational aggregate (SURVEY.md §2.4 R4).
+    Two-stage: per-block (key, val, n) partial counts are computed
+    BEFORE the exchange (the shuffle ships one row per distinct pair
+    per block, never raw rows), then one bucketed shuffle on the key
+    finishes the sum and picks the argmax.  Output: (key, val, n)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key, val]).to_pandas()
+        c = df.groupby([key, val], sort=False, observed=True).size()
+        c = c.reset_index(name="__n__")
+        c["__n__"] = c["__n__"].astype(np.int64)
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _final(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        df = df.groupby([key, val], sort=False, observed=True)["__n__"] \
+            .sum().reset_index()
+        df = df.sort_values([key, "__n__", val],
+                            ascending=[True, False, True], kind="stable")
+        top = df.drop_duplicates(key, keep="first")
+        return pa.table({
+            key: pa.array(top[key]),
+            val: pa.array(top[val]),
+            "n": pa.array(top["__n__"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return hash_bucket_agg(partials, key_fn, _final,
+                           num_buckets=num_buckets)
+
+
 def interval_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -308,3 +308,49 @@ def test_hll_small_range_linear_counting():
     tbl = pa.table({"v": pa.array(np.arange(100, dtype="int64"))})
     est = hll_distinct(rd.from_arrow(tbl), "v", p=12)
     assert abs(est - 100) / 100 < 0.05, est
+
+
+def test_grouped_mode_matches_pandas_and_bucket_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_mode
+    from essentials_rd.util import np_col
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "v": pa.array([f"t{int(x)}" for x in rng.integers(0, 5, n)],
+                      pa.string()),
+    })
+    df = t.to_pandas()
+    c = df.groupby(["k", "v"]).size().reset_index(name="n")
+    c = c.sort_values(["k", "n", "v"], ascending=[True, False, True],
+                      kind="stable")
+    want = c.drop_duplicates("k", keep="first").reset_index(drop=True)
+    want["n"] = want["n"].astype("int64")
+    for nb in (1, 7):
+        got = (
+            grouped_mode(rd.from_arrow(t), "k", "v",
+                         key_fn=lambda b: np_col(b, "k"), num_buckets=nb)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert got.equals(want), f"num_buckets={nb}"
+
+
+def test_grouped_mode_tie_breaks_by_min_value():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_mode
+    from essentials_rd.util import np_col
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        "v": pa.array(["b", "b", "a", "a"], pa.string()),
+    })
+    got = grouped_mode(rd.from_arrow(t), "k", "v",
+                       key_fn=lambda b: np_col(b, "k")).take_all()
+    assert got == [{"k": 1, "v": "a", "n": 2}]
