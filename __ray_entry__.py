@@ -1006,6 +1006,69 @@ def _random_walks_sql() -> str:
     return f"WITH {_GRAPH_CTES}, {body} {sel}"
 
 
+N2V_P, N2V_Q = 2.0, 0.5  # powers of two → dyadic weights, exact sums
+
+
+def _q_node2vec(sf_dir: str):
+    """node2vec-biased walks (sampling.node2vec_walks): second-order
+    sampling with return weight 1/p, in-neighbor weight 1, outward
+    weight 1/q over the co-purchase graph; the inverse-CDF pick runs on
+    dyadic weights so every cumulative sum is EXACT and the SQL twin's
+    window sums match bit-for-bit."""
+    from essentials_rd.sampling import node2vec_walks
+
+    g, _ = _graph(sf_dir)
+    return node2vec_walks(g, WALK_STEPS, p=N2V_P, q=N2V_Q,
+                          seed=SAMPLE_SEED)
+
+
+def _node2vec_sql() -> str:
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    w_back, w_out = 1.0 / N2V_P, 1.0 / N2V_Q
+    steps = ["n0 AS (SELECT vid AS wid, vid AS cur, "
+             "CAST(-1 AS BIGINT) AS prev FROM verts)"]
+    for t in range(1, WALK_STEPS + 1):
+        steps.append(_sm64_ctes(
+            f"nh{t}", "wid, cur, prev",
+            f"wid * 4294967296 + cur * 2654435761 + {t} + {mix}",
+            f"n{t - 1}",
+        ))
+        steps.append(
+            f"cd{t} AS (SELECT h.wid, h.cur, h.prev, h.z, e.dst AS cand, "
+            f"CASE WHEN h.prev < 0 THEN 1.0 "
+            f"WHEN e.dst = h.prev THEN {w_back!r} "
+            f"WHEN ep.src IS NOT NULL THEN 1.0 "
+            f"ELSE {w_out!r} END AS wt "
+            f"FROM nh{t}3 h JOIN sym e ON e.src = h.cur "
+            f"LEFT JOIN sym ep ON ep.src = h.prev AND ep.dst = e.dst)"
+        )
+        steps.append(
+            f"cw{t} AS (SELECT wid, z, cand, "
+            f"sum(wt) OVER (PARTITION BY wid ORDER BY cand "
+            f"ROWS UNBOUNDED PRECEDING) AS cw, "
+            f"sum(wt) OVER (PARTITION BY wid) AS tw, "
+            f"row_number() OVER (PARTITION BY wid ORDER BY cand) AS rk "
+            f"FROM cd{t})"
+        )
+        steps.append(
+            f"pk{t} AS (SELECT wid, COALESCE(min(CASE WHEN cw > "
+            f"(CAST(z AS DOUBLE) / 18446744073709551616.0) * tw "
+            f"THEN rk END), max(rk)) AS prk FROM cw{t} GROUP BY wid)"
+        )
+        steps.append(
+            f"n{t} AS (SELECT h.wid, COALESCE(c.cand, -1) AS cur, "
+            f"h.cur AS prev FROM nh{t}3 h "
+            f"LEFT JOIN pk{t} k ON k.wid = h.wid "
+            f"LEFT JOIN cw{t} c ON c.wid = h.wid AND c.rk = k.prk)"
+        )
+    body = ", ".join(steps)
+    sel = " UNION ALL ".join(
+        f"SELECT wid, {t} AS step, cur AS node FROM n{t}"
+        for t in range(1, WALK_STEPS + 1)
+    )
+    return f"WITH {_GRAPH_CTES}, {body} {sel}"
+
+
 CONTAM_GRAM_K = 4
 CONTAM_FRAC = 0.1
 CONTAM_SEED = 9
@@ -1814,6 +1877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss12": _q_ktruss,
         "neighbor_sample_k3": _q_neighbor_sample,
         "random_walks": _q_random_walks,
+        "node2vec_walks": _q_node2vec,
         "event_gaps": _q_event_gaps,
         "events_in_windows": _q_events_in_windows,
         "simhash_pairs": _q_simhash_pairs,
@@ -2586,6 +2650,7 @@ def oracle_sql() -> dict[str, str]:
         "contaminated_docs": _contaminated_docs_sql(),
         "neighbor_sample_k3": _neighbor_sample_sql(),
         "random_walks": _random_walks_sql(),
+        "node2vec_walks": _node2vec_sql(),
         "top_tokens": (
             "SELECT token, CAST(count(*) AS BIGINT) AS n "
             "FROM (SELECT unnest(string_split(text, ' ')) AS token "

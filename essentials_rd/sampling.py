@@ -144,6 +144,175 @@ def _walk_step(
     return (full, *splits)
 
 
+def _n2v_step(
+    t: int,
+    mix: np.uint64,
+    num_parts: int,
+    w_back: float,
+    w_out: float,
+    shard: dict,
+    edge_keys: np.ndarray,
+    *tabs,
+) -> tuple:
+    """Advance every node2vec walk in this partition by one biased step.
+
+    Candidate weights per neighbor c of cur (prev = the walk's last
+    node): 1/p when c == prev, 1 when (prev, c) is an edge, 1/q
+    otherwise; first step (prev < 0) is uniform.  The pick is the
+    inverse-CDF index: smallest candidate rank (dst order) whose
+    cumulative weight exceeds ``(h/2⁶⁴)·total`` — cumulative sums run
+    in dst order on exact dyadic weights, so the DuckDB oracle's
+    window-sum reproduces every double bit-for-bit.  Membership of
+    (prev, c) probes the shared sorted packed edge-key plasma object
+    (TC's ``_packed_edge_keys`` — built once, mapped zero-copy)."""
+    tabs = [x for x in tabs if x.num_rows]
+    empty_pos = pa.table({"wid": pa.array([], pa.int64()),
+                          "cur": pa.array([], pa.int64()),
+                          "prev": pa.array([], pa.int64())})
+    if not tabs:
+        full = pa.table({"wid": pa.array([], pa.int64()),
+                         "step": pa.array([], pa.int64()),
+                         "node": pa.array([], pa.int64())})
+        return (full, *([empty_pos] * num_parts))
+    tbl = pa.concat_tables(tabs)
+    wid = np.asarray(tbl["wid"], dtype=np.int64)
+    cur = np.asarray(tbl["cur"], dtype=np.int64)
+    prev = np.asarray(tbl["prev"], dtype=np.int64)
+    nxt = np.full(len(cur), -1, np.int64)
+    alive = cur >= 0
+    if alive.any():
+        a_idx = np.flatnonzero(alive)
+        rows, found = csr_lookup(shard, cur[a_idx])
+        ok = np.flatnonzero(found)
+        if len(ok):
+            a_idx, rows = a_idx[ok], rows[ok]
+            indptr = shard["indptr"]
+            deg = indptr[rows + 1] - indptr[rows]
+            has = deg > 0
+            a_idx, rows, deg = a_idx[has], rows[has], deg[has]
+        else:
+            deg = np.zeros(0, np.int64)
+        if len(a_idx):
+            rep = np.repeat(np.arange(len(a_idx), dtype=np.int64), deg)
+            eidx = np.repeat(indptr[rows], deg) + (
+                np.arange(int(deg.sum()), dtype=np.int64)
+                - np.repeat(np.concatenate([[0], np.cumsum(deg)[:-1]]), deg)
+            )
+            cand = shard["indices"][eidx]
+            pr = prev[a_idx]
+            with np.errstate(over="ignore"):
+                pk = pr[rep].astype(np.uint64) * _WID_MUL \
+                    + cand.astype(np.uint64)
+            pos = np.searchsorted(edge_keys, pk)
+            member = (pos < len(edge_keys)) & (
+                edge_keys[np.minimum(pos, len(edge_keys) - 1)] == pk
+            )
+            wt = np.where(
+                pr[rep] < 0, 1.0,
+                np.where(cand == pr[rep], w_back,
+                         np.where(member, 1.0, w_out)),
+            )
+            cum = np.cumsum(wt)
+            starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+            base = np.where(starts > 0, cum[starts - 1], 0.0)
+            total = cum[np.cumsum(deg) - 1] - base
+            with np.errstate(over="ignore"):
+                key = (
+                    wid[a_idx].astype(np.uint64) * _WID_MUL
+                    + cur[a_idx].astype(np.uint64) * _CUR_MUL
+                    + np.uint64(t)
+                    + mix
+                )
+            r = hash64(key).astype(np.float64) / float(2**64)
+            thr = r * total
+            qual = (cum - base[rep]) > thr[rep]
+            n_true = np.add.reduceat(qual.astype(np.int64), starts)
+            pick = np.minimum(deg - n_true, deg - 1)
+            nxt[a_idx] = shard["indices"][indptr[rows] + pick]
+    full = pa.table(
+        {
+            "wid": pa.array(wid, pa.int64()),
+            "step": pa.array(np.full(len(wid), t, np.int64), pa.int64()),
+            "node": pa.array(nxt, pa.int64()),
+        }
+    )
+    part = np.where(nxt >= 0, part_of(nxt, num_parts), 0)
+    order = np.argsort(part, kind="stable")
+    sp = part[order]
+    pos_t = pa.table({"wid": pa.array(wid[order], pa.int64()),
+                      "cur": pa.array(nxt[order], pa.int64()),
+                      "prev": pa.array(cur[order], pa.int64())})
+    bounds = np.searchsorted(sp, np.arange(num_parts + 1))
+    splits = [
+        pos_t.slice(bounds[p], bounds[p + 1] - bounds[p]).combine_chunks()
+        for p in range(num_parts)
+    ]
+    return (full, *splits)
+
+
+def node2vec_walks(
+    g: GraphShards,
+    steps: int,
+    p: float = 2.0,
+    q: float = 0.5,
+    seed: int = 42,
+) -> rd.Dataset:
+    """One deterministic node2vec-biased walk per vertex (Grover &
+    Leskovec 2016 second-order sampling: return weight 1/p, in-neighbor
+    weight 1, outward weight 1/q; first hop uniform).  Result:
+    Dataset[wid, step, node], −1 once dead.  Same per-step object-store
+    task exchange as :func:`random_walks`; the extra state is the
+    walk's prev node plus ONE shared sorted packed edge-key object for
+    the (prev, candidate) membership probe — at extreme scale replace
+    that single object with a bucketed probe exchange (documented
+    trade, same as TC's).  Pick weights 1/p, 1/q should be exact
+    binary fractions so the SQL oracle's window sums match bit-for-bit
+    (the defaults are)."""
+    from .algorithms.tc import _packed_edge_keys
+
+    task = ray.remote(_n2v_step)
+    mix = _seed_mix(seed)
+    P = g.num_parts
+    vids = ray.get(g.vertex_ids_ref)
+    assert len(vids) == 0 or vids[-1] < 2**32, (
+        "node2vec_walks packs (wid|prev, node) hash keys: ids < 2^32"
+    )
+    keys_ref = _packed_edge_keys.remote(*g.shard_refs)
+    part = part_of(vids, P)
+    order = np.argsort(part, kind="stable")
+    sv, sp = vids[order], part[order]
+    bounds = np.searchsorted(sp, np.arange(P + 1))
+    positions = [
+        [
+            ray.put(
+                pa.table(
+                    {
+                        "wid": pa.array(sv[bounds[pp]: bounds[pp + 1]], pa.int64()),
+                        "cur": pa.array(sv[bounds[pp]: bounds[pp + 1]], pa.int64()),
+                        "prev": pa.array(
+                            np.full(bounds[pp + 1] - bounds[pp], -1, np.int64),
+                            pa.int64()),
+                    }
+                )
+            )
+        ]
+        for pp in range(P)
+    ]
+    w_back, w_out = 1.0 / p, 1.0 / q
+    step_outputs = []
+    for t in range(1, steps + 1):
+        outs = [
+            task.options(num_returns=1 + P).remote(
+                t, mix, P, w_back, w_out, g.shard_refs[pp], keys_ref,
+                *positions[pp]
+            )
+            for pp in range(P)
+        ]
+        step_outputs.extend(o[0] for o in outs)
+        positions = [[outs[qq][1 + pp] for qq in range(P)] for pp in range(P)]
+    return rd.from_arrow_refs(step_outputs)
+
+
 def random_walks(g: GraphShards, steps: int, seed: int = 42) -> rd.Dataset:
     """One deterministic ``steps``-step walk per vertex.  Result:
     Dataset[wid, step, node] with ``steps`` rows per walk (node = −1

@@ -130,3 +130,62 @@ def test_ktruss_matches_bruteforce(tmp_path):
         (int(r["src"]), int(r["dst"])) for r in truss.to_pandas().to_dict("records")
     }
     assert got == want
+
+
+def _n2v_ref(edges, vids, steps, p, q, seed):
+    """Scalar per-walk reference of the node2vec pick rule."""
+    from essentials_rd.sampling import _seed_mix
+    from essentials_rd.util import hash64
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    mix = int(_seed_mix(seed))
+    out = []
+    for wid in vids:
+        cur, prev = int(wid), -1
+        for t in range(1, steps + 1):
+            nbrs = sorted(adj.get(cur, ())) if cur >= 0 else []
+            if not nbrs:
+                nxt = -1
+            else:
+                wts = []
+                for c in nbrs:
+                    if prev < 0:
+                        wts.append(1.0)
+                    elif c == prev:
+                        wts.append(1.0 / p)
+                    elif c in adj.get(prev, ()):
+                        wts.append(1.0)
+                    else:
+                        wts.append(1.0 / q)
+                key = ((int(wid) << 32) + cur * 2654435761 + t + mix) % 2**64
+                h = int(hash64(np.array([key], np.uint64))[0])
+                thr = (h / 2**64) * np.cumsum(wts)[-1]
+                cw = np.cumsum(wts)
+                hit = np.flatnonzero(cw > thr)
+                nxt = nbrs[int(hit[0])] if len(hit) else nbrs[-1]
+            out.append((int(wid), t, nxt))
+            prev, cur = cur, nxt
+    import pandas as pd
+
+    return pd.DataFrame(out, columns=["wid", "step", "node"])
+
+
+def test_node2vec_walks_match_scalar_reference_and_invariant(tmp_path):
+    from essentials_rd.sampling import node2vec_walks
+
+    g4, edges = _graph(4, tmp_path)
+    g7, _ = _graph(7, tmp_path)
+    vids = sorted({s for s, _ in edges})
+    w4 = (node2vec_walks(g4, 3, p=2.0, q=0.5).to_pandas()
+          .sort_values(["wid", "step"]).reset_index(drop=True))
+    w7 = (node2vec_walks(g7, 3, p=2.0, q=0.5).to_pandas()
+          .sort_values(["wid", "step"]).reset_index(drop=True))
+    assert w4.equals(w7)
+    want = (_n2v_ref(edges, vids, 3, 2.0, 0.5, 42)
+            .sort_values(["wid", "step"]).reset_index(drop=True))
+    assert w4.equals(want)
+    # the bias must actually bite: p=2,q=0.5 walks differ from uniform
+    uni = random_walks(g4, 3).to_pandas().sort_values(["wid", "step"])
+    assert not w4["node"].equals(uni.reset_index(drop=True)["node"])
