@@ -1206,6 +1206,41 @@ def _simhash_sql() -> str:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_user_event_pivot(sf_dir: str):
+    """Pivot/crosstab (ops.pivot_counts): one wide row per user with a
+    count column per event type; per-block indicator partials
+    pre-aggregate before the single bucketed shuffle."""
+    import ray.data as rd
+
+    from essentials_rd.ops import pivot_counts
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type", EVENT_TYPES,
+                        key_fn=lambda b: np_col(b, "user_id"))
+
+
+def _q_doc_char_rank(sf_dir: str):
+    """Ranking window (ops.grouped_rank): row_number + percent_rank of
+    every doc within its language by (n_chars desc, doc_id asc) — a
+    total order, so both sides divide the same two integers and the
+    pct doubles are bit-identical with no rounding convention."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_rank
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    return grouped_rank(docs, "lang", "n_chars", "doc_id",
+                        key_fn=lambda b: _str_hash(b.column("lang")),
+                        descending=True)
+
+
 def _q_user_top_event(sf_dir: str):
     """Per-user modal event type (ops.grouped_mode): per-block partial
     (user, type, n) counts combine before the single bucketed shuffle;
@@ -1885,6 +1920,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_buckets": _q_kmeans_buckets,
         "revenue_by_region": _q_revenue_by_region,
         "user_top_event": _q_user_top_event,
+        "user_event_pivot": _q_user_event_pivot,
+        "doc_char_rank": _q_doc_char_rank,
         "clustering_coeff": _q_clustering_coeff,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
@@ -2854,6 +2891,18 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "simhash_pairs": _simhash_sql(),
         "winnow_fp": _winnow_sql(),
         "kmeans_buckets": _kmeans_sql(),
+        "user_event_pivot": (
+            "SELECT user_id, " + ", ".join(
+                f"CAST(count(*) FILTER (WHERE event_type = '{c}') "
+                f"AS BIGINT) AS n_{c}" for c in EVENT_TYPES
+            ) + " FROM events GROUP BY user_id"
+        ),
+        "doc_char_rank": (
+            "SELECT doc_id, lang, CAST(row_number() OVER w AS BIGINT) "
+            "AS rnk, percent_rank() OVER w AS pct FROM documents "
+            "WINDOW w AS (PARTITION BY lang "
+            "ORDER BY n_chars DESC, doc_id ASC)"
+        ),
         "user_top_event": (
             "SELECT user_id, event_type, n FROM ("
             "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n, "

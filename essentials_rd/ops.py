@@ -993,6 +993,97 @@ def asof_join(
     )
 
 
+def grouped_rank(
+    ds: rd.Dataset,
+    key: str,
+    val: str,
+    id_col: str,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    descending: bool = False,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Per-key ranking window — SQL ``row_number()`` + ``percent_rank()``
+    OVER (PARTITION BY key ORDER BY val [DESC], id ASC) in one bucketed
+    shuffle (SURVEY.md §2.4 R6 family).  The id tie-break makes the
+    order total, so row_number == rank and percent_rank is exactly
+    ``(rnk−1)/(n−1)`` (0.0 for single-row keys) — the same two integers
+    divided on both sides, hence bit-identical doubles with no rounding
+    convention needed.  Output: (id, key, rnk, pct)."""
+
+    def _rank(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                key: pa.array([], grp.schema.field(key).type),
+                "rnk": pa.array([], pa.int64()),
+                "pct": pa.array([], pa.float64()),
+            })
+        df = grp.to_pandas()
+        codes, _ = pd.factorize(df[key], sort=True)
+        v = df[val].to_numpy()
+        ids = df[id_col].to_numpy(np.int64)
+        if descending:
+            if not np.issubdtype(v.dtype, np.integer):
+                v = -v.astype(np.float64)
+            else:
+                v = -v.astype(np.int64)
+        order = np.lexsort((ids, v, codes))
+        c = codes[order]
+        starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(c)])
+        pos = np.arange(len(c), dtype=np.int64) - np.repeat(starts, counts)
+        n = np.repeat(counts, counts)
+        pct = np.where(n > 1, pos / np.maximum(n - 1, 1), 0.0)
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            key: pa.array(df[key].to_numpy()[order]),
+            "rnk": pa.array(pos + 1, pa.int64()),
+            "pct": pa.array(pct, pa.float64()),
+        })
+
+    return hash_bucket_agg(ds, key_fn, _rank, num_buckets=num_buckets)
+
+
+def pivot_counts(
+    ds: rd.Dataset,
+    key: str,
+    val: str,
+    categories: list[str],
+    key_fn: Callable[[pa.Table], np.ndarray],
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Pivot (crosstab): one wide row per key with a count column per
+    category — SQL ``count(*) FILTER (WHERE val = c)``.  Categories are
+    an explicit caller-supplied list (the schema must be static for
+    Arrow); rows with other values are ignored.  Per-block indicator
+    columns pre-aggregate BEFORE the single bucketed shuffle, so the
+    exchange carries one row per (block, key), not per event."""
+    names = [f"n_{c}" for c in categories]
+
+    def _ind(batch: pa.Table) -> pa.Table:
+        et = batch.column(val).to_pandas().to_numpy()
+        k = np_col(batch, key)
+        cols = {key: pa.array(k, pa.int64())}
+        for c, nm in zip(categories, names):
+            cols[nm] = pa.array((et == c).astype(np.int64), pa.int64())
+        t = pa.table(cols)
+        # per-block partial: sum indicators per key (reduceat, sorted)
+        order = np.argsort(k, kind="stable")
+        sk = k[order]
+        starts = np.r_[0, np.flatnonzero(sk[1:] != sk[:-1]) + 1]
+        out = {key: pa.array(sk[starts], pa.int64())}
+        for nm in names:
+            v = np_col(t, nm)[order]
+            out[nm] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        return pa.table(out)
+
+    partials = ds.map_batches(_ind, batch_format="pyarrow")
+    return grouped_pandas_agg(
+        partials, [key], {nm: (nm, "sum") for nm in names},
+        key_fn=lambda b: np_col(b, key), num_buckets=num_buckets,
+    )
+
+
 def grouped_mode(
     ds: rd.Dataset,
     key: str,

@@ -354,3 +354,63 @@ def test_grouped_mode_tie_breaks_by_min_value():
     got = grouped_mode(rd.from_arrow(t), "k", "v",
                        key_fn=lambda b: np_col(b, "k")).take_all()
     assert got == [{"k": 1, "v": "a", "n": 2}]
+
+
+def test_grouped_rank_matches_pandas_and_bucket_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_rank
+    from essentials_rd.util import np_col
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 50, n), pa.int64()),  # forces ties
+        "i": pa.array(rng.permutation(n).astype(np.int64), pa.int64()),
+    })
+    df = t.to_pandas().sort_values(["k", "v", "i"],
+                                   ascending=[True, False, True])
+    df["rnk"] = df.groupby("k").cumcount() + 1
+    sizes = df.groupby("k")["k"].transform("size")
+    df["pct"] = np.where(sizes > 1, (df["rnk"] - 1) / (sizes - 1), 0.0)
+    want = (df[["i", "k", "rnk", "pct"]]
+            .sort_values("i").reset_index(drop=True))
+    for nb in (1, 9):
+        got = (
+            grouped_rank(rd.from_arrow(t), "k", "v", "i",
+                         key_fn=lambda b: np_col(b, "k"),
+                         descending=True, num_buckets=nb)
+            .to_pandas().sort_values("i").reset_index(drop=True)
+        )
+        assert got.equals(want), f"num_buckets={nb}"
+
+
+def test_pivot_counts_matches_pandas():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import pivot_counts
+    from essentials_rd.util import np_col
+
+    rng = np.random.default_rng(5)
+    cats = ["a", "b", "c"]
+    n = 1500
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 30, n), pa.int64()),
+        "v": pa.array([cats[int(x)] for x in rng.integers(0, 3, n)],
+                      pa.string()),
+    })
+    df = t.to_pandas()
+    want = (df.pivot_table(index="k", columns="v", aggfunc="size",
+                           fill_value=0)
+            .rename(columns={c: f"n_{c}" for c in cats})
+            .reset_index().rename_axis(None, axis=1))
+    want[["n_a", "n_b", "n_c"]] = want[["n_a", "n_b", "n_c"]].astype("int64")
+    got = (pivot_counts(rd.from_arrow(t), "k", "v", cats,
+                        key_fn=lambda b: np_col(b, "k"))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got.equals(want)
