@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["pr", "wpr", "cc", "lp", "tc", "spmv", "bfs",
                             "sssp", "ppr", "kcore", "eigen", "color", "hits",
                             "bc", "msf", "ktruss", "esim", "nsample",
-                            "walks", "harmonic"])
+                            "walks", "n2v", "harmonic"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out", default=None, help="result parquet dir")
     p.add_argument("--num-parts", type=int, default=16)
@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=3,
                    help="kcore/ktruss k, nsample fanout, hits/bc rounds")
     p.add_argument("--steps", type=int, default=3, help="walk steps")
+    p.add_argument("--p", type=float, default=2.0, help="n2v return param")
+    p.add_argument("--q", type=float, default=0.5, help="n2v in-out param")
     p.add_argument("--seed", type=int, default=42,
                    help="sampling seed (nsample/walks)")
     p.add_argument("--source", type=int, default=None,
@@ -121,11 +123,14 @@ def main(argv: list[str] | None = None) -> int:
         res = pagerank_weighted(g, alpha=args.alpha, tol=args.tol,
                                 on_step_end=log_step, **common)
         out_cols = ["value"]
-    elif args.algo in ("nsample", "walks"):
-        from .sampling import random_walks, sample_neighbors
+    elif args.algo in ("nsample", "walks", "n2v"):
+        from .sampling import node2vec_walks, random_walks, sample_neighbors
 
         if args.algo == "nsample":
             out = sample_neighbors(g, args.k, seed=args.seed)
+        elif args.algo == "n2v":
+            out = node2vec_walks(g, args.steps, p=args.p, q=args.q,
+                                 seed=args.seed)
         else:
             out = random_walks(g, args.steps, seed=args.seed)
         n = out.count()

@@ -91,7 +91,7 @@ def test_cli_round3_algos_smoke(tmp_path):
         "eigen": "value", "color": "color", "hits": "hub",
         "bc": "bc", "msf": "weight", "wpr": "value",
         "ktruss": "src", "esim": "jaccard", "nsample": "dst",
-        "walks": "node", "harmonic": "h",
+        "walks": "node", "n2v": "node", "harmonic": "h",
     }
     for algo, col in expect_rows_col.items():
         out = tmp_path / f"out_{algo}"
