@@ -69,3 +69,34 @@ def read_mtx(path: str) -> tuple[rd.Dataset, dict]:
     meta = {"n_rows": n_rows, "n_cols": n_cols, "nnz": nnz,
             "field": field, "symmetry": sym}
     return edges, meta
+
+
+_CORPUS_COLUMNS = ("repo", "path", "content")
+
+
+def read_corpus_any(
+    path: str,
+    columns: tuple[str, ...] | list[str] | None = _CORPUS_COLUMNS,
+) -> rd.Dataset:
+    """Format-dispatching corpus reader (SURVEY.md §2.3 S-family):
+    Parquet (column-pruned at the read — row groups never ship unused
+    columns), CSV, or JSONL, all yielding the same repo_files schema so
+    the derive pipeline is source-agnostic.  CSV/JSONL are splittable
+    text reads (Ray assigns byte ranges per task); they can't prune
+    columns at storage level, so the projection happens immediately
+    after parse — pass Parquet for the 100-TB path, the text formats
+    exist for interchange.  Dispatch: a directory is assumed Parquet
+    (the checkpoint/corpus layout); files dispatch on extension."""
+    import os
+
+    cols = list(columns) if columns is not None else None
+    low = path.lower()
+    if os.path.isdir(path) or low.endswith((".parquet", ".pq")):
+        return rd.read_parquet(path, columns=cols)
+    if low.endswith(".csv"):
+        ds = rd.read_csv(path)
+    elif low.endswith((".jsonl", ".json", ".ndjson")):
+        ds = rd.read_json(path)
+    else:
+        raise ValueError(f"unsupported corpus format: {path}")
+    return ds.select_columns(cols) if cols else ds

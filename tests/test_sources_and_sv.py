@@ -86,3 +86,39 @@ def test_pointer_jump_random_graph(tmp_path):
     )
     t = components_table(res)
     assert np_col(t, "label").tolist() == cc_ref(vids, src, dst).tolist()
+
+
+def test_read_corpus_any_csv_jsonl_match_parquet(tmp_path):
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from essentials_rd.sources import read_corpus_any
+
+    t = pa.table({
+        "repo": pa.array([f"r{i%3}" for i in range(20)], pa.string()),
+        "path": pa.array([f"src/f{i}.py" for i in range(20)], pa.string()),
+        "commit": pa.array(["c"] * 20, pa.string()),
+        "lang": pa.array(["py"] * 20, pa.string()),
+        "content": pa.array([f"print({i})" for i in range(20)], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "c.parquet")
+    pacsv.write_csv(t, tmp_path / "c.csv")
+    with open(tmp_path / "c.jsonl", "w") as f:
+        for r in t.to_pylist():
+            import json
+
+            f.write(json.dumps(r) + "\n")
+    want = read_corpus_any(str(tmp_path / "c.parquet")).to_pandas()
+    for ext in ("csv", "jsonl"):
+        got = read_corpus_any(str(tmp_path / f"c.{ext}")).to_pandas()
+        assert got.sort_values("path").reset_index(drop=True).equals(
+            want.sort_values("path").reset_index(drop=True)
+        ), ext
+    # full-column read and the unsupported-format guard
+    full = read_corpus_any(str(tmp_path / "c.csv"), columns=None)
+    assert set(full.schema().names) == set(t.schema.names)
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        read_corpus_any(str(tmp_path / "c.xml"))
