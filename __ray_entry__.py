@@ -378,6 +378,52 @@ HC_SOURCES = 4
 HC_D = 6
 
 
+CORE_CAP = 5
+
+
+def _q_coreness(sf_dir: str):
+    """Capped k-core decomposition (kcore.coreness): per vertex
+    min(core number, CORE_CAP) = Σ_{k≤cap} [v ∈ k-core], one
+    frontier-sparse peel per k; every peel's round count is asserted
+    against the oracle's unroll bound."""
+    from essentials_rd.algorithms import coreness
+
+    g, _ = _graph(sf_dir)
+    return coreness(g, CORE_CAP, max_rounds_per_k=KCORE_ITERS,
+                    scatter_mode="fused")
+
+
+def _coreness_sql() -> str:
+    """CORE_CAP independent unrolled peels (the kcore3 chain per k);
+    core = how many of the final cores contain the vertex (cores
+    nest)."""
+    steps = []
+    for k in range(1, CORE_CAP + 1):
+        steps.append(f"ck{k}_0 AS MATERIALIZED (SELECT vid FROM verts)")
+        for t in range(KCORE_ITERS):
+            steps.append(
+                f"ck{k}_{t + 1} AS MATERIALIZED ("
+                f"SELECT e.src AS vid FROM sym e "
+                f"JOIN ck{k}_{t} s ON s.vid = e.src "
+                f"JOIN ck{k}_{t} d ON d.vid = e.dst "
+                f"GROUP BY e.src HAVING count(*) >= {k})"
+            )
+    body = ",".join(steps)
+    joins = " ".join(
+        f"LEFT JOIN ck{k}_{KCORE_ITERS} j{k} ON j{k}.vid = v.vid"
+        for k in range(1, CORE_CAP + 1)
+    )
+    total = " + ".join(
+        f"(CASE WHEN j{k}.vid IS NULL THEN 0 ELSE 1 END)"
+        for k in range(1, CORE_CAP + 1)
+    )
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT v.vid, CAST({total} AS BIGINT) AS core "
+        f"FROM verts v {joins} ORDER BY v.vid"
+    )
+
+
 def _q_harmonic(sf_dir: str):
     """Sampled harmonic centrality (HC_SOURCES smallest vids) via ONE
     multi-source bitmask BFS program, depth-truncated at HC_D so the
@@ -1956,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_infer": _q_geo,
         "bc_sampled": _q_betweenness,
         "harmonic_sampled": _q_harmonic,
+        "coreness_capped": _q_coreness,
         "tfidf_top1": _q_tfidf,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -2888,6 +2935,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "geo_infer": _geo_sql(),
         "bc_sampled": _bc_sql(),
         "harmonic_sampled": _harmonic_sql(),
+        "coreness_capped": _coreness_sql(),
         "simhash_pairs": _simhash_sql(),
         "winnow_fp": _winnow_sql(),
         "kmeans_buckets": _kmeans_sql(),

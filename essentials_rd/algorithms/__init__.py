@@ -6,7 +6,7 @@ from .tc import triangle_counts
 from .bfs import BfsProgram, bfs
 from .sssp import SsspProgram, sssp
 from .ppr import PprProgram, ppr
-from .kcore import KcoreProgram, kcore
+from .kcore import KcoreProgram, coreness, kcore
 from .spgemm import spgemm
 from .eigencentrality import EigenCentralityProgram, eigencentrality
 from .color import ColorProgram, color
@@ -34,6 +34,7 @@ __all__ = [
     "ppr",
     "KcoreProgram",
     "kcore",
+    "coreness",
     "spgemm",
     "EigenCentralityProgram",
     "eigencentrality",

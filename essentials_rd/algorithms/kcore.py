@@ -115,3 +115,44 @@ def kcore_table(result: RunResult) -> pa.Table:
             ),
         }
     )
+
+
+def coreness(
+    graph: GraphShards,
+    cap: int,
+    *,
+    max_iters: int = 500,
+    max_rounds_per_k: int | None = None,
+    **kwargs,
+) -> pa.Table:
+    """Capped k-core DECOMPOSITION: per vertex ``core = min(coreness,
+    cap)`` — the full core number for every vertex whose coreness is
+    below the cap, ``cap`` for the rest.  Runs the peeling program for
+    k = 1..cap; cores nest, so ``core = Σ_k alive_k`` exactly.  Each
+    peel is its own frontier-sparse BSP run (rounds after the first
+    touch only the peel boundary); a production variant would seed the
+    k-peel from the (k−1)-core's survivors — cores nest — but the
+    peels here start from the full graph to keep each run independent
+    and the oracle unroll per-k self-contained.  Returns (vid, core).
+    ``max_rounds_per_k`` (if given) asserts every peel's round count —
+    the bound the unrolled SQL oracle relies on."""
+    scores = None
+    vids = None
+    for k in range(1, cap + 1):
+        res = kcore(graph, k, max_iters=max_iters, checkpoint_every=0,
+                    **kwargs)
+        assert res.converged, f"k={k} peel did not converge"
+        if max_rounds_per_k is not None:
+            assert res.supersteps <= max_rounds_per_k, (
+                f"k={k} peel took {res.supersteps} rounds > bound "
+                f"{max_rounds_per_k}"
+            )
+        t = res.state_table(["alive"])
+        alive = np.asarray(t["alive"], np.int64)
+        if scores is None:
+            vids = t["vid"]
+            scores = alive.copy()
+        else:
+            scores += alive
+    return pa.table({"vid": vids,
+                     "core": pa.array(scores, pa.int64())})

@@ -254,3 +254,23 @@ def test_harmonic_depth_cap_truncates(tmp_path):
     assert np.allclose(np.asarray(t["harmonic"]), ref)
     assert np.asarray(t["harmonic"]).tolist() == [0.0, 1.0, 0.5, 0.0, 0.0, 0.0]
     assert not res.converged  # truncated before the frontier died
+
+
+def test_coreness_matches_bruteforce_decomposition(tmp_path):
+    from essentials_rd.algorithms import coreness
+    from essentials_rd.reference_impl import kcore_ref
+
+    src, dst = _dedup_edges(n=60, m=500, seed=13)
+    g = build_graph(_ds(src, dst), str(tmp_path / "g"), 4, symmetrize=True)
+    cap = 6
+    t = coreness(g, cap, max_rounds_per_k=64, scatter_mode="fused")
+    vids = np.asarray(t["vid"], np.int64)
+    sym_s, sym_d = np.r_[src, dst], np.r_[dst, src]
+    # brute-force capped core number: exact classic peel per k
+    want = np.zeros(len(vids), np.int64)
+    for k in range(1, cap + 1):
+        want += kcore_ref(vids, sym_s, sym_d, k)
+    assert np.asarray(t["core"], np.int64).tolist() == want.tolist()
+    # the decomposition refines plain k-core membership
+    assert (np.asarray(t["core"]) >= 0).all()
+    assert np.asarray(t["core"]).max() <= cap
