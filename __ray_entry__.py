@@ -1253,6 +1253,50 @@ def _simhash_sql() -> str:
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+FUNNEL = ["signup", "click", "purchase"]
+
+
+def _q_funnel(sf_dir: str):
+    """Ordered funnel (windows.funnel_stages): per user the count of
+    signup→click→purchase stages completed in strict time order; one
+    user-bucketed shuffle, one masked segment-min pass per stage."""
+    import ray.data as rd
+
+    from essentials_rd.windows import funnel_stages
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_stages(ev, FUNNEL)
+
+
+def _funnel_sql() -> str:
+    parts = []
+    for i, s in enumerate(FUNNEL):
+        if i == 0:
+            parts.append(
+                f"f0 AS (SELECT user_id, min(epoch_us(ts)) AS t "
+                f"FROM events WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            parts.append(
+                f"f{i} AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t "
+                f"FROM events e JOIN f{i - 1} p ON p.user_id = e.user_id "
+                f"WHERE e.event_type = '{s}' AND epoch_us(e.ts) > p.t "
+                f"GROUP BY e.user_id)"
+            )
+    joins = " ".join(
+        f"LEFT JOIN f{i} ON f{i}.user_id = u.user_id"
+        for i in range(len(FUNNEL))
+    )
+    total = " + ".join(
+        f"(CASE WHEN f{i}.user_id IS NULL THEN 0 ELSE 1 END)"
+        for i in range(len(FUNNEL))
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT u.user_id, CAST(" + total + " AS BIGINT) AS stage "
+        "FROM (SELECT DISTINCT user_id FROM events) u " + joins
+    )
 
 
 def _q_user_event_pivot(sf_dir: str):
@@ -1968,6 +2012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": _q_user_top_event,
         "user_event_pivot": _q_user_event_pivot,
         "doc_char_rank": _q_doc_char_rank,
+        "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
@@ -2945,6 +2990,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
                 f"AS BIGINT) AS n_{c}" for c in EVENT_TYPES
             ) + " FROM events GROUP BY user_id"
         ),
+        "funnel_stages": _funnel_sql(),
         "doc_char_rank": (
             "SELECT doc_id, lang, CAST(row_number() OVER w AS BIGINT) "
             "AS rnk, percent_rank() OVER w AS pct FROM documents "

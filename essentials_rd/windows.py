@@ -392,3 +392,58 @@ def rolling_window_agg(
         _roll,
         num_buckets=num_buckets,
     )
+
+
+def funnel_stages(
+    events: rd.Dataset,
+    stages: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Ordered funnel analysis: per user, how many of ``stages`` were
+    completed IN ORDER — stage i counts only if some stage-i event
+    happens strictly after the user's first qualifying stage-(i−1)
+    event (t₀ = the user's earliest stage-0 event).  The strict-``>``
+    tie rule is the pinned semantic the SQL oracle mirrors.  One
+    user-bucketed shuffle (sessionize's locality assumption); the
+    kernel is one pass per stage of masked per-user segment mins —
+    O(rows·stages), no per-user loop.  Output: (user, stage) with
+    stage ∈ 0..len(stages) for every user present."""
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            user_col: batch.column(user_col).cast(pa.int64()),
+            "__ts__": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+            type_col: batch.column(type_col),
+        })
+
+    def _funnel(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "stage": pa.array([], pa.int64())})
+        u = np_col(grp, user_col)
+        t = np_col(grp, "__ts__")
+        et = grp.column(type_col).to_pandas().to_numpy()
+        uniq, uidx = np.unique(u, return_inverse=True)
+        n = len(uniq)
+        bound = np.full(n, np.iinfo(np.int64).min, np.int64)  # t(-1) = -inf
+        stage = np.zeros(n, np.int64)
+        for s in stages:
+            nxt = np.full(n, np.iinfo(np.int64).max, np.int64)
+            mask = (et == s) & (t > bound[uidx])
+            np.minimum.at(nxt, uidx[mask], t[mask])
+            hit = nxt < np.iinfo(np.int64).max
+            stage += hit
+            bound = np.where(hit, nxt, np.iinfo(np.int64).max)
+            # users who missed this stage can't complete later ones:
+            # bound = +inf makes every later "t > bound" mask false
+        return pa.table({user_col: pa.array(uniq, pa.int64()),
+                         "stage": pa.array(stage, pa.int64())})
+
+    projected = events.map_batches(_project, batch_format="pyarrow")
+    return hash_bucket_agg(
+        projected, lambda b: np_col(b, user_col), _funnel,
+        num_buckets=num_buckets,
+    )

@@ -248,3 +248,38 @@ def test_lag_diff_matches_pandas_and_bucket_invariant():
         .reset_index(drop=True)
     )
     assert got.equals(got2)
+
+
+def test_funnel_stages_planted_and_strict_order():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.windows import funnel_stages
+
+    # user 1: full funnel in order; user 2: stages out of order (click
+    # before signup -> only stage 1); user 3: signup only; user 4: no
+    # funnel events; user 5: click at the SAME ts as signup (strict >
+    # rejects it)
+    rows = [
+        (1, 100, "signup"), (1, 200, "click"), (1, 300, "purchase"),
+        (2, 100, "click"), (2, 200, "signup"), (2, 150, "view"),
+        (3, 50, "signup"),
+        (4, 10, "view"),
+        (5, 100, "signup"), (5, 100, "click"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    for nb in (1, 5):
+        got = {
+            r["user_id"]: r["stage"]
+            for r in funnel_stages(
+                rd.from_arrow(t), ["signup", "click", "purchase"],
+                num_buckets=nb,
+            ).take_all()
+        }
+        assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1}, f"nb={nb}"
