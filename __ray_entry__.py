@@ -1331,6 +1331,48 @@ def _q_doc_char_rank(sf_dir: str):
                         descending=True)
 
 
+def _q_cust_user_outer(sf_dir: str):
+    """FULL OUTER join (ops.join how='outer' — forced onto the
+    co-shuffled path, where each bucket sees both complete sides):
+    customers vs per-user event counts on the shared key space,
+    surfacing both customers with no events and event users outside
+    the customer table."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, join
+    from essentials_rd.util import np_col
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda t: pa.table({
+            "key": t.column("c_custkey"),
+            "c_flag": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    ue = grouped_pandas_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(lambda t: t.rename_columns(["key"]),
+                     batch_format="pyarrow"),
+        ["key"], {"n_events": ("key", "count")},
+        key_fn=lambda b: np_col(b, "key"),
+    )
+    j = join(cust, ue, on="key", how="outer")
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column("key").cast(pa.int64()),
+            "has_cust": pc.fill_null(
+                t.column("c_flag").cast(pa.int64()), 0),
+            "n_events": pc.fill_null(
+                t.column("n_events").cast(pa.int64()), 0),
+        })
+
+    return j.map_batches(_fin, batch_format="pyarrow")
+
+
 def _q_user_top_event(sf_dir: str):
     """Per-user modal event type (ops.grouped_mode): per-block partial
     (user, type, n) counts combine before the single bucketed shuffle;
@@ -2010,6 +2052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_buckets": _q_kmeans_buckets,
         "revenue_by_region": _q_revenue_by_region,
         "user_top_event": _q_user_top_event,
+        "cust_user_outer": _q_cust_user_outer,
         "user_event_pivot": _q_user_event_pivot,
         "doc_char_rank": _q_doc_char_rank,
         "funnel_stages": _q_funnel,
@@ -2996,6 +3039,15 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "AS rnk, percent_rank() OVER w AS pct FROM documents "
             "WINDOW w AS (PARTITION BY lang "
             "ORDER BY n_chars DESC, doc_id ASC)"
+        ),
+        "cust_user_outer": (
+            "SELECT COALESCE(c.c_custkey, u.user_id) AS key, "
+            "CAST(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END "
+            "AS BIGINT) AS has_cust, "
+            "CAST(COALESCE(u.n, 0) AS BIGINT) AS n_events "
+            "FROM customer c FULL OUTER JOIN "
+            "(SELECT user_id, count(*) AS n FROM events "
+            "GROUP BY user_id) u ON u.user_id = c.c_custkey"
         ),
         "user_top_event": (
             "SELECT user_id, event_type, n FROM ("

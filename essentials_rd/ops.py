@@ -724,7 +724,7 @@ def _join_key_fn(on: list[str]) -> Callable[[pa.Table], np.ndarray]:
 
 
 def _pd_merge(ldf: pd.DataFrame, rdf: pd.DataFrame, on: list[str], how: str) -> pd.DataFrame:
-    if how in ("inner", "left"):
+    if how in ("inner", "left", "outer"):
         return ldf.merge(rdf, on=on, how=how)
     if how == "semi":
         return ldf.merge(rdf[on].drop_duplicates(), on=on, how="inner")
@@ -758,8 +758,9 @@ def join(
       two complete sides with a vectorized pandas merge.  Same key →
       same bucket, so per-bucket joins are globally correct.
 
-    ``how``: ``inner`` / ``left`` / ``semi`` / ``anti`` (semi/anti
-    project the right side to its key columns before any movement).
+    ``how``: ``inner`` / ``left`` / ``outer`` / ``semi`` / ``anti``
+    (semi/anti project the right side to its key columns before any
+    movement; ``outer`` always takes the partitioned path — see below).
     ``broadcast=None`` auto-picks: broadcast iff ``right.count() <=
     broadcast_limit`` (executes the right pipeline).  Join keys must be
     non-null.  Right value columns colliding with left names get
@@ -797,6 +798,11 @@ def join(
     rcols = list(rschema.names)
     rval_cols = [c for c in rcols if c not in on]
 
+    if how == "outer":
+        # a per-batch broadcast outer merge would emit every unmatched
+        # right row once PER LEFT BATCH — outer is only correct on the
+        # co-shuffled path where each bucket sees both complete sides
+        broadcast = False
     if broadcast is None:
         # materialize once so the strategy probe (count) and the join
         # itself reuse the same blocks instead of executing the right

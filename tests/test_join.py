@@ -302,3 +302,33 @@ def test_interval_join_empty_sides_and_span_guard():
             left_carry=["lid"], right_carry=["rid"],
             max_span=10, num_buckets=4,
         ).materialize()
+
+
+def test_outer_join_matches_pandas_both_sides_unmatched():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import join
+
+    rng = np.random.default_rng(7)
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 30, 200), pa.int64()),
+        "lv": pa.array(np.arange(200), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(rng.integers(15, 45, 120), pa.int64()),  # 15..29 overlap
+        "rv": pa.array(np.arange(120) + 1000, pa.int64()),
+    })
+    want = (left.to_pandas().merge(right.to_pandas(), on="k", how="outer")
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True))
+    got = (join(rd.from_arrow(left), rd.from_arrow(right), on="k",
+                how="outer", num_buckets=7)
+           .to_pandas()
+           .astype(want.dtypes.to_dict())
+           .sort_values(["k", "lv", "rv"])
+           .reset_index(drop=True))
+    assert got.equals(want)
+    # both unmatched directions actually occurred in the fixture
+    assert want["lv"].isna().any() and want["rv"].isna().any()
