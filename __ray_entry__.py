@@ -378,6 +378,79 @@ HC_SOURCES = 4
 HC_D = 6
 
 
+MIS_ITERS = 24
+
+
+def _q_mis(sf_dir: str):
+    """Deterministic Luby maximal independent set (mis.MisProgram):
+    one max-combine per superstep carries both the round's priority
+    contest and the previous winners' KILL sentinels; the round count
+    is asserted within the oracle's unroll."""
+    from essentials_rd.algorithms import mis
+    from essentials_rd.algorithms.mis import mis_table
+
+    g, _ = _graph(sf_dir)
+    res = mis(g, checkpoint_every=0, scatter_mode="fused",
+              max_iters=4 * MIS_ITERS)
+    assert res.converged and res.supersteps <= MIS_ITERS, (
+        f"MIS took {res.supersteps} rounds > oracle unroll {MIS_ITERS}"
+    )
+    return mis_table(res)
+
+
+def _mis_sql() -> str:
+    """Unrolled deterministic-Luby rounds: kills (undecided neighbors
+    of the previous round's winners) resolve before the contest; the
+    contest max runs over the PRE-kill undecided neighbor set, exactly
+    the engine's message stream."""
+    K = 2654435761
+    MIN = -(2**63)
+
+    def pri(col: str, r: int) -> str:
+        return (f"(CAST(({col} + {r} * {K}) AS HUGEINT) * {K} "
+                f"% 2147483648 * 4294967296 + {col})")
+
+    steps = ["u0 AS MATERIALIZED (SELECT vid FROM verts)",
+             "f0 AS MATERIALIZED (SELECT vid FROM verts WHERE FALSE)"]
+    for r in range(1, MIS_ITERS + 1):
+        steps.append(
+            f"kl{r} AS MATERIALIZED (SELECT DISTINCT e.dst AS vid "
+            f"FROM sym e JOIN f{r - 1} f ON f.vid = e.src "
+            f"JOIN u{r - 1} u ON u.vid = e.dst)"
+        )
+        steps.append(
+            f"im{r} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"max({pri('e.src', r)}) AS m FROM sym e "
+            f"JOIN u{r - 1} s ON s.vid = e.src GROUP BY e.dst)"
+        )
+        steps.append(
+            f"w{r} AS MATERIALIZED (SELECT u.vid FROM u{r - 1} u "
+            f"LEFT JOIN kl{r} k ON k.vid = u.vid "
+            f"LEFT JOIN im{r} i ON i.vid = u.vid "
+            f"WHERE k.vid IS NULL AND {pri('u.vid', r)} > "
+            f"COALESCE(i.m, {MIN}))"
+        )
+        steps.append(
+            f"u{r} AS MATERIALIZED (SELECT u.vid FROM u{r - 1} u "
+            f"LEFT JOIN kl{r} k ON k.vid = u.vid "
+            f"LEFT JOIN w{r} w ON w.vid = u.vid "
+            f"WHERE k.vid IS NULL AND w.vid IS NULL)"
+        )
+        steps.append(
+            f"f{r} AS MATERIALIZED (SELECT vid FROM w{r})"
+        )
+    body = ",".join(steps)
+    union = " UNION ALL ".join(
+        f"SELECT vid FROM w{r}" for r in range(1, MIS_ITERS + 1)
+    )
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT v.vid, CAST(CASE WHEN m.vid IS NULL THEN 0 ELSE 1 END "
+        f"AS BIGINT) AS in_set FROM verts v "
+        f"LEFT JOIN ({union}) m ON m.vid = v.vid ORDER BY v.vid"
+    )
+
+
 CORE_CAP = 5
 
 
@@ -2091,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bc_sampled": _q_betweenness,
         "harmonic_sampled": _q_harmonic,
         "coreness_capped": _q_coreness,
+        "mis_luby": _q_mis,
         "tfidf_top1": _q_tfidf,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -3024,6 +3098,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "bc_sampled": _bc_sql(),
         "harmonic_sampled": _harmonic_sql(),
         "coreness_capped": _coreness_sql(),
+        "mis_luby": _mis_sql(),
         "simhash_pairs": _simhash_sql(),
         "winnow_fp": _winnow_sql(),
         "kmeans_buckets": _kmeans_sql(),

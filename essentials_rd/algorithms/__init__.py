@@ -15,6 +15,7 @@ from .geo import GeoProgram, geo
 from .bc import betweenness
 from .hits import HitsProgram, hits, hits_graph_edges, hits_table
 from .harmonic import MultiSourceBfsProgram, harmonic, harmonic_table
+from .mis import MisProgram, mis, mis_table
 
 __all__ = [
     "PageRankProgram",
@@ -51,4 +52,7 @@ __all__ = [
     "MultiSourceBfsProgram",
     "harmonic",
     "harmonic_table",
+    "MisProgram",
+    "mis",
+    "mis_table",
 ]

@@ -544,3 +544,32 @@ def hits_ref(
         h = np.bincount(si, weights=a[di], minlength=n)
     hs, as_ = h.sum(), a.sum()
     return (h / hs if hs > 0 else h), (a / as_ if as_ > 0 else a)
+
+
+def mis_ref(vids: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Deterministic Luby MIS over a SYMMETRIZED edge list, mirroring
+    the engine's round schedule exactly (same packed priorities, kills
+    processed before contests).  Returns 0/1 membership."""
+    from .algorithms.color import _packed_priority
+
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    status = np.full(n, -1, np.int64)
+    fresh = np.zeros(n, bool)
+    kill = np.iinfo(np.int64).max
+    rnd = 0
+    while (status < 0).any():
+        pri = _packed_priority(vids, rnd)
+        und = status < 0
+        inc = np.full(n, np.iinfo(np.int64).min, np.int64)
+        m = und[s]
+        np.maximum.at(inc, d[m], pri[s[m]])
+        inc[d[fresh[s]]] = kill
+        killed = und & (inc == kill)
+        wins = und & ~killed & (pri > inc)
+        status[killed] = 0
+        status[wins] = 1
+        fresh = wins
+        rnd += 1
+        assert rnd <= 2 * n + 2, "MIS reference failed to terminate"
+    return status

@@ -263,3 +263,31 @@ def test_pagerank_weighted_matches_reference(tmp_path):
     )
     assert np.allclose(got, want, atol=1e-9)
     assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_mis_matches_reference_and_is_maximal_independent(tmp_path):
+    from essentials_rd.algorithms import mis
+    from essentials_rd.algorithms.mis import mis_table
+    from essentials_rd.reference_impl import mis_ref
+
+    src, dst = _random_edges(n=60, m=300, seed=19)
+    src, dst = _canon(src, dst)
+    vids = np.unique(np.r_[src, dst, [59]])  # 59 possibly isolated
+    g = small_graph(tmp_path, src, dst, P=3, vertex_ids=vids)
+    res = mis(g, checkpoint_every=0, scatter_mode="fused")
+    assert res.converged
+    t = mis_table(res)
+    got = np.asarray(t["in_set"], np.int64)
+    sym_s, sym_d = np.r_[src, dst], np.r_[dst, src]
+    want = mis_ref(vids, sym_s, sym_d)
+    assert got.tolist() == want.tolist()
+    # independent: no edge inside the set
+    in_set = {int(v) for v, x in zip(np.asarray(t["vid"]), got) if x == 1}
+    assert not any(s in in_set and d in in_set for s, d in zip(src, dst))
+    # maximal: every out vertex has an in-set neighbor
+    nbr = {}
+    for a, b in zip(sym_s.tolist(), sym_d.tolist()):
+        nbr.setdefault(a, set()).add(b)
+    for v, x in zip(np.asarray(t["vid"]).tolist(), got.tolist()):
+        if x == 0:
+            assert nbr.get(v, set()) & in_set, v
