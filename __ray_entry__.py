@@ -1640,6 +1640,36 @@ def _kmeans_sql() -> str:
     )
 
 
+CHUNK_TOKENS = 64
+REDACT_RE = "[0-9]+"
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Context-window chunking (textops.chunk_documents): per-doc
+    64-token chunks with token/char counts — partitioning-independent
+    by construction, unlike cross-doc greedy packing."""
+    import ray.data as rd
+
+    from essentials_rd.textops import chunk_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return chunk_documents(docs, CHUNK_TOKENS)
+
+
+def _q_redacted_docs(sf_dir: str):
+    """Regex scrubbing audit (textops.redact_pattern): digit runs →
+    '#', per-doc hit count + redacted length; the RE2 pattern string is
+    shared verbatim with the oracle."""
+    import ray.data as rd
+
+    from essentials_rd.textops import redact_pattern
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return redact_pattern(docs, REDACT_RE)
+
+
 WINNOW_W = 8   # fingerprint window (grams per min-window)
 WINNOW_K = 5   # tokens per gram
 
@@ -2122,6 +2152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_windows": _q_events_in_windows,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_fp": _q_winnow_fp,
+        "doc_chunks": _q_doc_chunks,
+        "redacted_docs": _q_redacted_docs,
         "kmeans_buckets": _q_kmeans_buckets,
         "revenue_by_region": _q_revenue_by_region,
         "user_top_event": _q_user_top_event,
@@ -3101,6 +3133,24 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "mis_luby": _mis_sql(),
         "simhash_pairs": _simhash_sql(),
         "winnow_fp": _winnow_sql(),
+        "doc_chunks": (
+            "SELECT doc_id, CAST((i.i - 1) // "
+            f"{CHUNK_TOKENS} AS BIGINT) AS chunk_id, "
+            "CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(length(t[i.i])) + count(*) - 1 AS BIGINT) "
+            "AS n_chars "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i "
+            "GROUP BY 1, 2"
+        ),
+        "redacted_docs": (
+            "SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(text, '{REDACT_RE}')) "
+            "AS BIGINT) AS n_hits, "
+            f"CAST(length(regexp_replace(text, '{REDACT_RE}', '#', 'g')) "
+            "AS BIGINT) AS redacted_len FROM documents"
+        ),
         "kmeans_buckets": _kmeans_sql(),
         "user_event_pivot": (
             "SELECT user_id, " + ", ".join(

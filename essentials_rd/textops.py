@@ -958,6 +958,81 @@ def token_counts(docs: rd.Dataset, text_col: str = "text",
     return docs.map_batches(_cnt, batch_format="pyarrow")
 
 
+def chunk_documents(
+    docs: rd.Dataset,
+    chunk_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Context-window chunking for LLM training: split every doc's
+    whitespace token stream into consecutive ``chunk_tokens``-token
+    chunks (last chunk keeps the remainder).  Purely per-doc and
+    stateless — unlike greedy cross-doc sequence packing, the result
+    is independent of partitioning, which is what makes it exact at
+    any cluster size (and SQL-checkable).  Output: (doc_id, chunk_id,
+    n_tokens, n_chars) — n_chars counts the chunk's re-joined text,
+    i.e. token lengths + single separating spaces."""
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        ids = np_col(batch, id_col)
+        toks = s.str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        rep = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+        flat = toks.explode().to_numpy()
+        tok_len = (
+            pd.Series(flat).str.len().to_numpy(np.int64)
+            if len(flat) else np.zeros(0, np.int64)
+        )
+        # position within doc → chunk index; per (doc, chunk) reduce
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        pos = np.arange(len(rep), dtype=np.int64) - starts[rep]
+        cid = pos // chunk_tokens
+        key = rep * np.int64(1 << 32) + cid
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        seg = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+        seg_counts = np.diff(np.r_[seg, len(ks)])
+        uk = ks[seg]
+        chars = np.add.reduceat(tok_len[order], seg) + seg_counts - 1
+        return pa.table({
+            id_col: pa.array(ids[(uk >> 32).astype(np.int64)], pa.int64()),
+            "chunk_id": pa.array(
+                (uk & np.int64((1 << 32) - 1)).astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(seg_counts.astype(np.int64), pa.int64()),
+            "n_chars": pa.array(chars.astype(np.int64), pa.int64()),
+        })
+
+    return docs.map_batches(_chunk, batch_format="pyarrow")
+
+
+def redact_pattern(
+    docs: rd.Dataset,
+    pattern: str,
+    replacement: str = "#",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """PII-style regex scrubbing: replace every match of ``pattern``
+    (RE2 syntax — shared verbatim with the DuckDB oracle, the
+    token_counts precedent) and report per-doc (n_hits, redacted_len).
+    One compiled-once vectorized pass per batch; the redacted text
+    itself stays distributed (only the audit counts come back)."""
+    import pyarrow.compute as pc_
+
+    def _red(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col).combine_chunks()
+        hits = pc_.count_substring_regex(col, pattern)
+        red = pc_.replace_substring_regex(col, pattern, replacement)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_hits": hits.cast(pa.int64()),
+            "redacted_len": pc_.utf8_length(red).cast(pa.int64()),
+        })
+
+    return docs.map_batches(_red, batch_format="pyarrow")
+
+
 # --------------------------------------------------- doc fingerprints
 
 

@@ -369,3 +369,49 @@ def test_simhash_token_key_matches_scalar_recompute():
     want = hash64(np.array(keys, np.int64))
     assert np.array_equal(h, want)
     assert len(rep) == len(flat)
+
+
+def test_chunk_documents_partition_and_reconstruction():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.textops import chunk_documents
+
+    texts = ["a bb ccc " * 50, "x", "", "one two three four five"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array([s.strip() if s else s for s in texts],
+                         pa.string()),
+    })
+    got = chunk_documents(rd.from_arrow(t), 4).to_pandas()
+    for i, s in enumerate(t["text"].to_pylist()):
+        toks = s.split(" ")
+        mine = got[got["doc_id"] == i].sort_values("chunk_id")
+        # chunk token counts re-assemble the doc exactly
+        assert mine["n_tokens"].sum() == len(toks)
+        assert (mine["n_tokens"].iloc[:-1] == 4).all()  # full chunks
+        assert mine["chunk_id"].tolist() == list(range(len(mine)))
+        # chars = rejoined chunk lengths
+        off = 0
+        for _, row in mine.iterrows():
+            chunk = toks[off: off + row["n_tokens"]]
+            assert row["n_chars"] == len(" ".join(chunk))
+            off += row["n_tokens"]
+
+
+def test_redact_pattern_planted_counts():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.textops import redact_pattern
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["call 555 or 1234", "no digits here", "007"],
+                         pa.string()),
+    })
+    got = {r["doc_id"]: (r["n_hits"], r["redacted_len"])
+           for r in redact_pattern(rd.from_arrow(t), "[0-9]+").take_all()}
+    assert got == {0: (2, len("call # or #")),
+                   1: (0, len("no digits here")),
+                   2: (1, 1)}
