@@ -1640,6 +1640,20 @@ def _kmeans_sql() -> str:
     )
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Daily cohort retention (windows.cohort_retention): cohort =
+    each user's first-event day; cells count distinct same-cohort
+    users active N days later.  Cohorting never leaves the user
+    bucket; only (cohort, offset) partial counts shuffle again."""
+    import ray.data as rd
+
+    from essentials_rd.windows import cohort_retention
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return cohort_retention(ev)
+
+
 CHUNK_TOKENS = 64
 REDACT_RE = "[0-9]+"
 
@@ -2154,6 +2168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fp": _q_winnow_fp,
         "doc_chunks": _q_doc_chunks,
         "redacted_docs": _q_redacted_docs,
+        "cohort_retention": _q_cohort_retention,
         "kmeans_buckets": _q_kmeans_buckets,
         "revenue_by_region": _q_revenue_by_region,
         "user_top_event": _q_user_top_event,
@@ -3143,6 +3158,15 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "FROM documents), "
             "LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i "
             "GROUP BY 1, 2"
+        ),
+        "cohort_retention": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "c AS (SELECT user_id, min(day) AS cohort FROM ud "
+            "GROUP BY user_id) "
+            "SELECT c.cohort, ud.day - c.cohort AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM ud JOIN c USING (user_id) GROUP BY 1, 2"
         ),
         "redacted_docs": (
             "SELECT doc_id, "

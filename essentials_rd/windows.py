@@ -447,3 +447,65 @@ def funnel_stages(
         projected, lambda b: np_col(b, user_col), _funnel,
         num_buckets=num_buckets,
     )
+
+
+US_PER_DAY = 24 * 3600 * 1_000_000
+
+
+def cohort_retention(
+    events: rd.Dataset,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period_us: int = US_PER_DAY,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event; cell (cohort, day_offset) counts the distinct
+    users of that cohort active ``day_offset`` periods later.  One
+    user-bucketed shuffle computes, per bucket, the distinct
+    (user, period) pairs and each user's min period in the same kernel
+    — the cohort assignment never leaves the bucket — then a second
+    tiny shuffle sums the (cohort, offset) partials.  Output:
+    (cohort, day_offset, n_users)."""
+    from .ops import grouped_pandas_agg
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            user_col: batch.column(user_col).cast(pa.int64()),
+            "__p__": pa.array(
+                _epoch_us(batch, ts_col) // period_us, pa.int64()),
+        })
+
+    def _cohort(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "day_offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        u = np_col(grp, user_col)
+        p = np_col(grp, "__p__")
+        pairs = np.unique(u * np.int64(1 << 32) + p)
+        pu = (pairs >> 32).astype(np.int64)
+        pp = (pairs & np.int64((1 << 32) - 1)).astype(np.int64)
+        starts = np.r_[0, np.flatnonzero(pu[1:] != pu[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(pu)])
+        cohort = np.repeat(pp[starts], counts)  # min period = first in order
+        key = cohort * np.int64(1 << 32) + (pp - cohort)
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table({
+            "cohort": pa.array((uk >> 32).astype(np.int64), pa.int64()),
+            "day_offset": pa.array(
+                (uk & np.int64((1 << 32) - 1)).astype(np.int64), pa.int64()),
+            "n_users": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    projected = events.map_batches(_project, batch_format="pyarrow")
+    partials = hash_bucket_agg(
+        projected, lambda b: np_col(b, user_col), _cohort,
+        num_buckets=num_buckets,
+    )
+    return grouped_pandas_agg(
+        partials, ["cohort", "day_offset"], {"n_users": ("n_users", "sum")},
+        key_fn=lambda b: np_col(b, "cohort") * np.int64(0x9E3779B1)
+        + np_col(b, "day_offset"),
+        num_buckets=8,
+    )

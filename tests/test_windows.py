@@ -283,3 +283,27 @@ def test_funnel_stages_planted_and_strict_order():
             ).take_all()
         }
         assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1}, f"nb={nb}"
+
+
+def test_cohort_retention_planted_matrix():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.windows import US_PER_DAY, cohort_retention
+
+    # users 1,2 join day 0 (1 returns day 2); user 3 joins day 1 and
+    # returns days 2 and 3; duplicate same-day events count once
+    rows = [(1, 0), (1, 0), (1, 2), (2, 0), (3, 1), (3, 2), (3, 3)]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * US_PER_DAY + 5 for r in rows],
+                       pa.timestamp("us")),
+    })
+    for nb in (1, 4):
+        got = {
+            (r["cohort"], r["day_offset"]): r["n_users"]
+            for r in cohort_retention(rd.from_arrow(t),
+                                      num_buckets=nb).take_all()
+        }
+        assert got == {(0, 0): 2, (0, 2): 1,
+                       (1, 0): 1, (1, 1): 1, (1, 2): 1}, f"nb={nb}"
