@@ -580,6 +580,59 @@ def _q_hits(sf_dir: str):
     return hits_table(res)
 
 
+SCC_MOD = 4  # SCC runs on the induced subgraph vid % SCC_MOD == 0
+
+
+def _q_scc(sf_dir: str):
+    """Strongly connected components (algorithms/scc.py — trim +
+    forward-color + backward-mark rounds) of a deterministic DIRECTED
+    graph: the co-purchase edges induced on vid % SCC_MOD == 0, each
+    canonical src<dst edge oriented by SplitMix64 parity of its packed
+    pair key (cycles guaranteed; the same bit the SQL twin recomputes
+    via ``_sm64_ctes``).  Label = min vid of the component."""
+    from essentials_rd.algorithms import hits_graph_edges, scc_coloring
+    from essentials_rd.graph import build_graph
+    from essentials_rd.pipelines import (
+        _work_dir,
+        copurchase_edges,
+        part_universe,
+    )
+    from essentials_rd.util import hash64, np_col
+
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+
+    def _orient(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src")
+        d = np_col(t, "dst")
+        keep = (s % SCC_MOD == 0) & (d % SCC_MOD == 0)
+        s, d = s[keep], d[keep]
+        with np.errstate(over="ignore"):
+            z = hash64(
+                s.astype(np.uint64) * np.uint64(1 << 32)
+                + d.astype(np.uint64)
+                + np.uint64(mix)
+            )
+        fwd = (z & np.uint64(1)) == 0
+        return pa.table(
+            {
+                "src": pa.array(np.where(fwd, s, d), pa.int64()),
+                "dst": pa.array(np.where(fwd, d, s), pa.int64()),
+            }
+        )
+
+    directed = copurchase_edges(sf_dir).map_batches(
+        _orient, batch_format="pyarrow"
+    )
+    universe = part_universe(sf_dir)
+    tagged = hits_graph_edges(directed)
+    g = build_graph(
+        tagged, _work_dir("scc"), 8, symmetrize=False, weighted=True,
+        vertex_ids=universe[universe % SCC_MOD == 0], persist=False,
+    )
+    tbl, _ = scc_coloring(g)
+    return tbl
+
+
 MSF_W_CAP = 8
 MSF_CC_ROUNDS = 6
 
@@ -2206,6 +2259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigencentrality_k6": _q_eigencentrality,
         "coloring_w3": _q_coloring,
         "hits_k4": _q_hits,
+        "scc_labels": _q_scc,
         "msf_total": _q_msf,
         "geo_infer": _q_geo,
         "bc_sampled": _q_betweenness,
@@ -2846,6 +2900,46 @@ def _hits_sql() -> str:
     )
 
 
+def _scc_sql() -> str:
+    """DuckDB twin of ``_q_scc``: orient the induced co-purchase edges
+    by the shared SplitMix64 parity bit, compute the reachability
+    closure with a recursive CTE (tractable on the driver's small
+    inputs — the engine itself never materializes closure pairs), and
+    label every vertex with the min vid among mutually-reachable
+    vertices."""
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes(
+        "sc", "src, dst",
+        f"CAST(src AS HUGEINT) * 4294967296 + dst + {mix}",
+        f"(SELECT src, dst FROM pairs "
+        f"WHERE src % {SCC_MOD} = 0 AND dst % {SCC_MOD} = 0)",
+    )
+    return f"""
+WITH RECURSIVE {_GRAPH_CTES}, {chain},
+dedges AS MATERIALIZED (
+  SELECT CASE WHEN z % 2 = 0 THEN src ELSE dst END AS u,
+         CASE WHEN z % 2 = 0 THEN dst ELSE src END AS v
+  FROM sc3
+),
+reach AS (
+  SELECT u, v FROM dedges
+  UNION
+  SELECT r.u, d.v FROM reach r JOIN dedges d ON d.u = r.v
+),
+mutual AS (
+  SELECT a.u AS x, a.v AS y
+  FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u
+),
+labs AS (
+  SELECT w.vid, LEAST(w.vid, COALESCE(min(m.y), w.vid)) AS scc
+  FROM (SELECT vid FROM verts WHERE vid % {SCC_MOD} = 0) w
+  LEFT JOIN mutual m ON m.x = w.vid
+  GROUP BY w.vid
+)
+SELECT vid, CAST(scc AS BIGINT) AS scc FROM labs ORDER BY vid
+"""
+
+
 def _msf_sql() -> str:
     """MSF (n_edges, total_weight) via the threshold sweep: for every
     integer threshold t ≤ MSF_W_CAP, C(t) = #components of the subgraph
@@ -3127,6 +3221,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         # so the brute-force pair oracle applies verbatim
         "minhash_lsh_pairs": _near_dup_pairs_sql(),
         "hits_k4": _hits_sql(),
+        "scc_labels": _scc_sql(),
         "msf_total": _msf_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "lang_pred": _lang_pred_sql(),

@@ -14,6 +14,7 @@ from .msf import boruvka_msf
 from .geo import GeoProgram, geo
 from .bc import betweenness
 from .hits import HitsProgram, hits, hits_graph_edges, hits_table
+from .scc import scc_coloring
 from .harmonic import MultiSourceBfsProgram, harmonic, harmonic_table
 from .mis import MisProgram, mis, mis_table
 
@@ -47,6 +48,7 @@ __all__ = [
     "betweenness",
     "HitsProgram",
     "hits",
+    "scc_coloring",
     "hits_graph_edges",
     "hits_table",
     "MultiSourceBfsProgram",

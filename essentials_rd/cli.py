@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["pr", "wpr", "cc", "lp", "tc", "spmv", "bfs",
                             "sssp", "ppr", "kcore", "eigen", "color", "hits",
                             "bc", "msf", "ktruss", "esim", "nsample",
-                            "walks", "n2v", "harmonic"])
+                            "walks", "n2v", "harmonic", "scc"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out", default=None, help="result parquet dir")
     p.add_argument("--num-parts", type=int, default=16)
@@ -247,6 +247,49 @@ def main(argv: list[str] | None = None) -> int:
             _rd.from_arrow(t).write_parquet(args.out)
         print(json.dumps({"event": "done", "algo": "hits",
                           "rounds": args.k, "n_vertices": t.num_rows}),
+              flush=True)
+        ray.shutdown()
+        return 0
+    elif args.algo == "scc":
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from .algorithms import hits_graph_edges, scc_coloring
+        from .util import hash64, np_col
+
+        if edges is None:
+            edges = rd.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+                lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
+                batch_format="pyarrow",
+            )
+
+        # the derived graph is canonical-undirected; orient each edge by
+        # the SplitMix64 parity of its packed pair key (deterministic,
+        # partitioning-independent — same rule as the scc_labels query)
+        def _orient(t: pa.Table) -> pa.Table:
+            s = np_col(t, "src")
+            d = np_col(t, "dst")
+            with np.errstate(over="ignore"):
+                z = hash64(s.astype(np.uint64) * np.uint64(1 << 32)
+                           + d.astype(np.uint64))
+            fwd = (z & np.uint64(1)) == 0
+            return pa.table({
+                "src": pa.array(np.where(fwd, s, d), pa.int64()),
+                "dst": pa.array(np.where(fwd, d, s), pa.int64()),
+            })
+
+        gd = build_graph(
+            hits_graph_edges(edges.map_batches(_orient, batch_format="pyarrow")),
+            os.path.join(args.ckpt_dir, "scc_work"),
+            args.num_parts, symmetrize=False, weighted=True, persist=False,
+        )
+        t, rounds = scc_coloring(gd)
+        if args.out:
+            rd.from_arrow(t).write_parquet(args.out)
+        print(json.dumps({"event": "done", "algo": "scc",
+                          "rounds": rounds, "n_vertices": t.num_rows}),
               flush=True)
         ray.shutdown()
         return 0

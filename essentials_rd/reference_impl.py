@@ -573,3 +573,59 @@ def mis_ref(vids: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
         rnd += 1
         assert rnd <= 2 * n + 2, "MIS reference failed to terminate"
     return status
+
+
+def scc_ref(vids: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Iterative Tarjan SCC over a DIRECTED edge list; returns per
+    vertex the MIN vertex id of its strongly connected component (the
+    engine's canonical labeling, ``algorithms/scc.py``)."""
+    vids, s, d = _to_dense(vids, src, dst)
+    n = len(vids)
+    # CSR adjacency
+    order = np.argsort(s, kind="stable")
+    s_sorted, d_sorted = s[order], d[order]
+    starts = np.searchsorted(s_sorted, np.arange(n + 1))
+    index = np.full(n, -1, np.int64)
+    low = np.zeros(n, np.int64)
+    on_stack = np.zeros(n, bool)
+    stack: list[int] = []
+    label = np.full(n, -1, np.int64)
+    counter = 0
+    for root in range(n):
+        if index[root] >= 0:
+            continue
+        # explicit DFS stack of (vertex, next-edge-offset)
+        work = [(root, int(starts[root]))]
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            v, ei = work[-1]
+            if ei < starts[v + 1]:
+                work[-1] = (v, ei + 1)
+                w = int(d_sorted[ei])
+                if index[w] < 0:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on_stack[w] = True
+                    work.append((w, int(starts[w])))
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            else:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        comp.append(w)
+                        if w == v:
+                            break
+                    cid = vids[comp].min()
+                    label[comp] = cid
+    return label

@@ -483,6 +483,11 @@ def cohort_retention(
                              "n_users": pa.array([], pa.int64())})
         u = np_col(grp, user_col)
         p = np_col(grp, "__p__")
+        assert u.min() >= 0 and u.max() < (1 << 31) and p.min() >= 0 \
+            and p.max() < (1 << 32), (
+            "cohort_retention packs (user, period) into 64 bits: "
+            "user ids must be in [0, 2^31), periods in [0, 2^32)"
+        )
         pairs = np.unique(u * np.int64(1 << 32) + p)
         pu = (pairs >> 32).astype(np.int64)
         pp = (pairs & np.int64((1 << 32) - 1)).astype(np.int64)

@@ -291,3 +291,71 @@ def test_mis_matches_reference_and_is_maximal_independent(tmp_path):
     for v, x in zip(np.asarray(t["vid"]).tolist(), got.tolist()):
         if x == 0:
             assert nbr.get(v, set()) & in_set, v
+
+
+def _scc_graph(tmp_path, src, dst, vids, P=3):
+    from essentials_rd.algorithms import hits_graph_edges
+    from essentials_rd.graph import build_graph
+
+    tagged = hits_graph_edges(edges_ds(src, dst))
+    return build_graph(tagged, str(tmp_path / "g"), P, symmetrize=False,
+                       weighted=True, vertex_ids=vids, persist=False)
+
+
+def test_scc_planted_cycles_and_dag_bridges(tmp_path):
+    """Planted SCCs: a 4-cycle, a 2-cycle, singletons, connected by
+    one-way bridges (which must NOT merge components)."""
+    from essentials_rd.algorithms import scc_coloring
+    from essentials_rd.reference_impl import scc_ref
+
+    # cycle {0,1,2,3}, cycle {10,11}, bridge 3->10, 11->20, chain 20->21
+    src = np.array([0, 1, 2, 3, 10, 11, 3, 11, 20], np.int64)
+    dst = np.array([1, 2, 3, 0, 11, 10, 10, 20, 21], np.int64)
+    vids = np.unique(np.r_[src, dst, [99]])  # plus an isolated vertex
+    g = _scc_graph(tmp_path, src, dst, vids)
+    tbl, rounds = scc_coloring(g)
+    got = dict(zip(np.asarray(tbl["vid"]).tolist(),
+                   np.asarray(tbl["scc"]).tolist()))
+    assert got[0] == got[1] == got[2] == got[3] == 0
+    assert got[10] == got[11] == 10
+    assert got[20] == 20 and got[21] == 21 and got[99] == 99
+    expect = scc_ref(vids, src, dst)
+    assert np.array_equal(np.asarray(tbl["scc"]), expect)
+
+
+def test_scc_pure_dag_chain_is_all_singletons_via_trim(tmp_path):
+    """A directed chain is the coloring algorithm's worst case without
+    trim (one outer round per vertex); the trim phase must peel it in
+    ONE outer round."""
+    from essentials_rd.algorithms import scc_coloring
+    from essentials_rd.reference_impl import scc_ref
+
+    n = 40
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    vids = np.arange(n, dtype=np.int64)
+    g = _scc_graph(tmp_path, src, dst, vids)
+    tbl, rounds = scc_coloring(g)
+    assert rounds == 1, "trim must retire a DAG in one outer round"
+    assert np.array_equal(np.asarray(tbl["scc"]), scc_ref(vids, src, dst))
+    assert np.array_equal(np.asarray(tbl["scc"]), vids)
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_scc_random_matches_tarjan_and_partition_invariant(tmp_path, P):
+    """Random directed graph vs the Tarjan validator, at two partition
+    counts (labels must be identical — partitioning-independent)."""
+    from essentials_rd.algorithms import scc_coloring
+    from essentials_rd.reference_impl import scc_ref
+
+    rng = np.random.default_rng(11)
+    n, m = 60, 150
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    pairs = np.unique(src[keep] * np.int64(n) + dst[keep])
+    src, dst = pairs // n, pairs % n
+    vids = np.arange(n, dtype=np.int64)
+    g = _scc_graph(tmp_path, src, dst, vids, P=P)
+    tbl, _ = scc_coloring(g)
+    assert np.array_equal(np.asarray(tbl["scc"]), scc_ref(vids, src, dst))
