@@ -351,6 +351,20 @@ def _q_tfidf(sf_dir: str):
     return tfidf_top1(docs)
 
 
+def _q_fluency(sf_dir: str):
+    """Corpus bigram-frequency fluency per document (textops.
+    bigram_fluency): n_bigrams + freq_sum = Σ occurrences of corpus
+    bigram counts — both exact ints, distributed count + join, the
+    bigram vocabulary never driver-collected."""
+    import ray.data as rd
+
+    from essentials_rd.textops import bigram_fluency
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return bigram_fluency(docs)
+
+
 GEO_ITERS = 16
 BC_SOURCES = 2
 BC_D = 6
@@ -1995,6 +2009,43 @@ def _q_urgent_orders_by_priority(sf_dir: str):
     )
 
 
+def _q_orders_rollup(sf_dir: str):
+    """Multi-level grouped aggregate (ops.rollup_agg — SQL ROLLUP) over
+    orders by (priority, status): all three grouping levels in ONE scan
+    via per-block partials per grouping set.  Revenue is half-up cents
+    per row BEFORE summing (integer-exact at any partitioning, same
+    trick as revenue_by_region); grouped-out keys take 'ALL' so the
+    result is NULL-free for the driver's value-hash compare."""
+    import ray.data as rd
+
+    from essentials_rd.ops import rollup_agg
+    from essentials_rd.util import np_col as _nc
+
+    def _cents(t: pa.Table) -> pa.Table:
+        # half-up cents per row (prices > 0), = DuckDB ROUND(x*100, 0)
+        c = np.floor(_nc(t, "o_totalprice") * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "o_orderstatus": t.column("o_orderstatus"),
+                "cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    ).map_batches(_cents, batch_format="pyarrow")
+    out = rollup_agg(orders, ["o_orderpriority", "o_orderstatus"], "cents")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["o_orderpriority", "o_orderstatus", "n_orders", "total_cents"]
+        )
+
+    return out.map_batches(_rename, batch_format="pyarrow")
+
+
 def _q_orders_per_nation(sf_dir: str):
     """Two-shape join exercise (ops.join, SURVEY.md §2.4 R3): customer
     ⋈(broadcast) nation — small side ray.put once — then orders
@@ -2234,6 +2285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dup": _q_cosine_near_dup,
         "orders_per_nation": _q_orders_per_nation,
         "urgent_orders_by_priority": _q_urgent_orders_by_priority,
+        "orders_rollup": _q_orders_rollup,
         "cust_no_orders": _q_cust_no_orders,
         "text_stats": _q_text_stats,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -2267,6 +2319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreness_capped": _q_coreness,
         "mis_luby": _q_mis,
         "tfidf_top1": _q_tfidf,
+        "doc_fluency": _q_fluency,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
@@ -3299,6 +3352,28 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "row_number() OVER (PARTITION BY user_id "
             "ORDER BY count(*) DESC, event_type ASC) AS rn "
             "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+        ),
+        "doc_fluency": """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (SELECT doc_id, t[i.i] || ' ' || t[i.i+1] AS bg
+        FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) i),
+cnt AS (SELECT bg, CAST(count(*) AS BIGINT) n FROM big GROUP BY bg),
+per AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+               CAST(sum(c.n) AS BIGINT) freq_sum
+        FROM big b JOIN cnt c USING (bg) GROUP BY b.doc_id)
+SELECT d.doc_id, CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.freq_sum, 0) AS BIGINT) AS freq_sum
+FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
+""",
+        "orders_rollup": (
+            "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(cents) AS BIGINT) AS total_cents "
+            "FROM (SELECT o_orderpriority, o_orderstatus, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders) "
+            "GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
         ),
         "revenue_by_region": (
             "SELECT r_name, CAST(sum(CAST(ROUND(l_extendedprice * "

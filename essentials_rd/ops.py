@@ -1306,3 +1306,90 @@ def run_batch(jobs: dict[str, Callable[[], object]], max_workers: int | None = N
         first = next(iter(errs))
         raise RuntimeError(f"run_batch: {len(errs)} job(s) failed: {sorted(errs)}") from errs[first]
     return out
+
+
+def rollup_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    val_col: str | None = None,
+    *,
+    cube: bool = False,
+    sentinel: str = "ALL",
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Multi-level grouped aggregate — SQL ``GROUP BY ROLLUP(keys)``
+    (prefix grouping sets) or ``CUBE(keys)`` (all subsets) in ONE scan
+    (SURVEY.md §2.4 R4).
+
+    Per block, a partial ``(n, s)`` row is emitted for every grouping
+    set × distinct key combo, grouped-out key columns filled with
+    ``sentinel`` (NULL-free so the driver's value-hash compare and the
+    DuckDB twin agree via COALESCE) — the exchange ships ≤ #combos ×
+    #sets rows per block, never raw rows, the engine's standard partial
+    pre-aggregation shape.  One bucketed combine on the hash of the
+    filled key tuple finishes the sums.  ``val_col`` must be int64 (the
+    caller converts floats to exact integers first, e.g. half-up cents,
+    so totals are bit-identical at any partitioning); ``None`` counts
+    only.  Output: keys… + n (count) + s (sum, if val_col)."""
+    import itertools
+
+    import pandas as pd
+
+    if cube:
+        sets = list(itertools.product([True, False], repeat=len(keys)))
+    else:
+        sets = [
+            tuple([True] * L + [False] * (len(keys) - L))
+            for L in range(len(keys), -1, -1)
+        ]
+    cols = keys + ([val_col] if val_col else [])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        outs = []
+        for mask in sets:
+            g = [k for k, m in zip(keys, mask) if m]
+            if g:
+                gb = df.groupby(g, sort=False, observed=True, dropna=False)
+                agg = gb.size().reset_index(name="n")
+                agg["n"] = agg["n"].astype(np.int64)
+                if val_col:
+                    agg["s"] = gb[val_col].sum().reset_index(drop=True).astype(np.int64)
+            else:
+                agg = pd.DataFrame({"n": [np.int64(len(df))]})
+                if val_col:
+                    agg["s"] = np.int64(df[val_col].sum()) if len(df) else np.int64(0)
+            for k, m in zip(keys, mask):
+                if not m:
+                    agg[k] = sentinel
+            outs.append(agg[keys + (["n", "s"] if val_col else ["n"])])
+        out = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _key(batch: pa.Table) -> np.ndarray:
+        import pandas as pd
+
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in keys:
+            arr = np.asarray(batch.column(c).to_pylist(), dtype=object)
+            k = (
+                pd.util.hash_array(arr, categorize=False).view(np.int64)
+                if len(arr)
+                else np.zeros(0, np.int64)
+            )
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(0x100000001B3) + hash64(k)
+        return h.view(np.int64)
+
+    def _final(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        gb = df.groupby(keys, sort=False, observed=True)
+        agg = gb["n"].sum().reset_index()
+        agg["n"] = agg["n"].astype(np.int64)
+        if val_col:
+            agg["s"] = gb["s"].sum().reset_index(drop=True).astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return hash_bucket_agg(partials, _key, _final, num_buckets=num_buckets)

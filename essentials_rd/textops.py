@@ -1484,3 +1484,107 @@ def _bench_gram_table(batch: pa.Table, text_col: str, k: int) -> pa.Table:
             "h": pa.array(df["h"].to_numpy(np.uint64), pa.uint64()),
         }
     )
+
+
+def bigram_fluency(docs: rd.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id") -> rd.Dataset:
+    """Corpus-statistics fluency signal per document: over single-space
+    token bigrams, ``n_bigrams`` (occurrences in the doc) and
+    ``freq_sum = Σ_occurrences corpus_count(bigram)`` — a document full
+    of common constructions scores high, one full of never-seen-again
+    juxtapositions scores near n_bigrams.  Both are exact integers, so
+    the DuckDB twin matches bit-for-bit and the mean frequency
+    ``freq_sum / n_bigrams`` is a ratio of exact ints.
+
+    Dataflow (same shape as :func:`tfidf_top1` — nothing is
+    driver-collected, the bigram vocabulary stays distributed):
+    per-batch bigram expansion with per-doc multiplicity → bucketed
+    corpus-count aggregate on the bigram string (hash buckets route,
+    the actual string disambiguates — collision-safe) → ONE partitioned
+    hash join shipping counts back to the (doc, bigram, tf) rows →
+    bucketed per-doc sum → LEFT join from the full doc universe so
+    sub-2-token docs report zeros."""
+    from .derive import _str_hash
+    from .ops import hash_bucket_agg, join
+
+    def _bigrams(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "bg": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        s = batch.column(text_col).to_pandas()
+        ids = np_col(batch, id_col)
+        toks = s.str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy()
+        if not len(flat):
+            return empty
+        # adjacent pairs, masked at doc boundaries
+        ends = np.cumsum(counts)
+        valid = np.ones(max(len(flat) - 1, 0), bool)
+        valid[ends[:-1] - 1] = False  # last token of each doc (but the final)
+        a = pd.Series(flat[:-1][valid])
+        b = pd.Series(flat[1:][valid])
+        bg = (a + " " + b).to_numpy()
+        rep = np.repeat(np.arange(len(counts)), np.maximum(counts - 1, 0))
+        if not len(bg):
+            return empty
+        codes, uq = pd.factorize(pd.Series(bg))
+        key = rep.astype(np.int64) * np.int64(len(uq)) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                id_col: pa.array(ids[(uk // len(uq))], pa.int64()),
+                "bg": pa.array(
+                    np.asarray(uq, object)[uk % len(uq)].tolist(), pa.string()
+                ),
+                "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tf = docs.select_columns([id_col, text_col]).map_batches(
+        _bigrams, batch_format="pyarrow"
+    )
+
+    def _count(grp: pa.Table) -> pa.Table:
+        codes, uq = pd.factorize(grp.column("bg").combine_chunks().to_pandas())
+        n = np.bincount(codes, weights=np_col(grp, "tf")).astype(np.int64)
+        return pa.table({"bg": pa.array(np.asarray(uq, object).tolist(),
+                                        pa.string()),
+                         "n": pa.array(n, pa.int64())})
+
+    cnt = hash_bucket_agg(
+        tf.select_columns(["bg", "tf"]),
+        lambda b: np.asarray(_str_hash(b.column("bg"))),
+        _count,
+    )
+
+    joined = join(tf, cnt, on="bg", broadcast=False)
+
+    def _per_doc(grp: pa.Table) -> pa.Table:
+        ids = np_col(grp, id_col)
+        tfv = np_col(grp, "tf")
+        nv = np_col(grp, "n")
+        uq, pos = np.unique(ids, return_inverse=True)
+        nb = np.bincount(pos, weights=tfv).astype(np.int64)
+        fs = np.bincount(pos, weights=tfv * nv).astype(np.int64)
+        return pa.table({id_col: pa.array(uq, pa.int64()),
+                         "n_bigrams": pa.array(nb, pa.int64()),
+                         "freq_sum": pa.array(fs, pa.int64())})
+
+    per_doc = hash_bucket_agg(
+        joined, lambda b: np_col(b, id_col), _per_doc
+    )
+
+    out = join(docs.select_columns([id_col]), per_doc, on=id_col,
+               how="left", broadcast=False)
+
+    def _fill(t: pa.Table) -> pa.Table:
+        nb = t.column("n_bigrams").fill_null(0)
+        fs = t.column("freq_sum").fill_null(0)
+        return pa.table({id_col: t.column(id_col),
+                         "n_bigrams": nb.cast(pa.int64()),
+                         "freq_sum": fs.cast(pa.int64())})
+
+    return out.map_batches(_fill, batch_format="pyarrow")

@@ -414,3 +414,34 @@ def test_pivot_counts_matches_pandas():
                         key_fn=lambda b: np_col(b, "k"))
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert got.equals(want)
+
+
+@pytest.mark.parametrize("cube", [False, True])
+def test_rollup_agg_matches_duckdb(cube):
+    """rollup_agg (single-scan multi-level aggregate) vs DuckDB's
+    GROUP BY ROLLUP / CUBE, integer-exact, at a block layout that
+    forces cross-block combines."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import rollup_agg
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y", "z"], n)),
+        "b": pa.array(rng.choice(["p", "q"], n)),
+        "v": pa.array(rng.integers(-50, 100, n).astype(np.int64)),
+    })
+    got = (rollup_agg(rd.from_arrow(t).repartition(7), ["a", "b"], "v",
+                      cube=cube)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    fn = "CUBE" if cube else "ROLLUP"
+    want = duckdb.sql(
+        "SELECT COALESCE(a, 'ALL') a, COALESCE(b, 'ALL') b, "
+        "CAST(count(*) AS BIGINT) n, CAST(sum(v) AS BIGINT) s "
+        f"FROM t GROUP BY {fn}(a, b) ORDER BY a, b").df()
+    assert got[["a", "b", "n", "s"]].equals(
+        want.astype({"n": "int64", "s": "int64"}))

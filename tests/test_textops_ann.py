@@ -415,3 +415,35 @@ def test_redact_pattern_planted_counts():
     assert got == {0: (2, len("call # or #")),
                    1: (0, len("no digits here")),
                    2: (1, 1)}
+
+
+def test_bigram_fluency_matches_duckdb_and_block_invariant():
+    """bigram_fluency vs an exact DuckDB twin on edge cases (empty doc,
+    1-token doc, repeated bigrams), at two block layouts."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.textops import bigram_fluency
+
+    texts = ["the cat sat", "the cat ran", "one", "",
+             "the cat sat the cat sat", "a b a b a", "zz yy", "the the the"]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    exp = duckdb.sql("""
+WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM t),
+big AS (SELECT doc_id, t[i.i] || ' ' || t[i.i+1] AS bg
+        FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) i),
+cnt AS (SELECT bg, CAST(count(*) AS BIGINT) n FROM big GROUP BY bg),
+per AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+               CAST(sum(c.n) AS BIGINT) freq_sum
+        FROM big b JOIN cnt c USING (bg) GROUP BY b.doc_id)
+SELECT d.doc_id, CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.freq_sum, 0) AS BIGINT) AS freq_sum
+FROM t d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
+""").df().astype({"n_bigrams": "int64", "freq_sum": "int64"})
+    for parts in (1, 3):
+        got = (bigram_fluency(rd.from_arrow(t).repartition(parts))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got[["doc_id", "n_bigrams", "freq_sum"]].equals(exp), parts
