@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     p.add_argument("--alpha", type=float, default=0.85)
     p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--out-parts", type=int, default=0,
+                   help="write --out through the resumable partitioned "
+                        "sink (N hash partitions on vid, _SUCCESS-gated "
+                        "skip-finished resume) instead of one flat dir")
     p.add_argument("--max-iters", type=int, default=100)
     p.add_argument("--cap", type=int, default=10_000, help="heavy shared-key cap")
     p.add_argument("--checkpoint-every", type=int, default=1)
@@ -370,7 +374,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.out:
-        res.state_dataset().select_columns(["vid"] + out_cols).write_parquet(args.out)
+        result_ds = res.state_dataset().select_columns(["vid"] + out_cols)
+        if args.out_parts > 0:
+            from .sinks import write_partitioned
+            from .util import np_col as _nc
+
+            rec = write_partitioned(
+                result_ds, args.out, lambda b: _nc(b, "vid"), args.out_parts
+            )
+            print(json.dumps({
+                "event": "sink",
+                "written": int(sum(not s for s in rec.column("skipped").to_pylist())),
+                "skipped": int(sum(bool(s) for s in rec.column("skipped").to_pylist())),
+            }), flush=True)
+        else:
+            result_ds.write_parquet(args.out)
     print(json.dumps({
         "event": "done", "algo": args.algo, "supersteps": res.supersteps,
         "converged": res.converged, "total_messages": res.total_messages,

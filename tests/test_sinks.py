@@ -1,0 +1,74 @@
+"""Resumable partitioned Parquet sink: atomic per-partition commit,
+skip-finished resume, _SUCCESS-gated readback."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from essentials_rd.sinks import (
+    finished_partitions,
+    read_partitioned,
+    write_partitioned,
+)
+from essentials_rd.util import np_col
+
+
+def _data(n=5000):
+    rng = np.random.default_rng(5)
+    return pa.table({
+        "k": pa.array(rng.integers(0, 1000, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 10**9, n), pa.int64()),
+    })
+
+
+def test_write_read_roundtrip_and_skip_finished(tmp_path):
+    out = str(tmp_path / "out")
+    t = _data()
+    ds = rd.from_arrow(t).repartition(6)
+    P = 8
+    rec = write_partitioned(ds, out, lambda b: np_col(b, "k"), P)
+    assert len(finished_partitions(out, P)) == P
+    assert not rec.column("skipped").to_pylist().count(True)
+    assert sum(r for r in rec.column("rows").to_pylist()) == t.num_rows
+
+    back = read_partitioned(out, P).to_pandas().sort_values(["k", "v"])
+    orig = t.to_pandas().sort_values(["k", "v"])
+    assert back.reset_index(drop=True).equals(orig.reset_index(drop=True))
+
+    # simulate a failed run: partition 3 lost its marker (crash before
+    # commit); everything else must be SKIPPED, 3 rewritten
+    os.remove(os.path.join(out, "p00003", "_SUCCESS"))
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out, f"p{p:05d}", "data.parquet"))
+        for p in range(P)
+    }
+    rec2 = write_partitioned(ds, out, lambda b: np_col(b, "k"), P)
+    by_part = {
+        p: s for p, s in zip(rec2.column("part").to_pylist(),
+                             rec2.column("skipped").to_pylist())
+    }
+    assert by_part[3] is False
+    assert all(by_part[p] for p in range(P) if p != 3)
+    for p in range(P):
+        m = os.path.getmtime(os.path.join(out, f"p{p:05d}", "data.parquet"))
+        if p == 3:
+            assert m > mtimes[p]
+        else:
+            assert m == mtimes[p], p
+
+    back2 = read_partitioned(out, P).to_pandas().sort_values(["k", "v"])
+    assert back2.reset_index(drop=True).equals(orig.reset_index(drop=True))
+
+
+def test_crash_litter_is_invisible(tmp_path):
+    out = str(tmp_path / "out")
+    t = _data(500)
+    P = 4
+    write_partitioned(rd.from_arrow(t), out, lambda b: np_col(b, "k"), P)
+    # a crashed writer's temp file must not pollute readback
+    with open(os.path.join(out, "p00001", ".tmp-deadbeef"), "w") as f:
+        f.write("garbage")
+    back = read_partitioned(out, P)
+    assert back.count() == t.num_rows
