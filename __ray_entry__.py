@@ -1981,6 +1981,31 @@ def _q_cosine_near_dup(sf_dir: str):
     return cosine_near_dup_pairs(vecs, COSINE_DUP_T)
 
 
+LSH_NBITS = 72   # 24 bands × 3 bits: recall 1.0 on the fixture at
+LSH_BANDS = 24   # COSINE_DUP_T (verified at sf0.001 + sf0.01; pytest
+                 # pins the banding math on planted high-threshold dups)
+
+
+def _q_lsh_cosine(sf_dir: str):
+    """Random-hyperplane LSH variant of cosine_near_dup (ann.
+    lsh_near_dup_pairs — the brief's LSH-bucketed ANN scale path):
+    sign-random-projection signatures band vectors into buckets, the
+    exact float64 kernel verifies within buckets (precision 1.0 by
+    construction).  At the fixture's low 0.4 threshold the banding is
+    recall-1.0 by parameter choice (deterministic, data-independent
+    planes), so the exact-pair oracle applies verbatim; the operator's
+    performance regime is high-threshold near-dup, where buckets are
+    sparse (see pytest)."""
+    import ray.data as rd
+
+    from essentials_rd.ann import lsh_near_dup_pairs
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    return lsh_near_dup_pairs(vecs, COSINE_DUP_T, nbits=LSH_NBITS,
+                              bands=LSH_BANDS)
+
+
 def _q_urgent_orders_by_priority(sf_dir: str):
     """Predicate pushdown at the read: the priority filter goes into
     ``read_parquet(filter=...)`` as a pyarrow dataset expression, so
@@ -2283,6 +2308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": _q_clustering_coeff,
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
+        "lsh_cosine_pairs": _q_lsh_cosine,
         "orders_per_nation": _q_orders_per_nation,
         "urgent_orders_by_priority": _q_urgent_orders_by_priority,
         "orders_rollup": _q_orders_rollup,
@@ -3182,6 +3208,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "cosine_near_dup": (
+            "WITH e AS MATERIALIZED (SELECT vec_id, "
+            "CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine "
+            "FROM e a, e b WHERE a.vec_id < b.vec_id AND "
+            "round(list_cosine_similarity(a.emb, b.emb), 6) "
+            f">= {COSINE_DUP_T}"
+        ),
+        # LSH banding at these parameters has recall 1.0 on this
+        # fixture (deterministic planes — verified at both sf), so the
+        # exact-pair oracle applies verbatim, mirroring minhash_lsh_pairs
+        "lsh_cosine_pairs": (
             "WITH e AS MATERIALIZED (SELECT vec_id, "
             "CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "
             "SELECT a.vec_id AS a, b.vec_id AS b, "

@@ -16,7 +16,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .util import np_col
+from .util import hash64, np_col
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -429,3 +429,135 @@ def ivf_search(
         )
     subset = rd.read_parquet(dirs)
     return brute_force_topk(subset, queries, query_ids, k=k, **kw)
+
+
+def _rademacher_planes(dim: int, nbits: int, seed: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix (dim × nbits): each sign is
+    the low bit of ``hash64(plane·dim + axis + seed·golden)`` — data-
+    independent, identical on every worker, no RNG state to ship."""
+    idx = np.arange(dim * nbits, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = hash64(idx + np.uint64((seed * 0x9E3779B97F4A7C15) & (2**63 - 1)))
+    return np.where((h & np.uint64(1)).astype(bool), 1.0, -1.0).reshape(
+        dim, nbits
+    )
+
+
+def lsh_near_dup_pairs(
+    vectors: rd.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    nbits: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Random-hyperplane (sign-random-projection) LSH variant of
+    :func:`cosine_near_dup_pairs` — the brief's "LSH-bucketed" ANN
+    scale path, sitting beside the IVF plan:
+
+    - each vector gets an ``nbits`` signature ``sign(v · H)`` with H a
+      deterministic Rademacher matrix (:func:`_rademacher_planes`);
+    - the signature splits into ``bands`` bands of ``nbits//bands``
+      bits; vectors sharing any band value land in one bucket
+      (OR-of-ANDs: per-plane collision prob is 1 − θ/π, so a band of r
+      bits matches with p^r and recall is 1 − (1−p^r)^bands — exact
+      duplicates always collide in every band, recall 1.0 by
+      construction);
+    - the EXACT float64 cosine kernel runs within each bucket, so
+      precision is 1.0 — LSH only gates which pairs are compared; the
+      candidate set is never trusted;
+    - duplicate discoveries across bands are deduped by one small
+      post-threshold shuffle (same as the IVF plan).
+
+    Per-worker memory is bounded by the largest band bucket, never N.
+    Compared to IVF: no training pass (no k-means), data-independent
+    routing (skew follows signature collisions, not cluster sizes)."""
+    from .ops import hash_bucket_agg
+    from .pipelines import round_half_up
+
+    assert nbits % bands == 0, "nbits must divide into equal bands"
+    r = nbits // bands
+    assert r < 63, "band width must fit an int64 key"
+
+    def _signatures(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        H = _rademacher_planes(m.shape[1], nbits, seed)
+        bits = (m @ H) > 0.0  # (n, nbits)
+        n = batch.num_rows
+        keys = np.zeros((n, bands), np.int64)
+        w = (np.int64(1) << np.arange(r, dtype=np.int64))
+        for bi in range(bands):
+            chunk = bits[:, bi * r:(bi + 1) * r].astype(np.int64)
+            keys[:, bi] = (chunk @ w) + (np.int64(bi) << np.int64(r))
+        rep = np.repeat(np.arange(n), bands)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(rep)),
+                vec_col: batch.column(vec_col).take(pa.array(rep)),
+                "bucket": pa.array(keys.ravel(), pa.int64()),
+            }
+        )
+
+    assigned = vectors.select_columns([id_col, vec_col]).map_batches(
+        _signatures, batch_format="pyarrow"
+    )
+
+    def _bucket_pairs(grp: pa.Table) -> pa.Table:
+        # sub-group by the actual band key (hash buckets only route)
+        out_a, out_b, out_s = [], [], []
+        bk = np_col(grp, "bucket")
+        order = np.argsort(bk, kind="stable")
+        bk_s = bk[order]
+        bounds = np.r_[0, np.flatnonzero(bk_s[1:] != bk_s[:-1]) + 1, len(bk_s)]
+        for i in range(len(bounds) - 1):
+            sel = order[bounds[i]:bounds[i + 1]]
+            if len(sel) < 2:
+                continue
+            sub = grp.take(pa.array(sel))
+            m = _normalize(_batch_matrix(sub, vec_col))
+            ids = np_col(sub, id_col).astype(np.int64)
+            s = round_half_up(m @ m.T, round_digits)
+            rr, cc = np.nonzero((s >= threshold) & (ids[:, None] < ids[None, :]))
+            out_a.append(ids[rr])
+            out_b.append(ids[cc])
+            out_s.append(s[rr, cc])
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), pa.int64()),
+                "b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    found = hash_bucket_agg(
+        assigned, lambda b: np_col(b, "bucket"), _bucket_pairs,
+        num_buckets=num_buckets,
+    )
+
+    def _dedup(grp: pa.Table) -> pa.Table:
+        a, b = np_col(grp, "a"), np_col(grp, "b")
+        cos = np_col(grp, "cosine")
+        order = np.lexsort((b, a))
+        a, b, cos = a[order], b[order], cos[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return hash_bucket_agg(
+        found,
+        lambda t: np_col(t, "a") * np.int64(0x9E3779B1) + np_col(t, "b"),
+        _dedup,
+    )

@@ -447,3 +447,38 @@ FROM t d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
         got = (bigram_fluency(rd.from_arrow(t).repartition(parts))
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert got[["doc_id", "n_bigrams", "freq_sum"]].equals(exp), parts
+
+
+def test_lsh_near_dup_precision_recall_and_invariance():
+    """Random-hyperplane LSH: every returned pair is exact-verified
+    (subset of the broadcast plan), exact duplicates always collide
+    (recall 1.0 by construction), planted noisy near-dups recovered,
+    result invariant to block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ann import cosine_near_dup_pairs, lsh_near_dup_pairs
+
+    rng = np.random.default_rng(9)
+    n, d = 400, 32
+    base = rng.normal(size=(n, d))
+    vecs = base.copy()
+    for i in range(30):
+        vecs[n - 60 + i] = base[i]                        # exact dups
+    for i in range(30):
+        vecs[n - 30 + i] = base[30 + i] + 0.05 * rng.normal(size=d)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs]),
+    })
+    TH = 0.95
+    exact = cosine_near_dup_pairs(rd.from_arrow(t).repartition(5), TH).to_pandas()
+    lsh = lsh_near_dup_pairs(rd.from_arrow(t).repartition(5), TH).to_pandas()
+    ek = set(zip(exact["a"], exact["b"]))
+    lk = set(zip(lsh["a"], lsh["b"]))
+    assert lk <= ek                                   # precision 1.0
+    assert {(i, n - 60 + i) for i in range(30)} <= lk  # exact dups found
+    assert len(lk & ek) / max(len(ek), 1) >= 0.9       # planted recall
+    lsh2 = lsh_near_dup_pairs(rd.from_arrow(t).repartition(2), TH).to_pandas()
+    assert set(zip(lsh2["a"], lsh2["b"])) == lk        # layout-invariant
