@@ -2006,6 +2006,24 @@ def _q_lsh_cosine(sf_dir: str):
                               bands=LSH_BANDS)
 
 
+def _q_embedding_clusters(sf_dir: str):
+    """Embedding near-duplicate CLUSTERS (ann.cosine_dup_clusters):
+    exact cosine pair graph → the same hash-min CC engine as the link
+    graph and text dup_clusters; cluster = min vec_id of the component.
+    Supersteps asserted within the oracle's unroll bound."""
+    import ray.data as rd
+
+    from essentials_rd.ann import cosine_dup_clusters
+    from essentials_rd.pipelines import _work_dir
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    t, supersteps = cosine_dup_clusters(vecs, _work_dir("embcc"),
+                                        COSINE_DUP_T)
+    assert supersteps <= DUP_CC_ITERS, supersteps
+    return t.sort_by("vec_id")
+
+
 def _q_urgent_orders_by_priority(sf_dir: str):
     """Predicate pushdown at the read: the priority filter goes into
     ``read_parquet(filter=...)`` as a pyarrow dataset expression, so
@@ -2309,6 +2327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "cosine_near_dup": _q_cosine_near_dup,
         "lsh_cosine_pairs": _q_lsh_cosine,
+        "embedding_clusters": _q_embedding_clusters,
         "orders_per_nation": _q_orders_per_nation,
         "urgent_orders_by_priority": _q_urgent_orders_by_priority,
         "orders_rollup": _q_orders_rollup,
@@ -2386,6 +2405,41 @@ def _near_dup_pairs_sql() -> str:
     return (
         f"WITH {_SHINGLE_CTE} "
         f"SELECT a, b, ROUND(jacc, 6) AS jaccard FROM nd ORDER BY a, b"
+    )
+
+
+def _embedding_clusters_sql() -> str:
+    """Unrolled hash-min CC over the exact cosine pair graph — the
+    embedding twin of ``_dup_clusters_sql`` (labels are monotone, so a
+    fixed unroll ≥ the engine's asserted superstep count is exact)."""
+    steps = [
+        f"""e AS MATERIALIZED (SELECT vec_id,
+      CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+nd AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a, e b WHERE a.vec_id < b.vec_id AND
+  round(list_cosine_similarity(a.emb, b.emb), 6) >= {COSINE_DUP_T}
+),
+ndsym AS (SELECT a AS src, b AS dst FROM nd
+          UNION ALL SELECT b, a FROM nd),
+nverts AS (SELECT DISTINCT src AS vid FROM ndsym),
+x0 AS (SELECT vid, vid AS label FROM nverts)"""
+    ]
+    for k in range(DUP_CC_ITERS):
+        steps.append(f"""
+xm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.label) AS ml
+  FROM ndsym e JOIN x{k} l ON l.vid = e.src GROUP BY e.dst
+),
+x{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.label, COALESCE(m.ml, v.label)) AS label
+  FROM x{k} v LEFT JOIN xm{k} m ON m.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {body} "
+        f"SELECT vid AS vec_id, label AS cluster FROM x{DUP_CC_ITERS} "
+        f"ORDER BY vec_id"
     )
 
 
@@ -3315,6 +3369,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "scc_labels": _scc_sql(),
         "msf_total": _msf_sql(),
         "dup_clusters": _dup_clusters_sql(),
+        "embedding_clusters": _embedding_clusters_sql(),
         "lang_pred": _lang_pred_sql(),
         "pagerank_k8": _pagerank_sql(),
         "top_pagerank": _top_pagerank_sql(),

@@ -561,3 +561,41 @@ def lsh_near_dup_pairs(
         lambda t: np_col(t, "a") * np.int64(0x9E3779B1) + np_col(t, "b"),
         _dedup,
     )
+
+
+def cosine_dup_clusters(
+    vectors: rd.Dataset,
+    work_dir: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_parts: int = 8,
+    **pair_kwargs,
+) -> tuple[pa.Table, int]:
+    """Embedding near-duplicate CLUSTERS: the exact cosine pair graph
+    (:func:`cosine_near_dup_pairs` — broadcast or IVF plan by size)
+    feeds the SAME hash-min CC superstep engine the link graph uses
+    (textops.near_dup_clusters is the text twin).  Returns ((vec_id,
+    cluster) for every vector in ≥1 pair, cluster = min vec_id of its
+    component, plus the CC superstep count so callers can assert it
+    against an unrolled oracle's round bound)."""
+    from .algorithms import connected_components
+    from .algorithms.cc import components_table
+    from .graph import build_graph
+
+    pairs = cosine_near_dup_pairs(
+        vectors, threshold, id_col=id_col, vec_col=vec_col, **pair_kwargs
+    )
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t.column("a"), "dst": t.column("b")}),
+        batch_format="pyarrow",
+    ).materialize()
+    if edges.count() == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())}), 0
+    g = build_graph(edges, work_dir, num_parts, symmetrize=True,
+                    persist=False)
+    res = connected_components(g, checkpoint_every=0)
+    assert res.converged
+    t = components_table(res)
+    return pa.table({id_col: t["vid"], "cluster": t["label"]}), res.supersteps

@@ -482,3 +482,33 @@ def test_lsh_near_dup_precision_recall_and_invariance():
     assert len(lk & ek) / max(len(ek), 1) >= 0.9       # planted recall
     lsh2 = lsh_near_dup_pairs(rd.from_arrow(t).repartition(2), TH).to_pandas()
     assert set(zip(lsh2["a"], lsh2["b"])) == lk        # layout-invariant
+
+
+def test_cosine_dup_clusters_planted(tmp_path):
+    """Two planted groups of near-identical vectors must come out as
+    two clusters labeled by their min vec_id; background noise vectors
+    join no cluster."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ann import cosine_dup_clusters
+
+    rng = np.random.default_rng(4)
+    d = 16
+    g1 = rng.normal(size=d)
+    g2 = rng.normal(size=d)
+    vecs = [g1 + 0.01 * rng.normal(size=d) for _ in range(4)]
+    vecs += [g2 + 0.01 * rng.normal(size=d) for _ in range(3)]
+    vecs += [rng.normal(size=d) for _ in range(20)]
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs]),
+    })
+    tbl, steps = cosine_dup_clusters(
+        rd.from_arrow(t).repartition(3), str(tmp_path / "cc"), 0.98)
+    got = dict(zip(np.asarray(tbl["vec_id"]).tolist(),
+                   np.asarray(tbl["cluster"]).tolist()))
+    assert {k: v for k, v in got.items() if k < 7} == \
+        {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4}
+    assert all(k < 7 for k in got), "noise vectors must not cluster"
