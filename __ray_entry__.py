@@ -818,6 +818,44 @@ def _q_quantity_quantiles(sf_dir: str):
     )
 
 
+SKETCH_FRAC = 0.2
+
+
+def _q_price_quantiles_sampled(sf_dir: str):
+    """Sample-sketch quantiles — the bounded-memory scale path beside
+    the exact value-histogram (`quantity_quantiles`): a deterministic
+    SplitMix64 row sample (pure function of o_orderkey, identical at
+    any cluster size) feeds the exact quantile kernel, so the estimate
+    is a deterministic sketch the SQL twin reproduces bit-for-bit via
+    the shared sm64 chain.  Values are half-up cents (exact ints)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import deterministic_sample, exact_quantiles
+    from essentials_rd.util import np_col as _nc
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    sample = deterministic_sample(
+        orders, SKETCH_FRAC, lambda b: _nc(b, "o_orderkey"),
+        seed=SAMPLE_SEED,
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(_nc(t, "o_totalprice") * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"cents": pa.array(c, pa.int64())})
+
+    vals = exact_quantiles(
+        sample.map_batches(_cents, batch_format="pyarrow"), "cents",
+        QUANTILES,
+    )
+    return pa.table(
+        {
+            "q": pa.array(QUANTILES, pa.float64()),
+            "value": pa.array(vals, pa.int64()),
+        }
+    )
+
+
 ROLL_K = 3
 
 
@@ -2024,6 +2062,28 @@ def _q_embedding_clusters(sf_dir: str):
     return t.sort_by("vec_id")
 
 
+INDEX_PARTS = 16
+PROBE_TOKENS = ["join", "scan", "sort"]
+
+
+def _q_token_postings(sf_dir: str):
+    """Inverted index round-trip (textops.build_inverted_index →
+    probe_inverted_index): postings hash-partitioned on the token
+    through the resumable sink, then a 3-token probe that reads ONLY
+    the partitions those tokens hash into — partition pruning is the
+    index's point.  Returns the probed (token, doc_id, tf) postings."""
+    import ray.data as rd
+
+    from essentials_rd.pipelines import _work_dir
+    from essentials_rd.textops import build_inverted_index, probe_inverted_index
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = _work_dir("invidx")
+    build_inverted_index(docs, out, num_partitions=INDEX_PARTS)
+    return probe_inverted_index(out, INDEX_PARTS, PROBE_TOKENS)
+
+
 def _q_urgent_orders_by_priority(sf_dir: str):
     """Predicate pushdown at the read: the priority filter goes into
     ``read_parquet(filter=...)`` as a pyarrow dataset expression, so
@@ -2149,6 +2209,121 @@ def _q_cust_no_orders(sf_dir: str):
     return pa.table(
         {"c_custkey": pa.array([r["c_custkey"] for r in rows], pa.int64())}
     )
+
+
+def _q_bloom_join_urgent(sf_dir: str):
+    """Bloom-pre-filtered join (ops.bloom_join): lineitem — the big
+    probe side — is filtered through a tree-built Bloom filter over the
+    urgent orders' keys INSIDE map_batches before the partitioned
+    join's co-shuffle, so the ~95 % of lineitem rows whose order isn't
+    urgent never enter the exchange.  False positives are dropped by
+    the exact join, so the result is identical to the plain join; the
+    grouped integer aggregates make the oracle compare bit-exact."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import bloom_join, grouped_pandas_agg
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    )
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(
+        ["o_orderkey"]
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+
+    def _qty_int(t: pa.Table) -> pa.Table:
+        q = np.asarray(
+            t.column("l_quantity").to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "l_returnflag": t.column("l_returnflag"),
+                "qty": pa.array(np.floor(q + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    j = bloom_join(
+        line.map_batches(_qty_int, batch_format="pyarrow"), urgent,
+        on="l_orderkey", how="inner", num_buckets=32,
+    )
+    agg = grouped_pandas_agg(
+        j,
+        keys=["l_returnflag"],
+        aggs={"n": ("l_orderkey", "count"), "sum_qty": ("qty", "sum")},
+        key_fn=lambda b: _str_hash(b.column("l_returnflag")),
+        num_buckets=4,
+    )
+    rows = agg.take_all()
+    return pa.table(
+        {
+            "l_returnflag": pa.array(
+                [r["l_returnflag"] for r in rows], pa.string()
+            ),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "sum_qty": pa.array([r["sum_qty"] for r in rows], pa.int64()),
+        }
+    ).sort_by("l_returnflag")
+
+
+SKEW_HOT = 40
+
+
+def _q_skew_join_nations(sf_dir: str):
+    """Skew-aware join (ops.skew_join): events.user_id is power-law-ish
+    (busiest user ≫ median), so keys with > SKEW_HOT left rows are
+    routed around the shuffle via a broadcast of just their right rows
+    while the cold tail takes the partitioned path — union equals the
+    plain join exactly.  The hot census is distributed (per-block
+    pre-combined counts, one tiny combine).  Integer cents keep the
+    grouped compare bit-exact (floor(value·100), the repo's shared
+    events convention)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, skew_join
+    from essentials_rd.util import np_col
+
+    def _cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "cents": c,
+            }
+        )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(_cents, batch_format="pyarrow")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).rename_columns({"c_custkey": "user_id"})
+    j = skew_join(events, cust, on="user_id", how="inner",
+                  hot_threshold=SKEW_HOT, num_buckets=32)
+    agg = grouped_pandas_agg(
+        j,
+        keys=["c_nationkey"],
+        aggs={"n_events": ("user_id", "count"), "sum_cents": ("cents", "sum")},
+        key_fn=lambda b: np_col(b, "c_nationkey"),
+        num_buckets=8,
+    )
+    rows = agg.take_all()
+    return pa.table(
+        {
+            "c_nationkey": pa.array(
+                [r["c_nationkey"] for r in rows], pa.int64()
+            ),
+            "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
+            "sum_cents": pa.array([r["sum_cents"] for r in rows], pa.int64()),
+        }
+    ).sort_by("c_nationkey")
 
 
 def _q_text_stats(sf_dir: str):
@@ -2293,6 +2468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantity_quantiles": _q_quantity_quantiles,
+        "price_quantiles_sampled": _q_price_quantiles_sampled,
         "token_counts": _q_token_counts,
         "rolling_value_sum": _q_rolling_value,
         "last_order_asof": _q_last_order_asof,
@@ -2332,6 +2508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_orders_by_priority": _q_urgent_orders_by_priority,
         "orders_rollup": _q_orders_rollup,
         "cust_no_orders": _q_cust_no_orders,
+        "bloom_join_urgent": _q_bloom_join_urgent,
+        "skew_join_nations": _q_skew_join_nations,
         "text_stats": _q_text_stats,
         "exact_dup_groups": _q_exact_dup_groups,
         "ann_cosine_top5": _q_ann,
@@ -2365,6 +2543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_luby": _q_mis,
         "tfidf_top1": _q_tfidf,
         "doc_fluency": _q_fluency,
+        "token_postings": _q_token_postings,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
@@ -2465,6 +2644,27 @@ x{k + 1} AS MATERIALIZED (
         f"WITH {_SHINGLE_CTE}, {body} "
         f"SELECT vid AS doc_id, label AS cluster FROM x{DUP_CC_ITERS} "
         f"ORDER BY doc_id"
+    )
+
+
+def _price_quantiles_sampled_sql() -> str:
+    """SQL twin of the sample-sketch quantiles: the shared SplitMix64
+    chain picks the SAME rows (pure function of o_orderkey), then
+    quantile_disc over half-up cents."""
+    threshold = int(SKETCH_FRAC * float(2**64 - 1))
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes("pq", "o_orderkey, o_totalprice",
+                       f"o_orderkey + {mix}", "orders")
+    qs = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"CAST(quantile_disc(cents, {q}) AS BIGINT) AS value FROM s"
+        for q in QUANTILES
+    )
+    return (
+        f"WITH {chain}, "
+        f"s AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) "
+        f"AS cents FROM pq3 WHERE z < CAST('{threshold}' AS UBIGINT)) "
+        f"{qs}"
     )
 
 
@@ -3150,6 +3350,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem"
             for q in QUANTILES
         ),
+        "price_quantiles_sampled": _price_quantiles_sampled_sql(),
         "token_counts": (
             "SELECT doc_id, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, "
@@ -3301,6 +3502,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey FROM customer "
             "WHERE NOT EXISTS (SELECT 1 FROM orders "
             "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"
+        ),
+        "bloom_join_urgent": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderpriority = '1-URGENT' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "skew_join_nations": (
+            "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents "
+            "FROM events JOIN customer ON user_id = c_custkey "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "text_stats": (
             "SELECT doc_id, length(text) AS n_chars, "
@@ -3458,6 +3674,14 @@ SELECT d.doc_id, CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        CAST(COALESCE(p.freq_sum, 0) AS BIGINT) AS freq_sum
 FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
 """,
+        "token_postings": (
+            "SELECT t.tok AS token, d.doc_id, "
+            "CAST(count(*) AS BIGINT) AS tf "
+            "FROM documents d, LATERAL (SELECT unnest(string_split("
+            "d.text, ' ')) AS tok) t "
+            "WHERE t.tok IN ('join', 'scan', 'sort') "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "orders_rollup": (
             "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
             "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "

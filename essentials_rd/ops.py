@@ -999,6 +999,187 @@ def asof_join(
     )
 
 
+def _bloom_positions(h: np.ndarray, k: int, n_bits: int) -> np.ndarray:
+    """(n, k) probe positions via double hashing g_i = h1 + i*h2
+    (Kirsch–Mitzenmacher): two splitmix64 passes give k independent-ish
+    probes without k hash evaluations."""
+    h1 = h.astype(np.uint64)
+    h2 = hash64(h1.view(np.int64)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        g = h1[:, None] + i[None, :] * h2[:, None]
+    return (g % np.uint64(n_bits)).astype(np.int64)
+
+
+@ray.remote
+def _bloom_block(on: list[str], k: int, n_bits: int, *tables) -> np.ndarray:
+    """Fold blocks of the build side into one packed-uint64 bitmap."""
+    key_fn = _join_key_fn(on)
+    words = np.zeros((n_bits + 63) // 64, np.uint64)
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        pos = _bloom_positions(key_fn(t).astype(np.uint64), k, n_bits).ravel()
+        np.bitwise_or.at(
+            words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+        )
+    return words
+
+
+@ray.remote
+def _bloom_or(*maps: np.ndarray) -> np.ndarray:
+    out = maps[0].copy()
+    for m in maps[1:]:
+        np.bitwise_or(out, m, out=out)
+    return out
+
+
+def bloom_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str | list[str],
+    how: str = "inner",
+    *,
+    bits_per_key: int = 16,
+    num_buckets: int = DEFAULT_BUCKETS,
+    rsuffix: str = "_r",
+) -> rd.Dataset:
+    """Bloom-pre-filtered distributed join — the shuffle-reduction
+    pattern a selective 100-TB join needs: a Bloom filter over the
+    build (right) side's keys is tree-built from its blocks as Ray
+    tasks, broadcast ONCE through the object store, and the probe
+    (left) side is filtered inside ``map_batches`` BEFORE the join's
+    co-shuffle, so non-matching left rows (often the overwhelming
+    majority) never enter the exchange.  The filter is m = 16·n bits
+    regardless of right-row width (~0.05 % false-positive rate at
+    k = 8), so "broadcast" here stays cheap even when the right table
+    itself is too wide to broadcast.
+
+    False positives only — surviving non-matches are dropped by the
+    exact partitioned join that follows, so the result is IDENTICAL to
+    ``join(left, right, on, how)``.  Restricted to ``inner``/``semi``:
+    for left/outer/anti the bloom-dropped left rows would still have
+    to be emitted, so pre-filtering the left side would be wrong.
+    """
+    assert how in ("inner", "semi"), "bloom pre-filter only sound for inner/semi"
+    on = [on] if isinstance(on, str) else list(on)
+    right = right.materialize()
+    n = max(right.count(), 1)
+    n_bits = 1 << max(10, int(np.ceil(np.log2(n * bits_per_key))))
+    k = 8
+    blocks = right.to_arrow_refs()
+    refs = [
+        _bloom_block.remote(on, k, n_bits, *blocks[i : i + 4])
+        for i in range(0, max(len(blocks), 1), 4)
+    ] or [_bloom_block.remote(on, k, n_bits)]
+    while len(refs) > 1:
+        refs = [_bloom_or.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    words_ref = refs[0]  # stays in the object store; workers read zero-copy
+    key_fn = _join_key_fn(on)
+
+    def _prefilter(batch: pa.Table) -> pa.Table:
+        words = ray.get(words_ref)
+        if batch.num_rows == 0:
+            return batch
+        pos = _bloom_positions(key_fn(batch).astype(np.uint64), k, n_bits)
+        hit = (
+            (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        ).astype(bool)
+        return batch.filter(pa.array(hit.all(axis=1)))
+
+    survivors = left.map_batches(_prefilter, batch_format="pyarrow")
+    return join(
+        survivors, right, on, how,
+        broadcast=False, num_buckets=num_buckets, rsuffix=rsuffix,
+    )
+
+
+def skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str | list[str],
+    how: str = "inner",
+    *,
+    hot_threshold: int = 100_000,
+    num_buckets: int = DEFAULT_BUCKETS,
+    rsuffix: str = "_r",
+) -> rd.Dataset:
+    """Skew-aware equi-join: hot keys (left frequency > ``hot_threshold``)
+    are joined via BROADCAST of just the right rows carrying those keys,
+    everything else takes the normal partitioned hash join; the union of
+    the two is exactly ``join(left, right, on, how)``.
+
+    Why: a partitioned hash join sends every row of a key to ONE bucket
+    — a power-law hot key (the 100-TB norm: a hub repo, a bot user)
+    makes that bucket's task the straggler that serializes the stage.
+    Routing only the hot keys' right rows around the shuffle keeps every
+    bucket near-uniform while the broadcast side stays tiny (hot keys
+    are few by definition; an assert guards the contract).
+
+    The hot-key census is itself distributed: per-block key counts
+    pre-combine inside ``map_batches``, then one (distinct-keys-sized)
+    bucketed combine — rows never move to be counted.  Deterministic:
+    the hot set is a pure function of the input, not a sample.
+    Restricted to ``inner``/``semi`` (hot/cold split partitions the
+    LEFT rows, which is only result-preserving when unmatched-left and
+    right-side rows aren't emitted on their own).
+    """
+    assert how in ("inner", "semi")
+    on = [on] if isinstance(on, str) else list(on)
+    key_fn = _join_key_fn(on)
+
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        kk = key_fn(batch)
+        uk, cnt = np.unique(kk, return_counts=True)
+        return pa.table({"__k__": pa.array(uk, pa.int64()),
+                         "__n__": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def _combine(grp: pa.Table) -> pa.Table:
+        kk = np_col(grp, "__k__")
+        nn = np_col(grp, "__n__")
+        order = np.argsort(kk, kind="stable")
+        kk, nn = kk[order], nn[order]
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        tot = np.add.reduceat(nn, starts)
+        hot = tot > hot_threshold
+        return pa.table({"__k__": pa.array(kk[starts][hot], pa.int64())})
+
+    left = left.materialize()
+    hot_tab = pa.concat_tables(
+        ray.get(
+            hash_bucket_agg(
+                left.map_batches(_partial_counts, batch_format="pyarrow"),
+                lambda b: np_col(b, "__k__"), _combine, num_buckets,
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    hot_keys = np.sort(np_col(hot_tab, "__k__"))
+    assert len(hot_keys) <= 100_000, "hot-key set must stay broadcast-small"
+    if not len(hot_keys):
+        return join(left, right, on, how, broadcast=False,
+                    num_buckets=num_buckets, rsuffix=rsuffix)
+    hot_ref = ray.put(hot_keys)
+
+    def _split(want_hot: bool):
+        def _fn(batch: pa.Table) -> pa.Table:
+            hk = ray.get(hot_ref)
+            m = np.isin(key_fn(batch), hk)
+            return batch.filter(pa.array(m if want_hot else ~m))
+        return _fn
+
+    right = right.materialize()
+    left_hot = left.map_batches(_split(True), batch_format="pyarrow")
+    left_cold = left.map_batches(_split(False), batch_format="pyarrow")
+    right_hot = right.map_batches(_split(True), batch_format="pyarrow")
+    right_cold = right.map_batches(_split(False), batch_format="pyarrow")
+    hot_join = join(left_hot, right_hot, on, how, broadcast=True,
+                    rsuffix=rsuffix)
+    cold_join = join(left_cold, right_cold, on, how, broadcast=False,
+                     num_buckets=num_buckets, rsuffix=rsuffix)
+    return hot_join.union(cold_join)
+
+
 def grouped_rank(
     ds: rd.Dataset,
     key: str,

@@ -1588,3 +1588,93 @@ def bigram_fluency(docs: rd.Dataset, text_col: str = "text",
                          "freq_sum": fs.cast(pa.int64())})
 
     return out.map_batches(_fill, batch_format="pyarrow")
+
+
+def build_inverted_index(
+    docs: rd.Dataset,
+    out_dir: str,
+    num_partitions: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Distributed inverted index: (token, doc_id, tf) postings written
+    through the resumable partitioned sink (sinks.write_partitioned),
+    hash-partitioned on the TOKEN — a probe for one token reads exactly
+    one partition's file, never the corpus.  Each doc is one input row,
+    so per-doc tf is complete inside the batch (no combine shuffle
+    beyond the sink's routing exchange); a crashed build resumes
+    skipping finished partitions.  Returns the sink receipt."""
+    from .derive import _str_hash
+    from .sinks import write_partitioned
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        ids = np_col(batch, id_col)
+        toks = s.str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        rep = np.repeat(np.arange(len(s)), counts)
+        flat = toks.explode().to_numpy()
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        codes, uq = pd.factorize(pd.Series(flat))
+        key = rep.astype(np.int64) * np.int64(len(uq)) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(
+                    np.asarray(uq, object)[uk % len(uq)].tolist(), pa.string()
+                ),
+                id_col: pa.array(ids[(uk // len(uq))], pa.int64()),
+                "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    postings = docs.select_columns([id_col, text_col]).map_batches(
+        _postings, batch_format="pyarrow"
+    )
+    return write_partitioned(
+        postings, out_dir,
+        lambda b: np.asarray(_str_hash(b.column("token"))),
+        num_partitions,
+    )
+
+
+def probe_inverted_index(
+    out_dir: str,
+    num_partitions: int,
+    tokens: list[str],
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Point lookups against :func:`build_inverted_index` output: read
+    ONLY the partitions the probed tokens hash into (partition pruning
+    — the index's entire point), filter to the exact tokens, return
+    (token, doc_id, tf) sorted by (token, doc_id)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from .derive import _str_hash
+    from .sinks import _part_dir
+    from .util import hash64
+
+    h = hash64(
+        np.asarray(_str_hash(pa.chunked_array([pa.array(tokens)])))
+    ) % np.uint64(num_partitions)
+    parts = sorted(set(int(p) for p in h))
+    want = set(tokens)
+    tabs = []
+    for p in parts:
+        f = os.path.join(_part_dir(out_dir, p), "data.parquet")
+        if not os.path.exists(f):
+            continue  # no corpus token hashed here → probed token absent
+        t = pq_.read_table(f, columns=["token", id_col, "tf"])
+        mask = pa.compute.is_in(t.column("token"),
+                                value_set=pa.array(sorted(want)))
+        tabs.append(t.filter(mask))
+    out = pa.concat_tables(tabs) if tabs else pa.table(
+        {"token": pa.array([], pa.string()),
+         id_col: pa.array([], pa.int64()),
+         "tf": pa.array([], pa.int64())})
+    return out.sort_by([("token", "ascending"), (id_col, "ascending")])

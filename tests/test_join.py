@@ -332,3 +332,62 @@ def test_outer_join_matches_pandas_both_sides_unmatched():
     assert got.equals(want)
     # both unmatched directions actually occurred in the fixture
     assert want["lv"].isna().any() and want["rv"].isna().any()
+
+
+def test_bloom_join_matches_plain_join_and_prunes():
+    """bloom_join == join for inner/semi, and the bloom pre-filter
+    actually prunes non-matching left rows before the shuffle."""
+    from essentials_rd.ops import _bloom_positions, _join_key_fn, bloom_join
+
+    ldf, rdf = _tables(seed=11, nl=500, nr=40)
+    rdf = rdf[rdf["k"] < 10]  # selective right side: most left rows prune
+    left = rd.from_pandas(ldf).repartition(5)
+    right = rd.from_pandas(rdf).repartition(3)
+    for how in ("inner", "semi"):
+        got = bloom_join(left, right, on=["k", "s"], how=how).to_pandas()
+        want = join(left, right, on=["k", "s"], how=how,
+                    broadcast=False).to_pandas()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+    # the filter itself: no false negatives (every matching key passes)
+    import numpy as np
+    key_fn = _join_key_fn(["k", "s"])
+    lt = pa.Table.from_pandas(ldf)
+    rt = pa.Table.from_pandas(rdf)
+    lk, rk = key_fn(lt), key_fn(rt)
+    n_bits = 1 << 12
+    words = np.zeros(n_bits // 64, np.uint64)
+    pos = _bloom_positions(rk.astype(np.uint64), 8, n_bits).ravel()
+    np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+    lpos = _bloom_positions(lk.astype(np.uint64), 8, n_bits)
+    hit = (((words[lpos >> 6] >> (lpos & 63).astype(np.uint64)) & np.uint64(1))
+           .astype(bool).all(axis=1))
+    match = np.isin(lk, rk)
+    assert (hit | ~match).all(), "bloom must never drop a matching row"
+    # and it prunes a meaningful share of the non-matching majority
+    assert hit.sum() < len(ldf)
+
+
+def test_skew_join_matches_plain_join_with_planted_hot_key():
+    """skew_join == join under a planted power-law key, hot set detected."""
+    from essentials_rd.ops import skew_join
+
+    rng = np.random.default_rng(3)
+    # one key (7) carries half the left rows; the rest are a cold tail
+    k = np.where(rng.random(4000) < 0.5, 7, rng.integers(0, 200, 4000))
+    ldf = pd.DataFrame({"k": k.astype(np.int64),
+                        "lval": np.arange(4000, dtype=np.int64)})
+    rdf = pd.DataFrame({"k": np.arange(0, 200, dtype=np.int64),
+                        "rval": np.arange(200, dtype=np.int64) * 3})
+    left = rd.from_pandas(ldf).repartition(6)
+    right = rd.from_pandas(rdf).repartition(2)
+    for how in ("inner", "semi"):
+        got = skew_join(left, right, on="k", how=how,
+                        hot_threshold=500).to_pandas()
+        want = join(left, right, on="k", how=how, broadcast=False).to_pandas()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    # threshold above every key's count -> empty hot set, still correct
+    got = skew_join(left, right, on="k", how="inner",
+                    hot_threshold=10**9).to_pandas()
+    want = join(left, right, on="k", how="inner", broadcast=False).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))

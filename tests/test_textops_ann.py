@@ -512,3 +512,47 @@ def test_cosine_dup_clusters_planted(tmp_path):
     assert {k: v for k, v in got.items() if k < 7} == \
         {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4}
     assert all(k < 7 for k in got), "noise vectors must not cluster"
+
+
+def test_inverted_index_roundtrip_and_partition_pruning(tmp_path):
+    """Inverted index: probe returns exactly the per-doc tf postings,
+    and reads only the probed tokens' partitions (pruning)."""
+    import collections
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.sinks import _part_dir
+    from essentials_rd.textops import build_inverted_index, probe_inverted_index
+    from essentials_rd.util import hash64
+
+    texts = ["a b a c", "b b d", "a", "", "c c c c", "e f g"]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = str(tmp_path / "idx")
+    P = 8
+    rec = build_inverted_index(rd.from_arrow(t).repartition(3), out, P)
+    assert all(not s for s in rec.column("skipped").to_pylist())
+
+    probe = ["a", "c", "zzz-absent"]  # absent token: empty, no crash
+    got = probe_inverted_index(out, P, probe).to_pandas()
+    want = collections.defaultdict(dict)
+    for i, s in enumerate(texts):
+        for tok, n in collections.Counter(s.split(" ")).items():
+            want[tok][i] = n
+    expect = sorted(
+        (tok, d, want[tok][d]) for tok in probe for d in want.get(tok, {})
+    )
+    assert list(map(tuple, got[["token", "doc_id", "tf"]].to_records(index=False))) == expect
+
+    # pruning: the probe must touch no partition outside the tokens' own
+    h = hash64(np.asarray(_str_hash(pa.chunked_array([pa.array(probe)])))) \
+        % np.uint64(P)
+    allowed = {int(x) for x in h}
+    # every returned row's token must hash into an allowed partition
+    got_h = hash64(np.asarray(_str_hash(pa.chunked_array(
+        [pa.array(got["token"].tolist())])))) % np.uint64(P)
+    assert {int(x) for x in got_h} <= allowed
