@@ -880,6 +880,89 @@ def _q_rolling_value(sf_dir: str):
                               k=ROLL_K)
 
 
+def _q_user_running_total(sf_dir: str):
+    """Per-user running total (SQL ROWS UNBOUNDED PRECEDING) — the
+    k=None case of the same prefix-sum kernel as `rolling_value_sum`:
+    one user-bucketed shuffle, cumulative sums clamped at each user's
+    segment start.  Integer cents keep it bit-exact."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.windows import rolling_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("__cents__", c)
+
+    out = rolling_window_agg(ev.map_batches(_cents, batch_format="pyarrow"),
+                             k=None)
+    return out.rename_columns({"roll_sum": "run_sum", "roll_n": "run_n"})
+
+
+def _q_quantity_moments(sf_dir: str):
+    """Exact grouped integer moments (ops.grouped_moments): n / Σv /
+    Σv² of lineitem quantity per return flag — per-block partials
+    pre-combine before one tiny bucketed sum, and variance derives
+    exactly as (n·sumsq − sum²)/n² from the integer outputs."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_moments
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_returnflag", "l_quantity"])
+
+    def _qty(t: pa.Table) -> pa.Table:
+        q = np.asarray(
+            t.column("l_quantity").to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty": pa.array(np.floor(q + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = grouped_moments(
+        line.map_batches(_qty, batch_format="pyarrow"),
+        keys=["l_returnflag"], val="qty",
+        key_fn=lambda b: _str_hash(b.column("l_returnflag")),
+        num_buckets=4,
+    )
+    rows = agg.take_all()
+    return pa.table(
+        {
+            "l_returnflag": pa.array(
+                [r["l_returnflag"] for r in rows], pa.string()
+            ),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "sum_v": pa.array([r["sum_v"] for r in rows], pa.int64()),
+            "sumsq_v": pa.array([r["sumsq_v"] for r in rows], pa.int64()),
+        }
+    ).sort_by("l_returnflag")
+
+
+PROFILE_COLS = ["o_custkey", "o_orderkey"]
+
+
+def _q_orders_profile(sf_dir: str):
+    """One-pass table profile (ops.profile_table): n / n_null / min /
+    max / EXACT ndv per integer column — min/max/null from per-block
+    partials, ndv from a pair-hash-bucketed distinct so one
+    high-cardinality column can't become a straggler bucket."""
+    import ray.data as rd
+
+    from essentials_rd.ops import profile_table
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=PROFILE_COLS)
+    return profile_table(orders, PROFILE_COLS)
+
+
 def _q_last_order_asof(sf_dir: str):
     """Backward as-of join (ops.asof_join): every event picks the same
     user's most recent order at-or-before the event time, ties on
@@ -2471,6 +2554,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_sampled": _q_price_quantiles_sampled,
         "token_counts": _q_token_counts,
         "rolling_value_sum": _q_rolling_value,
+        "user_running_total": _q_user_running_total,
+        "quantity_moments": _q_quantity_moments,
+        "orders_profile": _q_orders_profile,
         "last_order_asof": _q_last_order_asof,
         "parts_per_order": _q_parts_per_order,
         "lang_char_quantiles": _q_lang_char_quantiles,
@@ -3413,6 +3499,31 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(floor(value * 100) AS BIGINT) AS cents FROM events) "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             f"ROWS BETWEEN {ROLL_K - 1} PRECEDING AND CURRENT ROW)"
+        ),
+        "user_running_total": (
+            "SELECT event_id, "
+            "CAST(sum(cents) OVER w AS BIGINT) AS run_sum, "
+            "CAST(count(*) OVER w AS BIGINT) AS run_n "
+            "FROM (SELECT event_id, user_id, ts, "
+            "  CAST(floor(value * 100) AS BIGINT) AS cents FROM events) "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)"
+        ),
+        "quantity_moments": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(q) AS BIGINT) AS sum_v, "
+            "CAST(sum(q * q) AS BIGINT) AS sumsq_v "
+            "FROM (SELECT l_returnflag, "
+            "CAST(ROUND(l_quantity, 0) AS BIGINT) AS q FROM lineitem) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "orders_profile": " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_null, CAST(min({c}) AS BIGINT) AS min_v, "
+            f"CAST(max({c}) AS BIGINT) AS max_v, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS ndv FROM orders"
+            for c in PROFILE_COLS
         ),
         "last_order_asof": (
             "SELECT e.event_id, "

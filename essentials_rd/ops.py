@@ -504,6 +504,159 @@ def grouped_distinct_count(
     )
 
 
+def grouped_moments(
+    ds: rd.Dataset,
+    keys: list[str],
+    val: str,
+    key_fn: Callable[[pa.Table], np.ndarray] | None = None,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Exact integer moments per group — ``(n, sum_v, sumsq_v)`` of an
+    integer-valued column: the bit-exact building block for grouped
+    variance/stddev (``var_pop = (n·sumsq − sum²) / n²`` derives as an
+    exact rational from the integer outputs, where emitting a float
+    variance directly would hash-differ from any SQL engine's own
+    incremental float accumulation).
+
+    Scale shape: per-BLOCK partials pre-combine inside ``map_batches``
+    (raw rows never enter the exchange), then ONE bucketed sum over
+    (distinct keys × blocks) partial rows.  Caller guarantees Σv and
+    Σv² fit int64 per group (true for any bounded measure column:
+    50-max quantities need > 3×10¹⁵ rows per group to overflow)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [val]).to_pandas()
+        v = df[val].to_numpy(np.int64)
+        df = df[keys].copy()
+        df["__n__"] = np.int64(1)
+        df["__s__"] = v
+        df["__s2__"] = v * v
+        g = df.groupby(keys, sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata()
+
+    return grouped_pandas_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        keys=keys,
+        aggs={
+            "n": ("__n__", "sum"),
+            "sum_v": ("__s__", "sum"),
+            "sumsq_v": ("__s2__", "sum"),
+        },
+        key_fn=key_fn,
+        num_buckets=num_buckets,
+    )
+
+
+def profile_table(
+    ds: rd.Dataset,
+    cols: list[str],
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> pa.Table:
+    """One-pass data profile of integer columns: per column ``(n,
+    n_null, min, max, ndv)`` — the stats a reader needs for pruning /
+    sizing decisions, computed the way 100 TB allows:
+
+    - n / n_null / min / max: per-block partials inside ``map_batches``
+      (≤ #cols rows per block leave the scan), combined driver-side.
+    - ndv (EXACT): per-block distinct ``(col, value)`` pairs, bucketed
+      on the PAIR hash — not the column — so a high-cardinality
+      column's distinct set spreads over all buckets instead of
+      collapsing into one straggler; per-bucket distinct counts per col
+      are ≤ #cols × #buckets rows, summed driver-side.
+    """
+    ncols = len(cols)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        out = {"col_id": [], "n": [], "n_null": [], "mn": [], "mx": []}
+        for i, c in enumerate(cols):
+            a = batch.column(c)
+            nn = a.null_count
+            v = np_col(pa.table({c: a.drop_null()}), c) if nn else np_col(
+                batch, c
+            )
+            out["col_id"].append(i)
+            out["n"].append(batch.num_rows)
+            out["n_null"].append(nn)
+            out["mn"].append(int(v.min()) if len(v) else np.iinfo(np.int64).max)
+            out["mx"].append(int(v.max()) if len(v) else np.iinfo(np.int64).min)
+        return pa.table(
+            {k: pa.array(np.asarray(vv, np.int64), pa.int64())
+             for k, vv in out.items()}
+        )
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ks, vs = [], []
+        for i, c in enumerate(cols):
+            v = np.unique(np_col(pa.table({c: batch.column(c).drop_null()}), c))
+            ks.append(np.full(len(v), i, np.int64))
+            vs.append(v.astype(np.int64))
+        return pa.table(
+            {"col_id": pa.array(np.concatenate(ks), pa.int64()),
+             "val": pa.array(np.concatenate(vs), pa.int64())}
+        )
+
+    def _bucket_ndv(grp: pa.Table) -> pa.Table:
+        k = np_col(grp, "col_id")
+        v = np_col(grp, "val")
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        first = (
+            np.r_[True, (k[1:] != k[:-1]) | (v[1:] != v[:-1])]
+            if len(k) else np.zeros(0, bool)
+        )
+        ku = k[first]
+        starts = np.flatnonzero(np.r_[True, ku[1:] != ku[:-1]]) if len(ku) \
+            else np.zeros(0, np.int64)
+        return pa.table(
+            {"col_id": pa.array(ku[starts], pa.int64()),
+             "ndv": pa.array(np.diff(np.r_[starts, len(ku)]).astype(np.int64),
+                             pa.int64())}
+        )
+
+    def _pair_key(b: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (
+                np_col(b, "col_id").astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                + np_col(b, "val").astype(np.uint64)
+            ).astype(np.int64)
+
+    stats_rows = grouped_pandas_agg(
+        ds.map_batches(_stats, batch_format="pyarrow"),
+        keys=["col_id"],
+        aggs={"n": ("n", "sum"), "n_null": ("n_null", "sum"),
+              "mn": ("mn", "min"), "mx": ("mx", "max")},
+        num_buckets=min(num_buckets, 8),
+    ).take_all()
+    ndv_rows = hash_bucket_agg(
+        ds.map_batches(_pairs, batch_format="pyarrow"),
+        _pair_key, _bucket_ndv, num_buckets,
+    ).take_all()
+
+    n = np.zeros(ncols, np.int64)
+    nnull = np.zeros(ncols, np.int64)
+    mn = np.full(ncols, np.iinfo(np.int64).max)
+    mx = np.full(ncols, np.iinfo(np.int64).min)
+    ndv = np.zeros(ncols, np.int64)
+    for r in stats_rows:
+        i = r["col_id"]
+        n[i], nnull[i], mn[i], mx[i] = r["n"], r["n_null"], r["mn"], r["mx"]
+    for r in ndv_rows:
+        ndv[r["col_id"]] += r["ndv"]
+    return pa.table(
+        {
+            "column_name": pa.array(cols, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "n_null": pa.array(nnull, pa.int64()),
+            "min_v": pa.array(mn, pa.int64()),
+            "max_v": pa.array(mx, pa.int64()),
+            "ndv": pa.array(ndv, pa.int64()),
+        }
+    ).sort_by("column_name")
+
+
 def grouped_quantiles(
     ds: rd.Dataset,
     key_col: str,

@@ -323,7 +323,7 @@ def lag_diff(
 
 def rolling_window_agg(
     events: rd.Dataset,
-    k: int = 3,
+    k: int | None = 3,
     ts_col: str = "ts",
     user_col: str = "user_id",
     id_col: str = "event_id",
@@ -334,15 +334,17 @@ def rolling_window_agg(
     SQL ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` semantics,
     partitioned by ``user_col`` and ordered by ``(ts, id)`` (a total
     order because ids are unique): per event, the sum and count of
-    ``val_col`` over the window.  ``val_col`` must be int64 so the
-    result is bit-exact against a SQL window-function oracle.
+    ``val_col`` over the window.  ``k=None`` is the unbounded case —
+    ``ROWS UNBOUNDED PRECEDING``, i.e. the per-key running total.
+    ``val_col`` must be int64 so the result is bit-exact against a SQL
+    window-function oracle.
 
     Shape: same single user-bucketed shuffle as ``sessionize`` — each
     user's full stream lands in one bucket, and the per-bucket kernel
     is ONE lexsort + prefix-sum differences with per-user clamps (no
     per-row loop, linear in the bucket).
     """
-    kk = np.int64(k)
+    kk = None if k is None else np.int64(k)
 
     def _project(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -375,7 +377,9 @@ def rolling_window_agg(
         seg_starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         row_start = seg_starts[np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1]
         i = np.arange(n, dtype=np.int64)
-        win_start = np.maximum(row_start, i - kk + 1)
+        win_start = (
+            row_start if kk is None else np.maximum(row_start, i - kk + 1)
+        )
         prefix = np.r_[np.int64(0), np.cumsum(v)]
         return pa.table(
             {

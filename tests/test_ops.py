@@ -445,3 +445,51 @@ def test_rollup_agg_matches_duckdb(cube):
         f"FROM t GROUP BY {fn}(a, b) ORDER BY a, b").df()
     assert got[["a", "b", "n", "s"]].equals(
         want.astype({"n": "int64", "s": "int64"}))
+
+
+def test_grouped_moments_matches_pandas():
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_moments
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+        "v": pa.array(rng.integers(-40, 60, n).astype(np.int64)),
+    })
+    df = t.to_pandas()
+    df["v2"] = df["v"] * df["v"]
+    want = (df.groupby("g", as_index=False)
+              .agg(n=("v", "count"), sum_v=("v", "sum"), sumsq_v=("v2", "sum"))
+              .sort_values("g").reset_index(drop=True).astype({"n": "int64"}))
+    for nb in (1, 8):
+        got = (grouped_moments(rd.from_arrow(t).repartition(6), ["g"], "v",
+                               key_fn=lambda b: _str_hash(b.column("g")),
+                               num_buckets=nb)
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        assert got[["g", "n", "sum_v", "sumsq_v"]].equals(want), f"nb={nb}"
+
+
+def test_profile_table_exact_with_nulls():
+    from essentials_rd.ops import profile_table
+
+    rng = np.random.default_rng(9)
+    n = 2500
+    a = rng.integers(-100, 100, n).astype(np.int64)
+    b = rng.integers(0, 17, n).astype(np.int64)
+    amask = rng.random(n) < 0.1  # planted nulls
+    t = pa.table({
+        "a": pa.array(a, pa.int64(), mask=amask),
+        "b": pa.array(b, pa.int64()),
+    })
+    got = profile_table(rd.from_arrow(t).repartition(5), ["a", "b"],
+                        num_buckets=16).to_pandas()
+    av = a[~amask]
+    want = {
+        "a": (n, int(amask.sum()), int(av.min()), int(av.max()),
+              len(np.unique(av))),
+        "b": (n, 0, int(b.min()), int(b.max()), len(np.unique(b))),
+    }
+    for _, r in got.iterrows():
+        assert (r["n"], r["n_null"], r["min_v"], r["max_v"], r["ndv"]) == \
+            want[r["column_name"]], r["column_name"]

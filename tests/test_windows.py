@@ -307,3 +307,20 @@ def test_cohort_retention_planted_matrix():
         }
         assert got == {(0, 0): 2, (0, 2): 1,
                        (1, 0): 1, (1, 1): 1, (1, 2): 1}, f"nb={nb}"
+
+
+def test_rolling_window_unbounded_running_total():
+    """k=None — ROWS UNBOUNDED PRECEDING (per-user running total)."""
+    from essentials_rd.windows import rolling_window_agg
+
+    tbl = _mk_events(seed=11)
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    g = df.groupby("user_id", sort=False)["__cents__"]
+    df["roll_sum"] = g.cumsum()
+    df["roll_n"] = g.cumcount() + 1
+    want = (df[["event_id", "roll_sum", "roll_n"]].astype("int64")
+            .sort_values("event_id").reset_index(drop=True))
+    for nb in (1, 16):
+        got = (rolling_window_agg(rd.from_arrow(tbl), k=None, num_buckets=nb)
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        assert got.equals(want), f"num_buckets={nb}"
