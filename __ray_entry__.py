@@ -2167,6 +2167,76 @@ def _q_token_postings(sf_dir: str):
     return probe_inverted_index(out, INDEX_PARTS, PROBE_TOKENS)
 
 
+def _q_docs_with_all_tokens(sf_dir: str):
+    """AND-query against the inverted index: docs containing ALL probe
+    tokens.  Reads only the probed tokens' partitions (same pruning as
+    `token_postings`), then intersects the postings — the probe result
+    is the per-token posting lists, already sub-corpus-sized."""
+    import ray.data as rd
+
+    from essentials_rd.pipelines import _work_dir
+    from essentials_rd.textops import build_inverted_index, probe_inverted_index
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = _work_dir("invidx_and")
+    build_inverted_index(docs, out, num_partitions=INDEX_PARTS)
+    post = probe_inverted_index(out, INDEX_PARTS, PROBE_TOKENS)
+    ids = np_col(post, "doc_id")
+    uk, cnt = np.unique(ids, return_counts=True)
+    return pa.table(
+        {"doc_id": pa.array(uk[cnt == len(PROBE_TOKENS)], pa.int64())}
+    )
+
+
+GRAM_SCALE = 1e6
+
+
+def _q_embedding_gram(sf_dir: str):
+    """EXACT distributed Gram matrix over integer-quantized embeddings
+    (ann.gram_matrix): per-block d×d int64 partials tree-merged as Ray
+    tasks — only 32 KB per block leaves the scan, and integer sums make
+    the result bit-identical at any block layout / cluster size (a
+    float Gram's reduction order changes the ulps).  Upper triangle as
+    (i, j, g) rows, 1-based to match SQL list indexing."""
+    import ray.data as rd
+
+    from essentials_rd.ann import gram_matrix
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["embedding"])
+    g = gram_matrix(vecs, scale=GRAM_SCALE)
+    d = g.shape[0]
+    i, j = np.triu_indices(d)
+    return pa.table(
+        {
+            "i": pa.array(i.astype(np.int64) + 1, pa.int64()),
+            "j": pa.array(j.astype(np.int64) + 1, pa.int64()),
+            "g": pa.array(g[i, j], pa.int64()),
+        }
+    )
+
+
+SEQ_LEN = 8
+
+
+def _q_user_event_seq(sf_dir: str):
+    """Ordered per-user event sequences (windows.event_sequences):
+    first SEQ_LEN event types under the (ts, event_id) total order,
+    '|'-joined — the sequence-assembly step of a behavioral training
+    pipeline, capped so a hot user can't blow up a row."""
+    import ray.data as rd
+
+    from essentials_rd.windows import event_sequences
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return event_sequences(ev, max_len=SEQ_LEN)
+
+
 def _q_urgent_orders_by_priority(sf_dir: str):
     """Predicate pushdown at the read: the priority filter goes into
     ``read_parquet(filter=...)`` as a pyarrow dataset expression, so
@@ -2630,6 +2700,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top1": _q_tfidf,
         "doc_fluency": _q_fluency,
         "token_postings": _q_token_postings,
+        "docs_with_all_tokens": _q_docs_with_all_tokens,
+        "embedding_gram": _q_embedding_gram,
+        "user_event_seq": _q_user_event_seq,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
@@ -3792,6 +3865,34 @@ FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
             "d.text, ' ')) AS tok) t "
             "WHERE t.tok IN ('join', 'scan', 'sort') "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "docs_with_all_tokens": (
+            "SELECT doc_id FROM ("
+            "SELECT DISTINCT d.doc_id, t.tok "
+            "FROM documents d, LATERAL (SELECT unnest(string_split("
+            "d.text, ' ')) AS tok) t "
+            f"WHERE t.tok IN {tuple(PROBE_TOKENS)!r}) "
+            f"GROUP BY doc_id HAVING count(*) = {len(PROBE_TOKENS)} "
+            "ORDER BY doc_id"
+        ),
+        "embedding_gram": (
+            "WITH ex AS MATERIALIZED (SELECT vec_id, j.j AS j, "
+            "CAST(floor(CAST(embedding[j.j] AS DOUBLE) * "
+            f"{GRAM_SCALE:.1f}) AS BIGINT) AS q "
+            "FROM embeddings, LATERAL "
+            "(SELECT unnest(range(1, len(embedding) + 1)) AS j) j) "
+            "SELECT a.j AS i, b.j AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g "
+            "FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.j <= b.j "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "user_event_seq": (
+            "SELECT user_id, "
+            "string_agg(event_type, '|' ORDER BY ts, event_id) AS seq, "
+            "CAST(count(*) AS BIGINT) AS seq_len FROM ("
+            "SELECT user_id, ts, event_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events) "
+            f"WHERE rn <= {SEQ_LEN} GROUP BY user_id ORDER BY user_id"
         ),
         "orders_rollup": (
             "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "

@@ -599,3 +599,51 @@ def cosine_dup_clusters(
     assert res.converged
     t = components_table(res)
     return pa.table({id_col: t["vid"], "cluster": t["label"]}), res.supersteps
+
+
+@ray.remote
+def _gram_block(col: str, scale: float, *tables) -> np.ndarray:
+    """Partial integer Gram matrix over blocks: Qᵀ·Q with
+    q = floor(e·scale) per component — exact int64, order-independent."""
+    acc = None
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        m = _batch_matrix(t, col)
+        q = np.floor(m.astype(np.float64) * scale).astype(np.int64)
+        g = q.T @ q
+        acc = g if acc is None else acc + g
+    return acc if acc is not None else np.zeros((0, 0), np.int64)
+
+
+def gram_matrix(
+    vectors: rd.Dataset, col: str = "embedding", scale: float = 1e6
+) -> np.ndarray:
+    """EXACT distributed Gram matrix G = Σ_v q(v)·q(v)ᵀ over integer-
+    quantized embeddings q = floor(e·scale) — the building block for
+    covariance / PCA-whitening stats over a 100-TB embedding table:
+    each block contributes one d×d int64 partial inside a Ray task
+    (32 KB at d=64 — the OUTPUT of the scan, not the vectors, is what
+    moves), partials tree-merge by addition, and integer arithmetic
+    makes the result independent of block layout and summation order —
+    bit-identical at any cluster size, unlike a float Gram whose
+    reduction order changes the ulps.  Caller bounds overflow:
+    n_rows · (max|e|·scale)² must fit int64 (at |e|≤1, scale=1e6 that
+    is 9.2×10⁶ — use scale=1e3 for larger tables, still exact)."""
+    blocks = vectors.to_arrow_refs()
+    refs = [
+        _gram_block.remote(col, scale, *blocks[i : i + 4])
+        for i in range(0, max(len(blocks), 1), 4)
+    ] or [_gram_block.remote(col, scale)]
+    while len(refs) > 1:
+        refs = [_gram_sum.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    return ray.get(refs[0])
+
+
+@ray.remote
+def _gram_sum(*mats: np.ndarray) -> np.ndarray:
+    mats = [m for m in mats if m.size]
+    out = mats[0].copy()
+    for m in mats[1:]:
+        out += m
+    return out

@@ -518,3 +518,75 @@ def cohort_retention(
         + np_col(b, "day_offset"),
         num_buckets=8,
     )
+
+
+def event_sequences(
+    events: rd.Dataset,
+    max_len: int = 8,
+    sep: str = "|",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-user ordered event sequences — the sequence-assembly step of
+    a behavioral/training-data pipeline: each user's first ``max_len``
+    event types under the (ts, id) total order, joined with ``sep``
+    (SQL ``string_agg(... ORDER BY ts, id)`` over the ROW_NUMBER-capped
+    stream).  The cap bounds output row width regardless of how long
+    one user's history is (a hot user can't blow up a row).
+
+    Shape: the standard ONE user-bucketed shuffle; the per-bucket
+    kernel is one lexsort + a per-segment rank to apply the cap, then
+    a pandas C-level groupby-join over the already-sorted frame."""
+    kk = np.int64(max_len)
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: batch.column(user_col).cast(pa.int64()),
+                "__ts__": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                type_col: batch.column(type_col),
+            }
+        )
+
+    def _assemble(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table(
+                {user_col: pa.array([], pa.int64()),
+                 "seq": pa.array([], pa.string()),
+                 "seq_len": pa.array([], pa.int64())}
+            )
+        u = np_col(grp, user_col)
+        t = np_col(grp, "__ts__")
+        e = np_col(grp, id_col)
+        order = np.lexsort((e, t, u))
+        u = u[order]
+        seg_starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        rank = np.arange(len(u), dtype=np.int64) - seg_starts[seg_id]
+        keep = rank < kk
+        types = grp.column(type_col).take(
+            pa.array(order[keep], pa.int64())
+        ).to_pandas()
+        df = pd.DataFrame({user_col: u[keep], "__t__": types})
+        out = df.groupby(user_col, sort=True)["__t__"].agg(
+            lambda s: sep.join(s)
+        )
+        n = df.groupby(user_col, sort=True)["__t__"].size()
+        return pa.table(
+            {
+                user_col: pa.array(out.index.to_numpy(np.int64), pa.int64()),
+                "seq": pa.array(out.to_numpy(object).tolist(), pa.string()),
+                "seq_len": pa.array(n.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return hash_bucket_agg(
+        events.map_batches(_project, batch_format="pyarrow"),
+        lambda b: np_col(b, user_col),
+        _assemble,
+        num_buckets=num_buckets,
+    )

@@ -556,3 +556,23 @@ def test_inverted_index_roundtrip_and_partition_pruning(tmp_path):
     got_h = hash64(np.asarray(_str_hash(pa.chunked_array(
         [pa.array(got["token"].tolist())])))) % np.uint64(P)
     assert {int(x) for x in got_h} <= allowed
+
+
+def test_gram_matrix_exact_and_block_invariant():
+    """Integer Gram: equals the single-machine quantized reference and
+    is bit-identical across block layouts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ann import gram_matrix
+
+    rng = np.random.default_rng(2)
+    n, d = 300, 16
+    m = rng.normal(0, 0.2, (n, d)).astype(np.float32)
+    t = pa.table({"embedding": pa.array(list(m), pa.list_(pa.float32()))})
+    q = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+    want = q.T @ q
+    for parts in (1, 7):
+        got = gram_matrix(rd.from_arrow(t).repartition(parts), scale=1e6)
+        assert got.dtype == np.int64 and (got == want).all(), f"parts={parts}"

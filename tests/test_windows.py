@@ -324,3 +324,28 @@ def test_rolling_window_unbounded_running_total():
         got = (rolling_window_agg(rd.from_arrow(tbl), k=None, num_buckets=nb)
                .to_pandas().sort_values("event_id").reset_index(drop=True))
         assert got.equals(want), f"num_buckets={nb}"
+
+
+def test_event_sequences_matches_pandas_cap_and_ties():
+    from essentials_rd.windows import event_sequences
+
+    rng = np.random.default_rng(4)
+    n = 500
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(
+            1_700_000_000_000_000 + rng.integers(0, 10**6, n).astype("int64"),
+            pa.int64(),
+        ).cast(pa.timestamp("us")),  # small range -> plenty of ts ties
+        "user_id": pa.array(rng.integers(0, 9, n), pa.int64()),
+        "event_type": pa.array(rng.choice(["a", "bb", "c"], n)),
+    })
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    head = df.groupby("user_id", sort=True).head(5)
+    want = head.groupby("user_id", sort=True).agg(
+        seq=("event_type", "|".join), seq_len=("event_type", "size")
+    ).reset_index().astype({"seq_len": "int64"})
+    for nb in (1, 16):
+        got = (event_sequences(rd.from_arrow(tbl), max_len=5, num_buckets=nb)
+               .to_pandas().sort_values("user_id").reset_index(drop=True))
+        assert got.equals(want), f"nb={nb}"
