@@ -856,6 +856,78 @@ def _q_price_quantiles_sampled(sf_dir: str):
     )
 
 
+RANGE_PARTS = 8
+
+
+def _q_orders_range_parts(sf_dir: str):
+    """Deterministic range partitioner (ops.range_partition): equi-depth
+    boundaries from the exact quantiles of a SplitMix64 sample (pure
+    function of the data — identical at any cluster size, and the SQL
+    twin recomputes them bit-for-bit via the shared sm64 chain), rows
+    routed by searchsorted; per-partition (n, min, max) — the layout
+    stats a distributed sort / range-partitioned write runs on."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, range_partition
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            np.asarray(t.column("o_totalprice").to_numpy(zero_copy_only=False),
+                       np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+             "cents": pa.array(c, pa.int64())}
+        )
+
+    cents = orders.map_batches(_cents, batch_format="pyarrow")
+    routed, _bounds = range_partition(
+        cents, "cents", RANGE_PARTS,
+        key_fn=lambda b: np_col(b, "o_orderkey"),
+        sample_frac=SKETCH_FRAC, seed=SAMPLE_SEED,
+    )
+    agg = grouped_pandas_agg(
+        routed,
+        keys=["part_id"],
+        aggs={"n": ("cents", "count"), "min_cents": ("cents", "min"),
+              "max_cents": ("cents", "max")},
+        num_buckets=8,
+    )
+    rows = agg.take_all()
+    return pa.table(
+        {
+            "part_id": pa.array([r["part_id"] for r in rows], pa.int64()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "min_cents": pa.array([r["min_cents"] for r in rows], pa.int64()),
+            "max_cents": pa.array([r["max_cents"] for r in rows], pa.int64()),
+        }
+    ).sort_by("part_id")
+
+
+THROTTLE_MIN = 120
+
+
+def _q_events_throttled(sf_dir: str):
+    """Windowed ingest dedup (windows.throttle_events): keep an event
+    iff it's the (user, type) key's first or the gap to the key's
+    previous occurrence under (ts, id) strictly exceeds the window —
+    SQL LAG semantics, one user-bucketed shuffle."""
+    import ray.data as rd
+
+    from essentials_rd.windows import throttle_events
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    out = throttle_events(ev, window_minutes=THROTTLE_MIN)
+    return out.select_columns(["event_id", "user_id", "event_type"])
+
+
 ROLL_K = 3
 
 
@@ -2622,6 +2694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantity_quantiles": _q_quantity_quantiles,
         "price_quantiles_sampled": _q_price_quantiles_sampled,
+        "orders_range_parts": _q_orders_range_parts,
+        "events_throttled": _q_events_throttled,
         "token_counts": _q_token_counts,
         "rolling_value_sum": _q_rolling_value,
         "user_running_total": _q_user_running_total,
@@ -2824,6 +2898,35 @@ def _price_quantiles_sampled_sql() -> str:
         f"s AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) "
         f"AS cents FROM pq3 WHERE z < CAST('{threshold}' AS UBIGINT)) "
         f"{qs}"
+    )
+
+
+def _orders_range_parts_sql() -> str:
+    """SQL twin of the range partitioner: the shared SplitMix64 chain
+    picks the SAME sample rows, quantile_disc gives the same exact
+    boundaries, and part_id = #(bounds <= v) mirrors searchsorted
+    side='right'."""
+    threshold = int(SKETCH_FRAC * float(2**64 - 1))
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes("rp", "o_orderkey, o_totalprice",
+                       f"o_orderkey + {mix}", "orders")
+    bsel = " UNION ALL ".join(
+        f"SELECT quantile_disc(cents, {i / RANGE_PARTS}) AS bv FROM s"
+        for i in range(1, RANGE_PARTS)
+    )
+    return (
+        f"WITH {chain}, "
+        f"s AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) "
+        f"AS cents FROM rp3 WHERE z < CAST('{threshold}' AS UBIGINT)), "
+        f"b AS ({bsel}), "
+        "o AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) "
+        "AS cents FROM orders) "
+        "SELECT part_id, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(min(cents) AS BIGINT) AS min_cents, "
+        "CAST(max(cents) AS BIGINT) AS max_cents "
+        "FROM (SELECT cents, CAST((SELECT count(*) FROM b "
+        "WHERE b.bv <= o.cents) AS BIGINT) AS part_id FROM o) "
+        "GROUP BY part_id ORDER BY part_id"
     )
 
 
@@ -3510,6 +3613,15 @@ def oracle_sql() -> dict[str, str]:
             for q in QUANTILES
         ),
         "price_quantiles_sampled": _price_quantiles_sampled_sql(),
+        "orders_range_parts": _orders_range_parts_sql(),
+        "events_throttled": (
+            "SELECT event_id, user_id, event_type FROM ("
+            "SELECT event_id, user_id, event_type, "
+            "ts - LAG(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS gap FROM events) "
+            f"WHERE gap IS NULL OR gap > INTERVAL {THROTTLE_MIN} MINUTE "
+            "ORDER BY event_id"
+        ),
         "token_counts": (
             "SELECT doc_id, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, "

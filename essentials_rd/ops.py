@@ -852,6 +852,38 @@ def stratified_sample(
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def range_partition(
+    ds: rd.Dataset,
+    col: str,
+    n_parts: int,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    sample_frac: float = 0.1,
+    seed: int = 42,
+) -> tuple[rd.Dataset, np.ndarray]:
+    """Deterministic equi-depth range partitioner — the layout step
+    under a distributed sort or range-partitioned write: boundaries
+    are the EXACT quantiles of a SplitMix64 value-deterministic sample
+    (both steps pure functions of the data, so the same boundaries at
+    any cluster size / block layout, and a SQL twin reproduces them
+    bit-for-bit), and rows route by ``searchsorted(bounds, v,
+    'right')``.  Returns ``(ds + part_id column, bounds)``.  Cost
+    shape: the sample feeds the distributed value histogram (driver
+    sees one row per distinct sampled value, never the data) and the
+    routing is a stateless ``map_batches`` — no shuffle beyond what
+    the caller then does with ``part_id``.  ``col`` must be int64."""
+    assert n_parts >= 1
+    qs = [i / n_parts for i in range(1, n_parts)]
+    sample = deterministic_sample(ds, sample_frac, key_fn, seed=seed)
+    bounds = np.asarray(exact_quantiles(sample, col, qs), np.int64)
+
+    def _route(batch: pa.Table) -> pa.Table:
+        v = np_col(batch, col)
+        p = np.searchsorted(bounds, v, side="right").astype(np.int64)
+        return batch.append_column("part_id", pa.array(p, pa.int64()))
+
+    return ds.map_batches(_route, batch_format="pyarrow"), bounds
+
+
 def _join_key_fn(on: list[str]) -> Callable[[pa.Table], np.ndarray]:
     """Combined deterministic int64 hash over the key columns (string
     columns via pandas siphash — process-stable; numeric via hash64)."""

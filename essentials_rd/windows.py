@@ -590,3 +590,58 @@ def event_sequences(
         _assemble,
         num_buckets=num_buckets,
     )
+
+
+def throttle_events(
+    events: rd.Dataset,
+    window_minutes: int = 60,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Windowed dedup / rate-throttle over the event stream — the
+    ingest-time dedup shape an LLM-data pipeline applies to near-real-
+    time feeds: keep an event iff it is its (user, type) key's FIRST,
+    or the gap to the key's previous event under the (ts, id) total
+    order strictly exceeds the window (SQL LAG semantics — throttling
+    is relative to the previous OCCURRENCE, not the previous kept row,
+    which keeps the kernel one shifted diff instead of a sequential
+    scan).  Returns the kept rows (user, type, id, epoch-µs ts).
+
+    Same single user-bucketed shuffle as ``sessionize``; hash
+    collisions between (user, type) keys can't merge keys because the
+    segment boundary tests the ACTUAL columns, not their hash."""
+    win = np.int64(window_minutes * US_PER_MIN)
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: batch.column(user_col).cast(pa.int64()),
+                type_col: batch.column(type_col),
+                "__ts__": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+            }
+        )
+
+    def _keep(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return grp
+        u = np_col(grp, user_col)
+        t = np_col(grp, "__ts__")
+        e = np_col(grp, id_col)
+        codes, _ = pd.factorize(grp.column(type_col).combine_chunks().to_pandas())
+        order = np.lexsort((e, t, codes, u))
+        us, cs, ts_ = u[order], codes[order], t[order]
+        new_seg = np.r_[True, (us[1:] != us[:-1]) | (cs[1:] != cs[:-1])]
+        gap = np.r_[np.int64(0), ts_[1:] - ts_[:-1]]
+        keep = new_seg | (gap > win)
+        return grp.take(pa.array(order[keep], pa.int64()))
+
+    return hash_bucket_agg(
+        events.map_batches(_project, batch_format="pyarrow"),
+        lambda b: np_col(b, user_col),
+        _keep,
+        num_buckets=num_buckets,
+    )

@@ -493,3 +493,60 @@ def test_profile_table_exact_with_nulls():
     for _, r in got.iterrows():
         assert (r["n"], r["n_null"], r["min_v"], r["max_v"], r["ndv"]) == \
             want[r["column_name"]], r["column_name"]
+
+
+def test_range_partition_routing_and_block_invariance():
+    from essentials_rd.ops import range_partition
+
+    rng = np.random.default_rng(12)
+    n = 5000
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.integers(-10**6, 10**6, n).astype(np.int64)),
+    })
+    prev = None
+    for parts in (2, 9):
+        routed, bounds = range_partition(
+            rd.from_arrow(t).repartition(parts), "v", 8,
+            key_fn=lambda b: b.column("id").to_numpy(zero_copy_only=False),
+            sample_frac=0.3, seed=5,
+        )
+        df = routed.to_pandas().sort_values("id").reset_index(drop=True)
+        assert (np.sort(bounds) == bounds).all()
+        # routing law: part_id = #(bounds <= v), every part in range
+        want = np.searchsorted(bounds, df["v"].to_numpy(), side="right")
+        assert (df["part_id"].to_numpy() == want).all()
+        assert df["part_id"].between(0, 8 - 1).all()
+        if prev is not None:  # boundaries + routing block-layout invariant
+            assert (prev[0] == bounds).all() and prev[1].equals(df)
+        prev = (bounds, df)
+    # equi-depth-ish: no partition more than 3x the ideal share
+    counts = df.groupby("part_id").size()
+    assert counts.max() <= 3 * (n // 8)
+
+
+def test_throttle_events_matches_lag_reference():
+    import pandas as pd
+
+    from essentials_rd.windows import throttle_events
+
+    rng = np.random.default_rng(8)
+    n = 1200
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(
+            1_700_000_000_000_000
+            + rng.integers(0, 3 * 3600 * 10**6, n).astype("int64"), unit="us"
+        ),
+        "user_id": rng.integers(0, 6, n).astype(np.int64),
+        "event_type": rng.choice(["a", "b"], n),
+    })
+    sdf = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+    gap = sdf.groupby(["user_id", "event_type"])["ts"].diff()
+    want = set(sdf.loc[gap.isna() | (gap > pd.Timedelta(minutes=30)),
+                       "event_id"])
+    assert 0 < len(want) < n  # both kept and dropped rows exist
+    for nb in (1, 16):
+        got = throttle_events(rd.from_pandas(df).repartition(4),
+                              window_minutes=30, num_buckets=nb).to_pandas()
+        assert set(got["event_id"]) == want, f"nb={nb}"
