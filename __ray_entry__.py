@@ -928,6 +928,49 @@ def _q_events_throttled(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "event_type"])
 
 
+PROPS_PATTERN = r'"k": (?P<v>-?\d+)'
+
+
+def _q_props_field_stats(sf_dir: str):
+    """Schema-on-read typed extraction (textops.extract_int_field):
+    the JSON-ish props column's k field pulled through Arrow's
+    extract_regex kernel with the pattern shared VERBATIM with the
+    DuckDB twin, then grouped integer stats per event_type."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.textops import extract_int_field
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    ex = extract_int_field(ev, "props", PROPS_PATTERN, out_col="v",
+                           keep_cols=["event_type"])
+
+    def _nonnull(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.is_valid(t.column("v")))
+
+    agg = grouped_pandas_agg(
+        ex.map_batches(_nonnull, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs={"n": ("v", "count"), "sum_v": ("v", "sum"),
+              "min_v": ("v", "min"), "max_v": ("v", "max")},
+        key_fn=lambda b: _str_hash(b.column("event_type")),
+        num_buckets=4,
+    )
+    rows = agg.take_all()
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows],
+                                   pa.string()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "sum_v": pa.array([r["sum_v"] for r in rows], pa.int64()),
+            "min_v": pa.array([r["min_v"] for r in rows], pa.int64()),
+            "max_v": pa.array([r["max_v"] for r in rows], pa.int64()),
+        }
+    ).sort_by("event_type")
+
+
 ROLL_K = 3
 
 
@@ -2696,6 +2739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_sampled": _q_price_quantiles_sampled,
         "orders_range_parts": _q_orders_range_parts,
         "events_throttled": _q_events_throttled,
+        "props_field_stats": _q_props_field_stats,
         "token_counts": _q_token_counts,
         "rolling_value_sum": _q_rolling_value,
         "user_running_total": _q_user_running_total,
@@ -3621,6 +3665,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id) AS gap FROM events) "
             f"WHERE gap IS NULL OR gap > INTERVAL {THROTTLE_MIN} MINUTE "
             "ORDER BY event_id"
+        ),
+        "props_field_stats": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(v) AS BIGINT) AS sum_v, "
+            "CAST(min(v) AS BIGINT) AS min_v, "
+            "CAST(max(v) AS BIGINT) AS max_v FROM ("
+            "SELECT event_type, TRY_CAST(regexp_extract(props, "
+            f"'{PROPS_PATTERN}', 1) AS BIGINT) AS v FROM events) "
+            "WHERE v IS NOT NULL GROUP BY 1 ORDER BY 1"
         ),
         "token_counts": (
             "SELECT doc_id, "

@@ -1678,3 +1678,32 @@ def probe_inverted_index(
          id_col: pa.array([], pa.int64()),
          "tf": pa.array([], pa.int64())})
     return out.sort_by([("token", "ascending"), (id_col, "ascending")])
+
+
+def extract_int_field(
+    ds: rd.Dataset,
+    col: str,
+    pattern: str,
+    out_col: str = "val",
+    keep_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Typed field extraction from semi-structured text (JSON-ish props
+    columns, logs) — the schema-on-read projection step of an ETL
+    pipeline: an RE2 pattern with ONE named capture group runs through
+    Arrow's ``extract_regex`` kernel (C++, no Python per row) and the
+    captured digits cast to int64; non-matching rows yield NULL.  The
+    pattern string is shared VERBATIM with the DuckDB twin
+    (``regexp_extract(col, pattern, 1)``), the same convention as
+    ``redact_pattern`` — both engines compile the identical RE2."""
+    import pyarrow.compute as pc
+
+    keep_cols = keep_cols or []
+
+    def _ex(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column(col), pattern=pattern)
+        v = pc.cast(pc.struct_field(m, [0]), pa.int64())
+        cols = {c: batch.column(c) for c in keep_cols}
+        cols[out_col] = v
+        return pa.table(cols)
+
+    return ds.map_batches(_ex, batch_format="pyarrow")

@@ -576,3 +576,24 @@ def test_gram_matrix_exact_and_block_invariant():
     for parts in (1, 7):
         got = gram_matrix(rd.from_arrow(t).repartition(parts), scale=1e6)
         assert got.dtype == np.int64 and (got == want).all(), f"parts={parts}"
+
+
+def test_extract_int_field_typed_and_null_on_no_match():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.textops import extract_int_field
+
+    t = pa.table({
+        "id": pa.array(np.arange(5), pa.int64()),
+        "props": pa.array(['{"k": 87}', '{"k": -3}', 'garbage',
+                           '{"k": 0}', '{"j": 9}']),
+    })
+    got = extract_int_field(rd.from_arrow(t).repartition(2), "props",
+                            r'"k": (?P<v>-?\d+)', out_col="v",
+                            keep_cols=["id"]).to_pandas()
+    got = got.sort_values("id").reset_index(drop=True)
+    assert got["v"].tolist()[:2] == [87, -3]
+    assert got["v"].iloc[3] == 0
+    assert got["v"].isna().iloc[2] and got["v"].isna().iloc[4]
