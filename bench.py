@@ -184,7 +184,9 @@ def run_queries() -> dict:
 
     out = {}
     qs = e.queries()
-    for name in ("pagerank_k8", "cc_labels", "triangles_total"):
+    for name in ("pagerank_k8", "cc_labels", "triangles_total",
+                 "near_dup_pairs", "cosine_near_dup", "tfidf_top1",
+                 "bloom_join_urgent"):
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         # consume if lazy
