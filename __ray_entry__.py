@@ -818,6 +818,32 @@ def _q_quantity_quantiles(sf_dir: str):
     )
 
 
+DYADIC_QUANTILES = [0.25, 0.5, 0.75, 0.875]
+
+
+def _q_quantity_quantiles_cont(sf_dir: str):
+    """Interpolated (``quantile_cont``) quantiles of l_quantity from
+    the same distributed value histogram as ``quantity_quantiles``
+    (ops.exact_quantiles_cont).  Every q is DYADIC (k/2^m), so the
+    position q*(n-1), its fractional part and the linear interpolation
+    between two small-integer values are all exactly representable
+    doubles — the result is bit-identical to DuckDB's quantile_cont
+    regardless of how either engine arranges the lerp."""
+    import ray.data as rd
+
+    from essentials_rd.ops import exact_quantiles_cont
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity"])
+    vals = exact_quantiles_cont(li, "l_quantity", DYADIC_QUANTILES)
+    return pa.table(
+        {
+            "q": pa.array(DYADIC_QUANTILES, pa.float64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+
+
 SKETCH_FRAC = 0.2
 
 
@@ -2736,6 +2762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantity_quantiles": _q_quantity_quantiles,
+        "quantity_quantiles_cont": _q_quantity_quantiles_cont,
         "price_quantiles_sampled": _q_price_quantiles_sampled,
         "orders_range_parts": _q_orders_range_parts,
         "events_throttled": _q_events_throttled,
@@ -3655,6 +3682,12 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(quantile_disc(l_quantity, {q}) AS BIGINT) AS value "
             "FROM lineitem"
             for q in QUANTILES
+        ),
+        "quantity_quantiles_cont": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"CAST(quantile_cont(l_quantity, {q}) AS DOUBLE) AS value "
+            "FROM lineitem"
+            for q in [0.25, 0.5, 0.75, 0.875]
         ),
         "price_quantiles_sampled": _price_quantiles_sampled_sql(),
         "orders_range_parts": _orders_range_parts_sql(),

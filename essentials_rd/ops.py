@@ -454,6 +454,46 @@ def exact_quantiles(
     return out
 
 
+def exact_quantiles_cont(
+    ds: rd.Dataset, col: str, qs: list[float]
+) -> list[float]:
+    """EXACT interpolated quantiles (SQL ``quantile_cont`` semantics:
+    position q·(n−1), linear interpolation between the two bracketing
+    sorted values) from the same distributed value histogram as
+    :func:`exact_quantiles`.  Bit-exactness across engines holds when
+    every ``q`` is DYADIC (k/2^m, e.g. 0.25/0.5/0.75): then q·(n−1),
+    the fractional part and the interpolation are all exactly
+    representable doubles, so ANY algebraic arrangement of the lerp
+    (v_lo + (v_hi−v_lo)·f vs v_lo·(1−f) + v_hi·f) yields the identical
+    float — safe to hash-compare against a SQL twin."""
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(int_value_counts(ds, col).to_arrow_refs())
+        if t.num_rows
+    ]
+    if not parts:
+        return [0.0 for _ in qs]
+    t = pa.concat_tables(parts)
+    vals = np_col(t, "value")
+    cnts = np_col(t, "count")
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        pos = q * (n - 1)
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, n - 1)
+        f = pos - lo
+        vlo = float(vals[np.searchsorted(cum, lo + 1)])
+        vhi = float(vals[np.searchsorted(cum, hi + 1)])
+        out.append(vlo + (vhi - vlo) * f)
+    return out
+
+
 def grouped_distinct_count(
     ds: rd.Dataset,
     key_col: str,

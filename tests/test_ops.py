@@ -184,6 +184,30 @@ def test_exact_quantiles_match_duckdb_rule():
     assert got == want
 
 
+def test_exact_quantiles_cont_bit_identical_to_duckdb():
+    """Dyadic quantiles make quantile_cont's lerp exactly representable,
+    so the distributed histogram result must equal DuckDB bit-for-bit
+    (==, not allclose)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import exact_quantiles_cont
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(1, 500, 1237).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})).repartition(7)
+    qs = [0.125, 0.25, 0.5, 0.75, 0.875]
+    got = exact_quantiles_cont(ds, "x", qs)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest($1) AS x", [vals.tolist()])
+    want = [con.execute(
+        f"SELECT CAST(quantile_cont(x, {q}) AS DOUBLE) FROM t").fetchone()[0]
+        for q in qs]
+    assert got == want
+
+
 def test_grouped_distinct_count_matches_pandas():
     import numpy as np
     import pyarrow as pa
