@@ -2620,6 +2620,62 @@ def _q_skew_join_nations(sf_dir: str):
     ).sort_by("c_nationkey")
 
 
+PRICE_SPLIT = 150_000.0
+
+
+def _q_status_priority_intersect(sf_dir: str):
+    """SQL INTERSECT via ops.set_op: the distinct
+    (o_orderstatus, o_orderpriority) pairs that occur BOTH among
+    orders priced >= PRICE_SPLIT and among cheaper orders — one
+    co-shuffle on the full-row hash, multi-column string keys."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.ops import set_op
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    hi = orders.filter(
+        expr=f"o_totalprice >= {PRICE_SPLIT}"
+    ).select_columns(["o_orderstatus", "o_orderpriority"])
+    lo = orders.filter(
+        expr=f"o_totalprice < {PRICE_SPLIT}"
+    ).select_columns(["o_orderstatus", "o_orderpriority"])
+    out = set_op(hi, lo, "intersect", num_buckets=8)
+    rows = out.take_all()
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(
+                [r["o_orderstatus"] for r in rows], pa.string()
+            ),
+            "o_orderpriority": pa.array(
+                [r["o_orderpriority"] for r in rows], pa.string()
+            ),
+        }
+    )
+
+
+def _q_cust_f_not_o(sf_dir: str):
+    """SQL EXCEPT via ops.set_op: custkeys holding a finished ('F')
+    order but no open ('O') order."""
+    import ray.data as rd
+
+    from essentials_rd.ops import set_op
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    )
+    f = orders.filter(expr="o_orderstatus == 'F'").select_columns(["o_custkey"])
+    o = orders.filter(expr="o_orderstatus == 'O'").select_columns(["o_custkey"])
+    out = set_op(f, o, "except", num_buckets=8)
+    rows = out.take_all()
+    return pa.table(
+        {"o_custkey": pa.array([r["o_custkey"] for r in rows], pa.int64())}
+    )
+
+
 def _q_text_stats(sf_dir: str):
     import ray.data as rd
 
@@ -2811,6 +2867,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_no_orders": _q_cust_no_orders,
         "bloom_join_urgent": _q_bloom_join_urgent,
         "skew_join_nations": _q_skew_join_nations,
+        "status_priority_intersect": _q_status_priority_intersect,
+        "cust_f_not_o": _q_cust_f_not_o,
         "text_stats": _q_text_stats,
         "exact_dup_groups": _q_exact_dup_groups,
         "ann_cosine_top5": _q_ann,
@@ -3899,6 +3957,18 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_cents "
             "FROM events JOIN customer ON user_id = c_custkey "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "status_priority_intersect": (
+            "SELECT o_orderstatus, o_orderpriority FROM orders "
+            f"WHERE o_totalprice >= {PRICE_SPLIT} "
+            "INTERSECT "
+            "SELECT o_orderstatus, o_orderpriority FROM orders "
+            f"WHERE o_totalprice < {PRICE_SPLIT}"
+        ),
+        "cust_f_not_o": (
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+            "EXCEPT "
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
         ),
         "text_stats": (
             "SELECT doc_id, length(text) AS n_chars, "

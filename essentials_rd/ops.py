@@ -1090,6 +1090,63 @@ def join(
     return tagged.groupby("__bucket__").map_groups(_join_bucket, batch_format="pyarrow")
 
 
+def set_op(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    mode: str,
+    *,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """SQL ``INTERSECT`` / ``EXCEPT`` (both DISTINCT semantics,
+    SURVEY.md §2.4 — completes the set-operation family next to R8
+    union).  One co-shuffle keyed on the FULL-ROW hash: a given row
+    value always lands in one bucket (the key is a pure function of
+    the values), so each bucket holds every occurrence of its rows
+    from both sides and decides membership locally — per-worker memory
+    is the bucket's DISTINCT rows, never a side's full table.  Hash
+    collisions only co-locate rows (the in-bucket merge compares
+    actual values), they never change the result.  Schemas must match
+    by column name; right is projected to left's column order."""
+    if mode not in ("intersect", "except"):
+        raise ValueError(f"unsupported set_op mode={mode!r}")
+
+    cols = list(left.schema().names)
+    right = right.select_columns(cols)
+    key_fn = _join_key_fn(cols)
+
+    def _tag(side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            bucket = (
+                hash64(key_fn(batch)) % np.uint64(num_buckets)
+            ).astype(np.int32)
+            return batch.append_column(
+                "__side__", pa.array(np.full(batch.num_rows, side, np.int8))
+            ).append_column("__bucket__", pa.array(bucket, pa.int32()))
+
+        return _fn
+
+    tagged = left.map_batches(_tag(0), batch_format="pyarrow").union(
+        right.map_batches(_tag(1), batch_format="pyarrow")
+    )
+    def _bucket(grp: pa.Table) -> pa.Table:
+        # schema from the co-shuffled group itself (left.schema() may be
+        # a PandasBlockSchema for from_pandas inputs — no Arrow fields)
+        out_schema = grp.select(cols).schema
+        side = np_col(grp, "__side__")
+        lt = grp.filter(pa.array(side == 0)).select(cols)
+        ldf = lt.to_pandas().drop_duplicates()
+        rdf = grp.filter(pa.array(side == 1)).select(cols).to_pandas()
+        how = "semi" if mode == "intersect" else "anti"
+        out = _pd_merge(ldf, rdf, cols, how)
+        return pa.Table.from_pandas(
+            out, preserve_index=False, schema=out_schema
+        ).replace_schema_metadata()
+
+    return tagged.groupby("__bucket__").map_groups(
+        _bucket, batch_format="pyarrow"
+    )
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -368,6 +368,66 @@ def test_bloom_join_matches_plain_join_and_prunes():
     assert hit.sum() < len(ldf)
 
 
+@pytest.mark.parametrize("mode", ["intersect", "except"])
+def test_set_op_matches_duckdb(mode):
+    """set_op == SQL INTERSECT/EXCEPT (DISTINCT semantics) on random
+    multi-column tables with duplicate rows on both sides, invariant
+    to bucket count and block layout."""
+    import duckdb
+
+    from essentials_rd.ops import set_op
+
+    rng = np.random.default_rng(41)
+    nl, nr = 400, 350
+
+    def _mk(n):
+        return pd.DataFrame(
+            {
+                "a": rng.integers(0, 40, n),
+                "s": [f"v{v}" for v in rng.integers(0, 6, n)],
+            }
+        )
+
+    ldf, rdf = _mk(nl), _mk(nr)
+    kw = "INTERSECT" if mode == "intersect" else "EXCEPT"
+    con = duckdb.connect()
+    con.register("l", ldf)
+    con.register("r", rdf)
+    want = con.execute(
+        f"SELECT a, s FROM l {kw} SELECT a, s FROM r"
+    ).fetchdf()
+    con.close()
+    assert 0 < len(want) < len(ldf.drop_duplicates())  # fixture non-trivial
+    for nb in (1, 8):
+        got = set_op(
+            rd.from_pandas(ldf).repartition(5),
+            rd.from_pandas(rdf).repartition(3),
+            mode,
+            num_buckets=nb,
+        ).to_pandas()
+        assert not got.duplicated().any()  # DISTINCT output
+        pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                      check_dtype=False)
+
+
+def test_set_op_empty_right_and_bad_mode():
+    from essentials_rd.ops import set_op
+
+    ldf = pd.DataFrame({"a": [1, 1, 2], "s": ["x", "x", "y"]})
+    empty = pd.DataFrame({"a": pd.array([], dtype="int64"),
+                          "s": pd.array([], dtype="str")})
+    # EXCEPT empty == DISTINCT left; INTERSECT empty == no rows
+    got = set_op(rd.from_pandas(ldf), rd.from_pandas(empty), "except",
+                 num_buckets=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(ldf.drop_duplicates()), check_dtype=False)
+    got = set_op(rd.from_pandas(ldf), rd.from_pandas(empty), "intersect",
+                 num_buckets=4).to_pandas()
+    assert len(got) == 0
+    with pytest.raises(ValueError, match="mode"):
+        set_op(rd.from_pandas(ldf), rd.from_pandas(ldf), "union")
+
+
 def test_skew_join_matches_plain_join_with_planted_hot_key():
     """skew_join == join under a planted power-law key, hot set detected."""
     from essentials_rd.ops import skew_join
