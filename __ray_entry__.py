@@ -954,6 +954,27 @@ def _q_events_throttled(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "event_type"])
 
 
+def _q_latest_user_event(sf_dir: str):
+    """Changelog compaction (ops.latest_by_key): each user's single
+    most recent event row under the (ts, event_id) total order —
+    per-block pre-combined arg-max, then one bucketed shuffle."""
+    import ray.data as rd
+
+    from essentials_rd.ops import latest_by_key
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    from essentials_rd.util import np_col
+
+    out = latest_by_key(
+        ev, "user_id", ["ts", "event_id"],
+        key_fn=lambda b: np_col(b, "user_id"),
+    )
+    return out.select_columns(["user_id", "event_id", "event_type"])
+
+
 PROPS_PATTERN = r'"k": (?P<v>-?\d+)'
 
 
@@ -2869,6 +2890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_nations": _q_skew_join_nations,
         "status_priority_intersect": _q_status_priority_intersect,
         "cust_f_not_o": _q_cust_f_not_o,
+        "latest_user_event": _q_latest_user_event,
         "text_stats": _q_text_stats,
         "exact_dup_groups": _q_exact_dup_groups,
         "ann_cosine_top5": _q_ann,
@@ -3969,6 +3991,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
             "EXCEPT "
             "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "latest_user_event": (
+            "SELECT user_id, event_id, event_type FROM events "
+            "QUALIFY row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1 "
+            "ORDER BY user_id"
         ),
         "text_stats": (
             "SELECT doc_id, length(text) AS n_chars, "

@@ -1594,6 +1594,43 @@ def grouped_mode(
                            num_buckets=num_buckets)
 
 
+def latest_by_key(
+    ds: rd.Dataset,
+    key: str,
+    order_by: list[str],
+    key_fn: Callable[[pa.Table], np.ndarray],
+    *,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Per-key ARG-MAX row: for every key the single FULL row that is
+    lexicographically last under the ``order_by`` column tuple — the
+    changelog-compaction / CDC upsert-merge / SCD "current row"
+    primitive (SURVEY.md §2.4 R4 family).  ``order_by`` must be a
+    total order within each key (end it with a unique id, e.g.
+    ``["ts", "event_id"]``), otherwise the winner would depend on
+    block layout.  Arg-max is idempotent and associative, so the plan
+    pre-combines: every block first reduces to one winner row per key
+    it contains — the shuffle ships at most distinct-keys-per-block
+    full rows, never the raw table — then one bucketed exchange on the
+    key hash finishes the arg-max.  Per-worker memory is a bucket's
+    distinct keys, not the table."""
+    cols = [key] + list(order_by)
+    asc = [True] + [False] * len(order_by)
+
+    def _winners(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        df = df.sort_values(cols, ascending=asc, kind="stable")
+        return pa.Table.from_pandas(
+            df.drop_duplicates(key, keep="first"),
+            preserve_index=False,
+            schema=tbl.schema,
+        ).replace_schema_metadata()
+
+    partials = ds.map_batches(_winners, batch_format="pyarrow")
+    return hash_bucket_agg(partials, key_fn, _winners,
+                           num_buckets=num_buckets)
+
+
 def interval_join(
     left: rd.Dataset,
     right: rd.Dataset,

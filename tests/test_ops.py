@@ -574,3 +574,41 @@ def test_throttle_events_matches_lag_reference():
         got = throttle_events(rd.from_pandas(df).repartition(4),
                               window_minutes=30, num_buckets=nb).to_pandas()
         assert set(got["event_id"]) == want, f"nb={nb}"
+
+
+def test_latest_by_key_matches_pandas_argmax():
+    """latest_by_key == per-key arg-max row under (ts, id), ties on ts
+    broken by the id tie-break, invariant to block layout / buckets."""
+    import pandas as pd
+
+    from essentials_rd.ops import latest_by_key
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    df = pd.DataFrame({
+        "event_id": rng.permutation(n).astype(np.int64),
+        "ts": pd.to_datetime(
+            1_700_000_000_000_000
+            + rng.integers(0, 50, n).astype("int64") * 10**6,  # many ts ties
+            unit="us",
+        ),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    sdf = df.sort_values(["user_id", "ts", "event_id"],
+                         ascending=[True, False, False], kind="stable")
+    want = sdf.drop_duplicates("user_id", keep="first") \
+        .sort_values("user_id").reset_index(drop=True)
+    # fixture exercises the tie-break: some winner shares its ts with
+    # another row of the same user
+    merged = df.merge(want[["user_id", "ts"]], on=["user_id", "ts"])
+    assert len(merged) > len(want)
+    for nparts, nb in ((1, 1), (7, 16)):
+        got = latest_by_key(
+            rd.from_pandas(df).repartition(nparts),
+            "user_id", ["ts", "event_id"],
+            key_fn=lambda b: np_col(b, "user_id"),
+            num_buckets=nb,
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)
