@@ -934,6 +934,37 @@ def _q_orders_range_parts(sf_dir: str):
     ).sort_by("part_id")
 
 
+def _q_orders_price_rank(sf_dir: str):
+    """Distributed global ORDER BY (ops.global_rank): every order's
+    exact 1-based position under the (price-cents, o_orderkey) total
+    order — range-partitioned so equal values co-locate, prefix-sum
+    offsets, per-partition local sort; boundaries affect balance only,
+    never the ranks."""
+    import ray.data as rd
+
+    from essentials_rd.ops import global_rank
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(np_col(t, "o_totalprice") * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+             "cents": pa.array(c, pa.int64())}
+        )
+
+    cents = orders.map_batches(_cents, batch_format="pyarrow")
+    out = global_rank(
+        cents, "cents", ["o_orderkey"],
+        key_fn=lambda b: np_col(b, "o_orderkey"),
+        n_parts=RANGE_PARTS, sample_frac=SKETCH_FRAC, seed=SAMPLE_SEED,
+        rank_col="price_rank",
+    )
+    return out.select_columns(["o_orderkey", "cents", "price_rank"])
+
+
 THROTTLE_MIN = 120
 
 
@@ -2891,6 +2922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "status_priority_intersect": _q_status_priority_intersect,
         "cust_f_not_o": _q_cust_f_not_o,
         "latest_user_event": _q_latest_user_event,
+        "orders_price_rank": _q_orders_price_rank,
         "text_stats": _q_text_stats,
         "exact_dup_groups": _q_exact_dup_groups,
         "ann_cosine_top5": _q_ann,
@@ -3997,6 +4029,13 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY row_number() OVER ("
             "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1 "
             "ORDER BY user_id"
+        ),
+        "orders_price_rank": (
+            "SELECT o_orderkey, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents, "
+            "CAST(row_number() OVER (ORDER BY "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), o_orderkey) "
+            "AS BIGINT) AS price_rank FROM orders"
         ),
         "text_stats": (
             "SELECT doc_id, length(text) AS n_chars, "

@@ -924,6 +924,60 @@ def range_partition(
     return ds.map_batches(_route, batch_format="pyarrow"), bounds
 
 
+def global_rank(
+    ds: rd.Dataset,
+    col: str,
+    tie_cols: list[str],
+    key_fn: Callable[[pa.Table], np.ndarray],
+    *,
+    n_parts: int = 32,
+    sample_frac: float = 0.1,
+    seed: int = 42,
+    rank_col: str = "rank",
+) -> rd.Dataset:
+    """Distributed global ORDER BY with exact 1-based row numbers
+    (SURVEY.md §2.4 R6+ — the total-sort primitive under ranked
+    exports and percentile reports).  Plan: :func:`range_partition`
+    on ``col`` (routing is a pure function of the value, so equal
+    values co-locate and partitions are disjoint ordered ranges —
+    boundary quality affects only balance, NEVER the result), one
+    tiny per-partition count pass whose prefix sums give each
+    partition's global offset (the driver sees n_parts × blocks
+    count rows, never data), then each partition sorts locally by
+    ``(col, *tie_cols)`` and adds its offset.  ``(col, *tie_cols)``
+    must be unique per row for a deterministic total order; ``col``
+    must be int64 (the range_partition contract)."""
+    routed, _bounds = range_partition(
+        ds, col, n_parts, key_fn, sample_frac=sample_frac, seed=seed
+    )
+    routed = routed.materialize()  # count pass + rank pass share blocks
+
+    def _counts(t: pa.Table) -> pa.Table:
+        u, c = np.unique(np_col(t, "part_id"), return_counts=True)
+        return pa.table({"p": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    sizes = np.zeros(n_parts, np.int64)
+    for r in routed.map_batches(_counts, batch_format="pyarrow").take_all():
+        sizes[r["p"]] += r["n"]
+    offsets = np.r_[0, np.cumsum(sizes)[:-1]]  # tiny, ships in the closure
+
+    order_cols = [col] + list(tie_cols)
+
+    def _rank(grp: pa.Table) -> pa.Table:
+        p = int(grp.column("part_id")[0].as_py())
+        df = grp.drop_columns(["part_id"]).to_pandas()
+        df = df.sort_values(order_cols, kind="stable")
+        df[rank_col] = np.arange(
+            offsets[p] + 1, offsets[p] + 1 + len(df), dtype=np.int64
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata()
+
+    return routed.groupby("part_id").map_groups(_rank, batch_format="pyarrow")
+
+
 def _join_key_fn(on: list[str]) -> Callable[[pa.Table], np.ndarray]:
     """Combined deterministic int64 hash over the key columns (string
     columns via pandas siphash — process-stable; numeric via hash64)."""

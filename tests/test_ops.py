@@ -612,3 +612,30 @@ def test_latest_by_key_matches_pandas_argmax():
         ).to_pandas().sort_values("user_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(
             got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_global_rank_matches_sort_and_block_invariant():
+    from essentials_rd.ops import global_rank
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    t = pa.table({
+        "id": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 200, n).astype(np.int64)),  # heavy ties
+    })
+    df = t.to_pandas()
+    want = df.sort_values(["v", "id"], kind="stable").reset_index(drop=True)
+    want["rank"] = np.arange(1, n + 1, dtype=np.int64)
+    want = want.sort_values("id").reset_index(drop=True)
+    prev = None
+    for parts in (1, 11):
+        got = global_rank(
+            rd.from_arrow(t).repartition(parts), "v", ["id"],
+            key_fn=lambda b: np_col(b, "id"),
+            n_parts=6, sample_frac=0.3, seed=9,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        assert (got["rank"].to_numpy() == want["rank"].to_numpy()).all()
+        assert (got["v"].to_numpy() == want["v"].to_numpy()).all()
+        if prev is not None:
+            assert prev.equals(got[prev.columns.tolist()])
+        prev = got[["id", "v", "rank"]]
