@@ -1073,6 +1073,30 @@ def _q_rolling_value(sf_dir: str):
                               k=ROLL_K)
 
 
+def _q_user_range_sum(sf_dir: str):
+    """Time-based RANGE sliding window (windows.range_window_agg):
+    per event the sum/count of integer cents over the same user's
+    trailing 2-hour window — value-defined frame, so all ts-peers are
+    in regardless of tie-break; one user-bucketed shuffle + composed
+    rank searchsorted kernel."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.windows import range_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("__cents__", c)
+
+    return range_window_agg(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        span_us=2 * 3600 * 1_000_000,
+    )
+
+
 def _q_user_running_total(sf_dir: str):
     """Per-user running total (SQL ROWS UNBOUNDED PRECEDING) — the
     k=None case of the same prefix-sum kernel as `rolling_value_sum`:
@@ -2878,6 +2902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "rolling_value_sum": _q_rolling_value,
         "user_running_total": _q_user_running_total,
+        "user_range_sum": _q_user_range_sum,
         "quantity_moments": _q_quantity_moments,
         "orders_profile": _q_orders_profile,
         "last_order_asof": _q_last_order_asof,
@@ -3891,6 +3916,15 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(floor(value * 100) AS BIGINT) AS cents FROM events) "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING)"
+        ),
+        "user_range_sum": (
+            "SELECT event_id, "
+            "CAST(sum(cents) OVER w AS BIGINT) AS range_sum, "
+            "CAST(count(*) OVER w AS BIGINT) AS range_n "
+            "FROM (SELECT event_id, user_id, ts, "
+            "  CAST(floor(value * 100) AS BIGINT) AS cents FROM events) "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)"
         ),
         "quantity_moments": (
             "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "

@@ -398,6 +398,96 @@ def rolling_window_agg(
     )
 
 
+def range_window_agg(
+    events: rd.Dataset,
+    span_us: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    val_col: str = "__cents__",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key TIME-based sliding-window aggregate — SQL ``RANGE
+    BETWEEN <span> PRECEDING AND CURRENT ROW`` semantics, partitioned
+    by ``user_col`` and ordered by ``ts``: per event, the sum and
+    count of ``val_col`` over all same-user rows with
+    ``ts ∈ [cur_ts − span, cur_ts]``.  Unlike the ROWS variant
+    (:func:`rolling_window_agg`) the frame is value-defined, so ALL
+    ts-peers of the current row are inside the frame regardless of any
+    tie-break order — exactly the SQL RANGE contract, which makes the
+    result a pure function of the data (no ordering ambiguity to pin).
+
+    Shape: the same single user-bucketed shuffle; the per-bucket
+    kernel is one lexsort by (user, ts) plus TWO vectorized
+    searchsorteds over the (user_rank, ts_rank)-composed int64 key
+    (the :func:`~essentials_rd.ops.interval_join` trick — composing
+    exact value ranks keeps equal timestamps mapping to equal
+    composite keys, so 'left'/'right' sides give the closed-interval
+    bounds), then prefix-sum differences.  Linear-log in the bucket,
+    no per-row loop.  ``val_col`` must be int64 for a bit-exact SQL
+    twin.
+    """
+    span = np.int64(span_us)
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: batch.column(user_col).cast(pa.int64()),
+                "__ts__": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                val_col: batch.column(val_col).cast(pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "range_sum": pa.array([], pa.int64()),
+            "range_n": pa.array([], pa.int64()),
+        }
+    )
+
+    def _window(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return empty
+        u = np_col(grp, user_col)
+        t = np_col(grp, "__ts__")
+        e = np_col(grp, id_col)
+        v = np_col(grp, val_col)
+        order = np.lexsort((t, u))
+        u, t, e, v = u[order], t[order], e[order], v[order]
+        # compose (user_rank, ts_rank) into one sortable int64: ranks
+        # come from the union of every ts and every window-low bound,
+        # so both probe values exist exactly in the rank table
+        uu = np.unique(u)
+        ku = np.searchsorted(uu, u)
+        vals = np.unique(np.concatenate([t, t - span]))
+        width = np.int64(len(vals) + 1)
+        comp = ku * width + np.searchsorted(vals, t)
+        lo = np.searchsorted(
+            comp, ku * width + np.searchsorted(vals, t - span), side="left"
+        )
+        hi = np.searchsorted(
+            comp, ku * width + np.searchsorted(vals, t), side="right"
+        )
+        prefix = np.r_[np.int64(0), np.cumsum(v)]
+        return pa.table(
+            {
+                id_col: pa.array(e, pa.int64()),
+                "range_sum": pa.array(prefix[hi] - prefix[lo], pa.int64()),
+                "range_n": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    projected = events.map_batches(_project, batch_format="pyarrow")
+    return hash_bucket_agg(
+        projected,
+        lambda b: np_col(b, user_col).astype(np.int64),
+        _window,
+        num_buckets=num_buckets,
+    )
+
+
 def funnel_stages(
     events: rd.Dataset,
     stages: list[str],

@@ -349,3 +349,43 @@ def test_event_sequences_matches_pandas_cap_and_ties():
         got = (event_sequences(rd.from_arrow(tbl), max_len=5, num_buckets=nb)
                .to_pandas().sort_values("user_id").reset_index(drop=True))
         assert got.equals(want), f"nb={nb}"
+
+
+def test_range_window_matches_duckdb_and_bucket_invariant():
+    import duckdb
+
+    from essentials_rd.windows import range_window_agg
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    df = pd.DataFrame({
+        "event_id": rng.permutation(n).astype(np.int64),
+        "ts": pd.to_datetime(
+            1_700_000_000_000_000
+            # coarse grid => many exact ts ties (RANGE peers) and many
+            # rows exactly span-apart (closed-interval boundary hits)
+            + rng.integers(0, 300, n).astype("int64") * US_PER_MIN,
+            unit="us",
+        ),
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "__cents__": rng.integers(-500, 500, n).astype(np.int64),
+    })
+    span_us = 60 * US_PER_MIN
+    want = duckdb.sql(
+        "SELECT event_id, CAST(sum(__cents__) OVER w AS BIGINT) AS range_sum, "
+        "CAST(count(*) OVER w AS BIGINT) AS range_n FROM df "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    ).df().sort_values("event_id").reset_index(drop=True)
+    # the fixture must actually exercise ties: some user has peer rows
+    assert df.duplicated(["user_id", "ts"]).any()
+    prev = None
+    for nparts, nb in ((1, 1), (7, 16)):
+        got = range_window_agg(
+            rd.from_pandas(df).repartition(nparts), span_us, num_buckets=nb
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                      check_dtype=False)
+        if prev is not None:
+            pd.testing.assert_frame_equal(got, prev)
+        prev = got
