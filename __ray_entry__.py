@@ -2282,6 +2282,22 @@ def _q_lang_char_quantiles(sf_dir: str):
     return grouped_quantiles(docs, "lang", "n_chars", QUANTILES)
 
 
+def _q_lang_char_quantiles_cont(sf_dir: str):
+    """Exact per-language INTERPOLATED quantiles of document length
+    (ops.grouped_quantiles(cont=True), quantile_cont semantics) —
+    dyadic q values make the per-key position, fraction and lerp
+    exactly representable doubles, so the hash matches DuckDB
+    bit-for-bit."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    return grouped_quantiles(docs, "lang", "n_chars", DYADIC_QUANTILES,
+                             cont=True)
+
+
 def _q_token_counts(sf_dir: str):
     """Whitespace + BPE-ish regex token counts per document (the same
     RE2-compatible pattern runs in DuckDB's regexp_extract_all)."""
@@ -2908,6 +2924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_order_asof": _q_last_order_asof,
         "parts_per_order": _q_parts_per_order,
         "lang_char_quantiles": _q_lang_char_quantiles,
+        "lang_char_quantiles_cont": _q_lang_char_quantiles_cont,
         "sampled_docs": _q_sampled_docs,
         "stratified_docs": _q_stratified_docs,
         "top_tokens": _q_top_tokens,
@@ -3898,6 +3915,12 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value "
             "FROM documents GROUP BY lang"
             for q in QUANTILES
+        ),
+        "lang_char_quantiles_cont": " UNION ALL ".join(
+            f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+            f"CAST(quantile_cont(n_chars, {q}) AS DOUBLE) AS value "
+            "FROM documents GROUP BY lang"
+            for q in DYADIC_QUANTILES
         ),
         "rolling_value_sum": (
             "SELECT event_id, "

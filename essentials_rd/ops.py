@@ -703,15 +703,25 @@ def grouped_quantiles(
     val_col: str,
     qs: list[float],
     num_buckets: int = DEFAULT_BUCKETS,
+    cont: bool = False,
 ) -> rd.Dataset:
-    """EXACT per-group discrete quantiles (DuckDB ``quantile_disc``
-    semantics) of an int64 value column, grouped by a string or int
-    key: per-batch (key, value) histogram pre-combine, one bucketed
-    shuffle on the key, then a per-bucket cumulative-count kernel that
-    picks the rank ``ceil(q·n)−1`` row of each key's segment with one
+    """EXACT per-group quantiles of an int64 value column, grouped by
+    a string or int key: per-batch (key, value) histogram pre-combine,
+    one bucketed shuffle on the key, then a per-bucket
+    cumulative-count kernel that picks each key's rank row(s) with one
     global searchsorted (the cumsum is strictly increasing across
     segments).  Rows never move — only (key, value, count) histogram
-    entries.  Output: (key, q:double, value:int64)."""
+    entries.
+
+    ``cont=False`` (default): DuckDB ``quantile_disc`` semantics (the
+    sorted value at rank ``ceil(q·n)−1``); output
+    (key, q:double, value:int64).  ``cont=True``: ``quantile_cont``
+    semantics (position ``q·(n−1)``, linear interpolation between the
+    bracketing values); output (key, q:double, value:double) — with
+    DYADIC ``q`` (k/2^m) the position, fraction and lerp are all
+    exactly representable doubles per key, so the result hash-matches
+    a SQL twin bit-for-bit (same argument as
+    :func:`exact_quantiles_cont`)."""
 
     def _kcodes(col: pa.ChunkedArray):
         codes, uq = pd.factorize(col.combine_chunks().to_pandas(), sort=True)
@@ -741,6 +751,8 @@ def grouped_quantiles(
             }
         )
 
+    val_type = pa.float64() if cont else pa.int64()
+
     def _quantile_bucket(grp: pa.Table) -> pa.Table:
         key_t = grp.schema.field(key_col).type
         if grp.num_rows == 0:
@@ -748,7 +760,7 @@ def grouped_quantiles(
                 {
                     key_col: pa.array([], key_t),
                     "q": pa.array([], pa.float64()),
-                    "value": pa.array([], pa.int64()),
+                    "value": pa.array([], val_type),
                 }
             )
         kc, uq = _kcodes(grp.column(key_col))
@@ -769,11 +781,19 @@ def grouped_quantiles(
         n_k = cum[seg_ends] - base
         out_k, out_q, out_v = [], [], []
         for q in qs:
-            tgt = np.clip(np.ceil(q * n_k).astype(np.int64) - 1, 0, n_k - 1)
-            pos = np.searchsorted(cum, base + tgt + 1)
+            if cont:
+                pos_f = q * (n_k - 1).astype(np.float64)
+                lo = np.floor(pos_f).astype(np.int64)
+                hi = np.minimum(lo + 1, n_k - 1)
+                f = pos_f - lo
+                vlo = v[np.searchsorted(cum, base + lo + 1)].astype(np.float64)
+                vhi = v[np.searchsorted(cum, base + hi + 1)].astype(np.float64)
+                out_v.append(vlo + (vhi - vlo) * f)
+            else:
+                tgt = np.clip(np.ceil(q * n_k).astype(np.int64) - 1, 0, n_k - 1)
+                out_v.append(v[np.searchsorted(cum, base + tgt + 1)])
             out_k.append(kc[seg_starts])
             out_q.append(np.full(len(seg_starts), q))
-            out_v.append(v[pos])
         kcat = np.concatenate(out_k)
         if pa.types.is_integer(key_t):
             key_arr = pa.array(np.asarray(uq)[kcat].astype(np.int64), key_t)
@@ -783,7 +803,12 @@ def grouped_quantiles(
             {
                 key_col: key_arr,
                 "q": pa.array(np.concatenate(out_q), pa.float64()),
-                "value": pa.array(np.concatenate(out_v), pa.int64()),
+                "value": pa.array(
+                    np.concatenate(out_v).astype(
+                        np.float64 if cont else np.int64
+                    ),
+                    val_type,
+                ),
             }
         )
 

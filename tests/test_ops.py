@@ -639,3 +639,37 @@ def test_global_rank_matches_sort_and_block_invariant():
         if prev is not None:
             assert prev.equals(got[prev.columns.tolist()])
         prev = got[["id", "v", "rank"]]
+
+
+def test_grouped_quantiles_cont_bit_identical_to_duckdb():
+    import duckdb
+
+    from essentials_rd.ops import grouped_quantiles
+
+    rng = np.random.default_rng(19)
+    lang = np.array(["aa", "bb", "cc", "dd"], object)[rng.integers(0, 4, 1999)]
+    v = rng.integers(-300, 300, 1999).astype("int64")
+    tbl = pa.table({"lang": pa.array(lang.tolist(), pa.string()),
+                    "n": pa.array(v)})
+    qs = [0.25, 0.5, 0.75, 0.875]  # dyadic => lerp exactly representable
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        " UNION ALL ".join(
+            f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+            f"CAST(quantile_cont(n, {q}) AS DOUBLE) AS value "
+            "FROM t GROUP BY lang"
+            for q in qs
+        )
+        + " ORDER BY lang, q"
+    ).df().reset_index(drop=True)
+    for nb in (1, 8):
+        got = (
+            grouped_quantiles(rd.from_arrow(tbl), "lang", "n", qs,
+                              num_buckets=nb, cont=True)
+            .to_pandas().sort_values(["lang", "q"]).reset_index(drop=True)
+        )
+        # bitwise float equality, not allclose — the dyadic-q contract
+        assert got["value"].to_numpy().tobytes() == \
+            want["value"].to_numpy().tobytes(), f"num_buckets={nb}"
+        assert got[["lang", "q"]].equals(want[["lang", "q"]])
