@@ -1809,6 +1809,23 @@ def _q_doc_char_rank(sf_dir: str):
                         descending=True)
 
 
+def _q_doc_char_ntile(sf_dir: str):
+    """NTILE window (ops.grouped_rank n_tiles=7): each doc's septile
+    within its language under the (n_chars, doc_id) total order —
+    front-loaded remainder per the SQL NTILE contract, integer-exact."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_rank
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    out = grouped_rank(docs, "lang", "n_chars", "doc_id",
+                       key_fn=lambda b: _str_hash(b.column("lang")),
+                       n_tiles=7)
+    return out.select_columns(["doc_id", "lang", "tile"])
+
+
 def _q_cust_user_outer(sf_dir: str):
     """FULL OUTER join (ops.join how='outer' — forced onto the
     co-shuffled path, where each bucket sees both complete sides):
@@ -2949,6 +2966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_user_outer": _q_cust_user_outer,
         "user_event_pivot": _q_user_event_pivot,
         "doc_char_rank": _q_doc_char_rank,
+        "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
         "quality_score": _q_quality_score,
@@ -4221,6 +4239,12 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "AS rnk, percent_rank() OVER w AS pct FROM documents "
             "WINDOW w AS (PARTITION BY lang "
             "ORDER BY n_chars DESC, doc_id ASC)"
+        ),
+        "doc_char_ntile": (
+            "SELECT doc_id, lang, CAST(ntile(7) OVER w AS BIGINT) "
+            "AS tile FROM documents "
+            "WINDOW w AS (PARTITION BY lang "
+            "ORDER BY n_chars ASC, doc_id ASC)"
         ),
         "cust_user_outer": (
             "SELECT COALESCE(c.c_custkey, u.user_id) AS key, "

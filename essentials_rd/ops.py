@@ -1549,6 +1549,7 @@ def grouped_rank(
     key_fn: Callable[[pa.Table], np.ndarray],
     descending: bool = False,
     num_buckets: int = DEFAULT_BUCKETS,
+    n_tiles: int | None = None,
 ) -> rd.Dataset:
     """Per-key ranking window — SQL ``row_number()`` + ``percent_rank()``
     OVER (PARTITION BY key ORDER BY val [DESC], id ASC) in one bucketed
@@ -1556,16 +1557,36 @@ def grouped_rank(
     order total, so row_number == rank and percent_rank is exactly
     ``(rnk−1)/(n−1)`` (0.0 for single-row keys) — the same two integers
     divided on both sides, hence bit-identical doubles with no rounding
-    convention needed.  Output: (id, key, rnk, pct)."""
+    convention needed.  Output: (id, key, rnk, pct).
+
+    ``n_tiles`` adds a ``tile`` column with SQL ``NTILE(n)`` semantics:
+    the first ``cnt mod n`` tiles hold ``ceil(cnt/n)`` rows, the rest
+    ``floor(cnt/n)`` (NOT ``floor(p·n/cnt)``, which spreads the
+    remainder instead of front-loading it — they diverge e.g. at
+    cnt=8, n=5).  Integer-exact, so it hashes against the SQL twin."""
+
+    def _ntile(pos: np.ndarray, n: np.ndarray) -> np.ndarray:
+        # pos: 0-based rank within the key; n: the key's row count
+        base, rem = n // n_tiles, n % n_tiles
+        cut = rem * (base + 1)  # rows before this index sit in fat tiles
+        return np.where(
+            pos < cut,
+            pos // (base + 1),
+            # base >= 1 whenever any row falls past the fat tiles
+            rem + (pos - cut) // np.maximum(base, 1),
+        ) + 1
 
     def _rank(grp: pa.Table) -> pa.Table:
         if grp.num_rows == 0:
-            return pa.table({
+            cols = {
                 id_col: pa.array([], pa.int64()),
                 key: pa.array([], grp.schema.field(key).type),
                 "rnk": pa.array([], pa.int64()),
                 "pct": pa.array([], pa.float64()),
-            })
+            }
+            if n_tiles is not None:
+                cols["tile"] = pa.array([], pa.int64())
+            return pa.table(cols)
         df = grp.to_pandas()
         codes, _ = pd.factorize(df[key], sort=True)
         v = df[val].to_numpy()
@@ -1582,12 +1603,15 @@ def grouped_rank(
         pos = np.arange(len(c), dtype=np.int64) - np.repeat(starts, counts)
         n = np.repeat(counts, counts)
         pct = np.where(n > 1, pos / np.maximum(n - 1, 1), 0.0)
-        return pa.table({
+        cols = {
             id_col: pa.array(ids[order], pa.int64()),
             key: pa.array(df[key].to_numpy()[order]),
             "rnk": pa.array(pos + 1, pa.int64()),
             "pct": pa.array(pct, pa.float64()),
-        })
+        }
+        if n_tiles is not None:
+            cols["tile"] = pa.array(_ntile(pos, n), pa.int64())
+        return pa.table(cols)
 
     return hash_bucket_agg(ds, key_fn, _rank, num_buckets=num_buckets)
 

@@ -673,3 +673,33 @@ def test_grouped_quantiles_cont_bit_identical_to_duckdb():
         assert got["value"].to_numpy().tobytes() == \
             want["value"].to_numpy().tobytes(), f"num_buckets={nb}"
         assert got[["lang", "q"]].equals(want[["lang", "q"]])
+
+
+def test_grouped_rank_ntile_matches_duckdb():
+    import duckdb
+
+    from essentials_rd.ops import grouped_rank
+
+    rng = np.random.default_rng(29)
+    # group sizes chosen to hit the floor(p*n/cnt)-divergence regime
+    # (e.g. cnt=8, n_tiles=5 front-loads 2,2,2,1,1 not 2,2,1,2,1)
+    sizes = [8, 1, 3, 17, 5, 40]
+    k = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    n = len(k)
+    tbl = pa.table({
+        "k": pa.array(k),
+        "v": pa.array(rng.integers(0, 6, n).astype(np.int64)),  # ties
+        "id": pa.array(rng.permutation(n).astype(np.int64)),
+    })
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        "SELECT id, k, CAST(ntile(5) OVER w AS BIGINT) AS tile FROM t "
+        "WINDOW w AS (PARTITION BY k ORDER BY v, id) ORDER BY id"
+    ).df().reset_index(drop=True)
+    for nb in (1, 8):
+        got = grouped_rank(
+            rd.from_arrow(tbl), "k", "v", "id",
+            key_fn=lambda b: np_col(b, "k"), num_buckets=nb, n_tiles=5,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        assert got[["id", "k", "tile"]].equals(want), f"num_buckets={nb}"
