@@ -1163,6 +1163,60 @@ def _q_quantity_moments(sf_dir: str):
     ).sort_by("l_returnflag")
 
 
+def _q_qty_price_comoments(sf_dir: str):
+    """Exact grouped bivariate moments (ops.grouped_comoments): n / Σx
+    / Σy / Σx² / Σy² / Σxy of (quantity, price-dollars) per return
+    flag — the integer-exact covariance/correlation building block.
+    covar_pop's numerator n·Σxy − Σx·Σy and both variance numerators
+    derive exactly from these, where emitting a float covariance
+    directly would hash-differ from DuckDB's own float accumulation."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_comoments
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def _ints(t: pa.Table) -> pa.Table:
+        # floor(x + 0.5) == SQL ROUND's half-away-from-zero for the
+        # positive domain here; pc.round's default half-to-even would
+        # diverge on exact .5 dollar boundaries
+        q = np.asarray(
+            t.column("l_quantity").to_numpy(zero_copy_only=False), np.float64
+        )
+        p = np.asarray(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            np.float64,
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty": pa.array(np.floor(q + 0.5).astype(np.int64)),
+                "usd": pa.array(np.floor(p + 0.5).astype(np.int64)),
+            }
+        )
+
+    agg = grouped_comoments(
+        line.map_batches(_ints, batch_format="pyarrow"),
+        keys=["l_returnflag"], x="qty", y="usd",
+        key_fn=lambda b: _str_hash(b.column("l_returnflag")),
+        num_buckets=4,
+    )
+    rows = agg.take_all()
+    cols = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+    out = {
+        "l_returnflag": pa.array(
+            [r["l_returnflag"] for r in rows], pa.string()
+        )
+    }
+    for c in cols:
+        out[c] = pa.array([r[c] for r in rows], pa.int64())
+    return pa.table(out).sort_by("l_returnflag")
+
+
 PROFILE_COLS = ["o_custkey", "o_orderkey"]
 
 
@@ -2937,6 +2991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": _q_user_running_total,
         "user_range_sum": _q_user_range_sum,
         "quantity_moments": _q_quantity_moments,
+        "qty_price_comoments": _q_qty_price_comoments,
         "orders_profile": _q_orders_profile,
         "last_order_asof": _q_last_order_asof,
         "parts_per_order": _q_parts_per_order,
@@ -3974,6 +4029,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT l_returnflag, "
             "CAST(ROUND(l_quantity, 0) AS BIGINT) AS q FROM lineitem) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "qty_price_comoments": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(q) AS BIGINT) AS sum_x, "
+            "CAST(sum(p) AS BIGINT) AS sum_y, "
+            "CAST(sum(q * q) AS BIGINT) AS sum_xx, "
+            "CAST(sum(p * p) AS BIGINT) AS sum_yy, "
+            "CAST(sum(q * p) AS BIGINT) AS sum_xy "
+            "FROM (SELECT l_returnflag, "
+            "CAST(ROUND(l_quantity, 0) AS BIGINT) AS q, "
+            "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS p "
+            "FROM lineitem) GROUP BY 1 ORDER BY 1"
         ),
         "orders_profile": " UNION ALL ".join(
             f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n, "

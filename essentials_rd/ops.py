@@ -589,6 +589,60 @@ def grouped_moments(
     )
 
 
+def grouped_comoments(
+    ds: rd.Dataset,
+    keys: list[str],
+    x: str,
+    y: str,
+    key_fn: Callable[[pa.Table], np.ndarray] | None = None,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Exact bivariate integer moments per group — ``(n, sum_x, sum_y,
+    sum_xx, sum_yy, sum_xy)`` of two integer-valued columns: the
+    bit-exact building block for grouped covariance / correlation.
+    ``covar_pop`` numerator ``n·Σxy − Σx·Σy`` and both variance
+    numerators derive as exact integers from the outputs, where a float
+    covariance emitted directly would hash-differ from any SQL engine's
+    own incremental float accumulation (summation order differs).
+
+    Scale shape mirrors :func:`grouped_moments`: per-BLOCK partials
+    pre-combine inside ``map_batches`` (raw rows never enter the
+    exchange), then ONE bucketed sum over (distinct keys × blocks)
+    partial rows.  Caller guarantees the cross products fit int64 per
+    group (quantize accordingly)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [x, y]).to_pandas()
+        vx = df[x].to_numpy(np.int64)
+        vy = df[y].to_numpy(np.int64)
+        df = df[keys].copy()
+        df["__n__"] = np.int64(1)
+        df["__sx__"] = vx
+        df["__sy__"] = vy
+        df["__sxx__"] = vx * vx
+        df["__syy__"] = vy * vy
+        df["__sxy__"] = vx * vy
+        g = df.groupby(keys, sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata()
+
+    return grouped_pandas_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        keys=keys,
+        aggs={
+            "n": ("__n__", "sum"),
+            "sum_x": ("__sx__", "sum"),
+            "sum_y": ("__sy__", "sum"),
+            "sum_xx": ("__sxx__", "sum"),
+            "sum_yy": ("__syy__", "sum"),
+            "sum_xy": ("__sxy__", "sum"),
+        },
+        key_fn=key_fn,
+        num_buckets=num_buckets,
+    )
+
+
 def profile_table(
     ds: rd.Dataset,
     cols: list[str],

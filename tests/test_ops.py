@@ -494,6 +494,41 @@ def test_grouped_moments_matches_pandas():
         assert got[["g", "n", "sum_v", "sumsq_v"]].equals(want), f"nb={nb}"
 
 
+def test_grouped_comoments_matches_pandas():
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_comoments
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+        "x": pa.array(rng.integers(-40, 60, n).astype(np.int64)),
+        "y": pa.array(rng.integers(-500, 500, n).astype(np.int64)),
+    })
+    df = t.to_pandas()
+    df["xx"], df["yy"], df["xy"] = df.x * df.x, df.y * df.y, df.x * df.y
+    want = (df.groupby("g", as_index=False)
+              .agg(n=("x", "count"), sum_x=("x", "sum"), sum_y=("y", "sum"),
+                   sum_xx=("xx", "sum"), sum_yy=("yy", "sum"),
+                   sum_xy=("xy", "sum"))
+              .sort_values("g").reset_index(drop=True).astype({"n": "int64"}))
+    cols = ["g", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+    for nb in (1, 8):
+        got = (grouped_comoments(rd.from_arrow(t).repartition(6), ["g"],
+                                 "x", "y",
+                                 key_fn=lambda b: _str_hash(b.column("g")),
+                                 num_buckets=nb)
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        assert got[cols].equals(want[cols]), f"nb={nb}"
+        # covariance numerator derives exactly: n·Σxy − Σx·Σy
+        cov_num = got.n * got.sum_xy - got.sum_x * got.sum_y
+        ref = df.groupby("g").apply(
+            lambda d: np.cov(d.x, d.y, bias=True)[0, 1] * len(d) * len(d),
+            include_groups=False)
+        assert np.allclose(cov_num.to_numpy(np.float64),
+                           ref.sort_index().to_numpy(), rtol=1e-12)
+
+
 def test_profile_table_exact_with_nulls():
     from essentials_rd.ops import profile_table
 
