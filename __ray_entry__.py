@@ -1319,6 +1319,51 @@ def _sampled_docs_sql() -> str:
     )
 
 
+# 63-bit golden-ratio multiplier for the checksum's column pre-mix
+# (truncated so the SQL twin's literal stays in BIGINT range; the
+# product is computed in HUGEINT and reduced mod 2^64 either side)
+_CKSUM_MIX = 0x9E3779B97F4A7C15 & (2**63 - 1)
+
+
+def _q_orders_checksum(sf_dir: str):
+    """Order-insensitive distributed table checksum
+    (ops.table_checksum): Σ splitmix64(o_orderkey·C + o_custkey) mod
+    2⁶⁴ plus the row count — the anti-entropy primitive for validating
+    a table copy without moving it.  No shuffle: one (n, partial) row
+    per block, folded driver-side."""
+    import ray.data as rd
+
+    from essentials_rd.ops import table_checksum
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def _key(b: pa.Table) -> np.ndarray:
+        ok = np_col(b, "o_orderkey").astype(np.uint64)
+        ck = np_col(b, "o_custkey").astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return ok * np.uint64(_CKSUM_MIX) + ck
+
+    return table_checksum(orders, _key)
+
+
+def _orders_checksum_sql() -> str:
+    chain = _sm64_ctes(
+        "z", "o_orderkey",
+        f"CAST(o_orderkey AS HUGEINT) * {_CKSUM_MIX} + o_custkey",
+        "orders",
+    )
+    half = "9223372036854775808"
+    return (
+        f"WITH {chain}, m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"((sum(CAST(z AS HUGEINT)) % {_MOD64}) + {_MOD64}) % {_MOD64} AS s "
+        f"FROM z3) "
+        f"SELECT n, CAST(CASE WHEN s >= {half} THEN s - {_MOD64} "
+        f"ELSE s END AS BIGINT) AS checksum FROM m"
+    )
+
+
 STRAT_TARGET = 30
 
 
@@ -2998,6 +3043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_char_quantiles": _q_lang_char_quantiles,
         "lang_char_quantiles_cont": _q_lang_char_quantiles_cont,
         "sampled_docs": _q_sampled_docs,
+        "orders_checksum": _q_orders_checksum,
         "stratified_docs": _q_stratified_docs,
         "top_tokens": _q_top_tokens,
         "contaminated_docs": _q_contaminated_docs,
@@ -3943,6 +3989,7 @@ def oracle_sql() -> dict[str, str]:
             "AS n_re_tokens FROM documents"
         ),
         "sampled_docs": _sampled_docs_sql(),
+        "orders_checksum": _orders_checksum_sql(),
         "stratified_docs": _stratified_docs_sql(),
         "pagerank_weighted_k8": _pagerank_weighted_sql(),
         "degree_hist": (

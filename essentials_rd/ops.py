@@ -643,6 +643,51 @@ def grouped_comoments(
     )
 
 
+def table_checksum(
+    ds: rd.Dataset,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> pa.Table:
+    """Order-insensitive distributed content checksum: ``(n, checksum)``
+    where ``checksum = Σ splitmix64(key) mod 2⁶⁴`` over every row.  The
+    sum is commutative-associative, so the digest is a pure function of
+    the multiset of row keys — invariant to block layout, partitioning
+    and cluster size — making it the cheap anti-entropy primitive for
+    validating a copy/migration/rewrite of a 100 TB table without
+    moving it: compare two tables' digests, not their rows.  (A plain
+    XOR would cancel duplicate rows; the wrapping SUM detects them.)
+
+    Scale shape: one row ``(n, partial-sum)`` leaves each block via
+    ``map_batches`` — no shuffle at all; the driver folds #blocks tiny
+    rows.  ``key_fn(batch) -> uint64/int64 array`` packs the columns
+    under test into one integer key (collision-mixing is the caller's
+    contract, same as every bucketed op here)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        h = hash64(key_fn(batch))
+        with np.errstate(over="ignore"):
+            s = np.add.reduce(h, dtype=np.uint64) if len(h) else np.uint64(0)
+        return pa.table(
+            {
+                "n": pa.array([len(h)], pa.int64()),
+                # store the uint64 partial as its int64 bit pattern
+                "s": pa.array(np.array([s], np.uint64).view(np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    parts = np.array([r["s"] for r in rows], np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        total = np.add.reduce(parts, dtype=np.uint64) if len(parts) else np.uint64(0)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "checksum": pa.array(np.array([total], np.uint64).view(np.int64)),
+        }
+    )
+
+
 def profile_table(
     ds: rd.Dataset,
     cols: list[str],

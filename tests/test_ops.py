@@ -494,6 +494,39 @@ def test_grouped_moments_matches_pandas():
         assert got[["g", "n", "sum_v", "sumsq_v"]].equals(want), f"nb={nb}"
 
 
+def test_table_checksum_invariant_and_sensitive():
+    from essentials_rd.ops import table_checksum
+    from essentials_rd.util import hash64, np_col
+
+    rng = np.random.default_rng(3)
+    k = rng.integers(0, 2**40, 5000).astype(np.int64)
+    t = pa.table({"k": pa.array(k)})
+    key_fn = lambda b: np_col(b, "k")
+
+    with np.errstate(over="ignore"):
+        want = np.add.reduce(hash64(k), dtype=np.uint64)
+    want_i64 = np.array([want], np.uint64).view(np.int64)[0]
+
+    # block-layout invariance: the digest is a pure function of the
+    # row multiset
+    for parts in (1, 7):
+        got = table_checksum(rd.from_arrow(t).repartition(parts), key_fn)
+        assert got["n"][0].as_py() == 5000
+        assert got["checksum"][0].as_py() == want_i64, f"parts={parts}"
+
+    # a duplicated row changes the SUM digest (an XOR digest would
+    # cancel the pair and miss it)
+    dup = pa.table({"k": pa.array(np.r_[k, k[:1]])})
+    got = table_checksum(rd.from_arrow(dup), key_fn)
+    assert got["checksum"][0].as_py() != want_i64
+
+    # a single changed value changes the digest
+    k2 = k.copy()
+    k2[1234] += 1
+    got = table_checksum(rd.from_arrow(pa.table({"k": pa.array(k2)})), key_fn)
+    assert got["checksum"][0].as_py() != want_i64
+
+
 def test_grouped_comoments_matches_pandas():
     from essentials_rd.derive import _str_hash
     from essentials_rd.ops import grouped_comoments
