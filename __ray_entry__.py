@@ -234,6 +234,48 @@ def _q_bfs_depth(sf_dir: str):
     return depths_table(res)
 
 
+DAG_DEPTH_ITERS = 12
+
+
+def _q_dag_depth(sf_dir: str):
+    """Longest-path layering on the DAG orientation of the co-purchase
+    graph (algorithms.longest_path): max-plus relaxation capped at K
+    supersteps gives depth = min(longest-path(v), K) exactly — the
+    critical-path/topological-layer primitive, frontier-sparse like
+    BFS.  Edges run src<dst (acyclic by construction), so the unrolled
+    K-step max CTE reproduces it bit-for-bit."""
+    from essentials_rd.algorithms import depth_table, longest_path
+
+    g, _ = _graph(sf_dir, symmetrize=False)
+    res = longest_path(g, max_iters=DAG_DEPTH_ITERS, checkpoint_every=0,
+                       scatter_mode="fused")
+    return depth_table(res)
+
+
+def _dag_depth_sql() -> str:
+    steps = [
+        "ld0 AS MATERIALIZED (SELECT vid, CAST(0 AS BIGINT) AS depth "
+        "FROM verts)"
+    ]
+    for k in range(DAG_DEPTH_ITERS):
+        steps.append(f"""
+lm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, max(l.depth + 1) AS md
+  FROM pairs e JOIN ld{k} l ON l.vid = e.src
+  GROUP BY e.dst
+),
+ld{k + 1} AS MATERIALIZED (
+  SELECT v.vid, greatest(v.depth, COALESCE(m.md, v.depth)) AS depth
+  FROM ld{k} v LEFT JOIN lm{k} m ON m.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT vid, CAST(depth AS BIGINT) AS depth "
+        f"FROM ld{DAG_DEPTH_ITERS} ORDER BY vid"
+    )
+
+
 def _q_ppr(sf_dir: str):
     """Personalized PageRank from the min vertex id, exactly PPR_ITERS
     power steps (tol=0) — compared against the unrolled-CTE oracle
@@ -3101,6 +3143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "lp_k4": _q_lp,
         "bfs_depth": _q_bfs_depth,
+        "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
         "ppr_k8": _q_ppr,
         "kcore3": _q_kcore,
@@ -4299,6 +4342,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "top_pagerank": _top_pagerank_sql(),
         "cc_labels": _cc_sql(),
         "bfs_depth": _bfs_sql(),
+        "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),
         "ppr_k8": _ppr_sql(),
         "kcore3": _kcore_sql(),

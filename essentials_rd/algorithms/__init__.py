@@ -17,8 +17,12 @@ from .hits import HitsProgram, hits, hits_graph_edges, hits_table
 from .scc import scc_coloring
 from .harmonic import MultiSourceBfsProgram, harmonic, harmonic_table
 from .mis import MisProgram, mis, mis_table
+from .longest_path import LongestPathProgram, longest_path, depth_table
 
 __all__ = [
+    "LongestPathProgram",
+    "longest_path",
+    "depth_table",
     "PageRankProgram",
     "pagerank",
     "ConnectedComponentsProgram",

@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["pr", "wpr", "cc", "lp", "tc", "spmv", "bfs",
                             "sssp", "ppr", "kcore", "eigen", "color", "hits",
                             "bc", "msf", "ktruss", "esim", "nsample",
-                            "walks", "n2v", "harmonic", "scc"])
+                            "walks", "n2v", "harmonic", "scc", "lpath"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out", default=None, help="result parquet dir")
     p.add_argument("--num-parts", type=int, default=16)
@@ -294,6 +294,36 @@ def main(argv: list[str] | None = None) -> int:
             rd.from_arrow(t).write_parquet(args.out)
         print(json.dumps({"event": "done", "algo": "scc",
                           "rounds": rounds, "n_vertices": t.num_rows}),
+              flush=True)
+        ray.shutdown()
+        return 0
+    elif args.algo == "lpath":
+        import ray.data as rd
+
+        from .algorithms import depth_table, longest_path
+
+        if edges is None:
+            import pyarrow.compute as pc
+
+            edges = rd.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+                lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
+                batch_format="pyarrow",
+            )
+        # canonical src<dst edges ARE a DAG orientation
+        gd = build_graph(
+            edges, os.path.join(args.ckpt_dir, "lpath_work"),
+            args.num_parts, symmetrize=False, persist=False,
+        )
+        res = longest_path(gd, max_iters=args.max_iters,
+                           checkpoint_every=0, on_step_end=log_step,
+                           scatter_mode=args.scatter_mode)
+        t = depth_table(res)
+        if args.out:
+            rd.from_arrow(t).write_parquet(args.out)
+        print(json.dumps({"event": "done", "algo": "lpath",
+                          "supersteps": res.supersteps,
+                          "converged": bool(res.converged),
+                          "max_depth": int(max(t["depth"].to_pylist() or [0]))}),
               flush=True)
         ray.shutdown()
         return 0

@@ -92,7 +92,7 @@ def test_cli_round3_algos_smoke(tmp_path):
         "bc": "bc", "msf": "weight", "wpr": "value",
         "ktruss": "src", "esim": "jaccard", "nsample": "dst",
         "walks": "node", "n2v": "node", "harmonic": "h",
-        "scc": "scc",
+        "scc": "scc", "lpath": "depth",
     }
     for algo, col in expect_rows_col.items():
         out = tmp_path / f"out_{algo}"

@@ -359,3 +359,38 @@ def test_scc_random_matches_tarjan_and_partition_invariant(tmp_path, P):
     g = _scc_graph(tmp_path, src, dst, vids, P=P)
     tbl, _ = scc_coloring(g)
     assert np.array_equal(np.asarray(tbl["scc"]), scc_ref(vids, src, dst))
+
+
+def _longest_path_dp(n, src, dst, cap):
+    """NumPy DP over the low→high topological order."""
+    depth = np.zeros(n, np.int64)
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    for u in range(n):  # vertex ids ARE a topological order (src < dst)
+        m = s == u
+        if m.any():
+            np.maximum.at(depth, d[m], depth[u] + 1)
+    return np.minimum(depth, cap)
+
+
+def test_longest_path_dag_matches_dp_and_cap(tmp_path):
+    from essentials_rd.algorithms import depth_table, longest_path
+
+    src, dst = _random_edges(n=50, m=220, seed=23)
+    src, dst = _canon(src, dst)  # low→high: a DAG by construction
+    n = 50
+    vids = np.arange(n, dtype=np.int64)
+    g = small_graph(tmp_path / "a", src, dst, P=3, symmetrize=False,
+                    vertex_ids=vids, persist=False)
+    res = longest_path(g, checkpoint_every=0, scatter_mode="fused")
+    assert res.converged
+    got = np.asarray(depth_table(res)["depth"], np.int64)
+    want = _longest_path_dp(n, src, dst, cap=1 << 30)
+    assert got.tolist() == want.tolist()
+
+    # capped run: depth_K = min(longest, K) exactly
+    K = 3
+    res_c = longest_path(g, max_iters=K, checkpoint_every=0,
+                         scatter_mode="fused")
+    got_c = np.asarray(depth_table(res_c)["depth"], np.int64)
+    assert got_c.tolist() == np.minimum(want, K).tolist()
