@@ -134,6 +134,38 @@ def _q_degree(sf_dir: str):
                      "degree": pa.array(deg, pa.int64())})
 
 
+def _q_degree_assortativity(sf_dir: str):
+    """Integer-exact degree-assortativity moment sums
+    (algorithms.similarity.degree_assortativity_moments): (n, Σx, Σy,
+    Σx², Σy², Σxy) over both directions of every co-purchase edge —
+    Pearson's r over these IS Newman's assortativity coefficient, and
+    the integer sums hash-match where a float r would not.  No
+    shuffle: broadcast degree vector + one partial row per edge
+    block."""
+    from essentials_rd.algorithms.similarity import (
+        degree_assortativity_moments,
+    )
+
+    g, edges = _graph(sf_dir)
+    return degree_assortativity_moments(g, edges)
+
+
+def _degree_assortativity_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, "
+        "xy AS (SELECT CAST(d1.outdeg AS BIGINT) AS x, "
+        "CAST(d2.outdeg AS BIGINT) AS y "
+        "FROM sym e JOIN deg d1 ON d1.vid = e.src "
+        "JOIN deg d2 ON d2.vid = e.dst) "
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x) AS BIGINT) AS sum_x, "
+        "CAST(sum(y) AS BIGINT) AS sum_y, "
+        "CAST(sum(x * x) AS BIGINT) AS sum_xx, "
+        "CAST(sum(y * y) AS BIGINT) AS sum_yy, "
+        "CAST(sum(x * y) AS BIGINT) AS sum_xy FROM xy"
+    )
+
+
 def _pagerank_rounded(sf_dir: str) -> pa.Table:
     from essentials_rd.algorithms import pagerank
     from essentials_rd.pipelines import round_half_up
@@ -3137,6 +3169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_token_edges": _q_shared_token_edges,
         "copurchase_edges": _q_copurchase_edges,
         "degree": _q_degree,
+        "degree_assortativity": _q_degree_assortativity,
         "pagerank_k8": _q_pagerank,
         "top_pagerank": _q_top_pagerank,
         "cc_labels": _q_cc,
@@ -4327,6 +4360,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
             f"WITH {_GRAPH_CTES} SELECT vid, CAST(outdeg AS BIGINT) AS degree "
             f"FROM deg ORDER BY vid"
         ),
+        "degree_assortativity": _degree_assortativity_sql(),
         "near_dup_pairs": _near_dup_pairs_sql(),
         # the LSH-banded path returns the exact-Jaccard-VERIFIED pair
         # set; banding recall 1.0 on this corpus is pinned by pytest,

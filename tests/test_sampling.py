@@ -189,3 +189,33 @@ def test_node2vec_walks_match_scalar_reference_and_invariant(tmp_path):
     # the bias must actually bite: p=2,q=0.5 walks differ from uniform
     uni = random_walks(g4, 3).to_pandas().sort_values(["wid", "step"])
     assert not w4["node"].equals(uni.reset_index(drop=True)["node"])
+
+
+def test_degree_assortativity_moments_match_bruteforce(tmp_path):
+    from collections import Counter
+
+    from essentials_rd.algorithms.similarity import (
+        degree_assortativity_moments,
+    )
+
+    g, edges = _graph(3, tmp_path, seed=29)  # edges = symmetrized set
+    deg = Counter(u for u, _ in edges)
+    xs = np.array([deg[u] for u, v in sorted(edges)], np.int64)
+    ys = np.array([deg[v] for u, v in sorted(edges)], np.int64)
+
+    canon = pa.table({
+        "src": pa.array(sorted(u for u, v in edges if u < v), pa.int64()),
+        "dst": pa.array([v for u, v in sorted(edges) if u < v], pa.int64()),
+    })
+    got = degree_assortativity_moments(g, rd.from_arrow(canon).repartition(4))
+    assert got["n"][0].as_py() == len(edges)
+    assert got["sum_x"][0].as_py() == int(xs.sum())
+    assert got["sum_y"][0].as_py() == int(ys.sum())
+    assert got["sum_xx"][0].as_py() == int((xs * xs).sum())
+    assert got["sum_yy"][0].as_py() == int((ys * ys).sum())
+    assert got["sum_xy"][0].as_py() == int((xs * ys).sum())
+    # Pearson r over the sums equals numpy's corrcoef on the edge list
+    n, sx, sy = len(edges), xs.sum(), ys.sum()
+    sxx, syy, sxy = (xs * xs).sum(), (ys * ys).sum(), (xs * ys).sum()
+    r = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(r - np.corrcoef(xs, ys)[0, 1]) < 1e-12
