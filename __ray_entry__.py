@@ -2641,6 +2641,21 @@ def _q_embedding_gram(sf_dir: str):
     )
 
 
+def _q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension stats of the embedding list column
+    (ann.dim_stats): (dim, n, min, max, Σ floor(e·scale)) computed
+    WITHOUT exploding — one (d,)-sized partial per block, folded
+    driver-side; min/max are pure comparisons and the quantized sum is
+    integer, so all columns are bit-exact at any layout."""
+    import ray.data as rd
+
+    from essentials_rd.ann import dim_stats
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["embedding"])
+    return dim_stats(vecs, scale=GRAM_SCALE)
+
+
 SEQ_LEN = 8
 
 
@@ -3196,6 +3211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": _q_token_postings,
         "docs_with_all_tokens": _q_docs_with_all_tokens,
         "embedding_gram": _q_embedding_gram,
+        "embedding_dim_stats": _q_embedding_dim_stats,
         "user_event_seq": _q_user_event_seq,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -4492,6 +4508,17 @@ FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
             "SELECT a.j AS i, b.j AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g "
             "FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.j <= b.j "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "embedding_dim_stats": (
+            "SELECT CAST(dim AS BIGINT) AS dim, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(min(x) AS DOUBLE) AS min_v, "
+            "CAST(max(x) AS DOUBLE) AS max_v, "
+            "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * "
+            f"{GRAM_SCALE:.1f}) AS BIGINT)) AS BIGINT) AS sum_q "
+            "FROM (SELECT unnest(embedding) AS x, "
+            "unnest(range(len(embedding))) AS dim FROM embeddings) "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "user_event_seq": (
             "SELECT user_id, "

@@ -647,3 +647,62 @@ def _gram_sum(*mats: np.ndarray) -> np.ndarray:
     for m in mats[1:]:
         out += m
     return out
+
+
+def dim_stats(
+    vectors: rd.Dataset, col: str = "embedding", scale: float = 1e6
+) -> pa.Table:
+    """Per-DIMENSION statistics of an embedding list column — the
+    unnest/posexplode projection done without ever exploding: for each
+    component index d, ``(dim, n, min_v, max_v, sum_q)`` where
+    ``sum_q = Σ floor(e_d · scale)`` over all rows (integer-exact, so
+    the result is block-layout independent; the float mean derives as
+    sum_q/(n·scale) driver-side).  min/max are raw float values — pure
+    comparisons, no arithmetic, hence bit-exact too.
+
+    Scale shape: one (d,)-sized partial per block inside
+    ``map_batches`` (d·#blocks tiny rows leave the scan, never the
+    n×d matrix), folded driver-side.  A row-wise unnest would multiply
+    the table d× before a d-group aggregate — this is the reason the
+    operator exists."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, col)
+        if m.size == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "min_v": pa.array([], pa.float64()),
+                 "max_v": pa.array([], pa.float64()),
+                 "sum_q": pa.array([], pa.int64())}
+            )
+        d = m.shape[1]
+        q = np.floor(m * scale).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "n": pa.array(np.full(d, m.shape[0], np.int64)),
+                "min_v": pa.array(m.min(axis=0), pa.float64()),
+                "max_v": pa.array(m.max(axis=0), pa.float64()),
+                "sum_q": pa.array(q.sum(axis=0), pa.int64()),
+            }
+        )
+
+    parts = vectors.map_batches(_partial, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(parts)
+    g = df.groupby("dim", as_index=False).agg(
+        n=("n", "sum"), min_v=("min_v", "min"), max_v=("max_v", "max"),
+        sum_q=("sum_q", "sum"),
+    )
+    g = g.sort_values("dim").reset_index(drop=True)
+    return pa.table(
+        {
+            "dim": pa.array(g["dim"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "min_v": pa.array(g["min_v"].to_numpy(np.float64)),
+            "max_v": pa.array(g["max_v"].to_numpy(np.float64)),
+            "sum_q": pa.array(g["sum_q"].to_numpy(np.int64)),
+        }
+    )

@@ -597,3 +597,23 @@ def test_extract_int_field_typed_and_null_on_no_match():
     assert got["v"].tolist()[:2] == [87, -3]
     assert got["v"].iloc[3] == 0
     assert got["v"].isna().iloc[2] and got["v"].isna().iloc[4]
+
+
+def test_dim_stats_matches_numpy_and_block_invariant():
+    from essentials_rd.ann import dim_stats
+
+    rng = np.random.default_rng(31)
+    n, d = 400, 16
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    })
+    m64 = m.astype(np.float64)
+    want_q = np.floor(m64 * 1e6).astype(np.int64).sum(axis=0)
+    for parts in (1, 7):
+        got = dim_stats(rd.from_arrow(t).repartition(parts))
+        assert np.asarray(got["dim"]).tolist() == list(range(d))
+        assert (np.asarray(got["n"]) == n).all()
+        assert np.array_equal(np.asarray(got["min_v"]), m64.min(axis=0))
+        assert np.array_equal(np.asarray(got["max_v"]), m64.max(axis=0))
+        assert np.array_equal(np.asarray(got["sum_q"]), want_q), f"p={parts}"
