@@ -2176,12 +2176,14 @@ def _q_kmeans_buckets(sf_dir: str):
     )
 
 
-def _kmeans_sql() -> str:
-    """Unrolled Lloyd twin: unnest embeddings to (vec_id, j, x),
-    L2-normalize, seed centroids by splitmix64-rank (the precomputed
-    data-independent choice ranks), then KM_ITERS assign/update rounds
-    (argmax dot with min-cid tie-break = np.argmax first-max) and a
-    final assignment; empty clusters keep their previous centroid."""
+def _kmeans_parts() -> list[str]:
+    """Shared unrolled-Lloyd CTE parts: unnest embeddings to (vec_id,
+    j, x) as ``ex``, L2-normalize as ``xn``, seed centroids by
+    splitmix64-rank (the precomputed data-independent choice ranks),
+    then KM_ITERS assign/update rounds (argmax dot with min-cid
+    tie-break = np.argmax first-max) and a final assignment
+    ``asg{KM_ITERS}``; empty clusters keep their previous centroid.
+    Used by both the kmeans_buckets and knn_graph oracles."""
     ranks = ", ".join(str(int(r) + 1) for r in _km_seed_ranks())
     chain = _sm64_ctes("kz", "vec_id", "vec_id", "embeddings")
 
@@ -2227,11 +2229,64 @@ def _kmeans_sql() -> str:
             f"LEFT JOIN cnt{t} k ON k.cid = c.cid WHERE k.cid IS NULL)"
         )
     parts.append(assign(KM_ITERS))
+    return parts
+
+
+def _kmeans_sql() -> str:
     return (
-        "WITH " + ", ".join(parts) +
+        "WITH " + ", ".join(_kmeans_parts()) +
         f" SELECT CAST(cid AS BIGINT) AS bucket, "
         f"CAST(count(*) AS BIGINT) AS n, min(vec_id) AS min_vid, "
         f"max(vec_id) AS max_vid FROM asg{KM_ITERS} GROUP BY cid"
+    )
+
+
+KNN_K = 3
+KNN_MOD = 17     # query rows: vec_id % KNN_MOD == 0 (the scout shape)
+KNN_SCALE = 1e3  # integer quantization for the exact dot ranking
+
+
+def _q_knn_graph(sf_dir: str):
+    """Bucketed kNN graph (ann.knn_graph): per query vector the top-3
+    neighbors inside its IVF bucket by EXACT integer-quantized inner
+    product — one groupby shuffle, per-bucket O(|B|²d) matmul, ranking
+    bit-exact at any layout.  Buckets come from the same distributed
+    Lloyd centroids the kmeans_buckets oracle unrolls."""
+    import ray.data as rd
+
+    from essentials_rd.ann import kmeans_centroids, knn_graph
+
+    vectors = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+    cent = kmeans_centroids(vectors, KM_C, iters=KM_ITERS, seed=SAMPLE_SEED)
+    return knn_graph(vectors, cent, KNN_K, scale=KNN_SCALE,
+                     query_mod=KNN_MOD)
+
+
+def _knn_graph_sql() -> str:
+    parts = _kmeans_parts()
+    parts.append(
+        "exq AS MATERIALIZED (SELECT vec_id, j, "
+        f"CAST(floor(x * {KNN_SCALE:.1f}) AS BIGINT) AS q FROM ex)"
+    )
+    parts.append(
+        "kdots AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, "
+        "sum(a.q * b.q) AS dot_q FROM exq a "
+        f"JOIN asg{KM_ITERS} sa ON sa.vec_id = a.vec_id "
+        f"JOIN asg{KM_ITERS} sb ON sb.cid = sa.cid "
+        "JOIN exq b ON b.vec_id = sb.vec_id AND b.j = a.j "
+        f"WHERE a.vec_id % {KNN_MOD} = 0 AND b.vec_id <> a.vec_id "
+        "GROUP BY 1, 2)"
+    )
+    parts.append(
+        "knn AS (SELECT vec_id, nbr_id, dot_q, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY dot_q DESC, nbr_id) AS rank "
+        "FROM kdots)"
+    )
+    return (
+        "WITH " + ", ".join(parts) +
+        " SELECT vec_id, nbr_id, CAST(dot_q AS BIGINT) AS dot_q, "
+        f"CAST(rank AS BIGINT) AS rank FROM knn WHERE rank <= {KNN_K}"
     )
 
 
@@ -3151,6 +3206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redacted_docs": _q_redacted_docs,
         "cohort_retention": _q_cohort_retention,
         "kmeans_buckets": _q_kmeans_buckets,
+        "knn_graph_k3": _q_knn_graph,
         "revenue_by_region": _q_revenue_by_region,
         "user_top_event": _q_user_top_event,
         "cust_user_outer": _q_cust_user_outer,
@@ -4435,6 +4491,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "AS BIGINT) AS redacted_len FROM documents"
         ),
         "kmeans_buckets": _kmeans_sql(),
+        "knn_graph_k3": _knn_graph_sql(),
         "user_event_pivot": (
             "SELECT user_id, " + ", ".join(
                 f"CAST(count(*) FILTER (WHERE event_type = '{c}') "

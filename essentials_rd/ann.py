@@ -706,3 +706,95 @@ def dim_stats(
             "sum_q": pa.array(g["sum_q"].to_numpy(np.int64)),
         }
     )
+
+
+def knn_graph(
+    vectors: rd.Dataset,
+    centroids: np.ndarray,
+    k: int,
+    *,
+    scale: float = 1e3,
+    query_mod: int | None = None,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Bucketed k-nearest-neighbor GRAPH over an embedding table — the
+    corpus-vs-corpus companion of ``ann_cosine_topk`` and the building
+    block of embedding-cluster pipelines: every (query) vector gets its
+    top-k most-similar neighbors WITHIN ITS IVF BUCKET by maximum
+    inner product over integer-quantized components
+    ``q = floor(e·scale)``.
+
+    Integer dots make the ranking bit-exact and block-layout /
+    summation-order independent (a float cosine rank can flip
+    near-ties between engines); the (dot desc, nbr_id asc) total order
+    pins remaining ties.  Bucketing via nearest centroid (cosine
+    argmax, same rule as ``kmeans_centroids`` assignment) bounds
+    per-worker cost to O(|bucket|²·d): at scale, centroid count — not
+    table size — sets the memory/compute envelope, and buckets process
+    in parallel after ONE groupby shuffle.  ``query_mod`` restricts
+    query rows to ``id % query_mod == 0`` (neighbors still come from
+    the full bucket) — the scout/sample shape.
+
+    Returns (id, nbr_id, dot_q, rank) with rank 1..k; vectors alone in
+    their bucket emit nothing."""
+    c_ref = ray.put(np.asarray(centroids, np.float64))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _normalize(_batch_matrix(batch, col))
+        b = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("__bucket__", pa.array(b, pa.int64()))
+
+    def _bucket_knn(grp: pa.Table) -> pa.Table:
+        ids = np_col(grp, id_col)
+        m = _batch_matrix(grp, col)
+        q = np.floor(m * scale).astype(np.int64)
+        # columns ordered by id asc so a STABLE sort on -dot yields the
+        # (dot desc, id asc) total order without a composite key
+        order = np.argsort(ids, kind="stable")
+        ids_s, q_s = ids[order], q[order]
+        qmask = (
+            (ids_s % query_mod) == 0
+            if query_mod
+            else np.ones(len(ids_s), bool)
+        )
+        nq = int(qmask.sum())
+        if nq == 0 or len(ids_s) < 2:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "nbr_id": pa.array([], pa.int64()),
+                 "dot_q": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.int64())}
+            )
+        d = q_s[qmask] @ q_s.T  # exact int64 inner products
+        # self-exclusion: sink the query's own column (−max, NOT int64
+        # min — the stable sort below negates d and −min overflows back
+        # to min, which would float the self column to rank 1)
+        qpos = np.flatnonzero(qmask)
+        d[np.arange(nq), qpos] = -np.iinfo(np.int64).max
+        kk = min(k, len(ids_s) - 1)
+        nbr = np.argsort(-d, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(ids_s[qpos], kk)
+        return pa.table(
+            {
+                id_col: pa.array(rows, pa.int64()),
+                "nbr_id": pa.array(ids_s[nbr.ravel()], pa.int64()),
+                "dot_q": pa.array(
+                    np.take_along_axis(d, nbr, axis=1).ravel(), pa.int64()
+                ),
+                "rank": pa.array(
+                    np.tile(np.arange(1, kk + 1, dtype=np.int64), nq),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        vectors.map_batches(_assign, batch_format="pyarrow")
+        .groupby("__bucket__")
+        .map_groups(
+            lambda g: _bucket_knn(g.drop_columns(["__bucket__"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -617,3 +617,43 @@ def test_dim_stats_matches_numpy_and_block_invariant():
         assert np.array_equal(np.asarray(got["min_v"]), m64.min(axis=0))
         assert np.array_equal(np.asarray(got["max_v"]), m64.max(axis=0))
         assert np.array_equal(np.asarray(got["sum_q"]), want_q), f"p={parts}"
+
+
+def test_knn_graph_matches_bruteforce_in_bucket():
+    from essentials_rd.ann import _batch_matrix, _normalize, knn_graph
+
+    rng = np.random.default_rng(37)
+    n, d, C, k = 300, 8, 3, 4
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    cent = _normalize(rng.normal(size=(C, d)))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    })
+
+    # brute-force reference with the same quantized-dot semantics
+    m64 = m.astype(np.float64)
+    buckets = np.argmax(_normalize(m64) @ cent.T, axis=1)
+    q = np.floor(m64 * 1e3).astype(np.int64)
+    want = {}
+    for i in range(n):
+        same = np.flatnonzero(buckets == buckets[i])
+        same = same[same != i]
+        dots = q[same] @ q[i]
+        order = same[np.lexsort((same, -dots))][:k]
+        want[i] = [(int(v), int(q[v] @ q[i])) for v in order]
+
+    for parts in (1, 6):
+        got = (knn_graph(rd.from_arrow(t).repartition(parts), cent, k,
+                         scale=1e3)
+               .to_pandas().sort_values(["vec_id", "rank"]))
+        by_id = {
+            i: list(zip(g.nbr_id.astype(int), g.dot_q.astype(int)))
+            for i, g in got.groupby("vec_id")
+        }
+        assert by_id == want, f"parts={parts}"
+
+    # query_mod restricts query rows only
+    got = knn_graph(rd.from_arrow(t), cent, k, scale=1e3,
+                    query_mod=7).to_pandas()
+    assert set(got.vec_id) == {i for i in range(n) if i % 7 == 0}
