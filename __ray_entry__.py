@@ -1982,6 +1982,47 @@ def _q_doc_char_rank(sf_dir: str):
                         descending=True)
 
 
+def _q_qty_dense_rank(sf_dir: str):
+    """Dense-rank window (ops.grouped_rank dense=True): every lineitem
+    ranked within its return flag by row_number over the (quantity,
+    packed line id) total order PLUS dense_rank over quantity alone —
+    heavy integer ties (50 distinct quantities over tens of thousands
+    of rows per key) exercise the tie-sharing/no-gaps contract."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_rank
+    from essentials_rd.util import np_col
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_quantity"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        q = np.asarray(
+            t.column("l_quantity").to_numpy(zero_copy_only=False),
+            np.float64,
+        )
+        lid = (np_col(t, "l_orderkey") * np.int64(10)
+               + np_col(t, "l_linenumber"))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty": pa.array(np.floor(q + 0.5).astype(np.int64)),
+                "lid": pa.array(lid, pa.int64()),
+            }
+        )
+
+    return grouped_rank(
+        line.map_batches(_prep, batch_format="pyarrow"),
+        "l_returnflag", "qty", "lid",
+        key_fn=lambda b: _str_hash(b.column("l_returnflag")),
+        num_buckets=4, dense=True,
+    ).drop_columns(["pct"])
+
+
 def _q_doc_char_ntile(sf_dir: str):
     """NTILE window (ops.grouped_rank n_tiles=7): each doc's septile
     within its language under the (n_chars, doc_id) total order —
@@ -3212,6 +3253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_user_outer": _q_cust_user_outer,
         "user_event_pivot": _q_user_event_pivot,
         "doc_char_rank": _q_doc_char_rank,
+        "qty_dense_rank": _q_qty_dense_rank,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -4504,6 +4546,16 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "AS rnk, percent_rank() OVER w AS pct FROM documents "
             "WINDOW w AS (PARTITION BY lang "
             "ORDER BY n_chars DESC, doc_id ASC)"
+        ),
+        "qty_dense_rank": (
+            "SELECT lid, l_returnflag, "
+            "CAST(row_number() OVER (PARTITION BY l_returnflag "
+            "ORDER BY qty, lid) AS BIGINT) AS rnk, "
+            "CAST(dense_rank() OVER (PARTITION BY l_returnflag "
+            "ORDER BY qty) AS BIGINT) AS drnk "
+            "FROM (SELECT l_returnflag, "
+            "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty, "
+            "l_orderkey * 10 + l_linenumber AS lid FROM lineitem)"
         ),
         "doc_char_ntile": (
             "SELECT doc_id, lang, CAST(ntile(7) OVER w AS BIGINT) "

@@ -1649,6 +1649,7 @@ def grouped_rank(
     descending: bool = False,
     num_buckets: int = DEFAULT_BUCKETS,
     n_tiles: int | None = None,
+    dense: bool = False,
 ) -> rd.Dataset:
     """Per-key ranking window — SQL ``row_number()`` + ``percent_rank()``
     OVER (PARTITION BY key ORDER BY val [DESC], id ASC) in one bucketed
@@ -1657,6 +1658,12 @@ def grouped_rank(
     ``(rnk−1)/(n−1)`` (0.0 for single-row keys) — the same two integers
     divided on both sides, hence bit-identical doubles with no rounding
     convention needed.  Output: (id, key, rnk, pct).
+
+    ``dense=True`` adds a ``drnk`` column with SQL ``dense_rank() OVER
+    (PARTITION BY key ORDER BY val [DESC])`` semantics — ties on val
+    share a rank and ranks have no gaps; unlike rnk it ignores the id
+    tie-break (a dense rank over a total order would just equal
+    row_number).  One extra vectorized cumsum in the same shuffle.
 
     ``n_tiles`` adds a ``tile`` column with SQL ``NTILE(n)`` semantics:
     the first ``cnt mod n`` tiles hold ``ceil(cnt/n)`` rows, the rest
@@ -1685,6 +1692,8 @@ def grouped_rank(
             }
             if n_tiles is not None:
                 cols["tile"] = pa.array([], pa.int64())
+            if dense:
+                cols["drnk"] = pa.array([], pa.int64())
             return pa.table(cols)
         df = grp.to_pandas()
         codes, _ = pd.factorize(df[key], sort=True)
@@ -1710,6 +1719,13 @@ def grouped_rank(
         }
         if n_tiles is not None:
             cols["tile"] = pa.array(_ntile(pos, n), pa.int64())
+        if dense:
+            vo = v[order]
+            newv = np.r_[True, (c[1:] != c[:-1]) | (vo[1:] != vo[:-1])]
+            g = np.cumsum(newv)
+            cols["drnk"] = pa.array(
+                g - np.repeat(g[starts] - 1, counts), pa.int64()
+            )
         return pa.table(cols)
 
     return hash_bucket_agg(ds, key_fn, _rank, num_buckets=num_buckets)

@@ -771,3 +771,41 @@ def test_grouped_rank_ntile_matches_duckdb():
             key_fn=lambda b: np_col(b, "k"), num_buckets=nb, n_tiles=5,
         ).to_pandas().sort_values("id").reset_index(drop=True)
         assert got[["id", "k", "tile"]].equals(want), f"num_buckets={nb}"
+
+
+def test_grouped_rank_dense_matches_duckdb():
+    import duckdb
+
+    from essentials_rd.ops import grouped_rank
+
+    rng = np.random.default_rng(41)
+    n = 800
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 5, n).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 7, n).astype(np.int64)),  # heavy ties
+        "id": pa.array(rng.permutation(n).astype(np.int64)),
+    })
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        "SELECT id, k, CAST(row_number() OVER (PARTITION BY k "
+        "ORDER BY v, id) AS BIGINT) AS rnk, "
+        "CAST(dense_rank() OVER (PARTITION BY k ORDER BY v) AS BIGINT) "
+        "AS drnk FROM t ORDER BY id"
+    ).df().reset_index(drop=True)
+    for nb in (1, 8):
+        got = grouped_rank(
+            rd.from_arrow(tbl).repartition(5), "k", "v", "id",
+            key_fn=lambda b: np_col(b, "k"), num_buckets=nb, dense=True,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        assert got[["id", "k", "rnk", "drnk"]].equals(want), f"nb={nb}"
+    # descending dense ranks count distinct values from the top
+    got = grouped_rank(
+        rd.from_arrow(tbl), "k", "v", "id",
+        key_fn=lambda b: np_col(b, "k"), dense=True, descending=True,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    want_d = con.execute(
+        "SELECT id, CAST(dense_rank() OVER (PARTITION BY k "
+        "ORDER BY v DESC) AS BIGINT) AS drnk FROM t ORDER BY id"
+    ).df().reset_index(drop=True)
+    assert got["drnk"].tolist() == want_d["drnk"].tolist()
