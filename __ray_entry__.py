@@ -1982,6 +1982,22 @@ def _q_doc_char_rank(sf_dir: str):
                         descending=True)
 
 
+def _q_supplier_edit1(sf_dir: str):
+    """Typo-level fuzzy-duplicate join (textops.edit1_pairs): all
+    supplier-name pairs within Levenshtein distance 1 via the lossless
+    FastSS k=1 deletion-neighborhood blocking + exact vectorized
+    verify — numeric-suffix names make single-digit substitutions
+    dense, the worst case for the blocking.  One variant-hash bucketed
+    shuffle + one tiny pair-distinct."""
+    import ray.data as rd
+
+    from essentials_rd.textops import edit1_pairs
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    return edit1_pairs(sup, "s_suppkey", "s_name", num_buckets=16)
+
+
 def _q_qty_dense_rank(sf_dir: str):
     """Dense-rank window (ops.grouped_rank dense=True): every lineitem
     ranked within its return flag by row_number over the (quantity,
@@ -3254,6 +3270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": _q_user_event_pivot,
         "doc_char_rank": _q_doc_char_rank,
         "qty_dense_rank": _q_qty_dense_rank,
+        "supplier_edit1": _q_supplier_edit1,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -4546,6 +4563,12 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "AS rnk, percent_rank() OVER w AS pct FROM documents "
             "WINDOW w AS (PARTITION BY lang "
             "ORDER BY n_chars DESC, doc_id ASC)"
+        ),
+        "supplier_edit1": (
+            "SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id, "
+            "CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist "
+            "FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey "
+            "WHERE levenshtein(a.s_name, b.s_name) <= 1"
         ),
         "qty_dense_rank": (
             "SELECT lid, l_returnflag, "

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .util import hash64, np_col
+from .util import grouped_pair_expand, hash64, np_col
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _POLY = np.uint64(0x100000001B3)  # rolling-combine multiplier
@@ -1707,3 +1707,216 @@ def extract_int_field(
         return pa.table(cols)
 
     return ds.map_batches(_ex, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- edit distance
+
+
+_E1_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier, mod 2^64
+
+
+def _codes_and_lens(strs, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-width (n, W) uint32 code-point matrix + exact lengths —
+    one C-level conversion, no per-string Python."""
+    u = np.asarray(strs, dtype=f"U{max_len}")
+    codes = u.view(np.uint32).reshape(len(u), max_len)
+    lens = (codes != 0).sum(axis=1).astype(np.int64)
+    return codes, lens
+
+
+def _deletion_variant_hashes(
+    codes: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """FastSS k=1 neighborhood, vectorized: for each row the int64
+    hashes of {identity} ∪ {one-char deletions}.  Polynomial hash over
+    code points mod 2⁶⁴: hash(s) = Σ c_t·P^(len-1-t); the deletion at
+    p composes from prefix/suffix partials so the whole neighborhood
+    costs O(n·W) vector ops.  Returns (row_idx, vhash) with per-row
+    duplicate variants removed (e.g. deleting either 'a' of "aa")."""
+    n, W = codes.shape
+    c64 = codes.astype(np.uint64)
+    pw = np.empty(W + 1, np.uint64)
+    pw[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for k in range(W):
+            pw[k + 1] = pw[k] * _E1_P
+        # pref[:, i] = polynomial of s[:i] (leading coefficient first)
+        pref = np.zeros((n, W + 1), np.uint64)
+        for i in range(W):
+            pref[:, i + 1] = pref[:, i] * _E1_P + c64[:, i]
+        # suf[:, i] = Σ_{t≥i} c_t·P^(len-1-t); exponent masked past len
+        expo = lens[:, None] - 1 - np.arange(W)[None, :]
+        term = c64 * pw[np.maximum(expo, 0)]
+        term[expo < 0] = np.uint64(0)
+        suf = np.zeros((n, W + 1), np.uint64)
+        suf[:, :W] = np.cumsum(term[:, ::-1], axis=1, dtype=np.uint64)[:, ::-1]
+        rows, vhs = [np.arange(n, dtype=np.int64)], [pref[np.arange(n), lens]]
+        for p in range(W):
+            live = lens > p  # deletion position exists
+            if not live.any():
+                break
+            # variant length is len-1: prefix scales by P^(len-1-p-0)…
+            e = lens[live] - 1 - p
+            vh = pref[live, p] * pw[e] + suf[live, p + 1]
+            rows.append(np.flatnonzero(live).astype(np.int64))
+            vhs.append(vh)
+    row = np.concatenate(rows)
+    vh = np.concatenate(vhs).view(np.int64)
+    # drop per-row duplicate variants (identical deletion results)
+    order = np.lexsort((vh, row))
+    row, vh = row[order], vh[order]
+    keep = np.r_[True, (row[1:] != row[:-1]) | (vh[1:] != vh[:-1])]
+    return row[keep], vh[keep]
+
+
+def _edit1_verify(
+    codes: np.ndarray, lens: np.ndarray, ia: np.ndarray, ib: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact edit-distance ≤ 1 check for candidate index pairs —
+    vectorized over pairs (no DP needed at k=1: same length means ≤ 1
+    substitution, length diff 1 means one deletion aligns the rest).
+    Returns (ok_mask, dist)."""
+    W = codes.shape[1]
+    A, B = codes[ia], codes[ib]
+    la, lb = lens[ia].copy(), lens[ib].copy()
+    swap = la < lb
+    if swap.any():
+        A[swap], B[swap] = B[swap], A[swap]
+        la[swap], lb[swap] = lb[swap], la[swap]
+    d = la - lb
+    pos = np.arange(W, dtype=np.int64)[None, :]
+    # same length: count substitutions
+    neq_a = (A != B) & (pos < la[:, None])
+    nd = neq_a.sum(axis=1)
+    ok0 = (d == 0) & (nd <= 1)
+    # length diff 1: first mismatch p, then A shifted-by-one must match
+    neq_b = (A != B) & (pos < lb[:, None])
+    ever = neq_b.any(axis=1)
+    p = np.where(ever, neq_b.argmax(axis=1), lb)
+    C = A[:, 1:] == B[:, :-1]
+    jpos = np.arange(W - 1, dtype=np.int64)[None, :]
+    need = (jpos >= p[:, None]) & (jpos < lb[:, None])
+    ok1 = (d == 1) & np.all(C | ~need, axis=1)
+    ok = ok0 | ok1
+    dist = np.where(d == 1, np.int64(1), nd.astype(np.int64))
+    return ok, dist
+
+
+def edit1_pairs(
+    docs: rd.Dataset,
+    id_col: str,
+    s_col: str,
+    *,
+    max_len: int = 64,
+    num_buckets: int = 64,
+    group_cap: int = 2000,
+) -> rd.Dataset:
+    """Typo-level fuzzy-duplicate join: all pairs of rows whose strings
+    are within edit distance 1 (Levenshtein — one substitution,
+    insertion or deletion — including exact duplicates at distance 0).
+    The FastSS k=1 construction makes the blocking LOSSLESS: two
+    strings at distance ≤ 1 always share a member of
+    {identity} ∪ {one-char deletions} (substitution → same-position
+    deletions agree; indel → the longer's deletion equals the
+    shorter's identity), so candidate generation by shared variant
+    hash has recall 1.0 and the exact verifier only ever REMOVES
+    false candidates — hash collisions cost work, never correctness.
+
+    Scale shape: each row emits ≤ len+1 (row, variant-hash) rows — the
+    shingle-expansion pattern — into ONE bucketed shuffle on the
+    variant hash; per-bucket work is grouped pair expansion + a
+    vectorized O(pairs·W) verifier, bounded by ``group_cap`` (a
+    variant shared by > cap rows raises loudly — route exact-equal
+    heavy keys through ``exact_dup_groups`` first).  A second tiny
+    bucketed distinct dedupes pairs found via several shared variants.
+    Strings longer than ``max_len`` raise (the U-view is fixed-width;
+    widen it explicitly for long-key corpora).
+
+    Returns (a_id, b_id, dist) with a_id < b_id, dist ∈ {0, 1}."""
+    from .ops import hash_bucket_agg
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        ids = np_col(batch, id_col)
+        strs = batch.column(s_col).to_pylist()
+        if any(len(s) > max_len for s in strs):
+            raise ValueError(f"edit1_pairs: string exceeds max_len={max_len}")
+        codes, lens = _codes_and_lens(strs, max_len)
+        row, vh = _deletion_variant_hashes(codes, lens)
+        return pa.table(
+            {
+                "vh": pa.array(vh, pa.int64()),
+                id_col: pa.array(ids[row], pa.int64()),
+                s_col: pa.array(np.asarray(strs, object)[row]),
+            }
+        )
+
+    def _bucket(grp: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a_id": pa.array([], pa.int64()),
+             "b_id": pa.array([], pa.int64()),
+             "dist": pa.array([], pa.int64())}
+        )
+        if grp.num_rows < 2:
+            return empty
+        vh = np_col(grp, "vh")
+        ids = np_col(grp, id_col)
+        strs = grp.column(s_col).to_pylist()
+        _, counts = np.unique(vh, return_counts=True)
+        if counts.max() > group_cap:
+            raise ValueError(
+                f"edit1_pairs: variant group of {counts.max()} rows "
+                f"exceeds group_cap={group_cap}; dedupe exact-equal "
+                f"strings first or raise the cap"
+            )
+        ia, ib, _ = grouped_pair_expand(vh, np.arange(len(vh), dtype=np.int64))
+        if not len(ia):
+            return empty
+        # canonical (min, max) id order; same-id pairs cannot occur
+        # (per-row variants are deduped at emit time)
+        a, b = ids[ia], ids[ib]
+        flip = a > b
+        a2 = np.where(flip, b, a)
+        b2 = np.where(flip, a, b)
+        # in-bucket pair dedup (same pair via several shared variants)
+        order = np.lexsort((b2, a2))
+        a2, b2 = a2[order], b2[order]
+        ia, ib = ia[order], ib[order]
+        keep = np.r_[True, (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])]
+        a2, b2, ia, ib = a2[keep], b2[keep], ia[keep], ib[keep]
+        codes, lens = _codes_and_lens(strs, max_len)
+        ok, dist = _edit1_verify(codes, lens, ia, ib)
+        return pa.table(
+            {
+                "a_id": pa.array(a2[ok], pa.int64()),
+                "b_id": pa.array(b2[ok], pa.int64()),
+                "dist": pa.array(dist[ok], pa.int64()),
+            }
+        )
+
+    cand = hash_bucket_agg(
+        docs.map_batches(_expand, batch_format="pyarrow"),
+        lambda b: np_col(b, "vh"),
+        _bucket,
+        num_buckets=num_buckets,
+    )
+
+    def _dedup(grp: pa.Table) -> pa.Table:
+        a, b, dd = np_col(grp, "a_id"), np_col(grp, "b_id"), np_col(grp, "dist")
+        order = np.lexsort((dd, b, a))
+        a, b, dd = a[order], b[order], dd[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {"a_id": pa.array(a[keep], pa.int64()),
+             "b_id": pa.array(b[keep], pa.int64()),
+             "dist": pa.array(dd[keep], pa.int64())}
+        )
+
+    def _pair_key(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (
+                np_col(t, "a_id") * np.int64(0x9E3779B9) + np_col(t, "b_id")
+            )
+
+    return hash_bucket_agg(
+        cand, _pair_key, _dedup, num_buckets=max(num_buckets // 4, 1)
+    )

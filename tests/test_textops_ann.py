@@ -657,3 +657,50 @@ def test_knn_graph_matches_bruteforce_in_bucket():
     got = knn_graph(rd.from_arrow(t), cent, k, scale=1e3,
                     query_mod=7).to_pandas()
     assert set(got.vec_id) == {i for i in range(n) if i % 7 == 0}
+
+
+def test_edit1_pairs_matches_bruteforce_levenshtein():
+    import duckdb
+
+    from essentials_rd.textops import edit1_pairs
+
+    rng = np.random.default_rng(43)
+    # planted neighborhood: numeric-suffix names (substitutions), a few
+    # insert/delete variants, exact dups, and random noise
+    base = [f"Widget#{i:04d}" for i in range(60)]
+    extra = ["Widget#001", "Widget#00011", "Widget#0001x",
+             "Widget#0001", "completely-different", "Wodget#0001",
+             "xWidget#0001", "Widget0001", ""]
+    strs = base + extra + ["".join(rng.choice(list("abcd"), 8))
+                           for _ in range(40)]
+    ids = np.arange(len(strs), dtype=np.int64)
+    t = pa.table({"sid": pa.array(ids), "name": pa.array(strs, pa.string())})
+
+    con = duckdb.connect()
+    con.register("s", t)
+    want = con.execute(
+        "SELECT a.sid AS a_id, b.sid AS b_id, "
+        "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist "
+        "FROM s a JOIN s b ON a.sid < b.sid "
+        "WHERE levenshtein(a.name, b.name) <= 1 ORDER BY 1, 2"
+    ).df()
+    assert len(want) > 50  # the fixture really stresses it
+
+    for parts in (1, 5):
+        got = (edit1_pairs(rd.from_arrow(t).repartition(parts), "sid",
+                           "name", num_buckets=8)
+               .to_pandas().sort_values(["a_id", "b_id"])
+               .reset_index(drop=True))
+        assert got.equals(want), f"parts={parts}"
+
+
+def test_edit1_pairs_guards():
+    import pytest as _pytest
+
+    from essentials_rd.textops import edit1_pairs
+
+    t = pa.table({"sid": pa.array([1, 2], pa.int64()),
+                  "name": pa.array(["x" * 80, "y"], pa.string())})
+    with _pytest.raises(Exception):
+        edit1_pairs(rd.from_arrow(t), "sid", "name",
+                    max_len=64).take_all()
