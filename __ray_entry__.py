@@ -1982,6 +1982,23 @@ def _q_doc_char_rank(sf_dir: str):
                         descending=True)
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition-count matrix (windows.transition_counts):
+    (prev_type, next_type, n) over every user's event sequence under
+    the (ts, event_id) total order — one user-bucketed shuffle with
+    per-bucket |alphabet|²-row partials, then a tiny combine."""
+    import ray.data as rd
+
+    from essentials_rd.windows import transition_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    out = transition_counts(ev, "event_type")
+    return out.rename_columns({"prev_val": "prev_type",
+                               "next_val": "next_type"})
+
+
 def _q_supplier_edit1(sf_dir: str):
     """Typo-level fuzzy-duplicate join (textops.edit1_pairs): all
     supplier-name pairs within Levenshtein distance 1 via the lossless
@@ -3271,6 +3288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_rank": _q_doc_char_rank,
         "qty_dense_rank": _q_qty_dense_rank,
         "supplier_edit1": _q_supplier_edit1,
+        "event_transitions": _q_event_transitions,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -4563,6 +4581,13 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "AS rnk, percent_rank() OVER w AS pct FROM documents "
             "WINDOW w AS (PARTITION BY lang "
             "ORDER BY n_chars DESC, doc_id ASC)"
+        ),
+        "event_transitions": (
+            "SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM (SELECT lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev_type, event_type AS next_type "
+            "FROM events) WHERE prev_type IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "supplier_edit1": (
             "SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id, "

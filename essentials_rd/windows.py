@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from .ops import hash_bucket_agg
-from .util import np_col
+from .util import hash64, np_col
 
 US_PER_MIN = 60 * 1_000_000
 
@@ -735,3 +735,103 @@ def throttle_events(
         _keep,
         num_buckets=num_buckets,
     )
+
+
+def transition_counts(
+    events: rd.Dataset,
+    val_col: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Markov transition-count matrix over per-key ordered sequences:
+    ``(prev_val, next_val, n)`` counting every consecutive pair of a
+    key's events under the ``(ts, id)`` total order — the sufficient
+    statistic for first-order sequence models (next-event prediction,
+    behavioral embeddings, anomaly scoring) and the SQL twin of
+    ``LAG(val) OVER (PARTITION BY key ORDER BY ts, id)`` + GROUP BY.
+
+    Scale shape: the same single user-bucketed shuffle as
+    ``sessionize``/``lag_diff`` (a key's sequence is complete inside
+    its bucket); the per-bucket kernel is one lexsort + shifted pair
+    factorize, and only per-bucket PARTIAL (prev, next, n) counts — at
+    most |alphabet|² rows each — leave the bucket for one tiny final
+    combine."""
+    from .ops import grouped_pandas_agg
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: batch.column(user_col).cast(pa.int64()),
+                "__ts__": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                val_col: batch.column(val_col),
+            }
+        )
+
+    def _pairs(grp: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "prev_val": pa.array([], grp.schema.field(val_col).type),
+                "next_val": pa.array([], grp.schema.field(val_col).type),
+                "__n__": pa.array([], pa.int64()),
+            }
+        )
+        if grp.num_rows < 2:
+            return empty
+        u = np_col(grp, user_col)
+        t = np_col(grp, "__ts__")
+        e = np_col(grp, id_col)
+        v = grp.column(val_col).to_pandas().to_numpy()
+        order = np.lexsort((e, t, u))
+        u, v = u[order], v[order]
+        same = u[1:] == u[:-1]  # consecutive rows of the SAME key
+        if not same.any():
+            return empty
+        pv, nv = v[:-1][same], v[1:][same]
+        df = pd.DataFrame({"prev_val": pv, "next_val": nv})
+        g = df.groupby(["prev_val", "next_val"], sort=False,
+                       as_index=False).size()
+        return pa.table(
+            {
+                "prev_val": pa.array(g["prev_val"]),
+                "next_val": pa.array(g["next_val"]),
+                "__n__": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    projected = events.map_batches(_project, batch_format="pyarrow")
+    partial = hash_bucket_agg(
+        projected,
+        lambda b: np_col(b, user_col).astype(np.int64),
+        _pairs,
+        num_buckets=num_buckets,
+    )
+    return grouped_pandas_agg(
+        partial,
+        keys=["prev_val", "next_val"],
+        aggs={"n": ("__n__", "sum")},
+        key_fn=_pair_bucket_key,
+        num_buckets=max(num_buckets // 8, 1),
+    )
+
+
+def _pair_bucket_key(b: pa.Table) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return hash64(
+            _str_or_int_key(b.column("prev_val"))
+            + _str_or_int_key(b.column("next_val")) * np.uint64(31)
+        ).view(np.int64)
+
+
+def _str_or_int_key(col: pa.ChunkedArray) -> np.ndarray:
+    """Stable uint64 key for a string or integer column (bucketing
+    only — collisions just co-locate)."""
+    if pa.types.is_integer(col.type):
+        return np.asarray(
+            col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+    from .derive import _str_hash
+
+    return _str_hash(col).astype(np.uint64)

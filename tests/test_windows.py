@@ -389,3 +389,36 @@ def test_range_window_matches_duckdb_and_bucket_invariant():
         if prev is not None:
             pd.testing.assert_frame_equal(got, prev)
         prev = got
+
+
+def test_transition_counts_matches_pandas_lag():
+    from essentials_rd.windows import transition_counts
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 10**6, n), unit="s"),
+        "event_type": rng.choice(list("abcde"), n),
+    })
+    # equal timestamps stress the (ts, id) tie-break
+    df.loc[5:40, "ts"] = df.loc[5, "ts"]
+    want = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    want["prev"] = want.groupby("user_id")["event_type"].shift(1)
+    want = (want.dropna(subset=["prev"])
+                .groupby(["prev", "event_type"]).size()
+                .rename("n").reset_index()
+                .sort_values(["prev", "event_type"])
+                .reset_index(drop=True))
+    for nb in (1, 16):
+        got = (transition_counts(
+                   rd.from_arrow(pa.Table.from_pandas(df)).repartition(6),
+                   "event_type", num_buckets=nb)
+               .to_pandas()
+               .sort_values(["prev_val", "next_val"])
+               .reset_index(drop=True))
+        assert got["prev_val"].tolist() == want["prev"].tolist()
+        assert got["next_val"].tolist() == want["event_type"].tolist()
+        assert got["n"].tolist() == want["n"].tolist(), f"nb={nb}"
