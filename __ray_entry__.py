@@ -1982,6 +1982,42 @@ def _q_doc_char_rank(sf_dir: str):
                         descending=True)
 
 
+RA_CAP = 100
+RA_K = 40
+
+
+def _q_ra_link_pred(sf_dir: str):
+    """Resource-allocation link prediction
+    (algorithms.similarity.ra_link_prediction): top-40 NON-edges of the
+    co-purchase graph by Σ over common neighbors of RA_SCALE//deg(u) —
+    integer RA weights make the distributed sum bit-exact where float
+    1/deg would drift; hub centers above deg RA_CAP are skipped (the
+    standard cutoff bounding wedge fan-out).  Two bucketed shuffles,
+    per-bucket local top-k, driver merges buckets·k rows."""
+    from essentials_rd.algorithms.similarity import ra_link_prediction
+
+    _, edges = _graph(sf_dir)
+    return ra_link_prediction(edges, k=RA_K, deg_cap=RA_CAP)
+
+
+def _ra_link_pred_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, "
+        f"du AS (SELECT vid, outdeg FROM deg WHERE outdeg <= {RA_CAP}), "
+        "wdg AS (SELECT a.dst AS v, b.dst AS w, "
+        "(1048576 // d.outdeg) AS s "
+        "FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst "
+        "JOIN du d ON d.vid = a.src), "
+        "agg AS (SELECT v, w, CAST(sum(s) AS BIGINT) AS score, "
+        "CAST(count(*) AS BIGINT) AS n_common FROM wdg GROUP BY 1, 2), "
+        "cand AS (SELECT agg.* FROM agg LEFT JOIN pairs p "
+        "ON p.src = agg.v AND p.dst = agg.w WHERE p.src IS NULL) "
+        "SELECT v, w, score, n_common, "
+        "CAST(row_number() OVER (ORDER BY score DESC, v, w) AS BIGINT) "
+        f"AS rank FROM cand ORDER BY score DESC, v, w LIMIT {RA_K}"
+    )
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition-count matrix (windows.transition_counts):
     (prev_type, next_type, n) over every user's event sequence under
@@ -3289,6 +3325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_dense_rank": _q_qty_dense_rank,
         "supplier_edit1": _q_supplier_edit1,
         "event_transitions": _q_event_transitions,
+        "ra_link_pred": _q_ra_link_pred,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -4582,6 +4619,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "WINDOW w AS (PARTITION BY lang "
             "ORDER BY n_chars DESC, doc_id ASC)"
         ),
+        "ra_link_pred": _ra_link_pred_sql(),
         "event_transitions": (
             "SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n "
             "FROM (SELECT lag(event_type) OVER (PARTITION BY user_id "

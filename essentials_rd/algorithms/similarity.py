@@ -209,3 +209,141 @@ def degree_assortativity_moments(g: GraphShards, edges: rd.Dataset) -> pa.Table:
     return pa.table(
         {c: pa.array([sum(r[c] for r in rows)], pa.int64()) for c in cols}
     )
+
+
+RA_SCALE = 1 << 20  # integer resource-allocation weight: SCALE // deg
+
+
+def ra_link_prediction(
+    edges: rd.Dataset,
+    k: int = 50,
+    deg_cap: int = 64,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Resource-allocation link prediction (Zhou-Lü-Zhang 2009): score
+    every NON-edge pair (v, w) by Σ over common neighbors u of
+    1/deg(u), using the integer weight ``RA_SCALE // deg(u)`` so the
+    distributed sum is bit-exact and SQL-reproducible (float 1/deg
+    sums drift with reduction order).  Centers with deg(u) > deg_cap
+    are skipped — their per-pair weight is ≤ SCALE/cap while their
+    wedge fan-out is deg², the classic hub cutoff that bounds total
+    work to Σ_{deg≤cap} deg² ≤ cap·2|E| wedges.
+
+    Physical plan: symmetrize the canonical edge table in-flight, ONE
+    bucketed shuffle on the center vertex completes each adjacency,
+    per-center ordered pair expansion stamps the integer weight; a
+    second bucketed shuffle on the PAIR hash co-locates wedge scores
+    with the existing-edge rows (tagged s = −1) so each bucket drops
+    known edges, sums survivors, and emits only its LOCAL top-k — the
+    driver merges num_buckets·k rows, never the candidate set.
+
+    Returns the global top-k as (v, w, score, n_common, rank) under
+    the (score desc, v, w) total order."""
+    from ..ops import hash_bucket_agg
+    from ..util import grouped_pair_expand, hash64
+
+    def _sym(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src")
+        d = np_col(t, "dst")
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+            }
+        )
+
+    def _wedges(grp: pa.Table) -> pa.Table:
+        s = np_col(grp, "src")
+        d = np_col(grp, "dst")
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        _, starts, counts = np.unique(s, return_index=True,
+                                      return_counts=True)
+        rc = np.repeat(counts, counts)  # per-row degree of its center
+        live = rc <= deg_cap
+        if not live.any():
+            return pa.table(
+                {"v": pa.array([], pa.int64()),
+                 "w": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.int64())}
+            )
+        s2, d2, rc2 = s[live], d[live], rc[live]
+        v, w, base = grouped_pair_expand(s2, d2)
+        return pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "s": pa.array(RA_SCALE // rc2[base], pa.int64()),
+            }
+        )
+
+    sym = edges.select_columns(["src", "dst"]).map_batches(
+        _sym, batch_format="pyarrow"
+    )
+    wedges = hash_bucket_agg(
+        sym, lambda b: np_col(b, "src"), _wedges, num_buckets=num_buckets
+    )
+
+    def _tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": t.column("src").cast(pa.int64()),
+                "w": t.column("dst").cast(pa.int64()),
+                "s": pa.array(
+                    np.full(t.num_rows, -1, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    tagged = wedges.union(
+        edges.select_columns(["src", "dst"]).map_batches(
+            _tag_edges, batch_format="pyarrow"
+        )
+    )
+
+    def _pair_key(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (
+                hash64(np_col(t, "v")) * np.uint64(0x9E3779B97F4A7C15)
+                ^ hash64(np_col(t, "w"))
+            ).view(np.int64)
+
+    def _score_topk(grp: pa.Table) -> pa.Table:
+        v = np_col(grp, "v")
+        w = np_col(grp, "w")
+        s = np_col(grp, "s")
+        order = np.lexsort((w, v))
+        v, w, s = v[order], w[order], s[order]
+        grp_starts = np.r_[0, np.flatnonzero(
+            (v[1:] != v[:-1]) | (w[1:] != w[:-1])) + 1]
+        counts = np.diff(np.r_[grp_starts, len(v)])
+        gid = np.repeat(np.arange(len(grp_starts)), counts)
+        is_edge = np.zeros(len(grp_starts), bool)
+        np.logical_or.at(is_edge, gid, s < 0)
+        score = np.zeros(len(grp_starts), np.int64)
+        np.add.at(score, gid, np.where(s > 0, s, 0))
+        keep = ~is_edge
+        vv, ww = v[grp_starts][keep], w[grp_starts][keep]
+        sc, nc = score[keep], counts[keep]
+        # local top-k under (score desc, v, w); global merge is exact
+        # because a pair lives in exactly one bucket
+        top = np.lexsort((ww, vv, -sc))[:k]
+        return pa.table(
+            {
+                "v": pa.array(vv[top], pa.int64()),
+                "w": pa.array(ww[top], pa.int64()),
+                "score": pa.array(sc[top], pa.int64()),
+                "n_common": pa.array(nc[top], pa.int64()),
+            }
+        )
+
+    rows = hash_bucket_agg(
+        tagged, _pair_key, _score_topk, num_buckets=num_buckets
+    ).take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(rows).sort_values(
+        ["score", "v", "w"], ascending=[False, True, True]
+    ).head(k).reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -219,3 +219,49 @@ def test_degree_assortativity_moments_match_bruteforce(tmp_path):
     sxx, syy, sxy = (xs * xs).sum(), (ys * ys).sum(), (xs * ys).sum()
     r = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     assert abs(r - np.corrcoef(xs, ys)[0, 1]) < 1e-12
+
+
+def test_ra_link_prediction_matches_bruteforce(tmp_path):
+    from collections import defaultdict
+
+    from essentials_rd.algorithms.similarity import (
+        RA_SCALE, ra_link_prediction,
+    )
+
+    rng = np.random.default_rng(53)
+    n_v, n_e = 60, 240
+    src = rng.integers(0, n_v, n_e)
+    dst = rng.integers(0, n_v, n_e)
+    keep = src != dst
+    s, d = np.minimum(src, dst)[keep], np.maximum(src, dst)[keep]
+    uniq = np.unique(s * 1000 + d)
+    s, d = (uniq // 1000).astype(np.int64), (uniq % 1000).astype(np.int64)
+    edge_set = set(zip(s.tolist(), d.tolist()))
+
+    nbrs = defaultdict(set)
+    for a, b in edge_set:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    cap = 12
+    scores, commons = defaultdict(int), defaultdict(int)
+    for u, nb in nbrs.items():
+        if len(nb) > cap:
+            continue
+        for v in nb:
+            for w in nb:
+                if v < w:
+                    scores[(v, w)] += RA_SCALE // len(nb)
+                    commons[(v, w)] += 1
+    cand = [(sc, v, w) for (v, w), sc in scores.items()
+            if (v, w) not in edge_set]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    k = 15
+    want = [(v, w, sc, commons[(v, w)]) for sc, v, w in cand[:k]]
+
+    eds = rd.from_arrow(pa.table({"src": pa.array(s), "dst": pa.array(d)}))
+    for nb_ in (4, 16):
+        got = ra_link_prediction(eds.repartition(3), k=k, deg_cap=cap,
+                                 num_buckets=nb_)
+        rows = [(r["v"], r["w"], r["score"], r["n_common"])
+                for r in got.to_pylist()]
+        assert rows == want, f"buckets={nb_}"
