@@ -1986,6 +1986,79 @@ RA_CAP = 100
 RA_K = 40
 
 
+def _q_diameter_lb(sf_dir: str):
+    """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS
+    from the min vid, re-BFS from the farthest vertex found (tie-break
+    min vid) — the second eccentricity is a sharp diameter lower bound
+    at the cost of exactly two frontier-sparse BFS runs on the shared
+    engine.  Both sweeps and the deterministic pivot selection are
+    reproduced by the unrolled level CTEs."""
+    import ray
+
+    from essentials_rd.algorithms import bfs
+    from essentials_rd.algorithms.bfs import depths_table
+
+    g, _ = _graph(sf_dir)
+    s0 = int(np.min(ray.get(g.vertex_ids_ref)))
+    t0 = depths_table(bfs(g, s0, max_iters=2 * BFS_ITERS,
+                          checkpoint_every=0, scatter_mode="fused"))
+    vid = np.asarray(t0["vid"], np.int64)
+    dep = np.asarray(t0["depth"], np.int64)
+    reach = dep >= 0
+    order = np.lexsort((vid[reach], -dep[reach]))
+    s1 = int(vid[reach][order[0]])
+    ecc0 = int(dep[reach][order[0]])
+    t1 = depths_table(bfs(g, s1, max_iters=2 * BFS_ITERS,
+                          checkpoint_every=0, scatter_mode="fused"))
+    d1 = np.asarray(t1["depth"], np.int64)
+    dia = int(d1.max())
+    return pa.table(
+        {
+            "s0": pa.array([s0], pa.int64()),
+            "ecc_s0": pa.array([ecc0], pa.int64()),
+            "s1": pa.array([s1], pa.int64()),
+            "diameter_lb": pa.array([dia], pa.int64()),
+        }
+    )
+
+
+def _diameter_lb_sql() -> str:
+    big = 1 << 60
+
+    def sweep(pfx: str, src_cte: str) -> str:
+        steps = [
+            f"""{pfx}0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = (SELECT s FROM {src_cte}) THEN 0
+              ELSE {big} END AS depth FROM verts)"""
+        ]
+        for k in range(BFS_ITERS):
+            steps.append(f"""
+{pfx}m{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.depth + 1) AS md
+  FROM sym e JOIN {pfx}{k} l ON l.vid = e.src AND l.depth < {big}
+  GROUP BY e.dst
+),
+{pfx}{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.depth, COALESCE(m.md, v.depth)) AS depth
+  FROM {pfx}{k} v LEFT JOIN {pfx}m{k} m ON m.vid = v.vid
+)""")
+        return ",".join(steps)
+
+    return (
+        f"WITH {_GRAPH_CTES}, "
+        f"dsrc AS (SELECT min(vid) AS s FROM verts), "
+        f"{sweep('da', 'dsrc')}, "
+        f"piv AS (SELECT vid AS s, depth AS ecc FROM da{BFS_ITERS} "
+        f"WHERE depth < {big} ORDER BY depth DESC, vid LIMIT 1), "
+        f"{sweep('db', 'piv')} "
+        f"SELECT (SELECT s FROM dsrc) AS s0, "
+        f"(SELECT ecc FROM piv) AS ecc_s0, "
+        f"(SELECT s FROM piv) AS s1, "
+        f"CAST(max(depth) AS BIGINT) AS diameter_lb "
+        f"FROM db{BFS_ITERS} WHERE depth < {big}"
+    )
+
+
 def _q_ra_link_pred(sf_dir: str):
     """Resource-allocation link prediction
     (algorithms.similarity.ra_link_prediction): top-40 NON-edges of the
@@ -3326,6 +3399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_edit1": _q_supplier_edit1,
         "event_transitions": _q_event_transitions,
         "ra_link_pred": _q_ra_link_pred,
+        "diameter_lb": _q_diameter_lb,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -4620,6 +4694,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "ORDER BY n_chars DESC, doc_id ASC)"
         ),
         "ra_link_pred": _ra_link_pred_sql(),
+        "diameter_lb": _diameter_lb_sql(),
         "event_transitions": (
             "SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n "
             "FROM (SELECT lag(event_type) OVER (PARTITION BY user_id "
