@@ -1986,6 +1986,95 @@ RA_CAP = 100
 RA_K = 40
 
 
+Q1_CUTOFF = "1998-09-02"
+
+
+def _q_tpch_q1_cents(sf_dir: str):
+    """TPC-H Q1 pricing summary, integer-exact: per (returnflag,
+    linestatus) over lineitems shipped by the cutoff — sum_qty,
+    sum_base (cents), sum_disc (cents·(100−disc%), 1e-4 dollars) and
+    sum_charge (·(100+tax%), 1e-6 dollars) as exact int64 so grouped
+    totals hash-match (averages derive driver-side as two of these
+    integers divided).  One scan with per-block partials pre-combined
+    before a 4-bucket exchange."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_pandas_agg
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_shipdate",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    cutoff = datetime.datetime.fromisoformat(Q1_CUTOFF + "T23:59:59.999999")
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"),
+                                   pa.scalar(cutoff, pa.timestamp("us"))))
+
+        def f64(c):
+            return np.asarray(t.column(c).to_numpy(zero_copy_only=False),
+                              np.float64)
+
+        qty = np.floor(f64("l_quantity") + 0.5).astype(np.int64)
+        cents = np.floor(f64("l_extendedprice") * 100.0 + 0.5).astype(np.int64)
+        dp = np.floor(f64("l_discount") * 100.0 + 0.5).astype(np.int64)
+        tp = np.floor(f64("l_tax") * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pa.array(qty, pa.int64()),
+                "base_c": pa.array(cents, pa.int64()),
+                "disc_s": pa.array(cents * (100 - dp), pa.int64()),
+                "charge_s": pa.array(cents * (100 - dp) * (100 + tp),
+                                     pa.int64()),
+            }
+        )
+
+    def _key(b: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (_str_hash(b.column("l_returnflag"))
+                    + np.int64(31) * _str_hash(b.column("l_linestatus")))
+
+    return grouped_pandas_agg(
+        line.map_batches(_prep, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n": ("qty", "count"),
+            "sum_qty": ("qty", "sum"),
+            "sum_base": ("base_c", "sum"),
+            "sum_disc": ("disc_s", "sum"),
+            "sum_charge": ("charge_s", "sum"),
+        },
+        key_fn=_key,
+        num_buckets=4,
+    )
+
+
+def _tpch_q1_sql() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(qty) AS BIGINT) AS sum_qty, "
+        "CAST(sum(cents) AS BIGINT) AS sum_base, "
+        "CAST(sum(cents * (100 - dp)) AS BIGINT) AS sum_disc, "
+        "CAST(sum(cents * (100 - dp) * (100 + tp)) AS BIGINT) "
+        "AS sum_charge FROM ("
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty, "
+        "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents, "
+        "CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS dp, "
+        "CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS tp "
+        f"FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 23:59:59.999999') "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 def _q_diameter_lb(sf_dir: str):
     """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS
     from the min vid, re-BFS from the farthest vertex found (tie-break
@@ -3400,6 +3489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "ra_link_pred": _q_ra_link_pred,
         "diameter_lb": _q_diameter_lb,
+        "tpch_q1_cents": _q_tpch_q1_cents,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -4695,6 +4785,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         ),
         "ra_link_pred": _ra_link_pred_sql(),
         "diameter_lb": _diameter_lb_sql(),
+        "tpch_q1_cents": _tpch_q1_sql(),
         "event_transitions": (
             "SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n "
             "FROM (SELECT lag(event_type) OVER (PARTITION BY user_id "
