@@ -1989,6 +1989,82 @@ RA_K = 40
 Q1_CUTOFF = "1998-09-02"
 
 
+OUTLIER_K = 0.5  # fence multiplier (exactly representable)
+
+
+def _q_price_outliers(sf_dir: str):
+    """IQR outlier filter, composed from existing operators: exact
+    per-priority quartiles of order totals (grouped_quantiles
+    cont=True — dyadic q makes q1/q3 bit-exact doubles) drive a Tukey-style
+    k·IQR fence, broadcast to one filtering scan.  The fences are
+    single IEEE expressions over bit-exact inputs, so the outlier SET
+    matches SQL exactly — the distributed anomaly-screen shape."""
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_quantiles
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority",
+                                      "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        p = np.asarray(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "pr": t.column("o_orderpriority"),
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    cts = orders.map_batches(_cents, batch_format="pyarrow").materialize()
+    qs = grouped_quantiles(cts, "pr", "cents", [0.25, 0.75],
+                           cont=True).take_all()
+    fence = {}
+    for r in qs:
+        fence.setdefault(r["pr"], {})[r["q"]] = r["value"]
+    lo, hi = {}, {}
+    for k, d in fence.items():
+        iqr = d[0.75] - d[0.25]
+        lo[k] = d[0.25] - OUTLIER_K * iqr
+        hi[k] = d[0.75] + OUTLIER_K * iqr
+    ref = ray.put((lo, hi))
+
+    def _filter(t: pa.Table) -> pa.Table:
+        lo_, hi_ = ray.get(ref)
+        pr = t.column("pr").to_pylist()
+        c = np_col(t, "cents").astype(np.float64)
+        lob = np.array([lo_[p] for p in pr])
+        hib = np.array([hi_[p] for p in pr])
+        keep = (c < lob) | (c > hib)
+        return t.filter(pa.array(keep))
+
+    out = cts.map_batches(_filter, batch_format="pyarrow")
+    # concat arrow blocks so an empty result keeps its schema
+    tabs = ray.get(out.to_arrow_refs())
+    return pa.concat_tables(tabs) if tabs else pa.table(
+        {"o_orderkey": pa.array([], pa.int64()),
+         "pr": pa.array([], pa.string()),
+         "cents": pa.array([], pa.int64())})
+
+
+def _price_outliers_sql() -> str:
+    return (
+        "WITH c AS MATERIALIZED (SELECT o_orderkey, "
+        "o_orderpriority AS pr, "
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+        "FROM orders), "
+        "f AS (SELECT pr, quantile_cont(cents, 0.25) AS q1, "
+        "quantile_cont(cents, 0.75) AS q3 FROM c GROUP BY pr) "
+        "SELECT c.o_orderkey, c.pr, c.cents FROM c JOIN f USING (pr) "
+        f"WHERE c.cents < f.q1 - {OUTLIER_K} * (f.q3 - f.q1) "
+        f"OR c.cents > f.q3 + {OUTLIER_K} * (f.q3 - f.q1)"
+    )
+
+
 def _q_tpch_q1_cents(sf_dir: str):
     """TPC-H Q1 pricing summary, integer-exact: per (returnflag,
     linestatus) over lineitems shipped by the cutoff — sum_qty,
@@ -3490,6 +3566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ra_link_pred": _q_ra_link_pred,
         "diameter_lb": _q_diameter_lb,
         "tpch_q1_cents": _q_tpch_q1_cents,
+        "price_outliers": _q_price_outliers,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -4786,6 +4863,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "ra_link_pred": _ra_link_pred_sql(),
         "diameter_lb": _diameter_lb_sql(),
         "tpch_q1_cents": _tpch_q1_sql(),
+        "price_outliers": _price_outliers_sql(),
         "event_transitions": (
             "SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n "
             "FROM (SELECT lag(event_type) OVER (PARTITION BY user_id "
