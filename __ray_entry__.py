@@ -1992,6 +1992,29 @@ Q1_CUTOFF = "1998-09-02"
 OUTLIER_K = 0.5  # fence multiplier (exactly representable)
 
 
+GREP_NEEDLE = "spark window"
+GREP_PARTS = 32
+
+
+def _q_substring_search(sf_dir: str):
+    """Trigram-index substring search (textops.build_trigram_index +
+    substring_search): grep over the corpus WITHOUT scanning it — the
+    needle's distinct trigram hashes AND-probe only their postings
+    partitions (lossless blocking: a true match contains every gram;
+    hash collisions only add candidates), then one id-pruned scan
+    verifies contains() exactly and counts occurrences."""
+    import ray.data as rd
+
+    from essentials_rd.pipelines import _work_dir
+    from essentials_rd.textops import build_trigram_index, substring_search
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    idx = _work_dir("trigram")
+    build_trigram_index(docs, idx, num_partitions=GREP_PARTS)
+    return substring_search(idx, GREP_PARTS, docs, GREP_NEEDLE)
+
+
 def _q_price_outliers(sf_dir: str):
     """IQR outlier filter, composed from existing operators: exact
     per-priority quartiles of order totals (grouped_quantiles
@@ -3567,6 +3590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter_lb": _q_diameter_lb,
         "tpch_q1_cents": _q_tpch_q1_cents,
         "price_outliers": _q_price_outliers,
+        "grep_substring": _q_substring_search,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -4864,6 +4888,13 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "diameter_lb": _diameter_lb_sql(),
         "tpch_q1_cents": _tpch_q1_sql(),
         "price_outliers": _price_outliers_sql(),
+        "grep_substring": (
+            "SELECT doc_id, CAST((length(text) - "
+            f"length(replace(text, '{GREP_NEEDLE}', ''))) "
+            f"// length('{GREP_NEEDLE}') AS BIGINT) AS n_matches "
+            f"FROM documents WHERE contains(text, '{GREP_NEEDLE}') "
+            "ORDER BY doc_id"
+        ),
         "event_transitions": (
             "SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n "
             "FROM (SELECT lag(event_type) OVER (PARTITION BY user_id "

@@ -1920,3 +1920,161 @@ def edit1_pairs(
     return hash_bucket_agg(
         cand, _pair_key, _dedup, num_buckets=max(num_buckets // 4, 1)
     )
+
+
+# --------------------------------------------------- substring search
+
+
+_TRI_P = np.uint64(0x100000001B3)
+
+
+def _char_trigram_hashes(
+    texts: list[str],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT character-trigram hashes, vectorized: one
+    utf-32 encode of the '\\x00'-joined batch, one rolling polynomial
+    over the flat code array (separator windows masked), one lexsort
+    dedup.  Returns (doc_idx, gram_hash int64)."""
+    if not texts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    joined = "\x00".join(texts)
+    codes = np.frombuffer(joined.encode("utf-32-le"), np.uint32).astype(
+        np.uint64
+    )
+    n = len(codes)
+    if n < 3:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    a, b, c = codes[:-2], codes[1:-1], codes[2:]
+    with np.errstate(over="ignore"):
+        key = hash64((a * _TRI_P + b) * _TRI_P + c)
+    valid = (a != 0) & (b != 0) & (c != 0)
+    doc_of = np.zeros(n, np.int64)
+    np.cumsum(codes == 0, out=doc_of)
+    rows = doc_of[: n - 2][valid]
+    grams = key[valid].view(np.int64)
+    order = np.lexsort((grams, rows))
+    rows, grams = rows[order], grams[order]
+    keep = np.r_[True, (rows[1:] != rows[:-1]) | (grams[1:] != grams[:-1])]
+    return rows[keep], grams[keep]
+
+
+def build_trigram_index(
+    docs: rd.Dataset,
+    out_dir: str,
+    num_partitions: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Distributed character-TRIGRAM index — substring search (grep)
+    over a corpus without scanning it: postings are (gram_hash,
+    doc_id) per distinct in-doc trigram, hash-partitioned on the gram
+    through the resumable sink, so probing a needle reads only its
+    grams' partitions.  Gram HASHES (not strings) are stored — hash
+    collisions only ever ADD candidates, and :func:`substring_search`
+    removes them with an exact contains() verify, so results carry
+    exact-substring semantics at ~8 bytes per posting."""
+    from .sinks import write_partitioned
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        ids = np_col(batch, id_col)
+        rows, grams = _char_trigram_hashes(
+            batch.column(text_col).to_pylist()
+        )
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.int64()),
+                id_col: pa.array(ids[rows], pa.int64()),
+            }
+        )
+
+    postings = docs.select_columns([id_col, text_col]).map_batches(
+        _postings, batch_format="pyarrow"
+    )
+    return write_partitioned(
+        postings, out_dir,
+        lambda b: np_col(b, "gram"),
+        num_partitions,
+    )
+
+
+def substring_search(
+    index_dir: str,
+    num_partitions: int,
+    docs: rd.Dataset,
+    needle: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Exact substring search via the trigram index: candidate docs
+    must contain EVERY distinct trigram of the needle (AND-probe over
+    only those grams' partitions — lossless blocking: a true match
+    contains all of them), then one pruned scan verifies contains()
+    exactly.  Needles shorter than 3 chars raise (no gram to probe —
+    scan instead).  Returns (doc_id, n_matches) sorted by doc_id."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from .sinks import _part_dir
+    from .util import hash64 as _h64
+
+    if len(needle) < 3:
+        raise ValueError("substring_search needs a needle of ≥ 3 chars")
+    _, qgrams = _char_trigram_hashes([needle])
+    qgrams = np.unique(qgrams)
+    parts = sorted(
+        set(
+            int(p)
+            for p in _h64(qgrams.view(np.uint64)) % np.uint64(num_partitions)
+        )
+    )
+    tabs = []
+    for p in parts:
+        f = os.path.join(_part_dir(index_dir, p), "data.parquet")
+        if not os.path.exists(f):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        t = pq_.read_table(f, columns=["gram", id_col])
+        tabs.append(
+            t.filter(pc.is_in(t.column("gram"),
+                              value_set=pa.array(qgrams, pa.int64())))
+        )
+    posts = pa.concat_tables(tabs)
+    ids = np_col(posts, id_col)
+    grams = np_col(posts, "gram")
+    order = np.lexsort((grams, ids))
+    ids, grams = ids[order], grams[order]
+    # postings are per-doc distinct → count rows per doc = matched grams
+    uniq, counts = np.unique(ids, return_counts=True)
+    cand = uniq[counts == len(qgrams)]
+    if not len(cand):
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_matches": pa.array([], pa.int64())})
+    import ray as _ray
+
+    cref = _ray.put(np.sort(cand))
+
+    def _verify(t: pa.Table) -> pa.Table:
+        cs = _ray.get(cref)
+        did = np_col(t, id_col)
+        pos = np.searchsorted(cs, did)
+        hit = (pos < len(cs)) & (cs[np.minimum(pos, len(cs) - 1)] == did)
+        t = t.filter(pa.array(hit))
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        nm = pc.count_substring(t.column(text_col), needle)
+        out = pa.table({id_col: t.column(id_col),
+                        "n_matches": nm.combine_chunks().cast(pa.int64())
+                        if isinstance(nm, pa.ChunkedArray)
+                        else nm.cast(pa.int64())})
+        return out.filter(pc.greater(out.column("n_matches"), 0))
+
+    res = docs.select_columns([id_col, text_col]).map_batches(
+        _verify, batch_format="pyarrow"
+    )
+    tabs = _ray.get(res.to_arrow_refs())
+    out = pa.concat_tables(tabs) if tabs else pa.table(
+        {id_col: pa.array([], pa.int64()),
+         "n_matches": pa.array([], pa.int64())})
+    return out.sort_by(id_col)

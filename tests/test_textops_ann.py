@@ -704,3 +704,26 @@ def test_edit1_pairs_guards():
     with _pytest.raises(Exception):
         edit1_pairs(rd.from_arrow(t), "sid", "name",
                     max_len=64).take_all()
+
+
+def test_substring_search_matches_bruteforce(tmp_path):
+    from essentials_rd.textops import build_trigram_index, substring_search
+
+    rng = np.random.default_rng(59)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(words, rng.integers(3, 30)))
+             for _ in range(300)]
+    texts += ["xx alpha beta yy", "", "ab"]  # edge cases incl. short doc
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "text": pa.array(texts, pa.string())})
+    idx = str(tmp_path / "tri")
+    build_trigram_index(rd.from_arrow(t).repartition(4), idx,
+                        num_partitions=8)
+    for needle in ["alpha beta", "gamma delta eps", "zeta zeta",
+                   "nothere"]:
+        got = substring_search(idx, 8, rd.from_arrow(t), needle)
+        want = [(int(i), s.count(needle)) for i, s in zip(ids, texts)
+                if needle in s]
+        assert [(r["doc_id"], r["n_matches"])
+                for r in got.to_pylist()] == want, needle
