@@ -1996,6 +1996,42 @@ GREP_NEEDLE = "spark window"
 GREP_PARTS = 32
 
 
+def _q_orders_diff(sf_dir: str):
+    """Snapshot diff (ops.table_diff): two deterministic versions of
+    orders — A drops every 7th key, B drops every 5th and bumps every
+    11th key's cents — classified added/removed/changed in ONE key-hash
+    co-shuffle where unchanged keys never leave their bucket (the
+    what-changed-between-extracts primitive)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import table_diff
+    from essentials_rd.util import np_col
+
+    def _load(drop_mod: int, bump11: bool):
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_totalprice"])
+
+        def _prep(t: pa.Table) -> pa.Table:
+            k = np_col(t, "o_orderkey")
+            keep = (k % drop_mod) != 0
+            p = np.asarray(t.column("o_totalprice").to_numpy(
+                zero_copy_only=False), np.float64)
+            v = np.floor(p * 100.0 + 0.5).astype(np.int64)
+            if bump11:
+                v = v + ((k % 11) == 0)
+            return pa.table({"k": pa.array(k[keep], pa.int64()),
+                             "v": pa.array(v[keep], pa.int64())})
+
+        return orders.map_batches(_prep, batch_format="pyarrow")
+
+    return table_diff(
+        _load(7, False), _load(5, True),
+        key_fn=lambda t: np_col(t, "k"),
+        val_fn=lambda t: np_col(t, "v"),
+        key_col="o_orderkey",
+    )
+
+
 def _q_substring_search(sf_dir: str):
     """Trigram-index substring search (textops.build_trigram_index +
     substring_search): grep over the corpus WITHOUT scanning it — the
@@ -3591,6 +3627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1_cents": _q_tpch_q1_cents,
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
+        "orders_diff": _q_orders_diff,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -4888,6 +4925,20 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "diameter_lb": _diameter_lb_sql(),
         "tpch_q1_cents": _tpch_q1_sql(),
         "price_outliers": _price_outliers_sql(),
+        "orders_diff": (
+            "WITH va AS (SELECT o_orderkey k, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) v FROM orders "
+            "WHERE o_orderkey % 7 <> 0), "
+            "vb AS (SELECT o_orderkey k, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) "
+            "+ CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS v "
+            "FROM orders WHERE o_orderkey % 5 <> 0) "
+            "SELECT COALESCE(va.k, vb.k) AS o_orderkey, "
+            "CASE WHEN vb.k IS NULL THEN 'removed' "
+            "WHEN va.k IS NULL THEN 'added' ELSE 'changed' END AS status "
+            "FROM va FULL OUTER JOIN vb ON va.k = vb.k "
+            "WHERE vb.k IS NULL OR va.k IS NULL OR va.v <> vb.v"
+        ),
         "grep_substring": (
             "SELECT doc_id, CAST((length(text) - "
             f"length(replace(text, '{GREP_NEEDLE}', ''))) "

@@ -809,3 +809,36 @@ def test_grouped_rank_dense_matches_duckdb():
         "ORDER BY v DESC) AS BIGINT) AS drnk FROM t ORDER BY id"
     ).df().reset_index(drop=True)
     assert got["drnk"].tolist() == want_d["drnk"].tolist()
+
+
+def test_table_diff_classifies_and_skips_unchanged():
+    from essentials_rd.ops import table_diff
+
+    rng = np.random.default_rng(61)
+    keys = np.arange(4000, dtype=np.int64)
+    vals = rng.integers(0, 10**9, 4000).astype(np.int64)
+    # B: drop keys %13==0 (removed), add 4000..4019 (added),
+    # bump vals of %17==0 (changed); everything else identical
+    a = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    bk = np.r_[keys[keys % 13 != 0], np.arange(4000, 4020, dtype=np.int64)]
+    bv = np.r_[vals[keys % 13 != 0] + ((keys[keys % 13 != 0] % 17) == 0),
+               np.arange(20, dtype=np.int64)]
+    b = pa.table({"k": pa.array(bk), "v": pa.array(bv)})
+
+    want = {}
+    for k in keys[keys % 13 == 0]:
+        want[int(k)] = "removed"
+    for k in range(4000, 4020):
+        want[k] = "added"
+    for k in keys[(keys % 13 != 0) & (keys % 17 == 0)]:
+        want[int(k)] = "changed"
+
+    from essentials_rd.util import np_col as _nc
+    for nb in (1, 16):
+        got = table_diff(
+            rd.from_arrow(a).repartition(5), rd.from_arrow(b).repartition(3),
+            key_fn=lambda t: _nc(t, "k"), val_fn=lambda t: _nc(t, "v"),
+            key_col="k", num_buckets=nb,
+        ).to_pandas()
+        assert dict(zip(got.k, got.status)) == want, f"nb={nb}"
+        assert len(got) == len(want)  # unchanged keys emit nothing
