@@ -1996,6 +1996,61 @@ GREP_NEEDLE = "spark window"
 GREP_PARTS = 32
 
 
+MM_ITERS = 12
+
+
+def _q_matching(sf_dir: str):
+    """Deterministic maximal matching (algorithms.maximal_matching):
+    local-minimum-priority edge rounds — provably equal to the
+    sequential greedy matching under the (splitmix64, src, dst) edge
+    order, hence a pure function of the graph; per round one partial
+    min pass + one winner/prune pass, alive edges shrink
+    geometrically.  Round count asserted against the oracle's unroll
+    bound."""
+    from essentials_rd.algorithms import maximal_matching
+
+    _, edges = _graph(sf_dir)
+    t, rounds, converged = maximal_matching(edges)
+    assert converged and rounds <= MM_ITERS, (rounds, converged)
+    return t
+
+
+def _matching_sql() -> str:
+    from essentials_rd.algorithms.matching import MM_C
+
+    chain = _sm64_ctes("mz", "src, dst",
+                       f"CAST(src AS HUGEINT) * {MM_C} + dst", "pairs")
+    steps = [_GRAPH_CTES, chain,
+             "ae1 AS MATERIALIZED (SELECT src, dst, z FROM mz3)"]
+    for r in range(1, MM_ITERS + 1):
+        steps.append(f"""
+inc{r} AS (SELECT src AS vtx, z, src, dst FROM ae{r}
+  UNION ALL SELECT dst AS vtx, z, src, dst FROM ae{r}),
+mp{r} AS MATERIALIZED (SELECT vtx, z, src, dst FROM (
+  SELECT vtx, z, src, dst, row_number() OVER (PARTITION BY vtx
+    ORDER BY z, src, dst) AS rn FROM inc{r}) WHERE rn = 1),
+w{r} AS MATERIALIZED (SELECT e.src, e.dst FROM ae{r} e
+  JOIN mp{r} a ON a.vtx = e.src AND a.z = e.z
+    AND a.src = e.src AND a.dst = e.dst
+  JOIN mp{r} b ON b.vtx = e.dst AND b.z = e.z
+    AND b.src = e.src AND b.dst = e.dst),
+mv{r} AS (SELECT src AS vid FROM w{r}
+  UNION SELECT dst AS vid FROM w{r}),
+ae{r + 1} AS MATERIALIZED (SELECT e.src, e.dst, e.z FROM ae{r} e
+  LEFT JOIN mv{r} x ON x.vid = e.src
+  LEFT JOIN mv{r} y ON y.vid = e.dst
+  WHERE x.vid IS NULL AND y.vid IS NULL)""")
+    body = ",".join(steps)
+    union = " UNION ALL ".join(
+        f"SELECT src, dst, {r} AS round FROM w{r}"
+        for r in range(1, MM_ITERS + 1)
+    )
+    return (
+        f"WITH {body} SELECT src, dst, CAST(round AS BIGINT) AS round "
+        f"FROM ({union}) ORDER BY src, dst"
+    )
+
+
 def _q_orders_diff(sf_dir: str):
     """Snapshot diff (ops.table_diff): two deterministic versions of
     orders — A drops every 7th key, B drops every 5th and bumps every
@@ -3628,6 +3683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
+        "matching_edges": _q_matching,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -4925,6 +4981,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "diameter_lb": _diameter_lb_sql(),
         "tpch_q1_cents": _tpch_q1_sql(),
         "price_outliers": _price_outliers_sql(),
+        "matching_edges": _matching_sql(),
         "orders_diff": (
             "WITH va AS (SELECT o_orderkey k, "
             "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) v FROM orders "

@@ -18,8 +18,10 @@ from .scc import scc_coloring
 from .harmonic import MultiSourceBfsProgram, harmonic, harmonic_table
 from .mis import MisProgram, mis, mis_table
 from .longest_path import LongestPathProgram, longest_path, depth_table
+from .matching import maximal_matching
 
 __all__ = [
+    "maximal_matching",
     "LongestPathProgram",
     "longest_path",
     "depth_table",

@@ -394,3 +394,44 @@ def test_longest_path_dag_matches_dp_and_cap(tmp_path):
                          scatter_mode="fused")
     got_c = np.asarray(depth_table(res_c)["depth"], np.int64)
     assert got_c.tolist() == np.minimum(want, K).tolist()
+
+
+def _greedy_matching_ref(src, dst):
+    """Sequential greedy by ascending (priority, src, dst) — the
+    lexicographically-first matching the parallel local-minima rounds
+    must reproduce exactly."""
+    from essentials_rd.algorithms.matching import _pri
+
+    p = _pri(src, dst)
+    order = np.lexsort((dst, src, p))
+    used = set()
+    out = []
+    for i in order:
+        a, b = int(src[i]), int(dst[i])
+        if a not in used and b not in used:
+            used.add(a)
+            used.add(b)
+            out.append((a, b))
+    return sorted(out)
+
+
+def test_maximal_matching_equals_greedy_and_is_maximal():
+    from essentials_rd.algorithms import maximal_matching
+
+    src, dst = _random_edges(n=80, m=400, seed=31)
+    src, dst = _canon(src, dst)
+    want = _greedy_matching_ref(src, dst)
+
+    for parts in (1, 6):
+        t, rounds, converged = maximal_matching(
+            edges_ds(src, dst).repartition(parts))
+        assert converged and rounds >= 1
+        got = sorted(zip(np.asarray(t["src"]).tolist(),
+                         np.asarray(t["dst"]).tolist()))
+        assert got == want, f"parts={parts}"
+
+    # matching: no vertex twice; maximal: every edge touches a match
+    flat = [v for e in want for v in e]
+    assert len(flat) == len(set(flat))
+    mset = set(flat)
+    assert all(a in mset or b in mset for a, b in zip(src, dst))
