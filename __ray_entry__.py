@@ -1999,6 +1999,49 @@ GREP_PARTS = 32
 MM_ITERS = 12
 
 
+def _q_daily_top_spender(sf_dir: str):
+    """Two-stage composition: exact per-(day, user) cent totals
+    (grouped_pandas_agg with per-block partials) feed grouped_top_k for
+    the top spender per day under the (total desc, user asc) total
+    order — the daily-leaderboard shape, all integer-exact."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, grouped_top_k
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(t.column("ts"), pa.int64()), 86_400_000_000)),
+            pa.int64())
+        v = np.asarray(t.column("value").to_numpy(zero_copy_only=False),
+                       np.float64)
+        return pa.table(
+            {
+                "day": day,
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "cents": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    totals = grouped_pandas_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        keys=["day", "user_id"],
+        aggs={"total_c": ("cents", "sum")},
+        key_fn=lambda b: np_col(b, "day") * np.int64(100003)
+        + np_col(b, "user_id"),
+        num_buckets=16,
+    )
+    out = grouped_top_k(totals, ["day"], "total_c", 1, descending=True,
+                        tie_cols=["user_id"],
+                        key_fn=lambda b: np_col(b, "day"), num_buckets=16)
+    return out.drop_columns(["rank"])
+
+
 def _q_matching(sf_dir: str):
     """Deterministic maximal matching (algorithms.maximal_matching):
     local-minimum-priority edge rounds — provably equal to the
@@ -3684,6 +3727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
         "matching_edges": _q_matching,
+        "daily_top_spender": _q_daily_top_spender,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -4982,6 +5026,14 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tpch_q1_cents": _tpch_q1_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
+        "daily_top_spender": (
+            "SELECT day, user_id, total_c FROM ("
+            "SELECT day, user_id, total_c, row_number() OVER ("
+            "PARTITION BY day ORDER BY total_c DESC, user_id) AS rn "
+            "FROM (SELECT epoch_us(ts) // 86400000000 AS day, user_id, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_c FROM events GROUP BY 1, 2)) WHERE rn = 1"
+        ),
         "orders_diff": (
             "WITH va AS (SELECT o_orderkey k, "
             "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) v FROM orders "
