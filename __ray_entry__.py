@@ -1999,6 +1999,26 @@ GREP_PARTS = 32
 MM_ITERS = 12
 
 
+PACK_SEQ_LEN = 2048
+
+
+def _q_doc_packing(sf_dir: str):
+    """Sequence-packing manifest (textops.pack_sequences over
+    ops.global_cumsum): docs concatenated in id order into one token
+    stream split into 2048-token windows — each doc's exact (offset,
+    first_seq, last_seq) placement, a pure function of the ordered
+    counts (greedy bin packing would be partitioning-dependent).
+    Token counts use the whitespace rule shared with the twin."""
+    import ray.data as rd
+
+    from essentials_rd.textops import pack_sequences, token_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    cts = token_counts(docs).select_columns(["doc_id", "n_ws_tokens"])
+    return pack_sequences(cts, PACK_SEQ_LEN, n_col="n_ws_tokens")
+
+
 def _q_daily_top_spender(sf_dir: str):
     """Two-stage composition: exact per-(day, user) cent totals
     (grouped_pandas_agg with per-block partials) feed grouped_top_k for
@@ -3728,6 +3748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_diff": _q_orders_diff,
         "matching_edges": _q_matching,
         "daily_top_spender": _q_daily_top_spender,
+        "doc_packing": _q_doc_packing,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -5026,6 +5047,20 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tpch_q1_cents": _tpch_q1_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
+        "doc_packing": (
+            "SELECT doc_id, n_ws_tokens, tok_off, "
+            f"tok_off // {PACK_SEQ_LEN} AS first_seq, "
+            f"(tok_off + n_ws_tokens - 1) // {PACK_SEQ_LEN} AS last_seq, "
+            f"(tok_off + n_ws_tokens - 1) // {PACK_SEQ_LEN} "
+            f"- tok_off // {PACK_SEQ_LEN} + 1 AS n_seqs FROM ("
+            "SELECT doc_id, n_ws_tokens, CAST(COALESCE(sum(n_ws_tokens) "
+            "OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) AS BIGINT) AS tok_off FROM ("
+            "SELECT doc_id, CAST(length(text) - "
+            "length(replace(text, ' ', '')) + 1 AS BIGINT) "
+            "AS n_ws_tokens FROM documents) WHERE n_ws_tokens > 0) "
+            "ORDER BY doc_id"
+        ),
         "daily_top_spender": (
             "SELECT day, user_id, total_c FROM ("
             "SELECT day, user_id, total_c, row_number() OVER ("

@@ -1102,6 +1102,78 @@ def global_rank(
     return routed.groupby("part_id").map_groups(_rank, batch_format="pyarrow")
 
 
+def global_cumsum(
+    ds: rd.Dataset,
+    col: str,
+    tie_cols: list[str],
+    val_col: str,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    *,
+    n_parts: int = 32,
+    sample_frac: float = 0.1,
+    seed: int = 42,
+    out_col: str = "prefix",
+) -> rd.Dataset:
+    """Distributed ordered EXCLUSIVE prefix sum: for every row, the
+    exact int64 sum of ``val_col`` over all rows strictly BEFORE it in
+    the ``(col, *tie_cols)`` total order — the allocation primitive
+    under sequence packing, byte-offset assignment and ordered
+    quota/budget splits.  Same two-pass plan as :func:`global_rank`:
+    range-partition on ``col`` (routing is value-pure, so partitions
+    are disjoint ordered ranges), a per-partition SUM pass whose
+    prefix sums give each partition's global base (driver sees
+    n_parts scalars, never rows), then each partition sorts locally
+    and cumsums from its base.  ``(col, *tie_cols)`` must be unique
+    per row; ``col`` int64; caller guarantees the grand total fits
+    int64."""
+    routed, _bounds = range_partition(
+        ds, col, n_parts, key_fn, sample_frac=sample_frac, seed=seed
+    )
+    routed = routed.materialize()
+
+    def _sums(t: pa.Table) -> pa.Table:
+        p = np_col(t, "part_id")
+        v = np_col(t, val_col).astype(np.int64)
+        u, s, _ = segment_sum_sorted(*_sorted_kv(p, v))
+        return pa.table({"p": pa.array(u, pa.int64()),
+                         "s": pa.array(s, pa.int64())})
+
+    totals = np.zeros(n_parts, np.int64)
+    for r in routed.map_batches(_sums, batch_format="pyarrow").take_all():
+        totals[r["p"]] += r["s"]
+    bases = np.r_[0, np.cumsum(totals)[:-1]]
+
+    order_cols = [col] + list(tie_cols)
+
+    def _cum(grp: pa.Table) -> pa.Table:
+        p = int(grp.column("part_id")[0].as_py())
+        df = grp.drop_columns(["part_id"]).to_pandas()
+        df = df.sort_values(order_cols, kind="stable")
+        v = df[val_col].to_numpy(np.int64)
+        df[out_col] = bases[p] + np.cumsum(v) - v  # exclusive
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata()
+
+    return routed.groupby("part_id").map_groups(_cum, batch_format="pyarrow")
+
+
+def _sorted_kv(k: np.ndarray, v: np.ndarray):
+    order = np.argsort(k, kind="stable")
+    return k[order], v[order]
+
+
+def segment_sum_sorted(k: np.ndarray, v: np.ndarray):
+    """(uniq, sums, counts) over a key-sorted pair of arrays."""
+    if not len(k):
+        return k, v, np.zeros(0, np.int64)
+    first = np.r_[True, k[1:] != k[:-1]]
+    starts = np.flatnonzero(first)
+    sums = np.add.reduceat(v, starts)
+    counts = np.diff(np.r_[starts, len(k)])
+    return k[starts], sums, counts
+
+
 def _join_key_fn(on: list[str]) -> Callable[[pa.Table], np.ndarray]:
     """Combined deterministic int64 hash over the key columns (string
     columns via pandas siphash — process-stable; numeric via hash64)."""

@@ -2078,3 +2078,49 @@ def substring_search(
         {id_col: pa.array([], pa.int64()),
          "n_matches": pa.array([], pa.int64())})
     return out.sort_by(id_col)
+
+
+def pack_sequences(
+    counts: rd.Dataset,
+    seq_len: int,
+    id_col: str = "doc_id",
+    n_col: str = "n_tokens",
+) -> rd.Dataset:
+    """GPT-style concat-and-split sequence-packing MANIFEST: documents
+    concatenated in id order into one global token stream, split into
+    fixed ``seq_len`` windows — each doc gets its exact token placement
+    ``(offset, first_seq, last_seq, n_seqs)``.  Unlike greedy bin
+    packing (whose output depends on visit order and hence
+    partitioning), concat-and-split is a pure function of the ordered
+    counts, so the manifest is identical at any cluster size AND
+    SQL-reproducible (an exclusive window SUM).  Built on
+    :func:`~essentials_rd.ops.global_cumsum` — two tiny passes, never
+    a driver-side sort of the table.  Rows with n ≤ 0 are dropped
+    (they occupy no tokens)."""
+    from .ops import global_cumsum
+    from .util import np_col as _nc
+
+    pos = counts.filter(expr=f"{n_col} > 0")
+    pref = global_cumsum(
+        pos, id_col, [], n_col,
+        key_fn=lambda b: _nc(b, id_col),
+        out_col="tok_off",
+    )
+
+    def _place(t: pa.Table) -> pa.Table:
+        off = np_col(t, "tok_off")
+        n = np_col(t, n_col)
+        first = off // seq_len
+        last = (off + n - 1) // seq_len
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                n_col: pa.array(n, pa.int64()),
+                "tok_off": pa.array(off, pa.int64()),
+                "first_seq": pa.array(first, pa.int64()),
+                "last_seq": pa.array(last, pa.int64()),
+                "n_seqs": pa.array(last - first + 1, pa.int64()),
+            }
+        )
+
+    return pref.map_batches(_place, batch_format="pyarrow")

@@ -842,3 +842,46 @@ def test_table_diff_classifies_and_skips_unchanged():
         ).to_pandas()
         assert dict(zip(got.k, got.status)) == want, f"nb={nb}"
         assert len(got) == len(want)  # unchanged keys emit nothing
+
+
+def test_global_cumsum_exclusive_prefix_matches_numpy():
+    from essentials_rd.ops import global_cumsum
+
+    rng = np.random.default_rng(67)
+    n = 5000
+    ids = rng.permutation(n).astype(np.int64)
+    vals = rng.integers(0, 100, n).astype(np.int64)
+    t = pa.table({"id": pa.array(ids), "v": pa.array(vals)})
+    order = np.argsort(ids)
+    want = dict(zip(ids[order].tolist(),
+                    (np.cumsum(vals[order]) - vals[order]).tolist()))
+    for parts in (1, 7):
+        got = global_cumsum(
+            rd.from_arrow(t).repartition(parts), "id", [], "v",
+            key_fn=lambda b: np_col(b, "id"), n_parts=5,
+        ).to_pandas()
+        assert dict(zip(got.id, got.prefix)) == want, f"parts={parts}"
+
+
+def test_pack_sequences_manifest_invariants():
+    from essentials_rd.textops import pack_sequences
+
+    rng = np.random.default_rng(71)
+    n = 400
+    cts = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "n_tokens": pa.array(
+            np.r_[rng.integers(1, 900, n - 2), [0, 5000]].astype(np.int64)),
+    })
+    L = 256
+    got = (pack_sequences(rd.from_arrow(cts).repartition(6), L)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (got.n_tokens > 0).all()  # zero-token doc dropped
+    # offsets are the exclusive prefix in id order; spans consistent
+    assert got.tok_off.iloc[0] == 0
+    assert (got.tok_off.to_numpy()[1:]
+            == (got.tok_off + got.n_tokens).to_numpy()[:-1]).all()
+    assert (got.first_seq == got.tok_off // L).all()
+    assert (got.last_seq == (got.tok_off + got.n_tokens - 1) // L).all()
+    assert (got.n_seqs == got.last_seq - got.first_seq + 1).all()
+    assert got.n_seqs.max() >= 20  # the 5000-token doc really spans
