@@ -2002,6 +2002,97 @@ MM_ITERS = 12
 PACK_SEQ_LEN = 2048
 
 
+CURATE_MIN_STOP = 0.05   # stopword-ratio floor (on 6-dp-rounded values)
+CURATE_MIN_TOKENS = 20   # token-count floor
+
+
+def _q_curated_docs(sf_dir: str):
+    """END-TO-END training-data curation pipeline, one query: keep a
+    doc iff it (1) passes the quality gate (stopword_ratio ≥ 0.05 on
+    the 6-dp-rounded signal, ≥ 20 tokens), (2) language-ID agrees with
+    its label (integer-weight argmax, SQL-exact), and (3) is its
+    near-dup cluster's representative (min doc_id) or unclustered —
+    quality_score + lang_id + near_dup_clusters + semi-joins composed
+    end to end, every stage the already-oracle-checked operator."""
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.ops import join
+    from essentials_rd.pipelines import _work_dir
+    from essentials_rd.textops import (
+        build_lang_profiles, lang_id, near_dup_clusters, quality_score,
+    )
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"]).materialize()
+
+    def _qmask(t: pa.Table) -> pa.Table:
+        sr = np_col(t, "stopword_ratio")
+        nt = np_col(t, "n_tokens")
+        keep = (sr >= CURATE_MIN_STOP) & (nt >= CURATE_MIN_TOKENS)
+        return t.select(["doc_id"]).filter(pa.array(keep))
+
+    qual_ok = quality_score(docs).map_batches(_qmask,
+                                              batch_format="pyarrow")
+
+    prof = build_lang_profiles(docs, top_k=LANG_TOPK)
+
+    def _lmask(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(t.column("pred_lang"), t.column("lang"))
+        return t.select(["doc_id"]).filter(keep)
+
+    lang_ok = lang_id(docs, ray.put(prof)).map_batches(
+        _lmask, batch_format="pyarrow")
+
+    cl = near_dup_clusters(docs, _work_dir("curate"), threshold=JACCARD_T,
+                           shingle_k=SHINGLE_K, exact=True)
+    nonrep = np.sort(
+        np.asarray(cl["doc_id"], np.int64)[
+            np.asarray(cl["doc_id"], np.int64)
+            != np.asarray(cl["cluster"], np.int64)
+        ]
+    )
+    nref = ray.put(nonrep)
+
+    kept = join(docs.select_columns(["doc_id", "lang"]), qual_ok,
+                on="doc_id", how="semi", broadcast=False)
+    kept = join(kept, lang_ok, on="doc_id", how="semi", broadcast=False)
+
+    def _drop_nonrep(t: pa.Table) -> pa.Table:
+        bad = ray.get(nref)
+        did = np_col(t, "doc_id")
+        if not len(bad):
+            return t
+        pos = np.searchsorted(bad, did)
+        hit = (pos < len(bad)) & (bad[np.minimum(pos, len(bad) - 1)] == did)
+        return t.filter(pa.array(~hit))
+
+    return kept.map_batches(_drop_nonrep, batch_format="pyarrow")
+
+
+def _curated_docs_sql() -> str:
+    return (
+        f"WITH {_SHINGLE_CTE}, {_dup_cc_body()}, {_lang_ctes()}, "
+        f"nonrep AS (SELECT vid FROM x{DUP_CC_ITERS} WHERE vid <> label), "
+        "q AS (SELECT doc_id FROM documents WHERE "
+        "round(CAST(len(list_filter(string_split(text, ' '), t -> "
+        "list_contains(['the','a','an','of','to','in','and','is','for'], "
+        f"t))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) "
+        f">= {CURATE_MIN_STOP} "
+        f"AND len(string_split(text, ' ')) >= {CURATE_MIN_TOKENS}), "
+        "lp AS (SELECT d.doc_id FROM documents d LEFT JOIN best b "
+        "ON b.doc_id = d.doc_id WHERE COALESCE(b.plang, "
+        "(SELECT min(lang) FROM documents)) = d.lang) "
+        "SELECT d.doc_id, d.lang FROM documents d "
+        "JOIN q USING (doc_id) JOIN lp ON lp.doc_id = d.doc_id "
+        "LEFT JOIN nonrep v ON v.vid = d.doc_id WHERE v.vid IS NULL "
+        "ORDER BY d.doc_id"
+    )
+
+
 def _q_doc_packing(sf_dir: str):
     """Sequence-packing manifest (textops.pack_sequences over
     ops.global_cumsum): docs concatenated in id order into one token
@@ -3749,6 +3840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matching_edges": _q_matching,
         "daily_top_spender": _q_daily_top_spender,
         "doc_packing": _q_doc_packing,
+        "curated_docs": _q_curated_docs,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -3884,7 +3976,10 @@ x{k + 1} AS MATERIALIZED (
     )
 
 
-def _dup_clusters_sql() -> str:
+def _dup_cc_body() -> str:
+    """Unrolled hash-min CC body over the shingle pair graph ``nd`` —
+    ends at ``x{DUP_CC_ITERS}(vid, label)``.  Shared by the
+    dup_clusters and curated_docs oracles."""
     steps = [
         """ndsym AS (SELECT a AS src, b AS dst FROM nd
                      UNION ALL SELECT b, a FROM nd),
@@ -3901,9 +3996,12 @@ x{k + 1} AS MATERIALIZED (
   SELECT v.vid, least(v.label, COALESCE(m.ml, v.label)) AS label
   FROM x{k} v LEFT JOIN xm{k} m ON m.vid = v.vid
 )""")
-    body = ",".join(steps)
+    return ",".join(steps)
+
+
+def _dup_clusters_sql() -> str:
     return (
-        f"WITH {_SHINGLE_CTE}, {body} "
+        f"WITH {_SHINGLE_CTE}, {_dup_cc_body()} "
         f"SELECT vid AS doc_id, label AS cluster FROM x{DUP_CC_ITERS} "
         f"ORDER BY doc_id"
     )
@@ -3959,9 +4057,11 @@ def _orders_range_parts_sql() -> str:
     )
 
 
-def _lang_pred_sql() -> str:
+def _lang_ctes() -> str:
+    """Shared lang-ID CTE body (tok → counts → prof → scores → best);
+    used by the lang_pred and curated_docs oracles."""
     return f"""
-WITH tok AS MATERIALIZED (
+tok AS MATERIALIZED (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
 counts AS MATERIALIZED (
@@ -3985,11 +4085,17 @@ best AS (
     FROM scores
   ) WHERE rn = 1
 )
-SELECT d.doc_id, d.lang,
-       COALESCE(b.plang, (SELECT min(lang) FROM documents)) AS pred_lang
-FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
-ORDER BY d.doc_id
 """
+
+
+def _lang_pred_sql() -> str:
+    return (
+        f"WITH {_lang_ctes()} "
+        "SELECT d.doc_id, d.lang, COALESCE(b.plang, "
+        "(SELECT min(lang) FROM documents)) AS pred_lang "
+        "FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id "
+        "ORDER BY d.doc_id"
+    )
 
 _GRAPH_CTES = """
 items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -5047,6 +5153,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tpch_q1_cents": _tpch_q1_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
+        "curated_docs": _curated_docs_sql(),
         "doc_packing": (
             "SELECT doc_id, n_ws_tokens, tok_off, "
             f"tok_off // {PACK_SEQ_LEN} AS first_seq, "
