@@ -2006,6 +2006,23 @@ CURATE_MIN_STOP = 0.05   # stopword-ratio floor (on 6-dp-rounded values)
 CURATE_MIN_TOKENS = 20   # token-count floor
 
 
+TOP_BIGRAMS_K = 20
+
+
+def _q_top_bigrams(sf_dir: str):
+    """Global top-k corpus bigrams (textops.top_bigrams): distributed
+    bigram count (vocabulary never driver-collected) + per-block
+    partial top-k merged driver-side, bigram string as the
+    deterministic tie-break at the k-boundary."""
+    import ray.data as rd
+
+    from essentials_rd.textops import top_bigrams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return top_bigrams(docs, TOP_BIGRAMS_K)
+
+
 def _q_curated_docs(sf_dir: str):
     """END-TO-END training-data curation pipeline, one query: keep a
     doc iff it (1) passes the quality gate (stopword_ratio ≥ 0.05 on
@@ -3841,6 +3858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_top_spender": _q_daily_top_spender,
         "doc_packing": _q_doc_packing,
         "curated_docs": _q_curated_docs,
+        "top_bigrams": _q_top_bigrams,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -5154,6 +5172,14 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),
+        "top_bigrams": (
+            "SELECT bg, n FROM (SELECT bg, CAST(count(*) AS BIGINT) AS n, "
+            "row_number() OVER (ORDER BY count(*) DESC, bg) AS rn FROM ("
+            "SELECT t[i.i] || ' ' || t[i.i + 1] AS bg FROM "
+            "(SELECT string_split(text, ' ') AS t FROM documents) toks, "
+            "LATERAL (SELECT unnest(range(1, len(t))) AS i) i) "
+            f"GROUP BY bg) WHERE rn <= {TOP_BIGRAMS_K} ORDER BY n DESC, bg"
+        ),
         "doc_packing": (
             "SELECT doc_id, n_ws_tokens, tok_off, "
             f"tok_off // {PACK_SEQ_LEN} AS first_seq, "

@@ -265,14 +265,28 @@ def neighbor_reduce(
     return stage2
 
 
-def top_k(ds: rd.Dataset, by: str, k: int, descending: bool = True) -> pa.Table:
+def top_k(
+    ds: rd.Dataset,
+    by: str,
+    k: int,
+    descending: bool = True,
+    tie_cols: list[str] | None = None,
+) -> pa.Table:
     """Distributed top-k: per-block partial top-k inside map_batches,
-    then a driver-side merge of ≤ k·num_blocks rows (SURVEY.md §2.4 R6)."""
+    then a driver-side merge of ≤ k·num_blocks rows (SURVEY.md §2.4
+    R6).  ``tie_cols`` (ascending) pin ties at the k-boundary to a
+    total order, making the selected SET deterministic at any block
+    layout — required whenever ``by`` has duplicates."""
+    ties = tie_cols or []
 
     def _partial(batch: pa.Table) -> pa.Table:
         v = np_col(batch, by)
         if len(v) <= k:
             return batch
+        if ties:
+            keys = [np_col(batch, c) for c in reversed(ties)]
+            order = np.lexsort([*keys, -v if descending else v])
+            return batch.take(pa.array(np.sort(order[:k])))
         if descending:
             idx = np.argpartition(-v, k)[:k]
         else:
@@ -286,9 +300,9 @@ def top_k(ds: rd.Dataset, by: str, k: int, descending: bool = True) -> pa.Table:
         schema = getattr(ds.schema(), "base_schema", None)
         return schema.empty_table() if schema is not None else pa.table({})
     t = pa.Table.from_pylist(parts)
-    order = pa.compute.sort_indices(
-        t, sort_keys=[(by, "descending" if descending else "ascending")]
-    )
+    sort_keys = [(by, "descending" if descending else "ascending")]
+    sort_keys += [(c, "ascending") for c in ties]
+    order = pa.compute.sort_indices(t, sort_keys=sort_keys)
     return t.take(order[:k])
 
 

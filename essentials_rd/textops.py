@@ -1504,61 +1504,14 @@ def bigram_fluency(docs: rd.Dataset, text_col: str = "text",
     hash join shipping counts back to the (doc, bigram, tf) rows →
     bucketed per-doc sum → LEFT join from the full doc universe so
     sub-2-token docs report zeros."""
-    from .derive import _str_hash
     from .ops import hash_bucket_agg, join
 
-    def _bigrams(batch: pa.Table) -> pa.Table:
-        empty = pa.table({id_col: pa.array([], pa.int64()),
-                          "bg": pa.array([], pa.string()),
-                          "tf": pa.array([], pa.int64())})
-        if batch.num_rows == 0:
-            return empty
-        s = batch.column(text_col).to_pandas()
-        ids = np_col(batch, id_col)
-        toks = s.str.split(" ")
-        counts = toks.str.len().to_numpy(np.int64)
-        flat = toks.explode().to_numpy()
-        if not len(flat):
-            return empty
-        # adjacent pairs, masked at doc boundaries
-        ends = np.cumsum(counts)
-        valid = np.ones(max(len(flat) - 1, 0), bool)
-        valid[ends[:-1] - 1] = False  # last token of each doc (but the final)
-        a = pd.Series(flat[:-1][valid])
-        b = pd.Series(flat[1:][valid])
-        bg = (a + " " + b).to_numpy()
-        rep = np.repeat(np.arange(len(counts)), np.maximum(counts - 1, 0))
-        if not len(bg):
-            return empty
-        codes, uq = pd.factorize(pd.Series(bg))
-        key = rep.astype(np.int64) * np.int64(len(uq)) + codes
-        uk, cnt = np.unique(key, return_counts=True)
-        return pa.table(
-            {
-                id_col: pa.array(ids[(uk // len(uq))], pa.int64()),
-                "bg": pa.array(
-                    np.asarray(uq, object)[uk % len(uq)].tolist(), pa.string()
-                ),
-                "tf": pa.array(cnt.astype(np.int64), pa.int64()),
-            }
-        )
+    tf = bigram_tf(docs, text_col=text_col, id_col=id_col)
+    cnt = corpus_bigram_counts_from_tf(tf)
 
-    tf = docs.select_columns([id_col, text_col]).map_batches(
-        _bigrams, batch_format="pyarrow"
-    )
 
-    def _count(grp: pa.Table) -> pa.Table:
-        codes, uq = pd.factorize(grp.column("bg").combine_chunks().to_pandas())
-        n = np.bincount(codes, weights=np_col(grp, "tf")).astype(np.int64)
-        return pa.table({"bg": pa.array(np.asarray(uq, object).tolist(),
-                                        pa.string()),
-                         "n": pa.array(n, pa.int64())})
 
-    cnt = hash_bucket_agg(
-        tf.select_columns(["bg", "tf"]),
-        lambda b: np.asarray(_str_hash(b.column("bg"))),
-        _count,
-    )
+
 
     joined = join(tf, cnt, on="bg", broadcast=False)
 
@@ -2124,3 +2077,81 @@ def pack_sequences(
         )
 
     return pref.map_batches(_place, batch_format="pyarrow")
+
+
+def bigram_tf(docs: rd.Dataset, text_col: str = "text",
+              id_col: str = "doc_id") -> rd.Dataset:
+    """(doc_id, bigram, tf) rows — the per-batch adjacent-token-pair
+    expansion shared by bigram_fluency and top_bigrams."""
+
+    def _bigrams(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "bg": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        s = batch.column(text_col).to_pandas()
+        ids = np_col(batch, id_col)
+        toks = s.str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy()
+        if not len(flat):
+            return empty
+        # adjacent pairs, masked at doc boundaries
+        ends = np.cumsum(counts)
+        valid = np.ones(max(len(flat) - 1, 0), bool)
+        valid[ends[:-1] - 1] = False  # last token of each doc (but the final)
+        a = pd.Series(flat[:-1][valid])
+        b = pd.Series(flat[1:][valid])
+        bg = (a + " " + b).to_numpy()
+        rep = np.repeat(np.arange(len(counts)), np.maximum(counts - 1, 0))
+        if not len(bg):
+            return empty
+        codes, uq = pd.factorize(pd.Series(bg))
+        key = rep.astype(np.int64) * np.int64(len(uq)) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                id_col: pa.array(ids[(uk // len(uq))], pa.int64()),
+                "bg": pa.array(
+                    np.asarray(uq, object)[uk % len(uq)].tolist(), pa.string()
+                ),
+                "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _bigrams, batch_format="pyarrow"
+    )
+
+
+def corpus_bigram_counts_from_tf(tf: rd.Dataset) -> rd.Dataset:
+    """(bigram, n) corpus counts from bigram_tf rows — bucketed on the
+    bigram string hash (the string itself disambiguates in-bucket)."""
+    from .derive import _str_hash
+    from .ops import hash_bucket_agg
+
+    def _count(grp: pa.Table) -> pa.Table:
+        codes, uq = pd.factorize(grp.column("bg").combine_chunks().to_pandas())
+        n = np.bincount(codes, weights=np_col(grp, "tf")).astype(np.int64)
+        return pa.table({"bg": pa.array(np.asarray(uq, object).tolist(),
+                                        pa.string()),
+                         "n": pa.array(n, pa.int64())})
+
+    return hash_bucket_agg(
+        tf.select_columns(["bg", "tf"]),
+        lambda b: np.asarray(_str_hash(b.column("bg"))),
+        _count,
+    )
+
+
+def top_bigrams(docs: rd.Dataset, k: int, text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """Global top-k corpus bigrams by occurrence — distributed count
+    (vocabulary never driver-collected) + per-block partial top-k with
+    the bigram string as the deterministic tie-break."""
+    from .ops import top_k
+
+    cnt = corpus_bigram_counts_from_tf(
+        bigram_tf(docs, text_col=text_col, id_col=id_col))
+    return top_k(cnt, "n", k, descending=True, tie_cols=["bg"])

@@ -885,3 +885,23 @@ def test_pack_sequences_manifest_invariants():
     assert (got.last_seq == (got.tok_off + got.n_tokens - 1) // L).all()
     assert (got.n_seqs == got.last_seq - got.first_seq + 1).all()
     assert got.n_seqs.max() >= 20  # the 5000-token doc really spans
+
+
+def test_top_k_tie_break_layout_invariant():
+    from essentials_rd.ops import top_k
+
+    rng = np.random.default_rng(73)
+    n = 2000
+    # heavy ties: values in {0..4}, ids unique
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(0, 5, n).astype(np.int64)),
+    })
+    df = t.to_pandas().sort_values(["v", "id"],
+                                   ascending=[False, True]).head(7)
+    want = list(zip(df.v, df.id))
+    for parts in (1, 9):
+        got = top_k(rd.from_arrow(t).repartition(parts), "v", 7,
+                    tie_cols=["id"])
+        assert list(zip(np.asarray(got["v"]).tolist(),
+                        np.asarray(got["id"]).tolist())) == want, parts
