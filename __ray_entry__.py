@@ -2009,6 +2009,53 @@ CURATE_MIN_TOKENS = 20   # token-count floor
 TOP_BIGRAMS_K = 20
 
 
+HIST_LO = 0
+HIST_WIDTH = 5_000_000   # $50k bins in cents
+HIST_BINS = 12
+
+
+def _q_price_histogram(sf_dir: str):
+    """Equi-width histogram (ops.int_histogram): order totals in cents
+    into $50k bins — one length-n_bins bincount partial per block,
+    zero shuffle, driver folds vectors not rows."""
+    import ray.data as rd
+
+    from essentials_rd.ops import int_histogram
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        p = np.asarray(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        return pa.table(
+            {"cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64))}
+        )
+
+    return int_histogram(orders.map_batches(_cents, batch_format="pyarrow"),
+                         "cents", HIST_LO, HIST_WIDTH, HIST_BINS)
+
+
+def _q_qty_price_trend(sf_dir: str):
+    """Per-group linear-regression slope as an EXACT rational, derived
+    from grouped_comoments: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    with both numerator and denominator exact int64 — the drift/trend
+    signal without float-accumulation hash risk."""
+    t = _q_qty_price_comoments(sf_dir)
+    n = np.asarray(t["n"], np.int64)
+    sx = np.asarray(t["sum_x"], np.int64)
+    sy = np.asarray(t["sum_y"], np.int64)
+    sxx = np.asarray(t["sum_xx"], np.int64)
+    sxy = np.asarray(t["sum_xy"], np.int64)
+    return pa.table(
+        {
+            "l_returnflag": t["l_returnflag"],
+            "num": pa.array(n * sxy - sx * sy, pa.int64()),
+            "den": pa.array(n * sxx - sx * sx, pa.int64()),
+        }
+    )
+
+
 def _q_top_bigrams(sf_dir: str):
     """Global top-k corpus bigrams (textops.top_bigrams): distributed
     bigram count (vocabulary never driver-collected) + per-block
@@ -3859,6 +3906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing": _q_doc_packing,
         "curated_docs": _q_curated_docs,
         "top_bigrams": _q_top_bigrams,
+        "price_histogram": _q_price_histogram,
+        "qty_price_trend": _q_qty_price_trend,
         "doc_char_ntile": _q_doc_char_ntile,
         "funnel_stages": _q_funnel,
         "clustering_coeff": _q_clustering_coeff,
@@ -5172,6 +5221,28 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),
+        "price_histogram": (
+            "SELECT (c - %d) // %d AS bin, "
+            "%d + ((c - %d) // %d) * %d AS bin_lo, "
+            "CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c "
+            "FROM orders) WHERE c >= %d AND c < %d "
+            "GROUP BY 1, 2 ORDER BY 1"
+            % (HIST_LO, HIST_WIDTH, HIST_LO, HIST_LO, HIST_WIDTH,
+               HIST_WIDTH, HIST_LO, HIST_LO + HIST_BINS * HIST_WIDTH)
+        ),
+        "qty_price_trend": (
+            "SELECT l_returnflag, "
+            "CAST(n * sxy - sx * sy AS BIGINT) AS num, "
+            "CAST(n * sxx - sx * sx AS BIGINT) AS den FROM ("
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(q) AS BIGINT) AS sx, CAST(sum(p) AS BIGINT) AS sy, "
+            "CAST(sum(q * q) AS BIGINT) AS sxx, "
+            "CAST(sum(q * p) AS BIGINT) AS sxy FROM ("
+            "SELECT l_returnflag, CAST(ROUND(l_quantity, 0) AS BIGINT) AS q, "
+            "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS p FROM lineitem) "
+            "GROUP BY 1) ORDER BY 1"
+        ),
         "top_bigrams": (
             "SELECT bg, n FROM (SELECT bg, CAST(count(*) AS BIGINT) AS n, "
             "row_number() OVER (ORDER BY count(*) DESC, bg) AS rn FROM ("

@@ -2280,3 +2280,43 @@ def table_diff(
         tagged, lambda t: np_col(t, key_col), _classify,
         num_buckets=num_buckets,
     )
+
+
+def int_histogram(
+    ds: rd.Dataset,
+    col: str,
+    lo: int,
+    width: int,
+    n_bins: int,
+) -> pa.Table:
+    """Equi-width histogram of an integer column — the profiling /
+    bucketing primitive: rows with ``lo ≤ v < lo + n_bins·width``
+    count into ``bin = (v − lo) // width``; out-of-range rows are
+    ignored (count them separately if needed).  Zero shuffle: one
+    length-``n_bins`` bincount partial per block, folded driver-side.
+    Only non-empty bins are returned (bin, bin_lo, n), matching a SQL
+    GROUP BY on the computed bin."""
+    hi = lo + n_bins * width
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = np_col(batch, col).astype(np.int64)
+        v = v[(v >= lo) & (v < hi)]
+        c = np.bincount((v - lo) // width, minlength=n_bins)
+        return pa.table({"c": pa.array(c.astype(np.int64), pa.int64())})
+
+    import ray as _ray
+
+    total = np.zeros(n_bins, np.int64)
+    for t in _ray.get(
+        ds.map_batches(_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        arr = np.asarray(t.column("c"), np.int64)
+        total += arr.reshape(-1, n_bins).sum(axis=0)
+    nz = np.flatnonzero(total)
+    return pa.table(
+        {
+            "bin": pa.array(nz.astype(np.int64), pa.int64()),
+            "bin_lo": pa.array(lo + nz.astype(np.int64) * width, pa.int64()),
+            "n": pa.array(total[nz], pa.int64()),
+        }
+    )
