@@ -2056,6 +2056,99 @@ def _q_qty_price_trend(sf_dir: str):
     )
 
 
+def _q_user_gap_median(sf_dir: str):
+    """Window + quantile composition: per-user MEDIAN inter-event gap
+    in microseconds — lag_diff's (ts,id)-ordered gaps feed
+    grouped_quantiles (quantile_disc semantics), all integer-exact."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_quantiles
+    from essentials_rd.windows import lag_diff
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    gaps = lag_diff(ev).filter(expr="gap_us >= 0")
+    out = grouped_quantiles(gaps, "user_id", "gap_us", [0.5])
+    return out.map_batches(
+        lambda t: t.select(["user_id", "value"]).rename_columns(
+            ["user_id", "median_gap_us"]),
+        batch_format="pyarrow",
+    )
+
+
+VOCAB_COVER = 0.9
+
+
+def _q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage analysis on ops.global_cumsum: distinct
+    corpus tokens ordered by (count desc, token) with an exact
+    exclusive prefix sum — the row set with prefix < 90% of total
+    token mass IS the minimal covering vocabulary (Zipf head).
+    Returns its size and token mass as one row."""
+    import ray.data as rd
+
+    from essentials_rd.ops import global_cumsum, hash_bucket_agg
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _toks(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas()
+        flat = s.str.split(" ").explode()
+        vc = flat.value_counts()
+        return pa.table({"tok": pa.array(vc.index.to_numpy(object).tolist(),
+                                         pa.string()),
+                         "c": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    from essentials_rd.derive import _str_hash
+
+    def _sum(grp: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = grp.to_pandas().groupby("tok", as_index=False)["c"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False
+                                    ).replace_schema_metadata()
+
+    counts = hash_bucket_agg(
+        docs.map_batches(_toks, batch_format="pyarrow"),
+        lambda b: np.asarray(_str_hash(b.column("tok"))),
+        _sum,
+    )
+
+    def _negc(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "negc", pa.array(-np_col(t, "c"), pa.int64()))
+
+    pref = global_cumsum(
+        counts.map_batches(_negc, batch_format="pyarrow"),
+        "negc", ["tok"], "c",
+        key_fn=lambda b: np_col(b, "negc"),
+        out_col="prefix",
+    )
+
+    def _head(t: pa.Table) -> pa.Table:
+        # total token mass is known only after the fact; emit partials
+        c = np_col(t, "c")
+        p = np_col(t, "prefix")
+        return pa.table({"c": pa.array(c, pa.int64()),
+                         "p": pa.array(p, pa.int64())})
+
+    rows = pref.map_batches(_head, batch_format="pyarrow").take_all()
+    c = np.array([r["c"] for r in rows], np.int64)
+    p = np.array([r["p"] for r in rows], np.int64)
+    total = int(c.sum())
+    cut = VOCAB_COVER * total
+    mask = p < cut
+    return pa.table(
+        {
+            "n_vocab": pa.array([int(mask.sum())], pa.int64()),
+            "covered_mass": pa.array([int(c[mask].sum())], pa.int64()),
+            "total_mass": pa.array([total], pa.int64()),
+        }
+    )
+
+
 def _q_top_bigrams(sf_dir: str):
     """Global top-k corpus bigrams (textops.top_bigrams): distributed
     bigram count (vocabulary never driver-collected) + per-block
@@ -3906,6 +3999,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing": _q_doc_packing,
         "curated_docs": _q_curated_docs,
         "top_bigrams": _q_top_bigrams,
+        "user_gap_median": _q_user_gap_median,
+        "vocab_coverage": _q_vocab_coverage,
         "price_histogram": _q_price_histogram,
         "qty_price_trend": _q_qty_price_trend,
         "doc_char_ntile": _q_doc_char_ntile,
@@ -5221,6 +5316,27 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),
+        "user_gap_median": (
+            "SELECT user_id, CAST(quantile_disc(gap_us, 0.5) AS BIGINT) "
+            "AS median_gap_us FROM ("
+            "SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
+            "FROM events) WHERE gap_us IS NOT NULL "
+            "GROUP BY user_id ORDER BY user_id"
+        ),
+        "vocab_coverage": (
+            "WITH tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "GROUP BY tok), "
+            "pf AS (SELECT c, CAST(COALESCE(sum(c) OVER ("
+            "ORDER BY c DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS p FROM tc), "
+            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tc) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_vocab, "
+            "CAST(sum(c) AS BIGINT) AS covered_mass, "
+            "(SELECT t FROM tot) AS total_mass FROM pf "
+            f"WHERE p < {VOCAB_COVER} * (SELECT t FROM tot)"
+        ),
         "price_histogram": (
             "SELECT (c - %d) // %d AS bin, "
             "%d + ((c - %d) // %d) * %d AS bin_lo, "
