@@ -2056,6 +2056,45 @@ def _q_qty_price_trend(sf_dir: str):
     )
 
 
+SPLIT_FRACS = [0.8, 0.1, 0.1]
+SPLIT_LABELS = ["train", "val", "test"]
+
+
+def _split_thresholds() -> list[int]:
+    # the ENGINE's exact uint64 thresholds, shared with the SQL twin
+    cum = np.cumsum(SPLIT_FRACS)[:-1]
+    return [int(t) for t in (cum * float(2**64 - 1)).astype(np.uint64)]
+
+
+def _q_doc_splits(sf_dir: str):
+    """Deterministic train/val/test assignment (ops.split_assign):
+    thresholds on splitmix64(doc_id ^ seed-mix) — identical across
+    runs, layouts, cluster sizes and across any table keyed by doc_id
+    (leakage-safe joins).  Zero shuffle."""
+    import ray.data as rd
+
+    from essentials_rd.ops import split_assign
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    return split_assign(docs, SPLIT_FRACS, SPLIT_LABELS,
+                        key_fn=lambda b: np_col(b, "doc_id"),
+                        seed=SAMPLE_SEED)
+
+
+def _doc_splits_sql() -> str:
+    t1, t2 = _split_thresholds()
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes("sz", "doc_id", f"doc_id + {mix}", "documents")
+    return (
+        f"WITH {chain} SELECT doc_id, "
+        f"CASE WHEN z < CAST('{t1}' AS UBIGINT) THEN 'train' "
+        f"WHEN z < CAST('{t2}' AS UBIGINT) THEN 'val' "
+        f"ELSE 'test' END AS split FROM sz3 ORDER BY doc_id"
+    )
+
+
 def _q_user_gap_median(sf_dir: str):
     """Window + quantile composition: per-user MEDIAN inter-event gap
     in microseconds — lag_diff's (ts,id)-ordered gaps feed
@@ -4000,6 +4039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": _q_curated_docs,
         "top_bigrams": _q_top_bigrams,
         "user_gap_median": _q_user_gap_median,
+        "doc_splits": _q_doc_splits,
         "vocab_coverage": _q_vocab_coverage,
         "price_histogram": _q_price_histogram,
         "qty_price_trend": _q_qty_price_trend,
@@ -5316,6 +5356,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),
+        "doc_splits": _doc_splits_sql(),
         "user_gap_median": (
             "SELECT user_id, CAST(quantile_disc(gap_us, 0.5) AS BIGINT) "
             "AS median_gap_us FROM ("

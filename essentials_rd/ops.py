@@ -2320,3 +2320,36 @@ def int_histogram(
             "n": pa.array(total[nz], pa.int64()),
         }
     )
+
+
+def split_assign(
+    ds: rd.Dataset,
+    fracs: list[float],
+    labels: list[str],
+    key_fn: Callable[[pa.Table], np.ndarray],
+    seed: int = 42,
+    out_col: str = "split",
+) -> rd.Dataset:
+    """Deterministic train/val/test splitting: every row gets a split
+    label from thresholds on ``splitmix64(key ^ seed-mix)`` — a pure
+    function of the row's key, so the assignment is identical across
+    runs, block layouts, cluster sizes AND across tables sharing the
+    key (features and labels land on the same side, the property a
+    leakage-safe pipeline needs; Dataset.random_sample gives none of
+    this).  ``fracs`` must sum to 1 within float tolerance; the last
+    label absorbs the remainder.  Zero shuffle — one stamped column."""
+    assert len(fracs) == len(labels) and len(labels) >= 2
+    assert abs(sum(fracs) - 1.0) < 1e-9
+    cum = np.cumsum(fracs)[:-1]
+    thresholds = (cum * float(2**64 - 1)).astype(np.uint64)
+    mix = np.int64((seed * 0x9E3779B97F4A7C15) & (2**63 - 1))
+    lab = np.asarray(labels, object)
+
+    def _stamp(batch: pa.Table) -> pa.Table:
+        k = key_fn(batch).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = hash64(k + mix)
+        idx = np.searchsorted(thresholds, h, side="right")
+        return batch.append_column(out_col, pa.array(lab[idx], pa.string()))
+
+    return ds.map_batches(_stamp, batch_format="pyarrow")
