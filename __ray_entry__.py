@@ -2066,6 +2066,23 @@ def _split_thresholds() -> list[int]:
     return [int(t) for t in (cum * float(2**64 - 1)).astype(np.uint64)]
 
 
+REP_K = 5
+
+
+def _q_doc_repetition(sf_dir: str):
+    """k-gram repetition quality signal (textops.repetition_stats):
+    per doc the total and DISTINCT token 5-gram counts — low
+    distinct/total flags boilerplate/looped text (the Gopher-family
+    filter).  Exact string distinct, stateless scan."""
+    import ray.data as rd
+
+    from essentials_rd.textops import repetition_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return repetition_stats(docs, k=REP_K)
+
+
 def _q_doc_splits(sf_dir: str):
     """Deterministic train/val/test assignment (ops.split_assign):
     thresholds on splitmix64(doc_id ^ seed-mix) — identical across
@@ -4040,6 +4057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "user_gap_median": _q_user_gap_median,
         "doc_splits": _q_doc_splits,
+        "doc_repetition": _q_doc_repetition,
         "vocab_coverage": _q_vocab_coverage,
         "price_histogram": _q_price_histogram,
         "qty_price_trend": _q_qty_price_trend,
@@ -5357,6 +5375,17 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),
         "doc_splits": _doc_splits_sql(),
+        "doc_repetition": (
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(count(DISTINCT g) AS BIGINT) AS n_distinct FROM ("
+            "SELECT doc_id, CASE WHEN len(t) < %d THEN text "
+            "ELSE array_to_string(list_slice(t, i.i, i.i + %d), ' ') "
+            "END AS g FROM (SELECT doc_id, text, "
+            "string_split(text, ' ') AS t FROM documents) toks, "
+            "LATERAL (SELECT unnest(range(1, "
+            "greatest(len(t) - %d, 1) + 1)) AS i) i) "
+            "GROUP BY doc_id ORDER BY doc_id" % (REP_K, REP_K - 1, REP_K - 1)
+        ),
         "user_gap_median": (
             "SELECT user_id, CAST(quantile_disc(gap_us, 0.5) AS BIGINT) "
             "AS median_gap_us FROM ("

@@ -2155,3 +2155,64 @@ def top_bigrams(docs: rd.Dataset, k: int, text_col: str = "text",
     cnt = corpus_bigram_counts_from_tf(
         bigram_tf(docs, text_col=text_col, id_col=id_col))
     return top_k(cnt, "n", k, descending=True, tie_cols=["bg"])
+
+
+def repetition_stats(
+    docs: rd.Dataset,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-document k-gram repetition signal (the Gopher-family
+    quality filter): ``(doc_id, n_grams, n_distinct)`` over token
+    k-grams — a doc whose distinct/total ratio is low is
+    boilerplate/looped text.  Exact STRING distinct (no hash
+    conflation), vectorized: k shifted pandas concats build the gram
+    strings, one factorize + unique-pair pass counts per doc.  Docs
+    shorter than k tokens count their whole text as one gram
+    (mirroring the shingle convention).  Stateless map_batches, no
+    shuffle."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        n = len(s)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_distinct": pa.array([], pa.int64())})
+        toks = s.str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().reset_index(drop=True)
+        # k shifted concats over the flat token stream
+        parts = [flat.shift(-i).fillna("") for i in range(k)]
+        grams = parts[0]
+        for pz in parts[1:]:
+            grams = grams + " " + pz
+        rep = np.repeat(np.arange(n), counts)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        pos = np.arange(len(flat)) - starts[rep]
+        in_doc = pos < np.maximum(counts[rep] - (k - 1), 0)
+        g = grams[in_doc].to_numpy(object)
+        d = rep[in_doc]
+        short = np.flatnonzero(counts < k)
+        if len(short):
+            g = np.r_[g, s.to_numpy(object)[short]]
+            d = np.r_[d, short]
+        codes, uq = pd.factorize(pd.Series(g))
+        mult = np.int64(len(uq) + 1)
+        pair = d.astype(np.int64) * mult + codes
+        n_grams = np.bincount(d, minlength=n).astype(np.int64)
+        du = np.unique(pair)
+        n_dist = np.bincount(du // mult, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_distinct": pa.array(n_dist, pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _stats, batch_format="pyarrow"
+    )

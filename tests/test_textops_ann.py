@@ -727,3 +727,28 @@ def test_substring_search_matches_bruteforce(tmp_path):
                 if needle in s]
         assert [(r["doc_id"], r["n_matches"])
                 for r in got.to_pylist()] == want, needle
+
+
+def test_repetition_stats_matches_bruteforce():
+    from essentials_rd.textops import repetition_stats
+
+    rng = np.random.default_rng(79)
+    words = list("abcdef")
+    texts = [" ".join(rng.choice(words, rng.integers(1, 40)))
+             for _ in range(200)]
+    texts += ["a b a b a b a b a b", "x", "q w e r t"]
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "text": pa.array(texts, pa.string())})
+    k = 3
+    got = (repetition_stats(rd.from_arrow(t).repartition(4), k=k)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, s in enumerate(texts):
+        toks = s.split(" ")
+        if len(toks) < k:
+            grams = [s]
+        else:
+            grams = [" ".join(toks[j:j + k])
+                     for j in range(len(toks) - k + 1)]
+        assert got.n_grams[i] == len(grams), (i, s)
+        assert got.n_distinct[i] == len(set(grams)), (i, s)
