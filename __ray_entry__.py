@@ -2069,6 +2069,65 @@ def _split_thresholds() -> list[int]:
 REP_K = 5
 
 
+DECAY_CLAMP = 40  # max age in days: 2^-40 keeps every sum exactly representable
+
+
+def _q_decayed_activity(sf_dir: str):
+    """Recency-weighted user activity: Σ 2^(−age_days) per user, ages
+    clamped at 40 from the GLOBAL max event day — every term is a
+    dyadic float and the clamped exponent range keeps all partial sums
+    within 53 bits, so the float result is EXACTLY order-independent
+    (the rare float aggregate that hash-matches without quantization).
+    Two passes: a tiny max-reduce for the anchor, then per-block
+    partial sums folded through one bucketed combine."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def _days(t: pa.Table) -> pa.Table:
+        d = (np.asarray(t.column("ts").cast(pa.int64()))
+             // 86_400_000_000).astype(np.int64)
+        return pa.table({"user_id": t.column("user_id").cast(pa.int64()),
+                         "day": pa.array(d, pa.int64())})
+
+    days = ev.map_batches(_days, batch_format="pyarrow").materialize()
+    anchor = int(days.max("day"))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        u = np_col(t, "user_id")
+        age = np.minimum(anchor - np_col(t, "day"), DECAY_CLAMP)
+        w = np.ldexp(1.0, -age.astype(np.int64))
+        df = pd.DataFrame({"user_id": u, "__w__": w})
+        g = df.groupby("user_id", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False
+                                    ).replace_schema_metadata()
+
+    return grouped_pandas_agg(
+        days.map_batches(_partial, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={"activity": ("__w__", "sum")},
+        key_fn=lambda b: np_col(b, "user_id"),
+        num_buckets=16,
+    )
+
+
+def _decayed_activity_sql() -> str:
+    return (
+        "WITH d AS (SELECT user_id, "
+        "epoch_us(ts) // 86400000000 AS day FROM events), "
+        "a AS (SELECT max(day) AS m FROM d) "
+        "SELECT user_id, CAST(sum(pow(2.0, "
+        f"-least((SELECT m FROM a) - day, {DECAY_CLAMP}))) AS DOUBLE) "
+        "AS activity FROM d GROUP BY user_id ORDER BY user_id"
+    )
+
+
 def _q_doc_repetition(sf_dir: str):
     """k-gram repetition quality signal (textops.repetition_stats):
     per doc the total and DISTINCT token 5-gram counts — low
@@ -4058,6 +4117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_median": _q_user_gap_median,
         "doc_splits": _q_doc_splits,
         "doc_repetition": _q_doc_repetition,
+        "decayed_activity": _q_decayed_activity,
         "vocab_coverage": _q_vocab_coverage,
         "price_histogram": _q_price_histogram,
         "qty_price_trend": _q_qty_price_trend,
@@ -5375,6 +5435,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),
         "doc_splits": _doc_splits_sql(),
+        "decayed_activity": _decayed_activity_sql(),
         "doc_repetition": (
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
             "CAST(count(DISTINCT g) AS BIGINT) AS n_distinct FROM ("
