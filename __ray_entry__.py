@@ -2072,6 +2072,43 @@ REP_K = 5
 DECAY_CLAMP = 40  # max age in days: 2^-40 keeps every sum exactly representable
 
 
+WS_NUM, WS_DEN = 1, 600  # inclusion probability = min(1, n_chars/600)
+
+
+def _q_weighted_docs(sf_dir: str):
+    """Weight-proportional deterministic sampling (ops.weighted_sample):
+    docs kept with probability min(1, n_chars/600) — importance
+    sampling by length as an exact RATIONAL threshold on
+    splitmix64(doc_id ^ seed), reproducible by the SQL twin in
+    HUGEINT arithmetic.  Zero shuffle."""
+    import ray.data as rd
+
+    from essentials_rd.ops import weighted_sample
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return weighted_sample(
+        docs,
+        key_fn=lambda b: np_col(b, "doc_id"),
+        weight_fn=lambda b: np_col(b, "n_chars"),
+        rate_num=WS_NUM, rate_den=WS_DEN, seed=SAMPLE_SEED,
+    )
+
+
+def _weighted_docs_sql() -> str:
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes("wz", "doc_id, n_chars", f"doc_id + {mix}",
+                       "documents")
+    two64 = 1 << 64
+    return (
+        f"WITH {chain} SELECT doc_id, n_chars FROM wz3 "
+        f"WHERE CAST(z AS HUGEINT) < least(CAST('{two64 - 1}' AS HUGEINT), "
+        f"CAST(n_chars AS HUGEINT) * {WS_NUM} * "
+        f"CAST('{two64}' AS HUGEINT) // {WS_DEN}) ORDER BY doc_id"
+    )
+
+
 def _q_decayed_activity(sf_dir: str):
     """Recency-weighted user activity: Σ 2^(−age_days) per user, ages
     clamped at 40 from the GLOBAL max event day — every term is a
@@ -4118,6 +4155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_splits": _q_doc_splits,
         "doc_repetition": _q_doc_repetition,
         "decayed_activity": _q_decayed_activity,
+        "weighted_docs": _q_weighted_docs,
         "vocab_coverage": _q_vocab_coverage,
         "price_histogram": _q_price_histogram,
         "qty_price_trend": _q_qty_price_trend,
@@ -5436,6 +5474,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "curated_docs": _curated_docs_sql(),
         "doc_splits": _doc_splits_sql(),
         "decayed_activity": _decayed_activity_sql(),
+        "weighted_docs": _weighted_docs_sql(),
         "doc_repetition": (
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
             "CAST(count(DISTINCT g) AS BIGINT) AS n_distinct FROM ("

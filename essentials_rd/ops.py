@@ -2353,3 +2353,48 @@ def split_assign(
         return batch.append_column(out_col, pa.array(lab[idx], pa.string()))
 
     return ds.map_batches(_stamp, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds: rd.Dataset,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    weight_fn: Callable[[pa.Table], np.ndarray],
+    rate_num: int,
+    rate_den: int,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Weight-proportional deterministic Bernoulli sampling: keep a row
+    iff ``splitmix64(key ^ seed-mix) < min(2⁶⁴−1, w·2⁶⁴·num/den)`` —
+    inclusion probability ``min(1, w·num/den)`` per row, a pure
+    function of (key, weight), so the sample is identical across runs,
+    layouts and cluster sizes, and a SQL twin reproduces the exact
+    integer threshold (the rate is a RATIONAL, never a float).  The
+    importance-sampling shape: long docs / heavy rows kept
+    proportionally more often.  Caller bounds ``w·num`` to int64.
+    Zero shuffle."""
+    assert rate_num >= 0 and rate_den > 0
+    mix = np.int64((seed * 0x9E3779B97F4A7C15) & (2**63 - 1))
+    # threshold = w * num * (2^64/den) computed as w*num*(2^64 // den)
+    # would lose precision; instead compare h·den < w·num·2^64 via
+    # h < w·num·2^64/den  ⇔  h·den < w·num << 64 — do it in Python
+    # ints per distinct weight (weights are few per batch) to stay
+    # exact without int128
+    two64 = 1 << 64
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        k = key_fn(batch).astype(np.int64)
+        w = weight_fn(batch).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = hash64(k + mix)
+        uw = np.unique(w)
+        # exact uint64 thresholds (clamped), one python int per
+        # DISTINCT weight — not per row
+        thr_u = np.array(
+            [min(two64 - 1, (int(x) * rate_num * two64) // rate_den)
+             for x in uw],
+            np.uint64,
+        )
+        mask = h < thr_u[np.searchsorted(uw, w)]
+        return batch.take(pa.array(np.flatnonzero(mask)))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

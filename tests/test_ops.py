@@ -905,3 +905,32 @@ def test_top_k_tie_break_layout_invariant():
                     tie_cols=["id"])
         assert list(zip(np.asarray(got["v"]).tolist(),
                         np.asarray(got["id"]).tolist())) == want, parts
+
+
+def test_weighted_sample_exact_threshold_and_invariance():
+    from essentials_rd.ops import weighted_sample
+    from essentials_rd.util import hash64
+
+    rng = np.random.default_rng(83)
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(0, 1000, n).astype(np.int64)
+    t = pa.table({"id": pa.array(ids), "w": pa.array(w)})
+    num, den, seed = 1, 500, 7
+    mix = np.int64((seed * 0x9E3779B97F4A7C15) & (2**63 - 1))
+    with np.errstate(over="ignore"):
+        h = hash64(ids + mix)
+    thr = np.array([min(2**64 - 1, (int(x) * num * (1 << 64)) // den)
+                    for x in w], np.uint64)
+    want = set(ids[h < thr].tolist())
+    assert 0 < len(want) < n  # both sides populated
+    # w >= den ⇒ p = 1 (always kept)
+    assert set(ids[w >= den].tolist()) <= want
+    for parts in (1, 6):
+        got = weighted_sample(
+            rd.from_arrow(t).repartition(parts),
+            key_fn=lambda b: np_col(b, "id"),
+            weight_fn=lambda b: np_col(b, "w"),
+            rate_num=num, rate_den=den, seed=seed,
+        ).to_pandas()
+        assert set(got.id) == want, f"parts={parts}"
