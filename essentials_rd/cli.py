@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["pr", "wpr", "cc", "lp", "tc", "spmv", "bfs",
                             "sssp", "ppr", "kcore", "eigen", "color", "hits",
                             "bc", "msf", "ktruss", "esim", "nsample",
-                            "walks", "n2v", "harmonic", "scc", "lpath"])
+                            "walks", "n2v", "harmonic", "scc", "lpath", "match"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out", default=None, help="result parquet dir")
     p.add_argument("--num-parts", type=int, default=16)
@@ -325,6 +325,27 @@ def main(argv: list[str] | None = None) -> int:
                           "converged": bool(res.converged),
                           "max_depth": int(max(t["depth"].to_pylist() or [0]))}),
               flush=True)
+        ray.shutdown()
+        return 0
+    elif args.algo == "match":
+        import ray.data as rd
+
+        from .algorithms import maximal_matching
+
+        if edges is None:
+            import pyarrow.compute as pc
+
+            edges = rd.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+                lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
+                batch_format="pyarrow",
+            )
+        t, rounds, converged = maximal_matching(edges,
+                                                max_rounds=args.max_iters)
+        if args.out:
+            rd.from_arrow(t).write_parquet(args.out)
+        print(json.dumps({"event": "done", "algo": "match",
+                          "rounds": rounds, "converged": bool(converged),
+                          "n_matched_edges": t.num_rows}), flush=True)
         ray.shutdown()
         return 0
     elif args.algo == "bc":

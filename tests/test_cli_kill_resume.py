@@ -92,7 +92,7 @@ def test_cli_round3_algos_smoke(tmp_path):
         "bc": "bc", "msf": "weight", "wpr": "value",
         "ktruss": "src", "esim": "jaccard", "nsample": "dst",
         "walks": "node", "n2v": "node", "harmonic": "h",
-        "scc": "scc", "lpath": "depth",
+        "scc": "scc", "lpath": "depth", "match": "src",
     }
     for algo, col in expect_rows_col.items():
         out = tmp_path / f"out_{algo}"
