@@ -671,6 +671,45 @@ def _q_hits(sf_dir: str):
 SCC_MOD = 4  # SCC runs on the induced subgraph vid % SCC_MOD == 0
 
 
+def _scc_directed_edges(sf_dir: str, sparse: int | None = None):
+    """The deterministic directed graph _q_scc runs on: co-purchase
+    edges induced on vid % SCC_MOD == 0, oriented by SplitMix64 parity
+    of the packed pair key (shared with the SQL twins).  ``sparse=m``
+    additionally keeps only edges with (z >> 1) % m == 0 — the
+    condensation query's sparsification, which leaves a DAG of many
+    small SCCs instead of one giant one."""
+    from essentials_rd.pipelines import copurchase_edges
+    from essentials_rd.util import hash64, np_col
+
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+
+    def _orient(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src")
+        d = np_col(t, "dst")
+        keep = (s % SCC_MOD == 0) & (d % SCC_MOD == 0)
+        s, d = s[keep], d[keep]
+        with np.errstate(over="ignore"):
+            z = hash64(
+                s.astype(np.uint64) * np.uint64(1 << 32)
+                + d.astype(np.uint64)
+                + np.uint64(mix)
+            )
+        if sparse is not None:
+            sel = (z >> np.uint64(1)) % np.uint64(sparse) == 0
+            s, d, z = s[sel], d[sel], z[sel]
+        fwd = (z & np.uint64(1)) == 0
+        return pa.table(
+            {
+                "src": pa.array(np.where(fwd, s, d), pa.int64()),
+                "dst": pa.array(np.where(fwd, d, s), pa.int64()),
+            }
+        )
+
+    return copurchase_edges(sf_dir).map_batches(
+        _orient, batch_format="pyarrow"
+    )
+
+
 def _q_scc(sf_dir: str):
     """Strongly connected components (algorithms/scc.py — trim +
     forward-color + backward-mark rounds) of a deterministic DIRECTED
@@ -708,9 +747,7 @@ def _q_scc(sf_dir: str):
             }
         )
 
-    directed = copurchase_edges(sf_dir).map_batches(
-        _orient, batch_format="pyarrow"
-    )
+    directed = _scc_directed_edges(sf_dir)
     universe = part_universe(sf_dir)
     tagged = hits_graph_edges(directed)
     g = build_graph(
@@ -723,6 +760,101 @@ def _q_scc(sf_dir: str):
 
 MSF_W_CAP = 8
 MSF_CC_ROUNDS = 6
+
+
+CON_K = 16       # condensation longest-path cap (shared with the unroll)
+CON_SPARSE = 4   # keep edges with (z >> 1) % CON_SPARSE == 0
+
+
+def _q_scc_condensed_depth(sf_dir: str):
+    """Two-algorithm composition: SCC coloring condenses the directed
+    graph (condensation = one vertex per SCC, cross-component edges
+    distinct) — a DAG by construction — then the max-plus
+    longest-path engine layers it: each SCC's critical-path depth,
+    capped at CON_K (min(longest, K) semantics keep the SQL unroll
+    finite on any graph).  The scheduling/stratification shape over
+    cyclic inputs."""
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.algorithms import depth_table, longest_path
+    from essentials_rd.graph import build_graph
+    from essentials_rd.pipelines import _work_dir
+    from essentials_rd.util import np_col
+
+    from essentials_rd.algorithms import hits_graph_edges, scc_coloring
+    from essentials_rd.pipelines import part_universe
+
+    directed = _scc_directed_edges(sf_dir, sparse=CON_SPARSE).materialize()
+    universe = part_universe(sf_dir)
+    gd = build_graph(
+        hits_graph_edges(directed), _work_dir("sccsp"), 8,
+        symmetrize=False, weighted=True,
+        vertex_ids=universe[universe % SCC_MOD == 0], persist=False,
+    )
+    labs, _ = scc_coloring(gd)
+    vid = np.asarray(labs["vid"], np.int64)
+    scc = np.asarray(labs["scc"], np.int64)
+    lref = ray.put((vid, scc))
+
+    def _condense(t: pa.Table) -> pa.Table:
+        v_, s_ = ray.get(lref)
+        u = s_[np.searchsorted(v_, np_col(t, "src"))]
+        w = s_[np.searchsorted(v_, np_col(t, "dst"))]
+        keep = u != w
+        u, w = u[keep], w[keep]
+        if not len(u):
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        dd = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+        return pa.table({"src": pa.array(u[dd], pa.int64()),
+                         "dst": pa.array(w[dd], pa.int64())})
+
+    cedges = directed.map_batches(_condense, batch_format="pyarrow")
+    g = build_graph(
+        cedges, _work_dir("scccond"), 4, symmetrize=False,
+        vertex_ids=np.unique(scc), persist=False,
+    )
+    res = longest_path(g, max_iters=CON_K, checkpoint_every=0,
+                       scatter_mode="fused")
+    t = depth_table(res)
+    return pa.table({"scc": t["vid"], "depth": t["depth"]})
+
+
+def _scc_condensed_depth_sql() -> str:
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes(
+        "sc", "src, dst",
+        f"CAST(src AS HUGEINT) * 4294967296 + dst + {mix}",
+        f"(SELECT src, dst FROM pairs "
+        f"WHERE src % {SCC_MOD} = 0 AND dst % {SCC_MOD} = 0)",
+    )
+    steps = [f"""{_scc_ctes(chain, sparse=CON_SPARSE)},
+cedges AS MATERIALIZED (
+  SELECT DISTINCT la.scc AS src, lb.scc AS dst
+  FROM dedges d JOIN labs la ON la.vid = d.u
+  JOIN labs lb ON lb.vid = d.v WHERE la.scc <> lb.scc
+),
+cverts AS (SELECT DISTINCT scc AS vid FROM labs),
+cd0 AS MATERIALIZED (SELECT vid, CAST(0 AS BIGINT) AS depth FROM cverts)"""]
+    for k in range(CON_K):
+        steps.append(f"""
+cm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, max(l.depth + 1) AS md
+  FROM cedges e JOIN cd{k} l ON l.vid = e.src GROUP BY e.dst
+),
+cd{k + 1} AS MATERIALIZED (
+  SELECT v.vid, greatest(v.depth, COALESCE(m.md, v.depth)) AS depth
+  FROM cd{k} v LEFT JOIN cm{k} m ON m.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH RECURSIVE {body} "
+        f"SELECT vid AS scc, CAST(depth AS BIGINT) AS depth "
+        f"FROM cd{CON_K} ORDER BY scc"
+    )
 
 
 def _q_msf(sf_dir: str):
@@ -4203,6 +4335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring_w3": _q_coloring,
         "hits_k4": _q_hits,
         "scc_labels": _q_scc,
+        "scc_condensed_depth": _q_scc_condensed_depth,
         "msf_total": _q_msf,
         "geo_infer": _q_geo,
         "bc_sampled": _q_betweenness,
@@ -4962,12 +5095,21 @@ def _scc_sql() -> str:
         f"(SELECT src, dst FROM pairs "
         f"WHERE src % {SCC_MOD} = 0 AND dst % {SCC_MOD} = 0)",
     )
-    return f"""
-WITH RECURSIVE {_GRAPH_CTES}, {chain},
+    return f"""WITH RECURSIVE {_scc_ctes(chain)}
+SELECT vid, CAST(scc AS BIGINT) AS scc FROM labs ORDER BY vid
+"""
+
+
+def _scc_ctes(chain: str, sparse: int | None = None) -> str:
+    """Shared SCC CTE body (dedges → reach → mutual → labs); used by
+    the scc_labels and scc_condensed_depth oracles.  ``sparse`` adds
+    the condensation query's (z >> 1) % m = 0 edge filter."""
+    flt = f"WHERE (z >> 1) % {sparse} = 0" if sparse else ""
+    return f"""{_GRAPH_CTES}, {chain},
 dedges AS MATERIALIZED (
   SELECT CASE WHEN z % 2 = 0 THEN src ELSE dst END AS u,
          CASE WHEN z % 2 = 0 THEN dst ELSE src END AS v
-  FROM sc3
+  FROM sc3 {flt}
 ),
 reach AS (
   SELECT u, v FROM dedges
@@ -4983,9 +5125,7 @@ labs AS (
   FROM (SELECT vid FROM verts WHERE vid % {SCC_MOD} = 0) w
   LEFT JOIN mutual m ON m.x = w.vid
   GROUP BY w.vid
-)
-SELECT vid, CAST(scc AS BIGINT) AS scc FROM labs ORDER BY vid
-"""
+)"""
 
 
 def _msf_sql() -> str:
@@ -5401,6 +5541,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "minhash_lsh_pairs": _near_dup_pairs_sql(),
         "hits_k4": _hits_sql(),
         "scc_labels": _scc_sql(),
+        "scc_condensed_depth": _scc_condensed_depth_sql(),
         "msf_total": _msf_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "embedding_clusters": _embedding_clusters_sql(),
