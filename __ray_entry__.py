@@ -766,6 +766,64 @@ CON_K = 16       # condensation longest-path cap (shared with the unroll)
 CON_SPARSE = 4   # keep edges with (z >> 1) % CON_SPARSE == 0
 
 
+def _q_activity_gini(sf_dir: str):
+    """Inequality diagnostics, integer-exact: the Gini coefficient of
+    per-user event counts via its rank form — num = Σ(2·rank − n − 1)·c
+    over counts ranked ascending (ties broken by user id; any total
+    order over equal counts gives the same num since their coefficient
+    sums are equal) — composed from grouped counts + global_rank, with
+    (n, num, total) emitted as exact int64 so gini = num/(n·total)
+    derives driver-side."""
+    import ray.data as rd
+
+    from essentials_rd.ops import global_rank, grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    counts = grouped_pandas_agg(
+        ev, ["user_id"], {"cnt": ("user_id", "count")},
+        key_fn=lambda b: np_col(b, "user_id"), num_buckets=16,
+    ).materialize()
+    n = counts.count()
+    ranked = global_rank(counts, "cnt", ["user_id"],
+                         key_fn=lambda b: np_col(b, "cnt"), n_parts=8)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = np_col(t, "cnt")
+        r = np_col(t, "rank")
+        return pa.table(
+            {
+                "num": pa.array([int(((2 * r - n - 1) * c).sum())],
+                                pa.int64()),
+                "total": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    rows = ranked.map_batches(_partial, batch_format="pyarrow").take_all()
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "gini_num": pa.array([sum(r["num"] for r in rows)], pa.int64()),
+            "total_events": pa.array([sum(r["total"] for r in rows)],
+                                     pa.int64()),
+        }
+    )
+
+
+def _activity_gini_sql() -> str:
+    return (
+        "WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM events GROUP BY user_id), "
+        "r AS (SELECT cnt, CAST(row_number() OVER ("
+        "ORDER BY cnt, user_id) AS BIGINT) AS rank, "
+        "CAST(count(*) OVER () AS BIGINT) AS n FROM c) "
+        "SELECT CAST(max(n) AS BIGINT) AS n_users, "
+        "CAST(sum((2 * rank - n - 1) * cnt) AS BIGINT) AS gini_num, "
+        "CAST(sum(cnt) AS BIGINT) AS total_events FROM r"
+    )
+
+
 def _q_scc_condensed_depth(sf_dir: str):
     """Two-algorithm composition: SCC coloring condenses the directed
     graph (condensation = one vertex per SCC, cross-component edges
@@ -4336,6 +4394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_k4": _q_hits,
         "scc_labels": _q_scc,
         "scc_condensed_depth": _q_scc_condensed_depth,
+        "activity_gini": _q_activity_gini,
         "msf_total": _q_msf,
         "geo_infer": _q_geo,
         "bc_sampled": _q_betweenness,
@@ -5542,6 +5601,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "hits_k4": _hits_sql(),
         "scc_labels": _scc_sql(),
         "scc_condensed_depth": _scc_condensed_depth_sql(),
+        "activity_gini": _activity_gini_sql(),
         "msf_total": _msf_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "embedding_clusters": _embedding_clusters_sql(),
