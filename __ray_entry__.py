@@ -766,6 +766,54 @@ CON_K = 16       # condensation longest-path cap (shared with the unroll)
 CON_SPARSE = 4   # keep edges with (z >> 1) % CON_SPARSE == 0
 
 
+NEG_K = 3
+NEG_TRIES = 12
+
+
+def _q_negative_samples(sf_dir: str):
+    """Deterministic negative sampling (sampling.negative_samples):
+    per vertex up to 3 non-neighbors from 12 hash proposals over the
+    sorted vertex universe — the link-prediction/GNN training
+    counterpart of neighbor_sample_k3, pure function of (graph, seed),
+    adjacency tested against the shared packed edge-key object."""
+    from essentials_rd.sampling import negative_samples
+
+    g, _ = _graph(sf_dir)
+    out = negative_samples(g, NEG_K, tries=NEG_TRIES, seed=SAMPLE_SEED)
+    return out
+
+
+def _negative_samples_sql() -> str:
+    c_mul = 0x9E3779B97F4A7C15 & (2**63 - 1)
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes(
+        "nz", "u, i",
+        f"CAST(u AS HUGEINT) * {c_mul} + i + {mix}",
+        "(SELECT s.vid AS u, t.i FROM srcs s, "
+        f"LATERAL (SELECT unnest(range(0, {NEG_TRIES})) AS i) t)",
+    )
+    return (
+        f"WITH {_GRAPH_CTES}, "
+        "srcs AS (SELECT DISTINCT src AS vid FROM sym), "
+        "uni AS (SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 "
+        "AS BIGINT) AS r FROM verts), "
+        "nn2 AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM verts), "
+        f"{chain}, "
+        "pr0 AS MATERIALIZED (SELECT z3.u, z3.i, "
+        "CAST(CAST(z3.z AS HUGEINT) % m.n AS BIGINT) AS r "
+        "FROM nz3 z3 CROSS JOIN nn2 m), "
+        "prop AS MATERIALIZED (SELECT p.u, p.i, v.vid AS cand "
+        "FROM pr0 p JOIN uni v USING (r)), "
+        "acc AS (SELECT p.u, p.i, p.cand FROM prop p "
+        "LEFT JOIN sym e ON e.src = p.u AND e.dst = p.cand "
+        "WHERE p.cand <> p.u AND e.src IS NULL), "
+        "rk AS (SELECT u, cand, i, row_number() OVER ("
+        "PARTITION BY u ORDER BY i) AS rn FROM acc) "
+        "SELECT u AS src, cand AS neg, CAST(i AS BIGINT) AS try_i "
+        f"FROM rk WHERE rn <= {NEG_K} ORDER BY src, try_i"
+    )
+
+
 def _q_activity_gini(sf_dir: str):
     """Inequality diagnostics, integer-exact: the Gini coefficient of
     per-user event counts via its rank form — num = Σ(2·rank − n − 1)·c
@@ -4395,6 +4443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_labels": _q_scc,
         "scc_condensed_depth": _q_scc_condensed_depth,
         "activity_gini": _q_activity_gini,
+        "negative_samples_k3": _q_negative_samples,
         "msf_total": _q_msf,
         "geo_infer": _q_geo,
         "bc_sampled": _q_betweenness,
@@ -5602,6 +5651,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "scc_labels": _scc_sql(),
         "scc_condensed_depth": _scc_condensed_depth_sql(),
         "activity_gini": _activity_gini_sql(),
+        "negative_samples_k3": _negative_samples_sql(),
         "msf_total": _msf_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "embedding_clusters": _embedding_clusters_sql(),

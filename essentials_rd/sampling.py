@@ -356,3 +356,75 @@ def random_walks(g: GraphShards, steps: int, seed: int = 42) -> rd.Dataset:
         step_outputs.extend(o[0] for o in outs)
         positions = [[outs[q][1 + p] for q in range(P)] for p in range(P)]
     return rd.from_arrow_refs(step_outputs)
+
+
+def _neg_shard(
+    k: int, tries: int, mix: np.uint64, universe: np.ndarray,
+    edge_keys: np.ndarray, shard: dict,
+) -> pa.Table:
+    """Negative proposals for one shard's vertices, vectorized per try:
+    candidate i for vertex u is ``universe[splitmix64(u·C + i + mix)
+    mod |V|]``; rejected if self or an actual (symmetrized) edge; each
+    vertex keeps its first k accepted proposals in try order."""
+    srcs = shard["srcs"].astype(np.int64)
+    if not len(srcs):
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "neg": pa.array([], pa.int64()),
+                         "try_i": pa.array([], pa.int64())})
+    n_u = np.uint64(len(universe))
+    taken = np.zeros(len(srcs), np.int64)
+    out_s, out_c, out_i = [], [], []
+    u64 = srcs.astype(np.uint64)
+    for i in range(tries):
+        with np.errstate(over="ignore"):
+            z = hash64(u64 * np.uint64(_GOLDEN & (2**63 - 1))
+                       + np.uint64(i) + mix)
+        cand = universe[(z % n_u).astype(np.int64)]
+        pk = (u64 << np.uint64(32)) | cand.astype(np.uint64)
+        pos = np.searchsorted(edge_keys, pk)
+        member = (pos < len(edge_keys)) & (
+            edge_keys[np.minimum(pos, max(len(edge_keys) - 1, 0))] == pk
+        ) if len(edge_keys) else np.zeros(len(pk), bool)
+        ok = (cand != srcs) & ~member & (taken < k)
+        taken += ok
+        sel = np.flatnonzero(ok)
+        out_s.append(srcs[sel])
+        out_c.append(cand[sel])
+        out_i.append(np.full(len(sel), i, np.int64))
+    s = np.concatenate(out_s)
+    c = np.concatenate(out_c)
+    ii = np.concatenate(out_i)
+    order = np.lexsort((ii, s))
+    return pa.table({"src": pa.array(s[order], pa.int64()),
+                     "neg": pa.array(c[order], pa.int64()),
+                     "try_i": pa.array(ii[order], pa.int64())})
+
+
+def negative_samples(
+    g: GraphShards, k: int, tries: int | None = None, seed: int = 42
+) -> rd.Dataset:
+    """Deterministic NEGATIVE sampling for link-prediction / GNN
+    training: per (non-isolated) vertex, up to ``k`` vertices it is
+    NOT adjacent to, chosen as the first accepted of ``tries`` hash
+    proposals over the sorted vertex universe — a pure function of
+    (graph, seed), identical at any cluster size, and reproducible by
+    a SQL twin (proposal index + ROW_NUMBER).  One vectorized task per
+    CSR shard; the adjacency test probes TC's shared sorted packed
+    edge-key plasma object (symmetrized, so one direction suffices).
+    Vertices whose k negatives aren't found within ``tries`` (dense
+    neighborhoods) return fewer — deterministic, never silently
+    resampled.  Result: Dataset[src, neg, try_i]."""
+    from .algorithms.tc import _packed_edge_keys
+
+    vids = np.sort(np.asarray(ray.get(g.vertex_ids_ref), np.int64))
+    assert len(vids) == 0 or vids[-1] < 2**32, (
+        "negative_samples packs (src, cand) probe keys: ids < 2^32"
+    )
+    tries = tries if tries is not None else 4 * k
+    keys_ref = _packed_edge_keys.remote(*g.shard_refs)
+    uref = ray.put(vids)
+    task = ray.remote(_neg_shard)
+    mix = _seed_mix(seed)
+    refs = [task.remote(k, tries, mix, uref, keys_ref, ref)
+            for ref in g.shard_refs]
+    return rd.from_arrow_refs(refs)

@@ -265,3 +265,23 @@ def test_ra_link_prediction_matches_bruteforce(tmp_path):
         rows = [(r["v"], r["w"], r["score"], r["n_common"])
                 for r in got.to_pylist()]
         assert rows == want, f"buckets={nb_}"
+
+
+def test_negative_samples_valid_and_invariant(tmp_path):
+    from essentials_rd.sampling import negative_samples
+
+    g3, edges = _graph(3, tmp_path, seed=17)
+    g5, _ = _graph(5, tmp_path, seed=17)
+    k = 4
+    a = sorted(map(tuple, negative_samples(g3, k, seed=9).take_all()
+                   and [(r["src"], r["neg"], r["try_i"])
+                        for r in negative_samples(g3, k, seed=9).take_all()]))
+    b = sorted((r["src"], r["neg"], r["try_i"])
+               for r in negative_samples(g5, k, seed=9).take_all())
+    assert a == b  # partition-count invariant
+    per = {}
+    for s, c, i in a:
+        assert (s, c) not in edges and s != c  # true negatives
+        per.setdefault(s, []).append(i)
+    assert all(len(v) <= k for v in per.values())
+    assert any(len(v) == k for v in per.values())
