@@ -1961,9 +1961,13 @@ def substring_search(
     """Exact substring search via the trigram index: candidate docs
     must contain EVERY distinct trigram of the needle (AND-probe over
     only those grams' partitions — lossless blocking: a true match
-    contains all of them), then one pruned scan verifies contains()
-    exactly.  Needles shorter than 3 chars raise (no gram to probe —
-    scan instead).  Returns (doc_id, n_matches) sorted by doc_id."""
+    contains all of them), then a verify pass confirms contains()
+    exactly.  The verify here streams the docs dataset and drops
+    non-candidate ROWS (IO still scans the text column); at 100 TB lay
+    the corpus out id-partitioned (sinks.write_partitioned) and read
+    only the candidate ids' partitions — the index tells you which.
+    Needles shorter than 3 chars raise (no gram to probe — scan
+    instead).  Returns (doc_id, n_matches) sorted by doc_id."""
     import os
 
     import pyarrow.parquet as pq_
