@@ -153,3 +153,62 @@ def test_results_invariant_under_partition_count(tmp_path):
     assert np.allclose(out[2]["pr"], out[5]["pr"], atol=1e-12)
     for key in ("cc", "bfs", "kcore"):
         assert np.array_equal(out[2][key], out[5][key]), key
+
+
+def _lev(a: str, b: str) -> int:
+    """Textbook DP Levenshtein (the spec for _edit1_verify)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(st.lists(st.text(alphabet="abcx", min_size=0, max_size=9),
+                min_size=2, max_size=12))
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_edit1_verify_matches_dp_levenshtein(strs):
+    import numpy as np
+
+    from essentials_rd.textops import _codes_and_lens, _edit1_verify
+
+    codes, lens = _codes_and_lens(strs, 16)
+    n = len(strs)
+    ia, ib = np.triu_indices(n, k=1)
+    ok, dist = _edit1_verify(codes, lens,
+                             ia.astype(np.int64), ib.astype(np.int64))
+    for t, (i, j) in enumerate(zip(ia, ib)):
+        want = _lev(strs[i], strs[j])
+        assert bool(ok[t]) == (want <= 1), (strs[i], strs[j], want)
+        if ok[t]:
+            assert dist[t] == want, (strs[i], strs[j])
+
+
+@given(st.lists(st.text(alphabet="ab", min_size=0, max_size=7),
+                min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_deletion_neighborhood_blocking_is_lossless(strs):
+    """FastSS k=1 recall-1.0 claim: any pair at distance ≤ 1 MUST
+    share a variant hash."""
+    import numpy as np
+
+    from essentials_rd.textops import _codes_and_lens, \
+        _deletion_variant_hashes
+
+    codes, lens = _codes_and_lens(strs, 16)
+    rows, vh = _deletion_variant_hashes(codes, lens)
+    per = {}
+    for r, h in zip(rows, vh):
+        per.setdefault(int(r), set()).add(int(h))
+    for i in range(len(strs)):
+        for j in range(i + 1, len(strs)):
+            if _lev(strs[i], strs[j]) <= 1:
+                assert per.get(i, set()) & per.get(j, set()), (
+                    strs[i], strs[j])
