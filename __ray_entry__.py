@@ -770,6 +770,75 @@ NEG_K = 3
 NEG_TRIES = 12
 
 
+def _q_transitivity(sf_dir: str):
+    """Global transitivity (clustering) ratio as exact integers:
+    (3·triangles, wedges) with wedges = Σ deg·(deg−1)/2 from the shard
+    degree tables — the float ratio derives driver-side; reuses the
+    cached TC total and the degree pass."""
+    import ray
+
+    from essentials_rd.util import np_col
+
+    tri = int(_q_triangles_total(sf_dir)["triangles"][0].as_py())
+    g, _ = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    deg = np.zeros(len(vids), np.int64)
+    for t in ray.get(list(g.degree_refs)):
+        pos = np.searchsorted(vids, np_col(t, "vid"))
+        deg[pos] += np_col(t, "outdeg")
+    wedges = int((deg * (deg - 1) // 2).sum())
+    return pa.table(
+        {
+            "tri3": pa.array([3 * tri], pa.int64()),
+            "wedges": pa.array([wedges], pa.int64()),
+        }
+    )
+
+
+def _q_brand_homophily(sf_dir: str):
+    """Attribute homophily of the co-purchase graph: of all edges, how
+    many join parts of the SAME brand — (n_edges, n_same) exact ints
+    via one broadcast partkey→brand lookup over the edge table (the
+    label-agreement signal under any vertex attribute)."""
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.util import np_col
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    rows = part.take_all()
+    pk = np.array([r["p_partkey"] for r in rows], np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brands = np.asarray([rows[i]["p_brand"] for i in order], object)
+    bref = ray.put((pk, brands))
+
+    _, edges = _graph(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        k, b = ray.get(bref)
+        s = np_col(t, "src")
+        d = np_col(t, "dst")
+        same = b[np.searchsorted(k, s)] == b[np.searchsorted(k, d)]
+        return pa.table(
+            {
+                "n": pa.array([len(s)], pa.int64()),
+                "same": pa.array([int(same.sum())], pa.int64()),
+            }
+        )
+
+    parts = (edges.select_columns(["src", "dst"])
+             .map_batches(_partial, batch_format="pyarrow").take_all())
+    return pa.table(
+        {
+            "n_edges": pa.array([sum(r["n"] for r in parts)], pa.int64()),
+            "n_same_brand": pa.array([sum(r["same"] for r in parts)],
+                                     pa.int64()),
+        }
+    )
+
+
 def _q_negative_samples(sf_dir: str):
     """Deterministic negative sampling (sampling.negative_samples):
     per vertex up to 3 non-neighbors from 12 hash proposals over the
@@ -4444,6 +4513,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_condensed_depth": _q_scc_condensed_depth,
         "activity_gini": _q_activity_gini,
         "negative_samples_k3": _q_negative_samples,
+        "transitivity": _q_transitivity,
+        "brand_homophily": _q_brand_homophily,
         "msf_total": _q_msf,
         "geo_infer": _q_geo,
         "bc_sampled": _q_betweenness,
@@ -5652,6 +5723,24 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "scc_condensed_depth": _scc_condensed_depth_sql(),
         "activity_gini": _activity_gini_sql(),
         "negative_samples_k3": _negative_samples_sql(),
+        "transitivity": (
+            f"WITH {_GRAPH_CTES}, "
+            "tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ("
+            "SELECT 1 FROM pairs ab JOIN pairs bc "
+            "ON bc.src = ab.dst JOIN pairs ac "
+            "ON ac.src = ab.src AND ac.dst = bc.dst)) "
+            "SELECT CAST(3 * (SELECT t FROM tri) AS BIGINT) AS tri3, "
+            "CAST(sum(outdeg * (outdeg - 1) // 2) AS BIGINT) AS wedges "
+            "FROM deg"
+        ),
+        "brand_homophily": (
+            f"WITH {_GRAPH_CTES} "
+            "SELECT CAST(count(*) AS BIGINT) AS n_edges, "
+            "CAST(sum(CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_same_brand "
+            "FROM pairs e JOIN part a ON a.p_partkey = e.src "
+            "JOIN part b ON b.p_partkey = e.dst"
+        ),
         "msf_total": _msf_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "embedding_clusters": _embedding_clusters_sql(),
