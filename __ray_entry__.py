@@ -770,6 +770,38 @@ NEG_K = 3
 NEG_TRIES = 12
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Classifier evaluation as a distributed op: the lang-ID
+    confusion matrix (label, predicted, n) — lang_id's per-doc argmax
+    (integer weights, SQL-exact) fed through one grouped count; the
+    model-eval shape every curation pipeline ends with."""
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.textops import build_lang_profiles, lang_id
+    from essentials_rd.windows import _pair_bucket_key
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"]).materialize()
+    prof = build_lang_profiles(docs, top_k=LANG_TOPK)
+    preds = lang_id(docs, ray.put(prof)).select_columns(
+        ["lang", "pred_lang"])
+
+    def _key(b: pa.Table) -> np.ndarray:
+        from essentials_rd.derive import _str_hash
+
+        with np.errstate(over="ignore"):
+            return (_str_hash(b.column("lang"))
+                    + np.int64(31) * _str_hash(b.column("pred_lang")))
+
+    return grouped_pandas_agg(
+        preds, ["lang", "pred_lang"],
+        {"n": ("lang", "count")},
+        key_fn=_key, num_buckets=8,
+    )
+
+
 def _q_transitivity(sf_dir: str):
     """Global transitivity (clustering) ratio as exact integers:
     (3·triangles, wedges) with wedges = Σ deg·(deg−1)/2 from the shard
@@ -4513,6 +4545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_condensed_depth": _q_scc_condensed_depth,
         "activity_gini": _q_activity_gini,
         "negative_samples_k3": _q_negative_samples,
+        "lang_confusion": _q_lang_confusion,
         "transitivity": _q_transitivity,
         "brand_homophily": _q_brand_homophily,
         "msf_total": _q_msf,
@@ -5723,6 +5756,14 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "scc_condensed_depth": _scc_condensed_depth_sql(),
         "activity_gini": _activity_gini_sql(),
         "negative_samples_k3": _negative_samples_sql(),
+        "lang_confusion": (
+            f"WITH {_lang_ctes()} "
+            "SELECT d.lang, COALESCE(b.plang, "
+            "(SELECT min(lang) FROM documents)) AS pred_lang, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "transitivity": (
             f"WITH {_GRAPH_CTES}, "
             "tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ("
