@@ -770,6 +770,29 @@ NEG_K = 3
 NEG_TRIES = 12
 
 
+def _q_orders_validation(sf_dir: str):
+    """Data-quality gate (ops.validate_table): declarative per-rule
+    violation counts over orders — the promote/block check before a
+    100 TB extract ships; rules chosen so both clean and violated
+    regimes appear (totalprice over a deliberately tight cap)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import validate_table
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return validate_table(orders, [
+        {"name": "orderkey_positive", "col": "o_orderkey",
+         "not_null": True, "min": 1},
+        {"name": "custkey_not_null", "col": "o_custkey",
+         "not_null": True},
+        {"name": "price_under_300k", "col": "o_totalprice",
+         "min": 0.0, "max": 300_000.0},
+    ])
+
+
 def _q_lang_confusion(sf_dir: str):
     """Classifier evaluation as a distributed op: the lang-ID
     confusion matrix (label, predicted, n) — lang_id's per-doc argmax
@@ -4546,6 +4569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_gini": _q_activity_gini,
         "negative_samples_k3": _q_negative_samples,
         "lang_confusion": _q_lang_confusion,
+        "orders_validation": _q_orders_validation,
         "transitivity": _q_transitivity,
         "brand_homophily": _q_brand_homophily,
         "msf_total": _q_msf,
@@ -5756,6 +5780,19 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "scc_condensed_depth": _scc_condensed_depth_sql(),
         "activity_gini": _activity_gini_sql(),
         "negative_samples_k3": _negative_samples_sql(),
+        "orders_validation": (
+            "SELECT rule, CAST(v AS BIGINT) AS n_violations, "
+            "CAST(n AS BIGINT) AS n_rows FROM ("
+            "SELECT 'custkey_not_null' AS rule, "
+            "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v, "
+            "count(*) AS n FROM orders "
+            "UNION ALL SELECT 'orderkey_positive', "
+            "sum(CASE WHEN o_orderkey IS NULL OR o_orderkey < 1 "
+            "THEN 1 ELSE 0 END), count(*) FROM orders "
+            "UNION ALL SELECT 'price_under_300k', "
+            "sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 300000 "
+            "THEN 1 ELSE 0 END), count(*) FROM orders) ORDER BY rule"
+        ),
         "lang_confusion": (
             f"WITH {_lang_ctes()} "
             "SELECT d.lang, COALESCE(b.plang, "

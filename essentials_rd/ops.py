@@ -2398,3 +2398,58 @@ def weighted_sample(
         return batch.take(pa.array(np.flatnonzero(mask)))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def validate_table(
+    ds: rd.Dataset,
+    rules: list[dict],
+) -> pa.Table:
+    """Distributed data-quality gate: evaluate declarative rules over
+    every row and report per-rule violation counts — the CI check a
+    pipeline runs before promoting a 100 TB extract.  Each rule is
+    ``{"name", "col", ...}`` with optional ``not_null: True``,
+    ``min``/``max`` (inclusive bounds on numeric columns) — a row
+    violates the rule if any stated condition fails (NULL violates
+    bounds only via not_null).  Zero shuffle: one count vector per
+    block, folded driver-side.  Returns (rule, n_violations, n_rows)
+    sorted by rule."""
+    names = [r["name"] for r in rules]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        out = []
+        for r in rules:
+            col = batch.column(r["col"])
+            viol = pa.array(np.zeros(n, bool))
+            if r.get("not_null"):
+                viol = pc.or_(viol, pc.is_null(col))
+            if "min" in r:
+                bad = pc.fill_null(pc.less(col, r["min"]), False)
+                viol = pc.or_(viol, bad)
+            if "max" in r:
+                bad = pc.fill_null(pc.greater(col, r["max"]), False)
+                viol = pc.or_(viol, bad)
+            out.append(int(pc.sum(viol).as_py() or 0))
+        return pa.table(
+            {
+                "rule": pa.array(names, pa.string()),
+                "v": pa.array(out, pa.int64()),
+                "n": pa.array([n] * len(rules), pa.int64()),
+            }
+        )
+
+    totals = {m: [0, 0] for m in names}
+    for row in ds.map_batches(_partial, batch_format="pyarrow").take_all():
+        totals[row["rule"]][0] += row["v"]
+        totals[row["rule"]][1] += row["n"]
+    order = sorted(names)
+    return pa.table(
+        {
+            "rule": pa.array(order, pa.string()),
+            "n_violations": pa.array([totals[m][0] for m in order],
+                                     pa.int64()),
+            "n_rows": pa.array([totals[m][1] for m in order], pa.int64()),
+        }
+    )
