@@ -770,6 +770,48 @@ NEG_K = 3
 NEG_TRIES = 12
 
 
+def _q_lang_fertility(sf_dir: str):
+    """Tokenizer-fertility table per language: (n_docs, Σ chars,
+    Σ whitespace tokens, Σ BPE-ish regex tokens) as exact ints — the
+    chars-per-token / cost-estimation numbers a multilingual training
+    budget needs; token_counts' compiled-regex pass + one grouped
+    sum."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.textops import BPE_TOKEN_RE
+
+    import re as _re
+
+    compiled = _re.compile(BPE_TOKEN_RE)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text", "n_chars"])
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas()
+        nws = s.str.split(" ").str.len().to_numpy(np.int64)
+        nre = s.str.count(compiled).to_numpy(np.int64)
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+                "ws": pa.array(nws, pa.int64()),
+                "re": pa.array(nre, pa.int64()),
+            }
+        )
+
+    return grouped_pandas_agg(
+        docs.map_batches(_cnt, batch_format="pyarrow"),
+        ["lang"],
+        {"n_docs": ("ws", "count"), "sum_chars": ("n_chars", "sum"),
+         "sum_ws_tokens": ("ws", "sum"), "sum_re_tokens": ("re", "sum")},
+        key_fn=lambda b: _str_hash(b.column("lang")),
+        num_buckets=4,
+    )
+
+
 def _q_orders_validation(sf_dir: str):
     """Data-quality gate (ops.validate_table): declarative per-rule
     violation counts over orders — the promote/block check before a
@@ -4570,6 +4612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples_k3": _q_negative_samples,
         "lang_confusion": _q_lang_confusion,
         "orders_validation": _q_orders_validation,
+        "lang_fertility": _q_lang_fertility,
         "transitivity": _q_transitivity,
         "brand_homophily": _q_brand_homophily,
         "msf_total": _q_msf,
@@ -5780,6 +5823,15 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "scc_condensed_depth": _scc_condensed_depth_sql(),
         "activity_gini": _activity_gini_sql(),
         "negative_samples_k3": _negative_samples_sql(),
+        "lang_fertility": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) "
+            "AS sum_ws_tokens, "
+            "CAST(sum(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) "
+            "AS sum_re_tokens FROM documents GROUP BY lang ORDER BY lang"
+        ),
         "orders_validation": (
             "SELECT rule, CAST(v AS BIGINT) AS n_violations, "
             "CAST(n AS BIGINT) AS n_rows FROM ("
