@@ -770,6 +770,37 @@ NEG_K = 3
 NEG_TRIES = 12
 
 
+BAND_SPAN = 25  # cents
+
+
+def _q_price_band_pairs(sf_dir: str):
+    """Keyless self band join (ops.band_join_self): all order pairs
+    whose totals differ by ≤ 25 cents — the pure theta-join (no
+    equality key) hash joins can't express; range partitioning on the
+    value + downward ghost copies keep the exchange ~2×rows, one
+    lexsort + window expansion per partition."""
+    import ray.data as rd
+
+    from essentials_rd.ops import band_join_self
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        p = np.asarray(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        return pa.table(
+            {"id": t.column("o_orderkey"),
+             "v": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64))}
+        )
+
+    return band_join_self(
+        orders.map_batches(_cents, batch_format="pyarrow"),
+        "id", "v", BAND_SPAN, n_parts=16,
+    )
+
+
 def _q_lang_fertility(sf_dir: str):
     """Tokenizer-fertility table per language: (n_docs, Σ chars,
     Σ whitespace tokens, Σ BPE-ish regex tokens) as exact ints — the
@@ -4613,6 +4644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "orders_validation": _q_orders_validation,
         "lang_fertility": _q_lang_fertility,
+        "price_band_pairs": _q_price_band_pairs,
         "transitivity": _q_transitivity,
         "brand_homophily": _q_brand_homophily,
         "msf_total": _q_msf,
@@ -5823,6 +5855,15 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "scc_condensed_depth": _scc_condensed_depth_sql(),
         "activity_gini": _activity_gini_sql(),
         "negative_samples_k3": _negative_samples_sql(),
+        "price_band_pairs": (
+            "WITH c AS MATERIALIZED (SELECT o_orderkey AS id, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v "
+            "FROM orders) "
+            "SELECT a.id AS a_id, b.id AS b_id, b.v - a.v AS vdiff "
+            "FROM c a JOIN c b ON (a.v < b.v OR "
+            "(a.v = b.v AND a.id < b.id)) "
+            f"AND b.v - a.v <= {BAND_SPAN}"
+        ),
         "lang_fertility": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "

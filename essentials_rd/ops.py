@@ -2453,3 +2453,102 @@ def validate_table(
             "n_rows": pa.array([totals[m][1] for m in order], pa.int64()),
         }
     )
+
+
+def band_join_self(
+    ds: rd.Dataset,
+    id_col: str,
+    val_col: str,
+    span: int,
+    n_parts: int = 32,
+    key_fn: Callable[[pa.Table], np.ndarray] | None = None,
+    seed: int = 42,
+) -> rd.Dataset:
+    """KEYLESS self band join: all row pairs whose int64 values differ
+    by at most ``span`` — the pure theta-join (|vₐ − v_b| ≤ c with no
+    equality key) that hash joins cannot express.  Plan: deterministic
+    range partitioning on the value; each row lands once as the pair's
+    canonical LEFT (owner = partition of the smaller (val, id)) and as
+    a GHOST right copy in every partition covering [v − span, v] — at
+    sane span/partition-width ratios that is ≤ 2 copies, so the
+    exchange stays ~2×|rows|, never all-pairs.  Per partition one
+    lexsort + searchsorted window expansion: O(n log n + matches).
+    Output (a_id, b_id, vdiff) where a is the pair's smaller (val, id)
+    — every pair appears exactly once (proof: its owner partition is
+    unique, and in-partition expansion emits each (i, j>i) window pair
+    once)."""
+    if key_fn is None:
+        key_fn = lambda b: np_col(b, id_col)
+    routed, bounds = range_partition(ds, val_col, n_parts, key_fn,
+                                     seed=seed)
+
+    def _ghost(batch: pa.Table) -> pa.Table:
+        v = np_col(batch, val_col)
+        i = np_col(batch, id_col)
+        own = np.searchsorted(bounds, v, side="right").astype(np.int64)
+        lo = np.searchsorted(bounds, v - span, side="right").astype(np.int64)
+        outs = []
+        # copy into every partition from p(v−span) to p(v) (owner copy
+        # carries kind=0, ghosts kind=1; within the owner partition the
+        # row acts as both sides via kind=0)
+        max_spread = int((own - lo).max()) if len(v) else 0
+        for d in range(max_spread + 1):
+            sel = own - lo >= d
+            if not sel.any():
+                break
+            p = lo[sel] + d
+            kind = (p != own[sel]).astype(np.int8)
+            outs.append(pa.table(
+                {
+                    id_col: pa.array(i[sel], pa.int64()),
+                    val_col: pa.array(v[sel], pa.int64()),
+                    "part_id": pa.array(p, pa.int64()),
+                    "kind": pa.array(kind, pa.int8()),
+                }
+            ))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {id_col: pa.array([], pa.int64()),
+             val_col: pa.array([], pa.int64()),
+             "part_id": pa.array([], pa.int64()),
+             "kind": pa.array([], pa.int8())})
+
+    spread = routed.drop_columns(["part_id"]).map_batches(
+        _ghost, batch_format="pyarrow"
+    )
+
+    def _match(grp: pa.Table) -> pa.Table:
+        v = np_col(grp, val_col)
+        i = np_col(grp, id_col)
+        kind = np_col(grp, "kind")
+        order = np.lexsort((i, v))
+        v, i, kind = v[order], i[order], kind[order]
+        # left rows: owner copies only; rights: everything (owner rows
+        # are also valid right partners within this partition)
+        hi = np.searchsorted(v, v + span, side="right")
+        pos = np.arange(len(v))
+        is_left = kind == 0
+        li = np.flatnonzero(is_left)
+        counts = hi[li] - (li + 1)
+        counts = np.maximum(counts, 0)
+        if not counts.sum():
+            return pa.table(
+                {"a_id": pa.array([], pa.int64()),
+                 "b_id": pa.array([], pa.int64()),
+                 "vdiff": pa.array([], pa.int64())})
+        a_rep = np.repeat(li, counts)
+        starts = li + 1
+        j = (np.arange(int(counts.sum()))
+             - np.repeat(np.cumsum(counts) - counts, counts)
+             + np.repeat(starts, counts))
+        return pa.table(
+            {
+                "a_id": pa.array(i[a_rep], pa.int64()),
+                "b_id": pa.array(i[j], pa.int64()),
+                "vdiff": pa.array(v[j] - v[a_rep], pa.int64()),
+            }
+        )
+
+    return spread.groupby("part_id").map_groups(
+        lambda g: _match(g.drop_columns(["part_id"])),
+        batch_format="pyarrow",
+    )

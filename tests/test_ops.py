@@ -934,3 +934,30 @@ def test_weighted_sample_exact_threshold_and_invariance():
             rate_num=num, rate_den=den, seed=seed,
         ).to_pandas()
         assert set(got.id) == want, f"parts={parts}"
+
+
+def test_band_join_self_matches_bruteforce():
+    from essentials_rd.ops import band_join_self
+
+    rng = np.random.default_rng(89)
+    n = 1500
+    ids = np.arange(n, dtype=np.int64)
+    # clustered values force heavy windows incl. exact ties
+    v = np.sort(rng.integers(0, 4000, n)).astype(np.int64)
+    rng.shuffle(v)
+    t = pa.table({"id": pa.array(ids), "v": pa.array(v)})
+    span = 7
+    order = np.lexsort((ids, v))
+    vs, is_ = v[order], ids[order]
+    want = set()
+    for i in range(n):
+        j = i + 1
+        while j < n and vs[j] - vs[i] <= span:
+            want.add((int(is_[i]), int(is_[j]), int(vs[j] - vs[i])))
+            j += 1
+    assert len(want) > 1000
+    for parts in (4, 11):
+        got = band_join_self(rd.from_arrow(t).repartition(5), "id", "v",
+                             span, n_parts=parts).to_pandas()
+        assert set(zip(got.a_id, got.b_id, got.vdiff)) == want, parts
+        assert len(got) == len(want)  # exactly-once
