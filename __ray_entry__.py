@@ -773,6 +773,36 @@ NEG_TRIES = 12
 BAND_SPAN = 25  # cents
 
 
+REPET_K = 10
+REPET_SCALE = 1_000_000
+
+
+def _q_most_repetitive(sf_dir: str):
+    """Worst boilerplate offenders: bottom-10 docs by the repetition
+    ratio floor(n_distinct·10⁶ / n_grams) — integer floor-division is
+    deterministic on both sides where a float ratio could tie-drift;
+    repetition_stats + top_k(tie_cols) composition."""
+    import ray.data as rd
+
+    from essentials_rd.ops import top_k
+    from essentials_rd.textops import repetition_stats
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    stats = repetition_stats(docs, k=REP_K)
+
+    def _ratio(t: pa.Table) -> pa.Table:
+        nd = np_col(t, "n_distinct")
+        ng = np.maximum(np_col(t, "n_grams"), 1)
+        return t.append_column(
+            "ratio_ppm", pa.array(nd * REPET_SCALE // ng, pa.int64()))
+
+    return top_k(stats.map_batches(_ratio, batch_format="pyarrow"),
+                 "ratio_ppm", REPET_K, descending=False,
+                 tie_cols=["doc_id"])
+
+
 def _q_price_band_pairs(sf_dir: str):
     """Keyless self band join (ops.band_join_self): all order pairs
     whose totals differ by ≤ 25 cents — the pure theta-join (no
@@ -4645,6 +4675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_validation": _q_orders_validation,
         "lang_fertility": _q_lang_fertility,
         "price_band_pairs": _q_price_band_pairs,
+        "most_repetitive_docs": _q_most_repetitive,
         "transitivity": _q_transitivity,
         "brand_homophily": _q_brand_homophily,
         "msf_total": _q_msf,
@@ -5855,6 +5886,23 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "scc_condensed_depth": _scc_condensed_depth_sql(),
         "activity_gini": _activity_gini_sql(),
         "negative_samples_k3": _negative_samples_sql(),
+        "most_repetitive_docs": (
+            "SELECT doc_id, n_grams, n_distinct, ratio_ppm FROM ("
+            "SELECT doc_id, n_grams, n_distinct, "
+            f"n_distinct * {REPET_SCALE} // n_grams AS ratio_ppm, "
+            "row_number() OVER (ORDER BY "
+            f"n_distinct * {REPET_SCALE} // n_grams, doc_id) AS rn "
+            "FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(count(DISTINCT g) AS BIGINT) AS n_distinct FROM ("
+            "SELECT doc_id, CASE WHEN len(t) < %d THEN text "
+            "ELSE array_to_string(list_slice(t, i.i, i.i + %d), ' ') "
+            "END AS g FROM (SELECT doc_id, text, "
+            "string_split(text, ' ') AS t FROM documents) toks, "
+            "LATERAL (SELECT unnest(range(1, "
+            "greatest(len(t) - %d, 1) + 1)) AS i) i) "
+            "GROUP BY doc_id)) WHERE rn <= %d ORDER BY ratio_ppm, doc_id"
+            % (REP_K, REP_K - 1, REP_K - 1, REPET_K)
+        ),
         "price_band_pairs": (
             "WITH c AS MATERIALIZED (SELECT o_orderkey AS id, "
             "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v "
