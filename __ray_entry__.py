@@ -777,6 +777,20 @@ REPET_K = 10
 REPET_SCALE = 1_000_000
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label class centroids (ann.label_centroid_sums): (label,
+    dim, n, Σ floor(e·scale)) — the nearest-class-mean prototype
+    table, integer-exact so it hash-matches at any layout; per-block
+    (labels × d) partials, the n×d matrix never moves."""
+    import ray.data as rd
+
+    from essentials_rd.ann import label_centroid_sums
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["label", "embedding"])
+    return label_centroid_sums(vecs, scale=GRAM_SCALE)
+
+
 def _q_most_repetitive(sf_dir: str):
     """Worst boilerplate offenders: bottom-10 docs by the repetition
     ratio floor(n_distinct·10⁶ / n_grams) — integer floor-division is
@@ -4676,6 +4690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_fertility": _q_lang_fertility,
         "price_band_pairs": _q_price_band_pairs,
         "most_repetitive_docs": _q_most_repetitive,
+        "label_centroids": _q_label_centroids,
         "transitivity": _q_transitivity,
         "brand_homophily": _q_brand_homophily,
         "msf_total": _q_msf,
@@ -5886,6 +5901,15 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "scc_condensed_depth": _scc_condensed_depth_sql(),
         "activity_gini": _activity_gini_sql(),
         "negative_samples_k3": _negative_samples_sql(),
+        "label_centroids": (
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * "
+            f"{GRAM_SCALE:.1f}) AS BIGINT)) AS BIGINT) AS sum_q "
+            "FROM (SELECT label, unnest(embedding) AS x, "
+            "unnest(range(len(embedding))) AS dim FROM embeddings) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "most_repetitive_docs": (
             "SELECT doc_id, n_grams, n_distinct, ratio_ppm FROM ("
             "SELECT doc_id, n_grams, n_distinct, "

@@ -798,3 +798,53 @@ def knn_graph(
             batch_format="pyarrow",
         )
     )
+
+
+def label_centroid_sums(
+    vectors: rd.Dataset,
+    label_col: str = "label",
+    col: str = "embedding",
+    scale: float = 1e6,
+) -> rd.Dataset:
+    """Per-label embedding centroid sums, integer-exact: for every
+    (label, dim) the count and Σ floor(e·scale) — the class-centroid /
+    prototype table (nearest-class-mean classifiers, drift monitoring)
+    whose float mean derives as sum_q/(n·scale).  Per-block partials
+    are (labels-in-block × d) rows — the n×d matrix never moves — and
+    one small bucketed combine finishes.  Same overflow contract as
+    gram_matrix."""
+    from .ops import grouped_pandas_agg
+    from .util import np_col
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, col)
+        lab = np_col(batch, label_col).astype(np.int64)
+        if m.size == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "__n__": pa.array([], pa.int64()),
+                             "__s__": pa.array([], pa.int64())})
+        d = m.shape[1]
+        q = np.floor(m * scale).astype(np.int64)
+        uq, inv = np.unique(lab, return_inverse=True)
+        n_per = np.bincount(inv, minlength=len(uq)).astype(np.int64)
+        sums = np.zeros((len(uq), d), np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        len(uq)), pa.int64()),
+                "__n__": pa.array(np.repeat(n_per, d), pa.int64()),
+                "__s__": pa.array(sums.ravel(), pa.int64()),
+            }
+        )
+
+    return grouped_pandas_agg(
+        vectors.map_batches(_partial, batch_format="pyarrow"),
+        keys=["label", "dim"],
+        aggs={"n": ("__n__", "sum"), "sum_q": ("__s__", "sum")},
+        key_fn=lambda b: np_col(b, "label") * np.int64(131)
+        + np_col(b, "dim"),
+        num_buckets=16,
+    )
