@@ -107,3 +107,30 @@ def test_cli_round3_algos_smoke(tmp_path):
         assert done["event"] == "done" and done["algo"] == algo
         t = pq.read_table(str(out))
         assert t.num_rows > 0 and col in t.column_names, (algo, t.column_names)
+
+
+def test_run_query_cli_smoke(tmp_path):
+    """The query-runner entry point lists pipelines and executes one
+    end-to-end in a subprocess (its own Ray session)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "essentials_rd.run_query", "--list"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 0
+    names = r.stdout.split()
+    assert "degree" in names and len(names) >= 140
+    out = tmp_path / "q_out"
+    r = subprocess.run(
+        [sys.executable, "-m", "essentials_rd.run_query", "orders_checksum",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", str(out),
+         "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "orders_checksum: 1 rows" in r.stdout
+    import pyarrow.parquet as pq_
+
+    assert pq_.read_table(str(out)).num_rows == 1
