@@ -3207,6 +3207,189 @@ def _tpch_q1_sql() -> str:
     )
 
 
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shipping priority (essentials_rd.tpch.q3): top-10
+    unshipped-revenue BUILDING-segment orders, integer 1e-4-dollar
+    revenue units, date as epoch-day int64."""
+    from essentials_rd import tpch
+
+    return tpch.q3(sf_dir)
+
+
+def _q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 order-priority check (essentials_rd.tpch.q4), adapted
+    to EXISTS(l_shipdate > o_orderdate) — late-shipped — via one
+    grouped max per order; see tpch.py docstring."""
+    from essentials_rd import tpch
+
+    return tpch.q4(sf_dir)
+
+
+def _q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 local-supplier volume (essentials_rd.tpch.q5): ASIA
+    1997 revenue where customer and supplier share a nation."""
+    from essentials_rd import tpch
+
+    return tpch.q5(sf_dir)
+
+
+def _q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 forecast revenue (essentials_rd.tpch.q6): one filtered
+    scan, zero shuffle, exact integer cents·dp units."""
+    from essentials_rd import tpch
+
+    return tpch.q6(sf_dir)
+
+
+def _q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 returned items (essentials_rd.tpch.q10): top-20
+    customers by lost 'R'-flag revenue in 1997Q4."""
+    from essentials_rd import tpch
+
+    return tpch.q10(sf_dir)
+
+
+def _q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 priority split (essentials_rd.tpch.q12), grouped by
+    l_linestatus (snapshot carries no l_shipmode)."""
+    from essentials_rd import tpch
+
+    return tpch.q12(sf_dir)
+
+
+def _q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 promotion effect (essentials_rd.tpch.q14): PROMO
+    share of 1997-09 revenue as two exact int64 units."""
+    from essentials_rd import tpch
+
+    return tpch.q14(sf_dir)
+
+
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 large-volume customers (essentials_rd.tpch.q18):
+    orders with > 200 total units, top-100 by order value."""
+    from essentials_rd import tpch
+
+    return tpch.q18(sf_dir)
+
+
+_TPCH_REV = ("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * "
+             "(100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))")
+
+
+def _tpch_q3_sql() -> str:
+    return (
+        "SELECT o.o_orderkey, o.oday, CAST(sum(l.rev_u) AS BIGINT) AS "
+        "revenue_u FROM ("
+        f"SELECT l_orderkey, {_TPCH_REV} AS rev_u FROM lineitem "
+        "WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00') l JOIN ("
+        "SELECT o_orderkey, CAST(FLOOR(epoch(o_orderdate) / 86400) AS "
+        "BIGINT) AS oday FROM orders "
+        "WHERE o_orderdate < TIMESTAMP '1998-03-15 00:00:00' "
+        "AND o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_mktsegment = 'BUILDING')) o "
+        "ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY 1, 2 ORDER BY revenue_u DESC, o.o_orderkey LIMIT 10"
+    )
+
+
+def _tpch_q4_sql() -> str:
+    return (
+        "SELECT o_orderpriority AS pr, CAST(count(*) AS BIGINT) AS "
+        "n_late FROM orders JOIN ("
+        "SELECT l_orderkey, max(l_shipdate) AS ms FROM lineitem "
+        "GROUP BY 1) mx ON mx.l_orderkey = o_orderkey "
+        "WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00' "
+        "AND ms > o_orderdate GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _tpch_q5_sql() -> str:
+    return (
+        f"SELECT n_name, CAST(sum({_TPCH_REV}) AS BIGINT) AS revenue_u "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY n_name ORDER BY revenue_u DESC"
+    )
+
+
+def _tpch_q6_sql() -> str:
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(COALESCE(sum(cents * dp), 0) AS BIGINT) AS rev_u FROM ("
+        "SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents, "
+        "CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS dp, "
+        "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') "
+        "WHERE dp BETWEEN 5 AND 7 AND qty < 24"
+    )
+
+
+def _tpch_q10_sql() -> str:
+    return (
+        "WITH pc AS (SELECT o_custkey AS c_custkey, "
+        "CAST(sum(l.rev_u) AS BIGINT) AS revenue_u, "
+        "CAST(count(*) AS BIGINT) AS n_items FROM ("
+        f"SELECT l_orderkey, {_TPCH_REV} AS rev_u FROM lineitem "
+        "WHERE l_returnflag = 'R') l "
+        "JOIN orders ON l.l_orderkey = o_orderkey "
+        "WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1) "
+        "SELECT c_custkey, revenue_u, n_items, c_name, "
+        "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS acctbal_c "
+        "FROM pc JOIN customer USING (c_custkey) "
+        "ORDER BY revenue_u DESC, c_custkey LIMIT 20"
+    )
+
+
+def _tpch_q12_sql() -> str:
+    return (
+        "SELECT l_linestatus, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_n, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_n "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _tpch_q14_sql() -> str:
+    return (
+        "SELECT CAST(COALESCE(sum(CASE WHEN p_type = 'PROMO' "
+        "THEN rev_u ELSE 0 END), 0) AS BIGINT) AS promo_rev_u, "
+        "CAST(COALESCE(sum(rev_u), 0) AS BIGINT) AS total_rev_u FROM ("
+        f"SELECT l_partkey, {_TPCH_REV} AS rev_u FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00') l "
+        "JOIN part ON p_partkey = l_partkey"
+    )
+
+
+def _tpch_q18_sql() -> str:
+    return (
+        "WITH po AS (SELECT l_orderkey AS o_orderkey, "
+        "CAST(sum(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS "
+        "sum_qty FROM lineitem GROUP BY 1 "
+        "HAVING sum(CAST(ROUND(l_quantity, 0) AS BIGINT)) > 200) "
+        "SELECT c_custkey, c_name, o_orderkey, "
+        "CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS oday, "
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_c, "
+        "sum_qty FROM po JOIN orders USING (o_orderkey) "
+        "JOIN customer ON c_custkey = o_custkey "
+        "ORDER BY total_c DESC, o_orderkey LIMIT 100"
+    )
+
+
 def _q_diameter_lb(sf_dir: str):
     """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS
     from the min vid, re-BFS from the farthest vertex found (tie-break
@@ -4622,6 +4805,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ra_link_pred": _q_ra_link_pred,
         "diameter_lb": _q_diameter_lb,
         "tpch_q1_cents": _q_tpch_q1_cents,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q18": _q_tpch_q18,
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
@@ -6052,6 +6243,14 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "ra_link_pred": _ra_link_pred_sql(),
         "diameter_lb": _diameter_lb_sql(),
         "tpch_q1_cents": _tpch_q1_sql(),
+        "tpch_q3": _tpch_q3_sql(),
+        "tpch_q4": _tpch_q4_sql(),
+        "tpch_q5": _tpch_q5_sql(),
+        "tpch_q6": _tpch_q6_sql(),
+        "tpch_q10": _tpch_q10_sql(),
+        "tpch_q12": _tpch_q12_sql(),
+        "tpch_q14": _tpch_q14_sql(),
+        "tpch_q18": _tpch_q18_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),
