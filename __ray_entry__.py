@@ -3207,6 +3207,94 @@ def _tpch_q1_sql() -> str:
     )
 
 
+HLL_P = 10
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def _q_hll_user_regs(sf_dir: str):
+    """HyperLogLog distinct-user sketch as its full (reg, rho) register
+    table (ops.hll_registers, p=2^10): per-block register folds
+    tree-merged as Ray tasks, zero shuffle, 1 KiB to the driver at ANY
+    input size — and because registers are max-of-splitmix64-rank the
+    whole sketch (not just the float estimate) is a deterministic
+    function of the value set the SQL twin reproduces bit-for-bit."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hll_registers
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_registers(ev, "user_id", p=HLL_P)
+
+
+def _q_cm_sketch_users(sf_dir: str):
+    """Count-min sketch of per-user event counts (ops.cm_sketch,
+    depth 4 × width 256): each block folds one d×w int64 matrix,
+    driver sums block partials — the zero-shuffle heavy-hitter /
+    frequency-estimation sketch, mergeable by addition across
+    pipelines; the (j, slot, n) table is integer-exact through the
+    shared SplitMix64 CTE chain."""
+    import ray.data as rd
+
+    from essentials_rd.ops import cm_sketch
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cm_sketch(ev, "user_id", depth=CM_DEPTH, width=CM_WIDTH)
+
+
+def _hll_user_regs_sql() -> str:
+    p = HLL_P
+    m = 1 << p
+    chain = _sm64_ctes("hz", "user_id", "user_id", "events")
+    # unrolled binary leading-zero count over rest = (z<<p) | (2^p-1),
+    # exactly ops._hll_block's shift loop
+    steps = []
+    prev = "hc0"
+    for i, b in enumerate((32, 16, 8, 4, 2, 1)):
+        lim = 1 << (64 - b)
+        steps.append(
+            f"hc{i + 1} AS (SELECT reg, "
+            f"CASE WHEN cur < {lim} THEN "
+            f"CAST((CAST(cur AS HUGEINT) * {1 << b}) % {_MOD64} AS UBIGINT) "
+            f"ELSE cur END AS cur, "
+            f"rnk + CASE WHEN cur < {lim} THEN {b} ELSE 0 END AS rnk "
+            f"FROM {prev})")
+        prev = f"hc{i + 1}"
+    return (
+        f"WITH {chain}, "
+        f"hc0 AS (SELECT CAST(z >> {64 - p} AS BIGINT) AS reg, "
+        f"CAST((CAST(z AS HUGEINT) * {m}) % {_MOD64} AS UBIGINT) "
+        f"| CAST({m - 1} AS UBIGINT) AS cur, 0 AS rnk FROM hz3), "
+        + ", ".join(steps) + ", "
+        f"mx AS (SELECT reg, max(rnk) + 1 AS rho FROM {prev} GROUP BY reg) "
+        f"SELECT g.reg, CAST(COALESCE(mx.rho, 0) AS BIGINT) AS rho "
+        f"FROM (SELECT unnest(range(0, {m})) AS reg) g "
+        "LEFT JOIN mx USING (reg) ORDER BY g.reg"
+    )
+
+
+def _cm_sketch_users_sql() -> str:
+    chains, selects = [], []
+    for j in range(CM_DEPTH):
+        seed = (j * 0x9E3779B97F4A7C15) % (1 << 64)
+        chains.append(_sm64_ctes(f"cm{j}_", "user_id",
+                                 f"user_id + {seed}", "events"))
+        selects.append(f"SELECT {j} AS j, CAST(z % {CM_WIDTH} AS BIGINT) "
+                       f"AS slot FROM cm{j}_3")
+    return (
+        "WITH " + ", ".join(chains) + ", "
+        "u AS (" + " UNION ALL ".join(selects) + "), "
+        "cnt AS (SELECT j, slot, CAST(count(*) AS BIGINT) AS n "
+        "FROM u GROUP BY 1, 2) "
+        "SELECT CAST(g.j AS BIGINT) AS j, CAST(g.slot AS BIGINT) AS slot, "
+        "CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n FROM ("
+        f"SELECT jj.j, ss.slot FROM (SELECT unnest(range(0, {CM_DEPTH})) "
+        f"AS j) jj, (SELECT unnest(range(0, {CM_WIDTH})) AS slot) ss) g "
+        "LEFT JOIN cnt ON cnt.j = g.j AND cnt.slot = g.slot "
+        "ORDER BY g.j, g.slot"
+    )
+
+
 def _q_tpch_q3(sf_dir: str):
     """TPC-H Q3 shipping priority (essentials_rd.tpch.q3): top-10
     unshipped-revenue BUILDING-segment orders, integer 1e-4-dollar
@@ -4805,6 +4893,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ra_link_pred": _q_ra_link_pred,
         "diameter_lb": _q_diameter_lb,
         "tpch_q1_cents": _q_tpch_q1_cents,
+        "hll_user_regs": _q_hll_user_regs,
+        "cm_sketch_users": _q_cm_sketch_users,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
@@ -6243,6 +6333,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "ra_link_pred": _ra_link_pred_sql(),
         "diameter_lb": _diameter_lb_sql(),
         "tpch_q1_cents": _tpch_q1_sql(),
+        "hll_user_regs": _hll_user_regs_sql(),
+        "cm_sketch_users": _cm_sketch_users_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),
         "tpch_q5": _tpch_q5_sql(),

@@ -373,6 +373,36 @@ def _hll_merge(*regs) -> np.ndarray:
     return out
 
 
+def _hll_sketch(ds: rd.Dataset, col: str, p: int) -> np.ndarray:
+    """Shared sketch builder: per-block register folds tree-merged as
+    Ray tasks; only 2^p bytes ever reach the driver."""
+    assert 4 <= p <= 18
+    blocks = ds.to_arrow_refs()
+    refs = [
+        _hll_block.remote(p, col, *blocks[i : i + 4])
+        for i in range(0, max(len(blocks), 1), 4)
+    ]
+    while len(refs) > 1:
+        refs = [_hll_merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    return ray.get(refs[0])
+
+
+def hll_registers(ds: rd.Dataset, col: str, p: int = 10) -> pa.Table:
+    """The HyperLogLog sketch ITSELF as a (reg, rho) table — all 2^p
+    registers, zeros included.  Because register content is
+    max(leading-zero rank) over splitmix64 hashes, the table is a pure
+    function of the input VALUE SET (dedup-invariant, layout-invariant,
+    cluster-size-invariant) and is exactly reproducible in SQL bit
+    arithmetic — which makes the sketch, not just its float estimate,
+    oracle-checkable.  This is also the mergeable artifact two
+    pipelines would exchange to union their distinct counts."""
+    regs = _hll_sketch(ds, col, p)
+    return pa.table({
+        "reg": pa.array(np.arange(1 << p, dtype=np.int64), pa.int64()),
+        "rho": pa.array(regs.astype(np.int64), pa.int64()),
+    })
+
+
 def hll_distinct(ds: rd.Dataset, col: str, p: int = 14) -> float:
     """Approximate ``count(DISTINCT col)`` via HyperLogLog (Flajolet
     et al. 2007) with the standard small/large-range corrections —
@@ -383,15 +413,7 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 14) -> float:
     register merge is a max), sketches tree-merge as Ray tasks, and
     only 2^p bytes ever reach the driver.  Typical error ≈
     1.04/√2^p (~0.8 % at p=14)."""
-    assert 4 <= p <= 18
-    blocks = ds.to_arrow_refs()
-    refs = [
-        _hll_block.remote(p, col, *blocks[i : i + 4])
-        for i in range(0, max(len(blocks), 1), 4)
-    ]
-    while len(refs) > 1:
-        refs = [_hll_merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
-    regs = ray.get(refs[0]).astype(np.float64)
+    regs = _hll_sketch(ds, col, p).astype(np.float64)
     m = float(1 << p)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     est = alpha * m * m / np.sum(np.exp2(-regs))
@@ -401,6 +423,61 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 14) -> float:
     elif est > (1 << 64) / 30.0:
         est = -(2.0**64) * np.log1p(-est / 2.0**64)
     return float(est)
+
+
+_CM_SEED = 0x9E3779B97F4A7C15  # per-row golden stride, same as hash64's
+
+
+def cm_sketch(ds: rd.Dataset, col: str, depth: int = 4,
+              width: int = 256) -> pa.Table:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over an int64
+    key column: ``n[j][s] = #rows where splitmix64(key + j·golden) mod
+    width == s``.  The scale shape mirrors int_histogram — each block
+    folds ONE depth×width int64 matrix, the driver sums block-count
+    vectors, ZERO shuffle — and the sketch is a pure integer function
+    of the multiset of keys (layout/cluster-size invariant, mergeable
+    by addition), so the full (j, slot, n) table is SQL-reproducible
+    through the shared SplitMix64 CTE chain.  Point estimate:
+    ``cm_estimate`` (min over rows j) upper-bounds the true count and
+    errs by ≤ ε·N with prob 1−δ at width=⌈e/ε⌉, depth=⌈ln 1/δ⌉."""
+    seeds = np.array([(j * _CM_SEED) % (1 << 64) for j in range(depth)],
+                     np.uint64)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = np_col(t, col).astype(np.int64).view(np.uint64)
+        mat = np.zeros((depth, width), np.int64)
+        with np.errstate(over="ignore"):
+            for j in range(depth):
+                h = hash64((x + seeds[j]).view(np.int64))
+                mat[j] = np.bincount(
+                    (h % np.uint64(width)).astype(np.int64),
+                    minlength=width)
+        return pa.table({"cmv": pa.array([mat.ravel().tobytes()],
+                                         pa.large_binary())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    tot = np.zeros(depth * width, np.int64)
+    for r in parts:
+        tot += np.frombuffer(r["cmv"], np.int64)
+    jj = np.repeat(np.arange(depth, dtype=np.int64), width)
+    ss = np.tile(np.arange(width, dtype=np.int64), depth)
+    return pa.table({"j": pa.array(jj, pa.int64()),
+                     "slot": pa.array(ss, pa.int64()),
+                     "n": pa.array(tot, pa.int64())})
+
+
+def cm_estimate(sketch: pa.Table, keys: np.ndarray, depth: int = 4,
+                width: int = 256) -> np.ndarray:
+    """Point-query the sketch: min over rows j of the key's slot count."""
+    n = np_col(sketch, "n").reshape(depth, width)
+    ks = np.asarray(keys, np.int64).view(np.uint64)
+    est = np.full(len(ks), np.iinfo(np.int64).max, np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(depth):
+            h = hash64((ks + np.uint64((j * _CM_SEED) % (1 << 64)))
+                       .view(np.int64))
+            est = np.minimum(est, n[j, (h % np.uint64(width)).astype(np.int64)])
+    return est
 
 
 def int_value_counts(

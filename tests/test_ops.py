@@ -334,6 +334,57 @@ def test_hll_small_range_linear_counting():
     assert abs(est - 100) / 100 < 0.05, est
 
 
+def test_hll_registers_layout_invariant_and_dedup_invariant():
+    """The sketch table is a pure function of the value SET — same
+    registers across block layouts and after duplicating every row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import hll_registers
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 5_000, 20_000).astype("int64")
+    tbl = pa.table({"v": pa.array(vals)})
+    dup = pa.table({"v": pa.array(np.r_[vals, vals])})
+    a = hll_registers(rd.from_arrow(tbl).repartition(7), "v", p=8)
+    b = hll_registers(rd.from_arrow(tbl).repartition(2), "v", p=8)
+    c = hll_registers(rd.from_arrow(dup), "v", p=8)
+    assert a.equals(b) and a.equals(c)
+    assert a.num_rows == 256
+
+
+def test_cm_sketch_upper_bounds_and_heavy_hitters():
+    """CM estimates never undercount, total mass per row j equals N,
+    the sketch is layout-invariant, and a heavy hitter's estimate is
+    within the eps*N CM error bound of its true count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import cm_estimate, cm_sketch
+    from essentials_rd.util import np_col
+
+    rng = np.random.default_rng(13)
+    # zipf-ish: one heavy key + long tail
+    tail = rng.integers(0, 10_000, 50_000).astype("int64")
+    heavy = np.full(5_000, 424242, dtype="int64")
+    vals = np.r_[tail, heavy]
+    tbl = pa.table({"v": pa.array(vals)})
+    sk = cm_sketch(rd.from_arrow(tbl).repartition(9), "v",
+                   depth=4, width=512)
+    sk2 = cm_sketch(rd.from_arrow(tbl).repartition(3), "v",
+                    depth=4, width=512)
+    assert sk.equals(sk2)
+    n = np_col(sk, "n").reshape(4, 512)
+    assert (n.sum(axis=1) == len(vals)).all()
+    keys, true = np.unique(vals, return_counts=True)
+    est = cm_estimate(sk, keys, depth=4, width=512)
+    assert (est >= true).all()  # CM never undercounts
+    # eps = e/width; allow 2x slack on the probabilistic bound
+    assert est[keys == 424242][0] - 5_000 <= 2 * np.e / 512 * len(vals)
+
+
 def test_grouped_mode_matches_pandas_and_bucket_invariant():
     import numpy as np
     import pyarrow as pa
