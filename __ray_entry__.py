@@ -3208,6 +3208,7 @@ def _tpch_q1_sql() -> str:
 
 
 HLL_P = 10
+HLL_GROUP_P = 8
 CM_DEPTH = 4
 CM_WIDTH = 256
 
@@ -3227,6 +3228,29 @@ def _q_hll_user_regs(sf_dir: str):
     return hll_registers(ev, "user_id", p=HLL_P)
 
 
+def _q_type_user_hll(sf_dir: str):
+    """Per-event-type HLL distinct-user sketches (ops.hll_registers_by,
+    p=2^8): each block folds a dense (types × 256) register matrix,
+    only nonzero (type, reg, rho) cells move through ONE bucketed
+    grouped max — the per-segment distinct-count shape that at 100 TB
+    replaces a full-row exact-distinct shuffle with ≤ blocks·types·256
+    exchanged rows."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hll_registers_by
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    out = hll_registers_by(ev, "event_type", "user_id", p=HLL_GROUP_P)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["event_type"], r["reg"]))
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "reg": pa.array([r["reg"] for r in rows], pa.int64()),
+        "rho": pa.array([r["rho"] for r in rows], pa.int64()),
+    })
+
+
 def _q_cm_sketch_users(sf_dir: str):
     """Count-min sketch of per-user event counts (ops.cm_sketch,
     depth 4 × width 256): each block folds one d×w int64 matrix,
@@ -3242,34 +3266,51 @@ def _q_cm_sketch_users(sf_dir: str):
     return cm_sketch(ev, "user_id", depth=CM_DEPTH, width=CM_WIDTH)
 
 
-def _hll_user_regs_sql() -> str:
-    p = HLL_P
+def _hll_unroll_ctes(carry: str, src: str, p: int) -> tuple[str, str]:
+    """CTE chain computing each row's (carry…, reg, rnk) from the
+    splitmix hash z of ``src`` — the unrolled binary leading-zero count
+    over rest = (z<<p) | (2^p−1), exactly ops._hll_rank's shift loop.
+    Returns (ctes, final_cte_name); rho = max(rnk)+1 per group."""
     m = 1 << p
-    chain = _sm64_ctes("hz", "user_id", "user_id", "events")
-    # unrolled binary leading-zero count over rest = (z<<p) | (2^p-1),
-    # exactly ops._hll_block's shift loop
-    steps = []
+    c = f"{carry}, " if carry else ""
+    steps = [
+        f"hc0 AS (SELECT {c}CAST(z >> {64 - p} AS BIGINT) AS reg, "
+        f"CAST((CAST(z AS HUGEINT) * {m}) % {_MOD64} AS UBIGINT) "
+        f"| CAST({m - 1} AS UBIGINT) AS cur, 0 AS rnk FROM {src})"]
     prev = "hc0"
     for i, b in enumerate((32, 16, 8, 4, 2, 1)):
         lim = 1 << (64 - b)
         steps.append(
-            f"hc{i + 1} AS (SELECT reg, "
+            f"hc{i + 1} AS (SELECT {c}reg, "
             f"CASE WHEN cur < {lim} THEN "
             f"CAST((CAST(cur AS HUGEINT) * {1 << b}) % {_MOD64} AS UBIGINT) "
             f"ELSE cur END AS cur, "
             f"rnk + CASE WHEN cur < {lim} THEN {b} ELSE 0 END AS rnk "
             f"FROM {prev})")
         prev = f"hc{i + 1}"
+    return ", ".join(steps), prev
+
+
+def _hll_user_regs_sql() -> str:
+    p = HLL_P
+    chain = _sm64_ctes("hz", "user_id", "user_id", "events")
+    unroll, last = _hll_unroll_ctes("", "hz3", p)
     return (
-        f"WITH {chain}, "
-        f"hc0 AS (SELECT CAST(z >> {64 - p} AS BIGINT) AS reg, "
-        f"CAST((CAST(z AS HUGEINT) * {m}) % {_MOD64} AS UBIGINT) "
-        f"| CAST({m - 1} AS UBIGINT) AS cur, 0 AS rnk FROM hz3), "
-        + ", ".join(steps) + ", "
-        f"mx AS (SELECT reg, max(rnk) + 1 AS rho FROM {prev} GROUP BY reg) "
+        f"WITH {chain}, {unroll}, "
+        f"mx AS (SELECT reg, max(rnk) + 1 AS rho FROM {last} GROUP BY reg) "
         f"SELECT g.reg, CAST(COALESCE(mx.rho, 0) AS BIGINT) AS rho "
-        f"FROM (SELECT unnest(range(0, {m})) AS reg) g "
+        f"FROM (SELECT unnest(range(0, {1 << p})) AS reg) g "
         "LEFT JOIN mx USING (reg) ORDER BY g.reg"
+    )
+
+
+def _type_user_hll_sql() -> str:
+    chain = _sm64_ctes("hz", "event_type, user_id", "user_id", "events")
+    unroll, last = _hll_unroll_ctes("event_type", "hz3", HLL_GROUP_P)
+    return (
+        f"WITH {chain}, {unroll} "
+        "SELECT event_type, reg, CAST(max(rnk) + 1 AS BIGINT) AS rho "
+        f"FROM {last} GROUP BY 1, 2 ORDER BY 1, 2"
     )
 
 
@@ -4894,6 +4935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter_lb": _q_diameter_lb,
         "tpch_q1_cents": _q_tpch_q1_cents,
         "hll_user_regs": _q_hll_user_regs,
+        "type_user_hll": _q_type_user_hll,
         "cm_sketch_users": _q_cm_sketch_users,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
@@ -6334,6 +6376,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "diameter_lb": _diameter_lb_sql(),
         "tpch_q1_cents": _tpch_q1_sql(),
         "hll_user_regs": _hll_user_regs_sql(),
+        "type_user_hll": _type_user_hll_sql(),
         "cm_sketch_users": _cm_sketch_users_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),

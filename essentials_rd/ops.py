@@ -343,25 +343,30 @@ def grouped_top_k(
     return hash_bucket_agg(ds, key_fn, _topk, num_buckets)
 
 
+def _hll_rank(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per hash: rank = leading zeros of the
+    low 64-p bits + 1 (sentinel ones make the cap implicit)."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel ones
+    rank = np.zeros(len(h), np.int8)
+    cur = rest
+    for b in (32, 16, 8, 4, 2, 1):
+        mask = cur < np.uint64(1 << (64 - b))
+        rank[mask] += b
+        cur = np.where(mask, cur << np.uint64(b), cur)
+    rank += 1
+    return idx, np.minimum(rank, 64 - p + 1)
+
+
 @ray.remote
 def _hll_block(p: int, col: str, *tables) -> np.ndarray:
     regs = np.zeros(1 << p, np.int8)
-    shift = np.uint64(64 - p)
     for t in tables:
         if t.num_rows == 0 or col not in t.schema.names:
             continue
         h = hash64(np_col(t, col).astype(np.int64))
-        idx = (h >> shift).astype(np.int64)
-        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel ones
-        # rank = leading zeros of the remaining 64-p bits, + 1
-        rank = np.zeros(len(h), np.int8)
-        cur = rest
-        for b in (32, 16, 8, 4, 2, 1):
-            mask = cur < np.uint64(1 << (64 - b))
-            rank[mask] += b
-            cur = np.where(mask, cur << np.uint64(b), cur)
-        rank += 1
-        np.maximum.at(regs, idx, np.minimum(rank, 64 - p + 1))
+        idx, rank = _hll_rank(h, p)
+        np.maximum.at(regs, idx, rank)
     return regs
 
 
@@ -401,6 +406,67 @@ def hll_registers(ds: rd.Dataset, col: str, p: int = 10) -> pa.Table:
         "reg": pa.array(np.arange(1 << p, dtype=np.int64), pa.int64()),
         "rho": pa.array(regs.astype(np.int64), pa.int64()),
     })
+
+
+def hll_registers_by(ds: rd.Dataset, key: str, col: str, p: int = 8,
+                     num_buckets: int = 16) -> rd.Dataset:
+    """Per-GROUP HyperLogLog sketches — the "distinct users per
+    segment" shape that at 100 TB replaces a per-group exact distinct
+    (an all-to-all shuffle of every row) with a bounded exchange: each
+    block folds its rows into a dense (groups-in-block × 2^p) register
+    matrix via one vectorized maximum.at, emits only the NONZERO
+    (key, reg, rho) cells, and a single bucketed grouped-max combines
+    the partials — rows moved ≤ blocks · groups · 2^p regardless of
+    input size.  Observed cells only (rho ≥ 1); a group's estimate
+    derives from its rows + implicit zeros.  Like ``hll_registers``
+    the result is a pure function of each group's value set, so the
+    whole grouped sketch is SQL-reproducible."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        enc = t.column(key).combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        uniq = enc.dictionary
+        h = hash64(np_col(t, col).astype(np.int64))
+        idx, rank = _hll_rank(h, p)
+        mat = np.zeros((len(uniq), 1 << p), np.int8)
+        np.maximum.at(mat, (codes, idx), rank)
+        gi, ri = np.nonzero(mat)
+        return pa.table({
+            key: uniq.take(pa.array(gi, pa.int64())),
+            "reg": pa.array(ri.astype(np.int64), pa.int64()),
+            "rho": pa.array(mat[gi, ri].astype(np.int64), pa.int64()),
+        })
+
+    def _key_fn(b: pa.Table) -> np.ndarray:
+        from .derive import _str_hash
+
+        ka = b.column(key)
+        kh = (_str_hash(ka) if pa.types.is_string(ka.type)
+              or pa.types.is_large_string(ka.type)
+              else np_col(b, key).astype(np.int64))
+        with np.errstate(over="ignore"):
+            return kh * np.int64(31) + np_col(b, "reg")
+
+    return grouped_pandas_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        keys=[key, "reg"], aggs={"rho": ("rho", "max")},
+        key_fn=_key_fn, num_buckets=num_buckets)
+
+
+def hll_estimate_from_registers(rho: np.ndarray, p: int) -> float:
+    """Estimate from a (possibly sparse) register vector's nonzero
+    ranks — shared small/large-range corrections with hll_distinct."""
+    m = float(1 << p)
+    nz = np.asarray(rho, np.float64)
+    zeros = int((1 << p) - len(nz[nz > 0]))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / (np.sum(np.exp2(-nz[nz > 0])) + zeros)
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    elif est > (1 << 64) / 30.0:
+        est = -(2.0**64) * np.log1p(-est / 2.0**64)
+    return float(est)
 
 
 def hll_distinct(ds: rd.Dataset, col: str, p: int = 14) -> float:

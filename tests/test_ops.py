@@ -354,6 +354,46 @@ def test_hll_registers_layout_invariant_and_dedup_invariant():
     assert a.num_rows == 256
 
 
+def test_hll_registers_by_equals_per_group_sketch():
+    """Each group's rows of the grouped sketch equal the nonzero cells
+    of a standalone hll_registers over that group's subset, the result
+    is layout-invariant, and per-group estimates land within the p=8
+    error band."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import (hll_estimate_from_registers,
+                                   hll_registers, hll_registers_by)
+
+    rng = np.random.default_rng(17)
+    n = 60_000
+    grp = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    # distinct pools of very different sizes per group
+    pool = {"a": 200, "b": 3_000, "c": 12_000}
+    vals = np.array([rng.integers(0, pool[g]) + hash(g) % 97_000 * 1_000
+                     for g in grp], dtype="int64")
+    tbl = pa.table({"g": pa.array(grp), "v": pa.array(vals)})
+    out = (hll_registers_by(rd.from_arrow(tbl).repartition(11), "g", "v",
+                            p=8).to_pandas()
+           .sort_values(["g", "reg"]).reset_index(drop=True))
+    out2 = (hll_registers_by(rd.from_arrow(tbl).repartition(2), "g", "v",
+                             p=8).to_pandas()
+            .sort_values(["g", "reg"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
+    for g in ("a", "b", "c"):
+        sub = tbl.filter(pa.compute.equal(tbl.column("g"), g))
+        solo = hll_registers(rd.from_arrow(sub), "v", p=8).to_pandas()
+        solo_nz = (solo[solo.rho > 0].rename(columns={})
+                   .reset_index(drop=True))
+        mine = out[out.g == g][["reg", "rho"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(mine, solo_nz[["reg", "rho"]])
+        exact = len(np.unique(vals[grp == g]))
+        est = hll_estimate_from_registers(mine.rho.to_numpy(), p=8)
+        assert abs(est - exact) / exact < 0.25, (g, est, exact)
+
+
 def test_cm_sketch_upper_bounds_and_heavy_hitters():
     """CM estimates never undercount, total mass per row j equals N,
     the sketch is layout-invariant, and a heavy hitter's estimate is
