@@ -3251,6 +3251,45 @@ def _q_type_user_hll(sf_dir: str):
     })
 
 
+BLOOM_K = 8
+BLOOM_BITS = 4096
+
+
+def _q_bloom_bits_urgent(sf_dir: str):
+    """Bloom filter of URGENT orderkeys as its sorted set-bit-position
+    table (ops.bloom_bits, k=8, m=4096) — the same tree-folded bitmap
+    bloom_join broadcasts, emitted as the OR-mergeable artifact a
+    second pipeline would intersect against; double-hash probes make
+    the whole filter SQL-reproducible bit for bit."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.ops import bloom_bits
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                    "1-URGENT")).select(["o_orderkey"]),
+        batch_format="pyarrow")
+    return bloom_bits(urgent, "o_orderkey", k=BLOOM_K, n_bits=BLOOM_BITS)
+
+
+def _bloom_bits_urgent_sql() -> str:
+    c1 = _sm64_ctes("bz", "o_orderkey", "o_orderkey",
+                    "(SELECT o_orderkey FROM orders "
+                    "WHERE o_orderpriority = '1-URGENT')")
+    c2 = _sm64_ctes("bw", "h1", "h1", "bi")
+    return (
+        f"WITH {c1}, bi AS (SELECT z AS h1 FROM bz3), {c2}, "
+        "probes AS (SELECT DISTINCT CAST((("
+        "CAST(h1 AS HUGEINT) + i.i * CAST(z | CAST(1 AS UBIGINT) "
+        f"AS HUGEINT)) % {_MOD64}) % {BLOOM_BITS} AS BIGINT) AS pos "
+        f"FROM bw3, (SELECT unnest(range(0, {BLOOM_K})) AS i) i) "
+        "SELECT pos FROM probes ORDER BY pos"
+    )
+
+
 def _q_cm_sketch_users(sf_dir: str):
     """Count-min sketch of per-user event counts (ops.cm_sketch,
     depth 4 × width 256): each block folds one d×w int64 matrix,
@@ -4936,6 +4975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1_cents": _q_tpch_q1_cents,
         "hll_user_regs": _q_hll_user_regs,
         "type_user_hll": _q_type_user_hll,
+        "bloom_bits_urgent": _q_bloom_bits_urgent,
         "cm_sketch_users": _q_cm_sketch_users,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
@@ -6377,6 +6417,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tpch_q1_cents": _tpch_q1_sql(),
         "hll_user_regs": _hll_user_regs_sql(),
         "type_user_hll": _type_user_hll_sql(),
+        "bloom_bits_urgent": _bloom_bits_urgent_sql(),
         "cm_sketch_users": _cm_sketch_users_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),

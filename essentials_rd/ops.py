@@ -1723,6 +1723,31 @@ def _bloom_or(*maps: np.ndarray) -> np.ndarray:
     return out
 
 
+def bloom_bits(ds: rd.Dataset, on: str | list[str], k: int = 8,
+               n_bits: int = 4096) -> pa.Table:
+    """The Bloom filter ITSELF as a sorted table of set bit positions —
+    the third mergeable sketch artifact next to hll_registers /
+    cm_sketch: OR-mergeable across pipelines, a pure function of the
+    key SET (dedup/layout/cluster-size invariant), and — because the
+    probes are Kirsch–Mitzenmacher double hashing over two splitmix64
+    passes — exactly reproducible in SQL.  Build is the same
+    tree-folded per-block bitmap bloom_join broadcasts; only
+    n_bits/8 bytes ever reach the driver.  (Bit extraction assumes a
+    little-endian host, same as the packed-word layout itself.)"""
+    on = [on] if isinstance(on, str) else list(on)
+    blocks = ds.to_arrow_refs()
+    refs = [
+        _bloom_block.remote(on, k, n_bits, *blocks[i : i + 4])
+        for i in range(0, max(len(blocks), 1), 4)
+    ] or [_bloom_block.remote(on, k, n_bits)]
+    while len(refs) > 1:
+        refs = [_bloom_or.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    words = ray.get(refs[0])
+    bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+    pos = np.flatnonzero(bits[:n_bits])
+    return pa.table({"pos": pa.array(pos.astype(np.int64), pa.int64())})
+
+
 def bloom_join(
     left: rd.Dataset,
     right: rd.Dataset,

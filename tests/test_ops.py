@@ -425,6 +425,36 @@ def test_cm_sketch_upper_bounds_and_heavy_hitters():
     assert est[keys == 424242][0] - 5_000 <= 2 * np.e / 512 * len(vals)
 
 
+def test_bloom_bits_no_false_negatives_and_layout_invariant():
+    """Every build key's k probe positions are set in the emitted
+    bit table (no false negatives), the artifact is layout- and
+    dedup-invariant, and a disjoint keyset mostly misses."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import _bloom_positions, bloom_bits
+    from essentials_rd.util import hash64
+
+    keys = np.arange(1_000, 2_000, dtype="int64")
+    tbl = pa.table({"k": pa.array(keys)})
+    dup = pa.table({"k": pa.array(np.r_[keys, keys])})
+    a = bloom_bits(rd.from_arrow(tbl).repartition(5), "k", k=8,
+                   n_bits=1 << 15)
+    b = bloom_bits(rd.from_arrow(dup).repartition(2), "k", k=8,
+                   n_bits=1 << 15)
+    assert a.equals(b)
+    bitset = set(a.column("pos").to_pylist())
+    pos = _bloom_positions(hash64(keys).astype(np.uint64), 8, 1 << 15)
+    assert all(p in bitset for p in pos.ravel())
+    # disjoint probe keys: vast majority must miss at this load factor
+    probe = _bloom_positions(hash64(
+        np.arange(50_000, 51_000, dtype="int64")).astype(np.uint64),
+        8, 1 << 15)
+    hit = np.array([[p in bitset for p in row] for row in probe]).all(axis=1)
+    assert hit.mean() < 0.01
+
+
 def test_grouped_mode_matches_pandas_and_bucket_invariant():
     import numpy as np
     import pyarrow as pa
