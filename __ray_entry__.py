@@ -327,6 +327,76 @@ def _q_ppr(sf_dir: str):
     return pa.table({"vid": t["vid"], "ppr": pa.array(vals, pa.float64())})
 
 
+SWEEP_T = 100
+
+
+def _q_ppr_sweep(sf_dir: str):
+    """PPR sweep-cut conductance profile (algorithms.sweep — the
+    Andersen–Chung–Lang local-clustering sweep): rank vertices by the
+    6-dp-rounded PPR score (desc, vid tie-break — the exact order the
+    oracle's window reproduces), keep the top SWEEP_T, and report each
+    prefix's exact integer (cut, volume).  The edge table never moves:
+    every block folds two (T+2)-bin endpoint-rank histograms and the
+    driver prefix-sums them; conductance derives from the two int64
+    columns."""
+    import ray
+
+    from essentials_rd.algorithms import ppr
+    from essentials_rd.algorithms.ppr import ppr_table
+    from essentials_rd.algorithms.sweep import sweep_profile
+    from essentials_rd.pipelines import round_half_up
+    from essentials_rd.util import np_col
+
+    g, edges = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    source = int(np.min(vids))
+    res = ppr(g, source, tol=0.0, max_iters=PPR_ITERS, checkpoint_every=0,
+              scatter_mode="fused")
+    t = ppr_table(res)
+    tv = np.asarray(t["vid"], np.int64)
+    vals6 = round_half_up(np.asarray(t["ppr"], dtype=np.float64), 6)
+    nz = vals6 > 0
+    tv, vals6 = tv[nz], vals6[nz]
+    order = np.lexsort((tv, -vals6))[:SWEEP_T]
+    ranked = tv[order]
+    deg = np.zeros(len(vids), np.int64)
+    for dt in ray.get(list(g.degree_refs)):
+        pos = np.searchsorted(vids, np_col(dt, "vid"))
+        deg[pos] += np_col(dt, "outdeg")
+    degrees = deg[np.searchsorted(vids, ranked)]
+    return sweep_profile(edges, ranked, degrees)
+
+
+def _ppr_sweep_sql() -> str:
+    """Window twin: rank from the shared PPR unroll, per-rank
+    endpoint histograms over the canonical pair list, window prefix
+    sums for cut and volume."""
+    ppr_body = _ppr_sql_body()
+    return (
+        f"WITH {_GRAPH_CTES}, {ppr_body}, "
+        "ranked AS (SELECT vid, CAST(row_number() OVER ("
+        "ORDER BY val6 DESC, vid) AS BIGINT) AS r FROM ("
+        f"SELECT vid, ROUND(val, 6) AS val6 FROM q{PPR_ITERS}) "
+        f"WHERE val6 > 0 ORDER BY val6 DESC, vid LIMIT {SWEEP_T}), "
+        "er AS (SELECT least(COALESCE(ra.r, 1000000), "
+        "COALESCE(rb.r, 1000000)) AS minr, "
+        "greatest(COALESCE(ra.r, 1000000), COALESCE(rb.r, 1000000)) AS maxr "
+        "FROM pairs e LEFT JOIN ranked ra ON ra.vid = e.src "
+        "LEFT JOIN ranked rb ON rb.vid = e.dst), "
+        "mh AS (SELECT minr AS r, count(*) AS c FROM er "
+        f"WHERE minr <= {SWEEP_T} GROUP BY 1), "
+        "xh AS (SELECT maxr AS r, count(*) AS c FROM er "
+        f"WHERE maxr <= {SWEEP_T} GROUP BY 1) "
+        "SELECT r.r AS k, r.vid, "
+        "CAST(SUM(COALESCE(mh.c, 0)) OVER w - "
+        "SUM(COALESCE(xh.c, 0)) OVER w AS BIGINT) AS cut_k, "
+        "CAST(SUM(d.outdeg) OVER w AS BIGINT) AS vol_k "
+        "FROM ranked r LEFT JOIN mh ON mh.r = r.r "
+        "LEFT JOIN xh ON xh.r = r.r JOIN deg d ON d.vid = r.vid "
+        "WINDOW w AS (ORDER BY r.r) ORDER BY r.r"
+    )
+
+
 def _q_kcore(sf_dir: str):
     """k-core membership (k=KCORE_K) by BSP peeling; oracle is the
     unrolled simultaneous-peeling CTE (the k-core is unique, so both
@@ -5039,6 +5109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
         "ppr_k8": _q_ppr,
+        "ppr_sweep": _q_ppr_sweep,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
         "eigencentrality_k6": _q_eigencentrality,
@@ -5370,9 +5441,9 @@ d{k + 1} AS MATERIALIZED (
     )
 
 
-def _ppr_sql() -> str:
-    """Unrolled personalized-PageRank CTE: teleport AND dangling mass
-    restart at the seed (min vid); same dataflow shape as _pagerank_sql."""
+def _ppr_sql_body() -> str:
+    """The unrolled personalized-PageRank CTE chain (psrc, q0..qN) —
+    shared by the ppr_k8 oracle and the sweep-cut oracle."""
     pers = "CASE WHEN v.vid = (SELECT s FROM psrc) THEN 1.0 ELSE 0.0 END"
     steps = [
         """psrc AS MATERIALIZED (SELECT min(vid) AS s FROM verts),
@@ -5397,9 +5468,15 @@ q{k + 1} AS MATERIALIZED (
          + {ALPHA} * (COALESCE(a.s, 0.0) + (SELECT dm FROM qdang{k}) * {pers}) AS val
   FROM verts v LEFT JOIN qagg{k} a ON a.vid = v.vid
 )""")
-    body = ",".join(steps)
+    return ",".join(steps)
+
+
+def _ppr_sql() -> str:
+    """Unrolled personalized-PageRank oracle: teleport AND dangling
+    mass restart at the seed (min vid); same dataflow shape as
+    _pagerank_sql."""
     return (
-        f"WITH {_GRAPH_CTES}, {body} "
+        f"WITH {_GRAPH_CTES}, {_ppr_sql_body()} "
         f"SELECT vid, ROUND(val, 6) AS ppr FROM q{PPR_ITERS} ORDER BY vid"
     )
 
@@ -6358,6 +6435,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),
         "ppr_k8": _ppr_sql(),
+        "ppr_sweep": _ppr_sweep_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),
         "eigencentrality_k6": _eigencentrality_sql(),

@@ -435,3 +435,34 @@ def test_maximal_matching_equals_greedy_and_is_maximal():
     assert len(flat) == len(set(flat))
     mset = set(flat)
     assert all(a in mset or b in mset for a, b in zip(src, dst))
+
+
+def test_sweep_profile_matches_bruteforce_and_layout_invariant():
+    """sweep_profile's (cut, vol) prefix columns equal a per-k
+    brute-force over the edge list, at any block layout, including
+    unranked endpoints and rank gaps."""
+    import numpy as np
+
+    from essentials_rd.algorithms.sweep import sweep_profile
+    from tests.conftest import edges_ds
+
+    src, dst = _random_edges(n=60, m=240, seed=47)
+    src, dst = _canon(src, dst)
+    rng = np.random.default_rng(5)
+    verts = np.unique(np.r_[src, dst])
+    ranked = rng.choice(verts, size=20, replace=False).astype(np.int64)
+    deg = np.zeros(verts.max() + 1, np.int64)
+    np.add.at(deg, src, 1)
+    np.add.at(deg, dst, 1)
+    for parts in (1, 7):
+        out = sweep_profile(edges_ds(src, dst).repartition(parts),
+                            ranked, deg[ranked]).to_pandas()
+        assert list(out.k) == list(range(1, 21))
+        assert list(out.vid) == list(ranked)
+        for k in (1, 5, 20):
+            inset = set(ranked[:k].tolist())
+            cut = sum((int(a) in inset) != (int(b) in inset)
+                      for a, b in zip(src, dst))
+            vol = int(deg[ranked[:k]].sum())
+            row = out[out.k == k].iloc[0]
+            assert (row.cut_k, row.vol_k) == (cut, vol), k
