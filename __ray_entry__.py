@@ -1336,6 +1336,39 @@ def _q_spmv(sf_dir: str):
     return pa.table({"vid": t["vid"], "y": pa.array(y, pa.float64())})
 
 
+def _q_nbr_deg(sf_dir: str):
+    """Average-neighbor-degree feature (algorithms.spmv.NbrDegProgram):
+    one SpMV superstep with x = the degree vector gives each vertex the
+    exact integer Σ of its neighbors' degrees — emitted alongside the
+    degree so the ratio derives from two int64s.  Same one-exchange
+    cost as any SpMV; no extra pass builds x."""
+    from essentials_rd.algorithms.spmv import (neighbor_degree_sums,
+                                               spmv_table)
+
+    g, _ = _graph(sf_dir)
+    res = neighbor_degree_sums(g)
+    t = spmv_table(res)
+    return pa.table({
+        "vid": t["vid"],
+        "degree": pa.array(np.asarray(t["x"], np.float64)
+                           .astype(np.int64), pa.int64()),
+        "sum_nbr_deg": pa.array(np.asarray(t["y"], np.float64)
+                                .astype(np.int64), pa.int64()),
+    })
+
+
+def _nbr_deg_sql() -> str:
+    return f"""
+WITH {_GRAPH_CTES},
+s AS (SELECT e.src AS vid, sum(d.outdeg) AS snd
+      FROM sym e JOIN deg d ON d.vid = e.dst GROUP BY 1)
+SELECT v.vid, CAST(d.outdeg AS BIGINT) AS degree,
+CAST(COALESCE(s.snd, 0) AS BIGINT) AS sum_nbr_deg
+FROM verts v JOIN deg d ON d.vid = v.vid
+LEFT JOIN s ON s.vid = v.vid ORDER BY v.vid
+"""
+
+
 COSINE_DUP_T = 0.4
 SESSION_GAP_MIN = 30
 
@@ -5143,6 +5176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
+        "nbr_deg": _q_nbr_deg,
     }
 
 
@@ -6745,4 +6779,5 @@ FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
         "triangles_total": _triangles_total_sql(),
         "triangles_per_vertex": _triangles_per_vertex_sql(),
         "spmv": _spmv_sql(),
+        "nbr_deg": _nbr_deg_sql(),
     }

@@ -74,3 +74,29 @@ def spmv(graph: GraphShards, *, x_fn=None, n_actors: int | None = None) -> RunRe
 def spmv_table(result: RunResult) -> pa.Table:
     t = result.state_table(["x", "y"])
     return t.rename_columns(["vid", "x", "y"])
+
+
+class NbrDegProgram(SpmvProgram):
+    """SpMV with x = the degree vector itself (taken from init_state's
+    ``outdeg`` — no extra pass): y[v] = Σ_{u∈N(v)} deg(u), the exact
+    integer numerator of average-neighbor-degree — the per-vertex
+    assortativity feature (Barrat et al. 2004).  Degrees ≤ |V| and
+    sums ≤ |E|·|V| stay far under 2^53, so the float64 message channel
+    is integer-exact."""
+
+    name = "nbrdeg"
+
+    def __init__(self):
+        super().__init__()
+
+    def init_state(self, vids, outdeg):
+        return {"x": outdeg.astype(np.float64),
+                "y": np.zeros(len(vids))}
+
+
+def neighbor_degree_sums(graph: GraphShards, *,
+                         n_actors: int | None = None) -> RunResult:
+    return run_superstep_loop(
+        NbrDegProgram(), graph, ckpt=None, max_iters=1,
+        checkpoint_every=0, n_actors=n_actors,
+    )
