@@ -1336,6 +1336,40 @@ def _q_spmv(sf_dir: str):
     return pa.table({"vid": t["vid"], "y": pa.array(y, pa.float64())})
 
 
+KATZ_A = 4
+KATZ_K = 4
+
+
+def _q_katz(sf_dir: str):
+    """Truncated Katz centrality (algorithms.katz): α = 1/4, K = 4,
+    via the integer-exact scaled recurrence y_{k+1} = 4^{k+1} +
+    Σ_{u~v} y_k(u) — emitted as the exact int64 walk sum y_K (the
+    score is y_K/4^K), so the unrolled oracle matches with no float
+    rounding anywhere."""
+    from essentials_rd.algorithms.katz import katz, katz_table
+
+    g, _ = _graph(sf_dir)
+    res = katz(g, a_int=KATZ_A, k_iters=KATZ_K, scatter_mode="fused")
+    return katz_table(res)
+
+
+def _katz_sql() -> str:
+    steps = ["k0 AS MATERIALIZED (SELECT vid, CAST(1 AS HUGEINT) AS y "
+             "FROM verts)"]
+    for t in range(KATZ_K):
+        steps.append(f"""k{t + 1} AS MATERIALIZED (
+  SELECT v.vid, {KATZ_A ** (t + 1)} + COALESCE(s.s, 0) AS y
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, sum(k.y) AS s
+    FROM sym e JOIN k{t} k ON k.vid = e.src GROUP BY e.dst
+  ) s ON s.vid = v.vid)""")
+    return (
+        f"WITH {_GRAPH_CTES}, {','.join(steps)} "
+        f"SELECT vid, CAST(y AS BIGINT) AS katz_num FROM k{KATZ_K} "
+        "ORDER BY vid"
+    )
+
+
 def _q_nbr_deg(sf_dir: str):
     """Average-neighbor-degree feature (algorithms.spmv.NbrDegProgram):
     one SpMV superstep with x = the degree vector gives each vertex the
@@ -5177,6 +5211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
         "nbr_deg": _q_nbr_deg,
+        "katz_k4": _q_katz,
     }
 
 
@@ -6780,4 +6815,5 @@ FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
         "triangles_per_vertex": _triangles_per_vertex_sql(),
         "spmv": _spmv_sql(),
         "nbr_deg": _nbr_deg_sql(),
+        "katz_k4": _katz_sql(),
     }

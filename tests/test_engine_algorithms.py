@@ -466,3 +466,33 @@ def test_sweep_profile_matches_bruteforce_and_layout_invariant():
             vol = int(deg[ranked[:k]].sum())
             row = out[out.k == k].iloc[0]
             assert (row.cut_k, row.vol_k) == (cut, vol), k
+
+
+def test_katz_matches_dense_reference_and_partition_invariant():
+    """Integer Katz walk sums equal the dense y_{k+1} = A^{k+1} + Ay_k
+    recurrence at any partition count."""
+    import numpy as np
+
+    from essentials_rd.algorithms.katz import katz, katz_table
+    from essentials_rd.graph import build_graph
+    from tests.conftest import edges_ds
+
+    src, dst = _random_edges(n=50, m=200, seed=23)
+    src, dst = _canon(src, dst)
+    verts = np.unique(np.r_[src, dst])
+    idx = {int(v): i for i, v in enumerate(verts)}
+    adj = np.zeros((len(verts), len(verts)), np.int64)
+    for a, b in zip(src, dst):
+        adj[idx[int(a)], idx[int(b)]] = 1
+        adj[idx[int(b)], idx[int(a)]] = 1
+    y = np.ones(len(verts), np.int64)
+    for k in range(4):
+        y = 4 ** (k + 1) + adj @ y
+    for parts in (1, 5):
+        g = build_graph(edges_ds(src, dst).repartition(max(parts, 1)),
+                        f"/tmp/katz_test_{parts}", num_parts=parts,
+                        symmetrize=True, persist=False)
+        t = katz_table(katz(g, a_int=4, k_iters=4))
+        got = dict(zip(t["vid"].to_pylist(), t["katz_num"].to_pylist()))
+        want = {int(v): int(y[idx[int(v)]]) for v in verts}
+        assert got == want
