@@ -3695,6 +3695,116 @@ def _tpch_q18_sql() -> str:
     )
 
 
+def _q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 volume shipping (essentials_rd.tpch.q7): nation-pair
+    revenue per ship year, both directions between NATION_1/2."""
+    from essentials_rd import tpch
+
+    return tpch.q7(sf_dir)
+
+
+def _q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 order-count distribution (essentials_rd.tpch.q13),
+    zero-order customers included via the distributed left join."""
+    from essentials_rd import tpch
+
+    return tpch.q13(sf_dir)
+
+
+def _q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 top supplier (essentials_rd.tpch.q15): quarter
+    revenue leader under the (rev desc, suppkey) total order."""
+    from essentials_rd import tpch
+
+    return tpch.q15(sf_dir)
+
+
+def _q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 small-quantity revenue (essentials_rd.tpch.q17):
+    correlated 0.2·avg subquery as exact integer cross-multiplication."""
+    from essentials_rd import tpch
+
+    return tpch.q17(sf_dir)
+
+
+def _q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 (essentials_rd.tpch.q22): above-average-balance
+    customers with no orders, per nation; exact bal·n > Σ filter."""
+    from essentials_rd import tpch
+
+    return tpch.q22(sf_dir)
+
+
+def _tpch_q7_sql() -> str:
+    return (
+        "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+        f"CAST(sum({_TPCH_REV}) AS BIGINT) AS revenue_u "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation sn ON sn.n_nationkey = s_nationkey "
+        "JOIN nation cn ON cn.n_nationkey = c_nationkey "
+        "WHERE sn.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', "
+        "'NATION_3') AND cn.n_name IN ('NATION_0', 'NATION_1', "
+        "'NATION_2', 'NATION_3') AND sn.n_name <> cn.n_name "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    )
+
+
+def _tpch_q13_sql() -> str:
+    return (
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+        "SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count "
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+        "GROUP BY 1) GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _tpch_q15_sql() -> str:
+    return (
+        "SELECT l_suppkey AS s_suppkey, "
+        f"CAST(sum({_TPCH_REV}) AS BIGINT) AS total_rev_u FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' "
+        "GROUP BY 1 ORDER BY total_rev_u DESC, s_suppkey LIMIT 1"
+    )
+
+
+def _tpch_q17_sql() -> str:
+    return (
+        "WITH li AS (SELECT l_partkey, "
+        "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty, "
+        "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand = 'Brand#12'), "
+        "st AS (SELECT l_partkey, sum(qty) AS sum_qty, "
+        "count(*) AS n_li FROM li GROUP BY 1) "
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(COALESCE(sum(cents), 0) AS BIGINT) AS sum_cents "
+        "FROM li JOIN st USING (l_partkey) "
+        "WHERE 5 * qty * n_li < sum_qty"
+    )
+
+
+def _tpch_q22_sql() -> str:
+    return (
+        "WITH cb AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS "
+        "c_nationkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_c "
+        "FROM customer), "
+        "g AS (SELECT sum(bal_c) AS s, count(*) AS n FROM cb "
+        "WHERE bal_c > 0) "
+        "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, "
+        "CAST(sum(bal_c) AS BIGINT) AS totacctbal_c "
+        "FROM cb, g WHERE bal_c * g.n > g.s "
+        "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT') "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_diameter_lb(sf_dir: str):
     """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS
     from the min vid, re-BFS from the farthest vertex found (tie-break
@@ -5122,6 +5232,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": _q_tpch_q12,
         "tpch_q14": _q_tpch_q14,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q22": _q_tpch_q22,
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
@@ -6574,6 +6689,11 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tpch_q12": _tpch_q12_sql(),
         "tpch_q14": _tpch_q14_sql(),
         "tpch_q18": _tpch_q18_sql(),
+        "tpch_q7": _tpch_q7_sql(),
+        "tpch_q13": _tpch_q13_sql(),
+        "tpch_q15": _tpch_q15_sql(),
+        "tpch_q17": _tpch_q17_sql(),
+        "tpch_q22": _tpch_q22_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),
