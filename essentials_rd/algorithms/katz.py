@@ -73,11 +73,12 @@ class KatzProgram:
 
 
 def katz(graph: GraphShards, *, a_int: int = 4, k_iters: int = 4,
+         ckpt=None, checkpoint_every: int = 0, resume: bool = False,
          n_actors: int | None = None, **kwargs) -> RunResult:
     return run_superstep_loop(
-        KatzProgram(a_int, k_iters), graph, ckpt=None,
-        max_iters=k_iters, checkpoint_every=0, n_actors=n_actors,
-        **kwargs,
+        KatzProgram(a_int, k_iters), graph, ckpt=ckpt,
+        max_iters=k_iters, checkpoint_every=checkpoint_every,
+        resume=resume, n_actors=n_actors, **kwargs,
     )
 
 

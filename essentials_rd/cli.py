@@ -25,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="repo_files parquet file/dir")
     p.add_argument("--algo", required=True,
                    choices=["pr", "wpr", "cc", "lp", "tc", "spmv", "bfs",
-                            "sssp", "ppr", "kcore", "eigen", "color", "hits",
+                            "sssp", "ppr", "kcore", "eigen", "katz", "color",
+                            "hits",
                             "bc", "msf", "ktruss", "esim", "nsample",
                             "walks", "n2v", "harmonic", "scc", "lpath", "match"])
     p.add_argument("--ckpt-dir", required=True)
@@ -222,6 +223,14 @@ def main(argv: list[str] | None = None) -> int:
         from .algorithms import eigencentrality
 
         res = eigencentrality(g, tol=args.tol, on_step_end=log_step, **common)
+        out_cols = ["value"]
+    elif args.algo == "katz":
+        from .algorithms.katz import katz as _katz
+
+        res = _katz(g, a_int=4, k_iters=max(args.k, 1), ckpt=ckpt,
+                    checkpoint_every=args.checkpoint_every,
+                    resume=args.resume, scatter_mode=args.scatter_mode,
+                    on_step_end=log_step)
         out_cols = ["value"]
     elif args.algo == "color":
         from .algorithms import color as _color

@@ -3,7 +3,7 @@
     python -m essentials_rd.run_query <name> [--sf-dir DIR] [--out DIR]
     python -m essentials_rd.run_query --list
 
-Every entry of the driver contract's ``queries()`` registry (140
+Every entry of the driver contract's ``queries()`` registry (160
 oracle-checked pipelines — graph algorithms, dedup, windows, joins,
 sampling, text/embedding ops) becomes directly runnable: the result
 prints as a row-count + head preview, or writes Parquet with ``--out``.
