@@ -3695,6 +3695,64 @@ def _tpch_q18_sql() -> str:
     )
 
 
+COPART_P = 16
+
+
+def _q_copart_join(sf_dir: str):
+    """Co-partitioned storage join (sinks.copartitioned_join): orders
+    and the per-order lineitem quantity rollup are both written through
+    the resumable partitioned sink with the SAME splitmix64(o_orderkey)
+    % P routing, then joined with ZERO shuffle — each partition pair
+    merges in one Ray task reading exactly two files.  This is the
+    bucketed-layout-reuse pattern that at 100 TB deletes the join
+    exchange entirely; the sink cache under /tmp is _SUCCESS-gated so
+    re-runs skip finished partitions."""
+    import os
+
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.sinks import copartitioned_join, write_partitioned
+    from essentials_rd.util import np_col
+
+    base = ("/tmp/essentials_rd_copart_"
+            + os.path.basename(os.path.normpath(sf_dir)))
+    key_fn = lambda b: np_col(b, "o_orderkey").astype(np.int64)  # noqa: E731
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    write_partitioned(orders, f"{base}/orders", key_fn, COPART_P)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_quantity"])
+
+    def _lprep(t: pa.Table) -> pa.Table:
+        qty = np.floor(np.asarray(
+            t.column("l_quantity").to_numpy(zero_copy_only=False),
+            np.float64) + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "qty": pa.array(qty, pa.int64())})
+
+    liagg = grouped_pandas_agg(
+        line.map_batches(_lprep, batch_format="pyarrow"),
+        keys=["o_orderkey"], aggs={"sum_qty": ("qty", "sum")},
+        num_buckets=COPART_P)
+    write_partitioned(liagg, f"{base}/liagg", key_fn, COPART_P)
+
+    return copartitioned_join(f"{base}/orders", f"{base}/liagg",
+                              COPART_P, on="o_orderkey", how="inner")
+
+
+def _copart_join_sql() -> str:
+    return (
+        "SELECT o_orderkey, o_orderpriority, la.sum_qty FROM orders "
+        "JOIN (SELECT l_orderkey AS o_orderkey, "
+        "CAST(sum(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS "
+        "sum_qty FROM lineitem GROUP BY 1) la USING (o_orderkey) "
+        "ORDER BY o_orderkey"
+    )
+
+
 def _q_tpch_q7(sf_dir: str):
     """TPC-H Q7 volume shipping (essentials_rd.tpch.q7): nation-pair
     revenue per ship year, both directions between NATION_1/2."""
@@ -5237,6 +5295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
+        "copart_join_parts": _q_copart_join,
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
@@ -6694,6 +6753,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tpch_q15": _tpch_q15_sql(),
         "tpch_q17": _tpch_q17_sql(),
         "tpch_q22": _tpch_q22_sql(),
+        "copart_join_parts": _copart_join_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),

@@ -27,6 +27,7 @@ import uuid
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+import ray
 import ray.data as rd
 
 from .util import hash64, np_col
@@ -131,3 +132,62 @@ def read_partitioned(out_dir: str, num_partitions: int) -> rd.Dataset:
     if not paths:
         raise FileNotFoundError(f"no finished partitions under {out_dir}")
     return rd.read_parquet(paths)
+
+
+@ray.remote
+def _copart_merge(fa: str, fb: str | None, on: list[str],
+                  how: str) -> pa.Table:
+    ta = pq.read_table(fa)
+    if fb is None:  # anti join, right partition empty: keep everything
+        return ta
+    from .ops import _pd_merge
+
+    out = _pd_merge(ta.to_pandas(), pq.read_table(fb).to_pandas(), on, how)
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata()
+
+
+def copartitioned_join(
+    dir_a: str,
+    dir_b: str,
+    num_partitions: int,
+    on: str | list[str],
+    how: str = "inner",
+) -> rd.Dataset:
+    """ZERO-shuffle join over two tables that share the partitioned
+    sink's storage layout — the bucketed-layout-reuse pattern that at
+    100 TB replaces the join's all-to-all exchange entirely: both dirs
+    were written by ``write_partitioned`` with the same key semantics
+    and partition count, so the identical ``splitmix64(key) % P``
+    routing guarantees partition p of A can only ever match partition
+    p of B.  Each pair merges in ONE Ray task that reads exactly its
+    two files (a lost task retries per-partition; nothing upstream
+    re-runs), and the result streams back as a Dataset built from the
+    per-partition Arrow refs.
+
+    ``how``: inner / semi / anti (the shapes that need no right-side
+    schema when a right partition is absent).  Misaligned layouts are
+    the one failure mode — P is validated against both dirs' maximum
+    finished-partition id, and key-routing agreement is the caller's
+    contract exactly as it is for any co-partitioned storage system.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    assert how in ("inner", "semi", "anti"), how
+    if len(finished_partitions(dir_a, num_partitions)) == 0:
+        raise FileNotFoundError(f"no finished partitions under {dir_a}")
+    refs = []
+    for p in range(num_partitions):
+        fa = os.path.join(_part_dir(dir_a, p), "data.parquet")
+        fb = os.path.join(_part_dir(dir_b, p), "data.parquet")
+        if not os.path.exists(fa):
+            continue  # no left rows routed here: empty for all hows
+        if not os.path.exists(fb):
+            if how == "anti":  # empty right: whole left partition survives
+                refs.append(_copart_merge.remote(fa, None, on, how))
+            continue  # inner/semi: empty
+        refs.append(_copart_merge.remote(fa, fb, on, how))
+    if not refs:
+        return rd.from_arrow(pq.read_schema(os.path.join(
+            _part_dir(dir_a, int(finished_partitions(
+                dir_a, num_partitions)[0])), "data.parquet")).empty_table())
+    return rd.from_arrow_refs(refs)

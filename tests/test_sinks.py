@@ -72,3 +72,40 @@ def test_crash_litter_is_invisible(tmp_path):
         f.write("garbage")
     back = read_partitioned(out, P)
     assert back.count() == t.num_rows
+
+
+def test_copartitioned_join_equals_general_join(tmp_path, ray_session):
+    """copartitioned_join over two same-routed sink dirs equals
+    ops.join for inner/semi/anti, including keys whose right
+    partition is entirely absent."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import join
+    from essentials_rd.sinks import copartitioned_join, write_partitioned
+    from essentials_rd.util import np_col
+
+    rng = np.random.default_rng(29)
+    left = pa.table({"k": pa.array(rng.integers(0, 300, 2_000),
+                                   pa.int64()),
+                     "a": pa.array(rng.integers(0, 9, 2_000), pa.int64())})
+    # right covers only a key sliver so some partitions end up absent
+    right = pa.table({"k": pa.array(rng.integers(0, 40, 150), pa.int64()),
+                      "b": pa.array(rng.integers(0, 9, 150), pa.int64())})
+    kf = lambda t: np_col(t, "k")  # noqa: E731
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_partitioned(rd.from_arrow(left).repartition(5), da, kf, 8)
+    write_partitioned(rd.from_arrow(right).repartition(3), db, kf, 8)
+
+    def _norm(df, cols):
+        return (df[cols].sort_values(cols).reset_index(drop=True)
+                .astype("int64"))
+
+    for how in ("inner", "semi", "anti"):
+        got = copartitioned_join(da, db, 8, on="k", how=how).to_pandas()
+        want = join(rd.from_arrow(left), rd.from_arrow(right),
+                    on="k", how=how).to_pandas()
+        cols = sorted(want.columns)
+        pd.testing.assert_frame_equal(_norm(got, cols), _norm(want, cols))
