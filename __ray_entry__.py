@@ -3695,6 +3695,47 @@ def _tpch_q18_sql() -> str:
     )
 
 
+def _q_pareto_orders(sf_dir: str):
+    """2-D skyline (ops.pareto_front_2d): orders on the
+    (price, recency) pareto front — no other order is both at least as
+    expensive AND at least as recent with one strict.  Per-block local
+    fronts + one driver re-run of the same kernel; zero shuffle."""
+    import ray.data as rd
+
+    from essentials_rd.ops import pareto_front_2d
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice",
+                                      "o_orderdate"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        day = (t.column("o_orderdate").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "cents": pa.array(cents, pa.int64()),
+                         "oday": pa.array(day, pa.int64())})
+
+    return pareto_front_2d(orders.map_batches(_prep,
+                                              batch_format="pyarrow"),
+                           "cents", "oday")
+
+
+def _pareto_orders_sql() -> str:
+    return (
+        "WITH c AS (SELECT o_orderkey, "
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents, "
+        "CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS oday "
+        "FROM orders) "
+        "SELECT * FROM c a WHERE NOT EXISTS ("
+        "SELECT 1 FROM c b WHERE b.cents >= a.cents AND "
+        "b.oday >= a.oday AND (b.cents > a.cents OR b.oday > a.oday)) "
+        "ORDER BY cents DESC"
+    )
+
+
 COPART_P = 16
 
 
@@ -5296,6 +5337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
         "copart_join_parts": _q_copart_join,
+        "pareto_orders": _q_pareto_orders,
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
@@ -6754,6 +6796,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tpch_q17": _tpch_q17_sql(),
         "tpch_q22": _tpch_q22_sql(),
         "copart_join_parts": _copart_join_sql(),
+        "pareto_orders": _pareto_orders_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),

@@ -2720,3 +2720,51 @@ def band_join_self(
         lambda g: _match(g.drop_columns(["part_id"])),
         batch_format="pyarrow",
     )
+
+
+def _local_skyline_2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of the 2-D maxima (pareto front) of (x, y): a row
+    survives iff no other row has (≥, ≥) with at least one strict.
+    Vectorized: lexsort by (x desc, y desc); within an x-group only
+    y == group-max rows can survive; across groups (scanned in
+    descending x) a group survives iff its y-max strictly beats every
+    higher-x group's y-max.  Duplicate surviving points all survive
+    (equal points do not dominate each other)."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    grp_start = np.r_[True, xs[1:] != xs[:-1]]
+    gid = np.cumsum(grp_start) - 1
+    gmax = ys[grp_start]            # first row per x-group = its y max
+    run = np.maximum.accumulate(np.r_[np.int64(np.iinfo(np.int64).min),
+                                      gmax[:-1]])
+    g_alive = gmax > run            # strictly beats all higher-x groups
+    keep = g_alive[gid] & (ys == gmax[gid])
+    return np.sort(order[keep])
+
+
+def pareto_front_2d(ds: rd.Dataset, x: str, y: str) -> pa.Table:
+    """Distributed 2-D skyline (Börzsönyi et al. 2001, maximize both):
+    each block keeps only its LOCAL pareto front (the global front is a
+    subset of the union of local fronts — any dominated row is
+    dominated transitively by a local survivor), the driver re-runs the
+    same kernel over the concatenated candidates.  ZERO shuffle; moved
+    rows = Σ local front sizes, which for correlated criteria is tiny.
+    The multi-criteria curation filter ("keep docs on the
+    quality × length frontier") as one operator."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        idx = _local_skyline_2d(np_col(t, x).astype(np.int64),
+                                np_col(t, y).astype(np.int64))
+        return t.take(pa.array(idx))
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    if not parts:
+        schema = getattr(ds.schema(), "base_schema", None)
+        return schema.empty_table() if schema is not None else pa.table({})
+    cand = pa.Table.from_pylist(parts)
+    idx = _local_skyline_2d(np_col(cand, x).astype(np.int64),
+                            np_col(cand, y).astype(np.int64))
+    return cand.take(pa.array(idx))

@@ -1082,3 +1082,33 @@ def test_band_join_self_matches_bruteforce():
                              span, n_parts=parts).to_pandas()
         assert set(zip(got.a_id, got.b_id, got.vdiff)) == want, parts
         assert len(got) == len(want)  # exactly-once
+
+
+def test_pareto_front_matches_bruteforce_with_ties():
+    """Distributed 2-D skyline equals the O(n^2) dominance check on
+    random data with heavy coordinate ties and exact duplicate points,
+    at any block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import pareto_front_2d
+
+    rng = np.random.default_rng(37)
+    n = 3_000
+    x = rng.integers(0, 25, n)          # heavy ties
+    y = rng.integers(0, 25, n)
+    x[10:20] = x[0]; y[10:20] = y[0]    # exact duplicates
+    ids = np.arange(n)
+    tbl = pa.table({"id": pa.array(ids, pa.int64()),
+                    "x": pa.array(x, pa.int64()),
+                    "y": pa.array(y, pa.int64())})
+    dominated = np.zeros(n, bool)
+    for i in range(n):
+        dom = ((x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i])))
+        dominated[i] = dom.any()
+    want = set(ids[~dominated].tolist())
+    for parts in (1, 9):
+        got = pareto_front_2d(rd.from_arrow(tbl).repartition(parts),
+                              "x", "y")
+        assert set(got.column("id").to_pylist()) == want
