@@ -3695,6 +3695,63 @@ def _tpch_q18_sql() -> str:
     )
 
 
+def _q_incr_rollup(sf_dir: str):
+    """Incremental view maintenance (ops.incremental_grouped_sum):
+    yesterday's per-priority revenue rollup (version A of orders)
+    updated to today's (version B — same deterministic versions as
+    orders_diff) by re-aggregating ONLY the diff-touched keys' rows;
+    the result is bit-identical to aggregating B from scratch, which
+    is exactly what the oracle does."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, incremental_grouped_sum
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.util import np_col
+
+    def _load(drop_mod: int, bump11: bool):
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_totalprice",
+                                          "o_orderpriority"])
+
+        def _prep(t: pa.Table) -> pa.Table:
+            k = np_col(t, "o_orderkey")
+            keep = (k % drop_mod) != 0
+            p = np.asarray(t.column("o_totalprice").to_numpy(
+                zero_copy_only=False), np.float64)
+            v = np.floor(p * 100.0 + 0.5).astype(np.int64)
+            if bump11:
+                v = v + ((k % 11) == 0)
+            return pa.table({
+                "o_orderkey": pa.array(k[keep], pa.int64()),
+                "pr": t.column("o_orderpriority").filter(pa.array(keep)),
+                "v": pa.array(v[keep], pa.int64())})
+
+        return orders.map_batches(_prep, batch_format="pyarrow")
+
+    old, new = _load(7, False).materialize(), _load(5, True).materialize()
+    old_rows = grouped_pandas_agg(
+        old, keys=["pr"], aggs={"total": ("v", "sum")},
+        key_fn=lambda b: _str_hash(b.column("pr")),
+        num_buckets=4).take_all()
+    old_rows.sort(key=lambda r: r["pr"])
+    old_agg = pa.table({
+        "pr": pa.array([r["pr"] for r in old_rows], pa.string()),
+        "total": pa.array([r["total"] for r in old_rows], pa.int64())})
+    return incremental_grouped_sum(old, new, "o_orderkey", "pr", "v",
+                                   old_agg)
+
+
+def _incr_rollup_sql() -> str:
+    return (
+        "SELECT o_orderpriority AS pr, CAST(sum(v) AS BIGINT) AS total "
+        "FROM (SELECT o_orderkey, o_orderpriority, "
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + "
+        "CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS v "
+        "FROM orders WHERE o_orderkey % 5 != 0) "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_pareto_orders(sf_dir: str):
     """2-D skyline (ops.pareto_front_2d): orders on the
     (price, recency) pareto front — no other order is both at least as
@@ -5338,6 +5395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22": _q_tpch_q22,
         "copart_join_parts": _q_copart_join,
         "pareto_orders": _q_pareto_orders,
+        "incr_orders_rollup": _q_incr_rollup,
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
@@ -6797,6 +6855,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tpch_q22": _tpch_q22_sql(),
         "copart_join_parts": _copart_join_sql(),
         "pareto_orders": _pareto_orders_sql(),
+        "incr_orders_rollup": _incr_rollup_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),

@@ -2768,3 +2768,101 @@ def pareto_front_2d(ds: rd.Dataset, x: str, y: str) -> pa.Table:
     idx = _local_skyline_2d(np_col(cand, x).astype(np.int64),
                             np_col(cand, y).astype(np.int64))
     return cand.take(pa.array(idx))
+
+
+def incremental_grouped_sum(
+    old: rd.Dataset,
+    new: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    val_col: str,
+    old_agg: pa.Table,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> pa.Table:
+    """Incremental view maintenance for a grouped SUM — update
+    yesterday's aggregate paying only the DELTA: `table_diff`
+    classifies keys in one (key, value-hash) co-shuffle where
+    unchanged keys never leave their bucket, then exactly two
+    keyset-restricted scans re-aggregate only the touched rows:
+
+        A2[g] = A1[g] − Σ old rows of removed∪changed keys
+                      + Σ new rows of added∪changed keys
+
+    The result is bit-identical to re-aggregating the new table from
+    scratch (pytest-pinned), but the value columns of unchanged keys
+    are never exchanged.  The touched keysets are broadcast as sorted
+    arrays (delta-sized by assumption — this is the op for the
+    daily-extract regime where change ≪ table; a full-churn input
+    degrades gracefully to ~one extra scan).  Keys unique per side,
+    same as table_diff.  ``old_agg``: (group_col, total) from the
+    previous maintenance round.  A group whose rows ALL disappear stays
+    in the view with total 0 (maintenance semantics) — a from-scratch
+    GROUP BY would emit no row for it; compare accordingly."""
+    import ray
+
+    kf = lambda t: np_col(t, key_col).astype(np.int64)  # noqa: E731
+
+    def _vf(t: pa.Table) -> np.ndarray:
+        g = t.column(group_col)
+        gh = (hash64(np_col(t, group_col).astype(np.int64))
+              if not (pa.types.is_string(g.type)
+                      or pa.types.is_large_string(g.type))
+              else None)
+        if gh is None:
+            from .derive import _str_hash
+
+            gh = _str_hash(g).view(np.uint64)
+        with np.errstate(over="ignore"):
+            return (gh.astype(np.uint64) * np.uint64(0x100000001B3)
+                    + np_col(t, val_col).view(np.uint64))
+
+    d = table_diff(old.select_columns([key_col, group_col, val_col]),
+                   new.select_columns([key_col, group_col, val_col]),
+                   key_fn=kf, val_fn=_vf, key_col=key_col,
+                   num_buckets=num_buckets).to_pandas()
+    minus = np.sort(d.loc[d.status.isin(["removed", "changed"]),
+                          key_col].to_numpy(np.int64))
+    plus = np.sort(d.loc[d.status.isin(["added", "changed"]),
+                         key_col].to_numpy(np.int64))
+    minus_ref, plus_ref = ray.put(minus), ray.put(plus)
+
+    def _delta(keys_ref, sign: int):
+        def _p(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            m = np.isin(np_col(t, key_col).astype(np.int64), ks)
+            t = t.filter(pa.array(m))
+            return pa.table({group_col: t.column(group_col),
+                             "__d__": pa.array(
+                                 sign * np_col(t, val_col), pa.int64())})
+
+        return _p
+
+    touched = (old.select_columns([key_col, group_col, val_col])
+               .map_batches(_delta(minus_ref, -1), batch_format="pyarrow")
+               .union(new.select_columns([key_col, group_col, val_col])
+                      .map_batches(_delta(plus_ref, 1),
+                                   batch_format="pyarrow")))
+
+    def _key(b: pa.Table) -> np.ndarray:
+        g = b.column(group_col)
+        if pa.types.is_string(g.type) or pa.types.is_large_string(g.type):
+            from .derive import _str_hash
+
+            return _str_hash(g)
+        return np_col(b, group_col).astype(np.int64)
+
+    deltas = grouped_pandas_agg(
+        touched, keys=[group_col], aggs={"__d__": ("__d__", "sum")},
+        key_fn=_key, num_buckets=min(num_buckets, 8)).take_all()
+    dmap = {r[group_col]: r["__d__"] for r in deltas}
+    groups = old_agg.column(group_col).to_pylist()
+    totals = np_col(old_agg, "total").astype(np.int64)
+    out_g = list(groups)
+    out_t = [int(t) + int(dmap.pop(g, 0)) for g, t in zip(groups, totals)]
+    for g, dv in sorted(dmap.items(), key=lambda kv: str(kv[0])):
+        out_g.append(g)          # groups born in the delta
+        out_t.append(int(dv))
+    keep = [i for i, t in enumerate(out_t) if t != 0 or out_g[i] in groups]
+    return pa.table({group_col: pa.array([out_g[i] for i in keep]),
+                     "total": pa.array([out_t[i] for i in keep],
+                                       pa.int64())})

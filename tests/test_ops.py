@@ -1112,3 +1112,45 @@ def test_pareto_front_matches_bruteforce_with_ties():
         got = pareto_front_2d(rd.from_arrow(tbl).repartition(parts),
                               "x", "y")
         assert set(got.column("id").to_pylist()) == want
+
+
+def test_incremental_grouped_sum_equals_scratch_recompute():
+    """Maintained aggregate == from-scratch aggregate of the new
+    version under adds/removes/changes (value and group moves), with
+    groups that appear and empty out in the delta."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import incremental_grouped_sum
+
+    rng = np.random.default_rng(41)
+    n = 2_000
+    keys = np.arange(n, dtype=np.int64)
+    g1 = rng.integers(0, 6, n).astype(np.int64)
+    v1 = rng.integers(-500, 500, n).astype(np.int64)
+    # new version: drop some keys, add new ones, change some values
+    # AND move some rows to a brand-new group 99
+    keep = rng.random(n) > 0.05
+    k2 = np.r_[keys[keep], np.arange(n, n + 100)]
+    g2 = np.r_[g1[keep], np.full(100, 99, np.int64)]
+    v2 = np.r_[v1[keep], rng.integers(-500, 500, 100)]
+    ch = rng.random(len(k2)) < 0.1
+    v2 = np.where(ch, v2 + 7, v2)
+    old = pa.table({"k": pa.array(keys), "g": pa.array(g1),
+                    "v": pa.array(v1)})
+    new = pa.table({"k": pa.array(k2), "g": pa.array(g2),
+                    "v": pa.array(v2)})
+    old_agg_df = (pd.DataFrame({"g": g1, "v": v1}).groupby("g")["v"]
+                  .sum().reset_index())
+    old_agg = pa.table({"g": pa.array(old_agg_df.g.to_numpy(np.int64)),
+                        "total": pa.array(old_agg_df.v.to_numpy(np.int64))})
+    got = incremental_grouped_sum(
+        rd.from_arrow(old).repartition(5),
+        rd.from_arrow(new).repartition(3),
+        "k", "g", "v", old_agg).to_pandas().sort_values("g")
+    want = (pd.DataFrame({"g": g2, "v": v2}).groupby("g")["v"]
+            .sum().reset_index().rename(columns={"v": "total"}))
+    merged = got.merge(want, on="g", how="outer", suffixes=("_got", "_want"))
+    assert (merged.total_got.fillna(0) == merged.total_want.fillna(0)).all()
