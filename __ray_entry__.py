@@ -1624,6 +1624,65 @@ def _q_orders_range_parts(sf_dir: str):
     ).sort_by("part_id")
 
 
+def _q_sorted_write(sf_dir: str):
+    """Globally sorted partitioned output (sinks.write_sorted — the
+    external-sort / terasort layout): orders cents range-partitioned by
+    the same deterministic sampler as orders_range_parts, per-partition
+    sorted and atomically written; this query READS THE FILES BACK,
+    asserts in-file and cross-partition sortedness (raising, not
+    reporting, on violation — the oracle can't see files), and emits
+    the same per-partition (n, min, max) stats the shared bounds CTE
+    reproduces."""
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from essentials_rd.sinks import _part_dir, write_sorted
+    from essentials_rd.util import np_col
+
+    base = ("/tmp/essentials_rd_sortwrite_"
+            + os.path.basename(os.path.normpath(sf_dir)))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+             "cents": pa.array(c, pa.int64())})
+
+    write_sorted(orders.map_batches(_cents, batch_format="pyarrow"),
+                 base, "cents",
+                 key_fn=lambda b: np_col(b, "o_orderkey"),
+                 num_partitions=RANGE_PARTS, sample_frac=SKETCH_FRAC,
+                 tie_cols=["o_orderkey"])
+    rows = []
+    prev_max = None
+    for p in range(RANGE_PARTS):
+        f = os.path.join(_part_dir(base, p), "data.parquet")
+        if not os.path.exists(f):
+            continue
+        t = _pq.read_table(f)
+        v = np_col(t, "cents")
+        if len(v) == 0:
+            continue
+        if not (np.diff(v) >= 0).all():
+            raise AssertionError(f"partition {p} not sorted")
+        if prev_max is not None and v[0] < prev_max:
+            raise AssertionError(f"partition {p} overlaps previous range")
+        prev_max = v[-1]
+        rows.append((p, len(v), int(v[0]), int(v[-1])))
+    return pa.table({
+        "part_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "min_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "max_cents": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def _q_orders_price_rank(sf_dir: str):
     """Distributed global ORDER BY (ops.global_rank): every order's
     exact 1-based position under the (price-cents, o_orderkey) total
@@ -5396,6 +5455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_join_parts": _q_copart_join,
         "pareto_orders": _q_pareto_orders,
         "incr_orders_rollup": _q_incr_rollup,
+        "orders_sorted_write": _q_sorted_write,
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
@@ -6856,6 +6916,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "copart_join_parts": _copart_join_sql(),
         "pareto_orders": _pareto_orders_sql(),
         "incr_orders_rollup": _incr_rollup_sql(),
+        "orders_sorted_write": _orders_range_parts_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),

@@ -191,3 +191,67 @@ def copartitioned_join(
             _part_dir(dir_a, int(finished_partitions(
                 dir_a, num_partitions)[0])), "data.parquet")).empty_table())
     return rd.from_arrow_refs(refs)
+
+
+def write_sorted(
+    ds: rd.Dataset,
+    out_dir: str,
+    by: str,
+    key_fn,
+    num_partitions: int,
+    *,
+    sample_frac: float = 0.1,
+    tie_cols: list[str] | None = None,
+) -> tuple[pa.Table, np.ndarray]:
+    """GLOBALLY SORTED partitioned output — the external-sort /
+    terasort layout: equi-depth range partition on ``by`` (the
+    engine's deterministic sampler + exact quantile bounds, so the
+    same layout at any cluster size), ONE exchange routing each row
+    to its range, and a per-partition vectorized sort before the
+    atomic write.  Reading partitions p0 < p1 < … back in order
+    yields the fully sorted table, but no task ever held more than
+    one partition — the shape that sorts 100 TB with bounded worker
+    memory.  Returns (receipts, bounds).  Resumable: finished
+    partitions are never rewritten (deterministic routing means a
+    re-run reproduces identical contents); unlike write_partitioned
+    the re-run still pays the routing exchange, just not the sorts
+    and writes — range routing needs the bounds pass either way."""
+    from .ops import range_partition
+
+    routed, bounds = range_partition(ds, by, num_partitions, key_fn,
+                                     sample_frac=sample_frac)
+    ties = tie_cols or []
+
+    def _sort(grp: pa.Table) -> pa.Table:
+        keys = [np_col(grp, c) for c in reversed(ties)]
+        order = np.lexsort((*keys, np_col(grp, by)))
+        return grp.take(pa.array(order)).drop_columns(["part_id"])
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = set(finished_partitions(out_dir, num_partitions).tolist())
+
+    def _write(grp: pa.Table) -> pa.Table:
+        p = int(np_col(grp, "part_id")[0])
+        if p in done:
+            return pa.table({"part": pa.array([p], pa.int64()),
+                             "rows": pa.array([-1], pa.int64()),
+                             "skipped": pa.array([True], pa.bool_())})
+        t = _sort(grp)
+        d = _part_dir(out_dir, p)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(d, "data.parquet"))
+        with open(os.path.join(d, "_SUCCESS"), "w") as f:
+            f.write("")
+        return pa.table({"part": pa.array([p], pa.int64()),
+                         "rows": pa.array([t.num_rows], pa.int64()),
+                         "skipped": pa.array([False], pa.bool_())})
+
+    receipts = (routed.groupby("part_id")
+                .map_groups(_write, batch_format="pyarrow"))
+    out = pa.Table.from_pylist(
+        receipts.take_all(),
+        schema=pa.schema([("part", pa.int64()), ("rows", pa.int64()),
+                          ("skipped", pa.bool_())])).sort_by("part")
+    return out, bounds

@@ -109,3 +109,50 @@ def test_copartitioned_join_equals_general_join(tmp_path, ray_session):
                     on="k", how=how).to_pandas()
         cols = sorted(want.columns)
         pd.testing.assert_frame_equal(_norm(got, cols), _norm(want, cols))
+
+
+def test_write_sorted_global_order_and_content(tmp_path, ray_session):
+    """Reading write_sorted partitions in id order yields the fully
+    sorted table with exactly the input's multiset of rows; bounds are
+    layout-invariant."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from essentials_rd.sinks import _part_dir, write_sorted
+    from essentials_rd.util import np_col
+
+    rng = np.random.default_rng(43)
+    n = 20_000
+    v = rng.integers(0, 10_000, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"id": pa.array(ids), "v": pa.array(v)})
+    out = str(tmp_path / "sorted")
+    receipts, bounds = write_sorted(
+        rd.from_arrow(tbl).repartition(7), out, "v",
+        key_fn=lambda b: np_col(b, "id"), num_partitions=6,
+        tie_cols=["id"])
+    got = []
+    for p in range(6):
+        f = os.path.join(_part_dir(out, p), "data.parquet")
+        if os.path.exists(f):
+            t = pq.read_table(f)
+            pv = np_col(t, "v")
+            assert (np.diff(pv) >= 0).all()          # sorted inside
+            if got:
+                assert pv[0] >= got[-1][1][-1]       # sorted across
+            got.append((np_col(t, "id"), pv))
+    allv = np.concatenate([g[1] for g in got])
+    assert (np.sort(v) == allv).all()
+    assert sorted(np.concatenate([g[0] for g in got]).tolist()) == \
+        ids.tolist()
+    # same bounds from a different block layout
+    out2 = str(tmp_path / "sorted2")
+    _, bounds2 = write_sorted(
+        rd.from_arrow(tbl).repartition(2), out2, "v",
+        key_fn=lambda b: np_col(b, "id"), num_partitions=6,
+        tie_cols=["id"])
+    assert (bounds == bounds2).all()
