@@ -2508,6 +2508,32 @@ def _q_top_tokens(sf_dir: str):
     return heavy_hitters_tokens(docs, k=HH_K)
 
 
+def _q_lang_diversity(sf_dir: str):
+    """Per-language Simpson-diversity pieces
+    (textops.lang_token_diversity): (Σn, distinct, Σn²) over the
+    whitespace token distribution — collision probability and
+    type-token ratio derive from three exact int64s; vocabulary moves
+    only as per-block distinct pre-counts."""
+    import ray.data as rd
+
+    from essentials_rd.textops import lang_token_diversity
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+    return lang_token_diversity(docs)
+
+
+def _lang_diversity_sql() -> str:
+    return (
+        "SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_distinct, "
+        "CAST(sum(n * n) AS BIGINT) AS sum_n2 FROM ("
+        "SELECT lang, tok, count(*) AS n FROM ("
+        "SELECT lang, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents) GROUP BY 1, 2) GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_event_gaps(sf_dir: str):
     """Per-key LAG window (windows.lag_diff): gap to the user's previous
     event under the (ts, event_id) total order, first row = -1."""
@@ -5456,6 +5482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_orders": _q_pareto_orders,
         "incr_orders_rollup": _q_incr_rollup,
         "orders_sorted_write": _q_sorted_write,
+        "lang_diversity": _q_lang_diversity,
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
@@ -6917,6 +6944,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "pareto_orders": _pareto_orders_sql(),
         "incr_orders_rollup": _incr_rollup_sql(),
         "orders_sorted_write": _orders_range_parts_sql(),
+        "lang_diversity": _lang_diversity_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),

@@ -2220,3 +2220,69 @@ def repetition_stats(
     return docs.select_columns([id_col, text_col]).map_batches(
         _stats, batch_format="pyarrow"
     )
+
+
+def lang_token_diversity(docs: rd.Dataset, text_col: str = "text",
+                         lang_col: str = "lang",
+                         num_buckets: int = 32) -> pa.Table:
+    """Per-language token-diversity table — the corpus drift /
+    repetitiveness signal as THREE exact int64s per language:
+
+        (lang, n_tokens = Σn, n_distinct, sum_n2 = Σn²)
+
+    Simpson's concentration (the probability two random tokens of the
+    language coincide — the Rényi-2 diversity surrogate) derives as
+    Σn(n−1)/(N(N−1)) from these with no float aggregate to hash-drift;
+    type-token ratio is n_distinct/n_tokens from the same row.
+
+    Scale shape: per-block (lang, tok) PRE-COUNTS (the vocabulary is
+    never exploded row-per-token into the exchange) through one
+    bucketed combine keyed on the token hash with the exact string
+    disambiguating in-bucket; the per-language reduction then folds
+    the distinct-pair rows — moved rows ≤ blocks · in-block distinct
+    pairs, and the final table is n_langs rows."""
+    from .derive import _str_hash
+    from .ops import grouped_pandas_agg
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        df = batch.select([lang_col, text_col]).to_pandas()
+        df["tok"] = df[text_col].str.split(" ")
+        df = df.drop(columns=[text_col]).explode("tok")
+        g = (df.groupby([lang_col, "tok"], sort=True).size()
+             .reset_index(name="n"))
+        return pa.table({
+            "lang": pa.array(g[lang_col].tolist(), pa.string()),
+            "tok": pa.array(g["tok"].tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    counts = grouped_pandas_agg(
+        docs.map_batches(_explode, batch_format="pyarrow"),
+        ["lang", "tok"], {"n": ("n", "sum")},
+        key_fn=lambda b: _str_hash(b.column("tok")),
+        num_buckets=num_buckets)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n = df["n"].to_numpy(np.int64)
+        g = (pd.DataFrame({"lang": df["lang"], "n": n, "n2": n * n})
+             .groupby("lang").agg(n_tokens=("n", "sum"),
+                                  n_distinct=("n", "count"),
+                                  sum_n2=("n2", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata()
+
+    agg = grouped_pandas_agg(
+        counts.map_batches(_partial, batch_format="pyarrow"),
+        ["lang"], {"n_tokens": ("n_tokens", "sum"),
+                   "n_distinct": ("n_distinct", "sum"),
+                   "sum_n2": ("sum_n2", "sum")},
+        key_fn=lambda b: _str_hash(b.column("lang")), num_buckets=4)
+    rows = agg.take_all()
+    rows.sort(key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r["n_distinct"] for r in rows], pa.int64()),
+        "sum_n2": pa.array([r["sum_n2"] for r in rows], pa.int64()),
+    })
