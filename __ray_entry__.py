@@ -3780,6 +3780,54 @@ def _tpch_q18_sql() -> str:
     )
 
 
+def _q_user_frontier(sf_dir: str):
+    """Per-event-type user frontier (ops.pareto_front_2d_by): per
+    type, the users no other user dominates on (event count, total
+    value cents) — grouped aggregation collapses to one row per
+    (type, user) first, then the zero-shuffle per-group skyline."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_pandas_agg, pareto_front_2d_by
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("value").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "user_id": t.column("user_id"),
+                         "cents": pa.array(c, pa.int64())})
+
+    per_user = grouped_pandas_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        keys=["event_type", "user_id"],
+        aggs={"n_events": ("cents", "count"),
+              "val_c": ("cents", "sum")},
+        key_fn=lambda b: _str_hash(b.column("event_type"))
+        + np_col(b, "user_id").astype(np.int64) * np.int64(31),
+        num_buckets=16)
+    return pareto_front_2d_by(per_user, "event_type", "n_events",
+                              "val_c")
+
+
+def _user_frontier_sql() -> str:
+    return (
+        "WITH pu AS (SELECT event_type, user_id, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS "
+        "val_c FROM events GROUP BY 1, 2) "
+        "SELECT * FROM pu a WHERE NOT EXISTS ("
+        "SELECT 1 FROM pu b WHERE b.event_type = a.event_type AND "
+        "b.n_events >= a.n_events AND b.val_c >= a.val_c AND "
+        "(b.n_events > a.n_events OR b.val_c > a.val_c)) "
+        "ORDER BY event_type, user_id"
+    )
+
+
 def _q_incr_rollup(sf_dir: str):
     """Incremental view maintenance (ops.incremental_grouped_sum):
     yesterday's per-priority revenue rollup (version A of orders)
@@ -5483,6 +5531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incr_orders_rollup": _q_incr_rollup,
         "orders_sorted_write": _q_sorted_write,
         "lang_diversity": _q_lang_diversity,
+        "user_value_frontier": _q_user_frontier,
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
@@ -6945,6 +6994,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "incr_orders_rollup": _incr_rollup_sql(),
         "orders_sorted_write": _orders_range_parts_sql(),
         "lang_diversity": _lang_diversity_sql(),
+        "user_value_frontier": _user_frontier_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),

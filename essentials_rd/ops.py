@@ -2866,3 +2866,33 @@ def incremental_grouped_sum(
     return pa.table({group_col: pa.array([out_g[i] for i in keep]),
                      "total": pa.array([out_t[i] for i in keep],
                                        pa.int64())})
+
+
+def pareto_front_2d_by(ds: rd.Dataset, group_col: str, x: str,
+                       y: str) -> pa.Table:
+    """Per-GROUP 2-D skyline: pareto_front_2d's kernel applied within
+    each group — "the frontier per language / per segment" curation
+    shape.  Same zero-shuffle plan: each block keeps its per-group
+    local fronts (a pandas groupby drives the vectorized kernel — cost
+    scales with groups-in-block, not rows²), the driver re-runs the
+    same per-group kernel over the concatenated candidates."""
+
+    def _local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas()
+        keep_idx = []
+        for _, sub in df.groupby(group_col, sort=False):
+            idx = _local_skyline_2d(
+                sub[x].to_numpy(np.int64), sub[y].to_numpy(np.int64))
+            keep_idx.append(sub.index.to_numpy()[idx])
+        sel = np.sort(np.concatenate(keep_idx)) if keep_idx else []
+        return pa.Table.from_pandas(df.loc[sel], preserve_index=False) \
+            .replace_schema_metadata()
+
+    parts = ds.map_batches(_local, batch_format="pyarrow").take_all()
+    if not parts:
+        schema = getattr(ds.schema(), "base_schema", None)
+        return schema.empty_table() if schema is not None else pa.table({})
+    cand = pa.Table.from_pylist(parts)
+    return _local(cand)

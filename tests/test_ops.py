@@ -1154,3 +1154,28 @@ def test_incremental_grouped_sum_equals_scratch_recompute():
             .sum().reset_index().rename(columns={"v": "total"}))
     merged = got.merge(want, on="g", how="outer", suffixes=("_got", "_want"))
     assert (merged.total_got.fillna(0) == merged.total_want.fillna(0)).all()
+
+
+def test_pareto_front_by_equals_per_group_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import pareto_front_2d, pareto_front_2d_by
+
+    rng = np.random.default_rng(53)
+    n = 2_000
+    g = rng.integers(0, 4, n).astype(np.int64)
+    tbl = pa.table({"g": pa.array(g),
+                    "x": pa.array(rng.integers(0, 30, n), pa.int64()),
+                    "y": pa.array(rng.integers(0, 30, n), pa.int64()),
+                    "id": pa.array(np.arange(n), pa.int64())})
+    got = pareto_front_2d_by(rd.from_arrow(tbl).repartition(6),
+                             "g", "x", "y")
+    ids_got = set(got.column("id").to_pylist())
+    want = set()
+    for gg in range(4):
+        sub = tbl.filter(pa.compute.equal(tbl.column("g"), gg))
+        want |= set(pareto_front_2d(rd.from_arrow(sub), "x", "y")
+                    .column("id").to_pylist())
+    assert ids_got == want
