@@ -1338,6 +1338,45 @@ def _q_spmv(sf_dir: str):
 
 KATZ_A = 4
 KATZ_K = 4
+FASTRP_D = 8
+FASTRP_K = 2
+
+
+def _q_fastrp(sf_dir: str):
+    """FastRP node embeddings (algorithms.fastrp): X_K = A^K R with R
+    the splitmix-derived ±1/0 very-sparse projection — all d
+    dimensions travel as separate packed message columns in the SAME
+    exchange, one superstep per hop; every entry an exact integer so
+    the unrolled oracle matches bit-for-bit.  Long (vid, dim, val)
+    form."""
+    from essentials_rd.algorithms.fastrp import fastrp, fastrp_table
+
+    g, _ = _graph(sf_dir)
+    res = fastrp(g, d=FASTRP_D, k_iters=FASTRP_K, scatter_mode="fused")
+    return fastrp_table(res, d=FASTRP_D)
+
+
+def _fastrp_sql() -> str:
+    chain = _sm64_ctes(
+        "fp", "vid, dim", "vid * 2654435761 + dim",
+        "(SELECT v.vid, d.dim FROM verts v, "
+        f"(SELECT unnest(range(0, {FASTRP_D})) AS dim) d)")
+    steps = [
+        "fx0 AS MATERIALIZED (SELECT vid, dim, "
+        "CASE WHEN z % 6 = 0 THEN 1 WHEN z % 6 = 1 THEN -1 ELSE 0 END "
+        "AS val FROM fp3)"]
+    for k in range(FASTRP_K):
+        steps.append(
+            f"fx{k + 1} AS MATERIALIZED (SELECT e.dst AS vid, x.dim, "
+            f"sum(x.val) AS val FROM sym e JOIN fx{k} x ON x.vid = e.src "
+            "GROUP BY 1, 2)")
+    return (
+        f"WITH {_GRAPH_CTES}, {chain}, {', '.join(steps)} "
+        "SELECT v.vid, d.dim, CAST(COALESCE(x.val, 0) AS BIGINT) AS val "
+        f"FROM verts v CROSS JOIN (SELECT unnest(range(0, {FASTRP_D})) "
+        f"AS dim) d LEFT JOIN fx{FASTRP_K} x "
+        "ON x.vid = v.vid AND x.dim = d.dim ORDER BY v.vid, d.dim"
+    )
 
 
 def _q_katz(sf_dir: str):
@@ -5622,6 +5661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spmv": _q_spmv,
         "nbr_deg": _q_nbr_deg,
         "katz_k4": _q_katz,
+        "fastrp_embed8": _q_fastrp,
     }
 
 
@@ -7237,4 +7277,5 @@ FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
         "spmv": _spmv_sql(),
         "nbr_deg": _nbr_deg_sql(),
         "katz_k4": _katz_sql(),
+        "fastrp_embed8": _fastrp_sql(),
     }

@@ -496,3 +496,41 @@ def test_katz_matches_dense_reference_and_partition_invariant():
         got = dict(zip(t["vid"].to_pylist(), t["katz_num"].to_pylist()))
         want = {int(v): int(y[idx[int(v)]]) for v in verts}
         assert got == want
+
+
+def test_fastrp_matches_dense_reference_and_partition_invariant():
+    """Multi-channel FastRP equals the dense A^K R recurrence with the
+    same splitmix projection, at any partition count."""
+    import numpy as np
+
+    from essentials_rd.algorithms.fastrp import (_proj_row, fastrp,
+                                                 fastrp_table)
+    from essentials_rd.graph import build_graph
+    from tests.conftest import edges_ds
+
+    src, dst = _random_edges(n=40, m=150, seed=61)
+    src, dst = _canon(src, dst)
+    verts = np.unique(np.r_[src, dst])
+    idx = {int(v): i for i, v in enumerate(verts)}
+    adj = np.zeros((len(verts), len(verts)), np.int64)
+    for a, b in zip(src, dst):
+        adj[idx[int(a)], idx[int(b)]] = 1
+        adj[idx[int(b)], idx[int(a)]] = 1
+    d, K = 4, 2
+    X = np.stack([_proj_row(verts.astype(np.int64), j)
+                  for j in range(d)], axis=1).astype(np.int64)
+    for _ in range(K):
+        X = adj @ X
+    for parts in (1, 5):
+        g = build_graph(edges_ds(src, dst).repartition(parts),
+                        f"/tmp/fastrp_test_{parts}", num_parts=parts,
+                        symmetrize=True, persist=False)
+        t = fastrp_table(fastrp(g, d=d, k_iters=K), d=d)
+        got = {}
+        for v, dim, val in zip(t["vid"].to_pylist(),
+                               t["dim"].to_pylist(),
+                               t["val"].to_pylist()):
+            got[(v, dim)] = val
+        for v in verts:
+            for j in range(d):
+                assert got[(int(v), j)] == int(X[idx[int(v)], j]), (v, j)
