@@ -25,8 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="repo_files parquet file/dir")
     p.add_argument("--algo", required=True,
                    choices=["pr", "wpr", "cc", "lp", "tc", "spmv", "bfs",
-                            "sssp", "ppr", "kcore", "eigen", "katz", "color",
-                            "hits",
+                            "sssp", "ppr", "kcore", "eigen", "katz",
+                            "fastrp", "color", "hits",
                             "bc", "msf", "ktruss", "esim", "nsample",
                             "walks", "n2v", "harmonic", "scc", "lpath", "match"])
     p.add_argument("--ckpt-dir", required=True)
@@ -232,6 +232,14 @@ def main(argv: list[str] | None = None) -> int:
                     resume=args.resume, scatter_mode=args.scatter_mode,
                     on_step_end=log_step)
         out_cols = ["value"]
+    elif args.algo == "fastrp":
+        from .algorithms.fastrp import fastrp as _fastrp
+
+        d = 8
+        res = _fastrp(g, d=d, k_iters=max(args.k, 1),
+                      scatter_mode=args.scatter_mode,
+                      on_step_end=log_step)
+        out_cols = [f"x{j}" for j in range(d)]
     elif args.algo == "color":
         from .algorithms import color as _color
 

@@ -93,7 +93,7 @@ def test_cli_round3_algos_smoke(tmp_path):
         "ktruss": "src", "esim": "jaccard", "nsample": "dst",
         "walks": "node", "n2v": "node", "harmonic": "h",
         "scc": "scc", "lpath": "depth", "match": "src",
-        "katz": "value",
+        "katz": "value", "fastrp": "x0",
     }
     for algo, col in expect_rows_col.items():
         out = tmp_path / f"out_{algo}"
