@@ -3819,6 +3819,49 @@ def _tpch_q18_sql() -> str:
     )
 
 
+def _q_price_mad(sf_dir: str):
+    """Per-priority robust (median, MAD) of order price cents
+    (ops.grouped_mad): two exact quantile_disc passes joined by the
+    auto-picked shape — every output an int64 present in the data."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_mad
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderpriority", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"pr": t.column("o_orderpriority"),
+                         "cents": pa.array(c, pa.int64())})
+
+    out = grouped_mad(orders.map_batches(_prep, batch_format="pyarrow"),
+                      "pr", "cents")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["pr"])
+    return pa.table({
+        "pr": pa.array([r["pr"] for r in rows], pa.string()),
+        "med": pa.array([r["med"] for r in rows], pa.int64()),
+        "mad": pa.array([r["mad"] for r in rows], pa.int64()),
+    })
+
+
+def _price_mad_sql() -> str:
+    return (
+        "WITH c AS (SELECT o_orderpriority AS pr, "
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+        "FROM orders), "
+        "m AS (SELECT pr, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS "
+        "med FROM c GROUP BY 1) "
+        "SELECT pr, m.med, CAST(quantile_disc(abs(c.cents - m.med), 0.5) "
+        "AS BIGINT) AS mad FROM c JOIN m USING (pr) "
+        "GROUP BY pr, m.med ORDER BY pr"
+    )
+
+
 def _q_user_frontier(sf_dir: str):
     """Per-event-type user frontier (ops.pareto_front_2d_by): per
     type, the users no other user dominates on (event count, total
@@ -5571,6 +5614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_sorted_write": _q_sorted_write,
         "lang_diversity": _q_lang_diversity,
         "user_value_frontier": _q_user_frontier,
+        "price_mad": _q_price_mad,
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
@@ -7035,6 +7079,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "orders_sorted_write": _orders_range_parts_sql(),
         "lang_diversity": _lang_diversity_sql(),
         "user_value_frontier": _user_frontier_sql(),
+        "price_mad": _price_mad_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),

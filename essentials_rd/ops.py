@@ -2896,3 +2896,38 @@ def pareto_front_2d_by(ds: rd.Dataset, group_col: str, x: str,
         return schema.empty_table() if schema is not None else pa.table({})
     cand = pa.Table.from_pylist(parts)
     return _local(cand)
+
+
+def grouped_mad(ds: rd.Dataset, key_col: str, val_col: str,
+                num_buckets: int = 32) -> rd.Dataset:
+    """Per-group MEDIAN ABSOLUTE DEVIATION — the robust location/scale
+    pair (med, mad) every outlier screen wants when the IQR fence is
+    too loose: two exact grouped-quantile passes (quantile_disc
+    semantics, so every output is an int64 actually present in the
+    data — no float to hash-drift) with the per-group medians joined
+    back by the engine's auto-picked join shape in between.  Rows
+    never move in the quantile passes (only (key, value, count)
+    histogram entries); the deviation pass is one stateless
+    map_batches.  Output (key_col, med, mad)."""
+    meds = grouped_quantiles(ds, key_col, val_col, [0.5],
+                             num_buckets=num_buckets)
+    meds = meds.map_batches(
+        lambda t: pa.table({key_col: t.column(key_col),
+                            "med": t.column("value")}),
+        batch_format="pyarrow").materialize()
+    j = join(ds.select_columns([key_col, val_col]), meds, on=key_col)
+
+    def _dev(t: pa.Table) -> pa.Table:
+        d = np.abs(np_col(t, val_col).astype(np.int64)
+                   - np_col(t, "med").astype(np.int64))
+        return pa.table({key_col: t.column(key_col),
+                         "__dev__": pa.array(d, pa.int64())})
+
+    mads = grouped_quantiles(j.map_batches(_dev, batch_format="pyarrow"),
+                             key_col, "__dev__", [0.5],
+                             num_buckets=num_buckets)
+    mads = mads.map_batches(
+        lambda t: pa.table({key_col: t.column(key_col),
+                            "mad": t.column("value")}),
+        batch_format="pyarrow")
+    return join(meds, mads, on=key_col)
