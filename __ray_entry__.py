@@ -3551,6 +3551,49 @@ def _bloom_bits_urgent_sql() -> str:
     )
 
 
+def _q_hourly_user_hll(sf_dir: str):
+    """Unique-visitors-per-window at 100-TB scale: per-HOUR HLL
+    distinct-user sketches (the same hll_registers_by grouped fold,
+    keyed on the epoch-hour bucket) — the streaming dashboard shape
+    where an exact per-window distinct would shuffle every event;
+    sketch rows per hour are OR-mergeable across ingest batches."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hll_registers_by
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        hr = (t.column("ts").cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // 3_600_000_000)
+        return pa.table({"hour": pa.array(hr, pa.int64()),
+                         "user_id": t.column("user_id")})
+
+    out = hll_registers_by(ev.map_batches(_prep, batch_format="pyarrow"),
+                           "hour", "user_id", p=HLL_GROUP_P)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["hour"], r["reg"]))
+    return pa.table({
+        "hour": pa.array([r["hour"] for r in rows], pa.int64()),
+        "reg": pa.array([r["reg"] for r in rows], pa.int64()),
+        "rho": pa.array([r["rho"] for r in rows], pa.int64()),
+    })
+
+
+def _hourly_user_hll_sql() -> str:
+    chain = _sm64_ctes(
+        "hz", "hour, user_id", "user_id",
+        "(SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour, "
+        "user_id FROM events)")
+    unroll, last = _hll_unroll_ctes("hour", "hz3", HLL_GROUP_P)
+    return (
+        f"WITH {chain}, {unroll} "
+        "SELECT hour, reg, CAST(max(rnk) + 1 AS BIGINT) AS rho "
+        f"FROM {last} GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 def _q_cm_sketch_users(sf_dir: str):
     """Count-min sketch of per-user event counts (ops.cm_sketch,
     depth 4 × width 256): each block folds one d×w int64 matrix,
@@ -5594,6 +5637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_regs": _q_hll_user_regs,
         "type_user_hll": _q_type_user_hll,
         "bloom_bits_urgent": _q_bloom_bits_urgent,
+        "hourly_user_hll": _q_hourly_user_hll,
         "cm_sketch_users": _q_cm_sketch_users,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
@@ -7059,6 +7103,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "hll_user_regs": _hll_user_regs_sql(),
         "type_user_hll": _type_user_hll_sql(),
         "bloom_bits_urgent": _bloom_bits_urgent_sql(),
+        "hourly_user_hll": _hourly_user_hll_sql(),
         "cm_sketch_users": _cm_sketch_users_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),
