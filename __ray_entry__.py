@@ -2705,6 +2705,43 @@ def _q_user_event_pivot(sf_dir: str):
                         key_fn=lambda b: np_col(b, "user_id"))
 
 
+def _q_event_unpivot(sf_dir: str):
+    """UNPIVOT roundtrip (ops.unpivot, the melt inverse of
+    pivot_counts): the wide user × event-type crosstab melts back to
+    long (user_id, event_type, n) with zero rows dropped — which must
+    equal the plain grouped count, exactly what the oracle computes.
+    Stateless melt, zero shuffle beyond the pivot's own."""
+    import ray.data as rd
+
+    from essentials_rd.ops import pivot_counts, unpivot
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    wide = pivot_counts(ev, "user_id", "event_type", EVENT_TYPES,
+                        key_fn=lambda b: np_col(b, "user_id"))
+    long = unpivot(wide, ["user_id"], [f"n_{c}" for c in EVENT_TYPES],
+                   var_name="event_type", value_name="n")
+
+    def _clean(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater(t.column("n"), 0))
+        et = pc.utf8_replace_slice(t.column("event_type"), 0, 2, "")
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_type": et,
+                         "n": t.column("n")})
+
+    return long.map_batches(_clean, batch_format="pyarrow")
+
+
+def _event_unpivot_sql() -> str:
+    return (
+        "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 def _q_doc_char_rank(sf_dir: str):
     """Ranking window (ops.grouped_rank): row_number + percent_rank of
     every doc within its language by (n_chars desc, doc_id asc) — a
@@ -5659,6 +5696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_diversity": _q_lang_diversity,
         "user_value_frontier": _q_user_frontier,
         "price_mad": _q_price_mad,
+        "event_unpivot": _q_event_unpivot,
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
@@ -7125,6 +7163,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "lang_diversity": _lang_diversity_sql(),
         "user_value_frontier": _user_frontier_sql(),
         "price_mad": _price_mad_sql(),
+        "event_unpivot": _event_unpivot_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),

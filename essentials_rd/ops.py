@@ -2931,3 +2931,31 @@ def grouped_mad(ds: rd.Dataset, key_col: str, val_col: str,
                             "mad": t.column("value")}),
         batch_format="pyarrow")
     return join(meds, mads, on=key_col)
+
+
+def unpivot(ds: rd.Dataset, id_cols: list[str], value_cols: list[str],
+            var_name: str = "variable",
+            value_name: str = "value") -> rd.Dataset:
+    """UNPIVOT / melt — wide → long, the inverse of pivot_counts:
+    each input row yields one output row per value column, carrying
+    the id columns, the column NAME as ``var_name`` and its value as
+    ``value_name``.  Purely stateless (one map_batches, zero shuffle,
+    output = len(value_cols)·rows) — the schema-normalization step
+    before a long-form aggregate or a sparse write."""
+
+    def _melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = {c: pa.concat_arrays(
+            [t.column(c).combine_chunks()] * len(value_cols))
+            for c in id_cols}
+        names = []
+        vals = []
+        for c in value_cols:
+            names.append(pa.array([c] * n, pa.string()))
+            vals.append(t.column(c).combine_chunks())
+        out = dict(ids)
+        out[var_name] = pa.concat_arrays(names)
+        out[value_name] = pa.concat_arrays(vals)
+        return pa.table(out)
+
+    return ds.map_batches(_melt, batch_format="pyarrow")
