@@ -330,6 +330,87 @@ def _q_ppr(sf_dir: str):
 SWEEP_T = 100
 
 
+HUB_H = 10
+
+
+def _q_hub_robustness(sf_dir: str):
+    """Network-robustness what-if (targeted-attack analysis, the
+    Albert–Jeong–Barabási shape): remove the top-H degree hubs
+    (deterministic (deg desc, vid) order), re-run the SAME hash-min CC
+    engine on the remaining subgraph, and report the component-size
+    histogram — how the giant component shatters.  Edge filtering is
+    one broadcast-set scan; the CC is the already-verified engine on a
+    persist=False rebuild."""
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.algorithms import connected_components
+    from essentials_rd.graph import build_graph
+    from essentials_rd.util import np_col
+
+    g, edges = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    deg = np.zeros(len(vids), np.int64)
+    for dt in ray.get(list(g.degree_refs)):
+        pos = np.searchsorted(vids, np_col(dt, "vid"))
+        deg[pos] += np_col(dt, "outdeg")
+    order = np.lexsort((vids, -deg))[:HUB_H]
+    hubs = np.sort(vids[order])
+
+    def _drop(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src").astype(np.int64)
+        d = np_col(t, "dst").astype(np.int64)
+        keep = ~np.isin(s, hubs) & ~np.isin(d, hubs)
+        return pa.table({"src": pa.array(s[keep], pa.int64()),
+                         "dst": pa.array(d[keep], pa.int64())})
+
+    sub = edges.map_batches(_drop, batch_format="pyarrow")
+    keep_v = vids[~np.isin(vids, hubs)]
+    import os as _os
+    import tempfile
+
+    gd = build_graph(sub, _os.path.join(tempfile.gettempdir(),
+                                        "essentials_rd_hubrob"),
+                     g.num_parts, symmetrize=True, persist=False,
+                     vertex_ids=keep_v)
+    cc = connected_components(gd, max_iters=2 * CC_ITERS,
+                              checkpoint_every=0, scatter_mode="fused")
+    lab = np.asarray(cc.state_table(["label"])["label"], np.int64)
+    _, csz = np.unique(lab, return_counts=True)
+    size, n = np.unique(csz, return_counts=True)
+    return pa.table({"size": pa.array(size.astype(np.int64), pa.int64()),
+                     "n_components": pa.array(n.astype(np.int64),
+                                              pa.int64())})
+
+
+def _hub_robustness_sql() -> str:
+    steps = ["r0 AS MATERIALIZED (SELECT vid, vid AS label FROM rverts)"]
+    for k in range(CC_ITERS):
+        steps.append(f"""
+rm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.label) AS ml
+  FROM rsym e JOIN r{k} l ON l.vid = e.src GROUP BY e.dst
+),
+r{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.label, COALESCE(m.ml, v.label)) AS label
+  FROM r{k} v LEFT JOIN rm{k} m ON m.vid = v.vid
+)""")
+    return (
+        f"WITH {_GRAPH_CTES}, "
+        "hub AS MATERIALIZED (SELECT vid FROM deg "
+        f"ORDER BY outdeg DESC, vid LIMIT {HUB_H}), "
+        "rverts AS MATERIALIZED (SELECT vid FROM verts "
+        "WHERE vid NOT IN (SELECT vid FROM hub)), "
+        "rsym AS MATERIALIZED (SELECT src, dst FROM sym "
+        "WHERE src NOT IN (SELECT vid FROM hub) "
+        "AND dst NOT IN (SELECT vid FROM hub)), "
+        + ",".join(steps) + " "
+        f"SELECT n AS size, CAST(count(*) AS BIGINT) AS n_components "
+        f"FROM (SELECT label, count(*) AS n FROM r{CC_ITERS} GROUP BY 1) "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_ppr_sweep(sf_dir: str):
     """PPR sweep-cut conductance profile (algorithms.sweep — the
     Andersen–Chung–Lang local-clustering sweep): rank vertices by the
@@ -5752,6 +5833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_dist": _q_sssp_dist,
         "ppr_k8": _q_ppr,
         "ppr_sweep": _q_ppr_sweep,
+        "hub_robustness": _q_hub_robustness,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
         "eigencentrality_k6": _q_eigencentrality,
@@ -7081,6 +7163,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "sssp_dist": _sssp_sql(),
         "ppr_k8": _ppr_sql(),
         "ppr_sweep": _ppr_sweep_sql(),
+        "hub_robustness": _hub_robustness_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),
         "eigencentrality_k6": _eigencentrality_sql(),
