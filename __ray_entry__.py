@@ -1803,6 +1803,62 @@ def _q_sorted_write(sf_dir: str):
     })
 
 
+ZM_LO = 10_000_000   # $100k in cents
+ZM_HI = 15_000_000   # $150k
+
+
+def _q_zonemap_scan(sf_dir: str):
+    """Zone-map-pruned range scan (sinks.read_range_zonemap): Parquet
+    FOOTER min/max stats over the write_sorted layout decide
+    driver-side which of the P files can hold cents ∈ [lo, hi] — the
+    data-skipping read where a selective range opens O(1) files; this
+    query asserts pruning actually skipped files (raising if every
+    partition opened) and returns the matched rows the SQL twin
+    recomputes with a plain WHERE."""
+    import os
+
+    import ray.data as rd
+
+    from essentials_rd.sinks import read_range_zonemap, write_sorted
+    from essentials_rd.util import np_col
+
+    base = ("/tmp/essentials_rd_sortwrite_"
+            + os.path.basename(os.path.normpath(sf_dir)))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+             "cents": pa.array(c, pa.int64())})
+
+    write_sorted(orders.map_batches(_cents, batch_format="pyarrow"),
+                 base, "cents",
+                 key_fn=lambda b: np_col(b, "o_orderkey"),
+                 num_partitions=RANGE_PARTS, sample_frac=SKETCH_FRAC,
+                 tie_cols=["o_orderkey"])
+    ds, n_opened = read_range_zonemap(base, RANGE_PARTS, "cents",
+                                      ZM_LO, ZM_HI)
+    if n_opened >= RANGE_PARTS:
+        raise AssertionError("zone map pruned nothing on a sorted layout")
+    if ds is None:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "cents": pa.array([], pa.int64())})
+    return ds
+
+
+def _zonemap_scan_sql() -> str:
+    return (
+        "SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) "
+        "AS cents FROM orders "
+        f"WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) "
+        f"BETWEEN {ZM_LO} AND {ZM_HI} ORDER BY o_orderkey"
+    )
+
+
 def _q_orders_price_rank(sf_dir: str):
     """Distributed global ORDER BY (ops.global_rank): every order's
     exact 1-based position under the (price-cents, o_orderkey) total
@@ -5774,6 +5830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_orders": _q_pareto_orders,
         "incr_orders_rollup": _q_incr_rollup,
         "orders_sorted_write": _q_sorted_write,
+        "zonemap_price_scan": _q_zonemap_scan,
         "lang_diversity": _q_lang_diversity,
         "user_value_frontier": _q_user_frontier,
         "price_mad": _q_price_mad,
@@ -7243,6 +7300,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "pareto_orders": _pareto_orders_sql(),
         "incr_orders_rollup": _incr_rollup_sql(),
         "orders_sorted_write": _orders_range_parts_sql(),
+        "zonemap_price_scan": _zonemap_scan_sql(),
         "lang_diversity": _lang_diversity_sql(),
         "user_value_frontier": _user_frontier_sql(),
         "price_mad": _price_mad_sql(),

@@ -255,3 +255,47 @@ def write_sorted(
         schema=pa.schema([("part", pa.int64()), ("rows", pa.int64()),
                           ("skipped", pa.bool_())])).sort_by("part")
     return out, bounds
+
+
+def read_range_zonemap(
+    out_dir: str,
+    num_partitions: int,
+    col: str,
+    lo: int,
+    hi: int,
+) -> tuple[rd.Dataset | None, int]:
+    """Zone-map-pruned range scan over a partitioned sink dir: each
+    partition's Parquet FOOTER min/max statistics (written free by
+    every Parquet writer) decide driver-side whether the file can
+    contain rows with ``lo <= col <= hi`` — only qualifying files are
+    opened, the rest never produce a read task.  Over a
+    ``write_sorted`` layout the ranges are disjoint, so a selective
+    range query opens O(1) of the P files; over an unsorted layout it
+    degrades gracefully to a full scan.  Returns (dataset-or-None,
+    n_files_opened); the exact row filter still applies inside the
+    scan (footer stats are a superset guarantee)."""
+    import pyarrow.compute as pc
+
+    paths = []
+    for p in finished_partitions(out_dir, num_partitions):
+        f = os.path.join(_part_dir(out_dir, int(p)), "data.parquet")
+        md = pq.read_metadata(f)
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is None or (fmax >= lo and fmin <= hi):
+            paths.append(f)
+    if not paths:
+        return None, 0
+    ds = rd.read_parquet(paths)
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t.column(col), lo),
+                    pc.less_equal(t.column(col), hi))),
+        batch_format="pyarrow")
+    return ds, len(paths)
