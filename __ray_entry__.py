@@ -330,6 +330,28 @@ def _q_ppr(sf_dir: str):
 SWEEP_T = 100
 
 
+def _q_squares(sf_dir: str):
+    """4-cycle count (algorithms.squares): the wedge-pair identity
+    #C4 = ½·Σ C(cn(u,v), 2) — vectorized sorted-neighbor pair
+    expansion per center, one bucketed exchange on the packed pair,
+    per-bucket Σ C(c,2) folds, two exact integers out."""
+    from essentials_rd.algorithms.squares import squares_total
+
+    _, edges = _graph(sf_dir)
+    return squares_total(edges)
+
+
+def _squares_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, "
+        "w AS (SELECT e1.dst AS u, e2.dst AS v, count(*) AS c "
+        "FROM sym e1 JOIN sym e2 ON e1.src = e2.src "
+        "AND e1.dst < e2.dst GROUP BY 1, 2) "
+        "SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS wedge_pairs, "
+        "CAST(sum((c * (c - 1)) // 2) // 2 AS BIGINT) AS squares FROM w"
+    )
+
+
 HUB_H = 10
 
 
@@ -5891,6 +5913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_k8": _q_ppr,
         "ppr_sweep": _q_ppr_sweep,
         "hub_robustness": _q_hub_robustness,
+        "squares_total": _q_squares,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
         "eigencentrality_k6": _q_eigencentrality,
@@ -7221,6 +7244,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "ppr_k8": _ppr_sql(),
         "ppr_sweep": _ppr_sweep_sql(),
         "hub_robustness": _hub_robustness_sql(),
+        "squares_total": _squares_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),
         "eigencentrality_k6": _eigencentrality_sql(),

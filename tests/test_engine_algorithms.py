@@ -534,3 +534,43 @@ def test_fastrp_matches_dense_reference_and_partition_invariant():
         for v in verts:
             for j in range(d):
                 assert got[(int(v), j)] == int(X[idx[int(v)], j]), (v, j)
+
+
+def test_squares_total_matches_bruteforce_and_cap_counts():
+    """Wedge-pair square count equals the O(n^4-ish) brute force on a
+    random graph at any layout; the capped variant reports skipped
+    centers."""
+    import itertools
+
+    import numpy as np
+
+    from essentials_rd.algorithms.squares import squares_total
+    from tests.conftest import edges_ds
+
+    src, dst = _random_edges(n=24, m=70, seed=67)
+    src, dst = _canon(src, dst)
+    eset = set(zip(src.tolist(), dst.tolist()))
+
+    def adj(a, b):
+        return (min(a, b), max(a, b)) in eset
+
+    verts = sorted(set(src.tolist()) | set(dst.tolist()))
+    n_sq = 0
+    for quad in itertools.combinations(verts, 4):
+        # count distinct 4-cycles on these 4 vertices (3 pairings)
+        a, b, c, d = quad
+        for cyc in ((a, b, c, d), (a, c, b, d), (a, b, d, c)):
+            w, x, y, z = cyc
+            if adj(w, x) and adj(x, y) and adj(y, z) and adj(z, w):
+                n_sq += 1
+    for parts in (1, 5):
+        out = squares_total(edges_ds(src, dst).repartition(parts))
+        assert out.column("squares").to_pylist() == [n_sq]
+    capped = squares_total(edges_ds(src, dst), max_degree=3)
+    assert "skipped_centers" in capped.schema.names
+    degs = {}
+    for a, b in eset:
+        degs[a] = degs.get(a, 0) + 1
+        degs[b] = degs.get(b, 0) + 1
+    assert capped.column("skipped_centers").to_pylist() == [
+        sum(1 for v in degs.values() if v > 3)]
