@@ -330,6 +330,93 @@ def _q_ppr(sf_dir: str):
 SWEEP_T = 100
 
 
+def _q_butterflies(sf_dir: str):
+    """Bipartite butterfly (2×2 biclique) count over the ORIGINAL
+    order×part graph: a co-purchase edge of weight w means w shared
+    orders, so butterflies = Σ C(w, 2) over the derived pair table —
+    the hot bipartite-motif primitive reduced to ONE zero-shuffle scan
+    of the already-derived weighted edges (each block folds a single
+    int64 partial)."""
+    from essentials_rd.util import np_col
+
+    _, edges = _graph(sf_dir, weighted=True)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        w = np.asarray(t.column("weight").to_numpy(zero_copy_only=False),
+                       np.int64)
+        return pa.table({"b": pa.array([int((w * (w - 1) // 2).sum())],
+                                       pa.int64())})
+
+    parts = (edges.map_batches(_partial, batch_format="pyarrow")
+             .take_all())
+    return pa.table({"butterflies": pa.array(
+        [sum(r["b"] for r in parts)], pa.int64())})
+
+
+def _butterflies_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES} "
+        "SELECT CAST(sum((CAST(weight AS BIGINT) * "
+        "(CAST(weight AS BIGINT) - 1)) // 2) AS BIGINT) AS butterflies "
+        "FROM pairs"
+    )
+
+
+RICH_KS = [2, 4, 8, 16, 32]
+
+
+def _q_rich_club(sf_dir: str):
+    """Rich-club profile: for each degree threshold k, how many
+    vertices exceed it (n_k) and how many edges run between them (e_k)
+    — the coefficient φ(k) = e_k / C(n_k, 2) derives from two exact
+    ints per row.  Degree vector broadcast once; one zero-shuffle edge
+    scan folds a length-|K| counter vector per block."""
+    import ray
+
+    from essentials_rd.util import np_col
+
+    g, edges = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    deg = np.zeros(len(vids), np.int64)
+    for dt in ray.get(list(g.degree_refs)):
+        pos = np.searchsorted(vids, np_col(dt, "vid"))
+        deg[pos] += np_col(dt, "outdeg")
+    ks = np.array(RICH_KS, np.int64)
+    n_k = np.array([(deg > k).sum() for k in ks], np.int64)
+    deg_ref = ray.put((vids, deg))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vv, dd = ray.get(deg_ref)
+        s = dd[np.searchsorted(vv, np_col(t, "src").astype(np.int64))]
+        d = dd[np.searchsorted(vv, np_col(t, "dst").astype(np.int64))]
+        m = np.minimum(s, d)
+        ek = np.array([(m > k).sum() for k in ks], np.int64)
+        return pa.table({"ek": pa.array([ek.tobytes()], pa.large_binary())})
+
+    parts = (edges.select_columns(["src", "dst"])
+             .map_batches(_partial, batch_format="pyarrow").take_all())
+    tot = np.zeros(len(ks), np.int64)
+    for r in parts:
+        tot += np.frombuffer(r["ek"], np.int64)
+    return pa.table({"k": pa.array(ks, pa.int64()),
+                     "n_k": pa.array(n_k, pa.int64()),
+                     "e_k": pa.array(tot, pa.int64())})
+
+
+def _rich_club_sql() -> str:
+    ks = ", ".join(str(k) for k in RICH_KS)
+    return (
+        f"WITH {_GRAPH_CTES}, ks AS (SELECT unnest([{ks}]) AS k) "
+        "SELECT CAST(ks.k AS BIGINT) AS k, "
+        "CAST((SELECT count(*) FROM deg WHERE outdeg > ks.k) AS BIGINT) "
+        "AS n_k, "
+        "CAST((SELECT count(*) FROM pairs p "
+        "JOIN deg da ON da.vid = p.src JOIN deg db ON db.vid = p.dst "
+        "WHERE least(da.outdeg, db.outdeg) > ks.k) AS BIGINT) AS e_k "
+        "FROM ks ORDER BY ks.k"
+    )
+
+
 def _q_squares(sf_dir: str):
     """4-cycle count (algorithms.squares): the wedge-pair identity
     #C4 = ½·Σ C(cn(u,v), 2) — vectorized sorted-neighbor pair
@@ -5914,6 +6001,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_sweep": _q_ppr_sweep,
         "hub_robustness": _q_hub_robustness,
         "squares_total": _q_squares,
+        "butterflies_total": _q_butterflies,
+        "rich_club": _q_rich_club,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
         "eigencentrality_k6": _q_eigencentrality,
@@ -7245,6 +7334,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "ppr_sweep": _ppr_sweep_sql(),
         "hub_robustness": _hub_robustness_sql(),
         "squares_total": _squares_sql(),
+        "butterflies_total": _butterflies_sql(),
+        "rich_club": _rich_club_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),
         "eigencentrality_k6": _eigencentrality_sql(),
