@@ -2959,3 +2959,31 @@ def unpivot(ds: rd.Dataset, id_cols: list[str], value_cols: list[str],
         return pa.table(out)
 
     return ds.map_batches(_melt, batch_format="pyarrow")
+
+
+def hll_union_registers(a: pa.Table, b: pa.Table) -> pa.Table:
+    """Union of two HLL sketches = element-wise register max — exact
+    sketch algebra (the union sketch equals the sketch OF the union,
+    by max associativity), so pipelines can exchange 2^p-byte
+    artifacts instead of key sets."""
+    ra, rb = np_col(a, "rho"), np_col(b, "rho")
+    assert len(ra) == len(rb), "differing register counts (p mismatch)"
+    return pa.table({"reg": a.column("reg"),
+                     "rho": pa.array(np.maximum(ra, rb), pa.int64())})
+
+
+def hll_overlap_estimate(a: pa.Table, b: pa.Table, p: int) -> dict:
+    """Distinct-key overlap via inclusion–exclusion on sketches:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B); also the Jaccard estimate.
+    Deterministic given the inputs (registers are exact artifacts);
+    error compounds ~3× a single sketch's 1.04/√2^p — the pre-flight
+    join-cardinality probe, not a correctness device."""
+    def _est(t: pa.Table) -> float:
+        return hll_estimate_from_registers(np_col(t, "rho"), p)
+
+    ea, eb = _est(a), _est(b)
+    eu = _est(hll_union_registers(a, b))
+    inter = max(0.0, ea + eb - eu)
+    return {"est_a": ea, "est_b": eb, "est_union": eu,
+            "est_intersection": inter,
+            "est_jaccard": inter / eu if eu > 0 else 0.0}

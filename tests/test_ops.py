@@ -1179,3 +1179,31 @@ def test_pareto_front_by_equals_per_group_bruteforce():
         want |= set(pareto_front_2d(rd.from_arrow(sub), "x", "y")
                     .column("id").to_pylist())
     assert ids_got == want
+
+
+def test_hll_set_algebra_union_and_overlap():
+    """Union-of-sketches == sketch-of-union exactly; the
+    inclusion-exclusion overlap estimate lands near the true overlap."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import (hll_overlap_estimate, hll_registers,
+                                   hll_union_registers)
+
+    rng = np.random.default_rng(71)
+    a_vals = rng.choice(100_000, 20_000, replace=False).astype("int64")
+    b_vals = np.r_[a_vals[:8_000],                      # 8k overlap
+                   (rng.choice(100_000, 15_000, replace=False)
+                    + 200_000).astype("int64")]
+    ta = pa.table({"v": pa.array(a_vals)})
+    tb = pa.table({"v": pa.array(b_vals)})
+    ra = hll_registers(rd.from_arrow(ta), "v", p=12)
+    rb = hll_registers(rd.from_arrow(tb), "v", p=12)
+    runion = hll_registers(
+        rd.from_arrow(pa.table({"v": pa.array(np.r_[a_vals, b_vals])})),
+        "v", p=12)
+    assert hll_union_registers(ra, rb).equals(runion)  # exact algebra
+    est = hll_overlap_estimate(ra, rb, p=12)
+    true_inter = len(np.intersect1d(a_vals, b_vals))
+    assert abs(est["est_intersection"] - true_inter) / true_inter < 0.15
