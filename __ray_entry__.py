@@ -330,6 +330,54 @@ def _q_ppr(sf_dir: str):
 SWEEP_T = 100
 
 
+def _q_sp_counts(sf_dir: str):
+    """Shortest-path counts from the min vid (algorithms.bc.sp_counts
+    — Brandes' forward pass standalone): exact integer σ(v) per
+    vertex plus the BFS depth; the oracle unrolls level-synchronous
+    σ accumulation over the shared graph CTEs."""
+    import ray
+
+    from essentials_rd.algorithms.bc import sp_counts
+
+    g, _ = _graph(sf_dir)
+    source = int(np.min(ray.get(g.vertex_ids_ref)))
+    return sp_counts(g, source, max_iters=BFS_ITERS,
+                     scatter_mode="fused")
+
+
+def _sp_counts_sql() -> str:
+    big = 1 << 60
+    steps = [
+        f"""qsrc AS MATERIALIZED (SELECT min(vid) AS s FROM verts),
+f0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = (SELECT s FROM qsrc) THEN 0
+              ELSE {big} END AS depth,
+         CASE WHEN vid = (SELECT s FROM qsrc) THEN 1
+              ELSE 0 END AS sig FROM verts)"""
+    ]
+    for k in range(BFS_ITERS):
+        steps.append(f"""
+fm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(l.sig) AS s
+  FROM sym e JOIN f{k} l ON l.vid = e.src AND l.depth = {k}
+  GROUP BY e.dst
+),
+f{k + 1} AS MATERIALIZED (
+  SELECT v.vid,
+         CASE WHEN v.depth < {big} THEN v.depth
+              WHEN m.s IS NOT NULL THEN {k + 1} ELSE v.depth END AS depth,
+         CASE WHEN v.depth < {big} THEN v.sig
+              WHEN m.s IS NOT NULL THEN m.s ELSE 0 END AS sig
+  FROM f{k} v LEFT JOIN fm{k} m ON m.vid = v.vid
+)""")
+    return (
+        f"WITH {_GRAPH_CTES}, {','.join(steps)} "
+        f"SELECT vid, CASE WHEN depth >= {big} THEN -1 ELSE depth END "
+        "AS depth, CAST(sig AS BIGINT) AS sigma "
+        f"FROM f{BFS_ITERS} ORDER BY vid"
+    )
+
+
 def _q_butterflies(sf_dir: str):
     """Bipartite butterfly (2×2 biclique) count over the ORIGINAL
     order×part graph: a co-purchase edge of weight w means w shared
@@ -6002,6 +6050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hub_robustness": _q_hub_robustness,
         "squares_total": _q_squares,
         "butterflies_total": _q_butterflies,
+        "sp_counts": _q_sp_counts,
         "rich_club": _q_rich_club,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
@@ -7335,6 +7384,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "hub_robustness": _hub_robustness_sql(),
         "squares_total": _squares_sql(),
         "butterflies_total": _butterflies_sql(),
+        "sp_counts": _sp_counts_sql(),
         "rich_club": _rich_club_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),

@@ -221,3 +221,24 @@ def betweenness(
         bc += delta
     return pa.table({"vid": pa.array(vids, pa.int64()),
                      "bc": pa.array(bc, pa.float64())})
+
+
+def sp_counts(graph: GraphShards, source: int, **kwargs) -> pa.Table:
+    """Shortest-path counts from one source — Brandes' forward pass
+    exposed as its own operator: (vid, depth, sigma) where sigma is
+    the EXACT number of shortest source→v paths (integer walk counts
+    riding the float64 channel, exact below 2^53 — asserted).
+    Unreached vertices report depth −1 and sigma 0.  Same
+    one-exchange-per-level cost as BFS."""
+    fwd = run_superstep_loop(_BcForwardProgram(int(source)), graph,
+                             checkpoint_every=0, **kwargs)
+    t = fwd.state_table(["depth", "sigma"])
+    depth = np.asarray(t["depth"], np.int64).copy()
+    sigma = np.asarray(t["sigma"], np.float64)
+    assert np.abs(sigma).max() < 2.0**53 if len(sigma) else True
+    depth[depth == _UNSET] = -1
+    return pa.table({
+        "vid": t["vid"],
+        "depth": pa.array(depth, pa.int64()),
+        "sigma": pa.array(sigma.astype(np.int64), pa.int64()),
+    })
