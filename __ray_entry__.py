@@ -1562,6 +1562,64 @@ def _q_sssp_dist(sf_dir: str):
     return pa.table({"vid": t["vid"], "dist": pa.array(dist, pa.float64())})
 
 
+def _q_sssp_parent(sf_dir: str):
+    """Shortest-path tree / routing table: parent(v) = the MIN
+    neighbor u whose relaxed distance achieves dist(v) — deterministic
+    because distances are exact integer-valued doubles on both
+    engines.  One broadcast of the converged distance vector + one
+    zero-new-shuffle edge scan with per-block min partials folded by a
+    small grouped min; source points to itself, unreached to -1."""
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.algorithms import sssp
+    from essentials_rd.algorithms.sssp import distances_table
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    g, edges = _graph(sf_dir, weighted=True)
+    vids_all = np.sort(np.asarray(ray.get(g.vertex_ids_ref), np.int64))
+    source = int(vids_all.min())
+    res = sssp(g, source, max_iters=2 * SSSP_ITERS, checkpoint_every=0,
+               scatter_mode="fused")
+    t = distances_table(res)
+    dist = np.asarray(t["dist"], np.float64)
+    dref = ray.put((vids_all, dist))
+
+    def _cand(b: pa.Table) -> pa.Table:
+        vv, dd = ray.get(dref)
+        s = np_col(b, "src").astype(np.int64)
+        d = np_col(b, "dst").astype(np.int64)
+        w = np.asarray(b.column("weight").to_numpy(zero_copy_only=False),
+                       np.float64)
+        u = np.r_[s, d]
+        v = np.r_[d, s]
+        ww = np.r_[w, w]
+        du = dd[np.searchsorted(vv, u)]
+        dv = dd[np.searchsorted(vv, v)]
+        ok = np.isfinite(du) & (du + ww == dv)
+        v, u = v[ok], u[ok]
+        # per-block partial min parent per v
+        order = np.lexsort((u, v))
+        v, u = v[order], u[order]
+        st = np.r_[0, np.flatnonzero(v[1:] != v[:-1]) + 1] \
+            if len(v) else np.zeros(0, np.int64)
+        return pa.table({"vid": pa.array(v[st], pa.int64()),
+                         "parent": pa.array(u[st], pa.int64())})
+
+    cand = edges.select_columns(["src", "dst", "weight"]).map_batches(
+        _cand, batch_format="pyarrow")
+    rows = grouped_pandas_agg(
+        cand, keys=["vid"], aggs={"parent": ("parent", "min")},
+        num_buckets=8).take_all()
+    pmap = {r["vid"]: r["parent"] for r in rows}
+    parent = np.array(
+        [v if v == source else pmap.get(int(v), -1) for v in vids_all],
+        np.int64)
+    return pa.table({"vid": pa.array(vids_all, pa.int64()),
+                     "parent": pa.array(parent, pa.int64())})
+
+
 def _q_spmv(sf_dir: str):
     from essentials_rd.algorithms import spmv
     from essentials_rd.algorithms.spmv import spmv_table
@@ -6051,6 +6109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "squares_total": _q_squares,
         "butterflies_total": _q_butterflies,
         "sp_counts": _q_sp_counts,
+        "sssp_parent": _q_sssp_parent,
         "rich_club": _q_rich_club,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
@@ -6674,12 +6733,13 @@ WHERE a.src % {SPGEMM_MOD} = 0
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
-def _sssp_sql() -> str:
-    """Bellman-Ford unrolled CTE over the weighted symmetrized edge set
-    (weight = #shared orders, from the ``pairs`` CTE).  Same shape as
-    ``_bfs_sql`` but relaxing ``dist + weight`` instead of ``depth + 1``.
-    Distances are integer-valued sums of integer weights, exact in
-    float64 on both sides."""
+def _sssp_sql_body() -> str:
+    """Bellman-Ford unrolled CTE chain (symw, wsrc, w0..wK) over the
+    weighted symmetrized edge set (weight = #shared orders, from the
+    ``pairs`` CTE) — shared by the sssp_dist and sssp_parent oracles.
+    Same shape as ``_bfs_sql`` but relaxing ``dist + weight`` instead
+    of ``depth + 1``; distances are integer-valued sums of integer
+    weights, exact in float64 on both sides."""
     big = float(1 << 60)
     steps = [
         f"""symw AS MATERIALIZED (
@@ -6702,11 +6762,31 @@ w{k + 1} AS MATERIALIZED (
   SELECT v.vid, least(v.dist, COALESCE(m.md, v.dist)) AS dist
   FROM w{k} v LEFT JOIN wm{k} m ON m.vid = v.vid
 )""")
-    body = ",".join(steps)
+    return ",".join(steps)
+
+
+def _sssp_sql() -> str:
+    big = float(1 << 60)
     return (
-        f"WITH {_GRAPH_CTES}, {body} "
+        f"WITH {_GRAPH_CTES}, {_sssp_sql_body()} "
         f"SELECT vid, CASE WHEN dist >= {big} THEN -1.0 ELSE dist END AS dist "
         f"FROM w{SSSP_ITERS} ORDER BY vid"
+    )
+
+
+def _sssp_parent_sql() -> str:
+    big = float(1 << 60)
+    return (
+        f"WITH {_GRAPH_CTES}, {_sssp_sql_body()}, "
+        f"fin AS (SELECT vid, dist FROM w{SSSP_ITERS}), "
+        "par AS (SELECT e.dst AS vid, CAST(min(e.src) AS BIGINT) AS "
+        "parent FROM symw e JOIN fin du ON du.vid = e.src "
+        "JOIN fin dv ON dv.vid = e.dst "
+        f"WHERE du.dist < {big} AND du.dist + e.weight = dv.dist "
+        "GROUP BY 1) "
+        "SELECT v.vid, CASE WHEN v.vid = (SELECT s FROM wsrc) THEN v.vid "
+        "WHEN p.parent IS NOT NULL THEN p.parent ELSE -1 END AS parent "
+        "FROM fin v LEFT JOIN par p ON p.vid = v.vid ORDER BY v.vid"
     )
 
 
@@ -7385,6 +7465,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "squares_total": _squares_sql(),
         "butterflies_total": _butterflies_sql(),
         "sp_counts": _sp_counts_sql(),
+        "sssp_parent": _sssp_parent_sql(),
         "rich_club": _rich_club_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),
