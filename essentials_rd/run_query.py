@@ -3,7 +3,7 @@
     python -m essentials_rd.run_query <name> [--sf-dir DIR] [--out DIR]
     python -m essentials_rd.run_query --list
 
-Every entry of the driver contract's ``queries()`` registry (160
+Every entry of the driver contract's ``queries()`` registry (175+
 oracle-checked pipelines — graph algorithms, dedup, windows, joins,
 sampling, text/embedding ops) becomes directly runnable: the result
 prints as a row-count + head preview, or writes Parquet with ``--out``.
@@ -28,6 +28,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     p.add_argument("--head", type=int, default=10)
+    p.add_argument("--stats", action="store_true",
+                   help="print Ray Data per-stage stats for Dataset "
+                        "results (the ds.stats() perf feedback loop)")
     args = p.parse_args(argv)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -66,9 +69,13 @@ def main(argv: list[str] | None = None) -> int:
 
     res = qs[args.name](args.sf_dir)
     if isinstance(res, rd.Dataset):
+        if args.stats:
+            res = res.materialize()
         tbl = pa.concat_tables(ray.get(res.to_arrow_refs())) \
             if res.count() else None
         df = tbl.to_pandas() if tbl is not None else pd.DataFrame()
+        if args.stats:
+            print(res.stats())
     elif isinstance(res, pa.Table):
         df = res.to_pandas()
     else:
