@@ -378,6 +378,121 @@ f{k + 1} AS MATERIALIZED (
     )
 
 
+TRIPLE_K = 15
+
+
+def _q_top_pairs(sf_dir: str):
+    """Top-k frequent itemset PAIRS: the co-purchase edge weight IS
+    the pair support, so this is one distributed top-k over the
+    already-derived table with full (w desc, src, dst) tie-break."""
+    from essentials_rd.ops import top_k
+
+    _, edges = _graph(sf_dir, weighted=True)
+
+    def _int_w(t: pa.Table) -> pa.Table:
+        w = np.asarray(t.column("weight").to_numpy(zero_copy_only=False),
+                       np.int64)
+        return pa.table({"src": t.column("src"), "dst": t.column("dst"),
+                         "support": pa.array(w, pa.int64())})
+
+    import ray.data as rd  # noqa: F401
+
+    return top_k(edges.map_batches(_int_w, batch_format="pyarrow"),
+                 by="support", k=TRIPLE_K, tie_cols=["src", "dst"])
+
+
+def _top_pairs_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES} "
+        "SELECT src, dst, CAST(weight AS BIGINT) AS support FROM pairs "
+        f"ORDER BY support DESC, src, dst LIMIT {TRIPLE_K}"
+    )
+
+
+def _q_top_triples(sf_dir: str):
+    """Top-k frequent itemset TRIPLES (the a-priori step pairs can't
+    see): every order's distinct parts expand to their C(p,3) sorted
+    triples — the pair-expansion index trick applied twice, no Python
+    loop — per-block pre-counts flow through ONE bucketed combine on
+    the exact 3-int key, then distributed top-k."""
+    import ray.data as rd
+
+    from essentials_rd.ops import (grouped_pandas_agg, hash_bucket_agg,
+                                   top_k)
+    from essentials_rd.util import np_col
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def _triples(grp: pa.Table) -> pa.Table:
+        o = np_col(grp, "l_orderkey")
+        p = np_col(grp, "l_partkey")
+        # distinct (order, part) then sorted segments per order
+        op = np.unique(np.stack([o, p], axis=1), axis=0)
+        o, p = op[:, 0], op[:, 1]
+        m = len(o)
+        starts = np.r_[0, np.flatnonzero(o[1:] != o[:-1]) + 1] \
+            if m else np.zeros(0, np.int64)
+        ends = np.r_[starts[1:], m] if m else np.zeros(0, np.int64)
+        seg_end = np.repeat(ends, ends - starts) if m \
+            else np.zeros(0, np.int64)
+        idx = np.arange(m)
+        cnt = np.maximum(seg_end - idx - 1, 0)
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pa.table({"pa_": pa.array([], pa.int64()),
+                             "pb_": pa.array([], pa.int64()),
+                             "pc_": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        i_rep = np.repeat(idx, cnt)
+        j = (np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+             + np.repeat(idx + 1, cnt))
+        # second expansion: k runs j+1 .. seg_end(i)
+        se2 = seg_end[i_rep]
+        cnt2 = np.maximum(se2 - j - 1, 0)
+        tot2 = int(cnt2.sum())
+        if tot2 == 0:
+            return pa.table({"pa_": pa.array([], pa.int64()),
+                             "pb_": pa.array([], pa.int64()),
+                             "pc_": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ii = np.repeat(i_rep, cnt2)
+        jj = np.repeat(j, cnt2)
+        kk = (np.arange(tot2) - np.repeat(np.cumsum(cnt2) - cnt2, cnt2)
+              + np.repeat(j + 1, cnt2))
+        ta, tb, tc = p[ii], p[jj], p[kk]
+        # per-block pre-count identical triples
+        arr = np.stack([ta, tb, tc], axis=1)
+        uniqt, n = np.unique(arr, axis=0, return_counts=True)
+        return pa.table({"pa_": pa.array(uniqt[:, 0], pa.int64()),
+                         "pb_": pa.array(uniqt[:, 1], pa.int64()),
+                         "pc_": pa.array(uniqt[:, 2], pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    partials = hash_bucket_agg(
+        li, lambda b: np_col(b, "l_orderkey"), _triples, 32)
+    counts = grouped_pandas_agg(
+        partials, keys=["pa_", "pb_", "pc_"], aggs={"support": ("n", "sum")},
+        num_buckets=16)
+    return top_k(counts, by="support", k=TRIPLE_K,
+                 tie_cols=["pa_", "pb_", "pc_"])
+
+
+def _top_triples_sql() -> str:
+    return (
+        "WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, "
+        "l_partkey FROM lineitem) "
+        "SELECT a.l_partkey AS pa_, b.l_partkey AS pb_, "
+        "c.l_partkey AS pc_, CAST(count(*) AS BIGINT) AS support "
+        "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        "JOIN items c ON b.l_orderkey = c.l_orderkey "
+        "AND b.l_partkey < c.l_partkey "
+        "GROUP BY 1, 2, 3 "
+        f"ORDER BY support DESC, pa_, pb_, pc_ LIMIT {TRIPLE_K}"
+    )
+
+
 def _q_butterflies(sf_dir: str):
     """Bipartite butterfly (2×2 biclique) count over the ORIGINAL
     order×part graph: a co-purchase edge of weight w means w shared
@@ -6110,6 +6225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterflies_total": _q_butterflies,
         "sp_counts": _q_sp_counts,
         "sssp_parent": _q_sssp_parent,
+        "top_copurchase_pairs": _q_top_pairs,
+        "top_part_triples": _q_top_triples,
         "rich_club": _q_rich_club,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
@@ -7466,6 +7583,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "butterflies_total": _butterflies_sql(),
         "sp_counts": _sp_counts_sql(),
         "sssp_parent": _sssp_parent_sql(),
+        "top_copurchase_pairs": _top_pairs_sql(),
+        "top_part_triples": _top_triples_sql(),
         "rich_club": _rich_club_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),
