@@ -3069,6 +3069,38 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_near_pairs(docs, max_hamming=SIMHASH_T)
 
 
+HASH_TRICK_D = 16
+
+
+def _q_hash_features(sf_dir: str):
+    """Hashing-trick doc features (textops.hashing_trick_features,
+    d=16): signed token-hash counts, no vocabulary, no fit pass, zero
+    shuffle; sparse (doc_id, dim, val) oracle-checked through the
+    code-point token key."""
+    import ray.data as rd
+
+    from essentials_rd.textops import hashing_trick_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return hashing_trick_features(docs, d=HASH_TRICK_D)
+
+
+def _hash_features_sql() -> str:
+    chain = _sm64_ctes(
+        "hf", "doc_id", _token_key_sql(),
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents)")
+    return (
+        f"WITH {chain} "
+        f"SELECT doc_id, CAST(z % {HASH_TRICK_D} AS BIGINT) AS dim, "
+        "CAST(SUM(CASE WHEN (z >> 32) & 1 = 0 THEN 1 ELSE -1 END) "
+        "AS BIGINT) AS val FROM hf3 GROUP BY 1, 2 "
+        "HAVING SUM(CASE WHEN (z >> 32) & 1 = 0 THEN 1 ELSE -1 END) != 0 "
+        "ORDER BY 1, 2"
+    )
+
+
 def _token_key_sql() -> str:
     """textops._flat_token_keys_oracle's key over a ``tok`` column:
     code-point polynomial (first 8 chars ·31^i + capped length ·31^8),
@@ -6227,6 +6259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_parent": _q_sssp_parent,
         "top_copurchase_pairs": _q_top_pairs,
         "top_part_triples": _q_top_triples,
+        "doc_hash_features": _q_hash_features,
         "rich_club": _q_rich_club,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
@@ -7585,6 +7618,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "sssp_parent": _sssp_parent_sql(),
         "top_copurchase_pairs": _top_pairs_sql(),
         "top_part_triples": _top_triples_sql(),
+        "doc_hash_features": _hash_features_sql(),
         "rich_club": _rich_club_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),

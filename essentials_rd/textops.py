@@ -2286,3 +2286,38 @@ def lang_token_diversity(docs: rd.Dataset, text_col: str = "text",
         "n_distinct": pa.array([r["n_distinct"] for r in rows], pa.int64()),
         "sum_n2": pa.array([r["sum_n2"] for r in rows], pa.int64()),
     })
+
+
+def hashing_trick_features(docs: rd.Dataset, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           d: int = 16) -> rd.Dataset:
+    """Feature-hashing bag-of-words vectorizer (the hashing trick,
+    Weinberger et al. 2009 — public): token → dimension ``h mod d``
+    with sign from an independent bit of the same hash ((h>>32)&1), so
+    every document becomes a signed d-dim count vector with NO
+    vocabulary object anywhere — the classical-ML featurizer that
+    needs no fit pass, no broadcast, and no shuffle (purely local per
+    block).  Token hash is the SQL-reproducible code-point polynomial
+    (`_flat_token_keys_oracle`), so the whole sparse feature matrix is
+    oracle-checkable.  Output: sparse (id, dim, val ≠ 0) rows."""
+
+    def _feat(t: pa.Table) -> pa.Table:
+        s = t.column(text_col).to_pandas()
+        ids = np_col(t, id_col)
+        n = len(s)
+        rep, h = _flat_token_keys_oracle(s)
+        if len(h) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        dim = (h % np.uint64(d)).astype(np.int64)
+        sign = np.where(((h >> np.uint64(32)) & np.uint64(1)) == 0, 1, -1)
+        code = rep * d + dim
+        mat = np.bincount(code, weights=sign,
+                          minlength=n * d).astype(np.int64).reshape(n, d)
+        ri, ci = np.nonzero(mat)
+        return pa.table({id_col: pa.array(ids[ri], pa.int64()),
+                         "dim": pa.array(ci.astype(np.int64), pa.int64()),
+                         "val": pa.array(mat[ri, ci], pa.int64())})
+
+    return docs.map_batches(_feat, batch_format="pyarrow")
