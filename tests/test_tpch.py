@@ -56,3 +56,39 @@ def test_q18_threshold_and_order():
     got = tpch.q18(SF)
     assert (got.to_pandas()["sum_qty"] > 200).all()
     _cmp(got, _tpch_q18_sql(), ["o_orderkey"])
+
+
+def test_q13_counts_zero_order_customers():
+    """The corpus gives every customer orders at every sf, so the
+    oracle can never exercise Q13's zero-count branch — pin it on a
+    synthetic table where most customers have no orders (the left-join
+    null → 0 path)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, join
+
+    cust = pa.table({"c_custkey": pa.array(np.arange(10), pa.int64())})
+    orders = pa.table({"c_custkey": pa.array([1, 1, 1, 2, 5, 5],
+                                             pa.int64())})
+    per_cust = grouped_pandas_agg(
+        rd.from_arrow(orders), ["c_custkey"],
+        {"n_orders": ("c_custkey", "count")}, num_buckets=4)
+    full = join(rd.from_arrow(cust), per_cust, on="c_custkey",
+                how="left", broadcast=False, num_buckets=4)
+
+    def _partial(t):
+        n = t.column("n_orders").to_numpy(zero_copy_only=False)
+        n = np.where(np.isnan(n.astype(np.float64)), 0,
+                     n.astype(np.float64)).astype(np.int64)
+        c, cnt = np.unique(n, return_counts=True)
+        return pa.table({"c_count": pa.array(c, pa.int64()),
+                         "custdist": pa.array(cnt.astype(np.int64),
+                                              pa.int64())})
+
+    parts = full.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc = {}
+    for r in parts:
+        acc[r["c_count"]] = acc.get(r["c_count"], 0) + r["custdist"]
+    assert acc == {0: 7, 1: 1, 2: 1, 3: 1}
