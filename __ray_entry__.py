@@ -605,6 +605,86 @@ def _squares_sql() -> str:
 HUB_H = 10
 
 
+PERC_NUM, PERC_DEN = 1, 2  # keep each edge with probability 1/2
+PERC_SEED = 99
+
+
+def _q_bond_percolation(sf_dir: str):
+    """Bond-percolation robustness (random FAILURE, the complement of
+    hub_robustness's targeted attack): keep each edge iff
+    splitmix64(src·2³² + dst + seed·golden) < (num/den)·2⁶⁴ — a pure
+    function of the edge, identical at any layout — then the verified
+    CC engine reports the component-size histogram of the survived
+    subgraph.  One stateless filter scan + one persist=False rebuild."""
+    import os as _os
+    import tempfile
+
+    import ray
+
+    from essentials_rd.algorithms import connected_components
+    from essentials_rd.graph import build_graph
+    from essentials_rd.util import hash64, np_col
+
+    g, edges = _graph(sf_dir)
+    thr = np.uint64((PERC_NUM << 64) // PERC_DEN - 1)  # floor((n/d)·2^64)
+    mix = np.uint64((PERC_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src").astype(np.int64).view(np.uint64)
+        d = np_col(t, "dst").astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            key = (s << np.uint64(32)) + d + mix
+        h = hash64(key.view(np.int64))
+        m = h < thr
+        return pa.table({"src": pa.array(s[m].view(np.int64), pa.int64()),
+                         "dst": pa.array(d[m].view(np.int64), pa.int64())})
+
+    sub = edges.select_columns(["src", "dst"]).map_batches(
+        _keep, batch_format="pyarrow")
+    vids = ray.get(g.vertex_ids_ref)
+    gd = build_graph(sub, _os.path.join(tempfile.gettempdir(),
+                                        "essentials_rd_perc"),
+                     g.num_parts, symmetrize=True, persist=False,
+                     vertex_ids=vids)
+    cc = connected_components(gd, max_iters=2 * CC_ITERS,
+                              checkpoint_every=0, scatter_mode="fused")
+    lab = np.asarray(cc.state_table(["label"])["label"], np.int64)
+    _, csz = np.unique(lab, return_counts=True)
+    size, n = np.unique(csz, return_counts=True)
+    return pa.table({"size": pa.array(size.astype(np.int64), pa.int64()),
+                     "n_components": pa.array(n.astype(np.int64),
+                                              pa.int64())})
+
+
+def _bond_percolation_sql() -> str:
+    mix = (PERC_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    thr = (PERC_NUM << 64) // PERC_DEN - 1
+    chain = _sm64_ctes("pz", "src, dst",
+                       f"src * 4294967296 + dst + {mix}", "pairs")
+    steps = ["p0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)"]
+    for k in range(CC_ITERS):
+        steps.append(f"""
+pm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.label) AS ml
+  FROM psym e JOIN p{k} l ON l.vid = e.src GROUP BY e.dst
+),
+p{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.label, COALESCE(m.ml, v.label)) AS label
+  FROM p{k} v LEFT JOIN pm{k} m ON m.vid = v.vid
+)""")
+    return (
+        f"WITH {_GRAPH_CTES}, {chain}, "
+        "pkeep AS MATERIALIZED (SELECT src, dst FROM pz3 "
+        f"WHERE z < CAST('{thr}' AS UBIGINT)), "
+        "psym AS MATERIALIZED (SELECT src, dst FROM pkeep "
+        "UNION ALL SELECT dst, src FROM pkeep), "
+        + ",".join(steps) + " "
+        "SELECT n AS size, CAST(count(*) AS BIGINT) AS n_components "
+        f"FROM (SELECT label, count(*) AS n FROM p{CC_ITERS} GROUP BY 1) "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_hub_robustness(sf_dir: str):
     """Network-robustness what-if (targeted-attack analysis, the
     Albert–Jeong–Barabási shape): remove the top-H degree hubs
@@ -6253,6 +6333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_k8": _q_ppr,
         "ppr_sweep": _q_ppr_sweep,
         "hub_robustness": _q_hub_robustness,
+        "bond_percolation": _q_bond_percolation,
         "squares_total": _q_squares,
         "butterflies_total": _q_butterflies,
         "sp_counts": _q_sp_counts,
@@ -7612,6 +7693,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "ppr_k8": _ppr_sql(),
         "ppr_sweep": _ppr_sweep_sql(),
         "hub_robustness": _hub_robustness_sql(),
+        "bond_percolation": _bond_percolation_sql(),
         "squares_total": _squares_sql(),
         "butterflies_total": _butterflies_sql(),
         "sp_counts": _sp_counts_sql(),
