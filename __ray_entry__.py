@@ -2269,6 +2269,69 @@ def _zonemap_scan_sql() -> str:
     )
 
 
+ZB_BOX = (5_000_000, 20_000_000, 9_800, 10_300)  # cents lo/hi, day lo/hi
+
+
+def _q_zorder_box_scan(sf_dir: str):
+    """Z-order-clustered 2-D box query (sinks.write_zordered +
+    read_box_zonemap): orders laid out on the Morton curve of
+    (cents, epoch-day), so each file's footer carries a tight 2-D
+    bounding box and the price×date box opens a fraction of the P
+    files (asserted engine-side — the oracle can't see file opens);
+    rows match the plain two-predicate WHERE."""
+    import os
+
+    import ray.data as rd
+
+    from essentials_rd.sinks import read_box_zonemap, write_zordered
+    from essentials_rd.util import np_col
+
+    base = ("/tmp/essentials_rd_zorder_"
+            + os.path.basename(os.path.normpath(sf_dir)))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice",
+                                      "o_orderdate"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        day = (t.column("o_orderdate").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+             "cents": pa.array(c, pa.int64()),
+             "oday": pa.array(day, pa.int64())})
+
+    write_zordered(orders.map_batches(_prep, batch_format="pyarrow"),
+                   base, "cents", "oday",
+                   key_fn=lambda b: np_col(b, "o_orderkey"),
+                   num_partitions=RANGE_PARTS, sample_frac=SKETCH_FRAC)
+    ds, n_opened = read_box_zonemap(base, RANGE_PARTS, "cents", "oday",
+                                    *ZB_BOX)
+    if n_opened >= RANGE_PARTS:
+        raise AssertionError("2-D zone map pruned nothing on z-order")
+    if ds is None:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "cents": pa.array([], pa.int64()),
+                         "oday": pa.array([], pa.int64())})
+    return ds.map_batches(
+        lambda t: t.select(["o_orderkey", "cents", "oday"]),
+        batch_format="pyarrow")
+
+
+def _zorder_box_sql() -> str:
+    cl, ch, dl, dh = ZB_BOX
+    return (
+        "SELECT o_orderkey, cents, oday FROM ("
+        "SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) "
+        "AS cents, CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS "
+        "oday FROM orders) "
+        f"WHERE cents BETWEEN {cl} AND {ch} "
+        f"AND oday BETWEEN {dl} AND {dh} ORDER BY o_orderkey"
+    )
+
+
 def _q_orders_price_rank(sf_dir: str):
     """Distributed global ORDER BY (ops.global_rank): every order's
     exact 1-based position under the (price-cents, o_orderkey) total
@@ -6273,6 +6336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incr_orders_rollup": _q_incr_rollup,
         "orders_sorted_write": _q_sorted_write,
         "zonemap_price_scan": _q_zonemap_scan,
+        "zorder_box_scan": _q_zorder_box_scan,
         "lang_diversity": _q_lang_diversity,
         "user_value_frontier": _q_user_frontier,
         "price_mad": _q_price_mad,
@@ -7782,6 +7846,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "incr_orders_rollup": _incr_rollup_sql(),
         "orders_sorted_write": _orders_range_parts_sql(),
         "zonemap_price_scan": _zonemap_scan_sql(),
+        "zorder_box_scan": _zorder_box_sql(),
         "lang_diversity": _lang_diversity_sql(),
         "user_value_frontier": _user_frontier_sql(),
         "price_mad": _price_mad_sql(),

@@ -299,3 +299,100 @@ def read_range_zonemap(
                     pc.less_equal(t.column(col), hi))),
         batch_format="pyarrow")
     return ds, len(paths)
+
+
+def _morton2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Bit-interleave two non-negative <2^31 int vectors into the
+    Morton / Z-order value (x gets even bits) — int64, always ≥ 0."""
+
+    def _spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint64) & np.uint64((1 << 31) - 1)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    assert ((x >= 0).all() and (y >= 0).all()
+            and (x < 1 << 31).all() and (y < 1 << 31).all()), \
+        "morton2 needs values in [0, 2^31)"
+    return (_spread(x) | (_spread(y) << np.uint64(1))).view(np.int64)
+
+
+def write_zordered(
+    ds: rd.Dataset,
+    out_dir: str,
+    x: str,
+    y: str,
+    key_fn,
+    num_partitions: int,
+    *,
+    sample_frac: float = 0.1,
+) -> tuple[pa.Table, np.ndarray]:
+    """Z-ORDER (Morton-curve) clustered layout — MULTI-dimensional
+    data skipping: rows sort by the bit-interleave of (x, y), so each
+    written file covers a small square-ish region of the plane and its
+    footer min/max on BOTH columns become tight 2-D bounding boxes; a
+    box query then prunes with read_box_zonemap the way a 1-D range
+    prunes the write_sorted layout.  Implementation is exactly
+    write_sorted on the derived z column (same deterministic bounds,
+    same atomic resumable sink); z stays in the files — it is the
+    clustering key and costs 8 bytes a row."""
+    import pyarrow.compute as _pc  # noqa: F401
+
+    def _stamp_z(t: pa.Table) -> pa.Table:
+        z = _morton2(np_col(t, x).astype(np.int64),
+                     np_col(t, y).astype(np.int64))
+        return t.append_column("z", pa.array(z, pa.int64()))
+
+    return write_sorted(ds.map_batches(_stamp_z, batch_format="pyarrow"),
+                        out_dir, "z", key_fn, num_partitions,
+                        sample_frac=sample_frac)
+
+
+def read_box_zonemap(
+    out_dir: str,
+    num_partitions: int,
+    x: str,
+    y: str,
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+) -> tuple[rd.Dataset | None, int]:
+    """2-D box scan with footer-stats pruning on BOTH columns: a file
+    is opened only if its (x, y) bounding box intersects the query
+    box.  Over a z-ordered layout boxes are tight, so selective box
+    queries open few files; over a row-hash layout every file spans
+    the whole plane and this degrades to a full scan."""
+    import pyarrow.compute as pc
+
+    def _minmax(md, col):
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        return lo, hi
+
+    paths = []
+    for p in finished_partitions(out_dir, num_partitions):
+        f = os.path.join(_part_dir(out_dir, int(p)), "data.parquet")
+        md = pq.read_metadata(f)
+        xl, xh = _minmax(md, x)
+        yl, yh = _minmax(md, y)
+        if (xl is None or (xh >= x_lo and xl <= x_hi)) and \
+           (yl is None or (yh >= y_lo and yl <= y_hi)):
+            paths.append(f)
+    if not paths:
+        return None, 0
+    ds = rd.read_parquet(paths)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.and_(pc.greater_equal(t.column(x), x_lo),
+                    pc.less_equal(t.column(x), x_hi)),
+            pc.and_(pc.greater_equal(t.column(y), y_lo),
+                    pc.less_equal(t.column(y), y_hi)))),
+        batch_format="pyarrow")
+    return ds, len(paths)

@@ -156,3 +156,41 @@ def test_write_sorted_global_order_and_content(tmp_path, ray_session):
         key_fn=lambda b: np_col(b, "id"), num_partitions=6,
         tie_cols=["id"])
     assert (bounds == bounds2).all()
+
+
+def test_zordered_layout_prunes_box_queries(tmp_path, ray_session):
+    """A selective 2-D box over the z-ordered layout opens strictly
+    fewer files than the hash layout (whose per-file bounding boxes
+    span the plane), and both return exactly the brute-force rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.sinks import (read_box_zonemap, write_partitioned,
+                                     write_zordered)
+    from essentials_rd.util import np_col
+
+    rng = np.random.default_rng(73)
+    n = 40_000
+    x = rng.integers(0, 1_000, n).astype(np.int64)
+    y = rng.integers(0, 1_000, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"id": pa.array(ids), "x": pa.array(x),
+                    "y": pa.array(y)})
+    P = 16
+    dz = str(tmp_path / "zord")
+    dh = str(tmp_path / "hash")
+    write_zordered(rd.from_arrow(tbl).repartition(6), dz, "x", "y",
+                   key_fn=lambda b: np_col(b, "id"), num_partitions=P)
+    write_partitioned(rd.from_arrow(tbl).repartition(6), dh,
+                      lambda b: np_col(b, "id"), P)
+    box = (100, 200, 300, 400)
+    want = set(ids[(x >= box[0]) & (x <= box[1])
+                   & (y >= box[2]) & (y <= box[3])].tolist())
+    dsz, nz = read_box_zonemap(dz, P, "x", "y", *box)
+    dsh, nh = read_box_zonemap(dh, P, "x", "y", *box)
+    got_z = set(dsz.to_pandas()["id"].tolist()) if dsz is not None else set()
+    got_h = set(dsh.to_pandas()["id"].tolist()) if dsh is not None else set()
+    assert got_z == want and got_h == want
+    assert nz < nh, (nz, nh)       # z-order actually prunes
+    assert nz <= P // 2            # selective box opens few files
