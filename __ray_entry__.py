@@ -4230,6 +4230,70 @@ def _bloom_bits_urgent_sql() -> str:
     )
 
 
+ANOM_K = 3
+
+
+def _q_hourly_anomalies(sf_dir: str):
+    """Robust anomaly screen over the event stream: hours whose event
+    count deviates from the median hourly count by more than
+    K·MAD — median and MAD from the engine's exact distributed value
+    histogram (quantile_disc semantics), the fence an integer
+    cross-comparison so the flagged SET matches SQL exactly.  One
+    bucketed per-hour collapse + two histogram passes; emits
+    (hour, n, med, mad) for flagged hours."""
+    import ray.data as rd
+
+    from essentials_rd.ops import exact_quantiles, grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        hr = (t.column("ts").cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // 3_600_000_000)
+        return pa.table({"hour": pa.array(hr, pa.int64())})
+
+    per_hour = grouped_pandas_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        keys=["hour"], aggs={"n": ("hour", "count")},
+        num_buckets=16).materialize()
+    med = exact_quantiles(per_hour, "n", [0.5])[0]
+
+    def _dev(t: pa.Table) -> pa.Table:
+        d = np.abs(np_col(t, "n") - med)
+        return pa.table({"hour": t.column("hour"),
+                         "dev": pa.array(d, pa.int64())})
+
+    devs = per_hour.map_batches(_dev, batch_format="pyarrow").materialize()
+    mad = exact_quantiles(devs, "dev", [0.5])[0]
+
+    def _flag(t: pa.Table) -> pa.Table:
+        n = np_col(t, "n")
+        keep = np.abs(n - med) > ANOM_K * mad
+        t = t.filter(pa.array(keep))
+        k = t.num_rows
+        return pa.table({"hour": t.column("hour"), "n": t.column("n"),
+                         "med": pa.array(np.full(k, med, np.int64),
+                                         pa.int64()),
+                         "mad": pa.array(np.full(k, mad, np.int64),
+                                         pa.int64())})
+
+    return per_hour.map_batches(_flag, batch_format="pyarrow")
+
+
+def _hourly_anomalies_sql() -> str:
+    return (
+        "WITH ph AS (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS "
+        "hour, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+        "m AS (SELECT CAST(quantile_disc(n, 0.5) AS BIGINT) AS med "
+        "FROM ph), "
+        "d AS (SELECT CAST(quantile_disc(abs(ph.n - m.med), 0.5) AS "
+        "BIGINT) AS mad FROM ph, m) "
+        "SELECT hour, n, m.med, d.mad FROM ph, m, d "
+        f"WHERE abs(ph.n - m.med) > {ANOM_K} * d.mad ORDER BY hour"
+    )
+
+
 def _q_hourly_user_hll(sf_dir: str):
     """Unique-visitors-per-window at 100-TB scale: per-HOUR HLL
     distinct-user sketches (the same hll_registers_by grouped fold,
@@ -6317,6 +6381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_user_hll": _q_type_user_hll,
         "bloom_bits_urgent": _q_bloom_bits_urgent,
         "hourly_user_hll": _q_hourly_user_hll,
+        "hourly_anomalies": _q_hourly_anomalies,
         "cm_sketch_users": _q_cm_sketch_users,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
@@ -7827,6 +7892,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "type_user_hll": _type_user_hll_sql(),
         "bloom_bits_urgent": _bloom_bits_urgent_sql(),
         "hourly_user_hll": _hourly_user_hll_sql(),
+        "hourly_anomalies": _hourly_anomalies_sql(),
         "cm_sketch_users": _cm_sketch_users_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),
