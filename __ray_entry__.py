@@ -409,6 +409,78 @@ def _top_pairs_sql() -> str:
     )
 
 
+def _q_pair_lift(sf_dir: str):
+    """Association-rule statistics for the top-support pairs: each of
+    the top-k co-purchase pairs with its exact (n_ab, n_a, n_b, n_orders)
+    — confidence n_ab/n_a and lift N·n_ab/(n_a·n_b) derive from four
+    int64s with no float ranking anywhere (the selection orders by
+    support with full tie-break).  Item frequencies come from one
+    grouped count; only the k winning pairs' rows join driver-side."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, top_k
+    from essentials_rd.util import np_col
+
+    _, edges = _graph(sf_dir, weighted=True)
+
+    def _int_w(t: pa.Table) -> pa.Table:
+        w = np.asarray(t.column("weight").to_numpy(zero_copy_only=False),
+                       np.int64)
+        return pa.table({"src": t.column("src"), "dst": t.column("dst"),
+                         "n_ab": pa.array(w, pa.int64())})
+
+    top = top_k(edges.map_batches(_int_w, batch_format="pyarrow"),
+                by="n_ab", k=TRIPLE_K, tie_cols=["src", "dst"])
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        op = np.unique(np.stack([np_col(t, "l_orderkey"),
+                                 np_col(t, "l_partkey")], axis=1), axis=0)
+        return pa.table({"l_orderkey": pa.array(op[:, 0], pa.int64()),
+                         "l_partkey": pa.array(op[:, 1], pa.int64())})
+
+    # distinct (order, part) needs a global dedup: bucket by orderkey
+    from essentials_rd.ops import hash_bucket_agg
+
+    items = hash_bucket_agg(li, lambda b: np_col(b, "l_orderkey"),
+                            _dedup, 16)
+    freq = grouped_pandas_agg(
+        items, keys=["l_partkey"], aggs={"n": ("l_partkey", "count")},
+        num_buckets=8)
+    f = {r["l_partkey"]: r["n"] for r in freq.take_all()
+         if r["l_partkey"] in set(np_col(top, "src").tolist())
+         | set(np_col(top, "dst").tolist())}
+    n_orders = int(rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]).count())
+    src = np_col(top, "src")
+    dst = np_col(top, "dst")
+    return pa.table({
+        "src": top["src"], "dst": top["dst"], "n_ab": top["n_ab"],
+        "n_a": pa.array([f[int(s)] for s in src], pa.int64()),
+        "n_b": pa.array([f[int(d)] for d in dst], pa.int64()),
+        "n_orders": pa.array([n_orders] * len(src), pa.int64()),
+    })
+
+
+def _pair_lift_sql() -> str:
+    return (
+        # _GRAPH_CTES already materializes the distinct (order, part)
+        # ``items`` CTE — reuse it for the item frequencies
+        f"WITH {_GRAPH_CTES}, "
+        "freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n "
+        "FROM items GROUP BY 1), "
+        "top AS (SELECT src, dst, CAST(weight AS BIGINT) AS n_ab "
+        f"FROM pairs ORDER BY n_ab DESC, src, dst LIMIT {TRIPLE_K}) "
+        "SELECT top.src, top.dst, top.n_ab, fa.n AS n_a, fb.n AS n_b, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders "
+        "FROM top JOIN freq fa ON fa.l_partkey = top.src "
+        "JOIN freq fb ON fb.l_partkey = top.dst "
+        "ORDER BY top.n_ab DESC, top.src, top.dst"
+    )
+
+
 def _q_top_triples(sf_dir: str):
     """Top-k frequent itemset TRIPLES (the a-priori step pairs can't
     see): every order's distinct parts expand to their C(p,3) sorted
@@ -6470,6 +6542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_copurchase_pairs": _q_top_pairs,
         "top_part_triples": _q_top_triples,
         "doc_hash_features": _q_hash_features,
+        "pair_lift": _q_pair_lift,
         "rich_club": _q_rich_club,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
@@ -7830,6 +7903,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "top_copurchase_pairs": _top_pairs_sql(),
         "top_part_triples": _top_triples_sql(),
         "doc_hash_features": _hash_features_sql(),
+        "pair_lift": _pair_lift_sql(),
         "rich_club": _rich_club_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),
