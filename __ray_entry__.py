@@ -3316,6 +3316,76 @@ def _hash_features_sql() -> str:
     )
 
 
+QUERY_TEXT = "data processing engine"
+
+
+def _q_doc_query_scores(sf_dir: str):
+    """Vocabulary-free text retrieval: score every document by the
+    exact integer dot product of its hashing-trick vector with the
+    fixed query string's vector (same featurizer, same d) — top-k with
+    doc_id tie-break.  The query vector is 16 ints computed inline;
+    scoring is one vectorized pass over the sparse feature rows, one
+    grouped sum, one top-k — no vocabulary, no model, no shuffle
+    beyond the featurizer's none."""
+    import pandas as pd
+    import ray.data as rd
+
+    from essentials_rd.textops import _flat_token_keys_oracle
+    from essentials_rd.textops import hashing_trick_features
+    from essentials_rd.ops import grouped_pandas_agg, top_k
+    from essentials_rd.util import np_col
+
+    _, h = _flat_token_keys_oracle(pd.Series([QUERY_TEXT]))
+    qv = np.zeros(HASH_TRICK_D, np.int64)
+    dim = (h % np.uint64(HASH_TRICK_D)).astype(np.int64)
+    sign = np.where(((h >> np.uint64(32)) & np.uint64(1)) == 0, 1, -1)
+    np.add.at(qv, dim, sign)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    feats = hashing_trick_features(docs, d=HASH_TRICK_D)
+
+    def _score(t: pa.Table) -> pa.Table:
+        dims = np_col(t, "dim")
+        # candidates = docs touching a NONZERO query dim (the SQL twin's
+        # join semantics); zero-dim rows would only add score-0 noise
+        m = qv[dims] != 0
+        t = t.filter(pa.array(m))
+        contrib = np_col(t, "val") * qv[np_col(t, "dim")]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "s": pa.array(contrib, pa.int64())})
+
+    scores = grouped_pandas_agg(
+        feats.map_batches(_score, batch_format="pyarrow"),
+        keys=["doc_id"], aggs={"score": ("s", "sum")}, num_buckets=8)
+    return top_k(scores, by="score", k=TOP_K, tie_cols=["doc_id"])
+
+
+def _doc_query_scores_sql() -> str:
+    qchain = _sm64_ctes(
+        "qz", "1 AS one", _token_key_sql(),
+        f"(SELECT unnest(string_split('{QUERY_TEXT}', ' ')) AS tok)")
+    dchain = _sm64_ctes(
+        "dz", "doc_id", _token_key_sql(),
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents)")
+    d = HASH_TRICK_D
+    return (
+        f"WITH {qchain}, {dchain}, "
+        f"qv AS (SELECT CAST(z % {d} AS BIGINT) AS dim, "
+        "CAST(SUM(CASE WHEN (z >> 32) & 1 = 0 THEN 1 ELSE -1 END) AS "
+        "BIGINT) AS qval FROM qz3 GROUP BY 1 "
+        "HAVING SUM(CASE WHEN (z >> 32) & 1 = 0 THEN 1 ELSE -1 END) "
+        "!= 0), "
+        f"dv AS (SELECT doc_id, CAST(z % {d} AS BIGINT) AS dim, "
+        "CAST(SUM(CASE WHEN (z >> 32) & 1 = 0 THEN 1 ELSE -1 END) AS "
+        "BIGINT) AS val FROM dz3 GROUP BY 1, 2) "
+        "SELECT dv.doc_id, CAST(SUM(dv.val * qv.qval) AS BIGINT) AS "
+        "score FROM dv JOIN qv USING (dim) GROUP BY 1 "
+        f"ORDER BY score DESC, doc_id LIMIT {TOP_K}"
+    )
+
+
 def _token_key_sql() -> str:
     """textops._flat_token_keys_oracle's key over a ``tok`` column:
     code-point polynomial (first 8 chars ·31^i + capped length ·31^8),
@@ -6543,6 +6613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_part_triples": _q_top_triples,
         "doc_hash_features": _q_hash_features,
         "pair_lift": _q_pair_lift,
+        "doc_query_scores": _q_doc_query_scores,
         "rich_club": _q_rich_club,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
@@ -7904,6 +7975,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "top_part_triples": _top_triples_sql(),
         "doc_hash_features": _hash_features_sql(),
         "pair_lift": _pair_lift_sql(),
+        "doc_query_scores": _doc_query_scores_sql(),
         "rich_club": _rich_club_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),
