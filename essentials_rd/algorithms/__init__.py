@@ -19,9 +19,21 @@ from .harmonic import MultiSourceBfsProgram, harmonic, harmonic_table
 from .mis import MisProgram, mis, mis_table
 from .longest_path import LongestPathProgram, longest_path, depth_table
 from .matching import maximal_matching
+from .katz import KatzProgram, katz, katz_table
+from .fastrp import FastRPProgram, fastrp, fastrp_table
+from .squares import squares_total
+from .sweep import sweep_profile
 
 __all__ = [
     "maximal_matching",
+    "KatzProgram",
+    "katz",
+    "katz_table",
+    "FastRPProgram",
+    "fastrp",
+    "fastrp_table",
+    "squares_total",
+    "sweep_profile",
     "LongestPathProgram",
     "longest_path",
     "depth_table",
