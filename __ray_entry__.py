@@ -4375,6 +4375,80 @@ def _bloom_bits_urgent_sql() -> str:
 ANOM_K = 3
 
 
+def _q_user_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of the cumulative event value — the
+    classic peak-to-trough sequence kernel (finance/monitoring) under
+    the (ts, event_id) total order: one user-bucketed exchange, then
+    segmented cumsum + segmented running-max via the per-segment
+    int64-offset trick (no Python loop), max-reduceat per user.
+    Integer cents end to end."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("value").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts_us": t.column("ts").cast(pa.int64()),
+                         "event_id": t.column("event_id"),
+                         "c": pa.array(c, pa.int64())})
+
+    def _dd(grp: pa.Table) -> pa.Table:
+        u = np_col(grp, "user_id")
+        ts = np_col(grp, "ts_us")
+        eid = np_col(grp, "event_id")
+        c = np_col(grp, "c")
+        order = np.lexsort((eid, ts, u))
+        u, c = u[order], c[order]
+        m = len(u)
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1] \
+            if m else np.zeros(0, np.int64)
+        seg = np.cumsum(np.r_[False, u[1:] != u[:-1]]) if m \
+            else np.zeros(0, np.int64)
+        gcum = np.cumsum(c)
+        base = np.r_[np.int64(0), gcum[starts[1:] - 1]] \
+            if m else np.zeros(0, np.int64)
+        cum = gcum - base[seg]          # segmented cumulative sum
+        # segmented running max: offset each segment into its own band
+        assert m == 0 or np.abs(cum).max() < 1 << 44, "band overflow"
+        band = seg.astype(np.int64) << 45
+        runmax = np.maximum.accumulate(cum + band) - band
+        dd = runmax - cum               # ≥ 0 by construction
+        mx = np.maximum.reduceat(dd, starts) if m else np.zeros(0, np.int64)
+        return pa.table({"user_id": pa.array(u[starts], pa.int64()),
+                         "max_drawdown_c": pa.array(mx, pa.int64())})
+
+    out = hash_bucket_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        lambda b: np_col(b, "user_id"), _dd, 16)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "max_drawdown_c": pa.array([r["max_drawdown_c"] for r in rows],
+                                   pa.int64())})
+
+
+def _user_drawdown_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, ts, event_id, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
+        "r AS (SELECT user_id, ts, event_id, SUM(c) OVER w AS cum "
+        "FROM e WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts, event_id)), "
+        "m AS (SELECT user_id, MAX(cum) OVER w - cum AS dd FROM r "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT user_id, CAST(MAX(dd) AS BIGINT) AS max_drawdown_c "
+        "FROM m GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_hourly_anomalies(sf_dir: str):
     """Robust anomaly screen over the event stream: hours whose event
     count deviates from the median hourly count by more than
@@ -6524,6 +6598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_bits_urgent": _q_bloom_bits_urgent,
         "hourly_user_hll": _q_hourly_user_hll,
         "hourly_anomalies": _q_hourly_anomalies,
+        "user_drawdown": _q_user_drawdown,
         "cm_sketch_users": _q_cm_sketch_users,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
@@ -8039,6 +8114,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "bloom_bits_urgent": _bloom_bits_urgent_sql(),
         "hourly_user_hll": _hourly_user_hll_sql(),
         "hourly_anomalies": _hourly_anomalies_sql(),
+        "user_drawdown": _user_drawdown_sql(),
         "cm_sketch_users": _cm_sketch_users_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),
