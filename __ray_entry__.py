@@ -214,6 +214,60 @@ def _q_component_sizes(sf_dir: str):
                      "size": pa.array(counts.astype(np.int64), pa.int64())})
 
 
+def _q_lp_modularity(sf_dir: str):
+    """Community-quality evaluation: Newman modularity pieces of the
+    LP partition — per community the exact (internal edges e_c, total
+    degree d_c) plus m, so Q = Σ e_c/m − (d_c/2m)² derives from
+    integers.  Labels come from the already-verified LP run (broadcast
+    once); internal edges from one zero-new-shuffle scan with
+    per-block (label, count) partials; degree sums fold driver-side
+    over the O(|V|) label array (tier-accepted, see superstep notes)."""
+    import ray
+
+    from essentials_rd.algorithms import label_propagation
+    from essentials_rd.algorithms.lp import labels_table
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    g, edges = _graph(sf_dir)
+    res = label_propagation(g, max_iters=LP_ITERS, checkpoint_every=0,
+                            scatter_mode="fused")
+    t = labels_table(res)
+    vids = np.asarray(t["vid"], np.int64)
+    lab = np.asarray(t["label"], np.int64)
+    lref = ray.put((vids, lab))
+
+    def _internal(b: pa.Table) -> pa.Table:
+        vv, ll = ray.get(lref)
+        ls = ll[np.searchsorted(vv, np_col(b, "src").astype(np.int64))]
+        ld = ll[np.searchsorted(vv, np_col(b, "dst").astype(np.int64))]
+        same = ls == ld
+        u, c = np.unique(ls[same], return_counts=True)
+        return pa.table({"label": pa.array(u, pa.int64()),
+                         "e_c": pa.array(c.astype(np.int64), pa.int64())})
+
+    ic = grouped_pandas_agg(
+        edges.select_columns(["src", "dst"]).map_batches(
+            _internal, batch_format="pyarrow"),
+        keys=["label"], aggs={"e_c": ("e_c", "sum")},
+        num_buckets=8).take_all()
+    icm = {r["label"]: r["e_c"] for r in ic}
+    deg = np.zeros(len(vids), np.int64)
+    for dt in ray.get(list(g.degree_refs)):
+        pos = np.searchsorted(vids, np_col(dt, "vid"))
+        deg[pos] += np_col(dt, "outdeg")
+    ulab = np.unique(lab)
+    d_c = np.zeros(len(ulab), np.int64)
+    np.add.at(d_c, np.searchsorted(ulab, lab), deg)
+    m = int(edges.count())
+    return pa.table({
+        "label": pa.array(ulab, pa.int64()),
+        "e_c": pa.array([icm.get(int(x), 0) for x in ulab], pa.int64()),
+        "d_c": pa.array(d_c, pa.int64()),
+        "m": pa.array(np.full(len(ulab), m, np.int64), pa.int64()),
+    })
+
+
 def _q_lp(sf_dir: str):
     from essentials_rd.algorithms import label_propagation
     from essentials_rd.algorithms.lp import labels_table
@@ -6599,6 +6653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_user_hll": _q_hourly_user_hll,
         "hourly_anomalies": _q_hourly_anomalies,
         "user_drawdown": _q_user_drawdown,
+        "lp_modularity": _q_lp_modularity,
         "cm_sketch_users": _q_cm_sketch_users,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
@@ -7376,7 +7431,9 @@ def _component_sizes_sql() -> str:
     )
 
 
-def _lp_sql() -> str:
+def _lp_sql_body() -> str:
+    """Unrolled synchronous-LP CTE chain (b0..bK) — shared by the
+    lp_k4 oracle and the modularity oracle."""
     steps = ["b0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)"]
     for k in range(LP_ITERS):
         steps.append(f"""
@@ -7395,10 +7452,29 @@ b{k + 1} AS MATERIALIZED (
   SELECT v.vid, COALESCE(w.label, v.label) AS label
   FROM b{k} v LEFT JOIN w{k} w ON w.vid = v.vid
 )""")
-    body = ",".join(steps)
+    return ",".join(steps)
+
+
+def _lp_sql() -> str:
     return (
-        f"WITH {_GRAPH_CTES}, {body} "
+        f"WITH {_GRAPH_CTES}, {_lp_sql_body()} "
         f"SELECT vid, label FROM b{LP_ITERS} ORDER BY vid"
+    )
+
+
+def _lp_modularity_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, {_lp_sql_body()}, "
+        f"lab AS MATERIALIZED (SELECT vid, label FROM b{LP_ITERS}), "
+        "ic AS (SELECT la.label, CAST(count(*) AS BIGINT) AS e_c "
+        "FROM pairs p JOIN lab la ON la.vid = p.src "
+        "JOIN lab lb ON lb.vid = p.dst WHERE la.label = lb.label "
+        "GROUP BY 1), "
+        "dc AS (SELECT la.label, CAST(sum(d.outdeg) AS BIGINT) AS d_c "
+        "FROM deg d JOIN lab la ON la.vid = d.vid GROUP BY 1) "
+        "SELECT dc.label, CAST(COALESCE(ic.e_c, 0) AS BIGINT) AS e_c, "
+        "dc.d_c, (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS m "
+        "FROM dc LEFT JOIN ic ON ic.label = dc.label ORDER BY dc.label"
     )
 
 
@@ -8115,6 +8191,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "hourly_user_hll": _hourly_user_hll_sql(),
         "hourly_anomalies": _hourly_anomalies_sql(),
         "user_drawdown": _user_drawdown_sql(),
+        "lp_modularity": _lp_modularity_sql(),
         "cm_sketch_users": _cm_sketch_users_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),
