@@ -4429,6 +4429,52 @@ def _bloom_bits_urgent_sql() -> str:
 ANOM_K = 3
 
 
+HOURLY_QS = [0.5, 0.95]
+
+
+def _q_hourly_value_bands(sf_dir: str):
+    """Ops-dashboard percentile bands: exact per-hour P50/P95 of the
+    event value (cents) — grouped_quantiles keyed on the epoch-hour
+    bucket; only (hour, value, count) histogram entries move."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        hr = (t.column("ts").cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // 3_600_000_000)
+        c = np.floor(np.asarray(
+            t.column("value").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"hour": pa.array(hr, pa.int64()),
+                         "cents": pa.array(c, pa.int64())})
+
+    out = grouped_quantiles(ev.map_batches(_prep, batch_format="pyarrow"),
+                            "hour", "cents", HOURLY_QS)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["hour"], r["q"]))
+    return pa.table({
+        "hour": pa.array([r["hour"] for r in rows], pa.int64()),
+        "q": pa.array([r["q"] for r in rows], pa.float64()),
+        "value": pa.array([r["value"] for r in rows], pa.int64()),
+    })
+
+
+def _hourly_value_bands_sql() -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT hour, {q} AS q, CAST(quantile_disc(cents, {q}) AS "
+        "BIGINT) AS value FROM e GROUP BY hour"
+        for q in HOURLY_QS)
+    return (
+        "WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS "
+        "hour, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents "
+        f"FROM events) {sel} ORDER BY hour, q"
+    )
+
+
 def _q_user_drawdown(sf_dir: str):
     """Per-user maximum drawdown of the cumulative event value — the
     classic peak-to-trough sequence kernel (finance/monitoring) under
@@ -6654,6 +6700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_anomalies": _q_hourly_anomalies,
         "user_drawdown": _q_user_drawdown,
         "lp_modularity": _q_lp_modularity,
+        "hourly_value_bands": _q_hourly_value_bands,
         "cm_sketch_users": _q_cm_sketch_users,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
@@ -8192,6 +8239,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "hourly_anomalies": _hourly_anomalies_sql(),
         "user_drawdown": _user_drawdown_sql(),
         "lp_modularity": _lp_modularity_sql(),
+        "hourly_value_bands": _hourly_value_bands_sql(),
         "cm_sketch_users": _cm_sketch_users_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),
