@@ -4429,6 +4429,69 @@ def _bloom_bits_urgent_sql() -> str:
 ANOM_K = 3
 
 
+def _q_fk_violations(sf_dir: str):
+    """Referential-integrity audit — the cross-table CI gate
+    validate_table (single-table rules) can't express: per foreign key,
+    how many child rows reference a missing parent.  Parents are
+    deterministically thinned (every 7th orderkey / 5th partkey
+    dropped) so the violation counts are non-trivial at every sf; each
+    count is one distributed ANTI join consumed by a zero-shuffle
+    count fold."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.ops import join
+    from essentials_rd.util import np_col
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def _thin(tbl: str, key: str, mod: int):
+        ds = rd.read_parquet(f"{sf_dir}/{tbl}.parquet", columns=[key])
+        return ds.map_batches(
+            lambda t: t.filter(pa.array(
+                np_col(t, key).astype(np.int64) % mod != 0)),
+            batch_format="pyarrow")
+
+    def _count(ds) -> int:
+        parts = ds.map_batches(
+            lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow").take_all()
+        return sum(r["n"] for r in parts)
+
+    bad_orders = join(
+        li.map_batches(lambda t: pa.table(
+            {"o_orderkey": t.column("l_orderkey")}),
+            batch_format="pyarrow"),
+        _thin("orders", "o_orderkey", 7).rename_columns(["o_orderkey"]),
+        on="o_orderkey", how="anti", broadcast=False, num_buckets=16)
+    bad_parts = join(
+        li.map_batches(lambda t: pa.table(
+            {"p_partkey": t.column("l_partkey")}),
+            batch_format="pyarrow"),
+        _thin("part", "p_partkey", 5).rename_columns(["p_partkey"]),
+        on="p_partkey", how="anti", broadcast=False, num_buckets=16)
+    return pa.table({
+        "fk": pa.array(["l_orderkey->orders", "l_partkey->part"],
+                       pa.string()),
+        "n_bad": pa.array([_count(bad_orders), _count(bad_parts)],
+                          pa.int64()),
+    })
+
+
+def _fk_violations_sql() -> str:
+    return (
+        "SELECT 'l_orderkey->orders' AS fk, CAST(count(*) AS BIGINT) AS "
+        "n_bad FROM lineitem WHERE l_orderkey NOT IN ("
+        "SELECT o_orderkey FROM orders WHERE o_orderkey % 7 != 0) "
+        "UNION ALL "
+        "SELECT 'l_partkey->part' AS fk, CAST(count(*) AS BIGINT) AS "
+        "n_bad FROM lineitem WHERE l_partkey NOT IN ("
+        "SELECT p_partkey FROM part WHERE p_partkey % 5 != 0) "
+        "ORDER BY fk"
+    )
+
+
 HOURLY_QS = [0.5, 0.95]
 
 
@@ -6701,6 +6764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_drawdown": _q_user_drawdown,
         "lp_modularity": _q_lp_modularity,
         "hourly_value_bands": _q_hourly_value_bands,
+        "fk_violations": _q_fk_violations,
         "cm_sketch_users": _q_cm_sketch_users,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
@@ -8240,6 +8304,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "user_drawdown": _user_drawdown_sql(),
         "lp_modularity": _lp_modularity_sql(),
         "hourly_value_bands": _hourly_value_bands_sql(),
+        "fk_violations": _fk_violations_sql(),
         "cm_sketch_users": _cm_sketch_users_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),
