@@ -4429,6 +4429,51 @@ def _bloom_bits_urgent_sql() -> str:
 ANOM_K = 3
 
 
+def _q_dedup_summary(sf_dir: str):
+    """One-row corpus dedup report — the number every curation run
+    logs first: (n_docs, n_distinct, n_dup_docs, max_group) from the
+    verified exact-dup grouping (sha256-keyed, collision-safe
+    bucketing); group rows fold to four scalars per block."""
+    import ray.data as rd
+
+    from essentials_rd.textops import exact_dup_groups
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    groups = exact_dup_groups(docs, min_size=1)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        n = np_col(t, "n_docs")
+        return pa.table({
+            "docs": pa.array([int(n.sum())], pa.int64()),
+            "groups": pa.array([len(n)], pa.int64()),
+            "dup_docs": pa.array([int((n[n > 1] - 1).sum())], pa.int64()),
+            "mx": pa.array([int(n.max()) if len(n) else 0], pa.int64()),
+        })
+
+    parts = groups.map_batches(_partial, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_docs": pa.array([sum(r["docs"] for r in parts)], pa.int64()),
+        "n_distinct": pa.array([sum(r["groups"] for r in parts)],
+                               pa.int64()),
+        "n_dup_docs": pa.array([sum(r["dup_docs"] for r in parts)],
+                               pa.int64()),
+        "max_group": pa.array([max((r["mx"] for r in parts), default=0)],
+                              pa.int64()),
+    })
+
+
+def _dedup_summary_sql() -> str:
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT text) AS BIGINT) AS n_distinct, "
+        "CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs, "
+        "CAST((SELECT max(c) FROM (SELECT count(*) AS c FROM documents "
+        "GROUP BY text)) AS BIGINT) AS max_group FROM documents"
+    )
+
+
 def _q_fk_violations(sf_dir: str):
     """Referential-integrity audit — the cross-table CI gate
     validate_table (single-table rules) can't express: per foreign key,
@@ -6765,6 +6810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lp_modularity": _q_lp_modularity,
         "hourly_value_bands": _q_hourly_value_bands,
         "fk_violations": _q_fk_violations,
+        "dedup_summary": _q_dedup_summary,
         "cm_sketch_users": _q_cm_sketch_users,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
@@ -8305,6 +8351,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "lp_modularity": _lp_modularity_sql(),
         "hourly_value_bands": _hourly_value_bands_sql(),
         "fk_violations": _fk_violations_sql(),
+        "dedup_summary": _dedup_summary_sql(),
         "cm_sketch_users": _cm_sketch_users_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),

@@ -193,11 +193,14 @@ def quality_score(docs: rd.Dataset, text_col: str = "text",
 
 
 def exact_dup_groups(docs: rd.Dataset, text_col: str = "text",
-                     id_col: str = "doc_id") -> rd.Dataset:
+                     id_col: str = "doc_id",
+                     min_size: int = 2) -> rd.Dataset:
     """Exact duplicate groups by sha256(text): (sha256, n_docs,
     keep_id=min id).  Hash computed per batch; the shuffle keys on an
     int64 prefix of the digest (the full digest disambiguates inside the
-    bucket — same collision-safe bucketing as the edge derivation)."""
+    bucket — same collision-safe bucketing as the edge derivation).
+    ``min_size``: keep only groups of at least this many docs (default
+    2 = true duplicate groups; 1 = every distinct text)."""
     from .ops import grouped_pandas_agg
 
     def _hash(batch: pa.Table) -> pa.Table:
@@ -222,7 +225,8 @@ def exact_dup_groups(docs: rd.Dataset, text_col: str = "text",
         key_fn=lambda b: np_col(b, "hkey"),
     )
     return grouped.map_batches(
-        lambda t: t.filter(pc.greater(t.column("n_docs"), 1)),
+        lambda t: t.filter(pc.greater_equal(t.column("n_docs"),
+                                            min_size)),
         batch_format="pyarrow",
     )
 
