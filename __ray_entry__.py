@@ -5386,6 +5386,217 @@ def _tpch_q22_sql() -> str:
     )
 
 
+def _q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 min-cost supplier (essentials_rd.tpch.q2), adapted:
+    per small-LARGE part, the EUROPE supplier with min shipped cents
+    (tie-break min suppkey); top-k by balance."""
+    from essentials_rd import tpch
+
+    return tpch.q2(sf_dir)
+
+
+def _q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 national market share (essentials_rd.tpch.q8): exact
+    (total, nation) revenue int64 pair per order year."""
+    from essentials_rd import tpch
+
+    return tpch.q8(sf_dir)
+
+
+def _q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 product profit (essentials_rd.tpch.q9), adapted to
+    revenue (no ps_supplycost), per (supplier nation, order year)."""
+    from essentials_rd import tpch
+
+    return tpch.q9(sf_dir)
+
+
+def _q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 important stock (essentials_rd.tpch.q11): parts with
+    >1.5x-average shipped value from EUROPE suppliers, exact ints."""
+    from essentials_rd import tpch
+
+    return tpch.q11(sf_dir)
+
+
+def _q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 supplier-count per part combo (essentials_rd.tpch.q16),
+    distinct suppliers, low-balance suppliers excluded."""
+    from essentials_rd import tpch
+
+    return tpch.q16(sf_dir)
+
+
+def _q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 disjunctive-predicate revenue (essentials_rd.tpch.q19):
+    three (brand, size-band, qty-band) branches, zero shuffle."""
+    from essentials_rd import tpch
+
+    return tpch.q19(sf_dir)
+
+
+def _q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 part promotion (essentials_rd.tpch.q20), adapted:
+    suppliers dominating a 'small '-part's 1997 shipments (2q_s>q_tot)."""
+    from essentials_rd import tpch
+
+    return tpch.q20(sf_dir)
+
+
+def _q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 waiting suppliers (essentials_rd.tpch.q21), adapted:
+    unique 'R'-returning supplier on finished multi-supplier orders."""
+    from essentials_rd import tpch
+
+    return tpch.q21(sf_dir)
+
+
+def _tpch_q2_sql() -> str:
+    return (
+        "WITH sup AS (SELECT s_suppkey, s_name, "
+        "CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS bal_c, n_name "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'EUROPE'), "
+        "pk AS (SELECT p_partkey FROM part WHERE p_size <= 10 "
+        "AND p_type = 'LARGE'), "
+        "pp AS (SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, "
+        "sum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS cost_c "
+        "FROM lineitem JOIN pk ON p_partkey = l_partkey "
+        "JOIN sup ON sup.s_suppkey = l_suppkey GROUP BY 1, 2), "
+        "mn AS (SELECT p_partkey, min(cost_c) AS min_c FROM pp "
+        "GROUP BY 1), "
+        "win AS (SELECT pp.p_partkey, min(pp.s_suppkey) AS s_suppkey "
+        "FROM pp JOIN mn ON pp.p_partkey = mn.p_partkey "
+        "AND pp.cost_c = mn.min_c GROUP BY 1) "
+        "SELECT sup.bal_c AS s_acctbal_c, win.s_suppkey AS s_suppkey, "
+        "sup.s_name, sup.n_name, win.p_partkey "
+        "FROM win JOIN sup ON sup.s_suppkey = win.s_suppkey "
+        "ORDER BY s_acctbal_c DESC, win.s_suppkey, p_partkey LIMIT 100"
+    )
+
+
+def _tpch_q8_sql() -> str:
+    return (
+        "WITH pk AS (SELECT p_partkey FROM part "
+        "WHERE p_type = 'ECONOMY'), "
+        "rc AS (SELECT c_custkey FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA'), "
+        "o AS (SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS "
+        "o_year FROM orders JOIN rc ON o_custkey = c_custkey "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'), "
+        "sn AS (SELECT s_suppkey, n_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey) "
+        f"SELECT o_year, CAST(sum({_TPCH_REV}) AS BIGINT) AS total_rev_u, "
+        f"CAST(COALESCE(sum({_TPCH_REV}) FILTER (WHERE n_name = "
+        "'NATION_2'), 0) AS BIGINT) AS nation_rev_u "
+        "FROM lineitem JOIN pk ON l_partkey = p_partkey "
+        "JOIN o ON l_orderkey = o_orderkey "
+        "JOIN sn ON l_suppkey = sn.s_suppkey "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _tpch_q9_sql() -> str:
+    return (
+        "SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        f"CAST(sum({_TPCH_REV}) AS BIGINT) AS profit_u "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation ON n_nationkey = s_nationkey "
+        "WHERE p_name LIKE '%widget%' "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def _tpch_q11_sql() -> str:
+    return (
+        "WITH sup AS (SELECT s_suppkey FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'EUROPE'), "
+        "v AS (SELECT l_partkey AS p_partkey, "
+        "sum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS value_c "
+        "FROM lineitem JOIN sup ON l_suppkey = s_suppkey GROUP BY 1), "
+        "g AS (SELECT sum(value_c) AS total, count(*) AS n FROM v) "
+        "SELECT p_partkey, CAST(value_c AS BIGINT) AS value_c "
+        "FROM v, g WHERE 2 * value_c * g.n > 3 * g.total "
+        "ORDER BY value_c DESC, p_partkey"
+    )
+
+
+def _tpch_q16_sql() -> str:
+    return (
+        "WITH pk AS (SELECT p_partkey, p_brand, p_type, "
+        "CAST(p_size AS BIGINT) AS p_size FROM part "
+        "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+        "AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)), "
+        "pairs AS (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey "
+        "FROM lineitem JOIN pk ON p_partkey = l_partkey "
+        "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+        "WHERE s_acctbal < 1000.0)) "
+        "SELECT p_brand, p_type, p_size, "
+        "CAST(count(*) AS BIGINT) AS supplier_cnt FROM pairs "
+        "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, 1, 2, 3"
+    )
+
+
+def _tpch_q19_sql() -> str:
+    _q = "CAST(ROUND(l_quantity, 0) AS BIGINT)"
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(COALESCE(sum({_TPCH_REV}), 0) AS BIGINT) AS rev_u "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE "
+        f"(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND {_q} "
+        "BETWEEN 1 AND 11) OR "
+        f"(p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND {_q} "
+        "BETWEEN 10 AND 20) OR "
+        f"(p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND {_q} "
+        "BETWEEN 20 AND 30)"
+    )
+
+
+def _tpch_q20_sql() -> str:
+    return (
+        "WITH pk AS (SELECT p_partkey FROM part "
+        "WHERE p_name LIKE 'small %'), "
+        "pp AS (SELECT l_partkey, l_suppkey, "
+        "sum(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS qty_s "
+        "FROM lineitem JOIN pk ON p_partkey = l_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY 1, 2), "
+        "tot AS (SELECT l_partkey, sum(qty_s) AS qty_total FROM pp "
+        "GROUP BY 1) "
+        "SELECT DISTINCT pp.l_suppkey AS s_suppkey, s_name "
+        "FROM pp JOIN tot ON pp.l_partkey = tot.l_partkey "
+        "JOIN supplier ON s_suppkey = pp.l_suppkey "
+        "WHERE 2 * pp.qty_s > tot.qty_total ORDER BY s_suppkey"
+    )
+
+
+def _tpch_q21_sql() -> str:
+    return (
+        "WITH li AS (SELECT l_orderkey AS o_orderkey, l_suppkey AS "
+        "s_suppkey, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r "
+        "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+        "WHERE o_orderstatus = 'F'), "
+        "pp AS (SELECT o_orderkey, s_suppkey, max(r) AS any_r FROM li "
+        "GROUP BY 1, 2), "
+        "po AS (SELECT o_orderkey, count(*) AS n_supp, sum(any_r) AS "
+        "n_r FROM pp GROUP BY 1), "
+        "blamed AS (SELECT pp.s_suppkey FROM pp JOIN po USING "
+        "(o_orderkey) WHERE any_r = 1 AND n_supp >= 2 AND n_r = 1) "
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+        "FROM blamed JOIN supplier USING (s_suppkey) "
+        "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100"
+    )
+
+
 def _q_diameter_lb(sf_dir: str):
     """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS
     from the min vid, re-BFS from the farthest vertex found (tie-break
@@ -6825,6 +7036,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
         "copart_join_parts": _q_copart_join,
         "pareto_orders": _q_pareto_orders,
         "incr_orders_rollup": _q_incr_rollup,
@@ -8366,6 +8585,14 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tpch_q15": _tpch_q15_sql(),
         "tpch_q17": _tpch_q17_sql(),
         "tpch_q22": _tpch_q22_sql(),
+        "tpch_q2": _tpch_q2_sql(),
+        "tpch_q8": _tpch_q8_sql(),
+        "tpch_q9": _tpch_q9_sql(),
+        "tpch_q11": _tpch_q11_sql(),
+        "tpch_q16": _tpch_q16_sql(),
+        "tpch_q19": _tpch_q19_sql(),
+        "tpch_q20": _tpch_q20_sql(),
+        "tpch_q21": _tpch_q21_sql(),
         "copart_join_parts": _copart_join_sql(),
         "pareto_orders": _pareto_orders_sql(),
         "incr_orders_rollup": _incr_rollup_sql(),

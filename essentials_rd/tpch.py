@@ -690,3 +690,579 @@ def q18(sf_dir: str, qty_gt: int = 200, k: int = 100) -> pa.Table:
                            columns=["c_custkey", "c_name"])
     full = join(j, cust, on="c_custkey", how="inner")
     return top_k(full, by="total_c", k=k, tie_cols=["o_orderkey"])
+
+
+def _nation_map(sf_dir: str) -> dict[int, str]:
+    """nationkey → n_name (≤25 rows at ANY scale — the constant dim)."""
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    return {int(r["n_nationkey"]): r["n_name"] for r in nat}
+
+
+def _region_nkeys(sf_dir: str, region: str) -> np.ndarray:
+    """sorted int64 nationkeys of one region (constant-size dim fold)."""
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet").take_all()
+    rk = {r["r_regionkey"] for r in reg if r["r_name"] == region}
+    return np.array(sorted(r["n_nationkey"] for r in nat
+                           if r["n_regionkey"] in rk), np.int64)
+
+
+def q8(sf_dir: str, region: str = "ASIA", ptype: str = "ECONOMY",
+       nation: str = "NATION_2", lo: str = "1996-01-01",
+       hi: str = "1998-01-01") -> pa.Table:
+    """Q8 national market share, adapted to this snapshot's columns:
+    within revenue from ``region``'s customers on parts of ``ptype``
+    (order years in [lo,hi)), the slice supplied by ``nation``.
+    The share is returned as the exact int64 pair
+    (total_rev_u, nation_rev_u) per order year — the division is the
+    reader's, so the hash stays float-free.  Part keys of the type and
+    the suppkey→nation vector broadcast (both dims ≪ fact at any sf);
+    lineitem⋈orders is the one big partitioned exchange; the
+    region-customer restriction rides the same custkey shuffle shape
+    as Q5."""
+    import ray
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    pk = part.map_batches(
+        lambda t: t.filter(pc.equal(t.column("p_type"), ptype))
+                   .select(["p_partkey"]),
+        batch_format="pyarrow")
+    pk_arr = np.array(sorted(r["p_partkey"] for r in pk.take_all()),
+                      np.int64)
+    pref = ray.put(pk_arr)
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]).take_all()
+    nmap = _nation_map(sf_dir)
+    sk_sorted = np.array(sorted(int(r["s_suppkey"]) for r in supp),
+                         np.int64)
+    is_nat = np.zeros(len(sk_sorted), np.bool_)
+    for r in supp:
+        i = int(np.searchsorted(sk_sorted, int(r["s_suppkey"])))
+        is_nat[i] = nmap[int(r["s_nationkey"])] == nation
+    sref = ray.put((sk_sorted, is_nat))
+
+    line = _rev_line(sf_dir, ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def _lprep(t: pa.Table) -> pa.Table:
+        keys = ray.get(pref)
+        sks, natv = ray.get(sref)
+        m = np.isin(np_col(t, "l_partkey").astype(np.int64), keys)
+        t = t.filter(pa.array(m))
+        sk = np_col(t, "l_suppkey").astype(np.int64)
+        pos = np.searchsorted(sks, sk)
+        pos = np.clip(pos, 0, len(sks) - 1)
+        nat = natv[pos] & (sks[pos] == sk)
+        rev = np_col(t, "rev_u")
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "rev_u": t.column("rev_u"),
+                         "nat_rev_u": pa.array(np.where(nat, rev, 0),
+                                               pa.int64())})
+
+    nkey_arr = _region_nkeys(sf_dir, region)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            np_col(t, "c_nationkey").astype(np.int64), nkey_arr)))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def _oprep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("o_orderdate"), _ts(lo)),
+                    pc.less(t.column("o_orderdate"), _ts(hi)))
+        t = t.filter(m)
+        y = pc.year(t.column("o_orderdate")).cast(pa.int64())
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "c_custkey": t.column("o_custkey"),
+                         "o_year": y})
+
+    oc = join(orders.map_batches(_oprep, batch_format="pyarrow"), cust,
+              on="c_custkey", how="semi", broadcast=False, num_buckets=16)
+    j = join(line.map_batches(_lprep, batch_format="pyarrow"),
+             oc.select_columns(["o_orderkey", "o_year"]),
+             on="o_orderkey", how="inner", broadcast=False, num_buckets=32)
+    agg = grouped_pandas_agg(
+        j, keys=["o_year"],
+        aggs={"total_rev_u": ("rev_u", "sum"),
+              "nation_rev_u": ("nat_rev_u", "sum")}, num_buckets=4)
+    rows = agg.take_all()
+    rows.sort(key=lambda r: r["o_year"])
+    return pa.table({
+        "o_year": pa.array([r["o_year"] for r in rows], pa.int64()),
+        "total_rev_u": pa.array([r["total_rev_u"] for r in rows],
+                                pa.int64()),
+        "nation_rev_u": pa.array([r["nation_rev_u"] for r in rows],
+                                 pa.int64())})
+
+
+def q9(sf_dir: str, name_word: str = "widget") -> pa.Table:
+    """Q9 product-type profit, adapted: this snapshot has no partsupp
+    (no ps_supplycost), so profit is the revenue
+    extendedprice·(1−discount) of lineitems whose part name contains
+    ``name_word``, grouped by (supplier nation, order year).  Part
+    keys and the suppkey→nation name map broadcast; lineitem⋈orders
+    on orderkey is the single big exchange; the grouped fold keys on
+    (nation, year) — ≤ 25·|years| rows out."""
+    import ray
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+    pk = part.map_batches(
+        lambda t: t.filter(pc.match_substring(t.column("p_name"),
+                                              name_word))
+                   .select(["p_partkey"]),
+        batch_format="pyarrow")
+    pk_arr = np.array(sorted(r["p_partkey"] for r in pk.take_all()),
+                      np.int64)
+    pref = ray.put(pk_arr)
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]).take_all()
+    nmap = _nation_map(sf_dir)
+    pairs = sorted((int(r["s_suppkey"]), nmap[int(r["s_nationkey"])])
+                   for r in supp)
+    sk_sorted = np.array([p[0] for p in pairs], np.int64)
+    nat_names = np.array([p[1] for p in pairs], object)
+    sref = ray.put((sk_sorted, nat_names))
+
+    line = _rev_line(sf_dir, ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def _lprep(t: pa.Table) -> pa.Table:
+        keys = ray.get(pref)
+        sks, names = ray.get(sref)
+        m = np.isin(np_col(t, "l_partkey").astype(np.int64), keys)
+        t = t.filter(pa.array(m))
+        sk = np_col(t, "l_suppkey").astype(np.int64)
+        pos = np.clip(np.searchsorted(sks, sk), 0, len(sks) - 1)
+        nat = np.where(sks[pos] == sk, names[pos], "")
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "n_name": pa.array(nat, pa.string()),
+                         "rev_u": t.column("rev_u")})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: pa.table({"o_orderkey": t.column("o_orderkey"),
+                            "o_year": pc.year(t.column("o_orderdate"))
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")
+    j = join(line.map_batches(_lprep, batch_format="pyarrow"), orders,
+             on="o_orderkey", how="inner", broadcast=False, num_buckets=32)
+    agg = grouped_pandas_agg(
+        j, keys=["n_name", "o_year"],
+        aggs={"profit_u": ("rev_u", "sum")},
+        key_fn=lambda b: _str_hash(b.column("n_name")), num_buckets=8)
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (r["n_name"], r["o_year"]))
+    return pa.table({
+        "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
+        "o_year": pa.array([r["o_year"] for r in rows], pa.int64()),
+        "profit_u": pa.array([r["profit_u"] for r in rows], pa.int64())})
+
+
+def q11(sf_dir: str, region: str = "EUROPE") -> pa.Table:
+    """Q11 important stock, adapted: no partsupp/ps_supplycost, so a
+    part's "value" is the total extendedprice cents shipped by
+    ``region``'s suppliers, and the HAVING keeps parts whose value
+    exceeds 1.5× the average part value — evaluated as the exact
+    cross-multiplication 2·value·n_parts > 3·Σvalue (zero float,
+    scale-invariant selectivity where the spec's fixed fraction
+    degenerates as |part| grows).  The supplier-region membership
+    broadcasts as a sorted key array; the per-part collapse is one
+    bucketed pass; the grand (Σ, n) folds from per-block partials of
+    the SAME collapsed table (driver adds ≤ num_buckets scalars)."""
+    import ray
+
+    nkey_arr = _region_nkeys(sf_dir, region)
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]).take_all()
+    sk_arr = np.array(sorted(int(r["s_suppkey"]) for r in supp
+                             if int(r["s_nationkey"]) in set(nkey_arr.tolist())),
+                      np.int64)
+    sref = ray.put(sk_arr)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey",
+                                    "l_extendedprice"])
+
+    def _lprep(t: pa.Table) -> pa.Table:
+        sks = ray.get(sref)
+        m = np.isin(np_col(t, "l_suppkey").astype(np.int64), sks)
+        t = t.filter(pa.array(m))
+        return pa.table({"p_partkey": t.column("l_partkey"),
+                         "val_c": pa.array(_cents(t, "l_extendedprice"),
+                                           pa.int64())})
+
+    per_part = grouped_pandas_agg(
+        line.map_batches(_lprep, batch_format="pyarrow"),
+        keys=["p_partkey"], aggs={"value_c": ("val_c", "sum")},
+        num_buckets=16).materialize()
+    parts = per_part.map_batches(
+        lambda t: pa.table({"s": pa.array([int(np_col(t, "value_c").sum())],
+                                          pa.int64()),
+                            "n": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow").take_all()
+    total = sum(r["s"] for r in parts)
+    n_parts = sum(r["n"] for r in parts)
+    keep = per_part.map_batches(
+        lambda t: t.filter(pa.array(
+            2 * np_col(t, "value_c") * n_parts > 3 * total)),
+        batch_format="pyarrow")
+    rows = keep.take_all()
+    rows.sort(key=lambda r: (-r["value_c"], r["p_partkey"]))
+    return pa.table({
+        "p_partkey": pa.array([r["p_partkey"] for r in rows], pa.int64()),
+        "value_c": pa.array([r["value_c"] for r in rows], pa.int64())})
+
+
+def q16(sf_dir: str, bad_brand: str = "Brand#1", bad_type: str = "PROMO",
+        sizes: tuple = (1, 4, 7, 10, 13, 16, 19, 23),
+        bal_floor: float = 1000.0) -> pa.Table:
+    """Q16 parts/supplier relationship, adapted: how many DISTINCT
+    suppliers shipped each (p_brand, p_type, p_size) combo, over parts
+    not of ``bad_brand``/``bad_type`` with size in ``sizes``, excluding
+    low-balance suppliers (s_acctbal < ``bal_floor`` stands in for the
+    spec's complaint-comment scan — deterministic on stored data).
+    Part attrs broadcast as sorted parallel arrays; the (part,supp)
+    pair distinct is one bucketed collapse of the filtered fact; the
+    per-combo count shuffles one row per surviving pair."""
+    import ray
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_type",
+                                    "p_size"]).take_all()
+    kept = sorted((int(r["p_partkey"]), r["p_brand"], r["p_type"],
+                   int(r["p_size"])) for r in part
+                  if r["p_brand"] != bad_brand and r["p_type"] != bad_type
+                  and int(r["p_size"]) in set(sizes))
+    pk_arr = np.array([k[0] for k in kept], np.int64)
+    br_arr = np.array([k[1] for k in kept], object)
+    ty_arr = np.array([k[2] for k in kept], object)
+    sz_arr = np.array([k[3] for k in kept], np.int64)
+    pref = ray.put((pk_arr, br_arr, ty_arr, sz_arr))
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_acctbal"]).take_all()
+    bad_sk = np.array(sorted(int(r["s_suppkey"]) for r in supp
+                             if float(r["s_acctbal"]) < bal_floor),
+                      np.int64)
+    bref = ray.put(bad_sk)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey"])
+
+    def _lprep(t: pa.Table) -> pa.Table:
+        pks, _, _, _ = ray.get(pref)
+        bad = ray.get(bref)
+        pk = np_col(t, "l_partkey").astype(np.int64)
+        sk = np_col(t, "l_suppkey").astype(np.int64)
+        m = np.isin(pk, pks) & ~np.isin(sk, bad)
+        return pa.table({"p_partkey": pa.array(pk[m], pa.int64()),
+                         "s_suppkey": pa.array(sk[m], pa.int64())})
+
+    pairs = grouped_pandas_agg(
+        line.map_batches(_lprep, batch_format="pyarrow"),
+        keys=["p_partkey", "s_suppkey"],
+        aggs={"n": ("p_partkey", "count")}, num_buckets=16)
+
+    def _attach(t: pa.Table) -> pa.Table:
+        pks, brs, tys, szs = ray.get(pref)
+        pk = np_col(t, "p_partkey").astype(np.int64)
+        pos = np.clip(np.searchsorted(pks, pk), 0, max(len(pks) - 1, 0))
+        return pa.table({"p_brand": pa.array(brs[pos], pa.string()),
+                         "p_type": pa.array(tys[pos], pa.string()),
+                         "p_size": pa.array(szs[pos], pa.int64()),
+                         "s_suppkey": t.column("s_suppkey")})
+
+    # two collapses: distinct (combo, supplier) first — a supplier
+    # shipping several parts of the same combo must count ONCE —
+    # then the per-combo count (spec's count(distinct ps_suppkey))
+    combo_supp = grouped_pandas_agg(
+        pairs.map_batches(_attach, batch_format="pyarrow"),
+        keys=["p_brand", "p_type", "p_size", "s_suppkey"],
+        aggs={"n": ("s_suppkey", "count")},
+        key_fn=lambda b: _str_hash(b.column("p_brand")), num_buckets=8)
+    combo = grouped_pandas_agg(
+        combo_supp, keys=["p_brand", "p_type", "p_size"],
+        aggs={"supplier_cnt": ("n", "count")},
+        key_fn=lambda b: _str_hash(b.column("p_brand")), num_buckets=8)
+    rows = combo.take_all()
+    rows.sort(key=lambda r: (-r["supplier_cnt"], r["p_brand"],
+                             r["p_type"], r["p_size"]))
+    return pa.table({
+        "p_brand": pa.array([r["p_brand"] for r in rows], pa.string()),
+        "p_type": pa.array([r["p_type"] for r in rows], pa.string()),
+        "p_size": pa.array([r["p_size"] for r in rows], pa.int64()),
+        "supplier_cnt": pa.array([r["supplier_cnt"] for r in rows],
+                                 pa.int64())})
+
+
+def q19(sf_dir: str) -> pa.Table:
+    """Q19 discounted revenue, adapted to the columns present (no
+    l_shipmode/l_shipinstruct, p_container → p_size bands): revenue of
+    lineitems matching ANY of three (brand, size-band, quantity-band)
+    branches — the spec's disjunctive multi-attribute predicate shape.
+    Part attrs broadcast as parallel sorted arrays; ZERO shuffle — each
+    block folds one (n, rev_u) partial and the driver adds scalars."""
+    import ray
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand",
+                                    "p_size"]).take_all()
+    rowsp = sorted((int(r["p_partkey"]), r["p_brand"], int(r["p_size"]))
+                   for r in part)
+    pk_arr = np.array([r[0] for r in rowsp], np.int64)
+    br_arr = np.array([r[1] for r in rowsp], object)
+    sz_arr = np.array([r[2] for r in rowsp], np.int64)
+    pref = ray.put((pk_arr, br_arr, sz_arr))
+    branches = (("Brand#12", 1, 5, 1, 11), ("Brand#23", 1, 10, 10, 20),
+                ("Brand#34", 1, 15, 20, 30))
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_quantity",
+                                    "l_extendedprice", "l_discount"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        pks, brs, szs = ray.get(pref)
+        pk = np_col(t, "l_partkey").astype(np.int64)
+        pos = np.clip(np.searchsorted(pks, pk), 0, len(pks) - 1)
+        ok = pks[pos] == pk
+        qty = np.floor(_f64(t, "l_quantity") + 0.5).astype(np.int64)
+        keep = np.zeros(len(pk), np.bool_)
+        for brand, slo, shi, qlo, qhi in branches:
+            keep |= (ok & (brs[pos] == brand)
+                     & (szs[pos] >= slo) & (szs[pos] <= shi)
+                     & (qty >= qlo) & (qty <= qhi))
+        rev = (_cents(t, "l_extendedprice")[keep]
+               * (100 - _pct(t, "l_discount")[keep]))
+        return pa.table({"n": pa.array([int(keep.sum())], pa.int64()),
+                         "rev_u": pa.array([int(rev.sum())], pa.int64())})
+
+    parts = line.map_batches(_partial, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n": pa.array([sum(r["n"] for r in parts)], pa.int64()),
+        "rev_u": pa.array([sum(r["rev_u"] for r in parts)], pa.int64())})
+
+
+def q20(sf_dir: str, prefix: str = "small ", lo: str = "1997-01-01",
+        hi: str = "1998-01-01") -> pa.Table:
+    """Q20 potential part promotion, adapted: no ps_availqty, so a
+    supplier qualifies when it DOMINATES some ``prefix``-named part's
+    shipments in the window — shipped quantity strictly more than half
+    the part's total (exact integers: 2·qty_s > qty_total).  Part keys
+    broadcast; one bucketed (part, supp) collapse, one per-part total
+    fold from the collapsed table, one small partitioned join between
+    them; suppliers come back sorted."""
+    import ray
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+    pk = part.map_batches(
+        lambda t: t.filter(pc.starts_with(t.column("p_name"), prefix))
+                   .select(["p_partkey"]),
+        batch_format="pyarrow")
+    pk_arr = np.array(sorted(r["p_partkey"] for r in pk.take_all()),
+                      np.int64)
+    pref = ray.put(pk_arr)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey",
+                                    "l_quantity", "l_shipdate"])
+
+    def _lprep(t: pa.Table) -> pa.Table:
+        keys = ray.get(pref)
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), _ts(lo)),
+                    pc.less(t.column("l_shipdate"), _ts(hi)))
+        t = t.filter(m)
+        pkv = np_col(t, "l_partkey").astype(np.int64)
+        t = t.filter(pa.array(np.isin(pkv, keys)))
+        qty = np.floor(_f64(t, "l_quantity") + 0.5).astype(np.int64)
+        return pa.table({"p_partkey": t.column("l_partkey"),
+                         "s_suppkey": t.column("l_suppkey"),
+                         "qty": pa.array(qty, pa.int64())})
+
+    per_pair = grouped_pandas_agg(
+        line.map_batches(_lprep, batch_format="pyarrow"),
+        keys=["p_partkey", "s_suppkey"], aggs={"qty_s": ("qty", "sum")},
+        num_buckets=16).materialize()
+    per_part = grouped_pandas_agg(
+        per_pair.select_columns(["p_partkey", "qty_s"]).map_batches(
+            lambda t: pa.table({"p_partkey": t.column("p_partkey"),
+                                "q": t.column("qty_s")}),
+            batch_format="pyarrow"),
+        keys=["p_partkey"], aggs={"qty_total": ("q", "sum")},
+        num_buckets=16)
+    j = join(per_pair, per_part, on="p_partkey", how="inner",
+             broadcast=False, num_buckets=16)
+    dom = j.map_batches(
+        lambda t: t.filter(pa.array(
+            2 * np_col(t, "qty_s") > np_col(t, "qty_total")))
+                 .select(["s_suppkey"]),
+        batch_format="pyarrow")
+    sks = sorted({r["s_suppkey"] for r in dom.take_all()})
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"]).take_all()
+    names = {int(r["s_suppkey"]): r["s_name"] for r in supp}
+    return pa.table({
+        "s_suppkey": pa.array(sks, pa.int64()),
+        "s_name": pa.array([names[int(s)] for s in sks], pa.string())})
+
+
+def q21(sf_dir: str, k: int = 100) -> pa.Table:
+    """Q21 suppliers who kept orders waiting, adapted: no
+    l_commitdate/l_receiptdate, so the "failed delivery" marker is an
+    'R'-returned lineitem — per finished ('F') multi-supplier order,
+    the supplier who is the UNIQUE one with a returned line takes the
+    blame.  One bucketed (order, supp) collapse carries any_r; the
+    per-order (n_supp, n_r) fold and the blame join ride the SAME
+    orderkey buckets; the final per-supplier count moves one row per
+    blamed (order, supplier)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"])
+    fo = orders.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F"))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow")
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_returnflag"])
+
+    def _lprep(t: pa.Table) -> pa.Table:
+        r = pc.equal(t.column("l_returnflag"), "R")
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "s_suppkey": t.column("l_suppkey"),
+                         "r": r.cast(pa.int64())})
+
+    li = join(line.map_batches(_lprep, batch_format="pyarrow"), fo,
+              on="o_orderkey", how="semi", broadcast=False, num_buckets=32)
+    per_pair = grouped_pandas_agg(
+        li, keys=["o_orderkey", "s_suppkey"], aggs={"any_r": ("r", "max")},
+        num_buckets=32).materialize()
+    per_order = grouped_pandas_agg(
+        per_pair.map_batches(
+            lambda t: pa.table({"o_orderkey": t.column("o_orderkey"),
+                                "one": pc.cast(pc.greater_equal(
+                                    t.column("any_r"), -1), pa.int64()),
+                                "r": t.column("any_r")}),
+            batch_format="pyarrow"),
+        keys=["o_orderkey"], aggs={"n_supp": ("one", "sum"),
+                                   "n_r": ("r", "sum")}, num_buckets=32)
+    j = join(per_pair, per_order, on="o_orderkey", how="inner",
+             broadcast=False, num_buckets=32)
+    blamed = j.map_batches(
+        lambda t: t.filter(pa.array(
+            (np_col(t, "any_r") == 1) & (np_col(t, "n_supp") >= 2)
+            & (np_col(t, "n_r") == 1))).select(["s_suppkey"]),
+        batch_format="pyarrow")
+    cnt = grouped_pandas_agg(
+        blamed.map_batches(
+            lambda t: pa.table({"s_suppkey": t.column("s_suppkey"),
+                                "one": pa.array(
+                                    np.ones(len(t), np.int64), pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["s_suppkey"], aggs={"numwait": ("one", "sum")}, num_buckets=8)
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    full = join(cnt, supp, on="s_suppkey", how="inner")
+    rows = full.take_all()
+    rows.sort(key=lambda r: (-r["numwait"], r["s_name"]))
+    rows = rows[:k]
+    return pa.table({
+        "s_name": pa.array([r["s_name"] for r in rows], pa.string()),
+        "numwait": pa.array([r["numwait"] for r in rows], pa.int64())})
+
+
+def q2(sf_dir: str, size_max: int = 10, ptype: str = "LARGE",
+       region: str = "EUROPE", k: int = 100) -> pa.Table:
+    """Q2 minimum-cost supplier, adapted: no partsupp, so for each
+    part of size ≤ ``size_max`` and ``ptype`` the candidate suppliers are those of
+    ``region`` that actually shipped it, and "cost" is the supplier's
+    total shipped extendedprice cents for that part — the per-part
+    argmin (min cost, then min suppkey — the spec's deterministic
+    tie-break) computed as two grouped folds over the SAME partkey
+    buckets plus one filter join, never a driver-side group.  Output
+    is the spec's top-k by (balance desc, suppkey)."""
+    import ray
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_size", "p_type"])
+    pk = part.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.less_equal(t.column("p_size"), size_max),
+            pc.equal(t.column("p_type"), ptype))).select(["p_partkey"]),
+        batch_format="pyarrow")
+    pk_arr = np.array(sorted(r["p_partkey"] for r in pk.take_all()),
+                      np.int64)
+    pref = ray.put(pk_arr)
+
+    nkey_set = set(_region_nkeys(sf_dir, region).tolist())
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name", "s_acctbal",
+                                    "s_nationkey"]).take_all()
+    nmap = _nation_map(sf_dir)
+    sk_arr = np.array(sorted(int(r["s_suppkey"]) for r in supp
+                             if int(r["s_nationkey"]) in nkey_set),
+                      np.int64)
+    sref = ray.put(sk_arr)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey",
+                                    "l_extendedprice"])
+
+    def _lprep(t: pa.Table) -> pa.Table:
+        pks = ray.get(pref)
+        sks = ray.get(sref)
+        pkv = np_col(t, "l_partkey").astype(np.int64)
+        skv = np_col(t, "l_suppkey").astype(np.int64)
+        m = np.isin(pkv, pks) & np.isin(skv, sks)
+        t = t.filter(pa.array(m))
+        return pa.table({"p_partkey": t.column("l_partkey"),
+                         "s_suppkey": t.column("l_suppkey"),
+                         "cost_c": pa.array(_cents(t, "l_extendedprice"),
+                                            pa.int64())})
+
+    per_pair = grouped_pandas_agg(
+        line.map_batches(_lprep, batch_format="pyarrow"),
+        keys=["p_partkey", "s_suppkey"], aggs={"cost_c": ("cost_c", "sum")},
+        num_buckets=8).materialize()
+    per_part_min = grouped_pandas_agg(
+        per_pair.map_batches(
+            lambda t: pa.table({"p_partkey": t.column("p_partkey"),
+                                "c": t.column("cost_c")}),
+            batch_format="pyarrow"),
+        keys=["p_partkey"], aggs={"min_c": ("c", "min")}, num_buckets=8)
+    j = join(per_pair, per_part_min, on="p_partkey", how="inner",
+             broadcast=False, num_buckets=8)
+    at_min = j.map_batches(
+        lambda t: t.filter(pa.array(
+            np_col(t, "cost_c") == np_col(t, "min_c"))),
+        batch_format="pyarrow")
+    winner = grouped_pandas_agg(
+        at_min.map_batches(
+            lambda t: pa.table({"p_partkey": t.column("p_partkey"),
+                                "s": t.column("s_suppkey")}),
+            batch_format="pyarrow"),
+        keys=["p_partkey"], aggs={"s_suppkey": ("s", "min")}, num_buckets=8)
+    rows = winner.take_all()
+    sinfo = {int(r["s_suppkey"]): (r["s_name"],
+                                   int(np.sign(float(r["s_acctbal"]))
+                                       * np.floor(abs(float(r["s_acctbal"]))
+                                                  * 100.0 + 0.5)),
+                                   nmap[int(r["s_nationkey"])])
+             for r in supp}
+    out = [(sinfo[int(r["s_suppkey"])][1], int(r["s_suppkey"]),
+            sinfo[int(r["s_suppkey"])][0], sinfo[int(r["s_suppkey"])][2],
+            int(r["p_partkey"])) for r in rows]
+    out.sort(key=lambda x: (-x[0], x[1], x[4]))
+    out = out[:k]
+    return pa.table({
+        "s_acctbal_c": pa.array([x[0] for x in out], pa.int64()),
+        "s_suppkey": pa.array([x[1] for x in out], pa.int64()),
+        "s_name": pa.array([x[2] for x in out], pa.string()),
+        "n_name": pa.array([x[3] for x in out], pa.string()),
+        "p_partkey": pa.array([x[4] for x in out], pa.int64())})
