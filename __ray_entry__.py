@@ -5597,6 +5597,69 @@ def _tpch_q21_sql() -> str:
     )
 
 
+def _q_two_hop_sizes(sf_dir: str):
+    """Exact distinct 2-hop neighborhood size per vertex
+    (algorithms.similarity.two_hop_counts) — the r=2 neighborhood
+    function over the co-purchase graph; one mid-vertex self-join +
+    two bucketed collapses, zeros filled from the vertex id vector."""
+    from essentials_rd.algorithms.similarity import two_hop_counts
+
+    g, edges = _graph(sf_dir)
+    return two_hop_counts(g, edges.select_columns(["src", "dst"]))
+
+
+def _two_hop_sql() -> str:
+    return f"""
+WITH {_GRAPH_CTES},
+two AS (
+  SELECT e1.src AS v, e2.dst AS w
+  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+  WHERE e2.dst <> e1.src
+  UNION
+  SELECT src AS v, dst AS w FROM sym
+)
+SELECT v.vid, CAST(COALESCE(t.c, 0) AS BIGINT) AS n2
+FROM verts v LEFT JOIN (
+  SELECT v AS vid, count(*) AS c FROM two GROUP BY 1) t
+ON t.vid = v.vid ORDER BY v.vid
+"""
+
+
+def _q_orders_cube(sf_dir: str):
+    """CUBE grouping sets (ops.rollup_agg cube=True) over orders by
+    (priority, status): all four grouping sets in ONE scan via
+    per-block per-set partials; revenue as half-up cents per row so
+    every total is integer-exact at any partitioning."""
+    import ray.data as rd
+
+    from essentials_rd.ops import rollup_agg
+    from essentials_rd.util import np_col as _nc
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(_nc(t, "o_totalprice") * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "o_orderstatus": t.column("o_orderstatus"),
+                "cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    ).map_batches(_cents, batch_format="pyarrow")
+    out = rollup_agg(orders, ["o_orderpriority", "o_orderstatus"],
+                     "cents", cube=True)
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["o_orderpriority", "o_orderstatus", "n_orders", "total_cents"]
+        )
+
+    return out.map_batches(_rename, batch_format="pyarrow")
+
+
 def _q_diameter_lb(sf_dir: str):
     """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS
     from the min vid, re-BFS from the farthest vertex found (tie-break
@@ -7044,6 +7107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
+        "two_hop_sizes": _q_two_hop_sizes,
+        "orders_cube": _q_orders_cube,
         "copart_join_parts": _q_copart_join,
         "pareto_orders": _q_pareto_orders,
         "incr_orders_rollup": _q_incr_rollup,
@@ -8593,6 +8658,17 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tpch_q19": _tpch_q19_sql(),
         "tpch_q20": _tpch_q20_sql(),
         "tpch_q21": _tpch_q21_sql(),
+        "two_hop_sizes": _two_hop_sql(),
+        "orders_cube": (
+            "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(cents) AS BIGINT) AS total_cents "
+            "FROM (SELECT o_orderpriority, o_orderstatus, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders) "
+            "GROUP BY CUBE(o_orderpriority, o_orderstatus)"
+        ),
         "copart_join_parts": _copart_join_sql(),
         "pareto_orders": _pareto_orders_sql(),
         "incr_orders_rollup": _incr_rollup_sql(),

@@ -347,3 +347,67 @@ def ra_link_prediction(
     ).head(k).reset_index(drop=True)
     df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def two_hop_counts(
+    g: GraphShards,
+    edges: rd.Dataset,
+    num_buckets: int = 32,
+) -> pa.Table:
+    """Exact distinct ≤2-hop neighborhood size per vertex — the r=2
+    point of the neighborhood function N(v, r) (the quantity HyperBall
+    / ANF estimate with HLL registers at planet scale; computed exactly
+    here because the snapshot's derived graphs are hub-capped).
+
+    Physical plan: one partitioned self-join of the symmetrized edge
+    table on the middle vertex (intermediate row count is exactly
+    Σ_m deg(m)² — bounded by derive's heavy-key cap; THE term a 100-TB
+    run must budget, and why the scale path switches to per-round HLL
+    unions once Σdeg² outgrows the cluster), a union with the direct
+    edges, then two bucketed collapses that both key on the source
+    vertex: distinct-(v, w) first, count-per-v second.  Vertices whose
+    2-hop ball is empty come back 0 via the driver's O(|V|) id vector
+    (the repo's documented |V|≪|E| pattern)."""
+    from ..ops import grouped_pandas_agg, join
+
+    def _vm(t: pa.Table) -> pa.Table:
+        s, d = np_col(t, "src"), np_col(t, "dst")
+        return pa.table({"v": pa.array(np.r_[s, d], pa.int64()),
+                         "mid": pa.array(np.r_[d, s], pa.int64())})
+
+    def _mw(t: pa.Table) -> pa.Table:
+        s, d = np_col(t, "src"), np_col(t, "dst")
+        return pa.table({"mid": pa.array(np.r_[s, d], pa.int64()),
+                         "w": pa.array(np.r_[d, s], pa.int64())})
+
+    e = edges.select_columns(["src", "dst"])
+    two = join(e.map_batches(_vm, batch_format="pyarrow"),
+               e.map_batches(_mw, batch_format="pyarrow"),
+               on="mid", broadcast=False, num_buckets=num_buckets)
+
+    def _proj(t: pa.Table) -> pa.Table:
+        v, w = np_col(t, "v"), np_col(t, "w")
+        m = v != w
+        return pa.table({"v": pa.array(v[m], pa.int64()),
+                         "w": pa.array(w[m], pa.int64())})
+
+    direct = e.map_batches(
+        lambda t: pa.table({
+            "v": pa.array(np.r_[np_col(t, "src"), np_col(t, "dst")],
+                          pa.int64()),
+            "w": pa.array(np.r_[np_col(t, "dst"), np_col(t, "src")],
+                          pa.int64())}),
+        batch_format="pyarrow")
+    cand = two.map_batches(_proj, batch_format="pyarrow").union(direct)
+    dist = grouped_pandas_agg(cand, keys=["v", "w"],
+                              aggs={"n": ("w", "count")},
+                              num_buckets=num_buckets)
+    per_v = grouped_pandas_agg(dist, keys=["v"],
+                               aggs={"n2": ("w", "count")},
+                               num_buckets=num_buckets)
+    vids = ray.get(g.vertex_ids_ref)
+    out = np.zeros(len(vids), np.int64)
+    for r in per_v.take_all():
+        out[int(np.searchsorted(vids, r["v"]))] = r["n2"]
+    return pa.table({"vid": pa.array(vids, pa.int64()),
+                     "n2": pa.array(out, pa.int64())})
