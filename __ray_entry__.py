@@ -5660,6 +5660,44 @@ def _q_orders_cube(sf_dir: str):
     return out.map_batches(_rename, batch_format="pyarrow")
 
 
+HB_P = 4        # HyperBall register precision (16 registers/vertex)
+HB_ROUNDS = 2   # ball radius — cross-validated against two_hop_sizes
+
+
+def _q_hyperball_r2(sf_dir: str):
+    """HyperBall (algorithms.hyperball): per-vertex HLL sketches of
+    the radius-2 ball, kept sparse as (vid, reg, rho) rows — one
+    edge join + one (vid, reg) grouped max per round; the 100-TB
+    neighborhood-function path where exact two_hop_sizes' sum-deg²
+    intermediate outgrows the cluster.  Registers (not the float
+    estimate) ship to the oracle, bit-for-bit."""
+    from essentials_rd.algorithms.hyperball import hyperball
+
+    g, edges = _graph(sf_dir)
+    return hyperball(g, edges.select_columns(["src", "dst"]),
+                     p=HB_P, rounds=HB_ROUNDS)
+
+
+def _hyperball_sql() -> str:
+    chain = _sm64_ctes("hbz", "vid", "vid", "verts")
+    unroll, last = _hll_unroll_ctes("vid", "hbz3", HB_P)
+    steps = [
+        f"b0 AS (SELECT vid, CAST(reg AS BIGINT) AS reg, "
+        f"CAST(rnk + 1 AS BIGINT) AS rho FROM {last})"]
+    for i in range(HB_ROUNDS):
+        steps.append(
+            f"b{i + 1} AS (SELECT vid, reg, max(rho) AS rho FROM ("
+            f"SELECT e.dst AS vid, b.reg, b.rho FROM sym e "
+            f"JOIN b{i} b ON b.vid = e.src "
+            f"UNION ALL SELECT vid, reg, rho FROM b{i}) GROUP BY 1, 2)")
+    body = ", ".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {chain}, {unroll}, {body} "
+        f"SELECT vid, reg, CAST(rho AS BIGINT) AS rho FROM b{HB_ROUNDS} "
+        "ORDER BY 1, 2"
+    )
+
+
 def _q_diameter_lb(sf_dir: str):
     """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS
     from the min vid, re-BFS from the farthest vertex found (tie-break
@@ -7109,6 +7147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21": _q_tpch_q21,
         "two_hop_sizes": _q_two_hop_sizes,
         "orders_cube": _q_orders_cube,
+        "hyperball_r2": _q_hyperball_r2,
         "copart_join_parts": _q_copart_join,
         "pareto_orders": _q_pareto_orders,
         "incr_orders_rollup": _q_incr_rollup,
@@ -8659,6 +8698,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tpch_q20": _tpch_q20_sql(),
         "tpch_q21": _tpch_q21_sql(),
         "two_hop_sizes": _two_hop_sql(),
+        "hyperball_r2": _hyperball_sql(),
         "orders_cube": (
             "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
             "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "

@@ -23,6 +23,7 @@ from .katz import KatzProgram, katz, katz_table
 from .fastrp import FastRPProgram, fastrp, fastrp_table
 from .squares import squares_total
 from .sweep import sweep_profile
+from .hyperball import hyperball, hyperball_estimates
 
 __all__ = [
     "maximal_matching",
@@ -34,6 +35,8 @@ __all__ = [
     "fastrp_table",
     "squares_total",
     "sweep_profile",
+    "hyperball",
+    "hyperball_estimates",
     "LongestPathProgram",
     "longest_path",
     "depth_table",
