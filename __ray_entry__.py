@@ -782,6 +782,63 @@ def _q_bond_percolation(sf_dir: str):
                                               pa.int64())})
 
 
+INCR_CC_DEN = 8  # 1/8 of the edges arrive as the "new" delta batch
+
+
+def _q_incr_cc(sf_dir: str):
+    """Incremental CC maintenance (algorithms.cc.cc_incremental): split
+    the derived edges deterministically (splitmix64 of the packed pair,
+    a pure function of the edge — ~1/8 land in the delta), run the
+    verified hash-min engine on the BASE subgraph only, then fold the
+    delta in via cc_incremental — two partitioned label joins + one
+    driver fixpoint over the contracted (≤|delta|) pair set + one
+    rewrite pass.  The oracle recomputes CC over ALL edges from
+    scratch, so a hash match proves the incremental result is
+    bit-identical to the full rerun — the graph-IVM contract."""
+    import os as _os
+    import tempfile
+
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.algorithms import connected_components
+    from essentials_rd.algorithms.cc import cc_incremental, components_table
+    from essentials_rd.graph import build_graph
+    from essentials_rd.util import hash64, np_col
+
+    g, edges = _graph(sf_dir)
+
+    def _split(t: pa.Table, want_delta: bool) -> pa.Table:
+        s = np_col(t, "src").astype(np.int64).view(np.uint64)
+        d = np_col(t, "dst").astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            key = (s << np.uint64(32)) + d
+        m = (hash64(key.view(np.int64)).view(np.uint64)
+             % np.uint64(INCR_CC_DEN)) == 0
+        if not want_delta:
+            m = ~m
+        return pa.table({"src": pa.array(s[m].view(np.int64), pa.int64()),
+                         "dst": pa.array(d[m].view(np.int64), pa.int64())})
+
+    e = edges.select_columns(["src", "dst"])
+    base = e.map_batches(lambda t: _split(t, False), batch_format="pyarrow")
+    delta = e.map_batches(lambda t: _split(t, True), batch_format="pyarrow")
+    vids = ray.get(g.vertex_ids_ref)
+    gb = build_graph(base, _os.path.join(tempfile.gettempdir(),
+                                         "essentials_rd_incrcc"),
+                     g.num_parts, symmetrize=True, persist=False,
+                     vertex_ids=vids)
+    cc = connected_components(gb, max_iters=2 * CC_ITERS,
+                              checkpoint_every=0, scatter_mode="fused")
+    labels = rd.from_arrow(components_table(cc))
+    out = cc_incremental(labels, delta).take_all()
+    out.sort(key=lambda r: r["vid"])
+    return pa.table({
+        "vid": pa.array([r["vid"] for r in out], pa.int64()),
+        "label": pa.array([r["label"] for r in out], pa.int64()),
+    })
+
+
 def _bond_percolation_sql() -> str:
     mix = (PERC_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
     thr = (PERC_NUM << 64) // PERC_DEN - 1
@@ -7206,6 +7263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_k8": _q_pagerank,
         "top_pagerank": _q_top_pagerank,
         "cc_labels": _q_cc,
+        "incr_cc_labels": _q_incr_cc,
         "component_sizes": _q_component_sizes,
         "lp_k4": _q_lp,
         "bfs_depth": _q_bfs_depth,
@@ -8591,6 +8649,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "pagerank_k8": _pagerank_sql(),
         "top_pagerank": _top_pagerank_sql(),
         "cc_labels": _cc_sql(),
+        "incr_cc_labels": _cc_sql(),
         "bfs_depth": _bfs_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),

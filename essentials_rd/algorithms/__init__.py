@@ -1,5 +1,5 @@
 from .pagerank import PageRankProgram, pagerank
-from .cc import ConnectedComponentsProgram, connected_components
+from .cc import ConnectedComponentsProgram, cc_incremental, connected_components
 from .lp import LabelPropagationProgram, label_propagation
 from .spmv import SpmvProgram, spmv
 from .tc import triangle_counts
