@@ -4222,6 +4222,98 @@ def _q_orders_diff(sf_dir: str):
     )
 
 
+def _q_orders_merged(sf_dir: str):
+    """CDC MERGE / log compaction (ops.merge_upsert): a deterministic
+    changeset derived from orders itself — updates (k%7: +100 cents,
+    seq 1), deletes (k%5, seq 2), later updates that outrank both
+    (k%21: +200 cents, seq 3), brand-new inserts (negative keys from
+    k%9) and no-op deletes of absent keys (k%13) — applied to the
+    keyed snapshot in ONE key-hash co-shuffle with vectorized
+    last-writer-wins resolution per bucket.  The oracle replays the
+    same log with a window function, so a hash match proves MERGE
+    semantics end to end (upsert, delete, seq precedence, insert,
+    absent-delete no-op)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import merge_upsert
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def _snap(t: pa.Table) -> pa.Table:
+        k = np_col(t, "o_orderkey")
+        p = np.asarray(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64),
+                              pa.int64()),
+            "status": t.column("o_orderstatus"),
+        })
+
+    def _changes(t: pa.Table) -> pa.Table:
+        s = _snap(t)
+        k, c = np_col(s, "k"), np_col(s, "cents")
+        u1 = k % 7 == 0
+        d2 = k % 5 == 0
+        u3 = k % 21 == 0
+        ins = k % 9 == 0
+        dn = k % 13 == 0
+        ks = np.r_[k[u1], k[d2], k[u3], -2 * k[ins] - 1, -2 * k[dn] - 2]
+        cs = np.r_[c[u1] + 100, np.zeros(d2.sum(), np.int64),
+                   c[u3] + 200, k[ins], np.zeros(dn.sum(), np.int64)]
+        st = (["X"] * int(u1.sum()) + [""] * int(d2.sum())
+              + ["Y"] * int(u3.sum()) + ["N"] * int(ins.sum())
+              + [""] * int(dn.sum()))
+        seq = np.r_[np.full(u1.sum(), 1), np.full(d2.sum(), 2),
+                    np.full(u3.sum(), 3), np.full(ins.sum(), 1),
+                    np.full(dn.sum(), 1)].astype(np.int64)
+        op = (["U"] * int(u1.sum()) + ["D"] * int(d2.sum())
+              + ["U"] * int(u3.sum()) + ["U"] * int(ins.sum())
+              + ["D"] * int(dn.sum()))
+        return pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "cents": pa.array(cs.astype(np.int64), pa.int64()),
+            "status": pa.array(st, pa.string()),
+            "seq": pa.array(seq, pa.int64()),
+            "op": pa.array(op, pa.string()),
+        })
+
+    return merge_upsert(
+        orders.map_batches(_snap, batch_format="pyarrow"),
+        orders.map_batches(_changes, batch_format="pyarrow"),
+        "k")
+
+
+_ORDERS_MERGED_SQL = """
+WITH snap AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderstatus AS status
+  FROM orders
+), ch AS (
+  SELECT k, cents + 100 AS cents, 'X' AS status, 1 AS seq, 'U' AS op
+  FROM snap WHERE k % 7 = 0
+  UNION ALL SELECT k, 0, '', 2, 'D' FROM snap WHERE k % 5 = 0
+  UNION ALL SELECT k, cents + 200, 'Y', 3, 'U' FROM snap WHERE k % 21 = 0
+  UNION ALL SELECT -2 * k - 1, k, 'N', 1, 'U' FROM snap WHERE k % 9 = 0
+  UNION ALL SELECT -2 * k - 2, 0, '', 1, 'D' FROM snap WHERE k % 13 = 0
+), win AS (
+  SELECT * FROM ch
+  QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+), kept AS (
+  SELECT s.k, s.cents, s.status FROM snap s
+  WHERE NOT EXISTS (SELECT 1 FROM win w WHERE w.k = s.k)
+)
+SELECT k, cents, status FROM kept
+UNION ALL
+SELECT k, CAST(cents AS BIGINT) AS cents, status FROM win WHERE op = 'U'
+ORDER BY k
+"""
+
+
 def _q_substring_search(sf_dir: str):
     """Trigram-index substring search (textops.build_trigram_index +
     substring_search): grep over the corpus WITHOUT scanning it — the
@@ -7218,6 +7310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
+        "orders_merged": _q_orders_merged,
         "matching_edges": _q_matching,
         "daily_top_spender": _q_daily_top_spender,
         "doc_packing": _q_doc_packing,
@@ -8868,6 +8961,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "
             "AS total_c FROM events GROUP BY 1, 2)) WHERE rn = 1"
         ),
+        "orders_merged": _ORDERS_MERGED_SQL,
         "orders_diff": (
             "WITH va AS (SELECT o_orderkey k, "
             "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) v FROM orders "

@@ -2450,6 +2450,93 @@ def table_diff(
     )
 
 
+def merge_upsert(
+    snapshot: rd.Dataset,
+    changes: rd.Dataset,
+    key_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Apply a CDC changeset to a keyed snapshot — the ``MERGE INTO``
+    / log-compaction primitive every incremental-ingest pipeline needs:
+    ``changes`` carries the snapshot's full schema plus an int64
+    ``seq_col`` (change-log position, ≥ 0) and a string ``op_col``
+    (``'U'`` insert-or-replace, ``'D'`` delete).  Per key the change
+    with the highest ``seq`` wins (last-writer-wins; ties on ``seq``
+    would make the log ambiguous, so they raise); a winning ``'U'``
+    replaces / inserts the row, a winning ``'D'`` removes the key.
+    Snapshot keys never touched pass through unchanged.
+
+    Plan: ONE key-hash co-shuffle of snapshot ∪ tagged changes (any
+    merge must co-locate a key's snapshot row with its change rows —
+    this is the minimum movement, same exchange count as table_diff),
+    then each bucket resolves its complete keys vectorized: lexsorted
+    last-per-key winner pick, searchsorted membership for pass-through
+    rows, one ``Table.take``.  Output schema = snapshot schema.  Keys
+    are int64 and unique per snapshot (keyed-table contract)."""
+    import pyarrow.compute as pc
+
+    schema = getattr(snapshot.schema(), "base_schema", None)
+    if not isinstance(schema, pa.Schema):
+        snapshot = snapshot.map_batches(lambda b: b, batch_format="pyarrow")
+        schema = snapshot.schema().base_schema
+    snap_cols = [n for n in schema.names if n not in (seq_col, op_col)]
+
+    def _tag_snap(t: pa.Table) -> pa.Table:
+        t = t.select(snap_cols)
+        n = t.num_rows
+        return t.append_column(
+            seq_col, pa.array(np.full(n, -1, np.int64), pa.int64())
+        ).append_column(op_col, pa.array(["U"] * n, pa.string()))
+
+    def _cast_seq(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in snap_cols}
+        cols[seq_col] = t.column(seq_col).cast(pa.int64())
+        cols[op_col] = t.column(op_col).cast(pa.string())
+        return pa.table(cols)
+
+    tagged = snapshot.map_batches(_tag_snap, batch_format="pyarrow").union(
+        changes.map_batches(_cast_seq, batch_format="pyarrow")
+    )
+
+    def _resolve(grp: pa.Table) -> pa.Table:
+        k = np_col(grp, key_col).astype(np.int64)
+        seq = np_col(grp, seq_col).astype(np.int64)
+        is_ch = seq >= 0
+        ck, cseq = k[is_ch], seq[is_ch]
+        order = np.lexsort((cseq, ck))
+        cks, css = ck[order], cseq[order]
+        last = (np.r_[cks[1:] != cks[:-1], True]
+                if len(cks) else np.zeros(0, bool))
+        if len(css) and np.any(
+            (cks[1:] == cks[:-1]) & (css[1:] == css[:-1])
+        ):
+            raise ValueError(
+                f"merge_upsert: duplicate ({key_col}, {seq_col}) change "
+                "rows — the change log is ambiguous"
+            )
+        win_idx = np.flatnonzero(is_ch)[order[last]]
+        win_keys = cks[last]  # sorted
+        ops = grp.column(op_col).combine_chunks()
+        win_keep = win_idx[
+            np.asarray(pc.equal(ops.take(pa.array(win_idx)), "U"))
+        ]
+        snap_idx = np.flatnonzero(~is_ch)
+        sk = k[snap_idx]
+        if len(win_keys):
+            pos = np.minimum(np.searchsorted(win_keys, sk), len(win_keys) - 1)
+            snap_idx = snap_idx[win_keys[pos] != sk]
+        return grp.take(
+            pa.array(np.sort(np.r_[snap_idx, win_keep]))
+        ).select(snap_cols)
+
+    return hash_bucket_agg(
+        tagged, lambda t: np_col(t, key_col), _resolve,
+        num_buckets=num_buckets,
+    )
+
+
 def int_histogram(
     ds: rd.Dataset,
     col: str,
