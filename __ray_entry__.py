@@ -6334,6 +6334,94 @@ def _knn_graph_sql() -> str:
     )
 
 
+GANN_QID = 17    # query = this vector's embedding
+GANN_ENTRY = 4   # deterministic entry points: vec_id < 4
+GANN_BEAM = 6
+GANN_HOPS = 3
+GANN_TOPK = 5
+GANN_P = 16      # index partitions
+
+
+def _q_graph_ann(sf_dir: str):
+    """Graph-ANN serving path (ann.build_ann_index +
+    ann.graph_ann_search): persist the full kNN neighbor graph and the
+    vector table hash-partitioned by id through the resumable sink,
+    then answer a query with fixed-hop BEAM search — per hop ONE
+    partition-pruned adjacency probe + ONE vector probe (O(hops×beam)
+    files opened, never a scan), exact integer-quantized dots, (dot
+    desc, id asc) total order.  The oracle unrolls the identical
+    beam rounds over the same kdots adjacency, so the whole serving
+    path — graph build, entry, expansion, ranking — is hash-checked."""
+    import os as _os
+    import tempfile
+
+    import ray.data as rd
+
+    from essentials_rd.ann import (_batch_matrix, _probe_parts,
+                                   build_ann_index, graph_ann_search,
+                                   kmeans_centroids, knn_graph)
+
+    vectors = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+    cent = kmeans_centroids(vectors, KM_C, iters=KM_ITERS, seed=SAMPLE_SEED)
+    adj = knn_graph(vectors, cent, KNN_K, scale=KNN_SCALE, query_mod=None)
+    idx = tempfile.mkdtemp(prefix="essentials_rd_gann_")
+    build_ann_index(vectors, adj, idx, GANN_P)
+    qt = _probe_parts(_os.path.join(idx, "vec"), GANN_P,
+                      np.array([GANN_QID], np.int64),
+                      ["vec_id", "embedding"], "vec_id")
+    query = _batch_matrix(qt, "embedding")[0]
+    return graph_ann_search(
+        idx, GANN_P, query, np.arange(GANN_ENTRY, dtype=np.int64),
+        beam=GANN_BEAM, hops=GANN_HOPS, k=GANN_TOPK, scale=KNN_SCALE)
+
+
+def _graph_ann_sql() -> str:
+    parts = _kmeans_parts()
+    parts.append(
+        "exq AS MATERIALIZED (SELECT vec_id, j, "
+        f"CAST(floor(x * {KNN_SCALE:.1f}) AS BIGINT) AS q FROM ex)"
+    )
+    parts.append(
+        "gdots AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, "
+        "sum(a.q * b.q) AS dot_q FROM exq a "
+        f"JOIN asg{KM_ITERS} sa ON sa.vec_id = a.vec_id "
+        f"JOIN asg{KM_ITERS} sb ON sb.cid = sa.cid "
+        "JOIN exq b ON b.vec_id = sb.vec_id AND b.j = a.j "
+        "WHERE b.vec_id <> a.vec_id GROUP BY 1, 2)"
+    )
+    parts.append(
+        "adjk AS (SELECT vec_id, nbr_id FROM ("
+        "SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY dot_q DESC, nbr_id) AS rn FROM gdots) "
+        f"WHERE rn <= {KNN_K})"
+    )
+    parts.append(f"gqv AS (SELECT j, q FROM exq WHERE vec_id = {GANN_QID})")
+    parts.append(
+        "gsc AS MATERIALIZED (SELECT e.vec_id, sum(e.q * v.q) AS dot "
+        "FROM exq e JOIN gqv v ON v.j = e.j GROUP BY 1)")
+    parts.append(
+        f"gb0 AS (SELECT vec_id, dot FROM gsc WHERE vec_id < {GANN_ENTRY} "
+        f"ORDER BY dot DESC, vec_id LIMIT {GANN_BEAM})")
+    for h in range(1, GANN_HOPS + 1):
+        parts.append(
+            f"gc{h} AS (SELECT DISTINCT vec_id FROM ("
+            f"SELECT a.nbr_id AS vec_id FROM adjk a "
+            f"JOIN gb{h - 1} b ON b.vec_id = a.vec_id "
+            f"UNION SELECT vec_id FROM gb{h - 1}))")
+        parts.append(
+            f"gb{h} AS (SELECT s.vec_id, s.dot FROM gsc s "
+            f"JOIN gc{h} c ON c.vec_id = s.vec_id "
+            f"ORDER BY dot DESC, s.vec_id LIMIT {GANN_BEAM})")
+    return (
+        "WITH " + ", ".join(parts) +
+        " SELECT vec_id, CAST(dot AS BIGINT) AS dot_q, "
+        "CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) "
+        f"AS rank FROM gb{GANN_HOPS} "
+        f"ORDER BY rank LIMIT {GANN_TOPK}"
+    )
+
+
 def _q_cohort_retention(sf_dir: str):
     """Daily cohort retention (windows.cohort_retention): cohort =
     each user's first-event day; cells count distinct same-cohort
@@ -7251,6 +7339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "kmeans_buckets": _q_kmeans_buckets,
         "knn_graph_k3": _q_knn_graph,
+        "graph_ann_top5": _q_graph_ann,
         "revenue_by_region": _q_revenue_by_region,
         "user_top_event": _q_user_top_event,
         "cust_user_outer": _q_cust_user_outer,
@@ -8801,6 +8890,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         ),
         "kmeans_buckets": _kmeans_sql(),
         "knn_graph_k3": _knn_graph_sql(),
+        "graph_ann_top5": _graph_ann_sql(),
         "user_event_pivot": (
             "SELECT user_id, " + ", ".join(
                 f"CAST(count(*) FILTER (WHERE event_type = '{c}') "

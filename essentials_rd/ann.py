@@ -848,3 +848,134 @@ def label_centroid_sums(
         + np_col(b, "dim"),
         num_buckets=16,
     )
+
+
+def build_ann_index(
+    vectors: rd.Dataset,
+    adjacency: rd.Dataset,
+    out_dir: str,
+    num_partitions: int = 64,
+    *,
+    id_col: str = "vec_id",
+) -> tuple[pa.Table, pa.Table]:
+    """Persist the two artifacts a graph-ANN SERVING path probes —
+    the neighbor graph (:func:`knn_graph` output, hash-partitioned on
+    the source id) and the vector table (hash-partitioned on the id) —
+    through the resumable ``_SUCCESS``-gated sink.  A search for one
+    query then opens O(hops × beam) partition FILES instead of
+    scanning either table: the DiskANN/HNSW-shaped layout where the
+    index lives on shared storage and lookups stay I/O-pruned.
+    Returns both sink receipts; a crashed build resumes skipping
+    finished partitions."""
+    import os
+
+    from .sinks import write_partitioned
+
+    r_adj = write_partitioned(
+        adjacency, os.path.join(out_dir, "adj"),
+        lambda t: np_col(t, id_col).astype(np.int64), num_partitions)
+    r_vec = write_partitioned(
+        vectors, os.path.join(out_dir, "vec"),
+        lambda t: np_col(t, id_col).astype(np.int64), num_partitions)
+    return r_adj, r_vec
+
+
+def _probe_parts(base: str, num_partitions: int, ids: np.ndarray,
+                 columns: list[str], id_col: str) -> pa.Table:
+    """Read ONLY the partitions ``ids`` hash into, filtered to the
+    exact ids — the partition-pruned point lookup (same shape as
+    textops.probe_inverted_index)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    from .sinks import _part_dir
+
+    h = hash64(ids.astype(np.int64)) % np.uint64(num_partitions)
+    tabs = []
+    idset = pa.array(np.unique(ids).astype(np.int64))
+    for p in sorted(set(int(x) for x in h)):
+        f = os.path.join(_part_dir(base, p), "data.parquet")
+        if not os.path.exists(f):
+            continue
+        t = pq_.read_table(f, columns=columns)
+        tabs.append(t.filter(pc.is_in(t.column(id_col), value_set=idset)))
+    if tabs:
+        return pa.concat_tables(tabs)
+    return pa.table({c: pa.array([], pa.int64()) for c in columns})
+
+
+def graph_ann_search(
+    index_dir: str,
+    num_partitions: int,
+    query: np.ndarray,
+    entry_ids: np.ndarray,
+    *,
+    beam: int = 8,
+    hops: int = 3,
+    k: int = 5,
+    scale: float = 1e3,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> pa.Table:
+    """Greedy BEAM search over a persisted neighbor graph (the
+    NSW / HNSW / DiskANN serving shape, public algorithms — Malkov &
+    Yashunin 2016, Subramanya et al. 2019): start from deterministic
+    ``entry_ids``, repeatedly expand the current beam's out-neighbors
+    (ONE partition-pruned adjacency probe per hop), score candidates
+    by the exact integer-quantized inner product
+    ``Σ floor(x·scale)·floor(query·scale)`` (one vector probe per hop,
+    ids never re-fetched), keep the top-``beam`` by (dot desc, id
+    asc), and after ``hops`` rounds return the beam's top-``k`` as
+    (vec_id, dot_q, rank).
+
+    Fixed-hop beam semantics — beam_{h+1} = top-B of beam_h ∪
+    N⁺(beam_h) — rather than best-first-with-visited-set, because it
+    is layout-deterministic AND SQL-unrollable (one join + one window
+    per hop), so the whole search path is oracle-checkable.  Driver
+    state is O(beam × k) ids per hop; I/O is O(hops × beam) partition
+    files, never a scan of either table."""
+    import os
+
+    qv = np.floor(np.asarray(query, np.float64) * scale).astype(np.int64)
+    scores: dict[int, int] = {}
+
+    def _score(ids: np.ndarray) -> None:
+        new = np.array([i for i in np.unique(ids) if i not in scores],
+                       np.int64)
+        if not len(new):
+            return
+        t = _probe_parts(os.path.join(index_dir, "vec"), num_partitions,
+                         new, [id_col, col], id_col)
+        if not t.num_rows:
+            return
+        m = np.floor(_batch_matrix(t, col) * scale).astype(np.int64)
+        dots = m @ qv
+        for i, d in zip(np_col(t, id_col), dots):
+            scores[int(i)] = int(d)
+
+    def _top(ids: np.ndarray, n: int) -> np.ndarray:
+        ids = np.unique(ids)
+        ids = ids[np.isin(ids, np.array(list(scores), np.int64))] \
+            if len(scores) < len(ids) else ids
+        d = np.array([scores[int(i)] for i in ids], np.int64)
+        order = np.lexsort((ids, -d))
+        return ids[order[:n]]
+
+    beam_ids = np.asarray(entry_ids, np.int64)
+    _score(beam_ids)
+    beam_ids = _top(beam_ids, beam)
+    for _ in range(hops):
+        nbr = _probe_parts(os.path.join(index_dir, "adj"), num_partitions,
+                           beam_ids, [id_col, "nbr_id"], id_col)
+        cand = np.r_[beam_ids, np_col(nbr, "nbr_id").astype(np.int64)]
+        _score(cand)
+        beam_ids = _top(cand, beam)
+    out = _top(beam_ids, k)
+    return pa.table({
+        id_col: pa.array(out, pa.int64()),
+        "dot_q": pa.array([scores[int(i)] for i in out], pa.int64()),
+        "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64),
+                         pa.int64()),
+    })
