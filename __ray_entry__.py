@@ -5847,6 +5847,91 @@ def _hyperball_sql() -> str:
     )
 
 
+TR_TMOD = 32    # edge activation times 0..31 (splitmix of the pair)
+TR_ITERS = 24   # oracle unroll depth; engine convergence asserted <=
+
+
+def _q_temporal_reach(sf_dir: str):
+    """Temporal earliest-arrival reachability (algorithms.temporal):
+    every co-purchase edge gets a deterministic activation time
+    splitmix64(src·2³² + dst) mod 32 (the shared SplitMix64 chain, a
+    pure function of the canonical pair), and an edge may only extend
+    a path that has arrived by its time — the time-respecting path
+    class static BFS cannot express.  Edge times ride the CSR weights
+    lane; one filtered-relaxation superstep per round to fixpoint.
+    Monotone min ⇒ the fixed-k unrolled oracle matches exactly."""
+    import os as _os
+    import tempfile
+
+    import ray
+
+    from essentials_rd.algorithms.temporal import temporal_reach
+    from essentials_rd.graph import build_graph
+    from essentials_rd.util import hash64, np_col
+
+    g, edges = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    src_vid = int(vids.min())
+
+    def _times(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src").astype(np.int64).view(np.uint64)
+        d = np_col(t, "dst").astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            key = (s << np.uint64(32)) + d
+        tt = (hash64(key.view(np.int64)).view(np.uint64)
+              % np.uint64(TR_TMOD)).astype(np.float64)
+        return pa.table({"src": pa.array(s.view(np.int64), pa.int64()),
+                         "dst": pa.array(d.view(np.int64), pa.int64()),
+                         "weight": pa.array(tt, pa.float64())})
+
+    te = edges.select_columns(["src", "dst"]).map_batches(
+        _times, batch_format="pyarrow")
+    gt = build_graph(te, _os.path.join(tempfile.gettempdir(),
+                                       "essentials_rd_treach"),
+                     g.num_parts, symmetrize=True, weighted=True,
+                     persist=False, vertex_ids=vids)
+    res = temporal_reach(gt, src_vid, max_iters=200,
+                         checkpoint_every=0, scatter_mode="fused")
+    assert res.supersteps <= TR_ITERS, res.supersteps
+    t = res.state_table(["arr"])
+    arr = np.asarray(t["arr"], np.float64)
+    out = np.where(np.isfinite(arr), arr, -1.0).astype(np.int64)
+    return pa.table({"vid": t["vid"],
+                     "arr": pa.array(out, pa.int64())})
+
+
+def _temporal_reach_sql() -> str:
+    big = 1 << 60
+    chain = _sm64_ctes("trz", "src, dst", "src * 4294967296 + dst",
+                       "pairs")
+    steps = [
+        f"tt AS MATERIALIZED (SELECT src, dst, "
+        f"CAST(z % {TR_TMOD} AS BIGINT) AS t FROM trz3)",
+        "symt AS MATERIALIZED (SELECT src, dst, t FROM tt "
+        "UNION ALL SELECT dst AS src, src AS dst, t FROM tt)",
+        "trsrc AS (SELECT min(vid) AS s FROM verts)",
+        f"ta0 AS MATERIALIZED (SELECT vid, CASE WHEN vid = "
+        f"(SELECT s FROM trsrc) THEN 0 ELSE {big} END AS arr FROM verts)",
+    ]
+    for k in range(TR_ITERS):
+        steps.append(f"""
+trm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(e.t) AS mt
+  FROM symt e JOIN ta{k} s ON s.vid = e.src
+  WHERE s.arr < {big} AND e.t >= s.arr GROUP BY e.dst
+),
+ta{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.arr, COALESCE(m.mt, v.arr)) AS arr
+  FROM ta{k} v LEFT JOIN trm{k} m ON m.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {chain}, {body} "
+        f"SELECT vid, CASE WHEN arr >= {big} THEN -1 ELSE arr END AS arr "
+        f"FROM ta{TR_ITERS} ORDER BY vid"
+    )
+
+
 def _q_diameter_lb(sf_dir: str):
     """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS
     from the min vid, re-BFS from the farthest vertex found (tie-break
@@ -7449,6 +7534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "lp_k4": _q_lp,
         "bfs_depth": _q_bfs_depth,
+        "temporal_reach": _q_temporal_reach,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
         "ppr_k8": _q_ppr,
@@ -8833,6 +8919,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "cc_labels": _cc_sql(),
         "incr_cc_labels": _cc_sql(),
         "bfs_depth": _bfs_sql(),
+        "temporal_reach": _temporal_reach_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),
         "ppr_k8": _ppr_sql(),

@@ -24,6 +24,7 @@ from .fastrp import FastRPProgram, fastrp, fastrp_table
 from .squares import squares_total
 from .sweep import sweep_profile
 from .hyperball import hyperball, hyperball_estimates
+from .temporal import TemporalReachProgram, arrival_table, temporal_reach
 
 __all__ = [
     "maximal_matching",
@@ -37,6 +38,9 @@ __all__ = [
     "sweep_profile",
     "hyperball",
     "hyperball_estimates",
+    "TemporalReachProgram",
+    "temporal_reach",
+    "arrival_table",
     "LongestPathProgram",
     "longest_path",
     "depth_table",
