@@ -268,6 +268,57 @@ def _q_lp_modularity(sf_dir: str):
     })
 
 
+def _q_louvain_move(sf_dir: str):
+    """Synchronized Louvain move round (algorithms.louvain): one
+    modularity-greedy refinement pass over the verified LP partition —
+    every vertex takes the INTEGER-exact gain argmax
+    S = 2m·e_{v,c} − k_v·d'_c over its neighboring communities (ties
+    to the smallest label), applied simultaneously.  One edge scan
+    with per-block partials + one v-keyed exchange; labels/degrees/
+    community degrees broadcast once."""
+    from essentials_rd.algorithms import label_propagation
+    from essentials_rd.algorithms.louvain import modularity_move_round
+    from essentials_rd.algorithms.lp import labels_table
+
+    g, edges = _graph(sf_dir)
+    res = label_propagation(g, max_iters=LP_ITERS, checkpoint_every=0,
+                            scatter_mode="fused")
+    t = labels_table(res)
+    return modularity_move_round(
+        g, edges.select_columns(["src", "dst"]),
+        np.asarray(t["vid"], np.int64), np.asarray(t["label"], np.int64))
+
+
+def _louvain_move_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, {_lp_sql_body()}, "
+        f"lab AS MATERIALIZED (SELECT vid, label FROM b{LP_ITERS}), "
+        "lvm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs), "
+        "lvdc AS MATERIALIZED (SELECT la.label, "
+        "CAST(COALESCE(sum(d.outdeg), 0) AS BIGINT) AS d_c "
+        "FROM lab la LEFT JOIN deg d ON d.vid = la.vid GROUP BY 1), "
+        "evc AS MATERIALIZED (SELECT e.dst AS vid, l.label AS c, "
+        "CAST(count(*) AS BIGINT) AS n FROM sym e "
+        "JOIN lab l ON l.vid = e.src GROUP BY 1, 2), "
+        "cand AS (SELECT vid, c, CAST(sum(n) AS BIGINT) AS n FROM ("
+        "SELECT vid, c, n FROM evc "
+        "UNION ALL SELECT la.vid, la.label AS c, 0 AS n FROM lab la "
+        "WHERE EXISTS (SELECT 1 FROM evc e WHERE e.vid = la.vid)"
+        ") GROUP BY 1, 2), "
+        "scored AS (SELECT cd.vid, cd.c, "
+        "2 * (SELECT m FROM lvm) * cd.n - d.outdeg * (dc.d_c - "
+        "CASE WHEN cd.c = la.label THEN d.outdeg ELSE 0 END) AS s "
+        "FROM cand cd JOIN deg d ON d.vid = cd.vid "
+        "JOIN lab la ON la.vid = cd.vid "
+        "JOIN lvdc dc ON dc.label = cd.c), "
+        "win AS (SELECT vid, c FROM (SELECT vid, c, "
+        "row_number() OVER (PARTITION BY vid ORDER BY s DESC, c ASC) "
+        "AS rn FROM scored) WHERE rn = 1) "
+        "SELECT la.vid, CAST(COALESCE(w.c, la.label) AS BIGINT) AS label "
+        "FROM lab la LEFT JOIN win w ON w.vid = la.vid ORDER BY la.vid"
+    )
+
+
 def _q_lp(sf_dir: str):
     from essentials_rd.algorithms import label_propagation
     from essentials_rd.algorithms.lp import labels_table
@@ -7533,6 +7584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incr_cc_labels": _q_incr_cc,
         "component_sizes": _q_component_sizes,
         "lp_k4": _q_lp,
+        "louvain_move1": _q_louvain_move,
         "bfs_depth": _q_bfs_depth,
         "temporal_reach": _q_temporal_reach,
         "dag_depth_k12": _q_dag_depth,
@@ -9286,6 +9338,7 @@ FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
         ),
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
+        "louvain_move1": _louvain_move_sql(),
         "triangles_total": _triangles_total_sql(),
         "triangles_per_vertex": _triangles_per_vertex_sql(),
         "spmv": _spmv_sql(),

@@ -25,6 +25,7 @@ from .squares import squares_total
 from .sweep import sweep_profile
 from .hyperball import hyperball, hyperball_estimates
 from .temporal import TemporalReachProgram, arrival_table, temporal_reach
+from .louvain import modularity_move_round
 
 __all__ = [
     "maximal_matching",
@@ -41,6 +42,7 @@ __all__ = [
     "TemporalReachProgram",
     "temporal_reach",
     "arrival_table",
+    "modularity_move_round",
     "LongestPathProgram",
     "longest_path",
     "depth_table",
