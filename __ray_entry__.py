@@ -289,10 +289,20 @@ def _q_louvain_move(sf_dir: str):
         np.asarray(t["vid"], np.int64), np.asarray(t["label"], np.int64))
 
 
-def _louvain_move_sql() -> str:
-    return (
-        f"WITH {_GRAPH_CTES}, {_lp_sql_body()}, "
+def _louvain_body(seed_lp: bool = True) -> str:
+    """CTE chain seed-partition → one synchronized move round; ends at
+    ``lvfinal(vid, label)``.  ``seed_lp=True`` seeds from the shared
+    LP unroll (louvain_move1); ``False`` seeds from the singleton
+    partition — Louvain's canonical level-1 start
+    (louvain_coarse_edges)."""
+    seed = (
+        f"{_lp_sql_body()}, "
         f"lab AS MATERIALIZED (SELECT vid, label FROM b{LP_ITERS}), "
+        if seed_lp else
+        "lab AS MATERIALIZED (SELECT vid, vid AS label FROM verts), "
+    )
+    return (
+        seed +
         "lvm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs), "
         "lvdc AS MATERIALIZED (SELECT la.label, "
         "CAST(COALESCE(sum(d.outdeg), 0) AS BIGINT) AS d_c "
@@ -313,10 +323,52 @@ def _louvain_move_sql() -> str:
         "JOIN lvdc dc ON dc.label = cd.c), "
         "win AS (SELECT vid, c FROM (SELECT vid, c, "
         "row_number() OVER (PARTITION BY vid ORDER BY s DESC, c ASC) "
-        "AS rn FROM scored) WHERE rn = 1) "
-        "SELECT la.vid, CAST(COALESCE(w.c, la.label) AS BIGINT) AS label "
-        "FROM lab la LEFT JOIN win w ON w.vid = la.vid ORDER BY la.vid"
+        "AS rn FROM scored) WHERE rn = 1), "
+        "lvfinal AS MATERIALIZED (SELECT la.vid, "
+        "CAST(COALESCE(w.c, la.label) AS BIGINT) AS label "
+        "FROM lab la LEFT JOIN win w ON w.vid = la.vid)"
     )
+
+
+def _louvain_move_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, {_louvain_body()} "
+        "SELECT vid, label FROM lvfinal ORDER BY vid"
+    )
+
+
+def _louvain_coarse_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, {_louvain_body(seed_lp=False)}, "
+        "coarse AS (SELECT least(la.label, lb.label) AS src, "
+        "greatest(la.label, lb.label) AS dst, "
+        "CAST(count(*) AS BIGINT) AS weight "
+        "FROM pairs p JOIN lvfinal la ON la.vid = p.src "
+        "JOIN lvfinal lb ON lb.vid = p.dst GROUP BY 1, 2) "
+        "SELECT src, dst, weight FROM coarse ORDER BY src, dst"
+    )
+
+
+def _q_louvain_coarse(sf_dir: str):
+    """Louvain aggregation phase (algorithms.louvain.contract_graph):
+    the coarse community graph after one verified move round —
+    endpoints relabeled to communities, parallel edges collapsed into
+    weights, intra-community edges kept as self-loops (the next
+    level's internal-edge weights).  One relabel scan with per-block
+    pre-combine + one bucketed exchange on the coarse pair."""
+    import ray
+
+    from essentials_rd.algorithms.louvain import (contract_graph,
+                                                  modularity_move_round)
+
+    g, edges = _graph(sf_dir)
+    e = edges.select_columns(["src", "dst"])
+    vids = ray.get(g.vertex_ids_ref)
+    # singleton seed — Louvain's canonical level-1 start, and the
+    # non-trivial contraction (the LP seed collapses to one community)
+    moved = modularity_move_round(g, e, vids, vids.copy())
+    return contract_graph(e, np.asarray(moved["vid"], np.int64),
+                          np.asarray(moved["label"], np.int64))
 
 
 def _q_lp(sf_dir: str):
@@ -7585,6 +7637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "lp_k4": _q_lp,
         "louvain_move1": _q_louvain_move,
+        "louvain_coarse_edges": _q_louvain_coarse,
         "bfs_depth": _q_bfs_depth,
         "temporal_reach": _q_temporal_reach,
         "dag_depth_k12": _q_dag_depth,
@@ -9339,6 +9392,7 @@ FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
         "component_sizes": _component_sizes_sql(),
         "lp_k4": _lp_sql(),
         "louvain_move1": _louvain_move_sql(),
+        "louvain_coarse_edges": _louvain_coarse_sql(),
         "triangles_total": _triangles_total_sql(),
         "triangles_per_vertex": _triangles_per_vertex_sql(),
         "spmv": _spmv_sql(),

@@ -119,3 +119,46 @@ def modularity_move_round(
         out[int(np.searchsorted(vids, r["vid"]))] = r["label"]
     return pa.table({"vid": pa.array(vids, pa.int64()),
                      "label": pa.array(out, pa.int64())})
+
+
+def contract_graph(
+    edges: rd.Dataset,
+    vids: np.ndarray,
+    lab: np.ndarray,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Louvain aggregation phase / multilevel graph coarsening: map
+    each canonical edge's endpoints to their community labels and
+    collapse parallel edges into weights — the coarse graph
+    (src, dst, weight) the NEXT level's move rounds run on, with
+    intra-community edges kept as self-loops (their weight is the
+    community's internal edge count, which Louvain's next level
+    needs).  One relabel scan with per-block lexsort+reduceat
+    pre-combine, then one bucketed exchange on the coarse pair —
+    the moved volume is the number of DISTINCT coarse edges per
+    block, not |E|."""
+    from ..ops import grouped_pandas_agg
+
+    bref = ray.put((np.asarray(vids, np.int64), np.asarray(lab, np.int64)))
+
+    def _relabel(t: pa.Table) -> pa.Table:
+        vv, ll = ray.get(bref)
+        la = ll[np.searchsorted(vv, np_col(t, "src").astype(np.int64))]
+        lb = ll[np.searchsorted(vv, np_col(t, "dst").astype(np.int64))]
+        lo = np.minimum(la, lb)
+        hi = np.maximum(la, lb)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        first = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        idx = np.flatnonzero(first)
+        w = np.add.reduceat(np.ones(len(lo), np.int64), idx) \
+            if len(lo) else np.zeros(0, np.int64)
+        return pa.table({"src": pa.array(lo[first], pa.int64()),
+                         "dst": pa.array(hi[first], pa.int64()),
+                         "weight": pa.array(w, pa.int64())})
+
+    return grouped_pandas_agg(
+        edges.select_columns(["src", "dst"]).map_batches(
+            _relabel, batch_format="pyarrow"),
+        keys=["src", "dst"], aggs={"weight": ("weight", "sum")},
+        num_buckets=num_buckets)
