@@ -3613,6 +3613,68 @@ def _token_key_sql() -> str:
     return f"({terms} + CAST(LEAST(length(tok), 64) AS HUGEINT) * {31 ** 8})"
 
 
+GC_K = 5  # greedy max-coverage rounds
+
+
+def _q_greedy_cover(sf_dir: str):
+    """Greedy maximum-coverage selection (textops.greedy_cover): k
+    rounds of the submodular (1−1/e) greedy — each picks the document
+    covering the most not-yet-covered distinct token keys (gain desc,
+    id asc), exact integers on the shared code-point token key.  The
+    distinct (doc, keys) table materializes once; each round is one
+    scan with the covered/selected sets broadcast and per-block top-1
+    partials carrying the winner's own key list."""
+    import ray.data as rd
+
+    from essentials_rd.textops import greedy_cover
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return greedy_cover(docs, k=GC_K)
+
+
+def _greedy_cover_sql() -> str:
+    key = _token_key_sql()
+    chain = _sm64_ctes(
+        "gcz", "doc_id", key,
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents)")
+    parts = [
+        chain,
+        "gdt AS MATERIALIZED (SELECT DISTINCT doc_id, "
+        "CAST(CASE WHEN z >= CAST(9223372036854775808 AS UBIGINT) "
+        f"THEN CAST(z AS HUGEINT) - {_MOD64} "
+        "ELSE CAST(z AS HUGEINT) END AS BIGINT) AS key FROM gcz3)",
+    ]
+    for r in range(1, GC_K + 1):
+        if r == 1:
+            parts.append(
+                "gg1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain "
+                "FROM gdt GROUP BY 1)")
+        else:
+            parts.append(
+                f"gg{r} AS (SELECT d.doc_id, "
+                "CAST(count(CASE WHEN c.key IS NULL THEN 1 END) AS BIGINT) "
+                f"AS gain FROM gdt d LEFT JOIN gcov{r - 1} c "
+                "ON c.key = d.key WHERE d.doc_id NOT IN "
+                f"(SELECT doc_id FROM gsel{r - 1}) GROUP BY 1)")
+        parts.append(
+            f"gw{r} AS (SELECT CAST({r} AS BIGINT) AS round, doc_id, gain "
+            f"FROM gg{r} ORDER BY gain DESC, doc_id LIMIT 1)")
+        cov_prev = (f"SELECT key FROM gcov{r - 1} UNION "
+                    if r > 1 else "")
+        parts.append(
+            f"gcov{r} AS ({cov_prev}SELECT d.key FROM gdt d "
+            f"JOIN gw{r} w ON w.doc_id = d.doc_id)")
+        sel_prev = (f"SELECT doc_id FROM gsel{r - 1} UNION ALL "
+                    if r > 1 else "")
+        parts.append(f"gsel{r} AS ({sel_prev}SELECT doc_id FROM gw{r})")
+    union = " UNION ALL ".join(
+        f"SELECT round, doc_id, gain FROM gw{r}"
+        for r in range(1, GC_K + 1))
+    return f"WITH {', '.join(parts)} SELECT * FROM ({union}) ORDER BY round"
+
+
 def _simhash_sql() -> str:
     """DuckDB twin of the full SimHash sketch: token key = code-point
     polynomial (first 8 chars ·31^i + capped length ·31^8) through the
@@ -7521,6 +7583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "events_in_windows": _q_events_in_windows,
         "simhash_pairs": _q_simhash_pairs,
+        "greedy_cover_docs": _q_greedy_cover,
         "winnow_fp": _q_winnow_fp,
         "doc_chunks": _q_doc_chunks,
         "redacted_docs": _q_redacted_docs,
@@ -9052,6 +9115,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "coreness_capped": _coreness_sql(),
         "mis_luby": _mis_sql(),
         "simhash_pairs": _simhash_sql(),
+        "greedy_cover_docs": _greedy_cover_sql(),
         "winnow_fp": _winnow_sql(),
         "doc_chunks": (
             "SELECT doc_id, CAST((i.i - 1) // "

@@ -2325,3 +2325,109 @@ def hashing_trick_features(docs: rd.Dataset, text_col: str = "text",
                          "val": pa.array(mat[ri, ci], pa.int64())})
 
     return docs.map_batches(_feat, batch_format="pyarrow")
+
+
+def greedy_cover(
+    docs: rd.Dataset,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Greedy maximum-coverage document selection — the submodular
+    data-curation shape (Nemhauser–Wolsey–Fisher 1978 greedy, the
+    (1−1/e)-approximate pick-k-most-informative-docs step corpus
+    builders run to seed a diverse subset): ``k`` rounds, each
+    selecting the document whose DISTINCT token keys cover the most
+    not-yet-covered vocabulary (ties to the smallest doc id), with the
+    covered set updated after every pick.
+
+    Token key = the SQL-reproducible code-point polynomial shared with
+    simhash/winnowing (:func:`_flat_token_keys_oracle`), so gains are
+    exact integers and the whole k-round trajectory — winners, gains,
+    covered growth — unrolls in DuckDB.
+
+    Plan: the distinct (doc, key) table materializes ONCE; each round
+    is one scan of those blocks with the covered set + selected ids
+    broadcast (sorted arrays, searchsorted — both bounded by the k
+    winners' vocabularies, not the corpus), per-block (gain desc, id
+    asc) top-1 partials carrying the winner's OWN key list, and a
+    driver pick over n_blocks candidate rows.  Greedy is inherently
+    sequential in k; each round is fully parallel."""
+    import ray
+
+    def _dtok(batch: pa.Table) -> pa.Table:
+        # ONE row per doc with its sorted distinct key list — the doc
+        # stays atomic under any later re-batching, so per-block
+        # argmax partials always see complete documents
+        texts = batch.column(text_col).to_pandas()
+        ids = np_col(batch, id_col).astype(np.int64)
+        rep, keys = _flat_token_keys_oracle(texts)
+        pair = np.unique(
+            np.stack([ids[rep], keys.view(np.int64)], axis=1), axis=0)
+        did, dkey = pair[:, 0], pair[:, 1]
+        first = np.r_[True, did[1:] != did[:-1]]
+        offsets = np.r_[np.flatnonzero(first), len(did)].astype(np.int32)
+        return pa.table({
+            id_col: pa.array(did[first], pa.int64()),
+            "keys": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(dkey, pa.int64())),
+        })
+
+    dtok = docs.select_columns([id_col, text_col]).map_batches(
+        _dtok, batch_format="pyarrow").materialize()
+
+    covered = np.zeros(0, np.int64)
+    selected = np.zeros(0, np.int64)
+    out_doc, out_gain = [], []
+    for _ in range(k):
+        bref = ray.put((np.sort(covered), np.sort(selected)))
+
+        def _top1(batch: pa.Table) -> pa.Table:
+            cov, sel = ray.get(bref)
+            ids = np_col(batch, id_col)
+            lists = batch.column("keys").combine_chunks()
+            keys = np.asarray(lists.flatten(), np.int64)
+            lens = np.diff(np.asarray(lists.offsets, np.int64))
+            seg = np.repeat(np.arange(len(ids)), lens)
+            fresh = np.ones(len(keys), bool)
+            if len(cov):
+                pos = np.minimum(np.searchsorted(cov, keys), len(cov) - 1)
+                fresh = cov[pos] != keys
+            gain = np.zeros(len(ids), np.int64)
+            np.add.at(gain, seg, fresh.astype(np.int64))
+            if len(sel):
+                pos = np.minimum(np.searchsorted(sel, ids),
+                                 len(sel) - 1)
+                gain[sel[pos] == ids] = -1  # already selected: never wins
+            if not len(ids):
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "gain": pa.array([], pa.int64()),
+                                 "keys": pa.array([], pa.list_(pa.int64()))})
+            win = int(np.lexsort((ids, -gain))[0])
+            if gain[win] < 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "gain": pa.array([], pa.int64()),
+                                 "keys": pa.array([], pa.list_(pa.int64()))})
+            return pa.table({
+                id_col: pa.array([ids[win]], pa.int64()),
+                "gain": pa.array([gain[win]], pa.int64()),
+                "keys": pa.array([keys[seg == win].tolist()],
+                                 pa.list_(pa.int64())),
+            })
+
+        cands = dtok.map_batches(_top1, batch_format="pyarrow").take_all()
+        if not cands:
+            break
+        cands.sort(key=lambda r: (-r["gain"], r[id_col]))
+        w = cands[0]
+        out_doc.append(int(w[id_col]))
+        out_gain.append(int(w["gain"]))
+        wk = np.asarray(w["keys"], np.int64)
+        covered = np.union1d(covered, wk)
+        selected = np.r_[selected, np.int64(w[id_col])]
+    return pa.table({
+        "round": pa.array(np.arange(1, len(out_doc) + 1, dtype=np.int64),
+                          pa.int64()),
+        id_col: pa.array(out_doc, pa.int64()),
+        "gain": pa.array(out_gain, pa.int64()),
+    })
