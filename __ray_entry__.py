@@ -4897,6 +4897,65 @@ def _hourly_value_bands_sql() -> str:
     )
 
 
+ED_JITTER = 1 << 35  # simulated network delay bound, µs (~9.5 h)
+
+
+def _q_event_disorder(sf_dir: str):
+    """Late-data / watermark-sizing audit (windows.event_disorder):
+    each event's ARRIVAL is its event time plus a deterministic
+    splitmix64 network delay (mod 2³⁵ µs — the textbook late-data
+    model; event_id order alone is trivially in-order in this corpus),
+    and an event is late when its event time falls behind the running
+    max of earlier ARRIVALS for the same user.  Per user:
+    (n_events, n_late, max_disorder_us) — max_disorder sizes the
+    allowed lateness a correct windowing config needs.  One
+    user-bucketed exchange, band-offset segmented running max."""
+    import ray.data as rd
+
+    from essentials_rd.util import hash64, np_col
+    from essentials_rd.windows import event_disorder
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def _arrive(b: pa.Table) -> pa.Table:
+        eid = np_col(b, "event_id").astype(np.int64)
+        t = np.asarray(b.column("ts").combine_chunks().cast(
+            pa.timestamp("us")).cast(pa.int64()))
+        jit = (hash64(eid).view(np.uint64)
+               % np.uint64(ED_JITTER)).astype(np.int64)
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": b.column("ts"),
+            "arr_us": pa.array(t + jit, pa.int64()),
+        })
+
+    return event_disorder(ev.map_batches(_arrive, batch_format="pyarrow"),
+                          seq_col="arr_us", tie_col="event_id")
+
+
+def _event_disorder_sql() -> str:
+    chain = _sm64_ctes(
+        "edz", "user_id, event_id, t", "event_id",
+        "(SELECT user_id, event_id, epoch_us(ts) AS t FROM events)")
+    return (
+        f"WITH {chain}, "
+        f"ea AS (SELECT user_id, event_id, t, "
+        f"t + CAST(z % {ED_JITTER} AS BIGINT) AS arr FROM edz3), "
+        "ew AS (SELECT user_id, t, "
+        "max(t) OVER (PARTITION BY user_id ORDER BY arr, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
+        "FROM ea) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(COALESCE(sum(CASE WHEN pm > t THEN 1 END), 0) AS BIGINT) "
+        "AS n_late, "
+        "CAST(COALESCE(max(CASE WHEN pm > t THEN pm - t END), 0) "
+        "AS BIGINT) AS max_disorder_us "
+        "FROM ew GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_user_drawdown(sf_dir: str):
     """Per-user maximum drawdown of the cumulative event value — the
     classic peak-to-trough sequence kernel (finance/monitoring) under
@@ -7608,6 +7667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_user_hll": _q_hourly_user_hll,
         "hourly_anomalies": _q_hourly_anomalies,
         "user_drawdown": _q_user_drawdown,
+        "event_disorder": _q_event_disorder,
         "lp_modularity": _q_lp_modularity,
         "hourly_value_bands": _q_hourly_value_bands,
         "fk_violations": _q_fk_violations,
@@ -9169,6 +9229,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "hourly_user_hll": _hourly_user_hll_sql(),
         "hourly_anomalies": _hourly_anomalies_sql(),
         "user_drawdown": _user_drawdown_sql(),
+        "event_disorder": _event_disorder_sql(),
         "lp_modularity": _lp_modularity_sql(),
         "hourly_value_bands": _hourly_value_bands_sql(),
         "fk_violations": _fk_violations_sql(),

@@ -835,3 +835,88 @@ def _str_or_int_key(col: pa.ChunkedArray) -> np.ndarray:
     from .derive import _str_hash
 
     return _str_hash(col).astype(np.uint64)
+
+
+def event_disorder(
+    events: rd.Dataset,
+    key_col: str = "user_id",
+    seq_col: str = "event_id",
+    ts_col: str = "ts",
+    tie_col: str | None = None,
+    num_buckets: int = 16,
+) -> pa.Table:
+    """Out-of-order-arrival audit — the late-data / watermark-sizing
+    report every streaming ingest needs: under the arrival order
+    ``seq_col``, an event is LATE when its event time precedes the
+    running maximum event time of the events that arrived before it
+    (same key), and its disorder is that backlog in µs (how much
+    watermark lateness would have been required to window it
+    correctly).  Returns per key (n_events, n_late, max_disorder_us).
+
+    One key-bucketed exchange; the per-bucket kernel is fully
+    vectorized — lexsort by (key, seq), segmented running max via the
+    per-segment band-offset trick (ts normalized to the bucket min so
+    the band arithmetic is overflow-checked, same kernel family as
+    user_drawdown's), reduceat folds."""
+    from .ops import hash_bucket_agg
+    from .util import np_col
+
+    def _prep(b: pa.Table) -> pa.Table:
+        cols = {
+            "k": b.column(key_col).cast(pa.int64()),
+            "s": b.column(seq_col).cast(pa.int64()),
+            "t": b.column(ts_col).combine_chunks().cast(
+                pa.timestamp("us")).cast(pa.int64()),
+        }
+        cols["x"] = (b.column(tie_col).cast(pa.int64()) if tie_col
+                     else cols["s"])
+        return pa.table(cols)
+
+    def _audit(grp: pa.Table) -> pa.Table:
+        k = np_col(grp, "k")
+        s = np_col(grp, "s")
+        t = np_col(grp, "t")
+        x = np_col(grp, "x")
+        order = np.lexsort((x, s, k))  # arrival order, tie-broken
+        k, t = k[order], t[order]
+        m = len(k)
+        if not m:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_late": pa.array([], pa.int64()),
+                             "max_disorder_us": pa.array([], pa.int64())})
+        rel = t - t.min()
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        seg = np.cumsum(np.r_[False, k[1:] != k[:-1]]).astype(np.int64)
+        assert rel.max(initial=0) < (1 << 45), "band overflow (ts range)"
+        assert (int(seg[-1]) << 45) + int(rel.max(initial=0)) < (1 << 62)
+        band = seg << np.int64(45)
+        runmax = np.maximum.accumulate(rel + band) - band
+        first = np.zeros(m, bool)
+        first[starts] = True
+        # previous-arrivals max: shift the running max down one slot
+        prev = np.r_[np.int64(0), runmax[:-1]]
+        disorder = np.where(first, 0, np.maximum(prev - rel, 0))
+        n_ev = np.diff(np.r_[starts, m]).astype(np.int64)
+        late = (disorder > 0).astype(np.int64)
+        n_late = np.add.reduceat(late, starts)
+        mx = np.maximum.reduceat(disorder, starts)
+        return pa.table({
+            key_col: pa.array(k[starts], pa.int64()),
+            "n_events": pa.array(n_ev, pa.int64()),
+            "n_late": pa.array(n_late, pa.int64()),
+            "max_disorder_us": pa.array(mx, pa.int64()),
+        })
+
+    out = hash_bucket_agg(
+        events.map_batches(_prep, batch_format="pyarrow"),
+        lambda b: np_col(b, "k"), _audit, num_buckets)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r[key_col])
+    return pa.table({
+        key_col: pa.array([r[key_col] for r in rows], pa.int64()),
+        "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
+        "n_late": pa.array([r["n_late"] for r in rows], pa.int64()),
+        "max_disorder_us": pa.array([r["max_disorder_us"] for r in rows],
+                                    pa.int64()),
+    })
