@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
                             "sssp", "ppr", "kcore", "eigen", "katz",
                             "fastrp", "color", "hits",
                             "bc", "msf", "ktruss", "esim", "nsample",
-                            "walks", "n2v", "harmonic", "scc", "lpath", "match"])
+                            "walks", "n2v", "harmonic", "scc", "lpath",
+                            "match", "treach", "louvain"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out", default=None, help="result parquet dir")
     p.add_argument("--num-parts", type=int, default=16)
@@ -312,6 +313,85 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"event": "done", "algo": "scc",
                           "rounds": rounds, "n_vertices": t.num_rows}),
               flush=True)
+        ray.shutdown()
+        return 0
+    elif args.algo == "treach":
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from .algorithms.temporal import arrival_table, temporal_reach
+        from .util import hash64, np_col
+
+        if edges is None:
+            edges = rd.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+                lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
+                batch_format="pyarrow",
+            )
+
+        # deterministic edge activation times from the packed pair key
+        # (same rule as the temporal_reach query)
+        def _times(t: pa.Table) -> pa.Table:
+            s = np_col(t, "src").astype(np.int64).view(np.uint64)
+            d = np_col(t, "dst").astype(np.int64).view(np.uint64)
+            with np.errstate(over="ignore"):
+                key = (s << np.uint64(32)) + d
+            tt = (hash64(key.view(np.int64)).view(np.uint64)
+                  % np.uint64(32)).astype(np.float64)
+            return pa.table({"src": pa.array(s.view(np.int64), pa.int64()),
+                             "dst": pa.array(d.view(np.int64), pa.int64()),
+                             "weight": pa.array(tt, pa.float64())})
+
+        gt = build_graph(
+            edges.select_columns(["src", "dst"]).map_batches(
+                _times, batch_format="pyarrow"),
+            os.path.join(args.ckpt_dir, "treach_work"),
+            args.num_parts, symmetrize=True, weighted=True, persist=False,
+        )
+        import numpy as _np
+
+        source = args.source
+        if source is None:
+            source = int(_np.min(ray.get(gt.vertex_ids_ref)))
+        res = temporal_reach(gt, source, max_iters=args.max_iters,
+                             checkpoint_every=0,
+                             scatter_mode=args.scatter_mode,
+                             on_step_end=log_step)
+        t = arrival_table(res)
+        if args.out:
+            rd.from_arrow(t).write_parquet(args.out)
+        print(json.dumps({"event": "done", "algo": "treach",
+                          "source": source, "supersteps": res.supersteps,
+                          "n_vertices": t.num_rows}), flush=True)
+        ray.shutdown()
+        return 0
+    elif args.algo == "louvain":
+        import numpy as np
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from .algorithms.louvain import contract_graph, modularity_move_round
+
+        if edges is None:
+            edges = rd.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+                lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
+                batch_format="pyarrow",
+            )
+        canon = edges.select_columns(["src", "dst"]).materialize()
+        vids = np.asarray(ray.get(g.vertex_ids_ref), np.int64)
+        moved = modularity_move_round(g, canon, vids, vids.copy())
+        coarse = contract_graph(
+            canon, np.asarray(moved["vid"], np.int64),
+            np.asarray(moved["label"], np.int64))
+        n_coarse = coarse.count()
+        if args.out:
+            rd.from_arrow(moved).write_parquet(args.out)
+        n_comm = len(set(moved["label"].to_pylist()))
+        print(json.dumps({"event": "done", "algo": "louvain",
+                          "n_vertices": moved.num_rows,
+                          "n_communities": n_comm,
+                          "coarse_edges": n_coarse}), flush=True)
         ray.shutdown()
         return 0
     elif args.algo == "lpath":
