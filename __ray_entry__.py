@@ -371,6 +371,63 @@ def _q_louvain_coarse(sf_dir: str):
                           np.asarray(moved["label"], np.int64))
 
 
+def _q_louvain_level2(sf_dir: str):
+    """Multilevel Louvain level 2 (algorithms.louvain
+    .modularity_move_round_weighted): the weighted singleton-seeded
+    move round over the level-1 coarse community graph — self-loop
+    weights (internal edges) count twice in degrees and drop out of
+    the argmax; gains stay integer-exact through 2W·e − k·d'."""
+    import ray
+
+    from essentials_rd.algorithms.louvain import (
+        contract_graph, modularity_move_round,
+        modularity_move_round_weighted)
+
+    g, edges = _graph(sf_dir)
+    e = edges.select_columns(["src", "dst"])
+    vids = ray.get(g.vertex_ids_ref)
+    moved = modularity_move_round(g, e, vids, vids.copy())
+    coarse = contract_graph(e, np.asarray(moved["vid"], np.int64),
+                            np.asarray(moved["label"], np.int64))
+    return modularity_move_round_weighted(coarse)
+
+
+def _louvain_level2_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, {_louvain_body(seed_lp=False)}, "
+        "coarse AS MATERIALIZED (SELECT least(la.label, lb.label) AS src, "
+        "greatest(la.label, lb.label) AS dst, "
+        "CAST(count(*) AS BIGINT) AS weight "
+        "FROM pairs p JOIN lvfinal la ON la.vid = p.src "
+        "JOIN lvfinal lb ON lb.vid = p.dst GROUP BY 1, 2), "
+        "wd2 AS MATERIALIZED (SELECT vid, CAST(sum(w) AS BIGINT) AS k "
+        "FROM (SELECT src AS vid, CASE WHEN src = dst THEN 2 * weight "
+        "ELSE weight END AS w FROM coarse "
+        "UNION ALL SELECT dst, weight FROM coarse WHERE src <> dst) "
+        "GROUP BY 1), "
+        "ww2 AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM coarse), "
+        "ev2 AS (SELECT v, c, CAST(sum(w) AS BIGINT) AS n FROM ("
+        "SELECT src AS v, dst AS c, weight AS w FROM coarse "
+        "WHERE src <> dst "
+        "UNION ALL SELECT dst, src, weight FROM coarse WHERE src <> dst) "
+        "GROUP BY 1, 2), "
+        "cand2 AS (SELECT v, c, CAST(sum(n) AS BIGINT) AS n FROM ("
+        "SELECT v, c, n FROM ev2 "
+        "UNION ALL SELECT DISTINCT v, v AS c, 0 AS n FROM ev2) "
+        "GROUP BY 1, 2), "
+        "sc2 AS (SELECT cd.v, cd.c, "
+        "2 * (SELECT w FROM ww2) * cd.n - kv.k * (kc.k - "
+        "CASE WHEN cd.c = cd.v THEN kv.k ELSE 0 END) AS s "
+        "FROM cand2 cd JOIN wd2 kv ON kv.vid = cd.v "
+        "JOIN wd2 kc ON kc.vid = cd.c), "
+        "win2 AS (SELECT v, c FROM (SELECT v, c, row_number() OVER "
+        "(PARTITION BY v ORDER BY s DESC, c ASC) AS rn FROM sc2) "
+        "WHERE rn = 1) "
+        "SELECT d.vid, CAST(COALESCE(w2.c, d.vid) AS BIGINT) AS label "
+        "FROM wd2 d LEFT JOIN win2 w2 ON w2.v = d.vid ORDER BY 1"
+    )
+
+
 def _q_lp(sf_dir: str):
     from essentials_rd.algorithms import label_propagation
     from essentials_rd.algorithms.lp import labels_table
@@ -7761,6 +7818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lp_k4": _q_lp,
         "louvain_move1": _q_louvain_move,
         "louvain_coarse_edges": _q_louvain_coarse,
+        "louvain_level2": _q_louvain_level2,
         "bfs_depth": _q_bfs_depth,
         "temporal_reach": _q_temporal_reach,
         "dag_depth_k12": _q_dag_depth,
@@ -9518,6 +9576,7 @@ FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
         "lp_k4": _lp_sql(),
         "louvain_move1": _louvain_move_sql(),
         "louvain_coarse_edges": _louvain_coarse_sql(),
+        "louvain_level2": _louvain_level2_sql(),
         "triangles_total": _triangles_total_sql(),
         "triangles_per_vertex": _triangles_per_vertex_sql(),
         "spmv": _spmv_sql(),

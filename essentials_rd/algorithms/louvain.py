@@ -162,3 +162,98 @@ def contract_graph(
             _relabel, batch_format="pyarrow"),
         keys=["src", "dst"], aggs={"weight": ("weight", "sum")},
         num_buckets=num_buckets)
+
+
+def modularity_move_round_weighted(
+    edges: rd.Dataset,
+    num_buckets: int = 32,
+) -> pa.Table:
+    """Singleton-seeded synchronized move round over a WEIGHTED graph —
+    the level-2 step that runs on :func:`contract_graph`'s coarse
+    output, completing the multilevel Louvain pipeline: gains rank by
+    the integer score S = 2W·e^w_{v,c} − k^w_v·d'^w_c with W the total
+    edge weight, k^w the weighted degree (self-loops count TWICE — the
+    standard A_ii = 2w convention, so Σk = 2W holds), and e^w the
+    weight from v into community c.  Self-loop weights travel with v
+    into any community — they add the same constant to every
+    candidate's e^w and drop out of the argmax, so the candidate scan
+    skips them while the degree fold keeps them.
+
+    Seeded from the singleton partition (label = own id), so
+    d_c = k_c and the whole round is one non-self edge scan with
+    per-block partials + one v-keyed exchange; the weighted-degree
+    vector is the O(|V_coarse|) driver array (tier pattern)."""
+    from ..ops import grouped_pandas_agg, hash_bucket_agg
+
+    def _deg_rows(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src").astype(np.int64)
+        d = np_col(t, "dst").astype(np.int64)
+        w = np_col(t, "weight").astype(np.int64)
+        self_m = s == d
+        return pa.table({
+            "vid": pa.array(np.r_[s, d[~self_m]], pa.int64()),
+            "w": pa.array(np.r_[np.where(self_m, 2 * w, w), w[~self_m]],
+                          pa.int64()),
+        })
+
+    deg_rows = grouped_pandas_agg(
+        edges.map_batches(_deg_rows, batch_format="pyarrow"),
+        keys=["vid"], aggs={"w": ("w", "sum")},
+        num_buckets=num_buckets).take_all()
+    vids = np.array(sorted(int(r["vid"]) for r in deg_rows), np.int64)
+    kw = np.zeros(len(vids), np.int64)
+    for r in deg_rows:
+        kw[int(np.searchsorted(vids, r["vid"]))] = r["w"]
+    W = int(kw.sum()) // 2
+    assert 2 * W * max(int(kw.max(initial=0)), 1) < (1 << 62)
+    bref = ray.put((vids, kw))
+
+    def _scan(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src").astype(np.int64)
+        d = np_col(t, "dst").astype(np.int64)
+        w = np_col(t, "weight").astype(np.int64)
+        m = s != d  # self-loops drop out of the argmax
+        return pa.table({
+            "v": pa.array(np.r_[s[m], d[m]], pa.int64()),
+            "c": pa.array(np.r_[d[m], s[m]], pa.int64()),
+            "n": pa.array(np.r_[w[m], w[m]], pa.int64()),
+        })
+
+    def _pick(grp: pa.Table) -> pa.Table:
+        vv, kk = ray.get(bref)
+        v = np_col(grp, "v")
+        c = np_col(grp, "c")
+        n = np_col(grp, "n")
+        uniq_v = np.unique(v)
+        v = np.r_[v, uniq_v]        # zero-weight "stay" candidates
+        c = np.r_[c, uniq_v]
+        n = np.r_[n, np.zeros(len(uniq_v), np.int64)]
+        ci = np.searchsorted(vv, c)
+        key = np.searchsorted(vv, v).astype(np.int64) \
+            * np.int64(len(vv) + 1) + ci
+        order = np.argsort(key, kind="stable")
+        key_s, v_s, ci_s, n_s = key[order], v[order], ci[order], n[order]
+        first = np.r_[True, key_s[1:] != key_s[:-1]]
+        seg = np.cumsum(first) - 1
+        ns = np.zeros(seg[-1] + 1, np.int64)
+        np.add.at(ns, seg, n_s)
+        vm, cim = v_s[first], ci_s[first]
+        kv = kk[np.searchsorted(vv, vm)]
+        own = vm == vv[cim]          # singleton seed: own community = own id
+        score = 2 * W * ns - kv * (kk[cim] - kv * own)
+        cand = vv[cim]
+        pick = np.lexsort((cand, -score, vm))
+        fv = np.r_[True, vm[pick][1:] != vm[pick][:-1]]
+        sel = pick[fv]
+        return pa.table({"vid": pa.array(vm[sel], pa.int64()),
+                         "label": pa.array(cand[sel], pa.int64())})
+
+    moved = hash_bucket_agg(
+        edges.map_batches(_scan, batch_format="pyarrow"),
+        lambda t: np_col(t, "v"), _pick, num_buckets=num_buckets,
+    ).take_all()
+    out = vids.copy()  # isolated / self-loop-only vertices stay put
+    for r in moved:
+        out[int(np.searchsorted(vids, r["vid"]))] = r["label"]
+    return pa.table({"vid": pa.array(vids, pa.int64()),
+                     "label": pa.array(out, pa.int64())})

@@ -4,6 +4,7 @@ two-clique sanity; partition invariance."""
 
 import numpy as np
 import pyarrow as pa
+import ray.data as rd
 
 from essentials_rd.algorithms.louvain import modularity_move_round
 
@@ -99,3 +100,79 @@ def test_move_round_bucket_invariance(tmp_path):
         edges_ds(src, dst).repartition(9), vids, lab, num_buckets=16)
     assert a.equals(b)
     assert np.array_equal(np.asarray(a["label"]), _ref(vids, src, dst, lab))
+
+
+def _ref_weighted(vids, src, dst, w):
+    """Singleton-seeded weighted move round, brute force."""
+    pos = {int(v): i for i, v in enumerate(vids)}
+    n = len(vids)
+    kw = np.zeros(n, np.int64)
+    for a, b, x in zip(src, dst, w):
+        if a == b:
+            kw[pos[int(a)]] += 2 * x
+        else:
+            kw[pos[int(a)]] += x
+            kw[pos[int(b)]] += x
+    W = int(kw.sum()) // 2
+    out = vids.copy()
+    for i, v in enumerate(vids):
+        evc = {int(v): 0}
+        for a, b, x in zip(src, dst, w):
+            if a == b:
+                continue
+            if int(a) == int(v):
+                evc[int(b)] = evc.get(int(b), 0) + int(x)
+            elif int(b) == int(v):
+                evc[int(a)] = evc.get(int(a), 0) + int(x)
+        if len(evc) == 1:
+            continue
+        best = None
+        for c, e in sorted(evc.items()):
+            dd = int(kw[pos[c]]) - (int(kw[i]) if c == int(v) else 0)
+            s = 2 * W * e - int(kw[i]) * dd
+            if best is None or s > best[0]:
+                best = (s, c)
+        out[i] = best[1]
+    return out
+
+
+def _wedges(src, dst, w):
+    return rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(src, np.int64), pa.int64()),
+        "dst": pa.array(np.asarray(dst, np.int64), pa.int64()),
+        "weight": pa.array(np.asarray(w, np.int64), pa.int64()),
+    }))
+
+
+def test_weighted_move_round_matches_reference():
+    from essentials_rd.algorithms.louvain import (
+        modularity_move_round_weighted)
+
+    rng = np.random.default_rng(33)
+    n = 30
+    src, dst = _random(n=n, m=80, seed=33)
+    w = rng.integers(1, 9, len(src)).astype(np.int64)
+    # add self-loops (coarse graphs always have them)
+    sl = np.array([0, 3, 7], np.int64)
+    src = np.r_[src, sl]
+    dst = np.r_[dst, sl]
+    w = np.r_[w, np.array([5, 2, 9], np.int64)]
+    t = modularity_move_round_weighted(_wedges(src, dst, w), num_buckets=4)
+    vids = np.unique(np.r_[src, dst])
+    assert np.array_equal(np.asarray(t["vid"]), vids)
+    assert np.array_equal(np.asarray(t["label"]),
+                          _ref_weighted(vids, src, dst, w))
+
+
+def test_weighted_round_reduces_to_unweighted_on_unit_weights(tmp_path):
+    from essentials_rd.algorithms.louvain import (
+        modularity_move_round_weighted)
+
+    src, dst = _random(seed=34)
+    vids = np.unique(np.r_[src, dst])
+    uw = modularity_move_round(
+        small_graph(tmp_path, src, dst, P=3, symmetrize=True),
+        edges_ds(src, dst), vids, vids.copy(), num_buckets=4)
+    ww = modularity_move_round_weighted(
+        _wedges(src, dst, np.ones(len(src), np.int64)), num_buckets=8)
+    assert uw.equals(ww)
