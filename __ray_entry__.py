@@ -5013,6 +5013,53 @@ def _event_disorder_sql() -> str:
     )
 
 
+def _q_value_drift(sf_dir: str):
+    """Distribution-drift monitor (ops.ks_drift): EXACT two-sample
+    Kolmogorov–Smirnov distance between the event-value (cents)
+    distributions of the even- vs odd-event_id cohorts — the
+    yesterday-vs-today extract comparison, integer-exact via the
+    cross-multiplied CDF max.  Only histogram entries move."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.ops import ks_drift
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def _cohort(par: int):
+        def _m(t: pa.Table) -> pa.Table:
+            eid = np_col(t, "event_id").astype(np.int64)
+            v = np.asarray(t.column("value").to_numpy(
+                zero_copy_only=False), np.float64)
+            m = (eid % 2) == par
+            c = np.floor(v[m] * 100.0 + 0.5).astype(np.int64)
+            return pa.table({"c": pa.array(c, pa.int64())})
+        return _m
+
+    return ks_drift(ev.map_batches(_cohort(0), batch_format="pyarrow"),
+                    ev.map_batches(_cohort(1), batch_format="pyarrow"),
+                    "c")
+
+
+_VALUE_DRIFT_SQL = """
+WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  CAST(event_id % 2 AS BIGINT) AS s FROM events),
+h AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+      FROM e GROUP BY 1),
+c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cca,
+             sum(cb) OVER (ORDER BY v) AS ccb FROM h),
+t AS (SELECT CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM e)
+SELECT CAST(max(abs(cca * t.nb - ccb * t.na)) AS BIGINT) AS d_num,
+       t.na AS n_a, t.nb AS n_b
+FROM c, t GROUP BY t.na, t.nb
+"""
+
+
 def _q_user_drawdown(sf_dir: str):
     """Per-user maximum drawdown of the cumulative event value — the
     classic peak-to-trough sequence kernel (finance/monitoring) under
@@ -6210,6 +6257,49 @@ ta{k + 1} AS MATERIALIZED (
         f"WITH {_GRAPH_CTES}, {chain}, {body} "
         f"SELECT vid, CASE WHEN arr >= {big} THEN -1 ELSE arr END AS arr "
         f"FROM ta{TR_ITERS} ORDER BY vid"
+    )
+
+
+RM_SCALE = 7     # R-MAT: 2^7 = 128 vertices
+RM_EDGES = 2000
+RM_SEED = 7
+
+
+def _q_rmat_edges(sf_dir: str):
+    """Deterministic R-MAT generator (sources.rmat_edges — the
+    Graph500 Kronecker edge factory with EXACT dyadic (9,3,3,1)/16
+    quadrant probabilities): every edge is a pure function of its
+    index via one splitmix64 draw (one nibble per recursion level),
+    so generation is zero-I/O, zero-shuffle, identical at any
+    parallelism — and bit-reproducible in SQL."""
+    from essentials_rd.sources import rmat_edges
+
+    out = rmat_edges(RM_SCALE, RM_EDGES, seed=RM_SEED).take_all()
+    out.sort(key=lambda r: r["i"])
+    return pa.table({
+        "i": pa.array([r["i"] for r in out], pa.int64()),
+        "src": pa.array([r["src"] for r in out], pa.int64()),
+        "dst": pa.array([r["dst"] for r in out], pa.int64()),
+    })
+
+
+def _rmat_sql() -> str:
+    mix = (RM_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes("rmz", "i", f"i + {mix}",
+                       f"(SELECT unnest(range({RM_EDGES})) AS i)")
+    src = " + ".join(
+        f"(CASE WHEN ((z >> {4 * lvl}) & 15) >= 12 THEN "
+        f"{1 << (RM_SCALE - 1 - lvl)} ELSE 0 END)"
+        for lvl in range(RM_SCALE))
+    dst = " + ".join(
+        f"(CASE WHEN (((z >> {4 * lvl}) & 15) >= 9 AND "
+        f"((z >> {4 * lvl}) & 15) < 12) OR ((z >> {4 * lvl}) & 15) >= 15 "
+        f"THEN {1 << (RM_SCALE - 1 - lvl)} ELSE 0 END)"
+        for lvl in range(RM_SCALE))
+    return (
+        f"WITH {chain} "
+        f"SELECT i, CAST({src} AS BIGINT) AS src, "
+        f"CAST({dst} AS BIGINT) AS dst FROM rmz3 ORDER BY i"
     )
 
 
@@ -7725,6 +7815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_anomalies": _q_hourly_anomalies,
         "user_drawdown": _q_user_drawdown,
         "event_disorder": _q_event_disorder,
+        "value_drift": _q_value_drift,
         "lp_modularity": _q_lp_modularity,
         "hourly_value_bands": _q_hourly_value_bands,
         "fk_violations": _q_fk_violations,
@@ -7821,6 +7912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain_level2": _q_louvain_level2,
         "bfs_depth": _q_bfs_depth,
         "temporal_reach": _q_temporal_reach,
+        "rmat_edges": _q_rmat_edges,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
         "ppr_k8": _q_ppr,
@@ -9206,6 +9298,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "incr_cc_labels": _cc_sql(),
         "bfs_depth": _bfs_sql(),
         "temporal_reach": _temporal_reach_sql(),
+        "rmat_edges": _rmat_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),
         "ppr_k8": _ppr_sql(),
@@ -9288,6 +9381,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "hourly_anomalies": _hourly_anomalies_sql(),
         "user_drawdown": _user_drawdown_sql(),
         "event_disorder": _event_disorder_sql(),
+        "value_drift": _VALUE_DRIFT_SQL,
         "lp_modularity": _lp_modularity_sql(),
         "hourly_value_bands": _hourly_value_bands_sql(),
         "fk_violations": _fk_violations_sql(),

@@ -3074,3 +3074,54 @@ def hll_overlap_estimate(a: pa.Table, b: pa.Table, p: int) -> dict:
     return {"est_a": ea, "est_b": eb, "est_union": eu,
             "est_intersection": inter,
             "est_jaccard": inter / eu if eu > 0 else 0.0}
+
+
+def ks_drift(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    col: str,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> pa.Table:
+    """EXACT two-sample Kolmogorov–Smirnov distance over an integer
+    column — the distribution-drift monitor between two extracts
+    (yesterday vs today, cohort A vs B): D = max_x |F_a(x) − F_b(x)|
+    computed with NO float CDF anywhere, as the integer maximum over
+    distinct values of |cum_a(x)·n_b − cum_b(x)·n_a| (cross-multiplied
+    common denominator n_a·n_b — overflow-asserted).  Returns one row
+    (d_num, n_a, n_b); D = d_num / (n_a·n_b).
+
+    Plan: both sides reduce to (value, side) pre-combined counts in
+    their map scans, ONE bucketed exchange merges the two histograms,
+    and the driver folds one row per DISTINCT value (the bounded-
+    domain histogram contract shared with exact_quantiles) — rows
+    never move."""
+
+    def _h(side: int):
+        def _m(t: pa.Table) -> pa.Table:
+            v = np_col(t, col).astype(np.int64)
+            uv, cnt = np.unique(v, return_counts=True)
+            ca = cnt.astype(np.int64) if side == 0 else \
+                np.zeros(len(uv), np.int64)
+            cb = cnt.astype(np.int64) if side == 1 else \
+                np.zeros(len(uv), np.int64)
+            return pa.table({"v": pa.array(uv, pa.int64()),
+                             "ca": pa.array(ca, pa.int64()),
+                             "cb": pa.array(cb, pa.int64())})
+        return _m
+
+    merged = grouped_pandas_agg(
+        a.map_batches(_h(0), batch_format="pyarrow").union(
+            b.map_batches(_h(1), batch_format="pyarrow")),
+        keys=["v"], aggs={"ca": ("ca", "sum"), "cb": ("cb", "sum")},
+        num_buckets=num_buckets).take_all()
+    merged.sort(key=lambda r: r["v"])
+    ca = np.array([r["ca"] for r in merged], np.int64)
+    cb = np.array([r["cb"] for r in merged], np.int64)
+    na, nb = int(ca.sum()), int(cb.sum())
+    assert na * nb < (1 << 62), "KS cross-multiply would overflow int64"
+    cca = np.cumsum(ca)
+    ccb = np.cumsum(cb)
+    d = int(np.abs(cca * nb - ccb * na).max(initial=0))
+    return pa.table({"d_num": pa.array([d], pa.int64()),
+                     "n_a": pa.array([na], pa.int64()),
+                     "n_b": pa.array([nb], pa.int64())})

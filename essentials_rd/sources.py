@@ -100,3 +100,55 @@ def read_corpus_any(
     else:
         raise ValueError(f"unsupported corpus format: {path}")
     return ds.select_columns(cols) if cols else ds
+
+
+def rmat_edges(
+    scale: int,
+    n_edges: int,
+    seed: int = 42,
+    parallelism: int = 16,
+) -> rd.Dataset:
+    """Deterministic R-MAT edge generator (Chakrabarti, Zhan &
+    Faloutsos 2004 — the Graph500 Kronecker shape, public): 2^scale
+    vertices, ``n_edges`` directed edges whose endpoints recurse into
+    quadrants with the classic skewed probabilities — here EXACTLY
+    (9, 3, 3, 1)/16, dyadic on purpose: each recursion level consumes
+    one 4-bit nibble of a single ``splitmix64(edge_index + seed·φ)``
+    draw (scale ≤ 16 fits all levels in one 64-bit word), so every
+    edge is a PURE FUNCTION of its index — the generator is
+    embarrassingly parallel (``rd.range`` → one vectorized
+    ``map_batches``), identical at any parallelism/cluster size, and
+    bit-for-bit reproducible in SQL through the shared SplitMix64
+    chain + nibble CASEs.  Multi-edges and self-loops are kept, as in
+    Graph500's edge factory; dedup/symmetrize downstream if the
+    consumer wants a simple graph.  This is the scale-testing source:
+    a 100-TB run generates edges in place of reading them, with zero
+    input I/O and no shuffle."""
+    from .util import hash64, np_col
+
+    if not 1 <= scale <= 16:
+        raise ValueError("rmat_edges supports 1 <= scale <= 16 "
+                         "(one nibble per level from a 64-bit draw)")
+    mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def _gen(t: pa.Table) -> pa.Table:
+        i = np_col(t, "id").astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            z = hash64((i + mix).view(np.int64)).view(np.uint64)
+        src = np.zeros(len(i), np.uint64)
+        dst = np.zeros(len(i), np.uint64)
+        for lvl in range(scale):
+            nib = (z >> np.uint64(4 * lvl)) & np.uint64(15)
+            sbit = (nib >= 12).astype(np.uint64)
+            dbit = (((nib >= 9) & (nib < 12)) | (nib >= 15)).astype(
+                np.uint64)
+            src = (src << np.uint64(1)) | sbit
+            dst = (dst << np.uint64(1)) | dbit
+        return pa.table({
+            "i": pa.array(i.view(np.int64), pa.int64()),
+            "src": pa.array(src.view(np.int64), pa.int64()),
+            "dst": pa.array(dst.view(np.int64), pa.int64()),
+        })
+
+    return rd.range(n_edges, override_num_blocks=parallelism).map_batches(
+        _gen, batch_format="pyarrow")
