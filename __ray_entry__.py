@@ -3142,6 +3142,43 @@ def _stratified_docs_sql() -> str:
     )
 
 
+# exact per-language document budgets for the corpus-mix query — picked
+# so sf0.001 exercises BOTH branches (de has 71 docs < 100 → kept whole;
+# the rest are real cuts) and fr (absent) is dropped entirely
+MIX_QUOTAS = {"en": 120, "de": 100, "es": 40, "zh": 25}
+
+
+def _q_mixed_corpus(sf_dir: str):
+    """EXACT-quota corpus mixing (ops.quota_mix_sample): per language
+    keep exactly min(quota, available) docs, selected by the splitmix64
+    priority rank with doc_id tie-break — the hard-budget counterpart
+    of stratified_docs' Bernoulli thresholds."""
+    import ray.data as rd
+
+    from essentials_rd.ops import quota_mix_sample
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return quota_mix_sample(
+        docs, "lang", lambda b: np_col(b, "doc_id"), MIX_QUOTAS,
+        seed=SAMPLE_SEED,
+    )
+
+
+def _mixed_corpus_sql() -> str:
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes("z", "doc_id, lang", f"doc_id + {mix}", "documents")
+    values = ", ".join(f"('{g}', {q})" for g, q in MIX_QUOTAS.items())
+    return (
+        f"WITH {chain}, q(lang, quota) AS (VALUES {values}), "
+        f"r AS (SELECT doc_id, z3.lang, quota, "
+        f"row_number() OVER (PARTITION BY z3.lang ORDER BY z, doc_id) AS rn "
+        f"FROM z3 JOIN q ON q.lang = z3.lang) "
+        f"SELECT doc_id, lang FROM r WHERE rn <= quota"
+    )
+
+
 def _q_pagerank_weighted(sf_dir: str):
     """Edge-weighted PageRank (WeightedPageRankProgram): mass splits
     proportionally to co-purchase edge weights; fixed PR_ITERS power
@@ -7777,6 +7814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_docs": _q_sampled_docs,
         "orders_checksum": _q_orders_checksum,
         "stratified_docs": _q_stratified_docs,
+        "mixed_corpus": _q_mixed_corpus,
         "top_tokens": _q_top_tokens,
         "contaminated_docs": _q_contaminated_docs,
         "pagerank_weighted_k8": _q_pagerank_weighted,
@@ -8901,6 +8939,7 @@ def oracle_sql() -> dict[str, str]:
         "sampled_docs": _sampled_docs_sql(),
         "orders_checksum": _orders_checksum_sql(),
         "stratified_docs": _stratified_docs_sql(),
+        "mixed_corpus": _mixed_corpus_sql(),
         "pagerank_weighted_k8": _pagerank_weighted_sql(),
         "degree_hist": (
             f"WITH {_GRAPH_CTES} "

@@ -1173,6 +1173,69 @@ def stratified_sample(
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def quota_mix_sample(
+    ds: rd.Dataset,
+    group_col: str,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    quotas: dict,
+    seed: int = 42,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """EXACT-quota dataset mixing — the corpus-composition step of a
+    training-data pipeline ("120k en docs, 40k es docs, drop the
+    rest"): per group ``g`` keep exactly ``min(quotas[g], count_g)``
+    rows, groups absent from ``quotas`` are dropped.  Where
+    :func:`stratified_sample` is Bernoulli (hits the target only in
+    expectation), the mix contract is a hard budget, so selection is
+    rank-based: each row's priority is ``splitmix64(key + seed·golden)``
+    and a group keeps its ``quota`` lowest-priority rows (ties at the
+    boundary broken by ``key`` ascending — a total order, so the kept
+    SET is a pure function of the data: invariant to runs, block
+    layouts and cluster sizes, and reproducible in SQL as
+    ``row_number() OVER (PARTITION BY g ORDER BY z, key) <= quota``).
+
+    Cost shape: rows with a zero/absent quota are dropped BEFORE the
+    exchange (the usual mix config keeps a sliver of a huge corpus,
+    so the shuffle moves only candidate groups), then ONE bucketed
+    exchange on the group key lands each group whole for the
+    vectorized rank-and-cut; per-group state is the quota dict —
+    #groups ≪ driver memory (sources/languages, not user ids).  Output
+    carries no temp columns."""
+    qmap = {g: int(q) for g, q in quotas.items() if int(q) > 0}
+    mix = np.int64((seed * 0x9E3779B97F4A7C15) & (2**63 - 1))
+
+    def _stamp(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_pandas()
+        cand = g.isin(qmap).to_numpy(bool)
+        batch = batch.take(pa.array(np.flatnonzero(cand)))
+        k = key_fn(batch).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = hash64(k + mix)
+        return batch.append_column(
+            "__prio__", pa.array(h, pa.uint64())
+        ).append_column("__key__", pa.array(k, pa.int64()))
+
+    def _cut(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        df = df.sort_values(
+            [group_col, "__prio__", "__key__"], kind="stable"
+        )
+        q = df[group_col].map(qmap).to_numpy(np.int64)
+        rank = df.groupby(group_col, sort=False).cumcount().to_numpy(np.int64)
+        out = df.loc[rank < q].drop(columns=["__prio__", "__key__"])
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata()
+
+    def _group_key(b: pa.Table) -> np.ndarray:
+        return pd.util.hash_pandas_object(
+            b.column(group_col).to_pandas(), index=False
+        ).to_numpy(np.uint64).view(np.int64)
+
+    stamped = ds.map_batches(_stamp, batch_format="pyarrow")
+    return hash_bucket_agg(stamped, _group_key, _cut, num_buckets)
+
+
 def range_partition(
     ds: rd.Dataset,
     col: str,

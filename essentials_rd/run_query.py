@@ -71,8 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     if isinstance(res, rd.Dataset):
         if args.stats:
             res = res.materialize()
-        tbl = pa.concat_tables(ray.get(res.to_arrow_refs())) \
-            if res.count() else None
+        # skip 0-row blocks: empty sort partitions surface as
+        # zero-COLUMN tables, which strict concat_tables rejects
+        blocks = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(blocks) if blocks else None
         df = tbl.to_pandas() if tbl is not None else pd.DataFrame()
         if args.stats:
             print(res.stats())

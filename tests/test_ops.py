@@ -1207,3 +1207,50 @@ def test_hll_set_algebra_union_and_overlap():
     est = hll_overlap_estimate(ra, rb, p=12)
     true_inter = len(np.intersect1d(a_vals, b_vals))
     assert abs(est["est_intersection"] - true_inter) / true_inter < 0.15
+
+
+def test_quota_mix_sample_exact_counts_and_invariance():
+    """Per-group kept count == min(quota, available); absent/zero-quota
+    groups dropped; selected SET matches the brute-force priority rank
+    and survives a block re-layout."""
+    import pandas as pd
+
+    from essentials_rd.ops import quota_mix_sample
+    from essentials_rd.util import hash64
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    ids = rng.permutation(n).astype(np.int64)
+    grp = np.array(["a", "b", "c", "d"], object)[
+        rng.integers(0, 4, n)
+    ]
+    t = pa.table({"id": pa.array(ids, pa.int64()),
+                  "g": pa.array(grp, pa.string())})
+    quotas = {"a": 100, "b": 10**6, "c": 0}  # cut / keep-whole / drop; d absent
+    seed = 9
+
+    def run(ds):
+        out = quota_mix_sample(
+            ds, "g", lambda b: np_col(b, "id"), quotas, seed=seed
+        ).take_all()
+        return sorted((r["g"], r["id"]) for r in out)
+
+    got = run(rd.from_arrow(t))
+
+    # brute force: per group, quota lowest (hash, id) rows
+    mix = np.int64((seed * 0x9E3779B97F4A7C15) & (2**63 - 1))
+    with np.errstate(over="ignore"):
+        h = hash64(ids + mix)
+    df = pd.DataFrame({"id": ids, "g": grp, "h": h})
+    want = []
+    for g, q in quotas.items():
+        sub = df[df.g == g].sort_values(["h", "id"])
+        want += [(g, int(i)) for i in sub.id.to_numpy()[:q]]
+    assert got == sorted(want)
+    counts = pd.Series([g for g, _ in got]).value_counts()
+    assert counts.get("a", 0) == 100
+    assert counts.get("b", 0) == int((grp == "b").sum())
+    assert "c" not in counts and "d" not in counts
+
+    # layout invariance: different block structure, same set
+    assert run(rd.from_arrow(t).repartition(13)) == got
