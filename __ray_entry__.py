@@ -4481,6 +4481,46 @@ def _q_orders_diff(sf_dir: str):
     )
 
 
+def _q_cust_status_history(sf_dir: str):
+    """SCD type-2 dimension history (ops.scd2_intervals): orders as a
+    per-customer changelog (seq = o_orderkey, unique) → versioned
+    status rows with half-open [seq_from, seq_to) validity and an
+    is_current flag; every version survives (vs latest_by_key's
+    current-row-only compaction)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import scd2_intervals
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderstatus"],
+    )
+    out = scd2_intervals(
+        orders, "o_custkey", "o_orderkey",
+        lambda b: np_col(b, "o_custkey"),
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["o_custkey", "seq_from", "o_orderstatus", "seq_to",
+             "is_current"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_CUST_STATUS_HISTORY_SQL = (
+    "SELECT o_custkey, o_orderkey AS seq_from, o_orderstatus, "
+    "coalesce(lead(o_orderkey) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderkey), "
+    "9223372036854775807) AS seq_to, "
+    "CAST(CASE WHEN lead(o_orderkey) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderkey) IS NULL "
+    "THEN 1 ELSE 0 END AS BIGINT) AS is_current "
+    "FROM orders"
+)
+
+
 def _q_orders_merged(sf_dir: str):
     """CDC MERGE / log compaction (ops.merge_upsert): a deterministic
     changeset derived from orders itself — updates (k%7: +100 cents,
@@ -7896,6 +7936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
         "orders_diff": _q_orders_diff,
+        "cust_status_history": _q_cust_status_history,
         "orders_merged": _q_orders_merged,
         "matching_edges": _q_matching,
         "daily_top_spender": _q_daily_top_spender,
@@ -9559,6 +9600,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "
             "AS total_c FROM events GROUP BY 1, 2)) WHERE rn = 1"
         ),
+        "cust_status_history": _CUST_STATUS_HISTORY_SQL,
         "orders_merged": _ORDERS_MERGED_SQL,
         "orders_diff": (
             "WITH va AS (SELECT o_orderkey k, "

@@ -2166,6 +2166,52 @@ def latest_by_key(
                            num_buckets=num_buckets)
 
 
+SCD2_OPEN = np.int64(2**63 - 1)  # "still current" upper bound
+
+
+def scd2_intervals(
+    ds: rd.Dataset,
+    key: str,
+    seq: str,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    *,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Slowly-changing-dimension type-2 builder: turn a changelog into
+    versioned rows with half-open validity ``[seq_from, seq_to)`` —
+    each key's version i is valid until its successor's ``seq``, the
+    latest version gets ``seq_to = SCD2_OPEN`` and ``is_current = 1``.
+    The dimension-history shape :func:`latest_by_key` (current row
+    only) and :func:`merge_upsert` (apply changes) don't cover: every
+    version survives, queryable as-of any ``seq``.
+
+    ``seq`` must be unique per key (a changelog sequence/LSN), making
+    the successor well-defined at any block layout.  ONE bucketed
+    exchange on the key hash lands each key's full history; the kernel
+    is a lexsort + shifted-compare (no per-key loop).  Output = input
+    columns with ``seq`` renamed conceptually to the version start,
+    plus ``seq_to`` and ``is_current`` (int64 0/1); SQL twin:
+    ``coalesce(lead(seq) OVER (PARTITION BY key ORDER BY seq),
+    SCD2_OPEN)``."""
+
+    def _versions(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        df = df.sort_values([key, seq], kind="stable")
+        k = df[key].to_numpy()
+        s = df[seq].to_numpy(np.int64)
+        if len(df) and not (np.diff(s)[k[1:] == k[:-1]] > 0).all():
+            raise ValueError(f"duplicate {seq!r} within a {key!r} group")
+        nxt = np.r_[s[1:], SCD2_OPEN]
+        same = np.r_[k[1:] == k[:-1], False]
+        df["seq_to"] = np.where(same, nxt, SCD2_OPEN)
+        df["is_current"] = (~same).astype(np.int64)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata()
+
+    return hash_bucket_agg(ds, key_fn, _versions, num_buckets=num_buckets)
+
+
 def interval_join(
     left: rd.Dataset,
     right: rd.Dataset,

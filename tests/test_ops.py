@@ -1254,3 +1254,50 @@ def test_quota_mix_sample_exact_counts_and_invariance():
 
     # layout invariance: different block structure, same set
     assert run(rd.from_arrow(t).repartition(13)) == got
+
+
+def test_scd2_intervals_reference_and_guards():
+    """Versions chain per key ([seq_from, seq_to) half-open, open tail,
+    exactly one is_current per key), match a pandas lead() reference,
+    survive re-layout, and duplicate seqs within a key raise."""
+    import pandas as pd
+
+    from essentials_rd.ops import SCD2_OPEN, scd2_intervals
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    k = rng.integers(0, 80, n).astype(np.int64)
+    seq = rng.permutation(n).astype(np.int64)  # globally unique
+    val = rng.integers(0, 5, n).astype(np.int64)
+    t = pa.table({"k": pa.array(k), "seq": pa.array(seq),
+                  "val": pa.array(val)})
+
+    def run(ds):
+        out = scd2_intervals(
+            ds, "k", "seq", lambda b: np_col(b, "k")
+        ).take_all()
+        return sorted((r["k"], r["seq"], r["seq_to"], r["is_current"],
+                       r["val"]) for r in out)
+
+    got = run(rd.from_arrow(t))
+
+    df = pd.DataFrame({"k": k, "seq": seq, "val": val}).sort_values(
+        ["k", "seq"])
+    nxt = df.groupby("k")["seq"].shift(-1)
+    want = sorted(
+        (int(r.k), int(r.seq),
+         int(SCD2_OPEN) if pd.isna(nx) else int(nx),
+         int(pd.isna(nx)), int(r.val))
+        for r, nx in zip(df.itertuples(), nxt)
+    )
+    assert got == want
+    cur = pd.Series([g[0] for g in got if g[3] == 1]).value_counts()
+    assert (cur == 1).all() and set(cur.index) == set(np.unique(k))
+    assert run(rd.from_arrow(t).repartition(11)) == got
+
+    dup = pa.table({"k": pa.array([1, 1], pa.int64()),
+                    "seq": pa.array([5, 5], pa.int64()),
+                    "val": pa.array([0, 1], pa.int64())})
+    with pytest.raises(Exception, match="duplicate"):
+        scd2_intervals(rd.from_arrow(dup), "k", "seq",
+                       lambda b: np_col(b, "k")).take_all()
