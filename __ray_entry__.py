@@ -6867,6 +6867,114 @@ def _knn_graph_sql() -> str:
     )
 
 
+PQ_M = 2      # subspaces
+PQ_K = 4      # codewords per subspace
+PQ_ITERS = 2  # unrolled Lloyd iterations per codebook
+PQ_DIM = 64
+
+
+def _pq_seed_ranks() -> np.ndarray:
+    """Same data-independent seeding contract as _km_seed_ranks, at
+    the PQ codebook size: rng.choice over the K·4 hash-smallest rows
+    (the SAME rows seed every subspace — the sample is picked by
+    vec_id, not by vector content)."""
+    rng = np.random.default_rng(SAMPLE_SEED)
+    return np.sort(rng.choice(PQ_K * 4, size=PQ_K, replace=False))
+
+
+def _q_pq_codes(sf_dir: str):
+    """Product quantization (ann.pq_codebooks + ann.pq_encode): train
+    an independent PQ_K-codeword spherical Lloyd codebook per
+    PQ_DIM/PQ_M-dim subspace (per-block partial combine, no per-vector
+    shuffle) and assign every vector its code tuple — the
+    memory-compression scale path for embedding tables (m small ints
+    replace d floats; ADC search over the codes is pq_adc_topk,
+    recall-pinned in the tests).  Argmax margins dwarf summation-order
+    ulp noise, so codes match the unrolled-SQL Lloyd exactly."""
+    import ray.data as rd
+
+    from essentials_rd.ann import pq_codebooks, pq_encode
+
+    vectors = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+    books = pq_codebooks(vectors, m=PQ_M, k=PQ_K, iters=PQ_ITERS,
+                         seed=SAMPLE_SEED, dim=PQ_DIM)
+    return pq_encode(vectors, books)
+
+
+def _lloyd_sub_parts(p: str, lo: int, hi: int) -> list[str]:
+    """Prefixed Lloyd-unroll CTE chain over the ``[lo, hi)`` dimension
+    slice of ``embeddings`` — _kmeans_parts generalized to a subspace
+    (PQ_K codewords, PQ_ITERS rounds, shared ``pqseeds``).  All CTE
+    names carry prefix ``p`` so several subspaces coexist in one
+    WITH."""
+
+    def assign(t: int) -> str:
+        return (
+            f"{p}dot{t} AS (SELECT x.vec_id, c.cid, sum(x.x * c.c) AS d "
+            f"FROM {p}xn x JOIN {p}c{t} c USING (j) GROUP BY 1, 2), "
+            f"{p}asg{t} AS (SELECT vec_id, cid FROM ("
+            f"SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY d DESC, cid ASC) AS rn FROM {p}dot{t}) WHERE rn = 1)"
+        )
+
+    parts = [
+        f"{p}ex AS MATERIALIZED (SELECT vec_id, j.j AS j, "
+        f"CAST(embedding[j.j + {lo}] AS DOUBLE) AS x FROM embeddings, "
+        f"LATERAL (SELECT unnest(range(1, {hi - lo} + 1)) AS j) j), "
+        f"{p}xn AS MATERIALIZED (SELECT e.vec_id, e.j, "
+        f"e.x / CASE WHEN n.nv = 0 THEN 1 ELSE n.nv END AS x FROM {p}ex e "
+        f"JOIN (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM {p}ex "
+        f"GROUP BY vec_id) n USING (vec_id)), "
+        f"{p}c0 AS MATERIALIZED (SELECT s.cid, x.j, x.x AS c "
+        f"FROM pqseeds s JOIN {p}xn x USING (vec_id))"
+    ]
+    for t in range(PQ_ITERS):
+        parts.append(assign(t))
+        parts.append(
+            f"{p}cnt{t} AS (SELECT cid, count(*) AS n FROM {p}asg{t} "
+            f"GROUP BY cid), "
+            f"{p}mean{t} AS (SELECT a.cid, x.j, sum(x.x) / max(n.n) AS m "
+            f"FROM {p}asg{t} a JOIN {p}xn x USING (vec_id) "
+            f"JOIN {p}cnt{t} n ON n.cid = a.cid GROUP BY a.cid, x.j), "
+            f"{p}c{t + 1} AS MATERIALIZED ("
+            f"SELECT m.cid, m.j, m.m / CASE WHEN q.nv = 0 THEN 1 "
+            f"ELSE q.nv END AS c FROM {p}mean{t} m JOIN "
+            f"(SELECT cid, sqrt(sum(m*m)) AS nv FROM {p}mean{t} "
+            f"GROUP BY cid) q USING (cid) "
+            f"UNION ALL SELECT c.cid, c.j, c.c FROM {p}c{t} c "
+            f"LEFT JOIN {p}cnt{t} k ON k.cid = c.cid WHERE k.cid IS NULL)"
+        )
+    parts.append(assign(PQ_ITERS))
+    return parts
+
+
+def _pq_codes_sql() -> str:
+    ranks = ", ".join(str(int(r) + 1) for r in _pq_seed_ranks())
+    sub = PQ_DIM // PQ_M
+    chain = _sm64_ctes("pqz", "vec_id", "vec_id", "embeddings")
+    parts = [
+        f"{chain}",
+        "pqrk AS (SELECT vec_id, row_number() OVER "
+        "(ORDER BY (z >> 1), vec_id) AS r FROM pqz3)",
+        f"pqseeds AS (SELECT vec_id, row_number() OVER (ORDER BY r) - 1 "
+        f"AS cid FROM pqrk WHERE r IN ({ranks}))",
+    ]
+    sel = []
+    for s in range(PQ_M):
+        p = f"s{s}"
+        parts += _lloyd_sub_parts(p, s * sub, (s + 1) * sub)
+        sel.append(f"JOIN {p}asg{PQ_ITERS} {p} USING (vec_id)"
+                   if s else f"{p}asg{PQ_ITERS} {p}")
+    cols = ", ".join(
+        f"CAST(s{s}.cid AS BIGINT) AS code_{s}" for s in range(PQ_M)
+    )
+    return (
+        "WITH " + ", ".join(parts) +
+        f" SELECT s0.vec_id, {cols} FROM " + " ".join(sel)
+    )
+
+
 GANN_QID = 17    # query = this vector's embedding
 GANN_ENTRY = 4   # deterministic entry points: vec_id < 4
 GANN_BEAM = 6
@@ -7875,6 +7983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_buckets": _q_kmeans_buckets,
         "knn_graph_k3": _q_knn_graph,
         "graph_ann_top5": _q_graph_ann,
+        "pq_codes": _q_pq_codes,
         "revenue_by_region": _q_revenue_by_region,
         "user_top_event": _q_user_top_event,
         "cust_user_outer": _q_cust_user_outer,
@@ -9438,6 +9547,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "kmeans_buckets": _kmeans_sql(),
         "knn_graph_k3": _knn_graph_sql(),
         "graph_ann_top5": _graph_ann_sql(),
+        "pq_codes": _pq_codes_sql(),
         "user_event_pivot": (
             "SELECT user_id, " + ", ".join(
                 f"CAST(count(*) FILTER (WHERE event_type = '{c}') "

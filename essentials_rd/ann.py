@@ -979,3 +979,128 @@ def graph_ann_search(
         "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64),
                          pa.int64()),
     })
+
+
+# ------------------------------------------------ product quantization
+
+
+def _subspace_dataset(
+    vectors: rd.Dataset, lo: int, hi: int, id_col: str, vec_col: str
+) -> rd.Dataset:
+    """Project the ``[lo, hi)`` dimension slice of the vector column —
+    one vectorized matrix slice per batch, no shuffle."""
+
+    def _slice(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col)[:, lo:hi]
+        return pa.table({
+            id_col: batch.column(id_col),
+            vec_col: pa.array(list(m), pa.list_(pa.float64())),
+        })
+
+    return vectors.map_batches(_slice, batch_format="pyarrow")
+
+
+def pq_codebooks(
+    vectors: rd.Dataset,
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> list[np.ndarray]:
+    """Product-quantization codebook training (Jégou et al., TPAMI
+    2011 — the memory-scale path for 100-TB embedding tables: d floats
+    → m small codes): split the vector into ``m`` contiguous
+    subspaces and train an independent ``k``-codeword spherical Lloyd
+    codebook per subspace with :func:`kmeans_centroids` (per-block
+    partial (count, sum) combine — no per-vector shuffle; seeding is
+    the hash-smallest row sample, block-order invariant, and because the seed
+    rows are picked by vec_id the SAME rows seed every subspace).
+    Returns m arrays of shape (k, d/m), unit-normalized."""
+    if dim is None:
+        first = vectors.take(1)[0][vec_col]
+        dim = len(first)
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    books = []
+    for s in range(m):
+        ds_s = _subspace_dataset(vectors, s * sub, (s + 1) * sub,
+                                 id_col, vec_col)
+        books.append(kmeans_centroids(ds_s, k, iters=iters, seed=seed,
+                                      vec_col=vec_col, id_col=id_col))
+    return books
+
+
+def pq_encode(
+    vectors: rd.Dataset,
+    codebooks: list[np.ndarray],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Assign every vector its m-tuple of codeword ids: per subspace
+    the argmax dot of the NORMALIZED subvector against the codebook
+    (first-max tie-break — exactly kmeans_centroids' assignment rule,
+    so the codes are the subspace Lloyd partitions).  Codebooks ride
+    ONE ray.put broadcast; one stateless vectorized pass, no shuffle.
+    Output: (vec_id, code_0 … code_{m-1}) int64."""
+    books_ref = ray.put([np.asarray(b, np.float64) for b in codebooks])
+    subs = [b.shape[1] for b in codebooks]
+    offs = np.r_[0, np.cumsum(subs)].astype(int)
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        full = _batch_matrix(batch, vec_col)
+        cols = {id_col: batch.column(id_col)}
+        for s, b in enumerate(books):
+            ms = _normalize(full[:, offs[s]:offs[s + 1]])
+            code = np.argmax(ms @ b.T, axis=1).astype(np.int64)
+            cols[f"code_{s}"] = pa.array(code, pa.int64())
+        return pa.table(cols)
+
+    return vectors.map_batches(_enc, batch_format="pyarrow")
+
+
+def pq_adc_topk(
+    codes: rd.Dataset,
+    codebooks: list[np.ndarray],
+    query: np.ndarray,
+    k: int = 10,
+    scale: float = 1e6,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Asymmetric-distance (ADC) search over PQ codes: the query
+    builds one tiny (m × k) lookup table of integer-quantized
+    codeword dots — ``lut[s][c] = floor(scale · ⟨q_s, book_s[c]⟩)`` —
+    and every vector's approximate score is the SUM of its m looked-up
+    entries: a per-batch fancy-index + add, never a matmul against the
+    vector table (whose floats need not even be stored).  Integer
+    scores make the (score desc, id asc) top-k ranking bit-exact at
+    any layout; recall vs brute force is pinned by the tests."""
+    from .ops import top_k
+
+    qs = np.asarray(query, np.float64)
+    qs = qs / (np.linalg.norm(qs) or 1.0)
+    offs = np.r_[0, np.cumsum([b.shape[1] for b in codebooks])].astype(int)
+    lut = [
+        np.floor(scale * (qs[offs[s]:offs[s + 1]]
+                          / (np.linalg.norm(qs[offs[s]:offs[s + 1]]) or 1.0)
+                          ) @ b.T).astype(np.int64)
+        for s, b in enumerate(codebooks)
+    ]
+    lut_ref = ray.put(lut)
+    m = len(codebooks)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        tabs = ray.get(lut_ref)
+        sc = np.zeros(batch.num_rows, np.int64)
+        for s in range(m):
+            sc += tabs[s][np_col(batch, f"code_{s}")]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "score_q": pa.array(sc, pa.int64()),
+        })
+
+    scored = codes.map_batches(_score, batch_format="pyarrow")
+    return top_k(scored, "score_q", k, descending=True, tie_cols=[id_col])
