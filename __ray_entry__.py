@@ -6975,6 +6975,93 @@ def _pq_codes_sql() -> str:
     )
 
 
+IVFPQ_QID = 23    # query = this vector's embedding
+IVFPQ_NPROBE = 3
+IVFPQ_K = 5
+IVFPQ_SCALE = 1e6
+
+
+def _q_ivfpq(sf_dir: str):
+    """IVF-PQ composed search (ann.ivfpq_topk): coarse IVF quantizer
+    prunes to nprobe buckets, PQ codes ADC-score the survivors — the
+    standard billion-scale ANN layout, with every ranking over
+    integer-quantized dots so the whole path (centroid train, bucket
+    probe, subspace codebooks, code assignment, ADC ranking) is
+    bit-exact at any layout and hash-checked against the composed
+    Lloyd-unroll SQL."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from essentials_rd.ann import ivfpq_topk
+
+    vectors = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+    qt = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", IVFPQ_QID)])
+    query = np.asarray(qt.column("embedding").to_pylist()[0], np.float64)
+    return ivfpq_topk(vectors, query, num_centroids=KM_C,
+                      nprobe=IVFPQ_NPROBE, m=PQ_M, codewords=PQ_K,
+                      iters=KM_ITERS, k=IVFPQ_K, seed=SAMPLE_SEED,
+                      scale=IVFPQ_SCALE)
+
+
+def _ivfpq_sql() -> str:
+    """Composed oracle: the shared unrolled-Lloyd centroid chain
+    (_kmeans_parts — unprefixed names) plus the per-subspace PQ chains
+    (_lloyd_sub_parts — s{s}-prefixed) coexist in one WITH; the query
+    row's normalized components come straight from the xn / s{s}xn
+    tables, the bucket probe and ADC lookup tables are
+    floor(scale·dot) integers, and the final ranking mirrors the
+    engine's (score desc, id asc) total order."""
+    t = KM_ITERS
+    scale = int(IVFPQ_SCALE)
+    sub = PQ_DIM // PQ_M
+    chain = _sm64_ctes("pqz", "vec_id", "vec_id", "embeddings")
+    parts = list(_kmeans_parts())
+    parts += [
+        f"{chain}",
+        "pqrk AS (SELECT vec_id, row_number() OVER "
+        "(ORDER BY (z >> 1), vec_id) AS r FROM pqz3)",
+        "pqseeds AS (SELECT vec_id, row_number() OVER (ORDER BY r) - 1 "
+        "AS cid FROM pqrk WHERE r IN (" +
+        ", ".join(str(int(r) + 1) for r in _pq_seed_ranks()) + "))",
+    ]
+    luts, joins = [], []
+    for s in range(PQ_M):
+        p = f"s{s}"
+        parts += _lloyd_sub_parts(p, s * sub, (s + 1) * sub)
+        parts.append(
+            f"lut{s} AS (SELECT c.cid, CAST(floor({scale} * "
+            f"sum(q.x * c.c)) AS BIGINT) AS l FROM {p}c{PQ_ITERS} c "
+            f"JOIN (SELECT j, x FROM {p}xn WHERE vec_id = {IVFPQ_QID}) q "
+            f"USING (j) GROUP BY c.cid)"
+        )
+        luts.append(f"l{s}.l")
+        joins.append(f"JOIN {p}asg{PQ_ITERS} a{s} USING (vec_id) "
+                     f"JOIN lut{s} l{s} ON l{s}.cid = a{s}.cid")
+    parts += [
+        f"pb AS (SELECT c.cid, CAST(floor({scale} * sum(q.x * c.c)) "
+        f"AS BIGINT) AS d FROM c{t} c "
+        f"JOIN (SELECT j, x FROM xn WHERE vec_id = {IVFPQ_QID}) q "
+        f"USING (j) GROUP BY c.cid)",
+        f"probed AS (SELECT cid FROM (SELECT cid, row_number() OVER "
+        f"(ORDER BY d DESC, cid ASC) AS rn FROM pb) "
+        f"WHERE rn <= {IVFPQ_NPROBE})",
+        f"cand AS (SELECT a.vec_id, CAST(a.cid AS BIGINT) AS bucket "
+        f"FROM asg{t} a JOIN probed p ON p.cid = a.cid)",
+        "sc AS (SELECT c.vec_id, c.bucket, " + " + ".join(luts) +
+        " AS score_q FROM cand c " + " ".join(joins) + ")",
+    ]
+    return (
+        "WITH " + ", ".join(parts) +
+        " SELECT vec_id, bucket, score_q, rn AS rank FROM "
+        "(SELECT vec_id, bucket, score_q, row_number() OVER "
+        "(ORDER BY score_q DESC, vec_id ASC) AS rn FROM sc) "
+        f"WHERE rn <= {IVFPQ_K}"
+    )
+
+
 GANN_QID = 17    # query = this vector's embedding
 GANN_ENTRY = 4   # deterministic entry points: vec_id < 4
 GANN_BEAM = 6
@@ -7984,6 +8071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_k3": _q_knn_graph,
         "graph_ann_top5": _q_graph_ann,
         "pq_codes": _q_pq_codes,
+        "ivfpq_top5": _q_ivfpq,
         "revenue_by_region": _q_revenue_by_region,
         "user_top_event": _q_user_top_event,
         "cust_user_outer": _q_cust_user_outer,
@@ -9548,6 +9636,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "knn_graph_k3": _knn_graph_sql(),
         "graph_ann_top5": _graph_ann_sql(),
         "pq_codes": _pq_codes_sql(),
+        "ivfpq_top5": _ivfpq_sql(),
         "user_event_pivot": (
             "SELECT user_id, " + ", ".join(
                 f"CAST(count(*) FILTER (WHERE event_type = '{c}') "

@@ -1080,16 +1080,7 @@ def pq_adc_topk(
     any layout; recall vs brute force is pinned by the tests."""
     from .ops import top_k
 
-    qs = np.asarray(query, np.float64)
-    qs = qs / (np.linalg.norm(qs) or 1.0)
-    offs = np.r_[0, np.cumsum([b.shape[1] for b in codebooks])].astype(int)
-    lut = [
-        np.floor(scale * (qs[offs[s]:offs[s + 1]]
-                          / (np.linalg.norm(qs[offs[s]:offs[s + 1]]) or 1.0)
-                          ) @ b.T).astype(np.int64)
-        for s, b in enumerate(codebooks)
-    ]
-    lut_ref = ray.put(lut)
+    lut_ref = ray.put(_adc_lut(codebooks, query, scale))
     m = len(codebooks)
 
     def _score(batch: pa.Table) -> pa.Table:
@@ -1104,3 +1095,106 @@ def pq_adc_topk(
 
     scored = codes.map_batches(_score, batch_format="pyarrow")
     return top_k(scored, "score_q", k, descending=True, tie_cols=[id_col])
+
+def _adc_lut(
+    codebooks: list[np.ndarray], query: np.ndarray, scale: float
+) -> list[np.ndarray]:
+    """The (m × k) integer ADC lookup tables for one query:
+    ``lut[s][c] = floor(scale · ⟨q_s/‖q_s‖, book_s[c]⟩)``.  The full-q
+    normalization cancels under per-subspace renormalization, so the
+    tables depend only on the raw query — the SQL twin derives the
+    same values from the subspace-normalized unnest."""
+    qs = np.asarray(query, np.float64)
+    qs = qs / (np.linalg.norm(qs) or 1.0)
+    offs = np.r_[0, np.cumsum([b.shape[1] for b in codebooks])].astype(int)
+    return [
+        np.floor(scale * (qs[offs[s]:offs[s + 1]]
+                          / (np.linalg.norm(qs[offs[s]:offs[s + 1]]) or 1.0)
+                          ) @ b.T).astype(np.int64)
+        for s, b in enumerate(codebooks)
+    ]
+
+
+def ivfpq_topk(
+    vectors: rd.Dataset,
+    query: np.ndarray,
+    num_centroids: int = 8,
+    nprobe: int = 3,
+    m: int = 2,
+    codewords: int = 4,
+    iters: int = 2,
+    k: int = 5,
+    seed: int = 42,
+    scale: float = 1e6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """IVF-PQ composed search (Jégou et al., TPAMI 2011 — the standard
+    billion-scale ANN layout): a coarse IVF quantizer prunes the
+    candidate set to ``nprobe`` buckets and PQ codes score the
+    survivors from memory-resident small ints — at 100 TB the probe
+    reads only the probed buckets' partitions (build_ivf_index's
+    layout) and the float vectors never need to be resident at all.
+
+    Every ranking here is over INTEGERS so the result is bit-exact at
+    any block layout and SQL-reproducible: bucket probe by
+    ``floor(scale·⟨q̂, centroid⟩)`` with (score desc, cid asc)
+    tie-break, candidate ADC score by the summed :func:`_adc_lut`
+    entries with (score desc, id asc).  One encode pass assigns bucket
+    AND codes (no join); the bucket filter is a stateless mask — zero
+    shuffles end to end.  PQ encodes the raw normalized vectors (IVF
+    is pruning only, not residual coding) — the IVF-Flat-with-codes
+    variant, documented so the oracle can reproduce it."""
+    from .ops import top_k
+
+    cent = kmeans_centroids(vectors, num_centroids, iters=iters, seed=seed,
+                            vec_col=vec_col, id_col=id_col)
+    books = pq_codebooks(vectors, m=m, k=codewords, iters=iters, seed=seed,
+                         vec_col=vec_col, id_col=id_col,
+                         dim=cent.shape[1])
+    qs = np.asarray(query, np.float64)
+    qn = qs / (np.linalg.norm(qs) or 1.0)
+    pdots = np.floor(scale * (qn @ cent.T)).astype(np.int64)
+    order = np.lexsort((np.arange(len(pdots)), -pdots))
+    probed = np.sort(order[:nprobe])
+    lut = _adc_lut(books, qs, scale)
+
+    cent_ref = ray.put(cent)
+    books_ref = ray.put([np.asarray(b, np.float64) for b in books])
+    lut_ref = ray.put(lut)
+    subs = [b.shape[1] for b in books]
+    offs = np.r_[0, np.cumsum(subs)].astype(int)
+    probed_set = probed  # sorted small array, rides the closure
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        bks = ray.get(books_ref)
+        tabs = ray.get(lut_ref)
+        full = _batch_matrix(batch, vec_col)
+        bucket = np.argmax(_normalize(full) @ c.T, axis=1)
+        keep = np.isin(bucket, probed_set)
+        if not keep.any():
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "score_q": pa.array([], pa.int64()),
+            })
+        ids = np_col(batch, id_col)[keep]
+        full = full[keep]
+        sc = np.zeros(len(ids), np.int64)
+        for s, b in enumerate(bks):
+            ms = _normalize(full[:, offs[s]:offs[s + 1]])
+            code = np.argmax(ms @ b.T, axis=1)
+            sc += tabs[s][code]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "bucket": pa.array(bucket[keep].astype(np.int64), pa.int64()),
+            "score_q": pa.array(sc, pa.int64()),
+        })
+
+    scored = vectors.map_batches(_probe, batch_format="pyarrow")
+    out = top_k(scored, "score_q", k, descending=True, tie_cols=[id_col])
+    out = out.sort_by([("score_q", "descending"), (id_col, "ascending")])
+    return out.append_column(
+        "rank", pa.array(np.arange(1, out.num_rows + 1, dtype=np.int64),
+                         pa.int64()))

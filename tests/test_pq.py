@@ -113,3 +113,45 @@ def test_pq_adc_recall_on_clustered_data():
     sc = np_col(adc, "score_q")
     assert sc.dtype == np.int64
     assert (np.diff(sc) <= 0).all()
+
+
+def test_ivfpq_full_probe_equals_adc_over_all():
+    """With nprobe = num_centroids, IVF pruning is a no-op: the
+    composed search must return exactly the global ADC top-k."""
+    from essentials_rd.ann import ivfpq_topk, pq_codebooks, pq_encode
+
+    rng = np.random.default_rng(21)
+    m = rng.normal(size=(160, 16))
+    ds = _vec_ds(m).repartition(4)
+    q = m[5].astype(np.float32).astype(np.float64)
+    got = ivfpq_topk(ds, q, num_centroids=4, nprobe=4, m=4, codewords=8,
+                     iters=2, k=8, seed=3)
+    books = pq_codebooks(ds, m=4, k=8, iters=2, seed=3, dim=16)
+    want = pq_adc_topk(pq_encode(ds, books), books, q, k=8)
+    assert np_col(got, "vec_id").tolist() == np_col(want, "vec_id").tolist()
+    assert np_col(got, "score_q").tolist() == np_col(want, "score_q").tolist()
+    assert np_col(got, "rank").tolist() == list(range(1, 9))
+
+
+def test_ivfpq_pruned_results_subset_and_layout_invariant():
+    from essentials_rd.ann import ivfpq_topk
+
+    rng = np.random.default_rng(8)
+    centers = rng.normal(size=(6, 16)) * 4.0
+    labels = rng.integers(0, 6, size=200)
+    pts = centers[labels] + rng.normal(size=(200, 16)) * 0.3
+    q = pts[3]
+    outs = []
+    for parts in (2, 9):
+        ds = _vec_ds(pts).repartition(parts)
+        t = ivfpq_topk(ds, q, num_centroids=6, nprobe=2, m=4,
+                       codewords=8, iters=3, k=10, seed=5)
+        outs.append((np_col(t, "vec_id").tolist(),
+                     np_col(t, "score_q").tolist(),
+                     np_col(t, "bucket").tolist()))
+    assert outs[0] == outs[1]
+    got = np.array(outs[0][0])
+    # pruned search still finds the query's planted cluster
+    assert (labels[got] == labels[3]).mean() >= 0.9
+    # results only come from probed buckets (<= nprobe distinct)
+    assert len(set(outs[0][2])) <= 2
