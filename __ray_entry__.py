@@ -2304,6 +2304,52 @@ def _q_user_sessions(sf_dir: str):
     return sessionize(ev, gap_minutes=SESSION_GAP_MIN)
 
 
+IV_MOD_MIN = 45  # interval duration: (event_id % 45 + 1) minutes
+
+
+def _q_user_intervals(sf_dir: str):
+    """Per-user interval UNION (windows.merge_intervals): each event
+    opens a half-open extent [ts, ts + (event_id % 45 + 1) min) and
+    overlapping/touching extents collapse into maximal merged
+    intervals — the gaps-and-islands shape (playback spans, locks)
+    that point-event sessionization cannot express.  One user-bucketed
+    exchange, banded-cummax kernel, no Python loop."""
+    import ray.data as rd
+
+    from essentials_rd.util import np_col
+    from essentials_rd.windows import _epoch_us, merge_intervals
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        t = _epoch_us(batch, "ts")
+        eid = np_col(batch, "event_id").astype(np.int64)
+        dur = (eid % IV_MOD_MIN + 1) * 60_000_000
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "s": pa.array(t, pa.int64()),
+            "e": pa.array(t + dur, pa.int64()),
+        })
+
+    return merge_intervals(ev.map_batches(_mk, batch_format="pyarrow"))
+
+
+def _user_intervals_sql() -> str:
+    return (
+        "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+        f"epoch_us(ts) + ((event_id % {IV_MOD_MIN}) + 1) * 60000000 AS e "
+        "FROM events), "
+        "m AS (SELECT user_id, s, e, CASE WHEN s <= max(e) OVER "
+        "(PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING) THEN 0 ELSE 1 END AS new FROM iv), "
+        "g AS (SELECT user_id, s, e, sum(new) OVER (PARTITION BY user_id "
+        "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS gid FROM m) "
+        "SELECT user_id, min(s) AS iv_start, max(e) AS iv_end, "
+        "CAST(count(*) AS BIGINT) AS n_src FROM g GROUP BY user_id, gid"
+    )
+
+
 HOP_SIZE_MIN = 120
 HOP_MIN = 60
 TOPK_PER_LANG = 3
@@ -8028,6 +8074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_hopping": _q_events_hopping,
         "user_sessions": _q_user_sessions,
+        "user_intervals": _q_user_intervals,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantity_quantiles": _q_quantity_quantiles,
         "quantity_quantiles_cont": _q_quantity_quantiles_cont,
@@ -9292,6 +9339,7 @@ def oracle_sql() -> dict[str, str]:
             "AS last_orderkey "
             "FROM events e"
         ),
+        "user_intervals": _user_intervals_sql(),
         "user_sessions": (
             "WITH o AS MATERIALIZED ("
             "  SELECT user_id, epoch_us(ts) AS t, event_id, "

@@ -920,3 +920,76 @@ def event_disorder(
         "max_disorder_us": pa.array([r["max_disorder_us"] for r in rows],
                                     pa.int64()),
     })
+
+
+def merge_intervals(
+    intervals: rd.Dataset,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key interval UNION (gaps-and-islands): collapse overlapping
+    or touching half-open ``[start, end)`` intervals into maximal
+    merged intervals — the interval-algebra shape gap-sessionization
+    does not cover (sessionize splits on inactivity between POINT
+    events; this merges EXTENTS, e.g. playback spans, locks, on-call
+    shifts).  Output: one row per merged interval,
+    (key, iv_start, iv_end, n_src).
+
+    ONE key-hash bucketed exchange lands each key's intervals
+    together; inside the bucket one lexsort by (key, start, end), then
+    the running maximum of interval ends — segmented per key via the
+    int64 band-offset trick (each key's ends shifted into a disjoint
+    band so ONE global np.maximum.accumulate does every key at once,
+    overflow-asserted) — marks a new merged interval exactly where a
+    start clears every earlier end (touching intervals merge:
+    ``start <= running_end``).  No Python loop, linear per bucket; the
+    partitioning assumption is per-key locality, same as sessionize.
+    Raises on ``end < start`` (an invalid extent has no well-defined
+    union)."""
+
+    def _merge(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                "iv_start": pa.array([], pa.int64()),
+                "iv_end": pa.array([], pa.int64()),
+                "n_src": pa.array([], pa.int64()),
+            })
+        k = np_col(grp, key_col).astype(np.int64)
+        s = np_col(grp, start_col).astype(np.int64)
+        e = np_col(grp, end_col).astype(np.int64)
+        if (e < s).any():
+            bad = int(np.flatnonzero(e < s)[0])
+            raise ValueError(
+                f"invalid interval end < start at key {k[bad]}: "
+                f"[{s[bad]}, {e[bad]})"
+            )
+        order = np.lexsort((e, s, k))
+        k, s, e = k[order], s[order], e[order]
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        seg = np.cumsum(new_key) - 1
+        base = e.min()
+        band = np.int64(e.max() - base + 1)
+        assert (seg[-1] + 1) * band < np.int64(2) ** 62, \
+            "band-offset overflow: too many keys x end-span per bucket"
+        cm = np.maximum.accumulate(seg * band + (e - base))
+        prev = np.r_[np.int64(-2) ** 62, cm[:-1]] - seg * band + base
+        new_iv = new_key | (s > prev)
+        starts = np.flatnonzero(new_iv)
+        return pa.table({
+            key_col: pa.array(k[starts], pa.int64()),
+            "iv_start": pa.array(s[starts], pa.int64()),
+            "iv_end": pa.array(np.maximum.reduceat(e, starts), pa.int64()),
+            "n_src": pa.array(
+                np.diff(np.r_[starts, len(k)]).astype(np.int64), pa.int64()
+            ),
+        })
+
+    return hash_bucket_agg(
+        intervals,
+        lambda b: np_col(b, key_col).astype(np.int64),
+        _merge,
+        num_buckets=num_buckets,
+    )

@@ -422,3 +422,73 @@ def test_transition_counts_matches_pandas_lag():
         assert got["prev_val"].tolist() == want["prev"].tolist()
         assert got["next_val"].tolist() == want["event_type"].tolist()
         assert got["n"].tolist() == want["n"].tolist(), f"nb={nb}"
+
+
+def _merge_ref(rows):
+    """Brute-force interval union per key."""
+    out = []
+    bykey = {}
+    for k, s, e in rows:
+        bykey.setdefault(k, []).append((s, e))
+    for k, ivs in bykey.items():
+        ivs.sort()
+        cur_s, cur_e, n = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s <= cur_e:
+                cur_e, n = max(cur_e, e), n + 1
+            else:
+                out.append((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        out.append((k, cur_s, cur_e, n))
+    return sorted(out)
+
+
+def test_merge_intervals_matches_bruteforce_and_layout_invariant():
+    from essentials_rd.windows import merge_intervals
+
+    rng = np.random.default_rng(17)
+    n = 400
+    rows = [
+        (int(k), int(s), int(s + d))
+        for k, s, d in zip(
+            rng.integers(0, 12, n),
+            rng.integers(0, 10_000, n),
+            rng.integers(0, 500, n),  # includes zero-length extents
+        )
+    ]
+    # plant exact-touch pairs: [100,200) then [200,300) must merge
+    rows += [(99, 100, 200), (99, 200, 300), (99, 301, 310)]
+    want = _merge_ref(rows)
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "s": pa.array([r[1] for r in rows], pa.int64()),
+        "e": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    outs = []
+    for parts in (1, 7):
+        got = merge_intervals(
+            rd.from_arrow(t).repartition(parts), num_buckets=8
+        ).to_pandas()
+        outs.append(sorted(
+            (int(r.user_id), int(r.iv_start), int(r.iv_end), int(r.n_src))
+            for r in got.itertuples()
+        ))
+    assert outs[0] == want
+    assert outs[0] == outs[1]
+    # the planted touch-merge collapsed into one interval
+    k99 = [r for r in outs[0] if r[0] == 99]
+    assert k99 == [(99, 100, 300, 2), (99, 301, 310, 1)]
+
+
+def test_merge_intervals_rejects_inverted_extent():
+    import pytest as _pytest
+
+    from essentials_rd.windows import merge_intervals
+
+    t = pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "s": pa.array([10], pa.int64()),
+        "e": pa.array([5], pa.int64()),
+    })
+    with _pytest.raises(Exception, match="end < start"):
+        merge_intervals(rd.from_arrow(t), num_buckets=2).to_pandas()
