@@ -7511,6 +7511,91 @@ def _q_lsh_cosine(sf_dir: str):
                               bands=LSH_BANDS)
 
 
+DBSCAN_EPS = 20       # integer units after x1000 quantization
+DBSCAN_MINPTS = 4     # eps-ball INCLUDING self
+DBSCAN_Q = 1000
+DBSCAN_CC_ITERS = 24  # ≥ measured min-propagation rounds (13 / 21)
+
+
+def _q_dbscan(sf_dir: str):
+    """Grid-partitioned DBSCAN (dbscan.grid_dbscan) over the
+    integer-quantized first two embedding dims: cell side == eps makes
+    the 3×3 grid join a lossless blocking of the eps-neighbor
+    predicate (exact integer distance compares — no all-pairs), core
+    flags are exact in-bucket counts, clusters come from the SAME
+    hash-min CC superstep engine as the link graph, border points take
+    the MIN adjacent core cluster (the deterministic variant of
+    DBSCAN's order-dependent border rule) and noise is -1.  The oracle
+    recomputes the whole path from the brute-force pair predicate, so
+    equality also certifies the grid blocking is lossless."""
+    import ray.data as rd
+
+    from essentials_rd.dbscan import grid_dbscan
+    from essentials_rd.pipelines import _work_dir
+    from essentials_rd.util import np_col
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+    def _quant(t: pa.Table) -> pa.Table:
+        m = np.array(t.column("embedding").to_pylist(), np.float64)
+        return pa.table({
+            "vec_id": t.column("vec_id").cast(pa.int64()),
+            "px": pa.array(np.floor(m[:, 0] * DBSCAN_Q).astype(np.int64),
+                           pa.int64()),
+            "py": pa.array(np.floor(m[:, 1] * DBSCAN_Q).astype(np.int64),
+                           pa.int64()),
+        })
+
+    pts = vecs.map_batches(_quant, batch_format="pyarrow")
+    out, steps = grid_dbscan(pts, _work_dir("dbscan"), DBSCAN_EPS,
+                             DBSCAN_MINPTS)
+    assert steps <= DBSCAN_CC_ITERS, (steps, DBSCAN_CC_ITERS)
+    return out
+
+
+def _dbscan_sql() -> str:
+    eps2 = DBSCAN_EPS * DBSCAN_EPS
+    steps = [
+        f"""pts AS MATERIALIZED (SELECT vec_id,
+      CAST(floor(embedding[1] * {DBSCAN_Q}) AS BIGINT) AS px,
+      CAST(floor(embedding[2] * {DBSCAN_Q}) AS BIGINT) AS py
+      FROM embeddings),
+nb AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b FROM pts a, pts b
+  WHERE a.vec_id <> b.vec_id AND
+  (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py) <= {eps2}),
+cnt AS (SELECT a AS vec_id, count(*) AS n FROM nb GROUP BY a),
+cls AS MATERIALIZED (SELECT p.vec_id,
+  COALESCE(c.n, 0) + 1 >= {DBSCAN_MINPTS} AS is_core
+  FROM pts p LEFT JOIN cnt c USING (vec_id)),
+cc AS MATERIALIZED (SELECT nb.a, nb.b FROM nb
+  JOIN cls ca ON ca.vec_id = nb.a JOIN cls cb ON cb.vec_id = nb.b
+  WHERE ca.is_core AND cb.is_core),
+x0 AS (SELECT vec_id AS vid, vec_id AS label FROM cls WHERE is_core)"""
+    ]
+    for k in range(DBSCAN_CC_ITERS):
+        steps.append(f"""
+xm{k} AS MATERIALIZED (SELECT e.b AS vid, min(l.label) AS ml
+  FROM cc e JOIN x{k} l ON l.vid = e.a GROUP BY e.b),
+x{k + 1} AS MATERIALIZED (SELECT v.vid,
+  least(v.label, COALESCE(m.ml, v.label)) AS label
+  FROM x{k} v LEFT JOIN xm{k} m ON m.vid = v.vid)""")
+    n = DBSCAN_CC_ITERS
+    return (
+        "WITH " + ",".join(steps) + f""",
+border AS (SELECT nb.a AS vec_id, min(x.label) AS label FROM nb
+  JOIN cls ca ON ca.vec_id = nb.a JOIN cls cb ON cb.vec_id = nb.b
+  JOIN x{n} x ON x.vid = nb.b
+  WHERE NOT ca.is_core AND cb.is_core GROUP BY nb.a)
+SELECT vid AS vec_id, label, CAST(2 AS BIGINT) AS role FROM x{n}
+UNION ALL SELECT vec_id, label, CAST(1 AS BIGINT) AS role FROM border
+UNION ALL SELECT c.vec_id, CAST(-1 AS BIGINT) AS label,
+  CAST(0 AS BIGINT) AS role FROM cls c
+  LEFT JOIN border b ON b.vec_id = c.vec_id
+  WHERE NOT c.is_core AND b.vec_id IS NULL"""
+    )
+
+
 def _q_embedding_clusters(sf_dir: str):
     """Embedding near-duplicate CLUSTERS (ann.cosine_dup_clusters):
     exact cosine pair graph → the same hash-min CC engine as the link
@@ -8202,6 +8287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dup": _q_cosine_near_dup,
         "lsh_cosine_pairs": _q_lsh_cosine,
         "embedding_clusters": _q_embedding_clusters,
+        "dbscan_clusters": _q_dbscan,
         "orders_per_nation": _q_orders_per_nation,
         "urgent_orders_by_priority": _q_urgent_orders_by_priority,
         "orders_rollup": _q_orders_rollup,
@@ -9616,6 +9702,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "msf_total": _msf_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "embedding_clusters": _embedding_clusters_sql(),
+        "dbscan_clusters": _dbscan_sql(),
         "lang_pred": _lang_pred_sql(),
         "pagerank_k8": _pagerank_sql(),
         "top_pagerank": _top_pagerank_sql(),
