@@ -3673,6 +3673,51 @@ def _hash_features_sql() -> str:
 QUERY_TEXT = "data processing engine"
 
 
+BM25_K = 10
+BM25_SCALE = 1_000_000
+
+
+def _q_bm25(sf_dir: str):
+    """Exact-integer BM25 retrieval (textops.bm25_topk): linear idf
+    N/df and rational k1=6/5, b=3/4 make every per-term value an exact
+    integer floor-quotient, so the ranking is bit-identical at any
+    layout and in SQL.  One stats fold, one tokenize pass restricted
+    to query tokens, one bucketed per-doc sum, one top-k — the corpus
+    vocabulary is never built."""
+    import ray.data as rd
+
+    from essentials_rd.textops import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return bm25_topk(docs, QUERY_TEXT, k=BM25_K, scale=BM25_SCALE)
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+st AS MATERIALIZED (SELECT (SELECT count(*) FROM documents) AS n,
+                           (SELECT count(*) FROM tok) AS t),
+q AS (SELECT DISTINCT unnest(string_split('{QUERY_TEXT}', ' ')) AS token),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, count(*) AS tf FROM tok JOIN q USING (token)
+  GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT f.doc_id,
+    CAST((CAST({BM25_SCALE} AS HUGEINT) * 22 * s.n * f.tf * s.t) //
+         (CAST(d.df AS HUGEINT) *
+          (10 * f.tf * s.t + 3 * s.t + 9 * l.dl * s.n)) AS BIGINT) AS term
+  FROM tf f JOIN df d USING (token) JOIN dl l USING (doc_id), st s
+)
+SELECT doc_id, CAST(sum(term) AS BIGINT) AS score FROM sc GROUP BY 1
+ORDER BY score DESC, doc_id LIMIT {BM25_K}"""
+
+
 def _q_doc_query_scores(sf_dir: str):
     """Vocabulary-free text retrieval: score every document by the
     exact integer dot product of its hashing-trick vector with the
@@ -8337,6 +8382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_features": _q_hash_features,
         "pair_lift": _q_pair_lift,
         "doc_query_scores": _q_doc_query_scores,
+        "bm25_top10": _q_bm25,
         "rich_club": _q_rich_club,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
@@ -9726,6 +9772,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "doc_hash_features": _hash_features_sql(),
         "pair_lift": _pair_lift_sql(),
         "doc_query_scores": _doc_query_scores_sql(),
+        "bm25_top10": _bm25_sql(),
         "rich_club": _rich_club_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),

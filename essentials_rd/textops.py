@@ -2431,3 +2431,139 @@ def greedy_cover(
         id_col: pa.array(out_doc, pa.int64()),
         "gain": pa.array(out_gain, pa.int64()),
     })
+
+
+def bm25_topk(
+    docs: rd.Dataset,
+    query: str,
+    k: int = 10,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Exact-integer BM25 retrieval (Robertson–Spärck Jones ranking,
+    the linear-idf variant): score every candidate document (≥1 query
+    token) and return the top-k by (score desc, doc_id asc).
+
+    With k1 = 6/5, b = 3/4 and idf = N/df (linear — a log idf would
+    hinge on last-ulp libm agreement), every per-term BM25 value is a
+    ratio of exact integers:
+
+        term = 22·N·tf·T // (df · (10·tf·T + 3·T + 9·dl·N)) · scale
+
+    computed by INTEGER floor division (overflow-asserted), so the
+    summed score and hence the ranking are bit-identical at any block
+    layout and in SQL.  N = corpus size, T = total tokens, dl = doc
+    length, avgdl = T/N never needs to exist as a float.
+
+    Dataflow: one stats fold (per-block (n_docs, n_tokens) partials —
+    zero shuffle), one tokenize pass emitting (doc, token, tf, dl)
+    rows for QUERY tokens only (each doc is one row, so per-batch tf
+    is complete), df per query token folded driver-side (|query| rows,
+    driver-small by construction), one stateless scoring pass, one
+    bucketed per-doc sum, one top-k.  The corpus vocabulary is never
+    built, shipped or collected."""
+    from .ops import hash_bucket_agg, top_k
+
+    q_tokens = sorted(set(query.split(" ")))
+
+    # ---- stats fold: N docs, T total tokens (zero-shuffle partials)
+    def _stats(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        return pa.table({
+            "n": pa.array([len(s)], pa.int64()),
+            "t": pa.array([int(s.str.split(" ").str.len().sum())],
+                          pa.int64()),
+        })
+
+    parts = docs.map_batches(_stats, batch_format="pyarrow").take_all()
+    n_docs = np.int64(sum(r["n"] for r in parts))
+    t_tokens = np.int64(sum(r["t"] for r in parts))
+
+    # ---- (doc, query-token, tf, dl) rows
+    qset = set(q_tokens)
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        ids = np_col(batch, id_col)
+        toks = s.str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64)
+        out_id, out_tok, out_tf, out_dl = [], [], [], []
+        rep = np.repeat(np.arange(len(s)), dl)
+        flat = toks.explode().to_numpy(object)
+        if len(flat):
+            qmask = np.isin(flat, q_tokens)
+            rep, flat = rep[qmask], flat[qmask]
+            if len(flat):
+                codes, uq = pd.factorize(pd.Series(flat))
+                key = rep.astype(np.int64) * np.int64(len(uq)) + codes
+                uk, cnt = np.unique(key, return_counts=True)
+                di = (uk // len(uq)).astype(np.int64)
+                out_id = ids[di]
+                out_tok = np.asarray(uq, object)[uk % len(uq)].tolist()
+                out_tf = cnt.astype(np.int64)
+                out_dl = dl[di]
+        return pa.table({
+            id_col: pa.array(np.asarray(out_id, np.int64), pa.int64()),
+            "token": pa.array(out_tok, pa.string()),
+            "tf": pa.array(np.asarray(out_tf, np.int64), pa.int64()),
+            "dl": pa.array(np.asarray(out_dl, np.int64), pa.int64()),
+        })
+
+    tf = docs.map_batches(_tf, batch_format="pyarrow").materialize()
+
+    # ---- df per query token: |query| rows — driver-small by construction
+    def _df_part(batch: pa.Table) -> pa.Table:
+        codes, uq = pd.factorize(batch.column("token").to_pandas())
+        return pa.table({
+            "token": pa.array(np.asarray(uq, object).tolist(), pa.string()),
+            "df": pa.array(np.bincount(codes).astype(np.int64), pa.int64()),
+        })
+
+    df = {}
+    for r in tf.map_batches(_df_part, batch_format="pyarrow").take_all():
+        df[r["token"]] = df.get(r["token"], 0) + r["df"]
+    if not df:  # no query token occurs anywhere: no candidates
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
+
+    # ---- exact-integer per-term score, per-doc sum, top-k
+    df_tok = np.array(sorted(df), object)
+    df_val = np.array([df[t] for t in sorted(df)], np.int64)
+    sc = np.int64(scale)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        toks = batch.column("token").to_pandas().to_numpy(object)
+        pos = np.searchsorted(df_tok, toks)
+        dfv = df_val[pos]
+        tfv = np_col(batch, "tf")
+        dlv = np_col(batch, "dl")
+        num = sc * np.int64(22) * n_docs * tfv * t_tokens
+        den = dfv * (np.int64(10) * tfv * t_tokens + np.int64(3) * t_tokens
+                     + np.int64(9) * dlv * n_docs)
+        # overflow guard: recompute the worst factor chain in float
+        assert float(sc) * 22.0 * float(n_docs) * float(tfv.max(initial=0)) \
+            * float(t_tokens) < 2**63, "bm25 numerator overflows int64"
+        return pa.table({
+            id_col: batch.column(id_col),
+            "term": pa.array(num // den, pa.int64()),
+        })
+
+    def _sum(grp: pa.Table) -> pa.Table:
+        ids = np_col(grp, id_col)
+        tm = np_col(grp, "term")
+        order = np.argsort(ids, kind="stable")
+        ids, tm = ids[order], tm[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        return pa.table({
+            id_col: pa.array(ids[starts], pa.int64()),
+            "score": pa.array(np.add.reduceat(tm, starts), pa.int64()),
+        })
+
+    scores = hash_bucket_agg(
+        tf.map_batches(_score, batch_format="pyarrow"),
+        lambda b: np_col(b, id_col),
+        _sum,
+        num_buckets=16,
+    )
+    return top_k(scores, "score", k, descending=True, tie_cols=[id_col])

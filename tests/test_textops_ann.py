@@ -752,3 +752,56 @@ def test_repetition_stats_matches_bruteforce():
                      for j in range(len(toks) - k + 1)]
         assert got.n_grams[i] == len(grams), (i, s)
         assert got.n_distinct[i] == len(set(grams)), (i, s)
+
+
+def test_bm25_matches_local_reference_and_invariance():
+    from essentials_rd.textops import bm25_topk
+
+    docs = [
+        (0, "data engine fast data data"),
+        (1, "engine room"),
+        (2, "data processing pipeline processing"),
+        (3, "totally unrelated words here"),
+        (4, "data data data data data data"),
+        (5, "processing engine data"),
+    ]
+    query = "data processing"
+    # local float-free reference: same integer formula
+    N = len(docs)
+    T = sum(len(t.split(" ")) for _, t in docs)
+    qt = set(query.split(" "))
+    df = {t: sum(1 for _, x in docs if t in x.split(" ")) for t in qt}
+    ref = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        s = 0
+        for w in qt:
+            tf = toks.count(w)
+            if tf:
+                s += (1_000_000 * 22 * N * tf * T) // (
+                    df[w] * (10 * tf * T + 3 * T + 9 * len(toks) * N))
+        if s:
+            ref[i] = s
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x in docs], pa.string()),
+    })
+    for parts in (1, 3):
+        got = bm25_topk(rd.from_arrow(t).repartition(parts), query, k=4)
+        pairs = list(zip(np_col(got, "doc_id").tolist(),
+                         np_col(got, "score").tolist()))
+        assert pairs == want
+    # doc 3 (no query token) is not a candidate
+    assert 3 not in {d for d, _ in want}
+
+
+def test_bm25_no_candidates_returns_empty():
+    from essentials_rd.textops import bm25_topk
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aaa bbb", "ccc ddd"], pa.string()),
+    })
+    got = bm25_topk(rd.from_arrow(t), "zzz qqq", k=5)
+    assert got.num_rows == 0
