@@ -2304,6 +2304,40 @@ def _q_user_sessions(sf_dir: str):
     return sessionize(ev, gap_minutes=SESSION_GAP_MIN)
 
 
+def _q_user_lag_moments(sf_dir: str):
+    """Per-user lag-1 moment tuple (windows.lag1_moments): eight exact
+    int64s over the (ts, event_id)-ordered half-up-cents value stream
+    from which lag-1 autocorrelation and Durbin-Watson derive exactly
+    — the SEQUENCE-ordered statistic the unordered moment queries
+    cannot express.  One user-bucketed exchange, cumsum-difference
+    segment kernel."""
+    import ray.data as rd
+
+    from essentials_rd.windows import lag1_moments
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return lag1_moments(ev)
+
+
+def _user_lag_moments_sql() -> str:
+    return (
+        "WITH o AS (SELECT user_id, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS x, "
+        "lead(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS y FROM events) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x) AS BIGINT) AS sum_x, "
+        "CAST(sum(x * x) AS BIGINT) AS sum_xx, "
+        "CAST(count(y) AS BIGINT) AS n_pairs, "
+        "CAST(COALESCE(sum(x) FILTER (WHERE y IS NOT NULL), 0) "
+        "AS BIGINT) AS sum_a, "
+        "CAST(COALESCE(sum(y), 0) AS BIGINT) AS sum_b, "
+        "CAST(COALESCE(sum(x * y), 0) AS BIGINT) AS sum_ab "
+        "FROM o GROUP BY user_id"
+    )
+
+
 IV_MOD_MIN = 45  # interval duration: (event_id % 45 + 1) minutes
 
 
@@ -8205,6 +8239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "user_sessions": _q_user_sessions,
         "user_intervals": _q_user_intervals,
+        "user_lag_moments": _q_user_lag_moments,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantity_quantiles": _q_quantity_quantiles,
         "quantity_quantiles_cont": _q_quantity_quantiles_cont,
@@ -9472,6 +9507,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e"
         ),
         "user_intervals": _user_intervals_sql(),
+        "user_lag_moments": _user_lag_moments_sql(),
         "user_sessions": (
             "WITH o AS MATERIALIZED ("
             "  SELECT user_id, epoch_us(ts) AS t, event_id, "

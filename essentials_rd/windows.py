@@ -993,3 +993,83 @@ def merge_intervals(
         _merge,
         num_buckets=num_buckets,
     )
+
+
+def lag1_moments(
+    events: rd.Dataset,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-user LAG-1 moment tuple over the (ts, id)-ordered value
+    stream, in exact half-up cents: ``(user_id, n, sum_x, sum_xx,
+    n_pairs, sum_a, sum_b, sum_ab)`` where (a, b) ranges over adjacent
+    value pairs within the user.  Lag-1 autocorrelation (and the
+    Durbin-Watson statistic) derive from these EIGHT int64s exactly —
+    no float covariance is ever computed, so the result is
+    bit-identical at any layout and in SQL (a lead() window twin).
+    This is the SEQUENCE-ordered statistic the unordered moment
+    queries (comoments, trend) cannot express: it needs per-user
+    locality AND the event order, i.e. one user-bucketed exchange and
+    a sorted in-bucket kernel — segment sums via cumsum differences,
+    no Python loop."""
+
+    def _project(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np_col(batch, value_col) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            user_col: batch.column(user_col).cast(pa.int64()),
+            "__ts__": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "__x__": pa.array(cents, pa.int64()),
+        })
+
+    def _moments(grp: pa.Table) -> pa.Table:
+        cols = ["n", "sum_x", "sum_xx", "n_pairs", "sum_a", "sum_b",
+                "sum_ab"]
+        if grp.num_rows == 0:
+            return pa.table(
+                {user_col: pa.array([], pa.int64()),
+                 **{c: pa.array([], pa.int64()) for c in cols}})
+        u = np_col(grp, user_col)
+        t = np_col(grp, "__ts__")
+        e = np_col(grp, id_col)
+        x = np_col(grp, "__x__")
+        order = np.lexsort((e, t, u))
+        u, x = u[order], x[order]
+        n = len(u)
+        new = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+
+        def seg(vals):  # per-user segment sums via cumsum differences
+            cs = np.r_[np.int64(0), np.cumsum(vals)]
+            return cs[ends] - cs[starts]
+
+        a, b = x[:-1], x[1:]
+        valid = ~new[1:]  # pair (i, i+1) counts iff same user
+        return pa.table({
+            user_col: pa.array(u[starts], pa.int64()),
+            "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "sum_x": pa.array(seg(x), pa.int64()),
+            "sum_xx": pa.array(seg(x * x), pa.int64()),
+            "n_pairs": pa.array(
+                seg(np.r_[valid.astype(np.int64), np.int64(0)]), pa.int64()),
+            "sum_a": pa.array(
+                seg(np.r_[a * valid, np.int64(0)]), pa.int64()),
+            "sum_b": pa.array(
+                seg(np.r_[b * valid, np.int64(0)]), pa.int64()),
+            "sum_ab": pa.array(
+                seg(np.r_[a * b * valid, np.int64(0)]), pa.int64()),
+        })
+
+    projected = events.map_batches(_project, batch_format="pyarrow")
+    return hash_bucket_agg(
+        projected,
+        lambda b: np_col(b, user_col).astype(np.int64),
+        _moments,
+        num_buckets=num_buckets,
+    )

@@ -492,3 +492,56 @@ def test_merge_intervals_rejects_inverted_extent():
     })
     with _pytest.raises(Exception, match="end < start"):
         merge_intervals(rd.from_arrow(t), num_buckets=2).to_pandas()
+
+
+def test_lag1_moments_matches_pandas_and_layout_invariant():
+    from essentials_rd.windows import lag1_moments
+
+    rng = np.random.default_rng(23)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**7, n), unit="us"),
+        "user_id": rng.integers(0, 9, n).astype(np.int64),
+        "value": rng.uniform(0, 50, n),
+    })
+    # equal timestamps stress the (ts, event_id) tie-break
+    df.loc[100:130, "ts"] = df.loc[100, "ts"]
+    x = np.floor(df.value.to_numpy() * 100 + 0.5).astype(np.int64)
+    df["x"] = x
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    for uid, g in s.groupby("user_id"):
+        v = g.x.to_numpy()
+        a, b = v[:-1], v[1:]
+        want[int(uid)] = (len(v), int(v.sum()), int((v * v).sum()),
+                          len(a), int(a.sum()), int(b.sum()),
+                          int((a * b).sum()))
+    outs = []
+    for parts in (1, 6):
+        got = lag1_moments(
+            rd.from_pandas(df.drop(columns=["x"])).repartition(parts),
+            num_buckets=8,
+        ).to_pandas().sort_values("user_id")
+        outs.append({
+            int(r.user_id): (int(r.n), int(r.sum_x), int(r.sum_xx),
+                             int(r.n_pairs), int(r.sum_a), int(r.sum_b),
+                             int(r.sum_ab))
+            for r in got.itertuples()
+        })
+    assert outs[0] == want
+    assert outs[0] == outs[1]
+
+
+def test_lag1_moments_single_event_user():
+    from essentials_rd.windows import lag1_moments
+
+    df = pd.DataFrame({
+        "event_id": [0], "ts": [pd.Timestamp("2024-01-01")],
+        "user_id": [7], "value": [1.25],
+    })
+    got = lag1_moments(rd.from_pandas(df), num_buckets=2).to_pandas()
+    r = got.iloc[0]
+    assert (int(r.n), int(r.sum_x), int(r.n_pairs), int(r.sum_a),
+            int(r.sum_b), int(r.sum_ab)) == (1, 125, 0, 0, 0, 0)
