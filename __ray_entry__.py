@@ -119,6 +119,65 @@ def _q_copurchase_edges(sf_dir: str):
     return copurchase_edges(sf_dir)
 
 
+NBRF_DIMS = 8
+NBRF_SCALE = 1_000_000
+
+
+def _q_nbr_feat_sum(sf_dir: str):
+    """Vector-payload neighbor aggregation (gnn.neighbor_feature_sum):
+    per vertex the EXACT sum of its neighbors' integer-quantized
+    embedding vectors — the one-hop GraphSAGE/GCN aggregation step,
+    i.e. SpMV with a vector payload.  Features reach the edges by one
+    partitioned join (never broadcast), blocks pre-combine partial
+    vectors before the single dst-bucketed exchange (the PageRank
+    message discipline with a d-wide payload).  Output: the first
+    NBRF_DIMS dims in long format (vid, dim, val)."""
+    import ray.data as rd
+
+    from essentials_rd.gnn import _list_matrix, neighbor_feature_sum
+    from essentials_rd.pipelines import copurchase_edges
+    from essentials_rd.util import np_col
+
+    edges = copurchase_edges(sf_dir)
+    feats = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    n_feat = feats.count()
+    out = neighbor_feature_sum(edges, feats, n_feat, scale=NBRF_SCALE)
+
+    def _long(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        vid = np_col(t, "vid")
+        m = _list_matrix(t.column("feat"), t.num_rows)[:, :NBRF_DIMS]
+        n, d = m.shape
+        return pa.table({
+            "vid": pa.array(np.repeat(vid, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n),
+                            pa.int64()),
+            "val": pa.array(m.ravel(), pa.int64()),
+        })
+
+    return out.map_batches(_long, batch_format="pyarrow")
+
+
+def _nbr_feat_sum_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, "
+        "e2 AS (SELECT src, dst FROM pairs "
+        "UNION ALL SELECT dst AS src, src AS dst FROM pairs), "
+        "nf AS (SELECT count(*) AS m FROM embeddings), "
+        "f AS (SELECT vec_id, CAST(j.j - 1 AS BIGINT) AS dim, "
+        f"CAST(floor(embedding[j.j] * {NBRF_SCALE}) AS BIGINT) AS q "
+        "FROM embeddings, LATERAL (SELECT unnest(range(1, "
+        f"{NBRF_DIMS} + 1)) AS j) j) "
+        "SELECT e2.dst AS vid, f.dim, CAST(sum(f.q) AS BIGINT) AS val "
+        "FROM e2 JOIN f ON f.vec_id = e2.src % (SELECT m FROM nf) "
+        "GROUP BY 1, 2"
+    )
+
+
 def _q_degree(sf_dir: str):
     import ray
 
@@ -8388,6 +8447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sha256": _q_corpus_sha256,
         "shared_token_edges": _q_shared_token_edges,
         "copurchase_edges": _q_copurchase_edges,
+        "nbr_feat_sum": _q_nbr_feat_sum,
         "degree": _q_degree,
         "degree_assortativity": _q_degree_assortativity,
         "pagerank_k8": _q_pagerank,
@@ -9683,6 +9743,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "copurchase_edges": (
             f"WITH {_GRAPH_CTES} SELECT src, dst, weight FROM pairs ORDER BY src, dst"
         ),
+        "nbr_feat_sum": _nbr_feat_sum_sql(),
         "degree": (
             f"WITH {_GRAPH_CTES} SELECT vid, CAST(outdeg AS BIGINT) AS degree "
             f"FROM deg ORDER BY vid"
