@@ -4323,6 +4323,60 @@ def _doc_splits_sql() -> str:
     )
 
 
+def _q_leakage_splits(sf_dir: str):
+    """LEAKAGE-SAFE train/val/test assignment: the split key is the
+    near-duplicate CLUSTER (min doc_id of the verified-Jaccard
+    component; a doc in no pair is its own cluster), so near-dups can
+    never straddle a split boundary — the contamination mode plain
+    per-doc splitting (doc_splits) cannot prevent.  Exact pair graph →
+    hash-min CC engine → one partitioned left join ships labels back
+    to the corpus → splitmix64 thresholds on the cluster id.  Output:
+    (doc_id, cluster, split)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import join, split_assign
+    from essentials_rd.pipelines import _work_dir
+    from essentials_rd.textops import near_dup_clusters
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    t = near_dup_clusters(docs, _work_dir("lsplit"), threshold=JACCARD_T,
+                          shingle_k=SHINGLE_K, exact=True)
+    labels = rd.from_arrow(t.select(["doc_id", "cluster"]))
+    joined = join(docs.select_columns(["doc_id"]), labels, on="doc_id",
+                  how="left", broadcast=False)
+
+    def _coalesce(b: pa.Table) -> pa.Table:
+        ids = np_col(b, "doc_id")
+        c = b.column("cluster").to_numpy(zero_copy_only=False)
+        c = np.asarray(c, np.float64)
+        cl = np.where(np.isnan(c), ids, c).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(cl, pa.int64())})
+
+    keyed = joined.map_batches(_coalesce, batch_format="pyarrow")
+    return split_assign(keyed, SPLIT_FRACS, SPLIT_LABELS,
+                        key_fn=lambda b: np_col(b, "cluster"),
+                        seed=SAMPLE_SEED)
+
+
+def _leakage_splits_sql() -> str:
+    t1, t2 = _split_thresholds()
+    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes("lsz", "doc_id, cluster", f"cluster + {mix}", "lab")
+    return (
+        f"WITH {_SHINGLE_CTE}, {_dup_cc_body()}, "
+        f"lab AS (SELECT d.doc_id, "
+        f"COALESCE(x.label, d.doc_id) AS cluster FROM documents d "
+        f"LEFT JOIN x{DUP_CC_ITERS} x ON x.vid = d.doc_id), "
+        f"{chain} SELECT doc_id, cluster, "
+        f"CASE WHEN z < CAST('{t1}' AS UBIGINT) THEN 'train' "
+        f"WHEN z < CAST('{t2}' AS UBIGINT) THEN 'val' "
+        f"ELSE 'test' END AS split FROM lsz3"
+    )
+
+
 def _q_user_gap_median(sf_dir: str):
     """Window + quantile composition: per-user MEDIAN inter-event gap
     in microseconds — lag_diff's (ts,id)-ordered gaps feed
@@ -8413,6 +8467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "user_gap_median": _q_user_gap_median,
         "doc_splits": _q_doc_splits,
+        "leakage_splits": _q_leakage_splits,
         "doc_repetition": _q_doc_repetition,
         "decayed_activity": _q_decayed_activity,
         "weighted_docs": _q_weighted_docs,
@@ -9992,6 +10047,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),
         "doc_splits": _doc_splits_sql(),
+        "leakage_splits": _leakage_splits_sql(),
         "decayed_activity": _decayed_activity_sql(),
         "weighted_docs": _weighted_docs_sql(),
         "doc_repetition": (

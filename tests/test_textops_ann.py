@@ -805,3 +805,46 @@ def test_bm25_no_candidates_returns_empty():
     })
     got = bm25_topk(rd.from_arrow(t), "zzz qqq", k=5)
     assert got.num_rows == 0
+
+
+def test_leakage_safe_split_keeps_near_dups_together(tmp_path):
+    """Split keyed on the dup cluster: planted near-dup pairs must
+    never straddle a split boundary (the failure mode of per-doc
+    splitting)."""
+    from essentials_rd.ops import join, split_assign
+    from essentials_rd.textops import near_dup_clusters
+
+    ds, rows = _docs(n=80, dup_pairs=8, near_pairs=8)
+    ds = ds.materialize()
+    t = near_dup_clusters(ds, str(tmp_path / "cc"), threshold=0.7)
+    labels = rd.from_arrow(t.select(["doc_id", "cluster"]))
+    joined = join(
+        ds.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"),
+        labels, on="doc_id", how="left", broadcast=False, num_buckets=8)
+
+    def _coalesce(b):
+        ids = np_col(b, "doc_id")
+        c = np.asarray(b.column("cluster").to_numpy(zero_copy_only=False),
+                       np.float64)
+        cl = np.where(np.isnan(c), ids, c).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(cl, pa.int64())})
+
+    out = split_assign(
+        joined.map_batches(_coalesce, batch_format="pyarrow"),
+        [0.6, 0.2, 0.2], ["train", "val", "test"],
+        key_fn=lambda b: np_col(b, "cluster"), seed=11,
+    ).to_pandas()
+    split_of = dict(zip(out.doc_id, out.split))
+    cluster_of = dict(zip(out.doc_id, out.cluster))
+    # exact dups (i, 1000+i) and near dups (10+j, 2000+j) share clusters
+    # hence splits
+    for i in range(8):
+        assert cluster_of[i] == cluster_of[1000 + i]
+        assert split_of[i] == split_of[1000 + i]
+        assert cluster_of[10 + i] == cluster_of[2000 + i]
+        assert split_of[10 + i] == split_of[2000 + i]
+    # all three splits populated and every doc assigned exactly once
+    assert set(out.split) == {"train", "val", "test"}
+    assert len(out) == len(rows) and out.doc_id.is_unique
