@@ -396,3 +396,94 @@ def read_box_zonemap(
                     pc.less_equal(t.column(y), y_hi)))),
         batch_format="pyarrow")
     return ds, len(paths)
+
+
+@ray.remote
+def _compact_shard(
+    out_dir: str, shard: int, pieces: list[tuple[str, int, int]]
+) -> dict:
+    """Write one output shard from its (file, row_lo, row_hi) pieces —
+    atomic temp-rename + _SUCCESS, same crash contract as
+    write_partitioned."""
+    tables = []
+    for path, lo, hi in pieces:
+        t = pq.read_table(path)
+        tables.append(t.slice(lo, hi - lo))
+    out = pa.concat_tables(tables)
+    dest = os.path.join(out_dir, f"shard_{shard:05d}.parquet")
+    tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(out, tmp)
+    os.replace(tmp, dest)
+    with open(dest + "._SUCCESS", "w") as f:
+        f.write("ok")
+    return {"shard": shard, "n_rows": out.num_rows,
+            "n_inputs": len(pieces)}
+
+
+def compact_small_files(
+    in_dir: str,
+    out_dir: str,
+    target_rows: int,
+    *,
+    skip_finished: bool = True,
+) -> pa.Table:
+    """Small-file compaction — the table-maintenance operator every
+    long-lived 100-TB lake needs: ``ds.write_parquet`` emits one file
+    per block, so a streamed job leaves thousands of KB-sized files
+    whose per-file open/footer cost then dominates every later scan.
+    This rewrites ``in_dir``'s parquet files into
+    ``out_dir/shard_%05d.parquet`` of exactly ``target_rows`` rows
+    each (last shard takes the remainder) in the DETERMINISTIC global
+    order (file name asc, row position) — so the result is a pure
+    function of the input tree, reproducible and diffable.
+
+    Planning reads only parquet FOOTERS (row counts) driver-side —
+    O(#files) metadata, the very quantity being fixed; row data moves
+    only inside per-shard Ray tasks, each reading just the files its
+    global row range touches (an input file spanning a shard boundary
+    is sliced, not re-read whole).  Raw tasks rather than Dataset ops
+    because a shard is an explicit (file, row-range) list — exactly
+    the semantics repartition() does not promise.  Each shard commits
+    atomically (temp + rename + ``_SUCCESS``); a rerun with
+    ``skip_finished`` rewrites only missing shards.  Returns a receipt
+    table (shard, n_rows, n_inputs, skipped)."""
+    assert target_rows > 0
+    files = sorted(
+        os.path.join(in_dir, f)
+        for f in os.listdir(in_dir)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    counts = [pq.read_metadata(f).num_rows for f in files]
+    total = int(np.sum(counts, dtype=np.int64))
+    os.makedirs(out_dir, exist_ok=True)
+    n_shards = max(1, -(-total // target_rows))
+    # global row offsets per file
+    offs = np.r_[np.int64(0), np.cumsum(counts, dtype=np.int64)]
+    receipts, futs = [], []
+    for s in range(n_shards):
+        dest = os.path.join(out_dir, f"shard_{s:05d}.parquet")
+        if skip_finished and os.path.exists(dest + "._SUCCESS"):
+            receipts.append({"shard": s, "n_rows": -1, "n_inputs": 0,
+                             "skipped": True})
+            continue
+        glo = s * target_rows
+        ghi = min(total, (s + 1) * target_rows)
+        pieces = []
+        first = int(np.searchsorted(offs, glo, side="right") - 1)
+        for i in range(first, len(files)):
+            if offs[i] >= ghi:
+                break
+            lo = max(glo, int(offs[i])) - int(offs[i])
+            hi = min(ghi, int(offs[i + 1])) - int(offs[i])
+            if hi > lo:
+                pieces.append((files[i], lo, hi))
+        futs.append(_compact_shard.remote(out_dir, s, pieces))
+    for r in ray.get(futs):
+        receipts.append({**r, "skipped": False})
+    receipts.sort(key=lambda r: r["shard"])
+    return pa.table({
+        "shard": pa.array([r["shard"] for r in receipts], pa.int64()),
+        "n_rows": pa.array([r["n_rows"] for r in receipts], pa.int64()),
+        "n_inputs": pa.array([r["n_inputs"] for r in receipts], pa.int64()),
+        "skipped": pa.array([r["skipped"] for r in receipts], pa.bool_()),
+    })

@@ -194,3 +194,57 @@ def test_zordered_layout_prunes_box_queries(tmp_path, ray_session):
     assert got_z == want and got_h == want
     assert nz < nh, (nz, nh)       # z-order actually prunes
     assert nz <= P // 2            # selective box opens few files
+
+
+def test_compact_small_files_order_sizes_and_resume(tmp_path):
+    import os
+    import time
+
+    import pyarrow.parquet as pq_
+
+    from essentials_rd.sinks import compact_small_files
+
+    # 17 tiny files with varied sizes — the write_parquet litter shape
+    rng = np.random.default_rng(3)
+    src = tmp_path / "small"
+    src.mkdir()
+    all_rows = []
+    k = 0
+    for i in range(17):
+        n = int(rng.integers(1, 40))
+        vals = np.arange(k, k + n, dtype=np.int64)
+        k += n
+        pq_.write_table(pa.table({"v": pa.array(vals, pa.int64())}),
+                        str(src / f"part-{i:04d}.parquet"))
+        all_rows.extend(vals.tolist())
+    out = tmp_path / "compact"
+    receipt = compact_small_files(str(src), str(out), target_rows=50)
+    # exact global order preserved, shard sizes exact
+    got = []
+    shards = sorted(os.listdir(out))
+    data_files = [f for f in shards if f.endswith(".parquet")]
+    for f in data_files:
+        t = pq_.read_table(str(out / f))
+        got.extend(t.column("v").to_pylist())
+        assert t.num_rows <= 50
+    assert got == all_rows
+    n_full = len(all_rows) // 50
+    sizes = [pq_.read_metadata(str(out / f)).num_rows for f in data_files]
+    assert sizes[:n_full] == [50] * n_full
+    assert receipt.num_rows == len(data_files)
+    assert not any(receipt.column("skipped").to_pylist())
+    # resume: delete one shard, rerun — only that shard rewritten
+    victim = data_files[1]
+    os.remove(str(out / victim))
+    os.remove(str(out / (victim + "._SUCCESS")))
+    mtimes = {f: os.path.getmtime(str(out / f))
+              for f in data_files if f != victim}
+    time.sleep(0.05)
+    receipt2 = compact_small_files(str(src), str(out), target_rows=50)
+    rows2 = {r["shard"]: r for r in receipt2.to_pylist()}
+    assert sum(1 for r in rows2.values() if not r["skipped"]) == 1
+    assert not rows2[1]["skipped"] and rows2[0]["skipped"]
+    for f, m in mtimes.items():
+        assert os.path.getmtime(str(out / f)) == m
+    t = pq_.read_table(str(out / victim))
+    assert t.column("v").to_pylist() == all_rows[50:100]
