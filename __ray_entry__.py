@@ -4294,6 +4294,50 @@ def _q_doc_repetition(sf_dir: str):
     return repetition_stats(docs, k=REP_K)
 
 
+SPAN_W = 6  # duplicated-span gram width (tokens)
+
+
+def _q_dup_span_coverage(sf_dir: str):
+    """Cross-document duplicated-span coverage (textops.
+    dup_span_coverage): per doc the token positions opening a
+    SPAN_W-gram that also occurs in ANOTHER doc — the substring-level
+    dedup audit (Lee et al. 2022) that surfaces boilerplate and
+    copy-paste chains whole-doc Jaccard misses.  Exact gram strings
+    end to end (no hash anywhere), one gram-bucketed df aggregate +
+    one partitioned join + one per-doc sum."""
+    import ray.data as rd
+
+    from essentials_rd.textops import dup_span_coverage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dup_span_coverage(docs, width=SPAN_W)
+
+
+def _dup_span_sql() -> str:
+    w = SPAN_W
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS MATERIALIZED (
+  SELECT doc_id, array_to_string(toks[i.i:i.i + {w - 1}], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - {w} + 2)) AS i) i
+),
+dg AS MATERIALIZED (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+),
+dfx AS (SELECT gram, count(*) AS df FROM dg GROUP BY 1),
+np AS (SELECT doc_id, count(*) AS n_pos FROM g GROUP BY 1),
+dup AS (
+  SELECT dg.doc_id, sum(dg.cnt) AS n_dup FROM dg
+  JOIN dfx USING (gram) WHERE dfx.df >= 2 GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(np.n_pos, 0) AS BIGINT) AS n_pos,
+  CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup_pos
+FROM documents d LEFT JOIN np USING (doc_id) LEFT JOIN dup USING (doc_id)"""
+
+
 def _q_doc_splits(sf_dir: str):
     """Deterministic train/val/test assignment (ops.split_assign):
     thresholds on splitmix64(doc_id ^ seed-mix) — identical across
@@ -8468,6 +8512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_median": _q_user_gap_median,
         "doc_splits": _q_doc_splits,
         "leakage_splits": _q_leakage_splits,
+        "dup_span_coverage": _q_dup_span_coverage,
         "doc_repetition": _q_doc_repetition,
         "decayed_activity": _q_decayed_activity,
         "weighted_docs": _q_weighted_docs,
@@ -10048,6 +10093,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "curated_docs": _curated_docs_sql(),
         "doc_splits": _doc_splits_sql(),
         "leakage_splits": _leakage_splits_sql(),
+        "dup_span_coverage": _dup_span_sql(),
         "decayed_activity": _decayed_activity_sql(),
         "weighted_docs": _weighted_docs_sql(),
         "doc_repetition": (

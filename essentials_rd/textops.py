@@ -2567,3 +2567,144 @@ def bm25_topk(
         num_buckets=16,
     )
     return top_k(scores, "score", k, descending=True, tie_cols=[id_col])
+
+
+def dup_span_coverage(
+    docs: rd.Dataset,
+    width: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Cross-document duplicated-SPAN coverage (the audit behind
+    substring-level training-data dedup, Lee et al. 2022): per doc the
+    number of token positions opening a ``width``-gram that also
+    occurs in ANOTHER document — boilerplate, license blocks and
+    copy-paste chains surface as high coverage even when whole-doc
+    Jaccard stays below any near-dup threshold.  Output:
+    (doc_id, n_pos, n_dup_pos), zero-filled for gram-less docs.
+
+    Exact token-gram STRINGS end to end — grouping and the join key
+    are the gram itself, so there is no hash-collision caveat anywhere
+    (at 100 TB you would prefilter on a 64-bit gram hash and
+    reconstruct strings only for hash-df ≥ 2 candidates — the
+    contamination operator's discipline; linear either way).  One
+    vectorized gram build per batch (W shifted object-array adds, no
+    per-position Python), one gram-bucketed df aggregate, one
+    partitioned join back, one per-doc sum."""
+    from .derive import _str_hash
+    from .ops import hash_bucket_agg, join
+
+    w = int(width)
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        ids = np_col(batch, id_col)
+        toks = s.str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy(object)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "gram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if not len(flat):
+            return empty
+        doc_idx = np.repeat(np.arange(len(s)), dl)
+        # position opens a full gram iff its last token stays in-doc
+        off = np.r_[np.int64(0), np.cumsum(dl)]
+        pos = np.arange(len(flat), dtype=np.int64) - off[doc_idx]
+        valid = pos <= dl[doc_idx] - w
+        if not valid.any():
+            return empty
+        gram = flat[:len(flat) - w + 1].copy() if w > 1 else flat.copy()
+        for j in range(1, w):
+            gram = gram + " "
+            gram = gram + flat[j:len(flat) - w + 1 + j]
+        vidx = np.flatnonzero(valid[:len(gram)])
+        gram = gram[vidx]
+        gdoc = doc_idx[vidx]
+        codes, uq = pd.factorize(pd.Series(gram))
+        key = gdoc.astype(np.int64) * np.int64(len(uq)) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            id_col: pa.array(ids[(uk // len(uq)).astype(np.int64)],
+                             pa.int64()),
+            "gram": pa.array(
+                np.asarray(uq, object)[uk % len(uq)].tolist(), pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    dg = docs.map_batches(_grams, batch_format="pyarrow").materialize()
+
+    def _df(grp: pa.Table) -> pa.Table:
+        codes, uq = pd.factorize(grp.column("gram").combine_chunks()
+                                 .to_pandas())
+        return pa.table({
+            "gram": pa.array(np.asarray(uq, object).tolist(), pa.string()),
+            "df": pa.array(np.bincount(codes).astype(np.int64), pa.int64()),
+        })
+
+    df_tbl = hash_bucket_agg(
+        dg.select_columns(["gram"]),
+        lambda b: np.asarray(_str_hash(b.column("gram"))),
+        _df,
+        num_buckets=num_buckets,
+    )
+    withdf = join(dg, df_tbl, on="gram", how="inner", broadcast=False,
+                  num_buckets=num_buckets)
+
+    def _dup_rows(t: pa.Table) -> pa.Table:
+        m = np_col(t, "df") >= 2
+        return pa.table({
+            id_col: t.column(id_col).filter(pa.array(m)),
+            "cnt": t.column("cnt").filter(pa.array(m)),
+        })
+
+    def _sum(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_dup_pos": pa.array([], pa.int64())})
+        ids = np_col(grp, id_col)
+        c = np_col(grp, "cnt")
+        order = np.argsort(ids, kind="stable")
+        ids, c = ids[order], c[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        return pa.table({
+            id_col: pa.array(ids[starts], pa.int64()),
+            "n_dup_pos": pa.array(np.add.reduceat(c, starts), pa.int64()),
+        })
+
+    dup = hash_bucket_agg(
+        withdf.map_batches(_dup_rows, batch_format="pyarrow"),
+        lambda b: np_col(b, id_col),
+        _sum,
+        num_buckets=num_buckets,
+    ).materialize()
+    if dup.count() == 0:
+        dup = rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_dup_pos": pa.array([], pa.int64()),
+        }))
+
+    def _npos(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        dl = s.str.split(" ").str.len().to_numpy(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "n_pos": pa.array(np.maximum(dl - w + 1, 0), pa.int64()),
+        })
+
+    base = docs.map_batches(_npos, batch_format="pyarrow")
+    out = join(base, dup, on=id_col, how="left", broadcast=False,
+               num_buckets=num_buckets)
+
+    def _fill(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("n_dup_pos").to_numpy(zero_copy_only=False),
+                       np.float64)
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "n_pos": t.column("n_pos").cast(pa.int64()),
+            "n_dup_pos": pa.array(
+                np.where(np.isnan(v), 0, v).astype(np.int64), pa.int64()),
+        })
+
+    return out.map_batches(_fill, batch_format="pyarrow")

@@ -848,3 +848,42 @@ def test_leakage_safe_split_keeps_near_dups_together(tmp_path):
     # all three splits populated and every doc assigned exactly once
     assert set(out.split) == {"train", "val", "test"}
     assert len(out) == len(rows) and out.doc_id.is_unique
+
+
+def test_dup_span_coverage_planted_spans():
+    from essentials_rd.textops import dup_span_coverage
+
+    shared = "x1 x2 x3 x4 x5 x6 x7 x8"  # 8 tokens → 3 shared 6-grams
+    rows = [
+        {"doc_id": 0, "text": "a b c " + shared + " d e f"},
+        {"doc_id": 1, "text": "p q " + shared + " r"},
+        {"doc_id": 2, "text": "entirely unique words nothing shared "
+                              "in this one at all"},
+        {"doc_id": 3, "text": "too short"},
+    ]
+    # local brute force
+    def grams(t, w=6):
+        tk = t.split(" ")
+        return [" ".join(tk[i:i + w]) for i in range(len(tk) - w + 1)]
+    allg = {}
+    for r in rows:
+        for g in set(grams(r["text"])):
+            allg[g] = allg.get(g, 0) + 1
+    want = {}
+    for r in rows:
+        gs = grams(r["text"])
+        want[r["doc_id"]] = (len(gs),
+                             sum(1 for g in gs if allg[g] >= 2))
+    outs = []
+    for parts in (1, 3):
+        got = dup_span_coverage(
+            rd.from_items(rows).repartition(parts), width=6, num_buckets=8
+        ).to_pandas()
+        outs.append({int(r.doc_id): (int(r.n_pos), int(r.n_dup_pos))
+                     for r in got.itertuples()})
+    assert outs[0] == want
+    assert outs[0] == outs[1]
+    # the planted span really is detected and the unique doc is clean
+    assert outs[0][0][1] == 3 and outs[0][1][1] == 3
+    assert outs[0][2][1] == 0
+    assert outs[0][3] == (0, 0)  # shorter than the gram width
