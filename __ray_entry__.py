@@ -936,6 +936,36 @@ def _q_squares(sf_dir: str):
     return squares_total(edges)
 
 
+def _q_k4(sf_dir: str):
+    """4-clique census (algorithms.kclique.k4_total): id-ordered
+    kClist — every K4 counted once as its sorted tuple via the
+    triangle of its three smallest vertices extended by one semi-join
+    probe pair; exact packed (lo<<32|hi) keys everywhere, never a
+    hash, so no collision caveat.  The triangle count rides along and
+    cross-checks the TC engine."""
+    from essentials_rd.algorithms.kclique import k4_total
+
+    _, edges = _graph(sf_dir)
+    return k4_total(edges)
+
+
+def _k4_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, "
+        "tri AS (SELECT count(*) AS t FROM pairs e1 "
+        "JOIN pairs e2 ON e2.src = e1.src AND e2.dst > e1.dst "
+        "JOIN pairs e3 ON e3.src = e1.dst AND e3.dst = e2.dst), "
+        "k4c AS (SELECT count(*) AS k FROM pairs e1 "
+        "JOIN pairs e2 ON e2.src = e1.src AND e2.dst > e1.dst "
+        "JOIN pairs e3 ON e3.src = e1.dst AND e3.dst = e2.dst "
+        "JOIN pairs e4 ON e4.src = e1.src AND e4.dst > e2.dst "
+        "JOIN pairs e5 ON e5.src = e1.dst AND e5.dst = e4.dst "
+        "JOIN pairs e6 ON e6.src = e2.dst AND e6.dst = e4.dst) "
+        "SELECT CAST(tri.t AS BIGINT) AS triangles, "
+        "CAST(k4c.k AS BIGINT) AS k4 FROM tri, k4c"
+    )
+
+
 def _squares_sql() -> str:
     return (
         f"WITH {_GRAPH_CTES}, "
@@ -8569,6 +8599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hub_robustness": _q_hub_robustness,
         "bond_percolation": _q_bond_percolation,
         "squares_total": _q_squares,
+        "k4_total": _q_k4,
         "butterflies_total": _q_butterflies,
         "sp_counts": _q_sp_counts,
         "sssp_parent": _q_sssp_parent,
@@ -9961,6 +9992,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "hub_robustness": _hub_robustness_sql(),
         "bond_percolation": _bond_percolation_sql(),
         "squares_total": _squares_sql(),
+        "k4_total": _k4_sql(),
         "butterflies_total": _butterflies_sql(),
         "sp_counts": _sp_counts_sql(),
         "sssp_parent": _sssp_parent_sql(),

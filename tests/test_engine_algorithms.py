@@ -574,3 +574,46 @@ def test_squares_total_matches_bruteforce_and_cap_counts():
         degs[b] = degs.get(b, 0) + 1
     assert capped.column("skipped_centers").to_pylist() == [
         sum(1 for v in degs.values() if v > 3)]
+
+
+def test_k4_census_matches_bruteforce_with_planted_k5():
+    import itertools
+
+    from essentials_rd.algorithms.kclique import k4_total
+
+    rng = np.random.default_rng(5)
+    n = 60
+    edges = set()
+    for _ in range(500):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    # planted K5 contributes C(5,4)=5 cliques
+    for c in itertools.combinations([50, 51, 52, 53, 54], 2):
+        edges.add(c)
+    E = sorted(edges)
+    adj = {v: set() for v in range(n)}
+    for a, b in E:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(1 for a, b, c in itertools.combinations(range(n), 3)
+              if b in adj[a] and c in adj[a] and c in adj[b])
+    k4 = sum(1 for q in itertools.combinations(range(n), 4)
+             if all(y in adj[x] for x, y in itertools.combinations(q, 2)))
+    t = pa.table({"src": pa.array([a for a, _ in E], pa.int64()),
+                  "dst": pa.array([b for _, b in E], pa.int64())})
+    for parts in (1, 4):
+        got = k4_total(rd.from_arrow(t).repartition(parts), num_buckets=8)
+        assert got["triangles"][0].as_py() == tri
+        assert got["k4"][0].as_py() == k4
+
+
+def test_k4_zero_on_triangle_free_graph():
+    from essentials_rd.algorithms.kclique import k4_total
+
+    # a path graph has no triangles, hence no K4
+    t = pa.table({"src": pa.array(list(range(10)), pa.int64()),
+                  "dst": pa.array(list(range(1, 11)), pa.int64())})
+    got = k4_total(rd.from_arrow(t), num_buckets=4)
+    assert got["triangles"][0].as_py() == 0
+    assert got["k4"][0].as_py() == 0
