@@ -4368,6 +4368,102 @@ SELECT d.doc_id, CAST(COALESCE(np.n_pos, 0) AS BIGINT) AS n_pos,
 FROM documents d LEFT JOIN np USING (doc_id) LEFT JOIN dup USING (doc_id)"""
 
 
+KANON_K = 5
+LDIV_L = 3
+BAND_CENTS = 100_000  # $1000 sensitive-value bands
+BAND_OFF = 10**9      # shift cents positive so // is floor in BOTH engines
+
+
+def _q_privacy_audit(sf_dir: str):
+    """k-anonymity + l-diversity audit: per quasi-identifier class
+    (nation, mktsegment) the member count n and the number l of
+    distinct sensitive-value bands ($1000 acctbal buckets), plus the
+    k>=5 / l>=3 release flags — the re-identification screen a data
+    release runs before publishing.  One bucketed exchange on the
+    class key; the distinct-within-group count is a lexsort +
+    boundary-compare kernel.  Cents are shifted positive before the
+    band division so floor-vs-truncate semantics can never diverge
+    between numpy and SQL."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import np_col
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def _project(t: pa.Table) -> pa.Table:
+        cents = np.floor(np_col(t, "c_acctbal") * 100.0 + 0.5
+                         ).astype(np.int64)
+        assert (cents > -BAND_OFF).all()
+        band = (cents + BAND_OFF) // BAND_CENTS
+        return pa.table({
+            "c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "band": pa.array(band, pa.int64()),
+        })
+
+    def _audit(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({
+                "c_nationkey": pa.array([], pa.int64()),
+                "c_mktsegment": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "l": pa.array([], pa.int64()),
+                "k_ok": pa.array([], pa.bool_()),
+                "l_ok": pa.array([], pa.bool_()),
+            })
+        nat = np_col(grp, "c_nationkey")
+        seg_arr = grp.column("c_mktsegment").combine_chunks()
+        segc = np.asarray(
+            seg_arr.dictionary_encode().indices).astype(np.int64)
+        band = np_col(grp, "band")
+        order = np.lexsort((band, segc, nat))
+        natS, segS, bd = nat[order], segc[order], band[order]
+        newg = np.r_[True,
+                     (natS[1:] != natS[:-1]) | (segS[1:] != segS[:-1])]
+        starts = np.flatnonzero(newg)
+        n = np.diff(np.r_[starts, len(natS)]).astype(np.int64)
+        newband = newg | np.r_[True, bd[1:] != bd[:-1]]
+        cs = np.r_[np.int64(0), np.cumsum(newband.astype(np.int64))]
+        ends = np.r_[starts[1:], len(natS)]
+        l = cs[ends] - cs[starts]
+        first = order[starts]
+        return pa.table({
+            "c_nationkey": pa.array(nat[first], pa.int64()),
+            "c_mktsegment": seg_arr.take(pa.array(first)),
+            "n": pa.array(n, pa.int64()),
+            "l": pa.array(l, pa.int64()),
+            "k_ok": pa.array(n >= KANON_K, pa.bool_()),
+            "l_ok": pa.array(l >= LDIV_L, pa.bool_()),
+        })
+
+    proj = cust.map_batches(_project, batch_format="pyarrow")
+    return hash_bucket_agg(
+        proj,
+        lambda t: (np.asarray(_str_hash(t.column("c_mktsegment")))
+                   .astype(np.int64) * np.int64(31)
+                   + np_col(t, "c_nationkey")),
+        _audit,
+        num_buckets=16,
+    )
+
+
+def _privacy_audit_sql() -> str:
+    return (
+        "SELECT c_nationkey, c_mktsegment, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(DISTINCT (CAST(floor(c_acctbal * 100 + 0.5) AS "
+        f"BIGINT) + {BAND_OFF}) // {BAND_CENTS}) AS BIGINT) AS l, "
+        f"count(*) >= {KANON_K} AS k_ok, "
+        "count(DISTINCT (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) "
+        f"+ {BAND_OFF}) // {BAND_CENTS}) >= {LDIV_L} AS l_ok "
+        "FROM customer GROUP BY 1, 2"
+    )
+
+
 def _q_doc_splits(sf_dir: str):
     """Deterministic train/val/test assignment (ops.split_assign):
     thresholds on splitmix64(doc_id ^ seed-mix) — identical across
@@ -8541,6 +8637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "user_gap_median": _q_user_gap_median,
         "doc_splits": _q_doc_splits,
+        "privacy_audit": _q_privacy_audit,
         "leakage_splits": _q_leakage_splits,
         "dup_span_coverage": _q_dup_span_coverage,
         "doc_repetition": _q_doc_repetition,
@@ -10124,6 +10221,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "matching_edges": _matching_sql(),
         "curated_docs": _curated_docs_sql(),
         "doc_splits": _doc_splits_sql(),
+        "privacy_audit": _privacy_audit_sql(),
         "leakage_splits": _leakage_splits_sql(),
         "dup_span_coverage": _dup_span_sql(),
         "decayed_activity": _decayed_activity_sql(),
