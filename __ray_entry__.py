@@ -6660,6 +6660,60 @@ def _hyperball_sql() -> str:
     )
 
 
+WL_ROUNDS = 3   # 1-WL refinement depth (depth-3 neighborhood trees)
+
+
+def _q_wl_colors(sf_dir: str):
+    """Weisfeiler–Leman color refinement (algorithms.wl.wl_refine):
+    3 rounds of the 1-WL structural fingerprint over the co-purchase
+    graph — c₀ = degree, each round folds the neighbour-color multiset
+    order-invariantly (wrapped sum / xor / count of splitmix64(c)) and
+    rehashes with the vertex's own color, so colors are a pure
+    function of graph structure (isomorphic components ⇒ identical
+    color multisets, pinned in pytest).  One partitioned join + one
+    bucketed exchange per round; the color table rides the exchange
+    so no 64-bit value crosses a pandas left join."""
+    from essentials_rd.algorithms.wl import wl_refine
+
+    g, edges = _graph(sf_dir)
+    return wl_refine(g, edges.select_columns(["src", "dst"]),
+                     rounds=WL_ROUNDS)
+
+
+def _wl_sql() -> str:
+    half = "CAST(9223372036854775808 AS UBIGINT)"
+    steps = ["w0 AS MATERIALIZED "
+             "(SELECT vid, CAST(outdeg AS UBIGINT) AS c FROM deg)"]
+    for k in range(WL_ROUNDS):
+        steps.append(_sm64_ctes(f"wm{k}_", "vid", "c", f"w{k}"))
+        steps.append(
+            f"wg{k} AS MATERIALIZED (SELECT e.dst AS vid, m.z "
+            f"FROM sym e JOIN wm{k}_3 m ON m.vid = e.src)")
+        steps.append(
+            f"wa{k} AS MATERIALIZED (SELECT vid, "
+            f"CAST(sum(CAST(z AS HUGEINT)) % {_MOD64} AS UBIGINT) AS s, "
+            f"bit_xor(z) AS x, CAST(count(*) AS HUGEINT) AS n "
+            f"FROM wg{k} GROUP BY vid)")
+        steps.append(
+            f"wc{k} AS MATERIALIZED (SELECT v.vid, "
+            f"CAST((5 * CAST(v.c AS HUGEINT) "
+            f"+ 3 * CAST(COALESCE(a.s, 0) AS HUGEINT) "
+            f"+ 7 * CAST(COALESCE(a.x, 0) AS HUGEINT) "
+            f"+ COALESCE(a.n, 0)) % {_MOD64} AS UBIGINT) AS k "
+            f"FROM w{k} v LEFT JOIN wa{k} a ON a.vid = v.vid)")
+        steps.append(_sm64_ctes(f"wn{k}_", "vid", "k", f"wc{k}"))
+        steps.append(
+            f"w{k + 1} AS MATERIALIZED (SELECT vid, z AS c FROM wn{k}_3)")
+    body = ", ".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT vid, CAST(CASE WHEN c >= {half} "
+        f"THEN CAST(c AS HUGEINT) - {_MOD64} "
+        f"ELSE CAST(c AS HUGEINT) END AS BIGINT) AS color "
+        f"FROM w{WL_ROUNDS} ORDER BY vid"
+    )
+
+
 TR_TMOD = 32    # edge activation times 0..31 (splitmix of the pair)
 TR_ITERS = 24   # oracle unroll depth; engine convergence asserted <=
 
@@ -8615,6 +8669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_sizes": _q_two_hop_sizes,
         "orders_cube": _q_orders_cube,
         "hyperball_r2": _q_hyperball_r2,
+        "wl_colors_k3": _q_wl_colors,
         "copart_join_parts": _q_copart_join,
         "pareto_orders": _q_pareto_orders,
         "incr_orders_rollup": _q_incr_rollup,
@@ -10197,6 +10252,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "tpch_q21": _tpch_q21_sql(),
         "two_hop_sizes": _two_hop_sql(),
         "hyperball_r2": _hyperball_sql(),
+        "wl_colors_k3": _wl_sql(),
         "orders_cube": (
             "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
             "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "

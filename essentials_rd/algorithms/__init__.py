@@ -26,6 +26,7 @@ from .sweep import sweep_profile
 from .hyperball import hyperball, hyperball_estimates
 from .temporal import TemporalReachProgram, arrival_table, temporal_reach
 from .louvain import modularity_move_round
+from .wl import wl_refine, wl_refine_local
 
 __all__ = [
     "maximal_matching",
@@ -43,6 +44,8 @@ __all__ = [
     "temporal_reach",
     "arrival_table",
     "modularity_move_round",
+    "wl_refine",
+    "wl_refine_local",
     "LongestPathProgram",
     "longest_path",
     "depth_table",
