@@ -5545,6 +5545,53 @@ FROM c, t GROUP BY t.na, t.nb
 """
 
 
+def _q_value_rank_sum(sf_dir: str):
+    """Mann–Whitney rank-sum drift test (ops.rank_sum_u): exact
+    integer (2·U, n_a, n_b, tie_sum) between the event-value (cents)
+    distributions of the even- vs odd-USER cohorts — the location-
+    shift twin of value_drift's KS shape test.  Only per-side
+    histogram entries move."""
+    import ray.data as rd
+
+    from essentials_rd.ops import rank_sum_u
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def _cohort(par: int):
+        def _m(t: pa.Table) -> pa.Table:
+            uid = np_col(t, "user_id").astype(np.int64)
+            v = np.asarray(t.column("value").to_numpy(
+                zero_copy_only=False), np.float64)
+            m = (uid % 2) == par
+            c = np.floor(v[m] * 100.0 + 0.5).astype(np.int64)
+            return pa.table({"c": pa.array(c, pa.int64())})
+        return _m
+
+    return rank_sum_u(
+        ev.map_batches(_cohort(0), batch_format="pyarrow"),
+        ev.map_batches(_cohort(1), batch_format="pyarrow"), "c")
+
+
+_VALUE_RANK_SUM_SQL = """
+WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  CAST(user_id % 2 AS BIGINT) AS s FROM events),
+h AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+      FROM e GROUP BY 1),
+c AS (SELECT v, ca, cb, sum(cb) OVER (ORDER BY v) - cb AS cbb FROM h),
+t AS (SELECT CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM e)
+SELECT CAST(sum(ca * (2 * cbb + cb)) AS BIGINT) AS u2_a,
+       t.na AS n_a, t.nb AS n_b,
+       CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
+         AS tie_sum
+FROM c, t GROUP BY t.na, t.nb
+"""
+
+
 def _q_user_drawdown(sf_dir: str):
     """Per-user maximum drawdown of the cumulative event value — the
     classic peak-to-trough sequence kernel (finance/monitoring) under
@@ -8640,6 +8687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_drawdown": _q_user_drawdown,
         "event_disorder": _q_event_disorder,
         "value_drift": _q_value_drift,
+        "value_rank_sum": _q_value_rank_sum,
         "lp_modularity": _q_lp_modularity,
         "hourly_value_bands": _q_hourly_value_bands,
         "fk_violations": _q_fk_violations,
@@ -10224,6 +10272,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "user_drawdown": _user_drawdown_sql(),
         "event_disorder": _event_disorder_sql(),
         "value_drift": _VALUE_DRIFT_SQL,
+        "value_rank_sum": _VALUE_RANK_SUM_SQL,
         "lp_modularity": _lp_modularity_sql(),
         "hourly_value_bands": _hourly_value_bands_sql(),
         "fk_violations": _fk_violations_sql(),

@@ -3234,3 +3234,63 @@ def ks_drift(
     return pa.table({"d_num": pa.array([d], pa.int64()),
                      "n_a": pa.array([na], pa.int64()),
                      "n_b": pa.array([nb], pa.int64())})
+
+
+def rank_sum_u(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    col: str,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> pa.Table:
+    """EXACT two-sample Mann–Whitney rank-sum statistic over an
+    integer column — the nonparametric location-shift test next to
+    :func:`ks_drift`'s shape test (same histogram-merge plan, same
+    bounded-distinct-domain contract).  Returns one row of four
+    int64s from which U, the tie-corrected variance and hence the
+    normal-approximation z derive exactly:
+
+    - ``u2_a`` = 2·U_a = Σ_v ca(v)·(2·cb(<v) + cb(v)) — doubled so
+      half-credit ties stay integer (U_a counts pairs (x∈A, y∈B)
+      with x > y plus half the x = y pairs);
+    - ``n_a``, ``n_b``;
+    - ``tie_sum`` = Σ_v (t_v³ − t_v) over combined per-value ties,
+      the correction term in Var U = n_a·n_b/12·((n+1) − tie_sum/
+      (n(n−1))).
+
+    Only per-side (value, count) histogram entries move — one bucketed
+    exchange merges the two histograms, the driver folds one row per
+    distinct value."""
+
+    def _h(side: int):
+        def _m(t: pa.Table) -> pa.Table:
+            v = np_col(t, col).astype(np.int64)
+            uv, cnt = np.unique(v, return_counts=True)
+            ca = cnt.astype(np.int64) if side == 0 else \
+                np.zeros(len(uv), np.int64)
+            cb = cnt.astype(np.int64) if side == 1 else \
+                np.zeros(len(uv), np.int64)
+            return pa.table({"v": pa.array(uv, pa.int64()),
+                             "ca": pa.array(ca, pa.int64()),
+                             "cb": pa.array(cb, pa.int64())})
+        return _m
+
+    merged = grouped_pandas_agg(
+        a.map_batches(_h(0), batch_format="pyarrow").union(
+            b.map_batches(_h(1), batch_format="pyarrow")),
+        keys=["v"], aggs={"ca": ("ca", "sum"), "cb": ("cb", "sum")},
+        num_buckets=num_buckets).take_all()
+    merged.sort(key=lambda r: r["v"])
+    ca = np.array([r["ca"] for r in merged], np.int64)
+    cb = np.array([r["cb"] for r in merged], np.int64)
+    na, nb = int(ca.sum()), int(cb.sum())
+    n = na + nb
+    assert na * nb < (1 << 61), "U cross-product would overflow int64"
+    assert n < (1 << 21), "tie_sum n^3 would overflow int64"
+    cb_below = np.cumsum(cb) - cb
+    u2 = int((ca * (2 * cb_below + cb)).sum())
+    t = ca + cb
+    tie_sum = int((t * t * t - t).sum())
+    return pa.table({"u2_a": pa.array([u2], pa.int64()),
+                     "n_a": pa.array([na], pa.int64()),
+                     "n_b": pa.array([nb], pa.int64()),
+                     "tie_sum": pa.array([tie_sum], pa.int64())})
