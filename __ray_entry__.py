@@ -4368,6 +4368,55 @@ SELECT d.doc_id, CAST(COALESCE(np.n_pos, 0) AS BIGINT) AS n_pos,
 FROM documents d LEFT JOIN np USING (doc_id) LEFT JOIN dup USING (doc_id)"""
 
 
+BPE_ROUNDS = 6
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge training (textops.bpe_train_rounds,
+    Sennrich et al. 2016): 6 greedy merge rounds over the documents
+    corpus — the corpus is scanned ONCE into the (word, count) table
+    and every round touches only that vocabulary-bounded table (one
+    weighted pair-count exchange emitting per-bucket top-1 partials,
+    one replace rewrite with a fresh U+E000+r placeholder).  The
+    oracle replays every round — winner selection AND the rewritten
+    vocabulary — via substr/replace SQL, whose leftmost-non-
+    overlapping semantics match Python/Arrow exactly."""
+    import ray.data as rd
+
+    from essentials_rd.textops import bpe_train_rounds
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return bpe_train_rounds(docs, rounds=BPE_ROUNDS)
+
+
+def _bpe_sql() -> str:
+    steps = [
+        "bw AS MATERIALIZED (SELECT w AS t, CAST(count(*) AS BIGINT)"
+        " AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS w"
+        " FROM documents) WHERE w <> '' GROUP BY w)",
+        "bd0 AS (SELECT t, cnt FROM bw)",
+    ]
+    for r in range(BPE_ROUNDS):
+        steps.append(
+            f"bp{r} AS MATERIALIZED (SELECT substr(t, i.i, 2) AS pr,"
+            f" cnt FROM bd{r}, LATERAL (SELECT"
+            f" unnest(range(1, length(t))) AS i) i)")
+        steps.append(
+            f"bwin{r} AS MATERIALIZED (SELECT pr,"
+            f" CAST(sum(cnt) AS BIGINT) AS c FROM bp{r}"
+            f" GROUP BY pr ORDER BY c DESC, pr ASC LIMIT 1)")
+        steps.append(
+            f"bd{r + 1} AS MATERIALIZED (SELECT replace(t,"
+            f" (SELECT pr FROM bwin{r}), chr({0xE000 + r})) AS t,"
+            f" cnt FROM bd{r})")
+    sel = " UNION ALL ".join(
+        f'SELECT {r} AS "round", pr AS pair, c AS cnt FROM bwin{r}'
+        for r in range(BPE_ROUNDS))
+    return (f"WITH {', '.join(steps)} "
+            f'SELECT * FROM ({sel}) ORDER BY "round"')
+
+
 KANON_K = 5
 LDIV_L = 3
 BAND_CENTS = 100_000  # $1000 sensitive-value bands
@@ -8741,6 +8790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_median": _q_user_gap_median,
         "doc_splits": _q_doc_splits,
         "privacy_audit": _q_privacy_audit,
+        "bpe_merges": _q_bpe_merges,
         "leakage_splits": _q_leakage_splits,
         "dup_span_coverage": _q_dup_span_coverage,
         "doc_repetition": _q_doc_repetition,
@@ -10327,6 +10377,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "curated_docs": _curated_docs_sql(),
         "doc_splits": _doc_splits_sql(),
         "privacy_audit": _privacy_audit_sql(),
+        "bpe_merges": _bpe_sql(),
         "leakage_splits": _leakage_splits_sql(),
         "dup_span_coverage": _dup_span_sql(),
         "decayed_activity": _decayed_activity_sql(),

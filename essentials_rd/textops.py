@@ -2708,3 +2708,131 @@ def dup_span_coverage(
         })
 
     return out.map_batches(_fill, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- BPE training
+
+
+def bpe_train_rounds(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    rounds: int = 6,
+    num_buckets: int = 32,
+) -> pa.Table:
+    """Distributed byte-pair-encoding merge training (Sennrich,
+    Haddow & Birch, ACL 2016) — ``rounds`` greedy merge rounds over
+    the corpus, returning the learned merge table (round, pair, cnt).
+
+    Scale shape is Sennrich's own: the corpus is read ONCE to build
+    the (word, count) table — whitespace words, so merges never cross
+    word boundaries — and every round thereafter touches only that
+    vocabulary-bounded table: one scan counting weighted adjacent
+    character pairs (per-block partials, one bucketed exchange whose
+    per-bucket kernel emits just its best pair, driver picks among
+    ``num_buckets`` candidate rows), then one stateless rewrite pass
+    replacing the winning pair with a fresh private-use placeholder
+    char, chr(0xE000 + r).  Tokens therefore stay one char each and
+    the whole procedure is reproducible in SQL with substr/replace
+    (leftmost non-overlapping — verified identical in DuckDB, Python
+    and Arrow), which is how the oracle checks every round, not just
+    the final table.
+
+    Pair counts use the textbook overlapping-position count (``aaa``
+    has two ``aa`` pairs) while apply is non-overlapping — that
+    asymmetry is BPE's own, shared bit-for-bit by the SQL twin.
+    Winner rank: count DESC, pair ASC (codepoint order == packed-key
+    order == DuckDB's binary collation).  Pair counting is one
+    utf-32 view + shifted-array pass per block — no Python loop over
+    words or chars."""
+    from .derive import _str_hash
+    from .ops import hash_bucket_agg
+
+    def _words(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(t.column(text_col), " "))
+        w = toks.to_numpy(zero_copy_only=False)
+        uv, cnt = np.unique(w, return_counts=True)
+        keep = uv != ""
+        return pa.table({"w": pa.array(uv[keep], pa.string()),
+                         "cnt": pa.array(cnt[keep].astype(np.int64),
+                                         pa.int64())})
+
+    def _merge_words(grp: pa.Table) -> pa.Table:
+        w = grp.column("w").to_pandas().to_numpy(dtype=object)
+        cnt = np_col(grp, "cnt")
+        codes, uniques = pd.factorize(w)
+        tot = np.zeros(len(uniques), np.int64)
+        np.add.at(tot, codes, cnt)
+        return pa.table({"w": pa.array(uniques, pa.string()),
+                         "cnt": pa.array(tot, pa.int64())})
+
+    wt = hash_bucket_agg(
+        docs.map_batches(_words, batch_format="pyarrow"),
+        lambda t: _str_hash(t.column("w")),
+        _merge_words, num_buckets=num_buckets).materialize()
+
+    merges: list[tuple[int, str, int]] = []
+    for r in range(rounds):
+        def _pair_partial(t: pa.Table, _r=r) -> pa.Table:
+            words = t.column("w").to_pandas().to_numpy(dtype=object)
+            cnt = np_col(t, "cnt")
+            if len(words) == 0:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            joined = "\x00".join(words)
+            cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+            assert int(cp.max(initial=0)) < 0xE000 + _r, \
+                "corpus collides with BPE placeholder plane"
+            seg = np.cumsum(cp == 0)           # word index per char
+            a, b = cp[:-1], cp[1:]
+            valid = (a != 0) & (b != 0)
+            key = ((a[valid].astype(np.uint64) << np.uint64(21))
+                   | b[valid].astype(np.uint64)).view(np.int64)
+            if len(key) == 0:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            wgt = cnt[seg[:-1][valid]]
+            order = np.argsort(key, kind="stable")
+            k, wg = key[order], wgt[order]
+            starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            c = np.add.reduceat(wg, starts)
+            return pa.table({"k": pa.array(k[starts], pa.int64()),
+                             "c": pa.array(c, pa.int64())})
+
+        def _bucket_top1(grp: pa.Table) -> pa.Table:
+            k, c = np_col(grp, "k"), np_col(grp, "c")
+            order = np.argsort(k, kind="stable")
+            k, c = k[order], c[order]
+            starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            tot = np.add.reduceat(c, starts)
+            kk = k[starts]
+            best = np.lexsort((kk, -tot))[0]   # count desc, key asc
+            return pa.table({"k": pa.array([kk[best]], pa.int64()),
+                             "c": pa.array([int(tot[best])], pa.int64())})
+
+        cands = hash_bucket_agg(
+            wt.map_batches(_pair_partial, batch_format="pyarrow"),
+            lambda t: np_col(t, "k"),
+            _bucket_top1, num_buckets=num_buckets).take_all()
+        if not cands:
+            break
+        cands.sort(key=lambda row: (-row["c"], row["k"]))
+        kk, cc = cands[0]["k"], cands[0]["c"]
+        pair = chr(int(kk) >> 21) + chr(int(kk) & ((1 << 21) - 1))
+        merges.append((r, pair, int(cc)))
+        ph = chr(0xE000 + r)
+
+        def _apply(t: pa.Table, _p=pair, _ph=ph) -> pa.Table:
+            return pa.table({
+                "w": pc.replace_substring(t.column("w"), pattern=_p,
+                                          replacement=_ph),
+                "cnt": t.column("cnt"),
+            })
+
+        wt = wt.map_batches(_apply, batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "round": pa.array([m[0] for m in merges], pa.int64()),
+        "pair": pa.array([m[1] for m in merges], pa.string()),
+        "cnt": pa.array([m[2] for m in merges], pa.int64()),
+    })
