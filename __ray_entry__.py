@@ -4368,6 +4368,65 @@ SELECT d.doc_id, CAST(COALESCE(np.n_pos, 0) AS BIGINT) AS n_pos,
 FROM documents d LEFT JOIN np USING (doc_id) LEFT JOIN dup USING (doc_id)"""
 
 
+KC_K = 5
+KC_SCALE = 1_000_000
+
+
+def _q_kcenter(sf_dir: str):
+    """Gonzalez farthest-point k-center selection (ann.kcenter_select):
+    pick 5 maximally-spread exemplars from the embedding table — the
+    coreset / diversity-selection curation step — with EXACT int64
+    squared-L2 distances over floor(x·1e6)-quantized components, seed
+    = smallest vec_id, winner rank (d² DESC, vec_id ASC).  Each round
+    is one fully-parallel scan with the ≤ k·d-int selected matrix
+    broadcast and per-block top-1 partials."""
+    import ray.data as rd
+
+    from essentials_rd.ann import kcenter_select
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    return kcenter_select(vecs, k=KC_K, scale=KC_SCALE)
+
+
+def _kcenter_sql() -> str:
+    steps = [
+        "kex AS MATERIALIZED (SELECT vec_id, j.j AS j, "
+        f"CAST(floor(embedding[j.j] * {KC_SCALE}) AS BIGINT) AS q "
+        "FROM embeddings, LATERAL "
+        "(SELECT unnest(range(1, len(embedding) + 1)) AS j) j)",
+        "kw0 AS (SELECT min(vec_id) AS vid FROM embeddings)",
+        "ksel0 AS (SELECT vid FROM kw0)",
+    ]
+    for r in range(KC_K - 1):
+        w = f"kw{r}" if r == 0 else f"kw{r}"
+        steps.append(
+            f"kdist{r} AS MATERIALIZED (SELECT a.vec_id, "
+            f"CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2 "
+            f"FROM kex a JOIN kex b ON b.vec_id = "
+            f"(SELECT vid FROM {w}) AND b.j = a.j GROUP BY a.vec_id)")
+        if r == 0:
+            steps.append("kmind0 AS (SELECT vec_id, d2 FROM kdist0)")
+        else:
+            steps.append(
+                f"kmind{r} AS (SELECT m.vec_id, least(m.d2, d.d2) AS d2 "
+                f"FROM kmind{r - 1} m JOIN kdist{r} d USING (vec_id))")
+        steps.append(
+            f"kw{r + 1} AS (SELECT vec_id AS vid, d2 FROM kmind{r} "
+            f"WHERE vec_id NOT IN (SELECT vid FROM ksel{r}) "
+            f"ORDER BY d2 DESC, vec_id ASC LIMIT 1)")
+        steps.append(
+            f"ksel{r + 1} AS (SELECT vid FROM ksel{r} "
+            f"UNION ALL SELECT vid FROM kw{r + 1})")
+    sel = " UNION ALL ".join(
+        ["SELECT 0 AS sel_round, vid AS vec_id, "
+         "CAST(0 AS BIGINT) AS d2 FROM kw0"]
+        + [f"SELECT {r}, vid, d2 FROM kw{r}"
+           for r in range(1, KC_K)])
+    return (f"WITH {', '.join(steps)} "
+            f"SELECT * FROM ({sel}) ORDER BY sel_round")
+
+
 BPE_ROUNDS = 6
 
 
@@ -8791,6 +8850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_splits": _q_doc_splits,
         "privacy_audit": _q_privacy_audit,
         "bpe_merges": _q_bpe_merges,
+        "kcenter_sel5": _q_kcenter,
         "leakage_splits": _q_leakage_splits,
         "dup_span_coverage": _q_dup_span_coverage,
         "doc_repetition": _q_doc_repetition,
@@ -10378,6 +10438,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "doc_splits": _doc_splits_sql(),
         "privacy_audit": _privacy_audit_sql(),
         "bpe_merges": _bpe_sql(),
+        "kcenter_sel5": _kcenter_sql(),
         "leakage_splits": _leakage_splits_sql(),
         "dup_span_coverage": _dup_span_sql(),
         "decayed_activity": _decayed_activity_sql(),

@@ -1198,3 +1198,96 @@ def ivfpq_topk(
     return out.append_column(
         "rank", pa.array(np.arange(1, out.num_rows + 1, dtype=np.int64),
                          pa.int64()))
+
+
+# --------------------------------------------------- k-center coreset
+
+
+def kcenter_select(
+    vectors: rd.Dataset,
+    k: int = 5,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Gonzalez farthest-point k-center selection (Gonzalez, TCS 1985;
+    the 2-approximation) — the diversity / coreset-selection step a
+    curation pipeline runs to pick k maximally-spread exemplars from
+    an embedding table.  Distances are EXACT int64 squared L2 over
+    floor(x·scale) quantized components, so the selected set and every
+    reported distance are bit-identical at any block layout and in the
+    SQL twin (no float argmax anywhere).
+
+    Seed = smallest ``id_col``; each of the k−1 subsequent rounds is
+    ONE fully-parallel scan with the selected matrix broadcast
+    (≤ k·d ints), per-block (d² DESC, id ASC) top-1 partials over
+    points not yet selected, driver picking among n_blocks candidate
+    rows — the greedy_cover control shape.  Returns (sel_round,
+    vec_id, d2) where d2 is the winner's exact squared distance to
+    the set selected BEFORE it (0 for the seed)."""
+
+    def _qmat(t: pa.Table):
+        ids = np_col(t, id_col)
+        col = t.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        q = np.floor(flat * float(scale)).astype(np.int64)
+        return ids, q.reshape(t.num_rows, -1)
+
+    def _seed_partial(t: pa.Table) -> pa.Table:
+        ids, m = _qmat(t)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.int64()))})
+        i = int(np.argmin(ids))
+        return pa.table({id_col: pa.array([ids[i]], pa.int64()),
+                         "vec": pa.array([m[i]], pa.list_(pa.int64()))})
+
+    seeds = vectors.map_batches(
+        _seed_partial, batch_format="pyarrow").take_all()
+    assert seeds, "k-center over an empty vector table"
+    seeds.sort(key=lambda r: r[id_col])
+    sel_ids = [int(seeds[0][id_col])]
+    sel_vecs = [np.asarray(seeds[0]["vec"], np.int64)]
+    rows = [(0, sel_ids[0], 0)]
+
+    for r in range(1, k):
+        ref = ray.put((np.asarray(sel_ids, np.int64),
+                       np.stack(sel_vecs)))
+
+        def _far_partial(t: pa.Table) -> pa.Table:
+            sids, smat = ray.get(ref)
+            ids, m = _qmat(t)
+            keep = ~np.isin(ids, sids)
+            ids, m = ids[keep], m[keep]
+            if len(ids) == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "d2": pa.array([], pa.int64()),
+                                 "vec": pa.array([],
+                                                 pa.list_(pa.int64()))})
+            d2 = np.full(len(ids), np.iinfo(np.int64).max, np.int64)
+            for s in smat:
+                diff = m - s[None, :]
+                d2 = np.minimum(d2, np.einsum("ij,ij->i", diff, diff))
+            best = int(np.lexsort((ids, -d2))[0])
+            return pa.table({id_col: pa.array([ids[best]], pa.int64()),
+                             "d2": pa.array([int(d2[best])], pa.int64()),
+                             "vec": pa.array([m[best]],
+                                             pa.list_(pa.int64()))})
+
+        cands = vectors.map_batches(
+            _far_partial, batch_format="pyarrow").take_all()
+        if not cands:
+            break
+        cands.sort(key=lambda row: (-row["d2"], row[id_col]))
+        w = cands[0]
+        sel_ids.append(int(w[id_col]))
+        sel_vecs.append(np.asarray(w["vec"], np.int64))
+        rows.append((r, int(w[id_col]), int(w["d2"])))
+
+    return pa.table({
+        "sel_round": pa.array([x[0] for x in rows], pa.int64()),
+        "vec_id": pa.array([x[1] for x in rows], pa.int64()),
+        "d2": pa.array([x[2] for x in rows], pa.int64()),
+    })
