@@ -4368,6 +4368,43 @@ SELECT d.doc_id, CAST(COALESCE(np.n_pos, 0) AS BIGINT) AS n_pos,
 FROM documents d LEFT JOIN np USING (doc_id) LEFT JOIN dup USING (doc_id)"""
 
 
+def _q_attribution(sf_dir: str):
+    """Last-touch attribution (windows.last_touch_attribution): for
+    every purchase, the most recent strictly-prior click of the same
+    user under the (ts, event_id) total order — the per-user ASOF
+    self-join marketing attribution needs; one user-bucketed exchange,
+    segmented running arg-max kernel (band-offset accumulate, no row
+    loop), -1 sentinels for unattributed conversions."""
+    import ray.data as rd
+
+    from essentials_rd.windows import last_touch_attribution
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    return last_touch_attribution(ev, src_type="click",
+                                  conv_type="purchase")
+
+
+_ATTRIBUTION_SQL = """
+WITH e AS (SELECT event_id, user_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+           FROM events WHERE event_type IN ('click', 'purchase')),
+m AS (SELECT event_id, user_id, ts_us, event_type,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END
+                   IGNORE NULLS) OVER w AS src_eid,
+        last_value(CASE WHEN event_type = 'click' THEN ts_us END
+                   IGNORE NULLS) OVER w AS src_ts
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id,
+       CAST(COALESCE(src_eid, -1) AS BIGINT) AS src_event_id,
+       CAST(COALESCE(ts_us - src_ts, -1) AS BIGINT) AS gap_us
+FROM m WHERE event_type = 'purchase'
+"""
+
+
 KC_K = 5
 KC_SCALE = 1_000_000
 
@@ -8851,6 +8888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "privacy_audit": _q_privacy_audit,
         "bpe_merges": _q_bpe_merges,
         "kcenter_sel5": _q_kcenter,
+        "attribution_last_click": _q_attribution,
         "leakage_splits": _q_leakage_splits,
         "dup_span_coverage": _q_dup_span_coverage,
         "doc_repetition": _q_doc_repetition,
@@ -10439,6 +10477,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "privacy_audit": _privacy_audit_sql(),
         "bpe_merges": _bpe_sql(),
         "kcenter_sel5": _kcenter_sql(),
+        "attribution_last_click": _ATTRIBUTION_SQL,
         "leakage_splits": _leakage_splits_sql(),
         "dup_span_coverage": _dup_span_sql(),
         "decayed_activity": _decayed_activity_sql(),

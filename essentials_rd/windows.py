@@ -1073,3 +1073,84 @@ def lag1_moments(
         _moments,
         num_buckets=num_buckets,
     )
+
+
+def last_touch_attribution(
+    events: rd.Dataset,
+    src_type: str = "click",
+    conv_type: str = "purchase",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Last-touch attribution: for every ``conv_type`` event, the most
+    recent STRICTLY-prior ``src_type`` event of the same user under
+    the (ts, event_id) total order — the marketing-attribution ASOF
+    self-join per user that sessionization/funnel queries don't
+    express.  One user-bucketed exchange; the per-bucket kernel is a
+    segmented running arg-max (band-offset accumulate, no Python loop
+    over rows).  Emits (event_id, user_id, src_event_id, gap_us) with
+    -1 sentinels for unattributed conversions."""
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ty = t.column(type_col)
+        import pyarrow.compute as pc
+        keep = pc.or_(pc.equal(ty, src_type), pc.equal(ty, conv_type))
+        t = t.filter(keep)
+        is_src = pc.equal(t.column(type_col), src_type)
+        return pa.table({
+            user_col: t.column(user_col).cast(pa.int64()),
+            "ts_us": pa.array(_epoch_us(t, ts_col), pa.int64()),
+            id_col: t.column(id_col).cast(pa.int64()),
+            "is_src": is_src,
+        })
+
+    def _attr(grp: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            user_col: pa.array([], pa.int64()),
+            "src_event_id": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        })
+        if grp.num_rows == 0:
+            return empty
+        uid = np_col(grp, user_col)
+        ts = np_col(grp, "ts_us")
+        eid = np_col(grp, id_col)
+        is_src = np.asarray(grp.column("is_src").to_numpy(
+            zero_copy_only=False), bool)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, is_src = (uid[order], ts[order], eid[order],
+                                is_src[order])
+        n = len(uid)
+        seg = np.cumsum(np.r_[0, (uid[1:] != uid[:-1]).astype(np.int64)])
+        # last src position at-or-before i, within segment: band-offset
+        # running max over (pos if src else -1)
+        assert int(seg[-1]) * (n + 2) < (1 << 62), "band offset overflow"
+        pos = np.arange(n, dtype=np.int64)
+        marker = np.where(is_src, pos, np.int64(-1))
+        run = np.maximum.accumulate(marker + seg * np.int64(n + 2))
+        run = run - seg * np.int64(n + 2)
+        # strictly-prior: value at i-1 if same segment, else none
+        prior = np.r_[np.int64(-1), run[:-1]]
+        first_of_seg = np.r_[True, uid[1:] != uid[:-1]]
+        prior[first_of_seg] = -1
+        conv = ~is_src
+        p = prior[conv]
+        has = p >= 0
+        src_eid = np.where(has, eid[np.maximum(p, 0)], np.int64(-1))
+        gap = np.where(has, ts[conv] - ts[np.maximum(p, 0)],
+                       np.int64(-1))
+        return pa.table({
+            id_col: pa.array(eid[conv], pa.int64()),
+            user_col: pa.array(uid[conv], pa.int64()),
+            "src_event_id": pa.array(src_eid, pa.int64()),
+            "gap_us": pa.array(gap, pa.int64()),
+        })
+
+    return hash_bucket_agg(
+        events.map_batches(_prep, batch_format="pyarrow"),
+        lambda t: np_col(t, user_col),
+        _attr, num_buckets=num_buckets)
