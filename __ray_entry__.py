@@ -4998,6 +4998,27 @@ ae{r + 1} AS MATERIALIZED (SELECT e.src, e.dst, e.z FROM ae{r} e
     )
 
 
+def _q_vertex_cover(sf_dir: str):
+    """2-approximate minimum vertex cover (Gavril): the endpoint set
+    of the deterministic maximal matching — every edge is covered
+    (maximality) and |cover| = 2·|M| ≤ 2·OPT.  All distributed work
+    is the matching's local-minimum rounds; the cover is a distinct
+    over its endpoints."""
+    from essentials_rd.algorithms.matching import vertex_cover_2approx
+
+    _, edges = _graph(sf_dir)
+    return vertex_cover_2approx(edges)
+
+
+def _vcover_sql() -> str:
+    inner = _matching_sql().replace(" ORDER BY src, dst", "")
+    return (
+        f"WITH vcm AS MATERIALIZED ({inner}) "
+        "SELECT DISTINCT vid FROM (SELECT src AS vid FROM vcm "
+        "UNION ALL SELECT dst AS vid FROM vcm) ORDER BY vid"
+    )
+
+
 def _q_orders_diff(sf_dir: str):
     """Snapshot diff (ops.table_diff): two deterministic versions of
     orders — A drops every 7th key, B drops every 5th and bumps every
@@ -8879,6 +8900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_status_history": _q_cust_status_history,
         "orders_merged": _q_orders_merged,
         "matching_edges": _q_matching,
+        "vertex_cover": _q_vertex_cover,
         "daily_top_spender": _q_daily_top_spender,
         "doc_packing": _q_doc_packing,
         "curated_docs": _q_curated_docs,
@@ -10472,6 +10494,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "event_unpivot": _event_unpivot_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
+        "vertex_cover": _vcover_sql(),
         "curated_docs": _curated_docs_sql(),
         "doc_splits": _doc_splits_sql(),
         "privacy_audit": _privacy_audit_sql(),

@@ -154,3 +154,19 @@ def _result(out_s, out_d, out_r, rounds, converged):
         }
     )
     return t, rounds, converged
+
+
+def vertex_cover_2approx(edges) -> pa.Table:
+    """Gavril's matching-based 2-approximate minimum vertex cover:
+    the endpoint set of the deterministic maximal matching.  Every
+    edge has a matched endpoint (else the matching weren't maximal),
+    and any cover must take ≥ one endpoint per matched edge, so
+    |cover| = 2·|M| ≤ 2·OPT — the classic distributed-friendly bound;
+    all the distributed work is the matching itself, the cover is a
+    driver-side distinct over its ≤ |V| endpoints.  Returns (vid)
+    sorted ascending."""
+    t, rounds, converged = maximal_matching(edges)
+    assert converged, rounds
+    vids = np.unique(np.r_[np.asarray(t["src"], np.int64),
+                           np.asarray(t["dst"], np.int64)])
+    return pa.table({"vid": pa.array(vids, pa.int64())})

@@ -274,3 +274,44 @@ def test_coreness_matches_bruteforce_decomposition(tmp_path):
     # the decomposition refines plain k-core membership
     assert (np.asarray(t["core"]) >= 0).all()
     assert np.asarray(t["core"]).max() <= cap
+
+
+def test_vertex_cover_covers_and_2approx(tmp_path):
+    import itertools
+
+    import numpy as np
+
+    from essentials_rd.algorithms.matching import (
+        maximal_matching,
+        vertex_cover_2approx,
+    )
+
+    from .conftest import edges_ds
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 14, 30).astype(np.int64)
+    dst = rng.integers(0, 14, 30).astype(np.int64)
+    keep = src != dst
+    lo = np.minimum(src[keep], dst[keep])
+    hi = np.maximum(src[keep], dst[keep])
+    pairs = np.unique(lo * 14 + hi)
+    lo, hi = pairs // 14, pairs % 14
+    cover = set(np.asarray(
+        vertex_cover_2approx(edges_ds(lo, hi))["vid"]).tolist())
+    # validity: every edge has an endpoint in the cover
+    assert all(int(a) in cover or int(b) in cover
+               for a, b in zip(lo, hi))
+    # Gavril bound: |cover| == 2|M| <= 2 OPT; check vs brute-force OPT
+    m, _, _ = maximal_matching(edges_ds(lo, hi))
+    assert len(cover) == 2 * m.num_rows
+    verts = sorted(set(lo.tolist()) | set(hi.tolist()))
+    opt = None
+    for k in range(1, len(verts) + 1):
+        for comb in itertools.combinations(verts, k):
+            s = set(comb)
+            if all(a in s or b in s for a, b in zip(lo, hi)):
+                opt = k
+                break
+        if opt:
+            break
+    assert len(cover) <= 2 * opt
