@@ -4998,6 +4998,92 @@ ae{r + 1} AS MATERIALIZED (SELECT e.src, e.dst, e.z FROM ae{r} e
     )
 
 
+def _q_trimmed_qty(sf_dir: str):
+    """Exact 10%-trimmed quantity aggregate per return flag
+    (ops.trimmed_sum): drop the floor(n/10) smallest and largest
+    ranks, sum the middle exactly — the robust mean with no float
+    order statistic anywhere; bounded-domain histogram plan, rows
+    never move."""
+    import ray.data as rd
+
+    from essentials_rd.ops import trimmed_sum
+    from essentials_rd.util import np_col
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        q = np.floor(np.asarray(t.column("l_quantity").to_numpy(
+            zero_copy_only=False), np.float64) + 0.5).astype(np.int64)
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "v": pa.array(q, pa.int64())})
+
+    return trimmed_sum(li.map_batches(_prep, batch_format="pyarrow"),
+                       "l_returnflag", "v", trim_num=1, trim_den=10)
+
+
+_TRIMMED_QTY_SQL = """
+WITH q AS (SELECT l_returnflag AS key,
+                  CAST(floor(l_quantity + 0.5) AS BIGINT) AS v
+           FROM lineitem),
+h AS (SELECT key, v, count(*) AS c FROM q GROUP BY 1, 2),
+nn AS (SELECT key, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+w AS (SELECT key, v, c,
+             sum(c) OVER (PARTITION BY key ORDER BY v) - c AS cumb
+      FROM h)
+SELECT w.key AS l_returnflag, nn.n,
+       CAST(nn.n // 10 AS BIGINT) AS k_trim,
+       CAST(sum(greatest(least(cumb + c, nn.n - nn.n // 10)
+                         - greatest(cumb, nn.n // 10), 0) * v)
+            AS BIGINT) AS t_sum
+FROM w JOIN nn USING (key) GROUP BY 1, 2, 3
+"""
+
+
+def _q_benford(sf_dir: str):
+    """Benford first-significant-digit audit over order totals — the
+    fraud / synthetic-data screen: exact per-digit counts of the
+    leading digit of o_totalprice cents.  Zero shuffles: per-block
+    ≤ 9-row partials fold driver-side; the digit extraction is a
+    vectorized integer-division loop (≤ 10 passes), no strings and
+    no float log10 anywhere."""
+    import ray.data as rd
+
+    ords = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_totalprice"])
+
+    def _digits(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        d = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        assert (d > 0).all(), "Benford needs positive values"
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        uv, cnt = np.unique(d, return_counts=True)
+        return pa.table({"digit": pa.array(uv, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    parts = ords.map_batches(_digits, batch_format="pyarrow").take_all()
+    tot: dict[int, int] = {}
+    for r in parts:
+        tot[r["digit"]] = tot.get(r["digit"], 0) + r["n"]
+    ks = sorted(tot)
+    return pa.table({"digit": pa.array(ks, pa.int64()),
+                     "n": pa.array([tot[k] for k in ks], pa.int64())})
+
+
+_BENFORD_SQL = """
+SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                        AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 def _q_vertex_cover(sf_dir: str):
     """2-approximate minimum vertex cover (Gavril): the endpoint set
     of the deterministic maximal matching — every edge is covered
@@ -8901,6 +8987,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_merged": _q_orders_merged,
         "matching_edges": _q_matching,
         "vertex_cover": _q_vertex_cover,
+        "trimmed_qty": _q_trimmed_qty,
+        "benford_prices": _q_benford,
         "daily_top_spender": _q_daily_top_spender,
         "doc_packing": _q_doc_packing,
         "curated_docs": _q_curated_docs,
@@ -10495,6 +10583,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
         "vertex_cover": _vcover_sql(),
+        "trimmed_qty": _TRIMMED_QTY_SQL,
+        "benford_prices": _BENFORD_SQL,
         "curated_docs": _curated_docs_sql(),
         "doc_splits": _doc_splits_sql(),
         "privacy_audit": _privacy_audit_sql(),

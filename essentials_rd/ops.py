@@ -3294,3 +3294,97 @@ def rank_sum_u(
                      "n_a": pa.array([na], pa.int64()),
                      "n_b": pa.array([nb], pa.int64()),
                      "tie_sum": pa.array([tie_sum], pa.int64())})
+
+
+def trimmed_sum(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    trim_num: int = 1,
+    trim_den: int = 10,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Exact per-group trimmed aggregate — the robust mean's integer
+    core: per key, drop the k = floor(n·trim_num/trim_den) smallest
+    and k largest values BY RANK and return (key, n, k_trim, t_sum)
+    where t_sum is the exact int64 sum of the surviving middle ranks.
+    The trimmed mean t_sum/(n−2k) derives exactly; no float order
+    statistic exists anywhere, so the result is layout/cluster-size
+    invariant and SQL-reproducible.  Key may be string or integer
+    (string keys group via per-table dictionary codes — hash
+    collisions only co-locate, actual values define groups).
+
+    Same bounded-value-domain histogram contract as exact_quantiles /
+    ks_drift: blocks pre-combine to (key, value, count) rows, ONE
+    bucketed exchange on the key lands each key's complete histogram,
+    and the per-group kernel takes each value's rank-interval overlap
+    with [k, n−k) — rows never move."""
+    from .derive import _str_hash
+
+    def _codes(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
+        col = t.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            return col, np.asarray(col, np.int64)
+        return col, np.asarray(
+            col.dictionary_encode().indices).astype(np.int64)
+
+    def _key_fn(t: pa.Table) -> np.ndarray:
+        col = t.column(key_col)
+        if pa.types.is_integer(col.type):
+            return np_col(t, key_col)
+        return np.asarray(_str_hash(col)).astype(np.int64)
+
+    def _hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key_col: t.column(key_col),
+                             "v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        col, kc = _codes(t)
+        v = np_col(t, val_col).astype(np.int64)
+        order = np.lexsort((v, kc))
+        ks, vs = kc[order], v[order]
+        starts = np.flatnonzero(
+            np.r_[True, (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])])
+        cnt = np.diff(np.r_[starts, len(ks)]).astype(np.int64)
+        first = order[starts]
+        return pa.table({key_col: col.take(pa.array(first)),
+                         "v": pa.array(vs[starts], pa.int64()),
+                         "c": pa.array(cnt, pa.int64())})
+
+    def _fold(grp: pa.Table) -> pa.Table:
+        col, kc = _codes(grp)
+        v = np_col(grp, "v")
+        c = np_col(grp, "c")
+        order = np.lexsort((v, kc))
+        k, v, c = kc[order], v[order], c[order]
+        newkv = np.r_[True, (k[1:] != k[:-1]) | (v[1:] != v[:-1])]
+        kvs = np.flatnonzero(newkv)
+        cm = np.add.reduceat(c, kvs)
+        km, vm = k[kvs], v[kvs]
+        first = order[kvs]
+        newk2 = np.r_[True, km[1:] != km[:-1]]
+        g2 = np.flatnonzero(newk2)
+        g2e = np.r_[g2[1:], len(km)]
+        out_first, out_n, out_t, out_s = [], [], [], []
+        for lo, hi in zip(g2, g2e):
+            cc = cm[lo:hi]
+            vv = vm[lo:hi]
+            n = int(cc.sum())
+            t = n * trim_num // trim_den
+            cum = np.r_[np.int64(0), np.cumsum(cc)]
+            take = (np.minimum(cum[1:], n - t)
+                    - np.maximum(cum[:-1], t)).clip(min=0)
+            out_first.append(int(first[lo]))
+            out_n.append(n)
+            out_t.append(t)
+            out_s.append(int((take * vv).sum()))
+        return pa.table({key_col: col.take(pa.array(out_first)),
+                         "n": pa.array(out_n, pa.int64()),
+                         "k_trim": pa.array(out_t, pa.int64()),
+                         "t_sum": pa.array(out_s, pa.int64())})
+
+    return hash_bucket_agg(
+        ds.map_batches(_hist, batch_format="pyarrow"),
+        _key_fn, _fold, num_buckets=num_buckets)
