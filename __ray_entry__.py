@@ -523,6 +523,73 @@ def _q_triangles_per_vertex(sf_dir: str):
     return per_v
 
 
+DOULION_NUM, DOULION_DEN = 1, 2
+DOULION_SEED = 11
+
+
+def _q_triangles_doulion(sf_dir: str):
+    """DOULION sampled triangle estimate (Tsourakakis et al., KDD
+    2009) — the TC scale path when even the oriented exact count is
+    too large: keep each canonical edge iff splitmix64(packed pair +
+    seed·golden) < p·2⁶⁴ (a pure edge function — no RNG state, any
+    layout), run the EXACT oriented engine on the sampled subgraph,
+    and ship (tri_sampled, edges_kept, p_num, p_den) so the unbiased
+    estimate tri_sampled/p³ derives exactly.  Sampling is a stateless
+    zero-shuffle filter; everything downstream reuses the verified TC
+    engine."""
+    from essentials_rd.algorithms import triangle_counts
+    from essentials_rd.pipelines import _work_dir, part_universe
+    from essentials_rd.util import hash64, np_col
+
+    _, edges = _graph(sf_dir)
+    mix = (DOULION_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    thr = np.uint64((2**64) * DOULION_NUM // DOULION_DEN)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src").astype(np.int64).view(np.uint64)
+        d = np_col(t, "dst").astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            key = (s << np.uint64(32)) + d + np.uint64(mix)
+        z = hash64(key.view(np.int64))
+        m = z < thr
+        return pa.table({
+            "src": pa.array(s[m].view(np.int64), pa.int64()),
+            "dst": pa.array(d[m].view(np.int64), pa.int64()),
+        })
+
+    sampled = (edges.select_columns(["src", "dst"])
+               .map_batches(_keep, batch_format="pyarrow")
+               .materialize())
+    n_kept = sampled.count()
+    total, _ = triangle_counts(sampled, _work_dir("doulion"), 8,
+                               vertex_ids=part_universe(sf_dir))
+    return pa.table({
+        "tri_sampled": pa.array([total], pa.int64()),
+        "edges_kept": pa.array([n_kept], pa.int64()),
+        "p_num": pa.array([DOULION_NUM], pa.int64()),
+        "p_den": pa.array([DOULION_DEN], pa.int64()),
+    })
+
+
+def _doulion_sql() -> str:
+    mix = (DOULION_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    thr = (2**64) * DOULION_NUM // DOULION_DEN
+    chain = _sm64_ctes("dlz", "src, dst",
+                       f"src * 4294967296 + dst + {mix}", "pairs")
+    return (
+        f"WITH {_GRAPH_CTES}, {chain}, "
+        f"spairs AS MATERIALIZED (SELECT src, dst FROM dlz3 "
+        f"WHERE z < CAST('{thr}' AS UBIGINT)) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM spairs e1 "
+        "JOIN spairs e2 ON e2.src = e1.src AND e2.dst > e1.dst "
+        "JOIN spairs e3 ON e3.src = e1.dst AND e3.dst = e2.dst) "
+        "AS tri_sampled, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM spairs) AS edges_kept, "
+        f"CAST({DOULION_NUM} AS BIGINT) AS p_num, "
+        f"CAST({DOULION_DEN} AS BIGINT) AS p_den"
+    )
+
+
 def _q_bfs_depth(sf_dir: str):
     import ray
 
@@ -7279,6 +7346,70 @@ def _q_supplier_edit1(sf_dir: str):
     return edit1_pairs(sup, "s_suppkey", "s_name", num_buckets=16)
 
 
+def _q_supplier_entities(sf_dir: str):
+    """Entity resolution end to end: the edit-distance-1 fuzzy-dup
+    pair graph (lossless FastSS blocking + exact verify) feeds the
+    same hash-min CC superstep engine as the link graph, giving every
+    supplier an entity cluster id (min suppkey of its component;
+    suppliers in no pair are their own singleton entity) — the
+    blocking → pairwise-match → transitive-closure pipeline every
+    master-data system runs."""
+    import ray.data as rd
+
+    from essentials_rd.algorithms import connected_components
+    from essentials_rd.algorithms.cc import components_table
+    from essentials_rd.graph import build_graph
+    from essentials_rd.pipelines import _work_dir
+    from essentials_rd.textops import edit1_pairs
+    from essentials_rd.util import np_col
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    pairs = edit1_pairs(sup, "s_suppkey", "s_name", num_buckets=16)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t.column("a_id"),
+                            "dst": t.column("b_id")}),
+        batch_format="pyarrow").materialize()
+    lab: dict[int, int] = {}
+    if edges.count() > 0:
+        g = build_graph(edges, _work_dir("supent"), 8,
+                        symmetrize=True, persist=False)
+        res = connected_components(g, checkpoint_every=0)
+        t = components_table(res)
+        lab = dict(zip(np.asarray(t["vid"], np.int64).tolist(),
+                       np.asarray(t["label"], np.int64).tolist()))
+    lk = np.array(sorted(lab), np.int64)
+    lv = np.array([lab[k] for k in lk], np.int64)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        keys = np_col(t, "s_suppkey")
+        if len(lk) == 0:
+            out = keys.astype(np.int64)
+            return pa.table({"s_suppkey": pa.array(keys, pa.int64()),
+                             "cluster": pa.array(out, pa.int64())})
+        idx = np.searchsorted(lk, keys)
+        idx_c = np.minimum(idx, len(lk) - 1)
+        found = (idx < len(lk)) & (lk[idx_c] == keys)
+        out = np.where(found, lv[idx_c], keys).astype(np.int64)
+        return pa.table({"s_suppkey": pa.array(keys, pa.int64()),
+                         "cluster": pa.array(out, pa.int64())})
+
+    return sup.select_columns(["s_suppkey"]).map_batches(
+        _assign, batch_format="pyarrow")
+
+
+def _supplier_entities_sql() -> str:
+    return (
+        "WITH nd AS MATERIALIZED (SELECT a.s_suppkey AS a, "
+        "b.s_suppkey AS b FROM supplier a JOIN supplier b "
+        "ON a.s_suppkey < b.s_suppkey "
+        f"WHERE levenshtein(a.s_name, b.s_name) <= 1), {_dup_cc_body()} "
+        "SELECT s.s_suppkey, CAST(COALESCE(x.label, s.s_suppkey) "
+        f"AS BIGINT) AS cluster FROM supplier s LEFT JOIN "
+        f"x{DUP_CC_ITERS} x ON x.vid = s.s_suppkey ORDER BY s_suppkey"
+    )
+
+
 def _q_qty_dense_rank(sf_dir: str):
     """Dense-rank window (ops.grouped_rank dense=True): every lineitem
     ranked within its return flag by row_number over the (quantity,
@@ -8927,6 +9058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_rank": _q_doc_char_rank,
         "qty_dense_rank": _q_qty_dense_rank,
         "supplier_edit1": _q_supplier_edit1,
+        "supplier_entities": _q_supplier_entities,
         "event_transitions": _q_event_transitions,
         "ra_link_pred": _q_ra_link_pred,
         "diameter_lb": _q_diameter_lb,
@@ -9099,6 +9231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": _q_embedding_dim_stats,
         "user_event_seq": _q_user_event_seq,
         "triangles_total": _q_triangles_total,
+        "triangles_doulion": _q_triangles_doulion,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "spmv": _q_spmv,
         "nbr_deg": _q_nbr_deg,
@@ -10709,6 +10842,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "FROM events) WHERE prev_type IS NOT NULL "
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
+        "supplier_entities": _supplier_entities_sql(),
         "supplier_edit1": (
             "SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id, "
             "CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist "
@@ -10832,6 +10966,7 @@ FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
         "louvain_coarse_edges": _louvain_coarse_sql(),
         "louvain_level2": _louvain_level2_sql(),
         "triangles_total": _triangles_total_sql(),
+        "triangles_doulion": _doulion_sql(),
         "triangles_per_vertex": _triangles_per_vertex_sql(),
         "spmv": _spmv_sql(),
         "nbr_deg": _nbr_deg_sql(),
