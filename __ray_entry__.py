@@ -9161,6 +9161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "ann_cosine_top5": _q_ann,
         "near_dup_pairs": _q_near_dup_pairs,
+        "containment_pairs": _q_containment_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dup_clusters": _q_dup_clusters,
         "lang_pred": _q_lang_pred,
@@ -9268,6 +9269,37 @@ jpairs AS MATERIALIZED (
 ),
 nd AS MATERIALIZED (SELECT a, b, jacc FROM jpairs WHERE jacc >= {JACCARD_T})
 """
+
+
+CONT_NUM, CONT_DEN = 4, 5
+
+
+def _q_containment_pairs(sf_dir: str):
+    """Asymmetric containment near-dup (textops.containment_pairs):
+    ordered pairs with |S(src) ∩ S(dst)|·5 ≥ 4·|S(src)| over distinct
+    token shingles — the subset-duplication detector symmetric Jaccard
+    structurally misses.  Exact shingle strings end to end; one gram
+    exchange + one packed-pair exchange + one size join."""
+    import ray.data as rd
+
+    from essentials_rd.textops import containment_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return containment_pairs(docs, num=CONT_NUM, den=CONT_DEN,
+                             shingle_k=SHINGLE_K)
+
+
+def _containment_sql() -> str:
+    return (
+        f"WITH {_SHINGLE_CTE} "
+        "SELECT a.doc_id AS src, b.doc_id AS dst, "
+        "CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter, "
+        "CAST(len(a.s) AS BIGINT) AS n_src "
+        "FROM sh a JOIN sh b ON a.doc_id <> b.doc_id "
+        f"WHERE len(list_intersect(a.s, b.s)) * {CONT_DEN} "
+        f">= {CONT_NUM} * len(a.s) ORDER BY src, dst"
+    )
 
 
 def _near_dup_pairs_sql() -> str:
@@ -10472,6 +10504,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         ),
         "degree_assortativity": _degree_assortativity_sql(),
         "near_dup_pairs": _near_dup_pairs_sql(),
+        "containment_pairs": _containment_sql(),
         # the LSH-banded path returns the exact-Jaccard-VERIFIED pair
         # set; banding recall 1.0 on this corpus is pinned by pytest,
         # so the brute-force pair oracle applies verbatim

@@ -2836,3 +2836,142 @@ def bpe_train_rounds(
         "pair": pa.array([m[1] for m in merges], pa.string()),
         "cnt": pa.array([m[2] for m in merges], pa.int64()),
     })
+
+
+def containment_pairs(
+    docs: rd.Dataset,
+    num: int = 4,
+    den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    group_cap: int = 10_000,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """ASYMMETRIC near-duplicate containment: all ORDERED pairs
+    (src, dst) with |S(src) ∩ S(dst)| · den ≥ num · |S(src)| over
+    distinct token-shingle sets — the subset-duplication detector
+    (quoted posts, boilerplate-wrapped copies, truncations) that
+    symmetric Jaccard structurally misses: a small doc fully contained
+    in a large one has J ≈ |small|/|large| but containment 1.0.
+
+    Exact shingle STRINGS are the grouping key end to end (the
+    near-dup semantics contract: short docs fall back to the whole
+    text as their single shingle), so no hash-collision caveat exists
+    anywhere.  Plan: one vectorized gram pass builds per-doc DISTINCT
+    (doc, gram) rows, ONE gram-bucketed exchange pair-expands each
+    gram's doc group (df hard-asserted ≤ ``group_cap`` — at 100 TB
+    swap the assert for a counted df-cap + verify, the dup_span
+    discipline), one packed-pair-keyed exchange sums intersections,
+    and one partitioned join ships |S(src)| to the directed pairs.
+    Emits (src, dst, inter, n_src) — integers only."""
+    from .derive import _str_hash
+    from .ops import hash_bucket_agg, join
+    from .util import grouped_pair_expand
+
+    k = int(shingle_k)
+
+    def _shingles(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        ids = np_col(batch, id_col)
+        toks = s.str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64)
+        out_id: list[np.ndarray] = []
+        out_g: list[np.ndarray] = []
+        short = dl < k
+        if short.any():
+            out_id.append(ids[short])
+            out_g.append(s.to_numpy(object)[short])
+        long_idx = np.flatnonzero(~short)
+        if len(long_idx):
+            sl = toks.iloc[long_idx]
+            dll = dl[long_idx]
+            flat = sl.explode().to_numpy(object)
+            doc_idx = np.repeat(np.arange(len(long_idx)), dll)
+            off = np.r_[np.int64(0), np.cumsum(dll)]
+            pos = np.arange(len(flat), dtype=np.int64) - off[doc_idx]
+            gram = flat[:len(flat) - k + 1].copy()
+            for j in range(1, k):
+                gram = gram + " "
+                gram = gram + flat[j:len(flat) - k + 1 + j]
+            valid = (pos <= dll[doc_idx] - k)[:len(gram)]
+            vidx = np.flatnonzero(valid)
+            gdoc = doc_idx[vidx]
+            g = gram[vidx]
+            codes, uq = pd.factorize(pd.Series(g))
+            key = gdoc.astype(np.int64) * np.int64(len(uq)) + codes
+            uk = np.unique(key)
+            out_id.append(ids[long_idx][(uk // len(uq)).astype(np.int64)])
+            out_g.append(np.asarray(uq, object)[uk % len(uq)])
+        if not out_id:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "gram": pa.array(np.concatenate(out_g).tolist(), pa.string()),
+        })
+
+    dg = docs.map_batches(_shingles, batch_format="pyarrow").materialize()
+
+    def _sizes(grp: pa.Table) -> pa.Table:
+        d = np_col(grp, id_col)
+        uv, cnt = np.unique(d, return_counts=True)
+        return pa.table({"src": pa.array(uv, pa.int64()),
+                         "n_src": pa.array(cnt.astype(np.int64),
+                                           pa.int64())})
+
+    sizes = hash_bucket_agg(dg.select_columns([id_col]),
+                            lambda t: np_col(t, id_col),
+                            _sizes, num_buckets=num_buckets)
+
+    def _pairs(grp: pa.Table) -> pa.Table:
+        codes = np.asarray(grp.column("gram").combine_chunks()
+                           .dictionary_encode().indices).astype(np.int64)
+        d = np_col(grp, id_col)
+        df_max = int(np.bincount(codes).max(initial=0))
+        assert df_max <= group_cap, \
+            f"shingle df {df_max} exceeds group_cap={group_cap}"
+        a, b, _ = grouped_pair_expand(codes, d)
+        assert (a < 2**31).all() and (b < 2**31).all() if len(a) else True
+        key = a * np.int64(2**31) + b
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"pk": pa.array(uk, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    partial = hash_bucket_agg(
+        dg, lambda t: np.asarray(_str_hash(t.column("gram"))),
+        _pairs, num_buckets=num_buckets)
+
+    def _inter(grp: pa.Table) -> pa.Table:
+        pk = np_col(grp, "pk")
+        c = np_col(grp, "c")
+        order = np.argsort(pk, kind="stable")
+        pk, c = pk[order], c[order]
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        tot = np.add.reduceat(c, starts)
+        upk = pk[starts]
+        a = upk // np.int64(2**31)
+        b = upk % np.int64(2**31)
+        return pa.table({
+            "src": pa.array(np.r_[a, b], pa.int64()),
+            "dst": pa.array(np.r_[b, a], pa.int64()),
+            "inter": pa.array(np.r_[tot, tot], pa.int64()),
+        })
+
+    directed = hash_bucket_agg(partial, lambda t: np_col(t, "pk"),
+                               _inter, num_buckets=num_buckets)
+    joined = join(directed, sizes, on="src", how="inner",
+                  broadcast=False, num_buckets=num_buckets)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        inter = np_col(t, "inter")
+        ns = np_col(t, "n_src")
+        m = inter * np.int64(den) >= np.int64(num) * ns
+        return pa.table({
+            "src": pa.array(np_col(t, "src")[m], pa.int64()),
+            "dst": pa.array(np_col(t, "dst")[m], pa.int64()),
+            "inter": pa.array(inter[m], pa.int64()),
+            "n_src": pa.array(ns[m], pa.int64()),
+        })
+
+    return joined.map_batches(_filter, batch_format="pyarrow")
