@@ -7208,6 +7208,91 @@ def _rmat_sql() -> str:
     )
 
 
+MEDIA_IMG_N = 48    # coded PPM images through the real netpbm decoder
+MEDIA_WAV_N = 40    # coded WAV PCM16 clips through the real RIFF decoder
+MEDIA_SEED = 7
+
+
+def _q_media_img_stats(sf_dir: str):
+    """REAL image decode (multimodal.decode_netpbm): synthesize binary
+    P6 PPM payloads whose pixel stream is splitmix64(i·2³² + j +
+    seed·golden) mod 256 — a pure function of (media_id, j) — encode
+    them to actual netpbm bytes, ship through the MediaStatsStage actor
+    pool, and emit exact int64 (count, sum, min, max) per image.  The
+    SQL twin replays the pixel stream via the shared _sm64_ctes chain
+    without ever seeing a payload, so equality certifies the
+    encode→decode round trip is bit-exact end to end."""
+    import ray.data as rd
+
+    from essentials_rd.multimodal import media_stats, synth_coded_media
+
+    media = rd.from_arrow(synth_coded_media(MEDIA_IMG_N, kind="image",
+                                            seed=MEDIA_SEED))
+    out = media_stats(media).drop_columns(["sample_rate"]).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    return pa.table({
+        k: pa.array([r[k] for r in out], pa.int64())
+        for k in ("media_id", "n_vals", "val_sum", "val_min", "val_max")
+    })
+
+
+def _q_media_wav_stats(sf_dir: str):
+    """REAL audio decode (multimodal.decode_wav_pcm16): RIFF WAV PCM16
+    payloads whose sample stream is splitmix64(...) mod 2¹⁶ − 32768;
+    exact int64 stats per clip plus the sample_rate parsed from the
+    fmt chunk — same oracle construction as media_img_stats."""
+    import ray.data as rd
+
+    from essentials_rd.multimodal import media_stats, synth_coded_media
+
+    media = rd.from_arrow(synth_coded_media(MEDIA_WAV_N, kind="audio",
+                                            seed=MEDIA_SEED))
+    out = media_stats(media).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    return pa.table({
+        k: pa.array([r[k] for r in out], pa.int64())
+        for k in ("media_id", "n_vals", "val_sum", "val_min", "val_max",
+                  "sample_rate")
+    })
+
+
+def _media_img_sql() -> str:
+    mix = (MEDIA_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes(
+        "mz", "media_id", f"media_id * 4294967296 + j + {mix}", "pix")
+    return (
+        "WITH dims AS (SELECT i AS media_id, "
+        "CAST((12 + (i % 5) * 2) * (8 + (i % 3) * 3) * 3 AS BIGINT) AS nv "
+        f"FROM (SELECT unnest(range({MEDIA_IMG_N})) AS i)), "
+        "pix AS (SELECT media_id, unnest(range(nv)) AS j FROM dims), "
+        f"{chain} "
+        "SELECT media_id, CAST(count(*) AS BIGINT) AS n_vals, "
+        "CAST(sum(z % 256) AS BIGINT) AS val_sum, "
+        "CAST(min(z % 256) AS BIGINT) AS val_min, "
+        "CAST(max(z % 256) AS BIGINT) AS val_max "
+        "FROM mz3 GROUP BY media_id ORDER BY media_id"
+    )
+
+
+def _media_wav_sql() -> str:
+    mix = (MEDIA_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes(
+        "wvz", "media_id", f"media_id * 4294967296 + j + {mix}", "pix")
+    return (
+        "WITH dims AS (SELECT i AS media_id, "
+        f"CAST(400 + 61 * (i % 7) AS BIGINT) AS nv "
+        f"FROM (SELECT unnest(range({MEDIA_WAV_N})) AS i)), "
+        "pix AS (SELECT media_id, unnest(range(nv)) AS j FROM dims), "
+        f"{chain} "
+        "SELECT media_id, CAST(count(*) AS BIGINT) AS n_vals, "
+        "CAST(sum(CAST(z % 65536 AS BIGINT) - 32768) AS BIGINT) AS val_sum, "
+        "CAST(min(CAST(z % 65536 AS BIGINT) - 32768) AS BIGINT) AS val_min, "
+        "CAST(max(CAST(z % 65536 AS BIGINT) - 32768) AS BIGINT) AS val_max, "
+        "CAST(8000 + 4000 * (media_id % 3) AS BIGINT) AS sample_rate "
+        "FROM wvz3 GROUP BY media_id ORDER BY media_id"
+    )
+
+
 def _q_diameter_lb(sf_dir: str):
     """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS
     from the min vid, re-BFS from the farthest vertex found (tie-break
@@ -9183,6 +9268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depth": _q_bfs_depth,
         "temporal_reach": _q_temporal_reach,
         "rmat_edges": _q_rmat_edges,
+        "media_img_stats": _q_media_img_stats,
+        "media_wav_stats": _q_media_wav_stats,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
         "ppr_k8": _q_ppr,
@@ -10609,6 +10696,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "bfs_depth": _bfs_sql(),
         "temporal_reach": _temporal_reach_sql(),
         "rmat_edges": _rmat_sql(),
+        "media_img_stats": _media_img_sql(),
+        "media_wav_stats": _media_wav_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),
         "ppr_k8": _ppr_sql(),

@@ -2,14 +2,17 @@
 metadata, with actor-pool decode / feature-extract / resize /
 frame-sample stages.
 
-The real decode kernels need codec libraries (Pillow, ffmpeg, torchcodec)
-that are NOT in this container, so the decode step is STUBBED: pass
-``decoder="fake"`` (default) for a deterministic, seed-free fake decoder
-that derives pixel/sample statistics from a hash of the payload bytes —
-the Ray-side plumbing (schema, batch sizing, actor signature, zero-copy
-binary handling, output layout) is real and tested, and swapping in a
-real codec is a one-method change (``_decode_real`` raises
-NotImplementedError until then).
+Decode is REAL for the lib-free uncompressed formats — binary netpbm
+images (P6 PPM color / P5 PGM grayscale) and RIFF WAV PCM16 mono audio
+decode in pure NumPy (``decode_netpbm`` / ``decode_wav_pcm16``), with
+matching encoders so tests pin exact round trips.  Compressed formats
+(png/jpeg/mp3/mp4) need codec libraries (Pillow, ffmpeg) that are NOT
+in this container, so for those the decode step stays STUBBED: pass
+``decoder="fake"`` for a deterministic, seed-free fake decoder that
+derives pixel/sample statistics from a hash of the payload bytes — the
+Ray-side plumbing (schema, batch sizing, actor signature, zero-copy
+binary handling, output layout) is identical either way, and swapping a
+real codec in is a one-branch change in ``_decode_real``.
 
 Design notes for 100 TB:
 - media payloads are LARGE (MBs/row): stages run with small
@@ -68,6 +71,187 @@ def synth_media_table(n: int, kind: str = "image", seed: int = 42) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real lib-free codecs: binary netpbm (P5/P6) and RIFF WAV PCM16 mono.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6, maxval 255) from an (h, w, 3) uint8 array."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    assert px.ndim == 3 and px.shape[2] == 3, "PPM needs (h, w, 3)"
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """Binary PGM (P5, maxval 255) from an (h, w) uint8 array."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    assert px.ndim == 2, "PGM needs (h, w)"
+    h, w = px.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_netpbm(buf: bytes) -> np.ndarray:
+    """Decode binary netpbm bytes: P6 → (h, w, 3) uint8, P5 → (h, w).
+
+    A real parser per the netpbm spec: header tokens (width, height,
+    maxval) are whitespace-separated with ``#``-to-newline comments
+    allowed between them; exactly one whitespace byte follows maxval,
+    then the raw raster.  Raises ValueError on anything malformed —
+    wrong magic, maxval ≠ 255 (the 2-byte-sample variant is out of
+    scope), or a truncated raster.
+    """
+    if len(buf) < 2 or buf[0:1] != b"P" or buf[1:2] not in (b"5", b"6"):
+        raise ValueError("not a binary netpbm payload (P5/P6)")
+    channels = 3 if buf[1:2] == b"6" else 1
+    pos, toks = 2, []
+    while len(toks) < 3:
+        while pos < len(buf) and buf[pos] in b" \t\r\n":
+            pos += 1
+        if pos >= len(buf):
+            raise ValueError("truncated netpbm header")
+        if buf[pos] in b"#":
+            while pos < len(buf) and buf[pos] not in b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and buf[pos] not in b" \t\r\n#":
+            pos += 1
+        tok = buf[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"bad netpbm header token {tok!r}")
+        toks.append(int(tok))
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"unsupported netpbm maxval {maxval}")
+    pos += 1  # exactly one whitespace byte after maxval
+    n = w * h * channels
+    raster = buf[pos:pos + n]
+    if len(raster) != n:
+        raise ValueError(f"netpbm raster truncated: {len(raster)} != {n}")
+    arr = np.frombuffer(raster, np.uint8)
+    return arr.reshape(h, w, 3) if channels == 3 else arr.reshape(h, w)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """RIFF WAV, PCM16 mono, from a 1-D int16 array."""
+    s = np.ascontiguousarray(samples, dtype=np.int16)
+    assert s.ndim == 1, "mono PCM needs a 1-D array"
+    data = s.tobytes()
+    fmt = (
+        np.array([1, 1], np.uint16).tobytes()           # PCM, 1 channel
+        + np.array([sample_rate, sample_rate * 2], np.uint32).tobytes()
+        + np.array([2, 16], np.uint16).tobytes()        # block align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + np.uint32(len(fmt)).tobytes() + fmt
+        + b"data" + np.uint32(len(data)).tobytes() + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + np.uint32(len(body)).tobytes() + body
+
+
+def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF WAV PCM16 mono → (int16 samples, sample_rate).
+
+    Walks the chunk list (chunks are even-padded per RIFF) rather than
+    assuming a fixed layout, so encoders that emit extra chunks (LIST,
+    fact) still parse.  Raises ValueError for non-PCM, non-16-bit,
+    non-mono or truncated payloads.
+    """
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, nch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        size = int(np.frombuffer(buf[pos + 4:pos + 8], np.uint32)[0])
+        chunk = buf[pos + 8:pos + 8 + size]
+        if len(chunk) != size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, nch = np.frombuffer(chunk[0:4], np.uint16)
+            rate = int(np.frombuffer(chunk[4:8], np.uint32)[0])
+            bits = int(np.frombuffer(chunk[14:16], np.uint16)[0])
+            if audio_fmt != 1:
+                raise ValueError(f"not PCM (format {audio_fmt})")
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size % 2)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits != 16 or int(nch) != 1:
+        raise ValueError(f"unsupported WAV: {bits}-bit, {nch} channel(s)")
+    return np.frombuffer(data, np.int16), rate
+
+
+# Deterministic coded-media factory: value stream j of media i is
+# splitmix64(i·2³² + j + seed·golden) folded to the sample domain — a
+# pure function of (media_id, j), so the DuckDB oracle replays the
+# exact pixel/sample stream via the shared _sm64_ctes chain without
+# ever parsing a payload, and the query certifies encode→decode is
+# bit-exact end to end.
+_MEDIA_ID_SHIFT = np.uint64(1) << np.uint64(32)
+
+
+def _coded_values(media_id: int, n: int, seed: int) -> np.ndarray:
+    from .util import hash64, _GOLDEN
+
+    with np.errstate(over="ignore"):
+        key = (
+            np.uint64(media_id) * _MEDIA_ID_SHIFT
+            + np.arange(n, dtype=np.uint64)
+            + np.uint64(seed) * _GOLDEN
+        )
+    return hash64(key)
+
+
+def coded_img_dims(i: int) -> tuple[int, int]:
+    """(w, h) of coded image i — small closed forms the SQL twin repeats."""
+    return 12 + (i % 5) * 2, 8 + (i % 3) * 3
+
+
+def coded_wav_params(i: int) -> tuple[int, int]:
+    """(n_samples, sample_rate) of coded wav i."""
+    return 400 + 61 * (i % 7), 8000 + 4000 * (i % 3)
+
+
+def synth_coded_media(n: int, kind: str = "image", seed: int = 7) -> pa.Table:
+    """n REAL-encoded media rows (PPM images or WAV audio) whose decoded
+    value stream is the splitmix64 chain above — test/oracle fixture."""
+    rows = []
+    for i in range(n):
+        if kind == "image":
+            w, h = coded_img_dims(i)
+            px = (_coded_values(i, w * h * 3, seed) % np.uint64(256)).astype(
+                np.uint8
+            )
+            rows.append((encode_ppm(px.reshape(h, w, 3)), "ppm", w, h, -1))
+        else:
+            ns, rate = coded_wav_params(i)
+            s = (
+                _coded_values(i, ns, seed) % np.uint64(65536)
+            ).astype(np.int64) - 32768
+            rows.append((encode_wav_pcm16(s.astype(np.int16), rate),
+                         "wav", -1, -1, rate))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array([kind] * n, pa.string()),
+            "payload": pa.array([r[0] for r in rows], pa.large_binary()),
+            "format": pa.array([r[1] for r in rows], pa.string()),
+            "width": pa.array([r[2] for r in rows], pa.int32()),
+            "height": pa.array([r[3] for r in rows], pa.int32()),
+            "sample_rate": pa.array([r[4] for r in rows], pa.int32()),
+            "n_frames": pa.array([-1] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def _payload_digest_floats(payload: bytes, k: int) -> np.ndarray:
     """Deterministic pseudo-decode: k floats in [0,1) from the payload's
     sha256 stream (same bytes → same 'pixels', any bytes accepted)."""
@@ -102,10 +286,29 @@ class DecodeFeatureStage:
         self.decoder = decoder
 
     def _decode_real(self, payload: bytes, fmt: str) -> np.ndarray:
+        """Decode to a flat float array in [0, 1).  Real for the
+        lib-free formats (ppm/pgm/wav); compressed formats need codec
+        libraries absent from this container."""
+        if fmt in ("ppm", "pgm"):
+            return decode_netpbm(payload).ravel() / 256.0
+        if fmt == "wav":
+            samples, _ = decode_wav_pcm16(payload)
+            return (samples.astype(np.float64) + 32768.0) / 65536.0
         raise NotImplementedError(
-            "real media decode requires codec libraries not present in "
-            "this environment; use decoder='fake' for the plumbing path"
+            f"decoding {fmt!r} requires codec libraries not present in "
+            "this environment (ppm/pgm/wav decode natively; use "
+            "decoder='fake' for the plumbing path otherwise)"
         )
+
+    def _pool(self, vals: np.ndarray) -> np.ndarray:
+        """Mean-pool an arbitrary-length value stream into k features
+        (contiguous nearly-equal bins; short streams tile first)."""
+        if len(vals) < self.k:
+            vals = np.tile(vals, -(-self.k // len(vals)))[: self.k]
+        bounds = (np.arange(self.k, dtype=np.int64) * len(vals)) // self.k
+        sums = np.add.reduceat(vals, bounds)
+        counts = np.diff(np.append(bounds, len(vals)))
+        return sums / counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload")
@@ -119,9 +322,10 @@ class DecodeFeatureStage:
             sizes[i] = len(buf)
             if self.decoder == "fake":
                 px = _payload_digest_floats(buf, self.k)
+                feats[i] = px
             else:
                 px = self._decode_real(buf, str(batch.column("format")[i]))
-            feats[i] = px
+                feats[i] = self._pool(px)
             means[i] = float(px.mean())
             stds[i] = float(px.std())
         return pa.table(
@@ -197,6 +401,63 @@ class FrameSampleStage:
                                       pa.int32()),
             }
         )
+
+
+class MediaStatsStage:
+    """Actor-pool stage: REAL-decode each payload (netpbm image or WAV
+    PCM16 audio) and emit exact integer stats over the decoded value
+    stream — (count, sum, min, max) as int64 — the oracle-checkable
+    face of the decode path.  Pixel domain is [0, 256); audio domain is
+    [-32768, 32768).  Per-row iteration is inherent (codecs are
+    per-file); every stat is a NumPy fold over the decoded array."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload")
+        fmts = batch.column("format").to_pylist()
+        n = batch.num_rows
+        nv = np.empty(n, np.int64)
+        vsum = np.empty(n, np.int64)
+        vmin = np.empty(n, np.int64)
+        vmax = np.empty(n, np.int64)
+        rates = np.full(n, -1, np.int64)
+        for i in range(n):
+            buf = payloads[i].as_py()
+            if fmts[i] in ("ppm", "pgm"):
+                vals = decode_netpbm(buf).ravel().astype(np.int64)
+            elif fmts[i] == "wav":
+                s, rates[i] = decode_wav_pcm16(buf)
+                vals = s.astype(np.int64)
+            else:
+                raise NotImplementedError(f"no native codec for {fmts[i]!r}")
+            nv[i] = len(vals)
+            vsum[i] = int(vals.sum())
+            vmin[i] = int(vals.min())
+            vmax[i] = int(vals.max())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "n_vals": pa.array(nv, pa.int64()),
+                "val_sum": pa.array(vsum, pa.int64()),
+                "val_min": pa.array(vmin, pa.int64()),
+                "val_max": pa.array(vmax, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+            }
+        )
+
+
+def media_stats(
+    media: rd.Dataset, concurrency: int = 8, batch_size: int = 16
+) -> rd.Dataset:
+    """Real decode → exact integer stats, actor-pool sized for large
+    binary payloads (small batches × bounded concurrency)."""
+    return media.map_batches(
+        MediaStatsStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+        max_restarts=0,
+    )
 
 
 def decode_features(
