@@ -3341,6 +3341,118 @@ def _orders_checksum_sql() -> str:
     )
 
 
+MERKLE_WIDTH = 4096   # orderkeys per level-0 range
+MERKLE_LEVELS = 6     # root is a single node at both test scales
+
+
+def _q_orders_merkle(sf_dir: str):
+    """Merkle range-checksum tree (ops.merkle_range_tree): the layered
+    anti-entropy primitive — two replicas of a 100 TB table localize
+    the diverging key range in O(log ranges) digest comparisons
+    instead of re-reading either side.  Level-0 node = o_orderkey //
+    {width}, digest = Σ splitmix64(o_orderkey·C + o_custkey) mod 2⁶⁴;
+    each level above rehashes child digests and halves the node id.
+    One pre-combined partial row per (block, node) leaves the scan —
+    no shuffle; the SQL twin replays every level exactly."""
+    import ray.data as rd
+
+    from essentials_rd.ops import merkle_range_tree
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def _key(b: pa.Table) -> np.ndarray:
+        ok = np_col(b, "o_orderkey").astype(np.uint64)
+        ck = np_col(b, "o_custkey").astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return ok * np.uint64(_CKSUM_MIX) + ck
+
+    def _node(b: pa.Table) -> np.ndarray:
+        return np_col(b, "o_orderkey") // MERKLE_WIDTH
+
+    return merkle_range_tree(orders, _key, _node, levels=MERKLE_LEVELS)
+
+
+def _orders_merkle_sql() -> str:
+    half = "9223372036854775808"
+    chain = _sm64_ctes(
+        "z", "o_orderkey",
+        f"CAST(o_orderkey AS HUGEINT) * {_CKSUM_MIX} + o_custkey",
+        "orders",
+    )
+    parts = [chain,
+             f"lvl0 AS (SELECT o_orderkey // {MERKLE_WIDTH} AS node, "
+             "CAST(count(*) AS BIGINT) AS n, "
+             f"((sum(CAST(z AS HUGEINT)) % {_MOD64}) + {_MOD64}) % {_MOD64}"
+             " AS h FROM z3 GROUP BY 1)"]
+    for k in range(1, MERKLE_LEVELS + 1):
+        parts.append(_sm64_ctes(
+            f"mk{k}", "node, n", "h",
+            f"(SELECT node, n, h FROM lvl{k - 1})"))
+        parts.append(
+            f"lvl{k} AS (SELECT node // 2 AS node, "
+            f"CAST(sum(n) AS BIGINT) AS n, "
+            f"((sum(CAST(z AS HUGEINT)) % {_MOD64}) + {_MOD64}) % {_MOD64}"
+            f" AS h FROM mk{k}3 GROUP BY 1)")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS level, CAST(node AS BIGINT) AS node,"
+        f" n, CAST(CASE WHEN h >= {half} THEN h - {_MOD64} ELSE h END"
+        f" AS BIGINT) AS h FROM lvl{k}"
+        for k in range(MERKLE_LEVELS + 1))
+    return f"WITH {', '.join(parts)} {sel} ORDER BY level, node"
+
+
+EDGE_CUT_PARTS = 8
+
+
+def _q_edge_cut(sf_dir: str):
+    """Partitioner edge-cut diagnostic: the (p_src, p_dst) histogram of
+    co-purchase edges under the engine's own splitmix64 hash
+    partitioner (util.part_of, P=8) — the quantity that prices every
+    BSP superstep's shuffle (off-diagonal mass = messages that cross
+    workers).  Zero shuffle: one ≤P² partial row per block, folded
+    driver-side."""
+    from essentials_rd.pipelines import copurchase_edges
+    from essentials_rd.util import np_col, part_of
+
+    edges = copurchase_edges(sf_dir)
+    P = EDGE_CUT_PARTS
+
+    def _partial(b: pa.Table) -> pa.Table:
+        k = (part_of(np_col(b, "src"), P).astype(np.int64) * P
+             + part_of(np_col(b, "dst"), P).astype(np.int64))
+        return pa.table({
+            "k": pa.array(np.arange(P * P, dtype=np.int64), pa.int64()),
+            "c": pa.array(np.bincount(k, minlength=P * P).astype(np.int64),
+                          pa.int64()),
+        })
+
+    rows = edges.map_batches(_partial, batch_format="pyarrow").take_all()
+    tot = np.zeros(P * P, np.int64)
+    for r in rows:
+        tot[r["k"]] += r["c"]
+    nz = np.flatnonzero(tot)
+    return pa.table({
+        "p_src": pa.array(nz // P, pa.int64()),
+        "p_dst": pa.array(nz % P, pa.int64()),
+        "n_edges": pa.array(tot[nz], pa.int64()),
+    })
+
+
+def _edge_cut_sql() -> str:
+    P = EDGE_CUT_PARTS
+    sz = _sm64_ctes("ecs", "dst", "src", "pairs")
+    dz = _sm64_ctes("ecd", "zs", "dst", "(SELECT z AS zs, dst FROM ecs3)")
+    return (
+        f"WITH {_GRAPH_CTES}, {sz}, {dz} "
+        f"SELECT CAST(zs % {P} AS BIGINT) AS p_src, "
+        f"CAST(z % {P} AS BIGINT) AS p_dst, "
+        "CAST(count(*) AS BIGINT) AS n_edges "
+        "FROM ecd3 GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 STRAT_TARGET = 30
 
 
@@ -9270,6 +9382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rmat_edges": _q_rmat_edges,
         "media_img_stats": _q_media_img_stats,
         "media_wav_stats": _q_media_wav_stats,
+        "orders_merkle": _q_orders_merkle,
+        "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
         "ppr_k8": _q_ppr,
@@ -10698,6 +10812,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "rmat_edges": _rmat_sql(),
         "media_img_stats": _media_img_sql(),
         "media_wav_stats": _media_wav_sql(),
+        "orders_merkle": _orders_merkle_sql(),
+        "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),
         "ppr_k8": _ppr_sql(),

@@ -845,6 +845,83 @@ def table_checksum(
     )
 
 
+def merkle_range_tree(
+    ds: rd.Dataset,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    node_fn: Callable[[pa.Table], np.ndarray],
+    levels: int = 6,
+) -> pa.Table:
+    """Merkle range-checksum tree: ``table_checksum`` layered so two
+    replicas of a 100 TB table can localize WHICH key range diverges in
+    O(log ranges) digest comparisons instead of re-reading either side.
+
+    Level 0 groups rows by ``node_fn`` (e.g. ``key // width``) with
+    ``h(node) = Σ splitmix64(key_fn(row)) mod 2⁶⁴`` — the wrapping sum
+    is commutative, so level-0 digests are a pure function of each
+    range's row multiset (block-layout / cluster-size invariant).
+    Level k+1 halves the node id and sums ``splitmix64(h_child)`` —
+    rehashing before the fold so sibling swaps and cross-node row moves
+    change every ancestor.  Per-node row counts ``n`` ride along.
+
+    Scale shape: one ≤#distinct-nodes partial row leaves each block
+    (pre-combined with a segment sum); the driver folds partials and
+    walks the (tiny) upper levels.  With millions of level-0 nodes,
+    swap the driver fold for one ``hash_bucket_agg`` on the node id —
+    the per-block pre-combine and every level above are unchanged.
+
+    Returns ``(level, node, n, h)`` for levels 0..``levels`` with ``h``
+    as the int64 bit pattern of the uint64 digest.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        h = hash64(key_fn(batch))
+        node = node_fn(batch).astype(np.int64)
+        order = np.argsort(node, kind="stable")
+        node, h = node[order], h[order]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        with np.errstate(over="ignore"):
+            sums = np.add.reduceat(h, starts) if len(h) else h
+        cnts = np.diff(np.r_[starts, len(node)]).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(node[starts], pa.int64()),
+                "n": pa.array(cnts, pa.int64()),
+                "s": pa.array(sums.view(np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    node = np.array([r["node"] for r in rows], np.int64)
+    n = np.array([r["n"] for r in rows], np.int64)
+    h = np.array([r["s"] for r in rows], np.int64).view(np.uint64)
+    out_lvl, out_node, out_n, out_h = [], [], [], []
+    for lvl in range(levels + 1):
+        order = np.argsort(node, kind="stable")
+        node, n, h = node[order], n[order], h[order]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]]) \
+            if len(node) else np.zeros(0, np.int64)
+        with np.errstate(over="ignore"):
+            hh = np.add.reduceat(h, starts) if len(h) else h
+        nn = np.add.reduceat(n, starts) if len(n) else n
+        node = node[starts]
+        out_lvl.append(np.full(len(node), lvl, np.int64))
+        out_node.append(node)
+        out_n.append(nn)
+        out_h.append(hh)
+        # next level: rehash each node digest, halve the node id
+        h = hash64(hh)
+        n = nn
+        node = node >> 1
+    return pa.table(
+        {
+            "level": pa.array(np.concatenate(out_lvl), pa.int64()),
+            "node": pa.array(np.concatenate(out_node), pa.int64()),
+            "n": pa.array(np.concatenate(out_n), pa.int64()),
+            "h": pa.array(np.concatenate(out_h).view(np.int64)),
+        }
+    )
+
+
 def profile_table(
     ds: rd.Dataset,
     cols: list[str],
