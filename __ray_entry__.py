@@ -1098,6 +1098,72 @@ def _q_bond_percolation(sf_dir: str):
                                               pa.int64())})
 
 
+ICM_SAMPLES = 6
+ICM_PNUM, ICM_PDEN = 1, 4
+ICM_HOPS = 3
+ICM_SEED = 11
+ICM_NSEEDS = 4
+
+
+def _q_ic_spread(sf_dir: str):
+    """Independent-cascade influence spread (algorithms.icm.ic_spread,
+    Kempe–Kleinberg–Tardos): for the top-4-degree candidate seeds, the
+    exact number of vertices each reaches within 3 hops in each of 6
+    deterministic live-edge samples — edge (u,v) live in sample r iff
+    splitmix64(u·2³² + v + (seed+r)·golden) < p·2⁶⁴, each direction
+    independent (the IC contract).  Sampling is a stateless
+    zero-shuffle filter; all R×S cascades share one bitmask state, two
+    exchanges per hop.  The spread estimate is mean(n_reached) per
+    seed; the raw integers hash-match SQL where a float mean might
+    not."""
+    import ray
+
+    from essentials_rd.algorithms.icm import ic_spread
+    from essentials_rd.util import np_col
+
+    g, edges = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    deg = np.zeros(len(vids), np.int64)
+    for t in ray.get(list(g.degree_refs)):
+        pos = np.searchsorted(vids, np_col(t, "vid"))
+        deg[pos] += np_col(t, "outdeg")
+    seeds = vids[np.lexsort((vids, -deg))[:ICM_NSEEDS]]
+    return ic_spread(edges.select_columns(["src", "dst"]), seeds,
+                     n_samples=ICM_SAMPLES, p_num=ICM_PNUM, p_den=ICM_PDEN,
+                     hops=ICM_HOPS, seed=ICM_SEED)
+
+
+def _ic_spread_sql() -> str:
+    thr = (ICM_PNUM << 64) // ICM_PDEN - 1
+    chain = _sm64_ctes(
+        "icz", "src, dst, r",
+        f"src * 4294967296 + dst + 11400714819323198485 * ({ICM_SEED} + r)",
+        f"(SELECT src, dst, r FROM sym, "
+        f"(SELECT unnest(range({ICM_SAMPLES})) AS r))")
+    steps = [
+        f"live AS MATERIALIZED (SELECT src, dst, r FROM icz3 "
+        f"WHERE z < CAST('{thr}' AS UBIGINT))",
+        "sd AS (SELECT vid, row_number() OVER (ORDER BY outdeg DESC, vid)"
+        " - 1 AS b FROM (SELECT vid, outdeg FROM deg "
+        f"ORDER BY outdeg DESC, vid LIMIT {ICM_NSEEDS}))",
+        f"im0 AS (SELECT r, vid, CAST(1 << b AS BIGINT) AS m FROM sd, "
+        f"(SELECT unnest(range({ICM_SAMPLES})) AS r))",
+    ]
+    for k in range(1, ICM_HOPS + 1):
+        steps.append(
+            f"im{k} AS MATERIALIZED (SELECT r, vid, bit_or(m) AS m FROM ("
+            f"SELECT e.r, e.dst AS vid, p.m FROM live e "
+            f"JOIN im{k - 1} p ON p.r = e.r AND p.vid = e.src "
+            f"UNION ALL SELECT r, vid, m FROM im{k - 1}) GROUP BY r, vid)")
+    return (
+        f"WITH {_GRAPH_CTES}, {chain}, {', '.join(steps)} "
+        f"SELECT m.r AS sample, s.vid AS seed, "
+        f"CAST(count(*) AS BIGINT) AS n_reached "
+        f"FROM im{ICM_HOPS} m JOIN sd s ON ((m.m >> s.b) & 1) = 1 "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 INCR_CC_DEN = 8  # 1/8 of the edges arrive as the "new" delta batch
 
 
@@ -9390,6 +9456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_sweep": _q_ppr_sweep,
         "hub_robustness": _q_hub_robustness,
         "bond_percolation": _q_bond_percolation,
+        "ic_spread": _q_ic_spread,
         "squares_total": _q_squares,
         "k4_total": _q_k4,
         "butterflies_total": _q_butterflies,
@@ -10820,6 +10887,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "ppr_sweep": _ppr_sweep_sql(),
         "hub_robustness": _hub_robustness_sql(),
         "bond_percolation": _bond_percolation_sql(),
+        "ic_spread": _ic_spread_sql(),
         "squares_total": _squares_sql(),
         "k4_total": _k4_sql(),
         "butterflies_total": _butterflies_sql(),
