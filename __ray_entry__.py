@@ -1164,6 +1164,88 @@ def _ic_spread_sql() -> str:
     )
 
 
+ICMS_CANDS = 6   # candidate pool: top-6 degree
+ICMS_K = 3       # greedy picks
+ICMS_SAMPLES = 4
+ICMS_PNUM, ICMS_PDEN = 1, 3
+ICMS_HOPS = 2
+
+
+def _q_influence_seeds(sf_dir: str):
+    """Greedy influence maximization (algorithms.icm.influence_seeds —
+    the KKT (1−1/e) submodular greedy): pick 3 seeds from the top-6
+    degree candidates, each round taking the largest MARGINAL coverage
+    over 4 deterministic live-edge samples.  The greedy runs off one
+    distributed artifact — the 2⁶-bin reach-mask histogram, pre-combined
+    per block — so selection costs a 64-int driver fold after the
+    cascade, zero further data passes."""
+    import ray
+
+    from essentials_rd.algorithms.icm import influence_seeds
+    from essentials_rd.util import np_col
+
+    g, edges = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    deg = np.zeros(len(vids), np.int64)
+    for t in ray.get(list(g.degree_refs)):
+        pos = np.searchsorted(vids, np_col(t, "vid"))
+        deg[pos] += np_col(t, "outdeg")
+    cands = vids[np.lexsort((vids, -deg))[:ICMS_CANDS]]
+    return influence_seeds(edges.select_columns(["src", "dst"]), cands,
+                           k=ICMS_K, n_samples=ICMS_SAMPLES,
+                           p_num=ICMS_PNUM, p_den=ICMS_PDEN,
+                           hops=ICMS_HOPS, seed=ICM_SEED)
+
+
+def _influence_seeds_sql() -> str:
+    thr = (ICMS_PNUM << 64) // ICMS_PDEN - 1
+    chain = _sm64_ctes(
+        "isz", "src, dst, r",
+        f"src * 4294967296 + dst + 11400714819323198485 * ({ICM_SEED} + r)",
+        f"(SELECT src, dst, r FROM sym, "
+        f"(SELECT unnest(range({ICMS_SAMPLES})) AS r))")
+    steps = [
+        f"ilive AS MATERIALIZED (SELECT src, dst, r FROM isz3 "
+        f"WHERE z < CAST('{thr}' AS UBIGINT))",
+        "isd AS (SELECT vid, row_number() OVER (ORDER BY outdeg DESC, vid)"
+        " - 1 AS b FROM (SELECT vid, outdeg FROM deg "
+        f"ORDER BY outdeg DESC, vid LIMIT {ICMS_CANDS}))",
+        f"is0 AS (SELECT r, vid, CAST(1 << b AS BIGINT) AS m FROM isd, "
+        f"(SELECT unnest(range({ICMS_SAMPLES})) AS r))",
+    ]
+    for k in range(1, ICMS_HOPS + 1):
+        steps.append(
+            f"is{k} AS MATERIALIZED (SELECT r, vid, bit_or(m) AS m FROM ("
+            f"SELECT e.r, e.dst AS vid, p.m FROM ilive e "
+            f"JOIN is{k - 1} p ON p.r = e.r AND p.vid = e.src "
+            f"UNION ALL SELECT r, vid, m FROM is{k - 1}) GROUP BY r, vid)")
+    fin = f"is{ICMS_HOPS}"
+    picked: list[str] = []
+    for j in range(1, ICMS_K + 1):
+        cover = (f" AND (m.m & (SELECT mm FROM cm{j - 1})) = 0"
+                 if j > 1 else "")
+        excl = (" WHERE s.b NOT IN ("
+                + " UNION ALL ".join(f"SELECT b FROM c{i}" for i in picked)
+                + ")") if picked else ""
+        steps.append(
+            f"g{j} AS (SELECT s.b, s.vid, CAST(count(m.m) AS BIGINT) AS "
+            f"gain FROM isd s LEFT JOIN {fin} m ON ((m.m >> s.b) & 1) = 1"
+            f"{cover}{excl} GROUP BY 1, 2)")
+        steps.append(
+            f"c{j} AS (SELECT b, vid, gain FROM g{j} "
+            f"ORDER BY gain DESC, vid LIMIT 1)")
+        prev = f"(SELECT mm FROM cm{j - 1}) | " if j > 1 else ""
+        steps.append(
+            f"cm{j} AS (SELECT {prev}(SELECT CAST(1 << b AS BIGINT) "
+            f"FROM c{j}) AS mm)")
+        picked.append(str(j))
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS rank, vid AS seed, gain FROM c{j}"
+        for j in range(1, ICMS_K + 1))
+    return f"WITH {_GRAPH_CTES}, {chain}, {', '.join(steps)} {sel} " \
+           "ORDER BY rank"
+
+
 INCR_CC_DEN = 8  # 1/8 of the edges arrive as the "new" delta batch
 
 
@@ -9457,6 +9539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hub_robustness": _q_hub_robustness,
         "bond_percolation": _q_bond_percolation,
         "ic_spread": _q_ic_spread,
+        "influence_seeds": _q_influence_seeds,
         "squares_total": _q_squares,
         "k4_total": _q_k4,
         "butterflies_total": _q_butterflies,
@@ -10888,6 +10971,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "hub_robustness": _hub_robustness_sql(),
         "bond_percolation": _bond_percolation_sql(),
         "ic_spread": _ic_spread_sql(),
+        "influence_seeds": _influence_seeds_sql(),
         "squares_total": _squares_sql(),
         "k4_total": _k4_sql(),
         "butterflies_total": _butterflies_sql(),

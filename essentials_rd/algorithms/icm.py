@@ -47,7 +47,7 @@ _EMPTY = pa.table({
 })
 
 
-def ic_spread(
+def ic_reach_masks(
     edges: rd.Dataset,
     seeds: np.ndarray,
     n_samples: int = 6,
@@ -56,9 +56,10 @@ def ic_spread(
     hops: int = 3,
     seed: int = 11,
     num_buckets: int = DEFAULT_BUCKETS,
-) -> pa.Table:
-    """(sample, seed, n_reached) — exact reach counts of each candidate
-    seed in each deterministic live-edge sample, ``hops`` rounds.
+) -> rd.Dataset:
+    """The shared cascade state: rows ``(r, a, m)`` with bit i of ``m``
+    set iff candidate seed i reaches vertex ``a`` within ``hops`` live
+    hops of sample ``r`` (rows exist only where m ≠ 0).
 
     ``edges``: canonical undirected pairs (src < dst); the cascade runs
     on both directions, each filtered independently (the IC contract).
@@ -152,6 +153,26 @@ def ic_spread(
                                num_buckets=num_buckets)
         state = hash_bucket_agg(msgs.union(state), key, _gather,
                                 num_buckets=num_buckets).materialize()
+    return state
+
+
+def ic_spread(
+    edges: rd.Dataset,
+    seeds: np.ndarray,
+    n_samples: int = 6,
+    p_num: int = 1,
+    p_den: int = 4,
+    hops: int = 3,
+    seed: int = 11,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> pa.Table:
+    """(sample, seed, n_reached) — exact reach counts of each candidate
+    seed in each deterministic live-edge sample, ``hops`` rounds."""
+    S, R = len(seeds), int(n_samples)
+    seeds = np.asarray(seeds, dtype=np.int64)
+    state = ic_reach_masks(edges, seeds, n_samples=n_samples, p_num=p_num,
+                           p_den=p_den, hops=hops, seed=seed,
+                           num_buckets=num_buckets)
 
     def _counts(t: pa.Table) -> pa.Table:
         r = np_col(t, "r")
@@ -173,4 +194,73 @@ def ic_spread(
         "sample": pa.array(kk // S, pa.int64()),
         "seed": pa.array(seeds[kk % S], pa.int64()),
         "n_reached": pa.array(tot, pa.int64()),
+    })
+
+
+def influence_seeds(
+    edges: rd.Dataset,
+    candidates: np.ndarray,
+    k: int,
+    n_samples: int = 4,
+    p_num: int = 1,
+    p_den: int = 3,
+    hops: int = 2,
+    seed: int = 11,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> pa.Table:
+    """Greedy influence maximization (the Kempe–Kleinberg–Tardos
+    (1 − 1/e)-approximation for submodular spread): pick ``k`` seeds
+    from ``candidates``, each round taking the candidate with the
+    largest MARGINAL coverage — (sample, vertex) pairs it reaches that
+    no already-picked seed reaches — summed over all live-edge samples
+    (∝ the estimated expected spread).  Ties break (gain desc,
+    candidate vid asc); picked candidates leave the pool.
+
+    The whole greedy runs off ONE distributed artifact: the 2^|C|-bin
+    histogram of reach-mask values (the cascade state pooled over
+    samples), pre-combined per block — so after the cascade's two
+    exchanges per hop, seed selection costs a 64-int driver fold and
+    zero further passes over the data, ``k`` notwithstanding.
+
+    Returns ``(rank, seed, gain)``, rank 1-based.
+    """
+    C = len(candidates)
+    assert 0 < C <= 16 and 0 < k <= C
+    candidates = np.asarray(candidates, dtype=np.int64)
+    state = ic_reach_masks(edges, candidates, n_samples=n_samples,
+                           p_num=p_num, p_den=p_den, hops=hops, seed=seed,
+                           num_buckets=num_buckets)
+    nbins = 1 << C
+
+    def _hist(t: pa.Table) -> pa.Table:
+        cnt = np.bincount(np_col(t, "m"), minlength=nbins).astype(np.int64)
+        return pa.table({
+            "m": pa.array(np.arange(nbins, dtype=np.int64), pa.int64()),
+            "c": pa.array(cnt, pa.int64()),
+        })
+
+    hist = np.zeros(nbins, np.int64)
+    for row in state.map_batches(_hist, batch_format="pyarrow").take_all():
+        hist[row["m"]] += row["c"]
+    masks = np.arange(nbins, dtype=np.int64)
+    chosen = 0
+    pool = list(range(C))
+    out_rank, out_seed, out_gain = [], [], []
+    for rank in range(1, k + 1):
+        gains = np.array([
+            int(hist[((masks >> b) & 1 == 1) & (masks & chosen == 0)].sum())
+            for b in pool
+        ])
+        vids = candidates[pool]
+        best = np.lexsort((vids, -gains))[0]
+        b = pool[best]
+        out_rank.append(rank)
+        out_seed.append(int(candidates[b]))
+        out_gain.append(int(gains[best]))
+        chosen |= 1 << b
+        pool.remove(b)
+    return pa.table({
+        "rank": pa.array(out_rank, pa.int64()),
+        "seed": pa.array(out_seed, pa.int64()),
+        "gain": pa.array(out_gain, pa.int64()),
     })

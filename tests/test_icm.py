@@ -74,6 +74,69 @@ def test_p_one_is_khop_reach_and_p_tiny_is_seeds_only(ray_session):
     assert all(r["n_reached"] == 1 for r in tiny.to_pylist())
 
 
+def _brute_greedy(tbl, cands, k, R, p_num, p_den, hops, seed):
+    """Reference greedy: materialize per-(sample, candidate) reach SETS
+    and run the marginal-coverage argmax directly."""
+    s = np.asarray(tbl["src"], np.int64)
+    d = np.asarray(tbl["dst"], np.int64)
+    u = np.concatenate([s, d]).view(np.uint64)
+    v = np.concatenate([d, s]).view(np.uint64)
+    thr = np.uint64((p_num << 64) // p_den - 1)
+    cover = {}
+    for r in range(R):
+        mix = np.uint64(((seed + r) * 0x9E3779B97F4A7C15) % (1 << 64))
+        with np.errstate(over="ignore"):
+            key = (u << np.uint64(32)) + v + mix
+        keep = hash64(key.view(np.int64)).view(np.uint64) < thr
+        lu, lv = u[keep].astype(np.int64), v[keep].astype(np.int64)
+        for ci, cv in enumerate(cands):
+            reached = {int(cv)}
+            frontier = {int(cv)}
+            for _ in range(hops):
+                nxt = {int(b) for a, b in zip(lu, lv)
+                       if int(a) in frontier and int(b) not in reached}
+                reached |= nxt
+                frontier = nxt
+            cover[(r, ci)] = {(r, x) for x in reached}
+    picks, covered, pool = [], set(), list(range(len(cands)))
+    for rank in range(1, k + 1):
+        gains = [(len(set.union(*(cover[(r, ci)] for r in range(R)))
+                      - covered), -cands[ci], ci) for ci in pool]
+        gains.sort(reverse=True)
+        g, _, ci = gains[0]
+        picks.append((rank, int(cands[ci]), g))
+        covered |= set.union(*(cover[(r, ci)] for r in range(R)))
+        pool.remove(ci)
+    return picks
+
+
+def test_greedy_matches_bruteforce(ray_session):
+    from essentials_rd.algorithms.icm import influence_seeds
+
+    tbl = _edges_table(40, 150, 2)
+    cands = np.array([1, 4, 9, 16, 25], np.int64)
+    got = influence_seeds(rd.from_arrow(tbl).repartition(4), cands, k=3,
+                          n_samples=3, p_num=1, p_den=2, hops=2, seed=6)
+    ref = _brute_greedy(tbl, cands, 3, 3, 1, 2, 2, 6)
+    assert [(r["rank"], r["seed"], r["gain"])
+            for r in got.to_pylist()] == ref
+
+
+def test_greedy_no_duplicate_picks_when_gains_zero(ray_session):
+    # two isolated vertices as candidates: every gain after rank 1 is
+    # that candidate's own (sample, self) coverage; with p≈0 each
+    # candidate covers exactly itself — picks must still be distinct
+    tbl = pa.table({"src": pa.array([0], pa.int64()),
+                    "dst": pa.array([1], pa.int64())})
+    from essentials_rd.algorithms.icm import influence_seeds
+
+    got = influence_seeds(rd.from_arrow(tbl), np.array([0, 1], np.int64),
+                          k=2, n_samples=2, p_num=1, p_den=1 << 40,
+                          hops=2, seed=3).to_pylist()
+    assert [r["seed"] for r in got] == [0, 1]
+    assert [r["gain"] for r in got] == [2, 2]  # 2 samples × self
+
+
 def test_layout_invariance(ray_session):
     tbl = _edges_table(30, 80, 9)
     seeds = np.array([1, 2], np.int64)
