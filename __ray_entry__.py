@@ -2462,6 +2462,32 @@ def _q_sssp_parent(sf_dir: str):
                      "parent": pa.array(parent, pa.int64())})
 
 
+def _q_widest_path(sf_dir: str):
+    """Single-source widest (bottleneck / max-capacity) path from the
+    min vertex id over the weighted symmetrized co-purchase graph —
+    the max-min semiring dual of sssp_dist on the SAME engine loop
+    (algorithms.widest): frontier vertices relax out-edges with
+    min(width(u), w(u, v)), combine takes max, fixpoint is exact
+    because widths are monotone non-decreasing from 0.  Unreachable =
+    0, source carries the BIG sentinel; integer weights are exact in
+    float64 on both sides, so the unrolled-CTE oracle hash-matches."""
+    import ray
+
+    from essentials_rd.algorithms import widest_path
+    from essentials_rd.algorithms.widest import widths_table
+
+    g, _ = _graph(sf_dir, weighted=True)
+    source = int(np.min(ray.get(g.vertex_ids_ref)))
+    res = widest_path(g, source, max_iters=2 * SSSP_ITERS,
+                      checkpoint_every=0, scatter_mode="fused")
+    assert res.converged and res.supersteps <= SSSP_ITERS, (
+        "widest-path did not converge within the oracle's unrolled "
+        "iteration count"
+    )
+    t = widths_table(res)
+    return pa.table({"vid": t["vid"], "width": t["width"]})
+
+
 def _q_spmv(sf_dir: str):
     from essentials_rd.algorithms import spmv
     from essentials_rd.algorithms.spmv import spmv_table
@@ -9534,6 +9560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
+        "widest_path": _q_widest_path,
         "ppr_k8": _q_ppr,
         "ppr_sweep": _q_ppr_sweep,
         "hub_robustness": _q_hub_robustness,
@@ -10263,6 +10290,40 @@ def _sssp_parent_sql() -> str:
     )
 
 
+def _widest_sql() -> str:
+    """Max-min (bottleneck) Bellman-Ford unrolled over the same
+    weighted symmetrized edge set as ``_sssp_sql_body`` — width(v) =
+    max over paths of min edge weight, width(source) = BIG sentinel,
+    unreachable stays 0."""
+    big = float(1 << 60)
+    steps = [
+        f"""symw AS MATERIALIZED (
+  SELECT src, dst, weight FROM pairs
+  UNION ALL SELECT dst AS src, src AS dst, weight FROM pairs
+),
+wsrc AS MATERIALIZED (SELECT min(vid) AS s FROM verts),
+x0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = (SELECT s FROM wsrc) THEN {big}
+              ELSE 0.0 END AS width FROM verts)"""
+    ]
+    for k in range(SSSP_ITERS):
+        steps.append(f"""
+xm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, max(least(l.width, e.weight)) AS mw
+  FROM symw e JOIN x{k} l ON l.vid = e.src AND l.width > 0
+  GROUP BY e.dst
+),
+x{k + 1} AS MATERIALIZED (
+  SELECT v.vid, greatest(v.width, COALESCE(m.mw, v.width)) AS width
+  FROM x{k} v LEFT JOIN xm{k} m ON m.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT vid, width FROM x{SSSP_ITERS} ORDER BY vid"
+    )
+
+
 def _component_sizes_sql() -> str:
     inner = _cc_sql().replace(" ORDER BY vid", "")
     return (
@@ -10966,6 +11027,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),
+        "widest_path": _widest_sql(),
         "ppr_k8": _ppr_sql(),
         "ppr_sweep": _ppr_sweep_sql(),
         "hub_robustness": _hub_robustness_sql(),

@@ -27,8 +27,12 @@ from .hyperball import hyperball, hyperball_estimates
 from .temporal import TemporalReachProgram, arrival_table, temporal_reach
 from .louvain import modularity_move_round
 from .wl import wl_refine, wl_refine_local
+from .widest import WidestProgram, widest_path, widths_table
 
 __all__ = [
+    "WidestProgram",
+    "widest_path",
+    "widths_table",
     "maximal_matching",
     "KatzProgram",
     "katz",

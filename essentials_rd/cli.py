@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="repo_files parquet file/dir")
     p.add_argument("--algo", required=True,
                    choices=["pr", "wpr", "cc", "lp", "tc", "spmv", "bfs",
-                            "sssp", "ppr", "kcore", "eigen", "katz",
+                            "sssp", "widest", "ppr", "kcore", "eigen", "katz",
                             "fastrp", "color", "hits",
                             "bc", "msf", "ktruss", "esim", "nsample",
                             "walks", "n2v", "harmonic", "scc", "lpath",
@@ -97,9 +97,10 @@ def main(argv: list[str] | None = None) -> int:
         edges = edges.materialize()
         print(json.dumps({"event": "derived", "heavy_keys_dropped": n_heavy}),
               flush=True)
-        # wpr checkpoints edge weights so --resume reloads a weighted
-        # graph; every other algorithm keeps the unweighted checkpoint
-        weighted_build = args.algo == "wpr"
+        # wpr/widest checkpoint edge weights so --resume reloads a
+        # weighted graph; every other algorithm keeps the unweighted
+        # checkpoint
+        weighted_build = args.algo in ("wpr", "widest")
         cols = ["src", "dst"] + (["weight"] if weighted_build else [])
         g = build_graph(
             edges.select_columns(cols),
@@ -189,10 +190,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algo == "spmv":
         res = spmv(g)
         out_cols = ["x", "y"]
-    elif args.algo in ("bfs", "sssp", "ppr"):
+    elif args.algo in ("bfs", "sssp", "widest", "ppr"):
         import numpy as np
 
-        from .algorithms import bfs as _bfs, ppr as _ppr, sssp as _sssp
+        from .algorithms import (
+            bfs as _bfs, ppr as _ppr, sssp as _sssp,
+            widest_path as _widest,
+        )
 
         source = args.source
         if source is None:
@@ -204,6 +208,9 @@ def main(argv: list[str] | None = None) -> int:
             res = _ppr(g, source, alpha=args.alpha, tol=args.tol,
                        on_step_end=log_step, **common)
             out_cols = ["value"]
+        elif args.algo == "widest":
+            res = _widest(g, source, on_step_end=log_step, **common)
+            out_cols = ["width"]
         else:
             res = _sssp(g, source, on_step_end=log_step, **common)
             out_cols = ["dist"]
