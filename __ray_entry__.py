@@ -3577,6 +3577,96 @@ def _orders_merkle_sql() -> str:
     return f"WITH {', '.join(parts)} {sel} ORDER BY level, node"
 
 
+MERKLE_CORRUPT_MOD = 512   # ~1/512 of replica-B rows perturbed
+MERKLE_CORRUPT_SALT = (13 * 0x9E3779B97F4A7C15) & (2**63 - 1)
+
+
+def _q_merkle_diff(sf_dir: str):
+    """Anti-entropy localization (ops.merkle_diff): replica A = orders
+    as stored; replica B = orders with a deterministic corruption
+    (rows where splitmix64(o_orderkey + salt) % {mod} == 0 get
+    o_custkey + 1 — the SQL twin replays the same splitmix chain, so
+    the 'divergence' is a pure function of the data).  Both replicas
+    reduce to Merkle range trees with the SAME distributed scan as
+    orders_merkle (one pre-combined partial row per (block, node), no
+    shuffle); the top-down digest walk then localizes the diverging
+    level-0 key ranges touching only differing nodes' children —
+    O(log ranges · diverging) compares instead of a flat level-0 scan
+    (pytest pins the comparison count).  Output: the diverging
+    level-0 ranges with both sides' (n, h)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import merkle_diff, merkle_range_tree
+    from essentials_rd.util import hash64, np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def _corrupt(b: pa.Table) -> pa.Table:
+        ok = np_col(b, "o_orderkey").astype(np.int64)
+        ck = np_col(b, "o_custkey").astype(np.int64)
+        with np.errstate(over="ignore"):
+            z = hash64(ok.astype(np.uint64)
+                       + np.uint64(MERKLE_CORRUPT_SALT))
+        hit = (z % np.uint64(MERKLE_CORRUPT_MOD)) == 0
+        return pa.table({
+            "o_orderkey": pa.array(ok, pa.int64()),
+            "o_custkey": pa.array(np.where(hit, ck + 1, ck), pa.int64()),
+        })
+
+    def _key(b: pa.Table) -> np.ndarray:
+        ok = np_col(b, "o_orderkey").astype(np.uint64)
+        ck = np_col(b, "o_custkey").astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return ok * np.uint64(_CKSUM_MIX) + ck
+
+    def _node(b: pa.Table) -> np.ndarray:
+        return np_col(b, "o_orderkey") // MERKLE_WIDTH
+
+    tree_a = merkle_range_tree(orders, _key, _node, levels=MERKLE_LEVELS)
+    tree_b = merkle_range_tree(
+        orders.map_batches(_corrupt, batch_format="pyarrow"),
+        _key, _node, levels=MERKLE_LEVELS)
+    diff, _ = merkle_diff(tree_a, tree_b, MERKLE_LEVELS)
+    return diff
+
+
+def _merkle_diff_sql() -> str:
+    half = "9223372036854775808"
+    # replica B: corruption decided by the same splitmix chain
+    corrupt = _sm64_ctes("c", "o_orderkey, o_custkey",
+                         f"o_orderkey + {MERKLE_CORRUPT_SALT}", "orders")
+    parts = [
+        corrupt,
+        "orders_b AS (SELECT o_orderkey, CASE WHEN z % "
+        f"{MERKLE_CORRUPT_MOD} = 0 THEN o_custkey + 1 ELSE o_custkey "
+        "END AS o_custkey FROM c3)",
+    ]
+    for tag, src in (("a", "orders"), ("b", "orders_b")):
+        parts.append(_sm64_ctes(
+            f"d{tag}", "o_orderkey",
+            f"CAST(o_orderkey AS HUGEINT) * {_CKSUM_MIX} + o_custkey",
+            src))
+        parts.append(
+            f"lvl0{tag} AS (SELECT o_orderkey // {MERKLE_WIDTH} AS node, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(CASE WHEN ((sum(CAST(z AS HUGEINT)) % {_MOD64})"
+            f" + {_MOD64}) % {_MOD64} >= {half} THEN "
+            f"((sum(CAST(z AS HUGEINT)) % {_MOD64}) + {_MOD64})"
+            f" % {_MOD64} - {_MOD64} ELSE ((sum(CAST(z AS HUGEINT))"
+            f" % {_MOD64}) + {_MOD64}) % {_MOD64} END AS BIGINT) AS h "
+            f"FROM d{tag}3 GROUP BY 1)")
+    return (
+        f"WITH {', '.join(parts)} "
+        "SELECT COALESCE(a.node, b.node) AS node, "
+        "COALESCE(a.n, 0) AS n_a, COALESCE(a.h, 0) AS h_a, "
+        "COALESCE(b.n, 0) AS n_b, COALESCE(b.h, 0) AS h_b "
+        "FROM lvl0a a FULL OUTER JOIN lvl0b b ON a.node = b.node "
+        "WHERE a.node IS NULL OR b.node IS NULL OR a.n != b.n "
+        "OR a.h != b.h ORDER BY 1"
+    )
+
+
 EDGE_CUT_PARTS = 8
 
 
@@ -9557,6 +9647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_img_stats": _q_media_img_stats,
         "media_wav_stats": _q_media_wav_stats,
         "orders_merkle": _q_orders_merkle,
+        "merkle_diff": _q_merkle_diff,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -11024,6 +11115,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "media_img_stats": _media_img_sql(),
         "media_wav_stats": _media_wav_sql(),
         "orders_merkle": _orders_merkle_sql(),
+        "merkle_diff": _merkle_diff_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),
