@@ -3667,6 +3667,105 @@ def _merkle_diff_sql() -> str:
     )
 
 
+def _q_ols_order_price(sf_dir: str):
+    """Distributed closed-form OLS (mlfit.ols_fit_exact): fit
+    o_totalprice cents ~ b0 + b1·(lineitem count) + b2·(Σ quantity)
+    per order.  Integer features/target make the normal equations
+    exact: one grouped lineitem aggregate, one partitioned join to
+    orders, then ONE zero-shuffle Gram pass (per-block int64 partials
+    → unbounded Python-int driver fold) and a Cramer solve over exact
+    integer determinants — the only floats are the three final
+    det_i/det divisions, which the SQL twin reproduces bit-for-bit
+    from HUGEINT sums.  The 100-TB shape: the data pass touches each
+    row once, the model is 3×3 driver-side."""
+    import ray.data as rd
+
+    from essentials_rd.mlfit import ols_fit_exact
+    from essentials_rd.ops import grouped_pandas_agg, join
+    from essentials_rd.util import np_col
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def _proj(b: pa.Table) -> pa.Table:
+        ok = np_col(b, "l_orderkey").astype(np.int64)
+        qty = np.asarray(b.column("l_quantity").to_numpy(
+            zero_copy_only=False), np.float64)
+        return pa.table({
+            "ok": pa.array(ok, pa.int64()),
+            "one": pa.array(np.ones(len(ok), np.int64)),
+            "qty": pa.array(np.floor(qty + 0.5).astype(np.int64)),
+        })
+
+    feat = grouped_pandas_agg(
+        li.map_batches(_proj, batch_format="pyarrow"),
+        keys=["ok"], aggs={"k": ("one", "sum"), "q": ("qty", "sum")},
+    )
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def _y(b: pa.Table) -> pa.Table:
+        tp = np.asarray(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        return pa.table({
+            "ok": b.column("o_orderkey"),
+            "y": pa.array(np.floor(tp * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    joined = join(feat, orders.map_batches(_y, batch_format="pyarrow"),
+                  on="ok", broadcast=False)
+
+    def _xy(b: pa.Table):
+        k = np_col(b, "k").astype(np.int64)
+        q = np_col(b, "q").astype(np.int64)
+        X = np.stack([np.ones(len(k), np.int64), k, q], axis=1)
+        return X, np_col(b, "y").astype(np.int64)
+
+    coefs, _ = ols_fit_exact(joined, _xy, p=3)
+    return pa.table({
+        "coef": pa.array(["b0", "b1", "b2"], pa.string()),
+        "value": pa.array(coefs, pa.float64()),
+    })
+
+
+def _ols_sql() -> str:
+    m = [["s00", "s01", "s02"], ["s01", "s11", "s12"], ["s02", "s12", "s22"]]
+    c = ["c0", "c1", "c2"]
+
+    def det3(a):
+        return (f"{a[0][0]}*({a[1][1]}*{a[2][2]} - {a[1][2]}*{a[2][1]})"
+                f" - {a[0][1]}*({a[1][0]}*{a[2][2]} - {a[1][2]}*{a[2][0]})"
+                f" + {a[0][2]}*({a[1][0]}*{a[2][1]} - {a[1][1]}*{a[2][0]})")
+
+    def repl(i):
+        return [[c[r] if j == i else m[r][j] for j in range(3)]
+                for r in range(3)]
+
+    dets = ", ".join(
+        [f"({det3(m)}) AS det"]
+        + [f"({det3(repl(i))}) AS det{i}" for i in range(3)])
+    sel = " UNION ALL ".join(
+        f"SELECT 'b{i}' AS coef, CAST(det{i} AS DOUBLE)"
+        f"/CAST(det AS DOUBLE) AS value FROM d" for i in range(3))
+    return f"""
+WITH feat AS (
+  SELECT l_orderkey AS ok, CAST(count(*) AS HUGEINT) AS k,
+         CAST(sum(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS HUGEINT) AS q
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT f.k, f.q,
+         CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT) AS y
+  FROM feat f JOIN orders o ON o.o_orderkey = f.ok),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS s00, sum(k) AS s01, sum(q) AS s02,
+         sum(k*k) AS s11, sum(k*q) AS s12, sum(q*q) AS s22,
+         sum(y) AS c0, sum(k*y) AS c1, sum(q*y) AS c2
+  FROM j),
+d AS (SELECT {dets} FROM s)
+SELECT coef, value FROM ({sel}) ORDER BY coef"""
+
+
 EDGE_CUT_PARTS = 8
 
 
@@ -9648,6 +9747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_stats": _q_media_wav_stats,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
+        "ols_order_price": _q_ols_order_price,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -11116,6 +11216,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "media_wav_stats": _media_wav_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),
+        "ols_order_price": _ols_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),
