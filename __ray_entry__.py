@@ -3667,7 +3667,7 @@ def _merkle_diff_sql() -> str:
     )
 
 
-def _q_ols_order_price(sf_dir: str):
+def _q_ols_order_price(sf_dir: str, ridge: int = 0):
     """Distributed closed-form OLS (mlfit.ols_fit_exact): fit
     o_totalprice cents ~ b0 + b1·(lineitem count) + b2·(Σ quantity)
     per order.  Integer features/target make the normal equations
@@ -3722,15 +3722,29 @@ def _q_ols_order_price(sf_dir: str):
         X = np.stack([np.ones(len(k), np.int64), k, q], axis=1)
         return X, np_col(b, "y").astype(np.int64)
 
-    coefs, _ = ols_fit_exact(joined, _xy, p=3)
+    coefs, _ = ols_fit_exact(joined, _xy, p=3, ridge=ridge)
     return pa.table({
         "coef": pa.array(["b0", "b1", "b2"], pa.string()),
         "value": pa.array(coefs, pa.float64()),
     })
 
 
-def _ols_sql() -> str:
-    m = [["s00", "s01", "s02"], ["s01", "s11", "s12"], ["s02", "s12", "s22"]]
+RIDGE_LAMBDA = 1_000_000
+
+
+def _q_ridge_order_price(sf_dir: str):
+    """Tikhonov-regularized variant of ols_order_price (integer λ
+    added to the non-intercept Gram diagonal — still exact; the SQL
+    twin adds the same λ inside its cofactor expansion).  Shows the
+    regularization path costs nothing extra: same single data pass,
+    the λ shift is a driver-side 2-int add."""
+    return _q_ols_order_price(sf_dir, ridge=RIDGE_LAMBDA)
+
+
+def _ols_sql(ridge: int = 0) -> str:
+    s11 = f"(s11 + {ridge})" if ridge else "s11"
+    s22 = f"(s22 + {ridge})" if ridge else "s22"
+    m = [["s00", "s01", "s02"], ["s01", s11, "s12"], ["s02", "s12", s22]]
     c = ["c0", "c1", "c2"]
 
     def det3(a):
@@ -3764,6 +3778,70 @@ s AS (
   FROM j),
 d AS (SELECT {dets} FROM s)
 SELECT coef, value FROM ({sel}) ORDER BY coef"""
+
+
+def _q_price_qty_slope(sf_dir: str):
+    """Per-group simple regression (mlfit.grouped_simple_ols):
+    extendedprice cents ~ quantity within each (returnflag,
+    linestatus) class — grouped model fitting as a dataflow op.  The
+    group key is the SQL-replayable int ascii(flag)·256 +
+    ascii(status); partials are five exact int64 sums per (block,
+    key) via lexsort+reduceat, the exchange moves only those, and the
+    2×2 Cramer solve per group divides exact Python ints so the
+    DOUBLE twin matches bit-for-bit."""
+    import ray.data as rd
+
+    from essentials_rd.mlfit import grouped_simple_ols
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"])
+
+    def _ascii1(col: pa.ChunkedArray) -> np.ndarray:
+        # ord() only over the handful of distinct one-char values
+        d = col.combine_chunks().dictionary_encode()
+        vals = np.array([ord(v.as_py()) for v in d.dictionary], np.int64)
+        return vals[np.asarray(d.indices)]
+
+    def _kxy(b: pa.Table):
+        f = _ascii1(b.column("l_returnflag"))
+        s = _ascii1(b.column("l_linestatus"))
+        qty = np.asarray(b.column("l_quantity").to_numpy(
+            zero_copy_only=False), np.float64)
+        ep = np.asarray(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        return (f * 256 + s,
+                np.floor(qty + 0.5).astype(np.int64),
+                np.floor(ep * 100.0 + 0.5).astype(np.int64))
+
+    return grouped_simple_ols(li, _kxy)
+
+
+def _price_qty_slope_sql() -> str:
+    return """
+WITH s AS (
+  SELECT ascii(l_returnflag) * 256 + ascii(l_linestatus) AS key,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS HUGEINT)) AS sx,
+         sum(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+             AS HUGEINT)) AS sy,
+         sum(CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sxy,
+         sum(CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sxx
+  FROM lineitem GROUP BY 1),
+b AS (
+  SELECT key, n, sx, sy,
+         CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+  FROM s)
+SELECT CAST(key AS BIGINT) AS key, CAST(n AS BIGINT) AS n, slope,
+       CASE WHEN slope IS NULL THEN NULL
+            ELSE (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END AS intercept
+FROM b ORDER BY key"""
 
 
 EDGE_CUT_PARTS = 8
@@ -9748,6 +9826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
         "ols_order_price": _q_ols_order_price,
+        "ridge_order_price": _q_ridge_order_price,
+        "price_qty_slope": _q_price_qty_slope,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -11217,6 +11297,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),
         "ols_order_price": _ols_sql(),
+        "ridge_order_price": _ols_sql(ridge=RIDGE_LAMBDA),
+        "price_qty_slope": _price_qty_slope_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),

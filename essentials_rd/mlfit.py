@@ -92,18 +92,88 @@ def ols_fit_exact(
     ds: rd.Dataset,
     xy_fn: Callable[[pa.Table], tuple[np.ndarray, np.ndarray]],
     p: int,
+    ridge: int = 0,
 ) -> tuple[list[float], dict]:
     """OLS coefficients b = (XᵀX)⁻¹ Xᵀy via exact integer Cramer:
-    b_i = float(det(A with col i ← Xᵀy)) / float(det(A)).  Returns
-    (coefs, info) with info carrying the exact integer sums."""
+    b_i = float(det(A with col i ← Xᵀy)) / float(det(A)).  Integer
+    ``ridge`` adds λ to every non-intercept diagonal entry (Tikhonov
+    with an unpenalized intercept) — still exact, since λ is an int.
+    Returns (coefs, info) with info carrying the exact integer sums."""
     gram, xty, n, yty = gram_sums(ds, xy_fn, p)
-    det = int_det(gram)
+    a = [row[:] for row in gram]
+    for i in range(1, p):
+        a[i][i] += int(ridge)
+    det = int_det(a)
     if det == 0:
         raise ValueError("singular design matrix (collinear features)")
     coefs = []
     for i in range(p):
         a_i = [row[:i] + [xty[r]] + row[i + 1:]
-               for r, row in enumerate(gram)]
+               for r, row in enumerate(a)]
         coefs.append(float(int_det(a_i)) / float(det))
     return coefs, {"gram": gram, "xty": xty, "n": n, "yty": yty,
                    "det": det}
+
+
+def grouped_simple_ols(
+    ds: rd.Dataset,
+    kxy_fn: Callable[[pa.Table], tuple[np.ndarray, np.ndarray, np.ndarray]],
+    num_buckets: int = 8,
+) -> pa.Table:
+    """Per-group simple regression y ~ a + b·x with integer keys and
+    values: per-block partial rows (key, n, Σx, Σy, Σxy, Σx²) — a
+    lexsort + reduceat, no Python per group — then ONE small bucketed
+    fold, and the 2×2 Cramer solve per group:
+    b = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²̄), a = (Σy − b·Σx)/n with the
+    numerators/denominators exact int64.  Returns (key, n, slope,
+    intercept) sorted by key; groups with zero x-variance report
+    NULL slope/intercept (SQL twin: the same CASE).
+
+    Scale shape: the exchange moves ≤ #distinct-keys × blocks partial
+    rows of five ints — never the data."""
+    from .ops import grouped_pandas_agg
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        k, x, y = kxy_fn(batch)
+        k = k.astype(np.int64)
+        x = x.astype(np.int64)
+        y = y.astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, x, y = k[order], x[order], y[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+            if len(k) else np.zeros(0, np.int64)
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        out = {"key": k[starts], "n": n}
+        for name, v in (("sx", x), ("sy", y), ("sxy", x * y),
+                        ("sxx", x * x)):
+            out[name] = np.add.reduceat(v, starts) if len(v) else v
+        return pa.table({c: pa.array(a, pa.int64())
+                         for c, a in out.items()})
+
+    folded = grouped_pandas_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        keys=["key"],
+        aggs={c: (c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx")},
+        num_buckets=num_buckets,
+    ).take_all()
+    folded.sort(key=lambda r: r["key"])
+    keys, ns, slopes, intercepts = [], [], [], []
+    for r in folded:
+        n, sx, sy, sxy, sxx = (int(r[c]) for c in
+                               ("n", "sx", "sy", "sxy", "sxx"))
+        den = n * sxx - sx * sx
+        if den == 0:
+            b = a = None
+        else:
+            b = float(n * sxy - sx * sy) / float(den)
+            a = (float(sy) - b * float(sx)) / float(n)
+        keys.append(r["key"])
+        ns.append(n)
+        slopes.append(b)
+        intercepts.append(a)
+    return pa.table({
+        "key": pa.array(keys, pa.int64()),
+        "n": pa.array(ns, pa.int64()),
+        "slope": pa.array(slopes, pa.float64()),
+        "intercept": pa.array(intercepts, pa.float64()),
+    })
