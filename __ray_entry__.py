@@ -2174,7 +2174,10 @@ def _q_negative_samples(sf_dir: str):
     return out
 
 
-def _negative_samples_sql() -> str:
+def _neg_samples_ctes() -> str:
+    """CTE body reproducing sampling.negative_samples (final CTE
+    ``rk``; accepted negatives are ``rn <= NEG_K``) — shared by the
+    negative_samples_k3 and linkpred_auc oracles."""
     c_mul = 0x9E3779B97F4A7C15 & (2**63 - 1)
     mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
     chain = _sm64_ctes(
@@ -2184,7 +2187,6 @@ def _negative_samples_sql() -> str:
         f"LATERAL (SELECT unnest(range(0, {NEG_TRIES})) AS i) t)",
     )
     return (
-        f"WITH {_GRAPH_CTES}, "
         "srcs AS (SELECT DISTINCT src AS vid FROM sym), "
         "uni AS (SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 "
         "AS BIGINT) AS r FROM verts), "
@@ -2199,9 +2201,89 @@ def _negative_samples_sql() -> str:
         "LEFT JOIN sym e ON e.src = p.u AND e.dst = p.cand "
         "WHERE p.cand <> p.u AND e.src IS NULL), "
         "rk AS (SELECT u, cand, i, row_number() OVER ("
-        "PARTITION BY u ORDER BY i) AS rn FROM acc) "
+        "PARTITION BY u ORDER BY i) AS rn FROM acc)"
+    )
+
+
+def _negative_samples_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, {_neg_samples_ctes()} "
         "SELECT u AS src, cand AS neg, CAST(i AS BIGINT) AS try_i "
         f"FROM rk WHERE rn <= {NEG_K} ORDER BY src, try_i"
+    )
+
+
+def _q_linkpred_auc(sf_dir: str):
+    """Link-prediction evaluation, exact: AUC of the common-neighbor
+    score separating true co-purchase edges (positives) from the
+    deterministic negative samples — the standard train-time metric
+    for embedding/link models, computed WITHOUT floats until the last
+    division.  Composition of three verified ops: edge_similarity
+    scores BOTH pair sets against the same packed-edge-key probe
+    (it never assumes the pair is an edge), rank_sum_u merges the two
+    integer score histograms (only per-side histogram entries move),
+    and AUC = U/(n_pos·n_neg) = u2/(2·n_a·n_b) divides exact ints.
+    Ties get half credit — exactly the probabilistic AUC definition."""
+    from essentials_rd.algorithms.similarity import edge_similarity
+    from essentials_rd.ops import rank_sum_u
+    from essentials_rd.sampling import negative_samples
+    from essentials_rd.util import np_col
+
+    g, edges = _graph(sf_dir)
+    pos = edge_similarity(g, edges.select_columns(["src", "dst"]))
+
+    def _canon(t: pa.Table) -> pa.Table:
+        u = np_col(t, "src").astype(np.int64)
+        w = np_col(t, "neg").astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.minimum(u, w), pa.int64()),
+            "dst": pa.array(np.maximum(u, w), pa.int64()),
+        })
+
+    neg_pairs = negative_samples(
+        g, NEG_K, tries=NEG_TRIES, seed=SAMPLE_SEED
+    ).map_batches(_canon, batch_format="pyarrow")
+    neg = edge_similarity(g, neg_pairs)
+
+    r = rank_sum_u(pos.select_columns(["common"]),
+                   neg.select_columns(["common"]), "common")
+    u2 = int(r["u2_a"][0].as_py())
+    na = int(r["n_a"][0].as_py())
+    nb = int(r["n_b"][0].as_py())
+    return pa.table({
+        "u2_a": pa.array([u2], pa.int64()),
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "auc": pa.array([float(u2) / float(2 * na * nb)], pa.float64()),
+    })
+
+
+def _linkpred_auc_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, {_neg_samples_ctes()}, "
+        "negp AS (SELECT least(u, cand) AS src, greatest(u, cand) AS dst "
+        f"FROM rk WHERE rn <= {NEG_K}), "
+        "cn AS (SELECT a.src AS u, b.src AS w, CAST(count(*) AS BIGINT) "
+        "AS c FROM sym a JOIN sym b ON b.dst = a.dst AND a.src < b.src "
+        "GROUP BY 1, 2), "
+        "posc AS (SELECT COALESCE(cn.c, 0) AS v FROM pairs p "
+        "LEFT JOIN cn ON cn.u = p.src AND cn.w = p.dst), "
+        "negc AS (SELECT COALESCE(cn.c, 0) AS v FROM negp p "
+        "LEFT JOIN cn ON cn.u = p.src AND cn.w = p.dst), "
+        "e AS (SELECT v, 0 AS s FROM posc "
+        "UNION ALL SELECT v, 1 AS s FROM negc), "
+        "h AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, "
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM e GROUP BY 1), "
+        "cc AS (SELECT v, ca, cb, sum(cb) OVER (ORDER BY v) - cb AS cbb "
+        "FROM h), "
+        "tt AS (SELECT CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS na, CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS nb FROM e) "
+        "SELECT CAST(sum(ca * (2 * cbb + cb)) AS BIGINT) AS u2_a, "
+        "tt.na AS n_a, tt.nb AS n_b, "
+        "CAST(sum(ca * (2 * cbb + cb)) AS DOUBLE) "
+        "/ CAST(2 * tt.na * tt.nb AS DOUBLE) AS auc "
+        "FROM cc, tt GROUP BY tt.na, tt.nb"
     )
 
 
@@ -9859,6 +9941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_condensed_depth": _q_scc_condensed_depth,
         "activity_gini": _q_activity_gini,
         "negative_samples_k3": _q_negative_samples,
+        "linkpred_auc": _q_linkpred_auc,
         "lang_confusion": _q_lang_confusion,
         "orders_validation": _q_orders_validation,
         "lang_fertility": _q_lang_fertility,
@@ -11197,6 +11280,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "scc_condensed_depth": _scc_condensed_depth_sql(),
         "activity_gini": _activity_gini_sql(),
         "negative_samples_k3": _negative_samples_sql(),
+        "linkpred_auc": _linkpred_auc_sql(),
         "label_centroids": (
             "SELECT CAST(label AS BIGINT) AS label, "
             "CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n, "
