@@ -3926,6 +3926,146 @@ SELECT CAST(key AS BIGINT) AS key, CAST(n AS BIGINT) AS n, slope,
 FROM b ORDER BY key"""
 
 
+def _q_spanning_trees(sf_dir: str):
+    """Kirchhoff matrix-tree theorem over the region-level trade
+    multigraph: weighted-spanning-tree count = det of a 4×4 Laplacian
+    minor, computed with the SAME exact-integer Bareiss determinant as
+    the OLS solver (mlfit.int_det) — zero floats until the final
+    readout cast.  The distributed part is real: lineitem⋈orders is a
+    partitioned big-big join (broadcast only the constant-cardinality
+    cust/supp→region dims; at 100 TB those become partitioned joins
+    too), then ≤25 (rc, rs) partial-count rows leave each block and
+    the driver folds a 5×5 integer matrix.  w(i,j) sums both
+    orientations; self-loops drop (they never enter a Laplacian).
+    Output: n_trees as DOUBLE (the exact int exceeds int64 beyond
+    ~sf0.03; both engines cast the same exact integer) + the exact
+    total cross-region weight as the int64 audit column."""
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.mlfit import int_det
+    from essentials_rd.ops import join
+    from essentials_rd.util import np_col
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_regionkey"]).take_all()
+    n2r = {int(r["n_nationkey"]): int(r["n_regionkey"]) for r in nat}
+
+    def _dim_map(table: str, key: str, nk: str) -> dict:
+        rows = rd.read_parquet(f"{sf_dir}/{table}.parquet",
+                               columns=[key, nk]).take_all()
+        return {int(r[key]): n2r[int(r[nk])] for r in rows}
+
+    c2r_ref = ray.put(_dim_map("customer", "c_custkey", "c_nationkey"))
+    s2r_ref = ray.put(_dim_map("supplier", "s_suppkey", "s_nationkey"))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def _oc(t: pa.Table) -> pa.Table:
+        m = ray.get(c2r_ref)
+        ck = np_col(t, "o_custkey").astype(np.int64)
+        mk = np.array(sorted(m), np.int64)
+        mv = np.array([m[k] for k in sorted(m)], np.int64)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "rc": pa.array(mv[np.searchsorted(mk, ck)], pa.int64()),
+        })
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey"])
+
+    def _ls(t: pa.Table) -> pa.Table:
+        m = ray.get(s2r_ref)
+        sk = np_col(t, "l_suppkey").astype(np.int64)
+        mk = np.array(sorted(m), np.int64)
+        mv = np.array([m[k] for k in sorted(m)], np.int64)
+        return pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "rs": pa.array(mv[np.searchsorted(mk, sk)], pa.int64()),
+        })
+
+    j = join(line.map_batches(_ls, batch_format="pyarrow"),
+             orders.map_batches(_oc, batch_format="pyarrow"),
+             on="o_orderkey", how="inner", broadcast=False,
+             num_buckets=16)
+
+    R = 5
+
+    def _partial(t: pa.Table) -> pa.Table:
+        k = np_col(t, "rc").astype(np.int64) * R + np_col(t, "rs")
+        cnt = np.bincount(k, minlength=R * R).astype(np.int64)
+        return pa.table({
+            "k": pa.array(np.arange(R * R, dtype=np.int64)),
+            "c": pa.array(cnt, pa.int64()),
+        })
+
+    rows = j.map_batches(_partial, batch_format="pyarrow").take_all()
+    cnt = np.zeros(R * R, np.int64)
+    for r in rows:
+        cnt[r["k"]] += r["c"]
+    cnt = cnt.reshape(R, R)
+    w = [[int(cnt[i][j] + cnt[j][i]) if i != j else 0
+          for j in range(R)] for i in range(R)]
+    lap = [[sum(w[i]) if i == j else -w[i][j]
+            for j in range(1, R)] for i in range(1, R)]
+    n_trees = int_det(lap)
+    cross = sum(w[i][j] for i in range(R) for j in range(i + 1, R))
+    return pa.table({
+        "n_trees": pa.array([float(n_trees)], pa.float64()),
+        "cross_weight": pa.array([cross], pa.int64()),
+    })
+
+
+def _spanning_trees_sql() -> str:
+    from itertools import permutations
+
+    R = 5
+    wname = {}
+    for i in range(R):
+        for jj in range(i + 1, R):
+            wname[(i, jj)] = f"w{i}{jj}"
+            wname[(jj, i)] = f"w{i}{jj}"
+    wcols = ", ".join(
+        f"sum(CASE WHEN i = {i} AND j = {jj} THEN w ELSE 0 END) AS w{i}{jj}"
+        for i in range(R) for jj in range(i + 1, R))
+    ent = [[None] * (R - 1) for _ in range(R - 1)]
+    for a in range(1, R):
+        for b in range(1, R):
+            if a == b:
+                ent[a - 1][b - 1] = "(" + " + ".join(
+                    wname[(a, o)] for o in range(R) if o != a) + ")"
+            else:
+                ent[a - 1][b - 1] = f"(- {wname[(a, b)]})"
+    terms = []
+    for perm in permutations(range(R - 1)):
+        inv = sum(1 for x in range(R - 1) for y in range(x + 1, R - 1)
+                  if perm[x] > perm[y])
+        prod = " * ".join(ent[x][perm[x]] for x in range(R - 1))
+        terms.append(("- " if inv % 2 else "+ ") + prod)
+    det = " ".join(terms)
+    total = " + ".join(f"w{i}{jj}" for i in range(R)
+                       for jj in range(i + 1, R))
+    return f"""
+WITH dirw AS (
+  SELECT nc.n_regionkey AS rc, ns.n_regionkey AS rs,
+         CAST(count(*) AS HUGEINT) AS c
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = cu.c_nationkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2),
+und AS (
+  SELECT least(rc, rs) AS i, greatest(rc, rs) AS j, sum(c) AS w
+  FROM dirw WHERE rc <> rs GROUP BY 1, 2),
+ws AS (SELECT {wcols} FROM und),
+d AS (SELECT ({det}) AS det, ({total}) AS total FROM ws)
+SELECT CAST(det AS DOUBLE) AS n_trees,
+       CAST(total AS BIGINT) AS cross_weight FROM d"""
+
+
 EDGE_CUT_PARTS = 8
 
 
@@ -9910,6 +10050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ols_order_price": _q_ols_order_price,
         "ridge_order_price": _q_ridge_order_price,
         "price_qty_slope": _q_price_qty_slope,
+        "spanning_trees_regions": _q_spanning_trees,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -11383,6 +11524,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "ols_order_price": _ols_sql(),
         "ridge_order_price": _ols_sql(ridge=RIDGE_LAMBDA),
         "price_qty_slope": _price_qty_slope_sql(),
+        "spanning_trees_regions": _spanning_trees_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),
