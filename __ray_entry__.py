@@ -4066,6 +4066,67 @@ SELECT CAST(det AS DOUBLE) AS n_trees,
        CAST(total AS BIGINT) AS cross_weight FROM d"""
 
 
+def _q_user_lifetable(sf_dir: str):
+    """Survival-analysis life table over user lifetimes (first→last
+    event, whole days): for every observed lifetime d, the number of
+    users whose observation ENDS at d (``n_end``) and the number still
+    at risk at d (``n_at_risk`` = users with lifetime ≥ d) — the exact
+    integer backbone the Kaplan-Meier product Π(1 − d_i/n_i) derives
+    from.  One bucketed min/max aggregate per user, then a
+    bounded-domain lifetime histogram (≤ observation-window days) whose
+    suffix sum folds driver-side — at 100 TB the histogram is still
+    days-sized."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts_us": t.column("ts").cast(pa.int64())})
+
+    spans = grouped_pandas_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={"lo": ("ts_us", "min"), "hi": ("ts_us", "max")})
+
+    day_us = 86_400_000_000
+
+    def _life(t: pa.Table) -> pa.Table:
+        d = (np_col(t, "hi") - np_col(t, "lo")) // day_us
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(u, pa.int64()),
+                         "n_end": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = grouped_pandas_agg(
+        spans.map_batches(_life, batch_format="pyarrow"),
+        keys=["d"], aggs={"n_end": ("n_end", "sum")}).take_all()
+    hist.sort(key=lambda r: r["d"])
+    d = np.array([r["d"] for r in hist], np.int64)
+    n_end = np.array([r["n_end"] for r in hist], np.int64)
+    at_risk = np.cumsum(n_end[::-1])[::-1]
+    return pa.table({
+        "d": pa.array(d, pa.int64()),
+        "n_end": pa.array(n_end, pa.int64()),
+        "n_at_risk": pa.array(at_risk, pa.int64()),
+    })
+
+
+_USER_LIFETABLE_SQL = """
+WITH spans AS (
+  SELECT user_id,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000 AS d
+  FROM events GROUP BY 1),
+h AS (SELECT d, CAST(count(*) AS BIGINT) AS n_end FROM spans GROUP BY 1)
+SELECT d, n_end,
+       CAST(sum(n_end) OVER (ORDER BY d DESC) AS BIGINT) AS n_at_risk
+FROM h ORDER BY d
+"""
+
+
 EDGE_CUT_PARTS = 8
 
 
@@ -10051,6 +10112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ridge_order_price": _q_ridge_order_price,
         "price_qty_slope": _q_price_qty_slope,
         "spanning_trees_regions": _q_spanning_trees,
+        "user_lifetable": _q_user_lifetable,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -11525,6 +11587,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "ridge_order_price": _ols_sql(ridge=RIDGE_LAMBDA),
         "price_qty_slope": _price_qty_slope_sql(),
         "spanning_trees_regions": _spanning_trees_sql(),
+        "user_lifetable": _USER_LIFETABLE_SQL,
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),
