@@ -4127,6 +4127,151 @@ FROM h ORDER BY d
 """
 
 
+BRIDGE_NUM, BRIDGE_DEN = 1, 32  # sparsify: keep each edge w.p. 1/32
+BRIDGE_SEED = 5
+
+
+def _q_bridges(sf_dir: str):
+    """Bridge (cut-edge) finding WITHOUT DFS (algorithms.find_bridges):
+    XOR subtree sketches over a BFS spanning forest — CC gives the
+    component-minimum roots, a multi-source forest BFS grows one tree
+    per component in the same superstep loop, parent = min neighbor
+    one level up (one edge scan, per-block min partials), every
+    non-tree edge gets the splitmix64(lo·2³² + hi) label, and a tree
+    edge is a bridge iff the XOR of labels with exactly one endpoint
+    below it is zero (both-endpoint labels cancel — the AGM sketch
+    trick).  The SQL twin replays the identical labels, so the
+    comparison is exact; truth-level false bridges need a 64-bit XOR
+    collision (pytest pins vs Tarjan).  Runs on the splitmix-
+    sparsified (p = 1/32, the bond-percolation keep rule) co-purchase
+    subgraph — the full graph is 2-edge-connected at both test scales
+    (0 bridges, a vacuous check), while the sparsified one has real
+    pendant trees AND surviving cycles.  Returns the bridge edges."""
+    import os as _os
+    import tempfile
+
+    import ray
+
+    from essentials_rd.algorithms import find_bridges
+    from essentials_rd.graph import build_graph
+    from essentials_rd.util import hash64, np_col
+
+    g, edges = _graph(sf_dir)
+    thr = np.uint64((BRIDGE_NUM << 64) // BRIDGE_DEN - 1)
+    mix = np.uint64((BRIDGE_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src").astype(np.int64).view(np.uint64)
+        d = np_col(t, "dst").astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            key = (s << np.uint64(32)) + d + mix
+        h = hash64(key.view(np.int64))
+        m = h < thr
+        return pa.table({"src": pa.array(s[m].view(np.int64), pa.int64()),
+                         "dst": pa.array(d[m].view(np.int64), pa.int64())})
+
+    sub = edges.select_columns(["src", "dst"]).map_batches(
+        _keep, batch_format="pyarrow").materialize()
+    vids = ray.get(g.vertex_ids_ref)
+    gb = build_graph(sub, _os.path.join(tempfile.gettempdir(),
+                                        "essentials_rd_bridges"),
+                     g.num_parts, symmetrize=True, persist=False,
+                     vertex_ids=vids)
+    t, info = find_bridges(gb, sub, max_iters=2 * CC_ITERS,
+                           scatter_mode="fused")
+    assert info["max_depth"] <= BFS_ITERS, (
+        "forest deeper than the oracle's unrolled walk"
+    )
+    return t
+
+
+def _bridges_sql() -> str:
+    big = 1 << 60
+    bmix = (BRIDGE_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    bthr = (BRIDGE_NUM << 64) // BRIDGE_DEN - 1
+    keep_chain = _sm64_ctes("kz", "src, dst",
+                            f"src * 4294967296 + dst + {bmix}", "pairs")
+    steps = [
+        keep_chain,
+        "bpairs AS MATERIALIZED (SELECT src, dst FROM kz3 "
+        f"WHERE z < CAST('{bthr}' AS UBIGINT)), "
+        "bsym AS MATERIALIZED (SELECT src, dst FROM bpairs "
+        "UNION ALL SELECT dst, src FROM bpairs)",
+        "l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)",
+    ]
+    for k in range(CC_ITERS):
+        steps.append(f"""
+m{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.label) AS ml
+  FROM bsym e JOIN l{k} l ON l.vid = e.src GROUP BY e.dst
+),
+l{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.label, COALESCE(m.ml, v.label)) AS label
+  FROM l{k} v LEFT JOIN m{k} m ON m.vid = v.vid
+)""")
+    steps.append(
+        f"roots AS (SELECT vid FROM l{CC_ITERS} WHERE vid = label)")
+    steps.append(
+        "d0 AS MATERIALIZED (SELECT vid, CASE WHEN vid IN "
+        f"(SELECT vid FROM roots) THEN 0 ELSE {big} END AS depth "
+        "FROM verts)")
+    for k in range(BFS_ITERS):
+        steps.append(f"""
+fm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.depth + 1) AS md
+  FROM bsym e JOIN d{k} l ON l.vid = e.src AND l.depth < {big}
+  GROUP BY e.dst
+),
+d{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.depth, COALESCE(m.md, v.depth)) AS depth
+  FROM d{k} v LEFT JOIN fm{k} m ON m.vid = v.vid
+)""")
+    D = BFS_ITERS
+    steps.append(f"""
+par AS MATERIALIZED (
+  SELECT v.vid, CASE WHEN v.depth = 0 THEN v.vid ELSE p.parent END
+    AS parent
+  FROM d{D} v LEFT JOIN (
+    SELECT e.dst AS vid, CAST(min(e.src) AS BIGINT) AS parent
+    FROM bsym e JOIN d{D} du ON du.vid = e.src
+    JOIN d{D} dv ON dv.vid = e.dst
+    WHERE du.depth + 1 = dv.depth GROUP BY 1) p ON p.vid = v.vid),
+tre AS MATERIALIZED (
+  SELECT least(vid, parent) AS lo, greatest(vid, parent) AS hi,
+         vid AS c FROM par WHERE parent <> vid),
+ntedge AS MATERIALIZED (
+  SELECT p.src AS lo, p.dst AS hi FROM bpairs p
+  LEFT JOIN tre t ON t.lo = p.src AND t.hi = p.dst
+  WHERE t.lo IS NULL)""")
+    steps.append(_sm64_ctes(
+        "bz", "lo, hi", "CAST(lo AS HUGEINT) * 4294967296 + hi",
+        "ntedge"))
+    steps.append("""
+incid AS (SELECT lo AS vid, z FROM bz3
+          UNION ALL SELECT hi AS vid, z FROM bz3),
+sx AS (SELECT vid, bit_xor(z) AS s FROM incid GROUP BY 1),
+w0 AS (SELECT vid AS u, vid AS a FROM verts)""")
+    for k in range(D):
+        steps.append(f"""
+w{k + 1} AS MATERIALIZED (
+  SELECT w.u, p.parent AS a FROM w{k} w
+  JOIN par p ON p.vid = w.a WHERE p.parent <> w.a)""")
+    anc = " UNION ALL ".join(f"SELECT u, a FROM w{k}"
+                             for k in range(D + 1))
+    steps.append(f"""
+anc AS ({anc}),
+subx AS (
+  SELECT anc.a AS vid,
+         bit_xor(COALESCE(sx.s, CAST(0 AS UBIGINT))) AS x
+  FROM anc LEFT JOIN sx ON sx.vid = anc.u GROUP BY 1)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        "SELECT t.lo AS src, t.hi AS dst FROM tre t "
+        "JOIN subx ON subx.vid = t.c WHERE subx.x = 0 ORDER BY 1, 2"
+    )
+
+
 EDGE_CUT_PARTS = 8
 
 
@@ -10113,6 +10258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_qty_slope": _q_price_qty_slope,
         "spanning_trees_regions": _q_spanning_trees,
         "user_lifetable": _q_user_lifetable,
+        "bridges": _q_bridges,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -11588,6 +11734,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "price_qty_slope": _price_qty_slope_sql(),
         "spanning_trees_regions": _spanning_trees_sql(),
         "user_lifetable": _USER_LIFETABLE_SQL,
+        "bridges": _bridges_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),

@@ -28,8 +28,12 @@ from .temporal import TemporalReachProgram, arrival_table, temporal_reach
 from .louvain import modularity_move_round
 from .wl import wl_refine, wl_refine_local
 from .widest import WidestProgram, widest_path, widths_table
+from .bridges import ForestBfsProgram, find_bridges, forest_bfs
 
 __all__ = [
+    "ForestBfsProgram",
+    "find_bridges",
+    "forest_bfs",
     "WidestProgram",
     "widest_path",
     "widths_table",
