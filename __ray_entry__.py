@@ -4272,6 +4272,108 @@ subx AS (
     )
 
 
+def _q_two_edge_components(sf_dir: str):
+    """2-edge-connected components of the same sparsified subgraph as
+    ``bridges``: delete the sketch-found bridges, rerun the verified
+    CC engine — every vertex labels with the minimum vid of its
+    2ECC (bridge endpoints separate, cycles stay together).  The
+    classic bridge-tree decomposition, as a two-stage composition of
+    already-verified ops; one broadcast bridge-key set filters the
+    kept edges, one persist=False rebuild, one CC fixpoint."""
+    import os as _os
+    import tempfile
+
+    import ray
+
+    from essentials_rd.algorithms import connected_components, find_bridges
+    from essentials_rd.algorithms.cc import components_table
+    from essentials_rd.graph import build_graph
+    from essentials_rd.util import hash64, np_col
+
+    g, edges = _graph(sf_dir)
+    thr = np.uint64((BRIDGE_NUM << 64) // BRIDGE_DEN - 1)
+    mix = np.uint64((BRIDGE_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src").astype(np.int64).view(np.uint64)
+        d = np_col(t, "dst").astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            key = (s << np.uint64(32)) + d + mix
+        h = hash64(key.view(np.int64))
+        m = h < thr
+        return pa.table({"src": pa.array(s[m].view(np.int64), pa.int64()),
+                         "dst": pa.array(d[m].view(np.int64), pa.int64())})
+
+    sub = edges.select_columns(["src", "dst"]).map_batches(
+        _keep, batch_format="pyarrow").materialize()
+    vids = ray.get(g.vertex_ids_ref)
+    tmp = tempfile.gettempdir()
+    gb = build_graph(sub, _os.path.join(tmp, "essentials_rd_2ecc_a"),
+                     g.num_parts, symmetrize=True, persist=False,
+                     vertex_ids=vids)
+    br, _ = find_bridges(gb, sub, max_iters=2 * CC_ITERS,
+                         scatter_mode="fused")
+    bkeys = np.sort(
+        (np.asarray(br["src"], np.int64).astype(np.uint64)
+         << np.uint64(32))
+        | np.asarray(br["dst"], np.int64).astype(np.uint64))
+    bref = ray.put(bkeys)
+
+    def _drop_bridges(t: pa.Table) -> pa.Table:
+        bk = ray.get(bref)
+        lo = np_col(t, "src").astype(np.uint64)
+        hi = np_col(t, "dst").astype(np.uint64)
+        key = (lo << np.uint64(32)) | hi
+        pos = np.searchsorted(bk, key)
+        isb = (pos < len(bk)) & (bk[np.minimum(pos, max(len(bk) - 1, 0))]
+                                 == key) if len(bk) else \
+            np.zeros(len(key), bool)
+        return t.filter(pa.array(~isb))
+
+    core = sub.map_batches(_drop_bridges, batch_format="pyarrow")
+    g2 = build_graph(core, _os.path.join(tmp, "essentials_rd_2ecc_b"),
+                     g.num_parts, symmetrize=True, persist=False,
+                     vertex_ids=vids)
+    cc = connected_components(g2, max_iters=2 * CC_ITERS,
+                              checkpoint_every=0, scatter_mode="fused")
+    return components_table(cc)
+
+
+def _two_edge_components_sql() -> str:
+    inner = _bridges_sql()
+    # reuse the full bridges derivation as a subquery, then CC over
+    # the sparsified edges minus the bridge set
+    steps = [
+        f"br AS MATERIALIZED (SELECT src, dst FROM ({inner}))",
+        "cpairs AS MATERIALIZED (SELECT p.src, p.dst FROM ("
+        "SELECT src, dst FROM kz3 WHERE z < CAST('"
+        f"{(BRIDGE_NUM << 64) // BRIDGE_DEN - 1}' AS UBIGINT)) p "
+        "LEFT JOIN br b ON b.src = p.src AND b.dst = p.dst "
+        "WHERE b.src IS NULL)",
+        "csym AS MATERIALIZED (SELECT src, dst FROM cpairs "
+        "UNION ALL SELECT dst, src FROM cpairs)",
+        "t0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)",
+    ]
+    for k in range(CC_ITERS):
+        steps.append(f"""
+tm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.label) AS ml
+  FROM csym e JOIN t{k} l ON l.vid = e.src GROUP BY e.dst
+),
+t{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.label, COALESCE(m.ml, v.label)) AS label
+  FROM t{k} v LEFT JOIN tm{k} m ON m.vid = v.vid
+)""")
+    # _bridges_sql is a full "WITH <ctes> SELECT ..." statement; splice
+    # its CTE list in front of ours and wrap its final SELECT as `br`.
+    prefix = inner[len("WITH "):inner.rindex("SELECT t.lo")]
+    final_select = inner[inner.rindex("SELECT t.lo"):]
+    steps[0] = f"br AS MATERIALIZED ({final_select})"
+    body = prefix.rstrip() + ", " + ",".join(steps)
+    return (f"WITH {body} "
+            f"SELECT vid, label FROM t{CC_ITERS} ORDER BY vid")
+
+
 EDGE_CUT_PARTS = 8
 
 
@@ -10259,6 +10361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spanning_trees_regions": _q_spanning_trees,
         "user_lifetable": _q_user_lifetable,
         "bridges": _q_bridges,
+        "two_edge_components": _q_two_edge_components,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -11735,6 +11838,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "spanning_trees_regions": _spanning_trees_sql(),
         "user_lifetable": _USER_LIFETABLE_SQL,
         "bridges": _bridges_sql(),
+        "two_edge_components": _two_edge_components_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),

@@ -86,6 +86,67 @@ def test_random_sparse_matches_tarjan(tmp_path, ray_session):
     assert (info["parent"] == info["vids"]).sum() > 1
 
 
+def test_two_edge_components_reference(tmp_path, ray_session):
+    # bridges split 2ECCs: remove Tarjan bridges, component-label the
+    # rest, compare against find_bridges + CC composition
+    rng = np.random.default_rng(55)
+    n, m = 200, 230
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    lo = np.minimum(src[keep], dst[keep]).astype(np.int64)
+    hi = np.maximum(src[keep], dst[keep]).astype(np.int64)
+    packed = np.unique(lo * n + hi)
+    lo, hi = (packed // n), (packed % n)
+
+    from essentials_rd.algorithms import connected_components, find_bridges
+    from essentials_rd.algorithms.cc import components_table
+
+    ds = rd.from_arrow(pa.table({"src": pa.array(lo, pa.int64()),
+                                 "dst": pa.array(hi, pa.int64())}))
+    g = build_graph(ds, str(tmp_path / "g2e"), 4, symmetrize=True)
+    br, _ = find_bridges(g, ds, checkpoint_every=0)
+    bset = set(zip(np.asarray(br["src"]).tolist(),
+                   np.asarray(br["dst"]).tolist()))
+    assert sorted(bset) == tarjan_bridges(lo.tolist(), hi.tolist())
+
+    m2 = np.array([(a, b) not in bset for a, b in zip(lo, hi)])
+    ds2 = rd.from_arrow(pa.table({"src": pa.array(lo[m2], pa.int64()),
+                                  "dst": pa.array(hi[m2], pa.int64())}))
+    g2 = build_graph(ds2, str(tmp_path / "g2f"), 4, symmetrize=True,
+                     vertex_ids=np.unique(np.r_[lo, hi]))
+    cc = connected_components(g2, checkpoint_every=0)
+    t = components_table(cc)
+    got = dict(zip(np.asarray(t["vid"]).tolist(),
+                   np.asarray(t["label"]).tolist()))
+
+    # brute-force 2ECC labels: union-find over non-bridge edges
+    parent = {int(v): int(v) for v in np.r_[lo, hi]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(lo.tolist(), hi.tolist()):
+        if (a, b) not in bset:
+            parent[find(a)] = find(b)
+    want = {}
+    for v in parent:
+        r = find(v)
+        want.setdefault(r, []).append(v)
+    ref = {}
+    for members in want.values():
+        mn = min(members)
+        for v in members:
+            ref[v] = mn
+    assert got == ref
+    # every bridge endpoint pair sits in DIFFERENT 2ECCs
+    for a, b in bset:
+        assert got[a] != got[b]
+
+
 def test_partition_invariance(tmp_path, ray_session):
     rng = np.random.default_rng(33)
     n, m = 120, 140
