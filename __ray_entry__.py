@@ -4374,6 +4374,79 @@ t{k + 1} AS MATERIALIZED (
             f"SELECT vid, label FROM t{CC_ITERS} ORDER BY vid")
 
 
+def _q_rand_index(sf_dir: str):
+    """Partition-agreement metric, exact: the (adjusted) Rand index
+    between the LP communities (k=4 rounds) and the CC ground truth
+    on the same graph — the standard clustering-evaluation number,
+    computed entirely from exact pair-counting integers (contingency
+    Σ C(n_ij,2), per-side Σ C(a_i,2)/Σ C(b_j,2), N = C(n,2)); ARI is
+    ONE float division of two exact ints, NULL when the denominator
+    degenerates.  Both labelings come from already-verified engines;
+    the contingency fold runs on the driver-sized label tables."""
+    from essentials_rd.algorithms import (
+        connected_components, label_propagation,
+    )
+    from essentials_rd.algorithms.cc import components_table
+    from essentials_rd.algorithms.lp import labels_table
+
+    g, _ = _graph(sf_dir)
+    lp = labels_table(label_propagation(
+        g, max_iters=LP_ITERS, checkpoint_every=0, scatter_mode="fused"))
+    cc = components_table(connected_components(
+        g, max_iters=2 * CC_ITERS, checkpoint_every=0,
+        scatter_mode="fused"))
+    from essentials_rd.ops import pair_counting_ari
+
+    la = np.asarray(lp["label"], np.int64)
+    lb = np.asarray(cc["label"], np.int64)
+    assert lp["vid"].equals(cc["vid"])
+    N, s_both, s_a, s_b, ari = pair_counting_ari(la, lb)
+    return pa.table({
+        "n_pairs": pa.array([N], pa.int64()),
+        "s_both": pa.array([s_both], pa.int64()),
+        "s_a": pa.array([s_a], pa.int64()),
+        "s_b": pa.array([s_b], pa.int64()),
+        "ari": pa.array([ari], pa.float64()),
+    })
+
+
+def _rand_index_sql() -> str:
+    cc_steps = ["l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)"]
+    for k in range(CC_ITERS):
+        cc_steps.append(f"""
+m{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.label) AS ml
+  FROM sym e JOIN l{k} l ON l.vid = e.src GROUP BY e.dst
+),
+l{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.label, COALESCE(m.ml, v.label)) AS label
+  FROM l{k} v LEFT JOIN m{k} m ON m.vid = v.vid
+)""")
+    return (
+        f"WITH {_GRAPH_CTES}, {_lp_sql_body()}, "
+        + ",".join(cc_steps) + ", "
+        f"jj AS (SELECT a.label AS la, c.label AS lc FROM b{LP_ITERS} a "
+        f"JOIN l{CC_ITERS} c ON c.vid = a.vid), "
+        "ct AS (SELECT la, lc, CAST(count(*) AS HUGEINT) AS n "
+        "FROM jj GROUP BY 1, 2), "
+        "sij AS (SELECT sum(n * (n - 1) / 2) AS s FROM ct), "
+        "sa AS (SELECT sum(n * (n - 1) / 2) AS s FROM "
+        "(SELECT sum(n) AS n FROM ct GROUP BY la)), "
+        "sb AS (SELECT sum(n * (n - 1) / 2) AS s FROM "
+        "(SELECT sum(n) AS n FROM ct GROUP BY lc)), "
+        "rin AS (SELECT sum(n) AS n FROM ct) "
+        "SELECT CAST(rin.n * (rin.n - 1) / 2 AS BIGINT) AS n_pairs, "
+        "CAST(sij.s AS BIGINT) AS s_both, CAST(sa.s AS BIGINT) AS s_a, "
+        "CAST(sb.s AS BIGINT) AS s_b, "
+        "CASE WHEN (sa.s + sb.s) * (rin.n * (rin.n - 1) / 2) "
+        "- 2 * sa.s * sb.s = 0 THEN NULL ELSE "
+        "CAST(2 * (sij.s * (rin.n * (rin.n - 1) / 2) - sa.s * sb.s) "
+        "AS DOUBLE) / CAST((sa.s + sb.s) * (rin.n * (rin.n - 1) / 2) "
+        "- 2 * sa.s * sb.s AS DOUBLE) END AS ari "
+        "FROM sij, sa, sb, rin"
+    )
+
+
 EDGE_CUT_PARTS = 8
 
 
@@ -10362,6 +10435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_lifetable": _q_user_lifetable,
         "bridges": _q_bridges,
         "two_edge_components": _q_two_edge_components,
+        "rand_index_lp_cc": _q_rand_index,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -11839,6 +11913,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "user_lifetable": _USER_LIFETABLE_SQL,
         "bridges": _bridges_sql(),
         "two_edge_components": _two_edge_components_sql(),
+        "rand_index_lp_cc": _rand_index_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),

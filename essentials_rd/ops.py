@@ -3455,6 +3455,35 @@ def rank_sum_u(
                      "tie_sum": pa.array([tie_sum], pa.int64())})
 
 
+def pair_counting_ari(la: np.ndarray, lb: np.ndarray) -> tuple:
+    """Exact pair-counting (adjusted) Rand pieces between two
+    labelings of the same items: (N = C(n,2), Σ C(n_ij,2),
+    Σ C(a_i,2), Σ C(b_j,2), ARI) — every sum an exact Python int,
+    ARI one float division (None if the denominator degenerates,
+    e.g. both labelings a single class).  Labels must be < 2³²
+    (packed contingency key)."""
+    la = np.asarray(la, np.int64)
+    lb = np.asarray(lb, np.int64)
+    assert len(la) == len(lb)
+    if len(la):
+        assert int(la.max()) < 2**32 and int(lb.max()) < 2**32
+
+    def _p2(counts) -> int:
+        return int(sum(int(c) * (int(c) - 1) // 2 for c in counts))
+
+    key = la.astype(np.uint64) << np.uint64(32) | lb.astype(np.uint64)
+    _, nij = np.unique(key, return_counts=True)
+    _, na = np.unique(la, return_counts=True)
+    _, nb = np.unique(lb, return_counts=True)
+    n = len(la)
+    N = n * (n - 1) // 2
+    s_both, s_a, s_b = _p2(nij), _p2(na), _p2(nb)
+    den = (s_a + s_b) * N - 2 * s_a * s_b
+    ari = None if den == 0 else \
+        float(2 * (s_both * N - s_a * s_b)) / float(den)
+    return N, s_both, s_a, s_b, ari
+
+
 def trimmed_sum(
     ds: rd.Dataset,
     key_col: str,
