@@ -1612,6 +1612,66 @@ def _q_betweenness(sf_dir: str):
     return pa.table({"vid": t["vid"], "bc": pa.array(vals, pa.float64())})
 
 
+def _q_edge_betweenness(sf_dir: str):
+    """Sampled-source EDGE betweenness (algorithms.edge_betweenness,
+    the Girvan-Newman edge-removal score): same forward σ + backward δ
+    BSP runs as bc_sampled, but the per-edge dependency
+    σ(parent)·(1+δ(child))/σ(child) is a pure endpoint function — each
+    source adds one broadcast map_batches stage over the canonical
+    pair table, zero extra shuffles.  Unnormalized Σ over the
+    BC_SOURCES smallest vids, half-up 6dp both sides; only edges with
+    ebc > 0 returned (the zero tail is the bulk of the table)."""
+    import ray
+
+    from essentials_rd.algorithms.bc import edge_betweenness
+    from essentials_rd.pipelines import round_half_up
+    from essentials_rd.util import np_col
+
+    g, edges = _graph(sf_dir)
+    vids = np.sort(np.asarray(ray.get(g.vertex_ids_ref), np.int64))
+    ds = edge_betweenness(g, edges, vids[:BC_SOURCES], max_depth=BC_D,
+                          scatter_mode="fused")
+    rows = ds.take_all()
+    src = np.array([r["src"] for r in rows], np.int64)
+    dst = np.array([r["dst"] for r in rows], np.int64)
+    ebc = round_half_up(np.array([r["ebc"] for r in rows], np.float64), 6)
+    m = ebc > 0
+    o = np.lexsort((dst[m], src[m]))
+    return pa.table({
+        "src": pa.array(src[m][o], pa.int64()),
+        "dst": pa.array(dst[m][o], pa.int64()),
+        "ebc": pa.array(ebc[m][o], pa.float64()),
+    })
+
+
+def _ebc_sql() -> str:
+    """Per-source per-level edge terms over the same lv/sg/dl unroll
+    as _bc_sql: parent at level r, child at r+1 (sym covers both
+    orientations; BFS gaps are never > 1)."""
+    inner = _bc_sql()
+    prefix = inner[len("WITH "):inner.rindex("SELECT v.vid")]
+    terms = []
+    for i in range(BC_SOURCES):
+        for r in range(BC_D):
+            djoin = (f"LEFT JOIN dl{i}_{r + 1} dd ON dd.vid = e.dst"
+                     if r + 1 < BC_D else
+                     f"LEFT JOIN dl{i}_{BC_D} dd ON dd.vid = e.dst")
+            terms.append(
+                f"SELECT least(e.src, e.dst) AS src, "
+                f"greatest(e.src, e.dst) AS dst, "
+                f"pu.sigma * (1.0 + COALESCE(dd.delta, 0.0)) / cw.sigma "
+                f"AS term FROM sym e "
+                f"JOIN sg{i}_{r} pu ON pu.vid = e.src "
+                f"JOIN sg{i}_{r + 1} cw ON cw.vid = e.dst {djoin}")
+    union = " UNION ALL ".join(terms)
+    return (
+        f"WITH {prefix.rstrip().rstrip(',')} "
+        f"SELECT src, dst, ROUND(sum(term), 6) AS ebc "
+        f"FROM ({union}) GROUP BY 1, 2 HAVING ROUND(sum(term), 6) > 0 "
+        f"ORDER BY 1, 2"
+    )
+
+
 HC_SOURCES = 4
 HC_D = 6
 
@@ -10436,6 +10496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bridges": _q_bridges,
         "two_edge_components": _q_two_edge_components,
         "rand_index_lp_cc": _q_rand_index,
+        "edge_betweenness": _q_edge_betweenness,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -11914,6 +11975,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "bridges": _bridges_sql(),
         "two_edge_components": _two_edge_components_sql(),
         "rand_index_lp_cc": _rand_index_sql(),
+        "edge_betweenness": _ebc_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),

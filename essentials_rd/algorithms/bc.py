@@ -223,6 +223,81 @@ def betweenness(
                      "bc": pa.array(bc, pa.float64())})
 
 
+def edge_betweenness(
+    graph: GraphShards,
+    edges,
+    sources: np.ndarray,
+    max_depth: int | None = None,
+    **kwargs,
+):
+    """Sampled-source EDGE betweenness: for each source the same
+    forward (depth, σ) + backward (δ) BSP runs as vertex BC, then the
+    per-edge dependency needs NO further exchange — Brandes' edge rule
+    δ_s(u→w) = σ(u)·(1+δ(w))/σ(w) for the (unique, BFS) orientation
+    with depth(w) = depth(u)+1 is a pure function of the two
+    endpoints' (depth, σ, δ), so each source adds one broadcast
+    map_batches stage over the canonical pair table and the whole
+    accumulation is a single streaming pass with zero shuffles.
+    Returns Dataset[src, dst, ebc] (unnormalized Σ_s, like vertex bc).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..util import np_col
+
+    vids = np.sort(np.asarray(ray.get(graph.vertex_ids_ref), np.int64))
+    ds = edges.select_columns(["src", "dst"])
+
+    def _zero(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ebc", pa.array(np.zeros(t.num_rows), pa.float64()))
+
+    ds = ds.map_batches(_zero, batch_format="pyarrow")
+
+    for s in np.asarray(sources, np.int64):
+        fwd = run_superstep_loop(
+            _BcForwardProgram(int(s)), graph, checkpoint_every=0, **kwargs
+        )
+        t = fwd.state_table(["depth", "sigma"])
+        depth = np.asarray(t["depth"], np.int64)
+        sigma = np.asarray(t["sigma"], np.float64)
+        finite = depth[depth != _UNSET]
+        L = int(finite.max()) if len(finite) else 0
+        assert max_depth is None or L <= max_depth, (
+            f"BFS depth {L} exceeds the oracle's unrolled bound {max_depth}"
+        )
+        if L >= 2:
+            bwd = run_superstep_loop(
+                _BcBackwardProgram(ray.put(depth), ray.put(sigma), L),
+                graph, checkpoint_every=0, max_iters=L - 1, **kwargs,
+            )
+            delta = np.asarray(bwd.state_table(["bdelta"])["bdelta"],
+                               np.float64).copy()
+        else:
+            delta = np.zeros(len(vids))
+        ref = ray.put((vids, depth, sigma, delta))
+
+        def _add(t: pa.Table, _ref=ref) -> pa.Table:
+            vv, dd, sg, dl = ray.get(_ref)
+            lo = np_col(t, "src").astype(np.int64)
+            hi = np_col(t, "dst").astype(np.int64)
+            il = np.searchsorted(vv, lo)
+            ih = np.searchsorted(vv, hi)
+            term = np.zeros(len(lo))
+            with np.errstate(invalid="ignore", over="ignore"):
+                m = (dd[il] != _UNSET) & (dd[ih] == dd[il] + 1)
+                term[m] = sg[il][m] * (1.0 + dl[ih][m]) / sg[ih][m]
+                m2 = (dd[ih] != _UNSET) & (dd[il] == dd[ih] + 1)
+                term[m2] = sg[ih][m2] * (1.0 + dl[il][m2]) / sg[il][m2]
+            ebc = np_col(t, "ebc").astype(np.float64) + term
+            return pa.table({"src": t.column("src"),
+                             "dst": t.column("dst"),
+                             "ebc": pa.array(ebc, pa.float64())})
+
+        ds = ds.map_batches(_add, batch_format="pyarrow")
+    return ds
+
+
 def sp_counts(graph: GraphShards, source: int, **kwargs) -> pa.Table:
     """Shortest-path counts from one source — Brandes' forward pass
     exposed as its own operator: (vid, depth, sigma) where sigma is
