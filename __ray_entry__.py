@@ -1672,6 +1672,108 @@ def _ebc_sql() -> str:
     )
 
 
+def _q_euler_check(sf_dir: str):
+    """Eulerian-traversal audit per component: (component label,
+    n_vertices, n_odd-degree) plus the circuit/path feasibility flags
+    (all-even ⇔ circuit; ≤2 odd ⇔ open trail) — the route-inspection
+    screen, composed from the degree scan + the verified CC engine.
+    Runs on the same splitmix-sparsified (p = 1/32) co-purchase
+    subgraph as ``bridges``: the full graph is one big even-ish
+    component (a vacuous 1-row check), while the percolated one has
+    hundreds of components with real pendant (odd-degree) vertices.
+    One grouped fold over driver-small (label, parity) rows."""
+    import os as _os
+    import tempfile
+
+    import ray
+
+    from essentials_rd.algorithms import connected_components
+    from essentials_rd.algorithms.cc import components_table
+    from essentials_rd.graph import build_graph
+    from essentials_rd.util import hash64, np_col
+
+    g, edges = _graph(sf_dir)
+    thr = np.uint64((BRIDGE_NUM << 64) // BRIDGE_DEN - 1)
+    mix = np.uint64((BRIDGE_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src").astype(np.int64).view(np.uint64)
+        d = np_col(t, "dst").astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            key = (s << np.uint64(32)) + d + mix
+        h = hash64(key.view(np.int64))
+        m = h < thr
+        return pa.table({"src": pa.array(s[m].view(np.int64), pa.int64()),
+                         "dst": pa.array(d[m].view(np.int64), pa.int64())})
+
+    sub = edges.select_columns(["src", "dst"]).map_batches(
+        _keep, batch_format="pyarrow").materialize()
+    vids_all = ray.get(g.vertex_ids_ref)
+    gb = build_graph(sub, _os.path.join(tempfile.gettempdir(),
+                                        "essentials_rd_euler"),
+                     g.num_parts, symmetrize=True, persist=False,
+                     vertex_ids=vids_all)
+    cc = components_table(connected_components(
+        gb, max_iters=2 * CC_ITERS, checkpoint_every=0,
+        scatter_mode="fused"))
+    vids = np.asarray(cc["vid"], np.int64)
+    labels = np.asarray(cc["label"], np.int64)
+
+    vref = ray.put(vids)
+
+    def _degp(b: pa.Table) -> pa.Table:
+        vv = ray.get(vref)
+        u = np.r_[np_col(b, "src"), np_col(b, "dst")].astype(np.int64)
+        i = np.searchsorted(vv, u)
+        iu, c = np.unique(i, return_counts=True)
+        return pa.table({"i": pa.array(iu, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    deg = np.zeros(len(vids), np.int64)
+    for r in sub.map_batches(_degp, batch_format="pyarrow").take_all():
+        deg[r["i"]] += r["c"]
+    from essentials_rd.ops import euler_parity_fold
+    return euler_parity_fold(labels, deg)
+
+
+def _euler_sql() -> str:
+    bmix = (BRIDGE_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    bthr = (BRIDGE_NUM << 64) // BRIDGE_DEN - 1
+    keep_chain = _sm64_ctes("kz", "src, dst",
+                            f"src * 4294967296 + dst + {bmix}", "pairs")
+    steps = [
+        keep_chain,
+        "bpairs AS MATERIALIZED (SELECT src, dst FROM kz3 "
+        f"WHERE z < CAST('{bthr}' AS UBIGINT)), "
+        "bsym AS MATERIALIZED (SELECT src, dst FROM bpairs "
+        "UNION ALL SELECT dst, src FROM bpairs)",
+        "l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)",
+    ]
+    for k in range(CC_ITERS):
+        steps.append(f"""
+m{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.label) AS ml
+  FROM bsym e JOIN l{k} l ON l.vid = e.src GROUP BY e.dst
+),
+l{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.label, COALESCE(m.ml, v.label)) AS label
+  FROM l{k} v LEFT JOIN m{k} m ON m.vid = v.vid
+)""")
+    steps.append(
+        "edeg AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS d "
+        "FROM bsym GROUP BY 1)")
+    return (
+        f"WITH {_GRAPH_CTES}, " + ",".join(steps) + f"""
+SELECT l.label, CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(COALESCE(d.d, 0) % 2) AS BIGINT) AS n_odd,
+       CAST(CASE WHEN sum(COALESCE(d.d, 0) % 2) = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS has_circuit,
+       CAST(CASE WHEN sum(COALESCE(d.d, 0) % 2) <= 2 THEN 1 ELSE 0 END
+            AS BIGINT) AS has_trail
+FROM l{CC_ITERS} l LEFT JOIN edeg d ON d.vid = l.vid
+GROUP BY 1 ORDER BY 1""")
+
+
 HC_SOURCES = 4
 HC_D = 6
 
@@ -10497,6 +10599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_edge_components": _q_two_edge_components,
         "rand_index_lp_cc": _q_rand_index,
         "edge_betweenness": _q_edge_betweenness,
+        "euler_check": _q_euler_check,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -11976,6 +12079,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "two_edge_components": _two_edge_components_sql(),
         "rand_index_lp_cc": _rand_index_sql(),
         "edge_betweenness": _ebc_sql(),
+        "euler_check": _euler_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),

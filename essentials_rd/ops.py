@@ -3484,6 +3484,39 @@ def pair_counting_ari(la: np.ndarray, lb: np.ndarray) -> tuple:
     return N, s_both, s_a, s_b, ari
 
 
+def euler_parity_fold(labels: np.ndarray, deg: np.ndarray) -> pa.Table:
+    """Eulerian-traversal audit per component from aligned per-vertex
+    (component label, degree) arrays: (label, n_vertices, n_odd,
+    has_circuit, has_trail) with the classic feasibility rules —
+    all degrees even ⇔ closed circuit exists (connected component
+    assumed), ≤2 odd ⇔ open trail.  One stable sort + reduceat fold;
+    the label/degree inputs come from the distributed CC + degree
+    scans, so this runs on driver-small per-vertex arrays (the
+    |V| ≪ |E| tier caveat documented at derive.py dense-vid)."""
+    labels = np.asarray(labels, np.int64)
+    deg = np.asarray(deg, np.int64)
+    assert len(labels) == len(deg)
+    if not len(labels):
+        z = pa.array(np.zeros(0, np.int64), pa.int64())
+        return pa.table({"label": z, "n_vertices": z, "n_odd": z,
+                         "has_circuit": z, "has_trail": z})
+    odd = (deg % 2).astype(np.int64)
+    order = np.argsort(labels, kind="stable")
+    lab_s, odd_s = labels[order], odd[order]
+    starts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+    n_v = np.diff(np.r_[starts, len(lab_s)]).astype(np.int64)
+    n_odd = (np.add.reduceat(odd_s, starts) if len(starts)
+             else np.zeros(0, np.int64))
+    return pa.table({
+        "label": pa.array(lab_s[starts] if len(starts)
+                          else np.zeros(0, np.int64), pa.int64()),
+        "n_vertices": pa.array(n_v, pa.int64()),
+        "n_odd": pa.array(n_odd, pa.int64()),
+        "has_circuit": pa.array((n_odd == 0).astype(np.int64), pa.int64()),
+        "has_trail": pa.array((n_odd <= 2).astype(np.int64), pa.int64()),
+    })
+
+
 def trimmed_sum(
     ds: rd.Dataset,
     key_col: str,
