@@ -1774,6 +1774,51 @@ FROM l{CC_ITERS} l LEFT JOIN edeg d ON d.vid = l.vid
 GROUP BY 1 ORDER BY 1""")
 
 
+def _q_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity (Garlaschelli–Loffredo) of the
+    part-transition graph: within every order, each part at
+    l_linenumber r points to every part at r+1 (the tie-safe
+    rank-k → k+1 cross product of windows.adjacent_rank_pairs —
+    linenumbers repeat in this corpus, so a lag-based sequence would
+    be tie-order-dependent); reciprocity = the share of distinct
+    directed edges whose reverse also occurs somewhere in the corpus.
+    One order-bucketed pair expansion + ONE unordered-pair-bucketed
+    pass that fuses the global distinct with the reverse-membership
+    test (ops.directed_reciprocity); two int64s per bucket reach the
+    driver."""
+    import ray.data as rd
+
+    from essentials_rd.ops import directed_reciprocity
+    from essentials_rd.windows import adjacent_rank_pairs
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_partkey"])
+    pairs = adjacent_rank_pairs(li, "l_orderkey", "l_linenumber",
+                                "l_partkey")
+    return directed_reciprocity(pairs)
+
+
+def _reciprocity_sql() -> str:
+    return """
+WITH e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey
+),
+e AS MATERIALIZED (SELECT DISTINCT u, v FROM e0),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+r AS (SELECT CAST(count(*) AS BIGINT) AS n_recip
+      FROM e a JOIN e b ON b.u = a.v AND b.v = a.u)
+SELECT n.n_edges, r.n_recip,
+       CAST(r.n_recip / 2 AS BIGINT) AS n_mutual_pairs,
+       CAST(r.n_recip AS DOUBLE) / CAST(n.n_edges AS DOUBLE)
+         AS reciprocity
+FROM n, r"""
+
+
 HC_SOURCES = 4
 HC_D = 6
 
@@ -10600,6 +10645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rand_index_lp_cc": _q_rand_index,
         "edge_betweenness": _q_edge_betweenness,
         "euler_check": _q_euler_check,
+        "part_seq_reciprocity": _q_reciprocity,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -12080,6 +12126,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "rand_index_lp_cc": _rand_index_sql(),
         "edge_betweenness": _ebc_sql(),
         "euler_check": _euler_sql(),
+        "part_seq_reciprocity": _reciprocity_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),

@@ -3484,6 +3484,63 @@ def pair_counting_ari(la: np.ndarray, lb: np.ndarray) -> tuple:
     return N, s_both, s_a, s_b, ari
 
 
+def directed_reciprocity(edges: rd.Dataset, u_col: str = "u",
+                         v_col: str = "v",
+                         num_buckets: int = 64) -> pa.Table:
+    """Edge reciprocity of a directed graph: the fraction of DISTINCT
+    directed edges (u, v) whose reverse (v, u) is also present — the
+    classic directed-network statistic (Garlaschelli–Loffredo).
+    Input may contain duplicate edges; self-loops must already be
+    absent.  Returns one row: (n_edges, n_recip, n_mutual_pairs,
+    reciprocity) with the counts exact int64 and reciprocity the one
+    float division n_recip/n_edges (NULL on an empty graph).
+
+    Scale shape: ONE unordered-pair-hash bucketed exchange puts every
+    copy of (u, v) AND its reverse (v, u) in the same bucket, so a
+    single per-bucket pass does BOTH the global distinct (np.unique on
+    the packed directed key) and the reverse-membership test
+    (searchsorted of the swapped key against the sorted distinct
+    keys); only two int64 partials leave each bucket.  Vertex ids
+    must be < 2³² (packed key, asserted)."""
+
+    def _key(b: pa.Table) -> np.ndarray:
+        uu = np_col(b, u_col).astype(np.int64)
+        vv = np_col(b, v_col).astype(np.int64)
+        lo = np.minimum(uu, vv).astype(np.uint64)
+        hi = np.maximum(uu, vv).astype(np.uint64)
+        return ((lo << np.uint64(32)) | hi).view(np.int64)
+
+    def _fold(grp: pa.Table) -> pa.Table:
+        uu = np_col(grp, u_col).astype(np.int64)
+        vv = np_col(grp, v_col).astype(np.int64)
+        if len(uu):
+            assert int(uu.max()) < 2**32 and int(vv.max()) < 2**32
+        kd = np.unique((uu.astype(np.uint64) << np.uint64(32))
+                       | vv.astype(np.uint64))
+        rev = ((kd & np.uint64(0xFFFFFFFF)) << np.uint64(32)) \
+            | (kd >> np.uint64(32))
+        pos = np.searchsorted(kd, rev)
+        hit = (pos < len(kd)) & (kd[np.minimum(pos, max(len(kd) - 1, 0))]
+                                 == rev) if len(kd) else \
+            np.zeros(0, bool)
+        return pa.table({
+            "n_edges": pa.array([len(kd)], pa.int64()),
+            "n_recip": pa.array([int(hit.sum())], pa.int64()),
+        })
+
+    parts = hash_bucket_agg(edges, _key, _fold,
+                            num_buckets=num_buckets).take_all()
+    n_edges = sum(r["n_edges"] for r in parts)
+    n_recip = sum(r["n_recip"] for r in parts)
+    recip = None if n_edges == 0 else float(n_recip) / float(n_edges)
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_recip": pa.array([n_recip], pa.int64()),
+        "n_mutual_pairs": pa.array([n_recip // 2], pa.int64()),
+        "reciprocity": pa.array([recip], pa.float64()),
+    })
+
+
 def euler_parity_fold(labels: np.ndarray, deg: np.ndarray) -> pa.Table:
     """Eulerian-traversal audit per component from aligned per-vertex
     (component label, degree) arrays: (label, n_vertices, n_odd,

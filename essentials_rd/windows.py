@@ -922,6 +922,65 @@ def event_disorder(
     })
 
 
+def adjacent_rank_pairs(
+    ds: rd.Dataset,
+    key_col: str,
+    rank_col: str,
+    val_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Directed ``(u, v)`` pairs between values at CONSECUTIVE ranks
+    within each key group: for every row at rank r, one pair to every
+    row of the same key at rank r+1 (the rank-k → rank-k+1 cross
+    product).  Deterministic under rank ties — where a sequence-lag
+    definition would depend on an arbitrary tie order, the cross
+    product is a set function of the input — and exactly the SQL
+    ``a JOIN b ON a.key = b.key AND b.rank = a.rank + 1``.
+    Self-pairs (u = v) are dropped; duplicates across keys are KEPT
+    (feed ``ops.directed_reciprocity`` or a distinct pass downstream).
+
+    Scale shape: one key-hash bucketed exchange (a key's rows are
+    complete inside the bucket), then a per-bucket lexsort + packed
+    (key, rank) searchsorted + repeat/arange gather — no Python row
+    loop, partial pair tables stream out per bucket."""
+
+    def _pairs(grp: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64())})
+        if grp.num_rows < 2:
+            return empty
+        o = np_col(grp, key_col).astype(np.int64)
+        r = np_col(grp, rank_col).astype(np.int64)
+        p = np_col(grp, val_col).astype(np.int64)
+        order = np.lexsort((r, o))
+        o, r, p = o[order], r[order], p[order]
+        # dense key codes so the packed (key, rank) key is monotone
+        codes = np.r_[0, np.cumsum(o[1:] != o[:-1])].astype(np.int64)
+        span = int(r.max()) + 2
+        assert codes[-1] < (1 << 62) // span, "packed rank key overflow"
+        k = codes * span + r
+        lo = np.searchsorted(k, k + 1, "left")
+        hi = np.searchsorted(k, k + 1, "right")
+        cnt = (hi - lo).astype(np.int64)
+        tot = int(cnt.sum())
+        if not tot:
+            return empty
+        u = np.repeat(p, cnt)
+        offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        idx = np.repeat(lo, cnt) + (np.arange(tot, dtype=np.int64) - offs)
+        v = p[idx]
+        m = u != v
+        return pa.table({"u": pa.array(u[m], pa.int64()),
+                         "v": pa.array(v[m], pa.int64())})
+
+    return hash_bucket_agg(
+        ds,
+        lambda b: np_col(b, key_col).astype(np.int64),
+        _pairs,
+        num_buckets=num_buckets,
+    )
+
+
 def merge_intervals(
     intervals: rd.Dataset,
     key_col: str = "user_id",
