@@ -1819,6 +1819,80 @@ SELECT n.n_edges, r.n_recip,
 FROM n, r"""
 
 
+def _q_motif_census(sf_dir: str):
+    """Size-4 subgraph census by closed formula (the ESCAPE /
+    Pinar-Seshadhri counting identities) as exact int64s: claws
+    (K₁,₃) = Σ C(d,3) from the shard degree tables alone; 3-edge
+    paths (P₄) = Σ_{(u,v)∈E}(d_u−1)(d_v−1) − 3·triangles (the
+    degree-product sum counts one pendant pair per edge, each
+    triangle lands in it 3 times); tailed triangles = Σ_v tri(v)·
+    (d_v−2) from the cached per-vertex TC output.  One broadcast
+    degree lookup + one streaming edge scan — no new shuffle; the
+    triangle terms reuse the verified oriented TC engine."""
+    import ray
+
+    from essentials_rd.util import np_col
+
+    tri_total, per_v = _tc(sf_dir)
+    g, edges = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    deg = np.zeros(len(vids), np.int64)
+    for t in ray.get(list(g.degree_refs)):
+        pos = np.searchsorted(vids, np_col(t, "vid"))
+        deg[pos] += np_col(t, "outdeg")
+    d = deg
+    claws = int((d * (d - 1) * (d - 2) // 6).sum())
+
+    vref = ray.put(vids)
+    dref = ray.put(deg)
+
+    def _dps(b: pa.Table) -> pa.Table:
+        vv, dd = ray.get(vref), ray.get(dref)
+        du = dd[np.searchsorted(vv, np_col(b, "src").astype(np.int64))]
+        dv = dd[np.searchsorted(vv, np_col(b, "dst").astype(np.int64))]
+        s = int(((du - 1) * (dv - 1)).sum())
+        return pa.table({"s": pa.array([s], pa.int64())})
+
+    dps = sum(r["s"] for r in edges.select_columns(
+        ["src", "dst"]).map_batches(_dps, batch_format="pyarrow")
+        .take_all())
+    paths3 = dps - 3 * tri_total
+
+    pvt = pa.concat_tables(ray.get(per_v.to_arrow_refs()))
+    tv = np_col(pvt, "triangles").astype(np.int64)
+    pos = np.searchsorted(vids, np_col(pvt, "vid").astype(np.int64))
+    tailed = int((tv * (deg[pos] - 2)).sum())
+    return pa.table({
+        "claws": pa.array([claws], pa.int64()),
+        "paths3": pa.array([paths3], pa.int64()),
+        "tailed_triangles": pa.array([tailed], pa.int64()),
+    })
+
+
+def _motif_census_sql() -> str:
+    return f"""
+WITH {_GRAPH_CTES}, {_ORIENTED_CTE},
+tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tris),
+cl AS (SELECT CAST(sum(outdeg * (outdeg - 1) * (outdeg - 2) // 6)
+              AS BIGINT) AS c FROM deg),
+dps AS (SELECT CAST(sum((da.outdeg - 1) * (db.outdeg - 1)) AS BIGINT)
+          AS s
+        FROM pairs p JOIN deg da ON da.vid = p.src
+                     JOIN deg db ON db.vid = p.dst),
+corners AS (
+  SELECT a AS vid FROM tris UNION ALL
+  SELECT b FROM tris UNION ALL
+  SELECT c FROM tris
+),
+pvt AS (SELECT vid, count(*) AS ntri FROM corners GROUP BY 1),
+tl AS (SELECT CAST(COALESCE(sum(pvt.ntri * (deg.outdeg - 2)), 0)
+              AS BIGINT) AS x
+       FROM pvt JOIN deg ON deg.vid = pvt.vid)
+SELECT cl.c AS claws, dps.s - 3 * tri.t AS paths3,
+       tl.x AS tailed_triangles
+FROM cl, dps, tri, tl"""
+
+
 HC_SOURCES = 4
 HC_D = 6
 
@@ -10646,6 +10720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_betweenness": _q_edge_betweenness,
         "euler_check": _q_euler_check,
         "part_seq_reciprocity": _q_reciprocity,
+        "motif_census": _q_motif_census,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -12127,6 +12202,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "edge_betweenness": _ebc_sql(),
         "euler_check": _euler_sql(),
         "part_seq_reciprocity": _reciprocity_sql(),
+        "motif_census": _motif_census_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),
