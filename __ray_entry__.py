@@ -4207,20 +4207,16 @@ SELECT CAST(key AS BIGINT) AS key, CAST(n AS BIGINT) AS n, slope,
 FROM b ORDER BY key"""
 
 
-def _q_spanning_trees(sf_dir: str):
-    """Kirchhoff matrix-tree theorem over the region-level trade
-    multigraph: weighted-spanning-tree count = det of a 4×4 Laplacian
-    minor, computed with the SAME exact-integer Bareiss determinant as
-    the OLS solver (mlfit.int_det) — zero floats until the final
-    readout cast.  The distributed part is real: lineitem⋈orders is a
-    partitioned big-big join (broadcast only the constant-cardinality
+def _region_weight_matrix(sf_dir: str) -> list:
+    """Shared Kirchhoff input: the 5×5 exact-integer region-level
+    trade weight matrix (w[i][j] = both-orientation lineitem count
+    between customer region i and supplier region j, diagonal 0).
+    The distributed part is real: lineitem⋈orders is a partitioned
+    big-big join (broadcast only the constant-cardinality
     cust/supp→region dims; at 100 TB those become partitioned joins
     too), then ≤25 (rc, rs) partial-count rows leave each block and
-    the driver folds a 5×5 integer matrix.  w(i,j) sums both
-    orientations; self-loops drop (they never enter a Laplacian).
-    Output: n_trees as DOUBLE (the exact int exceeds int64 beyond
-    ~sf0.03; both engines cast the same exact integer) + the exact
-    total cross-region weight as the int64 audit column."""
+    the driver folds the matrix.  Used by spanning_trees_regions and
+    effective_resistance."""
     import ray
     import ray.data as rd
 
@@ -4286,8 +4282,25 @@ def _q_spanning_trees(sf_dir: str):
     for r in rows:
         cnt[r["k"]] += r["c"]
     cnt = cnt.reshape(R, R)
-    w = [[int(cnt[i][j] + cnt[j][i]) if i != j else 0
-          for j in range(R)] for i in range(R)]
+    return [[int(cnt[i][j] + cnt[j][i]) if i != j else 0
+             for j in range(R)] for i in range(R)]
+
+
+def _q_spanning_trees(sf_dir: str):
+    """Kirchhoff matrix-tree theorem over the region-level trade
+    multigraph: weighted-spanning-tree count = det of a 4×4 Laplacian
+    minor, computed with the SAME exact-integer Bareiss determinant as
+    the OLS solver (mlfit.int_det) — zero floats until the final
+    readout cast.  Weight matrix via _region_weight_matrix (the
+    partitioned lineitem⋈orders fold); self-loops drop (they never
+    enter a Laplacian).  Output: n_trees as DOUBLE (the exact int
+    exceeds int64 beyond ~sf0.03; both engines cast the same exact
+    integer) + the exact total cross-region weight as the int64
+    audit column."""
+    from essentials_rd.mlfit import int_det
+
+    R = 5
+    w = _region_weight_matrix(sf_dir)
     lap = [[sum(w[i]) if i == j else -w[i][j]
             for j in range(1, R)] for i in range(1, R)]
     n_trees = int_det(lap)
@@ -4296,6 +4309,112 @@ def _q_spanning_trees(sf_dir: str):
         "n_trees": pa.array([float(n_trees)], pa.float64()),
         "cross_weight": pa.array([cross], pa.int64()),
     })
+
+
+def _q_eff_resistance(sf_dir: str):
+    """Pairwise effective resistance between the 5 trade regions by
+    the all-minors matrix-tree theorem: R_eff(u,v) = F(u,v) / T where
+    T = spanning-tree count (det of the 4×4 Laplacian minor) and
+    F(u,v) = #spanning 2-forests separating u from v (det of the 3×3
+    minor with BOTH u and v deleted) — the commute-distance /
+    current-flow metric, exact integers end to end (same Bareiss
+    int_det as the OLS solver), ONE float division per pair at
+    readout.  Reuses the _region_weight_matrix fold; 10 rows."""
+    from essentials_rd.mlfit import int_det
+
+    R = 5
+    w = _region_weight_matrix(sf_dir)
+    lap = [[sum(w[i]) if i == j else -w[i][j]
+            for j in range(R)] for i in range(R)]
+
+    def _minor(drop: set) -> list:
+        keep = [i for i in range(R) if i not in drop]
+        return [[lap[a][b] for b in keep] for a in keep]
+
+    T = int_det(_minor({0}))
+    us, vs, fs, ts, rs = [], [], [], [], []
+    for u in range(R):
+        for v in range(u + 1, R):
+            F = int_det(_minor({u, v}))
+            us.append(u)
+            vs.append(v)
+            fs.append(float(F))
+            ts.append(float(T))
+            rs.append(None if T == 0 else float(F) / float(T))
+    return pa.table({
+        "r_u": pa.array(us, pa.int64()),
+        "r_v": pa.array(vs, pa.int64()),
+        "forests2": pa.array(fs, pa.float64()),
+        "n_trees": pa.array(ts, pa.float64()),
+        "r_eff": pa.array(rs, pa.float64()),
+    })
+
+
+def _eff_resistance_sql() -> str:
+    from itertools import permutations
+
+    R = 5
+    wname = {}
+    for i in range(R):
+        for jj in range(i + 1, R):
+            wname[(i, jj)] = f"w{i}{jj}"
+            wname[(jj, i)] = f"w{i}{jj}"
+    wcols = ", ".join(
+        f"sum(CASE WHEN i = {i} AND j = {jj} THEN w ELSE 0 END) AS w{i}{jj}"
+        for i in range(R) for jj in range(i + 1, R))
+    ent = [[None] * R for _ in range(R)]
+    for a in range(R):
+        for b in range(R):
+            if a == b:
+                ent[a][b] = "(" + " + ".join(
+                    wname[(a, o)] for o in range(R) if o != a) + ")"
+            else:
+                ent[a][b] = f"(- {wname[(a, b)]})"
+
+    def _det(keep: list) -> str:
+        k = len(keep)
+        terms = []
+        for perm in permutations(range(k)):
+            inv = sum(1 for x in range(k) for y in range(x + 1, k)
+                      if perm[x] > perm[y])
+            prod = " * ".join(ent[keep[x]][keep[perm[x]]]
+                              for x in range(k))
+            terms.append(("- " if inv % 2 else "+ ") + prod)
+        return " ".join(terms)
+
+    t4 = _det([1, 2, 3, 4])
+    exprs = [f"({t4}) AS t4"]
+    sels = []
+    for u in range(R):
+        for v in range(u + 1, R):
+            keep = [i for i in range(R) if i not in (u, v)]
+            exprs.append(f"({_det(keep)}) AS f{u}{v}")
+            sels.append(
+                f"SELECT CAST({u} AS BIGINT) AS r_u, "
+                f"CAST({v} AS BIGINT) AS r_v, "
+                f"CAST(f{u}{v} AS DOUBLE) AS forests2, "
+                f"CAST(t4 AS DOUBLE) AS n_trees, "
+                f"CASE WHEN t4 = 0 THEN NULL ELSE "
+                f"CAST(f{u}{v} AS DOUBLE) / CAST(t4 AS DOUBLE) END "
+                f"AS r_eff FROM d")
+    body = " UNION ALL ".join(sels)
+    return f"""
+WITH dirw AS (
+  SELECT nc.n_regionkey AS rc, ns.n_regionkey AS rs,
+         CAST(count(*) AS HUGEINT) AS c
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = cu.c_nationkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2),
+und AS (
+  SELECT least(rc, rs) AS i, greatest(rc, rs) AS j, sum(c) AS w
+  FROM dirw WHERE rc <> rs GROUP BY 1, 2),
+ws AS (SELECT {wcols} FROM und),
+d AS (SELECT {", ".join(exprs)} FROM ws)
+{body} ORDER BY r_u, r_v"""
 
 
 def _spanning_trees_sql() -> str:
@@ -10721,6 +10840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "euler_check": _q_euler_check,
         "part_seq_reciprocity": _q_reciprocity,
         "motif_census": _q_motif_census,
+        "effective_resistance": _q_eff_resistance,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
         "sssp_dist": _q_sssp_dist,
@@ -12203,6 +12323,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "euler_check": _euler_sql(),
         "part_seq_reciprocity": _reciprocity_sql(),
         "motif_census": _motif_census_sql(),
+        "effective_resistance": _eff_resistance_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
         "sssp_dist": _sssp_sql(),

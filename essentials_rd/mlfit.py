@@ -32,6 +32,8 @@ def int_det(m: list[list[int]]) -> int:
     (Bareiss) elimination in unbounded Python ints."""
     a = [[int(x) for x in row] for row in m]
     n = len(a)
+    if n == 0:
+        return 1  # det of the empty matrix (all-minors convention)
     sign = 1
     prev = 1
     for k in range(n - 1):
