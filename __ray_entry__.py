@@ -1819,6 +1819,65 @@ SELECT n.n_edges, r.n_recip,
 FROM n, r"""
 
 
+def _q_gini_stump(sf_dir: str):
+    """Decision-stump training statistic (mlfit.gini_split_table):
+    per candidate price-band threshold, the exact left/right
+    (count, positives) of splitting orders on total price to predict
+    urgency, plus the weighted Gini impurity — histogram-based split
+    finding a la LightGBM (the quantization IS the candidate
+    pruning), one streaming pass with band-sized partials and the
+    impurity the only float, reproduced division-for-division by the
+    SQL twin."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.mlfit import gini_split_table
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_totalprice", "o_orderpriority"])
+
+    def _band(t: pa.Table) -> np.ndarray:
+        tp = np.asarray(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        return (np.round(tp, 0).astype(np.int64)) // 10000
+
+    def _label(t: pa.Table) -> np.ndarray:
+        return pc.equal(t.column("o_orderpriority"),
+                        "1-URGENT").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    return gini_split_table(orders, _band, _label)
+
+
+def _gini_stump_sql() -> str:
+    return """
+WITH f AS (
+  SELECT CAST(ROUND(o_totalprice, 0) AS BIGINT) // 10000 AS band,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders),
+g AS (SELECT band, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS p FROM f GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS N_,
+               CAST(sum(p) AS BIGINT) AS P_ FROM g),
+cum AS (SELECT band,
+               CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS nl,
+               CAST(sum(p) OVER (ORDER BY band) AS BIGINT) AS pl
+        FROM g),
+cand AS (SELECT band AS thr, nl, pl,
+                (SELECT N_ FROM tot) - nl AS nr,
+                (SELECT P_ FROM tot) - pl AS pr
+         FROM cum WHERE nl < (SELECT N_ FROM tot))
+SELECT thr, nl AS n_left, pl AS pos_left,
+       CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+       (CAST(nl * nl - pl * pl - (nl - pl) * (nl - pl) AS DOUBLE)
+          / CAST(nl AS DOUBLE)
+        + CAST(nr * nr - pr * pr - (nr - pr) * (nr - pr) AS DOUBLE)
+          / CAST(nr AS DOUBLE))
+       / CAST((SELECT N_ FROM tot) AS DOUBLE) AS gini
+FROM cand ORDER BY thr"""
+
+
 def _q_motif_census(sf_dir: str):
     """Size-4 subgraph census by closed formula (the ESCAPE /
     Pinar-Seshadhri counting identities) as exact int64s: claws
@@ -10840,6 +10899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "euler_check": _q_euler_check,
         "part_seq_reciprocity": _q_reciprocity,
         "motif_census": _q_motif_census,
+        "gini_stump_price": _q_gini_stump,
         "effective_resistance": _q_eff_resistance,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
@@ -12323,6 +12383,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "euler_check": _euler_sql(),
         "part_seq_reciprocity": _reciprocity_sql(),
         "motif_census": _motif_census_sql(),
+        "gini_stump_price": _gini_stump_sql(),
         "effective_resistance": _eff_resistance_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),

@@ -179,3 +179,67 @@ def grouped_simple_ols(
         "slope": pa.array(slopes, pa.float64()),
         "intercept": pa.array(intercepts, pa.float64()),
     })
+
+
+def gini_split_table(
+    ds: rd.Dataset,
+    band_fn: Callable[[pa.Table], np.ndarray],
+    label_fn: Callable[[pa.Table], np.ndarray],
+) -> pa.Table:
+    """Decision-stump split evaluation with exact integer counts:
+    for every candidate threshold t (each distinct feature band
+    except the last), the left/right class counts of the split
+    ``band <= t`` and the weighted Gini impurity — the sufficient
+    statistic CART computes per node, as one streaming pass.
+
+    ``band_fn(batch) -> int64`` is the (already-quantized) feature;
+    ``label_fn(batch) -> {0,1} int64`` the class.  Scale shape: each
+    block emits one (band, n, n_pos) partial histogram — bands are
+    bounded by construction (quantization IS the candidate pruning,
+    as in histogram-based GBDT a la LightGBM) — the driver folds a
+    band-sized table, prefix-sums it, and the ONLY floats are the
+    final per-candidate impurity reads
+    (nl² − pl² − ql²)/nl + (nr² − pr² − qr²)/nr, all over N, each
+    division a single IEEE op an SQL twin reproduces bit-for-bit."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        b = np.asarray(band_fn(t), np.int64)
+        y = np.asarray(label_fn(t), np.int64)
+        ub, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        p = np.bincount(inv, weights=y).astype(np.int64)
+        return pa.table({"band": pa.array(ub, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "p": pa.array(p, pa.int64())})
+
+    agg: dict[int, list[int]] = {}
+    for r in ds.map_batches(_partial, batch_format="pyarrow").take_all():
+        e = agg.setdefault(int(r["band"]), [0, 0])
+        e[0] += int(r["n"])
+        e[1] += int(r["p"])
+    bands = sorted(agg)
+    N = sum(agg[b][0] for b in bands)
+    P = sum(agg[b][1] for b in bands)
+    thr, nls, pls, nrs, prs, ginis = [], [], [], [], [], []
+    nl = pl = 0
+    for b in bands[:-1]:
+        nl += agg[b][0]
+        pl += agg[b][1]
+        nr, pr = N - nl, P - pl
+        ql, qr = nl - pl, nr - pr
+        g = (float(nl * nl - pl * pl - ql * ql) / float(nl)
+             + float(nr * nr - pr * pr - qr * qr) / float(nr)) / float(N)
+        thr.append(b)
+        nls.append(nl)
+        pls.append(pl)
+        nrs.append(nr)
+        prs.append(pr)
+        ginis.append(g)
+    return pa.table({
+        "thr": pa.array(thr, pa.int64()),
+        "n_left": pa.array(nls, pa.int64()),
+        "pos_left": pa.array(pls, pa.int64()),
+        "n_right": pa.array(nrs, pa.int64()),
+        "pos_right": pa.array(prs, pa.int64()),
+        "gini": pa.array(ginis, pa.float64()),
+    })
