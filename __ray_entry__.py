@@ -1819,6 +1819,55 @@ SELECT n.n_edges, r.n_recip,
 FROM n, r"""
 
 
+DENSEST_ROUNDS = 16
+
+
+def _q_densest_peel(sf_dir: str):
+    """Densest-subgraph peel (algorithms.densest_peel — the
+    Bahmani-Kumar-Vassilvitskii 2(1+ε) MapReduce approximation,
+    ε = 1): each round removes every vertex with alive-degree·V ≤
+    2·2·E in exact integers, so V at least halves per round and 16
+    rounds cover any V ≤ 65536 (sf0.01 has ~2.4k); the densest round
+    is a 4-approximation of the maximum-density subgraph.  One
+    streaming masked degree scan per round, zero shuffles — the
+    threshold is a global scalar.  Emits exactly 16 (round,
+    n_vertices, n_edges) rows so the fixed-round SQL unroll compares
+    row-for-row."""
+    import ray
+
+    from essentials_rd.algorithms.densest import densest_peel
+
+    g, edges = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    t, _ = densest_peel(edges, vids, rounds=DENSEST_ROUNDS)
+    return t
+
+
+def _densest_sql() -> str:
+    steps = ["a0 AS MATERIALIZED (SELECT vid FROM verts)"]
+    sels = []
+    for k in range(DENSEST_ROUNDS):
+        steps.append(f"""
+d{k} AS MATERIALIZED (
+  SELECT e.src AS vid, CAST(count(*) AS BIGINT) AS d
+  FROM sym e JOIN a{k} s ON s.vid = e.src
+             JOIN a{k} t ON t.vid = e.dst
+  GROUP BY 1
+),
+s{k} AS MATERIALIZED (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a{k}) AS V,
+         CAST(COALESCE((SELECT sum(d) FROM d{k}), 0) AS BIGINT) AS E2
+),
+a{k + 1} AS MATERIALIZED (
+  SELECT a.vid FROM a{k} a JOIN d{k} d ON d.vid = a.vid, s{k} s
+  WHERE d.d * s.V > 2 * s.E2
+)""")
+        sels.append(f"SELECT CAST({k} AS BIGINT) AS round, V AS "
+                    f"n_vertices, E2 // 2 AS n_edges FROM s{k}")
+    return (f"WITH {_GRAPH_CTES}, " + ",".join(steps)
+            + " " + " UNION ALL ".join(sels) + " ORDER BY round")
+
+
 def _q_gini_stump(sf_dir: str):
     """Decision-stump training statistic (mlfit.gini_split_table):
     per candidate price-band threshold, the exact left/right
@@ -10900,6 +10949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_seq_reciprocity": _q_reciprocity,
         "motif_census": _q_motif_census,
         "gini_stump_price": _q_gini_stump,
+        "densest_peel": _q_densest_peel,
         "effective_resistance": _q_eff_resistance,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
@@ -12384,6 +12434,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "part_seq_reciprocity": _reciprocity_sql(),
         "motif_census": _motif_census_sql(),
         "gini_stump_price": _gini_stump_sql(),
+        "densest_peel": _densest_sql(),
         "effective_resistance": _eff_resistance_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),

@@ -29,10 +29,12 @@ from .louvain import modularity_move_round
 from .wl import wl_refine, wl_refine_local
 from .widest import WidestProgram, widest_path, widths_table
 from .bridges import ForestBfsProgram, find_bridges, forest_bfs
+from .densest import densest_peel
 
 __all__ = [
     "ForestBfsProgram",
     "find_bridges",
+    "densest_peel",
     "forest_bfs",
     "WidestProgram",
     "widest_path",
