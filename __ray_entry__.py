@@ -1819,6 +1819,102 @@ SELECT n.n_edges, r.n_recip,
 FROM n, r"""
 
 
+def _q_alt_bounds(sf_dir: str):
+    """ALT (A*, Landmarks, Triangle inequality — Goldberg–Harrelson)
+    preprocessing audit: BFS distance fields from two deterministic
+    landmarks (max vid; min vid ≥ the id-range midpoint) give every
+    vertex the lower bound max_l |d(l,s) − d(l,v)| on its true
+    distance from the bfs_depth source s — the admissible heuristic
+    that makes goal-directed search skip work.  Three runs of the
+    verified BFS engine (shared graph build), one vectorized
+    abs-diff/max readout; the engine asserts lb ≤ dist for every
+    vertex (the triangle inequality the oracle then hash-pins).
+    Emits (vid, dist, alt_lb) for vertices reachable in all three
+    fields."""
+    import ray
+
+    from essentials_rd.algorithms import bfs
+    from essentials_rd.algorithms.bfs import depths_table
+    from essentials_rd.util import np_col
+
+    g, _ = _graph(sf_dir)
+    vids = ray.get(g.vertex_ids_ref)
+    s = int(vids.min())
+    l1 = int(vids.max())
+    mid = (int(vids.min()) + int(vids.max())) // 2
+    l2 = int(vids[np.searchsorted(vids, mid)])
+
+    def _depths(src: int) -> tuple:
+        res = bfs(g, src, max_iters=2 * BFS_ITERS, checkpoint_every=0,
+                  scatter_mode="fused")
+        assert res.converged and res.supersteps <= BFS_ITERS
+        t = depths_table(res)
+        return (np_col(t, "vid").astype(np.int64),
+                np_col(t, "depth").astype(np.int64))
+
+    vid_a, ds = _depths(s)
+    _, d1 = _depths(l1)
+    _, d2 = _depths(l2)
+    si = int(np.searchsorted(vid_a, s))
+    ok = (ds >= 0) & (d1 >= 0) & (d2 >= 0)
+    lb = np.maximum(np.abs(d1 - d1[si]), np.abs(d2 - d2[si]))
+    assert (lb[ok] <= ds[ok]).all(), "ALT bound above true distance"
+    return pa.table({
+        "vid": pa.array(vid_a[ok], pa.int64()),
+        "dist": pa.array(ds[ok], pa.int64()),
+        "alt_lb": pa.array(lb[ok], pa.int64()),
+    })
+
+
+def _bfs_chain(prefix: str, src_cte: str) -> str:
+    """Unrolled BFS CTE chain from an arbitrary single-row source CTE
+    (``src_cte`` must select column s); ends at {prefix}{BFS_ITERS}."""
+    big = 1 << 60
+    steps = [f"""{prefix}0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = (SELECT s FROM {src_cte}) THEN 0
+              ELSE {big} END AS depth FROM verts)"""]
+    for k in range(BFS_ITERS):
+        steps.append(f"""
+{prefix}m{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.depth + 1) AS md
+  FROM sym e JOIN {prefix}{k} l ON l.vid = e.src AND l.depth < {big}
+  GROUP BY e.dst
+),
+{prefix}{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.depth, COALESCE(m.md, v.depth)) AS depth
+  FROM {prefix}{k} v LEFT JOIN {prefix}m{k} m ON m.vid = v.vid
+)""")
+    return ",".join(steps)
+
+
+def _alt_bounds_sql() -> str:
+    big = 1 << 60
+    N = BFS_ITERS
+    return f"""
+WITH {_GRAPH_CTES},
+asrc AS MATERIALIZED (SELECT min(vid) AS s FROM verts),
+alm1 AS MATERIALIZED (SELECT max(vid) AS s FROM verts),
+alm2 AS MATERIALIZED (
+  SELECT min(vid) AS s FROM verts
+  WHERE vid >= (SELECT (min(vid) + max(vid)) // 2 FROM verts)),
+{_bfs_chain("ax", "asrc")},
+{_bfs_chain("ay", "alm1")},
+{_bfs_chain("az", "alm2")},
+ssel AS (
+  SELECT x.vid, x.depth AS dist, y.depth AS dy, z.depth AS dz
+  FROM ax{N} x JOIN ay{N} y ON y.vid = x.vid
+               JOIN az{N} z ON z.vid = x.vid
+  WHERE x.depth < {big} AND y.depth < {big} AND z.depth < {big})
+SELECT vid, CAST(dist AS BIGINT) AS dist,
+       CAST(greatest(
+         abs(dy - (SELECT depth FROM ay{N}
+                   WHERE vid = (SELECT s FROM asrc))),
+         abs(dz - (SELECT depth FROM az{N}
+                   WHERE vid = (SELECT s FROM asrc)))) AS BIGINT)
+         AS alt_lb
+FROM ssel ORDER BY vid"""
+
+
 DENSEST_ROUNDS = 16
 
 
@@ -10950,6 +11046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motif_census": _q_motif_census,
         "gini_stump_price": _q_gini_stump,
         "densest_peel": _q_densest_peel,
+        "alt_lower_bounds": _q_alt_bounds,
         "effective_resistance": _q_eff_resistance,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
@@ -12435,6 +12532,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "motif_census": _motif_census_sql(),
         "gini_stump_price": _gini_stump_sql(),
         "densest_peel": _densest_sql(),
+        "alt_lower_bounds": _alt_bounds_sql(),
         "effective_resistance": _eff_resistance_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),
