@@ -1819,6 +1819,138 @@ SELECT n.n_edges, r.n_recip,
 FROM n, r"""
 
 
+THETA_K = 64
+
+
+def _q_theta_overlap(sf_dir: str):
+    """Theta-sketch set intersection (the KMV / bottom-k mergeable
+    summary, Bar-Yossef et al.): bottom-64 splitmix64 sketches of the
+    urgent-order and high-order customer sets, θ = min of the two
+    k-th values, intersection estimate = |sketchA ∩ sketchB below θ|
+    · 2⁶⁴/θ — the composable distinct/overlap machinery ad-tech
+    audience systems run, every number deterministic because the
+    'randomness' is the shared splitmix64 bijection.  Each block
+    ships its local bottom-k (ops.bottom_k_hashes); the exact audit
+    counts ride ONE custkey-bucketed membership fold.  All estimate
+    divisions are single IEEE ops the SQL twin reproduces."""
+    import ray.data as rd
+
+    from essentials_rd.ops import bottom_k_hashes, hash_bucket_agg
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"]
+                             ).materialize()
+
+    def _keys(pr: str):
+        def f(b: pa.Table) -> np.ndarray:
+            import pyarrow.compute as pc
+            m = pc.equal(b.column("o_orderpriority"), pr)
+            return np_col(b.filter(m), "o_custkey").astype(np.int64)
+        return f
+
+    ska = bottom_k_hashes(orders, _keys("1-URGENT"), THETA_K)
+    skb = bottom_k_hashes(orders, _keys("2-HIGH"), THETA_K)
+    assert len(ska) == THETA_K and len(skb) == THETA_K, \
+        "set smaller than sketch — estimates degenerate"
+    va, vb = int(ska[-1]), int(skb[-1])
+    theta = min(va, vb)
+    inter = np.intersect1d(ska, skb)
+    n_inter = int((inter < np.uint64(theta)).sum())
+    two64 = 2.0 ** 64
+    est_a = (THETA_K - 1) * two64 / float(va)
+    est_b = (THETA_K - 1) * two64 / float(vb)
+    est_inter = float(n_inter) * two64 / float(theta)
+
+    def _mem(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ck = np_col(b, "o_custkey").astype(np.int64)
+        ia = pc.equal(b.column("o_orderpriority"),
+                      "1-URGENT").to_numpy(zero_copy_only=False)
+        ib = pc.equal(b.column("o_orderpriority"),
+                      "2-HIGH").to_numpy(zero_copy_only=False)
+        return pa.table({"ck": pa.array(ck, pa.int64()),
+                         "ia": pa.array(ia.astype(np.int8), pa.int8()),
+                         "ib": pa.array(ib.astype(np.int8), pa.int8())})
+
+    def _fold(grp: pa.Table) -> pa.Table:
+        ck = np_col(grp, "ck")
+        ia = np_col(grp, "ia").astype(bool)
+        ib = np_col(grp, "ib").astype(bool)
+        order = np.argsort(ck, kind="stable")
+        ck, ia, ib = ck[order], ia[order], ib[order]
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        ends = np.r_[starts[1:], len(ck)]
+        ha = np.logical_or.reduceat(ia, starts)
+        hb = np.logical_or.reduceat(ib, starts)
+        _ = ends
+        return pa.table({
+            "na": pa.array([int(ha.sum())], pa.int64()),
+            "nb": pa.array([int(hb.sum())], pa.int64()),
+            "ni": pa.array([int((ha & hb).sum())], pa.int64()),
+        })
+
+    parts = hash_bucket_agg(
+        orders.map_batches(_mem, batch_format="pyarrow"),
+        lambda b: np_col(b, "ck").astype(np.int64), _fold,
+        num_buckets=16).take_all()
+    exact_a = sum(r["na"] for r in parts)
+    exact_b = sum(r["nb"] for r in parts)
+    exact_i = sum(r["ni"] for r in parts)
+    return pa.table({
+        "k": pa.array([THETA_K], pa.int64()),
+        "theta": pa.array([float(theta)], pa.float64()),
+        "n_inter_sk": pa.array([n_inter], pa.int64()),
+        "est_a": pa.array([est_a], pa.float64()),
+        "est_b": pa.array([est_b], pa.float64()),
+        "est_inter": pa.array([est_inter], pa.float64()),
+        "exact_a": pa.array([exact_a], pa.int64()),
+        "exact_b": pa.array([exact_b], pa.int64()),
+        "exact_inter": pa.array([exact_i], pa.int64()),
+    })
+
+
+def _theta_overlap_sql() -> str:
+    k = THETA_K
+    t64 = "18446744073709551616.0"
+    ha = _sm64_ctes("tha", "key", "key",
+                    "(SELECT DISTINCT o_custkey AS key FROM orders "
+                    "WHERE o_orderpriority = '1-URGENT')")
+    hb = _sm64_ctes("thb", "key", "key",
+                    "(SELECT DISTINCT o_custkey AS key FROM orders "
+                    "WHERE o_orderpriority = '2-HIGH')")
+    return f"""
+WITH {ha}, {hb},
+ska AS (SELECT z FROM tha3 ORDER BY z LIMIT {k}),
+skb AS (SELECT z FROM thb3 ORDER BY z LIMIT {k}),
+va AS (SELECT max(z) AS v FROM ska),
+vb AS (SELECT max(z) AS v FROM skb),
+th AS (SELECT least((SELECT v FROM va), (SELECT v FROM vb)) AS t),
+ni AS (SELECT CAST(count(*) AS BIGINT) AS n
+       FROM ska a JOIN skb b ON b.z = a.z
+       WHERE a.z < (SELECT t FROM th)),
+ea AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS c
+       FROM orders WHERE o_orderpriority = '1-URGENT'),
+eb AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS c
+       FROM orders WHERE o_orderpriority = '2-HIGH'),
+ei AS (SELECT CAST(count(*) AS BIGINT) AS c FROM
+       (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT') a
+       JOIN (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '2-HIGH') b
+       ON b.o_custkey = a.o_custkey)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST((SELECT t FROM th) AS DOUBLE) AS theta,
+       (SELECT n FROM ni) AS n_inter_sk,
+       {k - 1} * {t64} / CAST((SELECT v FROM va) AS DOUBLE) AS est_a,
+       {k - 1} * {t64} / CAST((SELECT v FROM vb) AS DOUBLE) AS est_b,
+       CAST((SELECT n FROM ni) AS DOUBLE) * {t64}
+         / CAST((SELECT t FROM th) AS DOUBLE) AS est_inter,
+       (SELECT c FROM ea) AS exact_a,
+       (SELECT c FROM eb) AS exact_b,
+       (SELECT c FROM ei) AS exact_inter"""
+
+
 def _q_alt_bounds(sf_dir: str):
     """ALT (A*, Landmarks, Triangle inequality — Goldberg–Harrelson)
     preprocessing audit: BFS distance fields from two deterministic
@@ -11047,6 +11179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_stump_price": _q_gini_stump,
         "densest_peel": _q_densest_peel,
         "alt_lower_bounds": _q_alt_bounds,
+        "theta_sketch_overlap": _q_theta_overlap,
         "effective_resistance": _q_eff_resistance,
         "edge_cut_parts": _q_edge_cut,
         "dag_depth_k12": _q_dag_depth,
@@ -12533,6 +12666,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "gini_stump_price": _gini_stump_sql(),
         "densest_peel": _densest_sql(),
         "alt_lower_bounds": _alt_bounds_sql(),
+        "theta_sketch_overlap": _theta_overlap_sql(),
         "effective_resistance": _eff_resistance_sql(),
         "edge_cut_parts": _edge_cut_sql(),
         "dag_depth_k12": _dag_depth_sql(),

@@ -3484,6 +3484,28 @@ def pair_counting_ari(la: np.ndarray, lb: np.ndarray) -> tuple:
     return N, s_both, s_a, s_b, ari
 
 
+def bottom_k_hashes(ds: rd.Dataset,
+                    key_fn: Callable[[pa.Table], np.ndarray],
+                    k: int) -> np.ndarray:
+    """KMV / bottom-k distinct sketch: the k smallest splitmix64
+    hash values over the distinct keys of ``key_fn(batch)`` — the
+    mergeable-summary shape (Bar-Yossef et al.; the theta-sketch
+    core): each block emits its local bottom-k (np.unique is already
+    ascending, so the partial is a slice), the driver merges
+    k × blocks values and re-slices.  splitmix64 is a bijection on
+    uint64, so distinct hashes ⇔ distinct keys and the k-th smallest
+    value V yields the unbiased estimate (k−1)·2⁶⁴/V.  Returns the
+    sorted uint64 array (length ≤ k when the set is smaller)."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        h = np.unique(hash64(np.asarray(key_fn(b), np.int64)))[:k]
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    allh = np.array([r["h"] for r in parts], np.int64).view(np.uint64)
+    return np.unique(allh)[:k]
+
+
 def directed_reciprocity(edges: rd.Dataset, u_col: str = "u",
                          v_col: str = "v",
                          num_buckets: int = 64) -> pa.Table:
