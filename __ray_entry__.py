@@ -178,6 +178,67 @@ def _nbr_feat_sum_sql() -> str:
     )
 
 
+def _q_gnn_two_layer(sf_dir: str):
+    """Two-layer GCN-style message passing: h₁ = Σ_nbr q(x) (the
+    verified vector-payload neighbor sum), h₂ = Σ_nbr h₁ via
+    gnn.neighbor_vec_sum — a k-layer stack is k chained calls, each
+    one partitioned join + pre-combined dst exchange; dims are
+    independent so the twin checks the first NBRF_DIMS of the exact
+    int64 A²x.  The receptive-field composition every GraphSAGE/GCN
+    pipeline runs before training."""
+    import ray.data as rd
+
+    from essentials_rd.gnn import (
+        _list_matrix, neighbor_feature_sum, neighbor_vec_sum,
+    )
+    from essentials_rd.pipelines import copurchase_edges
+    from essentials_rd.util import np_col
+
+    edges = copurchase_edges(sf_dir).select_columns(
+        ["src", "dst"]).materialize()
+    feats = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    n_feat = feats.count()
+    h1 = neighbor_feature_sum(edges, feats, n_feat, scale=NBRF_SCALE)
+    h2 = neighbor_vec_sum(edges, h1.materialize())
+
+    def _long(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        vid = np_col(t, "vid")
+        m = _list_matrix(t.column("feat"), t.num_rows)[:, :NBRF_DIMS]
+        n, d = m.shape
+        return pa.table({
+            "vid": pa.array(np.repeat(vid, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n),
+                            pa.int64()),
+            "val": pa.array(m.ravel(), pa.int64()),
+        })
+
+    return h2.map_batches(_long, batch_format="pyarrow")
+
+
+def _gnn_two_layer_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, "
+        "e2 AS MATERIALIZED (SELECT src, dst FROM pairs "
+        "UNION ALL SELECT dst AS src, src AS dst FROM pairs), "
+        "nf AS (SELECT count(*) AS m FROM embeddings), "
+        "f AS (SELECT vec_id, CAST(j.j - 1 AS BIGINT) AS dim, "
+        f"CAST(floor(embedding[j.j] * {NBRF_SCALE}) AS BIGINT) AS q "
+        "FROM embeddings, LATERAL (SELECT unnest(range(1, "
+        f"{NBRF_DIMS} + 1)) AS j) j), "
+        "h1 AS MATERIALIZED (SELECT e2.dst AS vid, f.dim, "
+        "CAST(sum(f.q) AS BIGINT) AS val "
+        "FROM e2 JOIN f ON f.vec_id = e2.src % (SELECT m FROM nf) "
+        "GROUP BY 1, 2) "
+        "SELECT e2.dst AS vid, h1.dim, CAST(sum(h1.val) AS BIGINT) "
+        "AS val FROM e2 JOIN h1 ON h1.vid = e2.src GROUP BY 1, 2"
+    )
+
+
 def _q_degree(sf_dir: str):
     import ray
 
@@ -11146,6 +11207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_token_edges": _q_shared_token_edges,
         "copurchase_edges": _q_copurchase_edges,
         "nbr_feat_sum": _q_nbr_feat_sum,
+        "gnn_two_layer": _q_gnn_two_layer,
         "degree": _q_degree,
         "degree_assortativity": _q_degree_assortativity,
         "pagerank_k8": _q_pagerank,
@@ -12535,6 +12597,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
             f"WITH {_GRAPH_CTES} SELECT src, dst, weight FROM pairs ORDER BY src, dst"
         ),
         "nbr_feat_sum": _nbr_feat_sum_sql(),
+        "gnn_two_layer": _gnn_two_layer_sql(),
         "degree": (
             f"WITH {_GRAPH_CTES} SELECT vid, CAST(outdeg AS BIGINT) AS degree "
             f"FROM deg ORDER BY vid"

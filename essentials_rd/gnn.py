@@ -82,28 +82,70 @@ def neighbor_feature_sum(
     joined = join(e2, f, on="fid", how="inner", broadcast=False,
                   num_buckets=num_buckets)
 
-    def _combine(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({
-                "vid": pa.array([], pa.int64()),
-                "feat": pa.array([], pa.list_(pa.int64())),
-            })
-        vid = np_col(t, "vid")
-        m = _list_matrix(t.column("feat"), t.num_rows)
-        order = np.argsort(vid, kind="stable")
-        vid, m = vid[order], m[order]
-        starts = np.flatnonzero(np.r_[True, vid[1:] != vid[:-1]])
-        sums = np.add.reduceat(m, starts, axis=0)
-        return pa.table({
-            "vid": pa.array(vid[starts], pa.int64()),
-            "feat": pa.array(list(sums), pa.list_(pa.int64())),
-        })
-
     # per-block pre-combine (one partial per (block, dst))...
     partial = joined.select_columns(["vid", "feat"]).map_batches(
-        _combine, batch_format="pyarrow")
+        _combine_vid_feat, batch_format="pyarrow")
     # ...then ONE dst-bucketed exchange merges the partials
     return hash_bucket_agg(
-        partial, lambda t: np_col(t, "vid"), _combine,
+        partial, lambda t: np_col(t, "vid"), _combine_vid_feat,
+        num_buckets=num_buckets,
+    )
+
+
+def _combine_vid_feat(t: pa.Table) -> pa.Table:
+    """Sum (vid, feat list<int64>) rows per vid — lexsort + per-dim
+    reduceat; the vector-payload partial-combine kernel."""
+    if t.num_rows == 0:
+        return pa.table({
+            "vid": pa.array([], pa.int64()),
+            "feat": pa.array([], pa.list_(pa.int64())),
+        })
+    vid = np_col(t, "vid")
+    m = _list_matrix(t.column("feat"), t.num_rows)
+    order = np.argsort(vid, kind="stable")
+    vid, m = vid[order], m[order]
+    starts = np.flatnonzero(np.r_[True, vid[1:] != vid[:-1]])
+    sums = np.add.reduceat(m, starts, axis=0)
+    return pa.table({
+        "vid": pa.array(vid[starts], pa.int64()),
+        "feat": pa.array(list(sums), pa.list_(pa.int64())),
+    })
+
+
+def neighbor_vec_sum(
+    edges: rd.Dataset,
+    vecs: rd.Dataset,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Aggregate an EXISTING per-vertex integer vector table over the
+    neighborhood: ``out[v] = Σ_{(u,v) ∈ E_sym} vecs[u]`` with ``vecs``
+    rows (vid, feat list<int64>) keyed by exact vertex id — the
+    layer-2+ step of a GCN stack (layer 1 binds raw features via
+    ``neighbor_feature_sum``; every later layer is this function, so
+    a k-layer message-passing stack is k chained calls).  Same scale
+    shape: one partitioned join to ship vectors to edges, per-block
+    pre-combine, ONE dst-bucketed exchange."""
+
+    def _both_dirs(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src")
+        d = np_col(t, "dst")
+        return pa.table({
+            "fid": pa.array(np.r_[s, d], pa.int64()),
+            "vid": pa.array(np.r_[d, s], pa.int64()),
+        })
+
+    def _as_fid(t: pa.Table) -> pa.Table:
+        return pa.table({"fid": t.column("vid").cast(pa.int64()),
+                         "feat": t.column("feat")})
+
+    e2 = edges.select_columns(["src", "dst"]).map_batches(
+        _both_dirs, batch_format="pyarrow")
+    f = vecs.map_batches(_as_fid, batch_format="pyarrow")
+    joined = join(e2, f, on="fid", how="inner", broadcast=False,
+                  num_buckets=num_buckets)
+    partial = joined.select_columns(["vid", "feat"]).map_batches(
+        _combine_vid_feat, batch_format="pyarrow")
+    return hash_bucket_agg(
+        partial, lambda t: np_col(t, "vid"), _combine_vid_feat,
         num_buckets=num_buckets,
     )

@@ -55,3 +55,48 @@ def test_list_matrix_roundtrip():
                             pa.array(list(m[2:]), pa.list_(pa.int64()))])
     got = _list_matrix(col, 3)
     assert np.array_equal(got, m)
+
+
+def test_neighbor_vec_sum_is_a_squared_x():
+    from essentials_rd.gnn import neighbor_vec_sum
+
+    rng = np.random.default_rng(59)
+    n_v, d = 25, 4
+    src, dst = [], []
+    for u in range(n_v):
+        for v in range(u + 1, n_v):
+            if rng.random() < 0.2:
+                src.append(u)
+                dst.append(v)
+    A = np.zeros((n_v, n_v), np.int64)
+    for u, v in zip(src, dst):
+        A[u, v] = A[v, u] = 1
+    x = rng.integers(-50, 50, (n_v, d)).astype(np.int64)
+    edges_t = pa.table({"src": pa.array(src, pa.int64()),
+                        "dst": pa.array(dst, pa.int64())})
+    vec_t = pa.table({
+        "vid": pa.array(np.arange(n_v), pa.int64()),
+        "feat": pa.array([r.tolist() for r in x], pa.list_(pa.int64())),
+    })
+    want = A @ x  # layer over exact per-vertex vectors
+    for parts in (1, 6):
+        out = neighbor_vec_sum(
+            rd.from_arrow(edges_t).repartition(parts),
+            rd.from_arrow(vec_t).repartition(2), num_buckets=8,
+        ).to_pandas()
+        got = {int(r.vid): np.array(r.feat, np.int64)
+               for r in out.itertuples()}
+        for v in got:
+            assert np.array_equal(got[v], want[v])
+        # vertices with no edges are absent; all others exact
+        assert set(got) == {v for v in range(n_v) if A[v].any()}
+    # two chained calls equal A^2 x on the covered vertices
+    h2 = neighbor_vec_sum(
+        rd.from_arrow(edges_t),
+        neighbor_vec_sum(rd.from_arrow(edges_t),
+                         rd.from_arrow(vec_t), num_buckets=8)
+        .materialize(), num_buckets=8).to_pandas()
+    want2 = A @ (A @ x)
+    for r in h2.itertuples():
+        assert np.array_equal(np.array(r.feat, np.int64),
+                              want2[int(r.vid)])
