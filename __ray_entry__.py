@@ -9351,6 +9351,23 @@ def _ra_link_pred_sql() -> str:
     )
 
 
+def _q_event_trigrams(sf_dir: str):
+    """Order-3 sequential patterns (windows.ngram_counts, the n = 3
+    generalization of the Markov transition matrix): counts of every
+    event-type triple occurring consecutively in a user's (ts,
+    event_id)-ordered stream — the higher-order behavioral statistic
+    sequence-mining and next-event models consume.  One user-bucketed
+    shuffle with ≤|alphabet|³ partial rows per bucket."""
+    import ray.data as rd
+
+    from essentials_rd.windows import ngram_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return ngram_counts(ev, "event_type", n=3)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition-count matrix (windows.transition_counts):
     (prev_type, next_type, n) over every user's event sequence under
@@ -11098,6 +11115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_edit1": _q_supplier_edit1,
         "supplier_entities": _q_supplier_entities,
         "event_transitions": _q_event_transitions,
+        "event_trigrams": _q_event_trigrams,
         "ra_link_pred": _q_ra_link_pred,
         "diameter_lb": _q_diameter_lb,
         "tpch_q1_cents": _q_tpch_q1_cents,
@@ -12993,6 +13011,15 @@ GROUP BY 1, 2 ORDER BY 1, 2
             f"// length('{GREP_NEEDLE}') AS BIGINT) AS n_matches "
             f"FROM documents WHERE contains(text, '{GREP_NEEDLE}') "
             "ORDER BY doc_id"
+        ),
+        "event_trigrams": (
+            "SELECT v1, v2, v3, CAST(count(*) AS BIGINT) AS n_obs "
+            "FROM (SELECT lag(event_type, 2) OVER w AS v1, "
+            "lag(event_type, 1) OVER w AS v2, event_type AS v3 "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) "
+            "WHERE v1 IS NOT NULL AND v2 IS NOT NULL "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
         ),
         "event_transitions": (
             "SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n "

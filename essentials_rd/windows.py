@@ -817,6 +817,95 @@ def transition_counts(
     )
 
 
+def ngram_counts(
+    events: rd.Dataset,
+    val_col: str,
+    n: int = 3,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Order-n sequential-pattern counts over per-key event
+    sequences: every run of n consecutive events of the SAME key
+    under the (ts, id) total order, counted per value n-gram — the
+    direct generalization of ``transition_counts`` (n = 2) to the
+    higher-order Markov / frequent-sequence statistic.  Output
+    columns v1..vn, n_obs.
+
+    Same scale shape: ONE key-hash bucketed exchange (a key's
+    sequence is complete in its bucket), a per-bucket lexsort +
+    shifted-window alignment, and only per-bucket partial
+    (gram, count) rows — at most |alphabet|ⁿ each — leave for one
+    tiny final combine."""
+    from .ops import grouped_pandas_agg
+
+    cols = [f"v{i + 1}" for i in range(n)]
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: batch.column(user_col).cast(pa.int64()),
+                "__ts__": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                val_col: batch.column(val_col),
+            }
+        )
+
+    def _grams(grp: pa.Table) -> pa.Table:
+        vt = grp.schema.field(val_col).type
+        empty = pa.table(
+            {**{c: pa.array([], vt) for c in cols},
+             "__n__": pa.array([], pa.int64())}
+        )
+        if grp.num_rows < n:
+            return empty
+        u = np_col(grp, user_col)
+        t = np_col(grp, "__ts__")
+        e = np_col(grp, id_col)
+        v = grp.column(val_col).to_pandas().to_numpy()
+        order = np.lexsort((e, t, u))
+        u, v = u[order], v[order]
+        same = np.ones(len(u) - (n - 1), bool)
+        for i in range(n - 1):
+            same &= u[i:len(u) - (n - 1) + i] == \
+                u[i + 1:len(u) - (n - 1) + i + 1]
+        if not same.any():
+            return empty
+        df = pd.DataFrame(
+            {c: v[i:len(v) - (n - 1) + i][same]
+             for i, c in enumerate(cols)})
+        g = df.groupby(cols, sort=False, as_index=False).size()
+        return pa.table(
+            {**{c: pa.array(g[c]) for c in cols},
+             "__n__": pa.array(g["size"].to_numpy(np.int64),
+                               pa.int64())}
+        )
+
+    projected = events.map_batches(_project, batch_format="pyarrow")
+    partial = hash_bucket_agg(
+        projected,
+        lambda b: np_col(b, user_col).astype(np.int64),
+        _grams,
+        num_buckets=num_buckets,
+    )
+
+    def _gram_key(b: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            acc = _str_or_int_key(b.column(cols[0]))
+            for c in cols[1:]:
+                acc = acc * np.uint64(31) + _str_or_int_key(b.column(c))
+        return hash64(acc.view(np.int64)).view(np.int64)
+
+    return grouped_pandas_agg(
+        partial,
+        keys=cols,
+        aggs={"n_obs": ("__n__", "sum")},
+        key_fn=_gram_key,
+        num_buckets=max(num_buckets // 8, 1),
+    )
+
+
 def _pair_bucket_key(b: pa.Table) -> np.ndarray:
     with np.errstate(over="ignore"):
         return hash64(

@@ -86,3 +86,44 @@ def test_temporal_requires_weights(tmp_path):
     g = small_graph(tmp_path, src, dst, P=1, symmetrize=True)
     with pytest.raises(Exception, match="edge times|weight"):
         temporal_reach(g, 0, checkpoint_every=0)
+
+
+def test_ngram_counts_matches_bruteforce_and_reduces_to_transitions():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.windows import ngram_counts, transition_counts
+
+    rng = np.random.default_rng(61)
+    m = 400
+    users = rng.integers(0, 9, m)
+    ts = pd.to_datetime(rng.integers(0, 10**6, m), unit="s")
+    eid = np.arange(m)
+    vals = np.array(list("abcd"))[rng.integers(0, 4, m)]
+    t = pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(vals.tolist()),
+    })
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    rows = list(df.itertuples())
+    for a, b, c in zip(rows, rows[1:], rows[2:]):
+        if a.user_id == b.user_id == c.user_id:
+            k = (a.event_type, b.event_type, c.event_type)
+            want[k] = want.get(k, 0) + 1
+    got = ngram_counts(rd.from_arrow(t).repartition(5), "event_type",
+                       n=3, num_buckets=8).to_pandas()
+    got_d = {(r.v1, r.v2, r.v3): int(r.n_obs)
+             for r in got.itertuples()}
+    assert got_d == want
+    # n=2 must agree with transition_counts
+    g2 = ngram_counts(rd.from_arrow(t), "event_type", n=2,
+                      num_buckets=8).to_pandas()
+    tr = transition_counts(rd.from_arrow(t), "event_type",
+                           num_buckets=8).to_pandas()
+    a = {(r.v1, r.v2): int(r.n_obs) for r in g2.itertuples()}
+    b = {(r.prev_val, r.next_val): int(r.n) for r in tr.itertuples()}
+    assert a == b
