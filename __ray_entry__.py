@@ -3428,6 +3428,47 @@ def _user_lag_moments_sql() -> str:
     )
 
 
+def _q_user_cusum(sf_dir: str):
+    """Per-user CUSUM changepoint statistics (windows.cusum_stats,
+    Page 1954): max/min excursions of the count-scaled prefix sums
+    P_i = Σ(n·x_j − T) over the (ts, event_id)-ordered half-up-cents
+    value stream, plus the 1-based first-argmax position — the
+    estimated mean-shift location.  Exact int64 end to end (the n·x
+    scaling removes the mean division), one user-bucketed exchange,
+    segmented cumsum/reduceat kernel."""
+    import ray.data as rd
+
+    from essentials_rd.windows import cusum_stats
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return cusum_stats(ev)
+
+
+def _user_cusum_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, ts, event_id, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS x FROM events), "
+        "s AS (SELECT user_id, ts, event_id, x, "
+        "CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n, "
+        "CAST(sum(x) OVER (PARTITION BY user_id) AS BIGINT) AS t "
+        "FROM e), "
+        "p AS (SELECT user_id, n, "
+        "CAST(sum(n * x - t) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS pf, "
+        "CAST(row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS BIGINT) AS pos FROM s), "
+        "m AS (SELECT user_id, any_value(n) AS n, "
+        "CAST(max(pf) AS BIGINT) AS cusum_max, "
+        "CAST(min(pf) AS BIGINT) AS cusum_min FROM p GROUP BY 1) "
+        "SELECT m.user_id, m.n, m.cusum_max, m.cusum_min, "
+        "CAST(min(p.pos) AS BIGINT) AS argmax_pos "
+        "FROM m JOIN p ON p.user_id = m.user_id "
+        "AND p.pf = m.cusum_max GROUP BY 1, 2, 3, 4"
+    )
+
+
 IV_MOD_MIN = 45  # interval duration: (event_id % 45 + 1) minutes
 
 
@@ -11062,6 +11103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "user_intervals": _q_user_intervals,
         "user_lag_moments": _q_user_lag_moments,
+        "user_cusum": _q_user_cusum,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantity_quantiles": _q_quantity_quantiles,
         "quantity_quantiles_cont": _q_quantity_quantiles_cont,
@@ -12439,6 +12481,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "user_intervals": _user_intervals_sql(),
         "user_lag_moments": _user_lag_moments_sql(),
+        "user_cusum": _user_cusum_sql(),
         "user_sessions": (
             "WITH o AS MATERIALIZED ("
             "  SELECT user_id, epoch_us(ts) AS t, event_id, "

@@ -1302,3 +1302,84 @@ def last_touch_attribution(
         events.map_batches(_prep, batch_format="pyarrow"),
         lambda t: np_col(t, user_col),
         _attr, num_buckets=num_buckets)
+
+
+def cusum_stats(
+    events: rd.Dataset,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-user CUSUM changepoint statistics over the (ts, event_id)-
+    ordered value stream, in EXACT integers (Page 1954).  The classic
+    mean-shift detector tracks ``S_i = Σ_{j<=i} (x_j - mean)``; scaling
+    by the user's own count removes the division: with ``x`` in half-up
+    cents, ``D_i = n·x_i - T`` (``T`` the user's total) gives prefix
+    sums ``P_i = n·S_i`` that are exact int64 at any layout and in SQL.
+    Emits per user ``(n, cusum_max, cusum_min, argmax_pos)`` — the max /
+    min excursions (``P_n = 0`` always, so a large |excursion| flags a
+    level shift) and the 1-based position of the FIRST prefix maximum,
+    the estimated changepoint location.  Same single user-bucketed
+    exchange as ``sessionize``; the in-bucket kernel is one lexsort +
+    segmented cumsum / reduceat — no Python loop over rows."""
+
+    def _project(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np_col(batch, value_col) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            user_col: batch.column(user_col).cast(pa.int64()),
+            "__ts__": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "__x__": pa.array(cents, pa.int64()),
+        })
+
+    def _cusum(grp: pa.Table) -> pa.Table:
+        cols = ["n", "cusum_max", "cusum_min", "argmax_pos"]
+        if grp.num_rows == 0:
+            return pa.table(
+                {user_col: pa.array([], pa.int64()),
+                 **{c: pa.array([], pa.int64()) for c in cols}})
+        u = np_col(grp, user_col)
+        t = np_col(grp, "__ts__")
+        e = np_col(grp, id_col)
+        x = np_col(grp, "__x__")
+        order = np.lexsort((e, t, u))
+        u, x = u[order], x[order]
+        n = len(u)
+        new = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        cnt = (ends - starts).astype(np.int64)
+        cs_x = np.r_[np.int64(0), np.cumsum(x)]
+        tot = cs_x[ends] - cs_x[starts]
+        n_rep = np.repeat(cnt, cnt)
+        t_rep = np.repeat(tot, cnt)
+        d = n_rep * x - t_rep
+        cs = np.cumsum(d)
+        base = np.r_[np.int64(0), cs[:-1]][starts]
+        p = cs - np.repeat(base, cnt)
+        smax = np.maximum.reduceat(p, starts)
+        smin = np.minimum.reduceat(p, starts)
+        # first in-segment position achieving the max (1-based)
+        hit = p == np.repeat(smax, cnt)
+        pos = np.arange(n, dtype=np.int64)
+        first = np.minimum.reduceat(np.where(hit, pos, np.int64(n)),
+                                    starts)
+        return pa.table({
+            user_col: pa.array(u[starts], pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+            "cusum_max": pa.array(smax, pa.int64()),
+            "cusum_min": pa.array(smin, pa.int64()),
+            "argmax_pos": pa.array(first - starts + 1, pa.int64()),
+        })
+
+    projected = events.map_batches(_project, batch_format="pyarrow")
+    return hash_bucket_agg(
+        projected,
+        lambda b: np_col(b, user_col).astype(np.int64),
+        _cusum,
+        num_buckets=num_buckets,
+    )
