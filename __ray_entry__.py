@@ -4115,6 +4115,68 @@ def _q_quantity_moments(sf_dir: str):
     ).sort_by("l_returnflag")
 
 
+def _q_spearman_qty_price(sf_dir: str):
+    """Exact Spearman rank correlation (mlfit.spearman_exact) between
+    quantity and extended price in half-up cents — doubled average-tie
+    ranks keep every sufficient statistic int64-exact (Σcx², Σcy²,
+    Σcx·cy over centered ranks c = 2r − (n+1)), and rho is the single
+    float division √-expression, emitted half-up 6dp.  Rank lookups
+    build from per-column value HISTOGRAMS via global_cumsum over the
+    distinct-value table (|distinct| rows move, never the data), two
+    hash joins, one streaming moment pass."""
+    import ray.data as rd
+
+    from essentials_rd.mlfit import spearman_exact
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+
+    def _ints(t: pa.Table) -> pa.Table:
+        q = np.asarray(
+            t.column("l_quantity").to_numpy(zero_copy_only=False),
+            np.float64)
+        p = np.asarray(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            np.float64)
+        return pa.table({
+            "qx": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            "py": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+        })
+
+    return spearman_exact(
+        line.map_batches(_ints, batch_format="pyarrow"), "qx", "py")
+
+
+def _spearman_qty_price_sql() -> str:
+    return (
+        "WITH li AS (SELECT "
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS qx, "
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS py "
+        "FROM lineitem), "
+        "r AS (SELECT "
+        "2 * CAST(rank() OVER (ORDER BY qx) AS BIGINT) "
+        "+ CAST(count(*) OVER (PARTITION BY qx) AS BIGINT) - 1 AS rx2, "
+        "2 * CAST(rank() OVER (ORDER BY py) AS BIGINT) "
+        "+ CAST(count(*) OVER (PARTITION BY py) AS BIGINT) - 1 AS ry2 "
+        "FROM li), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r), "
+        "s AS (SELECT any_value(nn.n) AS n, "
+        "CAST(sum((rx2 - (nn.n + 1)) * (rx2 - (nn.n + 1))) AS BIGINT) "
+        "AS sxx, "
+        "CAST(sum((ry2 - (nn.n + 1)) * (ry2 - (nn.n + 1))) AS BIGINT) "
+        "AS syy, "
+        "CAST(sum((rx2 - (nn.n + 1)) * (ry2 - (nn.n + 1))) AS BIGINT) "
+        "AS sxy FROM r, nn) "
+        "SELECT n, sxx, syy, sxy, "
+        "CASE WHEN sxx = 0 OR syy = 0 THEN 0.0 ELSE "
+        "floor(CAST(sxy AS DOUBLE) / "
+        "sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)) "
+        "* 1000000 + 0.5) / 1000000 END AS rho FROM s"
+    )
+
+
 def _q_qty_price_comoments(sf_dir: str):
     """Exact grouped bivariate moments (ops.grouped_comoments): n / Σx
     / Σy / Σx² / Σy² / Σxy of (quantity, price-dollars) per return
@@ -11117,6 +11179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_range_sum": _q_user_range_sum,
         "quantity_moments": _q_quantity_moments,
         "qty_price_comoments": _q_qty_price_comoments,
+        "spearman_qty_price": _q_spearman_qty_price,
         "orders_profile": _q_orders_profile,
         "last_order_asof": _q_last_order_asof,
         "parts_per_order": _q_parts_per_order,
@@ -12463,6 +12526,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS p "
             "FROM lineitem) GROUP BY 1 ORDER BY 1"
         ),
+        "spearman_qty_price": _spearman_qty_price_sql(),
         "orders_profile": " UNION ALL ".join(
             f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n, "
             f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
