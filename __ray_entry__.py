@@ -4115,6 +4115,58 @@ def _q_quantity_moments(sf_dir: str):
     ).sort_by("l_returnflag")
 
 
+def _q_chisq_type_hour(sf_dir: str):
+    """Pearson chi-square independence audit (ops.contingency_chisq):
+    event_type x hour-of-day contingency with exact int64 counts,
+    marginals and deviations dev = N*n_ab - n_a*n_b over the FULL
+    cross product (zero cells included), plus the half-up-6dp cell chi
+    contribution — the usage-bias screen.  One streaming pass with
+    <=cells-row per-block partials, zero shuffles."""
+    import ray.data as rd
+
+    from essentials_rd.ops import contingency_chisq
+    from essentials_rd.windows import _epoch_us
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def _hod(t: pa.Table) -> pa.Table:
+        us = _epoch_us(t, "ts")
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "hod": pa.array(us // 3_600_000_000 % 24, pa.int64()),
+        })
+
+    return contingency_chisq(
+        ev.map_batches(_hod, batch_format="pyarrow"), "event_type", "hod")
+
+
+def _chisq_type_hour_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_type, "
+        "epoch_us(ts) // 3600000000 % 24 AS hod FROM events), "
+        "cells AS (SELECT event_type, hod, "
+        "CAST(count(*) AS BIGINT) AS n_ab FROM e GROUP BY 1, 2), "
+        "ma AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_a "
+        "FROM e GROUP BY 1), "
+        "mb AS (SELECT hod, CAST(count(*) AS BIGINT) AS n_b "
+        "FROM e GROUP BY 1), "
+        "nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e), "
+        "fc AS (SELECT ma.event_type, mb.hod, "
+        "COALESCE(c.n_ab, 0) AS n_ab, ma.n_a, mb.n_b, nt.n "
+        "FROM ma CROSS JOIN mb CROSS JOIN nt "
+        "LEFT JOIN cells c ON c.event_type = ma.event_type "
+        "AND c.hod = mb.hod) "
+        "SELECT event_type, hod, n_ab, n_a, n_b, "
+        "n * n_ab - n_a * n_b AS dev, "
+        "floor((CAST(n * n_ab - n_a * n_b AS DOUBLE) "
+        "* CAST(n * n_ab - n_a * n_b AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(n_a AS DOUBLE) "
+        "* CAST(n_b AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS cell_chi "
+        "FROM fc"
+    )
+
+
 def _q_spearman_qty_price(sf_dir: str):
     """Exact Spearman rank correlation (mlfit.spearman_exact) between
     quantity and extended price in half-up cents — doubled average-tie
@@ -11180,6 +11232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_moments": _q_quantity_moments,
         "qty_price_comoments": _q_qty_price_comoments,
         "spearman_qty_price": _q_spearman_qty_price,
+        "chisq_type_hour": _q_chisq_type_hour,
         "orders_profile": _q_orders_profile,
         "last_order_asof": _q_last_order_asof,
         "parts_per_order": _q_parts_per_order,
@@ -12527,6 +12580,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem) GROUP BY 1 ORDER BY 1"
         ),
         "spearman_qty_price": _spearman_qty_price_sql(),
+        "chisq_type_hour": _chisq_type_hour_sql(),
         "orders_profile": " UNION ALL ".join(
             f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n, "
             f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "

@@ -3688,3 +3688,72 @@ def trimmed_sum(
     return hash_bucket_agg(
         ds.map_batches(_hist, batch_format="pyarrow"),
         _key_fn, _fold, num_buckets=num_buckets)
+
+
+def contingency_chisq(
+    ds: rd.Dataset,
+    a_col: str,
+    b_col: str,
+) -> pa.Table:
+    """Pearson chi-square independence audit over two bounded-
+    cardinality categorical columns — the drift/bias screen that flags
+    a dependence between, say, event type and time-of-day bucket.
+    Emits the FULL |A|x|B| cross product (zero-count cells included:
+    they carry expected mass) with exact int64 counts/marginals, the
+    integer deviation dev = N*n_ab - n_a*n_b (the chi numerator before
+    squaring, so the distributed result hashes exactly), and the cell
+    chi contribution dev^2 / (N*n_a*n_b) as ONE fixed float expression
+    emitted half-up 6dp — SQL-reproducible term for term.
+
+    Scale shape: one streaming pass with per-block (a, b, count)
+    partials (<= cells rows each, zero shuffles — the contingency
+    table is bounded by construction, the operator's contract), folded
+    driver-side; the cross product and marginals are driver math over
+    the cells-sized table.  int64 guard: N * max(n_a) must stay under
+    2^63 (asserted)."""
+    sel = ds.select_columns([a_col, b_col])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "a": t.column(a_col).to_pandas(),
+            "b": t.column(b_col).to_pandas(),
+        })
+        g = df.groupby(["a", "b"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = sel.map_batches(_partial, batch_format="pyarrow").take_all()
+    cells = pd.DataFrame(parts).groupby(["a", "b"], as_index=False)["n"].sum()
+    n_tot = int(cells.n.sum())
+    if n_tot == 0:
+        return pa.table({
+            a_col: pa.array([], pa.string()), b_col: pa.array([], pa.int64()),
+            "n_ab": pa.array([], pa.int64()), "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()), "dev": pa.array([], pa.int64()),
+            "cell_chi": pa.array([], pa.float64()),
+        })
+    na = cells.groupby("a", as_index=False)["n"].sum().rename(
+        columns={"n": "n_a"})
+    nb = cells.groupby("b", as_index=False)["n"].sum().rename(
+        columns={"n": "n_b"})
+    assert n_tot * int(na.n_a.max()) < (1 << 62), "N*n_a int64 guard"
+    full = na.merge(nb, how="cross")
+    full = full.merge(cells, on=["a", "b"], how="left")
+    full["n"] = full.n.fillna(0).astype(np.int64)
+    full = full.sort_values(["a", "b"]).reset_index(drop=True)
+    n_ab = full.n.to_numpy(np.int64)
+    n_a = full.n_a.to_numpy(np.int64)
+    n_b = full.n_b.to_numpy(np.int64)
+    dev = n_tot * n_ab - n_a * n_b
+    d = dev.astype(np.float64)
+    chi = (d * d) / (float(n_tot) * n_a.astype(np.float64)
+                     * n_b.astype(np.float64))
+    return pa.table({
+        a_col: pa.array(full.a.to_numpy(object)),
+        b_col: pa.array(full.b.to_numpy(np.int64), pa.int64()),
+        "n_ab": pa.array(n_ab, pa.int64()),
+        "n_a": pa.array(n_a, pa.int64()),
+        "n_b": pa.array(n_b, pa.int64()),
+        "dev": pa.array(dev, pa.int64()),
+        "cell_chi": pa.array(np.floor(chi * 1e6 + 0.5) / 1e6,
+                             pa.float64()),
+    })
