@@ -4115,6 +4115,59 @@ def _q_quantity_moments(sf_dir: str):
     ).sort_by("l_returnflag")
 
 
+WPS_K = 25
+WPS_SEED = 9
+
+
+def _q_weighted_sample_parts(sf_dir: str):
+    """Priority sampling (sampling.weighted_priority_sample, Duffield-
+    Lund-Thorup / Sequential Poisson): 25 parts drawn weight-
+    proportionally by retail-price cents via integer priorities
+    q = splitmix64(key + seed·golden) // w, k smallest win — plus the
+    DLT per-row weight estimator max(w, 2⁶⁴ // tau) from the (k+1)-st
+    priority.  Stateless per-block priorities, per-block bottom-(k+1)
+    partials, driver re-slice; zero shuffles, no RNG state."""
+    import ray.data as rd
+
+    from essentials_rd.sampling import weighted_priority_sample
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_retailprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        p = np.asarray(
+            t.column("p_retailprice").to_numpy(zero_copy_only=False),
+            np.float64)
+        return pa.table({
+            "p_partkey": t.column("p_partkey").cast(pa.int64()),
+            "w_cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+        })
+
+    return weighted_priority_sample(
+        part.map_batches(_cents, batch_format="pyarrow"),
+        "p_partkey", "w_cents", k=WPS_K, seed=WPS_SEED)
+
+
+def _weighted_sample_parts_sql() -> str:
+    mix = (WPS_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes(
+        "wz", "p_partkey, w_cents", f"p_partkey + {mix}", "pw")
+    return (
+        "WITH pw AS (SELECT p_partkey, "
+        "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS w_cents "
+        f"FROM part), {chain}, "
+        "qq AS (SELECT p_partkey, w_cents, "
+        "CAST(z // CAST(w_cents AS UBIGINT) AS BIGINT) AS q FROM wz3), "
+        "o AS (SELECT *, CAST(row_number() OVER "
+        "(ORDER BY q, p_partkey) AS BIGINT) AS rank FROM qq), "
+        f"tau AS (SELECT q AS t FROM o WHERE rank = {WPS_K + 1}) "
+        "SELECT p_partkey, w_cents, q, rank, "
+        "greatest(w_cents, CAST(CAST('18446744073709551616' AS HUGEINT) "
+        "// t AS BIGINT)) AS w_est "
+        f"FROM o, tau WHERE rank <= {WPS_K}"
+    )
+
+
 def _q_chisq_type_hour(sf_dir: str):
     """Pearson chi-square independence audit (ops.contingency_chisq):
     event_type x hour-of-day contingency with exact int64 counts,
@@ -11233,6 +11286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_comoments": _q_qty_price_comoments,
         "spearman_qty_price": _q_spearman_qty_price,
         "chisq_type_hour": _q_chisq_type_hour,
+        "weighted_sample_parts": _q_weighted_sample_parts,
         "orders_profile": _q_orders_profile,
         "last_order_asof": _q_last_order_asof,
         "parts_per_order": _q_parts_per_order,
@@ -12581,6 +12635,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "spearman_qty_price": _spearman_qty_price_sql(),
         "chisq_type_hour": _chisq_type_hour_sql(),
+        "weighted_sample_parts": _weighted_sample_parts_sql(),
         "orders_profile": " UNION ALL ".join(
             f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n, "
             f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "

@@ -35,7 +35,7 @@ import ray
 import ray.data as rd
 
 from .graph import GraphShards
-from .util import csr_lookup, hash64, part_of
+from .util import csr_lookup, hash64, np_col, part_of
 
 _GOLDEN = 0x9E3779B97F4A7C15
 _CUR_MUL = np.uint64(2654435761)
@@ -428,3 +428,79 @@ def negative_samples(
     refs = [task.remote(k, tries, mix, uref, keys_ref, ref)
             for ref in g.shard_refs]
     return rd.from_arrow_refs(refs)
+
+
+def weighted_priority_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> pa.Table:
+    """Priority sampling / Sequential Poisson sampling (Duffield-Lund-
+    Thorup 2007; Ohlsson 1998): a weight-proportional without-
+    replacement sample of k rows, deterministic and layout-invariant.
+    Each row gets priority q = splitmix64(key + seed·golden) // w
+    (u/w with a 2⁶⁴-uniform u, all integer — no float anywhere); the k
+    SMALLEST q win (ties by key).  The (k+1)-st priority tau yields
+    the DLT weight estimator w_est = max(w, 2⁶⁴ // tau) per sampled
+    row (integer-division variant, documented bias ≤ 1 unit), whose
+    sum estimates the population total weight from the sample alone.
+
+    Scale shape: priorities are a stateless per-block map, each block
+    ships only its (k+1) smallest rows (per-block partial top-k), the
+    driver merges blocks·(k+1) rows and re-slices — the bottom-k
+    mergeable-summary discipline, zero shuffles.  ``weight_col`` must
+    be positive int64; tau must exceed 2²⁰ (asserted) so the
+    estimator's 2⁶⁴ // tau stays inside int64 for any w ≤ 2⁴³."""
+    assert k >= 1
+    mix = np.int64((seed * 0x9E3779B97F4A7C15) & (2**63 - 1))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        kk = np_col(t, key_col).astype(np.int64)
+        w = np_col(t, weight_col).astype(np.int64)
+        assert (w > 0).all(), "weights must be positive"
+        with np.errstate(over="ignore"):
+            q = (hash64(kk + mix) // w.astype(np.uint64)).astype(np.uint64)
+        assert (q < np.uint64(1 << 62)).all(), "q int64 guard (w >= 4)"
+        qi = q.astype(np.int64)
+        order = np.lexsort((kk, qi))[: k + 1]
+        return pa.table({
+            key_col: pa.array(kk[order], pa.int64()),
+            weight_col: pa.array(w[order], pa.int64()),
+            "q": pa.array(qi[order], pa.int64()),
+        })
+
+    rows = ds.select_columns(
+        [key_col, weight_col]
+    ).map_batches(_partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return pa.table({
+            key_col: pa.array([], pa.int64()),
+            weight_col: pa.array([], pa.int64()),
+            "q": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "w_est": pa.array([], pa.int64()),
+        })
+    kk = np.array([r[key_col] for r in rows], np.int64)
+    w = np.array([r[weight_col] for r in rows], np.int64)
+    q = np.array([r["q"] for r in rows], np.int64)
+    order = np.lexsort((kk, q))
+    kk, w, q = kk[order], w[order], q[order]
+    take = min(k, len(kk))
+    if len(kk) > k:
+        tau = int(q[k])
+        assert tau > (1 << 20), "tau guard: estimator overflow"
+        t_est = (1 << 64) // tau
+        w_est = np.maximum(w[:take], np.int64(t_est))
+    else:
+        # whole population sampled: the estimator is exact
+        w_est = w[:take]
+    return pa.table({
+        key_col: pa.array(kk[:take], pa.int64()),
+        weight_col: pa.array(w[:take], pa.int64()),
+        "q": pa.array(q[:take], pa.int64()),
+        "rank": pa.array(np.arange(1, take + 1, dtype=np.int64),
+                         pa.int64()),
+        "w_est": pa.array(w_est, pa.int64()),
+    })
