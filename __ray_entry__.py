@@ -4220,6 +4220,64 @@ def _chisq_type_hour_sql() -> str:
     )
 
 
+def _q_qty_emd_returned(sf_dir: str):
+    """Exact 1-D Wasserstein-1 drift profile (ops.emd_profile):
+    the earth-mover distance between the quantity distributions of
+    returned (l_returnflag = 'R') and non-returned lineitems, as the
+    per-distinct-value integer step-integral table — cumulative counts
+    per side plus contrib = |cum_a·n_b − cum_b·n_a| · gap, so
+    W1 = Σ contrib / (n_a·n_b) derives downstream with zero float
+    aggregates.  Same bounded-histogram plan as ks_drift: per-block
+    (value, count) partials, ONE bucketed exchange, driver fold."""
+    import ray.data as rd
+
+    from essentials_rd.ops import emd_profile
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_returnflag"],
+    )
+
+    def _qx(t: pa.Table) -> pa.Table:
+        q = np.asarray(
+            t.column("l_quantity").to_numpy(zero_copy_only=False),
+            np.float64)
+        flag = np.asarray(t.column("l_returnflag").to_numpy(
+            zero_copy_only=False), object)
+        return pa.table({
+            "v": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            "s": pa.array((flag == "R").astype(np.int64), pa.int64()),
+        })
+
+    both = line.map_batches(_qx, batch_format="pyarrow")
+    a = both.filter(expr="s == 1").select_columns(["v"])
+    b = both.filter(expr="s == 0").select_columns(["v"])
+    return emd_profile(a, b, "v")
+
+
+def _qty_emd_returned_sql() -> str:
+    return (
+        "WITH li AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS v, "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS s "
+        "FROM lineitem), "
+        "c AS (SELECT v, "
+        "CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+        "CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b "
+        "FROM li GROUP BY 1), "
+        "t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a, "
+        "CAST(sum(b) AS BIGINT) AS n_b FROM c), "
+        "cu AS (SELECT v, "
+        "CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS cum_a, "
+        "CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cum_b, "
+        "CAST(COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS BIGINT) "
+        "AS gap FROM c) "
+        "SELECT cu.v, cu.cum_a, cu.cum_b, cu.gap, "
+        "CAST(abs(cu.cum_a * t.n_b - cu.cum_b * t.n_a) * cu.gap "
+        "AS BIGINT) AS contrib "
+        "FROM cu, t"
+    )
+
+
 def _q_spearman_qty_price(sf_dir: str):
     """Exact Spearman rank correlation (mlfit.spearman_exact) between
     quantity and extended price in half-up cents — doubled average-tie
@@ -11286,6 +11344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_comoments": _q_qty_price_comoments,
         "spearman_qty_price": _q_spearman_qty_price,
         "chisq_type_hour": _q_chisq_type_hour,
+        "qty_emd_returned": _q_qty_emd_returned,
         "weighted_sample_parts": _q_weighted_sample_parts,
         "orders_profile": _q_orders_profile,
         "last_order_asof": _q_last_order_asof,
@@ -12635,6 +12694,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "spearman_qty_price": _spearman_qty_price_sql(),
         "chisq_type_hour": _chisq_type_hour_sql(),
+        "qty_emd_returned": _qty_emd_returned_sql(),
         "weighted_sample_parts": _weighted_sample_parts_sql(),
         "orders_profile": " UNION ALL ".join(
             f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n, "

@@ -3344,25 +3344,19 @@ def hll_overlap_estimate(a: pa.Table, b: pa.Table, p: int) -> dict:
             "est_jaccard": inter / eu if eu > 0 else 0.0}
 
 
-def ks_drift(
+def two_sample_hist(
     a: rd.Dataset,
     b: rd.Dataset,
     col: str,
     num_buckets: int = DEFAULT_BUCKETS,
-) -> pa.Table:
-    """EXACT two-sample Kolmogorov–Smirnov distance over an integer
-    column — the distribution-drift monitor between two extracts
-    (yesterday vs today, cohort A vs B): D = max_x |F_a(x) − F_b(x)|
-    computed with NO float CDF anywhere, as the integer maximum over
-    distinct values of |cum_a(x)·n_b − cum_b(x)·n_a| (cross-multiplied
-    common denominator n_a·n_b — overflow-asserted).  Returns one row
-    (d_num, n_a, n_b); D = d_num / (n_a·n_b).
-
-    Plan: both sides reduce to (value, side) pre-combined counts in
-    their map scans, ONE bucketed exchange merges the two histograms,
-    and the driver folds one row per DISTINCT value (the bounded-
-    domain histogram contract shared with exact_quantiles) — rows
-    never move."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared plan of the two-sample drift statistics (`ks_drift`,
+    `rank_sum_u`, `emd_profile`): both sides reduce to per-block
+    (value, count) histogram partials in their map scans, ONE bucketed
+    exchange merges the two histograms, and the driver receives one
+    row per DISTINCT value (the bounded-distinct-domain contract) —
+    data rows never move.  Returns value-sorted (v, ca, cb) int64
+    arrays."""
 
     def _h(side: int):
         def _m(t: pa.Table) -> pa.Table:
@@ -3383,8 +3377,76 @@ def ks_drift(
         keys=["v"], aggs={"ca": ("ca", "sum"), "cb": ("cb", "sum")},
         num_buckets=num_buckets).take_all()
     merged.sort(key=lambda r: r["v"])
+    v = np.array([r["v"] for r in merged], np.int64)
     ca = np.array([r["ca"] for r in merged], np.int64)
     cb = np.array([r["cb"] for r in merged], np.int64)
+    return v, ca, cb
+
+
+def emd_profile(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    col: str,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> pa.Table:
+    """EXACT 1-D Wasserstein-1 (earth-mover) drift profile over an
+    integer column — the INTEGRATED distribution distance next to
+    :func:`ks_drift`'s max deviation: W1 = ∫|F_a − F_b| dx.  Where KS
+    flags the single worst point, W1 weights how much mass moved how
+    far — the drift monitor that ranks a small shift across the whole
+    range above a spike at one value.
+
+    Everything is integer-exact: one output row per distinct value v
+    with cumulative counts (cum_a, cum_b), the gap to the next
+    distinct value, and contrib = |cum_a·n_b − cum_b·n_a| · gap (the
+    cross-multiplied common-denominator step integral; the last value
+    carries gap 0).  W1 = Σ contrib / (n_a·n_b) derives downstream as
+    one float division.  Same scale shape as ks_drift
+    (:func:`two_sample_hist`): per-block histogram partials, one
+    bucketed exchange, driver folds the distinct-value-sized table."""
+    v, ca, cb = two_sample_hist(a, b, col, num_buckets)
+    na, nb = int(ca.sum()), int(cb.sum())
+    if len(v) == 0:
+        return pa.table({"v": pa.array([], pa.int64()),
+                         "cum_a": pa.array([], pa.int64()),
+                         "cum_b": pa.array([], pa.int64()),
+                         "gap": pa.array([], pa.int64()),
+                         "contrib": pa.array([], pa.int64())})
+    gap = np.diff(v, append=v[-1]).astype(np.int64)
+    assert na * nb < (1 << 62) and \
+        na * nb * int(gap.max(initial=0)) < (1 << 62), \
+        "EMD cross-multiply would overflow int64"
+    cca = np.cumsum(ca)
+    ccb = np.cumsum(cb)
+    contrib = np.abs(cca * nb - ccb * na) * gap
+    return pa.table({"v": pa.array(v, pa.int64()),
+                     "cum_a": pa.array(cca, pa.int64()),
+                     "cum_b": pa.array(ccb, pa.int64()),
+                     "gap": pa.array(gap, pa.int64()),
+                     "contrib": pa.array(contrib, pa.int64())})
+
+
+def ks_drift(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    col: str,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> pa.Table:
+    """EXACT two-sample Kolmogorov–Smirnov distance over an integer
+    column — the distribution-drift monitor between two extracts
+    (yesterday vs today, cohort A vs B): D = max_x |F_a(x) − F_b(x)|
+    computed with NO float CDF anywhere, as the integer maximum over
+    distinct values of |cum_a(x)·n_b − cum_b(x)·n_a| (cross-multiplied
+    common denominator n_a·n_b — overflow-asserted).  Returns one row
+    (d_num, n_a, n_b); D = d_num / (n_a·n_b).
+
+    Plan: both sides reduce to (value, side) pre-combined counts in
+    their map scans, ONE bucketed exchange merges the two histograms,
+    and the driver folds one row per DISTINCT value (the bounded-
+    domain histogram contract shared with exact_quantiles) — rows
+    never move."""
+
+    _, ca, cb = two_sample_hist(a, b, col, num_buckets)
     na, nb = int(ca.sum()), int(cb.sum())
     assert na * nb < (1 << 62), "KS cross-multiply would overflow int64"
     cca = np.cumsum(ca)
@@ -3420,27 +3482,7 @@ def rank_sum_u(
     exchange merges the two histograms, the driver folds one row per
     distinct value."""
 
-    def _h(side: int):
-        def _m(t: pa.Table) -> pa.Table:
-            v = np_col(t, col).astype(np.int64)
-            uv, cnt = np.unique(v, return_counts=True)
-            ca = cnt.astype(np.int64) if side == 0 else \
-                np.zeros(len(uv), np.int64)
-            cb = cnt.astype(np.int64) if side == 1 else \
-                np.zeros(len(uv), np.int64)
-            return pa.table({"v": pa.array(uv, pa.int64()),
-                             "ca": pa.array(ca, pa.int64()),
-                             "cb": pa.array(cb, pa.int64())})
-        return _m
-
-    merged = grouped_pandas_agg(
-        a.map_batches(_h(0), batch_format="pyarrow").union(
-            b.map_batches(_h(1), batch_format="pyarrow")),
-        keys=["v"], aggs={"ca": ("ca", "sum"), "cb": ("cb", "sum")},
-        num_buckets=num_buckets).take_all()
-    merged.sort(key=lambda r: r["v"])
-    ca = np.array([r["ca"] for r in merged], np.int64)
-    cb = np.array([r["cb"] for r in merged], np.int64)
+    _, ca, cb = two_sample_hist(a, b, col, num_buckets)
     na, nb = int(ca.sum()), int(cb.sum())
     n = na + nb
     assert na * nb < (1 << 61), "U cross-product would overflow int64"
