@@ -4278,6 +4278,45 @@ def _qty_emd_returned_sql() -> str:
     )
 
 
+def _q_hourly_acf(sf_dir: str):
+    """Lag-1..6 autocorrelation of the zero-filled hourly event-count
+    series (windows.series_acf) — the seasonality / burst-memory
+    screen.  The float mean is scaled out (d_t = n·c_t − T) so the
+    (num, den) sufficient statistics are exact integers at any event
+    count; acf = num/den is ONE float division half-up 6dp.  One
+    streaming pass with per-block (hour, count) partials; the series
+    is calendar-bounded, so the fold is driver math by contract."""
+    import ray.data as rd
+
+    from essentials_rd.windows import series_acf
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return series_acf(ev, "ts", bucket_us=3_600_000_000, max_lag=6)
+
+
+def _hourly_acf_sql() -> str:
+    return (
+        "WITH h AS (SELECT epoch_us(ts) // 3600000000 AS b, "
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+        "bd AS (SELECT min(b) AS lo, max(b) AS hi FROM h), "
+        "g AS (SELECT unnest(generate_series(lo, hi)) AS b FROM bd), "
+        "z AS (SELECT g.b, COALESCE(h.c, 0) AS c "
+        "FROM g LEFT JOIN h ON h.b = g.b), "
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(c) AS BIGINT) AS t FROM z), "
+        "dv AS (SELECT z.b, st.n * z.c - st.t AS d FROM z, st), "
+        "k AS (SELECT unnest(generate_series(1, 6)) AS lag), "
+        "dn AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM dv), "
+        "nm AS (SELECT k.lag, CAST(sum(a.d * b.d) AS BIGINT) AS num "
+        "FROM k, dv a, dv b WHERE b.b = a.b + k.lag GROUP BY k.lag) "
+        "SELECT k.lag, COALESCE(nm.num, 0) AS num, dn.den, "
+        "CASE WHEN dn.den = 0 THEN NULL ELSE "
+        "floor(CAST(COALESCE(nm.num, 0) AS DOUBLE) "
+        "/ CAST(dn.den AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS acf "
+        "FROM k LEFT JOIN nm ON nm.lag = k.lag CROSS JOIN dn"
+    )
+
+
 def _q_spearman_qty_price(sf_dir: str):
     """Exact Spearman rank correlation (mlfit.spearman_exact) between
     quantity and extended price in half-up cents — doubled average-tie
@@ -11345,6 +11384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_qty_price": _q_spearman_qty_price,
         "chisq_type_hour": _q_chisq_type_hour,
         "qty_emd_returned": _q_qty_emd_returned,
+        "hourly_acf": _q_hourly_acf,
         "weighted_sample_parts": _q_weighted_sample_parts,
         "orders_profile": _q_orders_profile,
         "last_order_asof": _q_last_order_asof,
@@ -12695,6 +12735,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_qty_price": _spearman_qty_price_sql(),
         "chisq_type_hour": _chisq_type_hour_sql(),
         "qty_emd_returned": _qty_emd_returned_sql(),
+        "hourly_acf": _hourly_acf_sql(),
         "weighted_sample_parts": _weighted_sample_parts_sql(),
         "orders_profile": " UNION ALL ".join(
             f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n, "

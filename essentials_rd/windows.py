@@ -1383,3 +1383,73 @@ def cusum_stats(
         _cusum,
         num_buckets=num_buckets,
     )
+
+
+def series_acf(
+    events: rd.Dataset,
+    ts_col: str = "ts",
+    bucket_us: int = 3_600_000_000,
+    max_lag: int = 6,
+) -> pa.Table:
+    """Lag-k autocorrelation of the ZERO-FILLED per-bucket event-count
+    series — the seasonality / burst-memory detector over an event
+    stream (hourly buckets by default): for the counts c_t over every
+    bucket t in [min, max] (missing buckets count 0, they are real
+    observations of an empty hour),
+
+        r_k = Σ_t (c_t − m)(c_{t+k} − m) / Σ_t (c_t − m)²
+
+    computed EXACTLY by scaling out the float mean m = T/n (the cusum
+    trick): with d_t = n·c_t − T the numerator/denominator pair
+    (Σ d_t·d_{t+k}, Σ d_t²) is integer at any count, folded in
+    unbounded Python ints, and r_k is ONE float division emitted
+    half-up 6dp (NULL when the series is constant).
+
+    Scale shape: one streaming pass with per-block (bucket, count)
+    partials — the series length is CALENDAR-bounded (a decade of
+    hours is <10⁵ rows no matter how many events), so the driver fold
+    over the bucket-sized table is the operator contract; zero
+    shuffles, data rows never move.  Returns one row per lag
+    k = 1..max_lag: (lag, num, den, acf)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        b = _epoch_us(t, ts_col) // np.int64(bucket_us)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(ub, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    parts = events.map_batches(_partial, batch_format="pyarrow").take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[r["b"]] = agg.get(r["b"], 0) + r["n"]
+    if not agg:
+        return pa.table({"lag": pa.array([], pa.int64()),
+                         "num": pa.array([], pa.int64()),
+                         "den": pa.array([], pa.int64()),
+                         "acf": pa.array([], pa.float64())})
+    lo, hi = min(agg), max(agg)
+    n = int(hi - lo + 1)
+    c = np.zeros(n, np.int64)
+    for b, v in agg.items():
+        c[b - lo] = v
+    T = int(c.sum())
+    # d_t = n*c_t - T in unbounded Python ints (object) — exact at any
+    # event count; the series is calendar-small so this is driver math
+    d = [n * int(x) - T for x in c]
+    den = sum(x * x for x in d)
+    lags, nums, accs = [], [], []
+    for k in range(1, max_lag + 1):
+        num = sum(d[t] * d[t + k] for t in range(n - k)) if k < n else 0
+        lags.append(k)
+        nums.append(num)
+        # float casts FIRST (CAST num AS DOUBLE / CAST den AS DOUBLE)
+        # so the SQL twin reproduces the division bit-for-bit
+        accs.append(None if den == 0 else
+                    float(np.floor(float(num) / float(den) * 1e6 + 0.5)
+                          / 1e6))
+    assert abs(den) < (1 << 62) and all(abs(x) < (1 << 62) for x in nums), \
+        "ACF sums exceed int64 — rescale the bucket width"
+    return pa.table({"lag": pa.array(lags, pa.int64()),
+                     "num": pa.array(nums, pa.int64()),
+                     "den": pa.array([den] * max_lag, pa.int64()),
+                     "acf": pa.array(accs, pa.float64())})
