@@ -10865,6 +10865,43 @@ def _q_docs_with_all_tokens(sf_dir: str):
     )
 
 
+PHRASE = ["order", "fast"]
+
+
+def _q_phrase_hits(sf_dir: str):
+    """Exact phrase search (textops.build_positional_index →
+    phrase_query): (token, doc_id, pos) postings hash-partitioned on
+    the token, then the phrase probe reads ONLY its tokens' partitions
+    and intersects shifted position sets (packed doc·2³²|(pos−i)
+    keys), so 'order fast' matches consecutive tokens only — the
+    positional upgrade of the boolean AND index.  Returns
+    (doc_id, n_hits) for matching docs."""
+    import ray.data as rd
+
+    from essentials_rd.pipelines import _work_dir
+    from essentials_rd.textops import build_positional_index, phrase_query
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = _work_dir("posidx")
+    build_positional_index(docs, out, num_partitions=INDEX_PARTS)
+    return phrase_query(out, INDEX_PARTS, PHRASE)
+
+
+def _phrase_hits_sql() -> str:
+    cond = " AND ".join(
+        f"l[i + {i}] = '{tok}'" if i else f"l[i] = '{tok}'"
+        for i, tok in enumerate(PHRASE))
+    return (
+        "WITH s AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "c AS (SELECT doc_id, CAST(len(list_filter("
+        f"range(1, len(l) - {len(PHRASE) - 2}), i -> {cond})) AS BIGINT) "
+        "AS n_hits FROM s) "
+        "SELECT doc_id, n_hits FROM c WHERE n_hits > 0"
+    )
+
+
 GRAM_SCALE = 1e6
 
 
@@ -11385,6 +11422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chisq_type_hour": _q_chisq_type_hour,
         "qty_emd_returned": _q_qty_emd_returned,
         "hourly_acf": _q_hourly_acf,
+        "phrase_hits": _q_phrase_hits,
         "weighted_sample_parts": _q_weighted_sample_parts,
         "orders_profile": _q_orders_profile,
         "last_order_asof": _q_last_order_asof,
@@ -12736,6 +12774,7 @@ def oracle_sql() -> dict[str, str]:
         "chisq_type_hour": _chisq_type_hour_sql(),
         "qty_emd_returned": _qty_emd_returned_sql(),
         "hourly_acf": _hourly_acf_sql(),
+        "phrase_hits": _phrase_hits_sql(),
         "weighted_sample_parts": _weighted_sample_parts_sql(),
         "orders_profile": " UNION ALL ".join(
             f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n, "

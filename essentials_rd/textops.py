@@ -1637,6 +1637,124 @@ def probe_inverted_index(
     return out.sort_by([("token", "ascending"), (id_col, "ascending")])
 
 
+def build_positional_index(
+    docs: rd.Dataset,
+    out_dir: str,
+    num_partitions: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Positional inverted index: (token, doc_id, pos) postings —
+    pos is the 1-based whitespace-token position — hash-partitioned on
+    the TOKEN through the resumable sink, so a phrase probe reads only
+    its tokens' partitions and never the corpus.  Positions are what
+    upgrade the boolean AND index to PHRASE semantics
+    (:func:`phrase_query`); the cost is one posting per token
+    OCCURRENCE (not per distinct (doc, token)) — the standard
+    positional-index trade, ~rows ≈ corpus token count.  One
+    vectorized explode per batch; doc ids and positions must fit in
+    uint32 (asserted in the probe's packed key)."""
+    from .derive import _str_hash
+    from .sinks import write_partitioned
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        ids = np_col(batch, id_col)
+        toks = s.str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy()
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        ends = np.cumsum(counts)
+        pos = (np.arange(int(ends[-1]), dtype=np.int64)
+               - np.repeat(ends - counts, counts) + 1)
+        return pa.table({
+            "token": pa.array(flat.tolist(), pa.string()),
+            id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    postings = docs.select_columns([id_col, text_col]).map_batches(
+        _postings, batch_format="pyarrow"
+    )
+    return write_partitioned(
+        postings, out_dir,
+        lambda b: np.asarray(_str_hash(b.column("token"))),
+        num_partitions,
+    )
+
+
+def phrase_query(
+    out_dir: str,
+    num_partitions: int,
+    phrase: list[str],
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Exact phrase search against :func:`build_positional_index`
+    output: docs where the phrase tokens occur at CONSECUTIVE
+    positions, with the per-doc hit count — the positional upgrade of
+    the boolean AND probe.  Reads ONLY the partitions the phrase
+    tokens hash into (partition pruning), then intersects the
+    position sets: occurrence i of the phrase contributes the packed
+    key doc·2³² | (pos − i), and a phrase start survives iff its key
+    appears for EVERY i — repeated tokens in the phrase are handled
+    per-slot, so 'order order' needs two occurrences one apart.
+    Returns (doc_id, n_hits) for docs with ≥1 hit, doc_id-sorted."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from .derive import _str_hash
+    from .sinks import _part_dir
+    from .util import hash64
+
+    assert phrase, "empty phrase"
+    h = hash64(
+        np.asarray(_str_hash(pa.chunked_array([pa.array(phrase)])))
+    ) % np.uint64(num_partitions)
+    by_tok: dict[str, list] = {t: [] for t in phrase}
+    for p in sorted(set(int(x) for x in h)):
+        f = os.path.join(_part_dir(out_dir, p), "data.parquet")
+        if not os.path.exists(f):
+            continue
+        t = pq_.read_table(f, columns=["token", id_col, "pos"])
+        mask = pa.compute.is_in(
+            t.column("token"), value_set=pa.array(sorted(set(phrase))))
+        t = t.filter(mask)
+        toks = np.asarray(t.column("token").to_numpy(
+            zero_copy_only=False), object)
+        ids = np_col(t, id_col)
+        pos = np_col(t, "pos")
+        assert (len(ids) == 0
+                or (ids.max() < 2**32 and pos.max() < 2**32)), \
+            "packed (doc, pos) key needs doc_id, pos < 2^32"
+        for tok in by_tok:
+            m = toks == tok
+            by_tok[tok].append((ids[m], pos[m]))
+
+    def _keys(tok: str, shift: int) -> np.ndarray:
+        parts = by_tok[tok]
+        if not parts:
+            return np.array([], np.int64)
+        ids = np.concatenate([p[0] for p in parts])
+        pos = np.concatenate([p[1] for p in parts])
+        keep = pos > shift  # start position pos - shift must be >= 1
+        ids, pos = ids[keep], pos[keep]
+        return (ids << np.int64(32)) | (pos - np.int64(shift))
+
+    hits = _keys(phrase[0], 0)
+    for i, tok in enumerate(phrase[1:], start=1):
+        hits = np.intersect1d(hits, _keys(tok, i))
+    docs_hit = hits >> np.int64(32)
+    uk, cnt = np.unique(docs_hit, return_counts=True)
+    return pa.table({
+        id_col: pa.array(uk, pa.int64()),
+        "n_hits": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
 def extract_int_field(
     ds: rd.Dataset,
     col: str,
