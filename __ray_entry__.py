@@ -5869,7 +5869,10 @@ def _q_random_walks(sf_dir: str):
     return random_walks(g, WALK_STEPS, seed=SAMPLE_SEED)
 
 
-def _random_walks_sql() -> str:
+def _walks_cte() -> tuple[str, str]:
+    """(CTE body, walk-rows SELECT) for the deterministic random-walk
+    unrolled chain — shared by the random_walks oracle and the
+    skip-gram pair oracle built on top of the same walks."""
     mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
     steps = [
         "rankadj AS MATERIALIZED (SELECT src, dst, "
@@ -5898,7 +5901,40 @@ def _random_walks_sql() -> str:
         f"SELECT wid, {t} AS step, cur AS node FROM w{t}"
         for t in range(1, WALK_STEPS + 1)
     )
+    return body, sel
+
+
+def _random_walks_sql() -> str:
+    body, sel = _walks_cte()
     return f"WITH {_GRAPH_CTES}, {body} {sel}"
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def _q_skipgram(sf_dir: str):
+    """Skip-gram positive-pair counts (sampling.walk_skipgram_pairs):
+    the DeepWalk training-data step — over the deterministic
+    random-walk corpus, count every ordered (node@s, node@s+d) pair
+    with 1 ≤ d ≤ SKIPGRAM_WINDOW and both nodes alive; wid-bucketed
+    exchange + window-shift alignment (no per-row Python), packed-key
+    pre-combine, one tiny distinct-pair combine."""
+    from essentials_rd.sampling import random_walks, walk_skipgram_pairs
+
+    g, _ = _graph(sf_dir)
+    walks = random_walks(g, WALK_STEPS, seed=SAMPLE_SEED)
+    return walk_skipgram_pairs(walks, window=SKIPGRAM_WINDOW)
+
+
+def _skipgram_sql() -> str:
+    body, sel = _walks_cte()
+    return (
+        f"WITH {_GRAPH_CTES}, {body}, walks AS ({sel}) "
+        "SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS n "
+        "FROM walks x JOIN walks y ON y.wid = x.wid "
+        f"AND y.step > x.step AND y.step <= x.step + {SKIPGRAM_WINDOW} "
+        "WHERE x.node >= 0 AND y.node >= 0 GROUP BY 1, 2"
+    )
 
 
 N2V_P, N2V_Q = 2.0, 0.5  # powers of two → dyadic weights, exact sums
@@ -11441,6 +11477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss12": _q_ktruss,
         "neighbor_sample_k3": _q_neighbor_sample,
         "random_walks": _q_random_walks,
+        "skipgram_pairs": _q_skipgram,
         "node2vec_walks": _q_node2vec,
         "event_gaps": _q_event_gaps,
         "events_in_windows": _q_events_in_windows,
@@ -12683,6 +12720,7 @@ def oracle_sql() -> dict[str, str]:
         "contaminated_docs": _contaminated_docs_sql(),
         "neighbor_sample_k3": _neighbor_sample_sql(),
         "random_walks": _random_walks_sql(),
+        "skipgram_pairs": _skipgram_sql(),
         "node2vec_walks": _node2vec_sql(),
         "top_tokens": (
             "SELECT token, CAST(count(*) AS BIGINT) AS n "

@@ -504,3 +504,84 @@ def weighted_priority_sample(
                          pa.int64()),
         "w_est": pa.array(w_est, pa.int64()),
     })
+
+
+def walk_skipgram_pairs(
+    walks: rd.Dataset,
+    window: int = 2,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Skip-gram co-occurrence counts over walk corpora — the
+    DeepWalk / node2vec TRAINING-DATA step: for every walk, every
+    ordered pair (node at step s, node at step s+d) with 1 ≤ d ≤
+    window and both nodes alive (≥ 0) counts once; the (a, b, n)
+    table is exactly the positive-pair multiset a skip-gram embedding
+    trains on.  Input is the Dataset[wid, step, node] the walk
+    engines emit.
+
+    Scale shape: one wid-bucketed exchange (a walk's rows co-locate),
+    per-bucket lexsort + window-shift alignment (walks have a fixed
+    row count per wid, so step-d pairs are an index shift — no per-row
+    Python), per-bucket packed-key pre-combine, then ONE tiny combine
+    over the ≤|V|·window-bounded distinct-pair table.  Node ids must
+    be < 2³² (packed pair key, asserted)."""
+    from .ops import hash_bucket_agg, manual_bucket_agg
+
+    def _pairs(grp: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "__n__": pa.array([], pa.int64())})
+        if grp.num_rows < 2:
+            return empty
+        w = np_col(grp, "wid")
+        s = np_col(grp, "step")
+        v = np_col(grp, "node")
+        order = np.lexsort((s, w))
+        w, s, v = w[order], s[order], v[order]
+        assert int(v.max(initial=0)) < 2**32, "packed pair key: ids < 2^32"
+        keys = []
+        for d in range(1, window + 1):
+            if d >= len(w):
+                break
+            ok = (w[d:] == w[:-d]) & (s[d:] == s[:-d] + d) \
+                & (v[:-d] >= 0) & (v[d:] >= 0)
+            keys.append((v[:-d][ok] << np.int64(32)) | v[d:][ok])
+        if not keys:
+            return empty
+        uk, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table({
+            "a": pa.array(uk >> np.int64(32), pa.int64()),
+            "b": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
+            "__n__": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    partial = hash_bucket_agg(
+        walks,
+        lambda b: np_col(b, "wid").astype(np.int64),
+        _pairs,
+        num_buckets=num_buckets,
+    )
+    def _fold(t: pa.Table) -> pa.Table:
+        a, b = np_col(t, "a"), np_col(t, "b")
+        k = (a << np.int64(32)) | b
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, np_col(t, "__n__"))
+        return pa.table({
+            "a": pa.array(uk >> np.int64(32), pa.int64()),
+            "b": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
+            "n": pa.array(s, pa.int64()),
+        })
+
+    # manual exchange for the tiny distinct-pair combine: its explicit
+    # empty_result keeps the (a, b, n) schema stable even when an
+    # all-dead / empty walk corpus yields zero pair rows.
+    return manual_bucket_agg(
+        partial,
+        lambda t: (np_col(t, "a") << np.int64(32)) | np_col(t, "b"),
+        _fold,
+        empty_result=pa.table({"a": pa.array([], pa.int64()),
+                               "b": pa.array([], pa.int64()),
+                               "n": pa.array([], pa.int64())}),
+        num_buckets=max(num_buckets // 8, 1),
+    )
