@@ -8468,6 +8468,54 @@ def _cm_sketch_users_sql() -> str:
     )
 
 
+AMS_K = 32
+
+
+def _q_ams_f2(sf_dir: str):
+    """AMS tug-of-war F₂ sketch of per-user event counts (ops.ams_f2,
+    k=32 counters): each block folds one k-vector of ±1 sign sums,
+    driver adds block vectors — the zero-shuffle self-join-size /
+    skew estimator, mergeable by addition; f2_est = (Σ z_j²)//k floors
+    to an exact integer the SQL twin reproduces in HUGEINT, audited
+    against the exact F₂ = Σ c_u² from the distributed value-count
+    combine (ops.exact_f2; distinct table never driver-materialized)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import ams_f2, exact_f2
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    sk = ams_f2(ev, "user_id", k=AMS_K)
+    ex = exact_f2(ev, "user_id")
+    return sk.append_column(
+        "f2_exact", pa.array(np.full(sk.num_rows, ex, np.int64), pa.int64()))
+
+
+def _ams_f2_sql() -> str:
+    top = 1 << 63
+    chains, selects = [], []
+    for j in range(AMS_K):
+        seed = (j * 0x9E3779B97F4A7C15) % (1 << 64)
+        chains.append(_sm64_ctes(f"am{j}_", "user_id",
+                                 f"user_id + {seed}", "events"))
+        selects.append(
+            f"SELECT {j} AS j, CAST(SUM(CASE WHEN z >= "
+            f"CAST('{top}' AS UBIGINT) THEN 1 ELSE -1 END) AS BIGINT) "
+            f"AS zj FROM am{j}_3")
+    return (
+        "WITH " + ", ".join(chains) + ", "
+        "sk AS (" + " UNION ALL ".join(selects) + "), "
+        "est AS (SELECT CAST((SUM(CAST(zj AS HUGEINT) * CAST(zj AS "
+        f"HUGEINT)) // {AMS_K}) AS BIGINT) AS v FROM sk), "
+        "ex AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) "
+        "AS BIGINT) AS v FROM (SELECT count(*) AS c FROM events "
+        "GROUP BY user_id)) "
+        "SELECT CAST(sk.j AS BIGINT) AS j, sk.zj, est.v AS f2_est, "
+        "ex.v AS f2_exact FROM sk, est, ex ORDER BY sk.j"
+    )
+
+
 def _q_tpch_q3(sf_dir: str):
     """TPC-H Q3 shipping priority (essentials_rd.tpch.q3): top-10
     unshipped-revenue BUILDING-segment orders, integer 1e-4-dollar
@@ -11519,6 +11567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_violations": _q_fk_violations,
         "dedup_summary": _q_dedup_summary,
         "cm_sketch_users": _q_cm_sketch_users,
+        "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
@@ -13240,6 +13289,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "fk_violations": _fk_violations_sql(),
         "dedup_summary": _dedup_summary_sql(),
         "cm_sketch_users": _cm_sketch_users_sql(),
+        "ams_f2_users": _ams_f2_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),
         "tpch_q5": _tpch_q5_sql(),

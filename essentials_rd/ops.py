@@ -546,6 +546,67 @@ def cm_estimate(sketch: pa.Table, keys: np.ndarray, depth: int = 4,
     return est
 
 
+def ams_f2(ds: rd.Dataset, col: str, k: int = 32) -> pa.Table:
+    """AMS tug-of-war sketch (Alon, Matias & Szegedy 1996) of an int64
+    key column's second frequency moment F₂ = Σ_v c_v² — the self-join
+    size, the statistic that prices every equi-join on the column.
+    Counter j is ``z_j = Σ_rows sign_j(key)`` with ``sign_j = ±1`` by
+    the top bit of splitmix64(key + j·golden); E[z_j²] = F₂ exactly,
+    and the mean of the k squares estimates F₂ with relative σ≈√(2/k).
+
+    Scale shape mirrors cm_sketch: each block folds ONE k-vector of
+    int64 sign sums, the driver adds the block vectors — ZERO shuffle,
+    mergeable by plain addition (a distributed pipeline can keep one
+    per partition and add), and the (j, zj) table is a pure integer
+    function of the key multiset, layout/cluster-size invariant and
+    SQL-reproducible through the shared SplitMix64 CTE chain.
+
+    Returns k rows ``(j, zj, f2_est)`` with ``f2_est = (Σ z_j²) // k``
+    (floor; exact integer) repeated on every row as the readout."""
+    seeds = np.array([(j * _CM_SEED) % (1 << 64) for j in range(k)],
+                     np.uint64)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = np_col(t, col).astype(np.int64).view(np.uint64)
+        vec = np.zeros(k, np.int64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                h = hash64((x + seeds[j]).view(np.int64))
+                # sign = +1 when the top bit is set, else -1:
+                # Σ sign = 2·popcount(top bits) − n
+                vec[j] = 2 * int((h >> np.uint64(63)).sum()) - len(x)
+        return pa.table({"amsv": pa.array([vec.tobytes()],
+                                          pa.large_binary())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    tot = np.zeros(k, np.int64)
+    for r in parts:
+        tot += np.frombuffer(r["amsv"], np.int64)
+    # Σ z² can exceed int64 (z up to N); fold in Python ints, floor-div.
+    est = sum(int(z) * int(z) for z in tot) // k
+    return pa.table({
+        "j": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+        "zj": pa.array(tot, pa.int64()),
+        "f2_est": pa.array(np.full(k, est, np.int64), pa.int64()),
+    })
+
+
+def exact_f2(ds: rd.Dataset, col: str,
+             num_buckets: int = DEFAULT_BUCKETS) -> int:
+    """Exact F₂ = Σ_v c_v² of an int64 column — the sketch's audit.
+    Distributed: per-value counts via one bucketed combine
+    (int_value_counts), then per-block Σ c² partials summed on the
+    driver; the distinct-value table is never driver-materialized."""
+    counts = int_value_counts(ds, col, num_buckets=num_buckets)
+
+    def _sq(t: pa.Table) -> pa.Table:
+        c = np_col(t, "count")
+        return pa.table({"s": pa.array([int(np.dot(c, c))], pa.int64())})
+
+    return sum(r["s"] for r in
+               counts.map_batches(_sq, batch_format="pyarrow").take_all())
+
+
 def int_value_counts(
     ds: rd.Dataset,
     col: str,
