@@ -4379,6 +4379,67 @@ def _spearman_qty_price_sql() -> str:
     )
 
 
+def _q_kendall_qty_disc(sf_dir: str):
+    """Exact Kendall tau-b (mlfit.kendall_tau_b) between lineitem
+    quantity and discount cents — the concordance-based rank
+    correlation, computed from the bounded 50×11 contingency table:
+    conc/disc/tie counts are exact integers via suffix-cumsum matrix
+    math over the cells table, tau is the single √-division half-up
+    6dp.  One streaming pass with per-block (x, y, n) partials, ZERO
+    shuffles — data rows never move."""
+    import ray.data as rd
+
+    from essentials_rd.mlfit import kendall_tau_b
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount"],
+    )
+
+    def _ints(t: pa.Table) -> pa.Table:
+        q = np.asarray(
+            t.column("l_quantity").to_numpy(zero_copy_only=False),
+            np.float64)
+        d = np.asarray(
+            t.column("l_discount").to_numpy(zero_copy_only=False),
+            np.float64)
+        return pa.table({
+            "x": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            "y": pa.array(np.floor(d * 100 + 0.5).astype(np.int64)),
+        })
+
+    return kendall_tau_b(
+        line.map_batches(_ints, batch_format="pyarrow"), "x", "y")
+
+
+def _kendall_qty_disc_sql() -> str:
+    return (
+        "WITH li AS (SELECT "
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS x, "
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y "
+        "FROM lineitem), "
+        "cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n "
+        "FROM li GROUP BY 1, 2), "
+        "cc AS (SELECT COALESCE(CAST(sum(a.n * b.n) AS BIGINT), 0) "
+        "AS conc FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y), "
+        "dd AS (SELECT COALESCE(CAST(sum(a.n * b.n) AS BIGINT), 0) "
+        "AS disc FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y), "
+        "mx AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_x "
+        "FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM li GROUP BY x)), "
+        "my AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_y "
+        "FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM li GROUP BY y)), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM li), "
+        "s AS (SELECT nn.n, cc.conc, dd.disc, mx.ties_x, my.ties_y, "
+        "nn.n * (nn.n - 1) // 2 AS n0 "
+        "FROM nn, cc, dd, mx, my) "
+        "SELECT n, conc, disc, ties_x, ties_y, "
+        "CASE WHEN n0 = ties_x OR n0 = ties_y THEN NULL ELSE "
+        "floor(CAST(conc - disc AS DOUBLE) / "
+        "sqrt(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE)) "
+        "* 1000000 + 0.5) / 1000000 END AS tau FROM s"
+    )
+
+
 def _q_qty_price_comoments(sf_dir: str):
     """Exact grouped bivariate moments (ops.grouped_comoments): n / Σx
     / Σy / Σx² / Σy² / Σxy of (quantity, price-dollars) per return
@@ -11503,6 +11564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_moments": _q_quantity_moments,
         "qty_price_comoments": _q_qty_price_comoments,
         "spearman_qty_price": _q_spearman_qty_price,
+        "kendall_qty_disc": _q_kendall_qty_disc,
         "chisq_type_hour": _q_chisq_type_hour,
         "qty_emd_returned": _q_qty_emd_returned,
         "hourly_acf": _q_hourly_acf,
@@ -12858,6 +12920,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem) GROUP BY 1 ORDER BY 1"
         ),
         "spearman_qty_price": _spearman_qty_price_sql(),
+        "kendall_qty_disc": _kendall_qty_disc_sql(),
         "chisq_type_hour": _chisq_type_hour_sql(),
         "qty_emd_returned": _qty_emd_returned_sql(),
         "hourly_acf": _hourly_acf_sql(),
