@@ -11109,6 +11109,46 @@ def _q_user_event_seq(sf_dir: str):
     return event_sequences(ev, max_len=SEQ_LEN)
 
 
+SEQ_TYPE_MAP = {"view": "v", "click": "c", "purchase": "p",
+                "signup": "s", "error": "e"}
+SEQ_PATTERN = "vc*p"  # view → any clicks → purchase conversion path
+
+
+def _q_conversion_paths(sf_dir: str):
+    """MATCH_RECOGNIZE-class sequence pattern matching
+    (windows.seq_pattern_counts): each user's event stream becomes a
+    character string under the (ts, event_id) total order and the
+    conversion-path motif ``vc*p`` (view → any clicks → purchase) is
+    counted with leftmost non-overlapping regex semantics — Python
+    ``re`` and DuckDB ``regexp_extract_all`` agree, so counts
+    hash-match.  ONE user-bucketed shuffle, per-bucket lexsort +
+    C-level string join + one vectorized str.count sweep."""
+    import ray.data as rd
+
+    from essentials_rd.windows import seq_pattern_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return seq_pattern_counts(ev, SEQ_PATTERN, SEQ_TYPE_MAP)
+
+
+def _conversion_paths_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(SEQ_TYPE_MAP.items()))
+    return (
+        f"WITH ch AS (SELECT user_id, ts, event_id, "
+        f"CASE event_type {cases} ELSE 'x' END AS ch FROM events), "
+        "s AS (SELECT user_id, "
+        "string_agg(ch, '' ORDER BY ts, event_id) AS seq, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM ch GROUP BY 1) "
+        "SELECT user_id, n_events, "
+        f"CAST(len(regexp_extract_all(seq, '{SEQ_PATTERN}')) AS BIGINT) "
+        "AS n_matches FROM s"
+    )
+
+
 def _q_urgent_orders_by_priority(sf_dir: str):
     """Predicate pushdown at the read: the priority filter goes into
     ``read_parquet(filter=...)`` as a pyarrow dataset expression, so
@@ -11811,6 +11851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": _q_embedding_gram,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "user_event_seq": _q_user_event_seq,
+        "conversion_paths": _q_conversion_paths,
         "triangles_total": _q_triangles_total,
         "triangles_doulion": _q_triangles_doulion,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -13624,6 +13665,7 @@ FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id
             "unnest(range(len(embedding))) AS dim FROM embeddings) "
             "GROUP BY 1 ORDER BY 1"
         ),
+        "conversion_paths": _conversion_paths_sql(),
         "user_event_seq": (
             "SELECT user_id, "
             "string_agg(event_type, '|' ORDER BY ts, event_id) AS seq, "

@@ -1453,3 +1453,86 @@ def series_acf(
                      "num": pa.array(nums, pa.int64()),
                      "den": pa.array([den] * max_lag, pa.int64()),
                      "acf": pa.array(accs, pa.float64())})
+
+
+def seq_pattern_counts(
+    events: rd.Dataset,
+    pattern: str,
+    type_map: dict[str, str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """MATCH_RECOGNIZE-class sequence pattern matching: encode each
+    user's event stream as a character string under the (ts, id) total
+    order (one char per event via ``type_map``; unmapped types encode
+    as ``'x'`` so they BREAK a match rather than vanish) and count
+    NON-overlapping, leftmost regex matches — e.g. ``vc*p`` is the
+    view → any-clicks → purchase conversion path.  Python ``re`` and
+    the SQL twin's ``regexp_extract_all`` agree on leftmost
+    non-overlapping greedy semantics, so counts hash-match.
+
+    Shape: the standard ONE user-bucketed shuffle (user histories
+    co-locate — the sessionizer partitioning assumption); per bucket a
+    lexsort + pandas C-level groupby string-join builds each user's
+    string once, then one vectorized ``str.count`` sweep.  Output is
+    one row per user.  Per-user strings are O(history) — cap upstream
+    for adversarially hot users, same contract as ``sessionize``."""
+    import re as _re
+
+    _re.compile(pattern)  # fail fast on a bad pattern, driver-side
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            user_col: batch.column(user_col).cast(pa.int64()),
+            "__ts__": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+            id_col: batch.column(id_col).cast(pa.int64()),
+            type_col: batch.column(type_col),
+        })
+
+    def _match(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({
+                user_col: pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_matches": pa.array([], pa.int64()),
+            })
+        u = np_col(grp, user_col)
+        t = np_col(grp, "__ts__")
+        e = np_col(grp, id_col)
+        order = np.lexsort((e, t, u))
+        u = u[order]
+        chars = (
+            grp.column(type_col)
+            .take(pa.array(order, pa.int64()))
+            .to_pandas()
+            .map(lambda s: type_map.get(s, "x"))
+        )
+        df = pd.DataFrame({user_col: u, "__c__": chars.to_numpy(object)})
+        seq = df.groupby(user_col, sort=True)["__c__"].agg("".join)
+        n_ev = df.groupby(user_col, sort=True)["__c__"].size()
+        n_m = seq.str.count(pattern)
+        return pa.table({
+            user_col: pa.array(seq.index.to_numpy(np.int64), pa.int64()),
+            "n_events": pa.array(n_ev.to_numpy(np.int64), pa.int64()),
+            "n_matches": pa.array(n_m.to_numpy(np.int64), pa.int64()),
+        })
+
+    from .ops import manual_bucket_agg
+
+    # manual exchange: its explicit empty_result keeps the schema
+    # stable on an empty event stream (hash_bucket_agg's groupby
+    # yields a schema-less dataset there)
+    return manual_bucket_agg(
+        events.map_batches(_project, batch_format="pyarrow"),
+        lambda b: np_col(b, user_col),
+        _match,
+        empty_result=pa.table({
+            user_col: pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        }),
+        num_buckets=num_buckets,
+    )
