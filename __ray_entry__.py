@@ -8577,6 +8577,72 @@ def _ams_f2_sql() -> str:
     )
 
 
+CS_DEPTH, CS_WIDTH = 5, 64
+
+
+def _q_cs_point_users(sf_dir: str):
+    """Count-Sketch point queries (ops.count_sketch + cs_estimate,
+    depth 5 × width 64): per-user event-count estimates as the median
+    over rows of sign·counter — the UNBIASED two-sided estimator
+    (count-min only over-counts; signed collisions cancel here) —
+    audited against exact counts from the distributed value-count
+    combine.  Sketch: one d×w int64 matrix per block, driver adds,
+    ZERO shuffle, mergeable by addition; probe set = the bounded user
+    dimension (point queries are driver math by contract)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import count_sketch, cs_estimate, int_value_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    sk = count_sketch(ev, "user_id", depth=CS_DEPTH, width=CS_WIDTH)
+    ex = int_value_counts(ev, "user_id").to_pandas()
+    ex = ex.sort_values("value").reset_index(drop=True)
+    users = ex.value.to_numpy(np.int64)
+    est = cs_estimate(sk, users, depth=CS_DEPTH, width=CS_WIDTH)
+    exact = ex["count"].to_numpy(np.int64)
+    return pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "exact": pa.array(exact, pa.int64()),
+        "est": pa.array(est, pa.int64()),
+        "err": pa.array(est - exact, pa.int64()),
+    })
+
+
+def _cs_point_users_sql() -> str:
+    top = 1 << 63
+    chains, cnt_sel, est_sel = [], [], []
+    for j in range(CS_DEPTH):
+        seed = (j * 0x9E3779B97F4A7C15) % (1 << 64)
+        chains.append(_sm64_ctes(f"cs{j}_", "user_id",
+                                 f"user_id + {seed}", "events"))
+        cnt_sel.append(
+            f"SELECT {j} AS j, CAST(z % {CS_WIDTH} AS BIGINT) AS slot, "
+            f"CASE WHEN z >= CAST('{top}' AS UBIGINT) THEN 1 ELSE -1 END "
+            f"AS sgn FROM cs{j}_3")
+        est_sel.append(
+            f"SELECT DISTINCT user_id, {j} AS j, "
+            f"CAST(z % {CS_WIDTH} AS BIGINT) AS slot, "
+            f"CASE WHEN z >= CAST('{top}' AS UBIGINT) THEN 1 ELSE -1 END "
+            f"AS sgn FROM cs{j}_3")
+    return (
+        "WITH " + ", ".join(chains) + ", "
+        "rows_ AS (" + " UNION ALL ".join(cnt_sel) + "), "
+        "cnt AS (SELECT j, slot, CAST(SUM(sgn) AS BIGINT) AS c "
+        "FROM rows_ GROUP BY 1, 2), "
+        "probe AS (" + " UNION ALL ".join(est_sel) + "), "
+        "ej AS (SELECT p.user_id, p.j, "
+        "p.sgn * COALESCE(cnt.c, 0) AS est_j "
+        "FROM probe p LEFT JOIN cnt ON cnt.j = p.j AND cnt.slot = p.slot), "
+        "md AS (SELECT user_id, "
+        "CAST(quantile_disc(est_j, 0.5) AS BIGINT) AS est "
+        "FROM ej GROUP BY 1), "
+        "ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact "
+        "FROM events GROUP BY 1) "
+        "SELECT ex.user_id, ex.exact, md.est, md.est - ex.exact AS err "
+        "FROM ex JOIN md USING (user_id)"
+    )
+
+
 def _q_tpch_q3(sf_dir: str):
     """TPC-H Q3 shipping priority (essentials_rd.tpch.q3): top-10
     unshipped-revenue BUILDING-segment orders, integer 1e-4-dollar
@@ -11669,6 +11735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_violations": _q_fk_violations,
         "dedup_summary": _q_dedup_summary,
         "cm_sketch_users": _q_cm_sketch_users,
+        "cs_point_users": _q_cs_point_users,
         "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
@@ -13393,6 +13460,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "fk_violations": _fk_violations_sql(),
         "dedup_summary": _dedup_summary_sql(),
         "cm_sketch_users": _cm_sketch_users_sql(),
+        "cs_point_users": _cs_point_users_sql(),
         "ams_f2_users": _ams_f2_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),
