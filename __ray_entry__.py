@@ -7714,6 +7714,40 @@ def _q_substring_search(sf_dir: str):
     return substring_search(idx, GREP_PARTS, docs, GREP_NEEDLE)
 
 
+DICT_TERMS = ["order", "fast", "scan merge", "window window", "zzqx"]
+
+
+def _q_dict_term_census(sf_dir: str):
+    """Multi-pattern dictionary census (textops.dict_term_stats): for
+    each blocklist/policy term — including a two-word phrase and a
+    deliberately absent term whose zero row is part of the screen's
+    result — the corpus-wide NON-OVERLAPPING occurrence total and the
+    containing-doc count, in ONE streaming scan with one Arrow
+    count_substring C++ sweep per term and a k-int partial per block.
+    ZERO shuffles; the content-filter pass of an LLM data pipeline."""
+    import ray.data as rd
+
+    from essentials_rd.textops import dict_term_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return dict_term_stats(docs, DICT_TERMS)
+
+
+def _dict_term_census_sql() -> str:
+    sels = []
+    for t in DICT_TERMS:
+        sels.append(
+            f"SELECT '{t}' AS term, "
+            f"CAST(COALESCE(SUM((length(text) - "
+            f"length(replace(text, '{t}', ''))) // length('{t}')), 0) "
+            "AS BIGINT) AS n_occurrences, "
+            "CAST(COALESCE(SUM(CASE WHEN contains(text, "
+            f"'{t}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs "
+            "FROM documents")
+    return " UNION ALL ".join(sels)
+
+
 def _q_price_outliers(sf_dir: str):
     """IQR outlier filter, composed from existing operators: exact
     per-priority quartiles of order totals (grouped_quantiles
@@ -11774,6 +11808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_unpivot": _q_event_unpivot,
         "price_outliers": _q_price_outliers,
         "grep_substring": _q_substring_search,
+        "dict_term_census": _q_dict_term_census,
         "orders_diff": _q_orders_diff,
         "cust_status_history": _q_cust_status_history,
         "orders_merged": _q_orders_merged,
@@ -13621,6 +13656,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "FROM va FULL OUTER JOIN vb ON va.k = vb.k "
             "WHERE vb.k IS NULL OR va.k IS NULL OR va.v <> vb.v"
         ),
+        "dict_term_census": _dict_term_census_sql(),
         "grep_substring": (
             "SELECT doc_id, CAST((length(text) - "
             f"length(replace(text, '{GREP_NEEDLE}', ''))) "
