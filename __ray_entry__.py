@@ -2216,6 +2216,108 @@ SELECT thr, nl AS n_left, pl AS pos_left,
 FROM cand ORDER BY thr"""
 
 
+def _q_tree_depth2(sf_dir: str):
+    """Depth-2 histogram decision tree (mlfit.tree_depth2): root
+    splits orders on the $10k price band, each side then splits on
+    order month, every pick by the exact-integer scaled-rational
+    criterion ((num<<40)//den, thr) — unbounded Python ints vs
+    HUGEINT order candidates identically, so the chosen STRUCTURE
+    hash-matches, not just a candidate table.  ONE streaming pass
+    folds bounded joint (b1, b2, n, n_pos) histograms, zero shuffles;
+    all 3 split decisions are driver math over the cells table."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.mlfit import tree_depth2
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderdate", "o_orderpriority"])
+
+    def _f1(t: pa.Table) -> np.ndarray:
+        tp = np.asarray(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        return (np.round(tp, 0).astype(np.int64)) // 10000
+
+    def _f2(t: pa.Table) -> np.ndarray:
+        return pc.month(t.column("o_orderdate")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    def _label(t: pa.Table) -> np.ndarray:
+        return pc.equal(t.column("o_orderpriority"),
+                        "1-URGENT").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    return tree_depth2(orders, _f1, _f2, _label)
+
+
+def _tree_depth2_sql() -> str:
+    score = ("(num * CAST(1099511627776 AS HUGEINT)) // den")
+
+    def sc(cand: str, out: str) -> str:
+        return (
+            f"{out} AS (SELECT thr, "
+            "CAST(nl AS HUGEINT) * (CAST(nr AS HUGEINT) * nr "
+            "- CAST(pr AS HUGEINT) * pr "
+            "- CAST(nr - pr AS HUGEINT) * (nr - pr)) "
+            "+ CAST(nr AS HUGEINT) * (CAST(nl AS HUGEINT) * nl "
+            "- CAST(pl AS HUGEINT) * pl "
+            "- CAST(nl - pl AS HUGEINT) * (nl - pl)) AS num, "
+            f"CAST(nl AS HUGEINT) * nr AS den FROM {cand})")
+
+    def side(pfx: str, cmp: str) -> str:
+        return (
+            f"{pfx}m AS (SELECT b2, CAST(sum(n) AS BIGINT) AS n, "
+            f"CAST(sum(p) AS BIGINT) AS p FROM c, root "
+            f"WHERE c.b1 {cmp} root.thr GROUP BY 1), "
+            f"{pfx}tot AS (SELECT CAST(sum(n) AS BIGINT) AS N_, "
+            f"CAST(sum(p) AS BIGINT) AS P_ FROM {pfx}m), "
+            f"{pfx}cum AS (SELECT b2, "
+            f"CAST(sum(n) OVER (ORDER BY b2) AS BIGINT) AS nl, "
+            f"CAST(sum(p) OVER (ORDER BY b2) AS BIGINT) AS pl "
+            f"FROM {pfx}m), "
+            f"{pfx}cand AS (SELECT b2 AS thr, nl, pl, N_ - nl AS nr, "
+            f"P_ - pl AS pr FROM {pfx}cum, {pfx}tot WHERE nl < N_), "
+            + sc(f"{pfx}cand", f"{pfx}sc") + ", "
+            f"{pfx}pick AS (SELECT thr, num, den FROM {pfx}sc "
+            f"ORDER BY {score}, thr LIMIT 1)")
+
+    gini = (
+        "floor(CAST({p}.num AS DOUBLE) / (CAST({p}.den AS DOUBLE) "
+        "* CAST({t}.N_ AS DOUBLE)) * 1000000 + 0.5) / 1000000")
+    return (
+        "WITH f AS (SELECT "
+        "CAST(ROUND(o_totalprice, 0) AS BIGINT) // 10000 AS b1, "
+        "CAST(month(o_orderdate) AS BIGINT) AS b2, "
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y "
+        "FROM orders), "
+        "c AS (SELECT b1, b2, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(y) AS BIGINT) AS p FROM f GROUP BY 1, 2), "
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS N_, "
+        "CAST(sum(p) AS BIGINT) AS P_ FROM c), "
+        "m1 AS (SELECT b1, CAST(sum(n) AS BIGINT) AS n, "
+        "CAST(sum(p) AS BIGINT) AS p FROM c GROUP BY 1), "
+        "cum1 AS (SELECT b1, "
+        "CAST(sum(n) OVER (ORDER BY b1) AS BIGINT) AS nl, "
+        "CAST(sum(p) OVER (ORDER BY b1) AS BIGINT) AS pl FROM m1), "
+        "cand1 AS (SELECT b1 AS thr, nl, pl, N_ - nl AS nr, "
+        "P_ - pl AS pr FROM cum1, tot WHERE nl < N_), "
+        + sc("cand1", "sc1") + ", "
+        f"root AS (SELECT thr, num, den FROM sc1 ORDER BY {score}, thr "
+        "LIMIT 1), "
+        + side("l", "<=") + ", " + side("r", ">") + " "
+        "SELECT 'root' AS node, root.thr, tot.N_ AS n, tot.P_ AS n_pos, "
+        + gini.format(p="root", t="tot") + " AS gini FROM root, tot "
+        "UNION ALL SELECT 'left', lpick.thr, ltot.N_, ltot.P_, "
+        + gini.format(p="lpick", t="ltot")
+        + " FROM ltot LEFT JOIN lpick ON TRUE "
+        "UNION ALL SELECT 'right', rpick.thr, rtot.N_, rtot.P_, "
+        + gini.format(p="rpick", t="rtot")
+        + " FROM rtot LEFT JOIN rpick ON TRUE"
+    )
+
+
 def _q_motif_census(sf_dir: str):
     """Size-4 subgraph census by closed formula (the ESCAPE /
     Pinar-Seshadhri counting identities) as exact int64s: claws
@@ -11896,6 +11998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_seq_reciprocity": _q_reciprocity,
         "motif_census": _q_motif_census,
         "gini_stump_price": _q_gini_stump,
+        "tree_depth2_orders": _q_tree_depth2,
         "densest_peel": _q_densest_peel,
         "alt_lower_bounds": _q_alt_bounds,
         "theta_sketch_overlap": _q_theta_overlap,
@@ -13394,6 +13497,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "part_seq_reciprocity": _reciprocity_sql(),
         "motif_census": _motif_census_sql(),
         "gini_stump_price": _gini_stump_sql(),
+        "tree_depth2_orders": _tree_depth2_sql(),
         "densest_peel": _densest_sql(),
         "alt_lower_bounds": _alt_bounds_sql(),
         "theta_sketch_overlap": _theta_overlap_sql(),

@@ -455,3 +455,119 @@ def kendall_tau_b(
         "ties_y": pa.array([ties_y], pa.int64()),
         "tau": pa.array([tau], pa.float64()),
     })
+
+
+_TREE_SCALE_BITS = 40  # split-score fixed-point scale (SQL-parity contract)
+
+
+def _best_split(items: list[tuple[int, int, int]]):
+    """Greedy CART split over a sorted (band, n, n_pos) histogram with
+    the EXACT integer criterion: minimize the fixed-point-scaled
+    rational ``((num << 40) // den, thr)`` where
+    num = nl·(nr²−pr²−qr²) + nr·(nl²−pl²−ql²) and den = nl·nr — the
+    weighted-Gini numerator/denominator with the common 1/N dropped.
+    Unbounded Python ints, so engine and SQL (HUGEINT) order
+    candidates identically; the float Gini is report-only.  Returns
+    (thr, num, den) or None when fewer than 2 bands."""
+    if len(items) < 2:
+        return None
+    n_tot = sum(n for _, n, _ in items)
+    p_tot = sum(p for _, _, p in items)
+    best = None
+    nl = pl = 0
+    for band, n, p in items[:-1]:
+        nl += n
+        pl += p
+        nr, pr = n_tot - nl, p_tot - pl
+        ql, qr = nl - pl, nr - pr
+        num = (nl * (nr * nr - pr * pr - qr * qr)
+               + nr * (nl * nl - pl * pl - ql * ql))
+        den = nl * nr
+        key = ((num << _TREE_SCALE_BITS) // den, band)
+        if best is None or key < best[0]:
+            best = (key, band, num, den)
+    return best[1], best[2], best[3]
+
+
+def _node_row(node, pick, n, p):
+    import math
+
+    if pick is None:
+        return node, None, n, p, None
+    thr, num, den = pick
+    gini = math.floor(
+        float(num) / (float(den) * float(n)) * 1e6 + 0.5) / 1e6
+    return node, thr, n, p, gini
+
+
+def tree_depth2(
+    ds: rd.Dataset,
+    f1_fn: Callable[[pa.Table], np.ndarray],
+    f2_fn: Callable[[pa.Table], np.ndarray],
+    label_fn: Callable[[pa.Table], np.ndarray],
+) -> pa.Table:
+    """Depth-2 histogram decision tree — the greedy CART/LightGBM
+    recursion one level past ``gini_split_table``: the root picks the
+    best threshold on quantized feature 1, then each side
+    independently picks the best threshold on quantized feature 2,
+    every pick by the exact-integer scaled-rational criterion of
+    ``_best_split`` (tie-break on smallest threshold), so the CHOSEN
+    STRUCTURE — not just the candidate table — is deterministic and
+    SQL-reproducible.  A pure or single-band side emits a NULL-thr
+    leaf row.  Output: 3 rows (root/left/right) of
+    (node, thr, n, n_pos, gini) with gini = num/(den·n_node) half-up
+    6dp, the node's weighted impurity after its split.
+
+    Scale shape: ONE streaming pass folds per-block JOINT (b1, b2, n,
+    n_pos) histograms — bounded cells by the quantization contract,
+    ZERO shuffles — and every split decision is driver math over the
+    cells-sized table; a depth-k tree is the same pass + 2^k−1
+    driver-side picks (deeper trees re-use the SAME joint histogram,
+    no extra data passes until features rotate)."""
+    import pandas as pd
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "b1": np.asarray(f1_fn(t), np.int64),
+            "b2": np.asarray(f2_fn(t), np.int64),
+            "y": np.asarray(label_fn(t), np.int64),
+        })
+        g = df.groupby(["b1", "b2"], sort=False).agg(
+            n=("y", "size"), p=("y", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg: dict[tuple[int, int], list[int]] = {}
+    for r in ds.map_batches(_partial, batch_format="pyarrow").take_all():
+        e = agg.setdefault((int(r["b1"]), int(r["b2"])), [0, 0])
+        e[0] += int(r["n"])
+        e[1] += int(r["p"])
+
+    def _marginal(cells, key_idx):
+        m: dict[int, list[int]] = {}
+        for k, (n, p) in cells:
+            e = m.setdefault(k[key_idx], [0, 0])
+            e[0] += n
+            e[1] += p
+        return [(b, m[b][0], m[b][1]) for b in sorted(m)]
+
+    cells = list(agg.items())
+    m1 = _marginal(cells, 0)
+    n_tot = sum(n for _, n, _ in m1)
+    p_tot = sum(p for _, _, p in m1)
+    root = _best_split(m1)
+    rows = [_node_row("root", root, n_tot, p_tot)]
+    if root is not None:
+        thr = root[0]
+        for name, side in (("left", [c for c in cells if c[0][0] <= thr]),
+                           ("right", [c for c in cells if c[0][0] > thr])):
+            ms = _marginal(side, 1)
+            ns = sum(n for _, n, _ in ms)
+            ps = sum(p for _, _, p in ms)
+            rows.append(_node_row(name, _best_split(ms), ns, ps))
+    return pa.table({
+        "node": pa.array([r[0] for r in rows], pa.string()),
+        "thr": pa.array([r[1] for r in rows], pa.int64()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "n_pos": pa.array([r[3] for r in rows], pa.int64()),
+        "gini": pa.array([r[4] for r in rows], pa.float64()),
+    })
