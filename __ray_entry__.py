@@ -8665,6 +8665,85 @@ def _cm_sketch_users_sql() -> str:
     )
 
 
+CMJ_DEPTH, CMJ_WIDTH = 4, 1024
+
+
+def _q_cm_join_size(sf_dir: str):
+    """Sketch-based join-size estimation (ops.cm_sketch ×2 +
+    cm_inner_product): |views ⋈ purchases on user_id| =
+    Σ_u v(u)·p(u) — the behavioral-co-occurrence cardinality a query
+    optimizer prices — estimated by the min over rows of the
+    CM-sketch dot product (every row an upper bound: colliding cross
+    terms only ADD), audited against the exact size from a
+    partitioned join of the two distributed value-count tables.  Both
+    sketches are zero-shuffle block folds; the dot is driver math
+    over 2·d·w ints."""
+    import ray.data as rd
+
+    from essentials_rd.ops import (
+        cm_inner_product, cm_sketch, int_value_counts, join,
+    )
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    views = ev.filter(expr="event_type == 'view'").select_columns(
+        ["user_id"])
+    purch = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id"])
+    sa = cm_sketch(views, "user_id", depth=CMJ_DEPTH, width=CMJ_WIDTH)
+    sb = cm_sketch(purch, "user_id", depth=CMJ_DEPTH, width=CMJ_WIDTH)
+    dots, est = cm_inner_product(sa, sb, depth=CMJ_DEPTH, width=CMJ_WIDTH)
+
+    ca = int_value_counts(views, "user_id")
+    cb = int_value_counts(purch, "user_id")
+    joined = join(ca, cb, on="value", broadcast=False)
+
+    def _prod(t: pa.Table) -> pa.Table:
+        p = np_col(t, "count").astype(object) * np_col(
+            t, "count_r").astype(object)
+        return pa.table({"s": pa.array([int(p.sum())], pa.int64())})
+
+    exact = sum(int(r["s"]) for r in joined.map_batches(
+        _prod, batch_format="pyarrow").take_all())
+    return pa.table({
+        "j": pa.array(np.arange(CMJ_DEPTH, dtype=np.int64), pa.int64()),
+        "dot": pa.array(dots, pa.int64()),
+        "est": pa.array(np.full(CMJ_DEPTH, est, np.int64), pa.int64()),
+        "exact": pa.array(np.full(CMJ_DEPTH, exact, np.int64), pa.int64()),
+    })
+
+
+def _cm_join_size_sql() -> str:
+    chains, dots = [], []
+    for j in range(CMJ_DEPTH):
+        seed = (j * 0x9E3779B97F4A7C15) % (1 << 64)
+        for side, etype in (("a", "view"), ("b", "purchase")):
+            chains.append(_sm64_ctes(
+                f"cj{side}{j}_", "user_id", f"user_id + {seed}",
+                f"(SELECT user_id FROM events "
+                f"WHERE event_type = '{etype}')"))
+        dots.append(
+            f"SELECT {j} AS j, CAST(COALESCE((SELECT SUM(a.n * b.n) FROM "
+            f"(SELECT z % {CMJ_WIDTH} AS slot, count(*) AS n "
+            f"FROM cja{j}_3 GROUP BY 1) a JOIN "
+            f"(SELECT z % {CMJ_WIDTH} AS slot, count(*) AS n "
+            f"FROM cjb{j}_3 GROUP BY 1) b USING (slot)), 0) AS BIGINT) "
+            "AS dot")
+    return (
+        "WITH " + ", ".join(chains) + ", "
+        "dots AS (" + " UNION ALL ".join(dots) + "), "
+        "est AS (SELECT CAST(min(dot) AS BIGINT) AS v FROM dots), "
+        "ex AS (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS v "
+        "FROM (SELECT user_id, count(*) AS c FROM events "
+        "WHERE event_type = 'view' GROUP BY 1) a JOIN "
+        "(SELECT user_id, count(*) AS c FROM events "
+        "WHERE event_type = 'purchase' GROUP BY 1) b USING (user_id)) "
+        "SELECT CAST(dots.j AS BIGINT) AS j, dots.dot, est.v AS est, "
+        "ex.v AS exact FROM dots, est, ex ORDER BY dots.j"
+    )
+
+
 AMS_K = 32
 
 
@@ -11872,6 +11951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_summary": _q_dedup_summary,
         "cm_sketch_users": _q_cm_sketch_users,
         "cs_point_users": _q_cs_point_users,
+        "cm_join_size": _q_cm_join_size,
         "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
@@ -13600,6 +13680,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "dedup_summary": _dedup_summary_sql(),
         "cm_sketch_users": _cm_sketch_users_sql(),
         "cs_point_users": _cs_point_users_sql(),
+        "cm_join_size": _cm_join_size_sql(),
         "ams_f2_users": _ams_f2_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),

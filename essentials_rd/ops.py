@@ -3924,3 +3924,24 @@ def cs_estimate(sketch: pa.Table, keys: np.ndarray, depth: int = 5,
             sign = np.where((h >> np.uint64(63)).astype(bool), 1, -1)
             ests[j] = sign * c[j, (h % np.uint64(width)).astype(np.int64)]
     return np.sort(ests, axis=0)[depth // 2]
+
+
+def cm_inner_product(sk_a: pa.Table, sk_b: pa.Table, depth: int = 4,
+                     width: int = 256) -> tuple[np.ndarray, int]:
+    """Join-size estimation from two Count-Min sketches (Cormode &
+    Muthukrishnan 2005, §4.2) — the query-optimizer cardinality
+    primitive: |A ⋈ B on key| = Σ_v c_A(v)·c_B(v) is estimated by
+    ``min_j  Σ_s a[j][s]·b[j][s]``.  Each per-row dot product
+    over-counts by exactly the colliding cross terms (all
+    non-negative), so every row upper-bounds the true size and the
+    min errs by ≤ F1(A)·F1(B)/width in expectation — pick the width
+    from the product of the stream masses, not from either alone.
+    The sketches must share depth/width/seed (asserted by shape);
+    both stay mergeable-by-addition, so per-partition sketches fold
+    before the driver-side dot.  Returns (per-row dots, min)."""
+    a = np_col(sk_a, "n").reshape(depth, width)
+    b = np_col(sk_b, "n").reshape(depth, width)
+    # Python-int fold: Σ a·b can exceed int64 on massive streams
+    dots = np.array([sum(int(x) * int(y) for x, y in zip(a[j], b[j]))
+                     for j in range(depth)], np.int64)
+    return dots, int(dots.min())
