@@ -8665,6 +8665,66 @@ def _cm_sketch_users_sql() -> str:
     )
 
 
+CHAO_FRAC, CHAO_SEED = 0.2, 7
+
+
+def _q_chao1_parts(sf_dir: str):
+    """Sample-based distinct-count estimation (ops.chao1_estimate):
+    scan only a deterministic 20% Bernoulli row sample of lineitem
+    (keyed on l_orderkey·8 + l_linenumber, the stable row identity)
+    and estimate the number of distinct part keys in the FULL table
+    via Chao1's singleton/doubleton correction d + f1(f1−1)/(2(f2+1)),
+    audited against the exact distinct count — the estimator to reach
+    for when the scan is the cost and HLL's full pass is off the
+    table.  Sample counts via one bucketed combine; d/f1/f2 fold as
+    4-int block partials; distinct table never driver-materialized."""
+    import ray.data as rd
+
+    from essentials_rd.ops import chao1_estimate, int_value_counts
+    from essentials_rd.util import np_col
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_orderkey",
+                                    "l_linenumber"])
+
+    def _rk(t: pa.Table) -> np.ndarray:
+        return (np_col(t, "l_orderkey") * np.int64(8)
+                + np_col(t, "l_linenumber"))
+
+    est = chao1_estimate(line, "l_partkey", CHAO_FRAC, _rk,
+                         seed=CHAO_SEED)
+    exact = int_value_counts(
+        line.select_columns(["l_partkey"]), "l_partkey").count()
+    return est.append_column(
+        "exact_distinct", pa.array([int(exact)], pa.int64()))
+
+
+def _chao1_parts_sql() -> str:
+    threshold = int(CHAO_FRAC * float(2**64 - 1))
+    mix = (CHAO_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes(
+        "ch", "l_partkey",
+        f"l_orderkey * 8 + l_linenumber + {mix}", "lineitem")
+    return (
+        f"WITH {chain}, "
+        f"samp AS (SELECT l_partkey FROM ch3 "
+        f"WHERE z < CAST('{threshold}' AS UBIGINT)), "
+        "vc AS (SELECT l_partkey, count(*) AS c FROM samp GROUP BY 1), "
+        "st AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_sample, "
+        "CAST(count(*) AS BIGINT) AS d, "
+        "CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) "
+        "AS BIGINT) AS f1, "
+        "CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0) "
+        "AS BIGINT) AS f2 FROM vc), "
+        "ex AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS v "
+        "FROM lineitem) "
+        "SELECT n_sample, d, f1, f2, "
+        "floor((d + CAST(f1 * (f1 - 1) AS DOUBLE) "
+        "/ CAST(2 * (f2 + 1) AS DOUBLE)) * 1000000 + 0.5) / 1000000 "
+        "AS chao1, ex.v AS exact_distinct FROM st, ex"
+    )
+
+
 CMJ_DEPTH, CMJ_WIDTH = 4, 1024
 
 
@@ -11952,6 +12012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_sketch_users": _q_cm_sketch_users,
         "cs_point_users": _q_cs_point_users,
         "cm_join_size": _q_cm_join_size,
+        "chao1_parts": _q_chao1_parts,
         "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
@@ -13681,6 +13742,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "cm_sketch_users": _cm_sketch_users_sql(),
         "cs_point_users": _cs_point_users_sql(),
         "cm_join_size": _cm_join_size_sql(),
+        "chao1_parts": _chao1_parts_sql(),
         "ams_f2_users": _ams_f2_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q4": _tpch_q4_sql(),

@@ -1319,10 +1319,16 @@ def deterministic_sample(
     histogram / hub-threshold estimators need.  ``key_fn(batch) ->
     int64 array`` picks the sampled identity (e.g. vid, doc_id)."""
     assert 0.0 <= frac <= 1.0
-    threshold = np.uint64(int(frac * float(2**64 - 1)))
+    # frac=1.0 would need threshold 2^64 (keep-all), which overflows
+    # uint64 — handle it as an explicit keep-all/drop-all mask instead
+    keep_all = frac >= 1.0
+    threshold = np.uint64(int(frac * float(2**64 - 1))) if not keep_all \
+        else np.uint64(0)
     mix = np.int64((seed * 0x9E3779B97F4A7C15) & (2**63 - 1))
 
     def _keep(batch: pa.Table) -> pa.Table:
+        if keep_all:
+            return batch if not complement else batch.slice(0, 0)
         k = key_fn(batch).astype(np.int64)
         with np.errstate(over="ignore"):
             h = hash64(k + mix)
@@ -3945,3 +3951,61 @@ def cm_inner_product(sk_a: pa.Table, sk_b: pa.Table, depth: int = 4,
     dots = np.array([sum(int(x) * int(y) for x, y in zip(a[j], b[j]))
                      for j in range(depth)], np.int64)
     return dots, int(dots.min())
+
+
+def chao1_estimate(
+    ds: rd.Dataset,
+    col: str,
+    frac: float,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    seed: int = 42,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> pa.Table:
+    """Distinct-count estimation from a SAMPLE — Chao1 (Chao 1984),
+    the species-richness estimator: scan only a deterministic
+    ``frac``-Bernoulli row sample, count d = distinct values seen,
+    f1/f2 = values seen exactly once/twice, and estimate the FULL
+    population's distinct count as ``d + f1(f1−1)/(2(f2+1))``
+    (bias-corrected form; singletons flag the unseen mass).  The
+    complement of HLL's shape: HLL reads every row with O(1) state,
+    Chao1 reads frac·N rows — the right tool when the scan itself is
+    the cost and a value-deterministic sample already exists for
+    other stages.
+
+    Scale shape: the keep rule is ``deterministic_sample``'s pure
+    hash (layout/cluster invariant, SQL-replayable); sample value
+    counts via ONE bucketed combine; d/f1/f2 fold as 4-int per-block
+    partials over the counts table — the distinct-value table is
+    never driver-materialized.  Output: one row (n_sample, d, f1,
+    f2, chao1 half-up 6dp)."""
+    import math
+
+    # sample BEFORE projecting: key_fn may read row-identity columns
+    # that the value column alone doesn't carry
+    samp = deterministic_sample(ds, frac, key_fn, seed=seed)
+    counts = int_value_counts(samp.select_columns([col]), col,
+                              num_buckets=num_buckets)
+
+    def _p(t: pa.Table) -> pa.Table:
+        c = np_col(t, "count")
+        return pa.table({
+            "n": pa.array([int(c.sum())], pa.int64()),
+            "d": pa.array([len(c)], pa.int64()),
+            "f1": pa.array([int((c == 1).sum())], pa.int64()),
+            "f2": pa.array([int((c == 2).sum())], pa.int64()),
+        })
+
+    n = d = f1 = f2 = 0
+    for r in counts.map_batches(_p, batch_format="pyarrow").take_all():
+        n += int(r["n"]); d += int(r["d"])
+        f1 += int(r["f1"]); f2 += int(r["f2"])
+    chao1 = math.floor(
+        (float(d) + float(f1 * (f1 - 1)) / float(2 * (f2 + 1)))
+        * 1e6 + 0.5) / 1e6
+    return pa.table({
+        "n_sample": pa.array([n], pa.int64()),
+        "d": pa.array([d], pa.int64()),
+        "f1": pa.array([f1], pa.int64()),
+        "f2": pa.array([f2], pa.int64()),
+        "chao1": pa.array([chao1], pa.float64()),
+    })
