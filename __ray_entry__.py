@@ -8725,6 +8725,133 @@ def _chao1_parts_sql() -> str:
     )
 
 
+JOP_DEPTH, JOP_WIDTH = 4, 1024
+JOP_TYPES = ("view", "click", "purchase")
+
+
+def _q_join_order_plan(sf_dir: str):
+    """Sketch-driven join-order planning — the System-R decision CM
+    sketches exist to price: a 3-way join views ⋈ clicks ⋈ purchases
+    on user_id has three possible first pairs; build ONE cm_sketch per
+    relation (same per-row seeds, so any pair's slot-wise dot is a
+    certified upper bound on that pair's join size), price all three
+    pairs by cm_inner_product, pick the cheapest first join (argmin
+    with lexical tie-break), then execute the 3-way co-occurrence
+    count joining the CHOSEN pair first.  Emits per candidate pair its
+    estimate and whether it was chosen, plus the (order-invariant)
+    exact triple total that audits the plan's result.  All three
+    sketches are zero-shuffle block folds; the exact path is two
+    partitioned joins of distributed value-count tables — the distinct
+    sets never touch the driver."""
+    import ray.data as rd
+
+    from essentials_rd.ops import (
+        cm_inner_product, cm_sketch, int_value_counts, join,
+    )
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    rels = {t: ev.filter(expr=f"event_type == '{t}'")
+              .select_columns(["user_id"]) for t in JOP_TYPES}
+    sks = {t: cm_sketch(rels[t], "user_id", depth=JOP_DEPTH,
+                        width=JOP_WIDTH) for t in JOP_TYPES}
+    pairs = sorted(
+        (min(a, b), max(a, b))
+        for i, a in enumerate(JOP_TYPES) for b in JOP_TYPES[i + 1:])
+    ests = {}
+    for a, b in pairs:
+        _, ests[f"{a}*{b}"] = cm_inner_product(
+            sks[a], sks[b], depth=JOP_DEPTH, width=JOP_WIDTH)
+    chosen = min(ests, key=lambda p: (ests[p], p))
+    if ests[chosen] == 0:
+        # certified-empty elimination: every CM dot is an UPPER bound,
+        # so a 0-estimate first pair proves the 3-way join is empty —
+        # skip execution entirely (the optimizer win sketches buy)
+        names = sorted(ests)
+        return pa.table({
+            "pair": pa.array(names, pa.string()),
+            "est": pa.array([ests[p] for p in names], pa.int64()),
+            "chosen": pa.array([int(p == chosen) for p in names],
+                               pa.int64()),
+            "triple_total": pa.array([0] * len(names), pa.int64()),
+        })
+
+    # execute with the chosen pair first (result is order-invariant;
+    # the plan decides which intermediate is materialized smallest)
+    counts = {t: int_value_counts(rels[t], "user_id") for t in JOP_TYPES}
+    a, b = chosen.split("*")
+    (c,) = [t for t in JOP_TYPES if t not in (a, b)]
+    first = join(counts[a], counts[b], on="value", broadcast=False)
+
+    def _mul2(t: pa.Table) -> pa.Table:
+        m = np_col(t, "count").astype(object) * np_col(
+            t, "count_r").astype(object)
+        return pa.table({"value": t.column("value"),
+                         "m": pa.array([int(x) for x in m], pa.int64())})
+
+    both = first.map_batches(_mul2, batch_format="pyarrow")
+    trip = join(both, counts[c], on="value", broadcast=False)
+
+    def _mul3(t: pa.Table) -> pa.Table:
+        s = (np_col(t, "m").astype(object)
+             * np_col(t, "count").astype(object)).sum()
+        return pa.table({"s": pa.array([int(s)], pa.int64())})
+
+    total = sum(int(r["s"]) for r in trip.map_batches(
+        _mul3, batch_format="pyarrow").take_all())
+    names = sorted(ests)
+    return pa.table({
+        "pair": pa.array(names, pa.string()),
+        "est": pa.array([ests[p] for p in names], pa.int64()),
+        "chosen": pa.array([int(p == chosen) for p in names], pa.int64()),
+        "triple_total": pa.array([total] * len(names), pa.int64()),
+    })
+
+
+def _join_order_plan_sql() -> str:
+    initial = {"view": "v", "click": "c", "purchase": "p"}
+    chains, dots = [], []
+    for t in JOP_TYPES:
+        for j in range(JOP_DEPTH):
+            seed = (j * 0x9E3779B97F4A7C15) % (1 << 64)
+            chains.append(_sm64_ctes(
+                f"jo{initial[t]}{j}_", "user_id", f"user_id + {seed}",
+                f"(SELECT user_id FROM events "
+                f"WHERE event_type = '{t}')"))
+    pairs = sorted(
+        (min(a, b), max(a, b))
+        for i, a in enumerate(JOP_TYPES) for b in JOP_TYPES[i + 1:])
+    for a, b in pairs:
+        for j in range(JOP_DEPTH):
+            dots.append(
+                f"SELECT '{a}*{b}' AS pair, CAST(COALESCE((SELECT "
+                f"SUM(x.n * y.n) FROM "
+                f"(SELECT z % {JOP_WIDTH} AS slot, count(*) AS n "
+                f"FROM jo{initial[a]}{j}_3 GROUP BY 1) x JOIN "
+                f"(SELECT z % {JOP_WIDTH} AS slot, count(*) AS n "
+                f"FROM jo{initial[b]}{j}_3 GROUP BY 1) y USING (slot)), "
+                "0) AS BIGINT) AS dot")
+    return (
+        "WITH " + ", ".join(chains) + ", "
+        "dots AS (" + " UNION ALL ".join(dots) + "), "
+        "ests AS (SELECT pair, CAST(min(dot) AS BIGINT) AS est "
+        "FROM dots GROUP BY pair), "
+        "pick AS (SELECT pair FROM ests ORDER BY est, pair LIMIT 1), "
+        "ex AS (SELECT CAST(COALESCE(SUM(CAST(v.c AS HUGEINT) * c.c "
+        "* p.c), 0) AS BIGINT) AS v FROM "
+        "(SELECT user_id, count(*) AS c FROM events "
+        "WHERE event_type = 'view' GROUP BY 1) v JOIN "
+        "(SELECT user_id, count(*) AS c FROM events "
+        "WHERE event_type = 'click' GROUP BY 1) c USING (user_id) JOIN "
+        "(SELECT user_id, count(*) AS c FROM events "
+        "WHERE event_type = 'purchase' GROUP BY 1) p USING (user_id)) "
+        "SELECT e.pair, e.est, CAST(CASE WHEN e.pair = pick.pair "
+        "THEN 1 ELSE 0 END AS BIGINT) AS chosen, ex.v AS triple_total "
+        "FROM ests e, pick, ex ORDER BY e.pair"
+    )
+
+
 CMJ_DEPTH, CMJ_WIDTH = 4, 1024
 
 
@@ -12012,6 +12139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_sketch_users": _q_cm_sketch_users,
         "cs_point_users": _q_cs_point_users,
         "cm_join_size": _q_cm_join_size,
+        "join_order_plan": _q_join_order_plan,
         "chao1_parts": _q_chao1_parts,
         "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
@@ -13742,6 +13870,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "cm_sketch_users": _cm_sketch_users_sql(),
         "cs_point_users": _cs_point_users_sql(),
         "cm_join_size": _cm_join_size_sql(),
+        "join_order_plan": _join_order_plan_sql(),
         "chao1_parts": _chao1_parts_sql(),
         "ams_f2_users": _ams_f2_sql(),
         "tpch_q3": _tpch_q3_sql(),
