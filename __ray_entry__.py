@@ -6705,6 +6705,76 @@ def _q_price_histogram(sf_dir: str):
                          "cents", HIST_LO, HIST_WIDTH, HIST_BINS)
 
 
+TSN_M, TSN_SEED = 512, 11
+
+
+def _q_theil_sen(sf_dir: str):
+    """Theil–Sen robust slope of price-vs-quantity
+    (mlfit.theil_sen_slope): the median of pairwise slopes — the
+    estimator 29% arbitrary outliers can't wreck where one ruins OLS —
+    over a fixed-size hash coreset: the 512 smallest-splitmix-hash
+    lineitem rows are picked by a distributed bottom-k (layout/cluster
+    invariant), all distinct-x pairs form driver-side (O(m²)
+    independent of N), each slope quantized to exact
+    floor(10⁶·Δcents/Δqty) with Δx>0 by orientation, and the exact
+    lower median reported."""
+    import ray.data as rd
+
+    from essentials_rd.mlfit import theil_sen_slope
+    from essentials_rd.util import np_col
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_orderkey",
+                 "l_linenumber"])
+
+    def _project(t: pa.Table) -> pa.Table:
+        p = np.asarray(t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        return pa.table({
+            "q": pa.array(np_col(t, "l_quantity").astype(np.int64),
+                          pa.int64()),
+            "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64),
+                              pa.int64()),
+            "rk": pa.array(np_col(t, "l_orderkey") * np.int64(8)
+                           + np_col(t, "l_linenumber"), pa.int64()),
+        })
+
+    return theil_sen_slope(
+        line.map_batches(_project, batch_format="pyarrow"),
+        "q", "cents", lambda t: np_col(t, "rk"),
+        m=TSN_M, seed=TSN_SEED)
+
+
+def _theil_sen_sql() -> str:
+    mix = (TSN_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes(
+        "tsn", "q, cents, rk", f"rk + {mix}",
+        "(SELECT CAST(l_quantity AS BIGINT) AS q, "
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents, "
+        "l_orderkey * 8 + l_linenumber AS rk FROM lineitem)")
+    return (
+        f"WITH {chain}, "
+        # tie-break through (rk, q, cents): rk is NOT unique in the
+        # sf lineitem, so the payload must join the total order
+        f"samp AS (SELECT q, cents FROM tsn3 ORDER BY z, rk, q, cents "
+        f"LIMIT {TSN_M}), "
+        "pr AS (SELECT b.cents - a.cents AS dy, b.q - a.q AS dx "
+        "FROM samp a JOIN samp b ON a.q < b.q), "
+        # DuckDB // truncates; numpy floors — recover floor via the
+        # %-wrap identity (valid because dx > 0 by pair orientation)
+        "sl AS (SELECT CAST((dy * 1000000 - (((dy * 1000000) % dx) + dx) "
+        "% dx) // dx AS BIGINT) AS s FROM pr), "
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM sl), "
+        "mr AS (SELECT CAST(count(*) AS BIGINT) AS m_rows FROM samp), "
+        "med AS (SELECT s FROM sl ORDER BY s LIMIT 1 OFFSET "
+        "greatest((SELECT (n_pairs - 1) // 2 FROM st), 0)) "
+        "SELECT mr.m_rows, st.n_pairs, "
+        "CAST(COALESCE((SELECT s FROM med), 0) AS BIGINT) AS slope_q "
+        "FROM mr, st"
+    )
+
+
 def _q_qty_price_trend(sf_dir: str):
     """Per-group linear-regression slope as an EXACT rational, derived
     from grouped_comoments: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
@@ -12267,6 +12337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_seq_reciprocity": _q_reciprocity,
         "motif_census": _q_motif_census,
         "gini_stump_price": _q_gini_stump,
+        "theil_sen_qty_price": _q_theil_sen,
         "tree_depth2_orders": _q_tree_depth2,
         "densest_peel": _q_densest_peel,
         "alt_lower_bounds": _q_alt_bounds,
@@ -13871,6 +13942,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "cs_point_users": _cs_point_users_sql(),
         "cm_join_size": _cm_join_size_sql(),
         "join_order_plan": _join_order_plan_sql(),
+        "theil_sen_qty_price": _theil_sen_sql(),
         "chao1_parts": _chao1_parts_sql(),
         "ams_f2_users": _ams_f2_sql(),
         "tpch_q3": _tpch_q3_sql(),

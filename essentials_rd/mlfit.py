@@ -571,3 +571,72 @@ def tree_depth2(
         "n_pos": pa.array([r[3] for r in rows], pa.int64()),
         "gini": pa.array([r[4] for r in rows], pa.float64()),
     })
+
+
+def theil_sen_slope(
+    ds: rd.Dataset,
+    x_col: str,
+    y_col: str,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    m: int = 512,
+    seed: int = 11,
+    scale: int = 1_000_000,
+) -> pa.Table:
+    """Theil–Sen robust slope — the median of pairwise slopes, the
+    estimator that shrugs off 29% arbitrary outliers where OLS is
+    wrecked by one — over a fixed-size hash coreset so the pair count
+    never grows with N: the m rows with the SMALLEST splitmix64 row
+    hashes are selected by a distributed bottom-k (per-block partials,
+    driver merges ≤ m·blocks rows; layout/cluster invariant because
+    the hash is a pure row function), then all m·(m−1)/2 pairs with
+    distinct x are formed driver-side (O(m²) INDEPENDENT of N — the
+    coreset, not the data, bounds the quadratic).  Each slope is
+    quantized to an exact integer ``floor(scale·Δy / Δx)`` with Δx>0
+    by pair orientation (floor of the same rational either way, and
+    Δx>0 lets the SQL twin floor via the %-wrap identity since DuckDB
+    ``//`` truncates while numpy floors); the reported slope is the
+    exact lower median — element (k−1)//2 of the sorted quantized
+    slopes.  Output: one row (m_rows, n_pairs, slope_q) where slope_q
+    ≈ scale · dy/dx."""
+    from .ops import top_k
+    from .util import hash64, np_col
+
+    mix = np.int64((seed * 0x9E3779B97F4A7C15) & (2**63 - 1))
+
+    def _project(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = hash64(key_fn(t).astype(np.int64) + mix)
+        # order-preserving uint64 -> int64 so top_k's int64 compare
+        # ranks exactly like the SQL twin's UBIGINT z
+        hs = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({
+            "x": pa.array(np_col(t, x_col).astype(np.int64), pa.int64()),
+            "y": pa.array(np_col(t, y_col).astype(np.int64), pa.int64()),
+            "rk": pa.array(key_fn(t).astype(np.int64), pa.int64()),
+            "hs": pa.array(hs, pa.int64()),
+        })
+
+    # tie-break through the full payload: key_fn need NOT be unique
+    # (the sf lineitem has duplicate (orderkey, linenumber) rows), and
+    # a boundary tie between same-key rows with different payloads
+    # would otherwise pick either one
+    samp = top_k(ds.map_batches(_project, batch_format="pyarrow"),
+                 "hs", m, descending=False, tie_cols=["rk", "x", "y"])
+    x = np.asarray(samp["x"], np.int64)
+    y = np.asarray(samp["y"], np.int64)
+    # orient every pair so dx > 0 (equal-x pairs carry no slope)
+    o = np.argsort(x, kind="stable")
+    x, y = x[o], y[o]
+    i, j = np.triu_indices(len(x), k=1)
+    dx = x[j] - x[i]
+    keep = dx > 0
+    dy = y[j][keep] - y[i][keep]
+    dx = dx[keep]
+    slopes = (dy * np.int64(scale)) // dx  # numpy // floors, like Python
+    n_pairs = len(slopes)
+    med = int(np.sort(slopes)[(n_pairs - 1) // 2]) if n_pairs else 0
+    return pa.table({
+        "m_rows": pa.array([len(x)], pa.int64()),
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "slope_q": pa.array([med], pa.int64()),
+    })
