@@ -3869,6 +3869,112 @@ def _q_sorted_write(sf_dir: str):
     })
 
 
+def _q_time_travel(sf_dir: str):
+    """Time-travel reads over a versioned table log
+    (sinks.versioned_log_init/commit + read_version — the
+    delta-lake/iceberg shape on plain partitioned Parquet): version 0
+    snapshots orders (key, cents); commit 1 upserts +1000 cents for
+    keys ≡3 (mod 10) and deletes keys ≡7 (mod 10); commit 2 upserts
+    base+5000 for keys ≡2 (mod 7) — re-INSERTING any ≡7 keys deleted
+    at v1 — and deletes keys ≡4 (mod 10) not already claimed by the
+    upsert.  Each version then reconstructs AS OF with ONE
+    merge_upsert key co-shuffle (later versions' files never opened;
+    the atomic manifest swap is the commit point) and folds to
+    (n_rows, sum_cents).  Deltas are pure functions of the base table
+    so the SQL twin replays all three snapshots with a CASE ladder."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from essentials_rd.sinks import (
+        read_version, versioned_log_commit, versioned_log_init,
+    )
+    from essentials_rd.util import np_col
+
+    base_dir = ("/tmp/essentials_rd_ttravel_"
+                + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(base_dir, ignore_errors=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def _base(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"k": t.column("o_orderkey").cast(pa.int64()),
+                         "cents": pa.array(c, pa.int64())})
+
+    snap = orders.map_batches(_base, batch_format="pyarrow")
+    key = lambda b: np_col(b, "k")  # noqa: E731
+    versioned_log_init(snap, base_dir, key)
+
+    def _delta1(t: pa.Table) -> pa.Table:
+        k = np_col(t, "k")
+        c = np_col(t, "cents")
+        up = k % 10 == 3
+        de = k % 10 == 7
+        kk = np.concatenate([k[up], k[de]])
+        cc = np.concatenate([c[up] + 1000, np.zeros(de.sum(), np.int64)])
+        op = ["U"] * int(up.sum()) + ["D"] * int(de.sum())
+        return pa.table({"k": pa.array(kk, pa.int64()),
+                         "cents": pa.array(cc, pa.int64()),
+                         "op": pa.array(op, pa.string())})
+
+    def _delta2(t: pa.Table) -> pa.Table:
+        k = np_col(t, "k")
+        c = np_col(t, "cents")
+        up = k % 7 == 2
+        de = (k % 10 == 4) & ~up  # one op per key per commit
+        kk = np.concatenate([k[up], k[de]])
+        cc = np.concatenate([c[up] + 5000, np.zeros(de.sum(), np.int64)])
+        op = ["U"] * int(up.sum()) + ["D"] * int(de.sum())
+        return pa.table({"k": pa.array(kk, pa.int64()),
+                         "cents": pa.array(cc, pa.int64()),
+                         "op": pa.array(op, pa.string())})
+
+    versioned_log_commit(
+        snap.map_batches(_delta1, batch_format="pyarrow"), base_dir, key)
+    versioned_log_commit(
+        snap.map_batches(_delta2, batch_format="pyarrow"), base_dir, key)
+
+    def _fold(t: pa.Table) -> pa.Table:
+        c = np_col(t, "cents")
+        return pa.table({"n": pa.array([len(c)], pa.int64()),
+                         "s": pa.array([int(c.sum())], pa.int64())})
+
+    out = []
+    for v in (0, 1, 2):
+        rows = read_version(base_dir, v, "k").map_batches(
+            _fold, batch_format="pyarrow").take_all()
+        out.append((v, sum(int(r["n"]) for r in rows),
+                    sum(int(r["s"]) for r in rows)))
+    return pa.table({
+        "version": pa.array([r[0] for r in out], pa.int64()),
+        "n_rows": pa.array([r[1] for r in out], pa.int64()),
+        "sum_cents": pa.array([r[2] for r in out], pa.int64()),
+    })
+
+
+def _time_travel_sql() -> str:
+    return (
+        "WITH base AS (SELECT o_orderkey AS k, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders), "
+        "eff AS (SELECT v.version, "
+        "CASE WHEN v.version >= 2 AND k % 7 = 2 THEN cents + 5000 "
+        "WHEN v.version >= 2 AND k % 10 = 4 THEN NULL "
+        "WHEN v.version >= 1 AND k % 10 = 3 THEN cents + 1000 "
+        "WHEN v.version >= 1 AND k % 10 = 7 THEN NULL "
+        "ELSE cents END AS c "
+        "FROM base CROSS JOIN (VALUES (0), (1), (2)) v(version)) "
+        "SELECT CAST(version AS BIGINT) AS version, "
+        "CAST(count(c) AS BIGINT) AS n_rows, "
+        "CAST(COALESCE(sum(c), 0) AS BIGINT) AS sum_cents "
+        "FROM eff GROUP BY 1 ORDER BY 1"
+    )
+
+
 ZM_LO = 10_000_000   # $100k in cents
 ZM_HI = 15_000_000   # $150k
 
@@ -12241,6 +12347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_orders": _q_pareto_orders,
         "incr_orders_rollup": _q_incr_rollup,
         "orders_sorted_write": _q_sorted_write,
+        "orders_time_travel": _q_time_travel,
         "zonemap_price_scan": _q_zonemap_scan,
         "zorder_box_scan": _q_zorder_box_scan,
         "lang_diversity": _q_lang_diversity,
@@ -13983,6 +14090,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "pareto_orders": _pareto_orders_sql(),
         "incr_orders_rollup": _incr_rollup_sql(),
         "orders_sorted_write": _orders_range_parts_sql(),
+        "orders_time_travel": _time_travel_sql(),
         "zonemap_price_scan": _zonemap_scan_sql(),
         "zorder_box_scan": _zorder_box_sql(),
         "lang_diversity": _lang_diversity_sql(),

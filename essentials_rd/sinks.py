@@ -487,3 +487,118 @@ def compact_small_files(
         "n_inputs": pa.array([r["n_inputs"] for r in receipts], pa.int64()),
         "skipped": pa.array([r["skipped"] for r in receipts], pa.bool_()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Versioned log: snapshot + delta commits + as-of-version reads
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "_manifest.json"
+
+
+def _read_manifest(out_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(out_dir, _MANIFEST)) as f:
+        return json.load(f)
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    import json
+
+    tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+
+
+def versioned_log_init(
+    ds: rd.Dataset,
+    out_dir: str,
+    key_fn,
+    num_partitions: int = 8,
+) -> pa.Table:
+    """Start a versioned table log (the delta-lake/iceberg shape on
+    plain partitioned Parquet): version 0 is the base snapshot,
+    written through the resumable partitioned sink, and a JSON
+    manifest — replaced ATOMICALLY on every commit, so readers always
+    see a complete version list — records the chain.  Commits append
+    delta directories (``versioned_log_commit``); any historical
+    snapshot reconstructs with ONE key co-shuffle (``read_version``).
+    Returns the base write receipt."""
+    os.makedirs(out_dir, exist_ok=True)
+    receipt = write_partitioned(
+        ds, os.path.join(out_dir, "v00000"), key_fn, num_partitions)
+    _write_manifest(out_dir, {"versions": [
+        {"version": 0, "dir": "v00000", "num_partitions": num_partitions},
+    ]})
+    return receipt
+
+
+def versioned_log_commit(
+    changes: rd.Dataset,
+    out_dir: str,
+    key_fn,
+    num_partitions: int = 8,
+) -> int:
+    """Append one delta version: ``changes`` carries the snapshot
+    schema plus a string ``op`` column ('U' upsert / 'D' delete); the log
+    stamps the new version number as the change sequence (``seq``)
+    while writing — sequencing belongs to the log, not the producer.
+    The delta is itself a partitioned resumable write; the manifest
+    swap is the atomic commit point (a crash before it leaves an
+    orphan directory, never a half-visible version).  Keys must be
+    unique within one commit (merge semantics would be ambiguous).
+    Returns the committed version number."""
+    manifest = _read_manifest(out_dir)
+    version = manifest["versions"][-1]["version"] + 1
+    dname = f"v{version:05d}"
+    seq = np.int64(version)
+
+    def _stamp(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "seq", pa.array(np.full(batch.num_rows, seq), pa.int64()))
+
+    write_partitioned(
+        changes.map_batches(_stamp, batch_format="pyarrow"),
+        os.path.join(out_dir, dname), key_fn, num_partitions)
+    manifest["versions"].append(
+        {"version": version, "dir": dname,
+         "num_partitions": num_partitions})
+    _write_manifest(out_dir, manifest)
+    return version
+
+
+def read_version(
+    out_dir: str,
+    version: int,
+    key_col: str,
+    op_col: str = "op",
+) -> rd.Dataset:
+    """Time-travel read: reconstruct the snapshot AS OF ``version`` by
+    folding the base and every delta ≤ version through ONE
+    ``merge_upsert`` (single key co-shuffle — per key the
+    highest-version change wins, a winning 'D' removes the key, an
+    upsert on an absent key re-inserts it).  Reads only the manifest's
+    listed directories; later versions' files are never opened."""
+    from .ops import merge_upsert
+
+    manifest = _read_manifest(out_dir)
+    versions = [v for v in manifest["versions"] if v["version"] <= version]
+    if not versions or versions[0]["version"] != 0:
+        raise ValueError(f"version {version} not in log {out_dir}")
+    base = read_partitioned(
+        os.path.join(out_dir, versions[0]["dir"]),
+        versions[0]["num_partitions"])
+    deltas = [
+        read_partitioned(os.path.join(out_dir, v["dir"]),
+                         v["num_partitions"])
+        for v in versions[1:]
+    ]
+    if not deltas:
+        return base
+    changes = deltas[0]
+    for d in deltas[1:]:
+        changes = changes.union(d)
+    return merge_upsert(base, changes, key_col, seq_col="seq",
+                        op_col=op_col)
