@@ -3869,6 +3869,114 @@ def _q_sorted_write(sf_dir: str):
     })
 
 
+SDRIFT_NONE = "<none>"
+
+
+def _q_schema_drift(sf_dir: str):
+    """Schema-evolution read (sources.read_union_by_name): three epoch
+    file sets written from orders with DRIFTED schemas — epoch 0
+    (keys ≡0 mod 3) predates the priority column, epoch 1 stores cents
+    as int32 (promoted to int64 on read) and adds priority, epoch 2
+    dropped cents — then ONE union-by-name read aligns columns by
+    name, null-fills what each epoch lacks, promotes int32→int64, and
+    a grouped aggregate over the unified view emits per priority
+    (nulls bucketed '<none>'): row count, non-null cents count, cents
+    sum.  Planning is one footer read per file; data reads stay one
+    pruned read_parquet per schema group."""
+    import glob
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.sources import read_union_by_name
+    from essentials_rd.util import np_col
+
+    base_dir = ("/tmp/essentials_rd_sdrift_"
+                + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(base_dir, ignore_errors=True)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"k": t.column("o_orderkey").cast(pa.int64()),
+                         "cents": pa.array(c, pa.int64()),
+                         "prio": t.column("o_orderpriority")})
+
+    full = orders.map_batches(_proj, batch_format="pyarrow")
+
+    def _epoch(mod: int, cols: list[str], cast32: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            keep = np_col(t, "k") % 3 == mod
+            t = t.take(pa.array(np.flatnonzero(keep)))
+            out = {}
+            for c in cols:
+                col = t.column(c)
+                if c == "cents" and cast32:
+                    col = col.cast(pa.int32())
+                out[c] = col
+            return pa.table(out)
+        return _f
+
+    for mod, cols, cast32 in ((0, ["k", "cents"], False),
+                              (1, ["k", "cents", "prio"], True),
+                              (2, ["k", "prio"], False)):
+        full.map_batches(_epoch(mod, cols, cast32),
+                         batch_format="pyarrow").write_parquet(
+            os.path.join(base_dir, f"epoch{mod}"))
+
+    paths = sorted(glob.glob(os.path.join(base_dir, "*", "*.parquet")))
+    ds = read_union_by_name(paths)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        prio = pc.fill_null(t.column("prio"), SDRIFT_NONE)
+        cents = t.column("cents")
+        nn = pc.cast(pc.is_valid(cents), pa.int64())
+        cv = pc.fill_null(cents, 0)
+        return pa.table({"prio": prio,
+                         "one": pa.array(np.ones(t.num_rows, np.int64),
+                                         pa.int64()),
+                         "nn": nn, "cv": cv})
+
+    from essentials_rd.windows import _str_or_int_key
+    agg = grouped_pandas_agg(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        keys=["prio"],
+        aggs={"n_rows": ("one", "sum"), "n_cents": ("nn", "sum"),
+              "sum_cents": ("cv", "sum")},
+        key_fn=lambda b: _str_or_int_key(b.column("prio")).view(np.int64),
+        num_buckets=8)
+    rows = sorted(agg.take_all(), key=lambda r: r["prio"])
+    return pa.table({
+        "prio": pa.array([r["prio"] for r in rows], pa.string()),
+        "n_rows": pa.array([int(r["n_rows"]) for r in rows], pa.int64()),
+        "n_cents": pa.array([int(r["n_cents"]) for r in rows], pa.int64()),
+        "sum_cents": pa.array([int(r["sum_cents"]) for r in rows],
+                              pa.int64()),
+    })
+
+
+def _schema_drift_sql() -> str:
+    return (
+        "WITH base AS (SELECT o_orderkey AS k, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, "
+        "o_orderpriority AS prio FROM orders), "
+        f"eff AS (SELECT CASE WHEN k % 3 = 0 THEN '{SDRIFT_NONE}' "
+        "ELSE prio END AS prio, "
+        "CASE WHEN k % 3 = 2 THEN NULL ELSE cents END AS c FROM base) "
+        "SELECT prio, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(c) AS BIGINT) AS n_cents, "
+        "CAST(COALESCE(sum(c), 0) AS BIGINT) AS sum_cents "
+        "FROM eff GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_time_travel(sf_dir: str):
     """Time-travel reads over a versioned table log
     (sinks.versioned_log_init/commit + read_version — the
@@ -12348,6 +12456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incr_orders_rollup": _q_incr_rollup,
         "orders_sorted_write": _q_sorted_write,
         "orders_time_travel": _q_time_travel,
+        "orders_schema_drift": _q_schema_drift,
         "zonemap_price_scan": _q_zonemap_scan,
         "zorder_box_scan": _q_zorder_box_scan,
         "lang_diversity": _q_lang_diversity,
@@ -14091,6 +14200,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "incr_orders_rollup": _incr_rollup_sql(),
         "orders_sorted_write": _orders_range_parts_sql(),
         "orders_time_travel": _time_travel_sql(),
+        "orders_schema_drift": _schema_drift_sql(),
         "zonemap_price_scan": _zonemap_scan_sql(),
         "zorder_box_scan": _zorder_box_sql(),
         "lang_diversity": _lang_diversity_sql(),

@@ -152,3 +152,61 @@ def rmat_edges(
 
     return rd.range(n_edges, override_num_blocks=parallelism).map_batches(
         _gen, batch_format="pyarrow")
+
+
+def read_union_by_name(
+    paths: list[str],
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Schema-evolution read: union Parquet files whose schemas DRIFTED
+    over time — columns added, dropped, or widened — by aligning
+    columns BY NAME, null-filling fields a file predates, and promoting
+    types permissively (int32→int64, int→float) via
+    ``pa.unify_schemas``.  The planning cost is one footer
+    (metadata-only) read per file on the driver — the standard catalog
+    cost; data reads stay fully parallel: files are grouped by exact
+    physical schema, each group is ONE ``read_parquet`` (so column
+    pruning still pushes down per group), and per-batch conformance is
+    a zero-copy cast + null-column append.  ``columns`` prunes the
+    unified schema (a file lacking a requested column contributes
+    nulls, not an error)."""
+    import pyarrow.parquet as pq
+
+    schemas: dict[tuple, list[str]] = {}
+    schema_objs: dict[tuple, pa.Schema] = {}
+    for p in sorted(paths):
+        s = pq.read_schema(p)
+        k = tuple((f.name, str(f.type)) for f in s)
+        schemas.setdefault(k, []).append(p)
+        schema_objs[k] = s
+    unified = pa.unify_schemas(
+        list(schema_objs.values()), promote_options="permissive")
+    if columns is not None:
+        missing = [c for c in columns if unified.get_field_index(c) < 0]
+        if missing:
+            raise ValueError(f"columns {missing} appear in no input file")
+        unified = pa.schema([unified.field(c) for c in columns])
+    target = unified
+
+    pieces = []
+    for k, group in schemas.items():
+        have = {n for n, _ in k}
+        want = [f.name for f in target if f.name in have]
+        # a file sharing no requested column still contributes its ROW
+        # COUNT (all-null rows) — read its narrowest column for that
+        ds = rd.read_parquet(group, columns=want or [k[0][0]])
+
+        def _conform(batch: pa.Table, _have=frozenset(have)) -> pa.Table:
+            cols = []
+            for f in target:
+                if f.name in _have:
+                    cols.append(batch.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(batch.num_rows, f.type))
+            return pa.table(dict(zip([f.name for f in target], cols)))
+
+        pieces.append(ds.map_batches(_conform, batch_format="pyarrow"))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out
