@@ -3869,6 +3869,76 @@ def _q_sorted_write(sf_dir: str):
     })
 
 
+CDC_K = 6
+
+
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking dedup ledger (textops.gear_chunks +
+    cdc_dedup_stats): gear-hash CDC over every document — cut when the
+    rolling 64-codepoint gear state ≡ 0 mod 2^6 (~64-char expected
+    chunks; boundaries are LOCAL, so an insertion re-chunks O(1)
+    chunks — the property fixed blocks lack), chunk identity = md5 —
+    folded to (n_docs, n_chunks, total_chars, n_distinct,
+    unique_chars): the bytes a content-addressed store would keep.
+    One streaming chunk pass + one digest-bucketed dedup exchange."""
+    import ray.data as rd
+
+    from essentials_rd.textops import cdc_dedup_stats, gear_chunks
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_docs = docs.count()
+    stats = cdc_dedup_stats(
+        gear_chunks(docs, "text", "doc_id", k=CDC_K))
+    return pa.table({
+        "n_docs": pa.array([int(n_docs)], pa.int64()),
+        "n_chunks": stats["n_chunks"],
+        "total_chars": stats["total_chars"],
+        "n_distinct": stats["n_distinct"],
+        "unique_chars": stats["unique_chars"],
+    })
+
+
+def _cdc_chunks_sql() -> str:
+    mod = 1 << CDC_K
+    m64 = 1 << 64
+    gear = _sm64_ctes("gr", "b", "b", "(SELECT range AS b FROM range(256))")
+    return (
+        f"WITH RECURSIVE {gear}, "
+        "docs AS (SELECT doc_id, text, length(text) AS n "
+        "FROM documents WHERE length(text) > 0), "
+        "rec(doc_id, i, h) AS ("
+        "SELECT d.doc_id, 1, g.z FROM docs d JOIN gr3 g "
+        "ON g.b = ord(substr(d.text, 1, 1)) % 256 "
+        "UNION ALL "
+        "SELECT r.doc_id, r.i + 1, "
+        f"CAST((CAST(r.h AS HUGEINT) * 2 + g.z) % {m64} AS UBIGINT) "
+        "FROM rec r JOIN docs d ON d.doc_id = r.doc_id "
+        "JOIN gr3 g ON g.b = ord(substr(d.text, r.i + 1, 1)) % 256 "
+        "WHERE r.i < d.n), "
+        f"cuts AS (SELECT doc_id, i, CASE WHEN h % {mod} = 0 "
+        "THEN 1 ELSE 0 END AS c FROM rec), "
+        "cid AS (SELECT doc_id, i, COALESCE(SUM(c) OVER ("
+        "PARTITION BY doc_id ORDER BY i "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn "
+        "FROM cuts), "
+        "ch AS (SELECT doc_id, cn, min(i) AS s, max(i) AS e "
+        "FROM cid GROUP BY 1, 2), "
+        "ck AS (SELECT md5(substr(d.text, CAST(ch.s AS INTEGER), "
+        "CAST(ch.e - ch.s + 1 AS INTEGER))) AS m, ch.e - ch.s + 1 AS clen "
+        "FROM ch JOIN docs d USING (doc_id)), "
+        "dk AS (SELECT DISTINCT m, clen FROM ck) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) "
+        "AS n_docs, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM ck) AS n_chunks, "
+        "(SELECT CAST(COALESCE(sum(clen), 0) AS BIGINT) FROM ck) "
+        "AS total_chars, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM dk) AS n_distinct, "
+        "(SELECT CAST(COALESCE(sum(clen), 0) AS BIGINT) FROM dk) "
+        "AS unique_chars"
+    )
+
+
 SDRIFT_NONE = "<none>"
 
 
@@ -12457,6 +12527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_sorted_write": _q_sorted_write,
         "orders_time_travel": _q_time_travel,
         "orders_schema_drift": _q_schema_drift,
+        "cdc_chunk_ledger": _q_cdc_chunks,
         "zonemap_price_scan": _q_zonemap_scan,
         "zorder_box_scan": _q_zorder_box_scan,
         "lang_diversity": _q_lang_diversity,
@@ -14201,6 +14272,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "orders_sorted_write": _orders_range_parts_sql(),
         "orders_time_travel": _time_travel_sql(),
         "orders_schema_drift": _schema_drift_sql(),
+        "cdc_chunk_ledger": _cdc_chunks_sql(),
         "zonemap_price_scan": _zonemap_scan_sql(),
         "zorder_box_scan": _zorder_box_sql(),
         "lang_diversity": _lang_diversity_sql(),

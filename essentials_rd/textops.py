@@ -3143,3 +3143,118 @@ def dict_term_stats(
         "n_occurrences": pa.array(occ, pa.int64()),
         "n_docs": pa.array(ndoc, pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (gear hash) — storage-dedup primitive
+# ---------------------------------------------------------------------------
+
+_GEAR = None  # lazy: hash64 table over byte values 0..255
+
+
+def _gear_table() -> np.ndarray:
+    global _GEAR
+    if _GEAR is None:
+        from .util import hash64
+        _GEAR = hash64(np.arange(256, dtype=np.int64))  # uint64[256]
+    return _GEAR
+
+
+def gear_chunks(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+) -> rd.Dataset:
+    """Content-defined chunking with a gear rolling hash — the
+    storage/backup dedup primitive (LBFS→FastCDC lineage): cut after
+    position i whenever the rolling state h_i ≡ 0 (mod 2^k), giving
+    ~2^k-codepoint expected chunks whose boundaries depend ONLY on the
+    local last-64-codepoints window — an insertion re-chunks O(1)
+    chunks, not the whole document (the property fixed-size blocks
+    lack).  The recurrence h_i = 2·h_{i−1} + gear[cp_i] (mod 2^64)
+    equals the 64-window weighted sum Σ gear[cp_j]·2^{i−j} because
+    2^{≥64} vanishes mod 2^64 — so the engine computes it as ONE
+    vectorized sliding-window dot per document (no per-char Python)
+    while the SQL twin replays the scalar recurrence in a recursive
+    CTE.  Chunk identity is md5 of the chunk text (DuckDB-shared).
+    Emits one row per chunk: (id, start 1-based, clen, md5, mk) where
+    mk is an int64 digest prefix for downstream bucketing.  One
+    streaming pass, zero shuffles."""
+    mask = np.uint64((1 << k) - 1)
+    pow2 = np.uint64(1) << np.arange(63, -1, -1).astype(np.uint64)
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        gear = _gear_table()
+        ids = np_col(t, id_col)
+        texts = t.column(text_col).to_pylist()
+        o_id, o_start, o_len, o_md5, o_mk = [], [], [], [], []
+        for did, text in zip(ids.tolist(), texts):
+            if not text:
+                continue
+            cp = (np.frombuffer(text.encode("utf-32-le"), np.uint32)
+                  .astype(np.int64) % 256)
+            g = np.concatenate([np.zeros(63, np.uint64), gear[cp]])
+            win = np.lib.stride_tricks.sliding_window_view(g, 64)
+            with np.errstate(over="ignore"):
+                h = (win * pow2).sum(axis=1)
+            ends = np.flatnonzero((h & mask) == 0)
+            if len(ends) == 0 or ends[-1] != len(cp) - 1:
+                ends = np.append(ends, len(cp) - 1)
+            starts = np.concatenate([[0], ends[:-1] + 1])
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                chunk = text[s:e + 1]
+                d = hashlib.md5(chunk.encode("utf-8")).digest()
+                o_id.append(did)
+                o_start.append(s + 1)
+                o_len.append(e - s + 1)
+                o_md5.append(d.hex())
+                o_mk.append(int.from_bytes(d[:8], "big", signed=True))
+        return pa.table({
+            id_col: pa.array(o_id, pa.int64()),
+            "start": pa.array(o_start, pa.int64()),
+            "clen": pa.array(o_len, pa.int64()),
+            "md5": pa.array(o_md5, pa.string()),
+            "mk": pa.array(o_mk, pa.int64()),
+        })
+
+    return docs.map_batches(_chunks, batch_format="pyarrow")
+
+
+def cdc_dedup_stats(
+    chunks: rd.Dataset,
+    num_buckets: int = 32,
+) -> pa.Table:
+    """Fold a gear_chunks stream to the dedup ledger: total chunks /
+    chars and DISTINCT chunks / chars (what a content-addressed store
+    would actually keep).  ONE bucketed exchange keyed on the digest
+    prefix: each bucket owns its md5s completely, dedups vectorized,
+    and emits a 4-int partial; the distinct chunk set is never
+    driver-materialized."""
+    from .ops import hash_bucket_agg
+
+    def _partial(grp: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"m": grp.column("md5").to_pylist(),
+                           "l": np_col(grp, "clen")})
+        d = df.drop_duplicates("m")
+        return pa.table({
+            "n": pa.array([len(df)], pa.int64()),
+            "t": pa.array([int(df["l"].sum())], pa.int64()),
+            "nd": pa.array([len(d)], pa.int64()),
+            "u": pa.array([int(d["l"].sum())], pa.int64()),
+        })
+
+    parts = hash_bucket_agg(
+        chunks, lambda b: np_col(b, "mk"), _partial,
+        num_buckets=num_buckets).take_all()
+    n = sum(int(r["n"]) for r in parts)
+    t = sum(int(r["t"]) for r in parts)
+    nd = sum(int(r["nd"]) for r in parts)
+    u = sum(int(r["u"]) for r in parts)
+    return pa.table({
+        "n_chunks": pa.array([n], pa.int64()),
+        "total_chars": pa.array([t], pa.int64()),
+        "n_distinct": pa.array([nd], pa.int64()),
+        "unique_chars": pa.array([u], pa.int64()),
+    })
