@@ -3869,6 +3869,60 @@ def _q_sorted_write(sf_dir: str):
     })
 
 
+def _q_logistic_newton(sf_dir: str):
+    """One exact Newton step of logistic regression
+    (mlfit.logistic_newton1): classify orders URGENT vs not from the
+    $10k price band — β₁ = 2·(XᵀX)⁻¹(2Xᵀy − Xᵀ1), the only logistic
+    iterate that is a pure rational of integer data sums (σ(0)=½ makes
+    W=¼·I exact), emitted as exact (num, den) per coefficient.  ONE
+    streaming pass folds the 5 integer Gram/moment sums (zero
+    shuffles); the solve is driver Cramer over unbounded ints."""
+    import ray.data as rd
+
+    from essentials_rd.mlfit import logistic_newton1
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderpriority"])
+
+    def _xy(t: pa.Table):
+        p = np.asarray(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        band = (np.floor(p * 100.0 + 0.5).astype(np.int64)
+                // 1_000_000)
+        y = (np.asarray(t.column("o_orderpriority").to_pylist(),
+                        object) == "1-URGENT").astype(np.int64)
+        X = np.stack([np.ones(len(band), np.int64), band], axis=1)
+        return X, y
+
+    return logistic_newton1(orders, _xy, p=2)
+
+
+def _logistic_newton_sql() -> str:
+    return (
+        "WITH b AS (SELECT "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 1000000 "
+        "AS x, CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 "
+        "END AS y FROM orders), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(x) AS HUGEINT) AS sx, "
+        "CAST(sum(x * x) AS HUGEINT) AS sxx, "
+        "CAST(sum(y) AS HUGEINT) AS sy, "
+        "CAST(sum(x * y) AS HUGEINT) AS sxy FROM b), "
+        "v AS (SELECT n, sx, sxx, 2 * sy - n AS b0, "
+        "2 * sxy - sx AS b1, n * sxx - sx * sx AS den FROM s) "
+        "SELECT CAST(0 AS BIGINT) AS j, "
+        "CAST(2 * (b0 * sxx - sx * b1) AS BIGINT) AS num, "
+        "CAST(den AS BIGINT) AS den, CAST(n AS BIGINT) AS n FROM v "
+        "UNION ALL SELECT CAST(1 AS BIGINT), "
+        "CAST(2 * (n * b1 - b0 * sx) AS BIGINT), "
+        "CAST(den AS BIGINT), CAST(n AS BIGINT) FROM v ORDER BY j"
+    )
+
+
+CDC_K = 6
+
+
 CDC_K = 6
 
 
@@ -12528,6 +12582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_time_travel": _q_time_travel,
         "orders_schema_drift": _q_schema_drift,
         "cdc_chunk_ledger": _q_cdc_chunks,
+        "logistic_urgent_price": _q_logistic_newton,
         "zonemap_price_scan": _q_zonemap_scan,
         "zorder_box_scan": _q_zorder_box_scan,
         "lang_diversity": _q_lang_diversity,
@@ -14273,6 +14328,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "orders_time_travel": _time_travel_sql(),
         "orders_schema_drift": _schema_drift_sql(),
         "cdc_chunk_ledger": _cdc_chunks_sql(),
+        "logistic_urgent_price": _logistic_newton_sql(),
         "zonemap_price_scan": _zonemap_scan_sql(),
         "zorder_box_scan": _zorder_box_sql(),
         "lang_diversity": _lang_diversity_sql(),

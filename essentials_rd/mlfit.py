@@ -640,3 +640,43 @@ def theil_sen_slope(
         "n_pairs": pa.array([n_pairs], pa.int64()),
         "slope_q": pa.array([med], pa.int64()),
     })
+
+
+def logistic_newton1(
+    ds: rd.Dataset,
+    xy_fn: Callable[[pa.Table], tuple[np.ndarray, np.ndarray]],
+    p: int,
+) -> pa.Table:
+    """One exact Newton–Raphson step of logistic regression from
+    β = 0 — the classification GLM's closed-form first iterate, and
+    (because σ(0)=½ makes the weight matrix W = ¼·I exactly) the ONLY
+    logistic iterate that is a pure rational of integer data sums:
+    β₁ = H⁻¹g = 4·(XᵀX)⁻¹·Xᵀ(y−½) = 2·(XᵀX)⁻¹·(2Xᵀy − Xᵀ1).
+    Later iterates need σ(·) per row — float, order-fragile; the first
+    step is where exactness lives, and it is already the standard
+    one-pass approximation (a single IRLS round on the null model).
+
+    Distribution shape = ols_fit_exact: ONE streaming pass folds the
+    integer Gram/moment partials (zero shuffles), the solve is
+    driver-side Cramer over unbounded ints.  Output: one row per
+    coefficient (j, num, den) with β_j = num/den exactly — num =
+    2·det(A with col j ← 2Xᵀy−Xᵀ1), den = det(XᵀX) — so an SQL twin
+    reproduces the integers verbatim in HUGEINT."""
+    gram, xty, n, _ = gram_sums(ds, xy_fn, p)
+    # Xᵀ1 is gram's first column when x₀ ≡ 1 (intercept contract)
+    xt1 = [gram[j][0] for j in range(p)]
+    b = [2 * xty[j] - xt1[j] for j in range(p)]
+    det = int_det(gram)
+    if det == 0:
+        raise ValueError("singular design matrix (collinear features)")
+    nums = []
+    for j in range(p):
+        a_j = [row[:j] + [b[r]] + row[j + 1:]
+               for r, row in enumerate(gram)]
+        nums.append(2 * int_det(a_j))
+    return pa.table({
+        "j": pa.array(range(p), pa.int64()),
+        "num": pa.array(nums, pa.int64()),
+        "den": pa.array([det] * p, pa.int64()),
+        "n": pa.array([n] * p, pa.int64()),
+    })
