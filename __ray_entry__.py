@@ -3869,6 +3869,102 @@ def _q_sorted_write(sf_dir: str):
     })
 
 
+WELCH_A, WELCH_B = "purchase", "view"
+
+
+def _q_welch_ttest(sf_dir: str):
+    """Welch's unequal-variance t-test — the parametric companion to
+    the suite's rank-sum/KS/EMD drift tests — comparing purchase vs
+    view event values: per group the EXACT integer moments (n, Σcents,
+    Σcents²) fold as one 6-int partial per block (zero shuffles, no
+    value ever leaves its block), then t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) and
+    the Welch–Satterthwaite df are driver floats COMPUTED IN THE SAME
+    IEEE EXPRESSION ORDER as the SQL twin (every intermediate is a
+    correctly-rounded op on the same exact ints), floored half-up to
+    6dp."""
+    import math
+
+    import ray.data as rd
+
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), object)
+        c = np.floor(np.asarray(t.column("value").to_numpy(
+            zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        out = []
+        for g in (WELCH_A, WELCH_B):
+            m = et == g
+            v = c[m]
+            out.append((int(m.sum()), int(v.sum()),
+                        int((v * v).sum())))
+        return pa.table({
+            "g": pa.array([0, 1], pa.int64()),
+            "n": pa.array([out[0][0], out[1][0]], pa.int64()),
+            "s": pa.array([out[0][1], out[1][1]], pa.int64()),
+            "ss": pa.array([out[0][2], out[1][2]], pa.int64()),
+        })
+
+    acc = {0: [0, 0, 0], 1: [0, 0, 0]}
+    for r in ev.map_batches(_partial, batch_format="pyarrow").take_all():
+        a = acc[int(r["g"])]
+        a[0] += int(r["n"]); a[1] += int(r["s"]); a[2] += int(r["ss"])
+    (n1, s1, ss1), (n2, s2, ss2) = acc[0], acc[1]
+    m1 = float(s1) / float(n1)
+    m2 = float(s2) / float(n2)
+    v1 = (float(ss1) - float(s1) * float(s1) / float(n1)) / float(n1 - 1)
+    v2 = (float(ss2) - float(s2) * float(s2) / float(n2)) / float(n2 - 1)
+    a_ = v1 / float(n1)
+    b_ = v2 / float(n2)
+    se2 = a_ + b_
+    t_stat = (m1 - m2) / math.sqrt(se2)
+    df = (se2 * se2) / (a_ * a_ / float(n1 - 1)
+                        + b_ * b_ / float(n2 - 1))
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    return pa.table({
+        "n_a": pa.array([n1], pa.int64()),
+        "n_b": pa.array([n2], pa.int64()),
+        "mean_diff": pa.array([r6(m1 - m2)], pa.float64()),
+        "t_stat": pa.array([r6(t_stat)], pa.float64()),
+        "df": pa.array([r6(df)], pa.float64()),
+    })
+
+
+def _welch_ttest_sql() -> str:
+    return (
+        "WITH b AS (SELECT event_type AS g, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events "
+        f"WHERE event_type IN ('{WELCH_A}', '{WELCH_B}')), "
+        "s AS (SELECT g, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(c) AS BIGINT) AS sv, "
+        "CAST(sum(c * c) AS BIGINT) AS ss FROM b GROUP BY g), "
+        f"x AS (SELECT n, sv, ss FROM s WHERE g = '{WELCH_A}'), "
+        f"y AS (SELECT n, sv, ss FROM s WHERE g = '{WELCH_B}'), "
+        "f AS (SELECT x.n AS n1, y.n AS n2, "
+        "CAST(x.sv AS DOUBLE) / CAST(x.n AS DOUBLE) AS m1, "
+        "CAST(y.sv AS DOUBLE) / CAST(y.n AS DOUBLE) AS m2, "
+        "(CAST(x.ss AS DOUBLE) - CAST(x.sv AS DOUBLE) * "
+        "CAST(x.sv AS DOUBLE) / CAST(x.n AS DOUBLE)) "
+        "/ CAST(x.n - 1 AS DOUBLE) AS v1, "
+        "(CAST(y.ss AS DOUBLE) - CAST(y.sv AS DOUBLE) * "
+        "CAST(y.sv AS DOUBLE) / CAST(y.n AS DOUBLE)) "
+        "/ CAST(y.n - 1 AS DOUBLE) AS v2 FROM x, y), "
+        "w AS (SELECT n1, n2, m1, m2, v1 / CAST(n1 AS DOUBLE) AS a, "
+        "v2 / CAST(n2 AS DOUBLE) AS b2 FROM f) "
+        "SELECT n1 AS n_a, n2 AS n_b, "
+        "floor((m1 - m2) * 1000000 + 0.5) / 1000000 AS mean_diff, "
+        "floor(((m1 - m2) / sqrt(a + b2)) * 1000000 + 0.5) / 1000000 "
+        "AS t_stat, "
+        "floor((((a + b2) * (a + b2)) / (a * a / CAST(n1 - 1 AS DOUBLE) "
+        "+ b2 * b2 / CAST(n2 - 1 AS DOUBLE))) * 1000000 + 0.5) "
+        "/ 1000000 AS df FROM w"
+    )
+
+
 def _q_logistic_newton(sf_dir: str):
     """One exact Newton step of logistic regression
     (mlfit.logistic_newton1): classify orders URGENT vs not from the
@@ -12583,6 +12679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_schema_drift": _q_schema_drift,
         "cdc_chunk_ledger": _q_cdc_chunks,
         "logistic_urgent_price": _q_logistic_newton,
+        "welch_ttest_values": _q_welch_ttest,
         "zonemap_price_scan": _q_zonemap_scan,
         "zorder_box_scan": _q_zorder_box_scan,
         "lang_diversity": _q_lang_diversity,
@@ -14329,6 +14426,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "orders_schema_drift": _schema_drift_sql(),
         "cdc_chunk_ledger": _cdc_chunks_sql(),
         "logistic_urgent_price": _logistic_newton_sql(),
+        "welch_ttest_values": _welch_ttest_sql(),
         "zonemap_price_scan": _zonemap_scan_sql(),
         "zorder_box_scan": _zorder_box_sql(),
         "lang_diversity": _lang_diversity_sql(),
