@@ -9229,6 +9229,44 @@ def _chao1_parts_sql() -> str:
     )
 
 
+HH_PHI_DEN = 200
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters without a full shuffle
+    (ops.exact_heavy_hitters): every user with ≥ ⌈N/200⌉ events, by
+    the two-pass screen-then-verify shape — pass 1 is a zero-shuffle
+    block scan whose weighted-pigeonhole screen cannot miss a global
+    heavy hitter at any layout (a φ-heavy key is φ-heavy in some
+    block); pass 2 broadcasts the ≤ blocks·200 candidates once and
+    moves ONLY their rows through the exact count, pruning the
+    screen's false positives against θ = (N+199)//200.  Output is
+    exactly `HAVING count(*) ≥ θ` — the candidate set may vary with
+    layout, the answer cannot."""
+    import ray.data as rd
+
+    from essentials_rd.ops import exact_heavy_hitters
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    out, info = exact_heavy_hitters(ev, "user_id",
+                                    phi_den=HH_PHI_DEN)
+    t = pa.Table.from_pylist(out.take_all())
+    if t.num_rows == 0:
+        return pa.table({"value": pa.array([], pa.int64()),
+                         "count": pa.array([], pa.int64())})
+    return t.select(["value", "count"]).sort_by("value")
+
+
+def _heavy_hitters_sql() -> str:
+    return (
+        "SELECT user_id AS value, CAST(count(*) AS BIGINT) AS count "
+        "FROM events GROUP BY 1 HAVING count(*) >= "
+        f"(SELECT (count(*) + {HH_PHI_DEN - 1}) // {HH_PHI_DEN} "
+        "FROM events) ORDER BY 1"
+    )
+
+
 JOP_DEPTH, JOP_WIDTH = 4, 1024
 JOP_TYPES = ("view", "click", "purchase")
 
@@ -12644,6 +12682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cs_point_users": _q_cs_point_users,
         "cm_join_size": _q_cm_join_size,
         "join_order_plan": _q_join_order_plan,
+        "heavy_hitter_users": _q_heavy_hitters,
         "chao1_parts": _q_chao1_parts,
         "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
@@ -14381,6 +14420,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "cs_point_users": _cs_point_users_sql(),
         "cm_join_size": _cm_join_size_sql(),
         "join_order_plan": _join_order_plan_sql(),
+        "heavy_hitter_users": _heavy_hitters_sql(),
         "theil_sen_qty_price": _theil_sen_sql(),
         "chao1_parts": _chao1_parts_sql(),
         "ams_f2_users": _ams_f2_sql(),

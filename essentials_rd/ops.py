@@ -4009,3 +4009,83 @@ def chao1_estimate(
         "f2": pa.array([f2], pa.int64()),
         "chao1": pa.array([chao1], pa.float64()),
     })
+
+
+def exact_heavy_hitters(
+    ds: rd.Dataset,
+    col: str,
+    phi_den: int = 200,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> tuple[rd.Dataset, dict]:
+    """EXACT heavy hitters (all values with count ≥ ⌈N/phi_den⌉)
+    WITHOUT a full-stream shuffle — the two-pass screen-then-verify
+    shape that replaces `groupby(everything)` at 100 TB:
+
+    Pass 1 (zero shuffle): each block emits its row count and the keys
+    that are LOCALLY heavy (block count ≥ block_len/phi_den).  Weighted
+    pigeonhole makes the screen SOUND at any block layout: a globally
+    φ-heavy key must be φ-heavy in at least one block, so no false
+    negative is possible; each block emits ≤ phi_den keys, so the
+    driver folds ≤ blocks·phi_den candidates (not the key universe).
+    Pass 2: the candidate set broadcasts once (ray.put), a searchsorted
+    membership filter keeps ONLY candidate rows — the exchange moves
+    the heavy keys' rows, never the long tail — and an exact
+    value-count prunes the screen's false positives against the exact
+    integer threshold θ = ⌈N/phi_den⌉ = (N + phi_den − 1)//phi_den.
+
+    The OUTPUT is therefore exactly `HAVING count(*) ≥ θ` regardless
+    of layout, even though the candidate set itself may vary with it.
+    On near-uniform streams the screen passes everything (there is
+    nothing to prune — every key is near-heavy); on the Zipf streams
+    heavy-hitter queries exist for, it discards the tail at the block
+    boundary.  Returns (result dataset (value, count), info dict with
+    n / threshold / n_candidates)."""
+    import ray as _ray
+
+    def _screen(batch: pa.Table) -> pa.Table:
+        v = np_col(batch, col).astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        # local count >= len/phi_den  <=>  cnt * phi_den >= len
+        heavy = uniq[cnt * phi_den >= len(v)]
+        # tag row: is_n=1 carries the block length (a value of -1 in
+        # the data must not collide with any sentinel)
+        return pa.table({
+            "k": pa.array(np.r_[np.int64(0), heavy], pa.int64()),
+            "n": pa.array(np.r_[np.int64(len(v)),
+                                np.zeros(len(heavy), np.int64)],
+                          pa.int64()),
+            "is_n": pa.array(np.r_[np.int64(1),
+                                   np.zeros(len(heavy), np.int64)],
+                             pa.int64()),
+        })
+
+    n_total, cands = 0, []
+    for r in ds.map_batches(_screen, batch_format="pyarrow").take_all():
+        if r["is_n"]:
+            n_total += int(r["n"])
+        else:
+            cands.append(int(r["k"]))
+    cand = np.unique(np.asarray(cands, np.int64))
+    theta = (n_total + phi_den - 1) // phi_den
+    cand_ref = _ray.put(cand)
+
+    def _member(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cand_ref)
+        v = np_col(batch, col).astype(np.int64)
+        pos = np.searchsorted(c, v)
+        ok = (pos < len(c)) & (c[np.minimum(pos, max(len(c) - 1, 0))]
+                               == v) if len(c) else np.zeros(len(v), bool)
+        return batch.take(pa.array(np.flatnonzero(ok)))
+
+    counts = int_value_counts(
+        ds.map_batches(_member, batch_format="pyarrow")
+          .select_columns([col]),
+        col, num_buckets=num_buckets)
+
+    def _prune(t: pa.Table) -> pa.Table:
+        keep = np_col(t, "count") >= theta
+        return t.take(pa.array(np.flatnonzero(keep)))
+
+    out = counts.map_batches(_prune, batch_format="pyarrow")
+    return out, {"n": n_total, "theta": theta,
+                 "n_candidates": int(len(cand))}
