@@ -9229,6 +9229,91 @@ def _chao1_parts_sql() -> str:
     )
 
 
+ITEMCOS_K = 3
+
+
+def _q_item_cosine(sf_dir: str):
+    """Item-item cosine top-k — the "bought X, also bought Y" serving
+    table collaborative filtering starts from: over the distinct
+    (order, part) incidence, sim(i,j) = co(i,j)/√(d_i·d_j) (cosine of
+    binary order-incidence vectors), ranked per item by the EXACT
+    integer quantization floor(10⁶·co²/(d_i·d_j)) — order-isomorphic
+    to cosine on positives, so the ranking needs no floats — with
+    top-3 per item kept by one grouped_top_k bucket pass.  Pipeline:
+    one order-bucketed pair expansion (copurchase_edges), one distinct
+    count for degrees, two partitioned joins, one group-top-k — every
+    exchange keyed, nothing driver-side."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_top_k, int_value_counts, join
+    from essentials_rd.pipelines import copurchase_edges, copurchase_items
+    from essentials_rd.util import np_col
+
+    edges = copurchase_edges(sf_dir)
+    deg = int_value_counts(
+        copurchase_items(sf_dir).select_columns(["l_partkey"]),
+        "l_partkey")
+
+    def _sym(t: pa.Table) -> pa.Table:
+        s = np_col(t, "src")
+        d = np_col(t, "dst")
+        co = np_col(t, "weight").astype(np.int64)
+        return pa.table({
+            "i": pa.array(np.concatenate([s, d]), pa.int64()),
+            "j": pa.array(np.concatenate([d, s]), pa.int64()),
+            "co": pa.array(np.concatenate([co, co]), pa.int64()),
+        })
+
+    sym = edges.map_batches(_sym, batch_format="pyarrow")
+    di = deg.map_batches(
+        lambda t: pa.table({"i": t.column("value"),
+                            "di": t.column("count")}),
+        batch_format="pyarrow")
+    dj = deg.map_batches(
+        lambda t: pa.table({"j": t.column("value"),
+                            "dj": t.column("count")}),
+        batch_format="pyarrow")
+    scored = join(join(sym, di, on="i", broadcast=False),
+                  dj, on="j", broadcast=False)
+
+    def _q(t: pa.Table) -> pa.Table:
+        co = np_col(t, "co")
+        q = (co * co * np.int64(1_000_000)) // (
+            np_col(t, "di") * np_col(t, "dj"))
+        return pa.table({"i": t.column("i"), "j": t.column("j"),
+                         "co": pa.array(co, pa.int64()),
+                         "qscore": pa.array(q, pa.int64())})
+
+    top = grouped_top_k(
+        scored.map_batches(_q, batch_format="pyarrow"),
+        ["i"], "qscore", ITEMCOS_K, descending=True, tie_cols=["j"])
+    t = pa.Table.from_pylist(top.take_all())
+    t = t.select(["i", "rank", "j", "co", "qscore"]).rename_columns(
+        ["item", "rank", "nbr", "co", "qscore"])
+    return t.sort_by([("item", "ascending"), ("rank", "ascending")])
+
+
+def _item_cosine_sql() -> str:
+    return (
+        "WITH items AS (SELECT DISTINCT l_orderkey AS o, "
+        "l_partkey AS p FROM lineitem), "
+        "pr AS (SELECT a.p AS i, b.p AS j, count(*) AS co FROM items a "
+        "JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), "
+        "sym AS (SELECT i, j, co FROM pr "
+        "UNION ALL SELECT j, i, co FROM pr), "
+        "deg AS (SELECT p, count(*) AS d FROM items GROUP BY 1), "
+        "sc AS (SELECT s.i, s.j, s.co, "
+        "(s.co * s.co * 1000000) // (di.d * dj.d) AS q FROM sym s "
+        "JOIN deg di ON di.p = s.i JOIN deg dj ON dj.p = s.j), "
+        "rk AS (SELECT i, j, co, q, ROW_NUMBER() OVER ("
+        "PARTITION BY i ORDER BY q DESC, j) AS r FROM sc) "
+        "SELECT CAST(i AS BIGINT) AS item, CAST(r AS BIGINT) AS rank, "
+        "CAST(j AS BIGINT) AS nbr, CAST(co AS BIGINT) AS co, "
+        "CAST(q AS BIGINT) AS qscore FROM rk "
+        f"WHERE r <= {ITEMCOS_K} ORDER BY 1, 2"
+    )
+
+
 HH_PHI_DEN = 200
 
 
@@ -12683,6 +12768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_join_size": _q_cm_join_size,
         "join_order_plan": _q_join_order_plan,
         "heavy_hitter_users": _q_heavy_hitters,
+        "item_cosine_top3": _q_item_cosine,
         "chao1_parts": _q_chao1_parts,
         "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
@@ -14421,6 +14507,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "cm_join_size": _cm_join_size_sql(),
         "join_order_plan": _join_order_plan_sql(),
         "heavy_hitter_users": _heavy_hitters_sql(),
+        "item_cosine_top3": _item_cosine_sql(),
         "theil_sen_qty_price": _theil_sen_sql(),
         "chao1_parts": _chao1_parts_sql(),
         "ams_f2_users": _ams_f2_sql(),
