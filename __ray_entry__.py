@@ -9229,6 +9229,55 @@ def _chao1_parts_sql() -> str:
     )
 
 
+def _q_allen_census(sf_dir: str):
+    """Allen interval-algebra census (windows.allen_census): classify
+    every user's ordered event-type pair of activity spans
+    [min ts, max ts] into the 13 Allen relations via one fixed
+    comparison ladder (degenerate point intervals resolved by ladder
+    ORDER, identical in engine and SQL), census with explicit zero
+    rows.  One user-bucketed exchange; 13-int partials."""
+    import ray.data as rd
+
+    from essentials_rd.windows import allen_census
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    return allen_census(ev)
+
+
+def _allen_census_sql() -> str:
+    rels = ", ".join(
+        f"('{r}')" for r in (
+            "equals", "precedes", "preceded_by", "meets", "met_by",
+            "starts", "started_by", "finishes", "finished_by",
+            "during", "contains", "overlaps", "overlapped_by"))
+    return (
+        "WITH iv AS (SELECT user_id AS u, event_type AS t, "
+        "min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e "
+        "FROM events GROUP BY 1, 2), "
+        "pr AS (SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2 "
+        "FROM iv a JOIN iv b ON a.u = b.u AND a.t < b.t), "
+        "cl AS (SELECT CASE "
+        "WHEN s1 = s2 AND e1 = e2 THEN 'equals' "
+        "WHEN e1 < s2 THEN 'precedes' "
+        "WHEN e2 < s1 THEN 'preceded_by' "
+        "WHEN e1 = s2 THEN 'meets' "
+        "WHEN e2 = s1 THEN 'met_by' "
+        "WHEN s1 = s2 AND e1 < e2 THEN 'starts' "
+        "WHEN s1 = s2 AND e2 < e1 THEN 'started_by' "
+        "WHEN e1 = e2 AND s1 > s2 THEN 'finishes' "
+        "WHEN e1 = e2 AND s2 > s1 THEN 'finished_by' "
+        "WHEN s1 > s2 AND e1 < e2 THEN 'during' "
+        "WHEN s1 < s2 AND e2 < e1 THEN 'contains' "
+        "WHEN s1 < s2 AND s2 < e1 AND e1 < e2 THEN 'overlaps' "
+        "ELSE 'overlapped_by' END AS rel FROM pr), "
+        "cn AS (SELECT rel, count(*) AS n FROM cl GROUP BY 1), "
+        f"rl AS (SELECT * FROM (VALUES {rels}) AS v(rel)) "
+        "SELECT rl.rel, CAST(COALESCE(cn.n, 0) AS BIGINT) AS n_pairs "
+        "FROM rl LEFT JOIN cn USING (rel) ORDER BY rl.rel"
+    )
+
+
 ITEMCOS_K = 3
 
 
@@ -12769,6 +12818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_order_plan": _q_join_order_plan,
         "heavy_hitter_users": _q_heavy_hitters,
         "item_cosine_top3": _q_item_cosine,
+        "allen_interval_census": _q_allen_census,
         "chao1_parts": _q_chao1_parts,
         "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
@@ -14508,6 +14558,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "join_order_plan": _join_order_plan_sql(),
         "heavy_hitter_users": _heavy_hitters_sql(),
         "item_cosine_top3": _item_cosine_sql(),
+        "allen_interval_census": _allen_census_sql(),
         "theil_sen_qty_price": _theil_sen_sql(),
         "chao1_parts": _chao1_parts_sql(),
         "ams_f2_users": _ams_f2_sql(),

@@ -1536,3 +1536,107 @@ def seq_pattern_counts(
         }),
         num_buckets=num_buckets,
     )
+
+
+_ALLEN_RELS = [
+    "equals", "precedes", "preceded_by", "meets", "met_by",
+    "starts", "started_by", "finishes", "finished_by",
+    "during", "contains", "overlaps", "overlapped_by",
+]
+
+
+def allen_census(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_buckets: int = 32,
+) -> pa.Table:
+    """Allen interval-algebra census — temporal reasoning's 13
+    primitive relations (Allen 1983), the vocabulary every
+    interval-join / temporal-constraint system speaks — over each
+    user's per-event-type activity span [min ts, max ts]: every
+    ordered (type_a < type_b) pair per user is classified by ONE fixed
+    mutually-exclusive comparison ladder (equals, precedes/by,
+    meets/by, starts/by, finishes/by, during/contains,
+    overlaps/by — ladder ORDER resolves degenerate point intervals
+    identically in engine and SQL), and the census counts pairs per
+    relation with explicit zero rows (the absent relations are part of
+    the answer).
+
+    ONE user-bucketed exchange (a user's events co-locate — the
+    sessionizer assumption); per bucket the spans are a lexsort +
+    reduceat, the pair expansion is per-user triangular over ≤
+    #event-types rows, classification one vectorized np.select; each
+    bucket emits a 13-int partial the driver adds."""
+    from .util import np_col
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": batch.column(user_col).cast(pa.int64()),
+            "t": batch.column(type_col),
+            "ts": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+        })
+
+    def _census(grp: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"u": np_col(grp, "u"),
+                           "t": grp.column("t").to_pylist(),
+                           "ts": np_col(grp, "ts")})
+        iv = df.groupby(["u", "t"], sort=True)["ts"].agg(["min", "max"])
+        iv = iv.reset_index()
+        u = iv["u"].to_numpy()
+        s = iv["min"].to_numpy()
+        e = iv["max"].to_numpy()
+        # triangular pair expansion within each user run (iv sorted by
+        # (u, t), so pairs are type-ordered automatically)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, len(u)])
+        ai, bi = [], []
+        for st, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            x, y = np.triu_indices(ln, k=1)
+            ai.append(st + x)
+            bi.append(st + y)
+        counts = np.zeros(len(_ALLEN_RELS), np.int64)
+        if ai:
+            a = np.concatenate(ai)
+            b = np.concatenate(bi)
+            s1, e1, s2, e2 = s[a], e[a], s[b], e[b]
+            conds = [
+                (s1 == s2) & (e1 == e2),            # equals
+                e1 < s2,                             # precedes
+                e2 < s1,                             # preceded_by
+                e1 == s2,                            # meets
+                e2 == s1,                            # met_by
+                (s1 == s2) & (e1 < e2),              # starts
+                (s1 == s2) & (e2 < e1),              # started_by
+                (e1 == e2) & (s1 > s2),              # finishes
+                (e1 == e2) & (s2 > s1),              # finished_by
+                (s1 > s2) & (e1 < e2),               # during
+                (s1 < s2) & (e2 < e1),               # contains
+                (s1 < s2) & (s2 < e1) & (e1 < e2),   # overlaps
+                (s2 < s1) & (s1 < e2) & (e2 < e1),   # overlapped_by
+            ]
+            rel = np.select(conds, np.arange(len(conds)), default=-1)
+            assert (rel >= 0).all(), "Allen ladder not exhaustive"
+            counts = np.bincount(rel, minlength=len(_ALLEN_RELS))
+        return pa.table({
+            "ri": pa.array(np.arange(len(_ALLEN_RELS), dtype=np.int64)),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    total = np.zeros(len(_ALLEN_RELS), np.int64)
+    from .ops import hash_bucket_agg
+    parts = hash_bucket_agg(
+        events.map_batches(_project, batch_format="pyarrow"),
+        lambda b: np_col(b, "u"),
+        _census, num_buckets=num_buckets).take_all()
+    for r in parts:
+        total[int(r["ri"])] += int(r["n"])
+    order = np.argsort(np.asarray(_ALLEN_RELS, object))
+    return pa.table({
+        "rel": pa.array([_ALLEN_RELS[i] for i in order], pa.string()),
+        "n_pairs": pa.array(total[order], pa.int64()),
+    })
