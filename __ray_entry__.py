@@ -9229,6 +9229,77 @@ def _chao1_parts_sql() -> str:
     )
 
 
+HIVE_PRIOS = ["1-URGENT", "3-MEDIUM"]
+
+
+def _q_hive_prune(sf_dir: str):
+    """Hive-style categorical partitioning + directory pruning
+    (sinks.write_hive/read_hive): orders written one
+    o_orderpriority=VALUE directory each (atomic per-partition commit,
+    exact value in a _VALUE manifest so reads never re-parse paths),
+    then a PRUNED read of two priorities opens only those directories'
+    files and aggregates (priority, n, sum_cents) — the other three
+    partitions are never touched (pytest proves it by corrupting
+    them)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from essentials_rd.sinks import read_hive, write_hive
+    from essentials_rd.util import np_col
+
+    base_dir = ("/tmp/essentials_rd_hive_"
+                + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(base_dir, ignore_errors=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderpriority", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"prio": t.column("o_orderpriority"),
+                         "cents": pa.array(c, pa.int64())})
+
+    write_hive(orders.map_batches(_cents, batch_format="pyarrow"),
+               base_dir, "prio")
+    pruned = read_hive(base_dir, "prio", values=HIVE_PRIOS)
+
+    def _fold(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"prio": t.column("prio").to_pylist(),
+                           "cents": np_col(t, "cents")})
+        g = df.groupby("prio")["cents"].agg(["count", "sum"])
+        return pa.table({
+            "prio": pa.array(g.index.tolist(), pa.string()),
+            "n": pa.array(g["count"].astype(np.int64).to_numpy()),
+            "s": pa.array(g["sum"].astype(np.int64).to_numpy()),
+        })
+
+    acc = {}
+    for r in pruned.map_batches(_fold, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["prio"], [0, 0])
+        a[0] += int(r["n"]); a[1] += int(r["s"])
+    prios = sorted(acc)
+    return pa.table({
+        "prio": pa.array(prios, pa.string()),
+        "n": pa.array([acc[p][0] for p in prios], pa.int64()),
+        "sum_cents": pa.array([acc[p][1] for p in prios], pa.int64()),
+    })
+
+
+def _hive_prune_sql() -> str:
+    vals = ", ".join(f"'{v}'" for v in HIVE_PRIOS)
+    return (
+        "SELECT o_orderpriority AS prio, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS sum_cents FROM orders "
+        f"WHERE o_orderpriority IN ({vals}) GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_allen_census(sf_dir: str):
     """Allen interval-algebra census (windows.allen_census): classify
     every user's ordered event-type pair of activity spans
@@ -12819,6 +12890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": _q_heavy_hitters,
         "item_cosine_top3": _q_item_cosine,
         "allen_interval_census": _q_allen_census,
+        "orders_hive_prune": _q_hive_prune,
         "chao1_parts": _q_chao1_parts,
         "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
@@ -14559,6 +14631,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "heavy_hitter_users": _heavy_hitters_sql(),
         "item_cosine_top3": _item_cosine_sql(),
         "allen_interval_census": _allen_census_sql(),
+        "orders_hive_prune": _hive_prune_sql(),
         "theil_sen_qty_price": _theil_sen_sql(),
         "chao1_parts": _chao1_parts_sql(),
         "ams_f2_users": _ams_f2_sql(),

@@ -602,3 +602,110 @@ def read_version(
         changes = changes.union(d)
     return merge_upsert(base, changes, key_col, seq_col="seq",
                         op_col=op_col)
+
+
+# ---------------------------------------------------------------------------
+# Hive-style categorical partitioning: value-named directories + pruned reads
+# ---------------------------------------------------------------------------
+
+
+def _hive_dir(out_dir: str, col: str, value: str) -> str:
+    # value is sanitized to a path token; when sanitization ALTERS the
+    # value, a digest suffix keeps distinct values in distinct
+    # directories ('x/y' and 'x y' must not clobber each other).  The
+    # manifest in each dir carries the EXACT value so reads never
+    # re-parse the path
+    import hashlib as _hl
+
+    v = str(value)
+    token = "".join(ch if ch.isalnum() or ch in "-_." else "_"
+                    for ch in v)
+    if token != v:
+        token += "-" + _hl.md5(v.encode()).hexdigest()[:8]
+    return os.path.join(out_dir, f"{col}={token}")
+
+
+def write_hive(
+    ds: rd.Dataset,
+    out_dir: str,
+    part_col: str,
+) -> pa.Table:
+    """Categorical (hive-style) partitioned write: one
+    ``col=value/`` directory per distinct value of ``part_col``, each
+    holding one Parquet file + a ``_VALUE`` manifest with the exact
+    (unsanitized) value and a ``_SUCCESS`` marker — the layout that
+    lets a reader PRUNE BY DIRECTORY: a filtered read opens only the
+    matching directories' footers, the other partitions' files are
+    never touched (proven by test via corrupting them).  One bucketed
+    exchange on the partition value routes complete values to their
+    writer task; writes are atomic (tmp + os.replace).  Low-cardinality
+    partition columns only — one directory per value."""
+    os.makedirs(out_dir, exist_ok=True)
+    from .windows import _str_or_int_key
+
+    def _write(grp: pa.Table) -> pa.Table:
+        col = grp.column(part_col)
+        vals = col.to_pylist()
+        import pandas as pd
+        order = pd.Series(vals).groupby(vals, sort=True).indices
+        out = []
+        for v, idx in sorted(order.items(), key=lambda kv: str(kv[0])):
+            sub = grp.take(pa.array(np.sort(idx)))
+            d = _hive_dir(out_dir, part_col, v)
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+            pq.write_table(sub, tmp)
+            os.replace(tmp, os.path.join(d, "data.parquet"))
+            with open(os.path.join(d, "_VALUE"), "w") as f:
+                f.write(str(v))
+            with open(os.path.join(d, "_SUCCESS"), "w") as f:
+                f.write("")
+            out.append((str(v), sub.num_rows))
+        return pa.table({
+            "value": pa.array([o[0] for o in out], pa.string()),
+            "rows": pa.array([o[1] for o in out], pa.int64()),
+        })
+
+    from .ops import hash_bucket_agg
+    receipts = hash_bucket_agg(
+        ds,
+        lambda b: _str_or_int_key(b.column(part_col)).view(np.int64),
+        _write,
+        num_buckets=32,
+    ).take_all()
+    receipts.sort(key=lambda r: r["value"])
+    return pa.table({
+        "value": pa.array([r["value"] for r in receipts], pa.string()),
+        "rows": pa.array([int(r["rows"]) for r in receipts], pa.int64()),
+    })
+
+
+def read_hive(
+    out_dir: str,
+    part_col: str,
+    values: list[str] | None = None,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Partition-pruned read of a ``write_hive`` layout: list the
+    ``col=value`` directories, keep only those whose ``_VALUE``
+    manifest matches ``values`` (None = all), and read ONLY their
+    files — non-matching partitions are never opened.  Raises if a
+    requested value has no finished partition (silent empty would hide
+    a missing write)."""
+    import glob as _glob
+
+    found = {}
+    for d in sorted(_glob.glob(os.path.join(out_dir, f"{part_col}=*"))):
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            continue
+        with open(os.path.join(d, "_VALUE")) as f:
+            found[f.read()] = os.path.join(d, "data.parquet")
+    if values is None:
+        files = list(found.values())
+    else:
+        missing = [v for v in values if str(v) not in found]
+        if missing:
+            raise ValueError(
+                f"no finished partition for values {missing} in {out_dir}")
+        files = [found[str(v)] for v in values]
+    return rd.read_parquet(files, columns=columns)
