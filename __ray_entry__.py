@@ -8026,6 +8026,75 @@ ae{r + 1} AS MATERIALIZED (SELECT e.src, e.dst, e.z FROM ae{r} e
     )
 
 
+WM_ITERS = 12
+
+
+def _q_weighted_matching(sf_dir: str):
+    """Greedy WEIGHTED matching (algorithms.weighted_matching —
+    Hoepman/Preis local-max rounds): an edge matches iff it is the
+    best at BOTH endpoints under (co-purchase weight DESC, splitmix hash, src, dst) — the hash tie-break keeps rounds O(log) where tie-heavy weights would serialize;
+    the fixpoint provably equals the sequential greedy scan in that
+    order — the ½-approximation to maximum-weight matching — computed
+    in O(log) broadcast-fold rounds, each one partial-max pass + one
+    winner/prune pass.  Round count asserted against the oracle's
+    unroll bound."""
+    import ray.data as rd
+
+    from essentials_rd.algorithms.matching import weighted_matching
+    from essentials_rd.pipelines import copurchase_edges
+    from essentials_rd.util import np_col
+
+    edges = copurchase_edges(sf_dir)
+
+    def _int_w(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("src"), "dst": t.column("dst"),
+            "weight": pa.array(
+                np_col(t, "weight").astype(np.int64), pa.int64()),
+        })
+
+    t, rounds, converged = weighted_matching(
+        edges.map_batches(_int_w, batch_format="pyarrow"),
+        max_rounds=WM_ITERS)
+    assert converged and rounds <= WM_ITERS, (rounds, converged)
+    return t
+
+
+def _weighted_matching_sql() -> str:
+    from essentials_rd.algorithms.matching import MM_C
+
+    chain = _sm64_ctes("wz", "src, dst, weight",
+                       f"CAST(src AS HUGEINT) * {MM_C} + dst", "pairs")
+    steps = [_GRAPH_CTES, chain,
+             "we1 AS MATERIALIZED (SELECT src, dst, "
+             "CAST(weight AS BIGINT) AS w, z FROM wz3)"]
+    for r in range(1, WM_ITERS + 1):
+        steps.append(f"""
+winc{r} AS (SELECT src AS vtx, src, dst, w, z FROM we{r}
+  UNION ALL SELECT dst AS vtx, src, dst, w, z FROM we{r}),
+wbp{r} AS MATERIALIZED (SELECT vtx, src, dst, w FROM (
+  SELECT vtx, src, dst, w, row_number() OVER (PARTITION BY vtx
+    ORDER BY w DESC, z, src, dst) AS rn FROM winc{r}) WHERE rn = 1),
+ww{r} AS MATERIALIZED (SELECT e.src, e.dst, e.w FROM we{r} e
+  JOIN wbp{r} a ON a.vtx = e.src AND a.src = e.src AND a.dst = e.dst
+  JOIN wbp{r} b ON b.vtx = e.dst AND b.src = e.src AND b.dst = e.dst),
+wmv{r} AS (SELECT src AS vid FROM ww{r}
+  UNION SELECT dst AS vid FROM ww{r}),
+we{r + 1} AS MATERIALIZED (SELECT e.src, e.dst, e.w, e.z FROM we{r} e
+  LEFT JOIN wmv{r} x ON x.vid = e.src
+  LEFT JOIN wmv{r} y ON y.vid = e.dst
+  WHERE x.vid IS NULL AND y.vid IS NULL)""")
+    body = ",".join(steps)
+    union = " UNION ALL ".join(
+        f"SELECT src, dst, w, {r} AS round FROM ww{r}"
+        for r in range(1, WM_ITERS + 1)
+    )
+    return (
+        f"WITH {body} SELECT src, dst, w, CAST(round AS BIGINT) AS round "
+        f"FROM ({union}) ORDER BY src, dst"
+    )
+
+
 def _q_trimmed_qty(sf_dir: str):
     """Exact 10%-trimmed quantity aggregate per return flag
     (ops.trimmed_sum): drop the floor(n/10) smallest and largest
@@ -12940,6 +13009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_status_history": _q_cust_status_history,
         "orders_merged": _q_orders_merged,
         "matching_edges": _q_matching,
+        "weighted_matching": _q_weighted_matching,
         "vertex_cover": _q_vertex_cover,
         "trimmed_qty": _q_trimmed_qty,
         "benford_prices": _q_benford,
@@ -14686,6 +14756,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "event_unpivot": _event_unpivot_sql(),
         "price_outliers": _price_outliers_sql(),
         "matching_edges": _matching_sql(),
+        "weighted_matching": _weighted_matching_sql(),
         "vertex_cover": _vcover_sql(),
         "trimmed_qty": _TRIMMED_QTY_SQL,
         "benford_prices": _BENFORD_SQL,

@@ -170,3 +170,135 @@ def vertex_cover_2approx(edges) -> pa.Table:
     vids = np.unique(np.r_[np.asarray(t["src"], np.int64),
                            np.asarray(t["dst"], np.int64)])
     return pa.table({"vid": pa.array(vids, pa.int64())})
+
+
+def _fold_min_wz(vtx, p, z, s, d):
+    """First tuple per vertex under (p, z, s, d) ascending — the
+    weighted order with the hash tie-break."""
+    order = np.lexsort((d, s, z, p, vtx))
+    vtx, p, z, s, d = (a[order] for a in (vtx, p, z, s, d))
+    first = np.r_[True, vtx[1:] != vtx[:-1]]
+    return vtx[first], p[first], z[first], s[first], d[first]
+
+
+def weighted_matching(
+    edges: rd.Dataset,
+    weight_col: str = "weight",
+    max_rounds: int = 32,
+) -> tuple[pa.Table, int, bool]:
+    """GREEDY weighted matching as a parallel local-max fixpoint
+    (Hoepman/Preis): an alive edge joins the matching iff it is the
+    best edge at BOTH endpoints under the total order (weight DESC,
+    splitmix64(src,dst), src, dst) — the hash tie-break keeps rounds
+    O(log) on tie-heavy weights where a plain (src,dst) order would
+    serialize into long dominance chains; winners' endpoints leave;
+    repeat.  This fixpoint equals
+    the SEQUENTIAL greedy matching that scans edges in that order —
+    the classic ½-approximation to maximum-weight matching — because
+    at every prefix of the order, a locally-dominant edge is exactly
+    one the sequential scan would take; the parallel rounds just take
+    all currently-dominant edges at once (O(log) rounds in practice,
+    each the same broadcast-fold shape as ``maximal_matching``).
+    Returns (matched (src, dst, w, round) sorted by (src, dst),
+    rounds, converged)."""
+    BIG = np.int64(1 << 62)
+    cur = edges.select_columns(["src", "dst", weight_col]).materialize()
+    out: list[tuple] = []
+    rounds = 0
+    while rounds < max_rounds:
+        if cur.count() == 0:
+            return _wresult(out, rounds, True)
+        rounds += 1
+
+        def _best_block(t: pa.Table) -> pa.Table:
+            s = np_col(t, "src")
+            d = np_col(t, "dst")
+            w = np_col(t, weight_col).astype(np.int64)
+            assert (w >= 0).all() and (w < (1 << 62)).all()
+            p = (BIG - w)  # ascending p == weight descending
+            z = _pri(s, d)
+            vtx = np.concatenate([s, d])
+            v2, p2, z2, s2, d2 = _fold_min_wz(
+                vtx, np.concatenate([p, p]).astype(np.uint64),
+                np.concatenate([z, z]),
+                np.concatenate([s, s]), np.concatenate([d, d]))
+            return pa.table({
+                "vtx": pa.array(v2, pa.int64()),
+                "p": pa.array(p2.view(np.int64)),
+                "z": pa.array(z2.view(np.int64)),
+                "s": pa.array(s2, pa.int64()),
+                "d": pa.array(d2, pa.int64()),
+            })
+
+        parts = cur.map_batches(_best_block,
+                                batch_format="pyarrow").take_all()
+        vtx = np.array([r["vtx"] for r in parts], np.int64)
+        p = np.array([r["p"] for r in parts], np.int64).view(np.uint64)
+        z = np.array([r["z"] for r in parts], np.int64).view(np.uint64)
+        s = np.array([r["s"] for r in parts], np.int64)
+        d = np.array([r["d"] for r in parts], np.int64)
+        vtx, p, z, s, d = _fold_min_wz(vtx, p, z, s, d)
+        ref = ray.put((vtx, p, s, d))
+
+        def _winners(t: pa.Table) -> pa.Table:
+            mv, mp, ms, md = ray.get(ref)
+            es = np_col(t, "src")
+            ed = np_col(t, "dst")
+            ew = np_col(t, weight_col).astype(np.int64)
+            ep = (BIG - ew).view(np.uint64)
+
+            def _is_best(end):
+                pos = np.searchsorted(mv, end)
+                return (mp[pos] == ep) & (ms[pos] == es) & (md[pos] == ed)
+
+            win = _is_best(es) & _is_best(ed)
+            return pa.table({
+                "src": pa.array(es[win], pa.int64()),
+                "dst": pa.array(ed[win], pa.int64()),
+                "w": pa.array(ew[win], pa.int64()),
+            })
+
+        wins = cur.map_batches(_winners,
+                               batch_format="pyarrow").take_all()
+        ws = np.array([r["src"] for r in wins], np.int64)
+        wd = np.array([r["dst"] for r in wins], np.int64)
+        ww = np.array([r["w"] for r in wins], np.int64)
+        out.append((ws, wd, ww, np.full(len(ws), rounds, np.int64)))
+        dead = np.unique(np.r_[ws, wd])
+        dref = ray.put(dead)
+
+        def _prune(t: pa.Table) -> pa.Table:
+            dd_ = ray.get(dref)
+            es = np_col(t, "src")
+            ed = np_col(t, "dst")
+
+            def _alive(v):
+                if not len(dd_):
+                    return np.ones(len(v), bool)
+                pos = np.searchsorted(dd_, v)
+                return ~((pos < len(dd_))
+                         & (dd_[np.minimum(pos, len(dd_) - 1)] == v))
+
+            keep = _alive(es) & _alive(ed)
+            return t.take(pa.array(np.flatnonzero(keep)))
+
+        cur = cur.map_batches(_prune, batch_format="pyarrow").materialize()
+    return _wresult(out, rounds, cur.count() == 0)
+
+
+def _wresult(out, rounds, converged):
+    if out:
+        s = np.concatenate([o[0] for o in out])
+        d = np.concatenate([o[1] for o in out])
+        w = np.concatenate([o[2] for o in out])
+        r = np.concatenate([o[3] for o in out])
+    else:
+        s = d = w = r = np.zeros(0, np.int64)
+    order = np.lexsort((d, s))
+    t = pa.table({
+        "src": pa.array(s[order], pa.int64()),
+        "dst": pa.array(d[order], pa.int64()),
+        "w": pa.array(w[order], pa.int64()),
+        "round": pa.array(r[order], pa.int64()),
+    })
+    return t, rounds, converged
