@@ -11102,6 +11102,68 @@ def _q_event_trigrams(sf_dir: str):
     return ngram_counts(ev, "event_type", n=3)
 
 
+def _q_markov_next(sf_dir: str):
+    """First-order Markov next-event prediction eval
+    (windows.transition_counts composed): train the argmax-transition
+    predictor — per previous event type, the most frequent successor
+    under the (count DESC, successor ASC) tie order — and score it on
+    the same sequences: per prev type, total transitions and hits
+    where the actual successor equals the prediction (the self-eval
+    every sequence-model baseline starts from).  One user-bucketed
+    shuffle builds the |alphabet|²-row transition table; argmax and
+    scoring are joins over that tiny table, never the events."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_top_k, join
+    from essentials_rd.windows import _str_or_int_key, transition_counts
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    trans = transition_counts(ev, "event_type")
+    pred = grouped_top_k(
+        trans, ["prev_val"], "n", 1, descending=True,
+        tie_cols=["next_val"],
+        key_fn=lambda b: _str_or_int_key(
+            b.column("prev_val")).view(np.int64))
+    pred = pred.map_batches(
+        lambda t: pa.table({"prev_val": t.column("prev_val"),
+                            "predicted": t.column("next_val")}),
+        batch_format="pyarrow")
+    rows = {}
+    joined = join(trans, pred, on="prev_val", broadcast=False)
+    for r in joined.take_all():
+        a = rows.setdefault(r["prev_val"], [r["predicted"], 0, 0])
+        a[1] += int(r["n"])
+        if r["next_val"] == r["predicted"]:
+            a[2] += int(r["n"])
+    prevs = sorted(rows)
+    return pa.table({
+        "prev_val": pa.array(prevs, pa.string()),
+        "predicted": pa.array([rows[p][0] for p in prevs], pa.string()),
+        "n_total": pa.array([rows[p][1] for p in prevs], pa.int64()),
+        "n_hits": pa.array([rows[p][2] for p in prevs], pa.int64()),
+    })
+
+
+def _markov_next_sql() -> str:
+    return (
+        "WITH pr AS (SELECT lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS prev, event_type AS nxt FROM events), "
+        "tc AS (SELECT prev, nxt, count(*) AS n FROM pr "
+        "WHERE prev IS NOT NULL GROUP BY 1, 2), "
+        "pd AS (SELECT prev, nxt AS predicted FROM ("
+        "SELECT prev, nxt, row_number() OVER (PARTITION BY prev "
+        "ORDER BY n DESC, nxt) AS rn FROM tc) WHERE rn = 1) "
+        "SELECT t.prev AS prev_val, p.predicted, "
+        "CAST(sum(t.n) AS BIGINT) AS n_total, "
+        "CAST(COALESCE(sum(CASE WHEN t.nxt = p.predicted THEN t.n "
+        "ELSE 0 END), 0) AS BIGINT) AS n_hits "
+        "FROM tc t JOIN pd p USING (prev) GROUP BY 1, 2 ORDER BY 1"
+    )
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition-count matrix (windows.transition_counts):
     (prev_type, next_type, n) over every user's event sequence under
@@ -12935,6 +12997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_edit1": _q_supplier_edit1,
         "supplier_entities": _q_supplier_entities,
         "event_transitions": _q_event_transitions,
+        "markov_next_acc": _q_markov_next,
         "event_trigrams": _q_event_trigrams,
         "ra_link_pred": _q_ra_link_pred,
         "diameter_lb": _q_diameter_lb,
@@ -14894,6 +14957,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "FROM events) WHERE prev_type IS NOT NULL "
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
+        "markov_next_acc": _markov_next_sql(),
         "supplier_entities": _supplier_entities_sql(),
         "supplier_edit1": (
             "SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id, "
