@@ -11102,6 +11102,50 @@ def _q_event_trigrams(sf_dir: str):
     return ngram_counts(ev, "event_type", n=3)
 
 
+def _q_position_attribution(sf_dir: str):
+    """U-shaped (40-20-40) multi-touch attribution
+    (windows.position_attribution): every purchase distributes exactly
+    10⁶ micro-credits over its strictly-prior view/click touches —
+    first 40%, last 40%, middles flooring the 20% pool with the
+    remainder pinned to the earliest middle, k=1 all / k=2 split /
+    k=0 to '<none>' — so Σ credit ≡ 10⁶·#purchases exactly.  One
+    user-bucketed exchange, per-type partial sums."""
+    import ray.data as rd
+
+    from essentials_rd.windows import position_attribution
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    return position_attribution(ev)
+
+
+def _position_attribution_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id AS u, event_id AS eid, "
+        "CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type AS ty "
+        "FROM events WHERE event_type IN ('view', 'click', 'purchase')), "
+        "t AS (SELECT u, eid, ts_us, ty, row_number() OVER ("
+        "PARTITION BY u ORDER BY ts_us, eid) AS rn "
+        "FROM e WHERE ty != 'purchase'), "
+        "c AS (SELECT e.u, e.eid, e.ts_us, "
+        "CAST(COALESCE((SELECT count(*) FROM t WHERE t.u = e.u AND "
+        "(t.ts_us < e.ts_us OR (t.ts_us = e.ts_us AND t.eid < e.eid))"
+        "), 0) AS BIGINT) AS k FROM e WHERE e.ty = 'purchase'), "
+        "cr AS (SELECT t.ty AS ch, CASE "
+        "WHEN c.k = 1 THEN 1000000 "
+        "WHEN c.k = 2 THEN 500000 "
+        "WHEN t.rn = 1 OR t.rn = c.k THEN 400000 "
+        "ELSE 200000 // (c.k - 2) + CASE WHEN t.rn = 2 "
+        "THEN 200000 - (200000 // (c.k - 2)) * (c.k - 2) "
+        "ELSE 0 END END AS credit "
+        "FROM c JOIN t ON t.u = c.u AND t.rn <= c.k "
+        "UNION ALL SELECT '<none>', 1000000 FROM c WHERE c.k = 0) "
+        "SELECT ch AS touch_type, CAST(sum(credit) AS BIGINT) "
+        "AS credit_micros FROM cr GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_markov_next(sf_dir: str):
     """First-order Markov next-event prediction eval
     (windows.transition_counts composed): train the argmax-transition
@@ -12998,6 +13042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_entities": _q_supplier_entities,
         "event_transitions": _q_event_transitions,
         "markov_next_acc": _q_markov_next,
+        "position_attribution": _q_position_attribution,
         "event_trigrams": _q_event_trigrams,
         "ra_link_pred": _q_ra_link_pred,
         "diameter_lb": _q_diameter_lb,
@@ -14958,6 +15003,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "markov_next_acc": _markov_next_sql(),
+        "position_attribution": _position_attribution_sql(),
         "supplier_entities": _supplier_entities_sql(),
         "supplier_edit1": (
             "SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id, "

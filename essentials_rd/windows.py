@@ -1640,3 +1640,98 @@ def allen_census(
         "rel": pa.array([_ALLEN_RELS[i] for i in order], pa.string()),
         "n_pairs": pa.array(total[order], pa.int64()),
     })
+
+
+def position_attribution(
+    events: rd.Dataset,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 32,
+    scale: int = 1_000_000,
+) -> pa.Table:
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution
+    with EXACT integer credits: each conversion distributes ``scale``
+    micro-credits over its strictly-prior touches under the
+    (ts, event_id) total order — first touch 40%, last touch 40%,
+    middles splitting 20% by integer floor division with the remainder
+    pinned to the EARLIEST middle (so credits always sum to exactly
+    ``scale``); k=1 → all, k=2 → 50/50, k=0 → the full credit lands on
+    the '<none>' channel (Σ credit ≡ scale·#conversions, the audit
+    invariant).  ONE user-bucketed exchange; per bucket a lexsort +
+    per-user searchsorted over touch positions; per-type partial sums
+    leave the bucket."""
+    from .ops import hash_bucket_agg
+
+    keep = set(touch_types) | {conv_type}
+
+    def _project(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column(type_col).to_pylist(), object)
+        m = np.isin(et, list(keep))
+        t = batch.take(pa.array(np.flatnonzero(m)))
+        return pa.table({
+            "u": t.column(user_col).cast(pa.int64()),
+            "ty": t.column(type_col),
+            "ts": pa.array(_epoch_us(t, ts_col), pa.int64()),
+            "eid": t.column(id_col).cast(pa.int64()),
+        })
+
+    first_c = (scale * 2) // 5
+    mid_pool = scale - 2 * first_c
+
+    def _credit(grp: pa.Table) -> pa.Table:
+        u = np_col(grp, "u")
+        ty = np.asarray(grp.column("ty").to_pylist(), object)
+        ts = np_col(grp, "ts")
+        eid = np_col(grp, "eid")
+        order = np.lexsort((eid, ts, u))
+        u, ty, ts, eid = u[order], ty[order], ts[order], eid[order]
+        credits: dict[str, int] = {}
+
+        def _add(ch, c):
+            credits[ch] = credits.get(ch, 0) + int(c)
+
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        for st, en in zip(starts, np.r_[starts[1:], len(u)]):
+            tys = ty[st:en]
+            is_conv = tys == conv_type
+            touch_idx = np.flatnonzero(~is_conv)
+            T = tys[touch_idx]
+            for pos in np.flatnonzero(is_conv):
+                k = int(np.searchsorted(touch_idx, pos))
+                if k == 0:
+                    _add("<none>", scale)
+                elif k == 1:
+                    _add(T[0], scale)
+                elif k == 2:
+                    _add(T[0], scale // 2)
+                    _add(T[1], scale - scale // 2)
+                else:
+                    _add(T[0], first_c)
+                    _add(T[k - 1], first_c)
+                    m = mid_pool // (k - 2)
+                    rem = mid_pool - m * (k - 2)
+                    for t_mid in T[1:k - 1]:
+                        _add(t_mid, m)
+                    _add(T[1], rem)
+        chs = sorted(credits)
+        return pa.table({
+            "touch_type": pa.array(chs, pa.string()),
+            "credit": pa.array([credits[c] for c in chs], pa.int64()),
+        })
+
+    acc: dict[str, int] = {}
+    for r in hash_bucket_agg(
+            events.map_batches(_project, batch_format="pyarrow"),
+            lambda b: np_col(b, "u"), _credit,
+            num_buckets=num_buckets).take_all():
+        acc[r["touch_type"]] = acc.get(r["touch_type"], 0) \
+            + int(r["credit"])
+    chs = sorted(acc)
+    return pa.table({
+        "touch_type": pa.array(chs, pa.string()),
+        "credit_micros": pa.array([acc[c] for c in chs], pa.int64()),
+    })
