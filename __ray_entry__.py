@@ -667,6 +667,81 @@ def _q_bfs_depth(sf_dir: str):
     return depths_table(res)
 
 
+VOR_ITERS = 16
+VOR_SEEDS = 8
+
+
+def _vor_seeds(g) -> list[int]:
+    import ray as _ray
+
+    from essentials_rd.util import hash64
+    vids = np.sort(np.asarray(_ray.get(g.vertex_ids_ref), np.int64))
+    h = hash64(vids)
+    order = np.lexsort((vids, h.view(np.int64) ^ np.int64(-(1 << 63))))
+    # order by (uint64 h, vid): shift-view trick keeps uint64 order
+    return vids[order[:VOR_SEEDS]].tolist()
+
+
+def _q_graph_voronoi(sf_dir: str):
+    """Graph Voronoi partition (algorithms.graph_voronoi): every
+    vertex assigned to its closest of 8 deterministic smallest-hash
+    seeds under hop distance, ties to the smaller seed rank — the
+    landmark-assignment primitive — with the whole (dist, seed) pair
+    riding ONE packed int64 min-key through the existing BFS-sparse
+    superstep engine (no second channel: min over dist·2³²+rank IS the
+    lexicographic tie-break).  Supersteps asserted against the
+    oracle's unroll bound."""
+    from essentials_rd.algorithms.voronoi import (
+        graph_voronoi, voronoi_table,
+    )
+
+    g, _ = _graph(sf_dir)
+    seeds = _vor_seeds(g)
+    res = graph_voronoi(g, seeds, max_iters=2 * VOR_ITERS,
+                        checkpoint_every=0, scatter_mode="fused")
+    assert res.converged and res.supersteps <= VOR_ITERS, (
+        res.supersteps, res.converged)
+    return voronoi_table(res, seeds)
+
+
+def _graph_voronoi_sql() -> str:
+    pack = 1 << 32
+    chain = _sm64_ctes("vs", "vid", "vid", "verts")
+    steps = [
+        _GRAPH_CTES, chain,
+        f"seeds AS MATERIALIZED (SELECT vid, row_number() OVER "
+        f"(ORDER BY z, vid) - 1 AS rank FROM vs3 "
+        f"ORDER BY z, vid LIMIT {VOR_SEEDS})",
+        "vk0 AS MATERIALIZED (SELECT v.vid, "
+        "CAST(COALESCE(s.rank, 4611686018427387904) AS BIGINT) AS key "
+        "FROM verts v LEFT JOIN seeds s ON s.vid = v.vid)",
+    ]
+    for k in range(VOR_ITERS):
+        steps.append(f"""
+vm{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(v.key) + {pack} AS md
+  FROM sym e JOIN vk{k} v ON v.vid = e.src
+  WHERE v.key < 4611686018427387904
+  GROUP BY e.dst
+),
+vk{k + 1} AS MATERIALIZED (
+  SELECT a.vid, LEAST(a.key, COALESCE(m.md, a.key)) AS key
+  FROM vk{k} a LEFT JOIN vm{k} m ON m.vid = a.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {body} "
+        f"SELECT a.vid, "
+        f"CASE WHEN a.key >= 4611686018427387904 THEN -1 "
+        f"ELSE a.key // {pack} END AS dist, "
+        f"CASE WHEN a.key >= 4611686018427387904 THEN -1 "
+        f"ELSE s.vid END AS seed_vid "
+        f"FROM vk{VOR_ITERS} a LEFT JOIN seeds s "
+        f"ON s.rank = a.key % {pack} AND a.key < 4611686018427387904 "
+        f"ORDER BY a.vid"
+    )
+
+
 DAG_DEPTH_ITERS = 12
 
 
@@ -13182,6 +13257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain_coarse_edges": _q_louvain_coarse,
         "louvain_level2": _q_louvain_level2,
         "bfs_depth": _q_bfs_depth,
+        "graph_voronoi8": _q_graph_voronoi,
         "temporal_reach": _q_temporal_reach,
         "rmat_edges": _q_rmat_edges,
         "media_img_stats": _q_media_img_stats,
@@ -14682,6 +14758,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "cc_labels": _cc_sql(),
         "incr_cc_labels": _cc_sql(),
         "bfs_depth": _bfs_sql(),
+        "graph_voronoi8": _graph_voronoi_sql(),
         "temporal_reach": _temporal_reach_sql(),
         "rmat_edges": _rmat_sql(),
         "media_img_stats": _media_img_sql(),
