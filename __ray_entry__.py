@@ -742,6 +742,83 @@ vk{k + 1} AS MATERIALIZED (
     )
 
 
+def _q_voronoi_coarsen(sf_dir: str):
+    """Voronoi graph coarsening (the multilevel-partitioner contraction
+    step METIS-style pipelines run after seeding): contract every
+    vertex to its graph_voronoi region and emit the QUOTIENT graph —
+    per region pair (sa ≤ sb) the edge count — off-diagonal rows are
+    the cut between regions, diagonal rows the regions' internal
+    edges.  The assignment rides the superstep engine;
+    the contraction is one partitioned join of the edge list against
+    the assignment table (joined on BOTH endpoints) and a pair-keyed
+    combine — edges never visit the driver."""
+    import ray.data as rd
+
+    from essentials_rd.algorithms.voronoi import (
+        graph_voronoi, voronoi_table,
+    )
+    from essentials_rd.ops import grouped_pandas_agg, join
+    from essentials_rd.util import np_col
+
+    g, edges = _graph(sf_dir)
+    seeds = _vor_seeds(g)
+    res = graph_voronoi(g, seeds, max_iters=2 * VOR_ITERS,
+                        checkpoint_every=0, scatter_mode="fused")
+    assert res.converged and res.supersteps <= VOR_ITERS
+    assign = rd.from_arrow(voronoi_table(res, seeds))
+
+    asg_s = assign.map_batches(
+        lambda t: pa.table({"src": t.column("vid"),
+                            "ra": t.column("seed_vid")}),
+        batch_format="pyarrow")
+    asg_d = assign.map_batches(
+        lambda t: pa.table({"dst": t.column("vid"),
+                            "rb": t.column("seed_vid")}),
+        batch_format="pyarrow")
+    ed = edges.select_columns(["src", "dst"])
+    tagged = join(join(ed, asg_s, on="src", broadcast=False),
+                  asg_d, on="dst", broadcast=False)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        ra = np_col(t, "ra")
+        rb = np_col(t, "rb")
+        sa = np.minimum(ra, rb)
+        sb = np.maximum(ra, rb)
+        return pa.table({"sa": pa.array(sa, pa.int64()),
+                         "sb": pa.array(sb, pa.int64()),
+                         "one": pa.array(np.ones(len(sa), np.int64))})
+
+    agg = grouped_pandas_agg(
+        tagged.map_batches(_pairs, batch_format="pyarrow"),
+        keys=["sa", "sb"], aggs={"n": ("one", "sum")},
+        key_fn=lambda b: np_col(b, "sa") * np.int64(0x9E3779B1)
+        + np_col(b, "sb"))
+    rows = sorted(agg.take_all(), key=lambda r: (r["sa"], r["sb"]))
+    return pa.table({
+        "sa": pa.array([r["sa"] for r in rows], pa.int64()),
+        "sb": pa.array([r["sb"] for r in rows], pa.int64()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+    })
+
+
+def _voronoi_coarsen_sql() -> str:
+    inner = _graph_voronoi_sql()
+    # reuse the voronoi SQL as a subquery for the assignment table
+    return (
+        f"WITH asg AS MATERIALIZED ({inner}), "
+        "ip AS (SELECT a.seed_vid AS ra, b.seed_vid AS rb "
+        "FROM (SELECT * FROM asg) a "
+        "JOIN (WITH items AS (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem) SELECT x.l_partkey AS src, y.l_partkey AS dst "
+        "FROM items x JOIN items y ON x.l_orderkey = y.l_orderkey "
+        "AND x.l_partkey < y.l_partkey GROUP BY 1, 2) e "
+        "ON e.src = a.vid JOIN asg b ON b.vid = e.dst) "
+        "SELECT LEAST(ra, rb) AS sa, GREATEST(ra, rb) AS sb, "
+        "CAST(count(*) AS BIGINT) AS n FROM ip GROUP BY 1, 2 "
+        "ORDER BY 1, 2"
+    )
+
+
 DAG_DEPTH_ITERS = 12
 
 
@@ -13258,6 +13335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain_level2": _q_louvain_level2,
         "bfs_depth": _q_bfs_depth,
         "graph_voronoi8": _q_graph_voronoi,
+        "voronoi_coarsen": _q_voronoi_coarsen,
         "temporal_reach": _q_temporal_reach,
         "rmat_edges": _q_rmat_edges,
         "media_img_stats": _q_media_img_stats,
@@ -14759,6 +14837,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "incr_cc_labels": _cc_sql(),
         "bfs_depth": _bfs_sql(),
         "graph_voronoi8": _graph_voronoi_sql(),
+        "voronoi_coarsen": _voronoi_coarsen_sql(),
         "temporal_reach": _temporal_reach_sql(),
         "rmat_edges": _rmat_sql(),
         "media_img_stats": _media_img_sql(),

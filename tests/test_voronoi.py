@@ -88,3 +88,64 @@ def test_unreachable_and_partitions(tmp_path):
     g4 = _got(b, src, dst, seeds=[0], P=4)
     assert g1 == g4
     assert g1[2] == (2, 0) and g1[5] == (-1, -1) and g1[7] == (-1, -1)
+
+
+def test_coarsen_quotient_bruteforce(tmp_path, monkeypatch):
+    # quotient counts: contract assignments, count edges per region
+    # pair including diagonals
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, join
+    from essentials_rd.util import np_col
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 30, 80).astype(np.int64)
+    dst = rng.integers(0, 30, 80).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    pairs = np.unique(lo * np.int64(1 << 20) + hi)
+    src, dst = pairs // (1 << 20), pairs % (1 << 20)
+    seeds = [2, 9, 21]
+    asg = _got(tmp_path, src, dst, seeds, P=2)
+
+    want = {}
+    for s, d in zip(src, dst):
+        ra, rb = asg[s][1], asg[d][1]
+        key = (min(ra, rb), max(ra, rb))
+        want[key] = want.get(key, 0) + 1
+
+    g = small_graph(tmp_path / "g2", src, dst, P=2)
+    # engine-side quotient over the same assignment
+    t = pa.table({"vid": pa.array(sorted(asg), pa.int64()),
+                  "seed_vid": pa.array(
+                      [asg[v][1] for v in sorted(asg)], pa.int64())})
+    assign = rd.from_arrow(t)
+    ed = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+    asg_s = assign.map_batches(
+        lambda b: pa.table({"src": b.column("vid"),
+                            "ra": b.column("seed_vid")}),
+        batch_format="pyarrow")
+    asg_d = assign.map_batches(
+        lambda b: pa.table({"dst": b.column("vid"),
+                            "rb": b.column("seed_vid")}),
+        batch_format="pyarrow")
+    tagged = join(join(ed, asg_s, on="src", broadcast=False),
+                  asg_d, on="dst", broadcast=False)
+
+    def _pairs(b):
+        ra, rb = np_col(b, "ra"), np_col(b, "rb")
+        return pa.table({
+            "sa": pa.array(np.minimum(ra, rb), pa.int64()),
+            "sb": pa.array(np.maximum(ra, rb), pa.int64()),
+            "one": pa.array(np.ones(len(ra), np.int64))})
+
+    agg = grouped_pandas_agg(
+        tagged.map_batches(_pairs, batch_format="pyarrow"),
+        keys=["sa", "sb"], aggs={"n": ("one", "sum")},
+        key_fn=lambda b: np_col(b, "sa") * np.int64(97) + np_col(b, "sb"))
+    got = {(r["sa"], r["sb"]): int(r["n"]) for r in agg.take_all()}
+    assert got == want
