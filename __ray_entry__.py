@@ -9453,6 +9453,90 @@ def _chao1_parts_sql() -> str:
 HIVE_PRIOS = ["1-URGENT", "3-MEDIUM"]
 
 
+BLOOM_SC_PARTS, BLOOM_SC_KEYS = 16, 5
+
+
+def _q_bloom_sidecar(sf_dir: str):
+    """Bloom-sidecar partition skipping
+    (sinks.write_bloom_sidecars/read_partitioned_bloom — the
+    parquet-bloom-filter idea at partition level): orders laid out by
+    hash(o_orderkey), then point lookups BY A DIFFERENT COLUMN
+    (o_custkey) probe each partition's n_bits/8-byte sidecar
+    driver-side and open only bloom-positive files — no false
+    negatives by construction, false positives only cost a file read;
+    per looked-up customer (the 5 smallest distinct custkeys) the
+    exact (n_orders, sum_cents)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from essentials_rd.ops import top_k
+    from essentials_rd.sinks import (
+        read_partitioned_bloom, write_bloom_sidecars, write_partitioned,
+    )
+    from essentials_rd.util import np_col
+
+    base_dir = ("/tmp/essentials_rd_bloomsc_"
+                + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(base_dir, ignore_errors=True)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey"),
+                         "cents": pa.array(c, pa.int64())})
+
+    write_partitioned(orders.map_batches(_proj, batch_format="pyarrow"),
+                      base_dir, lambda b: np_col(b, "o_orderkey"),
+                      BLOOM_SC_PARTS)
+    write_bloom_sidecars(base_dir, BLOOM_SC_PARTS, "o_custkey")
+
+    from essentials_rd.ops import int_value_counts
+    distinct_cust = int_value_counts(
+        orders.select_columns(["o_custkey"]), "o_custkey")
+    keys = sorted(top_k(distinct_cust, "value", BLOOM_SC_KEYS,
+                        descending=False).column("value").to_pylist())
+
+    out = []
+    for ck in keys:
+        ds, n_open, n_skip = read_partitioned_bloom(
+            base_dir, BLOOM_SC_PARTS, "o_custkey", int(ck))
+        n = s_ = 0
+        if ds is not None:
+            for r in ds.map_batches(
+                    lambda t: pa.table({
+                        "n": pa.array([t.num_rows], pa.int64()),
+                        "s": pa.array([int(np_col(t, "cents").sum())],
+                                      pa.int64())}),
+                    batch_format="pyarrow").take_all():
+                n += int(r["n"]); s_ += int(r["s"])
+        out.append((int(ck), n, s_))
+    return pa.table({
+        "custkey": pa.array([o[0] for o in out], pa.int64()),
+        "n_orders": pa.array([o[1] for o in out], pa.int64()),
+        "sum_cents": pa.array([o[2] for o in out], pa.int64()),
+    })
+
+
+def _bloom_sidecar_sql() -> str:
+    return (
+        "WITH ks AS (SELECT DISTINCT o_custkey FROM orders "
+        f"ORDER BY 1 LIMIT {BLOOM_SC_KEYS}) "
+        "SELECT k.o_custkey AS custkey, "
+        "CAST(count(o.o_orderkey) AS BIGINT) AS n_orders, "
+        "CAST(COALESCE(sum(CAST(floor(o.o_totalprice * 100 + 0.5) "
+        "AS BIGINT)), 0) AS BIGINT) AS sum_cents "
+        "FROM ks k LEFT JOIN orders o ON o.o_custkey = k.o_custkey "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_hive_prune(sf_dir: str):
     """Hive-style categorical partitioning + directory pruning
     (sinks.write_hive/read_hive): orders written one
@@ -13220,6 +13304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_cosine_top3": _q_item_cosine,
         "allen_interval_census": _q_allen_census,
         "orders_hive_prune": _q_hive_prune,
+        "bloom_sidecar_lookup": _q_bloom_sidecar,
         "chao1_parts": _q_chao1_parts,
         "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
@@ -14966,6 +15051,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "item_cosine_top3": _item_cosine_sql(),
         "allen_interval_census": _allen_census_sql(),
         "orders_hive_prune": _hive_prune_sql(),
+        "bloom_sidecar_lookup": _bloom_sidecar_sql(),
         "theil_sen_qty_price": _theil_sen_sql(),
         "chao1_parts": _chao1_parts_sql(),
         "ams_f2_users": _ams_f2_sql(),

@@ -709,3 +709,96 @@ def read_hive(
                 f"no finished partition for values {missing} in {out_dir}")
         files = [found[str(v)] for v in values]
     return rd.read_parquet(files, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecars: partition-skipping point lookups on NON-partition columns
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _sidecar_words(path: str, col: str, k: int, n_bits: int) -> np.ndarray:
+    from .ops import _bloom_positions
+
+    t = pq.read_table(path, columns=[col])
+    words = np.zeros((n_bits + 63) // 64, np.uint64)
+    if t.num_rows:
+        h = hash64(np_col(t, col).astype(np.int64))
+        pos = _bloom_positions(h, k, n_bits).ravel()
+        np.bitwise_or.at(words, pos >> 6,
+                         np.uint64(1) << (pos & 63).astype(np.uint64))
+    return words
+
+
+def write_bloom_sidecars(
+    out_dir: str,
+    num_partitions: int,
+    col: str,
+    k: int = 8,
+    n_bits: int = 8192,
+) -> int:
+    """Attach a per-partition Bloom sidecar over ``col`` to an existing
+    ``write_partitioned`` layout — the parquet-bloom-filter idea at the
+    partition level, for point lookups on a column the layout was NOT
+    partitioned by (partition by orderkey, look up by custkey): each
+    finished partition gets a ``_BLOOM-<col>`` file of n_bits/8 packed
+    bytes built by one Ray task reading ONLY that column.  Returns the
+    number of sidecars written."""
+    parts = finished_partitions(out_dir, num_partitions)
+    paths = [os.path.join(_part_dir(out_dir, int(p)), "data.parquet")
+             for p in parts]
+    refs = [_sidecar_words.remote(p, col, k, n_bits) for p in paths]
+    for p, ref in zip(parts, refs):
+        words = ray.get(ref)
+        d = _part_dir(out_dir, int(p))
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(np.array([k, n_bits], np.int64).tobytes())
+            f.write(words.tobytes())
+        os.replace(tmp, os.path.join(d, f"_BLOOM-{col}"))
+    return len(paths)
+
+
+def read_partitioned_bloom(
+    out_dir: str,
+    num_partitions: int,
+    col: str,
+    value: int,
+) -> tuple[rd.Dataset | None, int, int]:
+    """Point lookup through the sidecars: probe every partition's tiny
+    ``_BLOOM-<col>`` (driver-side, n_bits/8 bytes each — the files
+    themselves stay closed), open ONLY bloom-positive partitions, and
+    filter exactly on ``col == value``.  No false negatives (every
+    partition holding the value probes positive by construction);
+    false positives only cost an extra file read.  Returns (dataset or
+    None when every partition is skipped, n_opened, n_skipped)."""
+    from .ops import _bloom_positions
+
+    parts = finished_partitions(out_dir, num_partitions)
+    hit_files = []
+    n_skipped = 0
+    for p in parts:
+        d = _part_dir(out_dir, int(p))
+        side = os.path.join(d, f"_BLOOM-{col}")
+        with open(side, "rb") as f:
+            meta = np.frombuffer(f.read(16), np.int64)
+            k, n_bits = int(meta[0]), int(meta[1])
+            words = np.frombuffer(f.read(), np.uint64)
+        h = hash64(np.array([value], np.int64))
+        pos = _bloom_positions(h, k, n_bits).ravel()
+        bits = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) \
+            & np.uint64(1)
+        if bits.all():
+            hit_files.append(os.path.join(d, "data.parquet"))
+        else:
+            n_skipped += 1
+    if not hit_files:
+        return None, 0, int(n_skipped)
+    ds = rd.read_parquet(hit_files)
+
+    def _exact(t: pa.Table) -> pa.Table:
+        m = np_col(t, col) == value
+        return t.take(pa.array(np.flatnonzero(m)))
+
+    return (ds.map_batches(_exact, batch_format="pyarrow"),
+            len(hit_files), int(n_skipped))
