@@ -4024,6 +4024,123 @@ def _q_sorted_write(sf_dir: str):
 WELCH_A, WELCH_B = "purchase", "view"
 
 
+PERM_B, PERM_SEED = 32, 23
+
+
+def _q_perm_test(sf_dir: str):
+    """Randomization test for the purchase-vs-view mean difference —
+    the distribution-free companion to Welch: 32 deterministic
+    random-relabelings (replicate b reassigns each pooled row by bit b
+    of splitmix64(event_id + seed·golden) — exchangeable under the
+    sharp null) each yield a mean difference; the answer is how many
+    relabeled |diffs| reach the observed |diff|.  ALL 32 replicates
+    fold in ONE streaming pass: per block a 32-lane bit-matrix
+    popcount/sum gives (n_b, s_b) per lane (2·32 ints), the complement
+    comes from the pooled totals; every float is computed in the SQL
+    twin's expression order.  Output: (n_a, n_b, obs_diff 6dp,
+    n_extreme, n_reps)."""
+    import math
+
+    import ray.data as rd
+
+    from essentials_rd.util import hash64, np_col
+
+    mix = np.int64((PERM_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1))
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), object)
+        keep = (et == WELCH_A) | (et == WELCH_B)
+        tt = t.take(pa.array(np.flatnonzero(keep)))
+        et = et[keep]
+        c = np.floor(np.asarray(tt.column("value").to_numpy(
+            zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        eid = np_col(tt, "event_id")
+        with np.errstate(over="ignore"):
+            h = hash64(eid + mix)
+        bits = ((h[:, None] >> np.arange(PERM_B, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        nb = bits.sum(axis=0)
+        sb = (bits * c[:, None]).sum(axis=0)
+        ga = et == WELCH_A
+        return pa.table({
+            "i": pa.array(np.arange(PERM_B + 2, dtype=np.int64)),
+            "n": pa.array(np.r_[nb, int(ga.sum()), int((~ga).sum())],
+                          pa.int64()),
+            "s": pa.array(np.r_[sb, int(c[ga].sum()),
+                                int(c[~ga].sum())], pa.int64()),
+        })
+
+    acc_n = np.zeros(PERM_B + 2, dtype=object)
+    acc_s = np.zeros(PERM_B + 2, dtype=object)
+    for r in ev.map_batches(_partial, batch_format="pyarrow").take_all():
+        acc_n[int(r["i"])] += int(r["n"])
+        acc_s[int(r["i"])] += int(r["s"])
+    n_a, n_b_ = int(acc_n[PERM_B]), int(acc_n[PERM_B + 1])
+    s_a, s_b_ = int(acc_s[PERM_B]), int(acc_s[PERM_B + 1])
+    n_tot, s_tot = n_a + n_b_, s_a + s_b_
+    obs = float(s_a) / float(n_a) - float(s_b_) / float(n_b_)
+    n_extreme = 0
+    for b in range(PERM_B):
+        nb, sb = int(acc_n[b]), int(acc_s[b])
+        if nb == 0 or nb == n_tot:
+            continue
+        diff = (float(sb) / float(nb)
+                - float(s_tot - sb) / float(n_tot - nb))
+        if abs(diff) >= abs(obs):
+            n_extreme += 1
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b_], pa.int64()),
+        "obs_diff": pa.array([r6(obs)], pa.float64()),
+        "n_extreme": pa.array([n_extreme], pa.int64()),
+        "n_reps": pa.array([PERM_B], pa.int64()),
+    })
+
+
+def _perm_test_sql() -> str:
+    mix = (PERM_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    chain = _sm64_ctes(
+        "pm", "c, ga", f"event_id + {mix}",
+        "(SELECT event_id, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, "
+        f"CASE WHEN event_type = '{WELCH_A}' THEN 1 ELSE 0 END AS ga "
+        "FROM events WHERE event_type IN "
+        f"('{WELCH_A}', '{WELCH_B}'))")
+    lanes = ", ".join(
+        f"CAST(SUM((z >> {b}) & 1) AS BIGINT) AS n{b}, "
+        f"CAST(SUM(CASE WHEN (z >> {b}) & 1 = 1 THEN c ELSE 0 END) "
+        f"AS BIGINT) AS s{b}"
+        for b in range(PERM_B))
+    reps = " UNION ALL ".join(
+        f"SELECT n{b} AS nb, s{b} AS sb FROM lanes" for b in range(PERM_B))
+    return (
+        f"WITH {chain}, "
+        f"lanes AS (SELECT {lanes}, "
+        "CAST(SUM(ga) AS BIGINT) AS na, "
+        "CAST(SUM(1 - ga) AS BIGINT) AS nbg, "
+        "CAST(SUM(CASE WHEN ga = 1 THEN c ELSE 0 END) AS BIGINT) AS sa, "
+        "CAST(SUM(CASE WHEN ga = 0 THEN c ELSE 0 END) AS BIGINT) AS sbg "
+        "FROM pm3), "
+        "ob AS (SELECT na, nbg, sa, sbg, na + nbg AS nt, "
+        "sa + sbg AS st, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - "
+        "CAST(sbg AS DOUBLE) / CAST(nbg AS DOUBLE) AS obs FROM lanes), "
+        f"rp AS ({reps}), "
+        "ex AS (SELECT CAST(count(*) AS BIGINT) AS k FROM rp, ob "
+        "WHERE rp.nb > 0 AND rp.nb < ob.nt AND "
+        "abs(CAST(rp.sb AS DOUBLE) / CAST(rp.nb AS DOUBLE) - "
+        "CAST(ob.st - rp.sb AS DOUBLE) / CAST(ob.nt - rp.nb AS DOUBLE)) "
+        ">= abs(ob.obs)) "
+        "SELECT ob.na AS n_a, ob.nbg AS n_b, "
+        "floor(ob.obs * 1000000 + 0.5) / 1000000 AS obs_diff, "
+        "ex.k AS n_extreme, "
+        f"CAST({PERM_B} AS BIGINT) AS n_reps FROM ob, ex"
+    )
+
+
 def _q_welch_ttest(sf_dir: str):
     """Welch's unequal-variance t-test — the parametric companion to
     the suite's rank-sum/KS/EMD drift tests — comparing purchase vs
@@ -13341,6 +13458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_ledger": _q_cdc_chunks,
         "logistic_urgent_price": _q_logistic_newton,
         "welch_ttest_values": _q_welch_ttest,
+        "perm_test_values": _q_perm_test,
         "zonemap_price_scan": _q_zonemap_scan,
         "zorder_box_scan": _q_zorder_box_scan,
         "lang_diversity": _q_lang_diversity,
@@ -15098,6 +15216,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "cdc_chunk_ledger": _cdc_chunks_sql(),
         "logistic_urgent_price": _logistic_newton_sql(),
         "welch_ttest_values": _welch_ttest_sql(),
+        "perm_test_values": _perm_test_sql(),
         "zonemap_price_scan": _zonemap_scan_sql(),
         "zorder_box_scan": _zorder_box_sql(),
         "lang_diversity": _lang_diversity_sql(),
