@@ -9570,6 +9570,108 @@ def _chao1_parts_sql() -> str:
 HIVE_PRIOS = ["1-URGENT", "3-MEDIUM"]
 
 
+CH_NODES, CH_VNODES = 6, 64
+
+
+def _ch_ring(n_nodes: int) -> tuple[np.ndarray, np.ndarray]:
+    from essentials_rd.util import hash64
+
+    node = np.repeat(np.arange(n_nodes, dtype=np.int64), CH_VNODES)
+    v = np.tile(np.arange(CH_VNODES, dtype=np.int64), n_nodes)
+    pos = hash64(node * np.int64(1 << 32) + v)
+    order = np.argsort(pos)
+    return pos[order], node[order]
+
+
+def _q_consistent_hash(sf_dir: str):
+    """Consistent-hashing rebalancing audit — the shard-ring property
+    every distributed store leans on: keys (orders) map to the first
+    ring vnode clockwise of their hash (64 splitmix vnodes per node,
+    wrap to the ring minimum); adding node 6 to a 6-node ring must
+    move ONLY keys whose arc lands on the new node (~1/(N+1) of them)
+    and every move must target the new node — asserted, not assumed.
+    One streaming pass assigns each key under BOTH rings (two
+    searchsorted probes against the broadcast rings) and folds
+    per-old-node (stayed, moved) counts."""
+    import ray as _ray
+    import ray.data as rd
+
+    from essentials_rd.util import hash64, np_col
+
+    pos_a, node_a = _ch_ring(CH_NODES)
+    pos_b, node_b = _ch_ring(CH_NODES + 1)
+    ref = _ray.put((pos_a, node_a, pos_b, node_b))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def _assign(t: pa.Table) -> pa.Table:
+        pa_, na_, pb_, nb_ = _ray.get(ref)
+        h = hash64(np_col(t, "o_orderkey"))
+
+        def _ring(pos, node):
+            i = np.searchsorted(pos, h, side="left")
+            i[i == len(pos)] = 0  # wrap to ring minimum
+            return node[i]
+
+        a = _ring(pa_, na_)
+        b = _ring(pb_, nb_)
+        key = a * np.int64(2) + (a != b)
+        cnt = np.bincount(key, minlength=2 * CH_NODES)
+        n_bad = int(((a != b) & (b != CH_NODES)).sum())
+        return pa.table({
+            "node": pa.array(np.arange(CH_NODES, dtype=np.int64),
+                             pa.int64()),
+            "stayed": pa.array(cnt[0::2][:CH_NODES], pa.int64()),
+            "moved": pa.array(cnt[1::2][:CH_NODES], pa.int64()),
+            "bad": pa.array(np.full(CH_NODES, n_bad, np.int64),
+                            pa.int64()),
+        })
+
+    stayed = np.zeros(CH_NODES, np.int64)
+    moved = np.zeros(CH_NODES, np.int64)
+    bad = 0
+    for r in orders.map_batches(_assign,
+                                batch_format="pyarrow").take_all():
+        stayed[int(r["node"])] += int(r["stayed"])
+        moved[int(r["node"])] += int(r["moved"])
+        bad += int(r["bad"])
+    assert bad == 0, "a key moved to an OLD node — ring property broken"
+    return pa.table({
+        "node": pa.array(np.arange(CH_NODES, dtype=np.int64)),
+        "n_stayed": pa.array(stayed, pa.int64()),
+        "n_moved": pa.array(moved, pa.int64()),
+    })
+
+
+def _consistent_hash_sql() -> str:
+    ring = _sm64_ctes(
+        "ch_r", "node, v",
+        "node * 4294967296 + v",
+        f"(SELECT a.range AS node, b.range AS v "
+        f"FROM range({CH_NODES + 1}) a, range({CH_VNODES}) b)")
+    keys = _sm64_ctes("ch_k", "o_orderkey", "o_orderkey", "orders")
+    return (
+        f"WITH {ring}, {keys}, "
+        "ra AS (SELECT node, CAST(z AS HUGEINT) AS p FROM ch_r3 "
+        f"WHERE node < {CH_NODES}), "
+        "rb AS (SELECT node, CAST(z AS HUGEINT) AS p FROM ch_r3), "
+        "ka AS (SELECT k.o_orderkey, "
+        "COALESCE(r.node, (SELECT node FROM ra ORDER BY p LIMIT 1)) "
+        "AS na FROM (SELECT o_orderkey, CAST(z AS HUGEINT) AS h "
+        "FROM ch_k3) k ASOF LEFT JOIN ra r ON -k.h >= -r.p), "
+        "kb AS (SELECT k.o_orderkey, "
+        "COALESCE(r.node, (SELECT node FROM rb ORDER BY p LIMIT 1)) "
+        "AS nb FROM (SELECT o_orderkey, CAST(z AS HUGEINT) AS h "
+        "FROM ch_k3) k ASOF LEFT JOIN rb r ON -k.h >= -r.p) "
+        "SELECT ka.na AS node, "
+        "CAST(SUM(CASE WHEN ka.na = kb.nb THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_stayed, "
+        "CAST(SUM(CASE WHEN ka.na != kb.nb THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_moved FROM ka JOIN kb USING (o_orderkey) "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
 BLOOM_SC_PARTS, BLOOM_SC_KEYS = 16, 5
 
 
@@ -13422,6 +13524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allen_interval_census": _q_allen_census,
         "orders_hive_prune": _q_hive_prune,
         "bloom_sidecar_lookup": _q_bloom_sidecar,
+        "consistent_hash_moves": _q_consistent_hash,
         "chao1_parts": _q_chao1_parts,
         "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
@@ -15170,6 +15273,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "allen_interval_census": _allen_census_sql(),
         "orders_hive_prune": _hive_prune_sql(),
         "bloom_sidecar_lookup": _bloom_sidecar_sql(),
+        "consistent_hash_moves": _consistent_hash_sql(),
         "theil_sen_qty_price": _theil_sen_sql(),
         "chao1_parts": _chao1_parts_sql(),
         "ams_f2_users": _ams_f2_sql(),
