@@ -9570,6 +9570,89 @@ def _chao1_parts_sql() -> str:
 HIVE_PRIOS = ["1-URGENT", "3-MEDIUM"]
 
 
+PARITY_PARTS, PARITY_LOST = 16, 3
+
+
+def _q_parity_recover(sf_dir: str):
+    """XOR-parity shard recovery (sinks.write_parity /
+    recover_partition — RAID-5 for the partitioned sink): orders laid
+    out by hash(o_orderkey) into 16 partitions, ONE parity sidecar =
+    byte-wise XOR of all partition files; partition 3's file is then
+    DELETED and reconstructed byte-identically from parity ⊕ the 15
+    survivors (sha256 of the original file asserted, not assumed —
+    resume protects mid-write crashes, parity protects finished shards
+    lost afterwards); the query reads ONLY the recovered partition and
+    emits its (n, sum_cents), which the SQL twin reproduces from the
+    shared splitmix partition-routing rule z % 16 = 3."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from essentials_rd.sinks import (
+        _part_dir, recover_partition, write_parity, write_partitioned,
+    )
+    from essentials_rd.util import np_col
+
+    base_dir = ("/tmp/essentials_rd_parity_"
+                + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(base_dir, ignore_errors=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "cents": pa.array(c, pa.int64())})
+
+    write_partitioned(orders.map_batches(_proj, batch_format="pyarrow"),
+                      base_dir, lambda b: np_col(b, "o_orderkey"),
+                      PARITY_PARTS)
+    write_parity(base_dir, PARITY_PARTS)
+
+    victim = os.path.join(_part_dir(base_dir, PARITY_LOST),
+                          "data.parquet")
+    with open(victim, "rb") as f:
+        want_sha = _hl.sha256(f.read()).hexdigest()
+    os.remove(victim)
+    recovered = recover_partition(base_dir, PARITY_PARTS, PARITY_LOST)
+    with open(recovered, "rb") as f:
+        got_sha = _hl.sha256(f.read()).hexdigest()
+    assert got_sha == want_sha, "recovered shard is not byte-identical"
+
+    ds = rd.read_parquet([recovered])
+    n = s_ = 0
+    for r in ds.map_batches(
+            lambda t: pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([int(np_col(t, "cents").sum())],
+                              pa.int64())}),
+            batch_format="pyarrow").take_all():
+        n += int(r["n"]); s_ += int(r["s"])
+    return pa.table({
+        "part": pa.array([PARITY_LOST], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+        "sum_cents": pa.array([s_], pa.int64()),
+    })
+
+
+def _parity_recover_sql() -> str:
+    chain = _sm64_ctes("py", "o_orderkey, c", "o_orderkey",
+                       "(SELECT o_orderkey, "
+                       "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+                       "AS c FROM orders)")
+    return (
+        f"WITH {chain} "
+        f"SELECT CAST({PARITY_LOST} AS BIGINT) AS part, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(COALESCE(sum(c), 0) AS BIGINT) AS sum_cents "
+        f"FROM py3 WHERE z % {PARITY_PARTS} = {PARITY_LOST}"
+    )
+
+
 CH_NODES, CH_VNODES = 6, 64
 
 
@@ -13525,6 +13608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_hive_prune": _q_hive_prune,
         "bloom_sidecar_lookup": _q_bloom_sidecar,
         "consistent_hash_moves": _q_consistent_hash,
+        "parity_shard_recover": _q_parity_recover,
         "chao1_parts": _q_chao1_parts,
         "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
@@ -15274,6 +15358,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "orders_hive_prune": _hive_prune_sql(),
         "bloom_sidecar_lookup": _bloom_sidecar_sql(),
         "consistent_hash_moves": _consistent_hash_sql(),
+        "parity_shard_recover": _parity_recover_sql(),
         "theil_sen_qty_price": _theil_sen_sql(),
         "chao1_parts": _chao1_parts_sql(),
         "ams_f2_users": _ams_f2_sql(),

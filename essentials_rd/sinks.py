@@ -802,3 +802,100 @@ def read_partitioned_bloom(
 
     return (ds.map_batches(_exact, batch_format="pyarrow"),
             len(hit_files), int(n_skipped))
+
+
+# ---------------------------------------------------------------------------
+# XOR parity: single-shard loss recovery for the partitioned sink
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _file_bytes_padded(path: str, size: int) -> np.ndarray:
+    with open(path, "rb") as f:
+        raw = np.frombuffer(f.read(), np.uint8)
+    out = np.zeros(size, np.uint8)
+    out[:len(raw)] = raw
+    return out
+
+
+@ray.remote
+def _xor_fold(*arrs: np.ndarray) -> np.ndarray:
+    out = arrs[0].copy()
+    for a in arrs[1:]:
+        np.bitwise_xor(out, a, out=out)
+    return out
+
+
+def write_parity(out_dir: str, num_partitions: int) -> dict:
+    """RAID-5-style XOR parity over a ``write_partitioned`` layout:
+    one ``_PARITY`` sidecar = byte-wise XOR of every partition's
+    Parquet file (zero-padded to the longest), plus a length manifest
+    — enough to reconstruct ANY SINGLE lost partition byte-identically
+    without re-running the pipeline that produced it (resume protects
+    against mid-write crashes; parity protects against losing a
+    finished shard afterwards).  The fold is a tree of Ray tasks;
+    the driver holds one file-sized buffer."""
+    import json
+
+    parts = finished_partitions(out_dir, num_partitions)
+    paths = {int(p): os.path.join(_part_dir(out_dir, int(p)),
+                                  "data.parquet") for p in parts}
+    sizes = {p: os.path.getsize(f) for p, f in paths.items()}
+    width = max(sizes.values())
+    refs = [_file_bytes_padded.remote(paths[p], width)
+            for p in sorted(paths)]
+    while len(refs) > 1:
+        refs = [_xor_fold.remote(*refs[i:i + 8])
+                for i in range(0, len(refs), 8)]
+    parity = ray.get(refs[0])
+    tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "wb") as f:
+        f.write(parity.tobytes())
+    os.replace(tmp, os.path.join(out_dir, "_PARITY"))
+    manifest = {"width": width,
+                "sizes": {str(p): s for p, s in sizes.items()}}
+    tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "_PARITY_MANIFEST"))
+    return manifest
+
+
+def recover_partition(out_dir: str, num_partitions: int, p: int) -> str:
+    """Reconstruct partition ``p``'s Parquet file byte-identically by
+    XOR-ing the parity sidecar with every OTHER partition's (padded)
+    bytes, truncating to the manifest length, and committing
+    atomically (file + ``_SUCCESS``).  Raises if more than the one
+    partition is missing — XOR parity tolerates exactly one loss."""
+    import json
+
+    with open(os.path.join(out_dir, "_PARITY_MANIFEST")) as f:
+        manifest = json.load(f)
+    width = manifest["width"]
+    want = {int(k) for k in manifest["sizes"]}
+    others = []
+    for q in sorted(want - {int(p)}):
+        path = os.path.join(_part_dir(out_dir, q), "data.parquet")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"partition {q} also missing — XOR parity recovers "
+                "exactly one lost shard")
+        others.append(_file_bytes_padded.remote(path, width))
+    with open(os.path.join(out_dir, "_PARITY"), "rb") as f:
+        parity = np.frombuffer(f.read(), np.uint8).copy()
+    refs = others
+    while len(refs) > 1:
+        refs = [_xor_fold.remote(*refs[i:i + 8])
+                for i in range(0, len(refs), 8)]
+    if refs:
+        np.bitwise_xor(parity, ray.get(refs[0]), out=parity)
+    raw = parity[:manifest["sizes"][str(int(p))]]
+    d = _part_dir(out_dir, int(p))
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "wb") as f:
+        f.write(raw.tobytes())
+    os.replace(tmp, os.path.join(d, "data.parquet"))
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        f.write("")
+    return os.path.join(d, "data.parquet")
