@@ -9570,6 +9570,104 @@ def _chao1_parts_sql() -> str:
 HIVE_PRIOS = ["1-URGENT", "3-MEDIUM"]
 
 
+ENC_COLS = ["band", "custkey", "prio_digit", "status_ord"]
+
+
+def _q_encoding_advisor(sf_dir: str):
+    """Storage-encoding advisor (ops.sorted_run_stats): for four
+    orders columns, (n, ndv, runs-under-the-o_orderkey-total-order)
+    and the plain/dict/RLE pick by the stated integer cost model
+    (plain n·64, dict n·ceil(log2 ndv)+ndv·64, RLE runs·96; ties
+    lexicographic) — the decision every columnar writer makes.  The
+    global-order run count needs NO sort gather: range partition +
+    per-partition internal changes + a P-row boundary stitch on the
+    driver (empty partitions skipped so their neighbors stitch)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import sorted_run_stats
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority",
+                 "o_custkey", "o_totalprice"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        st = np.asarray([ord(x[0]) for x in
+                         t.column("o_orderstatus").to_pylist()],
+                        np.int64)
+        pr = np.asarray([int(x[0]) for x in
+                         t.column("o_orderpriority").to_pylist()],
+                        np.int64)
+        c = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "status_ord": pa.array(st, pa.int64()),
+            "prio_digit": pa.array(pr, pa.int64()),
+            "custkey": t.column("o_custkey").cast(pa.int64()),
+            "band": pa.array(c // 1_000_000, pa.int64()),
+        })
+
+    stats = sorted_run_stats(
+        orders.map_batches(_proj, batch_format="pyarrow"),
+        "o_orderkey", ENC_COLS)
+    rows = sorted(stats.to_pylist(), key=lambda r: r["col"])
+    best, pb_l, db_l, rb_l = [], [], [], []
+    for r in rows:
+        n, ndv, runs = r["n"], r["ndv"], r["runs"]
+        bw = max(1, (ndv - 1).bit_length())
+        pb_, db_, rb_ = n * 64, n * bw + ndv * 64, runs * 96
+        pb_l.append(pb_); db_l.append(db_); rb_l.append(rb_)
+        best.append(min((db_, "dict"), (pb_, "plain"),
+                        (rb_, "rle"))[1])
+    return pa.table({
+        "col": pa.array([r["col"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "ndv": pa.array([r["ndv"] for r in rows], pa.int64()),
+        "runs": pa.array([r["runs"] for r in rows], pa.int64()),
+        "plain_bits": pa.array(pb_l, pa.int64()),
+        "dict_bits": pa.array(db_l, pa.int64()),
+        "rle_bits": pa.array(rb_l, pa.int64()),
+        "best": pa.array(best, pa.string()),
+    })
+
+
+def _encoding_advisor_sql() -> str:
+    exprs = {
+        "band": "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+                "// 1000000",
+        "custkey": "o_custkey",
+        "prio_digit": "CAST(substr(o_orderpriority, 1, 1) AS BIGINT)",
+        "status_ord": "ord(o_orderstatus)",
+    }
+    pieces = []
+    for name in ENC_COLS:
+        pieces.append(
+            f"SELECT '{name}' AS col, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(count(DISTINCT v) AS BIGINT) AS ndv, "
+            f"CAST(1 + SUM(CASE WHEN v != pv THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS runs FROM (SELECT v, lag(v) OVER "
+            f"(ORDER BY o_orderkey) AS pv FROM (SELECT o_orderkey, "
+            f"CAST({exprs[name]} AS BIGINT) AS v FROM orders))")
+    return (
+        "WITH st AS (" + " UNION ALL ".join(pieces) + "), "
+        "bw AS (SELECT col, n, ndv, runs, GREATEST(1, (SELECT "
+        "MIN(b.range) FROM range(1, 64) b WHERE "
+        "(CAST(1 AS HUGEINT) << b.range) >= ndv)) AS w FROM st), "
+        "cost AS (SELECT col, n, ndv, runs, n * 64 AS plain_bits, "
+        "n * w + ndv * 64 AS dict_bits, runs * 96 AS rle_bits FROM bw) "
+        "SELECT col, n, ndv, runs, "
+        "CAST(plain_bits AS BIGINT) AS plain_bits, "
+        "CAST(dict_bits AS BIGINT) AS dict_bits, "
+        "CAST(rle_bits AS BIGINT) AS rle_bits, "
+        "CASE WHEN dict_bits <= plain_bits AND dict_bits <= rle_bits "
+        "THEN 'dict' WHEN plain_bits <= rle_bits THEN 'plain' "
+        "ELSE 'rle' END AS best FROM cost ORDER BY col"
+    )
+
+
 PARITY_PARTS, PARITY_LOST = 16, 3
 
 
@@ -13609,6 +13707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_sidecar_lookup": _q_bloom_sidecar,
         "consistent_hash_moves": _q_consistent_hash,
         "parity_shard_recover": _q_parity_recover,
+        "encoding_advisor": _q_encoding_advisor,
         "chao1_parts": _q_chao1_parts,
         "ams_f2_users": _q_ams_f2,
         "tpch_q3": _q_tpch_q3,
@@ -15359,6 +15458,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "bloom_sidecar_lookup": _bloom_sidecar_sql(),
         "consistent_hash_moves": _consistent_hash_sql(),
         "parity_shard_recover": _parity_recover_sql(),
+        "encoding_advisor": _encoding_advisor_sql(),
         "theil_sen_qty_price": _theil_sen_sql(),
         "chao1_parts": _chao1_parts_sql(),
         "ams_f2_users": _ams_f2_sql(),

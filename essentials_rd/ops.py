@@ -4089,3 +4089,100 @@ def exact_heavy_hitters(
     out = counts.map_batches(_prune, batch_format="pyarrow")
     return out, {"n": n_total, "theta": theta,
                  "n_candidates": int(len(cand))}
+
+
+def sorted_run_stats(
+    ds: rd.Dataset,
+    order_col: str,
+    value_cols: list[str],
+    *,
+    n_parts: int = 16,
+    key_fn: Callable[[pa.Table], np.ndarray] | None = None,
+    sample_frac: float = 0.1,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> pa.Table:
+    """Storage-encoding advisor statistics: for each ``value_cols``
+    column, the run count under the GLOBAL ``order_col`` total order
+    (``order_col`` must be int64 and unique — ties would make runs
+    ambiguous), plus n and ndv — the sufficient statistics for the
+    plain / dictionary / run-length encoding decision every columnar
+    writer makes.
+
+    The global-order run count is computed WITHOUT a global sort
+    gather: one deterministic range partition on ``order_col``, a
+    per-partition sort counting INTERNAL value changes, and a driver
+    stitch of P boundary rows (each partition's first/last value) that
+    merges runs spanning partition borders — the order-statistic
+    analog of the parallel prefix trick; only 2·P boundary values and
+    P partial counts reach the driver.  ndv per column rides one
+    bucketed distinct combine."""
+    if key_fn is None:
+        key_fn = lambda b: np_col(b, order_col)
+    routed, _ = range_partition(ds, order_col, n_parts, key_fn,
+                                sample_frac=sample_frac)
+
+    def _part_stats(grp: pa.Table) -> pa.Table:
+        # a hash bucket may hold SEVERAL part_ids — sort by
+        # (part_id, order) and emit one row set per part
+        pids = np_col(grp, "part_id")
+        order = np.lexsort((np_col(grp, order_col), pids))
+        pids_s = pids[order]
+        starts = np.flatnonzero(np.r_[True, pids_s[1:] != pids_s[:-1]])
+        ends = np.r_[starts[1:], len(pids_s)]
+        o_pid, o_col, o_runs, o_f, o_l, o_n = [], [], [], [], [], []
+        for st, en in zip(starts, ends):
+            seg = order[st:en]
+            for c in value_cols:
+                v = np_col(grp, c)[seg]
+                o_pid.append(int(pids_s[st]))
+                o_col.append(c)
+                o_runs.append(1 + int((v[1:] != v[:-1]).sum())
+                              if len(v) else 0)
+                o_f.append(int(v[0]) if len(v) else 0)
+                o_l.append(int(v[-1]) if len(v) else 0)
+                o_n.append(len(v))
+        return pa.table({
+            "part_id": pa.array(o_pid, pa.int64()),
+            "col": pa.array(o_col, pa.string()),
+            "runs": pa.array(o_runs, pa.int64()),
+            "first_v": pa.array(o_f, pa.int64()),
+            "last_v": pa.array(o_l, pa.int64()),
+            "n": pa.array(o_n, pa.int64()),
+        })
+
+    parts = hash_bucket_agg(
+        routed, lambda b: np_col(b, "part_id"), _part_stats,
+        num_buckets=min(num_buckets, n_parts + 1)).take_all()
+    by_col: dict[str, list] = {c: [] for c in value_cols}
+    for r in parts:
+        by_col[r["col"]].append(
+            (int(r["part_id"]), int(r["runs"]), int(r["first_v"]),
+             int(r["last_v"]), int(r["n"])))
+
+    ndv = {}
+    for c in value_cols:
+        ndv[c] = int(int_value_counts(
+            ds.select_columns([c]), c,
+            num_buckets=num_buckets).count())
+
+    names, n_out, ndv_out, runs_out = [], [], [], []
+    for c in value_cols:
+        rows = [r for r in sorted(by_col[c]) if r[4] > 0]
+        total_n = sum(r[4] for r in rows)
+        runs = sum(r[1] for r in rows)
+        # stitch: a border where the next NON-EMPTY partition starts
+        # with the value the previous ended on merges two runs
+        # (empty partitions are skipped so their neighbors stitch)
+        for (_, _, _, la, _), (_, _, fb, _, _) in zip(rows, rows[1:]):
+            if la == fb:
+                runs -= 1
+        names.append(c)
+        n_out.append(total_n)
+        ndv_out.append(ndv[c])
+        runs_out.append(runs)
+    return pa.table({
+        "col": pa.array(names, pa.string()),
+        "n": pa.array(n_out, pa.int64()),
+        "ndv": pa.array(ndv_out, pa.int64()),
+        "runs": pa.array(runs_out, pa.int64()),
+    })
