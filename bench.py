@@ -187,7 +187,8 @@ def run_queries() -> dict:
     for name in ("pagerank_k8", "cc_labels", "triangles_total",
                  "near_dup_pairs", "cosine_near_dup", "tfidf_top1",
                  "bloom_join_urgent", "tpch_q3", "fastrp_embed8",
-                 "hll_user_regs"):
+                 "hll_user_regs", "cdc_chunk_ledger",
+                 "heavy_hitter_users", "graph_voronoi8"):
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         # consume if lazy
