@@ -8082,6 +8082,52 @@ def _q_vocab_coverage(sf_dir: str):
     )
 
 
+PMI_K, PMI_MIN = 20, 5
+
+
+def _q_pmi_bigrams(sf_dir: str):
+    """PMI collocation ranking (textops.pmi_bigrams): top-20 bigrams
+    with support ≥ 5 by the exact integer PMI quantization
+    ⌊10⁶·co·Nu²/(Nb·ca·cb)⌋ — monotone in PMI so the log never enters;
+    Python-int products so no overflow at any corpus size; ties to the
+    bigram string.  Shared bucketed bigram/unigram counts + two
+    string-keyed partitioned margin joins + distributed top-k."""
+    import ray.data as rd
+
+    from essentials_rd.textops import pmi_bigrams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return pmi_bigrams(docs, k=PMI_K, min_count=PMI_MIN)
+
+
+def _pmi_bigrams_sql() -> str:
+    return (
+        "WITH uni AS (SELECT w AS tok, CAST(count(*) AS BIGINT) AS n "
+        "FROM (SELECT unnest(string_split(text, ' ')) AS w "
+        "FROM documents) GROUP BY 1), "
+        "bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS co FROM ("
+        "SELECT t[i.i] || ' ' || t[i.i + 1] AS bg FROM "
+        "(SELECT string_split(text, ' ') AS t FROM documents) toks, "
+        "LATERAL (SELECT unnest(range(1, len(t))) AS i) i) "
+        f"GROUP BY bg HAVING count(*) >= {PMI_MIN}), "
+        "nu AS (SELECT CAST(sum(n) AS HUGEINT) AS v FROM uni), "
+        "nb AS (SELECT CAST(count(*) AS HUGEINT) AS v FROM ("
+        "SELECT t[i.i] FROM (SELECT string_split(text, ' ') AS t "
+        "FROM documents) toks, LATERAL (SELECT unnest(range(1, len(t))) "
+        "AS i) i)), "
+        "sc AS (SELECT g.bg, g.co, a.n AS ca, b.n AS cb, "
+        "CAST((CAST(g.co AS HUGEINT) * nu.v * nu.v * 1000000) "
+        "// (nb.v * a.n * b.n) AS BIGINT) AS q "
+        "FROM bgc g JOIN uni a ON a.tok = split_part(g.bg, ' ', 1) "
+        "JOIN uni b ON b.tok = substr(g.bg, strpos(g.bg, ' ') + 1), "
+        "nu, nb) "
+        "SELECT bg, co, ca, cb, q FROM (SELECT *, row_number() OVER "
+        "(ORDER BY q DESC, bg) AS rn FROM sc) "
+        f"WHERE rn <= {PMI_K} ORDER BY q DESC, bg"
+    )
+
+
 def _q_top_bigrams(sf_dir: str):
     """Global top-k corpus bigrams (textops.top_bigrams): distributed
     bigram count (vocabulary never driver-collected) + per-block
@@ -13766,6 +13812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing": _q_doc_packing,
         "curated_docs": _q_curated_docs,
         "top_bigrams": _q_top_bigrams,
+        "pmi_bigrams_top20": _q_pmi_bigrams,
         "user_gap_median": _q_user_gap_median,
         "doc_splits": _q_doc_splits,
         "privacy_audit": _q_privacy_audit,
@@ -15582,6 +15629,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
             "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS p FROM lineitem) "
             "GROUP BY 1) ORDER BY 1"
         ),
+        "pmi_bigrams_top20": _pmi_bigrams_sql(),
         "top_bigrams": (
             "SELECT bg, n FROM (SELECT bg, CAST(count(*) AS BIGINT) AS n, "
             "row_number() OVER (ORDER BY count(*) DESC, bg) AS rn FROM ("

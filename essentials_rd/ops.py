@@ -1776,12 +1776,24 @@ def join(
         right.map_batches(_tag(1), batch_format="pyarrow")
     )
 
+    planned_types = {c: lschema.field(c).type for c in lcols}
+    for v in rval_cols:
+        planned_types[v] = rschema.field(v).type
+
     def _join_bucket(grp: pa.Table) -> pa.Table:
         side = np_col(grp, "__side__")
         lt = grp.filter(pa.array(side == 0)).select(lcols)
         rt = grp.filter(pa.array(side == 1)).select(on + rval_cols)
         out = _pd_merge(lt.to_pandas(), rt.to_pandas(), on, how)
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata()
+        t = pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata()
+        if t.num_rows == 0:
+            # an empty bucket's pandas round-trip yields NULL-typed
+            # columns, which would poison downstream schema probes
+            # (e.g. a second join's union schema) — pin planned types
+            t = pa.table({c: pa.array([], planned_types[c])
+                          for c in t.column_names})
+        return t
 
     return tagged.groupby("__bucket__").map_groups(_join_bucket, batch_format="pyarrow")
 

@@ -3258,3 +3258,117 @@ def cdc_dedup_stats(
         "n_distinct": pa.array([nd], pa.int64()),
         "unique_chars": pa.array([u], pa.int64()),
     })
+
+
+def corpus_unigram_counts(docs: rd.Dataset, text_col: str = "text",
+                          id_col: str = "doc_id") -> rd.Dataset:
+    """(tok, n) corpus token counts — the unigram margin PMI needs;
+    same bucketed shape as corpus_bigram_counts_from_tf."""
+    from .derive import _str_hash
+    from .ops import hash_bucket_agg
+
+    def _toks(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"tok": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        s = batch.column(text_col).to_pandas()
+        flat = s.str.split(" ").explode()
+        codes, uq = pd.factorize(flat)
+        if not len(uq):
+            return empty
+        n = np.bincount(codes[codes >= 0]).astype(np.int64)
+        return pa.table({"tok": pa.array(
+            np.asarray(uq, object).tolist(), pa.string()),
+            "tf": pa.array(n, pa.int64())})
+
+    def _count(grp: pa.Table) -> pa.Table:
+        codes, uq = pd.factorize(
+            grp.column("tok").combine_chunks().to_pandas())
+        n = np.bincount(codes, weights=np_col(grp, "tf")).astype(np.int64)
+        return pa.table({"tok": pa.array(
+            np.asarray(uq, object).tolist(), pa.string()),
+            "n": pa.array(n, pa.int64())})
+
+    return hash_bucket_agg(
+        docs.map_batches(_toks, batch_format="pyarrow"),
+        lambda b: np.asarray(_str_hash(b.column("tok"))),
+        _count,
+    )
+
+
+def pmi_bigrams(
+    docs: rd.Dataset,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """PMI collocation ranking — the phrase-mining score that finds
+    'new york' over 'of the': for every bigram with support ≥
+    min_count, the pointwise-mutual-information ORDER is ranked by the
+    exact integer quantization q = ⌊10⁶·co·Nu²/(Nb·ca·cb)⌋ (monotone
+    in PMI = log of that ratio, so the log is never needed; Python-int
+    products so no overflow at any corpus size), top-k with the bigram
+    string as tie-break.  Pipeline: the shared bigram/unigram bucketed
+    counts (vocabulary never driver-collected), a support filter, two
+    string-keyed partitioned joins for the margins, per-row exact
+    scoring, distributed top-k."""
+    from .ops import join, top_k
+
+    bg = corpus_bigram_counts_from_tf(
+        bigram_tf(docs, text_col=text_col, id_col=id_col))
+    uni = corpus_unigram_counts(docs, text_col=text_col, id_col=id_col)
+
+    def _tot(t: pa.Table) -> pa.Table:
+        return pa.table({"s": pa.array([int(np_col(t, "n").sum())],
+                                       pa.int64())})
+
+    nb = sum(int(r["s"]) for r in bg.map_batches(
+        _tot, batch_format="pyarrow").take_all())
+    nu = sum(int(r["s"]) for r in uni.map_batches(
+        _tot, batch_format="pyarrow").take_all())
+
+    def _split(t: pa.Table) -> pa.Table:
+        keep = np_col(t, "n") >= min_count
+        t = t.take(pa.array(np.flatnonzero(keep)))
+        s = t.column("bg").to_pandas()
+        w = s.str.split(" ", n=1, expand=True) if len(s) else None
+        return pa.table({
+            "bg": t.column("bg").cast(pa.string()),
+            "co": t.column("n").cast(pa.int64()),
+            "w1": pa.array([] if w is None else w[0].tolist(),
+                           pa.string()),
+            "w2": pa.array([] if w is None else w[1].tolist(),
+                           pa.string()),
+        })
+
+    cand = bg.map_batches(_split, batch_format="pyarrow")
+    # explicit casts: an empty bucket's block can carry null-typed
+    # columns, which would poison the join's schema probe
+    u1 = uni.map_batches(
+        lambda t: pa.table({"w1": t.column("tok").cast(pa.string()),
+                            "ca": t.column("n").cast(pa.int64())}),
+        batch_format="pyarrow")
+    u2 = uni.map_batches(
+        lambda t: pa.table({"w2": t.column("tok").cast(pa.string()),
+                            "cb": t.column("n").cast(pa.int64())}),
+        batch_format="pyarrow")
+    scored = join(join(cand, u1, on="w1", broadcast=False),
+                  u2, on="w2", broadcast=False)
+
+    def _q(t: pa.Table) -> pa.Table:
+        co = np_col(t, "co").astype(object)
+        ca = np_col(t, "ca").astype(object)
+        cb = np_col(t, "cb").astype(object)
+        q = [int(c * nu * nu * 1_000_000 // (nb * a * b))
+             for c, a, b in zip(co, ca, cb)]
+        return pa.table({"bg": t.column("bg"),
+                         "co": t.column("co"),
+                         "ca": t.column("ca"),
+                         "cb": t.column("cb"),
+                         "q": pa.array(q, pa.int64())})
+
+    top = top_k(scored.map_batches(_q, batch_format="pyarrow"),
+                "q", k, descending=True, tie_cols=["bg"])
+    return top.select(["bg", "co", "ca", "cb", "q"])
