@@ -11784,6 +11784,75 @@ def _q_event_trigrams(sf_dir: str):
     return ngram_counts(ev, "event_type", n=3)
 
 
+def _q_seasonal_naive(sf_dir: str):
+    """Seasonal-naive forecast evaluation — the baseline every
+    time-series model must beat, scored with exact integers: hourly
+    event counts on the DENSE min..max epoch-hour grid (absent hours
+    count 0 — skipping them would flatter the forecast), forecast for
+    hour t = count(t−24) (season = day) vs the naive lag-1 forecast;
+    per hour-of-day the cell count and both sums of absolute errors —
+    the MASE numerator/denominator pair before the division.  One
+    bucketed count combine (~#hours rows reach the driver), grid math
+    driver-side."""
+    import ray.data as rd
+
+    from essentials_rd.ops import int_value_counts
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def _hour(t: pa.Table) -> pa.Table:
+        h = (np.asarray(t.column("ts").cast(pa.int64()))
+             // 3_600_000_000).astype(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    rows = int_value_counts(
+        ev.map_batches(_hour, batch_format="pyarrow"), "h").take_all()
+    hs = np.array([r["value"] for r in rows], np.int64)
+    cs = np.array([r["count"] for r in rows], np.int64)
+    lo, hi = int(hs.min()), int(hs.max())
+    grid = np.zeros(hi - lo + 1, np.int64)
+    grid[hs - lo] = cs
+    hour_idx = (np.arange(lo, hi + 1) % 24).astype(np.int64)
+    n_p = np.zeros(24, np.int64)
+    sae_s = np.zeros(24, np.int64)
+    sae_1 = np.zeros(24, np.int64)
+    for t in range(24, len(grid)):
+        hod = int(hour_idx[t])
+        n_p[hod] += 1
+        sae_s[hod] += abs(int(grid[t]) - int(grid[t - 24]))
+        sae_1[hod] += abs(int(grid[t]) - int(grid[t - 1]))
+    return pa.table({
+        "hod": pa.array(np.arange(24, dtype=np.int64)),
+        "n_pairs": pa.array(n_p, pa.int64()),
+        "sae_seasonal": pa.array(sae_s, pa.int64()),
+        "sae_lag1": pa.array(sae_1, pa.int64()),
+    })
+
+
+def _seasonal_naive_sql() -> str:
+    return (
+        "WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h, "
+        "count(*) AS c FROM events GROUP BY 1), "
+        "bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hc), "
+        "grid AS (SELECT (SELECT lo FROM bounds) + r.range AS h, "
+        "COALESCE(hc.c, 0) AS c FROM range(0, 200000) r "
+        "LEFT JOIN hc ON hc.h = (SELECT lo FROM bounds) + r.range "
+        "WHERE (SELECT lo FROM bounds) + r.range <= "
+        "(SELECT hi FROM bounds)), "
+        "er AS (SELECT g.h % 24 AS hod, "
+        "abs(g.c - s.c) AS es, abs(g.c - p.c) AS e1 "
+        "FROM grid g JOIN grid s ON s.h = g.h - 24 "
+        "JOIN grid p ON p.h = g.h - 1) "
+        "SELECT r.range AS hod, "
+        "CAST(COALESCE(count(er.hod), 0) AS BIGINT) AS n_pairs, "
+        "CAST(COALESCE(sum(er.es), 0) AS BIGINT) AS sae_seasonal, "
+        "CAST(COALESCE(sum(er.e1), 0) AS BIGINT) AS sae_lag1 "
+        "FROM range(0, 24) r LEFT JOIN er ON er.hod = r.range "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_position_attribution(sf_dir: str):
     """U-shaped (40-20-40) multi-touch attribution
     (windows.position_attribution): every purchase distributes exactly
@@ -13725,6 +13794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "markov_next_acc": _q_markov_next,
         "position_attribution": _q_position_attribution,
+        "seasonal_naive_eval": _q_seasonal_naive,
         "event_trigrams": _q_event_trigrams,
         "ra_link_pred": _q_ra_link_pred,
         "diameter_lb": _q_diameter_lb,
@@ -15702,6 +15772,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         ),
         "markov_next_acc": _markov_next_sql(),
         "position_attribution": _position_attribution_sql(),
+        "seasonal_naive_eval": _seasonal_naive_sql(),
         "supplier_entities": _supplier_entities_sql(),
         "supplier_edit1": (
             "SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id, "
