@@ -7068,6 +7068,104 @@ SELECT doc_id, CAST(sum(term) AS BIGINT) AS score FROM sc GROUP BY 1
 ORDER BY score DESC, doc_id LIMIT {BM25_K}"""
 
 
+RRF_DEPTH, RRF_C, RRF_TOPK, RRF_SCALE = 50, 60, 10, 1_000_000
+
+
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion — THE standard hybrid-search combiner:
+    fuse the lexical BM25 top-50 for the fixed query with the dense
+    top-50 by cosine to document 0's embedding (the two retrieval
+    stacks already in the engine), score = Σ ⌊10⁶/(60+rank)⌋ over the
+    lists a doc appears in (integer floors, so the fusion is exact and
+    layout-proof), top-10 by (rrf desc, doc_id).  Both rankings run
+    distributed; the fusion folds two ≤50-row lists."""
+    import ray.data as rd
+
+    from essentials_rd.ann import brute_force_topk
+    from essentials_rd.textops import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    bm = bm25_topk(docs, QUERY_TEXT, k=RRF_DEPTH,
+                   scale=BM25_SCALE)
+    bm_rank = {int(d): i + 1 for i, d in
+               enumerate(bm.column("doc_id").to_pylist())}
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q0 = [r for r in emb.filter(expr="vec_id == 0").take_all()]
+    qm = np.array([q0[0]["embedding"]], np.float64)
+    ann = brute_force_topk(emb, qm, np.array([0], np.int64),
+                           k=RRF_DEPTH)
+    cos_rank = {int(v): int(r) for v, r in
+                zip(ann.column("vec_id").to_pylist(),
+                    ann.column("rank").to_pylist())}
+
+    fused = []
+    for d in set(bm_rank) | set(cos_rank):
+        score = 0
+        if d in bm_rank:
+            score += RRF_SCALE // (RRF_C + bm_rank[d])
+        if d in cos_rank:
+            score += RRF_SCALE // (RRF_C + cos_rank[d])
+        fused.append((d, score))
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    top = fused[:RRF_TOPK]
+    return pa.table({
+        "doc_id": pa.array([t[0] for t in top], pa.int64()),
+        "rrf": pa.array([t[1] for t in top], pa.int64()),
+        "bm_rank": pa.array([bm_rank.get(t[0], 0) for t in top],
+                            pa.int64()),
+        "cos_rank": pa.array([cos_rank.get(t[0], 0) for t in top],
+                             pa.int64()),
+    })
+
+
+def _rrf_fusion_sql() -> str:
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+st AS MATERIALIZED (SELECT (SELECT count(*) FROM documents) AS n,
+                           (SELECT count(*) FROM tok) AS t),
+q AS (SELECT DISTINCT unnest(string_split('{QUERY_TEXT}', ' ')) AS token),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, count(*) AS tf FROM tok JOIN q USING (token)
+  GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT f.doc_id,
+    CAST((CAST({BM25_SCALE} AS HUGEINT) * 22 * s.n * f.tf * s.t) //
+         (CAST(d.df AS HUGEINT) *
+          (10 * f.tf * s.t + 3 * s.t + 9 * l.dl * s.n)) AS BIGINT) AS term
+  FROM tf f JOIN df d USING (token) JOIN dl l USING (doc_id), st s
+),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+        AS br FROM (SELECT doc_id, CAST(sum(term) AS BIGINT) AS score
+        FROM sc GROUP BY 1 ORDER BY score DESC, doc_id
+        LIMIT {RRF_DEPTH})),
+qv AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id = 0),
+cosr AS (SELECT vec_id AS doc_id, row_number() OVER (
+    ORDER BY cosine DESC, vec_id) AS cr FROM (
+  SELECT c.vec_id, ROUND(list_cosine_similarity(qv.e,
+    CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings c, qv WHERE c.vec_id != 0
+  ORDER BY cosine DESC, c.vec_id LIMIT {RRF_DEPTH})),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+    COALESCE({RRF_SCALE} // ({RRF_C} + b.br), 0)
+      + COALESCE({RRF_SCALE} // ({RRF_C} + c.cr), 0) AS rrf,
+    COALESCE(b.br, 0) AS bm_rank, COALESCE(c.cr, 0) AS cos_rank
+  FROM bmr b FULL OUTER JOIN cosr c ON c.doc_id = b.doc_id
+)
+SELECT doc_id, CAST(rrf AS BIGINT) AS rrf,
+  CAST(bm_rank AS BIGINT) AS bm_rank, CAST(cos_rank AS BIGINT) AS cos_rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}"""
+
+
 def _q_doc_query_scores(sf_dir: str):
     """Vocabulary-free text retrieval: score every document by the
     exact integer dot product of its hashing-trick vector with the
@@ -13988,6 +14086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_lift": _q_pair_lift,
         "doc_query_scores": _q_doc_query_scores,
         "bm25_top10": _q_bm25,
+        "rrf_hybrid_top10": _q_rrf_fusion,
         "rich_club": _q_rich_club,
         "kcore3": _q_kcore,
         "spgemm_sample": _q_spgemm,
@@ -15489,6 +15588,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "pair_lift": _pair_lift_sql(),
         "doc_query_scores": _doc_query_scores_sql(),
         "bm25_top10": _bm25_sql(),
+        "rrf_hybrid_top10": _rrf_fusion_sql(),
         "rich_club": _rich_club_sql(),
         "kcore3": _kcore_sql(),
         "spgemm_sample": _spgemm_sql(),
