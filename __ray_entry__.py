@@ -13731,6 +13731,238 @@ def _q_ann(sf_dir: str):
     return brute_force_topk(ds, queries_m, qids, k=5)
 
 
+TTC_QS = [0.5, 0.9]
+
+
+def _q_time_to_convert(sf_dir: str):
+    """Time-to-convert quantiles — the product-analytics latency
+    metric: per user the microseconds from FIRST view to FIRST
+    purchase (users with a purchase before any view convert in <0
+    time? no — only users whose first purchase follows their first
+    view count; the others are reported in the converts/negatives
+    split), exact P50/P90 over the deltas via the distributed value
+    histogram (driver sees distinct deltas, never users).  One
+    user-bucketed min fold + one histogram combine."""
+    import ray.data as rd
+
+    from essentials_rd.ops import exact_quantiles, grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), object)
+        keep = (et == "view") | (et == "purchase")
+        tt = t.take(pa.array(np.flatnonzero(keep)))
+        et = et[keep]
+        ts = np.asarray(tt.column("ts").cast(pa.int64()))
+        big = np.int64(1 << 62)
+        isv = et == "view"
+        return pa.table({
+            "u": tt.column("user_id").cast(pa.int64()),
+            "v": pa.array(np.where(isv, ts, big), pa.int64()),
+            "p": pa.array(np.where(~isv, ts, big), pa.int64()),
+        })
+
+    agg = grouped_pandas_agg(
+        ev.map_batches(_proj, batch_format="pyarrow"),
+        keys=["u"], aggs={"fv": ("v", "min"), "fp": ("p", "min")})
+
+    def _delta(t: pa.Table) -> pa.Table:
+        fv = np_col(t, "fv")
+        fp = np_col(t, "fp")
+        big = np.int64(1 << 62)
+        conv = (fv < big) & (fp < big) & (fp >= fv)
+        return pa.table({
+            "delta": pa.array(fp[conv] - fv[conv], pa.int64()),
+            "n_conv": pa.array(np.full(int(conv.sum()), 1, np.int64)),
+        })
+
+    deltas = agg.map_batches(_delta, batch_format="pyarrow")
+    n_conv = deltas.count()
+    if n_conv == 0:
+        p50 = p90 = 0
+    else:
+        p50, p90 = exact_quantiles(deltas, "delta", TTC_QS)
+    return pa.table({
+        "n_converts": pa.array([int(n_conv)], pa.int64()),
+        "p50_us": pa.array([int(p50)], pa.int64()),
+        "p90_us": pa.array([int(p90)], pa.int64()),
+    })
+
+
+def _time_to_convert_sql() -> str:
+    return (
+        "WITH f AS (SELECT user_id, "
+        "min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) "
+        "AS fv, "
+        "min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) "
+        "AS fp FROM events GROUP BY 1), "
+        "d AS (SELECT fp - fv AS delta FROM f "
+        "WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_converts, "
+        "CAST(COALESCE(quantile_disc(delta, 0.5), 0) AS BIGINT) "
+        "AS p50_us, "
+        "CAST(COALESCE(quantile_disc(delta, 0.9), 0) AS BIGINT) "
+        "AS p90_us FROM d"
+    )
+
+
+MMR_POOL, MMR_K = 50, 5
+
+
+def _q_mmr_diverse(sf_dir: str):
+    """MMR diversified retrieval (maximal marginal relevance, λ=½ with
+    equal integer scales): from the BM25 top-50 pool, greedily pick 5
+    documents maximizing relevance MINUS the max similarity to
+    anything already picked — marginal m(d) = bm25(d) −
+    max_s ⌊10⁶·cos6dp(d,s)+½⌋, ties to the smaller doc_id — the
+    redundancy-killing reranker every retrieval stack ends with.  BM25
+    runs distributed; the greedy runs over the 50-doc pool (embedding
+    rows gathered for the pool only).  Output: (rank, doc_id, rel,
+    penalty, marginal) per pick — penalty 0 for the first."""
+    import ray.data as rd
+
+    from essentials_rd.pipelines import round_half_up
+    from essentials_rd.textops import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    bm = bm25_topk(docs, QUERY_TEXT, k=MMR_POOL, scale=BM25_SCALE)
+    pool = bm.column("doc_id").to_pylist()
+    rel = dict(zip(pool, bm.column("score").to_pylist()))
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    pool_set = set(int(p) for p in pool)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        from essentials_rd.util import np_col as _nc
+        ids = _nc(t, "vec_id")
+        m = np.isin(ids, list(pool_set))
+        return t.take(pa.array(np.flatnonzero(m)))
+
+    rows = emb.map_batches(_keep, batch_format="pyarrow").take_all()
+    vecs = {int(r["vec_id"]): np.asarray(r["embedding"], np.float64)
+            for r in rows}
+    for d in vecs:
+        vecs[d] = vecs[d] / np.linalg.norm(vecs[d])
+
+    def _sim(a, b):
+        c = round_half_up(np.array([float(vecs[a] @ vecs[b])]), 6)[0]
+        return int(np.floor(c * 1_000_000 + 0.5))
+
+    selected, out = [], []
+    cands = sorted(pool_set)
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for d in cands:
+            if d in selected:
+                continue
+            pen = max((_sim(d, s) for s in selected), default=0)
+            m = int(rel[d]) - pen
+            key = (-m, d)
+            if best is None or key < best[0]:
+                best = (key, d, int(rel[d]), pen, m)
+        _, d, r_, pen, m = best
+        selected.append(d)
+        out.append((rank, d, r_, pen, m))
+    return pa.table({
+        "rank": pa.array([o[0] for o in out], pa.int64()),
+        "doc_id": pa.array([o[1] for o in out], pa.int64()),
+        "rel": pa.array([o[2] for o in out], pa.int64()),
+        "penalty": pa.array([o[3] for o in out], pa.int64()),
+        "marginal": pa.array([o[4] for o in out], pa.int64()),
+    })
+
+
+def _mmr_sql() -> str:
+    bm_pool = f"""
+tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+st AS MATERIALIZED (SELECT (SELECT count(*) FROM documents) AS n,
+                           (SELECT count(*) FROM tok) AS t),
+q AS (SELECT DISTINCT unnest(string_split('{QUERY_TEXT}', ' ')) AS token),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, count(*) AS tf FROM tok JOIN q USING (token)
+  GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+scx AS (
+  SELECT f.doc_id,
+    CAST((CAST({BM25_SCALE} AS HUGEINT) * 22 * s.n * f.tf * s.t) //
+         (CAST(d.df AS HUGEINT) *
+          (10 * f.tf * s.t + 3 * s.t + 9 * l.dl * s.n)) AS BIGINT) AS term
+  FROM tf f JOIN df d USING (token) JOIN dl l USING (doc_id), st s
+),
+pool AS MATERIALIZED (
+  SELECT p.doc_id, p.score, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM (SELECT doc_id, CAST(sum(term) AS BIGINT) AS score FROM scx
+        GROUP BY 1 ORDER BY score DESC, doc_id LIMIT {MMR_POOL}) p
+  JOIN embeddings e ON e.vec_id = p.doc_id
+)"""
+    steps = ["p1 AS (SELECT 1 AS rank, doc_id, score AS rel, "
+             "CAST(0 AS BIGINT) AS penalty, score AS marginal, v "
+             "FROM pool ORDER BY score DESC, doc_id LIMIT 1)"]
+    for i in range(2, MMR_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT doc_id, v FROM p{j}" for j in range(1, i))
+        steps.append(f"""
+sel{i} AS ({prev_union}),
+c{i} AS (SELECT p.doc_id, p.score, p.v,
+  (SELECT MAX(CAST(floor(ROUND(list_cosine_similarity(p.v, s.v), 6)
+    * 1000000 + 0.5) AS BIGINT)) FROM sel{i} s) AS pen
+  FROM pool p WHERE p.doc_id NOT IN (SELECT doc_id FROM sel{i})),
+p{i} AS (SELECT {i} AS rank, doc_id, score AS rel, pen AS penalty,
+  score - pen AS marginal, v FROM c{i}
+  ORDER BY score - pen DESC, doc_id LIMIT 1)""")
+    picks = " UNION ALL ".join(
+        f"SELECT rank, doc_id, rel, penalty, marginal FROM p{j}"
+        for j in range(1, MMR_K + 1))
+    return (
+        f"WITH {bm_pool}, " + ",".join(steps)
+        + f" SELECT CAST(rank AS BIGINT) AS rank, doc_id, rel, "
+        f"CAST(penalty AS BIGINT) AS penalty, "
+        f"CAST(marginal AS BIGINT) AS marginal FROM ({picks}) "
+        f"ORDER BY rank"
+    )
+
+
+def _q_mutual_nn(sf_dir: str):
+    """Reciprocal-nearest-neighbor merge pairs (ann.mutual_nn_pairs):
+    one round of RNN agglomerative clustering — embedding pairs that
+    are each other's cosine 1-NN under the shared (−cos6dp, vec_id)
+    order, emitted once as (a<b, cosine).  Streaming all-vs-all: each
+    block multiplies against the broadcast normalized matrix, 1 row
+    per vector reaches the driver."""
+    import ray.data as rd
+
+    from essentials_rd.ann import mutual_nn_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return mutual_nn_pairs(emb)
+
+
+def _mutual_nn_sql() -> str:
+    return (
+        "WITH e AS MATERIALIZED (SELECT vec_id, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "s AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS c "
+        "FROM e a JOIN e b ON a.vec_id != b.vec_id), "
+        "nn AS (SELECT i, j, c FROM (SELECT i, j, c, row_number() "
+        "OVER (PARTITION BY i ORDER BY c DESC, j) AS rn FROM s) "
+        "WHERE rn = 1) "
+        "SELECT x.i AS a, x.j AS b, x.c AS cosine FROM nn x "
+        "JOIN nn y ON y.i = x.j AND y.j = x.i AND x.i < x.j "
+        "ORDER BY 1"
+    )
+
+
 JACCARD_T = 0.7
 SHINGLE_K = 3
 LANG_TOPK = 40
@@ -14016,6 +14248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "exact_dup_groups": _q_exact_dup_groups,
         "ann_cosine_top5": _q_ann,
+        "mutual_nn_pairs": _q_mutual_nn,
+        "mmr_diverse_top5": _q_mmr_diverse,
+        "time_to_convert": _q_time_to_convert,
         "near_dup_pairs": _q_near_dup_pairs,
         "containment_pairs": _q_containment_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -15386,6 +15621,9 @@ def oracle_sql() -> dict[str, str]:
             "min(doc_id) AS keep_id FROM documents "
             "GROUP BY sha256(text) HAVING count(*) > 1"
         ),
+        "mutual_nn_pairs": _mutual_nn_sql(),
+        "mmr_diverse_top5": _mmr_sql(),
+        "time_to_convert": _time_to_convert_sql(),
         "ann_cosine_top5": """
 WITH q AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -1291,3 +1291,65 @@ def kcenter_select(
         "vec_id": pa.array([x[1] for x in rows], pa.int64()),
         "d2": pa.array([x[2] for x in rows], pa.int64()),
     })
+
+
+def mutual_nn_pairs(
+    vectors: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> pa.Table:
+    """Reciprocal-nearest-neighbor pairs — one round of the RNN
+    agglomerative-clustering merge rule (pairs that are each other's
+    1-NN merge; iterating this builds the whole dendrogram): for every
+    vector its cosine 1-NN under the (−cos6dp, vec_id) order, then the
+    pairs where the relation is MUTUAL, emitted once as (a < b,
+    cosine).  The all-vs-all pass streams: every block multiplies
+    against the broadcast normalized matrix (one ray.put) and emits
+    one 1-NN row per vector — k·N rows reach the driver, never the
+    similarity matrix.  At 100-TB embedding scale the same mutual
+    filter runs over the IVF-bucketed exact kernel
+    (`cosine_near_dup_pairs`' scale path) instead of the broadcast."""
+    import ray as _ray
+
+    mat_rows = vectors.select_columns([id_col, vec_col]).take_all()
+    ids_all = np.array([r[id_col] for r in mat_rows], np.int64)
+    order = np.argsort(ids_all)
+    ids_all = ids_all[order]
+    m_all = _normalize(np.array(
+        [mat_rows[i][vec_col] for i in order], np.float64))
+    ref = _ray.put((ids_all, m_all))
+
+    from .pipelines import round_half_up
+
+    def _nn(batch: pa.Table) -> pa.Table:
+        aid, amat = _ray.get(ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = np_col(batch, id_col)
+        sims = m @ amat.T
+        out_i, out_j, out_c = [], [], []
+        for r in range(len(ids)):
+            s = round_half_up(sims[r], 6)
+            s[aid == ids[r]] = -2.0  # exclude self
+            best = np.lexsort((aid, -s))[0]
+            out_i.append(int(ids[r]))
+            out_j.append(int(aid[best]))
+            out_c.append(float(s[best]))
+        return pa.table({
+            "i": pa.array(out_i, pa.int64()),
+            "j": pa.array(out_j, pa.int64()),
+            "c": pa.array(out_c, pa.float64()),
+        })
+
+    rows = vectors.map_batches(_nn, batch_format="pyarrow").take_all()
+    nn = {int(r["i"]): (int(r["j"]), float(r["c"])) for r in rows}
+    out = []
+    for i, (j, c) in nn.items():
+        if i < j and nn.get(j, (None,))[0] == i:
+            out.append((i, j, c))
+    out.sort()
+    return pa.table({
+        "a": pa.array([o[0] for o in out], pa.int64()),
+        "b": pa.array([o[1] for o in out], pa.int64()),
+        "cosine": pa.array([o[2] for o in out], pa.float64()),
+    })
