@@ -13731,6 +13731,76 @@ def _q_ann(sf_dir: str):
     return brute_force_topk(ds, queries_m, qids, k=5)
 
 
+def _q_user_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the SQL
+    'gaps and islands' problem: per user the count of distinct active
+    days and the longest run of consecutive days.  ONE user-bucketed
+    exchange; per bucket a lexsort + per-user-segment vectorized
+    diff==1 run-length kernel over the distinct day sets (no per-row
+    Python)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        d = (np.asarray(t.column("ts").cast(pa.int64()))
+             // 86_400_000_000).astype(np.int64)
+        return pa.table({"u": t.column("user_id").cast(pa.int64()),
+                         "d": pa.array(d, pa.int64())})
+
+    def _streaks(grp: pa.Table) -> pa.Table:
+        u = np_col(grp, "u")
+        d = np_col(grp, "d")
+        # distinct (u, day)
+        key = np.unique(u * np.int64(1 << 22) + d)
+        uu = key >> np.int64(22)
+        dd = key & np.int64((1 << 22) - 1)
+        starts = np.flatnonzero(np.r_[True, uu[1:] != uu[:-1]])
+        out_u, out_n, out_s = [], [], []
+        for st, en in zip(starts, np.r_[starts[1:], len(uu)]):
+            days = dd[st:en]
+            # runs of consecutive days
+            brk = np.flatnonzero(np.r_[True, np.diff(days) != 1])
+            lens = np.diff(np.r_[brk, len(days)])
+            out_u.append(int(uu[st]))
+            out_n.append(len(days))
+            out_s.append(int(lens.max()))
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_days": pa.array(out_n, pa.int64()),
+            "max_streak": pa.array(out_s, pa.int64()),
+        })
+
+    rows = sorted(hash_bucket_agg(
+        ev.map_batches(_proj, batch_format="pyarrow"),
+        lambda b: np_col(b, "u"), _streaks).take_all(),
+        key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "n_days": pa.array([r["n_days"] for r in rows], pa.int64()),
+        "max_streak": pa.array([int(r["max_streak"]) for r in rows],
+                               pa.int64()),
+    })
+
+
+def _user_streaks_sql() -> str:
+    return (
+        "WITH ud AS (SELECT DISTINCT user_id, "
+        "epoch_us(ts) // 86400000000 AS d FROM events), "
+        "isl AS (SELECT user_id, d - row_number() OVER ("
+        "PARTITION BY user_id ORDER BY d) AS grp FROM ud), "
+        "runs AS (SELECT user_id, grp, count(*) AS len FROM isl "
+        "GROUP BY 1, 2) "
+        "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days, "
+        "CAST(max(len) AS BIGINT) AS max_streak FROM runs "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
 TTC_QS = [0.5, 0.9]
 
 
@@ -14251,6 +14321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_nn_pairs": _q_mutual_nn,
         "mmr_diverse_top5": _q_mmr_diverse,
         "time_to_convert": _q_time_to_convert,
+        "user_streaks": _q_user_streaks,
         "near_dup_pairs": _q_near_dup_pairs,
         "containment_pairs": _q_containment_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -15624,6 +15695,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_nn_pairs": _mutual_nn_sql(),
         "mmr_diverse_top5": _mmr_sql(),
         "time_to_convert": _time_to_convert_sql(),
+        "user_streaks": _user_streaks_sql(),
         "ann_cosine_top5": """
 WITH q AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
