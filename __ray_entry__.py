@@ -13731,6 +13731,96 @@ def _q_ann(sf_dir: str):
     return brute_force_topk(ds, queries_m, qids, k=5)
 
 
+def _q_hourly_gapfill(sf_dir: str):
+    """Linear-interpolation gap fill — the time-series imputation step
+    before any regular-grid model: hourly event-value sums (cents) on
+    the dense min..max hour grid, with every EMPTY hour filled by
+    exact integer interpolation between its nearest non-empty
+    neighbors, value = prev + ⌊(next−prev)·offset/gap⌋ (floor of the
+    exact rational, so engine and SQL agree bit-for-bit; leading
+    hours before the first observation carry it backward).  Output:
+    per hour-of-gap-status the row count and value sum — plus the
+    filled series' global sum, auditing that imputation touched only
+    the gaps.  One bucketed sum combine; grid math driver-side."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        h = (np.asarray(t.column("ts").cast(pa.int64()))
+             // 3_600_000_000).astype(np.int64)
+        c = np.floor(np.asarray(t.column("value").to_numpy(
+            zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    rows = grouped_pandas_agg(
+        ev.map_batches(_proj, batch_format="pyarrow"),
+        keys=["h"], aggs={"s": ("c", "sum")}).take_all()
+    hs = np.array([r["h"] for r in rows], np.int64)
+    ss = np.array([int(r["s"]) for r in rows], np.int64)
+    o = np.argsort(hs)
+    hs, ss = hs[o], ss[o]
+    lo, hi = int(hs[0]), int(hs[-1])
+    grid = np.full(hi - lo + 1, -1, np.int64)
+    grid[hs - lo] = ss
+    filled = grid.copy()
+    present = np.flatnonzero(grid >= 0)
+    for a, b in zip(present, present[1:]):
+        if b - a > 1:
+            pv, nv = int(grid[a]), int(grid[b])
+            for t in range(a + 1, b):
+                filled[t] = pv + (nv - pv) * (t - a) // (b - a)
+    n_obs = int((grid >= 0).sum())
+    n_fill = len(grid) - n_obs
+    return pa.table({
+        "n_hours": pa.array([len(grid)], pa.int64()),
+        "n_observed": pa.array([n_obs], pa.int64()),
+        "n_filled": pa.array([n_fill], pa.int64()),
+        "sum_observed": pa.array([int(ss.sum())], pa.int64()),
+        "sum_filled_total": pa.array([int(filled.sum())], pa.int64()),
+    })
+
+
+def _hourly_gapfill_sql() -> str:
+    return (
+        "WITH hv AS (SELECT epoch_us(ts) // 3600000000 AS h, "
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS s FROM events GROUP BY 1), "
+        "bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hv), "
+        "grid AS (SELECT (SELECT lo FROM bounds) + r.range AS h, hv.s "
+        "FROM range(0, 200000) r LEFT JOIN hv "
+        "ON hv.h = (SELECT lo FROM bounds) + r.range "
+        "WHERE (SELECT lo FROM bounds) + r.range <= "
+        "(SELECT hi FROM bounds)), "
+        "nb AS (SELECT h, s, "
+        "max(CASE WHEN s IS NOT NULL THEN h END) OVER (ORDER BY h "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph, "
+        "min(CASE WHEN s IS NOT NULL THEN h END) OVER (ORDER BY h "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh "
+        "FROM grid), "
+        "fl AS (SELECT n.h, CASE WHEN n.s IS NOT NULL THEN n.s "
+        "WHEN pv.s IS NULL THEN nv.s "
+        "WHEN nv.s IS NULL THEN pv.s "
+        "ELSE pv.s + ((nv.s - pv.s) * (n.h - n.ph) "
+        "- ((((nv.s - pv.s) * (n.h - n.ph)) % (n.nh - n.ph)) "
+        "+ (n.nh - n.ph)) % (n.nh - n.ph)) // (n.nh - n.ph) "
+        "END AS v, n.s FROM nb n "
+        "LEFT JOIN hv pv ON pv.h = n.ph LEFT JOIN hv nv ON nv.h = n.nh) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_hours, "
+        "CAST(count(s) AS BIGINT) AS n_observed, "
+        "CAST(count(*) - count(s) AS BIGINT) AS n_filled, "
+        "CAST(COALESCE(sum(s), 0) AS BIGINT) AS sum_observed, "
+        "CAST(COALESCE(sum(v), 0) AS BIGINT) AS sum_filled_total "
+        "FROM fl"
+    )
+
+
 def _q_user_streaks(sf_dir: str):
     """Longest consecutive-day activity streak per user — the SQL
     'gaps and islands' problem: per user the count of distinct active
@@ -14322,6 +14412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_diverse_top5": _q_mmr_diverse,
         "time_to_convert": _q_time_to_convert,
         "user_streaks": _q_user_streaks,
+        "hourly_gapfill": _q_hourly_gapfill,
         "near_dup_pairs": _q_near_dup_pairs,
         "containment_pairs": _q_containment_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -15696,6 +15787,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_diverse_top5": _mmr_sql(),
         "time_to_convert": _time_to_convert_sql(),
         "user_streaks": _user_streaks_sql(),
+        "hourly_gapfill": _hourly_gapfill_sql(),
         "ann_cosine_top5": """
 WITH q AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
