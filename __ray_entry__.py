@@ -13731,6 +13731,90 @@ def _q_ann(sf_dir: str):
     return brute_force_topk(ds, queries_m, qids, k=5)
 
 
+def _q_quantile_normalize(sf_dir: str):
+    """Cross-source quantile normalization — the batch-effect
+    correction ML pipelines apply before mixing corpora: every doc's
+    n_chars maps to the POOLED length distribution's value at its
+    within-source quantile position, norm = pooled_sorted[⌈r·N/n_s⌉]
+    under the (n_chars, doc_id) total order — exact integers end to
+    end.  Per source (n_docs, sum_raw, sum_norm): after normalization
+    every source carries the pooled shape.  The pooled lookup rides
+    the distributed value histogram (cumulative counts broadcast,
+    distinct values never rows); ranks come from one source-bucketed
+    sort."""
+    import ray as _ray
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg, int_value_counts
+    from essentials_rd.util import np_col
+    from essentials_rd.windows import _str_or_int_key
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+
+    hist = sorted(
+        (int(r["value"]), int(r["count"]))
+        for r in int_value_counts(
+            docs.select_columns(["n_chars"]), "n_chars").take_all())
+    vals = np.array([h[0] for h in hist], np.int64)
+    cum = np.cumsum(np.array([h[1] for h in hist], np.int64))
+    n_pool = int(cum[-1])
+    ref = _ray.put((vals, cum))
+
+    def _per_source(grp: pa.Table) -> pa.Table:
+        v_, c_ = _ray.get(ref)
+        src = np.asarray(grp.column("source").to_pylist(), object)
+        nc = np_col(grp, "n_chars")
+        did = np_col(grp, "doc_id")
+        out_s, out_n, out_raw, out_norm = [], [], [], []
+        for s_ in np.unique(src):
+            m = src == s_
+            order = np.lexsort((did[m], nc[m]))
+            ncs = nc[m][order]
+            ns = len(ncs)
+            r = np.arange(1, ns + 1, dtype=np.int64)
+            idx = (r * n_pool + ns - 1) // ns  # ceil(r*N/ns), 1-based
+            norm = v_[np.searchsorted(c_, idx, side="left")]
+            out_s.append(str(s_))
+            out_n.append(ns)
+            out_raw.append(int(ncs.sum()))
+            out_norm.append(int(norm.sum()))
+        return pa.table({
+            "source": pa.array(out_s, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "sum_raw": pa.array(out_raw, pa.int64()),
+            "sum_norm": pa.array(out_norm, pa.int64()),
+        })
+
+    rows = sorted(hash_bucket_agg(
+        docs, lambda b: _str_or_int_key(
+            b.column("source")).view(np.int64),
+        _per_source).take_all(), key=lambda r: r["source"])
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "sum_raw": pa.array([r["sum_raw"] for r in rows], pa.int64()),
+        "sum_norm": pa.array([r["sum_norm"] for r in rows], pa.int64()),
+    })
+
+
+def _quantile_normalize_sql() -> str:
+    return (
+        "WITH pool AS (SELECT n_chars AS v, row_number() OVER ("
+        "ORDER BY n_chars, doc_id) AS rn FROM documents), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
+        "rk AS (SELECT source, n_chars, row_number() OVER ("
+        "PARTITION BY source ORDER BY n_chars, doc_id) AS r, "
+        "count(*) OVER (PARTITION BY source) AS ns FROM documents), "
+        "mp AS (SELECT rk.source, rk.n_chars, p.v AS norm FROM rk, nn "
+        "JOIN pool p ON p.rn = (rk.r * nn.n + rk.ns - 1) // rk.ns) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_raw, "
+        "CAST(sum(norm) AS BIGINT) AS sum_norm "
+        "FROM mp GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_hourly_gapfill(sf_dir: str):
     """Linear-interpolation gap fill — the time-series imputation step
     before any regular-grid model: hourly event-value sums (cents) on
@@ -14413,6 +14497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_convert": _q_time_to_convert,
         "user_streaks": _q_user_streaks,
         "hourly_gapfill": _q_hourly_gapfill,
+        "quantile_normalize": _q_quantile_normalize,
         "near_dup_pairs": _q_near_dup_pairs,
         "containment_pairs": _q_containment_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -15788,6 +15873,7 @@ def oracle_sql() -> dict[str, str]:
         "time_to_convert": _time_to_convert_sql(),
         "user_streaks": _user_streaks_sql(),
         "hourly_gapfill": _hourly_gapfill_sql(),
+        "quantile_normalize": _quantile_normalize_sql(),
         "ann_cosine_top5": """
 WITH q AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
