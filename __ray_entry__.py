@@ -13731,6 +13731,113 @@ def _q_ann(sf_dir: str):
     return brute_force_topk(ds, queries_m, qids, k=5)
 
 
+def _q_cohort_ltv(sf_dir: str):
+    """Cohort LTV matrix — the cumulative-revenue-by-cohort-age view
+    every subscription/commerce dashboard is built on: users cohorted
+    by the calendar month of their FIRST event (any type), purchase
+    cents accumulated per (cohort_month, age_in_months) cell and
+    summed cumulatively along age — exact integers.  One user-bucketed
+    first-event fold, one partitioned join of purchases to cohorts,
+    one cell combine (cells are months², driver-small); month index =
+    months since 1970-01 via datetime64[M], matching SQL's
+    year·12+month arithmetic exactly."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, join
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts",
+                                  "value"])
+
+    def _mon(t: pa.Table) -> np.ndarray:
+        us = np.asarray(t.column("ts").cast(pa.int64()))
+        return us.astype("datetime64[us]").astype(
+            "datetime64[M]").astype(np.int64)
+
+    def _first(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id").cast(pa.int64()),
+                         "m": pa.array(_mon(t), pa.int64())})
+
+    cohorts = grouped_pandas_agg(
+        ev.map_batches(_first, batch_format="pyarrow"),
+        keys=["user_id"], aggs={"cm": ("m", "min")})
+
+    def _purch(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), object)
+        keep = et == "purchase"
+        tt = t.take(pa.array(np.flatnonzero(keep)))
+        c = np.floor(np.asarray(tt.column("value").to_numpy(
+            zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"user_id": tt.column("user_id").cast(pa.int64()),
+                         "pm": pa.array(_mon(tt), pa.int64()),
+                         "cents": pa.array(c, pa.int64())})
+
+    purch = ev.map_batches(_purch, batch_format="pyarrow")
+    tagged = join(purch, cohorts, on="user_id", broadcast=False)
+
+    cells: dict[tuple, list] = {}
+    def _cell(t: pa.Table) -> pa.Table:
+        cm = np_col(t, "cm")
+        age = np_col(t, "pm") - cm
+        c = np_col(t, "cents")
+        key = cm * np.int64(1 << 16) + age
+        import pandas as pd
+        g = pd.DataFrame({"k": key, "c": c, "n": 1}).groupby("k").agg(
+            n=("n", "sum"), c=("c", "sum"))
+        return pa.table({
+            "k": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        })
+
+    for r in tagged.map_batches(_cell, batch_format="pyarrow").take_all():
+        k = int(r["k"])
+        a = cells.setdefault((k >> 16, k & 0xFFFF), [0, 0])
+        a[0] += int(r["n"]); a[1] += int(r["c"])
+    out = []
+    for cm in sorted({c for c, _ in cells}):
+        ages = sorted(a for c, a in cells if c == cm)
+        cum = 0
+        for a in range(0, max(ages) + 1):
+            n, c = cells.get((cm, a), (0, 0))
+            cum += c
+            out.append((cm, a, n, cum))
+    return pa.table({
+        "cohort_m": pa.array([o[0] for o in out], pa.int64()),
+        "age": pa.array([o[1] for o in out], pa.int64()),
+        "n_purch": pa.array([o[2] for o in out], pa.int64()),
+        "cum_cents": pa.array([o[3] for o in out], pa.int64()),
+    })
+
+
+def _cohort_ltv_sql() -> str:
+    mexpr = ("(CAST(date_part('year', {c}) AS BIGINT) * 12 "
+             "+ CAST(date_part('month', {c}) AS BIGINT) - 1 "
+             "- 1970 * 12)")
+    return (
+        "WITH fm AS (SELECT user_id, "
+        f"min({mexpr.format(c='ts')}) AS cm FROM events GROUP BY 1), "
+        "pc AS (SELECT e.user_id, "
+        f"{mexpr.format(c='e.ts')} - f.cm AS age, "
+        "CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents, f.cm "
+        "FROM events e JOIN fm f USING (user_id) "
+        "WHERE e.event_type = 'purchase'), "
+        "cells AS (SELECT cm, age, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(cents) AS BIGINT) AS c FROM pc GROUP BY 1, 2), "
+        "mx AS (SELECT cm, max(age) AS ma FROM cells GROUP BY 1), "
+        "grid AS (SELECT mx.cm, r.range AS age FROM mx, "
+        "range(0, 4096) r WHERE r.range <= mx.ma), "
+        "fl AS (SELECT g.cm, g.age, COALESCE(cells.n, 0) AS n, "
+        "COALESCE(cells.c, 0) AS c FROM grid g "
+        "LEFT JOIN cells ON cells.cm = g.cm AND cells.age = g.age) "
+        "SELECT cm AS cohort_m, age, n AS n_purch, "
+        "CAST(sum(c) OVER (PARTITION BY cm ORDER BY age) AS BIGINT) "
+        "AS cum_cents FROM fl ORDER BY 1, 2"
+    )
+
+
 def _q_quantile_normalize(sf_dir: str):
     """Cross-source quantile normalization — the batch-effect
     correction ML pipelines apply before mixing corpora: every doc's
@@ -14498,6 +14605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": _q_user_streaks,
         "hourly_gapfill": _q_hourly_gapfill,
         "quantile_normalize": _q_quantile_normalize,
+        "cohort_ltv": _q_cohort_ltv,
         "near_dup_pairs": _q_near_dup_pairs,
         "containment_pairs": _q_containment_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -15874,6 +15982,7 @@ def oracle_sql() -> dict[str, str]:
         "user_streaks": _user_streaks_sql(),
         "hourly_gapfill": _hourly_gapfill_sql(),
         "quantile_normalize": _quantile_normalize_sql(),
+        "cohort_ltv": _cohort_ltv_sql(),
         "ann_cosine_top5": """
 WITH q AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
