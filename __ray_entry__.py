@@ -11703,6 +11703,56 @@ def _q_media_img_stats(sf_dir: str):
     })
 
 
+def _q_media_resize(sf_dir: str):
+    """REAL image resize (multimodal.ResizeStage): decode the coded P6
+    PPMs, downsample 2× nearest-neighbor (every even row/column), emit
+    exact integer stats of the RESIZED stream + output dims.  The SQL
+    twin replays ONLY the kept pixels' coded indices j =
+    (2r·W + 2c)·3 + ch through the shared splitmix chain — equality
+    certifies decode → transform → stat end to end without the oracle
+    ever seeing a byte."""
+    import ray.data as rd
+
+    from essentials_rd.multimodal import media_resize, synth_coded_media
+
+    media = rd.from_arrow(synth_coded_media(MEDIA_IMG_N, kind="image",
+                                            seed=MEDIA_SEED))
+    out = media_resize(media).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    return pa.table({
+        k: pa.array([r[k] for r in out], pa.int64())
+        for k in ("media_id", "out_w", "out_h", "n_vals", "val_sum",
+                  "val_min", "val_max")
+    })
+
+
+def _media_resize_sql() -> str:
+    mix = (MEDIA_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes(
+        "rz", "media_id, ow, oh",
+        f"media_id * 4294967296 + j + {mix}", "pix")
+    return (
+        "WITH dims AS (SELECT i AS media_id, "
+        "CAST(12 + (i % 5) * 2 AS BIGINT) AS w, "
+        "CAST(8 + (i % 3) * 3 AS BIGINT) AS h, "
+        "CAST((12 + (i % 5) * 2 + 1) // 2 AS BIGINT) AS ow, "
+        "CAST((8 + (i % 3) * 3 + 1) // 2 AS BIGINT) AS oh "
+        f"FROM (SELECT unnest(range({MEDIA_IMG_N})) AS i)), "
+        "pix AS (SELECT media_id, ow, oh, "
+        "((2 * (k // (ow * 3))) * w + 2 * ((k % (ow * 3)) // 3)) * 3 "
+        "+ k % 3 AS j FROM (SELECT media_id, w, h, ow, oh, "
+        "unnest(range(ow * oh * 3)) AS k FROM dims)), "
+        f"{chain} "
+        "SELECT media_id, CAST(max(ow) AS BIGINT) AS out_w, "
+        "CAST(max(oh) AS BIGINT) AS out_h, "
+        "CAST(count(*) AS BIGINT) AS n_vals, "
+        "CAST(sum(z % 256) AS BIGINT) AS val_sum, "
+        "CAST(min(z % 256) AS BIGINT) AS val_min, "
+        "CAST(max(z % 256) AS BIGINT) AS val_max "
+        "FROM rz3 GROUP BY media_id ORDER BY media_id"
+    )
+
+
 def _q_media_wav_stats(sf_dir: str):
     """REAL audio decode (multimodal.decode_wav_pcm16): RIFF WAV PCM16
     payloads whose sample stream is splitmix64(...) mod 2¹⁶ − 32768;
@@ -14633,6 +14683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_reach": _q_temporal_reach,
         "rmat_edges": _q_rmat_edges,
         "media_img_stats": _q_media_img_stats,
+        "media_img_resize": _q_media_resize,
         "media_wav_stats": _q_media_wav_stats,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -16143,6 +16194,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "temporal_reach": _temporal_reach_sql(),
         "rmat_edges": _rmat_sql(),
         "media_img_stats": _media_img_sql(),
+        "media_img_resize": _media_resize_sql(),
         "media_wav_stats": _media_wav_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

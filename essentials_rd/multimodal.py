@@ -476,3 +476,56 @@ def decode_features(
         num_cpus=1,
         max_restarts=0,
     )
+
+
+class ResizeStage:
+    """Actor-pool stage: REAL-decode each netpbm payload, downsample
+    2× by nearest neighbor (keep every even row/column — exactly the
+    floor-index rule floor(r·H/ceil(H/2)) reduces to at factor 2), and
+    emit exact integer stats over the RESIZED pixel stream plus the
+    output dims — the decode→transform→stat shape every image
+    preprocessing pipeline runs, with the transform itself
+    oracle-checkable because the kept pixels are a pure index subset
+    of the coded stream."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload")
+        n = batch.num_rows
+        ow = np.empty(n, np.int64)
+        oh = np.empty(n, np.int64)
+        nv = np.empty(n, np.int64)
+        vsum = np.empty(n, np.int64)
+        vmin = np.empty(n, np.int64)
+        vmax = np.empty(n, np.int64)
+        for i in range(n):
+            img = decode_netpbm(payloads[i].as_py())
+            small = img[::2, ::2, :]
+            vals = small.ravel().astype(np.int64)
+            oh[i], ow[i] = small.shape[0], small.shape[1]
+            nv[i] = len(vals)
+            vsum[i] = int(vals.sum())
+            vmin[i] = int(vals.min())
+            vmax[i] = int(vals.max())
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "out_w": pa.array(ow, pa.int64()),
+            "out_h": pa.array(oh, pa.int64()),
+            "n_vals": pa.array(nv, pa.int64()),
+            "val_sum": pa.array(vsum, pa.int64()),
+            "val_min": pa.array(vmin, pa.int64()),
+            "val_max": pa.array(vmax, pa.int64()),
+        })
+
+
+def media_resize(
+    media: rd.Dataset, concurrency: int = 8, batch_size: int = 16
+) -> rd.Dataset:
+    """Real decode → 2× nearest-neighbor downsample → exact stats."""
+    return media.map_batches(
+        ResizeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+        max_restarts=0,
+    )

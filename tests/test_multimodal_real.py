@@ -124,3 +124,33 @@ def test_media_stats_layout_invariance(ray_session):
         for r in media_stats(
             rd.from_arrow(tbl).repartition(7), batch_size=2).take_all())
     assert a == b
+
+
+def test_resize_nearest_matches_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.multimodal import (
+        decode_netpbm, media_resize, synth_coded_media,
+    )
+
+    media = synth_coded_media(12, kind="image", seed=3)
+    rows = media_resize(rd.from_arrow(media)).take_all()
+    rows.sort(key=lambda r: r["media_id"])
+    for r in rows:
+        buf = media.column("payload")[r["media_id"]].as_py()
+        img = decode_netpbm(buf)
+        small = img[::2, ::2, :]
+        vals = small.ravel().astype(np.int64)
+        assert (r["out_h"], r["out_w"]) == small.shape[:2]
+        assert r["n_vals"] == len(vals)
+        assert r["val_sum"] == int(vals.sum())
+        assert r["val_min"] == int(vals.min())
+        assert r["val_max"] == int(vals.max())
+    # odd dims keep the extra row/col: 13x9 -> 7x5
+    from essentials_rd.multimodal import coded_img_dims
+    for i in range(12):
+        w, h = coded_img_dims(i)
+        r = rows[i]
+        assert r["out_w"] == (w + 1) // 2 and r["out_h"] == (h + 1) // 2
