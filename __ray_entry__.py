@@ -11703,6 +11703,50 @@ def _q_media_img_stats(sf_dir: str):
     })
 
 
+def _q_wav_features(sf_dir: str):
+    """REAL audio feature extraction (multimodal.WavFeatureStage):
+    decode the coded PCM16 WAVs and emit time-domain features — zero
+    crossings (adjacent-sample product < 0) and absolute peak — exact
+    integers; the SQL twin replays the sample stream through the
+    shared splitmix chain and a LAG window, certifying decode →
+    feature end to end."""
+    import ray.data as rd
+
+    from essentials_rd.multimodal import synth_coded_media, wav_features
+
+    media = rd.from_arrow(synth_coded_media(MEDIA_WAV_N, kind="audio",
+                                            seed=MEDIA_SEED))
+    out = wav_features(media).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    return pa.table({
+        k: pa.array([r[k] for r in out], pa.int64())
+        for k in ("media_id", "n_samples", "zero_crossings",
+                  "abs_peak")
+    })
+
+
+def _wav_features_sql() -> str:
+    mix = (MEDIA_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes(
+        "wf", "media_id, j", f"media_id * 4294967296 + j + {mix}", "pix")
+    return (
+        "WITH dims AS (SELECT i AS media_id, "
+        f"CAST(400 + 61 * (i % 7) AS BIGINT) AS nv "
+        f"FROM (SELECT unnest(range({MEDIA_WAV_N})) AS i)), "
+        "pix AS (SELECT media_id, unnest(range(nv)) AS j FROM dims), "
+        f"{chain}, "
+        "sm AS (SELECT media_id, j, "
+        "CAST(z % 65536 AS BIGINT) - 32768 AS s FROM wf3), "
+        "lg AS (SELECT media_id, s, lag(s) OVER ("
+        "PARTITION BY media_id ORDER BY j) AS ps FROM sm) "
+        "SELECT media_id, CAST(count(*) AS BIGINT) AS n_samples, "
+        "CAST(COALESCE(SUM(CASE WHEN ps * s < 0 THEN 1 ELSE 0 END), 0) "
+        "AS BIGINT) AS zero_crossings, "
+        "CAST(max(abs(s)) AS BIGINT) AS abs_peak "
+        "FROM lg GROUP BY media_id ORDER BY media_id"
+    )
+
+
 def _q_media_resize(sf_dir: str):
     """REAL image resize (multimodal.ResizeStage): decode the coded P6
     PPMs, downsample 2× nearest-neighbor (every even row/column), emit
@@ -14684,6 +14728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rmat_edges": _q_rmat_edges,
         "media_img_stats": _q_media_img_stats,
         "media_img_resize": _q_media_resize,
+        "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -16195,6 +16240,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "rmat_edges": _rmat_sql(),
         "media_img_stats": _media_img_sql(),
         "media_img_resize": _media_resize_sql(),
+        "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

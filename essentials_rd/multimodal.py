@@ -529,3 +529,43 @@ def media_resize(
         num_cpus=1,
         max_restarts=0,
     )
+
+
+class WavFeatureStage:
+    """Actor-pool stage: REAL WAV PCM16 decode → time-domain feature
+    extraction — zero-crossing count (adjacent sample product < 0, the
+    classic voiced/unvoiced + pitch proxy) and absolute peak — exact
+    integers over the decoded stream."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload")
+        n = batch.num_rows
+        zc = np.empty(n, np.int64)
+        pk = np.empty(n, np.int64)
+        ns = np.empty(n, np.int64)
+        for i in range(n):
+            s, _rate = decode_wav_pcm16(payloads[i].as_py())
+            s = s.astype(np.int64)
+            zc[i] = int((s[:-1] * s[1:] < 0).sum())
+            pk[i] = int(np.abs(s).max())
+            ns[i] = len(s)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_samples": pa.array(ns, pa.int64()),
+            "zero_crossings": pa.array(zc, pa.int64()),
+            "abs_peak": pa.array(pk, pa.int64()),
+        })
+
+
+def wav_features(
+    media: rd.Dataset, concurrency: int = 8, batch_size: int = 16
+) -> rd.Dataset:
+    """Real decode → time-domain audio features, actor-pool sized."""
+    return media.map_batches(
+        WavFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+        max_restarts=0,
+    )

@@ -154,3 +154,25 @@ def test_resize_nearest_matches_numpy():
         w, h = coded_img_dims(i)
         r = rows[i]
         assert r["out_w"] == (w + 1) // 2 and r["out_h"] == (h + 1) // 2
+
+
+def test_wav_features_match_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from essentials_rd.multimodal import (
+        decode_wav_pcm16, synth_coded_media, wav_features,
+    )
+
+    media = synth_coded_media(10, kind="audio", seed=5)
+    rows = wav_features(rd.from_arrow(media)).take_all()
+    rows.sort(key=lambda r: r["media_id"])
+    for r in rows:
+        buf = media.column("payload")[r["media_id"]].as_py()
+        s, _ = decode_wav_pcm16(buf)
+        s = s.astype(np.int64)
+        assert r["n_samples"] == len(s)
+        assert r["zero_crossings"] == int((s[:-1] * s[1:] < 0).sum())
+        assert r["abs_peak"] == int(np.abs(s).max())
+        assert r["zero_crossings"] > 0  # coded stream oscillates
