@@ -11854,6 +11854,108 @@ def _media_wav_sql() -> str:
     )
 
 
+def _q_media_sobel(sf_dir: str):
+    """REAL image convolution (multimodal.SobelStage): decode the
+    coded P6 PPMs, collapse to an integer luma plane (r + 2g + b), run
+    the classic 3×3 Sobel Gx/Gy stencils over interior pixels and emit
+    exact int64 stats of |Gx| + |Gy| — the first real convolution
+    through the media path.  The SQL twin rebuilds the luma plane from
+    the shared splitmix pixel chain and evaluates the SAME stencil as
+    one offsets-table join + GROUP BY target pixel, so equality
+    certifies decode → pointwise map → stencil → stat end to end."""
+    import ray.data as rd
+
+    from essentials_rd.multimodal import media_sobel, synth_coded_media
+
+    media = rd.from_arrow(synth_coded_media(MEDIA_IMG_N, kind="image",
+                                            seed=MEDIA_SEED))
+    out = media_sobel(media).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    return pa.table({
+        k: pa.array([r[k] for r in out], pa.int64())
+        for k in ("media_id", "n_interior", "grad_sum", "grad_max")
+    })
+
+
+def _media_sobel_sql() -> str:
+    mix = (MEDIA_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes(
+        "sb", "media_id, w, h, j",
+        f"media_id * 4294967296 + j + {mix}", "pix")
+    return (
+        "WITH dims AS (SELECT i AS media_id, "
+        "CAST(12 + (i % 5) * 2 AS BIGINT) AS w, "
+        "CAST(8 + (i % 3) * 3 AS BIGINT) AS h "
+        f"FROM (SELECT unnest(range({MEDIA_IMG_N})) AS i)), "
+        "pix AS (SELECT media_id, w, h, unnest(range(w * h * 3)) AS j "
+        "FROM dims), "
+        f"{chain}, "
+        "lum AS (SELECT media_id, w, h, (j // 3) // w AS r, "
+        "(j // 3) % w AS c, "
+        "sum((CAST(z % 256 AS BIGINT)) * "
+        "(CASE WHEN j % 3 = 1 THEN 2 ELSE 1 END)) AS v "
+        "FROM sb3 GROUP BY 1, 2, 3, 4, 5), "
+        "offs(dr, dc, wx, wy) AS (VALUES "
+        "(-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1), "
+        "(0, -1, -2, 0), (0, 1, 2, 0), "
+        "(1, -1, -1, 1), (1, 0, 0, 2), (1, 1, 1, 1)), "
+        "g AS (SELECT l.media_id, l.r - o.dr AS tr, l.c - o.dc AS tc, "
+        "l.w, l.h, sum(l.v * o.wx) AS gx, sum(l.v * o.wy) AS gy "
+        "FROM lum l CROSS JOIN offs o GROUP BY 1, 2, 3, 4, 5 "
+        "HAVING tr >= 1 AND tr <= h - 2 AND tc >= 1 AND tc <= w - 2) "
+        "SELECT media_id, CAST(count(*) AS BIGINT) AS n_interior, "
+        "CAST(sum(abs(gx) + abs(gy)) AS BIGINT) AS grad_sum, "
+        "CAST(max(abs(gx) + abs(gy)) AS BIGINT) AS grad_max "
+        "FROM g GROUP BY media_id ORDER BY media_id"
+    )
+
+
+def _q_wav_hadamard(sf_dir: str):
+    """REAL spectral transform (multimodal.HadamardStage): decode the
+    coded PCM16 WAVs and take the Walsh–Hadamard transform of the
+    first 64 samples — a ±1 orthogonal transform that stays EXACT
+    integer end to end (a float DFT could never hash-match), with the
+    64×64 sign matrix built once per actor in __init__.  Emits DC +
+    low/high sequency-band energies; the SQL twin replays the sample
+    chain and evaluates the same matrix via bit_count parity."""
+    import ray.data as rd
+
+    from essentials_rd.multimodal import synth_coded_media, wav_hadamard
+
+    media = rd.from_arrow(synth_coded_media(MEDIA_WAV_N, kind="audio",
+                                            seed=MEDIA_SEED))
+    out = wav_hadamard(media).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    return pa.table({
+        k: pa.array([r[k] for r in out], pa.int64())
+        for k in ("media_id", "dc", "e_low", "e_high")
+    })
+
+
+def _wav_hadamard_sql() -> str:
+    mix = (MEDIA_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes(
+        "wh", "media_id, j", f"media_id * 4294967296 + j + {mix}", "pix")
+    return (
+        f"WITH dims AS (SELECT unnest(range({MEDIA_WAV_N})) AS media_id), "
+        "pix AS (SELECT media_id, unnest(range(64)) AS j FROM dims), "
+        f"{chain}, "
+        "sm AS (SELECT media_id, j, "
+        "CAST(z % 65536 AS BIGINT) - 32768 AS s FROM wh3), "
+        "ks AS (SELECT unnest(range(64)) AS k), "
+        "co AS (SELECT media_id, k, sum(s * "
+        "(1 - 2 * (bit_count(j & k) % 2))) AS c "
+        "FROM sm CROSS JOIN ks GROUP BY 1, 2) "
+        "SELECT media_id, "
+        "CAST(max(CASE WHEN k = 0 THEN c END) AS BIGINT) AS dc, "
+        "CAST(sum(CASE WHEN k < 32 THEN c * c ELSE 0 END) AS BIGINT) "
+        "AS e_low, "
+        "CAST(sum(CASE WHEN k >= 32 THEN c * c ELSE 0 END) AS BIGINT) "
+        "AS e_high "
+        "FROM co GROUP BY media_id ORDER BY media_id"
+    )
+
+
 def _q_diameter_lb(sf_dir: str):
     """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS
     from the min vid, re-BFS from the farthest vertex found (tie-break
@@ -14730,6 +14832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
+        "media_img_sobel": _q_media_sobel,
+        "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
         "ols_order_price": _q_ols_order_price,
@@ -16242,6 +16346,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),
+        "media_img_sobel": _media_sobel_sql(),
+        "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),
         "ols_order_price": _ols_sql(),

@@ -478,7 +478,7 @@ def decode_features(
     )
 
 
-class ResizeStage:
+class ResizeStatsStage:
     """Actor-pool stage: REAL-decode each netpbm payload, downsample
     2× by nearest neighbor (keep every even row/column — exactly the
     floor-index rule floor(r·H/ceil(H/2)) reduces to at factor 2), and
@@ -522,7 +522,7 @@ def media_resize(
 ) -> rd.Dataset:
     """Real decode → 2× nearest-neighbor downsample → exact stats."""
     return media.map_batches(
-        ResizeStage,
+        ResizeStatsStage,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
@@ -563,6 +563,119 @@ def wav_features(
     """Real decode → time-domain audio features, actor-pool sized."""
     return media.map_batches(
         WavFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+        max_restarts=0,
+    )
+
+
+class SobelStage:
+    """Actor-pool stage: REAL-decode each netpbm payload and run an
+    integer Sobel edge detector over the luma plane — the first real
+    CONVOLUTION through the media path (decode → pointwise luma →
+    3×3 stencil → stat), all exact int64 so the result is
+    oracle-checkable bit-for-bit.  luma = r + 2g + b (integer BT.601
+    shape without the float weights); Gx/Gy are the classic Sobel
+    kernels evaluated on interior pixels only (no padding invented at
+    the border), and the per-image stats are over |Gx| + |Gy|."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload")
+        n = batch.num_rows
+        ni = np.empty(n, np.int64)
+        gs = np.empty(n, np.int64)
+        gm = np.empty(n, np.int64)
+        for i in range(n):
+            img = decode_netpbm(payloads[i].as_py()).astype(np.int64)
+            lum = img[:, :, 0] + 2 * img[:, :, 1] + img[:, :, 2]
+            gx = ((lum[:-2, 2:] - lum[:-2, :-2])
+                  + 2 * (lum[1:-1, 2:] - lum[1:-1, :-2])
+                  + (lum[2:, 2:] - lum[2:, :-2]))
+            gy = ((lum[2:, :-2] - lum[:-2, :-2])
+                  + 2 * (lum[2:, 1:-1] - lum[:-2, 1:-1])
+                  + (lum[2:, 2:] - lum[:-2, 2:]))
+            grad = np.abs(gx) + np.abs(gy)
+            ni[i] = grad.size
+            gs[i] = int(grad.sum())
+            gm[i] = int(grad.max()) if grad.size else 0
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_interior": pa.array(ni, pa.int64()),
+            "grad_sum": pa.array(gs, pa.int64()),
+            "grad_max": pa.array(gm, pa.int64()),
+        })
+
+
+def media_sobel(
+    media: rd.Dataset, concurrency: int = 8, batch_size: int = 16
+) -> rd.Dataset:
+    """Real decode → integer Sobel gradient stats per image."""
+    return media.map_batches(
+        SobelStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+        max_restarts=0,
+    )
+
+
+class HadamardStage:
+    """Actor-pool stage: REAL WAV PCM16 decode → Walsh–Hadamard
+    transform of the first 64 samples — a real ±1 spectral transform
+    that stays EXACT integer end to end (unlike a float DFT), so the
+    sequency-band energy split is oracle-reproducible.  The 64×64
+    sign matrix H[k,j] = (−1)^popcount(k & j) is built ONCE per actor
+    in __init__ (stateful setup, vectorized bit-parity), and each
+    clip's coefficients are one int64 matvec.  Emits the DC
+    coefficient plus low-sequency (k < 32) and high-sequency
+    (k ≥ 32) energies."""
+
+    WHT_N = 64
+
+    def __init__(self) -> None:
+        n = self.WHT_N
+        k = np.arange(n, dtype=np.int64)
+        x = k[:, None] & k[None, :]
+        par = np.zeros_like(x)
+        b = 1
+        while b < n:
+            par ^= (x // b) & 1
+            b <<= 1
+        self.H = (1 - 2 * par).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload")
+        n = batch.num_rows
+        dc = np.empty(n, np.int64)
+        lo = np.empty(n, np.int64)
+        hi = np.empty(n, np.int64)
+        for i in range(n):
+            s, _rate = decode_wav_pcm16(payloads[i].as_py())
+            s = s[: self.WHT_N].astype(np.int64)
+            if len(s) < self.WHT_N:
+                s = np.pad(s, (0, self.WHT_N - len(s)))
+            c = self.H @ s
+            dc[i] = int(c[0])
+            e = c * c
+            lo[i] = int(e[: self.WHT_N // 2].sum())
+            hi[i] = int(e[self.WHT_N // 2:].sum())
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "dc": pa.array(dc, pa.int64()),
+            "e_low": pa.array(lo, pa.int64()),
+            "e_high": pa.array(hi, pa.int64()),
+        })
+
+
+def wav_hadamard(
+    media: rd.Dataset, concurrency: int = 8, batch_size: int = 16
+) -> rd.Dataset:
+    """Real decode → exact integer Walsh–Hadamard sequency energies."""
+    return media.map_batches(
+        HadamardStage,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),

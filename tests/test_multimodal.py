@@ -59,3 +59,74 @@ def test_frame_sample_stage():
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 10, 20] for v in per.values())
     assert set(per) == set(range(5))
+
+
+def test_sobel_stage_matches_brute_force():
+    from essentials_rd.multimodal import (SobelStage, decode_netpbm,
+                                          encode_ppm, synth_coded_media)
+
+    media = synth_coded_media(8, kind="image", seed=3)
+    out = rd.from_arrow(media).map_batches(
+        SobelStage, batch_format="pyarrow", batch_size=4,
+        concurrency=(1, 2),
+    ).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    assert len(out) == 8
+    for r in out:
+        img = decode_netpbm(
+            media.column("payload")[r["media_id"]].as_py()
+        ).astype(np.int64)
+        h, w, _ = img.shape
+        lum = img[:, :, 0] + 2 * img[:, :, 1] + img[:, :, 2]
+        # explicit double-loop brute force (the stage is vectorized)
+        gsum = gmax = 0
+        n_int = 0
+        kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]])
+        ky = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]])
+        for rr in range(1, h - 1):
+            for cc in range(1, w - 1):
+                win = lum[rr - 1:rr + 2, cc - 1:cc + 2]
+                g = abs(int((win * kx).sum())) + abs(int((win * ky).sum()))
+                gsum += g
+                gmax = max(gmax, g)
+                n_int += 1
+        assert r["n_interior"] == n_int == (w - 2) * (h - 2)
+        assert r["grad_sum"] == gsum
+        assert r["grad_max"] == gmax
+
+    # a flat image has zero gradient everywhere
+    flat = np.full((6, 9, 3), 77, np.uint8)
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([encode_ppm(flat)], pa.large_binary()),
+    })
+    res = SobelStage()(t)
+    assert res.column("grad_sum")[0].as_py() == 0
+    assert res.column("n_interior")[0].as_py() == 4 * 7
+
+
+def test_hadamard_stage_parseval_and_brute_force():
+    from essentials_rd.multimodal import (HadamardStage, decode_wav_pcm16,
+                                          synth_coded_media)
+
+    media = synth_coded_media(6, kind="audio", seed=5)
+    out = rd.from_arrow(media).map_batches(
+        HadamardStage, batch_format="pyarrow", batch_size=3,
+        concurrency=(1, 2),
+    ).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    for r in out:
+        s, _ = decode_wav_pcm16(
+            media.column("payload")[r["media_id"]].as_py())
+        s = s[:64].astype(np.int64)
+        # brute-force coefficients via explicit popcount
+        c = np.array([
+            sum(int(s[j]) * (1 - 2 * (bin(j & k).count("1") % 2))
+                for j in range(64))
+            for k in range(64)
+        ], dtype=np.int64)
+        assert r["dc"] == int(c[0]) == int(s.sum())
+        assert r["e_low"] == int((c[:32] ** 2).sum())
+        assert r["e_high"] == int((c[32:] ** 2).sum())
+        # Parseval for the ±1 WHT: sum c_k^2 == 64 * sum s_j^2
+        assert r["e_low"] + r["e_high"] == 64 * int((s ** 2).sum())
