@@ -14600,6 +14600,105 @@ def _q_lang_pred(sf_dir: str):
     )
 
 
+WM_DELAY_US = 30 * 60 * 1_000_000  # 30-minute allowed lateness
+
+
+def _q_late_events(sf_dir: str):
+    """Streaming watermark / late-data accounting — the event-time vs
+    arrival-order bookkeeping every streaming engine does before
+    dropping or side-outputting late records: with arrival order =
+    event_id, the watermark at each arrival is max(event time of all
+    STRICTLY EARLIER arrivals) − 30 min, and an event is late iff its
+    own event time is below that watermark.  The driver data is
+    ts-ordered by event_id, so arrival order is SIMULATED network
+    reordering: arrival rank = splitmix64(event_id) — a pure function
+    both sides compute, guaranteeing genuinely late events.  The scan
+    rides ops.global_prefix_max (exclusive distributed running max —
+    one value-pure range partition + per-partition max pass + carried
+    local scan, driver sees n_parts scalars); per event type the
+    result reports totals, late counts and the worst lateness."""
+    import ray.data as rd
+
+    from essentials_rd.ops import (PREFIX_MAX_NEG_INF, global_prefix_max)
+    from essentials_rd.util import hash64, np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t.column("event_id").cast(pa.int64()))
+        # unsigned splitmix order ≡ signed order after the sign-bit flip
+        arr = (hash64(eid.astype(np.uint64))
+               ^ np.uint64(1 << 63)).astype(np.int64)
+        return pa.table({
+            "arr": pa.array(arr, pa.int64()),
+            "eid": pa.array(eid, pa.int64()),
+            "t_us": t.column("ts").cast(pa.int64()),
+            "event_type": t.column("event_type"),
+        })
+
+    wm = global_prefix_max(
+        ev.map_batches(_proj, batch_format="pyarrow"),
+        "arr", ["eid"], "t_us",
+        lambda b: np_col(b, "eid"))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), object)
+        ts = np_col(t, "t_us")
+        pm = np_col(t, "prev_max")
+        # first arrival carries the −inf sentinel: never late
+        late = (pm > PREFIX_MAX_NEG_INF) & (ts < pm - WM_DELAY_US)
+        lateness = np.where(late, pm - WM_DELAY_US - ts, 0)
+        out_t, out_n, out_l, out_m = [], [], [], []
+        for ty in np.unique(et):
+            m = et == ty
+            out_t.append(str(ty))
+            out_n.append(int(m.sum()))
+            out_l.append(int(late[m].sum()))
+            out_m.append(int(lateness[m].max()) if m.any() else 0)
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "n_late": pa.array(out_l, pa.int64()),
+            "max_late": pa.array(out_m, pa.int64()),
+        })
+
+    acc: dict[str, list[int]] = {}
+    for r in wm.map_batches(_partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["event_type"], [0, 0, 0])
+        a[0] += r["n"]
+        a[1] += r["n_late"]
+        a[2] = max(a[2], r["max_late"])
+    keys = sorted(acc)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "n_events": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "n_late": pa.array([acc[k][1] for k in keys], pa.int64()),
+        "max_lateness_us": pa.array([acc[k][2] for k in keys], pa.int64()),
+    })
+
+
+def _late_events_sql() -> str:
+    chain = _sm64_ctes("wz", "event_id, event_type, t",
+                       "event_id",
+                       "(SELECT event_id, event_type, epoch_us(ts) AS t "
+                       "FROM events)")
+    return (
+        f"WITH {chain}, "
+        "w AS (SELECT event_type, t, "
+        "max(t) OVER (ORDER BY z, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
+        "FROM wz3) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        f"CAST(sum(CASE WHEN t < pm - {WM_DELAY_US} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_late, "
+        f"CAST(COALESCE(max(CASE WHEN t < pm - {WM_DELAY_US} "
+        f"THEN pm - {WM_DELAY_US} - t END), 0) AS BIGINT) "
+        "AS max_lateness_us "
+        "FROM w GROUP BY 1 ORDER BY 1"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -14833,6 +14932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
         "media_img_sobel": _q_media_sobel,
+        "late_events_watermark": _q_late_events,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -16347,6 +16447,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),
         "media_img_sobel": _media_sobel_sql(),
+        "late_events_watermark": _late_events_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -1604,6 +1604,71 @@ def global_cumsum(
     return routed.groupby("part_id").map_groups(_cum, batch_format="pyarrow")
 
 
+PREFIX_MAX_NEG_INF = -(1 << 62)
+
+
+def global_prefix_max(
+    ds: rd.Dataset,
+    col: str,
+    tie_cols: list[str],
+    val_col: str,
+    key_fn: Callable[[pa.Table], np.ndarray],
+    *,
+    n_parts: int = 32,
+    sample_frac: float = 0.1,
+    seed: int = 42,
+    out_col: str = "prev_max",
+) -> rd.Dataset:
+    """Distributed ordered EXCLUSIVE prefix MAX: for every row, the
+    exact int64 max of ``val_col`` over all rows strictly BEFORE it in
+    the ``(col, *tie_cols)`` total order (``PREFIX_MAX_NEG_INF`` for
+    the global first row) — the WATERMARK primitive: with ``col`` =
+    arrival order and ``val_col`` = event time, ``prev_max - delay``
+    is exactly the streaming watermark every late-data policy tests
+    against.  Same two-pass plan as :func:`global_cumsum`:
+    range-partition on ``col`` (routing is value-pure, so partitions
+    are disjoint ordered ranges), a per-partition MAX pass whose
+    running max gives each partition's incoming carry (driver sees
+    n_parts scalars, never rows), then each partition sorts locally
+    and scans ``np.maximum.accumulate`` from its carry.  ``(col,
+    *tie_cols)`` must be unique per row; ``col`` int64."""
+    routed, _bounds = range_partition(
+        ds, col, n_parts, key_fn, sample_frac=sample_frac, seed=seed
+    )
+    routed = routed.materialize()
+
+    def _maxes(t: pa.Table) -> pa.Table:
+        p = np_col(t, "part_id")
+        v = np_col(t, val_col).astype(np.int64)
+        k, vv = _sorted_kv(p, v)
+        first = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(first)
+        mx = np.maximum.reduceat(vv, starts)
+        return pa.table({"p": pa.array(k[starts], pa.int64()),
+                         "m": pa.array(mx, pa.int64())})
+
+    maxes = np.full(n_parts, PREFIX_MAX_NEG_INF, np.int64)
+    for r in routed.map_batches(_maxes, batch_format="pyarrow").take_all():
+        maxes[r["p"]] = max(maxes[r["p"]], r["m"])
+    carries = np.r_[PREFIX_MAX_NEG_INF,
+                    np.maximum.accumulate(maxes)[:-1]]
+
+    order_cols = [col] + list(tie_cols)
+
+    def _scan(grp: pa.Table) -> pa.Table:
+        p = int(grp.column("part_id")[0].as_py())
+        df = grp.drop_columns(["part_id"]).to_pandas()
+        df = df.sort_values(order_cols, kind="stable")
+        v = df[val_col].to_numpy(np.int64)
+        run = np.maximum.accumulate(np.r_[np.int64(carries[p]), v])[:-1]
+        df[out_col] = run  # exclusive: row i sees carry ∨ max(v[:i])
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata()
+
+    return routed.groupby("part_id").map_groups(_scan, batch_format="pyarrow")
+
+
 def _sorted_kv(k: np.ndarray, v: np.ndarray):
     order = np.argsort(k, kind="stable")
     return k[order], v[order]

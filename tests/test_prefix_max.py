@@ -1,0 +1,76 @@
+"""ops.global_prefix_max (the exclusive distributed running-max /
+watermark primitive) vs a brute-force sorted scan: exact equality on
+random data, −inf sentinel on the global first row, tie-break columns,
+and block-layout / partition-count invariance."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from essentials_rd.ops import PREFIX_MAX_NEG_INF, global_prefix_max
+from essentials_rd.util import np_col
+
+
+def _brute(order, ties, vals):
+    idx = np.lexsort((ties, order))
+    o, v = order[idx], vals[idx]
+    out = np.empty(len(v), np.int64)
+    cur = PREFIX_MAX_NEG_INF
+    for i in range(len(v)):
+        out[i] = cur
+        cur = max(cur, int(v[i]))
+    # map back to (order, tie) keyed dict
+    return {(int(o[i]), int(ties[idx][i] if len(ties) else 0)): int(out[i])
+            for i in range(len(v))}
+
+
+def _run(t: pa.Table, n_blocks: int, n_parts: int):
+    ds = rd.from_arrow(t).repartition(n_blocks)
+    out = global_prefix_max(
+        ds, "k", ["tie"], "v", lambda b: np_col(b, "k"),
+        n_parts=n_parts).take_all()
+    return {(r["k"], r["tie"]): r["prev_max"] for r in out}
+
+
+def test_prefix_max_matches_brute_force_any_layout():
+    rng = np.random.default_rng(17)
+    n = 800
+    k = rng.permutation(n).astype(np.int64) * 7  # unique, gappy
+    tie = np.zeros(n, np.int64)
+    v = rng.integers(-10**6, 10**6, n).astype(np.int64)
+    t = pa.table({"k": pa.array(k), "tie": pa.array(tie),
+                  "v": pa.array(v)})
+    want = _brute(k, tie, v)
+    assert _run(t, 1, 4) == want
+    assert _run(t, 9, 4) == want
+    assert _run(t, 9, 16) == want
+
+
+def test_prefix_max_first_row_sentinel_and_ties():
+    # duplicate k values: the tie column must disambiguate, and the
+    # scan order is (k, tie) — earlier tie's value is visible to later
+    k = np.array([5, 5, 5, 1, 9], np.int64)
+    tie = np.array([2, 0, 1, 0, 0], np.int64)
+    v = np.array([100, 7, 50, 3, 1], np.int64)
+    t = pa.table({"k": pa.array(k), "tie": pa.array(tie),
+                  "v": pa.array(v)})
+    got = _run(t, 3, 2)
+    # order: (1,0)v=3 → (5,0)v=7 → (5,1)v=50 → (5,2)v=100 → (9,0)
+    assert got[(1, 0)] == PREFIX_MAX_NEG_INF
+    assert got[(5, 0)] == 3
+    assert got[(5, 1)] == 7
+    assert got[(5, 2)] == 50
+    assert got[(9, 0)] == 100
+
+
+def test_prefix_max_monotone_input_is_shifted_identity():
+    n = 200
+    k = np.arange(n, dtype=np.int64)
+    v = np.arange(n, dtype=np.int64) * 10
+    t = pa.table({"k": pa.array(k),
+                  "tie": pa.array(np.zeros(n, np.int64)),
+                  "v": pa.array(v)})
+    got = _run(t, 5, 8)
+    assert got[(0, 0)] == PREFIX_MAX_NEG_INF
+    for i in range(1, n):
+        assert got[(i, 0)] == (i - 1) * 10
