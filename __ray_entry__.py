@@ -14699,6 +14699,109 @@ def _late_events_sql() -> str:
     )
 
 
+ALS_SEED = 11
+ALS_LAMBDA = 1  # integer ridge term keeps every normal matrix nonsingular
+
+
+def _q_als_step(sf_dir: str):
+    """One exact ALS half-step — the alternating-least-squares
+    recommender update (Koren/Hu-Koren-Volinsky shape): item factors
+    are a PURE FUNCTION of the part key (two small ints from one
+    splitmix64 draw, so no factor table is ever joined or shipped),
+    and each order's rank-2 user factor solves the ridge normal
+    equations (FᵀF + λI)x = Fᵀq EXACTLY by integer Cramer — det and
+    numerators stay int64, the emitted factors are floor(1e6·n/det)
+    via floor division, so the whole update is oracle-checkable with
+    zero float drift.  Distribution: one order-bucketed sum combine
+    (6 small int partials per row — the classic pre-aggregated
+    normal-equation fold), then a stateless vectorized solve pass;
+    nothing driver-side but the final table."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import _GOLDEN, hash64, np_col
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_quantity"])
+    mix = np.uint64((ALS_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def _proj(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t.column("l_partkey")).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = hash64(pk + mix)
+        f1 = (z % np.uint64(7)).astype(np.int64) - 3
+        f2 = ((z >> np.uint64(8)) % np.uint64(7)).astype(np.int64) - 3
+        q = np.asarray(t.column("l_quantity")).astype(np.int64)
+        return pa.table({
+            "o": t.column("l_orderkey").cast(pa.int64()),
+            "n1": pa.array(np.ones(len(q), np.int64)),
+            "s11": pa.array(f1 * f1, pa.int64()),
+            "s12": pa.array(f1 * f2, pa.int64()),
+            "s22": pa.array(f2 * f2, pa.int64()),
+            "b1": pa.array(q * f1, pa.int64()),
+            "b2": pa.array(q * f2, pa.int64()),
+        })
+
+    agg = grouped_pandas_agg(
+        li.map_batches(_proj, batch_format="pyarrow"),
+        keys=["o"],
+        aggs={"n_items": ("n1", "sum"), "s11": ("s11", "sum"),
+              "s12": ("s12", "sum"), "s22": ("s22", "sum"),
+              "b1": ("b1", "sum"), "b2": ("b2", "sum")})
+
+    def _solve(t: pa.Table) -> pa.Table:
+        a11 = np_col(t, "s11") + ALS_LAMBDA
+        a22 = np_col(t, "s22") + ALS_LAMBDA
+        a12 = np_col(t, "s12")
+        b1 = np_col(t, "b1")
+        b2 = np_col(t, "b2")
+        det = a11 * a22 - a12 * a12  # > 0: A = FᵀF + λI is SPD
+        q1 = (1_000_000 * (b1 * a22 - b2 * a12)) // det
+        q2 = (1_000_000 * (b2 * a11 - b1 * a12)) // det
+        return pa.table({
+            "orderkey": t.column("o"),
+            "n_items": t.column("n_items"),
+            "q1": pa.array(q1, pa.int64()),
+            "q2": pa.array(q2, pa.int64()),
+        })
+
+    rows = agg.map_batches(_solve, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["orderkey"])
+    return pa.table({
+        k: pa.array([r[k] for r in rows], pa.int64())
+        for k in ("orderkey", "n_items", "q1", "q2")
+    })
+
+
+def _als_sql() -> str:
+    mix = (ALS_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes("az", "l_orderkey, q", f"l_partkey + {mix}",
+                       "(SELECT l_orderkey, l_partkey, "
+                       "CAST(l_quantity AS BIGINT) AS q FROM lineitem)")
+    # floor(n/d) for d > 0 with DuckDB's truncated %: subtract the
+    # nonnegative remainder, then the division is exact
+    def fl(n: str, d: str) -> str:
+        return (f"(({n}) - ((({n}) % ({d})) + ({d})) % ({d})) // ({d})")
+
+    lam = ALS_LAMBDA
+    return (
+        f"WITH {chain}, "
+        "f AS (SELECT l_orderkey, q, "
+        "CAST(z % 7 AS BIGINT) - 3 AS f1, "
+        "CAST((z >> 8) % 7 AS BIGINT) - 3 AS f2 FROM az3), "
+        "a AS (SELECT l_orderkey AS orderkey, "
+        "CAST(count(*) AS BIGINT) AS n_items, "
+        f"{lam} + sum(f1 * f1) AS a11, sum(f1 * f2) AS a12, "
+        f"{lam} + sum(f2 * f2) AS a22, "
+        "sum(q * f1) AS b1, sum(q * f2) AS b2 "
+        "FROM f GROUP BY 1) "
+        "SELECT orderkey, n_items, "
+        f"CAST({fl('1000000 * (b1 * a22 - b2 * a12)', 'a11 * a22 - a12 * a12')} AS BIGINT) AS q1, "
+        f"CAST({fl('1000000 * (b2 * a11 - b1 * a12)', 'a11 * a22 - a12 * a12')} AS BIGINT) AS q2 "
+        "FROM a ORDER BY orderkey"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -14933,6 +15036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_stats": _q_media_wav_stats,
         "media_img_sobel": _q_media_sobel,
         "late_events_watermark": _q_late_events,
+        "als_user_factors": _q_als_step,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -16448,6 +16552,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "media_wav_stats": _media_wav_sql(),
         "media_img_sobel": _media_sobel_sql(),
         "late_events_watermark": _late_events_sql(),
+        "als_user_factors": _als_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),
