@@ -14699,6 +14699,46 @@ def _late_events_sql() -> str:
     )
 
 
+RMED_K = 5
+
+
+def _q_rolling_median(sf_dir: str):
+    """Per-user sliding 5-row LOWER MEDIAN over event value-cents —
+    the holistic window aggregate no prefix-sum trick expresses
+    (windows.rolling_window_median): per event the discrete median of
+    its trailing window, exactly DuckDB's quantile_disc(0.5) pick at
+    sorted index floor((w−1)/2), integer cents end to end.  One
+    user-bucketed shuffle; per bucket a gathered (n × k) window
+    matrix, one axis-1 sort and a per-row take at the window's own
+    median index."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from essentials_rd.windows import rolling_window_median
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("__cents__", c)
+
+    return rolling_window_median(
+        ev.map_batches(_cents, batch_format="pyarrow"), k=RMED_K)
+
+
+def _rolling_median_sql() -> str:
+    return (
+        "SELECT event_id, "
+        "CAST(quantile_disc(cents, 0.5) OVER w AS BIGINT) AS roll_median, "
+        "CAST(count(*) OVER w AS BIGINT) AS roll_n "
+        "FROM (SELECT event_id, user_id, ts, "
+        "  CAST(floor(value * 100) AS BIGINT) AS cents FROM events) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {RMED_K - 1} PRECEDING AND CURRENT ROW)"
+    )
+
+
 ALS_SEED = 11
 ALS_LAMBDA = 1  # integer ridge term keeps every normal matrix nonsingular
 
@@ -15037,6 +15077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_img_sobel": _q_media_sobel,
         "late_events_watermark": _q_late_events,
         "als_user_factors": _q_als_step,
+        "rolling_median5": _q_rolling_median,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -16553,6 +16594,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "media_img_sobel": _media_sobel_sql(),
         "late_events_watermark": _late_events_sql(),
         "als_user_factors": _als_sql(),
+        "rolling_median5": _rolling_median_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -1735,3 +1735,85 @@ def position_attribution(
         "touch_type": pa.array(chs, pa.string()),
         "credit_micros": pa.array([acc[c] for c in chs], pa.int64()),
     })
+
+
+def rolling_window_median(
+    events: rd.Dataset,
+    k: int = 5,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    val_col: str = "__cents__",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key sliding-window LOWER MEDIAN over the last ``k`` rows —
+    the holistic window aggregate (SQL ``quantile_disc(v, 0.5) OVER
+    (... ROWS k-1 PRECEDING)``) that a prefix sum cannot express:
+    per event, the element at sorted index ``floor((w-1)/2)`` of its
+    window of ``w = min(row_pos+1, k)`` values, exactly DuckDB's
+    discrete-quantile pick, so integer inputs stay bit-exact.
+
+    Same single user-bucketed shuffle as :func:`rolling_window_agg`;
+    the per-bucket kernel is ONE lexsort + a gathered (n × k) window
+    matrix (out-of-window slots filled with +inf so they sort last) +
+    one ``np.sort(axis=1)`` and a per-row ``take_along_axis`` at the
+    window's own median index — no per-row Python, O(n·k log k) per
+    bucket with k a small constant."""
+    kk = np.int64(k)
+    big = np.int64((1 << 62))
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: batch.column(user_col).cast(pa.int64()),
+                "__ts__": pa.array(_epoch_us(batch, ts_col), pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                val_col: batch.column(val_col).cast(pa.int64()),
+            }
+        )
+
+    def _med(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "roll_median": pa.array([], pa.int64()),
+                    "roll_n": pa.array([], pa.int64()),
+                }
+            )
+        u = np_col(grp, user_col)
+        t = np_col(grp, "__ts__")
+        e = np_col(grp, id_col)
+        v = np_col(grp, val_col)
+        order = np.lexsort((e, t, u))
+        u, e, v = u[order], e[order], v[order]
+        n = len(u)
+        seg_starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        row_start = seg_starts[np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1]
+        i = np.arange(n, dtype=np.int64)
+        win_start = np.maximum(row_start, i - kk + 1)
+        w = i + 1 - win_start
+        # gather the k-lookback matrix: column j holds v[i - j],
+        # masked to +inf where j falls before the window start
+        offs = np.arange(k, dtype=np.int64)
+        idx = i[:, None] - offs[None, :]
+        valid = offs[None, :] < w[:, None]
+        m = np.where(valid, v[np.maximum(idx, 0)], big)
+        m.sort(axis=1)
+        med_idx = (w - 1) // 2
+        med = np.take_along_axis(m, med_idx[:, None], axis=1)[:, 0]
+        return pa.table(
+            {
+                id_col: pa.array(e, pa.int64()),
+                "roll_median": pa.array(med, pa.int64()),
+                "roll_n": pa.array(w, pa.int64()),
+            }
+        )
+
+    projected = events.map_batches(_project, batch_format="pyarrow")
+    return hash_bucket_agg(
+        projected,
+        lambda b: np_col(b, user_col).astype(np.int64),
+        _med,
+        num_buckets=num_buckets,
+    )

@@ -74,3 +74,35 @@ def test_prefix_max_monotone_input_is_shifted_identity():
     assert got[(0, 0)] == PREFIX_MAX_NEG_INF
     for i in range(1, n):
         assert got[(i, 0)] == (i - 1) * 10
+
+
+def test_rolling_median_matches_pandas_brute_force():
+    from essentials_rd.windows import rolling_window_median
+
+    rng = np.random.default_rng(23)
+    n, users, k = 700, 12, 5
+    u = rng.integers(0, users, n).astype(np.int64)
+    t = rng.integers(0, 1_000_000, n).astype(np.int64)
+    u[:6] = 3
+    t[:6] = 777  # same-user ts ties → (ts, event_id) tie-break
+    v = rng.integers(-500, 500, n).astype(np.int64)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(t, pa.timestamp("us")),
+        "user_id": pa.array(u),
+        "__cents__": pa.array(v),
+    })
+    got = {r["event_id"]: (r["roll_median"], r["roll_n"])
+           for r in rolling_window_median(
+               rd.from_arrow(tbl).repartition(7), k=k).take_all()}
+    # brute force: per user, sorted by (ts, event_id), lower median
+    import pandas as pd
+    df = pd.DataFrame({"e": np.arange(n), "t": t, "u": u, "v": v})
+    for _, g in df.sort_values(["u", "t", "e"]).groupby("u"):
+        vals = g["v"].to_numpy()
+        es = g["e"].to_numpy()
+        for i in range(len(g)):
+            w = vals[max(0, i - k + 1): i + 1]
+            med = int(np.sort(w)[(len(w) - 1) // 2])
+            assert got[int(es[i])] == (med, len(w))
+    assert len(got) == n
