@@ -14699,6 +14699,82 @@ def _late_events_sql() -> str:
     )
 
 
+DP_CAP = 3       # per-user contribution bound
+DP_B = 20        # discrete-uniform noise half-width
+DP_SEED = 29
+
+
+def _q_dp_counts(sf_dir: str):
+    """Differential-privacy-shaped count release — the contribution
+    bounding → aggregate → noise → post-process pipeline every DP
+    analytics system runs (the noise here is a DETERMINISTIC discrete
+    uniform seeded by the category's alphabetical rank so the oracle
+    can replay it; a deployment swaps in secure randomness — the
+    certified part is the bounding/clamping arithmetic around it):
+    per event type, each user's event count is capped at 3 (bounding
+    the L1 sensitivity), capped counts sum, integer noise in
+    [−20, 20] is added, and the release clamps at 0.  One
+    user-bucketed exchange (per-user caps need the user's whole
+    stream); the per-type fold is driver-small."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import _GOLDEN, hash64, np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def _partial(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        per = df.groupby(["user_id", "event_type"]).size()
+        capped = per.clip(upper=DP_CAP)
+        by_type = capped.groupby(level="event_type").agg(["sum", "count"])
+        return pa.table({
+            "event_type": pa.array(by_type.index.astype(str), pa.string()),
+            "s": pa.array(by_type["sum"].to_numpy(np.int64), pa.int64()),
+            "nu": pa.array(by_type["count"].to_numpy(np.int64), pa.int64()),
+        })
+
+    acc: dict[str, list[int]] = {}
+    for r in hash_bucket_agg(
+            ev, lambda b: np_col(b, "user_id"), _partial).take_all():
+        a = acc.setdefault(r["event_type"], [0, 0])
+        a[0] += r["s"]
+        a[1] += r["nu"]
+    keys = sorted(acc)
+    ranks = np.arange(1, len(keys) + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = hash64(ranks + np.uint64((DP_SEED * 0x9E3779B97F4A7C15)
+                                     % (1 << 64)))
+    noise = (z % np.uint64(2 * DP_B + 1)).astype(np.int64) - DP_B
+    s = np.array([acc[k][0] for k in keys], np.int64)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "n_users": pa.array([acc[k][1] for k in keys], pa.int64()),
+        "sum_capped": pa.array(s, pa.int64()),
+        "noisy_count": pa.array(np.maximum(0, s + noise), pa.int64()),
+    })
+
+
+def _dp_counts_sql() -> str:
+    mix = (DP_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes("dpz", "event_type, s, nu", f"r + {mix}", "rk")
+    return (
+        "WITH per AS (SELECT user_id, event_type, count(*) AS c "
+        "FROM events GROUP BY 1, 2), "
+        "cap AS (SELECT event_type, "
+        f"CAST(sum(LEAST(c, {DP_CAP})) AS BIGINT) AS s, "
+        "CAST(count(*) AS BIGINT) AS nu FROM per GROUP BY 1), "
+        "rk AS (SELECT event_type, s, nu, "
+        "dense_rank() OVER (ORDER BY event_type) AS r FROM cap), "
+        f"{chain} "
+        "SELECT event_type, nu AS n_users, s AS sum_capped, "
+        f"GREATEST(0, s + CAST(z % {2 * DP_B + 1} AS BIGINT) - {DP_B}) "
+        "AS noisy_count "
+        "FROM dpz3 ORDER BY 1"
+    )
+
+
 RMED_K = 5
 
 
@@ -15078,6 +15154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events_watermark": _q_late_events,
         "als_user_factors": _q_als_step,
         "rolling_median5": _q_rolling_median,
+        "dp_noisy_counts": _q_dp_counts,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -16595,6 +16672,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "late_events_watermark": _late_events_sql(),
         "als_user_factors": _als_sql(),
         "rolling_median5": _rolling_median_sql(),
+        "dp_noisy_counts": _dp_counts_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -1,0 +1,61 @@
+"""dp_noisy_counts: contribution bounding (a heavy user moves the
+release by at most the cap), noise bounds, zero clamp, layout
+invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import __ray_entry__ as e
+
+
+def _write(tmp_path, u, et, rgs=None):
+    t = pa.table({
+        "user_id": pa.array(u, pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    kw = {"row_group_size": rgs} if rgs else {}
+    pq.write_table(t, d / "events.parquet", **kw)
+    return str(d)
+
+
+def test_cap_bounds_single_user_influence(tmp_path):
+    # 40 users with 1 'a' event each; user 999 with 500 'a' events
+    u = list(range(40)) + [999] * 500
+    et = ["a"] * 540
+    d = _write(tmp_path, u, et)
+    out = e._q_dp_counts(d).to_pydict()
+    assert out["event_type"] == ["a"]
+    assert out["n_users"] == [41]
+    # capped sum: 40*1 + cap(500)=3 → 43, not 540
+    assert out["sum_capped"] == [40 + e.DP_CAP]
+    # noise bounded: release within B of the capped sum
+    assert abs(out["noisy_count"][0] - out["sum_capped"][0]) <= e.DP_B
+
+
+def test_zero_clamp_and_noise_determinism(tmp_path):
+    # tiny category: capped sum may go negative after noise → clamp 0
+    u = [1]
+    et = ["solo"]
+    d = _write(tmp_path, u, et)
+    out1 = e._q_dp_counts(d).to_pydict()
+    out2 = e._q_dp_counts(d).to_pydict()
+    assert out1 == out2  # deterministic release
+    assert out1["noisy_count"][0] >= 0
+    assert out1["sum_capped"] == [1]
+
+
+def test_layout_invariance(tmp_path):
+    rng = np.random.default_rng(7)
+    n = 2000
+    u = rng.integers(0, 80, n)
+    et = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, n)]
+    a = e._q_dp_counts(_write(tmp_path, u, et)).to_pydict()
+    b = e._q_dp_counts(_write(tmp_path, u, et, rgs=37)).to_pydict()
+    assert a == b
+    # per-type noise differs across ranks (not a constant offset)
+    deltas = {t: a["noisy_count"][i] - a["sum_capped"][i]
+              for i, t in enumerate(a["event_type"])}
+    assert len(set(deltas.values())) > 1
