@@ -14699,6 +14699,78 @@ def _late_events_sql() -> str:
     )
 
 
+TRANK_K, TRANK_MIN = 10, 5
+
+
+def _q_textrank(sf_dir: str):
+    """TextRank keyword extraction (textops.textrank_tokens) — the
+    Mihalcea-Tarau text→graph→PageRank composition run end to end on
+    already-proven operators: bucketed bigram counts → support-≥5
+    canonical-pair merge (both directions sum, no loops) → broadcast
+    id map over the FILTERED vocabulary → the superstep
+    weighted-PageRank engine → top-10 by 6-dp score, token
+    tie-break."""
+    import ray.data as rd
+
+    from essentials_rd.textops import textrank_tokens
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return textrank_tokens(docs, k=TRANK_K, min_count=TRANK_MIN,
+                           alpha=ALPHA, iters=PR_ITERS)
+
+
+def _textrank_sql() -> str:
+    steps = [
+        "bgc AS MATERIALIZED (SELECT bg, CAST(count(*) AS BIGINT) AS co "
+        "FROM (SELECT t[i.i] || ' ' || t[i.i + 1] AS bg FROM "
+        "(SELECT string_split(text, ' ') AS t FROM documents) toks, "
+        "LATERAL (SELECT unnest(range(1, len(t))) AS i) i) "
+        f"GROUP BY bg HAVING count(*) >= {TRANK_MIN})",
+        "sp AS (SELECT split_part(bg, ' ', 1) AS a, "
+        "substr(bg, strpos(bg, ' ') + 1) AS b, co FROM bgc)",
+        "ce AS MATERIALIZED (SELECT LEAST(a, b) AS u, "
+        "GREATEST(a, b) AS v, CAST(sum(co) AS DOUBLE) AS w "
+        "FROM sp WHERE a <> b GROUP BY 1, 2)",
+        "tv AS MATERIALIZED (SELECT u AS tok FROM ce "
+        "UNION SELECT v FROM ce)",
+        "tn AS (SELECT count(*) AS n FROM tv)",
+        "tsym AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM ce "
+        "UNION ALL SELECT v AS src, u AS dst, w FROM ce)",
+        "twd AS MATERIALIZED (SELECT t.tok, "
+        "COALESCE(sum(e.w), 0.0) AS wsum, count(e.src) AS outdeg "
+        "FROM tv t LEFT JOIN tsym e ON e.src = t.tok GROUP BY 1)",
+        "tp0 AS MATERIALIZED (SELECT tok, "
+        "1.0/(SELECT n FROM tn) AS val FROM tv)",
+    ]
+    for k in range(PR_ITERS):
+        steps.append(f"""
+tagg{k} AS MATERIALIZED (
+  SELECT e.dst AS tok, sum(p.val * e.w / d.wsum) AS s
+  FROM tsym e JOIN tp{k} p ON p.tok = e.src JOIN twd d ON d.tok = e.src
+  GROUP BY e.dst
+),
+tdang{k} AS MATERIALIZED (
+  SELECT COALESCE(sum(p.val), 0.0) AS dm
+  FROM tp{k} p JOIN twd d ON d.tok = p.tok WHERE d.outdeg = 0
+),
+tp{k + 1} AS MATERIALIZED (
+  SELECT t.tok,
+         (1.0 - {ALPHA})/(SELECT n FROM tn)
+         + {ALPHA} * (COALESCE(a.s, 0.0)
+                      + (SELECT dm FROM tdang{k})/(SELECT n FROM tn)) AS val
+  FROM tv t LEFT JOIN tagg{k} a ON a.tok = t.tok
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {body} "
+        "SELECT tok AS token, pagerank FROM ("
+        "SELECT tok, ROUND(val, 6) AS pagerank, row_number() OVER ("
+        f"ORDER BY ROUND(val, 6) DESC, tok) AS rn FROM tp{PR_ITERS}) "
+        f"WHERE rn <= {TRANK_K} ORDER BY pagerank DESC, token"
+    )
+
+
 DP_CAP = 3       # per-user contribution bound
 DP_B = 20        # discrete-uniform noise half-width
 DP_SEED = 29
@@ -15155,6 +15227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "als_user_factors": _q_als_step,
         "rolling_median5": _q_rolling_median,
         "dp_noisy_counts": _q_dp_counts,
+        "textrank_top10": _q_textrank,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -16673,6 +16746,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "als_user_factors": _als_sql(),
         "rolling_median5": _rolling_median_sql(),
         "dp_noisy_counts": _dp_counts_sql(),
+        "textrank_top10": _textrank_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

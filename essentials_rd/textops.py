@@ -3372,3 +3372,109 @@ def pmi_bigrams(
     top = top_k(scored.map_batches(_q, batch_format="pyarrow"),
                 "q", k, descending=True, tie_cols=["bg"])
     return top.select(["bg", "co", "ca", "cb", "q"])
+
+
+def textrank_tokens(
+    docs: rd.Dataset,
+    k: int = 10,
+    min_count: int = 5,
+    alpha: float = 0.85,
+    iters: int = 8,
+    num_parts: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    text→graph→PageRank composition: tokens are vertices, adjacent
+    co-occurrence (the bigram relation) gives undirected edges
+    weighted by corpus count, and weighted PageRank over that graph
+    ranks keywords.  Every stage is an already-proven operator: the
+    shared bucketed bigram counts (vocabulary never driver-collected),
+    a support filter + canonical-pair merge (both directions sum, no
+    self-loops), the T3 broadcast id map over the FILTERED vocabulary
+    (support ≥ min_count endpoints only — vocab ≪ rows by
+    construction), and the superstep weighted-PageRank engine.
+    Returns the top-k (token, pagerank) by 6-dp-rounded score with the
+    token string as tie-break."""
+    import ray
+
+    from .algorithms.pagerank import pagerank_weighted
+    from .derive import _str_hash
+    from .graph import build_graph
+    from .ops import grouped_pandas_agg, hash_bucket_agg
+    from .pipelines import _work_dir, round_half_up
+
+    bg = corpus_bigram_counts_from_tf(
+        bigram_tf(docs, text_col=text_col, id_col=id_col))
+
+    def _canon(t: pa.Table) -> pa.Table:
+        n = np_col(t, "n")
+        keep = n >= min_count
+        bgs = np.asarray(t.column("bg").to_pylist(), object)[keep]
+        n = n[keep]
+        if not len(bgs):
+            return pa.table({"lo": pa.array([], pa.string()),
+                             "hi": pa.array([], pa.string()),
+                             "w": pa.array([], pa.int64())})
+        parts = pd.Series(bgs).str.split(" ", n=1)
+        a = parts.str[0].to_numpy(object)
+        b = parts.str[1].to_numpy(object)
+        nl = a != b
+        a, b, n = a[nl], b[nl], n[nl]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table({"lo": pa.array(lo, pa.string()),
+                         "hi": pa.array(hi, pa.string()),
+                         "w": pa.array(n, pa.int64())})
+
+    edges_str = grouped_pandas_agg(
+        bg.map_batches(_canon, batch_format="pyarrow"),
+        keys=["lo", "hi"], aggs={"w": ("w", "sum")},
+        key_fn=lambda b: np.asarray(_str_hash(b.column("lo"))),
+    ).materialize()
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        toks = np.concatenate([
+            np.asarray(t.column("lo").to_pylist(), object),
+            np.asarray(t.column("hi").to_pylist(), object)])
+        return pa.table({"tok": pa.array(np.unique(toks), pa.string())})
+
+    def _uniq(grp: pa.Table) -> pa.Table:
+        toks = np.unique(np.asarray(grp.column("tok").to_pylist(), object))
+        return pa.table({"tok": pa.array(toks, pa.string())})
+
+    vocab_rows = hash_bucket_agg(
+        edges_str.map_batches(_endpoints, batch_format="pyarrow"),
+        lambda b: np.asarray(_str_hash(b.column("tok"))),
+        _uniq).take_all()
+    toks = np.sort(np.asarray([r["tok"] for r in vocab_rows], object))
+    tok_ref = ray.put(toks)
+
+    def _to_ids(t: pa.Table) -> pa.Table:
+        tt = ray.get(tok_ref)
+        lo = np.asarray(t.column("lo").to_pylist(), object)
+        hi = np.asarray(t.column("hi").to_pylist(), object)
+        return pa.table({
+            "src": pa.array(np.searchsorted(tt, lo).astype(np.int64)),
+            "dst": pa.array(np.searchsorted(tt, hi).astype(np.int64)),
+            "weight": pa.array(np_col(t, "w").astype(np.float64),
+                               pa.float64()),
+        })
+
+    g = build_graph(
+        edges_str.map_batches(_to_ids, batch_format="pyarrow"),
+        _work_dir("textrank"), num_parts,
+        symmetrize=True, weighted=True,
+        vertex_ids=np.arange(len(toks), dtype=np.int64), persist=False)
+    res = pagerank_weighted(g, alpha=alpha, tol=0.0, max_iters=iters,
+                            checkpoint_every=0, scatter_mode="fused")
+    t = res.state_table(["value"])
+    vids = np.asarray(t["vid"], np.int64)
+    vals = round_half_up(np.asarray(t["value"], np.float64), 6)
+    names = toks[vids]
+    order = sorted(range(len(names)),
+                   key=lambda i: (-vals[i], names[i]))[:k]
+    return pa.table({
+        "token": pa.array([names[i] for i in order], pa.string()),
+        "pagerank": pa.array([vals[i] for i in order], pa.float64()),
+    })
