@@ -14699,6 +14699,79 @@ def _late_events_sql() -> str:
     )
 
 
+PCA_SCALE = 1000.0   # coarser than GRAM_SCALE: the iterates must fit HUGEINT
+PCA_ITERS = 2        # x2 ≤ d²·G²·1e6 stays under 1.7e38 through sf≥1
+
+
+def _q_pca_power(sf_dir: str):
+    """Exact power-iteration top principal direction — PCA's first
+    step run with ZERO float drift: the distributed integer-quantized
+    Gram matrix (ann.gram_matrix — per-block d×d partials tree-merged,
+    only 32 KB leaves each block) feeds PCA_ITERS unnormalized power
+    steps x ← G·x in unbounded Python ints (the d×d driver math is the
+    documented |V|-small allowance), then the direction is released as
+    q_i = floor(1e6·±x_i / max|x|) with the sign fixed so the max-|x|
+    entry (smallest dim on ties) is positive.  The scale/iteration
+    pair is chosen so the SQL twin's HUGEINT matvec never overflows
+    (bound in PCA_ITERS comment).  Convergence quality grows with
+    iters; what is certified is the exact-arithmetic pipeline."""
+    import ray.data as rd
+
+    from essentials_rd.ann import gram_matrix
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["embedding"])
+    g = gram_matrix(vecs, scale=PCA_SCALE)
+    d = g.shape[0]
+    G = [[int(v) for v in row] for row in g]
+    x = [1] * d
+    for _ in range(PCA_ITERS):
+        x = [sum(G[i][j] * x[j] for j in range(d)) for i in range(d)]
+    pi = min(range(d), key=lambda i: (-abs(x[i]), i))
+    m = abs(x[pi])
+    s = -1 if x[pi] < 0 else 1
+    q = ([0] * d if m == 0
+         else [(1_000_000 * s * x[i]) // m for i in range(d)])
+    return pa.table({
+        "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+        "q": pa.array(q, pa.int64()),
+    })
+
+
+def _pca_power_sql() -> str:
+    def fl(n: str, d: str) -> str:
+        return (f"(({n}) - ((({n}) % ({d})) + ({d})) % ({d})) // ({d})")
+
+    steps = [
+        "pex AS MATERIALIZED (SELECT vec_id, j.j AS j, "
+        "CAST(floor(CAST(embedding[j.j] AS DOUBLE) * "
+        f"{PCA_SCALE}) AS BIGINT) AS q FROM embeddings, "
+        "LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS j) j)",
+        "pgm AS MATERIALIZED (SELECT a.j AS i, b.j AS j, "
+        "CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS g "
+        "FROM pex a JOIN pex b ON a.vec_id = b.vec_id GROUP BY 1, 2)",
+        "px0 AS (SELECT DISTINCT j AS i, CAST(1 AS HUGEINT) AS v "
+        "FROM pex)",
+    ]
+    for k in range(PCA_ITERS):
+        steps.append(
+            f"px{k + 1} AS MATERIALIZED (SELECT g.i, sum(g.g * x.v) AS v "
+            f"FROM pgm g JOIN px{k} x ON x.i = g.j GROUP BY 1)")
+    last = f"px{PCA_ITERS}"
+    body = ",".join(steps)
+    return (
+        f"WITH {body}, "
+        f"ppick AS (SELECT i AS pi, v AS pv, abs(v) AS m FROM {last} "
+        "ORDER BY abs(v) DESC, i LIMIT 1) "
+        "SELECT CAST(x.i AS BIGINT) AS dim, "
+        "CAST(COALESCE(" +
+        fl("1000000 * (CASE WHEN p.pv < 0 THEN -x.v ELSE x.v END)",
+           "NULLIF(p.m, 0)") +
+        ", 0) AS BIGINT) AS q "
+        f"FROM {last} x, ppick p ORDER BY dim"
+    )
+
+
 TRANK_K, TRANK_MIN = 10, 5
 
 
@@ -15228,6 +15301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median5": _q_rolling_median,
         "dp_noisy_counts": _q_dp_counts,
         "textrank_top10": _q_textrank,
+        "pca_top_eigvec": _q_pca_power,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -16747,6 +16821,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "rolling_median5": _rolling_median_sql(),
         "dp_noisy_counts": _dp_counts_sql(),
         "textrank_top10": _textrank_sql(),
+        "pca_top_eigvec": _pca_power_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

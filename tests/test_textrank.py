@@ -78,3 +78,37 @@ def test_support_filter_drops_rare_edges():
     texts = ["a b"] * 10 + ["rare pair"] * 2  # 'rare pair' below support
     out = textrank_tokens(_docs(texts), k=10, min_count=5).to_pydict()
     assert set(out["token"]) == {"a", "b"}
+
+
+def test_pca_power_converges_to_top_eigvec(tmp_path):
+    """On a synthetic table with a planted dominant direction the
+    quantized release must align with numpy's top eigenvector."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(2)
+    d, n = 16, 300
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    # strong rank-1 signal + small noise
+    V = np.outer(rng.normal(size=n) * 5.0, u) + rng.normal(size=(n, d)) * 0.05
+    V = np.clip(V, -1, 1).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([row.tolist() for row in V],
+                              pa.list_(pa.float32())),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "embeddings.parquet")
+    out = e._q_pca_power(str(sf)).to_pydict()
+    q = np.array(out["q"], dtype=np.float64)
+    q /= np.linalg.norm(q)
+    # numpy eigendecomposition of the float covariance
+    w, vecs = np.linalg.eigh(V.astype(np.float64).T @ V)
+    top = vecs[:, -1]
+    assert abs(abs(q @ top)) > 0.99
+    # layout invariance: different row groups, identical release
+    pq.write_table(t, sf / "embeddings.parquet", row_group_size=17)
+    assert e._q_pca_power(str(sf)).to_pydict() == out
