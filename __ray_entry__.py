@@ -14699,6 +14699,108 @@ def _late_events_sql() -> str:
     )
 
 
+def _q_region_min_cut(sf_dir: str):
+    """Max-flow / min-cut with a duality certificate: over the
+    region-level trade multigraph (the shared _region_weight_matrix
+    fold — the distributed part is the partitioned lineitem⋈orders
+    big-big join; ≤25 partial rows leave each block), the engine runs
+    EXACT integer Edmonds-Karp max-flow from region 0 to region 4 and
+    emits every s-t cut's weight alongside — max-flow strong duality
+    says the flow value equals the minimum cut, and the SQL twin
+    (which cannot express augmenting paths) certifies exactly that:
+    it enumerates all 2³ s-t cuts of the 5-vertex graph and takes the
+    min, so a hash match PROVES the flow computation found the true
+    optimum.  The engine also asserts duality internally."""
+    w = _region_weight_matrix(sf_dir)
+    R, s, t = 5, 0, 4
+    cap = [[int(w[i][j]) for j in range(R)] for i in range(R)]
+
+    # Edmonds-Karp: BFS shortest augmenting paths on the residual graph
+    flow = 0
+    while True:
+        parent = [-1] * R
+        parent[s] = s
+        queue = [s]
+        while queue and parent[t] == -1:
+            u = queue.pop(0)
+            for v in range(R):
+                if parent[v] == -1 and cap[u][v] > 0:
+                    parent[v] = u
+                    queue.append(v)
+        if parent[t] == -1:
+            break
+        # bottleneck along the path
+        bott = None
+        v = t
+        while v != s:
+            u = parent[v]
+            bott = cap[u][v] if bott is None else min(bott, cap[u][v])
+            v = u
+        v = t
+        while v != s:
+            u = parent[v]
+            cap[u][v] -= bott
+            cap[v][u] += bott
+            v = u
+        flow += bott
+
+    masks, weights = [], []
+    for m in range(8):
+        side = [True] + [bool(m >> k & 1) for k in range(3)] + [False]
+        cw = sum(int(w[i][j]) for i in range(R) for j in range(i + 1, R)
+                 if side[i] != side[j])
+        masks.append(m)
+        weights.append(cw)
+    assert flow == min(weights), (flow, min(weights))
+    return pa.table({
+        "cut_mask": pa.array(masks, pa.int64()),
+        "cut_weight": pa.array(weights, pa.int64()),
+        "max_flow": pa.array([flow] * 8, pa.int64()),
+    })
+
+
+def _region_min_cut_sql() -> str:
+    R = 5
+    wname = {}
+    for i in range(R):
+        for jj in range(i + 1, R):
+            wname[(i, jj)] = f"w{i}{jj}"
+    wcols = ", ".join(
+        f"sum(CASE WHEN i = {i} AND j = {jj} THEN w ELSE 0 END) AS w{i}{jj}"
+        for i in range(R) for jj in range(i + 1, R))
+    rows = []
+    all_cuts = []
+    for m in range(8):
+        side = [True] + [bool(m >> k & 1) for k in range(3)] + [False]
+        terms = [wname[(i, j)] for i in range(R) for j in range(i + 1, R)
+                 if side[i] != side[j]]
+        expr = " + ".join(terms) if terms else "0"
+        rows.append(f"SELECT {m} AS cut_mask, ({expr}) AS cut_weight FROM ws")
+        all_cuts.append(f"({expr})")
+    least = "LEAST(" + ", ".join(all_cuts) + ")"
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH dirw AS (
+  SELECT nc.n_regionkey AS rc, ns.n_regionkey AS rs,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = cu.c_nationkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2),
+und AS (
+  SELECT least(rc, rs) AS i, greatest(rc, rs) AS j, sum(c) AS w
+  FROM dirw WHERE rc <> rs GROUP BY 1, 2),
+ws AS (SELECT {wcols} FROM und),
+cuts AS ({union})
+SELECT CAST(cut_mask AS BIGINT) AS cut_mask,
+       CAST(cut_weight AS BIGINT) AS cut_weight,
+       CAST((SELECT {least} FROM ws) AS BIGINT) AS max_flow
+FROM cuts ORDER BY cut_mask"""
+
+
 PCA_SCALE = 1000.0   # coarser than GRAM_SCALE: the iterates must fit HUGEINT
 PCA_ITERS = 2        # x2 ≤ d²·G²·1e6 stays under 1.7e38 through sf≥1
 
@@ -15302,6 +15404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_noisy_counts": _q_dp_counts,
         "textrank_top10": _q_textrank,
         "pca_top_eigvec": _q_pca_power,
+        "region_min_cut": _q_region_min_cut,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -16822,6 +16925,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "dp_noisy_counts": _dp_counts_sql(),
         "textrank_top10": _textrank_sql(),
         "pca_top_eigvec": _pca_power_sql(),
+        "region_min_cut": _region_min_cut_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

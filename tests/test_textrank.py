@@ -112,3 +112,34 @@ def test_pca_power_converges_to_top_eigvec(tmp_path):
     # layout invariance: different row groups, identical release
     pq.write_table(t, sf / "embeddings.parquet", row_group_size=17)
     assert e._q_pca_power(str(sf)).to_pydict() == out
+
+
+def test_edmonds_karp_duality_on_random_graphs():
+    """The engine's Edmonds-Karp (as used by region_min_cut) must equal
+    the enumerated min cut on random 5-vertex capacitated graphs."""
+    from itertools import product
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(4)
+    for trial in range(30):
+        R = 5
+        w = np.zeros((R, R), np.int64)
+        for i in range(R):
+            for j in range(i + 1, R):
+                if rng.random() < 0.7:
+                    w[i, j] = w[j, i] = rng.integers(0, 50)
+        # monkeypatch the weight-matrix fold with the random graph
+        orig = e._region_weight_matrix
+        e._region_weight_matrix = lambda _sf: w.tolist()
+        try:
+            out = e._q_region_min_cut("unused").to_pydict()
+        finally:
+            e._region_weight_matrix = orig
+        # brute force: all 8 s-t cuts
+        best = min(
+            sum(int(w[i][j]) for i in range(R) for j in range(i + 1, R)
+                if ([True, *bits, False][i]) != ([True, *bits, False][j]))
+            for bits in product([False, True], repeat=3))
+        assert out["max_flow"][0] == best
+        assert min(out["cut_weight"]) == best
