@@ -14699,6 +14699,62 @@ def _late_events_sql() -> str:
     )
 
 
+MEDIA_VID_N = 30
+
+
+def _q_video_motion(sf_dir: str):
+    """REAL video decode (multimodal.decode_rawvid): RVID containers
+    (magic + u32 dims header + raw frame-major RGB — real byte
+    parsing, no codec libs needed) whose pixel stream is the shared
+    splitmix chain; the VideoMotionStage actor pool decodes and emits
+    the exact temporal-difference motion energy Σ|frame_t −
+    frame_{t−1}| every shot-boundary detector starts from, plus the
+    first frame's value sum as the static audit.  The SQL twin
+    replays the stream ONCE and self-joins at the frame stride
+    (j − w·h·3), certifying decode → temporal diff end to end —
+    completing the real-decode triple: image (Sobel), audio
+    (Hadamard), video (motion)."""
+    import ray.data as rd
+
+    from essentials_rd.multimodal import synth_coded_video, video_motion
+
+    media = rd.from_arrow(synth_coded_video(MEDIA_VID_N, seed=MEDIA_SEED))
+    out = video_motion(media).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    return pa.table({
+        k: pa.array([r[k] for r in out], pa.int64())
+        for k in ("media_id", "n_frames", "motion_sum", "frame0_sum")
+    })
+
+
+def _video_motion_sql() -> str:
+    mix = (MEDIA_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes(
+        "vv", "media_id, nper, nf, j",
+        f"media_id * 4294967296 + j + {mix}", "pix")
+    return (
+        "WITH dims AS (SELECT i AS media_id, "
+        "CAST((8 + (i % 4) * 2) * (6 + (i % 3) * 2) * 3 AS BIGINT) AS nper, "
+        "CAST(4 + (i % 5) AS BIGINT) AS nf "
+        f"FROM (SELECT unnest(range({MEDIA_VID_N})) AS i)), "
+        "pix AS (SELECT media_id, nper, nf, "
+        "unnest(range(nper * nf)) AS j FROM dims), "
+        f"{chain}, "
+        "vals AS (SELECT media_id, nper, nf, j, "
+        "CAST(z % 256 AS BIGINT) AS v FROM vv3), "
+        "mo AS (SELECT a.media_id, sum(abs(a.v - b.v)) AS motion "
+        "FROM vals a JOIN vals b ON b.media_id = a.media_id "
+        "AND b.j = a.j - a.nper GROUP BY 1), "
+        "f0 AS (SELECT media_id, max(nf) AS nf, sum(v) AS s0 "
+        "FROM vals WHERE j < nper GROUP BY 1) "
+        "SELECT f0.media_id, CAST(f0.nf AS BIGINT) AS n_frames, "
+        "CAST(COALESCE(mo.motion, 0) AS BIGINT) AS motion_sum, "
+        "CAST(f0.s0 AS BIGINT) AS frame0_sum "
+        "FROM f0 LEFT JOIN mo ON mo.media_id = f0.media_id "
+        "ORDER BY f0.media_id"
+    )
+
+
 def _q_region_min_cut(sf_dir: str):
     """Max-flow / min-cut with a duality certificate: over the
     region-level trade multigraph (the shared _region_weight_matrix
@@ -15405,6 +15461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_top10": _q_textrank,
         "pca_top_eigvec": _q_pca_power,
         "region_min_cut": _q_region_min_cut,
+        "media_video_motion": _q_video_motion,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -16926,6 +16983,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "textrank_top10": _textrank_sql(),
         "pca_top_eigvec": _pca_power_sql(),
         "region_min_cut": _region_min_cut_sql(),
+        "media_video_motion": _video_motion_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

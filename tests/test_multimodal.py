@@ -130,3 +130,45 @@ def test_hadamard_stage_parseval_and_brute_force():
         assert r["e_high"] == int((c[32:] ** 2).sum())
         # Parseval for the ±1 WHT: sum c_k^2 == 64 * sum s_j^2
         assert r["e_low"] + r["e_high"] == 64 * int((s ** 2).sum())
+
+
+def test_rawvid_round_trip_and_motion():
+    from essentials_rd.multimodal import (VideoMotionStage, decode_rawvid,
+                                          encode_rawvid, synth_coded_video)
+
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 256, (5, 4, 6, 3)).astype(np.uint8)
+    assert (decode_rawvid(encode_rawvid(frames)) == frames).all()
+
+    # corrupt magic / truncation raise
+    buf = encode_rawvid(frames)
+    with pytest.raises(ValueError):
+        decode_rawvid(b"XXXX" + buf[4:])
+    with pytest.raises(ValueError):
+        decode_rawvid(buf[:-7])
+
+    media = synth_coded_video(7, seed=4)
+    out = rd.from_arrow(media).map_batches(
+        VideoMotionStage, batch_format="pyarrow", batch_size=3,
+        concurrency=(1, 2),
+    ).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    for r in out:
+        v = decode_rawvid(
+            media.column("payload")[r["media_id"]].as_py()).astype(np.int64)
+        # brute-force double loop over frame pairs
+        mot = 0
+        for f in range(1, v.shape[0]):
+            mot += int(np.abs(v[f] - v[f - 1]).sum())
+        assert r["motion_sum"] == mot
+        assert r["frame0_sum"] == int(v[0].sum())
+        assert r["n_frames"] == v.shape[0]
+
+    # a static video (repeated frame) has zero motion
+    static = np.repeat(frames[:1], 4, axis=0)
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([encode_rawvid(static)], pa.large_binary()),
+    })
+    res = VideoMotionStage()(t)
+    assert res.column("motion_sum")[0].as_py() == 0
