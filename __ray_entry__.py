@@ -14699,6 +14699,107 @@ def _late_events_sql() -> str:
     )
 
 
+def _kraft_multisets(n: int) -> list:
+    """All code-length multisets of full binary trees with n leaves
+    (Kraft equality Σ2^−l = 1), each sorted ascending, the list sorted
+    lexicographically — the exhaustive search space for optimal
+    prefix codes over n symbols."""
+    out = set()
+
+    def rec(remaining: int, budget, max_len: int, cur: tuple):
+        # budget is in units of 2^-max_total; use fractions of 2^-16
+        if remaining == 0:
+            if budget == 0:
+                out.add(tuple(sorted(cur)))
+            return
+        min_l = cur[-1] if cur else 1
+        for le in range(min_l, 16):
+            w = 1 << (16 - le)
+            if w * remaining < budget:
+                break  # even all-at-this-length can't fill: too short
+            if w <= budget:
+                rec(remaining - 1, budget - w, max_len, cur + (le,))
+
+    rec(n, 1 << 16, 16, ())
+    return sorted(out)
+
+
+def _q_huffman(sf_dir: str):
+    """Optimal prefix-code planning (Huffman) with an exhaustive
+    certificate: event-type symbol counts fold distributed
+    (driver sees one row per type), the engine runs the classic
+    Huffman greedy merge AND independently enumerates every
+    Kraft-complete code-length multiset for the alphabet, asserting
+    the greedy total equals the enumerated optimum — then releases
+    the deterministic assignment (lexicographically smallest optimal
+    multiset, lengths ascending onto symbols by count desc / name
+    asc).  The SQL twin cannot express the greedy merge, so it prices
+    ALL enumerated multisets and picks the same (total bits, multiset
+    index) argmin — a hash match proves the greedy found the true
+    optimum.  Total bits is the exact compressed size an entropy
+    coder would pay for the column."""
+    import heapq
+
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import grouped_pandas_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+    cnt_rows = grouped_pandas_agg(
+        ev, keys=["event_type"], aggs={"n": ("event_id", "count")},
+        key_fn=lambda b: np.asarray(
+            _str_hash(b.column("event_type")))).take_all()
+    syms = sorted(((r["event_type"], int(r["n"])) for r in cnt_rows),
+                  key=lambda x: (-x[1], x[0]))
+    n = len(syms)
+
+    # greedy Huffman total bits (weights only — lengths via merge depth)
+    heap = [(c, i) for i, (_, c) in enumerate(syms)]
+    heapq.heapify(heap)
+    total_greedy = 0
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        total_greedy += a[0] + b[0]
+        heapq.heappush(heap, (a[0] + b[0], min(a[1], b[1])))
+
+    cands = _kraft_multisets(n)
+    totals = [sum(le * c for le, (_, c) in zip(ms, syms)) for ms in cands]
+    best = min(range(len(cands)), key=lambda i: (totals[i], i))
+    assert totals[best] == total_greedy, (totals[best], total_greedy)
+    lens = cands[best]
+    order = sorted(range(n), key=lambda i: syms[i][0])
+    return pa.table({
+        "event_type": pa.array([syms[i][0] for i in order], pa.string()),
+        "cnt": pa.array([syms[i][1] for i in order], pa.int64()),
+        "code_len": pa.array([lens[i] for i in order], pa.int64()),
+        "total_bits": pa.array([totals[best]] * n, pa.int64()),
+    })
+
+
+def _huffman_sql() -> str:
+    cands = _kraft_multisets(5)
+    vals = ", ".join(
+        f"({mi}, {r + 1}, {le})"
+        for mi, ms in enumerate(cands) for r, le in enumerate(ms))
+    return (
+        "WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM events GROUP BY 1), "
+        "rk AS (SELECT event_type, cnt, row_number() OVER ("
+        "ORDER BY cnt DESC, event_type) AS r FROM c), "
+        f"ml(ms, r, len) AS (VALUES {vals}), "
+        "tot AS (SELECT ms, sum(l.len * k.cnt) AS bits "
+        "FROM ml l JOIN rk k ON k.r = l.r GROUP BY 1), "
+        "best AS (SELECT ms, bits FROM tot ORDER BY bits, ms LIMIT 1) "
+        "SELECT k.event_type, k.cnt, CAST(l.len AS BIGINT) AS code_len, "
+        "CAST(b.bits AS BIGINT) AS total_bits "
+        "FROM rk k JOIN best b ON true JOIN ml l "
+        "ON l.ms = b.ms AND l.r = k.r ORDER BY 1"
+    )
+
+
 MEDIA_VID_N = 30
 
 
@@ -15462,6 +15563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_top_eigvec": _q_pca_power,
         "region_min_cut": _q_region_min_cut,
         "media_video_motion": _q_video_motion,
+        "huffman_event_code": _q_huffman,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -16984,6 +17086,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "pca_top_eigvec": _pca_power_sql(),
         "region_min_cut": _region_min_cut_sql(),
         "media_video_motion": _video_motion_sql(),
+        "huffman_event_code": _huffman_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

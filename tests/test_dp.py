@@ -59,3 +59,34 @@ def test_layout_invariance(tmp_path):
     deltas = {t: a["noisy_count"][i] - a["sum_capped"][i]
               for i, t in enumerate(a["event_type"])}
     assert len(set(deltas.values())) > 1
+
+
+def test_huffman_greedy_equals_enumeration_and_entropy_bound():
+    """_kraft_multisets enumeration == heapq Huffman total on random
+    count vectors, and the optimum respects the entropy bound."""
+    import heapq
+    import math
+
+    from __ray_entry__ import _kraft_multisets
+
+    rng = np.random.default_rng(13)
+    for n in range(2, 7):
+        cands = _kraft_multisets(n)
+        # every candidate satisfies Kraft equality
+        for ms in cands:
+            assert sum(2.0 ** -l for l in ms) == 1.0
+        for _ in range(30):
+            counts = sorted(rng.integers(1, 1000, n).tolist(), reverse=True)
+            heap = list(counts)
+            heapq.heapify(heap)
+            greedy = 0
+            while len(heap) > 1:
+                a, b = heapq.heappop(heap), heapq.heappop(heap)
+                greedy += a + b
+                heapq.heappush(heap, a + b)
+            best = min(sum(l * c for l, c in zip(ms, counts))
+                       for ms in cands)
+            assert best == greedy
+            total = sum(counts)
+            ent = sum(c * math.log2(total / c) for c in counts)
+            assert ent <= greedy < ent + total  # Shannon bounds
