@@ -14699,6 +14699,122 @@ def _late_events_sql() -> str:
     )
 
 
+IVM_FRAC = 0.125
+IVM_OSEED, IVM_CSEED = 41, 43
+
+
+def _q_incr_join_view(sf_dir: str):
+    """Incremental materialized-view maintenance for a JOIN — the
+    differential-dataflow delta rule Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    run literally: orders and customers each split base/delta by a
+    value-pure splitmix rule (~12.5% deltas), the per-nation
+    order-count view materializes ONCE over the base tables, and the
+    maintenance step computes ONLY the three delta terms (every join
+    touches at least one small delta side — the whole point: the
+    base⋈base work is never redone).  The SQL twin computes base and
+    FULL independently and reports full − base as the delta, so a
+    hash match certifies the delta rule's algebra end to end.  All
+    25 nations emit rows (zeros explicit)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, join
+    from essentials_rd.util import hash64, np_col
+
+    thresh = np.uint64(int(IVM_FRAC * float(2**64 - 1)))
+
+    def _split(ds, keycol, seed):
+        mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+
+        def _flag(t: pa.Table) -> pa.Table:
+            k = np.asarray(t.column(keycol)).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                isdelta = hash64(k + mix) < thresh
+            return t.append_column("__d__", pa.array(isdelta))
+
+        flagged = ds.map_batches(_flag, batch_format="pyarrow").materialize()
+        base = flagged.filter(expr="__d__ == False").drop_columns(["__d__"])
+        delta = flagged.filter(expr="__d__ == True").drop_columns(["__d__"])
+        return base, delta
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    ob, od = _split(orders, "o_orderkey", IVM_OSEED)
+    cb, cd = _split(cust, "c_custkey", IVM_CSEED)
+
+    def _per_cust(ds):
+        return grouped_pandas_agg(
+            ds.map_batches(
+                lambda t: pa.table({"k": t.column("o_custkey")}),
+                batch_format="pyarrow"),
+            keys=["k"], aggs={"n": ("k", "count")})
+
+    def _nation_counts(ocnt, cside) -> dict:
+        ctab = cside.map_batches(
+            lambda t: pa.table({"k": t.column("c_custkey"),
+                                "nation": t.column("c_nationkey")}),
+            batch_format="pyarrow")
+        j = join(ocnt, ctab, on="k", how="inner", broadcast=False)
+        out: dict[int, int] = {}
+        for r in grouped_pandas_agg(
+                j, keys=["nation"], aggs={"n": ("n", "sum")}).take_all():
+            out[int(r["nation"])] = out.get(int(r["nation"]), 0) + int(r["n"])
+        return out
+
+    ob_cnt = _per_cust(ob).materialize()
+    od_cnt = _per_cust(od).materialize()
+    v0 = _nation_counts(ob_cnt, cb)          # the materialized base view
+    t1 = _nation_counts(od_cnt, cb)          # ΔA ⋈ B
+    t2 = _nation_counts(ob_cnt, cd)          # A ⋈ ΔB
+    t3 = _nation_counts(od_cnt, cd)          # ΔA ⋈ ΔB
+
+    nk = sorted(
+        r["n_nationkey"]
+        for r in rd.read_parquet(f"{sf_dir}/nation.parquet",
+                                 columns=["n_nationkey"]).take_all())
+    base = [v0.get(k, 0) for k in nk]
+    delta = [t1.get(k, 0) + t2.get(k, 0) + t3.get(k, 0) for k in nk]
+    return pa.table({
+        "nation": pa.array(nk, pa.int64()),
+        "n_base": pa.array(base, pa.int64()),
+        "n_delta": pa.array(delta, pa.int64()),
+        "n_total": pa.array([b + d for b, d in zip(base, delta)],
+                            pa.int64()),
+    })
+
+
+def _incr_join_view_sql() -> str:
+    thresh = int(IVM_FRAC * float(2**64 - 1))
+    omix = (IVM_OSEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    cmix = (IVM_CSEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    ochain = _sm64_ctes("ivo", "o_orderkey, o_custkey",
+                        f"o_orderkey + {omix}", "orders")
+    cchain = _sm64_ctes("ivc", "c_custkey, c_nationkey",
+                        f"c_custkey + {cmix}", "customer")
+    return (
+        f"WITH {ochain}, {cchain}, "
+        "ofl AS (SELECT o_custkey, "
+        f"z < CAST('{thresh}' AS UBIGINT) AS d FROM ivo3), "
+        "cfl AS (SELECT c_custkey, c_nationkey, "
+        f"z < CAST('{thresh}' AS UBIGINT) AS d FROM ivc3), "
+        "base AS (SELECT c.c_nationkey AS nation, "
+        "CAST(count(*) AS BIGINT) AS n FROM ofl o "
+        "JOIN cfl c ON c.c_custkey = o.o_custkey "
+        "WHERE NOT o.d AND NOT c.d GROUP BY 1), "
+        "fullv AS (SELECT c.c_nationkey AS nation, "
+        "CAST(count(*) AS BIGINT) AS n FROM ofl o "
+        "JOIN cfl c ON c.c_custkey = o.o_custkey GROUP BY 1) "
+        "SELECT n.n_nationkey AS nation, "
+        "CAST(COALESCE(b.n, 0) AS BIGINT) AS n_base, "
+        "CAST(COALESCE(f.n, 0) - COALESCE(b.n, 0) AS BIGINT) AS n_delta, "
+        "CAST(COALESCE(f.n, 0) AS BIGINT) AS n_total "
+        "FROM nation n LEFT JOIN base b ON b.nation = n.n_nationkey "
+        "LEFT JOIN fullv f ON f.nation = n.n_nationkey "
+        "ORDER BY 1"
+    )
+
+
 def _kraft_multisets(n: int) -> list:
     """All code-length multisets of full binary trees with n leaves
     (Kraft equality Σ2^−l = 1), each sorted ascending, the list sorted
@@ -15564,6 +15680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_min_cut": _q_region_min_cut,
         "media_video_motion": _q_video_motion,
         "huffman_event_code": _q_huffman,
+        "incr_join_view": _q_incr_join_view,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -17087,6 +17204,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "region_min_cut": _region_min_cut_sql(),
         "media_video_motion": _video_motion_sql(),
         "huffman_event_code": _huffman_sql(),
+        "incr_join_view": _incr_join_view_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

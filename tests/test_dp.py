@@ -90,3 +90,50 @@ def test_huffman_greedy_equals_enumeration_and_entropy_bound():
             total = sum(counts)
             ent = sum(c * math.log2(total / c) for c in counts)
             assert ent <= greedy < ent + total  # Shannon bounds
+
+
+def test_incr_join_view_delta_rule(tmp_path):
+    """Engine's three-term delta maintenance == brute-force
+    full-minus-base on synthetic orders/customers."""
+    import pandas as pd
+
+    rng = np.random.default_rng(21)
+    n_c, n_o = 120, 900
+    ck = np.arange(1, n_c + 1, dtype=np.int64)
+    cn = rng.integers(0, 25, n_c).astype(np.int64)
+    ok = np.arange(1, n_o + 1, dtype=np.int64)
+    oc = rng.choice(ck, n_o)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"o_orderkey": ok, "o_custkey": oc}),
+                   d / "orders.parquet")
+    pq.write_table(pa.table({"c_custkey": ck, "c_nationkey": cn}),
+                   d / "customer.parquet")
+    pq.write_table(pa.table({"n_nationkey": pa.array(
+        np.arange(25, dtype=np.int64))}), d / "nation.parquet")
+    out = e._q_incr_join_view(str(d)).to_pydict()
+
+    from essentials_rd.util import hash64
+    thresh = np.uint64(int(e.IVM_FRAC * float(2**64 - 1)))
+
+    def isdelta(keys, seed):
+        mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+        with np.errstate(over="ignore"):
+            return hash64(keys.astype(np.uint64) + mix) < thresh
+
+    od = isdelta(ok, e.IVM_OSEED)
+    cd = isdelta(ck, e.IVM_CSEED)
+    nat = pd.Series(cn, index=ck)
+    df = pd.DataFrame({"nation": nat.loc[oc].to_numpy(),
+                       "ob": ~od, "cb": (~cd)[oc - 1]})
+    full = df.groupby("nation").size()
+    base = df[df.ob & df.cb].groupby("nation").size()
+    for i, k in enumerate(out["nation"]):
+        f = int(full.get(k, 0))
+        b = int(base.get(k, 0))
+        assert out["n_base"][i] == b
+        assert out["n_delta"][i] == f - b
+        assert out["n_total"][i] == f
+    # invariants: totals add up and the delta side is genuinely small
+    assert sum(out["n_total"]) == n_o
+    assert 0 < sum(out["n_delta"]) < n_o // 2
