@@ -14699,6 +14699,53 @@ def _late_events_sql() -> str:
     )
 
 
+def _q_bitmap_and(sf_dir: str):
+    """Bitmap-index conjunction probe (ops.bitmap_index_counts) — the
+    warehouse storage-layer path for WHERE p1 AND p2: each predicate's
+    qualifying order keys pack into 64-bit words (per-block OR-fold,
+    one word-bucketed exchange, word-wise AND + popcount probe), so
+    WORDS move through the shuffle, never rows — |keyspace|/64 cost at
+    any selectivity.  The SQL twin is the plain conditional count the
+    bitmap must reproduce exactly."""
+    import ray.data as rd
+
+    from essentials_rd.ops import bitmap_index_counts
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderstatus"])
+
+    def _urgent(t: pa.Table) -> np.ndarray:
+        return (np.asarray(t.column("o_orderpriority").to_pylist(), object)
+                == "1-URGENT")
+
+    def _fstatus(t: pa.Table) -> np.ndarray:
+        return (np.asarray(t.column("o_orderstatus").to_pylist(), object)
+                == "F")
+
+    c = bitmap_index_counts(
+        orders, "o_orderkey",
+        [("urgent", _urgent), ("fstatus", _fstatus)])
+    return pa.table({
+        "n_urgent": pa.array([c["urgent"]], pa.int64()),
+        "n_fstatus": pa.array([c["fstatus"]], pa.int64()),
+        "n_both": pa.array([c["__and__"]], pa.int64()),
+    })
+
+
+def _bitmap_and_sql() -> str:
+    return (
+        "SELECT "
+        "CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 "
+        "END) AS BIGINT) AS n_urgent, "
+        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_fstatus, "
+        "CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' AND "
+        "o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_both "
+        "FROM orders"
+    )
+
+
 IVM_FRAC = 0.125
 IVM_OSEED, IVM_CSEED = 41, 43
 
@@ -15681,6 +15728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_motion": _q_video_motion,
         "huffman_event_code": _q_huffman,
         "incr_join_view": _q_incr_join_view,
+        "bitmap_and_count": _q_bitmap_and,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -17205,6 +17253,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "media_video_motion": _video_motion_sql(),
         "huffman_event_code": _huffman_sql(),
         "incr_join_view": _incr_join_view_sql(),
+        "bitmap_and_count": _bitmap_and_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

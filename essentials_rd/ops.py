@@ -4263,3 +4263,91 @@ def sorted_run_stats(
         "ndv": pa.array(ndv_out, pa.int64()),
         "runs": pa.array(runs_out, pa.int64()),
     })
+
+
+def _popcount64(a: np.ndarray) -> int:
+    """Total popcount of a uint64 array (numpy<2 has no bitwise_count;
+    unpackbits over the byte view is endian-safe for a TOTAL count)."""
+    if not len(a):
+        return 0
+    return int(np.unpackbits(a.view(np.uint8)).astype(np.int64).sum())
+
+
+def bitmap_index_counts(
+    ds: rd.Dataset,
+    key_col: str,
+    preds: "list[tuple[str, Callable[[pa.Table], np.ndarray]]]",
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> dict:
+    """Bitmap-index build + multi-predicate AND probe in ONE exchange —
+    the storage-layer path a bitmap-indexed warehouse runs for
+    ``WHERE p1 AND p2 [AND ...]``: each predicate's qualifying keys
+    pack into 64-bit WORDS (word = key >> 6, bit = key & 63), per-block
+    partial words OR-fold inside the block (lexsort + or.reduceat, no
+    per-row Python), one word-bucketed shuffle ORs the partials, and
+    the probe is a word-wise AND + popcount — WORDS move through the
+    exchange, never rows, so the cost is |keyspace|/64 regardless of
+    row count or predicate selectivity.  Keys must be unique non-neg
+    int64 (the bitmap position domain).  Returns ``{name: count}`` per
+    predicate plus ``"__and__"`` for the conjunction."""
+    names = [n for n, _ in preds]
+    P = len(preds)
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        k = np_col(batch, key_col)
+        cols: dict[str, np.ndarray] = {}
+        allw: list[np.ndarray] = []
+        per = []
+        for _, fn in preds:
+            m = fn(batch)
+            kk = k[m]
+            w = kk >> np.int64(6)
+            b = np.uint64(1) << (kk & np.int64(63)).astype(np.uint64)
+            order = np.argsort(w, kind="stable")
+            w, b = w[order], b[order]
+            starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+            wu = w[starts] if len(w) else w
+            bu = (np.bitwise_or.reduceat(b, starts)
+                  if len(w) else b.astype(np.uint64))
+            per.append((wu, bu))
+            allw.append(wu)
+        words = np.unique(np.concatenate(allw)) if allw else np.zeros(0, np.int64)
+        cols["word"] = words
+        for i, (wu, bu) in enumerate(per):
+            out = np.zeros(len(words), np.uint64)
+            out[np.searchsorted(words, wu)] = bu
+            cols[f"b{i}"] = out
+        return pa.table(
+            {"word": pa.array(cols["word"], pa.int64()),
+             **{f"b{i}": pa.array(cols[f"b{i}"].view(np.int64), pa.int64())
+                for i in range(P)}})
+
+    def _probe(grp: pa.Table) -> pa.Table:
+        w = np_col(grp, "word")
+        order = np.argsort(w, kind="stable")
+        starts = np.flatnonzero(
+            np.r_[True, w[order][1:] != w[order][:-1]])
+        acc = None
+        counts = []
+        for i in range(P):
+            b = np_col(grp, f"b{i}").view(np.uint64)[order]
+            bu = (np.bitwise_or.reduceat(b, starts)
+                  if len(b) else b)
+            counts.append(_popcount64(bu))
+            acc = bu if acc is None else (acc & bu)
+        nand = _popcount64(acc) if acc is not None else 0
+        return pa.table(
+            {"n_and": pa.array([nand], pa.int64()),
+             **{f"n{i}": pa.array([counts[i]], pa.int64())
+                for i in range(P)}})
+
+    packed = ds.map_batches(_pack, batch_format="pyarrow")
+    out = {n: 0 for n in names}
+    out["__and__"] = 0
+    for r in hash_bucket_agg(
+            packed, lambda b: np_col(b, "word"), _probe,
+            num_buckets=num_buckets).take_all():
+        out["__and__"] += r["n_and"]
+        for i, n in enumerate(names):
+            out[n] += r[f"n{i}"]
+    return out

@@ -106,3 +106,34 @@ def test_rolling_median_matches_pandas_brute_force():
             med = int(np.sort(w)[(len(w) - 1) // 2])
             assert got[int(es[i])] == (med, len(w))
     assert len(got) == n
+
+
+def test_bitmap_index_counts_brute_force():
+    from essentials_rd.ops import bitmap_index_counts
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    # sparse, shuffled keyspace exercises word packing across blocks
+    keys = rng.permutation(50_000)[:n].astype(np.int64)
+    a = rng.random(n) < 0.3
+    b = rng.random(n) < 0.5
+    t = pa.table({"k": pa.array(keys), "a": pa.array(a), "b": pa.array(b)})
+    for blocks in (1, 11):
+        out = bitmap_index_counts(
+            rd.from_arrow(t).repartition(blocks), "k",
+            [("a", lambda bt: np.asarray(bt.column("a"))),
+             ("b", lambda bt: np.asarray(bt.column("b")))])
+        assert out["a"] == int(a.sum())
+        assert out["b"] == int(b.sum())
+        assert out["__and__"] == int((a & b).sum())
+
+    # same word, bits from different blocks: keys 0..63 split across
+    # blocks must OR into one word correctly
+    t2 = pa.table({"k": pa.array(np.arange(64, dtype=np.int64)),
+                   "a": pa.array([True] * 64),
+                   "b": pa.array([i % 2 == 0 for i in range(64)])})
+    out2 = bitmap_index_counts(
+        rd.from_arrow(t2).repartition(8), "k",
+        [("a", lambda bt: np.asarray(bt.column("a"))),
+         ("b", lambda bt: np.asarray(bt.column("b")))])
+    assert out2 == {"a": 64, "b": 32, "__and__": 32}
