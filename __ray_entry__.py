@@ -14699,6 +14699,90 @@ def _late_events_sql() -> str:
     )
 
 
+MRR_SIXTHS = {1: 6, 2: 3, 3: 2}  # 1/r in units of 1/6 — exact rational MRR
+
+
+def _q_mrr_eval(sf_dir: str):
+    """Recommender evaluation with an EXACT metric: mean reciprocal
+    rank of the item-item cosine top-3 serving table against each
+    order's own basket (leave-the-query-in eval of the serving
+    mechanics).  For every order with ≥ 2 distinct parts, the query
+    item is its smallest part key; the first other basket item found
+    in the query's top-3 list contributes 1/rank — folded as integer
+    SIXTHS (lcm(1,2,3)), so MRR = sixths/(6·n) is exact where a float
+    mean would drift.  The serving table (3·|items| rows, model-sized)
+    broadcasts via ray.put; baskets fold in their existing
+    order-bucketed exchange — rows never leave their bucket."""
+    import ray
+
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.pipelines import copurchase_items
+    from essentials_rd.util import np_col
+
+    serving = _q_item_cosine(sf_dir)
+    top: dict[int, list[int]] = {}
+    for it, nbr in zip(np.asarray(serving["item"], np.int64),
+                       np.asarray(serving["nbr"], np.int64)):
+        top.setdefault(int(it), []).append(int(nbr))  # already rank order
+    top_ref = ray.put(top)
+
+    def _eval(grp: pa.Table) -> pa.Table:
+        tt = ray.get(top_ref)
+        ok = np_col(grp, "l_orderkey")
+        pk = np_col(grp, "l_partkey")
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        n_eval = sixths = n_hit = 0
+        for st, en in zip(starts, np.r_[starts[1:], len(ok)]):
+            if en - st < 2:
+                continue
+            parts = pk[st:en]  # sorted; parts[0] is the query item
+            others = set(int(p) for p in parts[1:])
+            n_eval += 1
+            for r, nbr in enumerate(tt.get(int(parts[0]), ()), start=1):
+                if nbr in others:
+                    sixths += MRR_SIXTHS[r]
+                    n_hit += 1
+                    break
+        return pa.table({
+            "n_eval": pa.array([n_eval], pa.int64()),
+            "sixths": pa.array([sixths], pa.int64()),
+            "n_hit": pa.array([n_hit], pa.int64()),
+        })
+
+    tot = [0, 0, 0]
+    for r in hash_bucket_agg(
+            copurchase_items(sf_dir),
+            lambda b: np_col(b, "l_orderkey"), _eval).take_all():
+        tot[0] += r["n_eval"]
+        tot[1] += r["sixths"]
+        tot[2] += r["n_hit"]
+    return pa.table({
+        "n_eval": pa.array([tot[0]], pa.int64()),
+        "mrr_sixths": pa.array([tot[1]], pa.int64()),
+        "n_hit_top3": pa.array([tot[2]], pa.int64()),
+    })
+
+
+def _mrr_eval_sql() -> str:
+    base = _item_cosine_sql()
+    # reuse the serving-table CTE body: strip the final SELECT, keep WITH
+    cte_body = base[len("WITH "):base.index(" SELECT CAST(i AS BIGINT)")]
+    return (
+        f"WITH {cte_body}, "
+        "ords AS (SELECT o, min(p) AS qp FROM items "
+        "GROUP BY 1 HAVING count(*) >= 2), "
+        f"hits AS (SELECT d.o, min(rk.r) AS r FROM ords d "
+        f"JOIN rk ON rk.i = d.qp AND rk.r <= {ITEMCOS_K} "
+        "JOIN items t ON t.o = d.o AND t.p = rk.j GROUP BY 1) "
+        "SELECT CAST((SELECT count(*) FROM ords) AS BIGINT) AS n_eval, "
+        "CAST(COALESCE(sum(CASE h.r WHEN 1 THEN 6 WHEN 2 THEN 3 "
+        "WHEN 3 THEN 2 END), 0) AS BIGINT) AS mrr_sixths, "
+        "CAST(count(*) AS BIGINT) AS n_hit_top3 FROM hits h"
+    )
+
+
 def _q_bitmap_and(sf_dir: str):
     """Bitmap-index conjunction probe (ops.bitmap_index_counts) — the
     warehouse storage-layer path for WHERE p1 AND p2: each predicate's
@@ -15729,6 +15813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "huffman_event_code": _q_huffman,
         "incr_join_view": _q_incr_join_view,
         "bitmap_and_count": _q_bitmap_and,
+        "mrr_item_model": _q_mrr_eval,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -17254,6 +17339,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "huffman_event_code": _huffman_sql(),
         "incr_join_view": _incr_join_view_sql(),
         "bitmap_and_count": _bitmap_and_sql(),
+        "mrr_item_model": _mrr_eval_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -137,3 +137,46 @@ def test_incr_join_view_delta_rule(tmp_path):
     # invariants: totals add up and the delta side is genuinely small
     assert sum(out["n_total"]) == n_o
     assert 0 < sum(out["n_delta"]) < n_o // 2
+
+
+def test_mrr_eval_hand_case(tmp_path):
+    """Tiny basket fixture where every rank bucket is exercised and the
+    exact-sixths MRR can be checked by hand."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    # baskets: {1,2} x4  {1,3} x2  {2,3} x3  {4,5}  {6} (too small)
+    rows = ([(o, p) for o in range(4) for p in (1, 2)]
+            + [(o, p) for o in range(4, 6) for p in (1, 3)]
+            + [(o, p) for o in range(6, 9) for p in (2, 3)]
+            + [(9, 4), (9, 5), (10, 6)])
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    }), d / "lineitem.parquet")
+    out = e._q_mrr_eval(str(d)).to_pydict()
+    # brute force from the serving table itself
+    serving = e._q_item_cosine(str(d)).to_pydict()
+    top = {}
+    for it, nbr in zip(serving["item"], serving["nbr"]):
+        top.setdefault(it, []).append(nbr)
+    import collections
+    baskets = collections.defaultdict(set)
+    for o, p in rows:
+        baskets[o].add(p)
+    n_eval = sixths = hits = 0
+    for o, ps in baskets.items():
+        if len(ps) < 2:
+            continue
+        n_eval += 1
+        qp = min(ps)
+        for r, nbr in enumerate(top.get(qp, []), start=1):
+            if nbr in ps - {qp}:
+                sixths += {1: 6, 2: 3, 3: 2}[r]
+                hits += 1
+                break
+    assert out == {"n_eval": [n_eval], "mrr_sixths": [sixths],
+                   "n_hit_top3": [hits]}
+    assert n_eval == 10 and hits > 0
+    # rank-1 dominance: every basket's partner is its query's 1-NN or
+    # 2-NN here, so MRR is high — sanity that sixths <= 6*n_eval
+    assert 0 < sixths <= 6 * n_eval
