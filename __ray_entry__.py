@@ -14699,6 +14699,82 @@ def _late_events_sql() -> str:
     )
 
 
+FH_DIM = 8
+FH_SEED = 53
+
+
+def _q_feature_hash(sf_dir: str):
+    """The hashing trick (feature hashing, Weinberger et al.) — the
+    fixed-dimension categorical featurizer every large-scale linear
+    model uses when the vocabulary is unbounded: each event's crossed
+    categorical (event_type × hour-of-day) hashes to one of 8 buckets
+    with a ±1 sign bit (sign hashing keeps the inner product unbiased),
+    and each user's feature vector is the signed bucket count.  Type →
+    rank via the tiny driver-collected alphabet (broadcast-small by
+    nature); per event the 8 signed one-hot partials fold through ONE
+    user-bucketed integer sum — exact int64 features, bit-identical at
+    any layout."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import hash64, np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    types = sorted({r["event_type"] for r in ev.groupby(
+        "event_type").count().take_all()})
+    rank = {t: i + 1 for i, t in enumerate(types)}
+    mix = np.uint64((FH_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def _feat(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), object)
+        tr = np.asarray([rank[x] for x in et], np.uint64)
+        hour = ((np.asarray(t.column("ts").cast(pa.int64()))
+                 // 3_600_000_000) % 24).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = hash64(tr * np.uint64(24) + hour + mix)
+        b = (z % np.uint64(FH_DIM)).astype(np.int64)
+        sign = 1 - 2 * ((z >> np.uint64(8)) & np.uint64(1)).astype(np.int64)
+        cols = {"user_id": t.column("user_id").cast(pa.int64())}
+        for k in range(FH_DIM):
+            cols[f"f{k}"] = pa.array(
+                np.where(b == k, sign, 0).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    agg = grouped_pandas_agg(
+        ev.map_batches(_feat, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={f"f{k}": (f"f{k}", "sum") for k in range(FH_DIM)})
+    rows = sorted(agg.take_all(), key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        **{f"f{k}": pa.array([int(r[f"f{k}"]) for r in rows], pa.int64())
+           for k in range(FH_DIM)},
+    })
+
+
+def _feature_hash_sql() -> str:
+    mix = (FH_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes("fh", "user_id",
+                       f"tr * 24 + h + {mix}", "feats")
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN z % {FH_DIM} = {k} THEN "
+        "(1 - 2 * CAST((z >> 8) & 1 AS BIGINT)) ELSE 0 END) AS BIGINT) "
+        f"AS f{k}"
+        for k in range(FH_DIM))
+    return (
+        "WITH tr AS (SELECT event_type, dense_rank() OVER ("
+        "ORDER BY event_type) AS tr FROM ("
+        "SELECT DISTINCT event_type FROM events)), "
+        "feats AS (SELECT e.user_id, t.tr, "
+        "CAST((epoch_us(e.ts) // 3600000000) % 24 AS BIGINT) AS h "
+        "FROM events e JOIN tr t ON t.event_type = e.event_type), "
+        f"{chain} "
+        f"SELECT user_id, {sums} FROM fh3 GROUP BY user_id "
+        "ORDER BY user_id"
+    )
+
+
 MRR_SIXTHS = {1: 6, 2: 3, 3: 2}  # 1/r in units of 1/6 — exact rational MRR
 
 
@@ -15814,6 +15890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incr_join_view": _q_incr_join_view,
         "bitmap_and_count": _q_bitmap_and,
         "mrr_item_model": _q_mrr_eval,
+        "feature_hash_users": _q_feature_hash,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -17340,6 +17417,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "incr_join_view": _incr_join_view_sql(),
         "bitmap_and_count": _bitmap_and_sql(),
         "mrr_item_model": _mrr_eval_sql(),
+        "feature_hash_users": _feature_hash_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

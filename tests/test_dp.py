@@ -180,3 +180,40 @@ def test_mrr_eval_hand_case(tmp_path):
     # rank-1 dominance: every basket's partner is its query's 1-NN or
     # 2-NN here, so MRR is high — sanity that sixths <= 6*n_eval
     assert 0 < sixths <= 6 * n_eval
+
+
+def test_feature_hash_brute_force(tmp_path):
+    from essentials_rd.util import hash64
+
+    rng = np.random.default_rng(41)
+    n = 800
+    u = rng.integers(0, 30, n).astype(np.int64)
+    types = np.array(["a", "b", "c", "d", "e"])
+    et = types[rng.integers(0, 5, n)]
+    ts = rng.integers(0, 10**12, n).astype(np.int64)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "user_id": pa.array(u), "event_type": pa.array(et),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), d / "events.parquet", row_group_size=97)
+    out = e._q_feature_hash(str(d)).to_pydict()
+    rank = {t: i + 1 for i, t in enumerate(sorted(set(et)))}
+    mix = np.uint64((e.FH_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+    F = {}
+    for i in range(n):
+        h = int(ts[i] // 3_600_000_000) % 24
+        with np.errstate(over="ignore"):
+            z = int(hash64(np.array(
+                [rank[et[i]] * 24 + h], np.uint64) + mix)[0])
+        b = z % e.FH_DIM
+        s = 1 - 2 * ((z >> 8) & 1)
+        F.setdefault(int(u[i]), [0] * e.FH_DIM)[b] += s
+    for i, uid in enumerate(out["user_id"]):
+        assert [out[f"f{k}"][i] for k in range(e.FH_DIM)] == F[uid]
+    # mass conservation: sum |f_k| <= user's event count
+    cnts = {int(k): int(v) for k, v in
+            zip(*np.unique(u, return_counts=True))}
+    for i, uid in enumerate(out["user_id"]):
+        assert sum(abs(out[f"f{k}"][i]) for k in range(e.FH_DIM)) \
+            <= cnts[uid]
