@@ -14699,6 +14699,84 @@ def _late_events_sql() -> str:
     )
 
 
+def _q_seq_support(sf_dir: str):
+    """Sequential-pattern support census (the length-2 PrefixSpan /
+    cSPADE table): for every ORDERED type pair (a, b) — including
+    a = b — the number of users with an a-event strictly before some
+    b-event, i.e. min ts(a) < max ts(b) per user (the gap-insensitive
+    'eventually follows' relation, unlike the adjacent-only Markov
+    table).  One user-bucketed min/max fold (≤ |alphabet| rows per
+    user), per-user 5×5 outer compare, 25-int partials driver-summed;
+    all pairs emit rows (zeros explicit)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    types = sorted({r["event_type"] for r in ev.groupby(
+        "event_type").count().take_all()})
+    T = len(types)
+    rank = {t: i for i, t in enumerate(types)}
+
+    def _pairs(grp: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.table({
+            "u": grp.column("user_id").cast(pa.int64()),
+            "t": pa.array([rank[x] for x in
+                           grp.column("event_type").to_pylist()],
+                          pa.int64()),
+            "ts": grp.column("ts").cast(pa.int64()),
+        }).to_pandas()
+        mm = df.groupby(["u", "t"])["ts"].agg(["min", "max"])
+        counts = np.zeros((T, T), np.int64)
+        big = np.int64(1 << 62)
+        for _, g in mm.groupby(level="u"):
+            mn = np.full(T, big, np.int64)
+            mx = np.full(T, -big, np.int64)
+            tt = g.index.get_level_values("t").to_numpy()
+            mn[tt] = g["min"].to_numpy(np.int64)
+            mx[tt] = g["max"].to_numpy(np.int64)
+            counts += (mn[:, None] < mx[None, :]).astype(np.int64)
+        i, j = np.divmod(np.arange(T * T), T)
+        return pa.table({
+            "i": pa.array(i.astype(np.int64)),
+            "j": pa.array(j.astype(np.int64)),
+            "n": pa.array(counts.ravel(), pa.int64()),
+        })
+
+    acc = np.zeros((T, T), np.int64)
+    for r in hash_bucket_agg(
+            ev, lambda b: np_col(b, "user_id"), _pairs).take_all():
+        acc[r["i"], r["j"]] += r["n"]
+    i, j = np.divmod(np.arange(T * T), T)
+    return pa.table({
+        "a": pa.array([types[x] for x in i], pa.string()),
+        "b": pa.array([types[x] for x in j], pa.string()),
+        "n_users": pa.array(acc.ravel(), pa.int64()),
+    })
+
+
+def _seq_support_sql() -> str:
+    return (
+        "WITH mm AS (SELECT user_id, event_type, "
+        "min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx "
+        "FROM events GROUP BY 1, 2), "
+        "sup AS (SELECT a.event_type AS a, b.event_type AS b, "
+        "CAST(count(*) AS BIGINT) AS n FROM mm a "
+        "JOIN mm b ON b.user_id = a.user_id AND a.mn < b.mx "
+        "GROUP BY 1, 2), "
+        "ty AS (SELECT DISTINCT event_type AS t FROM events) "
+        "SELECT ta.t AS a, tb.t AS b, "
+        "CAST(COALESCE(s.n, 0) AS BIGINT) AS n_users "
+        "FROM ty ta CROSS JOIN ty tb "
+        "LEFT JOIN sup s ON s.a = ta.t AND s.b = tb.t "
+        "ORDER BY 1, 2"
+    )
+
+
 FH_DIM = 8
 FH_SEED = 53
 
@@ -15891,6 +15969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitmap_and_count": _q_bitmap_and,
         "mrr_item_model": _q_mrr_eval,
         "feature_hash_users": _q_feature_hash,
+        "seq_pair_support": _q_seq_support,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -17418,6 +17497,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "bitmap_and_count": _bitmap_and_sql(),
         "mrr_item_model": _mrr_eval_sql(),
         "feature_hash_users": _feature_hash_sql(),
+        "seq_pair_support": _seq_support_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

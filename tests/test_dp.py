@@ -217,3 +217,40 @@ def test_feature_hash_brute_force(tmp_path):
     for i, uid in enumerate(out["user_id"]):
         assert sum(abs(out[f"f{k}"][i]) for k in range(e.FH_DIM)) \
             <= cnts[uid]
+
+
+def test_seq_pair_support_brute_force(tmp_path):
+    rng = np.random.default_rng(55)
+    n = 600
+    u = rng.integers(0, 40, n).astype(np.int64)
+    types = np.array(["p", "q", "r"])
+    et = types[rng.integers(0, 3, n)]
+    ts = rng.integers(0, 10**9, n).astype(np.int64)
+    ts[:10] = 500  # ties: strict < must exclude equal-time pairs
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "user_id": pa.array(u), "event_type": pa.array(et),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), d / "events.parquet", row_group_size=71)
+    out = e._q_seq_support(str(d)).to_pydict()
+    got = {(a, b): c for a, b, c in
+           zip(out["a"], out["b"], out["n_users"])}
+    import collections
+    per = collections.defaultdict(lambda: collections.defaultdict(list))
+    for i in range(n):
+        per[int(u[i])][et[i]].append(int(ts[i]))
+    want = collections.Counter()
+    for _, d2 in per.items():
+        for a in types:
+            for b in types:
+                if a in d2 and b in d2 and min(d2[a]) < max(d2[b]):
+                    want[(a, b)] += 1
+    for a in types:
+        for b in types:
+            assert got[(a, b)] == want[(a, b)], (a, b)
+    # a-before-a counts exactly the users with >=2 distinct ts of a
+    for a in types:
+        m = sum(1 for _, d2 in per.items()
+                if a in d2 and min(d2[a]) < max(d2[a]))
+        assert got[(a, a)] == m
