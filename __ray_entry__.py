@@ -14699,6 +14699,119 @@ def _late_events_sql() -> str:
     )
 
 
+def _q_bip_matching(sf_dir: str):
+    """Bipartite maximum matching with an exhaustive certificate —
+    the assignment primitive on the region × order-priority incidence:
+    an edge (r, p) exists iff that cell's order count beats the
+    uniform share (25·count > N, exact integer cross-multiply), the
+    engine finds the maximum matching by augmenting paths
+    (Hungarian-algorithm core), and — since SQL cannot express
+    augmentation — the twin maximizes present-edge count over ALL 120
+    5-permutations (any matching extends to a permutation, so the
+    permutation max IS the matching number); a hash match proves the
+    augmenting search found the true optimum (engine asserts it too).
+    The distributed part is the orders⋈customer⋈nation cell-count
+    fold (≤25 partials per block)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, join
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nat = {r["n_nationkey"]: r["n_regionkey"]
+           for r in rd.read_parquet(
+               f"{sf_dir}/nation.parquet",
+               columns=["n_nationkey", "n_regionkey"]).take_all()}
+
+    co = join(
+        orders.map_batches(
+            lambda t: pa.table({"k": t.column("o_custkey"),
+                                "prio": t.column("o_orderpriority")}),
+            batch_format="pyarrow"),
+        cust.map_batches(
+            lambda t: pa.table({
+                "k": t.column("c_custkey"),
+                "r": pa.array([nat[x] for x in
+                               t.column("c_nationkey").to_pylist()],
+                              pa.int64())}),
+            batch_format="pyarrow"),
+        on="k", how="inner", broadcast=False)
+    cells: dict[tuple, int] = {}
+    for row in grouped_pandas_agg(
+            co.map_batches(
+                lambda t: pa.table({"r": t.column("r"),
+                                    "prio": t.column("prio"),
+                                    "one": pa.array(
+                                        np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            keys=["r", "prio"], aggs={"n": ("one", "sum")},
+            key_fn=lambda b: np_col(b, "r")).take_all():
+        key = (int(row["r"]), row["prio"])
+        cells[key] = cells.get(key, 0) + int(row["n"])
+
+    prios = sorted({p for _, p in cells})
+    N = sum(cells.values())
+    R, P = 5, len(prios)
+    adj = [[25 * cells.get((r, prios[p]), 0) > N for p in range(P)]
+           for r in range(R)]
+    n_edges = sum(sum(row) for row in adj)
+
+    # augmenting-path maximum matching
+    match_p = [-1] * P
+
+    def try_aug(r: int, seen: list) -> bool:
+        for p in range(P):
+            if adj[r][p] and not seen[p]:
+                seen[p] = True
+                if match_p[p] == -1 or try_aug(match_p[p], seen):
+                    match_p[p] = r
+                    return True
+        return False
+
+    m = sum(try_aug(r, [False] * P) for r in range(R))
+
+    from itertools import permutations
+    best = max(sum(adj[r][perm[r]] for r in range(R))
+               for perm in permutations(range(P)))
+    assert m == best, (m, best)
+    return pa.table({
+        "n_orders": pa.array([N], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "max_matching": pa.array([m], pa.int64()),
+    })
+
+
+def _bip_matching_sql() -> str:
+    from itertools import permutations
+
+    perms = list(permutations(range(5)))
+    vals = ", ".join(
+        f"({pid}, {r}, {p + 1})"
+        for pid, perm in enumerate(perms) for r, p in enumerate(perm))
+    return (
+        "WITH cells AS (SELECT n.n_regionkey AS r, o.o_orderpriority "
+        "AS prio, CAST(count(*) AS BIGINT) AS c FROM orders o "
+        "JOIN customer cu ON cu.c_custkey = o.o_custkey "
+        "JOIN nation n ON n.n_nationkey = cu.c_nationkey "
+        "GROUP BY 1, 2), "
+        "tot AS (SELECT sum(c) AS n FROM cells), "
+        "pr AS (SELECT prio, dense_rank() OVER (ORDER BY prio) AS pi "
+        "FROM (SELECT DISTINCT prio FROM cells)), "
+        "edges AS (SELECT c.r, p.pi FROM cells c JOIN pr p "
+        "ON p.prio = c.prio, tot WHERE 25 * c.c > tot.n), "
+        f"perm(pid, r, pi) AS (VALUES {vals}), "
+        "score AS (SELECT pm.pid, count(e.r) AS m FROM perm pm "
+        "LEFT JOIN edges e ON e.r = pm.r AND e.pi = pm.pi "
+        "GROUP BY 1) "
+        "SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_orders, "
+        "CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges, "
+        "CAST((SELECT max(m) FROM score) AS BIGINT) AS max_matching"
+    )
+
+
 def _q_seq_support(sf_dir: str):
     """Sequential-pattern support census (the length-2 PrefixSpan /
     cSPADE table): for every ORDERED type pair (a, b) — including
@@ -15970,6 +16083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mrr_item_model": _q_mrr_eval,
         "feature_hash_users": _q_feature_hash,
         "seq_pair_support": _q_seq_support,
+        "bip_matching_regions": _q_bip_matching,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -17498,6 +17612,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "mrr_item_model": _mrr_eval_sql(),
         "feature_hash_users": _feature_hash_sql(),
         "seq_pair_support": _seq_support_sql(),
+        "bip_matching_regions": _bip_matching_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -254,3 +254,40 @@ def test_seq_pair_support_brute_force(tmp_path):
         m = sum(1 for _, d2 in per.items()
                 if a in d2 and min(d2[a]) < max(d2[a]))
         assert got[(a, a)] == m
+
+
+def test_bip_matching_augmenting_equals_enumeration():
+    """The augmenting-path matcher (as used by bip_matching_regions)
+    equals the exhaustive permutation max on random 5x5 graphs,
+    including structured cases where greedy-without-augmenting fails."""
+    from itertools import permutations
+
+    rng = np.random.default_rng(19)
+
+    def max_match(adj):
+        P = 5
+        match_p = [-1] * P
+
+        def try_aug(r, seen):
+            for p in range(P):
+                if adj[r][p] and not seen[p]:
+                    seen[p] = True
+                    if match_p[p] == -1 or try_aug(match_p[p], seen):
+                        match_p[p] = r
+                        return True
+            return False
+
+        return sum(try_aug(r, [False] * P) for r in range(5))
+
+    # structured: greedy row-order would trap without augmentation
+    adj = [[True, True, False, False, False],
+           [True, False, False, False, False],
+           [False, False, False, False, False],
+           [False, False, False, False, False],
+           [False, False, False, False, False]]
+    assert max_match(adj) == 2
+    for _ in range(200):
+        adj = (rng.random((5, 5)) < 0.3).tolist()
+        best = max(sum(adj[r][perm[r]] for r in range(5))
+                   for perm in permutations(range(5)))
+        assert max_match(adj) == best
