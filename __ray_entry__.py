@@ -14699,6 +14699,50 @@ def _late_events_sql() -> str:
     )
 
 
+CHI2_K, CHI2_LANG = 10, "en"
+
+
+def _q_chi2_tokens(sf_dir: str):
+    """χ² feature selection (textops.chi2_tokens): top-10 tokens
+    separating English documents from the rest by the exact integer
+    χ² quantization over the 2×2 document-presence contingency —
+    the supervised ranking every text classifier's feature pruning
+    runs; vocabulary never driver-collected, zero-variance
+    always-present tokens excluded exactly as χ² demands."""
+    import ray.data as rd
+
+    from essentials_rd.textops import chi2_tokens
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return chi2_tokens(docs, CHI2_LANG, k=CHI2_K)
+
+
+def _chi2_tokens_sql() -> str:
+    return (
+        "WITH pres AS (SELECT DISTINCT doc_id, w AS tok FROM ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents)), "
+        "lab AS (SELECT doc_id, CASE WHEN lang = "
+        f"'{CHI2_LANG}' THEN 1 ELSE 0 END AS t FROM documents), "
+        "nn AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(t) AS HUGEINT) AS nt FROM lab), "
+        "cnt AS (SELECT p.tok, CAST(sum(l.t) AS HUGEINT) AS a, "
+        "CAST(count(*) AS HUGEINT) AS ab FROM pres p "
+        "JOIN lab l ON l.doc_id = p.doc_id GROUP BY 1), "
+        "sc AS (SELECT tok, a, ab, "
+        "CAST((nn.n * (a * ((nn.n - nn.nt) - (ab - a)) "
+        "- (ab - a) * (nn.nt - a)) "
+        "* (a * ((nn.n - nn.nt) - (ab - a)) - (ab - a) * (nn.nt - a)) "
+        "* 1000000) // (ab * (nn.n - ab) * nn.nt * (nn.n - nn.nt)) "
+        "AS BIGINT) AS q "
+        "FROM cnt, nn WHERE ab < nn.n) "
+        "SELECT tok, CAST(a AS BIGINT) AS a, CAST(ab AS BIGINT) AS ab, "
+        "q FROM (SELECT *, row_number() OVER (ORDER BY q DESC, tok) "
+        f"AS rn FROM sc) WHERE rn <= {CHI2_K} ORDER BY q DESC, tok"
+    )
+
+
 def _q_bip_matching(sf_dir: str):
     """Bipartite maximum matching with an exhaustive certificate —
     the assignment primitive on the region × order-priority incidence:
@@ -16084,6 +16128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hash_users": _q_feature_hash,
         "seq_pair_support": _q_seq_support,
         "bip_matching_regions": _q_bip_matching,
+        "chi2_tokens_top10": _q_chi2_tokens,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -17613,6 +17658,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "feature_hash_users": _feature_hash_sql(),
         "seq_pair_support": _seq_support_sql(),
         "bip_matching_regions": _bip_matching_sql(),
+        "chi2_tokens_top10": _chi2_tokens_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

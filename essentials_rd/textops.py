@@ -3478,3 +3478,97 @@ def textrank_tokens(
         "token": pa.array([names[i] for i in order], pa.string()),
         "pagerank": pa.array([vals[i] for i in order], pa.float64()),
     })
+
+
+def chi2_tokens(
+    docs: rd.Dataset,
+    target_lang: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> pa.Table:
+    """χ² feature selection — the classic supervised token ranking
+    (Yang & Pedersen) ML pipelines run before training a text
+    classifier: per token the 2×2 document-presence contingency
+    (contains-token × is-target-lang) scored by the exact integer
+    quantization q = ⌊10⁶·N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))⌋ —
+    monotone in χ², Python-int products so exact at any corpus size
+    (the SQL twin's HUGEINT bound holds to ~3M docs).  Tokens present
+    in every document (zero-variance features) are excluded, exactly
+    as the χ² denominator demands.  Pipeline: per-block per-doc
+    DISTINCT tokens → one token-bucketed (a, ab) count fold
+    (vocabulary never driver-collected) → vectorized scoring against
+    the two broadcast scalars → distributed top-k."""
+    from .derive import _str_hash
+    from .ops import hash_bucket_agg, top_k
+
+    n_total = docs.count()
+    n_target = docs.filter(expr=f"{lang_col} == '{target_lang}'").count()
+
+    def _presence(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"tok": pa.array([], pa.string()),
+                          "t": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        s = batch.column(text_col).to_pandas()
+        is_t = (np.asarray(batch.column(lang_col).to_pylist(), object)
+                == target_lang).astype(np.int64)
+        toks = s.str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy(object)
+        doc = np.repeat(np.arange(len(counts)), counts)
+        codes, uq = pd.factorize(pd.Series(flat))
+        if not len(uq):
+            return empty
+        key = doc.astype(np.int64) * np.int64(len(uq)) + codes
+        ku = np.unique(key)  # distinct (doc, token)
+        dd = (ku // len(uq)).astype(np.int64)
+        tt = (ku % len(uq)).astype(np.int64)
+        return pa.table({
+            "tok": pa.array(np.asarray(uq, object)[tt].tolist(),
+                            pa.string()),
+            "t": pa.array(is_t[dd], pa.int64()),
+            "c": pa.array(np.ones(len(ku), np.int64), pa.int64()),
+        })
+
+    def _fold(grp: pa.Table) -> pa.Table:
+        codes, uq = pd.factorize(
+            grp.column("tok").combine_chunks().to_pandas())
+        a = np.bincount(codes, weights=np_col(grp, "t")).astype(np.int64)
+        ab = np.bincount(codes, weights=np_col(grp, "c")).astype(np.int64)
+        return pa.table({"tok": pa.array(
+            np.asarray(uq, object).tolist(), pa.string()),
+            "a": pa.array(a, pa.int64()),
+            "ab": pa.array(ab, pa.int64())})
+
+    counts = hash_bucket_agg(
+        docs.map_batches(_presence, batch_format="pyarrow"),
+        lambda b: np.asarray(_str_hash(b.column("tok"))),
+        _fold)
+
+    N, Nt = int(n_total), int(n_target)
+
+    def _score(tbl: pa.Table) -> pa.Table:
+        a = np_col(tbl, "a")
+        ab = np_col(tbl, "ab")
+        keep = ab < N  # exclude zero-variance always-present tokens
+        a, ab = a[keep], ab[keep]
+        toks = np.asarray(tbl.column("tok").to_pylist(), object)[keep]
+        q = np.empty(len(a), np.int64)
+        for i in range(len(a)):  # Python ints: exact at any size
+            ai, abi = int(a[i]), int(ab[i])
+            b = abi - ai
+            c = Nt - ai
+            d = (N - Nt) - b
+            num = N * (ai * d - b * c) ** 2 * 1_000_000
+            den = abi * (N - abi) * Nt * (N - Nt)
+            q[i] = num // den if den else 0
+        return pa.table({"tok": pa.array(toks.tolist(), pa.string()),
+                         "a": pa.array(a, pa.int64()),
+                         "ab": pa.array(ab, pa.int64()),
+                         "q": pa.array(q, pa.int64())})
+
+    scored = counts.map_batches(_score, batch_format="pyarrow")
+    return top_k(scored, "q", k, descending=True, tie_cols=["tok"])

@@ -143,3 +143,47 @@ def test_edmonds_karp_duality_on_random_graphs():
             for bits in product([False, True], repeat=3))
         assert out["max_flow"][0] == best
         assert min(out["cut_weight"]) == best
+
+
+def test_chi2_tokens_finds_planted_discriminator(tmp_path):
+    """A token exclusive to the target language must outrank a token
+    spread evenly across classes; scores match a scipy-free brute
+    force on the 2x2 tables."""
+    from essentials_rd.textops import chi2_tokens
+
+    rng = np.random.default_rng(3)
+    texts, langs = [], []
+    common = ["the", "and", "of"]
+    for i in range(60):
+        lang = "en" if i % 2 == 0 else "de"
+        toks = list(rng.choice(common, 4))
+        if lang == "en":
+            toks.append("onlyen")  # perfect discriminator
+        if rng.random() < 0.5:
+            toks.append("noise")  # appears in both classes
+        texts.append(" ".join(toks))
+        langs.append(lang)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    }))
+    out = chi2_tokens(docs, "en", k=5).to_pydict()
+    assert out["tok"][0] == "onlyen"
+    # brute-force score check for every returned token
+    N, Nt = 60, 30
+    for tok, a, ab, q in zip(out["tok"], out["a"], out["ab"], out["q"]):
+        present = [tok in t.split(" ") for t in texts]
+        aa = sum(1 for p, l in zip(present, langs) if p and l == "en")
+        abab = sum(present)
+        assert (aa, abab) == (a, ab)
+        b = abab - aa
+        c = Nt - aa
+        d = (N - Nt) - b
+        num = N * (aa * d - b * c) ** 2 * 1_000_000
+        den = abab * (N - abab) * Nt * (N - Nt)
+        assert q == num // den
+    # 'the' (present in every doc) must be excluded as zero-variance
+    assert all(t != "the" for t in out["tok"]) or \
+        any(tok == "the" and ab < 60 for tok, ab in
+            zip(out["tok"], out["ab"]))
