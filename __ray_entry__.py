@@ -14699,6 +14699,91 @@ def _late_events_sql() -> str:
     )
 
 
+HAAR_N, HAAR_LEVELS = 64, 6
+
+
+def _q_haar_hourly(sf_dir: str):
+    """Haar wavelet decomposition of the hourly event-count series —
+    the multi-resolution transform (unnormalized Haar lifting: pairs →
+    (sum, diff)) that stays EXACT integer end to end, giving the
+    per-scale detail energies a change-detector or compressor reads.
+    The distributed piece is the hourly count combine (driver sees one
+    row per hour — calendar-small by construction); the first 64 hours
+    of the dense grid (zero hours explicit) lift through 6 levels in
+    exact ints, emitting per level the coefficient count, Σ|d| and
+    Σd², plus the final approximation as level 0.  Parseval for the
+    unnormalized lifting: Σ 2^−ℓ·energy(ℓ) + 2^−L·a² = Σx² (pinned in
+    pytest)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def _hour(t: pa.Table) -> pa.Table:
+        h = (np.asarray(t.column("ts").cast(pa.int64()))
+             // 3_600_000_000).astype(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "one": pa.array(np.ones(len(h), np.int64))})
+
+    rows = grouped_pandas_agg(
+        ev.map_batches(_hour, batch_format="pyarrow"),
+        keys=["h"], aggs={"n": ("one", "sum")}).take_all()
+    hmin = min(r["h"] for r in rows)
+    v = np.zeros(HAAR_N, np.int64)
+    for r in rows:
+        off = r["h"] - hmin
+        if 0 <= off < HAAR_N:
+            v[off] = r["n"]
+
+    levels, absums, energies, ncs = [], [], [], []
+    x = v.astype(object)  # Python ints: exact through all levels
+    for lvl in range(1, HAAR_LEVELS + 1):
+        s = x[0::2] + x[1::2]
+        d = x[0::2] - x[1::2]
+        levels.append(lvl)
+        ncs.append(len(d))
+        absums.append(int(sum(abs(int(t)) for t in d)))
+        energies.append(int(sum(int(t) * int(t) for t in d)))
+        x = s
+    a = int(x[0])
+    return pa.table({
+        "level": pa.array([0] + levels, pa.int64()),
+        "n_coeffs": pa.array([1] + ncs, pa.int64()),
+        "d_abs_sum": pa.array([abs(a)] + absums, pa.int64()),
+        "d_energy": pa.array([a * a] + energies, pa.int64()),
+    })
+
+
+def _haar_hourly_sql() -> str:
+    steps = [
+        "hc AS (SELECT epoch_us(ts) // 3600000000 AS h, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)",
+        "h0 AS (SELECT min(h) AS m FROM hc)",
+        f"grid AS (SELECT unnest(range({HAAR_N})) AS i)",
+        "l0 AS (SELECT g.i, COALESCE(c.n, 0) AS v FROM grid g "
+        "LEFT JOIN hc c ON c.h = (SELECT m FROM h0) + g.i)",
+    ]
+    stats = []
+    for k in range(1, HAAR_LEVELS + 1):
+        steps.append(
+            f"l{k} AS (SELECT i // 2 AS i, sum(v) AS v, "
+            "sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS d "
+            f"FROM l{k - 1} GROUP BY 1)")
+        stats.append(
+            f"SELECT {k} AS level, CAST(count(*) AS BIGINT) AS n_coeffs, "
+            "CAST(sum(abs(d)) AS BIGINT) AS d_abs_sum, "
+            f"CAST(sum(d * d) AS BIGINT) AS d_energy FROM l{k}")
+    stats.insert(0,
+                 "SELECT 0 AS level, CAST(1 AS BIGINT) AS n_coeffs, "
+                 "CAST(abs(v) AS BIGINT) AS d_abs_sum, "
+                 f"CAST(v * v AS BIGINT) AS d_energy FROM l{HAAR_LEVELS}")
+    body = ", ".join(steps)
+    return (f"WITH {body} " + " UNION ALL ".join(stats)
+            + " ORDER BY level")
+
+
 CHI2_K, CHI2_LANG = 10, "en"
 
 
@@ -16129,6 +16214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pair_support": _q_seq_support,
         "bip_matching_regions": _q_bip_matching,
         "chi2_tokens_top10": _q_chi2_tokens,
+        "haar_hourly": _q_haar_hourly,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -17659,6 +17745,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "seq_pair_support": _seq_support_sql(),
         "bip_matching_regions": _bip_matching_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
+        "haar_hourly": _haar_hourly_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

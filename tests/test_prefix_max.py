@@ -137,3 +137,44 @@ def test_bitmap_index_counts_brute_force():
         [("a", lambda bt: np.asarray(bt.column("a"))),
          ("b", lambda bt: np.asarray(bt.column("b")))])
     assert out2 == {"a": 64, "b": 32, "__and__": 32}
+
+
+def test_haar_parseval_and_brute_force(tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    # events spread over ~100 hours so the 64-hour window has gaps
+    h = rng.integers(0, 100, n).astype(np.int64)
+    ts = h * 3_600_000_000 + rng.integers(0, 3_600_000_000, n)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"ts": pa.array(ts, pa.timestamp("us"))}),
+                   d / "events.parquet")
+    out = e._q_haar_hourly(str(d)).to_pydict()
+    # brute-force series
+    hmin = int(h.min())
+    v = np.zeros(64, np.int64)
+    for hh in h:
+        off = int(hh) - hmin
+        if 0 <= off < 64:
+            v[off] += 1
+    x = v.astype(np.int64).copy()
+    rows = {}
+    for lvl in range(1, 7):
+        s, dd = x[0::2] + x[1::2], x[0::2] - x[1::2]
+        rows[lvl] = (len(dd), int(np.abs(dd).sum()), int((dd * dd).sum()))
+        x = s
+    rows[0] = (1, abs(int(x[0])), int(x[0]) ** 2)
+    for i, lvl in enumerate(out["level"]):
+        assert (out["n_coeffs"][i], out["d_abs_sum"][i],
+                out["d_energy"][i]) == rows[lvl]
+    # Parseval for unnormalized lifting:
+    # sum_l 2^-l * E_l + 2^-L * a^2 == sum x^2
+    tot = sum(out["d_energy"][i] * 2.0 ** -lvl if lvl else 0
+              for i, lvl in enumerate(out["level"]))
+    a2 = next(out["d_energy"][i] for i, lvl in enumerate(out["level"])
+              if lvl == 0)
+    assert tot + a2 * 2.0 ** -6 == float((v.astype(np.int64) ** 2).sum())
