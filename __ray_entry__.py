@@ -14699,6 +14699,67 @@ def _late_events_sql() -> str:
     )
 
 
+NRA_K = 5
+
+
+def _q_nra_topk(sf_dir: str):
+    """Fagin-family NRA top-k aggregation join (ops.nra_topk): the
+    top-5 parts by combined (total quantity + total revenue cents)
+    found WITHOUT scanning either ranked list to the bottom — both
+    per-part aggregates stream in descending-score order (Ray sort +
+    lazy iter_batches: unscanned blocks never reach the driver),
+    [lower, upper] bounds maintain provisional winners, and the scan
+    stops when the top-5's exact scores provably dominate every
+    remaining bound.  The SQL twin is the full-scan ORDER BY LIMIT
+    the early stop must reproduce exactly; the early-termination
+    property itself is pinned by pytest on a skewed fixture."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, nra_topk
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        q = np.asarray(t.column("l_quantity")).astype(np.int64)
+        c = np.floor(np.asarray(t.column("l_extendedprice")) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"k": t.column("l_partkey").cast(pa.int64()),
+                         "q": pa.array(q, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    proj = li.map_batches(_proj, batch_format="pyarrow").materialize()
+    aggA = grouped_pandas_agg(
+        proj.select_columns(["k", "q"]), keys=["k"],
+        aggs={"v": ("q", "sum")})
+    aggB = grouped_pandas_agg(
+        proj.select_columns(["k", "c"]), keys=["k"],
+        aggs={"v": ("c", "sum")})
+    rows, _sa, _sb = nra_topk(aggA, aggB, "k", "v", NRA_K)
+    return pa.table({
+        "part": pa.array([r[0] for r in rows], pa.int64()),
+        "combined": pa.array([r[1] for r in rows], pa.int64()),
+        "qty_sum": pa.array([r[2] for r in rows], pa.int64()),
+        "cents_sum": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def _nra_topk_sql() -> str:
+    return (
+        "WITH a AS (SELECT l_partkey AS p, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS va "
+        "FROM lineitem GROUP BY 1), "
+        "b AS (SELECT l_partkey AS p, "
+        "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS vb FROM lineitem GROUP BY 1) "
+        "SELECT a.p AS part, CAST(a.va + b.vb AS BIGINT) AS combined, "
+        "a.va AS qty_sum, b.vb AS cents_sum "
+        "FROM a JOIN b ON b.p = a.p "
+        f"ORDER BY combined DESC, part LIMIT {NRA_K}"
+    )
+
+
 HAAR_N, HAAR_LEVELS = 64, 6
 
 
@@ -16215,6 +16276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bip_matching_regions": _q_bip_matching,
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
+        "nra_topk_parts": _q_nra_topk,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -17746,6 +17808,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "bip_matching_regions": _bip_matching_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),
+        "nra_topk_parts": _nra_topk_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -4351,3 +4351,96 @@ def bitmap_index_counts(
         for i, n in enumerate(names):
             out[n] += r[f"n{i}"]
     return out
+
+
+def nra_topk(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    k: int,
+    batch_rows: int = 256,
+) -> tuple:
+    """Fagin-family NRA (No-Random-Access) top-k aggregation join —
+    the classic middleware algorithm (Fagin/Lotem/Naor) for "top-k by
+    combined score" over two ranked lists WITHOUT scanning either to
+    the bottom: both inputs (key, val ≥ 0; one row per key) are
+    consumed in descending-score order via streaming sorted access
+    (``iter_batches`` on a sorted Dataset pulls blocks lazily — the
+    unscanned tail never reaches the driver), partial sums maintain
+    per-key [lower, upper] bounds (upper adds the list's last-seen
+    score for the unseen side; unseen keys bound by lastA + lastB),
+    and the scan STOPS as soon as the provisional top-k's exact
+    scores provably dominate every other bound — with ties broken
+    (score desc, key asc) only between fully-resolved keys, so the
+    result equals the full-scan answer exactly.  Returns
+    ``(rows, scanned_a, scanned_b)`` where rows is the top-k list of
+    ``(key, combined, va, vb)``."""
+    sa = a.sort(val_col, descending=True).iter_batches(
+        batch_size=batch_rows, batch_format="pyarrow")
+    sb = b.sort(val_col, descending=True).iter_batches(
+        batch_size=batch_rows, batch_format="pyarrow")
+
+    seen: dict[int, list] = {}  # key → [va|None, vb|None]
+    last = [None, None]  # last-seen score per stream (None until first)
+    done = [False, False]
+    iters = [iter(sa), iter(sb)]
+    scanned = [0, 0]
+
+    def _advance(side: int) -> None:
+        try:
+            batch = next(iters[side])
+        except StopIteration:
+            done[side] = True
+            last[side] = 0
+            return
+        kk = np_col(batch, key_col)
+        vv = np_col(batch, val_col)
+        scanned[side] += len(kk)
+        for i in range(len(kk)):
+            ent = seen.setdefault(int(kk[i]), [None, None])
+            ent[side] = int(vv[i])
+        if len(vv):
+            last[side] = int(vv[-1])
+
+    def _final() -> list | None:
+        if last[0] is None or last[1] is None:
+            return None
+        resolved = []
+        open_upper = -1
+        for ky, (va, vb) in seen.items():
+            # an exhausted stream resolves its missing entries to 0
+            ea = va if va is not None else (0 if done[0] else None)
+            eb = vb if vb is not None else (0 if done[1] else None)
+            if ea is not None and eb is not None:
+                resolved.append((ea + eb, -ky, ea, eb))
+            else:
+                up = ((ea if ea is not None else last[0])
+                      + (eb if eb is not None else last[1]))
+                open_upper = max(open_upper, up)
+        if not (done[0] and done[1]):
+            open_upper = max(open_upper, last[0] + last[1])
+        if len(resolved) < k:
+            return None
+        resolved.sort(reverse=True)
+        kth = resolved[k - 1][0]
+        # strict domination: no unresolved/unseen key can reach the
+        # top-k, and no tie with an unresolved bound remains
+        if kth > open_upper or (done[0] and done[1]):
+            return [(-nk, s, va, vb) for s, nk, va, vb in resolved[:k]]
+        return None
+
+    side = 0
+    while True:
+        res = _final()
+        if res is not None:
+            return res, scanned[0], scanned[1]
+        if done[0] and done[1]:
+            return (_final() or []), scanned[0], scanned[1]
+        # alternate, skipping exhausted streams
+        for _ in range(2):
+            if not done[side]:
+                _advance(side)
+                side = 1 - side
+                break
+            side = 1 - side

@@ -178,3 +178,44 @@ def test_haar_parseval_and_brute_force(tmp_path):
     a2 = next(out["d_energy"][i] for i, lvl in enumerate(out["level"])
               if lvl == 0)
     assert tot + a2 * 2.0 ** -6 == float((v.astype(np.int64) ** 2).sum())
+
+
+def test_nra_topk_exact_and_early_stop():
+    from essentials_rd.ops import nra_topk
+
+    rng = np.random.default_rng(77)
+    n = 5000
+    keys = np.arange(n, dtype=np.int64)
+    # skewed scores: a few dominant keys → NRA must stop early
+    va = rng.zipf(1.5, n).astype(np.int64) * 10
+    vb = rng.zipf(1.5, n).astype(np.int64) * 10
+    va[:3] += 10_000_000  # clear leaders on both lists
+    vb[:3] += 10_000_000
+    A = rd.from_arrow(pa.table({"k": pa.array(keys), "v": pa.array(va)}))
+    B = rd.from_arrow(pa.table({"k": pa.array(keys), "v": pa.array(vb)}))
+    rows, sa, sb = nra_topk(A, B, "k", "v", 5, batch_rows=64)
+    comb = va + vb
+    want = sorted(range(n), key=lambda i: (-comb[i], i))[:5]
+    assert [r[0] for r in rows] == [int(i) for i in want]
+    assert [r[1] for r in rows] == [int(comb[i]) for i in want]
+    assert [r[2] for r in rows] == [int(va[i]) for i in want]
+    # the whole point: the tail was never scanned
+    assert sa < n and sb < n, (sa, sb)
+
+    # adversarial ties at the k boundary must still match full scan
+    va2 = np.full(50, 100, np.int64)
+    vb2 = np.full(50, 100, np.int64)
+    A2 = rd.from_arrow(pa.table({"k": pa.array(np.arange(50, dtype=np.int64)),
+                                 "v": pa.array(va2)}))
+    B2 = rd.from_arrow(pa.table({"k": pa.array(np.arange(50, dtype=np.int64)),
+                                 "v": pa.array(vb2)}))
+    rows2, _, _ = nra_topk(A2, B2, "k", "v", 5, batch_rows=16)
+    assert [r[0] for r in rows2] == [0, 1, 2, 3, 4]  # key-asc ties
+
+    # keys present in only one list resolve to 0 on the other side
+    A3 = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                 "v": pa.array([10, 5], pa.int64())}))
+    B3 = rd.from_arrow(pa.table({"k": pa.array([2, 3], pa.int64()),
+                                 "v": pa.array([100, 1], pa.int64())}))
+    rows3, _, _ = nra_topk(A3, B3, "k", "v", 3)
+    assert rows3 == [(2, 105, 5, 100), (1, 10, 10, 0), (3, 1, 0, 1)]
