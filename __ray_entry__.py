@@ -14699,6 +14699,55 @@ def _late_events_sql() -> str:
     )
 
 
+HOPD_SIZE, HOPD_HOP = 6, 1  # hours
+
+
+def _q_hopping_distinct(sf_dir: str):
+    """Exact distinct users per HOPPING window (6 h advancing hourly)
+    — the sliding-reach metric (DAU-style but overlapping) that no
+    subtractable aggregate expresses, because distinct doesn't
+    subtract: each event fans out to its 6 covering windows inside
+    map_batches (bounded stateless replication), then
+    ops.grouped_distinct_count dedups (window, user) pairs — only
+    DISTINCT pairs move through the one bucketed exchange, so the
+    shuffle is bounded by reach·windows, not event count."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_distinct_count
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def _expand(t: pa.Table) -> pa.Table:
+        h = (np.asarray(t.column("ts").cast(pa.int64()))
+             // 3_600_000_000).astype(np.int64)
+        u = np.asarray(t.column("user_id").cast(pa.int64()))
+        wins = (h[:, None]
+                - np.arange(HOPD_SIZE, dtype=np.int64)[None, :]).ravel()
+        users = np.repeat(u, HOPD_SIZE)
+        return pa.table({"w": pa.array(wins, pa.int64()),
+                         "u": pa.array(users, pa.int64())})
+
+    out = grouped_distinct_count(
+        ev.map_batches(_expand, batch_format="pyarrow"), "w", "u")
+    rows = sorted(out.take_all(), key=lambda r: r["w"])
+    return pa.table({
+        "win_start_hour": pa.array([r["w"] for r in rows], pa.int64()),
+        "n_users": pa.array([r["n_distinct"] for r in rows], pa.int64()),
+    })
+
+
+def _hopping_distinct_sql() -> str:
+    return (
+        "SELECT w AS win_start_hour, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ("
+        "SELECT user_id, epoch_us(ts) // 3600000000 - j.j AS w "
+        f"FROM events, LATERAL (SELECT unnest(range({HOPD_SIZE})) AS j) j"
+        ") GROUP BY 1 ORDER BY 1"
+    )
+
+
 NRA_K = 5
 
 
@@ -16277,6 +16326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
         "nra_topk_parts": _q_nra_topk,
+        "hopping_distinct_users": _q_hopping_distinct,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -17809,6 +17859,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),
         "nra_topk_parts": _nra_topk_sql(),
+        "hopping_distinct_users": _hopping_distinct_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -219,3 +219,36 @@ def test_nra_topk_exact_and_early_stop():
                                  "v": pa.array([100, 1], pa.int64())}))
     rows3, _, _ = nra_topk(A3, B3, "k", "v", 3)
     assert rows3 == [(2, 105, 5, 100), (1, 10, 10, 0), (3, 1, 0, 1)]
+
+
+def test_hopping_distinct_users_brute_force(tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(91)
+    n = 1500
+    u = rng.integers(0, 25, n).astype(np.int64)
+    h = rng.integers(100, 140, n).astype(np.int64)
+    ts = h * 3_600_000_000 + rng.integers(0, 3_600_000_000, n)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "user_id": pa.array(u),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), d / "events.parquet", row_group_size=131)
+    out = e._q_hopping_distinct(str(d)).to_pydict()
+    got = dict(zip(out["win_start_hour"], out["n_users"]))
+    # brute force: window w covers hours [w, w+6)
+    import collections
+    byh = collections.defaultdict(set)
+    for i in range(n):
+        byh[int(h[i])].add(int(u[i]))
+    for w in got:
+        users = set()
+        for hh in range(w, w + e.HOPD_SIZE):
+            users |= byh.get(hh, set())
+        assert got[w] == len(users)
+    # a user active in hours w and w+5 is counted ONCE in window w
+    assert min(got) == int(h.min()) - e.HOPD_SIZE + 1
+    assert max(got) == int(h.max())
