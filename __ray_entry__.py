@@ -14699,6 +14699,61 @@ def _late_events_sql() -> str:
     )
 
 
+FIEDLER_ITERS = 8
+
+
+def _q_fiedler(sf_dir: str):
+    """Fiedler spectral-bisection direction (algorithms.fiedler):
+    deflated power iteration on the shifted Laplacian M = 2·d_max·I − L
+    — each superstep one neighbor-sum scatter plus the Σx broadcast
+    partial that removes the constant eigencomponent (the same side
+    channel PageRank's dangling mass rides), fixed 1/c contraction so
+    the whole run is a pure function of the graph; splitmix start
+    vector, exactly FIEDLER_ITERS rounds, half-up 6 dp both sides."""
+    from essentials_rd.algorithms.fiedler import fiedler
+    from essentials_rd.pipelines import round_half_up
+
+    g, _ = _graph(sf_dir)
+    res = fiedler(g, max_iters=FIEDLER_ITERS, checkpoint_every=0,
+                  scatter_mode="fused")
+    t = res.state_table(["value"])
+    vals = round_half_up(np.asarray(t["value"], dtype=np.float64), 6)
+    return pa.table({"vid": t["vid"],
+                     "fiedler": pa.array(vals, pa.float64())})
+
+
+def _fiedler_sql() -> str:
+    chain = _sm64_ctes("fx", "vid", "vid", "verts")
+    steps = [
+        "fc AS (SELECT 2.0 * greatest(max(outdeg), 1) AS c FROM deg)",
+        "f0 AS MATERIALIZED (SELECT vid, "
+        "CAST(CAST(z % 1001 AS BIGINT) - 500 AS DOUBLE) AS val FROM fx3)",
+    ]
+    c = "(SELECT c FROM fc)"
+    n = "(SELECT n FROM nn)"
+    for k in range(FIEDLER_ITERS):
+        steps.append(f"""
+fsx{k} AS MATERIALIZED (SELECT sum(val) AS sx FROM f{k}),
+fagg{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(p.val) AS s
+  FROM sym e JOIN f{k} p ON p.vid = e.src GROUP BY e.dst
+),
+f{k + 1} AS MATERIALIZED (
+  SELECT v.vid,
+         ((COALESCE(a.s, 0.0) + ({c} - d.outdeg) * p.val)
+          - {c} * (SELECT sx FROM fsx{k}) / {n}) / {c} AS val
+  FROM verts v JOIN f{k} p ON p.vid = v.vid
+  JOIN deg d ON d.vid = v.vid
+  LEFT JOIN fagg{k} a ON a.vid = v.vid
+)""")
+    body = ",".join(steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {chain}, {body} "
+        f"SELECT vid, ROUND(val, 6) AS fiedler FROM f{FIEDLER_ITERS} "
+        "ORDER BY vid"
+    )
+
+
 HOPD_SIZE, HOPD_HOP = 6, 1  # hours
 
 
@@ -16327,6 +16382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haar_hourly": _q_haar_hourly,
         "nra_topk_parts": _q_nra_topk,
         "hopping_distinct_users": _q_hopping_distinct,
+        "fiedler_k8": _q_fiedler,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -17860,6 +17916,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "haar_hourly": _haar_hourly_sql(),
         "nra_topk_parts": _nra_topk_sql(),
         "hopping_distinct_users": _hopping_distinct_sql(),
+        "fiedler_k8": _fiedler_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -187,3 +187,56 @@ def test_chi2_tokens_finds_planted_discriminator(tmp_path):
     assert all(t != "the" for t in out["tok"]) or \
         any(tok == "the" and ab < 60 for tok, ab in
             zip(out["tok"], out["ab"]))
+
+
+def test_fiedler_separates_planted_communities():
+    """On a two-block planted partition the Fiedler signs recover the
+    communities, and the engine run equals a numpy replay of the same
+    recurrence."""
+    from essentials_rd.algorithms.fiedler import fiedler
+    from essentials_rd.graph import build_graph
+    from essentials_rd.util import hash64
+
+    rng = np.random.default_rng(7)
+    nA, nB = 20, 20
+    n = nA + nB
+    edges = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            same = (i < nA) == (j < nA)
+            p = 0.5 if same else 0.03
+            if rng.random() < p:
+                edges.add((i, j))
+    src = np.array([e[0] for e in sorted(edges)], np.int64)
+    dst = np.array([e[1] for e in sorted(edges)], np.int64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                 "dst": pa.array(dst)}))
+    import tempfile
+    g = build_graph(ds, tempfile.mkdtemp(), 4, symmetrize=True,
+                    persist=False,
+                    vertex_ids=np.arange(n, dtype=np.int64))
+    iters = 40
+    res = fiedler(g, max_iters=iters, checkpoint_every=0)
+    t = res.state_table(["value"])
+    vids = np.asarray(t["vid"], np.int64)
+    vals = np.asarray(t["value"], np.float64)[np.argsort(vids)]
+
+    # numpy replay of the exact recurrence
+    A = np.zeros((n, n))
+    for i, j in edges:
+        A[i, j] = A[j, i] = 1.0
+    deg = A.sum(axis=1)
+    c = 2.0 * max(deg.max(), 1)
+    x = (hash64(np.arange(n, dtype=np.uint64)) % np.uint64(1001)
+         ).astype(np.float64) - 500.0
+    for _ in range(iters):
+        y = A @ x + (c - deg) * x
+        x = (y - c * x.sum() / n) / c
+    assert np.allclose(vals, x, atol=1e-9)
+
+    # spectral property: signs split the planted blocks
+    sA = np.sign(vals[:nA])
+    sB = np.sign(vals[nA:])
+    assert abs(sA.sum()) == nA  # all one sign
+    assert abs(sB.sum()) == nB
+    assert sA[0] != sB[0]
