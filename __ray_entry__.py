@@ -14699,6 +14699,138 @@ def _late_events_sql() -> str:
     )
 
 
+CONF_SEED = 59
+CONF_Q = 0.9
+
+
+def _q_conformal(sf_dir: str):
+    """Split-conformal prediction interval — the
+    distribution-free uncertainty wrapper modern ML serving adds to a
+    point model, run EXACTLY: lineitem rows split
+    calibration/test by a value-pure splitmix rule (~50/50), an OLS
+    line cents ~ quantity fits on the CALIBRATION half as exact
+    rationals (den·ŷ = a + b·qty with integer a, b, den — the
+    logistic/ALS Cramer machinery), nonconformity = |den·cents −
+    (a + b·qty)| stays integer (scaled by den, a monotone change that
+    cannot reorder quantiles), the calibration q90 comes from the
+    distributed value histogram, and coverage on the TEST half counts
+    |residual| ≤ q̂.  Exact end to end: Python-int solve, integer
+    quantile, integer compares."""
+    import ray.data as rd
+
+    from essentials_rd.ops import exact_quantiles
+    from essentials_rd.util import hash64, np_col
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice"])
+    mix = np.uint64((CONF_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+    half = np.uint64(1 << 63)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t.column("l_orderkey")).astype(np.uint64)
+        ln = np.asarray(t.column("l_linenumber")).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = hash64(ok * np.uint64(8) + ln + mix)
+        cal = z < half
+        q = np.asarray(t.column("l_quantity")).astype(np.int64)
+        c = np.floor(np.asarray(t.column("l_extendedprice")) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"cal": pa.array(cal),
+                         "q": pa.array(q, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow").materialize()
+
+    # exact OLS on the calibration half: 5 integer sums, Cramer solve
+    def _sums(t: pa.Table) -> pa.Table:
+        m = np.asarray(t.column("cal"))
+        q = np_col(t, "q")[m]
+        c = np_col(t, "c")[m]
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in {
+            "n": len(q), "sx": int(q.sum()), "sy": int(c.sum()),
+            "sxx": int((q * q).sum()), "sxy": int((q * c).sum()),
+        }.items()})
+
+    S = {"n": 0, "sx": 0, "sy": 0, "sxx": 0, "sxy": 0}
+    for r in prep.map_batches(_sums, batch_format="pyarrow").take_all():
+        for k in S:
+            S[k] += int(r[k])
+    den = S["n"] * S["sxx"] - S["sx"] * S["sx"]
+    b = S["n"] * S["sxy"] - S["sx"] * S["sy"]
+    a = S["sxx"] * S["sy"] - S["sx"] * S["sxy"]
+    # ŷ(q) = (a + b·q)/den exact rational; the score uses the FLOORED
+    # milli-cent prediction (same floor both sides — any measurable
+    # score is a valid conformal score, and this one stays int64)
+
+    def _resid(t: pa.Table) -> pa.Table:
+        q = np_col(t, "q")
+        c = np_col(t, "c")
+        r = np.empty(len(q), np.int64)
+        for i in range(len(q)):  # Python ints: a·b·q exceeds int64
+            pred = (1000 * (a + b * int(q[i]))) // den
+            r[i] = abs(1000 * int(c[i]) - pred)
+        return pa.table({"cal": t.column("cal"),
+                         "r": pa.array(r, pa.int64())})
+
+    resid = prep.map_batches(_resid, batch_format="pyarrow").materialize()
+    qhat = int(exact_quantiles(
+        resid.filter(expr="cal == True"), "r", [CONF_Q])[0])
+
+    def _cover(t: pa.Table) -> pa.Table:
+        m = ~np.asarray(t.column("cal"))
+        r = np_col(t, "r")[m]
+        return pa.table({
+            "n": pa.array([int(m.sum())], pa.int64()),
+            "cov": pa.array([int((r <= qhat).sum())], pa.int64())})
+
+    n_test = covered = 0
+    for r in resid.map_batches(_cover, batch_format="pyarrow").take_all():
+        n_test += r["n"]
+        covered += r["cov"]
+    return pa.table({
+        "n_cal": pa.array([S["n"]], pa.int64()),
+        "n_test": pa.array([n_test], pa.int64()),
+        "qhat": pa.array([qhat], pa.int64()),
+        "n_covered": pa.array([covered], pa.int64()),
+    })
+
+
+def _conformal_sql() -> str:
+    mix = (CONF_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes(
+        "cf", "q, c", f"l_orderkey * 8 + l_linenumber + {mix}",
+        "(SELECT l_orderkey, l_linenumber, "
+        "CAST(l_quantity AS BIGINT) AS q, "
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c "
+        "FROM lineitem)")
+    half = 1 << 63
+    return (
+        f"WITH {chain}, "
+        f"sp AS (SELECT q, c, z < CAST('{half}' AS UBIGINT) AS cal "
+        "FROM cf3), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(q) AS HUGEINT) AS sx, CAST(sum(c) AS HUGEINT) AS sy, "
+        "CAST(sum(q * q) AS HUGEINT) AS sxx, "
+        "CAST(sum(q * c) AS HUGEINT) AS sxy FROM sp WHERE cal), "
+        "co AS (SELECT n * sxx - sx * sx AS den, "
+        "n * sxy - sx * sy AS b, sxx * sy - sx * sxy AS a, n FROM s), "
+        "rs AS (SELECT sp.cal, abs(1000 * sp.c - "
+        "((1000 * (co.a + co.b * sp.q)) "
+        "- (((1000 * (co.a + co.b * sp.q)) % co.den + co.den) % co.den)) "
+        "// co.den) AS r FROM sp, co), "
+        f"qh AS (SELECT quantile_disc(r, {CONF_Q}) AS qhat FROM rs "
+        "WHERE cal) "
+        "SELECT CAST((SELECT n FROM co) AS BIGINT) AS n_cal, "
+        "CAST(count(*) AS BIGINT) AS n_test, "
+        "CAST((SELECT qhat FROM qh) AS BIGINT) AS qhat, "
+        "CAST(sum(CASE WHEN r <= (SELECT qhat FROM qh) THEN 1 ELSE 0 "
+        "END) AS BIGINT) AS n_covered "
+        "FROM rs WHERE NOT cal"
+    )
+
+
 FIEDLER_ITERS = 8
 
 
@@ -16383,6 +16515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nra_topk_parts": _q_nra_topk,
         "hopping_distinct_users": _q_hopping_distinct,
         "fiedler_k8": _q_fiedler,
+        "conformal_price": _q_conformal,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -17917,6 +18050,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "nra_topk_parts": _nra_topk_sql(),
         "hopping_distinct_users": _hopping_distinct_sql(),
         "fiedler_k8": _fiedler_sql(),
+        "conformal_price": _conformal_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

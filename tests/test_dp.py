@@ -291,3 +291,47 @@ def test_bip_matching_augmenting_equals_enumeration():
         best = max(sum(adj[r][perm[r]] for r in range(5))
                    for perm in permutations(range(5)))
         assert max_match(adj) == best
+
+
+def test_conformal_coverage_and_brute_force(tmp_path):
+    from essentials_rd.util import hash64
+
+    rng = np.random.default_rng(71)
+    n = 4000
+    q = rng.integers(1, 51, n).astype(np.int64)
+    cents = (q * 10_000 + rng.normal(0, 20_000, n)).astype(np.int64)
+    cents = np.maximum(cents, 1)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "l_linenumber": pa.array(np.ones(n, np.int32), pa.int32()),
+        "l_quantity": pa.array(q.astype(float), pa.float64()),
+        "l_extendedprice": pa.array(cents / 100.0, pa.float64()),
+    }), d / "lineitem.parquet", row_group_size=257)
+    out = e._q_conformal(str(d)).to_pydict()
+    cov = out["n_covered"][0] / out["n_test"][0]
+    # split-conformal marginal-coverage guarantee at q=0.9
+    assert 0.86 < cov < 0.94, cov
+
+    # brute-force replay of the whole pipeline
+    mix = np.uint64((e.CONF_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+    with np.errstate(over="ignore"):
+        z = hash64(np.arange(n, dtype=np.uint64) * np.uint64(8)
+                   + np.uint64(1) + mix)
+    cal = z < np.uint64(1 << 63)
+    cc = np.floor((cents / 100.0) * 100.0 + 0.5).astype(np.int64)
+    qc, ccal = q[cal], cc[cal]
+    S = dict(n=len(qc), sx=int(qc.sum()), sy=int(ccal.sum()),
+             sxx=int((qc * qc).sum()), sxy=int((qc * ccal).sum()))
+    den = S["n"] * S["sxx"] - S["sx"] ** 2
+    b = S["n"] * S["sxy"] - S["sx"] * S["sy"]
+    a = S["sxx"] * S["sy"] - S["sx"] * S["sxy"]
+    r = np.array([abs(1000 * int(cc[i])
+                      - (1000 * (a + b * int(q[i]))) // den)
+                  for i in range(n)], np.int64)
+    rc = np.sort(r[cal])
+    qhat = int(rc[int(np.ceil(0.9 * len(rc))) - 1])  # quantile_disc rule
+    assert out["qhat"] == [qhat]
+    assert out["n_cal"] == [int(cal.sum())]
+    assert out["n_covered"] == [int((r[~cal] <= qhat).sum())]
