@@ -14699,6 +14699,109 @@ def _late_events_sql() -> str:
     )
 
 
+def _q_isotonic(sf_dir: str):
+    """Isotonic (monotone) regression with an exhaustive certificate —
+    the shape-constrained fit probability calibration and monotone
+    dose-response use: mean cents per quantity level fit by PAVA
+    (pool-adjacent-violators, exact rational pooling with
+    cross-multiplied mean compares — no floats), released as
+    floor(10⁶·mean) per level.  Because floor is monotone, the
+    quantized release obeys the minimax identity fit(i) = max_{j≤i}
+    min_{k≥i} ⌊10⁶·mean(j..k)⌋ EXACTLY, so the SQL twin — which
+    cannot express the sequential pooling — evaluates that formula
+    over all O(L²) intervals and a hash match proves PAVA found the
+    true L2 projection (the engine asserts it too).  The distributed
+    piece is the per-level (n, Σcents) fold (≤ 50 level rows move)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        q = np.asarray(t.column("l_quantity")).astype(np.int64)
+        c = np.floor(np.asarray(t.column("l_extendedprice")) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"q": pa.array(q, pa.int64()),
+                         "c": pa.array(c, pa.int64()),
+                         "one": pa.array(np.ones(len(q), np.int64))})
+
+    rows = sorted(grouped_pandas_agg(
+        li.map_batches(_prep, batch_format="pyarrow"),
+        keys=["q"], aggs={"n": ("one", "sum"), "s": ("c", "sum")}
+    ).take_all(), key=lambda r: r["q"])
+    qs = [int(r["q"]) for r in rows]
+    ns = [int(r["n"]) for r in rows]
+    ss = [int(r["s"]) for r in rows]
+    L = len(qs)
+
+    # PAVA: stack of (sum, n, count_of_levels); merge on violation
+    stack: list[list[int]] = []
+    for i in range(L):
+        cur = [ss[i], ns[i], 1]
+        # violation: prev mean >= cur mean  ⇔  s1·n2 >= s2·n1
+        while stack and stack[-1][0] * cur[1] >= cur[0] * stack[-1][1]:
+            p = stack.pop()
+            cur = [p[0] + cur[0], p[1] + cur[1], p[2] + cur[2]]
+        stack.append(cur)
+    fit = []
+    for s, n, cnt in stack:
+        fit.extend([(1_000_000 * s) // n] * cnt)
+
+    # exhaustive minimax certificate on the quantized interval means
+    cs = [0]
+    cn = [0]
+    for i in range(L):
+        cs.append(cs[-1] + ss[i])
+        cn.append(cn[-1] + ns[i])
+    for i in range(L):
+        best = None
+        for j in range(i + 1):
+            mn = None
+            for k in range(i, L):
+                m = (1_000_000 * (cs[k + 1] - cs[j])) // (cn[k + 1] - cn[j])
+                mn = m if mn is None else min(mn, m)
+            best = mn if best is None else max(best, mn)
+        assert fit[i] == best, (i, fit[i], best)
+
+    return pa.table({
+        "qty": pa.array(qs, pa.int64()),
+        "n": pa.array(ns, pa.int64()),
+        "mean_q": pa.array([(1_000_000 * s) // n
+                            for s, n in zip(ss, ns)], pa.int64()),
+        "fit_q": pa.array(fit, pa.int64()),
+    })
+
+
+def _isotonic_sql() -> str:
+    return (
+        "WITH lev AS (SELECT CAST(l_quantity AS BIGINT) AS q, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS s FROM lineitem GROUP BY 1), "
+        "cum AS (SELECT q, n, s, "
+        "sum(s) OVER (ORDER BY q) AS cs, sum(n) OVER (ORDER BY q) AS cn, "
+        "row_number() OVER (ORDER BY q) AS r FROM lev), "
+        "iv AS (SELECT a.r AS j, b.r AS k, "
+        "(1000000 * (b.cs - COALESCE(a2.cs, 0))) "
+        "// (b.cn - COALESCE(a2.cn, 0)) AS mq "
+        "FROM cum a JOIN cum b ON b.r >= a.r "
+        "LEFT JOIN cum a2 ON a2.r = a.r - 1), "
+        "minr AS (SELECT j, k AS i, min(mq) OVER ("
+        "PARTITION BY j ORDER BY k DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn "
+        "FROM iv), "
+        "fit AS (SELECT i, max(mn) AS f FROM minr m "
+        "WHERE m.j <= m.i GROUP BY i) "
+        "SELECT c.q AS qty, c.n, "
+        "CAST((1000000 * c.s) // c.n AS BIGINT) AS mean_q, "
+        "CAST(f.f AS BIGINT) AS fit_q "
+        "FROM cum c JOIN fit f ON f.i = c.r ORDER BY qty"
+    )
+
+
 CONF_SEED = 59
 CONF_Q = 0.9
 
@@ -16516,6 +16619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_distinct_users": _q_hopping_distinct,
         "fiedler_k8": _q_fiedler,
         "conformal_price": _q_conformal,
+        "isotonic_qty_price": _q_isotonic,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -18051,6 +18155,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "hopping_distinct_users": _hopping_distinct_sql(),
         "fiedler_k8": _fiedler_sql(),
         "conformal_price": _conformal_sql(),
+        "isotonic_qty_price": _isotonic_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

