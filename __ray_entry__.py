@@ -14699,6 +14699,66 @@ def _late_events_sql() -> str:
     )
 
 
+ORC_PARTS = 16
+
+
+def _q_orc_roundtrip(sf_dir: str):
+    """ORC interchange round trip (sinks.write_columnar_partitioned /
+    read_columnar_partitioned): orders hash-partitioned into 16 ORC
+    files (atomic commit + _SUCCESS markers, same layout contract as
+    the Parquet sink), read back one Ray task per partition through
+    pyarrow's real ORC parser, and aggregated per priority — equality
+    with the SQL twin over the ORIGINAL parquet certifies the
+    container round trip byte-semantics (values, not files).  The
+    multi-engine-lake format beside Parquet; Feather/Arrow-IPC rides
+    the same generalized sink (pytest-pinned)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.pipelines import _work_dir
+    from essentials_rd.sinks import (read_columnar_partitioned,
+                                     write_columnar_partitioned)
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out_dir = _work_dir(f"orc_rt_{sf_dir.replace('/', '_')}")
+    write_columnar_partitioned(
+        orders, out_dir, lambda b: np_col(b, "o_orderkey"), ORC_PARTS,
+        fmt="orc")
+    back = read_columnar_partitioned(out_dir, ORC_PARTS, fmt="orc")
+
+    def _prep(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(t.column("o_totalprice")) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"prio": t.column("o_orderpriority"),
+                         "c": pa.array(c, pa.int64()),
+                         "one": pa.array(np.ones(len(c), np.int64))})
+
+    from essentials_rd.derive import _str_hash
+    rows = sorted(grouped_pandas_agg(
+        back.map_batches(_prep, batch_format="pyarrow"),
+        keys=["prio"], aggs={"n": ("one", "sum"), "s": ("c", "sum")},
+        key_fn=lambda b: np.asarray(_str_hash(b.column("prio")))
+    ).take_all(), key=lambda r: r["prio"])
+    return pa.table({
+        "priority": pa.array([r["prio"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "sum_cents": pa.array([int(r["s"]) for r in rows], pa.int64()),
+    })
+
+
+def _orc_roundtrip_sql() -> str:
+    return (
+        "SELECT o_orderpriority AS priority, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS sum_cents "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_isotonic(sf_dir: str):
     """Isotonic (monotone) regression with an exhaustive certificate —
     the shape-constrained fit probability calibration and monotone
@@ -16620,6 +16680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fiedler_k8": _q_fiedler,
         "conformal_price": _q_conformal,
         "isotonic_qty_price": _q_isotonic,
+        "orders_orc_roundtrip": _q_orc_roundtrip,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -18156,6 +18217,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "fiedler_k8": _fiedler_sql(),
         "conformal_price": _conformal_sql(),
         "isotonic_qty_price": _isotonic_sql(),
+        "orders_orc_roundtrip": _orc_roundtrip_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -188,7 +188,9 @@ def run_queries() -> dict:
                  "near_dup_pairs", "cosine_near_dup", "tfidf_top1",
                  "bloom_join_urgent", "tpch_q3", "fastrp_embed8",
                  "hll_user_regs", "cdc_chunk_ledger",
-                 "heavy_hitter_users", "graph_voronoi8"):
+                 "heavy_hitter_users", "graph_voronoi8",
+                 "rolling_median5", "feature_hash_users",
+                 "late_events_watermark"):
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         # consume if lazy
