@@ -14699,6 +14699,112 @@ def _late_events_sql() -> str:
     )
 
 
+LCS_CAP = 8
+
+
+def _q_lcs_users(sf_dir: str):
+    """Longest-common-subsequence similarity of the two most active
+    users' behavior strings — the classic sequence-alignment DP
+    (edit-distance family) behavioral analytics uses to compare
+    journeys: event types encode to chars under the (ts, event_id)
+    total order (first 8 events per user), LCS by the textbook
+    O(n·m) recurrence.  The SQL twin evaluates the SAME 64-cell DP as
+    one generated row-major lateral-alias chain (cells reference
+    earlier aliases — SQL can express the table, just not the loop);
+    beyond-length cells are guarded so ''='' can never phantom-match.
+    The distributed piece is the per-user sequence assembly (the
+    existing user-bucketed event_sequences machinery)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.windows import event_sequences
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    cnt = grouped_pandas_agg(
+        ev.map_batches(
+            lambda t: pa.table({"u": t.column("user_id"),
+                                "one": pa.array(
+                                    np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        keys=["u"], aggs={"n": ("one", "sum")}).take_all()
+    top2 = sorted(cnt, key=lambda r: (-r["n"], r["u"]))[:2]
+    ua, ub = int(top2[0]["u"]), int(top2[1]["u"])
+
+    seqs = {r["user_id"]: r["seq"]
+            for r in event_sequences(ev, max_len=LCS_CAP).take_all()
+            if r["user_id"] in (ua, ub)}
+    enc = {t: c for t, c in SEQ_TYPE_MAP.items()}
+    sa = "".join(enc.get(x, "x") for x in seqs[ua].split("|") if x)
+    sb = "".join(enc.get(x, "x") for x in seqs[ub].split("|") if x)
+
+    la, lb = len(sa), len(sb)
+    L = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            L[i][j] = (L[i - 1][j - 1] + 1 if sa[i - 1] == sb[j - 1]
+                       else max(L[i - 1][j], L[i][j - 1]))
+    return pa.table({
+        "user_a": pa.array([ua], pa.int64()),
+        "user_b": pa.array([ub], pa.int64()),
+        "len_a": pa.array([la], pa.int64()),
+        "len_b": pa.array([lb], pa.int64()),
+        "lcs_len": pa.array([L[la][lb]], pa.int64()),
+    })
+
+
+def _lcs_users_sql() -> str:
+    enc = " ".join(f"WHEN '{t}' THEN '{c}'"
+                   for t, c in sorted(SEQ_TYPE_MAP.items()))
+    # one MATERIALIZED CTE per DP row: within a row the left-neighbor
+    # lateral chain is only LCS_CAP deep; across rows the
+    # materialization stops DuckDB from inlining the whole 64-cell
+    # expression tree (which is exponential without it)
+    n = LCS_CAP
+    row_ctes = []
+    for i in range(1, n + 1):
+        cells = []
+        for j in range(1, n + 1):
+            up = f"l_{i - 1}_{j}" if i > 1 else "0"
+            left = f"l_{i}_{j - 1}" if j > 1 else "0"
+            diag = f"l_{i - 1}_{j - 1}" if (i > 1 and j > 1) else "0"
+            cells.append(
+                f"CASE WHEN {i} <= la AND {j} <= lb AND "
+                f"substr(sa, {i}, 1) = substr(sb, {j}, 1) "
+                f"THEN {diag} + 1 ELSE GREATEST({up}, {left}) END "
+                f"AS l_{i}_{j}")
+        src = "base" if i == 1 else f"w{i - 1}"
+        row_ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT *, {', '.join(cells)} "
+            f"FROM {src})")
+    rows_sql = ", ".join(row_ctes)
+    return (
+        "WITH cnts AS (SELECT user_id, count(*) AS n FROM events "
+        "GROUP BY 1), "
+        "t2 AS (SELECT user_id, row_number() OVER ("
+        "ORDER BY n DESC, user_id) AS r FROM cnts), "
+        "sq AS (SELECT e.user_id, string_agg("
+        f"CASE e.event_type {enc} ELSE 'x' END, '' "
+        "ORDER BY e.ts, e.event_id) AS s "
+        "FROM events e JOIN t2 ON t2.user_id = e.user_id AND t2.r <= 2 "
+        "GROUP BY 1), "
+        "pair AS (SELECT "
+        "(SELECT user_id FROM t2 WHERE r = 1) AS user_a, "
+        "(SELECT user_id FROM t2 WHERE r = 2) AS user_b, "
+        f"substr((SELECT s FROM sq JOIN t2 USING (user_id) WHERE r = 1)"
+        f", 1, {LCS_CAP}) AS sa, "
+        f"substr((SELECT s FROM sq JOIN t2 USING (user_id) WHERE r = 2)"
+        f", 1, {LCS_CAP}) AS sb), "
+        "base AS (SELECT user_a, user_b, sa, sb, "
+        "length(sa) AS la, length(sb) AS lb FROM pair), "
+        f"{rows_sql} "
+        f"SELECT user_a, user_b, CAST(la AS BIGINT) AS len_a, "
+        f"CAST(lb AS BIGINT) AS len_b, "
+        f"CAST(l_{n}_{n} AS BIGINT) AS lcs_len FROM w{n}"
+    )
+
+
 ORC_PARTS = 16
 
 
@@ -16681,6 +16787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal_price": _q_conformal,
         "isotonic_qty_price": _q_isotonic,
         "orders_orc_roundtrip": _q_orc_roundtrip,
+        "lcs_top_users": _q_lcs_users,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -18218,6 +18325,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "conformal_price": _conformal_sql(),
         "isotonic_qty_price": _isotonic_sql(),
         "orders_orc_roundtrip": _orc_roundtrip_sql(),
+        "lcs_top_users": _lcs_users_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -381,3 +381,50 @@ def test_isotonic_pava_properties(tmp_path):
                 loss1 = sum(w * (m - c) ** 2
                             for w, m, c in zip(ns, mean, cand))
                 assert loss1 >= loss0 - sum(ns) * 2  # quantization slack
+
+
+def test_lcs_query_matches_brute_force(tmp_path):
+    rng = np.random.default_rng(97)
+    # two dominant users with known sequences + noise users
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = []
+    eid = 0
+    seq_a = ["view", "click", "view", "purchase", "click", "view",
+             "signup", "error", "view", "click"]  # >8: capped to 8
+    seq_b = ["click", "view", "purchase", "view", "signup", "click",
+             "view", "error", "purchase"]
+    for i, t in enumerate(seq_a):
+        rows.append((eid, 1000 + i, 7, t)); eid += 1
+    for i, t in enumerate(seq_b):
+        rows.append((eid, 2000 + i, 9, t)); eid += 1
+    for i in range(30):  # noise users with fewer events
+        rows.append((eid, 10 + i, 100 + i % 5, types[i % 5])); eid += 1
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64),
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }), d / "events.parquet")
+    out = e._q_lcs_users(str(d)).to_pydict()
+    assert out["user_a"] == [7] and out["user_b"] == [9]
+    assert out["len_a"] == [8] and out["len_b"] == [8]
+    # brute-force LCS over all subsequences of the capped strings
+    enc = {"view": "v", "click": "c", "purchase": "p", "signup": "s",
+           "error": "e"}
+    sa = "".join(enc[t] for t in seq_a[:8])
+    sb = "".join(enc[t] for t in seq_b[:8])
+    import itertools
+    best = 0
+    for k in range(len(sa), 0, -1):
+        for comb in itertools.combinations(sa, k):
+            sub = "".join(comb)
+            it = iter(sb)
+            if all(ch in it for ch in sub):
+                best = k
+                break
+        if best:
+            break
+    assert out["lcs_len"] == [best]
