@@ -14699,6 +14699,77 @@ def _late_events_sql() -> str:
     )
 
 
+KNAP_N = 12
+
+
+def _q_knapsack(sf_dir: str):
+    """0/1 knapsack with an exhaustive certificate — the budgeted
+    selection primitive (campaign/shelf/batch budgeting): the 12
+    smallest part keys as items (weight = p_size, value = retail
+    cents), capacity = half the total weight, solved by the classic
+    DP over capacity; the engine ALSO enumerates all 2¹² subsets and
+    asserts the DP met the true optimum, and the SQL twin — which
+    cannot express the DP table — prices every subset via a
+    bit-test join over range(4096) and takes the max, so the hash
+    match proves optimality.  Emits the capacity, optimum, and the
+    feasible-subset count as audit."""
+    import ray.data as rd
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size", "p_retailprice"])
+    rows = sorted(parts.take_all(), key=lambda r: r["p_partkey"])[:KNAP_N]
+    w = [int(r["p_size"]) for r in rows]
+    v = [int(np.floor(r["p_retailprice"] * 100.0 + 0.5)) for r in rows]
+    cap = sum(w) // 2
+
+    dp = [0] * (cap + 1)
+    for i in range(KNAP_N):
+        for c in range(cap, w[i] - 1, -1):
+            dp[c] = max(dp[c], dp[c - w[i]] + v[i])
+    best_dp = dp[cap]
+
+    best_enum = 0
+    n_feas = 0
+    for m in range(1 << KNAP_N):
+        tw = tv = 0
+        for i in range(KNAP_N):
+            if m >> i & 1:
+                tw += w[i]
+                tv += v[i]
+        if tw <= cap:
+            n_feas += 1
+            best_enum = max(best_enum, tv)
+    assert best_dp == best_enum, (best_dp, best_enum)
+    return pa.table({
+        "n_items": pa.array([KNAP_N], pa.int64()),
+        "capacity": pa.array([cap], pa.int64()),
+        "best_value": pa.array([best_dp], pa.int64()),
+        "n_feasible": pa.array([n_feas], pa.int64()),
+    })
+
+
+def _knapsack_sql() -> str:
+    return (
+        "WITH it AS (SELECT p_size AS w, "
+        "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS v, "
+        "row_number() OVER (ORDER BY p_partkey) - 1 AS i "
+        f"FROM (SELECT * FROM part ORDER BY p_partkey LIMIT {KNAP_N})), "
+        "cp AS (SELECT sum(w) // 2 AS cap FROM it), "
+        f"ms AS (SELECT unnest(range({1 << KNAP_N})) AS m), "
+        "sub AS (SELECT ms.m, "
+        "COALESCE(sum(CASE WHEN (ms.m >> it.i) & 1 = 1 THEN it.w END), 0) "
+        "AS tw, "
+        "COALESCE(sum(CASE WHEN (ms.m >> it.i) & 1 = 1 THEN it.v END), 0) "
+        "AS tv FROM ms CROSS JOIN it GROUP BY ms.m), "
+        "fe AS (SELECT * FROM sub, cp WHERE tw <= cap) "
+        f"SELECT CAST({KNAP_N} AS BIGINT) AS n_items, "
+        "CAST((SELECT cap FROM cp) AS BIGINT) AS capacity, "
+        "CAST(max(tv) AS BIGINT) AS best_value, "
+        "CAST(count(*) AS BIGINT) AS n_feasible FROM fe"
+    )
+
+
 LCS_CAP = 8
 
 
@@ -16788,6 +16859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isotonic_qty_price": _q_isotonic,
         "orders_orc_roundtrip": _q_orc_roundtrip,
         "lcs_top_users": _q_lcs_users,
+        "knapsack_parts": _q_knapsack,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -18326,6 +18398,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "isotonic_qty_price": _isotonic_sql(),
         "orders_orc_roundtrip": _orc_roundtrip_sql(),
         "lcs_top_users": _lcs_users_sql(),
+        "knapsack_parts": _knapsack_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -428,3 +428,25 @@ def test_lcs_query_matches_brute_force(tmp_path):
         if best:
             break
     assert out["lcs_len"] == [best]
+
+
+def test_knapsack_dp_equals_enumeration_random():
+    """The DP (as used by knapsack_parts) equals brute-force subset
+    enumeration on random instances, including degenerate caps."""
+    rng = np.random.default_rng(29)
+    for trial in range(40):
+        n = int(rng.integers(1, 13))
+        w = rng.integers(1, 30, n).tolist()
+        v = rng.integers(0, 1000, n).tolist()
+        cap = int(rng.integers(0, sum(w) + 5))
+        dp = [0] * (cap + 1)
+        for i in range(n):
+            for c in range(cap, w[i] - 1, -1):
+                dp[c] = max(dp[c], dp[c - w[i]] + v[i])
+        best = 0
+        for m in range(1 << n):
+            tw = sum(w[i] for i in range(n) if m >> i & 1)
+            tv = sum(v[i] for i in range(n) if m >> i & 1)
+            if tw <= cap:
+                best = max(best, tv)
+        assert dp[cap] == best
