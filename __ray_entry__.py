@@ -14699,6 +14699,47 @@ def _late_events_sql() -> str:
     )
 
 
+SOUNDEX_K = 20
+
+
+def _q_soundex_blocks(sf_dir: str):
+    """Phonetic blocking census (textops.soundex_blocks) — entity
+    resolution's first stage, on the American Soundex key of each
+    part name's first word: per block the row count and distinct-word
+    count, top-20.  The engine key and the SQL twin's chained-regexp
+    pipeline implement the SAME rule order (h/w transparent before
+    collapsing, one regexp per digit class because RE2 has no
+    backreferences), pinned to the classic vectors in pytest."""
+    import ray.data as rd
+
+    from essentials_rd.textops import soundex_blocks
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return soundex_blocks(parts, "p_name", k=SOUNDEX_K)
+
+
+def _soundex_sql() -> str:
+    inner = ("translate(substr(w, 1, 1) || "
+             "regexp_replace(substr(w, 2), '[hw]', '', 'g'), "
+             "'abcdefghijklmnopqrstuvwxyz', "
+             "'01230120022455012623010202')")
+    for d in "123456":
+        inner = (f"regexp_replace({inner}, '{d}{{2,}}', '{d}', 'g')")
+    code = ("substr(rpad(substr(upper(w), 1, 1) || "
+            f"replace(substr({inner}, 2), '0', ''), 4, '0'), 1, 4)")
+    return (
+        "WITH fw AS (SELECT regexp_replace(split_part(p_name, ' ', 1), "
+        "'[^a-z]', '', 'g') AS w FROM part), "
+        f"cd AS (SELECT {code} AS code, w FROM fw), "
+        "blk AS (SELECT code, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(DISTINCT w) AS BIGINT) AS n_words "
+        "FROM cd GROUP BY 1) "
+        "SELECT code, n_rows, n_words FROM ("
+        "SELECT *, row_number() OVER (ORDER BY n_rows DESC, code) AS rn "
+        f"FROM blk) WHERE rn <= {SOUNDEX_K} ORDER BY n_rows DESC, code"
+    )
+
+
 KNAP_N = 12
 
 
@@ -16860,6 +16901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_orc_roundtrip": _q_orc_roundtrip,
         "lcs_top_users": _q_lcs_users,
         "knapsack_parts": _q_knapsack,
+        "part_soundex_blocks": _q_soundex_blocks,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -18399,6 +18441,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "orders_orc_roundtrip": _orc_roundtrip_sql(),
         "lcs_top_users": _lcs_users_sql(),
         "knapsack_parts": _knapsack_sql(),
+        "part_soundex_blocks": _soundex_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -3572,3 +3572,76 @@ def chi2_tokens(
 
     scored = counts.map_batches(_score, batch_format="pyarrow")
     return top_k(scored, "q", k, descending=True, tie_cols=["tok"])
+
+
+import re as _re_soundex
+
+_SOUNDEX_TR = str.maketrans("abcdefghijklmnopqrstuvwxyz",
+                            "01230120022455012623010202")
+
+
+def soundex(word: str) -> str:
+    """American Soundex (the record-linkage phonetic key): first letter
+    kept, consonant classes coded 1-6, h/w transparent between equal
+    codes (deleted before collapsing), vowels separate, adjacent equal
+    codes collapse, zero-padded to 4.  Matches the classic vectors
+    (robert/rupert→R163, ashcraft→A261, pfister→P236, tymczak→T522)
+    and the SQL twin's chained regexp pipeline exactly (RE2 has no
+    backreferences, so the collapse is one regexp per digit class —
+    mirrored here)."""
+    w = _re_soundex.sub(r"[^a-z]", "", word.lower())
+    if not w:
+        return ""
+    t = w[0] + _re_soundex.sub(r"[hw]", "", w[1:])
+    coded = t.translate(_SOUNDEX_TR)
+    for d in "123456":
+        coded = _re_soundex.sub(d + "{2,}", d, coded)
+    rest = coded[1:].replace("0", "")
+    return (w[0].upper() + rest + "000")[:4]
+
+
+def soundex_blocks(
+    docsrc: rd.Dataset, col: str, k: int = 20
+) -> pa.Table:
+    """Phonetic blocking census — entity resolution's first stage:
+    Soundex of the FIRST word of ``col`` keys each row into its
+    phonetic block; per block the row count and distinct-word count
+    (how much the block actually collapses spelling variants).  The
+    per-batch key derivation memoizes per distinct word (vocab-small);
+    one code-bucketed fold; top-k by (rows desc, code)."""
+    from .derive import _str_hash
+    from .ops import hash_bucket_agg
+
+    def _code(batch: pa.Table) -> pa.Table:
+        s = batch.column(col).to_pandas()
+        first = s.str.split(" ").str[0].fillna("")
+        cache: dict[str, str] = {}
+        codes = [cache.setdefault(w, soundex(w)) for w in first]
+        return pa.table({"code": pa.array(codes, pa.string()),
+                         "word": pa.array(first.tolist(), pa.string())})
+
+    def _fold(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        agg = df.groupby("code")["word"].agg(["size", "nunique"])
+        return pa.table({
+            "code": pa.array(agg.index.tolist(), pa.string()),
+            "n_rows": pa.array(agg["size"].to_numpy(np.int64)),
+            "n_words": pa.array(agg["nunique"].to_numpy(np.int64)),
+        })
+
+    acc: dict[str, list] = {}
+    words_seen: dict[str, int] = {}
+    rows = hash_bucket_agg(
+        docsrc.map_batches(_code, batch_format="pyarrow"),
+        lambda b: np.asarray(_str_hash(b.column("code"))),
+        _fold).take_all()
+    for r in rows:
+        a = acc.setdefault(r["code"], [0, 0])
+        a[0] += int(r["n_rows"])
+        a[1] += int(r["n_words"])
+    top = sorted(acc.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    return pa.table({
+        "code": pa.array([c for c, _ in top], pa.string()),
+        "n_rows": pa.array([v[0] for _, v in top], pa.int64()),
+        "n_words": pa.array([v[1] for _, v in top], pa.int64()),
+    })

@@ -240,3 +240,30 @@ def test_fiedler_separates_planted_communities():
     assert abs(sA.sum()) == nA  # all one sign
     assert abs(sB.sum()) == nB
     assert sA[0] != sB[0]
+
+
+def test_soundex_classic_vectors_and_blocking():
+    from essentials_rd.textops import soundex, soundex_blocks
+
+    classic = {
+        "robert": "R163", "rupert": "R163", "ashcraft": "A261",
+        "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+        "honeyman": "H555", "jackson": "J250", "wheeler": "W460",
+        "hwang": "H520", "gutierrez": "G362",
+    }
+    for w, want in classic.items():
+        assert soundex(w) == want, (w, soundex(w), want)
+    assert soundex("Robert") == soundex("ROBERT") == "R163"
+    assert soundex("") == ""
+    assert soundex("a-b_c") == soundex("abc")
+
+    # blocking groups homophones; distinct words tracked per block
+    names = (["robert smith"] * 5 + ["rupert jones"] * 3
+             + ["ashcraft x"] * 2 + ["ashcroft y"] * 2)
+    t = pa.table({"p_name": pa.array(names, pa.string())})
+    out = soundex_blocks(rd.from_arrow(t).repartition(3),
+                         "p_name", k=5).to_pydict()
+    got = dict(zip(out["code"],
+                   zip(out["n_rows"], out["n_words"])))
+    assert got["R163"] == (8, 2)   # robert + rupert collapse
+    assert got["A261"] == (4, 2)   # ashcraft + ashcroft collapse
