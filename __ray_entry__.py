@@ -14699,6 +14699,141 @@ def _late_events_sql() -> str:
     )
 
 
+def _q_shapley_linear(sf_dir: str):
+    """Shapley attribution for the exact linear model — the
+    explainability release every scored decision needs: for a linear
+    model Shapley values are exactly φ_j = β_j·(x_j − E[x_j])
+    (independence-free closed form), so the EXACT OLS machinery
+    (integer Gram + Cramer) yields exact attributions: β_j =
+    float(det_j)/float(det) and the centering term
+    float(n·x_j − Σx_j)/float(n) are each one division of exact
+    ints — the SQL twin reproduces both doubles bit-for-bit.
+    Explains the minimum-orderkey order under the ols_order_price
+    model (features: lineitem count, quantity sum); the efficiency
+    identity Σφ + E[ŷ] = ŷ(x) is pinned in pytest."""
+    import ray.data as rd
+
+    from essentials_rd.mlfit import int_det, ols_fit_exact
+    from essentials_rd.ops import grouped_pandas_agg, join
+    from essentials_rd.util import np_col
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def _proj(b: pa.Table) -> pa.Table:
+        ok = np_col(b, "l_orderkey").astype(np.int64)
+        qty = np.asarray(b.column("l_quantity").to_numpy(
+            zero_copy_only=False), np.float64)
+        return pa.table({
+            "ok": pa.array(ok, pa.int64()),
+            "one": pa.array(np.ones(len(ok), np.int64)),
+            "qty": pa.array(np.floor(qty + 0.5).astype(np.int64)),
+        })
+
+    feat = grouped_pandas_agg(
+        li.map_batches(_proj, batch_format="pyarrow"),
+        keys=["ok"], aggs={"k": ("one", "sum"), "q": ("qty", "sum")},
+    ).materialize()
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def _y(b: pa.Table) -> pa.Table:
+        tp = np.asarray(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        return pa.table({
+            "ok": b.column("o_orderkey"),
+            "y": pa.array(np.floor(tp * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    joined = join(feat, orders.map_batches(_y, batch_format="pyarrow"),
+                  on="ok", broadcast=False)
+
+    def _xy(b: pa.Table):
+        k = np_col(b, "k").astype(np.int64)
+        q = np_col(b, "q").astype(np.int64)
+        X = np.stack([np.ones(len(k), np.int64), k, q], axis=1)
+        return X, np_col(b, "y").astype(np.int64)
+
+    _coefs, info = ols_fit_exact(joined, _xy, p=3)
+    gram, xty, det = info["gram"], info["xty"], info["det"]
+    n, s01, s02 = gram[0][0], gram[0][1], gram[0][2]
+
+    # the explained point: the min-orderkey order's features
+    ok_min = min(r["ok"] for r in feat.take_all())
+    pt = next(r for r in feat.take_all() if r["ok"] == ok_min)
+    x = [None, int(pt["k"]), int(pt["q"])]
+    sx = [None, s01, s02]
+
+    dets = []
+    for i in range(3):
+        a_i = [row[:i] + [xty[r]] + row[i + 1:]
+               for r, row in enumerate(gram)]
+        dets.append(int_det(a_i))
+
+    from essentials_rd.pipelines import round_half_up
+    phis = []
+    for j in (1, 2):
+        beta = float(dets[j]) / float(det)
+        cent = float(n * x[j] - sx[j]) / float(n)
+        phis.append(beta * cent)
+    base = float(xty[0]) / float(n)
+    vals = round_half_up(np.array(phis + [base], np.float64), 6)
+    return pa.table({
+        "term": pa.array(["phi_linecount", "phi_qtysum", "base_rate"],
+                         pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })
+
+
+def _shapley_sql() -> str:
+    m = [["s00", "s01", "s02"], ["s01", "s11", "s12"],
+         ["s02", "s12", "s22"]]
+    c = ["c0", "c1", "c2"]
+
+    def det3(a):
+        return (f"{a[0][0]}*({a[1][1]}*{a[2][2]} - {a[1][2]}*{a[2][1]})"
+                f" - {a[0][1]}*({a[1][0]}*{a[2][2]} - {a[1][2]}*{a[2][0]})"
+                f" + {a[0][2]}*({a[1][0]}*{a[2][1]} - {a[1][1]}*{a[2][0]})")
+
+    def repl(i):
+        return [[c[r] if j == i else m[r][j] for j in range(3)]
+                for r in range(3)]
+
+    dets = ", ".join(
+        [f"({det3(m)}) AS det"]
+        + [f"({det3(repl(i))}) AS det{i}" for i in range(3)])
+
+    def phi(j, xcol, sxcol):
+        return (f"(CAST(det{j} AS DOUBLE) / CAST(det AS DOUBLE)) * "
+                f"(CAST(s00 * pt.{xcol} - {sxcol} AS DOUBLE) / "
+                "CAST(s00 AS DOUBLE))")
+
+    return f"""
+WITH feat AS (
+  SELECT l_orderkey AS ok, CAST(count(*) AS HUGEINT) AS k,
+         CAST(sum(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS HUGEINT) AS q
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT f.k, f.q,
+         CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT) AS y
+  FROM feat f JOIN orders o ON o.o_orderkey = f.ok),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS s00, sum(k) AS s01, sum(q) AS s02,
+         sum(k*k) AS s11, sum(k*q) AS s12, sum(q*q) AS s22,
+         sum(y) AS c0, sum(k*y) AS c1, sum(q*y) AS c2
+  FROM j),
+d AS (SELECT {dets} FROM s),
+pt AS (SELECT k, q FROM feat WHERE ok = (SELECT min(l_orderkey) FROM lineitem))
+SELECT term, ROUND(value, 6) AS value FROM (
+  SELECT 'phi_linecount' AS term, {phi(1, 'k', 's01')} AS value FROM d, s, pt
+  UNION ALL
+  SELECT 'phi_qtysum', {phi(2, 'q', 's02')} FROM d, s, pt
+  UNION ALL
+  SELECT 'base_rate', CAST(c0 AS DOUBLE) / CAST(s00 AS DOUBLE) FROM s
+) ORDER BY term"""
+
+
 SOUNDEX_K = 20
 
 
@@ -16902,6 +17037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcs_top_users": _q_lcs_users,
         "knapsack_parts": _q_knapsack,
         "part_soundex_blocks": _q_soundex_blocks,
+        "shapley_order_price": _q_shapley_linear,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -18442,6 +18578,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "lcs_top_users": _lcs_users_sql(),
         "knapsack_parts": _knapsack_sql(),
         "part_soundex_blocks": _soundex_sql(),
+        "shapley_order_price": _shapley_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

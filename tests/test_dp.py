@@ -450,3 +450,49 @@ def test_knapsack_dp_equals_enumeration_random():
             if tw <= cap:
                 best = max(best, tv)
         assert dp[cap] == best
+
+
+def test_shapley_efficiency_identity(tmp_path):
+    """For linear models Shapley satisfies efficiency exactly:
+    sum(phi) + E[y_hat] == y_hat(x) (within float rounding)."""
+    rng = np.random.default_rng(37)
+    n_orders = 200
+    rows = []
+    for o in range(1, n_orders + 1):
+        k = int(rng.integers(1, 8))
+        for _ in range(k):
+            rows.append((o, float(rng.integers(1, 51))))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_quantity": pa.array([r[1] for r in rows], pa.float64()),
+    }), d / "lineitem.parquet")
+    # y strongly linear in (count, qty) + noise
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0])
+    for o, q in rows:
+        agg[o][0] += 1
+        agg[o][1] += q
+    ok = sorted(agg)
+    price = [(agg[o][0] * 500 + agg[o][1] * 90
+              + rng.normal(0, 30)) / 100.0 for o in ok]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(ok, pa.int64()),
+        "o_totalprice": pa.array(price, pa.float64()),
+    }), d / "orders.parquet")
+    out = e._q_shapley_linear(str(d)).to_pydict()
+    vals = dict(zip(out["term"], out["value"]))
+    # replay beta + prediction on the explained point
+    x1, x2 = agg[min(ok)]
+    ybar = vals["base_rate"]
+    # recompute OLS via numpy on exact features for the identity check
+    X = np.array([[1, agg[o][0], agg[o][1]] for o in ok], float)
+    y = np.array([np.floor(p * 100 + 0.5) for p in price])
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    pred = beta @ np.array([1.0, x1, x2])
+    lhs = vals["phi_linecount"] + vals["phi_qtysum"] + ybar
+    assert abs(lhs - pred) < 1e-3
+    # phi signs follow the centered features (strong positive betas)
+    mean1 = X[:, 1].mean()
+    assert (vals["phi_linecount"] > 0) == (x1 > mean1)
