@@ -14699,6 +14699,64 @@ def _late_events_sql() -> str:
     )
 
 
+BWT_DOCS, BWT_LEN = 10, 48
+
+
+def _q_doc_bwt(sf_dir: str):
+    """Burrows–Wheeler transform — the reversible permutation at the
+    heart of bzip2-family compressors (clusters equal characters so
+    MTF+RLE bite): for the 10 smallest doc_ids, the BWT of the first
+    48 characters + a chr(1) sentinel (unique smallest, so rotation
+    order is total and the transform invertible — inversion pinned in
+    pytest).  A stateless per-doc map_batches kernel (each doc's
+    rotation sort is local, the shape of a per-record compression
+    stage); the SQL twin sorts the SAME rotations via LATERAL
+    substr-concat + ORDER BY string_agg, relying on UTF-8 byte order
+    = codepoint order so Python and DuckDB agree on any text."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ids = sorted(r["doc_id"] for r in docs.groupby("doc_id").count()
+                 .take_all())[:BWT_DOCS]
+    keep = set(ids)
+
+    def _bwt(t: pa.Table) -> pa.Table:
+        out_id, out_b = [], []
+        did = t.column("doc_id").to_pylist()
+        txt = t.column("text").to_pylist()
+        for d, s in zip(did, txt):
+            if d not in keep:
+                continue
+            s = s[:BWT_LEN] + "\x01"
+            rots = sorted(s[i:] + s[:i] for i in range(len(s)))
+            out_id.append(d)
+            out_b.append("".join(r[-1] for r in rots))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "bwt": pa.array(out_b, pa.string())})
+
+    rows = sorted(docs.map_batches(_bwt, batch_format="pyarrow")
+                  .take_all(), key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "bwt": pa.array([r["bwt"] for r in rows], pa.string()),
+    })
+
+
+def _doc_bwt_sql() -> str:
+    return (
+        "WITH sel AS (SELECT doc_id, "
+        f"substr(text, 1, {BWT_LEN}) || chr(1) AS s FROM documents "
+        "WHERE doc_id IN (SELECT doc_id FROM documents "
+        f"ORDER BY doc_id LIMIT {BWT_DOCS})), "
+        "rot AS (SELECT doc_id, "
+        "substr(s, i.i + 1) || substr(s, 1, i.i) AS r FROM sel, "
+        "LATERAL (SELECT unnest(range(length(s))) AS i) i) "
+        "SELECT doc_id, string_agg(substr(r, length(r), 1), '' "
+        "ORDER BY r) AS bwt FROM rot GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
 def _q_shapley_linear(sf_dir: str):
     """Shapley attribution for the exact linear model — the
     explainability release every scored decision needs: for a linear
@@ -17038,6 +17096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knapsack_parts": _q_knapsack,
         "part_soundex_blocks": _q_soundex_blocks,
         "shapley_order_price": _q_shapley_linear,
+        "doc_bwt": _q_doc_bwt,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -18579,6 +18638,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "knapsack_parts": _knapsack_sql(),
         "part_soundex_blocks": _soundex_sql(),
         "shapley_order_price": _shapley_sql(),
+        "doc_bwt": _doc_bwt_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),
