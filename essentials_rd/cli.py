@@ -29,7 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "fastrp", "color", "hits",
                             "bc", "msf", "ktruss", "esim", "nsample",
                             "walks", "n2v", "harmonic", "scc", "lpath",
-                            "match", "treach", "louvain"])
+                            "match", "treach", "louvain", "fiedler"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out", default=None, help="result parquet dir")
     p.add_argument("--num-parts", type=int, default=16)
@@ -231,6 +231,15 @@ def main(argv: list[str] | None = None) -> int:
         from .algorithms import eigencentrality
 
         res = eigencentrality(g, tol=args.tol, on_step_end=log_step, **common)
+        out_cols = ["value"]
+    elif args.algo == "fiedler":
+        from .algorithms.fiedler import fiedler as _fiedler
+
+        res = _fiedler(g, max_iters=max(args.k, 8) if args.k else 8,
+                       checkpoint_every=args.checkpoint_every,
+                       ckpt=ckpt, resume=args.resume,
+                       scatter_mode=args.scatter_mode,
+                       on_step_end=log_step)
         out_cols = ["value"]
     elif args.algo == "katz":
         from .algorithms.katz import katz as _katz
