@@ -14699,6 +14699,129 @@ def _late_events_sql() -> str:
     )
 
 
+RICE_TOKENS, RICE_KMAX = 5, 16
+
+
+def _q_rice_postings(sf_dir: str):
+    """Rice/Golomb parameter selection for delta-encoded posting lists
+    — the bits-per-gap planning step every inverted-index compressor
+    (Lucene-style) runs: for the 5 highest-df tokens, the doc-id gaps
+    g (first gap = id+1) cost q+1+k bits each under Rice(k) with
+    q = (g−1)>>k, and the released parameter is the argmin-k total
+    (ties to smaller k).  Exact integers throughout — the cost table
+    is a 16-lane per-token fold over the gap stream, and gaps come
+    from one token-bucketed sorted-diff pass over the DISTINCT
+    (token, doc) presence pairs (vocabulary never driver-collected
+    until the 5-row release)."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _presence(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        s = batch.column("text").to_pandas()
+        ids = np_col(batch, "doc_id")
+        toks = s.str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy(object)
+        doc = np.repeat(ids, counts)
+        codes, uq = pd.factorize(pd.Series(flat))
+        key = doc.astype(np.int64) * np.int64(len(uq)) + codes
+        ku = np.unique(key)
+        return pa.table({
+            "tok": pa.array(
+                np.asarray(uq, object)[(ku % len(uq))].tolist(),
+                pa.string()),
+            "d": pa.array((ku // len(uq)).astype(np.int64), pa.int64()),
+        })
+
+    pres = docs.map_batches(_presence, batch_format="pyarrow") \
+        .materialize()
+
+    def _df(grp: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = grp.to_pandas().drop_duplicates()  # (tok, d) unique already
+        agg = df.groupby("tok").size()
+        return pa.table({"tok": pa.array(agg.index.tolist(), pa.string()),
+                         "df": pa.array(agg.to_numpy(np.int64))})
+
+    dfs: dict[str, int] = {}
+    for r in hash_bucket_agg(
+            pres, lambda b: np.asarray(_str_hash(b.column("tok"))),
+            _df).take_all():
+        dfs[r["tok"]] = dfs.get(r["tok"], 0) + int(r["df"])
+    top = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))[:RICE_TOKENS]
+    keep = {t for t, _ in top}
+
+    def _gap_costs(grp: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = grp.to_pandas()
+        df = df[df["tok"].isin(keep)]
+        out_t, out_k, out_b, out_n = [], [], [], []
+        for tok, g in df.groupby("tok"):
+            d = np.sort(g["d"].to_numpy(np.int64))
+            gaps = np.diff(np.r_[np.int64(-1), d])
+            for k in range(RICE_KMAX):
+                q = (gaps - 1) >> k
+                out_t.append(tok)
+                out_k.append(k)
+                out_b.append(int(q.sum()) + len(gaps) * (k + 1))
+                out_n.append(len(gaps))
+        return pa.table({"tok": pa.array(out_t, pa.string()),
+                         "k": pa.array(out_k, pa.int64()),
+                         "bits": pa.array(out_b, pa.int64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    acc: dict[tuple, list] = {}
+    for r in hash_bucket_agg(
+            pres, lambda b: np.asarray(_str_hash(b.column("tok"))),
+            _gap_costs).take_all():
+        a = acc.setdefault((r["tok"], r["k"]), [0, 0])
+        a[0] += int(r["bits"])
+        a[1] += int(r["n"])
+    rows = []
+    for tok, df_ in top:
+        cand = [(acc[(tok, k)][0], k) for k in range(RICE_KMAX)]
+        bits, k = min(cand)
+        rows.append((tok, df_, k, bits))
+    return pa.table({
+        "tok": pa.array([r[0] for r in rows], pa.string()),
+        "df": pa.array([r[1] for r in rows], pa.int64()),
+        "best_k": pa.array([r[2] for r in rows], pa.int64()),
+        "total_bits": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def _rice_postings_sql() -> str:
+    return (
+        "WITH pres AS (SELECT DISTINCT doc_id, w AS tok FROM ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents)), "
+        "dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM pres "
+        "GROUP BY 1), "
+        "top AS (SELECT tok, df FROM (SELECT *, row_number() OVER ("
+        f"ORDER BY df DESC, tok) AS rn FROM dfs) WHERE rn <= {RICE_TOKENS}), "
+        "gaps AS (SELECT p.tok, p.doc_id - COALESCE(lag(p.doc_id) OVER ("
+        "PARTITION BY p.tok ORDER BY p.doc_id), -1) AS g "
+        "FROM pres p JOIN top t ON t.tok = p.tok), "
+        f"ks AS (SELECT unnest(range({RICE_KMAX})) AS k), "
+        "cost AS (SELECT g.tok, ks.k, "
+        "CAST(sum((g.g - 1) >> ks.k) + count(*) * (ks.k + 1) AS BIGINT) "
+        "AS bits FROM gaps g CROSS JOIN ks GROUP BY 1, 2), "
+        "best AS (SELECT tok, k AS best_k, bits FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY tok ORDER BY bits, k) AS rn "
+        "FROM cost) WHERE rn = 1) "
+        "SELECT t.tok, t.df, b.best_k, b.bits AS total_bits "
+        "FROM top t JOIN best b ON b.tok = t.tok "
+        "ORDER BY t.df DESC, t.tok"
+    )
+
+
 BWT_DOCS, BWT_LEN = 10, 48
 
 
@@ -17097,6 +17220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_soundex_blocks": _q_soundex_blocks,
         "shapley_order_price": _q_shapley_linear,
         "doc_bwt": _q_doc_bwt,
+        "rice_postings": _q_rice_postings,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -18639,6 +18763,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "part_soundex_blocks": _soundex_sql(),
         "shapley_order_price": _shapley_sql(),
         "doc_bwt": _doc_bwt_sql(),
+        "rice_postings": _rice_postings_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -309,3 +309,43 @@ def test_bwt_invertible_and_clusters(tmp_path):
     bwt = out["bwt"][0]
     runs = lambda s: sum(1 for a, b in zip(s, s[1:]) if a != b) + 1
     assert runs(bwt) < runs(raw)
+
+
+def test_rice_parameter_brute_force(tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(51)
+    # 'dense' in nearly every doc (tiny gaps → small k);
+    # 'sparse' in every ~40th doc (large gaps → larger k)
+    n_docs = 400
+    texts = []
+    for i in range(n_docs):
+        toks = ["filler"]
+        if rng.random() < 0.95:
+            toks.append("dense")
+        if i % 40 == 3:
+            toks.append("sparse")
+        toks.append(f"unique{i}")
+        texts.append(" ".join(toks))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    }), d / "documents.parquet", row_group_size=37)
+    out = e._q_rice_postings(str(d)).to_pydict()
+    got = {t: (k, b) for t, k, b in
+           zip(out["tok"], out["best_k"], out["total_bits"])}
+    # brute force per token
+    for tok in got:
+        ids = sorted(i for i in range(n_docs)
+                     if tok in texts[i].split(" "))
+        gaps = np.diff(np.r_[np.int64(-1),
+                             np.array(ids, np.int64)])
+        costs = [(int(((gaps - 1) >> k).sum()) + len(gaps) * (k + 1), k)
+                 for k in range(e.RICE_KMAX)]
+        bb, bk = min(costs)
+        assert got[tok] == (bk, bb), tok
+    assert got["dense"][0] < got["sparse"][0]  # sparser → bigger k
