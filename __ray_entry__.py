@@ -14699,6 +14699,74 @@ def _late_events_sql() -> str:
     )
 
 
+PERIOD_DOCS, PERIOD_LEN = 10, 32
+
+
+def _q_doc_periods(sf_dir: str):
+    """Smallest-period detection via the KMP failure function — the
+    string-periodicity primitive under repetition filters and
+    tandem-repeat finders: for each of the 10 smallest docs, the
+    smallest p ≥ 1 with s[0..n−p) = s[p..n) over the first 32 chars,
+    which equals n − fail[n] of the classic KMP prefix function (the
+    engine computes KMP; the SQL twin — which cannot express the
+    linear-time automaton — checks ALL p by direct prefix/suffix
+    comparison and takes the min, so the hash match certifies the
+    failure-function identity on real data).  p = n means aperiodic;
+    p ≤ n/2 flags true tandem repetition."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ids = sorted(r["doc_id"] for r in docs.groupby("doc_id").count()
+                 .take_all())[:PERIOD_DOCS]
+    keep = set(ids)
+
+    def _per(t: pa.Table) -> pa.Table:
+        out_id, out_n, out_p = [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            if d not in keep:
+                continue
+            s = s[:PERIOD_LEN]
+            n = len(s)
+            fail = [0] * (n + 1)
+            k = 0
+            for i in range(1, n):
+                while k and s[i] != s[k]:
+                    k = fail[k]
+                if s[i] == s[k]:
+                    k += 1
+                fail[i + 1] = k
+            out_id.append(d)
+            out_n.append(n)
+            out_p.append(n - fail[n])
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_chars": pa.array(out_n, pa.int64()),
+                         "period": pa.array(out_p, pa.int64())})
+
+    rows = sorted(docs.map_batches(_per, batch_format="pyarrow")
+                  .take_all(), key=lambda r: r["doc_id"])
+    return pa.table({
+        k: pa.array([r[k] for r in rows], pa.int64())
+        for k in ("doc_id", "n_chars", "period")
+    })
+
+
+def _doc_periods_sql() -> str:
+    return (
+        "WITH sel AS (SELECT doc_id, "
+        f"substr(text, 1, {PERIOD_LEN}) AS s FROM documents "
+        "WHERE doc_id IN (SELECT doc_id FROM documents "
+        f"ORDER BY doc_id LIMIT {PERIOD_DOCS})), "
+        "cand AS (SELECT doc_id, length(s) AS n, p.p AS p FROM sel, "
+        "LATERAL (SELECT unnest(range(1, length(s) + 1)) AS p) p "
+        "WHERE substr(s, 1, length(s) - p.p) = substr(s, p.p + 1)) "
+        "SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars, "
+        "CAST(min(p) AS BIGINT) AS period "
+        "FROM cand GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
 RICE_TOKENS, RICE_KMAX = 5, 16
 
 
@@ -17221,6 +17289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shapley_order_price": _q_shapley_linear,
         "doc_bwt": _q_doc_bwt,
         "rice_postings": _q_rice_postings,
+        "doc_periods": _q_doc_periods,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -18764,6 +18833,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "shapley_order_price": _shapley_sql(),
         "doc_bwt": _doc_bwt_sql(),
         "rice_postings": _rice_postings_sql(),
+        "doc_periods": _doc_periods_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

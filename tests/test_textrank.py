@@ -349,3 +349,32 @@ def test_rice_parameter_brute_force(tmp_path):
         bb, bk = min(costs)
         assert got[tok] == (bk, bb), tok
     assert got["dense"][0] < got["sparse"][0]  # sparser → bigger k
+
+
+def test_kmp_period_vs_naive(tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    texts = ["abcabcabcabcabcabcabcabcabcabcab",   # period 3
+             "aaaaaaaa",                            # period 1
+             "abcdefgh",                            # aperiodic: p = n
+             "abab" * 8,                            # period 2
+             "xyxyxyxz" + "q" * 24] + [f"doc {i}" for i in range(5)]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    }), d / "documents.parquet")
+    out = e._q_doc_periods(str(d)).to_pydict()
+    for i, txt in enumerate(texts):
+        s = txt[:e.PERIOD_LEN]
+        n = len(s)
+        naive = min(p for p in range(1, n + 1)
+                    if s[:n - p] == s[p:])
+        j = out["doc_id"].index(i)
+        assert out["period"][j] == naive, (i, out["period"][j], naive)
+    assert out["period"][out["doc_id"].index(0)] == 3
+    assert out["period"][out["doc_id"].index(1)] == 1
+    assert out["period"][out["doc_id"].index(2)] == 8  # n = 8, aperiodic
