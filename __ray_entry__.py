@@ -14699,6 +14699,120 @@ def _late_events_sql() -> str:
     )
 
 
+VIT_T = [[0, -3], [-2, 0]]  # transition scores (A→A, A→I / I→A, I→I)
+VIT_E = [{"v": 1, "c": 2, "p": 4, "s": 0, "e": -1},   # emit: Active
+         {"v": 0, "c": -1, "p": -3, "s": 1, "e": 2}]  # emit: Idle
+
+
+def _q_viterbi(sf_dir: str):
+    """Viterbi decoding — the max-product sequence-labeling DP every
+    HMM/CRF tagger runs, made hash-exact with INTEGER scores (the
+    lang_pred trick applied to dynamic programming): the most active
+    user's first 8 events (by the (ts,event_id) total order) decode
+    into Active/Idle states under fixed integer transition + emission
+    scores, forward-carrying (score, path) per state with ties broken
+    toward the lexicographically-earlier state at every max, so the
+    decoded path is unique and layout-free.  The SQL twin unrolls the
+    same 8 steps as MATERIALIZED row CTEs (the LCS trick: stop the
+    optimizer inlining the recurrence)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.windows import event_sequences
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    cnt = grouped_pandas_agg(
+        ev.map_batches(
+            lambda t: pa.table({"u": t.column("user_id"),
+                                "one": pa.array(
+                                    np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        keys=["u"], aggs={"n": ("one", "sum")}).take_all()
+    utop = int(sorted(cnt, key=lambda r: (-r["n"], r["u"]))[0]["u"])
+    seq = next(r["seq"] for r in event_sequences(ev, max_len=8)
+               .take_all() if r["user_id"] == utop)
+    obs = [SEQ_TYPE_MAP.get(x, "x") for x in seq.split("|") if x][:8]
+
+    names = "AI"
+    score = [VIT_E[s].get(obs[0], -5) for s in range(2)]
+    path = [names[s] for s in range(2)]
+    for o in obs[1:]:
+        ns, np_ = [0, 0], ["", ""]
+        for s in range(2):
+            # tie → earlier predecessor state (index 0 first)
+            cand = [(score[p] + VIT_T[p][s], p) for p in range(2)]
+            best = max(cand, key=lambda c: (c[0], -c[1]))
+            ns[s] = best[0] + VIT_E[s].get(o, -5)
+            np_[s] = path[best[1]] + names[s]
+        score, path = ns, np_
+    w = max(range(2), key=lambda s: (score[s], -s))
+    return pa.table({
+        "user_id": pa.array([utop], pa.int64()),
+        "n_obs": pa.array([len(obs)], pa.int64()),
+        "score": pa.array([score[w]], pa.int64()),
+        "path": pa.array([path[w]], pa.string()),
+    })
+
+
+def _viterbi_sql() -> str:
+    enc = " ".join(f"WHEN '{t}' THEN '{c}'"
+                   for t, c in sorted(SEQ_TYPE_MAP.items()))
+
+    def emit(s, ochar):
+        items = " ".join(f"WHEN '{c}' THEN {v}"
+                         for c, v in sorted(VIT_E[s].items()))
+        return f"(CASE {ochar} {items} ELSE -5 END)"
+
+    steps = []
+    for i in range(2, 9):
+        o = f"substr(obs, {i}, 1)"
+        cells = []
+        for s, nm in ((0, "A"), (1, "I")):
+            e = emit(s, o)
+            c0 = f"sc_a + {VIT_T[0][s]}"
+            c1 = f"sc_i + {VIT_T[1][s]}"
+            cells.append(
+                f"CASE WHEN {i} > n_obs THEN sc_{nm.lower()} ELSE "
+                f"CASE WHEN {c0} >= {c1} THEN {c0} ELSE {c1} END + {e} "
+                f"END AS n_sc_{nm.lower()}")
+            cells.append(
+                f"CASE WHEN {i} > n_obs THEN pt_{nm.lower()} ELSE "
+                f"(CASE WHEN {c0} >= {c1} THEN pt_a ELSE pt_i END) "
+                f"|| '{nm}' END AS n_pt_{nm.lower()}")
+        steps.append(
+            f"v{i} AS MATERIALIZED (SELECT user_id, n_obs, obs, "
+            f"{', '.join(cells)} FROM w{i - 1}), "
+            f"w{i} AS MATERIALIZED (SELECT user_id, n_obs, obs, "
+            "n_sc_a AS sc_a, n_sc_i AS sc_i, "
+            f"n_pt_a AS pt_a, n_pt_i AS pt_i FROM v{i})")
+        last = f"w{i}"
+    body = ", ".join(steps)
+    e0a = emit(0, "substr(obs, 1, 1)")
+    e0i = emit(1, "substr(obs, 1, 1)")
+    return (
+        "WITH cnts AS (SELECT user_id, count(*) AS n FROM events "
+        "GROUP BY 1), "
+        "tu AS (SELECT user_id FROM cnts "
+        "ORDER BY n DESC, user_id LIMIT 1), "
+        "sq AS (SELECT e.user_id, substr(string_agg("
+        f"CASE e.event_type {enc} ELSE 'x' END, '' "
+        "ORDER BY e.ts, e.event_id), 1, 8) AS obs "
+        "FROM events e JOIN tu ON tu.user_id = e.user_id GROUP BY 1), "
+        "v1 AS (SELECT user_id, length(obs) AS n_obs, obs, "
+        f"{e0a} AS sc_a, {e0i} AS sc_i, "
+        "'A' AS pt_a, 'I' AS pt_i FROM sq), "
+        "w1 AS (SELECT * FROM v1), "
+        f"{body} "
+        "SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs, "
+        "CAST(CASE WHEN sc_a >= sc_i THEN sc_a ELSE sc_i END AS BIGINT) "
+        "AS score, "
+        "CASE WHEN sc_a >= sc_i THEN pt_a ELSE pt_i END AS path "
+        f"FROM {last}"
+    )
+
+
 PERIOD_DOCS, PERIOD_LEN = 10, 32
 
 
@@ -17290,6 +17404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bwt": _q_doc_bwt,
         "rice_postings": _q_rice_postings,
         "doc_periods": _q_doc_periods,
+        "viterbi_top_user": _q_viterbi,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -18834,6 +18949,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "doc_bwt": _doc_bwt_sql(),
         "rice_postings": _rice_postings_sql(),
         "doc_periods": _doc_periods_sql(),
+        "viterbi_top_user": _viterbi_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

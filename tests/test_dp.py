@@ -496,3 +496,40 @@ def test_shapley_efficiency_identity(tmp_path):
     # phi signs follow the centered features (strong positive betas)
     mean1 = X[:, 1].mean()
     assert (vals["phi_linecount"] > 0) == (x1 > mean1)
+
+
+def test_viterbi_brute_force_all_paths(tmp_path):
+    """The forward (score, path) carry equals brute-force max over all
+    2^n state paths, with the documented tie rule."""
+    # one dominant user with a crafted sequence hitting every type
+    seq = ["view", "click", "purchase", "error", "signup", "view",
+           "error", "purchase"]
+    rows = [(i, 100 + i, 5, t) for i, t in enumerate(seq)]
+    rows += [(100 + i, 10 + i, 50 + i, "view") for i in range(6)]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64),
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }), d / "events.parquet")
+    out = e._q_viterbi(str(d)).to_pydict()
+    assert out["user_id"] == [5] and out["n_obs"] == [8]
+    obs = [e.SEQ_TYPE_MAP[t] for t in seq]
+    import itertools
+    best = None
+    for states in itertools.product((0, 1), repeat=8):
+        sc = e.VIT_E[states[0]][obs[0]]
+        for i in range(1, 8):
+            sc += e.VIT_T[states[i - 1]][states[i]]
+            sc += e.VIT_E[states[i]][obs[i]]
+        p = "".join("AI"[s] for s in states)
+        # tie rule: higher score wins; then lexicographically smaller
+        # path (A < I) — the per-step earlier-state preference
+        key = (sc, tuple(-s for s in states))
+        if best is None or key > best[0]:
+            best = (key, sc, p)
+    assert out["score"] == [best[1]]
+    assert out["path"] == [best[2]]
