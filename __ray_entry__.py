@@ -15687,15 +15687,15 @@ def _conformal_sql() -> str:
     half = 1 << 63
     return (
         f"WITH {chain}, "
-        f"sp AS (SELECT q, c, z < CAST('{half}' AS UBIGINT) AS cal "
-        "FROM cf3), "
+        f"sp AS MATERIALIZED (SELECT q, c, "
+        f"z < CAST('{half}' AS UBIGINT) AS cal FROM cf3), "
         "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
         "CAST(sum(q) AS HUGEINT) AS sx, CAST(sum(c) AS HUGEINT) AS sy, "
         "CAST(sum(q * q) AS HUGEINT) AS sxx, "
         "CAST(sum(q * c) AS HUGEINT) AS sxy FROM sp WHERE cal), "
         "co AS (SELECT n * sxx - sx * sx AS den, "
         "n * sxy - sx * sy AS b, sxx * sy - sx * sxy AS a, n FROM s), "
-        "rs AS (SELECT sp.cal, abs(1000 * sp.c - "
+        "rs AS MATERIALIZED (SELECT sp.cal, abs(1000 * sp.c - "
         "((1000 * (co.a + co.b * sp.q)) "
         "- (((1000 * (co.a + co.b * sp.q)) % co.den + co.den) % co.den)) "
         "// co.den) AS r FROM sp, co), "
