@@ -14699,6 +14699,63 @@ def _late_events_sql() -> str:
     )
 
 
+def _q_weighted_median(sf_dir: str):
+    """Exact weighted median — the L1-optimal location (facility
+    placement, robust aggregation) that plain quantile_disc cannot
+    express: the smallest quantity level whose cumulative revenue
+    weight reaches half the total, i.e. the revenue-weighted median
+    order quantity.  One bucketed (value → Σweight) fold (the
+    distributed value histogram with WEIGHTS — driver sees one row
+    per distinct quantity, never the data), integer cumulative
+    compare 2·cum ≥ total so no float division enters."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        q = np.asarray(t.column("l_quantity")).astype(np.int64)
+        c = np.floor(np.asarray(t.column("l_extendedprice")) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"q": pa.array(q, pa.int64()),
+                         "w": pa.array(c, pa.int64())})
+
+    rows = sorted(grouped_pandas_agg(
+        li.map_batches(_prep, batch_format="pyarrow"),
+        keys=["q"], aggs={"w": ("w", "sum")}).take_all(),
+        key=lambda r: r["q"])
+    total = sum(int(r["w"]) for r in rows)
+    cum = 0
+    med = rows[-1]["q"]
+    for r in rows:
+        cum += int(r["w"])
+        if 2 * cum >= total:
+            med = int(r["q"])
+            break
+    return pa.table({
+        "w_median_qty": pa.array([med], pa.int64()),
+        "total_weight": pa.array([total], pa.int64()),
+        "n_levels": pa.array([len(rows)], pa.int64()),
+    })
+
+
+def _weighted_median_sql() -> str:
+    return (
+        "WITH lv AS (SELECT CAST(l_quantity AS BIGINT) AS q, "
+        "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS w FROM lineitem GROUP BY 1), "
+        "cw AS (SELECT q, w, sum(w) OVER (ORDER BY q) AS cum, "
+        "(SELECT sum(w) FROM lv) AS tot FROM lv) "
+        "SELECT CAST(min(q) AS BIGINT) AS w_median_qty, "
+        "CAST(max(tot) AS BIGINT) AS total_weight, "
+        "CAST((SELECT count(*) FROM lv) AS BIGINT) AS n_levels "
+        "FROM cw WHERE 2 * cum >= tot"
+    )
+
+
 VIT_T = [[0, -3], [-2, 0]]  # transition scores (A→A, A→I / I→A, I→I)
 VIT_E = [{"v": 1, "c": 2, "p": 4, "s": 0, "e": -1},   # emit: Active
          {"v": 0, "c": -1, "p": -3, "s": 1, "e": 2}]  # emit: Idle
@@ -17405,6 +17462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rice_postings": _q_rice_postings,
         "doc_periods": _q_doc_periods,
         "viterbi_top_user": _q_viterbi,
+        "weighted_median_qty": _q_weighted_median,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -18950,6 +19008,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "rice_postings": _rice_postings_sql(),
         "doc_periods": _doc_periods_sql(),
         "viterbi_top_user": _viterbi_sql(),
+        "weighted_median_qty": _weighted_median_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

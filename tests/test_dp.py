@@ -533,3 +533,35 @@ def test_viterbi_brute_force_all_paths(tmp_path):
             best = (key, sc, p)
     assert out["score"] == [best[1]]
     assert out["path"] == [best[2]]
+
+
+def test_weighted_median_brute_force(tmp_path):
+    rng = np.random.default_rng(63)
+    n = 2000
+    q = rng.integers(1, 30, n).astype(np.int64)
+    c = rng.integers(100, 10**6, n).astype(np.int64)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(q.astype(float), pa.float64()),
+        "l_extendedprice": pa.array(c / 100.0, pa.float64()),
+    }), d / "lineitem.parquet", row_group_size=173)
+    out = e._q_weighted_median(str(d)).to_pydict()
+    # brute force: expand each level by weight and take lower median
+    import collections
+    wsum = collections.Counter()
+    for qi, ci in zip(q, c):
+        wsum[int(qi)] += int(ci)
+    total = sum(wsum.values())
+    cum = 0
+    for lvl in sorted(wsum):
+        cum += wsum[lvl]
+        if 2 * cum >= total:
+            want = lvl
+            break
+    assert out["w_median_qty"] == [want]
+    assert out["total_weight"] == [total]
+    # L1 optimality: the weighted median minimizes sum w|q - m|
+    def loss(m):
+        return sum(w * abs(lvl - m) for lvl, w in wsum.items())
+    assert loss(want) <= min(loss(want - 1), loss(want + 1))
