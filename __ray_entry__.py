@@ -14699,6 +14699,100 @@ def _late_events_sql() -> str:
     )
 
 
+LIS_CAP = 8
+
+
+def _q_lis_user(sf_dir: str):
+    """Longest strictly-increasing subsequence of the most active
+    user's value stream — the classic trend-detection DP (and the
+    patience-sorting showcase): the engine runs the O(n log n)
+    patience algorithm (binary search over pile tops) over the first
+    8 value-cents under the (ts, event_id) order, while the SQL twin
+    — which cannot express the online pile structure — evaluates the
+    O(n²) recurrence f(i) = 1 + max f(j) over j<i, v_j < v_i as
+    generated per-cell CTE columns; the hash match certifies the two
+    classic formulations agree on real data."""
+    import bisect
+
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    cnt = grouped_pandas_agg(
+        ev.map_batches(
+            lambda t: pa.table({"u": t.column("user_id"),
+                                "one": pa.array(
+                                    np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        keys=["u"], aggs={"n": ("one", "sum")}).take_all()
+    utop = int(sorted(cnt, key=lambda r: (-r["n"], r["u"]))[0]["u"])
+
+    def _vals(t: pa.Table) -> pa.Table:
+        m = np.asarray(t.column("user_id")) == utop
+        tt = t.filter(pa.array(m))
+        c = np.floor(np.asarray(tt.column("value")) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({
+            "ts": tt.column("ts").cast(pa.int64()),
+            "eid": tt.column("event_id").cast(pa.int64()),
+            "c": pa.array(c, pa.int64())})
+
+    rows = sorted(ev.map_batches(_vals, batch_format="pyarrow")
+                  .take_all(), key=lambda r: (r["ts"], r["eid"]))
+    vals = [int(r["c"]) for r in rows[:LIS_CAP]]
+
+    piles: list[int] = []
+    for v in vals:
+        # strictly increasing: replace the first pile top >= v
+        i = bisect.bisect_left(piles, v)
+        if i == len(piles):
+            piles.append(v)
+        else:
+            piles[i] = v
+    return pa.table({
+        "user_id": pa.array([utop], pa.int64()),
+        "n_vals": pa.array([len(vals)], pa.int64()),
+        "lis_len": pa.array([len(piles)], pa.int64()),
+    })
+
+
+def _lis_user_sql() -> str:
+    n = LIS_CAP
+    cells = []
+    for i in range(1, n + 1):
+        terms = ["1"]
+        for j in range(1, i):
+            terms.append(
+                f"CASE WHEN v{j} < v{i} THEN f{j} + 1 ELSE 1 END")
+        expr = terms[0] if len(terms) == 1 else \
+            "GREATEST(" + ", ".join(terms) + ")"
+        cells.append(f"CASE WHEN {i} <= nv THEN {expr} ELSE 0 END AS f{i}")
+    vcols = ", ".join(
+        f"COALESCE(max(CASE WHEN rn = {i} THEN c END), 0) AS v{i}"
+        for i in range(1, n + 1))
+    fmax = "GREATEST(" + ", ".join(f"f{i}" for i in range(1, n + 1)) + ")"
+    return (
+        "WITH cnts AS (SELECT user_id, count(*) AS n FROM events "
+        "GROUP BY 1), "
+        "tu AS (SELECT user_id FROM cnts "
+        "ORDER BY n DESC, user_id LIMIT 1), "
+        "sv AS (SELECT e.user_id, "
+        "CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS c, "
+        "row_number() OVER (ORDER BY e.ts, e.event_id) AS rn "
+        "FROM events e JOIN tu ON tu.user_id = e.user_id), "
+        f"pv AS (SELECT max(user_id) AS user_id, {vcols}, "
+        f"CAST(least(count(*), {n}) AS BIGINT) AS nv "
+        f"FROM sv WHERE rn <= {n}), "
+        f"dp AS (SELECT user_id, nv, {', '.join(cells)} FROM pv) "
+        "SELECT user_id, nv AS n_vals, "
+        f"CAST({fmax} AS BIGINT) AS lis_len FROM dp"
+    )
+
+
 def _q_weighted_median(sf_dir: str):
     """Exact weighted median — the L1-optimal location (facility
     placement, robust aggregation) that plain quantile_disc cannot
@@ -17463,6 +17557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_periods": _q_doc_periods,
         "viterbi_top_user": _q_viterbi,
         "weighted_median_qty": _q_weighted_median,
+        "lis_top_user": _q_lis_user,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -19009,6 +19104,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "doc_periods": _doc_periods_sql(),
         "viterbi_top_user": _viterbi_sql(),
         "weighted_median_qty": _weighted_median_sql(),
+        "lis_top_user": _lis_user_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -565,3 +565,27 @@ def test_weighted_median_brute_force(tmp_path):
     def loss(m):
         return sum(w * abs(lvl - m) for lvl, w in wsum.items())
     assert loss(want) <= min(loss(want - 1), loss(want + 1))
+
+
+def test_lis_patience_equals_dp_random():
+    """The patience algorithm (engine) equals the quadratic DP (oracle
+    shape) on random sequences including ties (strict increase)."""
+    import bisect
+
+    rng = np.random.default_rng(85)
+    for _ in range(300):
+        n = int(rng.integers(1, 9))
+        vals = rng.integers(0, 6, n).tolist()  # small range → many ties
+        piles = []
+        for v in vals:
+            i = bisect.bisect_left(piles, v)
+            if i == len(piles):
+                piles.append(v)
+            else:
+                piles[i] = v
+        f = [1] * n
+        for i in range(n):
+            for j in range(i):
+                if vals[j] < vals[i]:
+                    f[i] = max(f[i], f[j] + 1)
+        assert len(piles) == max(f)
