@@ -14699,6 +14699,121 @@ def _late_events_sql() -> str:
     )
 
 
+SP_SEED, SP_GRID, SP_R = 67, 4096, 64
+
+
+def _q_spatial_join(sf_dir: str):
+    """Grid-bucketed spatial radius self-join — THE scalable spatial
+    join (PostGIS/GeoSpark shape): parts get deterministic planar
+    coordinates from one splitmix draw (x = z mod 4096, y = z>>12 mod
+    4096 — SQL-replayable), and all pairs within L∞ distance 64 are
+    found by grid hashing: each point lands HOME in its r-cell and
+    PROBES its 3×3 neighborhood, every bucket joins home×probe with
+    the exact distance filter, and each qualifying pair counts
+    EXACTLY once at the smaller-id point's home cell (a within-r pair
+    can never be more than one cell apart, so the anchor always sees
+    the probe).  One cell-bucketed exchange, 10 rows per point —
+    never the quadratic candidate set; the SQL twin is the quadratic
+    self-join the grid must reproduce."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import hash64, np_col
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey"])
+    mix = np.uint64((SP_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+    R = np.int64(SP_R)
+
+    def _points(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t.column("p_partkey")).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = hash64(pk + mix)
+        x = (z % np.uint64(SP_GRID)).astype(np.int64)
+        y = ((z >> np.uint64(12)) % np.uint64(SP_GRID)).astype(np.int64)
+        k = pk.astype(np.int64)
+        cx, cy = x // R, y // R
+        # home row + 9 probe rows (dedup: probe includes home cell too;
+        # role distinguishes them)
+        rows_k, rows_x, rows_y, rows_c, rows_role = [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cell = (cx + dx) * np.int64(1 << 20) + (cy + dy)
+                rows_k.append(k)
+                rows_x.append(x)
+                rows_y.append(y)
+                rows_c.append(cell)
+                rows_role.append(np.zeros(len(k), np.int8))
+        home_cell = cx * np.int64(1 << 20) + cy
+        rows_k.append(k)
+        rows_x.append(x)
+        rows_y.append(y)
+        rows_c.append(home_cell)
+        rows_role.append(np.ones(len(k), np.int8))
+        return pa.table({
+            "k": pa.array(np.concatenate(rows_k), pa.int64()),
+            "x": pa.array(np.concatenate(rows_x), pa.int64()),
+            "y": pa.array(np.concatenate(rows_y), pa.int64()),
+            "cell": pa.array(np.concatenate(rows_c), pa.int64()),
+            "role": pa.array(np.concatenate(rows_role), pa.int8()),
+        })
+
+    def _pairs(grp: pa.Table) -> pa.Table:
+        cell = np_col(grp, "cell")
+        role = np.asarray(grp.column("role"), np.int8)
+        k = np_col(grp, "k")
+        x = np_col(grp, "x")
+        y = np_col(grp, "y")
+        n_pairs = 0
+        dist_sum = 0
+        order = np.argsort(cell, kind="stable")
+        cell, role, k, x, y = (cell[order], role[order], k[order],
+                               x[order], y[order])
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        for st, en in zip(starts, np.r_[starts[1:], len(cell)]):
+            m = slice(st, en)
+            hm = role[m] == 1
+            pr = ~hm
+            if not hm.any() or not pr.any():
+                continue
+            hk, hx, hy = k[m][hm], x[m][hm], y[m][hm]
+            pk_, px, py = k[m][pr], x[m][pr], y[m][pr]
+            dx = np.abs(hx[:, None] - px[None, :])
+            dy = np.abs(hy[:, None] - py[None, :])
+            ok = (dx <= SP_R) & (dy <= SP_R) & (hk[:, None] < pk_[None, :])
+            n_pairs += int(ok.sum())
+            dist_sum += int(np.maximum(dx, dy)[ok].sum())
+        return pa.table({"n": pa.array([n_pairs], pa.int64()),
+                         "s": pa.array([dist_sum], pa.int64())})
+
+    tot_n = tot_s = 0
+    for r in hash_bucket_agg(
+            parts.map_batches(_points, batch_format="pyarrow"),
+            lambda b: np_col(b, "cell"), _pairs).take_all():
+        tot_n += r["n"]
+        tot_s += r["s"]
+    return pa.table({
+        "n_pairs": pa.array([tot_n], pa.int64()),
+        "linf_sum": pa.array([tot_s], pa.int64()),
+    })
+
+
+def _spatial_join_sql() -> str:
+    mix = (SP_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes("spz", "p_partkey", f"p_partkey + {mix}", "part")
+    return (
+        f"WITH {chain}, "
+        "pts AS MATERIALIZED (SELECT p_partkey AS k, "
+        f"CAST(z % {SP_GRID} AS BIGINT) AS x, "
+        f"CAST((z >> 12) % {SP_GRID} AS BIGINT) AS y FROM spz3) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+        "CAST(COALESCE(sum(greatest(abs(a.x - b.x), abs(a.y - b.y))), 0) "
+        "AS BIGINT) AS linf_sum "
+        "FROM pts a JOIN pts b ON a.k < b.k "
+        f"AND abs(a.x - b.x) <= {SP_R} AND abs(a.y - b.y) <= {SP_R}"
+    )
+
+
 LIS_CAP = 8
 
 
@@ -17558,6 +17673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viterbi_top_user": _q_viterbi,
         "weighted_median_qty": _q_weighted_median,
         "lis_top_user": _q_lis_user,
+        "spatial_radius_pairs": _q_spatial_join,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -19105,6 +19221,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "viterbi_top_user": _viterbi_sql(),
         "weighted_median_qty": _weighted_median_sql(),
         "lis_top_user": _lis_user_sql(),
+        "spatial_radius_pairs": _spatial_join_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -252,3 +252,35 @@ def test_hopping_distinct_users_brute_force(tmp_path):
     # a user active in hours w and w+5 is counted ONCE in window w
     assert min(got) == int(h.min()) - e.HOPD_SIZE + 1
     assert max(got) == int(h.max())
+
+
+def test_spatial_grid_join_brute_force(tmp_path):
+    """The grid-bucketed radius join equals the quadratic brute force,
+    including boundary pairs that straddle cell borders."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from essentials_rd.util import hash64
+
+    n = 500
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"p_partkey": pa.array(keys)}),
+                   d / "part.parquet", row_group_size=41)
+    out = e._q_spatial_join(str(d)).to_pydict()
+    mix = np.uint64((e.SP_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+    with np.errstate(over="ignore"):
+        z = hash64(keys.astype(np.uint64) + mix)
+    x = (z % np.uint64(e.SP_GRID)).astype(np.int64)
+    y = ((z >> np.uint64(12)) % np.uint64(e.SP_GRID)).astype(np.int64)
+    npairs = 0
+    lsum = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = abs(int(x[i] - x[j])), abs(int(y[i] - y[j]))
+            if dx <= e.SP_R and dy <= e.SP_R:
+                npairs += 1
+                lsum += max(dx, dy)
+    assert out == {"n_pairs": [npairs], "linf_sum": [lsum]}
+    assert npairs > 0  # the fixture actually exercises matches
