@@ -14814,6 +14814,76 @@ def _spatial_join_sql() -> str:
     )
 
 
+SP_TRI = ((200, 200), (3800, 600), (1800, 3600))  # CCW triangle
+
+
+def _q_points_in_triangle(sf_dir: str):
+    """Point-in-polygon by the exact integer orientation predicate —
+    computational geometry's foundational test (the orient2d cross
+    product that robust geometry libraries guard with arbitrary
+    precision; integer coordinates make it EXACT here, no epsilon):
+    the same splitmix part coordinates as the spatial join, counted
+    inside/on a fixed CCW triangle iff all three edge cross products
+    are ≥ 0.  Stateless vectorized fold, zero shuffles; SQL twin
+    evaluates the identical predicates."""
+    import ray.data as rd
+
+    from essentials_rd.util import hash64
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey"])
+    mix = np.uint64((SP_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+    (ax, ay), (bx, by), (cx, cy) = SP_TRI
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t.column("p_partkey")).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = hash64(pk + mix)
+        x = (z % np.uint64(SP_GRID)).astype(np.int64)
+        y = ((z >> np.uint64(12)) % np.uint64(SP_GRID)).astype(np.int64)
+        d1 = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+        d2 = (cx - bx) * (y - by) - (cy - by) * (x - bx)
+        d3 = (ax - cx) * (y - cy) - (ay - cy) * (x - cx)
+        inside = (d1 >= 0) & (d2 >= 0) & (d3 >= 0)
+        border = inside & ((d1 == 0) | (d2 == 0) | (d3 == 0))
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "i": pa.array([int(inside.sum())], pa.int64()),
+            "b": pa.array([int(border.sum())], pa.int64())})
+
+    tot = [0, 0, 0]
+    for r in parts.map_batches(_cnt, batch_format="pyarrow").take_all():
+        tot[0] += r["n"]
+        tot[1] += r["i"]
+        tot[2] += r["b"]
+    return pa.table({
+        "n_points": pa.array([tot[0]], pa.int64()),
+        "n_inside": pa.array([tot[1]], pa.int64()),
+        "n_on_edge": pa.array([tot[2]], pa.int64()),
+    })
+
+
+def _points_in_triangle_sql() -> str:
+    mix = (SP_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes("ptz", "p_partkey", f"p_partkey + {mix}", "part")
+    (ax, ay), (bx, by), (cx, cy) = SP_TRI
+    d1 = f"(({bx}-{ax})*(y-{ay}) - ({by}-{ay})*(x-{ax}))"
+    d2 = f"(({cx}-{bx})*(y-{by}) - ({cy}-{by})*(x-{bx}))"
+    d3 = f"(({ax}-{cx})*(y-{cy}) - ({ay}-{cy})*(x-{cx}))"
+    return (
+        f"WITH {chain}, "
+        f"pts AS (SELECT CAST(z % {SP_GRID} AS BIGINT) AS x, "
+        f"CAST((z >> 12) % {SP_GRID} AS BIGINT) AS y FROM ptz3) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_points, "
+        f"CAST(sum(CASE WHEN {d1} >= 0 AND {d2} >= 0 AND {d3} >= 0 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_inside, "
+        f"CAST(sum(CASE WHEN {d1} >= 0 AND {d2} >= 0 AND {d3} >= 0 "
+        f"AND ({d1} = 0 OR {d2} = 0 OR {d3} = 0) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_on_edge "
+        "FROM pts"
+    )
+
+
 LIS_CAP = 8
 
 
@@ -17674,6 +17744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_qty": _q_weighted_median,
         "lis_top_user": _q_lis_user,
         "spatial_radius_pairs": _q_spatial_join,
+        "points_in_triangle": _q_points_in_triangle,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -19222,6 +19293,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "weighted_median_qty": _weighted_median_sql(),
         "lis_top_user": _lis_user_sql(),
         "spatial_radius_pairs": _spatial_join_sql(),
+        "points_in_triangle": _points_in_triangle_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

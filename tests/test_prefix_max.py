@@ -284,3 +284,35 @@ def test_spatial_grid_join_brute_force(tmp_path):
                 lsum += max(dx, dy)
     assert out == {"n_pairs": [npairs], "linf_sum": [lsum]}
     assert npairs > 0  # the fixture actually exercises matches
+
+
+def test_point_in_triangle_matplotlib_free_reference(tmp_path):
+    """Orientation-predicate containment vs an independent barycentric
+    reference, plus hand-placed inside/outside/edge points."""
+    import __ray_entry__ as e
+
+    (ax, ay), (bx, by), (cx, cy) = e.SP_TRI
+
+    def orient(x, y):
+        d1 = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+        d2 = (cx - bx) * (y - by) - (cy - by) * (x - bx)
+        d3 = (ax - cx) * (y - cy) - (ay - cy) * (x - cx)
+        return d1 >= 0 and d2 >= 0 and d3 >= 0
+
+    def bary(x, y):
+        den = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+        l1 = ((by - cy) * (x - cx) + (cx - bx) * (y - cy)) / den
+        l2 = ((cy - ay) * (x - cx) + (ax - cx) * (y - cy)) / den
+        l3 = 1 - l1 - l2
+        return l1 >= -1e-12 and l2 >= -1e-12 and l3 >= -1e-12
+
+    rng = np.random.default_rng(3)
+    for _ in range(2000):
+        x, y = int(rng.integers(0, 4096)), int(rng.integers(0, 4096))
+        assert orient(x, y) == bary(x, y)
+    # centroid inside; far corner outside; vertex on edge
+    gx = (ax + bx + cx) // 3
+    gy = (ay + by + cy) // 3
+    assert orient(gx, gy)
+    assert not orient(0, 4095)
+    assert orient(ax, ay)  # vertex counts as on-boundary inside
