@@ -14699,6 +14699,86 @@ def _late_events_sql() -> str:
     )
 
 
+XCORR_MAXLAG = 24
+
+
+def _q_xcorr(sf_dir: str):
+    """Lead-lag cross-correlation — the econometrics/ops-analytics
+    primitive behind "purchases follow views by L hours": exact
+    integer dot products between the hourly view series and the
+    purchase series shifted by lag 0..24 on the shared dense grid
+    (absent hours are explicit zeros — skipping them would bias every
+    lag differently), plus the argmax lag (ties to the smaller lag).
+    One bucketed (hour, type) count combine — the driver folds
+    calendar-small series; SQL twin joins the two grids at each
+    offset."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def _hour(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), object)
+        keep = (et == "view") | (et == "purchase")
+        tt = t.filter(pa.array(keep))
+        h = (np.asarray(tt.column("ts").cast(pa.int64()))
+             // 3_600_000_000).astype(np.int64)
+        isv = (np.asarray(tt.column("event_type").to_pylist(), object)
+               == "view").astype(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "v": pa.array(isv, pa.int64()),
+                         "p": pa.array(1 - isv, pa.int64())})
+
+    rows = grouped_pandas_agg(
+        ev.map_batches(_hour, batch_format="pyarrow"),
+        keys=["h"], aggs={"v": ("v", "sum"), "p": ("p", "sum")}
+    ).take_all()
+    hmin = min(r["h"] for r in rows)
+    hmax = max(r["h"] for r in rows)
+    n = int(hmax - hmin + 1)
+    v = np.zeros(n, np.int64)
+    p = np.zeros(n, np.int64)
+    for r in rows:
+        v[r["h"] - hmin] = int(r["v"])
+        p[r["h"] - hmin] = int(r["p"])
+    lags = list(range(XCORR_MAXLAG + 1))
+    dots = [int((v[: n - L] * p[L:]).sum()) if L < n else 0
+            for L in lags]
+    best = max(range(len(lags)), key=lambda i: (dots[i], -i))
+    return pa.table({
+        "lag": pa.array(lags, pa.int64()),
+        "dot": pa.array(dots, pa.int64()),
+        "best_lag": pa.array([lags[best]] * len(lags), pa.int64()),
+    })
+
+
+def _xcorr_sql() -> str:
+    return (
+        "WITH hv AS (SELECT epoch_us(ts) // 3600000000 AS h, "
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v, "
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p "
+        "FROM events WHERE event_type IN ('view', 'purchase') "
+        "GROUP BY 1), "
+        "bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hv), "
+        "grid AS (SELECT h0 + g.g AS h FROM bounds, "
+        "LATERAL (SELECT unnest(range(h1 - h0 + 1)) AS g) g), "
+        "dense AS (SELECT g.h, COALESCE(hv.v, 0) AS v, "
+        "COALESCE(hv.p, 0) AS p FROM grid g "
+        "LEFT JOIN hv ON hv.h = g.h), "
+        f"lags AS (SELECT unnest(range({XCORR_MAXLAG + 1})) AS lag), "
+        "dots AS (SELECT l.lag, CAST(COALESCE(sum(a.v * b.p), 0) "
+        "AS BIGINT) AS dot FROM lags l "
+        "LEFT JOIN dense a ON true "
+        "LEFT JOIN dense b ON b.h = a.h + l.lag GROUP BY 1), "
+        "bst AS (SELECT lag AS bl FROM dots "
+        "ORDER BY dot DESC, lag LIMIT 1) "
+        "SELECT d.lag, d.dot, CAST((SELECT bl FROM bst) AS BIGINT) "
+        "AS best_lag FROM dots d ORDER BY d.lag"
+    )
+
+
 SP_SEED, SP_GRID, SP_R = 67, 4096, 64
 
 
@@ -17745,6 +17825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lis_top_user": _q_lis_user,
         "spatial_radius_pairs": _q_spatial_join,
         "points_in_triangle": _q_points_in_triangle,
+        "xcorr_view_purchase": _q_xcorr,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -19294,6 +19375,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "lis_top_user": _lis_user_sql(),
         "spatial_radius_pairs": _spatial_join_sql(),
         "points_in_triangle": _points_in_triangle_sql(),
+        "xcorr_view_purchase": _xcorr_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

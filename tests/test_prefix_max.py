@@ -316,3 +316,51 @@ def test_point_in_triangle_matplotlib_free_reference(tmp_path):
     assert orient(gx, gy)
     assert not orient(0, 4095)
     assert orient(ax, ay)  # vertex counts as on-boundary inside
+
+
+def test_xcorr_planted_lag(tmp_path):
+    """A planted 'purchases trail views by 5 hours' pattern must put
+    the argmax at lag 5, and dots match a numpy replay."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(45)
+    rows_t, rows_ty = [], []
+    base = 1_000
+    for burst in range(40):
+        h = base + int(rng.integers(0, 200))
+        for _ in range(8):
+            rows_t.append(h * 3_600_000_000 + int(rng.integers(0, 3600)))
+            rows_ty.append("view")
+        for _ in range(6):
+            rows_t.append((h + 5) * 3_600_000_000
+                          + int(rng.integers(0, 3600)))
+            rows_ty.append("purchase")
+    # background noise of other types (ignored by the query)
+    for i in range(100):
+        rows_t.append((base + i) * 3_600_000_000)
+        rows_ty.append("click")
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_type": pa.array(rows_ty, pa.string()),
+        "ts": pa.array(np.array(rows_t, np.int64), pa.timestamp("us")),
+    }), d / "events.parquet", row_group_size=97)
+    out = e._q_xcorr(str(d)).to_pydict()
+    assert out["best_lag"][0] == 5
+    # numpy replay
+    hs = np.array(rows_t, np.int64) // 3_600_000_000
+    ty = np.array(rows_ty, object)
+    hmin = hs[(ty == "view") | (ty == "purchase")].min()
+    hmax = hs[(ty == "view") | (ty == "purchase")].max()
+    n = int(hmax - hmin + 1)
+    v = np.zeros(n, np.int64)
+    p = np.zeros(n, np.int64)
+    for h, t in zip(hs, ty):
+        if t == "view":
+            v[h - hmin] += 1
+        elif t == "purchase":
+            p[h - hmin] += 1
+    for i, L in enumerate(out["lag"]):
+        assert out["dot"][i] == int((v[: n - L] * p[L:]).sum())
