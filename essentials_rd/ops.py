@@ -4420,13 +4420,17 @@ def nra_topk(
                 open_upper = max(open_upper, up)
         if not (done[0] and done[1]):
             open_upper = max(open_upper, last[0] + last[1])
+        resolved.sort(reverse=True)
+        if done[0] and done[1]:
+            # full exhaustion: everything is exact — return what exists
+            # even when fewer than k keys were ever seen
+            return [(-nk, s, va, vb) for s, nk, va, vb in resolved[:k]]
         if len(resolved) < k:
             return None
-        resolved.sort(reverse=True)
         kth = resolved[k - 1][0]
         # strict domination: no unresolved/unseen key can reach the
         # top-k, and no tie with an unresolved bound remains
-        if kth > open_upper or (done[0] and done[1]):
+        if kth > open_upper:
             return [(-nk, s, va, vb) for s, nk, va, vb in resolved[:k]]
         return None
 

@@ -364,3 +364,14 @@ def test_xcorr_planted_lag(tmp_path):
             p[h - hmin] += 1
     for i, L in enumerate(out["lag"]):
         assert out["dot"][i] == int((v[: n - L] * p[L:]).sum())
+
+
+def test_nra_topk_k_exceeds_universe():
+    from essentials_rd.ops import nra_topk
+
+    A = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                "v": pa.array([10, 5], pa.int64())}))
+    B = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                "v": pa.array([7], pa.int64())}))
+    rows, _, _ = nra_topk(A, B, "k", "v", 10)
+    assert rows == [(1, 17, 10, 7), (2, 5, 5, 0)]
