@@ -1640,6 +1640,9 @@ def global_prefix_max(
     def _maxes(t: pa.Table) -> pa.Table:
         p = np_col(t, "part_id")
         v = np_col(t, val_col).astype(np.int64)
+        if not len(p):
+            return pa.table({"p": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64())})
         k, vv = _sorted_kv(p, v)
         first = np.r_[True, k[1:] != k[:-1]]
         starts = np.flatnonzero(first)
