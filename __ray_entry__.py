@@ -14699,6 +14699,83 @@ def _late_events_sql() -> str:
     )
 
 
+def _q_interval_union(sf_dir: str):
+    """Sweep-line interval union — the coverage primitive under
+    calendar/SLA/sensor-uptime analytics: each user's activity span
+    [first hour, last hour] contributes ±1 boundary events, and the
+    union length (hours covered by ≥1 user) plus the peak concurrency
+    fall out of one prefix sum over the SORTED DISTINCT boundary
+    values — the same distributed value-histogram shape as
+    exact_quantiles (the driver sees one row per distinct boundary,
+    never users), so the sweep needs no global sort of raw data.
+    One user-bucketed min/max fold feeds it."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        h = (np.asarray(t.column("ts").cast(pa.int64()))
+             // 3_600_000_000).astype(np.int64)
+        return pa.table({"u": t.column("user_id").cast(pa.int64()),
+                         "h": pa.array(h, pa.int64())})
+
+    spans = grouped_pandas_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        keys=["u"], aggs={"s": ("h", "min"), "e": ("h", "max")})
+
+    def _bounds(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        s = np.asarray(t.column("s"), np.int64)
+        e = np.asarray(t.column("e"), np.int64) + 1  # half-open [s, e+1)
+        b = np.concatenate([s, e])
+        d = np.concatenate([np.ones(len(s), np.int64),
+                            -np.ones(len(e), np.int64)])
+        agg = pd.Series(d).groupby(pd.Series(b)).sum()
+        return pa.table({"b": pa.array(agg.index.to_numpy(np.int64)),
+                         "d": pa.array(agg.to_numpy(np.int64))})
+
+    acc: dict[int, int] = {}
+    for r in spans.map_batches(_bounds, batch_format="pyarrow") \
+            .take_all():
+        acc[int(r["b"])] = acc.get(int(r["b"]), 0) + int(r["d"])
+    bs = sorted(acc)
+    cov = 0
+    peak = 0
+    cur = 0
+    for i, b in enumerate(bs):
+        if cur > 0 and i > 0:
+            cov += b - bs[i - 1]
+        cur += acc[b]
+        peak = max(peak, cur)
+    return pa.table({
+        "union_hours": pa.array([cov], pa.int64()),
+        "peak_concurrency": pa.array([peak], pa.int64()),
+        "n_boundaries": pa.array([len(bs)], pa.int64()),
+    })
+
+
+def _interval_union_sql() -> str:
+    return (
+        "WITH sp AS (SELECT user_id, "
+        "min(epoch_us(ts) // 3600000000) AS s, "
+        "max(epoch_us(ts) // 3600000000) + 1 AS e FROM events "
+        "GROUP BY 1), "
+        "bd AS (SELECT b, sum(d) AS d FROM ("
+        "SELECT s AS b, 1 AS d FROM sp "
+        "UNION ALL SELECT e AS b, -1 AS d FROM sp) GROUP BY 1), "
+        "sw AS (SELECT b, d, "
+        "sum(d) OVER (ORDER BY b) AS cur, "
+        "lead(b) OVER (ORDER BY b) AS nb FROM bd) "
+        "SELECT CAST(COALESCE(sum(CASE WHEN cur > 0 THEN nb - b END), 0) "
+        "AS BIGINT) AS union_hours, "
+        "CAST(max(cur) AS BIGINT) AS peak_concurrency, "
+        "CAST(count(*) AS BIGINT) AS n_boundaries FROM sw"
+    )
+
+
 def _boost_from_hist(hist: dict) -> dict:
     """Shared 2-round deterministic integer boosting over the (band →
     (n_pos, n_neg)) histogram: stump = (threshold t, direction d) with
@@ -17998,6 +18075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_in_triangle": _q_points_in_triangle,
         "xcorr_view_purchase": _q_xcorr,
         "boost_stumps2": _q_boost_stumps,
+        "activity_union_hours": _q_interval_union,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -19549,6 +19627,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "points_in_triangle": _points_in_triangle_sql(),
         "xcorr_view_purchase": _xcorr_sql(),
         "boost_stumps2": _boost_stumps_sql(),
+        "activity_union_hours": _interval_union_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -375,3 +375,40 @@ def test_nra_topk_k_exceeds_universe():
                                 "v": pa.array([7], pa.int64())}))
     rows, _, _ = nra_topk(A, B, "k", "v", 10)
     assert rows == [(1, 17, 10, 7), (2, 5, 5, 0)]
+
+
+def test_interval_union_brute_force(tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(73)
+    rows_u, rows_t = [], []
+    # gappy spans: several disjoint user clusters in time
+    for u in range(30):
+        base = int(rng.integers(0, 5)) * 1000 + int(rng.integers(0, 50))
+        span = int(rng.integers(0, 30))
+        rows_u += [u, u]
+        rows_t += [base * 3_600_000_000,
+                   (base + span) * 3_600_000_000 + 1]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "user_id": pa.array(rows_u, pa.int64()),
+        "ts": pa.array(np.array(rows_t, np.int64), pa.timestamp("us")),
+    }), d / "events.parquet", row_group_size=13)
+    out = e._q_interval_union(str(d)).to_pydict()
+    # brute force over the hour grid
+    spans = {}
+    for u, t in zip(rows_u, rows_t):
+        h = t // 3_600_000_000
+        s, e2 = spans.get(u, (h, h))
+        spans[u] = (min(s, h), max(e2, h))
+    hours = set()
+    conc = {}
+    for s, e2 in spans.values():
+        for h in range(s, e2 + 1):
+            hours.add(h)
+            conc[h] = conc.get(h, 0) + 1
+    assert out["union_hours"] == [len(hours)]
+    assert out["peak_concurrency"] == [max(conc.values())]
