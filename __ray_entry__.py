@@ -14699,6 +14699,87 @@ def _late_events_sql() -> str:
     )
 
 
+def _q_learned_index(sf_dir: str):
+    """Learned-index error bound — the ε every PGM/RMI-style learned
+    index must know before it can replace a B-tree: fit rank ≈ a+b·key
+    over the sorted order keys by EXACT integer OLS (the Cramer
+    machinery) and report the exact maximum scaled residual
+    max|den·rank − (a + b·key)| plus its floor in rank units — the
+    search-window radius a lookup needs.  Ranks come from the
+    distributed global_rank op (range partition + offset prefix, no
+    driver sort); the Gram and residual passes are one streaming scan
+    each with Python-int exactness (SQL twin in HUGEINT)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import global_rank
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+    ranked = global_rank(
+        orders.map_batches(
+            lambda t: pa.table({"k": t.column("o_orderkey")}),
+            batch_format="pyarrow"),
+        "k", [], lambda b: np_col(b, "k")).materialize()
+
+    def _sums(t: pa.Table) -> pa.Table:
+        k = np_col(t, "k")
+        r = np_col(t, "rank")
+        return pa.table({c: pa.array([v], pa.int64()) for c, v in {
+            "n": len(k), "sk": int(k.sum()), "sr": int(r.sum()),
+            "skk": int((k.astype(object) * k.astype(object)).sum()),
+            "skr": int((k.astype(object) * r.astype(object)).sum()),
+        }.items()})
+
+    S = {"n": 0, "sk": 0, "sr": 0, "skk": 0, "skr": 0}
+    for row in ranked.map_batches(_sums, batch_format="pyarrow") \
+            .take_all():
+        for c in S:
+            S[c] += int(row[c])
+    den = S["n"] * S["skk"] - S["sk"] * S["sk"]
+    b = S["n"] * S["skr"] - S["sk"] * S["sr"]
+    a = S["skk"] * S["sr"] - S["sk"] * S["skr"]
+
+    def _maxres(t: pa.Table) -> pa.Table:
+        k = np_col(t, "k")
+        r = np_col(t, "rank")
+        m = 0
+        for i in range(len(k)):
+            m = max(m, abs(den * int(r[i]) - (a + b * int(k[i]))))
+        return pa.table({"m": pa.array([str(m)], pa.string())})
+
+    mx = 0
+    for row in ranked.map_batches(_maxres, batch_format="pyarrow") \
+            .take_all():
+        mx = max(mx, int(row["m"]))
+    eps = mx // den if den > 0 else 0
+    return pa.table({
+        "n_keys": pa.array([S["n"]], pa.int64()),
+        "eps_ranks": pa.array([int(eps)], pa.int64()),
+        "max_res_scaled": pa.array([str(mx)], pa.string()),
+    })
+
+
+def _learned_index_sql() -> str:
+    return (
+        "WITH rk AS (SELECT o_orderkey AS k, "
+        "CAST(row_number() OVER (ORDER BY o_orderkey) AS HUGEINT) AS r "
+        "FROM orders), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "sum(CAST(k AS HUGEINT)) AS sk, sum(r) AS sr, "
+        "sum(CAST(k AS HUGEINT) * k) AS skk, "
+        "sum(CAST(k AS HUGEINT) * r) AS skr FROM rk), "
+        "co AS (SELECT n * skk - sk * sk AS den, "
+        "n * skr - sk * sr AS b, skk * sr - sk * skr AS a, n FROM s), "
+        "res AS (SELECT max(abs(co.den * rk.r "
+        "- (co.a + co.b * rk.k))) AS m FROM rk, co) "
+        "SELECT CAST((SELECT n FROM co) AS BIGINT) AS n_keys, "
+        "CAST((SELECT m FROM res) // (SELECT den FROM co) AS BIGINT) "
+        "AS eps_ranks, "
+        "CAST((SELECT m FROM res) AS VARCHAR) AS max_res_scaled"
+    )
+
+
 def _q_interval_union(sf_dir: str):
     """Sweep-line interval union — the coverage primitive under
     calendar/SLA/sensor-uptime analytics: each user's activity span
@@ -18076,6 +18157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xcorr_view_purchase": _q_xcorr,
         "boost_stumps2": _q_boost_stumps,
         "activity_union_hours": _q_interval_union,
+        "learned_index_eps": _q_learned_index,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -19628,6 +19710,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "xcorr_view_purchase": _xcorr_sql(),
         "boost_stumps2": _boost_stumps_sql(),
         "activity_union_hours": _interval_union_sql(),
+        "learned_index_eps": _learned_index_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -624,3 +624,35 @@ def test_boost_hist_brute_force_and_improvement():
         assert res["e2w"] <= sum(
             p * res["k"] + q * res["k"]
             for p, q in hist.values())  # trivial upper bound
+
+
+def test_learned_index_eps_brute_force(tmp_path):
+    """Exact OLS rank fit + max residual vs numpy lstsq reference, and
+    the epsilon actually bounds every lookup error."""
+    rng = np.random.default_rng(99)
+    # keys with non-uniform gaps so the fit has real error
+    keys = np.unique(np.cumsum(rng.integers(1, 100, 500))).astype(np.int64)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"o_orderkey": pa.array(
+        rng.permutation(keys))}), d / "orders.parquet",
+        row_group_size=47)
+    out = e._q_learned_index(str(d)).to_pydict()
+    n = len(keys)
+    assert out["n_keys"] == [n]
+    r = np.arange(1, n + 1, dtype=np.int64)
+    S = dict(n=n, sk=int(keys.sum()), sr=int(r.sum()),
+             skk=int((keys.astype(object) ** 2).sum()),
+             skr=int((keys.astype(object) * r.astype(object)).sum()))
+    den = S["n"] * S["skk"] - S["sk"] ** 2
+    b = S["n"] * S["skr"] - S["sk"] * S["sr"]
+    a = S["skk"] * S["sr"] - S["sk"] * S["skr"]
+    mx = max(abs(den * int(r[i]) - (a + b * int(keys[i])))
+             for i in range(n))
+    assert out["max_res_scaled"] == [str(mx)]
+    assert out["eps_ranks"] == [mx // den]
+    # epsilon bounds every error of the float least-squares line too
+    # (same line up to rounding): check against numpy predictions
+    bb = np.polyfit(keys.astype(float), r.astype(float), 1)
+    pred = np.polyval(bb, keys.astype(float))
+    assert np.abs(pred - r).max() <= out["eps_ranks"][0] + 1.5
