@@ -14699,6 +14699,93 @@ def _late_events_sql() -> str:
     )
 
 
+def _q_sign_test(sf_dir: str):
+    """Exact sign test — the distribution-free paired-comparison test
+    (the third nonparametric beside the suite's rank-sum and
+    permutation tests): per calendar day, purchase cents vs view
+    cents; days with a strict winner are Bernoulli(½) under the null,
+    and the two-sided p-value is the EXACT binomial tail
+    2·min(P(X≤m), P(X≥m))·... released as the quantized integer
+    ⌊10⁶·Σ_{i≤m∨i≥n−m} C(n,i)/2ⁿ⌋ computed in unbounded Python ints —
+    no normal approximation, no floats; the SQL twin builds the same
+    binomials with a recursive HUGEINT CTE (C(n,i) =
+    C(n,i−1)·(n−i+1)/i, always an exact division).  One bucketed
+    (day, type) cents fold; day count is calendar-small."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def _day(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), object)
+        keep = (et == "view") | (et == "purchase")
+        tt = t.filter(pa.array(keep))
+        et = et[keep]
+        d = (np.asarray(tt.column("ts").cast(pa.int64()))
+             // 86_400_000_000).astype(np.int64)
+        c = np.floor(np.asarray(tt.column("value")) * 100.0
+                     + 0.5).astype(np.int64)
+        isv = (et == "view").astype(np.int64)
+        return pa.table({"d": pa.array(d, pa.int64()),
+                         "v": pa.array(c * isv, pa.int64()),
+                         "p": pa.array(c * (1 - isv), pa.int64())})
+
+    rows = grouped_pandas_agg(
+        ev.map_batches(_day, batch_format="pyarrow"),
+        keys=["d"], aggs={"v": ("v", "sum"), "p": ("p", "sum")}
+    ).take_all()
+    wins = sum(1 for r in rows if int(r["p"]) > int(r["v"]))
+    losses = sum(1 for r in rows if int(r["p"]) < int(r["v"]))
+    n = wins + losses  # strict winners only (ties drop — the sign test rule)
+    m = min(wins, losses)
+    # two-sided exact tail: Σ C(n,i) over i ≤ m and i ≥ n−m
+    binom = [1]
+    for i in range(1, n + 1):
+        binom.append(binom[-1] * (n - i + 1) // i)
+    tail = sum(b for i, b in enumerate(binom)
+               if i <= m or i >= n - m)
+    tail = min(tail, 1 << n)  # cap at 1 (m = n−m double-counts center)
+    pq_ = (1_000_000 * tail) >> n if n else 1_000_000
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "n_purchase_wins": pa.array([wins], pa.int64()),
+        "p_two_sided_q6": pa.array([int(pq_)], pa.int64()),
+    })
+
+
+def _sign_test_sql() -> str:
+    return (
+        "WITH dd AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "sum(CASE WHEN event_type = 'view' THEN "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS v, "
+        "sum(CASE WHEN event_type = 'purchase' THEN "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS p "
+        "FROM events WHERE event_type IN ('view', 'purchase') "
+        "GROUP BY 1), "
+        "wl AS (SELECT CAST(sum(CASE WHEN p > v THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS w, CAST(sum(CASE WHEN p < v THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS l FROM dd), "
+        "nm AS (SELECT w + l AS n, least(w, l) AS m, w FROM wl), "
+        "bn AS (WITH RECURSIVE bc(i, c) AS ("
+        "SELECT 0, CAST(1 AS HUGEINT) "
+        "UNION ALL SELECT i + 1, "
+        "(c * ((SELECT n FROM nm) - i)) // (i + 1) "
+        "FROM bc WHERE i < (SELECT n FROM nm)) "
+        "SELECT i, c FROM bc), "
+        "pw AS (SELECT sum(c) AS p2n FROM bn), "  # Σ C(n,i) = 2ⁿ exactly
+        "tl AS (SELECT least(sum(c), (SELECT p2n FROM pw)) AS t "
+        "FROM bn, nm WHERE bn.i <= nm.m OR bn.i >= nm.n - nm.m) "
+        "SELECT CAST(nm.n AS BIGINT) AS n_days, "
+        "CAST(nm.w AS BIGINT) AS n_purchase_wins, "
+        "CAST(CASE WHEN nm.n = 0 THEN 1000000 ELSE "
+        "(1000000 * tl.t) // (SELECT p2n FROM pw) END AS BIGINT) "
+        "AS p_two_sided_q6 "
+        "FROM nm, tl"
+    )
+
+
 def _q_learned_index(sf_dir: str):
     """Learned-index error bound — the ε every PGM/RMI-style learned
     index must know before it can replace a B-tree: fit rank ≈ a+b·key
@@ -18158,6 +18245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boost_stumps2": _q_boost_stumps,
         "activity_union_hours": _q_interval_union,
         "learned_index_eps": _q_learned_index,
+        "sign_test_daily": _q_sign_test,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -19711,6 +19799,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "boost_stumps2": _boost_stumps_sql(),
         "activity_union_hours": _interval_union_sql(),
         "learned_index_eps": _learned_index_sql(),
+        "sign_test_daily": _sign_test_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

@@ -656,3 +656,47 @@ def test_learned_index_eps_brute_force(tmp_path):
     bb = np.polyfit(keys.astype(float), r.astype(float), 1)
     pred = np.polyval(bb, keys.astype(float))
     assert np.abs(pred - r).max() <= out["eps_ranks"][0] + 1.5
+
+
+def test_sign_test_exact_binomial(tmp_path):
+    """Engine tail vs scipy-free exact binomial on planted win/loss
+    patterns, including the all-wins and balanced cases."""
+    from math import comb
+
+    def build(days_pw, days_vw):
+        # one purchase-win day = purchase 200, view 100; loss reversed
+        rows_ty, rows_ts, rows_v = [], [], []
+        day = 0
+        for _ in range(days_pw):
+            rows_ty += ["purchase", "view"]
+            rows_ts += [day * 86_400_000_000 + 1000,
+                        day * 86_400_000_000 + 2000]
+            rows_v += [2.0, 1.0]
+            day += 1
+        for _ in range(days_vw):
+            rows_ty += ["purchase", "view"]
+            rows_ts += [day * 86_400_000_000 + 1000,
+                        day * 86_400_000_000 + 2000]
+            rows_v += [1.0, 2.0]
+            day += 1
+        return rows_ty, rows_ts, rows_v
+
+    for w, l in [(10, 0), (7, 3), (5, 5), (0, 8), (1, 1)]:
+        ty, ts, v = build(w, l)
+        d = tmp_path / f"sf_{w}_{l}"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "event_type": pa.array(ty, pa.string()),
+            "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+            "value": pa.array(v, pa.float64()),
+        }), d / "events.parquet")
+        out = e._q_sign_test(str(d)).to_pydict()
+        n = w + l
+        m = min(w, l)
+        tail = sum(comb(n, i) for i in range(n + 1)
+                   if i <= m or i >= n - m)
+        tail = min(tail, 1 << n)
+        assert out == {"n_days": [n], "n_purchase_wins": [w],
+                       "p_two_sided_q6": [(1_000_000 * tail) >> n]}
+    # balanced case has p = 1 (q6 = 1e6); extreme case tiny
+    ty, ts, v = build(10, 0)
