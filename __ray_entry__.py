@@ -14699,6 +14699,79 @@ def _late_events_sql() -> str:
     )
 
 
+def _q_herfindahl(sf_dir: str):
+    """Herfindahl–Hirschman concentration index — the antitrust /
+    market-structure scalar: HHI = Σ sᵢ² over nations' revenue shares
+    of the lineitem⋈orders⋈customer trade, released as the exact
+    integer ⌊10⁶·Σrᵢ²/(Σr)²⌋ (Python-int / HUGEINT — no float
+    shares); ≤25 revenue cells leave the distributed fold.  1e6/25 =
+    40000 is the perfectly-even floor; 1e6 is monopoly."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, join
+    from essentials_rd.util import np_col
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = {r["c_custkey"]: r["c_nationkey"]
+            for r in rd.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_nationkey"]).take_all()}
+    import ray
+    cref = ray.put(cust)
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(t.column("l_extendedprice")) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"k": t.column("l_orderkey"),
+                         "c": pa.array(c, pa.int64())})
+
+    per_order = grouped_pandas_agg(
+        li.map_batches(_cents, batch_format="pyarrow"),
+        keys=["k"], aggs={"c": ("c", "sum")})
+
+    def _nat(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        return pa.table({
+            "k": t.column("o_orderkey"),
+            "n": pa.array([cm[x] for x in
+                           t.column("o_custkey").to_pylist()],
+                          pa.int64())})
+
+    j = join(per_order,
+             orders.map_batches(_nat, batch_format="pyarrow"),
+             on="k", broadcast=False)
+    rev: dict[int, int] = {}
+    for r in grouped_pandas_agg(
+            j, keys=["n"], aggs={"c": ("c", "sum")}).take_all():
+        rev[int(r["n"])] = rev.get(int(r["n"]), 0) + int(r["c"])
+    tot = sum(rev.values())
+    hhi = (1_000_000 * sum(v * v for v in rev.values())) // (tot * tot) \
+        if tot else 0
+    return pa.table({
+        "n_nations": pa.array([len(rev)], pa.int64()),
+        "total_cents": pa.array([tot], pa.int64()),
+        "hhi_q6": pa.array([hhi], pa.int64()),
+    })
+
+
+def _herfindahl_sql() -> str:
+    return (
+        "WITH rev AS (SELECT cu.c_nationkey AS n, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) "
+        "AS HUGEINT) AS r "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer cu ON cu.c_custkey = o.o_custkey GROUP BY 1), "
+        "t AS (SELECT sum(r) AS tot, sum(r * r) AS sq, "
+        "count(*) AS k FROM rev) "
+        "SELECT CAST(k AS BIGINT) AS n_nations, "
+        "CAST(tot AS BIGINT) AS total_cents, "
+        "CAST((1000000 * sq) // (tot * tot) AS BIGINT) AS hhi_q6 FROM t"
+    )
+
+
 def _q_sign_test(sf_dir: str):
     """Exact sign test — the distribution-free paired-comparison test
     (the third nonparametric beside the suite's rank-sum and
@@ -18246,6 +18319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_union_hours": _q_interval_union,
         "learned_index_eps": _q_learned_index,
         "sign_test_daily": _q_sign_test,
+        "herfindahl_nations": _q_herfindahl,
         "media_wav_hadamard": _q_wav_hadamard,
         "orders_merkle": _q_orders_merkle,
         "merkle_diff": _q_merkle_diff,
@@ -19800,6 +19874,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "activity_union_hours": _interval_union_sql(),
         "learned_index_eps": _learned_index_sql(),
         "sign_test_daily": _sign_test_sql(),
+        "herfindahl_nations": _herfindahl_sql(),
         "media_wav_hadamard": _wav_hadamard_sql(),
         "orders_merkle": _orders_merkle_sql(),
         "merkle_diff": _merkle_diff_sql(),

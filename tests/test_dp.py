@@ -700,3 +700,38 @@ def test_sign_test_exact_binomial(tmp_path):
                        "p_two_sided_q6": [(1_000_000 * tail) >> n]}
     # balanced case has p = 1 (q6 = 1e6); extreme case tiny
     ty, ts, v = build(10, 0)
+
+
+def test_herfindahl_bounds_and_brute_force(tmp_path):
+    rng = np.random.default_rng(53)
+    n_c, n_o, n_l = 40, 120, 600
+    ck = np.arange(1, n_c + 1, dtype=np.int64)
+    cn = rng.integers(0, 5, n_c).astype(np.int64)
+    ok = np.arange(1, n_o + 1, dtype=np.int64)
+    oc = rng.choice(ck, n_o)
+    lk = rng.choice(ok, n_l)
+    price = rng.integers(100, 10**6, n_l).astype(np.int64)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"l_orderkey": pa.array(lk),
+                             "l_extendedprice": pa.array(price / 100.0)}),
+                   d / "lineitem.parquet")
+    pq.write_table(pa.table({"o_orderkey": pa.array(ok),
+                             "o_custkey": pa.array(oc)}),
+                   d / "orders.parquet")
+    pq.write_table(pa.table({"c_custkey": pa.array(ck),
+                             "c_nationkey": pa.array(cn)}),
+                   d / "customer.parquet")
+    out = e._q_herfindahl(str(d)).to_pydict()
+    import collections
+    rev = collections.Counter()
+    o2n = dict(zip(ok, cn[oc - 1]))
+    for k, p in zip(lk, price):
+        # floor(p/100*100+0.5) round trip == p for integer cents
+        rev[o2n[int(k)]] += int(p)
+    tot = sum(rev.values())
+    want = (1_000_000 * sum(v * v for v in rev.values())) // (tot * tot)
+    assert out["hhi_q6"] == [want]
+    assert out["total_cents"] == [tot]
+    k = out["n_nations"][0]
+    assert 1_000_000 // k <= want <= 1_000_000  # HHI bounds
