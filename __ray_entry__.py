@@ -16909,6 +16909,178 @@ def _chi2_tokens_sql() -> str:
     )
 
 
+def _q_stable_matching(sf_dir: str):
+    """Gale–Shapley stable matching with an exhaustive certificate —
+    the deferred-acceptance algorithm (Nobel-cited market design) on
+    data-derived preferences: regions 0–3 propose to the 4
+    lowest-priority classes, both sides ranking the other by the
+    (region, priority) order-count matrix (count desc, index asc).
+    The engine runs actual deferred acceptance; the SQL twin — which
+    cannot express the proposal rounds — enumerates ALL 24 perfect
+    matchings, keeps the STABLE ones (no blocking pair), and selects
+    the proposer-optimal by lexicographic proposer-rank minimization
+    (pointwise-minimal for every proposer, hence the lexicographic
+    min — the matching GS provably returns).  A hash match certifies
+    both stability and proposer-optimality of the engine's output;
+    the engine asserts them too.  The distributed piece is the
+    orders⋈customer⋈nation cell fold."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, join
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nat = {r["n_nationkey"]: r["n_regionkey"]
+           for r in rd.read_parquet(
+               f"{sf_dir}/nation.parquet",
+               columns=["n_nationkey", "n_regionkey"]).take_all()}
+
+    co = join(
+        orders.map_batches(
+            lambda t: pa.table({"k": t.column("o_custkey"),
+                                "prio": t.column("o_orderpriority")}),
+            batch_format="pyarrow"),
+        cust.map_batches(
+            lambda t: pa.table({
+                "k": t.column("c_custkey"),
+                "r": pa.array([nat[x] for x in
+                               t.column("c_nationkey").to_pylist()],
+                              pa.int64())}),
+            batch_format="pyarrow"),
+        on="k", how="inner", broadcast=False)
+    cells: dict[tuple, int] = {}
+    for row in grouped_pandas_agg(
+            co.map_batches(
+                lambda t: pa.table({"r": t.column("r"),
+                                    "prio": t.column("prio"),
+                                    "one": pa.array(
+                                        np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            keys=["r", "prio"], aggs={"n": ("one", "sum")},
+            key_fn=lambda b: np_col(b, "r")).take_all():
+        key = (int(row["r"]), row["prio"])
+        cells[key] = cells.get(key, 0) + int(row["n"])
+
+    prios = sorted({p for (r, p) in cells if r < 4})[:4]
+    R = 4
+    cnt = [[cells.get((r, prios[p]), 0) for p in range(4)]
+           for r in range(R)]
+    # proposer r prefers receivers by (count desc, index asc)
+    pref_r = [sorted(range(4), key=lambda p: (-cnt[r][p], p))
+              for r in range(R)]
+    # receiver p prefers proposers by (count desc, index asc)
+    rank_p = []
+    for p in range(4):
+        order = sorted(range(R), key=lambda r: (-cnt[r][p], r))
+        rk = [0] * R
+        for pos, r in enumerate(order):
+            rk[r] = pos
+        rank_p.append(rk)
+
+    # deferred acceptance (proposer-optimal)
+    nxt = [0] * R
+    match_p = [-1] * 4
+    free = list(range(R))
+    while free:
+        r = free.pop(0)
+        p = pref_r[r][nxt[r]]
+        nxt[r] += 1
+        if match_p[p] == -1:
+            match_p[p] = r
+        elif rank_p[p][r] < rank_p[p][match_p[p]]:
+            free.append(match_p[p])
+            match_p[p] = r
+        else:
+            free.append(r)
+    match_r = [-1] * R
+    for p, r in enumerate(match_p):
+        match_r[r] = p
+
+    # certificate: stability + proposer-optimality via enumeration
+    from itertools import permutations
+
+    def stable(perm):
+        for r in range(R):
+            for p in range(4):
+                if perm[r] == p:
+                    continue
+                # blocking pair: r prefers p to perm[r] AND p prefers r
+                if (pref_r[r].index(p) < pref_r[r].index(perm[r])
+                        and rank_p[p][r] < rank_p[p][
+                            next(rr for rr in range(R)
+                                 if perm[rr] == p)]):
+                    return True  # blocked
+        return False
+
+    best = min((tuple(pref_r[r].index(perm[r]) for r in range(R)), perm)
+               for perm in permutations(range(4)) if not stable(perm))
+    assert tuple(best[1]) == tuple(match_r), (best, match_r)
+
+    return pa.table({
+        "region": pa.array(list(range(R)), pa.int64()),
+        "matched_prio": pa.array([prios[p] for p in match_r],
+                                 pa.string()),
+        "proposer_rank": pa.array(
+            [pref_r[r].index(match_r[r]) for r in range(R)], pa.int64()),
+    })
+
+
+def _stable_matching_sql() -> str:
+    from itertools import permutations
+
+    perms = list(permutations(range(4)))
+    vals = ", ".join(
+        f"({pid}, {r}, {p})"
+        for pid, perm in enumerate(perms) for r, p in enumerate(perm))
+    return (
+        "WITH cells AS (SELECT n.n_regionkey AS r, o.o_orderpriority "
+        "AS prio, CAST(count(*) AS BIGINT) AS c FROM orders o "
+        "JOIN customer cu ON cu.c_custkey = o.o_custkey "
+        "JOIN nation n ON n.n_nationkey = cu.c_nationkey "
+        "WHERE n.n_regionkey < 4 GROUP BY 1, 2), "
+        "pr AS (SELECT prio, dense_rank() OVER (ORDER BY prio) - 1 "
+        "AS pi FROM (SELECT DISTINCT prio FROM cells) "
+        "QUALIFY pi < 4), "
+        "cm AS (SELECT c.r, p.pi, c.c FROM cells c "
+        "JOIN pr p ON p.prio = c.prio), "
+        # proposer rank of receiver pi for region r: position in
+        # (count desc, pi asc) order
+        "prk AS (SELECT r, pi, row_number() OVER (PARTITION BY r "
+        "ORDER BY c DESC, pi) - 1 AS rk FROM cm), "
+        "rrk AS (SELECT pi, r, row_number() OVER (PARTITION BY pi "
+        "ORDER BY c DESC, r) - 1 AS rk FROM cm), "
+        f"perm(pid, r, pi) AS (VALUES {vals}), "
+        # blocking pair: r prefers p' over its match AND p' prefers r
+        "blocked AS (SELECT DISTINCT pm.pid FROM perm pm "
+        "JOIN prk a ON a.r = pm.r AND a.pi = pm.pi "
+        "JOIN prk b ON b.r = pm.r AND b.rk < a.rk "
+        "JOIN rrk x ON x.pi = b.pi AND x.r = pm.r "
+        "JOIN perm pm2 ON pm2.pid = pm.pid AND pm2.pi = b.pi "
+        "JOIN rrk y ON y.pi = b.pi AND y.r = pm2.r "
+        "WHERE x.rk < y.rk), "
+        "stab AS (SELECT pid FROM (SELECT DISTINCT pid FROM perm) "
+        "WHERE pid NOT IN (SELECT pid FROM blocked)), "
+        "scored AS (SELECT pm.pid, "
+        "max(CASE WHEN pm.r = 0 THEN a.rk END) AS k0, "
+        "max(CASE WHEN pm.r = 1 THEN a.rk END) AS k1, "
+        "max(CASE WHEN pm.r = 2 THEN a.rk END) AS k2, "
+        "max(CASE WHEN pm.r = 3 THEN a.rk END) AS k3 "
+        "FROM perm pm JOIN prk a ON a.r = pm.r AND a.pi = pm.pi "
+        "WHERE pm.pid IN (SELECT pid FROM stab) GROUP BY 1), "
+        "best AS (SELECT pid FROM scored "
+        "ORDER BY k0, k1, k2, k3 LIMIT 1) "
+        "SELECT CAST(pm.r AS BIGINT) AS region, p.prio AS matched_prio, "
+        "CAST(a.rk AS BIGINT) AS proposer_rank "
+        "FROM perm pm JOIN best ON pm.pid = best.pid "
+        "JOIN pr p ON p.pi = pm.pi "
+        "JOIN prk a ON a.r = pm.r AND a.pi = pm.pi "
+        "ORDER BY region"
+    )
+
+
 def _q_bip_matching(sf_dir: str):
     """Bipartite maximum matching with an exhaustive certificate —
     the assignment primitive on the region × order-priority incidence:
@@ -18294,6 +18466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hash_users": _q_feature_hash,
         "seq_pair_support": _q_seq_support,
         "bip_matching_regions": _q_bip_matching,
+        "stable_matching_regions": _q_stable_matching,
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
         "nra_topk_parts": _q_nra_topk,
@@ -19849,6 +20022,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "feature_hash_users": _feature_hash_sql(),
         "seq_pair_support": _seq_support_sql(),
         "bip_matching_regions": _bip_matching_sql(),
+        "stable_matching_regions": _stable_matching_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),
         "nra_topk_parts": _nra_topk_sql(),

@@ -735,3 +735,57 @@ def test_herfindahl_bounds_and_brute_force(tmp_path):
     assert out["total_cents"] == [tot]
     k = out["n_nations"][0]
     assert 1_000_000 // k <= want <= 1_000_000  # HHI bounds
+
+
+def test_gale_shapley_certificate_random():
+    """Deferred acceptance equals the enumeration-based
+    proposer-optimal stable matching on random 4x4 preference
+    matrices (the certificate the oracle twin relies on)."""
+    from itertools import permutations
+
+    rng = np.random.default_rng(57)
+    for _ in range(60):
+        cnt = rng.integers(0, 100, (4, 4)).tolist()
+        pref_r = [sorted(range(4), key=lambda p: (-cnt[r][p], p))
+                  for r in range(4)]
+        rank_p = []
+        for p in range(4):
+            order = sorted(range(4), key=lambda r: (-cnt[r][p], r))
+            rk = [0] * 4
+            for pos, r in enumerate(order):
+                rk[r] = pos
+            rank_p.append(rk)
+        nxt = [0] * 4
+        match_p = [-1] * 4
+        free = [0, 1, 2, 3]
+        while free:
+            r = free.pop(0)
+            p = pref_r[r][nxt[r]]
+            nxt[r] += 1
+            if match_p[p] == -1:
+                match_p[p] = r
+            elif rank_p[p][r] < rank_p[p][match_p[p]]:
+                free.append(match_p[p])
+                match_p[p] = r
+            else:
+                free.append(r)
+        match_r = [0] * 4
+        for p, r in enumerate(match_p):
+            match_r[r] = p
+
+        def blocked(perm):
+            inv = {perm[r]: r for r in range(4)}
+            for r in range(4):
+                for p in range(4):
+                    if perm[r] != p and \
+                       pref_r[r].index(p) < pref_r[r].index(perm[r]) \
+                       and rank_p[p][r] < rank_p[p][inv[p]]:
+                        return True
+            return False
+
+        stable_set = [perm for perm in permutations(range(4))
+                      if not blocked(perm)]
+        assert tuple(match_r) in [tuple(s) for s in stable_set]
+        best = min((tuple(pref_r[r].index(perm[r]) for r in range(4)),
+                    perm) for perm in stable_set)
+        assert tuple(best[1]) == tuple(match_r)
