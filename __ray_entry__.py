@@ -16909,21 +16909,10 @@ def _chi2_tokens_sql() -> str:
     )
 
 
-def _q_stable_matching(sf_dir: str):
-    """Gale–Shapley stable matching with an exhaustive certificate —
-    the deferred-acceptance algorithm (Nobel-cited market design) on
-    data-derived preferences: regions 0–3 propose to the 4
-    lowest-priority classes, both sides ranking the other by the
-    (region, priority) order-count matrix (count desc, index asc).
-    The engine runs actual deferred acceptance; the SQL twin — which
-    cannot express the proposal rounds — enumerates ALL 24 perfect
-    matchings, keeps the STABLE ones (no blocking pair), and selects
-    the proposer-optimal by lexicographic proposer-rank minimization
-    (pointwise-minimal for every proposer, hence the lexicographic
-    min — the matching GS provably returns).  A hash match certifies
-    both stability and proposer-optimality of the engine's output;
-    the engine asserts them too.  The distributed piece is the
-    orders⋈customer⋈nation cell fold."""
+def _region_prio_cells(sf_dir: str) -> dict:
+    """Shared distributed fold: (region, priority) → order count via
+    the orders⋈customer⋈nation partitioned join (≤25 cell partials
+    leave each block).  Feeds the matching/assignment family."""
     import ray.data as rd
 
     from essentials_rd.ops import grouped_pandas_agg, join
@@ -16937,7 +16926,6 @@ def _q_stable_matching(sf_dir: str):
            for r in rd.read_parquet(
                f"{sf_dir}/nation.parquet",
                columns=["n_nationkey", "n_regionkey"]).take_all()}
-
     co = join(
         orders.map_batches(
             lambda t: pa.table({"k": t.column("o_custkey"),
@@ -16963,7 +16951,145 @@ def _q_stable_matching(sf_dir: str):
             key_fn=lambda b: np_col(b, "r")).take_all():
         key = (int(row["r"]), row["prio"])
         cells[key] = cells.get(key, 0) + int(row["n"])
+    return cells
 
+
+def _hungarian_min(cost: list) -> list:
+    """Kuhn–Munkres O(n³) assignment (potentials + augmenting paths,
+    the classic shortest-augmenting-path formulation): returns the
+    column matched to each row of the square integer cost matrix,
+    minimizing total cost.  Used by assignment queries with the
+    all-permutations SQL certificate."""
+    n = len(cost)
+    INF = float("inf")
+    u = [0] * (n + 1)
+    v = [0] * (n + 1)
+    p = [0] * (n + 1)   # p[j] = row matched to column j (1-based)
+    way = [0] * (n + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = [INF] * (n + 1)
+        used = [False] * (n + 1)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = -1
+            for j in range(1, n + 1):
+                if not used[j]:
+                    cur = cost[i0 - 1][j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    match = [0] * n
+    for j in range(1, n + 1):
+        match[p[j] - 1] = j - 1
+    return match
+
+
+def _q_assignment(sf_dir: str):
+    """Min-cost assignment via the Hungarian algorithm (Kuhn–Munkres,
+    potentials + shortest augmenting paths) with an exhaustive
+    certificate: regions 0–3 each take a DISTINCT one of the 4 lowest
+    priorities maximizing total captured orders (cost = rowmax −
+    count, so min-cost ≡ max-coverage); the SQL twin — which cannot
+    express potentials — maximizes Σcount over all 24 permutations
+    with deterministic ties (total desc, perm id asc), so the hash
+    match proves KM found the true optimum (the engine asserts it
+    too).  Distributed piece: the orders⋈customer⋈nation cell fold."""
+    cells = _region_prio_cells(sf_dir)
+    prios = sorted({p for (r, p) in cells if r < 4})[:4]
+    cnt = [[cells.get((r, prios[p]), 0) for p in range(4)]
+           for r in range(4)]
+    mx = max(max(row) for row in cnt)
+    cost = [[mx - cnt[r][p] for p in range(4)] for r in range(4)]
+    match = _hungarian_min(cost)
+    total = sum(cnt[r][match[r]] for r in range(4))
+
+    from itertools import permutations
+    best = max((sum(cnt[r][perm[r]] for r in range(4)), pid)
+               for pid, perm in enumerate(permutations(range(4))))
+    # perm-id tie-break is only for the released table, totals must agree
+    assert best[0] == total, (best, total)
+    perms = list(permutations(range(4)))
+    rel = min(pid for pid, perm in enumerate(perms)
+              if sum(cnt[r][perm[r]] for r in range(4)) == total)
+    relp = perms[rel]
+    return pa.table({
+        "region": pa.array(list(range(4)), pa.int64()),
+        "assigned_prio": pa.array([prios[relp[r]] for r in range(4)],
+                                  pa.string()),
+        "captured": pa.array([cnt[r][relp[r]] for r in range(4)],
+                             pa.int64()),
+        "total": pa.array([total] * 4, pa.int64()),
+    })
+
+
+def _assignment_sql() -> str:
+    from itertools import permutations
+
+    perms = list(permutations(range(4)))
+    vals = ", ".join(
+        f"({pid}, {r}, {p})"
+        for pid, perm in enumerate(perms) for r, p in enumerate(perm))
+    return (
+        "WITH cells AS (SELECT n.n_regionkey AS r, o.o_orderpriority "
+        "AS prio, CAST(count(*) AS BIGINT) AS c FROM orders o "
+        "JOIN customer cu ON cu.c_custkey = o.o_custkey "
+        "JOIN nation n ON n.n_nationkey = cu.c_nationkey "
+        "WHERE n.n_regionkey < 4 GROUP BY 1, 2), "
+        "pr AS (SELECT prio, dense_rank() OVER (ORDER BY prio) - 1 "
+        "AS pi FROM (SELECT DISTINCT prio FROM cells) QUALIFY pi < 4), "
+        "cm AS (SELECT c.r, p.pi, c.c FROM cells c "
+        "JOIN pr p ON p.prio = c.prio), "
+        f"perm(pid, r, pi) AS (VALUES {vals}), "
+        "tot AS (SELECT pm.pid, sum(COALESCE(cm.c, 0)) AS t "
+        "FROM perm pm LEFT JOIN cm ON cm.r = pm.r AND cm.pi = pm.pi "
+        "GROUP BY 1), "
+        "best AS (SELECT pid, t FROM tot ORDER BY t DESC, pid LIMIT 1) "
+        "SELECT CAST(pm.r AS BIGINT) AS region, p.prio AS assigned_prio, "
+        "CAST(COALESCE(cm.c, 0) AS BIGINT) AS captured, "
+        "CAST(b.t AS BIGINT) AS total "
+        "FROM perm pm JOIN best b ON pm.pid = b.pid "
+        "JOIN pr p ON p.pi = pm.pi "
+        "LEFT JOIN cm ON cm.r = pm.r AND cm.pi = pm.pi "
+        "ORDER BY region"
+    )
+
+
+def _q_stable_matching(sf_dir: str):
+    """Gale–Shapley stable matching with an exhaustive certificate —
+    the deferred-acceptance algorithm (Nobel-cited market design) on
+    data-derived preferences: regions 0–3 propose to the 4
+    lowest-priority classes, both sides ranking the other by the
+    (region, priority) order-count matrix (count desc, index asc).
+    The engine runs actual deferred acceptance; the SQL twin — which
+    cannot express the proposal rounds — enumerates ALL 24 perfect
+    matchings, keeps the STABLE ones (no blocking pair), and selects
+    the proposer-optimal by lexicographic proposer-rank minimization
+    (pointwise-minimal for every proposer, hence the lexicographic
+    min — the matching GS provably returns).  A hash match certifies
+    both stability and proposer-optimality of the engine's output;
+    the engine asserts them too.  The distributed piece is the
+    orders⋈customer⋈nation cell fold."""
+    cells = _region_prio_cells(sf_dir)
     prios = sorted({p for (r, p) in cells if r < 4})[:4]
     R = 4
     cnt = [[cells.get((r, prios[p]), 0) for p in range(4)]
@@ -18467,6 +18593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pair_support": _q_seq_support,
         "bip_matching_regions": _q_bip_matching,
         "stable_matching_regions": _q_stable_matching,
+        "hungarian_assignment": _q_assignment,
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
         "nra_topk_parts": _q_nra_topk,
@@ -20023,6 +20150,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "seq_pair_support": _seq_support_sql(),
         "bip_matching_regions": _bip_matching_sql(),
         "stable_matching_regions": _stable_matching_sql(),
+        "hungarian_assignment": _assignment_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),
         "nra_topk_parts": _nra_topk_sql(),

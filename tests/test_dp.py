@@ -789,3 +789,18 @@ def test_gale_shapley_certificate_random():
         best = min((tuple(pref_r[r].index(perm[r]) for r in range(4)),
                     perm) for perm in stable_set)
         assert tuple(best[1]) == tuple(match_r)
+
+
+def test_hungarian_equals_enumeration_random():
+    from itertools import permutations
+
+    rng = np.random.default_rng(67)
+    for n in (2, 3, 4, 5):
+        for _ in range(40):
+            cost = rng.integers(0, 50, (n, n)).tolist()
+            m = e._hungarian_min(cost)
+            assert sorted(m) == list(range(n))  # a permutation
+            got = sum(cost[i][m[i]] for i in range(n))
+            best = min(sum(cost[i][perm[i]] for i in range(n))
+                       for perm in permutations(range(n)))
+            assert got == best
