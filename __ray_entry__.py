@@ -16909,6 +16909,66 @@ def _chi2_tokens_sql() -> str:
     )
 
 
+EG_K = 10
+
+
+def _q_erdos_gallai(sf_dir: str):
+    """Erdős–Gallai graphicality audit — the degree-sequence theorem
+    as a data-quality check: for k = 1..10 over the co-purchase
+    graph's DESCENDING degree sequence, lhs = Σ_{i≤k} dᵢ must satisfy
+    lhs ≤ k(k−1) + Σ_{i>k} min(dᵢ, k); an actual graph always passes,
+    and the SLACK per k is the hub-concentration profile (how far the
+    head sits from the theoretical packing bound).  Everything
+    derives from the driver-small degree HISTOGRAM (the repo's
+    documented O(|V|) allowance) — top-k degrees and the capped tail
+    sum need no row-level sort; SQL twin uses ranked window sums."""
+    g, _ = _graph(sf_dir)
+    import ray
+
+    from essentials_rd.util import np_col
+
+    vids = ray.get(g.vertex_ids_ref)
+    deg = np.zeros(len(vids), np.int64)
+    for t in ray.get(list(g.degree_refs)):
+        pos = np.searchsorted(vids, np_col(t, "vid"))
+        deg[pos] += np_col(t, "outdeg")
+    d = np.sort(deg)[::-1]
+    pre = np.cumsum(d)
+    ks, lhs_, rhs_, slack = [], [], [], []
+    for k in range(1, EG_K + 1):
+        lhs = int(pre[k - 1])
+        tail = d[k:]
+        rhs = k * (k - 1) + int(np.minimum(tail, k).sum())
+        ks.append(k)
+        lhs_.append(lhs)
+        rhs_.append(rhs)
+        slack.append(rhs - lhs)
+        assert rhs >= lhs  # the theorem: real degree sequences pass
+    return pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "lhs": pa.array(lhs_, pa.int64()),
+        "rhs": pa.array(rhs_, pa.int64()),
+        "slack": pa.array(slack, pa.int64()),
+    })
+
+
+def _erdos_gallai_sql() -> str:
+    return (
+        f"WITH {_GRAPH_CTES}, "
+        "ds AS (SELECT outdeg AS d, row_number() OVER ("
+        "ORDER BY outdeg DESC, vid) AS i FROM deg), "
+        f"ks AS (SELECT unnest(range(1, {EG_K + 1})) AS k) "
+        "SELECT k, "
+        "CAST((SELECT sum(d) FROM ds WHERE i <= k) AS BIGINT) AS lhs, "
+        "CAST(k * (k - 1) + (SELECT COALESCE(sum(least(d, k)), 0) "
+        "FROM ds WHERE i > k) AS BIGINT) AS rhs, "
+        "CAST(k * (k - 1) + (SELECT COALESCE(sum(least(d, k)), 0) "
+        "FROM ds WHERE i > k) "
+        "- (SELECT sum(d) FROM ds WHERE i <= k) AS BIGINT) AS slack "
+        "FROM ks ORDER BY k"
+    )
+
+
 def _region_prio_cells(sf_dir: str) -> dict:
     """Shared distributed fold: (region, priority) → order count via
     the orders⋈customer⋈nation partitioned join (≤25 cell partials
@@ -18594,6 +18654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bip_matching_regions": _q_bip_matching,
         "stable_matching_regions": _q_stable_matching,
         "hungarian_assignment": _q_assignment,
+        "erdos_gallai_audit": _q_erdos_gallai,
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
         "nra_topk_parts": _q_nra_topk,
@@ -20151,6 +20212,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "bip_matching_regions": _bip_matching_sql(),
         "stable_matching_regions": _stable_matching_sql(),
         "hungarian_assignment": _assignment_sql(),
+        "erdos_gallai_audit": _erdos_gallai_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),
         "nra_topk_parts": _nra_topk_sql(),

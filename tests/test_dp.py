@@ -804,3 +804,34 @@ def test_hungarian_equals_enumeration_random():
             best = min(sum(cost[i][perm[i]] for i in range(n))
                        for perm in permutations(range(n)))
             assert got == best
+
+
+def test_erdos_gallai_on_synthetic_sequences():
+    """The per-k inequality evaluation matches a direct implementation
+    and correctly FAILS for a non-graphical sequence."""
+    def eg(d, k):
+        d = sorted(d, reverse=True)
+        lhs = sum(d[:k])
+        rhs = k * (k - 1) + sum(min(x, k) for x in d[k:])
+        return lhs, rhs
+
+    # star graph K_{1,5}: degrees [5,1,1,1,1,1] — graphical
+    d = [5, 1, 1, 1, 1, 1]
+    for k in range(1, 6):
+        lhs, rhs = eg(d, k)
+        assert lhs <= rhs
+    # non-graphical: [6,1,1,1,1,1] (sum odd AND head too big)
+    bad = [6, 1, 1, 1, 1, 1]
+    assert any(eg(bad, k)[0] > eg(bad, k)[1] for k in range(1, 6))
+    # random graphical sequences (built from actual random graphs)
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        n = 30
+        deg = np.zeros(n, np.int64)
+        for _e in range(100):
+            i, j = rng.choice(n, 2, replace=False)
+            deg[i] += 1
+            deg[j] += 1
+        for k in range(1, 11):
+            lhs, rhs = eg(deg.tolist(), k)
+            assert lhs <= rhs
