@@ -16909,6 +16909,57 @@ def _chi2_tokens_sql() -> str:
     )
 
 
+def _q_borda(sf_dir: str):
+    """Borda count — the classic positional voting rule (social
+    choice): each of the 5 regions ranks the 5 priorities by its own
+    order counts (count desc, priority asc) and awards 4,3,2,1,0
+    points down its ballot; priorities total their points and the
+    Borda winner is (points desc, priority asc).  One shared
+    _region_prio_cells distributed fold; ballots are driver-small by
+    construction.  SQL twin ranks per region with a window and sums
+    positional points."""
+    cells = _region_prio_cells(sf_dir)
+    regions = sorted({r for (r, _p) in cells})
+    prios = sorted({p for (_r, p) in cells})
+    P = len(prios)
+    pts: dict[str, int] = {p: 0 for p in prios}
+    for r in regions:
+        ballot = sorted(prios,
+                        key=lambda p: (-cells.get((r, p), 0), p))
+        for pos, p in enumerate(ballot):
+            pts[p] += (P - 1) - pos
+    rows = sorted(pts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.table({
+        "priority": pa.array([p for p, _ in rows], pa.string()),
+        "borda_points": pa.array([v for _, v in rows], pa.int64()),
+        "is_winner": pa.array([int(i == 0) for i in range(len(rows))],
+                              pa.int64()),
+    })
+
+
+def _borda_sql() -> str:
+    return (
+        "WITH cells AS (SELECT n.n_regionkey AS r, o.o_orderpriority "
+        "AS prio, CAST(count(*) AS BIGINT) AS c FROM orders o "
+        "JOIN customer cu ON cu.c_custkey = o.o_custkey "
+        "JOIN nation n ON n.n_nationkey = cu.c_nationkey GROUP BY 1, 2), "
+        "uni AS (SELECT r.r, p.prio, COALESCE(c.c, 0) AS c FROM "
+        "(SELECT DISTINCT r FROM cells) r CROSS JOIN "
+        "(SELECT DISTINCT prio FROM cells) p "
+        "LEFT JOIN cells c ON c.r = r.r AND c.prio = p.prio), "
+        "np_ AS (SELECT count(DISTINCT prio) AS np FROM cells), "
+        "rk AS (SELECT r, prio, row_number() OVER (PARTITION BY r "
+        "ORDER BY c DESC, prio) AS pos FROM uni), "
+        "pts AS (SELECT prio, CAST(sum((SELECT np FROM np_) - pos) "
+        "AS BIGINT) AS borda_points FROM rk GROUP BY 1), "
+        "fin AS (SELECT prio AS priority, borda_points, row_number() "
+        "OVER (ORDER BY borda_points DESC, prio) AS rn FROM pts) "
+        "SELECT priority, borda_points, "
+        "CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_winner "
+        "FROM fin ORDER BY borda_points DESC, priority"
+    )
+
+
 EG_K = 10
 
 
@@ -18655,6 +18706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stable_matching_regions": _q_stable_matching,
         "hungarian_assignment": _q_assignment,
         "erdos_gallai_audit": _q_erdos_gallai,
+        "borda_priority_vote": _q_borda,
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
         "nra_topk_parts": _q_nra_topk,
@@ -20213,6 +20265,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "stable_matching_regions": _stable_matching_sql(),
         "hungarian_assignment": _assignment_sql(),
         "erdos_gallai_audit": _erdos_gallai_sql(),
+        "borda_priority_vote": _borda_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),
         "nra_topk_parts": _nra_topk_sql(),
