@@ -16909,6 +16909,70 @@ def _chi2_tokens_sql() -> str:
     )
 
 
+def _q_condorcet(sf_dir: str):
+    """Condorcet pairwise-majority analysis — Borda's classical rival
+    in social choice: for every ordered priority pair (a, b), the
+    number of region ballots ranking a above b (ballots = the shared
+    _region_prio_cells counts, count desc / priority asc per region);
+    a Condorcet winner beats every rival on a strict majority of
+    ballots, and the query flags whether one exists (the Condorcet
+    paradox — cyclic majorities — is the no-winner case).  25 pairwise
+    cells, driver-small; SQL twin ranks per region and counts
+    rank-inversions per pair."""
+    cells = _region_prio_cells(sf_dir)
+    regions = sorted({r for (r, _p) in cells})
+    prios = sorted({p for (_r, p) in cells})
+    wins: dict[tuple, int] = {}
+    for r in regions:
+        rank = {p: i for i, p in enumerate(
+            sorted(prios, key=lambda p: (-cells.get((r, p), 0), p)))}
+        for a in prios:
+            for b in prios:
+                if a != b and rank[a] < rank[b]:
+                    wins[(a, b)] = wins.get((a, b), 0) + 1
+    nr = len(regions)
+    winner = ""
+    for a in prios:
+        if all(wins.get((a, b), 0) * 2 > nr
+               for b in prios if b != a):
+            winner = a
+            break
+    rows = [(a, b, wins.get((a, b), 0))
+            for a in prios for b in prios if a != b]
+    return pa.table({
+        "a": pa.array([r[0] for r in rows], pa.string()),
+        "b": pa.array([r[1] for r in rows], pa.string()),
+        "a_over_b": pa.array([r[2] for r in rows], pa.int64()),
+        "condorcet_winner": pa.array([winner] * len(rows), pa.string()),
+    })
+
+
+def _condorcet_sql() -> str:
+    return (
+        "WITH cells AS (SELECT n.n_regionkey AS r, o.o_orderpriority "
+        "AS prio, CAST(count(*) AS BIGINT) AS c FROM orders o "
+        "JOIN customer cu ON cu.c_custkey = o.o_custkey "
+        "JOIN nation n ON n.n_nationkey = cu.c_nationkey GROUP BY 1, 2), "
+        "uni AS (SELECT r.r, p.prio, COALESCE(c.c, 0) AS c FROM "
+        "(SELECT DISTINCT r FROM cells) r CROSS JOIN "
+        "(SELECT DISTINCT prio FROM cells) p "
+        "LEFT JOIN cells c ON c.r = r.r AND c.prio = p.prio), "
+        "rk AS (SELECT r, prio, row_number() OVER (PARTITION BY r "
+        "ORDER BY c DESC, prio) AS pos FROM uni), "
+        "pw AS (SELECT a.prio AS a, b.prio AS b, "
+        "CAST(sum(CASE WHEN a.pos < b.pos THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS a_over_b FROM rk a JOIN rk b ON b.r = a.r "
+        "AND b.prio <> a.prio GROUP BY 1, 2), "
+        "nr AS (SELECT count(DISTINCT r) AS n FROM cells), "
+        "cw AS (SELECT COALESCE(min(a), '') AS w FROM ("
+        "SELECT a FROM pw, nr GROUP BY a, nr.n "
+        "HAVING min(2 * a_over_b - n) > 0)) "
+        "SELECT pw.a, pw.b, pw.a_over_b, "
+        "(SELECT w FROM cw) AS condorcet_winner FROM pw "
+        "ORDER BY 1, 2"
+    )
+
+
 def _q_borda(sf_dir: str):
     """Borda count — the classic positional voting rule (social
     choice): each of the 5 regions ranks the 5 priorities by its own
@@ -18707,6 +18771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hungarian_assignment": _q_assignment,
         "erdos_gallai_audit": _q_erdos_gallai,
         "borda_priority_vote": _q_borda,
+        "condorcet_priority": _q_condorcet,
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
         "nra_topk_parts": _q_nra_topk,
@@ -20266,6 +20331,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "hungarian_assignment": _assignment_sql(),
         "erdos_gallai_audit": _erdos_gallai_sql(),
         "borda_priority_vote": _borda_sql(),
+        "condorcet_priority": _condorcet_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),
         "nra_topk_parts": _nra_topk_sql(),

@@ -835,3 +835,30 @@ def test_erdos_gallai_on_synthetic_sequences():
         for k in range(1, 11):
             lhs, rhs = eg(deg.tolist(), k)
             assert lhs <= rhs
+
+
+def test_condorcet_winner_and_paradox():
+    """The pairwise logic (as in condorcet_priority) finds the winner
+    when one exists and reports none on the classic rock-paper-
+    scissors cycle."""
+    def run(ballots, cands):
+        wins = {}
+        for ballot in ballots:
+            rank = {p: i for i, p in enumerate(ballot)}
+            for a in cands:
+                for b in cands:
+                    if a != b and rank[a] < rank[b]:
+                        wins[(a, b)] = wins.get((a, b), 0) + 1
+        nr = len(ballots)
+        for a in sorted(cands):
+            if all(wins.get((a, b), 0) * 2 > nr
+                   for b in cands if b != a):
+                return a
+        return ""
+
+    # clear winner: 'x' tops 2 of 3 ballots and beats all pairwise
+    assert run([["x", "y", "z"], ["x", "z", "y"], ["y", "x", "z"]],
+               ["x", "y", "z"]) == "x"
+    # Condorcet paradox: cyclic majorities → no winner
+    assert run([["a", "b", "c"], ["b", "c", "a"], ["c", "a", "b"]],
+               ["a", "b", "c"]) == ""
