@@ -16909,6 +16909,112 @@ def _chi2_tokens_sql() -> str:
     )
 
 
+def _q_simpson(sf_dir: str):
+    """Simpson's-paradox audit — the aggregation-reversal check every
+    observational analysis should run before trusting a pooled trend:
+    the sign of each nation's qty→price-cents slope numerator
+    n·Σxy − Σx·Σy (an exact integer — no division needed for sign)
+    versus the POOLED slope numerator over all nations; the audit
+    reports how many groups agree/disagree with the pooled direction
+    and flags a full reversal (pooled sign opposite to every group).
+    One grouped_comoments bucketed fold (per-block partials, rows
+    never shuffle) + the same six sums totalled for the pooled row."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_comoments
+    from essentials_rd.util import np_col
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity",
+                                  "l_extendedprice"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = {r["c_custkey"]: r["c_nationkey"]
+            for r in rd.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_nationkey"]).take_all()}
+    import ray
+    cref = ray.put(cust)
+
+    from essentials_rd.ops import join
+
+    def _li(t: pa.Table) -> pa.Table:
+        q = np.asarray(t.column("l_quantity")).astype(np.int64)
+        c = np.floor(np.asarray(t.column("l_extendedprice")) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"k": t.column("l_orderkey"),
+                         "q": pa.array(q, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    def _nat(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        return pa.table({
+            "k": t.column("o_orderkey"),
+            "nat": pa.array([cm[x] for x in
+                             t.column("o_custkey").to_pylist()],
+                            pa.int64())})
+
+    j = join(li.map_batches(_li, batch_format="pyarrow"),
+             orders.map_batches(_nat, batch_format="pyarrow"),
+             on="k", broadcast=False)
+    agg = grouped_comoments(
+        j, keys=["nat"], x="q", y="c",
+        key_fn=lambda b: np_col(b, "nat"))
+    rows = agg.take_all()
+    tot = {c: 0 for c in ("n", "sum_x", "sum_y", "sum_xy")}
+    signs = []
+    for r in sorted(rows, key=lambda r: r["nat"]):
+        num = int(r["n"]) * int(r["sum_xy"]) \
+            - int(r["sum_x"]) * int(r["sum_y"])
+        signs.append(1 if num > 0 else (-1 if num < 0 else 0))
+        for c in tot:
+            tot[c] += int(r[c])
+    pooled = tot["n"] * tot["sum_xy"] - tot["sum_x"] * tot["sum_y"]
+    ps = 1 if pooled > 0 else (-1 if pooled < 0 else 0)
+    agree = sum(1 for s in signs if s == ps)
+    disagree = sum(1 for s in signs if s == -ps and s != 0)
+    return pa.table({
+        "n_groups": pa.array([len(signs)], pa.int64()),
+        "pooled_sign": pa.array([ps], pa.int64()),
+        "n_agree": pa.array([agree], pa.int64()),
+        "n_disagree": pa.array([disagree], pa.int64()),
+        "full_reversal": pa.array(
+            [int(disagree == len(signs) and len(signs) > 0)],
+            pa.int64()),
+    })
+
+
+def _simpson_sql() -> str:
+    return (
+        "WITH jt AS (SELECT cu.c_nationkey AS nat, "
+        "CAST(l.l_quantity AS BIGINT) AS q, "
+        "CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS c "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer cu ON cu.c_custkey = o.o_custkey), "
+        "g AS (SELECT nat, CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(q) AS HUGEINT) AS sx, CAST(sum(c) AS HUGEINT) AS sy, "
+        "CAST(sum(q * c) AS HUGEINT) AS sxy FROM jt GROUP BY 1), "
+        "sg AS (SELECT nat, CASE WHEN n * sxy - sx * sy > 0 THEN 1 "
+        "WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS s FROM g), "
+        "pool AS (SELECT CASE WHEN sum(n) * sum(sxy) "
+        "- sum(sx) * sum(sy) > 0 THEN 1 WHEN sum(n) * sum(sxy) "
+        "- sum(sx) * sum(sy) < 0 THEN -1 ELSE 0 END AS ps "
+        "FROM (SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy, "
+        "sum(sxy) AS sxy FROM g)) "
+        "SELECT CAST((SELECT count(*) FROM sg) AS BIGINT) AS n_groups, "
+        "CAST((SELECT ps FROM pool) AS BIGINT) AS pooled_sign, "
+        "CAST((SELECT sum(CASE WHEN s = (SELECT ps FROM pool) THEN 1 "
+        "ELSE 0 END) FROM sg) AS BIGINT) AS n_agree, "
+        "CAST((SELECT sum(CASE WHEN s = -(SELECT ps FROM pool) "
+        "AND s <> 0 THEN 1 ELSE 0 END) FROM sg) AS BIGINT) "
+        "AS n_disagree, "
+        "CAST(CASE WHEN (SELECT sum(CASE WHEN s = -(SELECT ps FROM "
+        "pool) AND s <> 0 THEN 1 ELSE 0 END) FROM sg) = "
+        "(SELECT count(*) FROM sg) AND (SELECT count(*) FROM sg) > 0 "
+        "THEN 1 ELSE 0 END AS BIGINT) AS full_reversal"
+    )
+
+
 def _q_condorcet(sf_dir: str):
     """Condorcet pairwise-majority analysis — Borda's classical rival
     in social choice: for every ordered priority pair (a, b), the
@@ -18772,6 +18878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "erdos_gallai_audit": _q_erdos_gallai,
         "borda_priority_vote": _q_borda,
         "condorcet_priority": _q_condorcet,
+        "simpson_paradox_audit": _q_simpson,
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
         "nra_topk_parts": _q_nra_topk,
@@ -20332,6 +20439,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "erdos_gallai_audit": _erdos_gallai_sql(),
         "borda_priority_vote": _borda_sql(),
         "condorcet_priority": _condorcet_sql(),
+        "simpson_paradox_audit": _simpson_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),
         "nra_topk_parts": _nra_topk_sql(),

@@ -862,3 +862,49 @@ def test_condorcet_winner_and_paradox():
     # Condorcet paradox: cyclic majorities → no winner
     assert run([["a", "b", "c"], ["b", "c", "a"], ["c", "a", "b"]],
                ["a", "b", "c"]) == ""
+
+
+def test_simpson_paradox_planted_reversal(tmp_path):
+    """A textbook Simpson construction: within every group the slope
+    is negative, pooled it is positive — the audit must flag the full
+    reversal."""
+    rows_lk, rows_q, rows_p = [], [], []
+    ok, oc = [], []
+    ck, cn = [], []
+    # group 0 (nation 0): x in [1,5], y = 100 - x  (negative slope)
+    # group 1 (nation 1): x in [20,24], y = 300 - x (negative slope)
+    # pooled: group 1 has much larger x AND y → positive pooled slope
+    order = 1
+    cust_id = 1
+    for nat, (x0, ybase) in enumerate([(1, 100), (20, 3000)]):
+        ck.append(cust_id)
+        cn.append(nat)
+        for i in range(5):
+            ok.append(order)
+            oc.append(cust_id)
+            for _ in range(3):
+                rows_lk.append(order)
+                rows_q.append(float(x0 + i))
+                rows_p.append((ybase - (x0 + i)) / 100.0)
+            order += 1
+        cust_id += 1
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rows_lk, pa.int64()),
+        "l_quantity": pa.array(rows_q, pa.float64()),
+        "l_extendedprice": pa.array(rows_p, pa.float64()),
+    }), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(ok, pa.int64()),
+        "o_custkey": pa.array(oc, pa.int64()),
+    }), d / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(ck, pa.int64()),
+        "c_nationkey": pa.array(cn, pa.int64()),
+    }), d / "customer.parquet")
+    out = e._q_simpson(str(d)).to_pydict()
+    assert out["n_groups"] == [2]
+    assert out["pooled_sign"] == [1]
+    assert out["n_disagree"] == [2]
+    assert out["full_reversal"] == [1]
