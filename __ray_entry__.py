@@ -16909,6 +16909,75 @@ def _chi2_tokens_sql() -> str:
     )
 
 
+def _q_littles_law(sf_dir: str):
+    """Little's-law audit (L·T = Σ sojourn) — queueing theory's
+    conservation identity checked EXACTLY: the time-integral of user
+    concurrency (Σ count·segment-length over the boundary sweep) must
+    equal the sum of all user span lengths, two INDEPENDENT
+    computations of the same quantity (one through the ±1 boundary
+    sweep, one through the per-user min/max fold) whose integer
+    equality certifies the sweep machinery end to end; the released
+    row carries both sides plus the derived average concurrency as an
+    exact rational numerator over the observed horizon."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        h = (np.asarray(t.column("ts").cast(pa.int64()))
+             // 3_600_000_000).astype(np.int64)
+        return pa.table({"u": t.column("user_id").cast(pa.int64()),
+                         "h": pa.array(h, pa.int64())})
+
+    spans = grouped_pandas_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        keys=["u"], aggs={"s": ("h", "min"), "e": ("h", "max")}
+    ).take_all()
+    sum_sojourn = sum(int(r["e"]) - int(r["s"]) + 1 for r in spans)
+    acc: dict[int, int] = {}
+    for r in spans:
+        acc[int(r["s"])] = acc.get(int(r["s"]), 0) + 1
+        acc[int(r["e"]) + 1] = acc.get(int(r["e"]) + 1, 0) - 1
+    bs = sorted(acc)
+    integral = 0
+    cur = 0
+    for i, b in enumerate(bs):
+        if i > 0:
+            integral += cur * (b - bs[i - 1])
+        cur += acc[b]
+    assert integral == sum_sojourn, (integral, sum_sojourn)
+    horizon = bs[-1] - bs[0]
+    return pa.table({
+        "n_users": pa.array([len(spans)], pa.int64()),
+        "sum_sojourn_hours": pa.array([sum_sojourn], pa.int64()),
+        "concurrency_integral": pa.array([integral], pa.int64()),
+        "horizon_hours": pa.array([horizon], pa.int64()),
+    })
+
+
+def _littles_law_sql() -> str:
+    return (
+        "WITH sp AS (SELECT user_id, "
+        "min(epoch_us(ts) // 3600000000) AS s, "
+        "max(epoch_us(ts) // 3600000000) + 1 AS e FROM events "
+        "GROUP BY 1), "
+        "bd AS (SELECT b, sum(d) AS d FROM ("
+        "SELECT s AS b, 1 AS d FROM sp "
+        "UNION ALL SELECT e AS b, -1 AS d FROM sp) GROUP BY 1), "
+        "sw AS (SELECT b, sum(d) OVER (ORDER BY b) AS cur, "
+        "lead(b) OVER (ORDER BY b) AS nb FROM bd) "
+        "SELECT CAST((SELECT count(*) FROM sp) AS BIGINT) AS n_users, "
+        "CAST((SELECT sum(e - s) FROM sp) AS BIGINT) "
+        "AS sum_sojourn_hours, "
+        "CAST(COALESCE(sum(cur * (nb - b)), 0) AS BIGINT) "
+        "AS concurrency_integral, "
+        "CAST(max(b) - min(b) AS BIGINT) AS horizon_hours FROM sw"
+    )
+
+
 def _q_simpson(sf_dir: str):
     """Simpson's-paradox audit — the aggregation-reversal check every
     observational analysis should run before trusting a pooled trend:
@@ -18879,6 +18948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "borda_priority_vote": _q_borda,
         "condorcet_priority": _q_condorcet,
         "simpson_paradox_audit": _q_simpson,
+        "littles_law_audit": _q_littles_law,
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
         "nra_topk_parts": _q_nra_topk,
@@ -20440,6 +20510,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "borda_priority_vote": _borda_sql(),
         "condorcet_priority": _condorcet_sql(),
         "simpson_paradox_audit": _simpson_sql(),
+        "littles_law_audit": _littles_law_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),
         "nra_topk_parts": _nra_topk_sql(),
