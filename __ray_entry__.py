@@ -16909,6 +16909,80 @@ def _chi2_tokens_sql() -> str:
     )
 
 
+def _q_lorenz(sf_dir: str):
+    """Lorenz curve — the inequality curve under every Gini number
+    (the suite has the scalar; this is the full distributional
+    release): users ranked by total event cents, and for each decile
+    d the exact share ⌊10⁶·(value held by the poorest ⌈d·n/10⌉
+    users)/total⌋.  Rides the distributed value histogram over USER
+    TOTALS (driver sees one row per distinct total, never users);
+    within a tied total, partial membership is resolved by taking the
+    exact user-count prefix — SQL mirrors with a window over ranked
+    totals.  Monotone convex by construction (pinned in pytest)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(t.column("value")) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"u": t.column("user_id").cast(pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    totals = grouped_pandas_agg(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        keys=["u"], aggs={"c": ("c", "sum")})
+
+    # histogram over user totals: (total_value → n_users)
+    hist: dict[int, int] = {}
+    for r in totals.map_batches(
+            lambda t: t.select(["c"]), batch_format="pyarrow"
+    ).take_all():
+        hist[int(r["c"])] = hist.get(int(r["c"]), 0) + 1
+    vals = sorted(hist)
+    n = sum(hist.values())
+    tot = sum(v * hist[v] for v in vals)
+    ds_, shares = [], []
+    for d in range(1, 11):
+        k = (d * n + 9) // 10  # ceil(d·n/10) poorest users
+        left = k
+        acc = 0
+        for v in vals:
+            take = min(left, hist[v])
+            acc += take * v
+            left -= take
+            if left == 0:
+                break
+        ds_.append(d)
+        shares.append((1_000_000 * acc) // tot if tot else 0)
+    for i in range(1, 10):  # convexity of the Lorenz curve
+        assert shares[i] >= shares[i - 1]
+    return pa.table({
+        "decile": pa.array(ds_, pa.int64()),
+        "share_q6": pa.array(shares, pa.int64()),
+    })
+
+
+def _lorenz_sql() -> str:
+    return (
+        "WITH ut AS (SELECT user_id, "
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS c FROM events GROUP BY 1), "
+        "rk AS (SELECT c, row_number() OVER (ORDER BY c, user_id) "
+        "AS r, sum(c) OVER (ORDER BY c, user_id) AS cum FROM ut), "
+        "nn AS (SELECT count(*) AS n, sum(c) AS tot FROM ut), "
+        "dec AS (SELECT unnest(range(1, 11)) AS d) "
+        "SELECT d.d AS decile, "
+        "CAST((1000000 * (SELECT cum FROM rk, nn "
+        "WHERE rk.r = (d.d * nn.n + 9) // 10)) "
+        "// (SELECT tot FROM nn) AS BIGINT) AS share_q6 "
+        "FROM dec d ORDER BY 1"
+    )
+
+
 def _q_littles_law(sf_dir: str):
     """Little's-law audit (L·T = Σ sojourn) — queueing theory's
     conservation identity checked EXACTLY: the time-integral of user
@@ -18949,6 +19023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "condorcet_priority": _q_condorcet,
         "simpson_paradox_audit": _q_simpson,
         "littles_law_audit": _q_littles_law,
+        "lorenz_user_value": _q_lorenz,
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
         "nra_topk_parts": _q_nra_topk,
@@ -20511,6 +20586,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "condorcet_priority": _condorcet_sql(),
         "simpson_paradox_audit": _simpson_sql(),
         "littles_law_audit": _littles_law_sql(),
+        "lorenz_user_value": _lorenz_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),
         "nra_topk_parts": _nra_topk_sql(),
