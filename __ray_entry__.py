@@ -16936,12 +16936,13 @@ def _q_lorenz(sf_dir: str):
         ev.map_batches(_cents, batch_format="pyarrow"),
         keys=["u"], aggs={"c": ("c", "sum")})
 
-    # histogram over user totals: (total_value → n_users)
+    # distributed histogram over user totals: (total_value → n_users);
+    # the driver folds one row per DISTINCT total, never per user
+    from essentials_rd.ops import int_value_counts
     hist: dict[int, int] = {}
-    for r in totals.map_batches(
-            lambda t: t.select(["c"]), batch_format="pyarrow"
-    ).take_all():
-        hist[int(r["c"])] = hist.get(int(r["c"]), 0) + 1
+    for r in int_value_counts(totals, "c").take_all():
+        hist[int(r["value"])] = hist.get(int(r["value"]), 0) \
+            + int(r["count"])
     vals = sorted(hist)
     n = sum(hist.values())
     tot = sum(v * hist[v] for v in vals)
