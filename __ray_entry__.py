@@ -16909,6 +16909,122 @@ def _chi2_tokens_sql() -> str:
     )
 
 
+def _q_pareto_point(sf_dir: str):
+    """The 80/20 point — the Pareto-principle statistic operators
+    actually quote: the smallest number of TOP users whose combined
+    event cents reach 80% of the total, plus their exact share.
+    Same distributed user-total value histogram as the Lorenz curve
+    (one row per distinct total reaches the driver), walked top-down
+    with the integer threshold 5·acc ≥ 4·total (no float shares)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, int_value_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(t.column("value")) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"u": t.column("user_id").cast(pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    totals = grouped_pandas_agg(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        keys=["u"], aggs={"c": ("c", "sum")})
+    hist: dict[int, int] = {}
+    for r in int_value_counts(totals, "c").take_all():
+        hist[int(r["value"])] = hist.get(int(r["value"]), 0) \
+            + int(r["count"])
+    vals = sorted(hist, reverse=True)
+    n = sum(hist.values())
+    tot = sum(v * hist[v] for v in vals)
+    acc = 0
+    k = 0
+    for v in vals:
+        for _ in range(hist[v]):
+            acc += v
+            k += 1
+            if 5 * acc >= 4 * tot:
+                break
+        if 5 * acc >= 4 * tot:
+            break
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "k_top": pa.array([k], pa.int64()),
+        "top_share_q6": pa.array([(1_000_000 * acc) // tot if tot
+                                  else 0], pa.int64()),
+    })
+
+
+def _pareto_point_sql() -> str:
+    return (
+        "WITH ut AS (SELECT user_id, "
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS c FROM events GROUP BY 1), "
+        "rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id) "
+        "AS r, sum(c) OVER (ORDER BY c DESC, user_id) AS cum FROM ut), "
+        "nn AS (SELECT count(*) AS n, sum(c) AS tot FROM ut), "
+        "kk AS (SELECT min(r) AS k, min_by(cum, r) AS acc FROM rk, nn "
+        "WHERE 5 * cum >= 4 * tot) "
+        "SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_users, "
+        "CAST((SELECT k FROM kk) AS BIGINT) AS k_top, "
+        "CAST((1000000 * (SELECT acc FROM kk)) "
+        "// (SELECT tot FROM nn) AS BIGINT) AS top_share_q6"
+    )
+
+
+def _q_fano(sf_dir: str):
+    """Fano factor (index of dispersion) of the hourly event counts —
+    the burstiness statistic point-process monitoring quotes (1 =
+    Poisson, >1 overdispersed/bursty): on the DENSE hour grid (zero
+    hours included — dropping them inflates the mean and masks
+    burstiness), the exact integer release ⌊10⁶·(m·Σx²−S²)/(m·S)⌋
+    where m = grid hours and S = Σ counts.  Calendar-small after one
+    bucketed hourly combine."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def _hour(t: pa.Table) -> pa.Table:
+        h = (np.asarray(t.column("ts").cast(pa.int64()))
+             // 3_600_000_000).astype(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "one": pa.array(np.ones(len(h), np.int64))})
+
+    rows = grouped_pandas_agg(
+        ev.map_batches(_hour, batch_format="pyarrow"),
+        keys=["h"], aggs={"n": ("one", "sum")}).take_all()
+    hmin = min(r["h"] for r in rows)
+    hmax = max(r["h"] for r in rows)
+    m = int(hmax - hmin + 1)
+    S = sum(int(r["n"]) for r in rows)
+    S2 = sum(int(r["n"]) ** 2 for r in rows)
+    num = m * S2 - S * S
+    fano = (1_000_000 * num) // (m * S) if S else 0
+    return pa.table({
+        "grid_hours": pa.array([m], pa.int64()),
+        "total_events": pa.array([S], pa.int64()),
+        "fano_q6": pa.array([fano], pa.int64()),
+    })
+
+
+def _fano_sql() -> str:
+    return (
+        "WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+        "g AS (SELECT max(h) - min(h) + 1 AS m, "
+        "CAST(sum(n) AS HUGEINT) AS s, "
+        "CAST(sum(n * n) AS HUGEINT) AS s2 FROM hc) "
+        "SELECT CAST(m AS BIGINT) AS grid_hours, "
+        "CAST(s AS BIGINT) AS total_events, "
+        "CAST((1000000 * (m * s2 - s * s)) // (m * s) AS BIGINT) "
+        "AS fano_q6 FROM g"
+    )
+
+
 def _q_lorenz(sf_dir: str):
     """Lorenz curve — the inequality curve under every Gini number
     (the suite has the scalar; this is the full distributional
@@ -19025,6 +19141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simpson_paradox_audit": _q_simpson,
         "littles_law_audit": _q_littles_law,
         "lorenz_user_value": _q_lorenz,
+        "pareto_8020_point": _q_pareto_point,
+        "hourly_fano": _q_fano,
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
         "nra_topk_parts": _q_nra_topk,
@@ -20588,6 +20706,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "simpson_paradox_audit": _simpson_sql(),
         "littles_law_audit": _littles_law_sql(),
         "lorenz_user_value": _lorenz_sql(),
+        "pareto_8020_point": _pareto_point_sql(),
+        "hourly_fano": _fano_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),
         "nra_topk_parts": _nra_topk_sql(),

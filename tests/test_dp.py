@@ -908,3 +908,42 @@ def test_simpson_paradox_planted_reversal(tmp_path):
     assert out["pooled_sign"] == [1]
     assert out["n_disagree"] == [2]
     assert out["full_reversal"] == [1]
+
+
+def test_pareto_point_and_fano(tmp_path):
+    # pareto: 1 whale + 9 minnows; whale alone holds >= 80%
+    u = [0] * 10 + [i for i in range(1, 10)]
+    v = [100.0] * 10 + [1.0] * 9
+    d = tmp_path / "sf"
+    d.mkdir()
+    ts = np.arange(len(u), dtype=np.int64) * 3_600_000_000
+    pq.write_table(pa.table({
+        "user_id": pa.array(u, pa.int64()),
+        "value": pa.array(v, pa.float64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), d / "events.parquet")
+    out = e._q_pareto_point(str(d)).to_pydict()
+    assert out["k_top"] == [1]
+    assert out["top_share_q6"][0] >= 800_000
+
+    # fano: constant hourly counts → variance 0 → fano 0;
+    # the same events all in ONE hour → strongly overdispersed
+    out2 = e._q_fano(str(d)).to_pydict()
+    assert out2["grid_hours"] == [len(u)]
+    assert out2["fano_q6"] == [0]  # exactly one event per hour
+    pq.write_table(pa.table({
+        "ts": pa.array(np.zeros(50, np.int64) + 123,
+                       pa.timestamp("us")),
+    }), d / "events.parquet")
+    out3 = e._q_fano(str(d)).to_pydict()
+    # single-hour burst: m=1, fano = 1e6*(S2 - S^2)/S = ... m*s2-s*s = 0
+    assert out3["fano_q6"] == [0]  # degenerate single-cell grid
+    # two-hour grid, all mass in one hour: maximal burstiness
+    tsb = np.array([0] * 49 + [3_600_000_000], np.int64)
+    pq.write_table(pa.table({"ts": pa.array(tsb, pa.timestamp("us"))}),
+                   d / "events.parquet")
+    out4 = e._q_fano(str(d)).to_pydict()
+    m, S = 2, 50
+    S2 = 49 * 49 + 1
+    assert out4["fano_q6"] == [(1_000_000 * (m * S2 - S * S)) // (m * S)]
+    assert out4["fano_q6"][0] > 1_000_000  # overdispersed
