@@ -16909,6 +16909,64 @@ def _chi2_tokens_sql() -> str:
     )
 
 
+HOT_HALF_H, HOT_K = 168, 10  # one-week half-life, top-10
+
+
+def _q_hot_ranking(sf_dir: str):
+    """Recency-decayed 'hot' ranking (the Reddit/HN-family scoring)
+    made hash-exact: each event's cents decay by integer
+    right-shift — cents >> (age_hours // 168), a stepwise 2^-⌊age/λ⌋
+    half-life that keeps every score an exact int64 where the
+    textbook exp decay would float-drift; per-user decayed scores sum
+    through one bucketed fold and the top-10 release breaks ties by
+    user id.  Age is measured from the corpus max ts (a pure function
+    of the data, so the ranking is reproducible — a wall-clock 'now'
+    would not be)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg, top_k
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def _mx(t: pa.Table) -> pa.Table:
+        h = np.asarray(t.column("ts").cast(pa.int64()))
+        return pa.table({"m": pa.array([int(h.max()) if len(h) else 0],
+                                       pa.int64())})
+
+    tmax = max(r["m"] for r in ev.map_batches(
+        _mx, batch_format="pyarrow").take_all())
+
+    def _score(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t.column("ts").cast(pa.int64()))
+        c = np.floor(np.asarray(t.column("value")) * 100.0
+                     + 0.5).astype(np.int64)
+        age_h = (tmax - ts) // 3_600_000_000
+        shift = np.minimum(age_h // HOT_HALF_H, 62).astype(np.int64)
+        return pa.table({"u": t.column("user_id").cast(pa.int64()),
+                         "s": pa.array(c >> shift, pa.int64())})
+
+    agg = grouped_pandas_agg(
+        ev.map_batches(_score, batch_format="pyarrow"),
+        keys=["u"], aggs={"hot": ("s", "sum")})
+    t = top_k(agg, "hot", HOT_K, descending=True, tie_cols=["u"])
+    return t.rename_columns(["user_id", "hot_score"])
+
+
+def _hot_ranking_sql() -> str:
+    return (
+        "WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events), "
+        "sc AS (SELECT user_id, "
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) >> "
+        "least(((SELECT m FROM mx) - epoch_us(ts)) // 3600000000 "
+        f"// {HOT_HALF_H}, 62)) AS BIGINT) AS hot_score "
+        "FROM events GROUP BY 1) "
+        "SELECT user_id, hot_score FROM (SELECT *, row_number() OVER ("
+        "ORDER BY hot_score DESC, user_id) AS rn FROM sc) "
+        f"WHERE rn <= {HOT_K} ORDER BY hot_score DESC, user_id"
+    )
+
+
 def _q_pareto_point(sf_dir: str):
     """The 80/20 point — the Pareto-principle statistic operators
     actually quote: the smallest number of TOP users whose combined
@@ -19142,6 +19200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "littles_law_audit": _q_littles_law,
         "lorenz_user_value": _q_lorenz,
         "pareto_8020_point": _q_pareto_point,
+        "hot_user_ranking": _q_hot_ranking,
         "hourly_fano": _q_fano,
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
@@ -20707,6 +20766,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "littles_law_audit": _littles_law_sql(),
         "lorenz_user_value": _lorenz_sql(),
         "pareto_8020_point": _pareto_point_sql(),
+        "hot_user_ranking": _hot_ranking_sql(),
         "hourly_fano": _fano_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),

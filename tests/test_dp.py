@@ -947,3 +947,29 @@ def test_pareto_point_and_fano(tmp_path):
     S2 = 49 * 49 + 1
     assert out4["fano_q6"] == [(1_000_000 * (m * S2 - S * S)) // (m * S)]
     assert out4["fano_q6"][0] > 1_000_000  # overdispersed
+
+
+def test_hot_ranking_decay(tmp_path):
+    """A recent moderate spender outranks an ancient big spender once
+    the shift decay bites; scores match a per-event replay."""
+    rows = []
+    now = 10_000 * 3_600_000_000
+    # user 1: 1000.00 spent ~3 half-lives ago → decayed by >>3
+    for i in range(4):
+        rows.append((1, now - (3 * 168 + 1) * 3_600_000_000, 250.0))
+    # user 2: 200.00 spent now → undecayed
+    rows.append((2, now, 200.0))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64),
+                       pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    }), d / "events.parquet")
+    out = e._q_hot_ranking(str(d)).to_pydict()
+    got = dict(zip(out["user_id"], out["hot_score"]))
+    # replay: user1 events at age 505h → shift 3 → 25000 >> 3 = 3125 ×4
+    assert got[1] == (25000 >> 3) * 4
+    assert got[2] == 20000
+    assert out["user_id"][0] == 2  # recency wins despite smaller spend
