@@ -16909,6 +16909,84 @@ def _chi2_tokens_sql() -> str:
     )
 
 
+SHAMIR_P = 2**31 - 1          # Mersenne prime: products fit int64
+SHAMIR_SEED = 71
+# Lagrange-at-0 weights for reconstruction points {1, 3, 5} mod p —
+# precomputed with modular inverses so neither side needs pow-mod
+SHAMIR_W = {1: 1879048193, 3: 1610612734, 5: 805306368}
+
+
+def _q_shamir(sf_dir: str):
+    """Shamir secret sharing over GF(2³¹−1) — threshold cryptography
+    as a data operator (the split-the-root-credential pattern): the
+    secret is the corpus-wide order-cents total mod p (a distributed
+    fold), the degree-2 polynomial's coefficients come from splitmix
+    draws mod p, 5 shares evaluate at x = 1..5, and the query
+    RECONSTRUCTS from shares {1, 3, 5} via Lagrange interpolation at
+    0 with precomputed modular-inverse weights — exact modular
+    arithmetic end to end (Mersenne p keeps every product in int64),
+    with the engine asserting reconstruction ≡ secret and pytest
+    pinning that EVERY 3-subset reconstructs while 2 shares leave the
+    secret information-theoretically free."""
+    import ray.data as rd
+
+    from essentials_rd.util import hash64
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_totalprice"])
+
+    def _sum(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(t.column("o_totalprice")) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"s": pa.array([int(c.sum())], pa.int64())})
+
+    secret = sum(int(r["s"]) for r in orders.map_batches(
+        _sum, batch_format="pyarrow").take_all()) % SHAMIR_P
+    mix = np.uint64((SHAMIR_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+    with np.errstate(over="ignore"):
+        a1 = int(hash64(np.array([1], np.uint64) + mix)[0]) % SHAMIR_P
+        a2 = int(hash64(np.array([2], np.uint64) + mix)[0]) % SHAMIR_P
+    shares = {x: (secret + a1 * x + a2 * x * x) % SHAMIR_P
+              for x in range(1, 6)}
+    rec = sum(SHAMIR_W[x] * shares[x] for x in (1, 3, 5)) % SHAMIR_P
+    assert rec == secret, (rec, secret)
+    xs = sorted(shares)
+    return pa.table({
+        "x": pa.array(xs, pa.int64()),
+        "share": pa.array([shares[x] for x in xs], pa.int64()),
+        "reconstructed": pa.array([rec] * len(xs), pa.int64()),
+        "secret_mod_p": pa.array([secret] * len(xs), pa.int64()),
+    })
+
+
+def _shamir_sql() -> str:
+    p = SHAMIR_P
+    mix = (SHAMIR_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes("shz", "i", f"i + {mix}",
+                       "(SELECT unnest(range(1, 3)) AS i)")
+    w = SHAMIR_W
+    return (
+        f"WITH {chain}, "
+        "sec AS (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) "
+        f"AS BIGINT)) % {p} AS BIGINT) AS s FROM orders), "
+        f"cf AS (SELECT max(CASE WHEN i = 1 THEN CAST(z % {p} AS BIGINT) "
+        "END) AS a1, "
+        f"max(CASE WHEN i = 2 THEN CAST(z % {p} AS BIGINT) END) AS a2 "
+        "FROM shz3), "
+        "xs AS (SELECT unnest(range(1, 6)) AS x), "
+        "sh AS (SELECT x, CAST((sec.s + ((cf.a1 * x) % "
+        f"{p}) + ((((cf.a2 * x) % {p}) * x) % {p})) % {p} AS BIGINT) "
+        "AS share FROM xs, sec, cf), "
+        "rec AS (SELECT CAST(("
+        f"(({w[1]} * (SELECT share FROM sh WHERE x = 1)) % {p} + "
+        f"({w[3]} * (SELECT share FROM sh WHERE x = 3)) % {p} + "
+        f"({w[5]} * (SELECT share FROM sh WHERE x = 5)) % {p}"
+        f") % {p}) AS BIGINT) AS r) "
+        "SELECT sh.x, sh.share, (SELECT r FROM rec) AS reconstructed, "
+        "(SELECT s FROM sec) AS secret_mod_p FROM sh ORDER BY sh.x"
+    )
+
+
 HOT_HALF_H, HOT_K = 168, 10  # one-week half-life, top-10
 
 
@@ -19201,6 +19279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lorenz_user_value": _q_lorenz,
         "pareto_8020_point": _q_pareto_point,
         "hot_user_ranking": _q_hot_ranking,
+        "shamir_share_audit": _q_shamir,
         "hourly_fano": _q_fano,
         "chi2_tokens_top10": _q_chi2_tokens,
         "haar_hourly": _q_haar_hourly,
@@ -20767,6 +20846,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "lorenz_user_value": _lorenz_sql(),
         "pareto_8020_point": _pareto_point_sql(),
         "hot_user_ranking": _hot_ranking_sql(),
+        "shamir_share_audit": _shamir_sql(),
         "hourly_fano": _fano_sql(),
         "chi2_tokens_top10": _chi2_tokens_sql(),
         "haar_hourly": _haar_hourly_sql(),

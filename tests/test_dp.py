@@ -973,3 +973,55 @@ def test_hot_ranking_decay(tmp_path):
     assert got[1] == (25000 >> 3) * 4
     assert got[2] == 20000
     assert out["user_id"][0] == 2  # recency wins despite smaller spend
+
+
+def test_shamir_every_3_subset_reconstructs_2_does_not():
+    """Threshold property: all C(5,3) subsets reconstruct the secret;
+    any 2 shares are consistent with EVERY possible secret."""
+    from itertools import combinations
+
+    p = e.SHAMIR_P
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        secret, a1, a2 = (int(rng.integers(0, p)) for _ in range(3))
+        shares = {x: (secret + a1 * x + a2 * x * x) % p
+                  for x in range(1, 6)}
+
+        def lagrange0(pts):
+            out = 0
+            for i, xi in enumerate(pts):
+                num = den = 1
+                for j, xj in enumerate(pts):
+                    if j != i:
+                        num = num * (-xj) % p
+                        den = den * (xi - xj) % p
+                w = num * pow(den, p - 2, p) % p
+                out = (out + w * shares[xi]) % p
+            return out
+
+        for pts in combinations(range(1, 6), 3):
+            assert lagrange0(list(pts)) == secret
+        # 2 shares: for ANY candidate secret s', a valid degree-2
+        # polynomial through the two shares and (0, s') exists →
+        # information-theoretic secrecy (verify for a few s')
+        x1, x2 = 1, 2
+        for sp in (0, 12345, p - 1):
+            # solve a1', a2' from the 2x2 system mod p
+            # s' + a1 x1 + a2 x1² = sh1 ; s' + a1 x2 + a2 x2² = sh2
+            d = (x1 * x2 * x2 - x2 * x1 * x1) % p
+            r1 = (shares[x1] - sp) % p
+            r2 = (shares[x2] - sp) % p
+            a2p = (r2 * x1 - r1 * x2) % p * pow(d, p - 2, p) % p
+            a1p = (r1 - a2p * x1 * x1) % p * pow(x1, p - 2, p) % p
+            assert (sp + a1p * x1 + a2p * x1 * x1) % p == shares[x1]
+            assert (sp + a1p * x2 + a2p * x2 * x2) % p == shares[x2]
+    # the query's fixed weights match freshly derived ones
+    def lam(pts, i):
+        num = den = 1
+        for j, xj in enumerate(pts):
+            if j != i:
+                num = num * (-xj) % p
+                den = den * (pts[i] - xj) % p
+        return num * pow(den, p - 2, p) % p
+    for i, x in enumerate((1, 3, 5)):
+        assert e.SHAMIR_W[x] == lam([1, 3, 5], i)
