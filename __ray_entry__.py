@@ -11748,7 +11748,7 @@ def _wav_features_sql() -> str:
 
 
 def _q_media_resize(sf_dir: str):
-    """REAL image resize (multimodal.ResizeStage): decode the coded P6
+    """REAL image resize (multimodal.ResizeStatsStage): decode the coded P6
     PPMs, downsample 2× nearest-neighbor (every even row/column), emit
     exact integer stats of the RESIZED stream + output dims.  The SQL
     twin replays ONLY the kept pixels' coded indices j =

@@ -23,3 +23,65 @@ docstrings cite upstream gunrock/essentials paths from public knowledge
 """
 
 __version__ = "0.1.0"
+
+import functools as _functools
+
+
+def _strip_schema_metadata(table):
+    """Drop schema-level metadata (the ``b'pandas'`` blob) from a block.
+
+    The driver's testdata parquet files carry pandas metadata whose value
+    is a dict-typed payload; ``hash(pa.Schema)`` raises on it in
+    pyarrow 16, so Ray Data's ``unify_schemas`` schema-dedup cache logs
+    "Failed to hash the schemas (for deduplication): unhashable type:
+    'dict'" once per block. Stripping here (inside the read task, via
+    ``_block_udf``) is zero-copy and silences the warning at the source.
+    """
+    if table.schema.metadata:
+        return table.replace_schema_metadata(None)
+    return table
+
+
+def _install_clean_read_parquet() -> None:
+    import ray.data as _rd
+
+    if getattr(_rd.read_parquet, "_erd_strips_metadata", False):
+        return
+    _orig = _rd.read_parquet
+
+    @_functools.wraps(_orig)
+    def read_parquet(*args, **kwargs):
+        user_udf = kwargs.pop("_block_udf", None)
+        if user_udf is None:
+            udf = _strip_schema_metadata
+        else:
+            def udf(t, _u=user_udf):
+                return _strip_schema_metadata(_u(t))
+        kwargs["_block_udf"] = udf
+        return _orig(*args, **kwargs)
+
+    read_parquet._erd_strips_metadata = True
+    _rd.read_parquet = read_parquet
+
+    # The datasource-level inferred schema re-attaches the original
+    # metadata AFTER the block UDF runs (parquet_datasource._infer_schema
+    # does `.with_metadata(inferred_schema.metadata)`), so metadata-only
+    # ops (count() fast path) still unify dirty schemas and log once.
+    # Strip there too so the warning count is zero.
+    from ray.data._internal.datasource import parquet_datasource as _pds
+
+    if not getattr(_pds._infer_schema, "_erd_strips_metadata", False):
+        _orig_infer = _pds._infer_schema
+
+        @_functools.wraps(_orig_infer)
+        def _infer_schema_clean(*a, **k):
+            s = _orig_infer(*a, **k)
+            if s is not None and s.metadata:
+                s = s.remove_metadata()
+            return s
+
+        _infer_schema_clean._erd_strips_metadata = True
+        _pds._infer_schema = _infer_schema_clean
+
+
+_install_clean_read_parquet()

@@ -126,6 +126,10 @@ def ktruss(
     k: int,
     num_parts: int = 8,
     max_rounds: int = 32,
+    ckpt=None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    on_round_end=None,
 ) -> tuple[rd.Dataset, int, bool]:
     """k-truss subgraph: iteratively drop every edge supported by fewer
     than k−2 triangles until fixpoint (Cohen 2008; gunrock-family
@@ -133,10 +137,29 @@ def ktruss(
     surviving canonical edges + one ``edge_similarity`` support pass +
     a vectorized filter — all object-store exchanges, no parquet.
     Returns (truss_edges, support_rounds, converged); the last round is
-    the fixpoint-confirming pass (no drops)."""
-    cur = edges.select_columns(["src", "dst"]).materialize()
-    n = cur.count()
+    the fixpoint-confirming pass (no drops).
+
+    Kill-resume: with a ``ckpt`` (checkpoint.CheckpointManager) and
+    ``checkpoint_every > 0``, the surviving edge set is written
+    atomically every N rounds (step dir + lineage + _SUCCESS, exactly
+    the PR/CC superstep layout); ``resume=True`` restarts peeling from
+    the last complete round — the peeling sequence is a pure function
+    of the edge set, so a resumed run's fixpoint equals the
+    uninterrupted run's exactly."""
     rounds = 0
+    cur = None
+    if ckpt is not None and resume:
+        last = ckpt.latest_step()
+        if last is not None:
+            ds, lin = ckpt.load_step(last)
+            cur = ds.materialize()
+            n = lin.get("edges", cur.count())
+            rounds = int(lin["round"])
+            if lin.get("converged"):
+                return cur, rounds, True
+    if cur is None:
+        cur = edges.select_columns(["src", "dst"]).materialize()
+        n = cur.count()
     while rounds < max_rounds:
         g = build_graph(cur, "", num_parts, symmetrize=True, persist=False)
         sim = edge_similarity(g, cur)
@@ -147,7 +170,17 @@ def ktruss(
         )
         m = nxt.count()
         rounds += 1
-        if m == n:
+        converged = m == n
+        if ckpt is not None and checkpoint_every and (
+            rounds % checkpoint_every == 0 or converged
+        ):
+            nxt = ckpt.write_state(rounds, nxt)
+            ckpt.finalize_step(
+                rounds, {"round": rounds, "edges": m, "converged": converged}
+            )
+        if on_round_end is not None:
+            on_round_end(rounds, m)
+        if converged:
             return nxt, rounds, True
         cur, n = nxt, m
     return cur, rounds, False

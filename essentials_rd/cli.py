@@ -169,9 +169,15 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"event": "done", "algo": "esim", "rows": n}),
                   flush=True)
         else:
+            def log_round(r, m):
+                print(json.dumps({"event": "round", "k": r, "edges": m}),
+                      flush=True)
+
             truss, rounds, converged = _ktruss(
                 canon, args.k, num_parts=args.num_parts,
-                max_rounds=args.max_iters,
+                max_rounds=args.max_iters, ckpt=ckpt,
+                checkpoint_every=args.checkpoint_every,
+                resume=args.resume, on_round_end=log_round,
             )
             n = truss.count()
             if args.out:
@@ -235,7 +241,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algo == "fiedler":
         from .algorithms.fiedler import fiedler as _fiedler
 
-        res = _fiedler(g, max_iters=max(args.k, 8) if args.k else 8,
+        res = _fiedler(g, max_iters=args.k if args.k else 8,
                        checkpoint_every=args.checkpoint_every,
                        ckpt=ckpt, resume=args.resume,
                        scatter_mode=args.scatter_mode,

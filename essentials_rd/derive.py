@@ -63,9 +63,22 @@ def add_sha256(ds: rd.Dataset) -> rd.Dataset:
     reference input (BASELINE.json input_hint)."""
 
     def _sha(batch: pa.Table) -> pa.Table:
-        # one C-level conversion pass, then the (inherent) per-row digest
-        vals = batch.column("content").to_pylist()
-        out = [hashlib.sha256(v.encode("utf-8")).hexdigest() for v in vals]
+        # hash straight off the Arrow UTF-8 data buffer (memoryview
+        # slices, no per-row str/bytes objects); the per-row digest call
+        # itself is the inherent cost
+        col = pc.cast(
+            batch.column("content").combine_chunks(), pa.large_string()
+        )
+        off = np.frombuffer(
+            col.buffers()[1], np.int64, count=len(col) + 1,
+            offset=col.offset * 8,
+        )
+        data = memoryview(col.buffers()[2])
+        digest = hashlib.sha256
+        out = [
+            digest(data[s:e]).hexdigest()
+            for s, e in zip(off[:-1].tolist(), off[1:].tolist())
+        ]
         return batch.append_column("sha256", pa.array(out, pa.string()))
 
     return ds.map_batches(_sha, batch_format="pyarrow")
@@ -361,7 +374,9 @@ def shared_key_edges(
     def _bucket(grp: pa.Table) -> pa.Table:
         # every occurrence of a key is in this bucket: distinct, count,
         # cap and pair-expand locally — fully vectorized (ONE
-        # grouped_pair_expand over the bucket; no Python loop over keys)
+        # grouped_pair_expand over the bucket; no Python loop over keys;
+        # strings stay Arrow — dictionary codes + one small distinct
+        # sort replace the pandas object-array factorize)
         from .util import grouped_pair_expand, np_col
 
         n_rows = grp.num_rows
@@ -369,21 +384,28 @@ def shared_key_edges(
             kcode = np.zeros(0, np.int64)
             rvid_all = np.zeros(0, np.int64)
             sha_rank = np.zeros(0, np.int64)
-            sha_uq = np.zeros(0, object)
+            sha_sorted = pa.array([], pa.string())
         else:
             # group identity is the key STRING (khash is only the
             # shuffle key — equal strings always hash equal, so
-            # factorizing the string both disambiguates hash collisions
-            # and replaces the multi-column pandas groupby)
-            kcode, _ = pd.factorize(
-                grp.column("key").combine_chunks().to_pandas()
+            # dictionary-coding the string both disambiguates hash
+            # collisions and replaces the multi-column groupby)
+            kd = grp.column("key").combine_chunks().dictionary_encode()
+            kcode = np.asarray(
+                kd.indices.to_numpy(zero_copy_only=False), np.int64
             )
             rvid_all = np_col(grp, "rvid")
-            sha_codes, sha_uq = pd.factorize(
-                grp.column("sha256").combine_chunks().to_pandas(), sort=True
+            sd = grp.column("sha256").combine_chunks().dictionary_encode()
+            scode = np.asarray(
+                sd.indices.to_numpy(zero_copy_only=False), np.int64
             )
-            sha_uq = np.asarray(sha_uq, object)
-            sha_rank = sha_codes.astype(np.int64)  # code order == lex order
+            s_sort = pc.sort_indices(sd.dictionary).to_numpy(
+                zero_copy_only=False
+            )
+            srank = np.empty(len(sd.dictionary), np.int64)
+            srank[s_sort] = np.arange(len(sd.dictionary))
+            sha_rank = srank[scode]  # rank order == lex order
+            sha_sorted = sd.dictionary.take(pa.array(s_sort))
         # distinct (key, rvid) with min sha: sort by (packed id, sha
         # rank), keep the first row of each packed run — all int kernels
         pack = (kcode.astype(np.uint64) << np.uint64(32)) | rvid_all.astype(
@@ -401,21 +423,41 @@ def shared_key_edges(
         row_sz = sizes[gid] if len(gid) else np.zeros(0, np.int64)
         keep = (row_sz >= 2) & (row_sz <= cap)
         rv = rvid_all[drows][keep]
-        sh = sha_uq[sha_rank[drows][keep]] if len(drows) else np.zeros(0, object)
+        shr = sha_rank[drows][keep]
         gk = gid[keep]
         # rows are (khash, key, rvid)-sorted, so within-group order is
         # rvid-ascending; expanding index pairs keeps src < dst
         ia, ib, _ = grouped_pair_expand(gk, np.arange(len(gk), dtype=np.int64))
         s, dd = rv[ia], rv[ib]
-        sha = np.minimum(sh[ia], sh[ib]) if len(ia) else np.zeros(0, object)
+        shp = np.minimum(shr[ia], shr[ib]) if len(ia) else np.zeros(0, np.int64)
+        # in-bucket pre-combine (the combiner half of the downstream
+        # dedup): a pair emitted by k keys of this bucket leaves as ONE
+        # row with weight=k and the min sha — shrinks the dedup shuffle
+        if len(s):
+            pk = (s.astype(np.uint64) << np.uint64(32)) | dd.astype(np.uint64)
+            o2 = np.lexsort((shp, pk))
+            p2 = pk[o2]
+            f2 = np.r_[True, p2[1:] != p2[:-1]]
+            starts2 = np.flatnonzero(f2)
+            w = np.diff(np.r_[starts2, len(p2)]).astype(np.float64)
+            s = s[o2][starts2]
+            dd = dd[o2][starts2]
+            shp = shp[o2][starts2]
+        else:
+            w = np.zeros(0, np.float64)
+        sha = sha_sorted.take(pa.array(shp, pa.int64()))
+        if isinstance(sha, pa.ChunkedArray):
+            sha = sha.combine_chunks()
+        if sha.type != pa.string():
+            sha = sha.cast(pa.string())
         # heavy-count marker row (always emitted → stable schema)
         return pa.table(
             {
                 "src": pa.array(np.r_[s, [-1]], pa.int64()),
                 "dst": pa.array(np.r_[dd, [-1]], pa.int64()),
-                "weight": pa.array(np.r_[np.ones(len(s)), [float(n_heavy_local)]]),
+                "weight": pa.array(np.r_[w, [float(n_heavy_local)]]),
                 "reason": pa.array([reason] * len(s) + ["__heavy__"], pa.string()),
-                "sha256": pa.array(sha.tolist() + [""], pa.string()),
+                "sha256": pa.concat_arrays([sha, pa.array([""], pa.string())]),
             }
         )
 
@@ -452,14 +494,33 @@ def prepare_files(files: rd.Dataset) -> rd.Dataset:
     the full-width corpus is scanned exactly once."""
 
     def _prep(batch: pa.Table) -> pa.Table:
-        s = batch.column("content").to_pandas()
-        matches = s.str.findall(IMPORT_RE)
+        # vectorized per-line RE2 extraction (split → flatten →
+        # extract_regex, all C++) — equivalent to IMPORT_RE/re.M findall
+        # for line-contained `import X` statements (the only form the
+        # corpus shape emits; a target on its own continuation line
+        # would differ, which the python-`re` path also never planted)
+        content = batch.column("content").combine_chunks()
+        lists = pc.split_pattern(content, "\n")
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        lines = pc.list_flatten(lists)
+        m = pc.extract_regex(
+            lines, r"^[ \t\r\f\v]*import[ \t\r\f\v]+(?P<t>[A-Za-z_][\w.]*)"
+        )
+        keep = pc.is_valid(m).to_numpy(zero_copy_only=False)
+        targets = pc.struct_field(m.filter(pa.array(keep)), "t")
+        par = parent[keep]
+        counts = np.bincount(par, minlength=batch.num_rows)
+        offsets = np.zeros(batch.num_rows + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        imports = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), pa.int32()), targets
+        )
         return pa.table(
             {
                 "repo": batch.column("repo"),
                 "path": batch.column("path"),
                 "sha256": batch.column("sha256"),
-                "imports": pa.array(matches.tolist(), pa.list_(pa.string())),
+                "imports": imports,
             }
         )
 
@@ -479,10 +540,11 @@ def import_edges_prepped(prep: rd.Dataset, names_ref) -> rd.Dataset:
         rep = np.repeat(np.arange(batch.num_rows), counts)
         flat = lists.combine_chunks().flatten()
         svid = repo_lookup(names_ref, batch.column("repo"))[rep]
-        sha = np.asarray(batch.column("sha256").to_pylist(), dtype=object)[rep]
         tvid = repo_lookup(names_ref, flat)
         keep = (tvid >= 0) & (svid >= 0) & (svid != tvid)
-        svid, tvid, sha = svid[keep], tvid[keep], sha[keep]
+        svid, tvid = svid[keep], tvid[keep]
+        # sha stays an Arrow array end to end: repeat+filter via take
+        sha = batch.column("sha256").take(pa.array(rep[keep], pa.int64()))
         lo = np.minimum(svid, tvid)
         hi = np.maximum(svid, tvid)
         return pa.table(
@@ -491,7 +553,7 @@ def import_edges_prepped(prep: rd.Dataset, names_ref) -> rd.Dataset:
                 "dst": pa.array(hi, pa.int64()),
                 "weight": pa.array(np.ones(len(lo))),
                 "reason": pa.array(["import_ref"] * len(lo), pa.string()),
-                "sha256": pa.array(sha.tolist(), pa.string()),
+                "sha256": sha,
             }
         )
 
@@ -561,12 +623,22 @@ def dedup_edges_vid(pairs: rd.Dataset) -> rd.Dataset:
         )
         starts = np.flatnonzero(first)
 
-        def _str_min(col: str) -> np.ndarray:
-            codes, uq = pd.factorize(
-                grp.column(col).combine_chunks().to_pandas(), sort=True
+        def _str_min(col: str) -> pa.Array:
+            # Arrow dictionary-encode + rank mapping: codes → lex rank
+            # via one small sort of the distinct values (no pandas
+            # object-array hop for the full column)
+            d = grp.column(col).combine_chunks().dictionary_encode()
+            codes = np.asarray(
+                d.indices.to_numpy(zero_copy_only=False), np.int64
             )
-            m = np.minimum.reduceat(codes.astype(np.int64)[order], starts)
-            return np.asarray(uq, object)[m]
+            sort_idx = pc.sort_indices(d.dictionary).to_numpy(
+                zero_copy_only=False
+            )
+            rank = np.empty(len(d.dictionary), np.int64)
+            rank[sort_idx] = np.arange(len(d.dictionary))
+            m = np.minimum.reduceat(rank[codes][order], starts)
+            sorted_uq = d.dictionary.take(pa.array(sort_idx))
+            return sorted_uq.take(pa.array(m, pa.int64()))
 
         if not len(starts):
             return pa.table(
@@ -583,8 +655,8 @@ def dedup_edges_vid(pairs: rd.Dataset) -> rd.Dataset:
                 "src": pa.array(s[starts], pa.int64()),
                 "dst": pa.array(d[starts], pa.int64()),
                 "weight": pa.array(np.add.reduceat(w, starts), pa.float64()),
-                "reason": pa.array(_str_min("reason").tolist(), pa.string()),
-                "sha256": pa.array(_str_min("sha256").tolist(), pa.string()),
+                "reason": _str_min("reason"),
+                "sha256": _str_min("sha256"),
             }
         )
 

@@ -709,9 +709,9 @@ def decode_rawvid(buf: bytes) -> np.ndarray:
     if buf[:4] != _RVID_MAGIC:
         raise ValueError("not an RVID payload")
     w, h, f = struct.unpack(">III", buf[4:16])
-    body = np.frombuffer(buf, np.uint8, count=f * h * w * 3, offset=16)
-    if len(body) != f * h * w * 3:
+    if len(buf) < 16 + f * h * w * 3:
         raise ValueError("truncated RVID payload")
+    body = np.frombuffer(buf, np.uint8, count=f * h * w * 3, offset=16)
     return body.reshape(f, h, w, 3)
 
 

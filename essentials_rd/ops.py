@@ -1731,6 +1731,7 @@ def join(
     *,
     broadcast: bool | None = None,
     broadcast_limit: int = 1_000_000,
+    broadcast_byte_limit: int = 128 * 2**20,
     num_buckets: int = DEFAULT_BUCKETS,
     rsuffix: str = "_r",
 ) -> rd.Dataset:
@@ -1751,7 +1752,10 @@ def join(
     (semi/anti project the right side to its key columns before any
     movement; ``outer`` always takes the partitioned path — see below).
     ``broadcast=None`` auto-picks: broadcast iff ``right.count() <=
-    broadcast_limit`` (executes the right pipeline).  Join keys must be
+    broadcast_limit`` AND the right side's materialized block bytes are
+    ≤ ``broadcast_byte_limit`` — a 1M-row table of wide strings must
+    take the partitioned path even though its row count is small (every
+    broadcast worker holds a full pandas copy).  Join keys must be
     non-null.  Right value columns colliding with left names get
     ``rsuffix``.  Ray 2.49's ``Dataset.join`` is deliberately not used
     (see cc.py — sort-based, no broadcast path, unstable block counts).
@@ -1793,12 +1797,16 @@ def join(
         # co-shuffled path where each bucket sees both complete sides
         broadcast = False
     if broadcast is None:
-        # materialize once so the strategy probe (count) and the join
-        # itself reuse the same blocks instead of executing the right
-        # pipeline twice
+        # materialize once so the strategy probe (count + size_bytes)
+        # and the join itself reuse the same blocks instead of executing
+        # the right pipeline twice
         right = right.materialize()
-        broadcast = right.count() <= broadcast_limit
+        broadcast = (
+            right.count() <= broadcast_limit
+            and right.size_bytes() <= broadcast_byte_limit
+        )
 
+    join._last_strategy = "broadcast" if broadcast else "partitioned"
     if broadcast:
         rtab = pa.concat_tables(
             ray.get(right.to_arrow_refs()), promote_options="default"
@@ -4402,6 +4410,10 @@ def nra_topk(
         scanned[side] += len(kk)
         for i in range(len(kk)):
             ent = seen.setdefault(int(kk[i]), [None, None])
+            if ent[side] is not None:
+                raise ValueError(
+                    f"nra_topk: key {int(kk[i])} appears more than once in "
+                    f"stream {side}; inputs must be one row per key")
             ent[side] = int(vv[i])
         if len(vv):
             last[side] = int(vv[-1])

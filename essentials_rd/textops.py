@@ -1337,12 +1337,19 @@ def heavy_hitters_tokens(
             ).view(np.int64) if b.num_rows else np.zeros(0, np.int64),
             _cnt,
         )
-        full = counted.to_pandas()
-        o = np.lexsort((full["token"].to_numpy(object), -full["n"].to_numpy()))[:k]
+        # distributed top-k over the counted vocabulary (per-block
+        # partials, driver merges ≤ k·num_blocks rows — never the full
+        # vocab; token tie-break keeps the set layout-invariant)
+        top = top_k(counted, "n", k, descending=True, tie_cols=["token"])
+        tok = np.asarray(top.column("token").to_pylist(), dtype=object)
+        n_arr = np.asarray(
+            top.column("n").to_numpy(zero_copy_only=False), np.int64
+        )
+        o = np.lexsort((tok, -n_arr))
         return pa.table(
             {
-                "token": pa.array(full["token"].to_numpy(object)[o], pa.string()),
-                "n": pa.array(full["n"].to_numpy(np.int64)[o], pa.int64()),
+                "token": pa.array(tok[o].tolist(), pa.string()),
+                "n": pa.array(n_arr[o], pa.int64()),
             }
         )
 

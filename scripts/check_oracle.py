@@ -3,10 +3,17 @@
 compare row count, schema (column names) and order-insensitive values.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       python scripts/check_oracle.py --json OUT.json [sf_dir] [query ...]
+
+With ``--json OUT.json`` a machine-readable per-query artifact is written
+(rows/schema/value verdicts + timings) — committed each round as
+``CORRECTNESS_full_rN.json`` so all queries (not just the driver's
+50-query sample) have durable evidence.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -62,8 +69,13 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -81,14 +93,28 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.perf_counter()
-        got = to_pandas(fn(sf_dir))
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as ex:  # record, keep sweeping
+            print(f"{name:24s} ERROR {ex}")
+            failed.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "rows": None,
+                            "ray_sec": None, "sql_sec": None,
+                            "err": f"{type(ex).__name__}: {ex}"}
+            continue
         t1 = time.perf_counter()
         if name not in oracles:
             print(f"{name:24s} rows={len(got):7d}  ray={t1 - t0:6.1f}s  (rows-only, no oracle)")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "rows": len(got),
+                            "ray_sec": round(t1 - t0, 3), "sql_sec": None,
+                            "err": None, "rows_only": True}
             continue
         want = con.sql(oracles[name]).df()
         t2 = time.perf_counter()
@@ -98,7 +124,25 @@ def main() -> int:
         for p in problems:
             print(f"    - {p}")
             failed.append(name)
+        schema_ok = not any(p.startswith("schema") for p in problems)
+        rows_ok = schema_ok and not any(p.startswith("rows") for p in problems)
+        report[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                        "hash_match": not problems, "rows": len(got),
+                        "oracle_rows": len(want),
+                        "ray_sec": round(t1 - t0, 3),
+                        "sql_sec": round(t2 - t1, 3),
+                        "err": problems or None}
     ray.shutdown()
+    if json_out:
+        n_ok = sum(1 for v in report.values() if v.get("hash_match"))
+        summary = {"sf_dir": sf_dir, "n_queries": len(report),
+                   "n_hash_match": n_ok,
+                   "n_fail": len(set(failed)),
+                   "queries": report}
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {json_out}: {n_ok}/{len(report)} hash-match, "
+              f"{len(set(failed))} fail")
     return 1 if failed else 0
 
 

@@ -135,3 +135,88 @@ def test_run_query_cli_smoke(tmp_path):
     import pyarrow.parquet as pq_
 
     assert pq_.read_table(str(out)).num_rows == 1
+
+
+def _write_truss_corpus(path):
+    """Corpus whose derived graph is an anchored path-power P^3 on 300
+    repos (+K6 anchor): 5-truss peeling takes 3 rounds and leaves the
+    anchor — every planted edge is one shared path between two repos."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 300
+    es = {(i, j) for i in range(n) for j in range(i + 1, min(i + 4, n))}
+    for i in range(6):
+        for j in range(i + 1, 6):
+            es.add((i, j))
+    repos, paths, contents = [], [], []
+    for a, b in sorted(es):
+        p = f"shared/e{a:05d}_{b:05d}.py"
+        c = f"# edge {a} {b} filler words only"
+        for r in (a, b):
+            repos.append(f"r{r:05d}")
+            paths.append(p)
+            contents.append(c)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table({"repo": pa.array(repos), "path": pa.array(paths),
+                  "content": pa.array(contents)}),
+        path,
+    )
+
+
+@pytest.mark.slow
+def test_cli_kill_resume_ktruss(tmp_path):
+    """SIGKILL a k-truss peel after round 1's checkpoint lands; resume
+    must reach the identical fixpoint and total round count as an
+    uninterrupted run (the iterative-pipeline generalization of the
+    PR kill-resume test)."""
+    inp = str(tmp_path / "corpus" / "repo_files.parquet")
+    _write_truss_corpus(inp)
+    common = ["--input", inp, "--algo", "ktruss", "--k", "5",
+              "--num-parts", "4", "--num-cpus", "4", "--cap", "50",
+              "--checkpoint-every", "1"]
+
+    out_a = tmp_path / "out_a"
+    r = _run_cli([*common, "--ckpt-dir", str(tmp_path / "ck_a"),
+                  "--out", str(out_a)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    done_a = [json.loads(l) for l in r.stdout.splitlines()
+              if l.startswith("{")][-1]
+    assert done_a["converged"] and done_a["rounds"] >= 3
+    assert done_a["edges"] == 15  # the K6 anchor survives
+
+    ck_b = tmp_path / "ck_b"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "essentials_rd.cli", *common,
+         "--ckpt-dir", str(ck_b)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+    )
+    deadline = time.time() + TIMEOUT
+    killed = False
+    while time.time() < deadline:
+        if (ck_b / "step_00001._SUCCESS").exists():
+            proc.kill()
+            killed = True
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.1)
+    assert killed, "job finished before it could be killed — enlarge the corpus"
+    proc.wait(timeout=30)
+
+    out_b = tmp_path / "out_b"
+    r2 = _run_cli([*common, "--ckpt-dir", str(ck_b), "--out", str(out_b),
+                   "--resume"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    done_b = [json.loads(l) for l in r2.stdout.splitlines()
+              if l.startswith("{")][-1]
+    assert done_b["converged"]
+    assert done_b["rounds"] == done_a["rounds"]
+
+    ta = pq.read_table(out_a).sort_by([("src", "ascending"), ("dst", "ascending")])
+    tb = pq.read_table(out_b).sort_by([("src", "ascending"), ("dst", "ascending")])
+    assert ta.column("src").to_pylist() == tb.column("src").to_pylist()
+    assert ta.column("dst").to_pylist() == tb.column("dst").to_pylist()

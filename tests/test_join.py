@@ -451,3 +451,29 @@ def test_skew_join_matches_plain_join_with_planted_hot_key():
                     hot_threshold=10**9).to_pandas()
     want = join(left, right, on="k", how="inner", broadcast=False).to_pandas()
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_join_auto_broadcast_is_byte_aware():
+    """A right side under the ROW limit but over the BYTE limit must
+    take the partitioned path (a 1M-row wide-string table would
+    otherwise be concat'd on the driver and ray.put whole)."""
+    ldf = pd.DataFrame({"k": np.arange(200, dtype=np.int64),
+                        "lval": np.arange(200, dtype=np.int64)})
+    wide = ["x" * 4000] * 300  # ~1.2 MB of string payload, only 300 rows
+    rdf = pd.DataFrame({"k": np.arange(300, dtype=np.int64),
+                        "blob": wide,
+                        "rval": np.arange(300, dtype=np.int64) * 2})
+    left = rd.from_pandas(ldf).repartition(4)
+    right = rd.from_pandas(rdf).repartition(2)
+
+    got = join(left, right, on="k", how="inner",
+               broadcast_byte_limit=100_000).to_pandas()
+    assert join._last_strategy == "partitioned"
+    want = ldf.merge(rdf, on="k", how="inner")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+    # same data under a generous byte limit -> broadcast
+    got2 = join(left, right, on="k", how="inner",
+                broadcast_byte_limit=128 * 2**20).to_pandas()
+    assert join._last_strategy == "broadcast"
+    pd.testing.assert_frame_equal(_canon(got2), _canon(want))

@@ -285,3 +285,52 @@ def test_negative_samples_valid_and_invariant(tmp_path):
         per.setdefault(s, []).append(i)
     assert all(len(v) <= k for v in per.values())
     assert any(len(v) == k for v in per.values())
+
+
+def test_ktruss_checkpoint_resume(tmp_path):
+    """Peeling resumes from the last complete round checkpoint: a run
+    stopped after round 1 and resumed must reach the same fixpoint as
+    an uninterrupted run (anchored path-power graph: the P^3 tail peels
+    away over 3 rounds, the K6 anchor survives as the 5-truss)."""
+    from essentials_rd.algorithms.similarity import ktruss
+    from essentials_rd.checkpoint import CheckpointManager
+
+    n = 40
+    es = {(i, j) for i in range(n) for j in range(i + 1, min(i + 4, n))}
+    for i in range(6):
+        for j in range(i + 1, 6):
+            es.add((i, j))
+    canon = sorted(es)
+    eds = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in canon], pa.int64()),
+        "dst": pa.array([b for _, b in canon], pa.int64()),
+    })).repartition(4)
+
+    full, rounds_full, conv = ktruss(eds, 5, num_parts=4)
+    assert conv and rounds_full >= 3
+    want = {(int(r["src"]), int(r["dst"]))
+            for r in full.to_pandas().to_dict("records")}
+    assert len(want) == 15  # the K6 anchor
+
+    # interrupted run: stop after round 1 (checkpointed), fresh resume
+    ck = CheckpointManager(str(tmp_path / "ck_truss"))
+    part, r1, conv1 = ktruss(eds, 5, num_parts=4, max_rounds=1,
+                             ckpt=ck, checkpoint_every=1)
+    assert r1 == 1 and not conv1
+    assert ck.latest_step() == 1
+
+    res, rounds_res, conv_res = ktruss(eds, 5, num_parts=4,
+                                       ckpt=ck, checkpoint_every=1,
+                                       resume=True)
+    assert conv_res and rounds_res == rounds_full
+    got = {(int(r["src"]), int(r["dst"]))
+           for r in res.to_pandas().to_dict("records")}
+    assert got == want
+
+    # resuming a converged checkpoint is a no-op returning the fixpoint
+    res2, rounds2, conv2 = ktruss(eds, 5, num_parts=4, ckpt=ck,
+                                  checkpoint_every=1, resume=True)
+    assert conv2 and rounds2 == rounds_full
+    got2 = {(int(r["src"]), int(r["dst"]))
+            for r in res2.to_pandas().to_dict("records")}
+    assert got2 == want

@@ -292,8 +292,21 @@ def test_heavy_hitters_exact_and_fallback():
     assert got["token"].tolist() == want_tokens
     assert got["n"].tolist() == want_counts
 
-    # m=2 breaks the certificate -> exact fallback must still be right
-    got_fb = heavy_hitters_tokens(ds, k=10, m=2).to_pandas()
+    # m=2 breaks the certificate -> exact fallback must still be right,
+    # and must go through the distributed top_k (driver sees at most
+    # k·num_blocks partial rows), never a full-vocabulary to_pandas()
+    orig_to_pandas = rd.Dataset.to_pandas
+
+    def _no_collect(self, *a, **kw):
+        raise AssertionError(
+            "heavy-hitter fallback must not collect the vocabulary")
+
+    try:
+        rd.Dataset.to_pandas = _no_collect
+        got_fb = heavy_hitters_tokens(ds, k=10, m=2)
+    finally:
+        rd.Dataset.to_pandas = orig_to_pandas
+    got_fb = got_fb.to_pandas()
     assert got_fb["token"].tolist() == want_tokens
     assert got_fb["n"].tolist() == want_counts
 
