@@ -38,10 +38,38 @@ class PageRankProgram:
     # them from the combine-shuffle payload (⅓ less shuffle volume)
     uses_mcount = False
 
-    def __init__(self, n_vertices: int, alpha: float = 0.85, tol: float = 1.0e-6):
+    def __init__(self, n_vertices: int, alpha: float = 0.85,
+                 tol: float = 1.0e-6, wire: str = "f64"):
         self.n = n_vertices
         self.alpha = alpha
         self.tol = tol
+        # wire precision of the combine-shuffle payload:
+        # - "f64": float64 messages, bit-reproduces the CPU reference
+        #   (atol 1e-12 engine tests) — the default.
+        # - "q30": int32 fixed-point at 2^-30 — contributions are
+        #   computed in f64, rounded to q = rint(mval·2^30) for the
+        #   wire (a pre-combined sum ≤ total mass 1 ⇒ q < 2^31), and
+        #   exactly int-summed at apply.  Cuts the dominant PR wire
+        #   payload from 12 B to 8 B per packed message (dst i32 +
+        #   mval i32).  Per-superstep quantization error ≤ 2^-31 per
+        #   message; the α-contraction bounds the converged drift by
+        #   α/(1-α)·Σerr ≈ 1e-8 absolute — inside the north-star's
+        #   allclose-1e-6 validator with two orders of headroom, and
+        #   int sums make the result bit-deterministic at any layout.
+        assert wire in ("f64", "q30")
+        self.wire = wire
+        if wire == "q30":
+            self.msg_cols = {"mval": pa.int32()}
+
+    def _wire_out(self, msgs, dangling: float):
+        """Quantize outgoing messages + dangling broadcast for the wire."""
+        if self.wire == "q30":
+            if msgs is not None:
+                msgs["mval"] = np.rint(
+                    msgs["mval"] * float(1 << 30)
+                ).astype(np.int64)
+            return msgs, {"mval": int(round(dangling * (1 << 30)))}
+        return msgs, {"mval": dangling}
 
     def init_state(self, vids, outdeg):
         return {"value": np.full(len(vids), 1.0 / self.n), "outdeg": outdeg}
@@ -57,7 +85,7 @@ class PageRankProgram:
             dst, sums, counts = segment_sum(nbrs, contrib)
             msgs = {"dst": dst, "mval": sums, "mcount": counts}
         dangling = float(value[outdeg == 0].sum())
-        return msgs, {"mval": dangling}
+        return self._wire_out(msgs, dangling)
 
     def apply(self, state, msgs, bcast):
         vids, value = state["vid"], state["value"]
@@ -68,10 +96,15 @@ class PageRankProgram:
             # msgs arrive in deterministic packed-row order (not
             # vid-grouped): bincount accumulates per destination in that
             # order — reproducible float sums with no O(M log M) sort
+            # (q30 wire: int32 weights sum EXACTLY in f64 — every
+            # partial stays < 2^30·#parts ≪ 2^53)
             pos = np.searchsorted(vids, msgs["vid"])
             agg = np.bincount(pos, weights=msgs["mval"], minlength=n)
             nmsg = np.bincount(pos, minlength=n).astype(np.int64)
         dmass = bcast.get("mval", 0.0)
+        if self.wire == "q30":
+            agg = agg * 2.0 ** -30
+            dmass = dmass * 2.0 ** -30
         new_value = (1.0 - self.alpha) / self.n + self.alpha * (agg + dmass / self.n)
         delta = np.abs(new_value - value)
         return {
@@ -126,7 +159,7 @@ class WeightedPageRankProgram(PageRankProgram):
             dst, sums, counts = segment_sum(nbrs, contrib)
             msgs = {"dst": dst, "mval": sums, "mcount": counts}
         dangling = float(value[outdeg == 0].sum())
-        return msgs, {"mval": dangling}
+        return self._wire_out(msgs, dangling)
 
 
 def pagerank(
@@ -139,9 +172,10 @@ def pagerank(
     checkpoint_every: int = 1,
     resume: bool = False,
     n_actors: int | None = None,
+    wire: str = "f64",
     **kwargs,
 ) -> RunResult:
-    prog = PageRankProgram(graph.n_vertices, alpha=alpha, tol=tol)
+    prog = PageRankProgram(graph.n_vertices, alpha=alpha, tol=tol, wire=wire)
     return run_superstep_loop(
         prog,
         graph,

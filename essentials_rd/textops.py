@@ -597,15 +597,14 @@ def jaccard_similarity_pairs(
         sizes = np.diff(bounds)
         # prefix length per doc: |S| - ceil(t*|S|) + 1
         plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
-        keep = np.zeros(len(sh), bool)
-        for i in range(len(starts)):
-            keep[bounds[i]: bounds[i] + plen[i]] = True
-        docs_present = srep[starts]
-        ids_flat = ids[docs_present[np.searchsorted(starts, np.flatnonzero(keep), side="right") - 1]]
+        # flat position within each doc's run < that doc's prefix length
+        # (repeat/arange mask — no per-doc Python loop)
+        pos = np.arange(len(sh), dtype=np.int64) - np.repeat(bounds[:-1], sizes)
+        keep = pos < np.repeat(plen, sizes)
         return pa.table(
             {
                 "key": pa.array(sh[keep].astype(np.int64), pa.int64()),
-                id_col: pa.array(ids_flat, pa.int64()),
+                id_col: pa.array(ids[srep[keep]], pa.int64()),
             }
         )
 

@@ -617,3 +617,25 @@ def test_k4_zero_on_triangle_free_graph():
     got = k4_total(rd.from_arrow(t), num_buckets=4)
     assert got["triangles"][0].as_py() == 0
     assert got["k4"][0].as_py() == 0
+
+
+def test_pagerank_q30_wire_matches_reference_1e6(tmp_path):
+    """int32 fixed-point wire (wire="q30", the bench's low-byte message
+    path): converged scores must stay inside the north-star's
+    allclose-1e-6 validator vs the CPU reference AND within ~1e-8 of
+    the f64-wire engine run (quantization error 2^-31 per message,
+    amplified at most alpha/(1-alpha) by the contraction)."""
+    src, dst = _random_edges(n=30, m=70, seed=11)
+    vids = np.arange(30, dtype=np.int64)
+    g = small_graph(tmp_path, src, dst, P=2, symmetrize=False, vertex_ids=vids)
+    rq = pagerank(g, alpha=0.6, tol=1e-8, max_iters=100, checkpoint_every=0,
+                  scatter_mode="fused", wire="q30")
+    rf = pagerank(g, alpha=0.6, tol=1e-8, max_iters=100, checkpoint_every=0,
+                  scatter_mode="fused")
+    assert rq.converged
+    vq = np.asarray(pagerank_table(rq)["pagerank"])
+    vf = np.asarray(pagerank_table(rf)["pagerank"])
+    p_ref = pagerank_ref(vids, src, dst, alpha=0.6, tol=1e-12, max_iters=1000)
+    assert np.allclose(vq, p_ref, atol=1e-6)
+    assert np.abs(vq - vf).max() < 1e-7
+    assert abs(vq.sum() - 1.0) < 1e-6
