@@ -11747,6 +11747,61 @@ def _wav_features_sql() -> str:
     )
 
 
+MEDIA_JPEG_N = 36   # coded images through the pure-NumPy T.81 JPEG codec
+
+
+def _q_media_jpeg_roundtrip(sf_dir: str):
+    """REAL baseline-JPEG codec (jpegc: pure-NumPy T.81 — markers,
+    canonical Huffman with byte stuffing, dequant + IDCT): synthesize
+    splitmix-chain images (grayscale even ids / RGB 4:4:4 odd), encode
+    to actual JPEG bytes, decode through the JpegVerifyStage actor pool
+    which ASSERTS the decoder reproduces the encoder's exact expected
+    reconstruction bit-for-bit (one wrong entropy bit scrambles every
+    later block, so the assert pins the whole lossy round trip — the
+    query ERRORS on any decode drift).  The emitted facts — parsed
+    dims/components/quality and the coded-pixel sum — are closed forms
+    of media_id plus the shared splitmix chain, which the SQL twin
+    replays without ever seeing a byte; DCT arithmetic itself is pinned
+    by the in-stage assert, not the oracle (SQL cannot run an 8×8 float
+    IDCT honestly)."""
+    import ray.data as rd
+
+    from essentials_rd.multimodal import jpeg_roundtrip, synth_coded_jpeg
+
+    media = rd.from_arrow(synth_coded_jpeg(MEDIA_JPEG_N, seed=MEDIA_SEED))
+    out = jpeg_roundtrip(media).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    return pa.table({
+        k: pa.array([r[k] for r in out], pa.int64())
+        for k in ("media_id", "width", "height", "n_components",
+                  "quality", "coded_sum")
+    })
+
+
+def _media_jpeg_sql() -> str:
+    mix = (MEDIA_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes(
+        "jp", "media_id, j", f"media_id * 4294967296 + j + {mix}", "pix")
+    return (
+        "WITH dims AS (SELECT i AS media_id, "
+        "CAST(9 + (i % 5) * 7 AS BIGINT) AS width, "
+        "CAST(10 + (i % 4) * 9 AS BIGINT) AS height, "
+        "CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) "
+        "AS n_components, "
+        "CAST(35 + (i % 3) * 30 AS BIGINT) AS quality "
+        f"FROM (SELECT unnest(range({MEDIA_JPEG_N})) AS i)), "
+        "pix AS (SELECT media_id, "
+        "unnest(range(width * height * n_components)) AS j FROM dims), "
+        f"{chain}, "
+        "sums AS (SELECT media_id, "
+        "CAST(SUM(CAST(z % 256 AS BIGINT)) AS BIGINT) AS coded_sum "
+        "FROM jp3 GROUP BY media_id) "
+        "SELECT d.media_id, d.width, d.height, d.n_components, d.quality, "
+        "s.coded_sum FROM dims d JOIN sums s USING (media_id) "
+        "ORDER BY d.media_id"
+    )
+
+
 def _q_media_resize(sf_dir: str):
     """REAL image resize (multimodal.ResizeStatsStage): decode the coded P6
     PPMs, downsample 2× nearest-neighbor (every even row/column), emit
@@ -19250,6 +19305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_reach": _q_temporal_reach,
         "rmat_edges": _q_rmat_edges,
         "media_img_stats": _q_media_img_stats,
+        "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -20817,6 +20873,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "temporal_reach": _temporal_reach_sql(),
         "rmat_edges": _rmat_sql(),
         "media_img_stats": _media_img_sql(),
+        "media_jpeg_roundtrip": _media_jpeg_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),

@@ -5,8 +5,11 @@ frame-sample stages.
 Decode is REAL for the lib-free uncompressed formats — binary netpbm
 images (P6 PPM color / P5 PGM grayscale) and RIFF WAV PCM16 mono audio
 decode in pure NumPy (``decode_netpbm`` / ``decode_wav_pcm16``), with
-matching encoders so tests pin exact round trips.  Compressed formats
-(png/jpeg/mp3/mp4) need codec libraries (Pillow, ffmpeg) that are NOT
+matching encoders so tests pin exact round trips — and REAL for
+baseline JPEG via the pure-NumPy T.81 codec in ``jpegc`` (markers,
+canonical Huffman entropy coding, dequant + IDCT; see that module's
+exactness contract).  The remaining compressed formats (png/mp3/mp4)
+need codec libraries (Pillow, ffmpeg) that are NOT
 in this container, so for those the decode step stays STUBBED: pass
 ``decoder="fake"`` for a deterministic, seed-free fake decoder that
 derives pixel/sample statistics from a hash of the payload bytes — the
@@ -294,9 +297,13 @@ class DecodeFeatureStage:
         if fmt == "wav":
             samples, _ = decode_wav_pcm16(payload)
             return (samples.astype(np.float64) + 32768.0) / 65536.0
+        if fmt in ("jpg", "jpeg"):
+            from .jpegc import decode_jpeg
+
+            return decode_jpeg(payload).ravel() / 256.0
         raise NotImplementedError(
             f"decoding {fmt!r} requires codec libraries not present in "
-            "this environment (ppm/pgm/wav decode natively; use "
+            "this environment (ppm/pgm/wav/jpeg decode natively; use "
             "decoder='fake' for the plumbing path otherwise)"
         )
 
@@ -776,6 +783,111 @@ def video_motion(
     """Real container decode → exact temporal-difference motion energy."""
     return media.map_batches(
         VideoMotionStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+        max_restarts=0,
+    )
+
+
+# ------------------------------------------------- baseline JPEG (jpegc)
+
+
+def coded_jpeg_dims(i: int) -> tuple[int, int]:
+    """(w, h) of coded JPEG i — closed forms the SQL twin repeats.
+    Deliberately not multiples of 8 so edge-replication padding is
+    exercised."""
+    return 9 + (i % 5) * 7, 10 + (i % 4) * 9
+
+
+def coded_jpeg_quality(i: int) -> int:
+    return 35 + (i % 3) * 30
+
+
+def synth_coded_jpeg(n: int, seed: int = 7) -> pa.Table:
+    """n REAL baseline-JPEG rows (jpegc.encode_jpeg — pure-NumPy T.81
+    encoder): pixels are the shared splitmix64 chain mod 256, grayscale
+    for even ids / RGB 4:4:4 for odd.  Each row carries the compressed
+    payload, the encoder's exact expected reconstruction (the decoder
+    contract — see jpegc docstring) and the coded-pixel sum the SQL twin
+    replays through ``_sm64_ctes``."""
+    from .jpegc import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        w, h = coded_jpeg_dims(i)
+        ncomp = 1 if i % 2 == 0 else 3
+        px = (_coded_values(i, w * h * ncomp, seed) % np.uint64(256)).astype(
+            np.uint8
+        )
+        img = px.reshape((h, w) if ncomp == 1 else (h, w, ncomp))
+        buf, expected = encode_jpeg(img, quality=coded_jpeg_quality(i))
+        rows.append((i, "jpeg", w, h, ncomp, coded_jpeg_quality(i),
+                     buf, expected.tobytes(), int(px.sum())))
+    cols = list(zip(*rows)) if rows else [[]] * 9
+    return pa.table({
+        "media_id": pa.array(cols[0], pa.int64()),
+        "format": pa.array(cols[1], pa.string()),
+        "width": pa.array(cols[2], pa.int64()),
+        "height": pa.array(cols[3], pa.int64()),
+        "n_components": pa.array(cols[4], pa.int64()),
+        "quality": pa.array(cols[5], pa.int64()),
+        "payload": pa.array(cols[6], pa.binary()),
+        "expected": pa.array(cols[7], pa.binary()),
+        "coded_sum": pa.array(cols[8], pa.int64()),
+    })
+
+
+class JpegVerifyStage:
+    """Actor-pool stage: decode each payload with the real pure-NumPy
+    baseline-JPEG decoder and ASSERT the encoder's exactness contract
+    (decoded array bit-equal to the shipped expected reconstruction —
+    one wrong entropy bit scrambles every later block, so equality pins
+    the whole Huffman/DCT round trip).  Emits the header facts + the
+    decoded-pixel sum."""
+
+    def __init__(self) -> None:
+        from .jpegc import decode_jpeg  # import once per actor
+
+        self._decode = decode_jpeg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        got_w = np.empty(n, np.int64)
+        got_h = np.empty(n, np.int64)
+        got_c = np.empty(n, np.int64)
+        dec_sum = np.empty(n, np.int64)
+        payloads = batch.column("payload")
+        expected = batch.column("expected")
+        for i in range(n):  # per ROW is unavoidable: codecs are per-file
+            img = self._decode(payloads[i].as_py())
+            exp = np.frombuffer(expected[i].as_py(), np.uint8)
+            if not np.array_equal(img.ravel(), exp):
+                raise AssertionError(
+                    f"JPEG decode mismatch for media_id="
+                    f"{batch.column('media_id')[i].as_py()}"
+                )
+            got_h[i] = img.shape[0]
+            got_w[i] = img.shape[1]
+            got_c[i] = 1 if img.ndim == 2 else img.shape[2]
+            dec_sum[i] = int(img.sum(dtype=np.int64))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "width": pa.array(got_w, pa.int64()),
+            "height": pa.array(got_h, pa.int64()),
+            "n_components": pa.array(got_c, pa.int64()),
+            "quality": batch.column("quality"),
+            "coded_sum": batch.column("coded_sum"),
+        })
+
+
+def jpeg_roundtrip(
+    media: rd.Dataset, concurrency: int = 8, batch_size: int = 8
+) -> rd.Dataset:
+    """Real JPEG decode + contract verification as an actor-pool stage."""
+    return media.map_batches(
+        JpegVerifyStage,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
