@@ -48,13 +48,18 @@ _DERIVE_COLUMNS = ("repo", "path", "content")
 def read_corpus(
     path_or_dir: str,
     columns: tuple[str, ...] | list[str] | None = _DERIVE_COLUMNS,
+    override_num_blocks: int | None = None,
 ) -> rd.Dataset:
     """Read the repo_files parquet (file or directory of chunks),
     pruned by default to the three columns the derive pipeline
     consumes — ``commit``/``lang`` never leave storage.  Pass
-    ``columns=None`` for the full table."""
+    ``columns=None`` for the full table; ``override_num_blocks`` sizes
+    the read to the block count downstream shuffles want (pair with
+    ``derive_edges(num_blocks=0)`` to skip the repartition exchange)."""
     return rd.read_parquet(
-        path_or_dir, columns=list(columns) if columns is not None else None
+        path_or_dir,
+        columns=list(columns) if columns is not None else None,
+        override_num_blocks=override_num_blocks,
     )
 
 
@@ -684,8 +689,13 @@ def derive_edges(
     # count; a corpus read as a handful of big blocks would serialize
     # every downstream groupby, and a read auto-split into hundreds of
     # skinny blocks doubles every shuffle's task count — repartition to
-    # the one block count every downstream stage wants.
-    prep = prepare_files(files).repartition(num_blocks).materialize()
+    # the one block count every downstream stage wants.  num_blocks=0
+    # means the caller already sized the read (read_corpus
+    # override_num_blocks) and the exchange is skipped.
+    prep = prepare_files(files)
+    if num_blocks:
+        prep = prep.repartition(num_blocks)
+    prep = prep.materialize()
     names, vertices = build_vertices(prep)
     names_ref = ray.put(names)
     shared, n_heavy = shared_key_edges(file_keys(prep), names_ref, cap=cap)

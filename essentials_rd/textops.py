@@ -461,20 +461,108 @@ def verify_jaccard(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     as_dataset: bool = False,
+    broadcast_bytes: int = 64 * 2**20,
 ):
     """Exact shingle-Jaccard on candidate pairs — fully distributed.
 
-    Two bucketed hash joins ship each side's shingle set to its pairs
-    (no driver materialization of texts or candidates: at 100 TB the
-    candidate set is not driver-small); the per-pair intersection uses
-    sorted int64 shingle-hash arrays.  Returns (a, b, jaccard) for pairs
+    Two shapes, size-checked per call (the cosine_near_dup discipline):
+
+    - **broadcast fast path**: when the whole shingle table fits
+      ``broadcast_bytes`` (flat int64 arrays, ``ray.put`` once), every
+      candidate batch computes its intersections in ONE stateless
+      ``map_batches`` against the shared store — zero extra shuffles,
+      and no per-pair duplication of shingle lists.  The join path
+      ships each doc's list once PER CANDIDATE PAIR, so at bench scale
+      (337k candidates × ~100-shingle docs) the broadcast path moves
+      ~3 orders of magnitude fewer bytes.
+    - **partitioned join path** (the 100-TB shape): two bucketed hash
+      joins ship each side's shingle set to its pairs (no driver
+      materialization of texts or candidates — at that scale the
+      candidate set is not driver-small); the per-pair intersection
+      uses sorted int64 shingle-hash arrays.
+
+    Both paths compute the identical inter/union float divide, so the
+    result is bit-equal either way.  Returns (a, b, jaccard) for pairs
     ≥ threshold — a driver Table by default (the result is
     post-threshold small), or the Dataset with ``as_dataset=True`` (to
     feed near_dup_clusters / further pipelines)."""
+    import ray
+
     from .ops import hash_bucket_agg
 
     sh = doc_shingles(docs, text_col=text_col, id_col=id_col,
                       shingle_k=shingle_k)
+
+    if broadcast_bytes:
+        sh = sh.materialize()
+        if sh.size_bytes() <= broadcast_bytes:
+            big = pa.concat_tables(
+                ray.get(sh.to_arrow_refs()), promote_options="default"
+            ).combine_chunks()
+            ids = np_col(big, id_col)
+            lists = big.column("sh").combine_chunks()
+            order = np.argsort(ids)
+            ids_s = ids[order]
+            lists = lists.take(pa.array(order))
+            vals = np.asarray(
+                lists.flatten().to_numpy(zero_copy_only=False), np.int64
+            )
+            lens = np.asarray(pc.list_value_length(lists), np.int64)
+            off = np.r_[0, np.cumsum(lens)]
+            store_ref = ray.put((ids_s, off, vals))
+
+            def _gather(v, offs, idx, ln):
+                starts = offs[idx]
+                tot = int(ln.sum())
+                p = (np.arange(tot, dtype=np.int64)
+                     - np.repeat(np.cumsum(ln) - ln, ln)
+                     + np.repeat(starts, ln))
+                return v[p]
+
+            def _bc_verify(batch: pa.Table) -> pa.Table:
+                ids_w, off_w, vals_w = ray.get(store_ref)
+                a = np_col(batch, "a")
+                b = np_col(batch, "b")
+                n = len(a)
+                ia = np.searchsorted(ids_w, a)
+                ib = np.searchsorted(ids_w, b)
+                la = off_w[ia + 1] - off_w[ia]
+                lb = off_w[ib + 1] - off_w[ib]
+                allp = np.concatenate([
+                    np.repeat(np.arange(n), la),
+                    np.repeat(np.arange(n), lb),
+                ])
+                allh = np.concatenate([
+                    _gather(vals_w, off_w, ia, la),
+                    _gather(vals_w, off_w, ib, lb),
+                ])
+                o2 = np.lexsort((allh, allp))
+                p, h = allp[o2], allh[o2]
+                dup = (p[1:] == p[:-1]) & (h[1:] == h[:-1])
+                inter = np.bincount(p[1:][dup], minlength=n)
+                denom = la + lb - inter
+                j = np.divide(inter, denom, out=np.zeros(n), where=denom > 0)
+                keep = j >= threshold
+                o3 = np.lexsort((b[keep], a[keep]))
+                return pa.table({
+                    "a": pa.array(a[keep][o3], pa.int64()),
+                    "b": pa.array(b[keep][o3], pa.int64()),
+                    "jaccard": pa.array(j[keep][o3], pa.float64()),
+                })
+
+            out = pairs.select_columns(["a", "b"]).map_batches(
+                _bc_verify, batch_format="pyarrow", batch_size=8192
+            )
+            if as_dataset:
+                return out
+            rows = out.take_all()
+            rows.sort(key=lambda r: (r["a"], r["b"]))
+            return pa.table({
+                "a": pa.array([r["a"] for r in rows], pa.int64()),
+                "b": pa.array([r["b"] for r in rows], pa.int64()),
+                "jaccard": pa.array([r["jaccard"] for r in rows],
+                                    pa.float64()),
+            })
 
     def _pair_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -571,6 +659,7 @@ def jaccard_similarity_pairs(
     shingle_k: int = 3,
     group_cap: int = 10_000,
     as_dataset: bool = False,
+    broadcast_bytes: int = 64 * 2**20,
 ):
     """EXACT all-pairs token-shingle Jaccard ≥ threshold — the
     prefix-filtering set-similarity join (PPJoin family): order each
@@ -634,6 +723,7 @@ def jaccard_similarity_pairs(
     return verify_jaccard(
         docs, cand, threshold=threshold, text_col=text_col, id_col=id_col,
         shingle_k=shingle_k, as_dataset=as_dataset,
+        broadcast_bytes=broadcast_bytes,
     )
 
 

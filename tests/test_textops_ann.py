@@ -900,3 +900,20 @@ def test_dup_span_coverage_planted_spans():
     assert outs[0][0][1] == 3 and outs[0][1][1] == 3
     assert outs[0][2][1] == 0
     assert outs[0][3] == (0, 0)  # shorter than the gram width
+
+
+def test_verify_jaccard_broadcast_and_partitioned_paths_agree():
+    """The size-checked broadcast fast path and the partitioned
+    two-join path must produce bit-identical (a, b, jaccard) rows
+    (same inter/union divide on both); broadcast_bytes=0 forces the
+    100-TB join shape."""
+    from essentials_rd.textops import jaccard_similarity_pairs
+
+    ds, rows = _docs(n=60, dup_pairs=4, near_pairs=6)
+    bc = jaccard_similarity_pairs(ds, threshold=0.5, shingle_k=3)
+    pt = jaccard_similarity_pairs(ds, threshold=0.5, shingle_k=3,
+                                  broadcast_bytes=0)
+    assert bc.num_rows == pt.num_rows > 0
+    assert np_col(bc, "a").tolist() == np_col(pt, "a").tolist()
+    assert np_col(bc, "b").tolist() == np_col(pt, "b").tolist()
+    assert np_col(bc, "jaccard").tolist() == np_col(pt, "jaccard").tolist()
