@@ -19076,6 +19076,282 @@ def _als_sql() -> str:
     )
 
 
+# ---------------------------------------------- corpus growth statistics
+
+
+def _q_heaps_vocab_curve(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve — the corpus statistic that
+    sizes tokenizer vocabularies and dedup budgets: distinct tokens
+    seen within the first N tokens of the global (doc_id, position)
+    stream, at the 8 checkpoints N_k = ceil(k·C/8).  Distributed shape:
+    per-doc token counts → ``ops.global_cumsum`` assigns each doc its
+    exclusive global token offset (driver sees n_parts scalars); a
+    second pass re-splits text and ships (token, global_pos) into a
+    token-hash-bucketed min fold (sub-grouped by the actual token
+    string, so hash collisions cannot merge words); per-block
+    8-threshold partial counts of the first-occurrence positions then
+    tree-sum — the vocabulary itself never reaches the driver."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import global_cumsum, hash_bucket_agg
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _count(t: pa.Table) -> pa.Table:
+        s = t.column("text").to_pandas()
+        n = s.str.split(" ").str.len().to_numpy(np.int64)
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "text": t.column("text"),
+                         "n": pa.array(n, pa.int64())})
+
+    with_pre = global_cumsum(
+        docs.map_batches(_count, batch_format="pyarrow"),
+        "doc_id", [], "n",
+        lambda b: np_col(b, "doc_id").astype(np.int64),
+        out_col="pre",
+    ).materialize()
+    total = int(with_pre.sum("n") or 0)
+
+    def _flat(t: pa.Table) -> pa.Table:
+        s = t.column("text").to_pandas()
+        toks = s.str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = np.asarray([w for lst in toks for w in lst], dtype=object)
+        pre = np.repeat(np_col(t, "pre"), counts)
+        j = (np.arange(len(flat), dtype=np.int64)
+             - np.repeat(np.cumsum(counts) - counts, counts))
+        tok_arr = pa.array(flat.tolist(), pa.string())
+        return pa.table({
+            "khash": pa.array(_str_hash(tok_arr), pa.int64()),
+            "tok": tok_arr,
+            "gpos": pa.array(pre + j, pa.int64()),
+        })
+
+    def _first(grp: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        code, _ = pd.factorize(grp.column("tok").combine_chunks().to_pandas())
+        g = np_col(grp, "gpos")
+        order = np.lexsort((g, code))
+        c, gs = code[order], g[order]
+        first = np.r_[True, c[1:] != c[:-1]] if len(c) else np.zeros(0, bool)
+        return pa.table({"fp": pa.array(gs[first], pa.int64())})
+
+    firsts = hash_bucket_agg(
+        with_pre.map_batches(_flat, batch_format="pyarrow"),
+        lambda b: np_col(b, "khash"),
+        _first,
+    )
+    nks = np.array([(k * total + 7) // 8 for k in range(1, 9)], np.int64)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        fp = np_col(t, "fp")
+        v = (fp[:, None] < nks[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table({"k": pa.array(np.arange(1, 9), pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    vocab = np.zeros(8, np.int64)
+    for r in firsts.map_batches(_partial, batch_format="pyarrow").take_all():
+        vocab[r["k"] - 1] += r["v"]
+    return pa.table({
+        "k": pa.array(np.arange(1, 9), pa.int64()),
+        "prefix_tokens": pa.array(nks, pa.int64()),
+        "vocab": pa.array(vocab, pa.int64()),
+    })
+
+
+def _heaps_vocab_sql() -> str:
+    return (
+        "WITH c AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+        "len(string_split(text, ' ')) AS n FROM documents), "
+        "p AS (SELECT doc_id, toks, COALESCE(SUM(n) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre "
+        "FROM c), "
+        "f AS (SELECT pre + generate_subscripts(toks, 1) - 1 AS gpos, "
+        "unnest(toks) AS tok FROM p), "
+        "firsts AS (SELECT tok, MIN(gpos) AS fp FROM f GROUP BY tok), "
+        "tot AS (SELECT SUM(n) AS c FROM c), "
+        "ks AS (SELECT unnest(range(1, 9)) AS k), "
+        "nk AS (SELECT k, (k * (SELECT c FROM tot) + 7) // 8 AS nk FROM ks) "
+        "SELECT CAST(k AS BIGINT) AS k, CAST(nk AS BIGINT) AS "
+        "prefix_tokens, CAST((SELECT count(*) FROM firsts WHERE fp < "
+        "nk.nk) AS BIGINT) AS vocab FROM nk ORDER BY k"
+    )
+
+
+def _q_token_collision_stats(sf_dir: str):
+    """Per-language exact collision statistics of the token
+    distribution — (Σc, distinct, Σc²) per lang: Σc² over token counts
+    is the integer core of Simpson/Rényi-2 collision entropy
+    (−ln Σp²), the dedup-pressure/diversity measure float entropy can
+    only approximate.  One token-hash-bucketed exchange of per-batch
+    pre-counted (lang, token, c) rows; in-bucket exact group-by-string
+    counts; ≤ |langs| partial rows per bucket reach the driver."""
+    import pandas as pd
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "lang"])
+
+    def _flat(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["tok"] = df["text"].str.split(" ")
+        df = df.drop(columns=["text"]).explode("tok")
+        g = df.groupby(["lang", "tok"], sort=False).size().reset_index(name="c")
+        tok_arr = pa.array(g["tok"].tolist(), pa.string())
+        return pa.table({
+            "khash": pa.array(_str_hash(tok_arr), pa.int64()),
+            "lang": pa.array(g["lang"].tolist(), pa.string()),
+            "tok": tok_arr,
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def _bucket(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        g = df.groupby(["lang", "tok"], sort=False)["c"].sum().reset_index()
+        out = g.groupby("lang", sort=True).agg(
+            n_tokens=("c", "sum"),
+            n_distinct=("c", "size"),
+            sum_c2=("c", lambda s: int((s.to_numpy(np.int64) ** 2).sum())),
+        ).reset_index()
+        return pa.table({
+            "lang": pa.array(out["lang"].tolist(), pa.string()),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64)),
+            "n_distinct": pa.array(out["n_distinct"].to_numpy(np.int64)),
+            "sum_c2": pa.array(out["sum_c2"].to_numpy(np.int64)),
+        })
+
+    parts = hash_bucket_agg(
+        docs.map_batches(_flat, batch_format="pyarrow"),
+        lambda b: np_col(b, "khash"),
+        _bucket,
+    ).take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["lang"], [0, 0, 0])
+        a[0] += r["n_tokens"]
+        a[1] += r["n_distinct"]
+        a[2] += r["sum_c2"]
+    langs = sorted(agg)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_tokens": pa.array([agg[x][0] for x in langs], pa.int64()),
+        "n_distinct": pa.array([agg[x][1] for x in langs], pa.int64()),
+        "sum_c2": pa.array([agg[x][2] for x in langs], pa.int64()),
+    })
+
+
+def _token_collision_sql() -> str:
+    return (
+        "WITH f AS (SELECT lang, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "c AS (SELECT lang, tok, count(*) AS c FROM f GROUP BY lang, tok) "
+        "SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_distinct, "
+        "CAST(sum(c * c) AS BIGINT) AS sum_c2 "
+        "FROM c GROUP BY lang ORDER BY lang"
+    )
+
+
+def _q_gap_log_histogram(sf_dir: str):
+    """Log₂-bucketed histogram of per-user inter-event gaps (µs) — the
+    HdrHistogram-style latency-distribution primitive: bucket =
+    bit length of the gap (0 stays bucket 0), per bucket exact count /
+    min / max / sum.  One user-bucketed exchange; gaps via in-bucket
+    lexsort + diff on user runs; ≤ 64 partial rows per bucket reach
+    the driver.  Bit length via ``np.frexp`` exponent — exact for any
+    int64 gap (< 2⁵³ µs ≈ 285 years)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import np_col
+    from essentials_rd.windows import _epoch_us
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "s": pa.array(_epoch_us(t, "ts"), pa.int64()),
+            "event_id": t.column("event_id").cast(pa.int64()),
+        })
+
+    def _bucket(grp: pa.Table) -> pa.Table:
+        u = np_col(grp, "user_id")
+        s = np_col(grp, "s")
+        e = np_col(grp, "event_id")
+        order = np.lexsort((e, s, u))
+        u, s = u[order], s[order]
+        same = u[1:] == u[:-1] if len(u) else np.zeros(0, bool)
+        gap = (s[1:] - s[:-1])[same]
+        if not len(gap):
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "min_gap": pa.array([], pa.int64()),
+                             "max_gap": pa.array([], pa.int64()),
+                             "sum_gap": pa.array([], pa.int64())})
+        bl = np.where(gap == 0, 0, np.frexp(gap.astype(np.float64))[1])
+        o2 = np.argsort(bl, kind="stable")
+        blo, go = bl[o2], gap[o2]
+        first = np.r_[True, blo[1:] != blo[:-1]]
+        starts = np.flatnonzero(first)
+        return pa.table({
+            "bucket": pa.array(blo[starts], pa.int64()),
+            "n_gaps": pa.array(np.diff(np.r_[starts, len(blo)]), pa.int64()),
+            "min_gap": pa.array(np.minimum.reduceat(go, starts), pa.int64()),
+            "max_gap": pa.array(np.maximum.reduceat(go, starts), pa.int64()),
+            "sum_gap": pa.array(np.add.reduceat(go, starts), pa.int64()),
+        })
+
+    parts = hash_bucket_agg(
+        ev.map_batches(_mk, batch_format="pyarrow"),
+        lambda b: np_col(b, "user_id"),
+        _bucket,
+    ).take_all()
+    agg: dict[int, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(int(r["bucket"]),
+                           [0, 1 << 62, -(1 << 62), 0])
+        a[0] += r["n_gaps"]
+        a[1] = min(a[1], r["min_gap"])
+        a[2] = max(a[2], r["max_gap"])
+        a[3] += r["sum_gap"]
+    bks = sorted(agg)
+    return pa.table({
+        "bucket": pa.array(bks, pa.int64()),
+        "n_gaps": pa.array([agg[b][0] for b in bks], pa.int64()),
+        "min_gap": pa.array([agg[b][1] for b in bks], pa.int64()),
+        "max_gap": pa.array([agg[b][2] for b in bks], pa.int64()),
+        "sum_gap": pa.array([agg[b][3] for b in bks], pa.int64()),
+    })
+
+
+def _gap_log_hist_sql() -> str:
+    return (
+        "WITH o AS (SELECT user_id, epoch_us(ts) AS s, event_id "
+        "FROM events), "
+        "l AS (SELECT user_id, s - lag(s) OVER (PARTITION BY user_id "
+        "ORDER BY s, event_id) AS gap FROM o), "
+        "g AS (SELECT gap FROM l WHERE gap IS NOT NULL), "
+        "b AS (SELECT CASE WHEN gap = 0 THEN 0 ELSE length(bin(gap)) END "
+        "AS bucket, gap FROM g) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_gaps, "
+        "CAST(min(gap) AS BIGINT) AS min_gap, "
+        "CAST(max(gap) AS BIGINT) AS max_gap, "
+        "CAST(sum(gap) AS BIGINT) AS sum_gap "
+        "FROM b GROUP BY bucket ORDER BY bucket"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -19306,6 +19582,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rmat_edges": _q_rmat_edges,
         "media_img_stats": _q_media_img_stats,
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
+        "heaps_vocab_curve": _q_heaps_vocab_curve,
+        "token_collision_stats": _q_token_collision_stats,
+        "gap_log_histogram": _q_gap_log_histogram,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -20874,6 +21153,9 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "rmat_edges": _rmat_sql(),
         "media_img_stats": _media_img_sql(),
         "media_jpeg_roundtrip": _media_jpeg_sql(),
+        "heaps_vocab_curve": _heaps_vocab_sql(),
+        "token_collision_stats": _token_collision_sql(),
+        "gap_log_histogram": _gap_log_hist_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),

@@ -1,0 +1,100 @@
+"""Heaps'-law vocabulary curve, token collision stats, gap log
+histogram (__ray_entry__) vs pure-Python brute force on planted data."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, rows):
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+
+def test_heaps_vocab_curve_brute(tmp_path):
+    from __ray_entry__ import _q_heaps_vocab_curve
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for d in range(25):
+        toks = rng.choice(vocab, size=int(rng.integers(3, 30))).tolist()
+        rows.append((d, " ".join(toks), "aa"))
+    _write_docs(tmp_path, rows)
+
+    stream = [t for _, txt, _ in sorted(rows) for t in txt.split(" ")]
+    c = len(stream)
+    got = _q_heaps_vocab_curve(str(tmp_path)).to_pandas()
+    assert got["k"].tolist() == list(range(1, 9))
+    for _, r in got.iterrows():
+        nk = (r["k"] * c + 7) // 8
+        assert r["prefix_tokens"] == nk
+        assert r["vocab"] == len(set(stream[:nk]))
+    # the full-corpus checkpoint sees the whole vocabulary
+    assert got["vocab"].iloc[-1] == len(set(stream))
+
+
+def test_token_collision_stats_brute(tmp_path):
+    from __ray_entry__ import _q_token_collision_stats
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for d in range(30):
+        lang = "aa" if d % 3 else "bb"
+        toks = rng.choice([f"t{i}" for i in range(12)],
+                          size=int(rng.integers(2, 20))).tolist()
+        rows.append((d, " ".join(toks), lang))
+    _write_docs(tmp_path, rows)
+
+    got = _q_token_collision_stats(str(tmp_path)).to_pandas()
+    for lang in ("aa", "bb"):
+        toks = [t for _, txt, lg in rows if lg == lang
+                for t in txt.split(" ")]
+        vc = pd.Series(toks).value_counts()
+        r = got[got["lang"] == lang].iloc[0]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct"] == len(vc)
+        assert r["sum_c2"] == int((vc.to_numpy(np.int64) ** 2).sum())
+
+
+def test_gap_log_histogram_brute(tmp_path):
+    from __ray_entry__ import _q_gap_log_histogram
+
+    rng = np.random.default_rng(3)
+    n = 400
+    users = rng.integers(0, 12, n)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # gaps spanning many log buckets, including exact dup timestamps
+    ts = base + np.cumsum(rng.integers(0, 10**7, n)).astype("timedelta64[us]")
+    ts[50] = ts[49]  # force at least one candidate 0/short gap pair
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(users, pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+
+    df = pd.DataFrame({"u": users, "s": ts.astype(np.int64),
+                       "e": np.arange(n)})
+    gaps = []
+    for _, g in df.sort_values(["u", "s", "e"]).groupby("u"):
+        gaps.extend(np.diff(g["s"].to_numpy()).tolist())
+    gaps = np.asarray(gaps, np.int64)
+    want = {}
+    for g in gaps:
+        b = 0 if g == 0 else int(g).bit_length()
+        st = want.setdefault(b, [0, 1 << 62, -1, 0])
+        st[0] += 1
+        st[1] = min(st[1], g)
+        st[2] = max(st[2], g)
+        st[3] += g
+
+    got = _q_gap_log_histogram(str(tmp_path)).to_pandas()
+    assert got["bucket"].tolist() == sorted(want)
+    for _, r in got.iterrows():
+        st = want[r["bucket"]]
+        assert (r["n_gaps"], r["min_gap"], r["max_gap"], r["sum_gap"]) == \
+            (st[0], st[1], st[2], st[3])
