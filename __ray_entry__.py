@@ -19352,6 +19352,122 @@ def _gap_log_hist_sql() -> str:
     )
 
 
+DV_PARTS = 8
+
+
+def _q_orders_deletion_vectors(sf_dir: str):
+    """Merge-on-read DELETE via deletion vectors (sinks.
+    write_deletion_vectors / read_with_deletion_vectors — the
+    Delta/Iceberg-v2 position-delete shape): orders land once as
+    immutable hash-partitioned parquet; two delete commits then write
+    only ROW-INDEX sidecars (commit 1: status 'F'; commit 2: cents
+    ending in 3 — overlapping, proving commits stack and later commits
+    see earlier deletes), and the scan unions the vectors per
+    partition.  O(dead rows) per delete instead of a table rewrite —
+    the only affordable DELETE at 100 TB.  Output: per-priority count +
+    cents sum of the LIVE rows; re-running commit 2 is asserted a
+    no-op (sidecar idempotence)."""
+    import os as _os
+    import shutil as _shutil
+
+    import ray.data as rd
+
+    from essentials_rd.sinks import (
+        read_with_deletion_vectors, write_deletion_vectors,
+        write_partitioned,
+    )
+    from essentials_rd.util import np_col
+
+    base_dir = ("/tmp/essentials_rd_dv_"
+                + _os.path.basename(_os.path.normpath(sf_dir)))
+    _shutil.rmtree(base_dir, ignore_errors=True)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority",
+                 "o_totalprice"],
+    )
+
+    def _proj(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderstatus": t.column("o_orderstatus"),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    write_partitioned(orders.map_batches(_proj, batch_format="pyarrow"),
+                      base_dir, lambda b: np_col(b, "o_orderkey"),
+                      DV_PARTS)
+    import pyarrow.compute as _pc
+
+    write_deletion_vectors(
+        base_dir, DV_PARTS,
+        lambda t: np.asarray(
+            _pc.equal(t.column("o_orderstatus"), "F").to_numpy(
+                zero_copy_only=False)),
+        commit=0,
+    )
+    r1 = write_deletion_vectors(
+        base_dir, DV_PARTS,
+        lambda t: np_col(t, "cents") % 10 == 3,
+        commit=1,
+    )
+    # idempotence: replaying a committed delete touches nothing
+    r2 = write_deletion_vectors(
+        base_dir, DV_PARTS,
+        lambda t: np_col(t, "cents") % 10 == 3,
+        commit=1,
+    )
+    assert all(r["skipped"] for r in r2.to_pylist()) and not any(
+        r["skipped"] for r in r1.to_pylist())
+
+    live = read_with_deletion_vectors(base_dir, DV_PARTS)
+
+    def _agg(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "cents": t.column("cents"),
+        }).to_pandas()
+        g = df.groupby("o_orderpriority", sort=True)["cents"].agg(
+            ["size", "sum"]).reset_index()
+        return pa.table({
+            "o_orderpriority": pa.array(g["o_orderpriority"].tolist(),
+                                        pa.string()),
+            "n_live": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            "sum_cents": pa.array(g["sum"].to_numpy(np.int64), pa.int64()),
+        })
+
+    parts = live.map_batches(_agg, batch_format="pyarrow").take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["o_orderpriority"], [0, 0])
+        a[0] += r["n_live"]
+        a[1] += r["sum_cents"]
+    ks = sorted(agg)
+    return pa.table({
+        "o_orderpriority": pa.array(ks, pa.string()),
+        "n_live": pa.array([agg[k][0] for k in ks], pa.int64()),
+        "sum_cents": pa.array([agg[k][1] for k in ks], pa.int64()),
+    })
+
+
+def _orders_dv_sql() -> str:
+    return (
+        "WITH o AS (SELECT o_orderpriority, o_orderstatus, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders) "
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_live, "
+        "CAST(sum(cents) AS BIGINT) AS sum_cents "
+        "FROM o WHERE o_orderstatus <> 'F' AND cents % 10 <> 3 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -19585,6 +19701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_vocab_curve": _q_heaps_vocab_curve,
         "token_collision_stats": _q_token_collision_stats,
         "gap_log_histogram": _q_gap_log_histogram,
+        "orders_deletion_vectors": _q_orders_deletion_vectors,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -21156,6 +21273,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "heaps_vocab_curve": _heaps_vocab_sql(),
         "token_collision_stats": _token_collision_sql(),
         "gap_log_histogram": _gap_log_hist_sql(),
+        "orders_deletion_vectors": _orders_dv_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),

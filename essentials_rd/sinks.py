@@ -983,3 +983,96 @@ def read_columnar_partitioned(
 
     refs = [_load.remote(int(p)) for p in parts]
     return rd.from_arrow_refs(refs)
+
+
+# --------------------------------------- deletion vectors (merge-on-read)
+
+
+def _dv_dir(out_dir: str, p: int) -> str:
+    return os.path.join(_part_dir(out_dir, p), "deletes")
+
+
+def write_deletion_vectors(
+    out_dir: str,
+    num_partitions: int,
+    pred_fn,
+    commit: int,
+) -> pa.Table:
+    """Delta/Iceberg-v2 merge-on-read DELETE: mark rows dead without
+    rewriting the base files.  For every finished partition, one Ray
+    task reads its base parquet, evaluates ``pred_fn(table) -> bool
+    mask`` (True = delete) against the rows still live under earlier
+    commits, and writes the matching ROW INDICES as an atomic sidecar
+    ``p<p>/deletes/v<commit>.parquet`` (temp + ``os.replace``, so a
+    crash leaves ignorable litter, and a finished sidecar for this
+    commit is never rewritten — re-running a commit is a no-op).
+    Readers union all sidecars at scan time (:func:`
+    read_with_deletion_vectors`), which is what makes deletes O(dead
+    rows) instead of O(table) at 100 TB.  Returns a receipt
+    (part, deleted, skipped)."""
+
+    @ray.remote
+    def _one(p: int) -> dict:
+        d = _dv_dir(out_dir, p)
+        final = os.path.join(d, f"v{commit:05d}.parquet")
+        if os.path.exists(final):
+            return {"part": p, "deleted": -1, "skipped": True}
+        base = pq.read_table(
+            os.path.join(_part_dir(out_dir, p), "data.parquet")
+        )
+        dead = _dv_union(out_dir, p, base.num_rows)
+        mask = np.asarray(pred_fn(base), bool)
+        assert len(mask) == base.num_rows
+        idx = np.flatnonzero(mask & ~dead).astype(np.int64)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(pa.table({"row_idx": pa.array(idx, pa.int64())}), tmp)
+        os.replace(tmp, final)
+        return {"part": p, "deleted": int(len(idx)), "skipped": False}
+
+    parts = finished_partitions(out_dir, num_partitions)
+    rows = ray.get([_one.remote(int(p)) for p in parts])
+    return pa.Table.from_pylist(
+        sorted(rows, key=lambda r: r["part"]),
+        schema=pa.schema([("part", pa.int64()), ("deleted", pa.int64()),
+                          ("skipped", pa.bool_())]),
+    )
+
+
+def _dv_union(out_dir: str, p: int, n_rows: int) -> np.ndarray:
+    """Union of all committed deletion sidecars of partition p as a
+    bool mask (True = deleted)."""
+    dead = np.zeros(n_rows, bool)
+    d = _dv_dir(out_dir, p)
+    if os.path.isdir(d):
+        for f in sorted(os.listdir(d)):
+            if f.startswith("v") and f.endswith(".parquet"):
+                idx = pq.read_table(os.path.join(d, f)).column(
+                    "row_idx"
+                ).to_numpy(zero_copy_only=False)
+                dead[idx] = True
+    return dead
+
+
+def read_with_deletion_vectors(
+    out_dir: str, num_partitions: int
+) -> rd.Dataset:
+    """Scan finished partitions applying their deletion sidecars — one
+    task per partition reads base + vectors and emits only live rows
+    (merge-on-read; the base files are immutable)."""
+    parts = [int(p) for p in finished_partitions(out_dir, num_partitions)]
+    if not parts:
+        raise FileNotFoundError(f"no finished partitions under {out_dir}")
+    meta = rd.from_arrow(pa.table({"part": pa.array(parts, pa.int64())}))
+
+    def _scan(t: pa.Table) -> pa.Table:
+        outs = []
+        for p in np_col(t, "part"):
+            base = pq.read_table(
+                os.path.join(_part_dir(out_dir, int(p)), "data.parquet")
+            )
+            dead = _dv_union(out_dir, int(p), base.num_rows)
+            outs.append(base.filter(pa.array(~dead)))
+        return pa.concat_tables(outs, promote_options="default")
+
+    return meta.map_batches(_scan, batch_format="pyarrow", batch_size=1)
