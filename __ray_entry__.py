@@ -19468,6 +19468,93 @@ def _orders_dv_sql() -> str:
     )
 
 
+def _skyline2d(cents: np.ndarray, d: np.ndarray, keys: np.ndarray):
+    """Indices of the 2-D skyline (minimize both; strict domination —
+    duplicate points all survive).  Vectorized: sort by (cents, d,
+    key), a point is dominated iff some strictly-smaller-cents point
+    has d ≤ its d, or a same-cents point has strictly smaller d."""
+    order = np.lexsort((keys, d, cents))
+    c, dd = cents[order], d[order]
+    # min d among STRICTLY smaller cents: running min at each cents-run
+    # boundary (exclusive)
+    run_start = np.r_[True, c[1:] != c[:-1]]
+    run_min_d = dd[run_start]  # d is ascending within a cents run
+    prev_best = np.minimum.accumulate(run_min_d)
+    run_id = np.cumsum(run_start) - 1
+    m1 = np.where(run_id > 0, prev_best[np.maximum(run_id - 1, 0)],
+                  np.iinfo(np.int64).max)
+    same_min = run_min_d[run_id]  # min d within this cents run
+    keep = (m1 > dd) & (dd == same_min)
+    return order[keep]
+
+
+def _q_orders_skyline(sf_dir: str):
+    """Skyline / Pareto-front operator (Börzsönyi 2001) over orders,
+    minimizing (price cents, order date): the classic preference query
+    missing from plain SQL aggregates.  Two-phase distributed shape:
+    every block emits its LOCAL skyline (the global skyline is a subset
+    of the union — domination is transitive), the tiny union reduces to
+    the exact global front in one final task.  Strict domination;
+    duplicate (cents, date) points all survive.  Oracle: window twin —
+    a row lives iff no strictly-cheaper row is as-old-or-older and it
+    holds its cents-group's date minimum."""
+    import ray.data as rd
+
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice",
+                                      "o_orderdate"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        dt = t.column("o_orderdate").cast(pa.date32())
+        days = np.asarray(dt.to_numpy(zero_copy_only=False),
+                          "datetime64[D]").astype(np.int64)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+            "days": pa.array(days, pa.int64()),
+        })
+
+    def _local(t: pa.Table) -> pa.Table:
+        k = np_col(t, "o_orderkey")
+        idx = _skyline2d(np_col(t, "cents"), np_col(t, "days"), k)
+        return t.take(pa.array(np.sort(idx)))
+
+    union = orders.map_batches(_proj, batch_format="pyarrow") \
+                  .map_batches(_local, batch_format="pyarrow")
+    rows = union.take_all()  # block skylines: tiny (O(log n) per block)
+    k = np.asarray([r["o_orderkey"] for r in rows], np.int64)
+    c = np.asarray([r["cents"] for r in rows], np.int64)
+    d = np.asarray([r["days"] for r in rows], np.int64)
+    idx = _skyline2d(c, d, k)
+    o = idx[np.argsort(k[idx], kind="stable")]
+    return pa.table({
+        "o_orderkey": pa.array(k[o], pa.int64()),
+        "cents": pa.array(c[o], pa.int64()),
+        "days": pa.array(d[o], pa.int64()),
+    })
+
+
+def _orders_skyline_sql() -> str:
+    return (
+        "WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, "
+        "CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) "
+        "AS days FROM orders), "
+        "w AS (SELECT o_orderkey, cents, days, "
+        "min(days) OVER (ORDER BY cents RANGE BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING) AS m1, "
+        "min(days) OVER (PARTITION BY cents) AS same_min FROM o) "
+        "SELECT o_orderkey, cents, days FROM w "
+        "WHERE (m1 IS NULL OR m1 > days) AND days = same_min "
+        "ORDER BY o_orderkey"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -19702,6 +19789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_collision_stats": _q_token_collision_stats,
         "gap_log_histogram": _q_gap_log_histogram,
         "orders_deletion_vectors": _q_orders_deletion_vectors,
+        "orders_skyline": _q_orders_skyline,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -21274,6 +21362,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "token_collision_stats": _token_collision_sql(),
         "gap_log_histogram": _gap_log_hist_sql(),
         "orders_deletion_vectors": _orders_dv_sql(),
+        "orders_skyline": _orders_skyline_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),

@@ -98,3 +98,37 @@ def test_gap_log_histogram_brute(tmp_path):
         st = want[r["bucket"]]
         assert (r["n_gaps"], r["min_gap"], r["max_gap"], r["sum_gap"]) == \
             (st[0], st[1], st[2], st[3])
+
+
+def test_skyline2d_brute():
+    from __ray_entry__ import _skyline2d
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = 200
+        c = rng.integers(0, 40, n)
+        d = rng.integers(0, 40, n)
+        k = np.arange(n)
+        got = set(k[_skyline2d(c, d, k)].tolist())
+        want = set()
+        for i in range(n):
+            dominated = any(
+                c[j] <= c[i] and d[j] <= d[i]
+                and (c[j] < c[i] or d[j] < d[i])
+                for j in range(n)
+            )
+            if not dominated:
+                want.add(i)
+        assert got == want
+
+
+def test_skyline2d_duplicates_all_survive():
+    from __ray_entry__ import _skyline2d
+
+    c = np.array([5, 5, 7, 3], np.int64)
+    d = np.array([2, 2, 1, 9], np.int64)
+    k = np.arange(4)
+    got = set(k[_skyline2d(c, d, k)].tolist())
+    # the two identical (5,2) points tie — both survive; (7,1) and
+    # (3,9) are incomparable corners
+    assert got == {0, 1, 2, 3}
