@@ -19555,6 +19555,115 @@ def _orders_skyline_sql() -> str:
     )
 
 
+BOOT_B = 200
+BOOT_SEED = 11
+
+
+def _q_bootstrap_median_ci(sf_dir: str):
+    """Nonparametric bootstrap 95% CI for the median user spend —
+    made hash-exact: the B resamples draw indices from the shared
+    splitmix chain (pick_j^b = sm64(b·n + j + seed·golden) mod n over
+    the user-id-ordered total array), every median is the
+    quantile_disc sorted-value-at-ceil(qn)−1 rule, so engine and SQL
+    replay byte-identical resamples — no RNG ambiguity, no float.
+    Distributed fold to per-user totals (one bucketed exchange);
+    the bootstrap itself runs over the ENTITY-level array (one row per
+    user — the driver-small contract shared by the assignment/voting
+    family).  Output: n_users, B, the point median and the
+    (2.5%, 97.5%) bootstrap percentile bounds, all int64 cents."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import _GOLDEN, hash64, np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("value").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"user_id": t.column("user_id").cast(pa.int64()),
+                         "cents": pa.array(c, pa.int64())})
+
+    def _fold(grp: pa.Table) -> pa.Table:
+        u = np_col(grp, "user_id")
+        c = np_col(grp, "cents")
+        order = np.argsort(u, kind="stable")
+        u, c = u[order], c[order]
+        first = np.r_[True, u[1:] != u[:-1]] if len(u) else np.zeros(0, bool)
+        starts = np.flatnonzero(first)
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "total": pa.array(np.add.reduceat(c, starts), pa.int64()),
+        })
+
+    rows = hash_bucket_agg(
+        ev.map_batches(_mk, batch_format="pyarrow"),
+        lambda b: np_col(b, "user_id"),
+        _fold,
+    ).take_all()
+    rows.sort(key=lambda r: r["user_id"])
+    vals = np.asarray([r["total"] for r in rows], np.int64)
+    n = len(vals)
+
+    def _qd(sorted_v: np.ndarray, q: float) -> int:
+        return int(sorted_v[int(np.ceil(q * len(sorted_v))) - 1])
+
+    sv = np.sort(vals)
+    point = _qd(sv, 0.5)
+    with np.errstate(over="ignore"):
+        keys = (np.arange(BOOT_B, dtype=np.uint64)[:, None]
+                * np.uint64(n)
+                + np.arange(n, dtype=np.uint64)[None, :]
+                + np.uint64(BOOT_SEED) * _GOLDEN)
+    picks = (hash64(keys.ravel()) % np.uint64(n)).astype(np.int64)
+    res = np.sort(vals[picks].reshape(BOOT_B, n), axis=1)
+    medians = res[:, int(np.ceil(0.5 * n)) - 1]
+    sm = np.sort(medians)
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "n_resamples": pa.array([BOOT_B], pa.int64()),
+        "median_cents": pa.array([point], pa.int64()),
+        "ci_lo": pa.array([_qd(sm, 0.025)], pa.int64()),
+        "ci_hi": pa.array([_qd(sm, 0.975)], pa.int64()),
+    })
+
+
+def _bootstrap_median_sql() -> str:
+    mix = (BOOT_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes(
+        "bs", "b, j", f"b * (SELECT c FROM nn) + j + {mix}", "grid")
+    return (
+        "WITH u AS (SELECT user_id, "
+        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total "
+        "FROM events GROUP BY user_id), "
+        "v AS (SELECT row_number() OVER (ORDER BY user_id) - 1 AS i, "
+        "total FROM u), "
+        "nn AS (SELECT count(*) AS c FROM v), "
+        f"grid AS (SELECT b.b, j.j FROM (SELECT unnest(range({BOOT_B})) "
+        "AS b) b, (SELECT unnest(range((SELECT c FROM nn))) AS j) j), "
+        f"{chain}, "
+        "r AS (SELECT bs3.b, v.total FROM bs3 JOIN v ON v.i = "
+        "CAST(bs3.z % (SELECT c FROM nn) AS BIGINT)), "
+        "rk AS (SELECT b, total, row_number() OVER (PARTITION BY b "
+        "ORDER BY total) AS rn FROM r), "
+        "med AS (SELECT b, total AS m FROM rk WHERE rn = "
+        "CAST(ceil(0.5 * (SELECT c FROM nn)) AS BIGINT)), "
+        "mrk AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM med), "
+        "pt AS (SELECT total AS m FROM (SELECT total, row_number() OVER "
+        "(ORDER BY total) AS rn FROM v) WHERE rn = "
+        "CAST(ceil(0.5 * (SELECT c FROM nn)) AS BIGINT)) "
+        "SELECT CAST((SELECT c FROM nn) AS BIGINT) AS n_users, "
+        f"CAST({BOOT_B} AS BIGINT) AS n_resamples, "
+        "CAST((SELECT m FROM pt) AS BIGINT) AS median_cents, "
+        "CAST((SELECT m FROM mrk WHERE rn = "
+        f"CAST(ceil(0.025 * {BOOT_B}) AS BIGINT)) AS BIGINT) AS ci_lo, "
+        "CAST((SELECT m FROM mrk WHERE rn = "
+        f"CAST(ceil(0.975 * {BOOT_B}) AS BIGINT)) AS BIGINT) AS ci_hi"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -19790,6 +19899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_log_histogram": _q_gap_log_histogram,
         "orders_deletion_vectors": _q_orders_deletion_vectors,
         "orders_skyline": _q_orders_skyline,
+        "bootstrap_median_ci": _q_bootstrap_median_ci,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -21363,6 +21473,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "gap_log_histogram": _gap_log_hist_sql(),
         "orders_deletion_vectors": _orders_dv_sql(),
         "orders_skyline": _orders_skyline_sql(),
+        "bootstrap_median_ci": _bootstrap_median_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),

@@ -132,3 +132,44 @@ def test_skyline2d_duplicates_all_survive():
     # the two identical (5,2) points tie — both survive; (7,1) and
     # (3,9) are incomparable corners
     assert got == {0, 1, 2, 3}
+
+
+def test_bootstrap_median_ci_brute(tmp_path):
+    """Replay the exact splitmix resampling in pure NumPy and require
+    identical CI bounds; sanity: lo <= point <= hi on planted data."""
+    from essentials_rd.util import _GOLDEN, hash64
+
+    from __ray_entry__ import BOOT_B, BOOT_SEED, _q_bootstrap_median_ci
+
+    rng = np.random.default_rng(2)
+    n_ev = 600
+    users = rng.integers(0, 37, n_ev)
+    value = rng.uniform(1, 500, n_ev)
+    pq.write_table(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "value": pa.array(value, pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+
+    cents = np.floor(value * 100 + 0.5).astype(np.int64)
+    df = pd.DataFrame({"u": users, "c": cents})
+    totals = df.groupby("u")["c"].sum().sort_index().to_numpy(np.int64)
+    n = len(totals)
+    with np.errstate(over="ignore"):
+        keys = (np.arange(BOOT_B, dtype=np.uint64)[:, None] * np.uint64(n)
+                + np.arange(n, dtype=np.uint64)[None, :]
+                + np.uint64(BOOT_SEED) * _GOLDEN)
+    picks = (hash64(keys.ravel()) % np.uint64(n)).astype(np.int64)
+    meds = np.sort(
+        np.sort(totals[picks].reshape(BOOT_B, n), axis=1)
+        [:, int(np.ceil(0.5 * n)) - 1]
+    )
+    want_lo = int(meds[int(np.ceil(0.025 * BOOT_B)) - 1])
+    want_hi = int(meds[int(np.ceil(0.975 * BOOT_B)) - 1])
+    point = int(np.sort(totals)[int(np.ceil(0.5 * n)) - 1])
+
+    got = _q_bootstrap_median_ci(str(tmp_path)).to_pylist()[0]
+    assert got["n_users"] == n
+    assert got["median_cents"] == point
+    assert got["ci_lo"] == want_lo
+    assert got["ci_hi"] == want_hi
+    assert got["ci_lo"] <= got["median_cents"] <= got["ci_hi"]
