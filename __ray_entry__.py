@@ -19664,6 +19664,146 @@ def _bootstrap_median_sql() -> str:
     )
 
 
+RANSAC_K = 64
+RANSAC_T = 1000  # inlier: perpendicular distance ≤ T (dollar units)
+
+
+def _q_ransac_qty_price(sf_dir: str):
+    """RANSAC line fit (Fischler–Bolles 1981) over lineitem
+    (quantity, floor-dollar price) — made hash-exact: trial t's two
+    sample points are the rows with the SMALLEST sm64(key + t·golden)
+    (min-hash sampling — fully distributed, no random access by
+    index), and the inlier test is the integer perpendicular-distance
+    comparison dist_num² ≤ T²·len² (cross products only, no sqrt, no
+    float), so engine and SQL replay identical trials.  Best trial =
+    max inliers, tie → smallest t.  Distributed shape: one pass for
+    per-block top-2-per-trial partials (driver folds K×2×blocks
+    rows), broadcast the 2K sample points, one stateless counting
+    pass with per-block (trial, inliers) partials."""
+    import ray.data as rd
+
+    from essentials_rd.util import _GOLDEN, hash64, np_col
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_linenumber",
+                                    "l_quantity", "l_extendedprice"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        x = np_col(t, "l_quantity").astype(np.int64)
+        y = np.floor(np.asarray(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            np.float64)).astype(np.int64)
+        # (orderkey, linenumber) is NOT unique in the synthetic data —
+        # fold (x, y) into the pick key so any residual key tie is
+        # value-identical (either pick yields the same sample point)
+        assert int(y.max(initial=0)) < (1 << 17)
+        key = (((np_col(t, "l_orderkey").astype(np.int64) * 64
+                 + np_col(t, "l_linenumber").astype(np.int64)) << 24)
+               | (x << 17) | y)
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    pts = line.map_batches(_mk, batch_format="pyarrow").materialize()
+    ts = np.arange(RANSAC_K, dtype=np.uint64)
+
+    def _top2(t: pa.Table) -> pa.Table:
+        key = np_col(t, "key").astype(np.uint64)
+        out_t, out_z, out_k, out_x, out_y = [], [], [], [], []
+        x = np_col(t, "x")
+        y = np_col(t, "y")
+        with np.errstate(over="ignore"):
+            for tt in ts:
+                z = hash64(key + tt * _GOLDEN)
+                o = np.lexsort((key, z))[:2]
+                out_t.extend([int(tt)] * len(o))
+                out_z.extend(z[o].tolist())
+                out_k.extend(key[o].tolist())
+                out_x.extend(x[o].tolist())
+                out_y.extend(y[o].tolist())
+        return pa.table({
+            "t": pa.array(out_t, pa.int64()),
+            "z": pa.array(np.asarray(out_z, np.uint64).astype(np.int64),
+                          pa.int64()),
+            "key": pa.array(np.asarray(out_k, np.uint64).astype(np.int64),
+                            pa.int64()),
+            "x": pa.array(out_x, pa.int64()),
+            "y": pa.array(out_y, pa.int64()),
+        })
+
+    part_rows = pts.map_batches(_top2, batch_format="pyarrow").take_all()
+    mask64 = (1 << 64) - 1
+    samples = np.zeros((RANSAC_K, 2, 3), np.int64)  # (x, y, key)
+    for tt in range(RANSAC_K):
+        rows = [r for r in part_rows if r["t"] == tt]
+        rows.sort(key=lambda r: (r["z"] & mask64, r["key"] & mask64))
+        for j in (0, 1):
+            samples[tt, j] = (rows[j]["x"], rows[j]["y"], rows[j]["key"])
+    import ray as _ray
+
+    sref = _ray.put(samples)
+
+    def _count(t: pa.Table) -> pa.Table:
+        s = _ray.get(sref)
+        x = np_col(t, "x").astype(np.int64)
+        y = np_col(t, "y").astype(np.int64)
+        cnt = np.zeros(RANSAC_K, np.int64)
+        t2 = np.int64(RANSAC_T) * np.int64(RANSAC_T)
+        for tt in range(RANSAC_K):
+            x1, y1, _ = s[tt, 0]
+            x2, y2, _ = s[tt, 1]
+            dx, dy = x2 - x1, y2 - y1
+            num = dx * (y1 - y) - (x1 - x) * dy
+            cnt[tt] = int((num * num <= t2 * (dx * dx + dy * dy)).sum())
+        return pa.table({"t": pa.array(np.arange(RANSAC_K), pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    totals = np.zeros(RANSAC_K, np.int64)
+    for r in pts.map_batches(_count, batch_format="pyarrow").take_all():
+        totals[r["t"]] += r["n"]
+    best = int(np.lexsort((np.arange(RANSAC_K), -totals))[0])
+    return pa.table({
+        "trial": pa.array([best], pa.int64()),
+        "inliers": pa.array([int(totals[best])], pa.int64()),
+        "x1": pa.array([int(samples[best, 0, 0])], pa.int64()),
+        "y1": pa.array([int(samples[best, 0, 1])], pa.int64()),
+        "x2": pa.array([int(samples[best, 1, 0])], pa.int64()),
+        "y2": pa.array([int(samples[best, 1, 1])], pa.int64()),
+    })
+
+
+def _ransac_sql() -> str:
+    golden = 0x9E3779B97F4A7C15
+    chain = _sm64_ctes("rs", "t, key, x, y",
+                       f"key + t * {golden}", "grid")
+    t2 = RANSAC_T * RANSAC_T
+    return (
+        "WITH p0 AS (SELECT CAST(l_quantity AS BIGINT) AS x, "
+        "CAST(floor(l_extendedprice) AS BIGINT) AS y, "
+        "CAST(l_orderkey AS BIGINT) AS ok, "
+        "CAST(l_linenumber AS BIGINT) AS ln FROM lineitem), "
+        "pts AS (SELECT (ok * 64 + ln) * 16777216 + x * 131072 + y "
+        "AS key, x, y FROM p0), "
+        f"trials AS (SELECT unnest(range({RANSAC_K})) AS t), "
+        "grid AS (SELECT t, key, x, y FROM trials, pts), "
+        f"{chain}, "
+        "rk AS (SELECT t, key, x, y, row_number() OVER (PARTITION BY t "
+        "ORDER BY z, CAST(key AS UBIGINT)) AS rn FROM rs3), "
+        "p1 AS (SELECT t, x AS x1, y AS y1 FROM rk WHERE rn = 1), "
+        "p2 AS (SELECT t, x AS x2, y AS y2 FROM rk WHERE rn = 2), "
+        "ln AS (SELECT p1.t, x1, y1, x2, y2, x2 - x1 AS dx, "
+        "y2 - y1 AS dy FROM p1 JOIN p2 USING (t)), "
+        "cn AS (SELECT ln.t, x1, y1, x2, y2, CAST(SUM(CASE WHEN "
+        "CAST(dx * (y1 - p.y) - (x1 - p.x) * dy AS HUGEINT) * "
+        "CAST(dx * (y1 - p.y) - (x1 - p.x) * dy AS HUGEINT) <= "
+        f"CAST({t2} AS HUGEINT) * (dx * dx + dy * dy) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS inliers "
+        "FROM ln, pts p GROUP BY ln.t, x1, y1, x2, y2) "
+        "SELECT CAST(t AS BIGINT) AS trial, inliers, x1, y1, x2, y2 "
+        "FROM cn ORDER BY inliers DESC, t LIMIT 1"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -19900,6 +20040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_deletion_vectors": _q_orders_deletion_vectors,
         "orders_skyline": _q_orders_skyline,
         "bootstrap_median_ci": _q_bootstrap_median_ci,
+        "ransac_qty_price": _q_ransac_qty_price,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -21474,6 +21615,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "orders_deletion_vectors": _orders_dv_sql(),
         "orders_skyline": _orders_skyline_sql(),
         "bootstrap_median_ci": _bootstrap_median_sql(),
+        "ransac_qty_price": _ransac_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),

@@ -173,3 +173,54 @@ def test_bootstrap_median_ci_brute(tmp_path):
     assert got["ci_lo"] == want_lo
     assert got["ci_hi"] == want_hi
     assert got["ci_lo"] <= got["median_cents"] <= got["ci_hi"]
+
+
+def test_ransac_finds_planted_line(tmp_path):
+    """80% of points sit within T of y = 2000x + 500; RANSAC must pick
+    a trial whose inlier count ≥ the planted inlier mass, and the
+    engine result must equal a NumPy replay of the same hash-exact
+    trials."""
+    from essentials_rd.util import _GOLDEN, hash64
+
+    from __ray_entry__ import (RANSAC_K, RANSAC_T, _q_ransac_qty_price)
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    x = rng.integers(1, 51, n)
+    on_line = rng.random(n) < 0.8
+    y = np.where(
+        on_line,
+        2000 * x + 500 + rng.integers(-200, 201, n),
+        rng.integers(900, 110_000, n),
+    ).astype(np.int64)
+    ok = np.arange(n) + 1
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_linenumber": pa.array(np.ones(n, np.int64), pa.int64()),
+        "l_quantity": pa.array(x, pa.int64()),
+        "l_extendedprice": pa.array(y.astype(np.float64), pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    got = _q_ransac_qty_price(str(tmp_path)).to_pylist()[0]
+
+    # NumPy replay of the exact same min-hash trials
+    key = (((ok * 64 + 1) << 24) | (x.astype(np.int64) << 17)
+           | y).astype(np.uint64)
+    best = (-1, None)
+    t2 = RANSAC_T * RANSAC_T
+    for tt in range(RANSAC_K):
+        with np.errstate(over="ignore"):
+            z = hash64(key + np.uint64(tt) * _GOLDEN)
+        o = np.lexsort((key, z))[:2]
+        x1, y1, x2, y2 = x[o[0]], y[o[0]], x[o[1]], y[o[1]]
+        dx, dy = int(x2 - x1), int(y2 - y1)
+        num = dx * (int(y1) - y.astype(object)) - (int(x1) - x.astype(object)) * dy
+        inl = int(sum(1 for v in num if v * v <= t2 * (dx * dx + dy * dy)))
+        if inl > best[0]:
+            best = (inl, (tt, x1, y1, x2, y2))
+    want_inl, (want_t, wx1, wy1, wx2, wy2) = best
+    assert got["trial"] == want_t and got["inliers"] == want_inl
+    assert (got["x1"], got["y1"], got["x2"], got["y2"]) == \
+        (wx1, wy1, wx2, wy2)
+    # sanity: some trial found a meaningful consensus set
+    assert got["inliers"] >= int(0.05 * n)
