@@ -19804,6 +19804,232 @@ def _ransac_sql() -> str:
     )
 
 
+TDU_W = 7  # trailing window, days
+
+
+def _q_trailing_distinct_users(sf_dir: str):
+    """EXACT trailing-7-day COUNT(DISTINCT user) per active day in
+    LINEAR work — the sliding-window dedup a naive per-day recount
+    makes O(days·events): a user's event on day d is the window's
+    first-in-window occurrence for exactly the days
+    D ∈ [max(d, prev+W), d+W−1] (prev = that user's previous event
+    day), so each (user, day) pair contributes one INTERVAL of days;
+    summing interval starts/ends as a diff array gives every day's
+    distinct count in one pass.  Distributed: user-bucketed exchange
+    computes per-(user, day) prev-day lags and emits ±1 boundary rows;
+    one day-bucketed sum + a global cumsum over the (small) day axis.
+    The oracle is INDEPENDENT (a brute per-day range join + COUNT
+    DISTINCT), not a replay of the same identity."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import np_col
+    from essentials_rd.windows import _epoch_us
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        d = _epoch_us(t, "ts") // 86_400_000_000
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "day": pa.array(d.astype(np.int64), pa.int64()),
+        })
+
+    def _bounds(grp: pa.Table) -> pa.Table:
+        u = np_col(grp, "user_id")
+        d = np_col(grp, "day")
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])] \
+            if len(u) else np.zeros(0, bool)
+        u, d = u[keep], d[keep]
+        same = np.r_[False, u[1:] == u[:-1]] if len(u) else np.zeros(0, bool)
+        prev = np.where(same, np.r_[np.int64(0), d[:-1]],
+                        np.int64(-(1 << 40)))
+        lo = np.maximum(d, prev + TDU_W)
+        hi = d + TDU_W  # exclusive
+        ok = lo < hi
+        days = np.concatenate([lo[ok], hi[ok]])
+        delta = np.concatenate([np.ones(int(ok.sum()), np.int64),
+                                -np.ones(int(ok.sum()), np.int64)])
+        return pa.table({"day": pa.array(days, pa.int64()),
+                         "delta": pa.array(delta, pa.int64())})
+
+    deltas = hash_bucket_agg(
+        ev.map_batches(_mk, batch_format="pyarrow"),
+        lambda b: np_col(b, "user_id"),
+        _bounds,
+    )
+
+    def _sum_day(grp: pa.Table) -> pa.Table:
+        d = np_col(grp, "day")
+        v = np_col(grp, "delta")
+        order = np.argsort(d, kind="stable")
+        d, v = d[order], v[order]
+        first = np.r_[True, d[1:] != d[:-1]] if len(d) else np.zeros(0, bool)
+        starts = np.flatnonzero(first)
+        return pa.table({
+            "day": pa.array(d[starts], pa.int64()),
+            "delta": pa.array(np.add.reduceat(v, starts), pa.int64()),
+        })
+
+    rows = hash_bucket_agg(
+        deltas, lambda b: np_col(b, "day"), _sum_day
+    ).take_all()
+    rows.sort(key=lambda r: r["day"])
+    day = np.asarray([r["day"] for r in rows], np.int64)
+    run = np.cumsum(np.asarray([r["delta"] for r in rows], np.int64))
+    # piecewise-constant between boundary days; emit only days with ≥1
+    # event in their window, clipped to the observed day span (the
+    # window would otherwise extend W−1 days past the last event)
+    if len(day):
+        max_event_day = day[-1] - TDU_W  # last boundary is max(d) + W
+        full = np.arange(day[0], max_event_day + 1)
+        idx = np.searchsorted(day, full, side="right") - 1
+        vals = run[idx]
+        keep = vals > 0
+        full, vals = full[keep], vals[keep]
+    else:
+        full = np.zeros(0, np.int64)
+        vals = np.zeros(0, np.int64)
+    return pa.table({"day": pa.array(full, pa.int64()),
+                     "n_users": pa.array(vals, pa.int64())})
+
+
+def _trailing_distinct_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, "
+        "epoch_us(ts) // 86400000000 AS day FROM events), "
+        "days AS (SELECT unnest(range((SELECT min(day) FROM e), "
+        "(SELECT max(day) FROM e) + 1)) AS day) "
+        "SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) "
+        "AS n_users FROM days d JOIN e ON e.day BETWEEN d.day - "
+        f"{TDU_W - 1} AND d.day "
+        "GROUP BY d.day ORDER BY d.day"
+    )
+
+
+TRIPLE_MIN_SUPPORT = 2
+
+
+def _q_frequent_triples(sf_dir: str):
+    """Apriori 3-itemsets (Agrawal–Srikant 1994) over order baskets:
+    part triples co-purchased in ≥ ``TRIPLE_MIN_SUPPORT`` orders — the
+    market-basket step past the pairwise copurchase graph.  Distributed
+    shape: the distinct (order, part) rows are already orderkey-
+    bucketed (``pipelines.copurchase_items``); each bucket expands its
+    complete baskets into canonical p1<p2<p3 triples with a
+    size-indexed combination table (one vectorized take per basket
+    size, no per-order Python loop), and a triple-hash-bucketed count
+    applies the support threshold.  A basket-size cap guards the
+    C(n,3) blowup — an over-cap basket raises loudly (raise the cap
+    consciously at scale) rather than skewing support silently."""
+    import itertools
+
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.pipelines import copurchase_items
+    from essentials_rd.util import hash64, np_col
+
+    items = copurchase_items(sf_dir)
+    cap = 64
+
+    combo_cache: dict[int, np.ndarray] = {}
+
+    def _combos(s: int) -> np.ndarray:
+        c = combo_cache.get(s)
+        if c is None:
+            c = np.asarray(list(itertools.combinations(range(s), 3)),
+                           np.int64).reshape(-1, 3)
+            combo_cache[s] = c
+        return c
+
+    def _expand(grp: pa.Table) -> pa.Table:
+        ok = np_col(grp, "l_orderkey")
+        pk = np_col(grp, "l_partkey")
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        first = np.r_[True, ok[1:] != ok[:-1]] if len(ok) else np.zeros(0, bool)
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, len(ok)])
+        if len(sizes) and int(sizes.max()) > cap:
+            raise ValueError(
+                f"basket of {int(sizes.max())} items exceeds the C(n,3) "
+                f"cap {cap}; raise it consciously")
+        outs = []
+        for s in np.unique(sizes):
+            if s < 3:
+                continue
+            sel = starts[sizes == s]
+            idx = (sel[:, None, None]
+                   + _combos(int(s))[None, :, :]).reshape(-1, 3)
+            outs.append(pk[idx])
+        tri = (np.concatenate(outs) if outs
+               else np.zeros((0, 3), np.int64))
+        return pa.table({
+            "p1": pa.array(tri[:, 0], pa.int64()),
+            "p2": pa.array(tri[:, 1], pa.int64()),
+            "p3": pa.array(tri[:, 2], pa.int64()),
+        })
+
+    def _tri_key(b: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            k = (np_col(b, "p1").astype(np.uint64) * np.uint64(1_000_003)
+                 + np_col(b, "p2").astype(np.uint64)) * np.uint64(1_000_003) \
+                + np_col(b, "p3").astype(np.uint64)
+        return hash64(k).astype(np.int64)
+
+    def _count(grp: pa.Table) -> pa.Table:
+        a = np_col(grp, "p1")
+        b = np_col(grp, "p2")
+        c = np_col(grp, "p3")
+        order = np.lexsort((c, b, a))
+        a, b, c = a[order], b[order], c[order]
+        first = (np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                       | (c[1:] != c[:-1])]
+                 if len(a) else np.zeros(0, bool))
+        starts = np.flatnonzero(first)
+        n = np.diff(np.r_[starts, len(a)])
+        keep = n >= TRIPLE_MIN_SUPPORT
+        return pa.table({
+            "p1": pa.array(a[starts][keep], pa.int64()),
+            "p2": pa.array(b[starts][keep], pa.int64()),
+            "p3": pa.array(c[starts][keep], pa.int64()),
+            "support": pa.array(n[keep], pa.int64()),
+        })
+
+    triples = hash_bucket_agg(
+        items, lambda b: np_col(b, "l_orderkey"), _expand
+    )
+    rows = hash_bucket_agg(triples, _tri_key, _count).take_all()
+    rows.sort(key=lambda r: (r["p1"], r["p2"], r["p3"]))
+    return pa.table({
+        "p1": pa.array([r["p1"] for r in rows], pa.int64()),
+        "p2": pa.array([r["p2"] for r in rows], pa.int64()),
+        "p3": pa.array([r["p3"] for r in rows], pa.int64()),
+        "support": pa.array([r["support"] for r in rows], pa.int64()),
+    })
+
+
+def _frequent_triples_sql() -> str:
+    return (
+        "WITH b AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o, "
+        "CAST(l_partkey AS BIGINT) AS p FROM lineitem), "
+        "sz AS (SELECT o FROM b GROUP BY o "
+        "HAVING count(*) BETWEEN 3 AND 64), "
+        "t AS (SELECT x.p AS p1, y.p AS p2, z.p AS p3 "
+        "FROM b x JOIN b y ON y.o = x.o AND y.p > x.p "
+        "JOIN b z ON z.o = x.o AND z.p > y.p "
+        "JOIN sz ON sz.o = x.o) "
+        "SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS support "
+        "FROM t GROUP BY p1, p2, p3 "
+        f"HAVING count(*) >= {TRIPLE_MIN_SUPPORT} "
+        "ORDER BY p1, p2, p3"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -20041,6 +20267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": _q_orders_skyline,
         "bootstrap_median_ci": _q_bootstrap_median_ci,
         "ransac_qty_price": _q_ransac_qty_price,
+        "trailing_distinct_users": _q_trailing_distinct_users,
+        "frequent_triples": _q_frequent_triples,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -21616,6 +21844,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "orders_skyline": _orders_skyline_sql(),
         "bootstrap_median_ci": _bootstrap_median_sql(),
         "ransac_qty_price": _ransac_sql(),
+        "trailing_distinct_users": _trailing_distinct_sql(),
+        "frequent_triples": _frequent_triples_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),

@@ -224,3 +224,66 @@ def test_ransac_finds_planted_line(tmp_path):
         (wx1, wy1, wx2, wy2)
     # sanity: some trial found a meaningful consensus set
     assert got["inliers"] >= int(0.05 * n)
+
+
+def test_trailing_distinct_users_brute(tmp_path):
+    from __ray_entry__ import TDU_W, _q_trailing_distinct_users
+
+    rng = np.random.default_rng(13)
+    n = 500
+    users = rng.integers(0, 20, n)
+    days = np.sort(rng.integers(0, 60, n))
+    # plant a dead zone so zero-count days are exercised
+    days = np.where((days >= 25) & (days < 40), days + 20, days)
+    base = np.datetime64("2024-03-01", "D")
+    ts = (base + days.astype("timedelta64[D]")).astype("datetime64[us]")
+    pq.write_table(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts),
+    }), str(tmp_path / "events.parquet"))
+
+    dayno = (ts.astype("datetime64[us]").astype(np.int64)
+             // 86_400_000_000)
+    want = {}
+    for d in range(int(dayno.min()), int(dayno.max()) + 1):
+        us = set(users[(dayno > d - TDU_W) & (dayno <= d)].tolist())
+        if us:
+            want[d] = len(us)
+    got = _q_trailing_distinct_users(str(tmp_path)).to_pandas()
+    assert dict(zip(got["day"], got["n_users"])) == want
+
+
+def test_frequent_triples_brute(tmp_path):
+    from itertools import combinations
+
+    from __ray_entry__ import TRIPLE_MIN_SUPPORT, _q_frequent_triples
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for o in range(80):
+        parts = rng.choice(30, size=int(rng.integers(1, 7)),
+                           replace=False)
+        for p in parts:
+            rows.append((o, int(p)))
+        if o % 4 == 0:  # plant a recurring triple
+            for p in (101, 102, 103):
+                rows.append((o, p))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    baskets = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    counts = {}
+    for o, ps in baskets.items():
+        for tri in combinations(sorted(ps), 3):
+            counts[tri] = counts.get(tri, 0) + 1
+    want = {t: c for t, c in counts.items() if c >= TRIPLE_MIN_SUPPORT}
+
+    got = _q_frequent_triples(str(tmp_path)).to_pandas()
+    got_d = {(r["p1"], r["p2"], r["p3"]): r["support"]
+             for _, r in got.iterrows()}
+    assert got_d == want
+    assert got_d[(101, 102, 103)] == 20
