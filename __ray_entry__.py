@@ -20030,6 +20030,62 @@ def _frequent_triples_sql() -> str:
     )
 
 
+def _q_bucket_skew_report(sf_dir: str):
+    """Engine introspection as a query: the row-count layout the
+    standard 64-bucket exchange (``ops.hash_bucket_agg``'s
+    ``hash64(key) % 64``) produces for the events/user_id key, plus
+    the exact Gini concentration of those counts in ppm — the skew
+    diagnostic that decides when a key needs salting.  The SQL twin
+    replays the splitmix bucket assignment via the shared chain, so a
+    hash-match certifies the EXCHANGE LAYER itself (the primitive under
+    every bucketed operator in this engine) against an independent
+    implementation.  Empty buckets are emitted (skew you cannot see is
+    skew you cannot fix)."""
+    import ray.data as rd
+
+    from essentials_rd.util import hash64, np_col
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    nb = 64
+
+    def _partial(t: pa.Table) -> pa.Table:
+        b = (hash64(np_col(t, "user_id").astype(np.int64))
+             % np.uint64(nb)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(np.arange(nb), pa.int64()),
+            "n_rows": pa.array(np.bincount(b, minlength=nb), pa.int64()),
+        })
+
+    counts = np.zeros(nb, np.int64)
+    for r in ev.map_batches(_partial, batch_format="pyarrow").take_all():
+        counts[r["bucket"]] += r["n_rows"]
+    total = int(counts.sum())
+    diff_sum = int(np.abs(counts[:, None] - counts[None, :]).sum())
+    gini_ppm = (1_000_000 * diff_sum) // (2 * nb * total) if total else 0
+    return pa.table({
+        "bucket": pa.array(np.arange(nb), pa.int64()),
+        "n_rows": pa.array(counts, pa.int64()),
+        "gini_ppm": pa.array(np.full(nb, gini_ppm), pa.int64()),
+    })
+
+
+def _bucket_skew_sql() -> str:
+    chain = _sm64_ctes("bk", "user_id", "user_id", "events")
+    return (
+        f"WITH {chain}, "
+        "asg AS (SELECT CAST(z % 64 AS BIGINT) AS bucket FROM bk3), "
+        "bs AS (SELECT b.bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS "
+        "n_rows FROM (SELECT unnest(range(64)) AS bucket) b LEFT JOIN "
+        "(SELECT bucket, count(*) AS n FROM asg GROUP BY bucket) c "
+        "USING (bucket)), "
+        "g AS (SELECT CAST(SUM(abs(a.n_rows - b.n_rows)) AS BIGINT) AS "
+        "ds, (SELECT SUM(n_rows) FROM bs) AS tot FROM bs a, bs b) "
+        "SELECT bs.bucket, bs.n_rows, "
+        "CAST((1000000 * g.ds) // (2 * 64 * g.tot) AS BIGINT) AS "
+        "gini_ppm FROM bs, g ORDER BY bs.bucket"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -20269,6 +20325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ransac_qty_price": _q_ransac_qty_price,
         "trailing_distinct_users": _q_trailing_distinct_users,
         "frequent_triples": _q_frequent_triples,
+        "bucket_skew_report": _q_bucket_skew_report,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -21846,6 +21903,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "ransac_qty_price": _ransac_sql(),
         "trailing_distinct_users": _trailing_distinct_sql(),
         "frequent_triples": _frequent_triples_sql(),
+        "bucket_skew_report": _bucket_skew_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),
