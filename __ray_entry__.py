@@ -11802,6 +11802,49 @@ def _media_jpeg_sql() -> str:
     )
 
 
+def _q_media_jpeg_quality(sf_dir: str):
+    """JPEG encoder forensics (jpegc.probe_quality): recover each
+    image's quality factor purely from its STORED luminance
+    quantization table — marker-walk the real bytes, invert the
+    Annex-K scaling (scales are injective across both quality regimes,
+    so the smallest exact match IS the encoder's q).  The SQL twin
+    replays the closed-form per-id quality, so a hash match certifies
+    the DQT parse + formula inverse end to end; a stream whose tables
+    match no q would surface as -1 and break the hash."""
+    import ray.data as rd
+
+    from essentials_rd.jpegc import probe_quality
+    from essentials_rd.multimodal import synth_coded_jpeg
+
+    media = rd.from_arrow(
+        synth_coded_jpeg(MEDIA_JPEG_N, seed=MEDIA_SEED)
+        .select(["media_id", "payload"])
+    )
+
+    def _probe(t: pa.Table) -> pa.Table:
+        q = [probe_quality(p.as_py()) for p in t.column("payload")]
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "quality": pa.array(np.asarray(q, np.int64), pa.int64()),
+        })
+
+    out = media.map_batches(_probe, batch_format="pyarrow",
+                            batch_size=8).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    return pa.table({
+        "media_id": pa.array([r["media_id"] for r in out], pa.int64()),
+        "quality": pa.array([r["quality"] for r in out], pa.int64()),
+    })
+
+
+def _media_jpeg_quality_sql() -> str:
+    return (
+        "SELECT CAST(i AS BIGINT) AS media_id, "
+        "CAST(35 + (i % 3) * 30 AS BIGINT) AS quality "
+        f"FROM (SELECT unnest(range({MEDIA_JPEG_N})) AS i) ORDER BY i"
+    )
+
+
 def _q_media_resize(sf_dir: str):
     """REAL image resize (multimodal.ResizeStatsStage): decode the coded P6
     PPMs, downsample 2× nearest-neighbor (every even row/column), emit
@@ -20316,6 +20359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rmat_edges": _q_rmat_edges,
         "media_img_stats": _q_media_img_stats,
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
+        "media_jpeg_quality": _q_media_jpeg_quality,
         "heaps_vocab_curve": _q_heaps_vocab_curve,
         "token_collision_stats": _q_token_collision_stats,
         "gap_log_histogram": _q_gap_log_histogram,
@@ -21894,6 +21938,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "rmat_edges": _rmat_sql(),
         "media_img_stats": _media_img_sql(),
         "media_jpeg_roundtrip": _media_jpeg_sql(),
+        "media_jpeg_quality": _media_jpeg_quality_sql(),
         "heaps_vocab_curve": _heaps_vocab_sql(),
         "token_collision_stats": _token_collision_sql(),
         "gap_log_histogram": _gap_log_hist_sql(),

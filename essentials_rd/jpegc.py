@@ -520,3 +520,54 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 return _ycbcr_to_rgb(*planes)
             raise ValueError(f"{len(planes)}-component scans unsupported")
         pos += ln
+
+
+def parse_quant_tables(buf: bytes) -> dict[int, np.ndarray]:
+    """Marker-walk a JPEG and return its quantization tables
+    (id → row-major 64-int array) without entropy-decoding — the
+    header-forensics path (quality probing, encoder fingerprinting)."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    out: dict[int, np.ndarray] = {}
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = struct.unpack(">H", buf[pos: pos + 2])[0]
+        seg = buf[pos + 2: pos + ln]
+        if marker == 0xDB:
+            sp = 0
+            while sp < len(seg):
+                pq_, tq = seg[sp] >> 4, seg[sp] & 0xF
+                if pq_ != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tab = np.frombuffer(
+                    seg[sp + 1: sp + 65], np.uint8
+                ).astype(np.int64)
+                out[tq] = tab[UNZIGZAG]
+                sp += 65
+        elif marker == 0xDA:
+            break  # headers end at the scan
+        pos += ln
+    return out
+
+
+def probe_quality(buf: bytes) -> int:
+    """Recover the conventional quality factor from a JPEG's stored
+    luminance quantization table: the smallest q in 1..100 whose
+    Annex-K scaling reproduces the stored table exactly (scales are
+    injective across the two quality regimes, so a match is the
+    encoder's q).  Returns -1 if no q matches (foreign quant tables)."""
+    tabs = parse_quant_tables(buf)
+    if 0 not in tabs:
+        return -1
+    stored = tabs[0]
+    for q in range(1, 101):
+        lum, _ = quality_tables(q)
+        if np.array_equal(lum, stored):
+            return q
+    return -1

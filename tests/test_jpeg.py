@@ -123,3 +123,23 @@ def test_jpeg_verify_stage_raises_on_tampered_payload():
     stage = JpegVerifyStage()
     with pytest.raises((AssertionError, ValueError)):
         stage(tampered)
+
+
+def test_probe_quality_all_factors():
+    from essentials_rd.jpegc import parse_quant_tables, probe_quality
+
+    img = _noise(16, 16, 1, 42)
+    for q in (1, 7, 35, 49, 50, 65, 95, 99, 100):
+        buf, _ = encode_jpeg(img, quality=q)
+        assert probe_quality(buf) == q
+        tabs = parse_quant_tables(buf)
+        assert 0 in tabs and len(tabs[0]) == 64
+    # color stream carries both tables
+    bufc, _ = encode_jpeg(_noise(8, 8, 3, 1), quality=80)
+    tabs = parse_quant_tables(bufc)
+    assert set(tabs) == {0, 1}
+    # foreign table -> -1
+    b = bytearray(bufc)
+    dqt = b.index(0xDB, 2) + 4  # first DQT payload byte (after id)
+    b[dqt + 1] ^= 0x01
+    assert probe_quality(bytes(b)) == -1
