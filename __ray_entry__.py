@@ -20129,6 +20129,171 @@ def _bucket_skew_sql() -> str:
     )
 
 
+KN_MIN_COUNT = 5
+
+
+def _q_kneser_ney_counts(sf_dir: str):
+    """The integer core of Kneser–Ney smoothing (Kneser & Ney 1995) —
+    the count tables every interpolated-KN language model is built
+    from, over the corpus's within-document bigrams: per token w with
+    unigram count ≥ KN_MIN_COUNT, (c(w), N1+(·w) = distinct left
+    contexts, N1+(w·) = distinct right contexts), plus the corpus
+    bigram-type total every continuation probability divides by
+    (carried on every row).  KN's insight is exactly that N1+(·w)/types
+    replaces c(w)/total for backoff mass — these integers ARE the
+    model.  One bucketed exchange of per-batch pre-counted bigrams;
+    distinct-context counting in-bucket by token string."""
+    import pandas as pd
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def _bigrams(t: pa.Table) -> pa.Table:
+        s = t.column("text").to_pandas()
+        toks = s.str.split(" ")
+        lefts, rights = [], []
+        for lst in toks:
+            lefts.extend(lst[:-1])
+            rights.extend(lst[1:])
+        df = pd.DataFrame({"l": lefts, "r": rights})
+        g = df.groupby(["l", "r"], sort=False).size().reset_index(name="c")
+        l_arr = pa.array(g["l"].tolist(), pa.string())
+        return pa.table({
+            "khash": pa.array(_str_hash(l_arr), pa.int64()),
+            "l": l_arr,
+            "r": pa.array(g["r"].tolist(), pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        })
+
+    # bucket by LEFT token: a bucket owns each left token's complete
+    # bigram row set → exact c(l·), N1+(l·); emit the mirrored rows
+    # for the right-token stats in the same pass
+    def _bucket(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        g = df.groupby(["l", "r"], sort=False)["c"].sum().reset_index()
+        left = g.groupby("l", sort=False).agg(
+            c_out=("c", "sum"), n_right=("r", "size")).reset_index()
+        return pa.table({
+            "token": pa.array(left["l"].tolist(), pa.string()),
+            "c_out": pa.array(left["c_out"].to_numpy(np.int64)),
+            "n_right": pa.array(left["n_right"].to_numpy(np.int64)),
+        })
+
+    lefts = hash_bucket_agg(
+        docs.map_batches(_bigrams, batch_format="pyarrow"),
+        lambda b: np_col(b, "khash"),
+        _bucket,
+    )
+
+    # same exchange keyed by RIGHT token for c(·w), N1+(·w)
+    def _rekey(t: pa.Table) -> pa.Table:
+        r_arr = t.column("r")
+        return pa.table({
+            "khash": pa.array(_str_hash(r_arr.combine_chunks()), pa.int64()),
+            "l": t.column("l"),
+            "r": r_arr,
+            "c": t.column("c"),
+        })
+
+    def _bucket_r(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        g = df.groupby(["l", "r"], sort=False)["c"].sum().reset_index()
+        right = g.groupby("r", sort=False).agg(
+            c_in=("c", "sum"), n_left=("l", "size")).reset_index()
+        return pa.table({
+            "token": pa.array(right["r"].tolist(), pa.string()),
+            "c_in": pa.array(right["c_in"].to_numpy(np.int64)),
+            "n_left": pa.array(right["n_left"].to_numpy(np.int64)),
+        })
+
+    rights = hash_bucket_agg(
+        docs.map_batches(_bigrams, batch_format="pyarrow")
+        .map_batches(_rekey, batch_format="pyarrow"),
+        lambda b: np_col(b, "khash"),
+        _bucket_r,
+    )
+
+    # one token-hash-bucketed merge of the two stat sides; the
+    # ≥-threshold filter runs IN the bucket, so only surviving tokens
+    # (not the vocabulary) ever reach the driver
+    bigram_types = int(lefts.sum("n_right") or 0)
+
+    def _pad(t: pa.Table, side: int) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        tok = t.column("token")
+        cols = {
+            "khash": pa.array(_str_hash(tok.combine_chunks()), pa.int64()),
+            "token": tok,
+            "c_out": t.column("c_out") if side == 0 else pa.array(z),
+            "n_right": t.column("n_right") if side == 0 else pa.array(z),
+            "c_in": t.column("c_in") if side == 1 else pa.array(z),
+            "n_left": t.column("n_left") if side == 1 else pa.array(z),
+        }
+        return pa.table(cols)
+
+    both = lefts.map_batches(
+        lambda t: _pad(t, 0), batch_format="pyarrow"
+    ).union(rights.map_batches(
+        lambda t: _pad(t, 1), batch_format="pyarrow"))
+
+    def _merge(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["khash"]).to_pandas()
+        g = df.groupby("token", sort=True).sum().reset_index()
+        g = g[(g["c_out"] + g["c_in"]) >= 2 * KN_MIN_COUNT]
+        return pa.table({
+            "token": pa.array(g["token"].tolist(), pa.string()),
+            "c_out": pa.array(g["c_out"].to_numpy(np.int64), pa.int64()),
+            "c_in": pa.array(g["c_in"].to_numpy(np.int64), pa.int64()),
+            "n_right": pa.array(g["n_right"].to_numpy(np.int64), pa.int64()),
+            "n_left": pa.array(g["n_left"].to_numpy(np.int64), pa.int64()),
+        })
+
+    rows = hash_bucket_agg(
+        both, lambda b: np_col(b, "khash"), _merge
+    ).take_all()
+    rows.sort(key=lambda r: r["token"])
+    return pa.table({
+        "token": pa.array([r["token"] for r in rows], pa.string()),
+        "c_out": pa.array([r["c_out"] for r in rows], pa.int64()),
+        "c_in": pa.array([r["c_in"] for r in rows], pa.int64()),
+        "n_right": pa.array([r["n_right"] for r in rows], pa.int64()),
+        "n_left": pa.array([r["n_left"] for r in rows], pa.int64()),
+        "bigram_types": pa.array(
+            np.full(len(rows), bigram_types, np.int64), pa.int64()),
+    })
+
+
+def _kneser_ney_sql() -> str:
+    return (
+        "WITH f AS (SELECT string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "bg AS (SELECT toks[j] AS l, toks[j + 1] AS r, count(*) AS c "
+        "FROM (SELECT toks, unnest(range(1, len(toks))) AS j FROM f) "
+        "GROUP BY l, r), "
+        "lf AS (SELECT l AS token, SUM(c) AS c_out, count(*) AS n_right "
+        "FROM bg GROUP BY l), "
+        "rf AS (SELECT r AS token, SUM(c) AS c_in, count(*) AS n_left "
+        "FROM bg GROUP BY r), "
+        "bt AS (SELECT count(*) AS t FROM bg), "
+        "m AS (SELECT COALESCE(lf.token, rf.token) AS token, "
+        "COALESCE(c_out, 0) AS c_out, COALESCE(c_in, 0) AS c_in, "
+        "COALESCE(n_right, 0) AS n_right, COALESCE(n_left, 0) AS n_left "
+        "FROM lf FULL OUTER JOIN rf ON lf.token = rf.token) "
+        "SELECT token, CAST(c_out AS BIGINT) AS c_out, "
+        "CAST(c_in AS BIGINT) AS c_in, "
+        "CAST(n_right AS BIGINT) AS n_right, "
+        "CAST(n_left AS BIGINT) AS n_left, "
+        "CAST((SELECT t FROM bt) AS BIGINT) AS bigram_types "
+        f"FROM m WHERE c_out + c_in >= {2 * KN_MIN_COUNT} "
+        "ORDER BY token"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -20370,6 +20535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_distinct_users": _q_trailing_distinct_users,
         "frequent_triples": _q_frequent_triples,
         "bucket_skew_report": _q_bucket_skew_report,
+        "kneser_ney_counts": _q_kneser_ney_counts,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -21949,6 +22115,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "trailing_distinct_users": _trailing_distinct_sql(),
         "frequent_triples": _frequent_triples_sql(),
         "bucket_skew_report": _bucket_skew_sql(),
+        "kneser_ney_counts": _kneser_ney_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),

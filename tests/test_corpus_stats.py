@@ -287,3 +287,39 @@ def test_frequent_triples_brute(tmp_path):
              for _, r in got.iterrows()}
     assert got_d == want
     assert got_d[(101, 102, 103)] == 20
+
+
+def test_kneser_ney_counts_brute(tmp_path):
+    from __ray_entry__ import KN_MIN_COUNT, _q_kneser_ney_counts
+
+    rng = np.random.default_rng(6)
+    vocab = [f"w{i}" for i in range(15)]
+    docs = [" ".join(rng.choice(vocab, size=int(rng.integers(2, 25))))
+            for _ in range(40)]
+    pq.write_table(pa.table({"text": pa.array(docs, pa.string())}),
+                   str(tmp_path / "documents.parquet"))
+
+    bg = {}
+    for d in docs:
+        toks = d.split(" ")
+        for a, b in zip(toks[:-1], toks[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    stats = {}
+    for (a, b), c in bg.items():
+        sa = stats.setdefault(a, [0, 0, 0, 0])  # c_out, c_in, n_r, n_l
+        sa[0] += c
+        sa[2] += 1
+        sb = stats.setdefault(b, [0, 0, 0, 0])
+        sb[1] += c
+        sb[3] += 1
+    types = len(bg)
+
+    got = _q_kneser_ney_counts(str(tmp_path)).to_pandas()
+    want = {t: s for t, s in stats.items()
+            if s[0] + s[1] >= 2 * KN_MIN_COUNT}
+    assert set(got["token"]) == set(want)
+    for _, r in got.iterrows():
+        s = want[r["token"]]
+        assert (r["c_out"], r["c_in"], r["n_right"], r["n_left"]) == \
+            tuple(s)
+        assert r["bigram_types"] == types
