@@ -20294,6 +20294,111 @@ def _kneser_ney_sql() -> str:
     )
 
 
+BLOOM_AUDIT_BITS = 4096
+BLOOM_AUDIT_K = 6
+BLOOM_AUDIT_PROBES = 2000
+
+
+def _q_bloom_fp_audit(sf_dir: str):
+    """Bloom-filter false-positive AUDIT: build the engine's real
+    Kirsch–Mitzenmacher double-hash bloom (``ops._bloom_positions`` —
+    the exact bit layout ``bloom_join`` and the partition sidecars
+    ship) over the distinct orderkeys, probe it with keys provably
+    outside the set (max+1 … max+P), and report the exact
+    false-positive count.  The SQL twin replays h1 = sm64(key),
+    h2 = sm64(h1)|1, g_i = h1 + i·h2 mod m bit for bit — a hash match
+    certifies the engine's bloom LAYER against an independent
+    implementation (an FP-rate audit is also what a 100-TB operator
+    runs before trusting a selective-join filter).  Per-block partial
+    bitmaps OR-fold driver-side (m/8 bytes each); probes run
+    distributed against the broadcast bitmap."""
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.ops import _bloom_positions
+    from essentials_rd.util import np_col
+
+    k, m = BLOOM_AUDIT_K, BLOOM_AUDIT_BITS
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    from essentials_rd.util import hash64
+
+    def _words(t: pa.Table) -> pa.Table:
+        h = hash64(np_col(t, "o_orderkey").astype(np.int64))
+        pos = _bloom_positions(h, k, m).ravel()
+        w = np.zeros(m // 64, np.uint64)
+        np.bitwise_or.at(w, pos >> 6,
+                         np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pa.table({"i": pa.array(np.arange(m // 64), pa.int64()),
+                         "w": pa.array(w.astype(np.int64), pa.int64())})
+
+    words = np.zeros(m // 64, np.uint64)
+    for r in orders.map_batches(_words, batch_format="pyarrow").take_all():
+        words[r["i"]] |= np.uint64(r["w"] & ((1 << 64) - 1))
+    max_key = int(orders.max("o_orderkey") or 0)
+    wref = ray.put(words)
+
+    probes = rd.range(BLOOM_AUDIT_PROBES)
+
+    def _probe(t: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        key = np_col(t, "id").astype(np.int64) + max_key + 1
+        h = hash64(key)
+        pos = _bloom_positions(h, k, m)
+        hit = (w[pos >> 6] >> (pos & 63).astype(np.uint64)) \
+            & np.uint64(1)
+        fp = (hit.astype(np.int64).sum(axis=1) == k)
+        return pa.table({"n_fp": pa.array([int(fp.sum())], pa.int64())})
+
+    n_fp = int(probes.map_batches(_probe, batch_format="pyarrow")
+               .sum("n_fp") or 0)
+    return pa.table({
+        "n_bits": pa.array([m], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "n_probes": pa.array([BLOOM_AUDIT_PROBES], pa.int64()),
+        "n_set_bits": pa.array(
+            [int(np.unpackbits(words.view(np.uint8)).sum())], pa.int64()),
+        "n_fp": pa.array([n_fp], pa.int64()),
+    })
+
+
+def _bloom_fp_sql() -> str:
+    k, m = BLOOM_AUDIT_K, BLOOM_AUDIT_BITS
+    c1 = _sm64_ctes("h1", "o_orderkey", "o_orderkey",
+                    "(SELECT DISTINCT o_orderkey FROM orders)")
+    c2 = _sm64_ctes("h2", "o_orderkey, h1z", "h1z", "hh1")
+    p1 = _sm64_ctes("p1", "pk", "pk", "probes")
+    p2 = _sm64_ctes("p2", "pk, p1z", "p1z", "pp1")
+    return (
+        f"WITH {c1}, "
+        "hh1 AS (SELECT o_orderkey, z AS h1z FROM h13), "
+        f"{c2}, "
+        "ins AS (SELECT o_orderkey, h1z AS h1, "
+        "CAST(z | 1 AS UBIGINT) AS h2 FROM h23), "
+        f"ks AS (SELECT unnest(range({k})) AS i), "
+        "bits AS (SELECT DISTINCT CAST((CAST(h1 AS HUGEINT) + i * h2) % "
+        f"{m} AS BIGINT) AS pos FROM ins, ks), "
+        "probes AS (SELECT (SELECT max(o_orderkey) FROM orders) + 1 + "
+        f"unnest(range({BLOOM_AUDIT_PROBES})) AS pk), "
+        f"{p1}, "
+        "pp1 AS (SELECT pk, z AS p1z FROM p13), "
+        f"{p2}, "
+        "pr AS (SELECT pk, p1z AS h1, CAST(z | 1 AS UBIGINT) AS h2 "
+        "FROM p23), "
+        "ppos AS (SELECT pk, i, CAST((CAST(h1 AS HUGEINT) + i * h2) % "
+        f"{m} AS BIGINT) AS pos FROM pr, ks), "
+        "hitc AS (SELECT pk, count(*) AS nhit FROM ppos "
+        "JOIN bits USING (pos) GROUP BY pk) "
+        f"SELECT CAST({m} AS BIGINT) AS n_bits, "
+        f"CAST({k} AS BIGINT) AS k, "
+        f"CAST({BLOOM_AUDIT_PROBES} AS BIGINT) AS n_probes, "
+        "CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_set_bits, "
+        f"CAST((SELECT count(*) FROM hitc WHERE nhit = {k}) AS BIGINT) "
+        "AS n_fp"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -20536,6 +20641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": _q_frequent_triples,
         "bucket_skew_report": _q_bucket_skew_report,
         "kneser_ney_counts": _q_kneser_ney_counts,
+        "bloom_fp_audit": _q_bloom_fp_audit,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -22116,6 +22222,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "frequent_triples": _frequent_triples_sql(),
         "bucket_skew_report": _bucket_skew_sql(),
         "kneser_ney_counts": _kneser_ney_sql(),
+        "bloom_fp_audit": _bloom_fp_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),
