@@ -20399,6 +20399,111 @@ def _bloom_fp_sql() -> str:
     )
 
 
+RS_PROBES = 64
+RS_SEED = 23
+
+
+def _q_rank_select_audit(sf_dir: str):
+    """Succinct-bitvector rank/select over the urgency bitvector
+    (orders ordered by orderkey, bit = priority '1-URGENT') — the two
+    primitives every FM-index / wavelet-tree / succinct structure
+    reduces to: rank(p) = set bits in [0, p), select(q) = position of
+    the q-th set bit.  Distributed: TWO ``ops.global_cumsum`` passes
+    (positions from a cumsum of ones, rank-before from a cumsum of
+    bits; driver sees n_parts scalars each), probe positions/ordinals
+    drawn from the shared splitmix chain, answers read by filtering
+    the cumsum output against the broadcast probe set — no driver scan
+    of the vector.  The SQL twin replays both cumsums as windows."""
+    import ray.data as rd
+
+    from essentials_rd.ops import global_cumsum
+    from essentials_rd.util import _GOLDEN, hash64, np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        bit = _pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        return pa.table({
+            "key": t.column("o_orderkey").cast(pa.int64()),
+            "bit": pa.array(np.asarray(
+                bit.to_numpy(zero_copy_only=False), np.int64), pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+        })
+
+    base = orders.map_batches(_mk, batch_format="pyarrow")
+    kf = lambda b: np_col(b, "key")
+    with_pos = global_cumsum(base, "key", [], "one", kf, out_col="pos")
+    full = global_cumsum(with_pos, "key", [], "bit", kf,
+                         out_col="rank_before").materialize()
+    n = full.count()
+    n_set = int(full.sum("bit") or 0)
+
+    with np.errstate(over="ignore"):
+        jj = np.arange(RS_PROBES, dtype=np.uint64)
+        rank_p = (hash64(jj + np.uint64(RS_SEED) * _GOLDEN)
+                  % np.uint64(n)).astype(np.int64)
+        sel_q = (hash64(jj + np.uint64(RS_SEED + 1) * _GOLDEN)
+                 % np.uint64(n_set)).astype(np.int64) + 1
+
+    rset = np.unique(rank_p)
+    sset = np.unique(sel_q)
+
+    def _answers(t: pa.Table) -> pa.Table:
+        pos = np_col(t, "pos")
+        rb = np_col(t, "rank_before")
+        bit = np_col(t, "bit")
+        is_r = np.isin(pos, rset)
+        is_s = (bit == 1) & np.isin(rb + 1, sset)
+        kind = np.r_[np.zeros(int(is_r.sum()), np.int64),
+                     np.ones(int(is_s.sum()), np.int64)]
+        arg = np.r_[pos[is_r], rb[is_s] + 1]
+        ans = np.r_[rb[is_r], pos[is_s]]
+        return pa.table({"kind": pa.array(kind, pa.int64()),
+                         "arg": pa.array(arg, pa.int64()),
+                         "ans": pa.array(ans, pa.int64())})
+
+    rows = full.map_batches(_answers, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["kind"], r["arg"]))
+    return pa.table({
+        "kind": pa.array([r["kind"] for r in rows], pa.int64()),
+        "arg": pa.array([r["arg"] for r in rows], pa.int64()),
+        "ans": pa.array([r["ans"] for r in rows], pa.int64()),
+    })
+
+
+def _rank_select_sql() -> str:
+    mix1 = (RS_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    mix2 = ((RS_SEED + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+    cr = _sm64_ctes("rr", "j", f"j + {mix1}", "js")
+    cs = _sm64_ctes("ss", "j", f"j + {mix2}", "js")
+    return (
+        "WITH v AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 "
+        "AS pos, CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 "
+        "END AS bit FROM orders), "
+        "w AS (SELECT pos, bit, COALESCE(SUM(bit) OVER (ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rb "
+        "FROM v), "
+        "nn AS (SELECT count(*) AS n, SUM(bit) AS ns FROM v), "
+        f"js AS (SELECT unnest(range({RS_PROBES})) AS j), "
+        f"{cr}, {cs}, "
+        "rp AS (SELECT DISTINCT CAST(z % (SELECT n FROM nn) AS BIGINT) "
+        "AS arg FROM rr3), "
+        "sq AS (SELECT DISTINCT CAST(z % (SELECT ns FROM nn) AS BIGINT) "
+        "+ 1 AS arg FROM ss3), "
+        "ra AS (SELECT 0 AS kind, rp.arg, w.rb AS ans FROM rp "
+        "JOIN w ON w.pos = rp.arg), "
+        "sa AS (SELECT 1 AS kind, sq.arg, w.pos AS ans FROM sq "
+        "JOIN w ON w.bit = 1 AND w.rb + 1 = sq.arg) "
+        "SELECT CAST(kind AS BIGINT) AS kind, CAST(arg AS BIGINT) AS "
+        "arg, CAST(ans AS BIGINT) AS ans FROM "
+        "(SELECT * FROM ra UNION ALL SELECT * FROM sa) "
+        "ORDER BY kind, arg"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -20642,6 +20747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_skew_report": _q_bucket_skew_report,
         "kneser_ney_counts": _q_kneser_ney_counts,
         "bloom_fp_audit": _q_bloom_fp_audit,
+        "rank_select_audit": _q_rank_select_audit,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -22223,6 +22329,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "bucket_skew_report": _bucket_skew_sql(),
         "kneser_ney_counts": _kneser_ney_sql(),
         "bloom_fp_audit": _bloom_fp_sql(),
+        "rank_select_audit": _rank_select_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),
