@@ -20504,6 +20504,77 @@ def _rank_select_sql() -> str:
     )
 
 
+def _q_user_running_median(sf_dir: str):
+    """Streaming running MEDIAN per user — the order-statistics window
+    no sum/cumsum trick reaches (the two-heaps interview classic):
+    after every event, the quantile_disc median (sorted value at
+    ceil(k/2)−1) of that user's spend so far.  One user-bucketed
+    exchange; inside the bucket each user's sequence folds through a
+    sorted insertion buffer (O(log m) per event — the same cost the
+    two-heap structure pays, with exact integer output).  The SQL twin
+    is DuckDB's quantile_disc window over the same (ts, event_id)
+    order."""
+    import bisect
+
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import np_col
+    from essentials_rd.windows import _epoch_us
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(
+            t.column("value").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "s": pa.array(_epoch_us(t, "ts"), pa.int64()),
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    def _bucket(grp: pa.Table) -> pa.Table:
+        u = np_col(grp, "user_id")
+        s = np_col(grp, "s")
+        e = np_col(grp, "event_id")
+        c = np_col(grp, "cents")
+        order = np.lexsort((e, s, u))
+        u, s, e, c = u[order], s[order], e[order], c[order]
+        med = np.empty(len(u), np.int64)
+        buf: list[int] = []
+        prev_u = None
+        for i in range(len(u)):
+            if u[i] != prev_u:
+                buf = []
+                prev_u = u[i]
+            bisect.insort(buf, int(c[i]))
+            med[i] = buf[(len(buf) + 1) // 2 - 1]
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "event_id": pa.array(e, pa.int64()),
+            "run_median": pa.array(med, pa.int64()),
+        })
+
+    return hash_bucket_agg(
+        ev.map_batches(_mk, batch_format="pyarrow"),
+        lambda b: np_col(b, "user_id"),
+        _bucket,
+    )
+
+
+def _user_running_median_sql() -> str:
+    return (
+        "SELECT user_id, event_id, "
+        "CAST(quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), "
+        "0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS run_median FROM events"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -20748,6 +20819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kneser_ney_counts": _q_kneser_ney_counts,
         "bloom_fp_audit": _q_bloom_fp_audit,
         "rank_select_audit": _q_rank_select_audit,
+        "user_running_median": _q_user_running_median,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -22330,6 +22402,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "kneser_ney_counts": _kneser_ney_sql(),
         "bloom_fp_audit": _bloom_fp_sql(),
         "rank_select_audit": _rank_select_sql(),
+        "user_running_median": _user_running_median_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),
