@@ -20575,6 +20575,97 @@ def _user_running_median_sql() -> str:
     )
 
 
+_PIVOT_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                "5-LOW"]
+
+
+def _q_orders_pivot_priority(sf_dir: str):
+    """PIVOT (long → wide): per customer-nation, one COLUMN per order
+    priority holding (count, cents sum packed as two columns each) —
+    the crosstab reshape BI layers run constantly, expressed as one
+    partial-aggregate pass: every block emits a (nation × 5-priority)
+    dense partial matrix (no shuffle of raw rows), partials sum
+    driver-side (|nations| × 5 scalars).  The nation key reaches
+    lineitem-free via the orders→customer join on the broadcast
+    customer map (small side, ray.put once)."""
+    import ray
+    import ray.data as rd
+
+    from essentials_rd.util import np_col
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    ctab = pa.concat_tables(ray.get(cust.to_arrow_refs()),
+                            promote_options="default")
+    ck = np.asarray(ctab.column("c_custkey").to_numpy(
+        zero_copy_only=False), np.int64)
+    cn = np.asarray(ctab.column("c_nationkey").to_numpy(
+        zero_copy_only=False), np.int64)
+    order_c = np.argsort(ck)
+    cmap_ref = ray.put((ck[order_c], cn[order_c]))
+    n_nations = int(cn.max()) + 1 if len(cn) else 0
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority",
+                                      "o_totalprice"])
+    prio_idx = {p: i for i, p in enumerate(_PIVOT_PRIOS)}
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cks, cns = ray.get(cmap_ref)
+        cust_k = np_col(t, "o_custkey").astype(np.int64)
+        nat = cns[np.searchsorted(cks, cust_k)]
+        pr = np.asarray(
+            [prio_idx[p] for p in
+             t.column("o_orderpriority").to_pylist()], np.int64)
+        cents = np.floor(np.asarray(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        cell = nat * 5 + pr
+        cnt = np.bincount(cell, minlength=n_nations * 5)
+        sm = np.bincount(cell, weights=cents.astype(np.float64),
+                         minlength=n_nations * 5).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(np.arange(n_nations * 5), pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+            "s": pa.array(sm, pa.int64()),
+        })
+
+    cnt = np.zeros(n_nations * 5, np.int64)
+    sm = np.zeros(n_nations * 5, np.int64)
+    for r in orders.map_batches(_partial, batch_format="pyarrow").take_all():
+        cnt[r["cell"]] += r["n"]
+        sm[r["cell"]] += r["s"]
+    cnt = cnt.reshape(n_nations, 5)
+    sm = sm.reshape(n_nations, 5)
+    keep = cnt.sum(axis=1) > 0
+    nk = np.flatnonzero(keep)
+    cols: dict[str, pa.Array] = {"nationkey": pa.array(nk, pa.int64())}
+    for i, p in enumerate(_PIVOT_PRIOS):
+        tag = p.split("-")[0]
+        cols[f"n_p{tag}"] = pa.array(cnt[keep, i], pa.int64())
+        cols[f"cents_p{tag}"] = pa.array(sm[keep, i], pa.int64())
+    return pa.table(cols)
+
+
+def _orders_pivot_sql() -> str:
+    parts = []
+    for p in _PIVOT_PRIOS:
+        tag = p.split("-")[0]
+        parts.append(
+            f"CAST(count(*) FILTER (WHERE o_orderpriority = '{p}') "
+            f"AS BIGINT) AS n_p{tag}")
+        parts.append(
+            f"CAST(COALESCE(SUM(CAST(floor(o_totalprice * 100 + 0.5) "
+            f"AS BIGINT)) FILTER (WHERE o_orderpriority = '{p}'), 0) "
+            f"AS BIGINT) AS cents_p{tag}")
+    return (
+        "SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, "
+        + ", ".join(parts)
+        + " FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+        "GROUP BY c.c_nationkey ORDER BY nationkey"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -20820,6 +20911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_fp_audit": _q_bloom_fp_audit,
         "rank_select_audit": _q_rank_select_audit,
         "user_running_median": _q_user_running_median,
+        "orders_pivot_priority": _q_orders_pivot_priority,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -22403,6 +22495,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "bloom_fp_audit": _bloom_fp_sql(),
         "rank_select_audit": _rank_select_sql(),
         "user_running_median": _user_running_median_sql(),
+        "orders_pivot_priority": _orders_pivot_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),
