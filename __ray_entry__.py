@@ -20666,6 +20666,97 @@ def _orders_pivot_sql() -> str:
     )
 
 
+def _q_interval_scheduling_max(sf_dir: str):
+    """Weighted interval scheduling (the canonical DP): per user, the
+    maximum total cents of a NON-OVERLAPPING subset of their event
+    extents [ts, ts + (event_id % 45 + 1) min) — dp(i) = max(dp(i−1),
+    v_i + dp(p(i))) over end-sorted intervals, p(i) the last interval
+    ending ≤ start_i (half-open: touching intervals compose).  One
+    user-bucketed exchange; inside the bucket p comes from one
+    searchsorted per user and the dp fold is the inherent O(m)
+    recurrence.  The SQL twin replays the identical recurrence as a
+    DuckDB recursive CTE carrying each user's dp vector as a growing
+    list (the repo's MATERIALIZED row-CTE discipline)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import np_col
+    from essentials_rd.windows import _epoch_us
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        us = _epoch_us(t, "ts")
+        eid = np_col(t, "event_id").astype(np.int64)
+        c = np.floor(np.asarray(
+            t.column("value").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "s": pa.array(np.asarray(us, np.int64), pa.int64()),
+            "e": pa.array(np.asarray(us, np.int64)
+                          + (eid % IV_MOD_MIN + 1) * 60_000_000,
+                          pa.int64()),
+            "v": pa.array(c, pa.int64()),
+        })
+
+    def _bucket(grp: pa.Table) -> pa.Table:
+        u = np_col(grp, "user_id")
+        s = np_col(grp, "s")
+        e = np_col(grp, "e")
+        v = np_col(grp, "v")
+        order = np.lexsort((v, s, e, u))
+        u, s, e, v = u[order], s[order], e[order], v[order]
+        first = np.r_[True, u[1:] != u[:-1]] if len(u) else np.zeros(0, bool)
+        starts = np.flatnonzero(first)
+        bounds = np.r_[starts, len(u)]
+        out_u, out_v = [], []
+        for gi in range(len(starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            es, ss, vs = e[lo:hi], s[lo:hi], v[lo:hi]
+            p = np.searchsorted(es, ss, side="right")  # 0-based count
+            dp = np.zeros(len(es) + 1, np.int64)
+            for i in range(len(es)):
+                dp[i + 1] = max(dp[i], vs[i] + dp[p[i]])
+            out_u.append(u[lo])
+            out_v.append(int(dp[-1]))
+        return pa.table({
+            "user_id": pa.array(np.asarray(out_u, np.int64), pa.int64()),
+            "max_cents": pa.array(np.asarray(out_v, np.int64), pa.int64()),
+        })
+
+    return hash_bucket_agg(
+        ev.map_batches(_mk, batch_format="pyarrow"),
+        lambda b: np_col(b, "user_id"),
+        _bucket,
+    )
+
+
+def _interval_scheduling_sql() -> str:
+    return (
+        "WITH RECURSIVE iv AS MATERIALIZED (SELECT user_id AS u, "
+        "epoch_us(ts) AS s, "
+        f"epoch_us(ts) + ((event_id % {IV_MOD_MIN}) + 1) * 60000000 AS e, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events), "
+        "base AS MATERIALIZED (SELECT u, s, e, v, row_number() OVER "
+        "(PARTITION BY u ORDER BY e, s, v) AS i FROM iv), "
+        "pidx AS MATERIALIZED (SELECT b.u AS u, b.i AS i, "
+        "COALESCE(MAX(b2.i), 0) AS p FROM base b LEFT JOIN base b2 "
+        "ON b2.u = b.u AND b2.e <= b.s GROUP BY b.u, b.i), "
+        "m AS (SELECT u, MAX(i) AS mi FROM base GROUP BY u), "
+        "dp AS (SELECT m.u AS u, 0 AS k, [CAST(0 AS BIGINT)] AS best "
+        "FROM m UNION ALL SELECT dp.u AS u, dp.k + 1 AS k, "
+        "list_append(dp.best, GREATEST(dp.best[dp.k + 1], "
+        "b.v + dp.best[p.p + 1])) AS best FROM dp "
+        "JOIN base b ON b.u = dp.u AND b.i = dp.k + 1 "
+        "JOIN pidx p ON p.u = dp.u AND p.i = dp.k + 1) "
+        "SELECT dp.u AS user_id, CAST(dp.best[dp.k + 1] AS BIGINT) AS "
+        "max_cents FROM dp JOIN m ON m.u = dp.u AND dp.k = m.mi "
+        "ORDER BY user_id"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -20912,6 +21003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_select_audit": _q_rank_select_audit,
         "user_running_median": _q_user_running_median,
         "orders_pivot_priority": _q_orders_pivot_priority,
+        "interval_scheduling_max": _q_interval_scheduling_max,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -22496,6 +22588,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "rank_select_audit": _rank_select_sql(),
         "user_running_median": _user_running_median_sql(),
         "orders_pivot_priority": _orders_pivot_sql(),
+        "interval_scheduling_max": _interval_scheduling_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),
