@@ -331,23 +331,53 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 75) -> tuple[bytes, np.ndarray]:
+def _pad_plane(plane: np.ndarray, mult: int) -> np.ndarray:
+    """Edge-replicate pad both dims to multiples of ``mult``."""
+    h, w = plane.shape
+    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+    p = np.empty((ph, pw), np.float64)
+    p[:h, :w] = plane
+    p[h:, :w] = plane[-1:, :]
+    p[:h, w:] = p[:h, w - 1: w]
+    p[h:, w:] = p[h - 1, w - 1]
+    return p
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 75,
+                subsampling: str = "444") -> tuple[bytes, np.ndarray]:
     """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline JFIF JPEG.  Returns ``(jpeg_bytes, expected)`` where
-    ``expected`` is the exact array ``decode_jpeg(jpeg_bytes)`` must
-    produce (see module docstring)."""
+    baseline JFIF JPEG.  ``subsampling``: "444" (every component full
+    resolution) or "420" (chroma box-averaged 2×2, Y sampling factors
+    2×2 — the dominant real-world mode; ignored for grayscale).
+    Returns ``(jpeg_bytes, expected)`` where ``expected`` is the exact
+    array ``decode_jpeg(jpeg_bytes)`` must produce (see module
+    docstring)."""
     img = np.asarray(img)
     assert img.dtype == np.uint8 and img.ndim in (2, 3)
+    assert subsampling in ("444", "420")
     color = img.ndim == 3
+    sub420 = color and subsampling == "420"
     h, w = img.shape[:2]
     qt_l, qt_c = quality_tables(quality)
 
     if color:
-        planes = list(_rgb_to_ycbcr(img))
+        y, cb, cr = _rgb_to_ycbcr(img)
+        if sub420:
+            yp = _pad_plane(y, 16)
+            cbp = _pad_plane(cb, 16)
+            crp = _pad_plane(cr, 16)
+            ph, pw = cbp.shape
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes = [yp, cb, cr]
+        else:
+            planes = [y, cb, cr]
         qts = [qt_l, qt_c, qt_c]
+        samps = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * 3
     else:
         planes = [img.astype(np.float64)]
         qts = [qt_l]
+        samps = [(1, 1)]
 
     coeffs, geom = [], []
     for pl, qt in zip(planes, qts):
@@ -361,15 +391,24 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> tuple[bytes, np.ndarray]:
     ac_c_enc, _ = _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
 
     bw = _BitWriter()
-    nby, nbx = geom[0]
     preds = [0] * len(planes)
     enc_tabs = ([(dc_l_enc, ac_l_enc)]
                 + [(dc_c_enc, ac_c_enc)] * (len(planes) - 1))
-    for b in range(nby * nbx):  # interleaved 4:4:4 MCUs
-        for ci in range(len(planes)):
-            preds[ci] = _huff_encode_block(
-                bw, coeffs[ci][b], preds[ci], *enc_tabs[ci]
-            )
+    # interleaved MCUs: per MCU each component contributes h_i×v_i
+    # blocks in raster order (B.2.3)
+    maxh = max(s[0] for s in samps)
+    maxv = max(s[1] for s in samps)
+    nmy, nmx = geom[0][0] // samps[0][1], geom[0][1] // samps[0][0]
+    for mr in range(nmy):
+        for mc in range(nmx):
+            for ci, (hs, vs) in enumerate(samps):
+                nbx_c = geom[ci][1]
+                for vy in range(vs):
+                    for vx in range(hs):
+                        b = (mr * vs + vy) * nbx_c + (mc * hs + vx)
+                        preds[ci] = _huff_encode_block(
+                            bw, coeffs[ci][b], preds[ci], *enc_tabs[ci]
+                        )
     scan = bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -380,7 +419,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> tuple[bytes, np.ndarray]:
     ncomp = 3 if color else 1
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hs, vs = samps[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
     out += _seg(0xC0, sof)
 
     def _dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
@@ -399,10 +439,15 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> tuple[bytes, np.ndarray]:
     out += scan
     out += b"\xff\xd9"  # EOI
 
-    rec = [
-        _reconstruct_plane(zz, qt, nby_, nbx_, h, w)
-        for zz, qt, (nby_, nbx_) in zip(coeffs, qts, geom)
-    ]
+    rec = []
+    for ci, (zz, qt, (nby_, nbx_)) in enumerate(zip(coeffs, qts, geom)):
+        hs, vs = samps[ci]
+        full = _reconstruct_plane(zz, qt, nby_, nbx_,
+                                  nby_ * 8, nbx_ * 8)
+        if (hs, vs) != (maxh, maxv):  # upsample chroma to Y resolution
+            full = np.repeat(np.repeat(full, maxv // vs, axis=0),
+                             maxh // hs, axis=1)
+        rec.append(full[:h, :w])
     if color:
         expected = _ycbcr_to_rgb(*rec)
     else:
@@ -415,8 +460,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> tuple[bytes, np.ndarray]:
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Decode a baseline JPEG produced by any conforming encoder within
-    this codec's scope (SOF0, 1 or 3 components, 1x1 sampling, no
-    restart markers).  Returns (h, w) or (h, w, 3) uint8."""
+    this codec's scope (SOF0, 1 or 3 components, 4:4:4/grayscale or
+    4:2:0 sampling, no restart markers).  Returns (h, w) or
+    (h, w, 3) uint8."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -460,10 +506,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci: 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError(
-                        "only 1x1 sampling (4:4:4/grayscale) supported")
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq,
+                              "h": samp >> 4, "v": samp & 0xF})
+            maxh = max(c["h"] for c in comps)
+            maxv = max(c["v"] for c in comps)
+            factors = sorted({(c["h"], c["v"]) for c in comps})
+            if not (factors == [(1, 1)]
+                    or (comps[0]["h"], comps[0]["v"]) == (2, 2)
+                    and all((c["h"], c["v"]) == (1, 1)
+                            for c in comps[1:])):
+                raise ValueError(
+                    "unsupported sampling (4:4:4/grayscale/4:2:0 only)")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} "
@@ -479,41 +532,57 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 comp["td"], comp["ta"] = tabs >> 4, tabs & 0xF
                 order.append(comp)
             br = _BitReader(buf, pos + ln)
-            nby, nbx = -(-h // 8), -(-w // 8)
-            planes = []
-            zzs = [np.zeros((nby * nbx, 64), np.int64) for _ in order]
+            # MCU grid from the max sampling factors (B.2.3); each
+            # component's block grid scales by its own factors
+            nmy = -(-h // (8 * maxv))
+            nmx = -(-w // (8 * maxh))
+            geo = [(nmy * c["v"], nmx * c["h"]) for c in order]
+            zzs = [np.zeros((gy * gx, 64), np.int64) for gy, gx in geo]
             preds = [0] * len(order)
-            for b in range(nby * nbx):
-                for ci, comp in enumerate(order):
-                    dc_dec = huff[(0, comp["td"])]
-                    ac_dec = huff[(1, comp["ta"])]
-                    zz = zzs[ci][b]
-                    s = br.symbol(dc_dec)
-                    diff = br.bits(s)
-                    if s and diff < (1 << (s - 1)):
-                        diff -= (1 << s) - 1
-                    preds[ci] += diff
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k <= 63:
-                        rs = br.symbol(ac_dec)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        v = br.bits(s)
-                        if v < (1 << (s - 1)):
-                            v -= (1 << s) - 1
-                        zz[k] = v
-                        k += 1
+            for mr in range(nmy):
+                for mc in range(nmx):
+                    for ci, comp in enumerate(order):
+                        dc_dec = huff[(0, comp["td"])]
+                        ac_dec = huff[(1, comp["ta"])]
+                        for vy in range(comp["v"]):
+                            for vx in range(comp["h"]):
+                                b = ((mr * comp["v"] + vy) * geo[ci][1]
+                                     + (mc * comp["h"] + vx))
+                                zz = zzs[ci][b]
+                                s = br.symbol(dc_dec)
+                                diff = br.bits(s)
+                                if s and diff < (1 << (s - 1)):
+                                    diff -= (1 << s) - 1
+                                preds[ci] += diff
+                                zz[0] = preds[ci]
+                                k = 1
+                                while k <= 63:
+                                    rs = br.symbol(ac_dec)
+                                    r, s = rs >> 4, rs & 0xF
+                                    if s == 0:
+                                        if r == 15:  # ZRL
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError(
+                                            "AC run past block end")
+                                    v = br.bits(s)
+                                    if v < (1 << (s - 1)):
+                                        v -= (1 << s) - 1
+                                    zz[k] = v
+                                    k += 1
+            planes = []
             for ci, comp in enumerate(order):
-                planes.append(_reconstruct_plane(
-                    zzs[ci], qts[comp["tq"]], nby, nbx, h, w))
+                gy, gx = geo[ci]
+                full = _reconstruct_plane(
+                    zzs[ci], qts[comp["tq"]], gy, gx, gy * 8, gx * 8)
+                if (comp["h"], comp["v"]) != (maxh, maxv):
+                    full = np.repeat(
+                        np.repeat(full, maxv // comp["v"], axis=0),
+                        maxh // comp["h"], axis=1)
+                planes.append(full[:h, :w])
             if len(planes) == 1:
                 return planes[0].astype(np.uint8)
             if len(planes) == 3:

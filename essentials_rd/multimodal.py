@@ -808,10 +808,11 @@ def coded_jpeg_quality(i: int) -> int:
 def synth_coded_jpeg(n: int, seed: int = 7) -> pa.Table:
     """n REAL baseline-JPEG rows (jpegc.encode_jpeg — pure-NumPy T.81
     encoder): pixels are the shared splitmix64 chain mod 256, grayscale
-    for even ids / RGB 4:4:4 for odd.  Each row carries the compressed
-    payload, the encoder's exact expected reconstruction (the decoder
-    contract — see jpegc docstring) and the coded-pixel sum the SQL twin
-    replays through ``_sm64_ctes``."""
+    for even ids / RGB for odd (4:2:0 chroma subsampling when
+    i % 4 == 3, else 4:4:4 — both real-world modes exercised).  Each
+    row carries the compressed payload, the encoder's exact expected
+    reconstruction (the decoder contract — see jpegc docstring) and the
+    coded-pixel sum the SQL twin replays through ``_sm64_ctes``."""
     from .jpegc import encode_jpeg
 
     rows = []
@@ -822,7 +823,9 @@ def synth_coded_jpeg(n: int, seed: int = 7) -> pa.Table:
             np.uint8
         )
         img = px.reshape((h, w) if ncomp == 1 else (h, w, ncomp))
-        buf, expected = encode_jpeg(img, quality=coded_jpeg_quality(i))
+        sub = "420" if i % 4 == 3 else "444"
+        buf, expected = encode_jpeg(img, quality=coded_jpeg_quality(i),
+                                    subsampling=sub)
         rows.append((i, "jpeg", w, h, ncomp, coded_jpeg_quality(i),
                      buf, expected.tobytes(), int(px.sum())))
     cols = list(zip(*rows)) if rows else [[]] * 9

@@ -143,3 +143,39 @@ def test_probe_quality_all_factors():
     dqt = b.index(0xDB, 2) + 4  # first DQT payload byte (after id)
     b[dqt + 1] ^= 0x01
     assert probe_quality(bytes(b)) == -1
+
+
+@pytest.mark.parametrize("h,w", [(16, 16), (17, 23), (8, 8), (33, 50),
+                                 (1, 1)])
+@pytest.mark.parametrize("q", [30, 75, 100])
+def test_420_roundtrip_exact_contract(h, w, q):
+    img = _noise(h, w, 3, seed=h * 100 + w + q)
+    buf, expected = encode_jpeg(img, quality=q, subsampling="420")
+    got = decode_jpeg(buf)
+    assert got.shape == img.shape
+    assert np.array_equal(got, expected)
+
+
+def test_420_shrinks_bytes_and_stays_close_on_smooth():
+    sm = np.clip(
+        128 + 60 * np.sin(np.arange(96) / 9.0)[None, :, None]
+        + 40 * np.cos(np.arange(64) / 7.0)[:, None, None]
+        + np.array([0, 10, 20])[None, None, :],
+        0, 255,
+    ).astype(np.uint8)
+    b4, _ = encode_jpeg(sm, 85, "444")
+    b2, e2 = encode_jpeg(sm, 85, "420")
+    got = decode_jpeg(b2)
+    assert np.array_equal(got, e2)
+    assert len(b2) < len(b4)
+    assert np.abs(got.astype(int) - sm.astype(int)).mean() < 2.0
+
+
+def test_420_sampling_factors_in_sof():
+    buf, _ = encode_jpeg(_noise(16, 16, 3, 5), quality=75,
+                         subsampling="420")
+    sof = buf.index(b"\xff\xc0")
+    ncomp = buf[sof + 9]
+    assert ncomp == 3
+    assert buf[sof + 11] == 0x22  # Y 2x2
+    assert buf[sof + 14] == 0x11 and buf[sof + 17] == 0x11
