@@ -207,7 +207,8 @@ def run_queries() -> dict:
                  "hll_user_regs", "cdc_chunk_ledger",
                  "heavy_hitter_users", "graph_voronoi8",
                  "rolling_median5", "feature_hash_users",
-                 "late_events_watermark"):
+                 "late_events_watermark", "orders_skyline",
+                 "media_jpeg_roundtrip"):
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         # consume if lazy
