@@ -20757,6 +20757,99 @@ def _interval_scheduling_sql() -> str:
     )
 
 
+PAR_ITERS = 2 * CC_ITERS
+
+
+def _q_bipartite_components(sf_dir: str):
+    """Per-component bipartiteness (odd-cycle detection) as BSP
+    supersteps — a NEW VertexProgram on the shared engine (§2.7): from
+    each component's root (its CC fixpoint label), propagate a 2-bit
+    even/odd-distance mask with bits swapped per hop, pre-combined by
+    bitwise OR; a vertex reachable at both parities certifies an odd
+    closed walk, so its component is not 2-colorable (König).  Output
+    per component: (label, n_vertices, odd_cycle).  The oracle unrolls
+    the same monotone recurrence with DuckDB bit_or joins — exactly
+    the cc_labels twin discipline."""
+    import ray
+
+    from essentials_rd.algorithms import connected_components
+    from essentials_rd.algorithms.bipartite import parity_masks
+    from essentials_rd.algorithms.cc import components_table
+
+    g, _ = _graph(sf_dir)
+    cc = connected_components(g, max_iters=2 * CC_ITERS,
+                              checkpoint_every=0, scatter_mode="fused")
+    assert cc.converged
+    labels_t = components_table(cc)
+    vid = np.asarray(labels_t["vid"], np.int64)
+    label = np.asarray(labels_t["label"], np.int64)
+    roots = np.unique(label)
+
+    par = parity_masks(g, roots, max_iters=PAR_ITERS + 1,
+                       checkpoint_every=0, scatter_mode="fused")
+    assert par.converged and par.supersteps <= PAR_ITERS, (
+        "parity did not converge within the oracle's unrolled count")
+    seen_t = par.state_table(["seen"])
+    svid = np.asarray(seen_t["vid"], np.int64)
+    seen = np.asarray(seen_t["seen"], np.int64)
+    # align by vid (both tables cover the same vertex set)
+    order_a = np.argsort(vid)
+    order_b = np.argsort(svid)
+    lab = label[order_a]
+    sn = seen[order_b]
+    # per component: size + any seen==3
+    o = np.argsort(lab, kind="stable")
+    lab_s, sn_s = lab[o], sn[o]
+    first = np.r_[True, lab_s[1:] != lab_s[:-1]]
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.r_[starts, len(lab_s)])
+    odd = np.maximum.reduceat((sn_s == 3).astype(np.int64), starts)
+    return pa.table({
+        "label": pa.array(lab_s[starts], pa.int64()),
+        "n_vertices": pa.array(sizes, pa.int64()),
+        "odd_cycle": pa.array(odd, pa.int64()),
+    })
+
+
+def _bipartite_sql() -> str:
+    cc_steps = ["l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)"]
+    for k in range(CC_ITERS):
+        cc_steps.append(f"""
+m{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, min(l.label) AS ml
+  FROM sym e JOIN l{k} l ON l.vid = e.src GROUP BY e.dst
+),
+l{k + 1} AS MATERIALIZED (
+  SELECT v.vid, least(v.label, COALESCE(m.ml, v.label)) AS label
+  FROM l{k} v LEFT JOIN m{k} m ON m.vid = v.vid
+)""")
+    par_steps = [
+        f"p0 AS MATERIALIZED (SELECT vid, CASE WHEN vid = label THEN 1 "
+        f"ELSE 0 END AS seen FROM l{CC_ITERS})"
+    ]
+    for k in range(PAR_ITERS):
+        par_steps.append(f"""
+q{k} AS MATERIALIZED (
+  SELECT e.dst AS vid,
+         bit_or(((p.seen & 1) * 2) | ((p.seen // 2) & 1)) AS om
+  FROM sym e JOIN p{k} p ON p.vid = e.src AND p.seen > 0
+  GROUP BY e.dst
+),
+p{k + 1} AS MATERIALIZED (
+  SELECT v.vid, v.seen | COALESCE(q.om, 0) AS seen
+  FROM p{k} v LEFT JOIN q{k} q ON q.vid = v.vid
+)""")
+    body = ",".join(cc_steps + par_steps)
+    return (
+        f"WITH {_GRAPH_CTES}, {body} "
+        f"SELECT l.label, CAST(count(*) AS BIGINT) AS n_vertices, "
+        f"CAST(MAX(CASE WHEN p.seen = 3 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS odd_cycle "
+        f"FROM l{CC_ITERS} l JOIN p{PAR_ITERS} p USING (vid) "
+        f"GROUP BY l.label ORDER BY l.label"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -21004,6 +21097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_median": _q_user_running_median,
         "orders_pivot_priority": _q_orders_pivot_priority,
         "interval_scheduling_max": _q_interval_scheduling_max,
+        "bipartite_components": _q_bipartite_components,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -22589,6 +22683,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "user_running_median": _user_running_median_sql(),
         "orders_pivot_priority": _orders_pivot_sql(),
         "interval_scheduling_max": _interval_scheduling_sql(),
+        "bipartite_components": _bipartite_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),

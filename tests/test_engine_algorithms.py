@@ -639,3 +639,52 @@ def test_pagerank_q30_wire_matches_reference_1e6(tmp_path):
     assert np.allclose(vq, p_ref, atol=1e-6)
     assert np.abs(vq - vf).max() < 1e-7
     assert abs(vq.sum() - 1.0) < 1e-6
+
+
+def test_bipartite_parity_masks(tmp_path):
+    """Planted components: an even cycle (bipartite), an odd cycle
+    (not), a path (bipartite), an isolated-ish edge — parity masks
+    from each component's min vid must flag exactly the odd cycle."""
+    from essentials_rd.algorithms import connected_components
+    from essentials_rd.algorithms.bipartite import parity_masks
+    from essentials_rd.algorithms.cc import components_table
+
+    edges = []
+    # even 6-cycle on 0..5
+    for i in range(6):
+        edges.append((i, (i + 1) % 6))
+    # odd 5-cycle on 10..14
+    for i in range(5):
+        edges.append((10 + i, 10 + (i + 1) % 5))
+    # path 20-21-22-23
+    edges += [(20, 21), (21, 22), (22, 23)]
+    # triangle with a tail: 30-31-32-30, 32-33 (odd)
+    edges += [(30, 31), (31, 32), (32, 30), (32, 33)]
+    src = np.array([a for a, _ in edges], np.int64)
+    dst = np.array([b for _, b in edges], np.int64)
+    g = small_graph(tmp_path, src, dst, P=3, symmetrize=True)
+
+    cc = connected_components(g, max_iters=50, checkpoint_every=0)
+    assert cc.converged
+    t = components_table(cc)
+    label = dict(zip(np.asarray(t["vid"]).tolist(),
+                     np.asarray(t["label"]).tolist()))
+    roots = sorted(set(label.values()))
+
+    par = parity_masks(g, np.asarray(roots, np.int64), max_iters=50,
+                       checkpoint_every=0)
+    assert par.converged
+    st = par.state_table(["seen"])
+    seen = dict(zip(np.asarray(st["vid"]).tolist(),
+                    np.asarray(st["seen"]).tolist()))
+
+    odd_by_comp = {}
+    for v, lb in label.items():
+        odd_by_comp[lb] = max(odd_by_comp.get(lb, 0),
+                              1 if seen[v] == 3 else 0)
+    assert odd_by_comp[0] == 0     # even cycle
+    assert odd_by_comp[10] == 1    # odd cycle
+    assert odd_by_comp[20] == 0    # path
+    assert odd_by_comp[30] == 1    # triangle + tail
+    # every vertex got at least one parity
+    assert all(s in (1, 2, 3) for s in seen.values())
