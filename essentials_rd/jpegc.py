@@ -196,6 +196,15 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # 1-fill (F.1.2.3)
         return bytes(self.out)
 
+    def restart_marker(self, m: int) -> None:
+        """Pad to the byte boundary and emit RSTm (raw, unstuffed —
+        markers live outside the entropy byte stream)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out.append(0xFF)
+        self.out.append(0xD0 + m)
+
 
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 unstuffing."""
@@ -239,6 +248,17 @@ class _BitReader:
             if s is not None:
                 return s
         raise ValueError("invalid Huffman code in scan")
+
+    def restart(self, m: int) -> None:
+        """Consume an RSTm marker at a restart boundary (E.1.4): drop
+        padding bits to the byte boundary, then the two marker bytes."""
+        self.acc = 0
+        self.nbits = 0
+        if self.d[self.pos] != 0xFF or self.d[self.pos + 1] != 0xD0 + m:
+            raise ValueError(
+                f"expected RST{m} at restart boundary, got "
+                f"0x{self.d[self.pos]:02X}{self.d[self.pos + 1]:02X}")
+        self.pos += 2
 
 
 # -------------------------------------------------------------- encoder
@@ -344,11 +364,15 @@ def _pad_plane(plane: np.ndarray, mult: int) -> np.ndarray:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 75,
-                subsampling: str = "444") -> tuple[bytes, np.ndarray]:
+                subsampling: str = "444",
+                restart_interval: int = 0) -> tuple[bytes, np.ndarray]:
     """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     baseline JFIF JPEG.  ``subsampling``: "444" (every component full
     resolution) or "420" (chroma box-averaged 2×2, Y sampling factors
     2×2 — the dominant real-world mode; ignored for grayscale).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTm marker
+    every N MCUs (DC predictors reset, byte-aligned — E.1.4), the
+    resync mechanism real-world encoders use against corruption.
     Returns ``(jpeg_bytes, expected)`` where ``expected`` is the exact
     array ``decode_jpeg(jpeg_bytes)`` must produce (see module
     docstring)."""
@@ -399,8 +423,15 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
     maxh = max(s[0] for s in samps)
     maxv = max(s[1] for s in samps)
     nmy, nmx = geom[0][0] // samps[0][1], geom[0][1] // samps[0][0]
+    mcu_idx = 0
+    rst = 0
     for mr in range(nmy):
         for mc in range(nmx):
+            if restart_interval and mcu_idx and \
+                    mcu_idx % restart_interval == 0:
+                bw.restart_marker(rst)
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
             for ci, (hs, vs) in enumerate(samps):
                 nbx_c = geom[ci][1]
                 for vy in range(vs):
@@ -409,6 +440,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
                         preds[ci] = _huff_encode_block(
                             bw, coeffs[ci][b], preds[ci], *enc_tabs[ci]
                         )
+            mcu_idx += 1
     scan = bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -431,6 +463,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
     if color:
         out += _dht(0, 1, DC_CHR_BITS, DC_CHR_VALS)
         out += _dht(1, 1, AC_CHR_BITS, AC_CHR_VALS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -461,7 +495,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Decode a baseline JPEG produced by any conforming encoder within
     this codec's scope (SOF0, 1 or 3 components, 4:4:4/grayscale or
-    4:2:0 sampling, no restart markers).  Returns (h, w) or
+    4:2:0 sampling, restart intervals honored).  Returns (h, w) or
     (h, w, 3) uint8."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -470,6 +504,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     comps: list[dict] = []
     h = w = 0
+    dri = 0
     while True:
         if buf[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -521,8 +556,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} "
                              "(baseline sequential only)")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — scan follows
             ns = seg[0]
             order = []
@@ -539,8 +574,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             geo = [(nmy * c["v"], nmx * c["h"]) for c in order]
             zzs = [np.zeros((gy * gx, 64), np.int64) for gy, gx in geo]
             preds = [0] * len(order)
+            mcu_idx = 0
+            rst = 0
             for mr in range(nmy):
                 for mc in range(nmx):
+                    if dri and mcu_idx and mcu_idx % dri == 0:
+                        br.restart(rst)
+                        rst = (rst + 1) % 8
+                        preds = [0] * len(order)
+                    mcu_idx += 1
                     for ci, comp in enumerate(order):
                         dc_dec = huff[(0, comp["td"])]
                         ac_dec = huff[(1, comp["ta"])]

@@ -179,3 +179,41 @@ def test_420_sampling_factors_in_sof():
     assert ncomp == 3
     assert buf[sof + 11] == 0x22  # Y 2x2
     assert buf[sof + 14] == 0x11 and buf[sof + 17] == 0x11
+
+
+@pytest.mark.parametrize("c,sub,ri", [(1, "444", 2), (3, "444", 3),
+                                      (3, "420", 1), (1, "444", 7)])
+def test_restart_interval_roundtrip(c, sub, ri):
+    img = _noise(32, 48, c, seed=ri * 10 + c)
+    buf, expected = encode_jpeg(img, quality=75, subsampling=sub,
+                                restart_interval=ri)
+    assert b"\xff\xdd" in buf  # DRI segment present
+    got = decode_jpeg(buf)
+    assert np.array_equal(got, expected)
+    # without restart_interval the stream carries no DRI
+    buf0, _ = encode_jpeg(img, quality=75, subsampling=sub)
+    assert b"\xff\xdd" not in buf0
+
+
+def test_restart_marker_resyncs_dc():
+    """Restart intervals reset DC predictors: the streams differ from
+    the non-restart encoding but reconstruct identically."""
+    img = _noise(40, 40, 1, 3)
+    b0, e0 = encode_jpeg(img, quality=60)
+    b1, e1 = encode_jpeg(img, quality=60, restart_interval=2)
+    assert b0 != b1
+    assert np.array_equal(e0, e1)  # same quantized coefficients
+    assert np.array_equal(decode_jpeg(b0), decode_jpeg(b1))
+
+
+def test_missing_restart_marker_detected():
+    img = _noise(32, 32, 1, 8)
+    buf, _ = encode_jpeg(img, quality=75, restart_interval=1)
+    # excise the first RST marker: the reader must notice desync
+    for m in range(8):
+        k = buf.find(bytes([0xFF, 0xD0 + m]))
+        if k > 0:
+            broken = buf[:k] + buf[k + 2:]
+            with pytest.raises((ValueError, IndexError)):
+                decode_jpeg(broken)
+            break
