@@ -1169,12 +1169,15 @@ def q21(sf_dir: str, k: int = 100) -> pa.Table:
     supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                            columns=["s_suppkey", "s_name"])
     full = join(cnt, supp, on="s_suppkey", how="inner")
-    rows = full.take_all()
-    rows.sort(key=lambda r: (-r["numwait"], r["s_name"]))
-    rows = rows[:k]
+    # distributed top-k (per-block partials, driver merges ≤ k·blocks
+    # rows) — never the full supplier table, even though that table is
+    # entity-small today
+    from .ops import top_k
+
+    t = top_k(full, "numwait", k, descending=True, tie_cols=["s_name"])
     return pa.table({
-        "s_name": pa.array([r["s_name"] for r in rows], pa.string()),
-        "numwait": pa.array([r["numwait"] for r in rows], pa.int64())})
+        "s_name": t.column("s_name").cast(pa.string()),
+        "numwait": t.column("numwait").cast(pa.int64())})
 
 
 def q2(sf_dir: str, size_max: int = 10, ptype: str = "LARGE",
