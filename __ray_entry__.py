@@ -20954,6 +20954,112 @@ def _rice_postings_sql() -> str:
     )
 
 
+def _q_join_size_certificate(sf_dir: str):
+    """Join-layer certificate: |orders ⋈ lineitem| computed TWO
+    independent ways — (a) the closed-form Σ_k cA(k)·cB(k) over
+    co-bucketed per-key counts (join size without joining, the
+    estimator every planner wants exact), and (b) actually executing
+    the engine's partitioned hash join and counting.  The engine
+    ASSERTS (a) == (b) — any dropped/duplicated bucket or mis-hashed
+    key breaks the identity — and the oracle recomputes both sides in
+    SQL, so the hash match pins the engine's join row-for-row against
+    DuckDB's.  Also emits matched-key and unmatched-side counts (the
+    full cardinality profile)."""
+    import ray.data as rd
+
+    from essentials_rd.ops import hash_bucket_agg, join
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey"])
+
+    def _cnt(col: str):
+        def _f(grp: pa.Table) -> pa.Table:
+            k = np_col(grp, col)
+            u, c = np.unique(k, return_counts=True)
+            return pa.table({"k": pa.array(u, pa.int64()),
+                             "c": pa.array(c.astype(np.int64), pa.int64())})
+        return _f
+
+    ca = hash_bucket_agg(orders, lambda b: np_col(b, "o_orderkey"),
+                         _cnt("o_orderkey"))
+    cb = hash_bucket_agg(line, lambda b: np_col(b, "l_orderkey"),
+                         _cnt("l_orderkey"))
+
+    # co-bucketed product fold: same key → same bucket on both sides
+    def _tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": t.column("k"),
+                "ca": t.column("c") if side == 0 else
+                pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "cb": t.column("c") if side == 1 else
+                pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            })
+        return _f
+
+    both = ca.map_batches(_tag(0), batch_format="pyarrow").union(
+        cb.map_batches(_tag(1), batch_format="pyarrow"))
+
+    def _prod(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas().groupby("k", sort=False).sum().reset_index()
+        a = df["ca"].to_numpy(np.int64)
+        b = df["cb"].to_numpy(np.int64)
+        return pa.table({
+            "est": pa.array([int((a * b).sum())], pa.int64()),
+            "matched": pa.array([int(((a > 0) & (b > 0)).sum())],
+                                pa.int64()),
+            "only_a": pa.array([int(((a > 0) & (b == 0)).sum())],
+                               pa.int64()),
+            "only_b": pa.array([int(((a == 0) & (b > 0)).sum())],
+                               pa.int64()),
+        })
+
+    est = matched = only_a = only_b = 0
+    for r in hash_bucket_agg(both, lambda b: np_col(b, "k"),
+                             _prod).take_all():
+        est += r["est"]
+        matched += r["matched"]
+        only_a += r["only_a"]
+        only_b += r["only_b"]
+
+    actual = join(
+        orders, line.rename_columns({"l_orderkey": "o_orderkey"}),
+        on="o_orderkey", how="inner", broadcast=False,
+    ).count()
+    assert actual == est, (
+        f"join cardinality identity violated: executed {actual}, "
+        f"closed form {est}")
+    return pa.table({
+        "join_rows": pa.array([actual], pa.int64()),
+        "matched_keys": pa.array([matched], pa.int64()),
+        "orders_only_keys": pa.array([only_a], pa.int64()),
+        "lineitem_only_keys": pa.array([only_b], pa.int64()),
+    })
+
+
+def _join_size_certificate_sql() -> str:
+    return (
+        "WITH ca AS (SELECT o_orderkey AS k, count(*) AS c FROM orders "
+        "GROUP BY 1), "
+        "cb AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem "
+        "GROUP BY 1), "
+        "f AS (SELECT COALESCE(ca.k, cb.k) AS k, "
+        "COALESCE(ca.c, 0) AS a, COALESCE(cb.c, 0) AS b "
+        "FROM ca FULL OUTER JOIN cb ON ca.k = cb.k) "
+        "SELECT CAST((SELECT count(*) FROM orders o JOIN lineitem l "
+        "ON l.l_orderkey = o.o_orderkey) AS BIGINT) AS join_rows, "
+        "CAST(SUM(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END) AS "
+        "BIGINT) AS matched_keys, "
+        "CAST(SUM(CASE WHEN a > 0 AND b = 0 THEN 1 ELSE 0 END) AS "
+        "BIGINT) AS orders_only_keys, "
+        "CAST(SUM(CASE WHEN a = 0 AND b > 0 THEN 1 ELSE 0 END) AS "
+        "BIGINT) AS lineitem_only_keys FROM f"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -21203,6 +21309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_scheduling_max": _q_interval_scheduling_max,
         "bipartite_components": _q_bipartite_components,
         "rice_postings_size": _q_rice_postings_size,
+        "join_size_certificate": _q_join_size_certificate,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -22790,6 +22897,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "interval_scheduling_max": _interval_scheduling_sql(),
         "bipartite_components": _bipartite_sql(),
         "rice_postings_size": _rice_postings_sql(),
+        "join_size_certificate": _join_size_certificate_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),
