@@ -21060,6 +21060,119 @@ def _join_size_certificate_sql() -> str:
     )
 
 
+def _q_urgent_run_stats(sf_dir: str):
+    """Run-length statistics of the urgency bitvector in global
+    o_orderkey order — the segmented-scan MERGE exercise: each range
+    partition (disjoint ordered key ranges, ``ops.range_partition``)
+    reduces its sorted slice to an ASSOCIATIVE summary (first/last
+    bit, run count, longest run, edge-run lengths), and the driver
+    folds the n_parts summaries IN KEY ORDER, stitching runs that
+    span partition boundaries — the canonical pattern for any
+    order-sensitive reduction (RLE sizing, session stitching, islands)
+    at shuffle-free cost.  Output: total runs, longest urgent run,
+    longest run of either value, n_rows.  Islands SQL twin."""
+    import ray.data as rd
+
+    from essentials_rd.ops import range_partition
+    from essentials_rd.util import np_col
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        bit = _pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        return pa.table({
+            "k": t.column("o_orderkey").cast(pa.int64()),
+            "bit": pa.array(np.asarray(
+                bit.to_numpy(zero_copy_only=False), np.int64), pa.int64()),
+        })
+
+    routed, _ = range_partition(
+        orders.map_batches(_mk, batch_format="pyarrow"), "k", 16,
+        lambda b: np_col(b, "k"))
+
+    def _summary(grp: pa.Table) -> pa.Table:
+        p = int(grp.column("part_id")[0].as_py())
+        k = np_col(grp, "k")
+        b = np_col(grp, "bit")
+        o = np.argsort(k, kind="stable")
+        b = b[o]
+        n = len(b)
+        breaks = np.flatnonzero(b[1:] != b[:-1]) + 1
+        bounds = np.r_[0, breaks, n]
+        lens = np.diff(bounds)
+        vals = b[bounds[:-1]]
+        longest_any = int(lens.max()) if n else 0
+        urg = lens[vals == 1]
+        return pa.table({
+            "part_id": pa.array([p], pa.int64()),
+            "n": pa.array([n], pa.int64()),
+            "first_bit": pa.array([int(b[0]) if n else -1], pa.int64()),
+            "last_bit": pa.array([int(b[-1]) if n else -1], pa.int64()),
+            "n_runs": pa.array([len(lens)], pa.int64()),
+            "head_len": pa.array([int(lens[0]) if n else 0], pa.int64()),
+            "tail_len": pa.array([int(lens[-1]) if n else 0], pa.int64()),
+            "longest_any": pa.array([longest_any], pa.int64()),
+            "longest_urgent": pa.array(
+                [int(urg.max()) if len(urg) else 0], pa.int64()),
+            "single_run": pa.array([1 if len(lens) == 1 else 0],
+                                   pa.int64()),
+        })
+
+    parts = (routed.groupby("part_id")
+             .map_groups(_summary, batch_format="pyarrow").take_all())
+    parts.sort(key=lambda r: r["part_id"])
+    parts = [r for r in parts if r["n"] > 0]
+    total_runs = 0
+    longest_any = 0
+    longest_urg = 0
+    n_rows = 0
+    cur_bit = -1
+    cur_len = 0
+    for r in parts:
+        n_rows += r["n"]
+        longest_any = max(longest_any, r["longest_any"])
+        longest_urg = max(longest_urg, r["longest_urgent"])
+        if r["first_bit"] == cur_bit:
+            # stitch: the open run continues into this partition
+            joined = cur_len + r["head_len"]
+            longest_any = max(longest_any, joined)
+            if cur_bit == 1:
+                longest_urg = max(longest_urg, joined)
+            total_runs += r["n_runs"] - 1
+            cur_len = joined if r["single_run"] else r["tail_len"]
+        else:
+            total_runs += r["n_runs"]
+            cur_len = r["head_len"] if r["single_run"] else r["tail_len"]
+        cur_bit = r["last_bit"]
+    return pa.table({
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "n_runs": pa.array([total_runs], pa.int64()),
+        "longest_urgent_run": pa.array([longest_urg], pa.int64()),
+        "longest_any_run": pa.array([longest_any], pa.int64()),
+    })
+
+
+def _urgent_run_stats_sql() -> str:
+    return (
+        "WITH v AS (SELECT o_orderkey, CASE WHEN o_orderpriority = "
+        "'1-URGENT' THEN 1 ELSE 0 END AS bit FROM orders), "
+        "l AS (SELECT bit, CASE WHEN bit = lag(bit) OVER (ORDER BY "
+        "o_orderkey) THEN 0 ELSE 1 END AS brk FROM v), "
+        "g AS (SELECT bit, SUM(brk) OVER (ROWS UNBOUNDED PRECEDING) "
+        "AS gid FROM (SELECT bit, COALESCE(brk, 1) AS brk FROM l)), "
+        "runs AS (SELECT gid, any_value(bit) AS bit, count(*) AS len "
+        "FROM g GROUP BY gid) "
+        "SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_rows, "
+        "CAST((SELECT count(*) FROM runs) AS BIGINT) AS n_runs, "
+        "CAST(COALESCE((SELECT max(len) FROM runs WHERE bit = 1), 0) "
+        "AS BIGINT) AS longest_urgent_run, "
+        "CAST((SELECT max(len) FROM runs) AS BIGINT) AS longest_any_run"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -21310,6 +21423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bipartite_components": _q_bipartite_components,
         "rice_postings_size": _q_rice_postings_size,
         "join_size_certificate": _q_join_size_certificate,
+        "urgent_run_stats": _q_urgent_run_stats,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -22898,6 +23012,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "bipartite_components": _bipartite_sql(),
         "rice_postings_size": _rice_postings_sql(),
         "join_size_certificate": _join_size_certificate_sql(),
+        "urgent_run_stats": _urgent_run_stats_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),

@@ -323,3 +323,38 @@ def test_kneser_ney_counts_brute(tmp_path):
         assert (r["c_out"], r["c_in"], r["n_right"], r["n_left"]) == \
             tuple(s)
         assert r["bigram_types"] == types
+
+
+def test_urgent_run_stats_brute(tmp_path):
+    """Planted run structure incl. runs spanning partition boundaries
+    — the associative cross-partition stitch must match a sequential
+    scan exactly."""
+    from __ray_entry__ import _q_urgent_run_stats
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    # long runs: flip with low probability so runs cross the 16
+    # range partitions often
+    flips = rng.random(n) < 0.02
+    bits = np.cumsum(flips) % 2
+    prios = np.where(bits == 1, "1-URGENT", "5-LOW")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n), pa.int64()),
+        "o_orderpriority": pa.array(prios.tolist(), pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+
+    runs = []
+    cur, ln = int(bits[0]), 0
+    for b in bits:
+        if int(b) == cur:
+            ln += 1
+        else:
+            runs.append((cur, ln))
+            cur, ln = int(b), 1
+    runs.append((cur, ln))
+    got = _q_urgent_run_stats(str(tmp_path)).to_pylist()[0]
+    assert got["n_rows"] == n
+    assert got["n_runs"] == len(runs)
+    assert got["longest_any_run"] == max(l for _, l in runs)
+    urg = [l for v, l in runs if v == 1]
+    assert got["longest_urgent_run"] == (max(urg) if urg else 0)
