@@ -21173,6 +21173,118 @@ def _urgent_run_stats_sql() -> str:
     )
 
 
+FH_DIM = 1 << 12
+_POLY_B = 131
+_POLY_P = (1 << 31) - 1
+_POLY_L = 32  # max token length the hash covers (corpus max is 8)
+_POLY_POWS = []
+_pw = 1
+for _ in range(_POLY_L):
+    _POLY_POWS.append(_pw)
+    _pw = (_pw * _POLY_B) % _POLY_P
+
+
+def _poly_hash_tokens(tokens) -> np.ndarray:
+    """SQL-replayable string hash: h = (Σ byte_i · B^i mod p) mod p
+    over the UTF-8 bytes, B=131, p=2³¹−1, powers pre-reduced — both
+    sides compute the identical sum, so string-keyed assignments can
+    be oracle-replayed (pandas siphash cannot).  Vectorized: padded
+    byte matrix × power vector."""
+    toks = [t.encode("utf-8") for t in tokens]
+    if not toks:
+        return np.zeros(0, np.int64)
+    L = min(max(len(t) for t in toks), _POLY_L)
+    m = np.zeros((len(toks), L), np.int64)
+    for i, t in enumerate(toks):
+        b = np.frombuffer(t[:L], np.uint8)
+        m[i, : len(b)] = b
+    return (m @ np.asarray(_POLY_POWS[:L], np.int64)) % _POLY_P
+
+
+def _q_feature_hash_collisions(sf_dir: str):
+    """Hashing-trick hygiene audit: fold the corpus vocabulary into
+    FH_DIM buckets via sm64(polyhash(token)) mod d and report exactly
+    how much signal collides — distinct tokens, occupied buckets, the
+    max pile-up, and how many tokens share their bucket (those
+    features are irrecoverably aliased).  The token→bucket assignment
+    uses the SQL-replayable polynomial byte hash (B=131 mod 2³¹−1 →
+    the shared splitmix chain), so the oracle replays the exact
+    assignment — not just the aggregate shape.  One token-bucketed
+    distinct fold; FH_DIM-sized partial histograms sum driver-side."""
+    import ray.data as rd
+
+    from essentials_rd.derive import _str_hash
+    from essentials_rd.ops import hash_bucket_agg
+    from essentials_rd.util import hash64, np_col
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def _toks(t: pa.Table) -> pa.Table:
+        s = t.column("text").to_pandas()
+        flat = sorted({w for lst in s.str.split(" ") for w in lst})
+        arr = pa.array(flat, pa.string())
+        return pa.table({
+            "khash": pa.array(_str_hash(arr), pa.int64()),
+            "tok": arr,
+        })
+
+    def _bucket(grp: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = pd.unique(grp.column("tok").combine_chunks().to_pandas())
+        ph = _poly_hash_tokens(toks.tolist())
+        fb = (hash64(ph.astype(np.uint64)) % np.uint64(FH_DIM)).astype(
+            np.int64)
+        u, c = np.unique(fb, return_counts=True)
+        return pa.table({
+            "fbucket": pa.array(u, pa.int64()),
+            "n_tokens": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    hist = np.zeros(FH_DIM, np.int64)
+    for r in hash_bucket_agg(
+        docs.map_batches(_toks, batch_format="pyarrow"),
+        lambda b: np_col(b, "khash"),
+        _bucket,
+    ).take_all():
+        hist[r["fbucket"]] += r["n_tokens"]
+    n_tokens = int(hist.sum())
+    return pa.table({
+        "dim": pa.array([FH_DIM], pa.int64()),
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "occupied_buckets": pa.array([int((hist > 0).sum())], pa.int64()),
+        "max_bucket_tokens": pa.array([int(hist.max())], pa.int64()),
+        "collided_tokens": pa.array([int(hist[hist >= 2].sum())],
+                                    pa.int64()),
+    })
+
+
+def _feature_hash_collisions_sql() -> str:
+    pows = ", ".join(
+        f"({i + 1}, {p})" for i, p in enumerate(_POLY_POWS)
+    )
+    chain = _sm64_ctes("fh", "tok", "ph", "ph1")
+    return (
+        "WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) "
+        "AS tok FROM documents), "
+        f"pw AS (SELECT * FROM (VALUES {pows}) p(j, b)), "
+        "ph1 AS (SELECT t.tok, COALESCE(SUM(CAST(ord(substr(t.tok, "
+        f"pw.j, 1)) AS BIGINT) * pw.b), 0) % {_POLY_P} AS ph "
+        "FROM toks t LEFT JOIN pw "
+        "ON pw.j <= length(t.tok) GROUP BY t.tok), "
+        f"{chain}, "
+        f"asg AS (SELECT CAST(z % {FH_DIM} AS BIGINT) AS fb FROM fh3), "
+        "h AS (SELECT fb, count(*) AS c FROM asg GROUP BY fb) "
+        f"SELECT CAST({FH_DIM} AS BIGINT) AS dim, "
+        "CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_tokens, "
+        "CAST((SELECT count(*) FROM h) AS BIGINT) AS occupied_buckets, "
+        "CAST((SELECT max(c) FROM h) AS BIGINT) AS max_bucket_tokens, "
+        "CAST(COALESCE((SELECT SUM(c) FROM h WHERE c >= 2), 0) "
+        "AS BIGINT) AS collided_tokens"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -21424,6 +21536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rice_postings_size": _q_rice_postings_size,
         "join_size_certificate": _q_join_size_certificate,
         "urgent_run_stats": _q_urgent_run_stats,
+        "feature_hash_collisions": _q_feature_hash_collisions,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -23013,6 +23126,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "rice_postings_size": _rice_postings_sql(),
         "join_size_certificate": _join_size_certificate_sql(),
         "urgent_run_stats": _urgent_run_stats_sql(),
+        "feature_hash_collisions": _feature_hash_collisions_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),
