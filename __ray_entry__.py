@@ -21285,6 +21285,87 @@ def _feature_hash_collisions_sql() -> str:
     )
 
 
+def _q_pettitt_changepoint(sf_dir: str):
+    """Pettitt changepoint test (Pettitt 1979) on the dense hourly
+    event-count series (zero hours included): the rank-based statistic
+    U_t = Σ_{i≤t<j} sgn(x_j − x_i), K = max_t |U_t| and the split
+    point t* (min t on ties) — the standard nonparametric "did the
+    regime shift, and when" monitoring test, exact in integers.
+    Engine computes U via the O(m²) sign matrix with 2-D prefix sums
+    on the calendar-small dense grid (the fano/Lorenz driver-small
+    contract); the oracle reaches the same U_t by the
+    interval-contribution identity (each pair i<j adds its sign to
+    every t in [i, j)) — a diff array + window cumsum, an INDEPENDENT
+    formulation."""
+    import ray.data as rd
+
+    from essentials_rd.ops import grouped_pandas_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def _hour(t: pa.Table) -> pa.Table:
+        h = (np.asarray(t.column("ts").cast(pa.int64()))
+             // 3_600_000_000).astype(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "one": pa.array(np.ones(len(h), np.int64))})
+
+    rows = grouped_pandas_agg(
+        ev.map_batches(_hour, batch_format="pyarrow"),
+        keys=["h"], aggs={"n": ("one", "sum")}).take_all()
+    hmin = min(r["h"] for r in rows)
+    hmax = max(r["h"] for r in rows)
+    m = int(hmax - hmin + 1)
+    x = np.zeros(m, np.int64)
+    for r in rows:
+        x[r["h"] - hmin] = r["n"]
+
+    sg = np.sign(x[None, :] - x[:, None]).astype(np.int64)
+    c = np.cumsum(sg, axis=1)           # C[i, t] = Σ_{j≤t} sgn
+    a = np.cumsum(c[:, m - 1])          # Σ_{i≤t} full row sums
+    d = np.cumsum(c, axis=0)            # 2-D prefix over i
+    ts = np.arange(m - 1)
+    u = a[ts] - d[ts, ts]
+    k_stat = int(np.abs(u).max()) if len(u) else 0
+    t_star = int(ts[np.abs(u) == k_stat][0]) if len(u) else 0
+    return pa.table({
+        "grid_hours": pa.array([m], pa.int64()),
+        "t_star": pa.array([t_star], pa.int64()),
+        "k_stat": pa.array([k_stat], pa.int64()),
+        "u_signed": pa.array([int(u[t_star]) if len(u) else 0],
+                             pa.int64()),
+    })
+
+
+def _pettitt_sql() -> str:
+    return (
+        "WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+        "bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hc), "
+        "grid AS (SELECT t, COALESCE(hc.n, 0) AS x FROM (SELECT "
+        "unnest(range((SELECT hi - lo + 1 FROM bounds))) AS t) g "
+        "LEFT JOIN hc ON hc.h = g.t + (SELECT lo FROM bounds)), "
+        "pr AS (SELECT a.t AS i, b.t AS j, "
+        "CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END "
+        "AS s FROM grid a JOIN grid b ON b.t > a.t), "
+        "dl AS (SELECT i AS t, s FROM pr UNION ALL "
+        "SELECT j AS t, -s FROM pr), "
+        "pt AS (SELECT t, SUM(s) AS ds FROM dl GROUP BY t), "
+        "cum AS (SELECT g.t, CAST(SUM(COALESCE(pt.ds, 0)) OVER "
+        "(ORDER BY g.t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS u "
+        "FROM grid g LEFT JOIN pt ON pt.t = g.t), "
+        "uu AS (SELECT t, u FROM cum WHERE t < "
+        "(SELECT hi - lo FROM bounds)), "
+        "kk AS (SELECT max(abs(u)) AS k FROM uu), "
+        "st AS (SELECT min(t) AS ts FROM uu WHERE abs(u) = "
+        "(SELECT k FROM kk)) "
+        "SELECT CAST((SELECT hi - lo + 1 FROM bounds) AS BIGINT) AS "
+        "grid_hours, CAST((SELECT ts FROM st) AS BIGINT) AS t_star, "
+        "CAST((SELECT k FROM kk) AS BIGINT) AS k_stat, "
+        "CAST((SELECT u FROM uu WHERE t = (SELECT ts FROM st)) AS "
+        "BIGINT) AS u_signed"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_hourly": _q_events_hourly,
@@ -21537,6 +21618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_certificate": _q_join_size_certificate,
         "urgent_run_stats": _q_urgent_run_stats,
         "feature_hash_collisions": _q_feature_hash_collisions,
+        "pettitt_changepoint": _q_pettitt_changepoint,
         "media_img_resize": _q_media_resize,
         "media_wav_features": _q_wav_features,
         "media_wav_stats": _q_media_wav_stats,
@@ -23127,6 +23209,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "join_size_certificate": _join_size_certificate_sql(),
         "urgent_run_stats": _urgent_run_stats_sql(),
         "feature_hash_collisions": _feature_hash_collisions_sql(),
+        "pettitt_changepoint": _pettitt_sql(),
         "media_img_resize": _media_resize_sql(),
         "media_wav_features": _wav_features_sql(),
         "media_wav_stats": _media_wav_sql(),

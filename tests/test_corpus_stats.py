@@ -358,3 +358,39 @@ def test_urgent_run_stats_brute(tmp_path):
     assert got["longest_any_run"] == max(l for _, l in runs)
     urg = [l for v, l in runs if v == 1]
     assert got["longest_urgent_run"] == (max(urg) if urg else 0)
+
+
+def test_pettitt_changepoint_brute(tmp_path):
+    """Planted level shift: a series that jumps from ~5 to ~50 halfway
+    must put t* at the shift; engine must equal the O(n^2) definition
+    exactly."""
+    from __ray_entry__ import _q_pettitt_changepoint
+
+    rng = np.random.default_rng(8)
+    m = 120
+    counts = np.r_[rng.poisson(5, 60), rng.poisson(50, 60)]
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = []
+    for h, c in enumerate(counts):
+        for j in range(int(c)):
+            ts.append(base + np.timedelta64(h * 3600_000_000 + j, "us"))
+    ts = np.array(ts, "datetime64[us]")
+    pq.write_table(pa.table({"ts": pa.array(ts)}),
+                   str(tmp_path / "events.parquet"))
+
+    x = counts.astype(np.int64)
+    n = len(x)
+    u = np.array([
+        sum(np.sign(x[j] - x[i]) for i in range(t + 1)
+            for j in range(t + 1, n))
+        for t in range(n - 1)
+    ], np.int64)
+    k = int(np.abs(u).max())
+    t_star = int(np.flatnonzero(np.abs(u) == k)[0])
+
+    got = _q_pettitt_changepoint(str(tmp_path)).to_pylist()[0]
+    assert got["grid_hours"] == n
+    assert got["k_stat"] == k
+    assert got["t_star"] == t_star
+    assert got["u_signed"] == int(u[t_star])
+    assert 55 <= got["t_star"] <= 62  # the planted shift
