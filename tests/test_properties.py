@@ -212,3 +212,59 @@ def test_deletion_neighborhood_blocking_is_lossless(strs):
             if _lev(strs[i], strs[j]) <= 1:
                 assert per.get(i, set()) & per.get(j, set()), (
                     strs[i], strs[j])
+
+
+@given(st.integers(1, 100), st.integers(1, 24), st.integers(1, 24),
+       st.sampled_from([1, 3]), st.integers(0, 3),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_contract_property(q, h, w, c, ri, seed):
+    """For ANY size/quality/mode/restart-interval: decode(encode(img))
+    must equal the encoder's expected reconstruction bit-for-bit, with
+    the original shape and dtype."""
+    from essentials_rd.jpegc import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w) if c == 1 else (h, w, c)).astype(
+        np.uint8)
+    sub = "420" if (c == 3 and seed % 2) else "444"
+    buf, expected = encode_jpeg(img, quality=q, subsampling=sub,
+                                restart_interval=ri)
+    got = decode_jpeg(buf)
+    assert got.shape == img.shape and got.dtype == np.uint8
+    assert np.array_equal(got, expected)
+
+
+@given(st.lists(st.floats(min_value=0.0, max_value=1.0,
+                          allow_nan=False), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_q30_quantization_bound(vals):
+    """The q30 wire's per-message quantization error is ≤ 2^-31 and
+    int sums reproduce the quantized total exactly."""
+    x = np.asarray(vals, np.float64)
+    q = np.rint(x * float(1 << 30)).astype(np.int64)
+    back = q * 2.0 ** -30
+    assert np.abs(back - x).max() <= 2.0 ** -31 + 1e-15
+    assert int(q.sum()) == sum(int(v) for v in q)  # exact int addition
+
+
+@given(st.lists(st.integers(0, 30), min_size=2, max_size=80),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_pettitt_identities(xs, _seed):
+    """The 2-D-prefix computation of U_t equals the O(n^2) definition
+    on arbitrary integer series."""
+    x = np.asarray(xs, np.int64)
+    n = len(x)
+    sg = np.sign(x[None, :] - x[:, None]).astype(np.int64)
+    c = np.cumsum(sg, axis=1)
+    a = np.cumsum(c[:, n - 1])
+    d = np.cumsum(c, axis=0)
+    ts = np.arange(n - 1)
+    u_fast = a[ts] - d[ts, ts]
+    u_brute = np.array([
+        sum(np.sign(x[j] - x[i]) for i in range(t + 1)
+            for j in range(t + 1, n))
+        for t in range(n - 1)
+    ], np.int64)
+    assert np.array_equal(u_fast, u_brute)
