@@ -20850,110 +20850,6 @@ p{k + 1} AS MATERIALIZED (
     )
 
 
-RICE_MIN_DF = 20
-
-
-def _q_rice_postings_size(sf_dir: str):
-    """Index-compression sizing (Rice/Golomb coding, the classic
-    postings-gap code): for every term with df ≥ RICE_MIN_DF, the
-    EXACT bit count of its Rice-coded doc-gap list at the
-    per-term parameter k = max(0, bitlen(⌊(max_doc+1)/df⌋) − 1) —
-    length of gap g is (g >> k) + 1 + k, no actual coding needed, so
-    the size audit every IR engine runs before choosing a gap code is
-    a pure integer aggregate.  Gaps are deltas of the sorted distinct
-    doc ids (first gap anchored at −1 ⇒ g ≥ 1).  One token-bucketed
-    exchange of per-batch distinct (token, doc) pairs; threshold
-    filter in-bucket so only frequent terms reach the driver."""
-    import pandas as pd
-    import ray.data as rd
-
-    from essentials_rd.derive import _str_hash
-    from essentials_rd.ops import hash_bucket_agg
-    from essentials_rd.util import np_col
-
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    max_doc = int(docs.max("doc_id") or 0)
-
-    def _pairs(t: pa.Table) -> pa.Table:
-        df = pa.table({"doc_id": t.column("doc_id"),
-                       "text": t.column("text")}).to_pandas()
-        df["tok"] = df["text"].str.split(" ")
-        df = df.drop(columns=["text"]).explode("tok")
-        df = df.drop_duplicates(["doc_id", "tok"])
-        tok = pa.array(df["tok"].tolist(), pa.string())
-        return pa.table({
-            "khash": pa.array(_str_hash(tok), pa.int64()),
-            "tok": tok,
-            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
-        })
-
-    def _bucket(grp: pa.Table) -> pa.Table:
-        df = grp.to_pandas()
-        df = df.drop_duplicates(["tok", "doc_id"])
-        df = df.sort_values(["tok", "doc_id"], kind="stable")
-        code, uq = pd.factorize(df["tok"], sort=False)
-        d = df["doc_id"].to_numpy(np.int64)
-        first = np.r_[True, code[1:] != code[:-1]] if len(code) else \
-            np.zeros(0, bool)
-        starts = np.flatnonzero(first)
-        dfreq = np.diff(np.r_[starts, len(code)])
-        keep_g = dfreq >= RICE_MIN_DF
-        prev = np.r_[np.int64(-1), d[:-1]]
-        prev[starts] = -1
-        gaps = d - prev
-        avg = (max_doc + 1) // np.maximum(dfreq, 1)
-        kk = np.maximum(
-            np.frexp(np.maximum(avg, 1).astype(np.float64))[1] - 1, 0
-        ).astype(np.int64)
-        gidx = np.searchsorted(starts, np.arange(len(code)),
-                               side="right") - 1
-        krow = kk[gidx]
-        bits_row = (gaps >> krow) + 1 + krow
-        bits = np.add.reduceat(bits_row, starts) if len(starts) else \
-            np.zeros(0, np.int64)
-        toks = np.asarray(uq, object)[code[starts]] if len(starts) else \
-            np.zeros(0, object)
-        return pa.table({
-            "token": pa.array(toks[keep_g].tolist(), pa.string()),
-            "df": pa.array(dfreq[keep_g], pa.int64()),
-            "k": pa.array(kk[keep_g], pa.int64()),
-            "rice_bits": pa.array(bits[keep_g], pa.int64()),
-        })
-
-    rows = hash_bucket_agg(
-        docs.map_batches(_pairs, batch_format="pyarrow"),
-        lambda b: np_col(b, "khash"),
-        _bucket,
-    ).take_all()
-    rows.sort(key=lambda r: r["token"])
-    return pa.table({
-        "token": pa.array([r["token"] for r in rows], pa.string()),
-        "df": pa.array([r["df"] for r in rows], pa.int64()),
-        "k": pa.array([r["k"] for r in rows], pa.int64()),
-        "rice_bits": pa.array([r["rice_bits"] for r in rows], pa.int64()),
-    })
-
-
-def _rice_postings_sql() -> str:
-    return (
-        "WITH md AS (SELECT max(doc_id) AS m FROM documents), "
-        "p AS (SELECT DISTINCT doc_id, "
-        "unnest(string_split(text, ' ')) AS tok FROM documents), "
-        "g AS (SELECT tok, doc_id, doc_id - COALESCE(lag(doc_id) OVER "
-        "(PARTITION BY tok ORDER BY doc_id), -1) AS gap FROM p), "
-        "t AS (SELECT tok, count(*) AS df FROM p GROUP BY tok "
-        f"HAVING count(*) >= {RICE_MIN_DF}), "
-        "tk AS (SELECT tok, df, GREATEST(length(bin(GREATEST("
-        "((SELECT m FROM md) + 1) // df, 1))) - 1, 0) AS k FROM t) "
-        "SELECT tk.tok AS token, CAST(tk.df AS BIGINT) AS df, "
-        "CAST(tk.k AS BIGINT) AS k, "
-        "CAST(SUM((g.gap >> tk.k) + 1 + tk.k) AS BIGINT) AS rice_bits "
-        "FROM g JOIN tk USING (tok) "
-        "GROUP BY tk.tok, tk.df, tk.k ORDER BY token"
-    )
-
-
 def _q_join_size_certificate(sf_dir: str):
     """Join-layer certificate: |orders ⋈ lineitem| computed TWO
     independent ways — (a) the closed-form Σ_k cA(k)·cB(k) over
@@ -21614,7 +21510,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pivot_priority": _q_orders_pivot_priority,
         "interval_scheduling_max": _q_interval_scheduling_max,
         "bipartite_components": _q_bipartite_components,
-        "rice_postings_size": _q_rice_postings_size,
         "join_size_certificate": _q_join_size_certificate,
         "urgent_run_stats": _q_urgent_run_stats,
         "feature_hash_collisions": _q_feature_hash_collisions,
@@ -23205,7 +23100,6 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "orders_pivot_priority": _orders_pivot_sql(),
         "interval_scheduling_max": _interval_scheduling_sql(),
         "bipartite_components": _bipartite_sql(),
-        "rice_postings_size": _rice_postings_sql(),
         "join_size_certificate": _join_size_certificate_sql(),
         "urgent_run_stats": _urgent_run_stats_sql(),
         "feature_hash_collisions": _feature_hash_collisions_sql(),
