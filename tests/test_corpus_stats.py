@@ -394,3 +394,33 @@ def test_pettitt_changepoint_brute(tmp_path):
     assert got["t_star"] == t_star
     assert got["u_signed"] == int(u[t_star])
     assert 55 <= got["t_star"] <= 62  # the planted shift
+
+
+def test_poly_hash_matches_duckdb_replay():
+    """The SQL-replayable polynomial byte hash: engine vectorized
+    computation equals the DuckDB expression the oracle uses, over
+    random ASCII tokens including the empty string."""
+    import duckdb
+
+    from __ray_entry__ import _POLY_P, _POLY_POWS, _poly_hash_tokens
+
+    rng = np.random.default_rng(31)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789_"
+    toks = sorted({""} | {
+        "".join(rng.choice(list(alpha), size=int(rng.integers(1, 20))))
+        for _ in range(200)
+    })  # distinct, like the oracle's SELECT DISTINCT token stream
+    want = _poly_hash_tokens(toks)
+
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"tok": toks}))
+    pows = ", ".join(f"({i + 1}, {p})" for i, p in enumerate(_POLY_POWS))
+    got = con.sql(
+        f"WITH pw AS (SELECT * FROM (VALUES {pows}) p(j, b)) "
+        "SELECT t.tok, COALESCE(SUM(CAST(ord(substr(t.tok, pw.j, 1)) "
+        f"AS BIGINT) * pw.b), 0) % {_POLY_P} AS ph "
+        "FROM t LEFT JOIN pw ON pw.j <= length(t.tok) "
+        "GROUP BY t.tok"
+    ).df().set_index("tok")["ph"].to_dict()
+    for tok, w in zip(toks, want):
+        assert got[tok] == w, tok
