@@ -4288,9 +4288,6 @@ def _logistic_newton_sql() -> str:
 CDC_K = 6
 
 
-CDC_K = 6
-
-
 def _q_cdc_chunks(sf_dir: str):
     """Content-defined chunking dedup ledger (textops.gear_chunks +
     cdc_dedup_stats): gear-hash CDC over every document — cut when the
@@ -21069,7 +21066,7 @@ def _urgent_run_stats_sql() -> str:
     )
 
 
-FH_DIM = 1 << 12
+FHC_DIM = 1 << 12
 _POLY_B = 131
 _POLY_P = (1 << 31) - 1
 _POLY_L = 32  # max token length the hash covers (corpus max is 8)
@@ -21099,14 +21096,14 @@ def _poly_hash_tokens(tokens) -> np.ndarray:
 
 def _q_feature_hash_collisions(sf_dir: str):
     """Hashing-trick hygiene audit: fold the corpus vocabulary into
-    FH_DIM buckets via sm64(polyhash(token)) mod d and report exactly
+    FHC_DIM buckets via sm64(polyhash(token)) mod d and report exactly
     how much signal collides — distinct tokens, occupied buckets, the
     max pile-up, and how many tokens share their bucket (those
     features are irrecoverably aliased).  The token→bucket assignment
     uses the SQL-replayable polynomial byte hash (B=131 mod 2³¹−1 →
     the shared splitmix chain), so the oracle replays the exact
     assignment — not just the aggregate shape.  One token-bucketed
-    distinct fold; FH_DIM-sized partial histograms sum driver-side."""
+    distinct fold; FHC_DIM-sized partial histograms sum driver-side."""
     import ray.data as rd
 
     from essentials_rd.derive import _str_hash
@@ -21130,7 +21127,7 @@ def _q_feature_hash_collisions(sf_dir: str):
 
         toks = pd.unique(grp.column("tok").combine_chunks().to_pandas())
         ph = _poly_hash_tokens(toks.tolist())
-        fb = (hash64(ph.astype(np.uint64)) % np.uint64(FH_DIM)).astype(
+        fb = (hash64(ph.astype(np.uint64)) % np.uint64(FHC_DIM)).astype(
             np.int64)
         u, c = np.unique(fb, return_counts=True)
         return pa.table({
@@ -21138,7 +21135,7 @@ def _q_feature_hash_collisions(sf_dir: str):
             "n_tokens": pa.array(c.astype(np.int64), pa.int64()),
         })
 
-    hist = np.zeros(FH_DIM, np.int64)
+    hist = np.zeros(FHC_DIM, np.int64)
     for r in hash_bucket_agg(
         docs.map_batches(_toks, batch_format="pyarrow"),
         lambda b: np_col(b, "khash"),
@@ -21147,7 +21144,7 @@ def _q_feature_hash_collisions(sf_dir: str):
         hist[r["fbucket"]] += r["n_tokens"]
     n_tokens = int(hist.sum())
     return pa.table({
-        "dim": pa.array([FH_DIM], pa.int64()),
+        "dim": pa.array([FHC_DIM], pa.int64()),
         "n_tokens": pa.array([n_tokens], pa.int64()),
         "occupied_buckets": pa.array([int((hist > 0).sum())], pa.int64()),
         "max_bucket_tokens": pa.array([int(hist.max())], pa.int64()),
@@ -21170,9 +21167,9 @@ def _feature_hash_collisions_sql() -> str:
         "FROM toks t LEFT JOIN pw "
         "ON pw.j <= length(t.tok) GROUP BY t.tok), "
         f"{chain}, "
-        f"asg AS (SELECT CAST(z % {FH_DIM} AS BIGINT) AS fb FROM fh3), "
+        f"asg AS (SELECT CAST(z % {FHC_DIM} AS BIGINT) AS fb FROM fh3), "
         "h AS (SELECT fb, count(*) AS c FROM asg GROUP BY fb) "
-        f"SELECT CAST({FH_DIM} AS BIGINT) AS dim, "
+        f"SELECT CAST({FHC_DIM} AS BIGINT) AS dim, "
         "CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_tokens, "
         "CAST((SELECT count(*) FROM h) AS BIGINT) AS occupied_buckets, "
         "CAST((SELECT max(c) FROM h) AS BIGINT) AS max_bucket_tokens, "
