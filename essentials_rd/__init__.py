@@ -42,8 +42,36 @@ def _strip_schema_metadata(table):
     return table
 
 
+#: True once the datasource-level ``_infer_schema`` patch applied; False
+#: when it was skipped (opt-out env var, unexpected Ray version, or the
+#: private symbol moved).  Tests assert on this so a Ray upgrade that
+#: silently re-enables the warning spam fails loudly in CI instead.
+_INFER_SCHEMA_PATCHED = False
+
+#: Ray versions whose ``parquet_datasource._infer_schema`` layout this
+#: patch was written against and verified on.
+_PATCH_TESTED_RAY_PREFIXES = ("2.49.",)
+
+
 def _install_clean_read_parquet() -> None:
+    # Opt-out for co-resident consumers that NEED the pandas schema
+    # metadata blob preserved on read (e.g. index reconstruction on
+    # to_pandas): set ESSENTIALS_RD_NO_PATCH=1 before import.  The
+    # engine itself never relies on that metadata.
+    import os as _os
+
+    if _os.environ.get("ESSENTIALS_RD_NO_PATCH"):
+        return
+
+    import ray as _ray
     import ray.data as _rd
+
+    # Both patches are pinned to verified Ray versions: the public
+    # wrapper relies on read_parquet's `_block_udf` kwarg, the
+    # datasource patch on a private symbol.  On any other Ray, skip
+    # both — reads stay correct, just noisier.
+    if not str(_ray.__version__).startswith(_PATCH_TESTED_RAY_PREFIXES):
+        return
 
     if getattr(_rd.read_parquet, "_erd_strips_metadata", False):
         return
@@ -68,9 +96,19 @@ def _install_clean_read_parquet() -> None:
     # does `.with_metadata(inferred_schema.metadata)`), so metadata-only
     # ops (count() fast path) still unify dirty schemas and log once.
     # Strip there too so the warning count is zero.
-    from ray.data._internal.datasource import parquet_datasource as _pds
+    #
+    # This reaches into ray.data._internal — pinned to the Ray versions
+    # in _PATCH_TESTED_RAY_PREFIXES and guarded so a Ray upgrade that
+    # moves the symbol degrades to the noisy-but-correct behavior (the
+    # public read_parquet wrapper above still strips block metadata)
+    # instead of an ImportError for the whole package.
+    global _INFER_SCHEMA_PATCHED
+    try:
+        from ray.data._internal.datasource import parquet_datasource as _pds
 
-    if not getattr(_pds._infer_schema, "_erd_strips_metadata", False):
+        if getattr(_pds._infer_schema, "_erd_strips_metadata", False):
+            _INFER_SCHEMA_PATCHED = True
+            return
         _orig_infer = _pds._infer_schema
 
         @_functools.wraps(_orig_infer)
@@ -82,6 +120,9 @@ def _install_clean_read_parquet() -> None:
 
         _infer_schema_clean._erd_strips_metadata = True
         _pds._infer_schema = _infer_schema_clean
+        _INFER_SCHEMA_PATCHED = True
+    except (ImportError, AttributeError):
+        pass
 
 
 _install_clean_read_parquet()

@@ -46,7 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scatter-mode", default="tasks",
                    choices=["tasks", "actors", "fused"])
     p.add_argument("--k", type=int, default=3,
-                   help="kcore/ktruss k, nsample fanout, hits/bc rounds")
+                   help="kcore/ktruss k, nsample fanout, hits/bc rounds; "
+                        "fiedler power-iteration steps (honored literally "
+                        "when set — fewer steps = less-converged vector; "
+                        "unset/0 falls back to 8)")
     p.add_argument("--steps", type=int, default=3, help="walk steps")
     p.add_argument("--p", type=float, default=2.0, help="n2v return param")
     p.add_argument("--q", type=float, default=0.5, help="n2v in-out param")

@@ -5,9 +5,10 @@ exists in this environment, so the engine carries its own baseline
 sequential-DCT implementation — real marker parsing, real canonical
 Huffman entropy coding with byte stuffing, real dequant + IDCT — built
 entirely from the public JPEG specification (Annex K tables, JFIF
-colorspace).  Scope: 8-bit baseline SOF0, grayscale (1 component) and
-YCbCr 4:4:4 (3 components, the encoder's own subsampling choice);
-progressive/4:2:0/arithmetic streams raise ``ValueError``.
+colorspace).  Scope: 8-bit baseline SOF0 — grayscale (1 component),
+YCbCr 4:4:4 and 4:2:0 (2×2 chroma subsampling with MCU interleave),
+and DRI/RSTn restart intervals on both encode and decode;
+progressive (SOF2) and arithmetic-coded streams raise ``ValueError``.
 
 Exactness contract (how a lossy codec is still exactly testable):
 ``encode_jpeg`` returns BOTH the compressed bytes and the expected

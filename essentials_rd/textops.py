@@ -524,10 +524,21 @@ def verify_jaccard(
                 a = np_col(batch, "a")
                 b = np_col(batch, "b")
                 n = len(a)
-                ia = np.searchsorted(ids_w, a)
-                ib = np.searchsorted(ids_w, b)
-                la = off_w[ia + 1] - off_w[ia]
-                lb = off_w[ib + 1] - off_w[ib]
+                if len(ids_w) == 0:
+                    return pa.table({
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "jaccard": pa.array([], pa.float64()),
+                    })
+                # A candidate id absent from docs (pairs fed from an
+                # external candidate source) must behave as an empty
+                # shingle set — same as the partitioned join path,
+                # which drops the unmatched side.  Clamp the insertion
+                # point and zero the length on membership miss.
+                ia = np.minimum(np.searchsorted(ids_w, a), len(ids_w) - 1)
+                ib = np.minimum(np.searchsorted(ids_w, b), len(ids_w) - 1)
+                la = np.where(ids_w[ia] == a, off_w[ia + 1] - off_w[ia], 0)
+                lb = np.where(ids_w[ib] == b, off_w[ib + 1] - off_w[ib], 0)
                 allp = np.concatenate([
                     np.repeat(np.arange(n), la),
                     np.repeat(np.arange(n), lb),

@@ -917,3 +917,31 @@ def test_verify_jaccard_broadcast_and_partitioned_paths_agree():
     assert np_col(bc, "a").tolist() == np_col(pt, "a").tolist()
     assert np_col(bc, "b").tolist() == np_col(pt, "b").tolist()
     assert np_col(bc, "jaccard").tolist() == np_col(pt, "jaccard").tolist()
+
+
+def test_verify_jaccard_foreign_candidate_ids():
+    """A candidate pair whose id is absent from docs (pairs fed from an
+    external candidate source) must behave as an empty shingle set on
+    the broadcast fast path — not IndexError (id > max id) and not a
+    silent Jaccard against a neighboring doc's shingles — matching the
+    partitioned join path, which drops the unmatched side."""
+    import ray.data as rd
+
+    from essentials_rd.textops import verify_jaccard
+
+    docs = rd.from_items([
+        {"doc_id": 10, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 20, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 30, "text": "one two three four five six seven"},
+    ])
+    pairs = rd.from_items([
+        {"a": 10, "b": 20},    # real near-dup
+        {"a": 10, "b": 999},   # b > max id: off_w[ib+1] would be OOB
+        {"a": 5, "b": 20},     # a absent, between/below existing ids
+        {"a": 777, "b": 888},  # both absent
+    ])
+    for kw in ({}, {"broadcast_bytes": 0}):
+        got = verify_jaccard(docs, pairs, threshold=0.5, shingle_k=3, **kw)
+        keys = list(zip(np_col(got, "a").tolist(), np_col(got, "b").tolist()))
+        assert keys == [(10, 20)], kw
+        assert np_col(got, "jaccard")[0] == 1.0
