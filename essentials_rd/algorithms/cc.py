@@ -36,6 +36,8 @@ class ConnectedComponentsProgram:
     # apply() reduces labels by min — per-message counts are not
     # consumed, so drop them from the combine-shuffle payload
     uses_mcount = False
+    # label=vid, active=1 — elementwise: distributed init eligible
+    partitionwise_init = True
 
     def __init__(self, pointer_jump_every: int = 0, num_partitions: int = 8):
         """``pointer_jump_every=j`` > 0 enables the Shiloach-Vishkin

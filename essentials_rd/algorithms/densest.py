@@ -35,6 +35,7 @@ def densest_peel(
     rounds: int = 16,
     eps_num: int = 2,
     eps_den: int = 1,
+    max_vertices: int = 100_000_000,
 ) -> tuple[pa.Table, np.ndarray]:
     """Run the peel for exactly ``rounds`` rounds (emitting one row
     per round even after the set empties, so a fixed-round SQL unroll
@@ -43,8 +44,23 @@ def densest_peel(
     Threshold: remove v iff deg(v)·den·V ≤ 2·num·E (exact ints).
 
     Returns (per-round table (round, n_vertices, n_edges),
-    best-round alive bool mask aligned with vertex_ids)."""
+    best-round alive bool mask aligned with vertex_ids).
+
+    Driver-memory contract (bounded): the alive mask (|V| B) and the
+    per-round degree fold (|V|·8 B) are driver-resident — the peel
+    threshold needs global V and E each round.  ``max_vertices``
+    (default 10^8 ≈ 0.9 GB peak driver state) makes the bound
+    explicit; beyond it keep (vid, alive, deg) as a Dataset and fold
+    the round scalars with a tree-reduce instead.
+    """
     vids = np.asarray(vertex_ids, np.int64)
+    if len(vids) > max_vertices:
+        raise ValueError(
+            f"densest_peel driver-resident fold is bounded to "
+            f"max_vertices={max_vertices} (got |V|={len(vids)}); raise "
+            "the cap explicitly or restructure the round state as a "
+            "(vid, alive) Dataset for larger graphs"
+        )
     edges = edges.select_columns(["src", "dst"]).materialize()
     vref = ray.put(vids)
     alive = np.ones(len(vids), bool)

@@ -29,6 +29,8 @@ class LabelPropagationProgram:
     name = "lp"
     state_cols = {"label": pa.int64()}
     msg_cols = {"mlabel": pa.int64()}
+    # label=vid — elementwise: distributed init eligible
+    partitionwise_init = True
 
     def init_state(self, vids, outdeg):
         return {"label": vids.copy()}

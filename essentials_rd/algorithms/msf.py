@@ -36,12 +36,30 @@ def boruvka_msf(
     vertex_ids: np.ndarray,
     *,
     max_rounds: int = 64,
+    max_vertices: int = 100_000_000,
 ) -> tuple[pa.Table, float]:
     """edges (canonical undirected src<dst, deduped, weighted) →
     (msf edge table (src, dst, weight) sorted by (src, dst), total
-    weight).  Deterministic: min edge per component by (w, src, dst)."""
+    weight).  Deterministic: min edge per component by (w, src, dst).
+
+    Driver-memory contract (bounded, not unbounded): the component
+    array (|V|·8 B) and round-1 candidate winners (≤ one row per
+    component) are driver-resident — Borůvka's union step is a global
+    fixpoint each round.  ``max_vertices`` (default 10^8 ≈ 1.6 GB peak
+    driver state) makes the bound explicit; beyond it, run the
+    distributed CC engine on the picked-edge star graph per round
+    instead (superstep.py), trading ~P shuffles per round for O(P)
+    driver memory.
+    """
     vids = np.asarray(vertex_ids, dtype=np.int64)
     n = len(vids)
+    if n > max_vertices:
+        raise ValueError(
+            f"boruvka_msf driver-resident union is bounded to "
+            f"max_vertices={max_vertices} (got |V|={n}); raise the cap "
+            "explicitly or switch the union step to the distributed CC "
+            "engine (essentials_rd.superstep) for larger graphs"
+        )
     # component id = dense position of the representative vertex
     comp = np.arange(n, dtype=np.int64)
 

@@ -37,6 +37,9 @@ class PageRankProgram:
     # apply() sums mval — per-message counts are metrics-only, so drop
     # them from the combine-shuffle payload (⅓ less shuffle volume)
     uses_mcount = False
+    # init is elementwise in (vids, outdeg): eligible for the
+    # distributed per-partition initial-state build (superstep.py)
+    partitionwise_init = True
 
     def __init__(self, n_vertices: int, alpha: float = 0.85,
                  tol: float = 1.0e-6, wire: str = "f64"):

@@ -43,9 +43,35 @@ class GraphShards:
     weighted: bool = False
     vertex_ids_ref: object | None = None  # ObjectRef[np.ndarray] sorted vids
     edges_ds: object | None = None  # materialized prepped edges (persist=False)
+    _vmeta: tuple | None = None  # cached (n, lo, hi, pcounts) — driver P-sized
 
     def degrees_ds(self) -> rd.Dataset:
         return rd.from_arrow_refs(list(self.degree_refs))
+
+    def vertex_meta(self) -> tuple:
+        """(n_vertices, min_vid, max_vid, per-part counts) — computed
+        worker-side over the shared sorted id array so the driver only
+        ever holds scalars + one P-sized array (the engine's
+        no-|V|-driver-numpy contract for the default PR/CC path)."""
+        if self._vmeta is None:
+            object.__setattr__(
+                self, "_vmeta",
+                ray.get(_vertex_meta.remote(self.vertex_ids_ref,
+                                            self.num_parts)),
+            )
+        return self._vmeta
+
+
+@ray.remote
+def _vertex_meta(vids: np.ndarray, num_parts: int) -> tuple:
+    """Scalars + P-sized summary of the sorted vertex universe; runs on
+    a worker (zero-copy plasma view) so the driver never materializes
+    the |V| array just to learn its length/bounds/part occupancy."""
+    n = len(vids)
+    lo = int(vids[0]) if n else 0
+    hi = int(vids[-1]) if n else 0
+    pcounts = np.bincount(part_of(vids, num_parts), minlength=num_parts)
+    return n, lo, hi, pcounts
 
 
 def _part_files(edges_dir: str, part: int) -> list[str]:
@@ -178,6 +204,19 @@ def _build_shard_from_tables(weighted: bool, *tabs):
 
 
 @ray.remote
+def _unique_union(*parts: np.ndarray) -> np.ndarray:
+    """Sorted union of per-block unique endpoint arrays (worker-side)."""
+    if not parts:
+        return np.zeros(0, np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+@ray.remote
+def _len_of(arr) -> int:
+    return int(len(arr))
+
+
+@ray.remote
 def _block_vertex_uniques(tbl: pa.Table) -> np.ndarray:
     if tbl.num_rows == 0 or "src" not in tbl.column_names:
         return np.zeros(0, np.int64)
@@ -284,16 +323,18 @@ def build_graph(
         shard_refs = [f[0] for f in shard_futs]
         degree_refs = [f[1] for f in shard_futs]
         if vertex_ids is None:
-            uparts = ray.get(
-                [_block_vertex_uniques.remote(r) for r in block_refs]
-            )
-            vertex_ids = (
-                np.unique(np.concatenate(uparts))
-                if uparts
-                else np.zeros(0, np.int64)
+            # final unique-merge runs on a worker: the driver only ever
+            # holds the ObjectRef + a scalar length, never the |V| array
+            vertex_ids_ref = _unique_union.remote(
+                *[_block_vertex_uniques.remote(r) for r in block_refs]
             )
         else:
-            vertex_ids = np.asarray(vertex_ids, dtype=np.int64)
+            vertex_ids_ref = ray.put(np.asarray(vertex_ids, dtype=np.int64))
+        if n_vertices is None:
+            n_vertices = (
+                len(vertex_ids) if vertex_ids is not None
+                else int(ray.get(_len_of.remote(vertex_ids_ref)))
+            )
         # block until shards exist so "build" time is accounted here,
         # not silently inside the first superstep
         ray.wait(shard_refs, num_returns=len(shard_refs))
@@ -301,11 +342,11 @@ def build_graph(
             num_parts=num_parts,
             shard_refs=shard_refs,
             degree_refs=degree_refs,
-            n_vertices=int(n_vertices if n_vertices is not None else len(vertex_ids)),
+            n_vertices=int(n_vertices),
             n_edges=int(n_edges),
             edges_dir="",
             weighted=weighted,
-            vertex_ids_ref=ray.put(vertex_ids),
+            vertex_ids_ref=vertex_ids_ref,
             edges_ds=mat,
         )
 

@@ -543,15 +543,109 @@ class RunResult:
         )
 
 
+#: Vertex count above which partitionwise-safe programs build their
+#: initial state with per-partition worker tasks instead of one
+#: driver-side |V|-row assembly.  Below it the driver path is cheaper
+#: (P task launches + P schema builds cost more than one small concat).
+_DIST_INIT_MIN_V = 2_000_000
+
+
+@ray.remote
+def _init_state_part(prog, p: int, num_parts: int, vids_all, deg_tbl):
+    """One partition's initial state block (+ its kind=3 metric row).
+
+    ``vids_all`` arrives as a zero-copy plasma view of the shared sorted
+    vertex universe (shipped once per node, like the CSR shards); the
+    per-part slice, degree fold and ``prog.init_state`` all run worker
+    side, so the driver never holds a |V|-proportional array.  Requires
+    ``prog.init_state`` to be elementwise in (vids, outdeg) — declared
+    via ``partitionwise_init = True`` on the program (position-aligned
+    programs like SCC/BC-accumulate stay on the driver path).
+    """
+    pv = vids_all[part_of(vids_all, num_parts) == p]
+    n = len(pv)
+    deg = np.zeros(n, np.int64)
+    # edges are hash-partitioned by part_of(src) (graph.py _prep), so
+    # part p's degree table covers exactly part p's vids — no cross-part
+    # contributions to fold.
+    dv = np_col(deg_tbl, "vid")
+    dd = np_col(deg_tbl, "outdeg")
+    pos = np.searchsorted(pv, dv)
+    ok = pos < n
+    ok[ok] = pv[pos[ok]] == dv[ok]  # ignore endpoints outside the universe
+    deg[pos[ok]] += dd[ok]
+    init = prog.init_state(pv, deg)
+    schema = full_schema(prog)
+    cols = {
+        "vid": pv,
+        "part": np.full(n, p, np.int32),
+        "kind": np.zeros(n, np.int8),
+        "sp": np.full(n, -1, np.int32),
+        "delta": np.zeros(n),
+        "changed": np.zeros(n, np.int8),
+        "nmsg": np.zeros(n, np.int64),
+    }
+    cols.update(init)
+    tbl = _mk_table(schema, n, cols)
+    if n:
+        metric = _metric_row(
+            schema,
+            p,
+            {
+                "vid": np.zeros(n, np.int64),
+                "changed": np.zeros(0, np.int8),
+                "nmsg": np.zeros(0, np.int64),
+                "delta": np.zeros(0, np.float64),
+            },
+        )
+        tbl = pa.concat_tables([tbl, metric])
+    return tbl
+
+
+def _make_init_state_distributed(
+    prog: VertexProgram, graph: GraphShards
+) -> rd.Dataset:
+    """Initial state as P worker-built blocks — the scale path.
+
+    Bit-equal to the driver path (pytest-forced both ways): each block
+    holds one partition's state rows (vid-sorted) plus its metric row,
+    and downstream only needs the block COUNT (the combine shuffle
+    re-keys on dst hash anyway), so one-block-per-part is strictly
+    better parallelism-wise than the driver path's row-range split.
+    """
+    refs = [
+        _init_state_part.remote(
+            prog, p, graph.num_parts, graph.vertex_ids_ref,
+            graph.degree_refs[p],
+        )
+        for p in range(graph.num_parts)
+    ]
+    return rd.from_arrow_refs(refs)
+
+
 def make_init_state(prog: VertexProgram, graph: GraphShards) -> rd.Dataset:
     """Initial full-schema state from the graph's vertex universe +
     out-degrees.
 
-    Driver-side assembly of |V| rows — fine to ~10^7 vertices; the
-    ids/degrees are |V|-sized, orders of magnitude below |E| (SURVEY.md
-    §2.5 T3).  At larger scale this becomes a Dataset union of the
-    degree tables, same downstream code.
+    Programs whose ``init_state`` is elementwise in (vids, outdeg)
+    declare ``partitionwise_init = True`` (PR/CC/LP do) and, above
+    ``_DIST_INIT_MIN_V`` vertices, get the fully distributed per-part
+    build — no |V|-proportional driver array.  Everything else (or
+    small graphs, where P task launches cost more than one concat)
+    takes the driver-side assembly below, fine to ~10^7 vertices
+    (SURVEY.md §2.5 T3).
     """
+    if (
+        getattr(prog, "partitionwise_init", False)
+        and graph.n_vertices >= _DIST_INIT_MIN_V
+    ):
+        return _make_init_state_distributed(prog, graph)
+    return _make_init_state_driver(prog, graph)
+
+
+def _make_init_state_driver(
+    prog: VertexProgram, graph: GraphShards
+) -> rd.Dataset:
     vids = ray.get(graph.vertex_ids_ref)
     deg = np.zeros(len(vids), dtype=np.int64)
     for t in ray.get(list(graph.degree_refs)):
@@ -601,13 +695,12 @@ def make_init_state(prog: VertexProgram, graph: GraphShards) -> rd.Dataset:
 
 
 def _expected_parts(graph: GraphShards) -> list[int]:
-    vids = ray.get(graph.vertex_ids_ref)
-    return sorted(np.unique(part_of(vids, graph.num_parts)).tolist())
+    _, _, _, pcounts = graph.vertex_meta()
+    return [p for p in range(graph.num_parts) if pcounts[p] > 0]
 
 
 def _step0_lineage(graph: GraphShards, expected: list[int], wall_s: float) -> dict:
-    vids = ray.get(graph.vertex_ids_ref)
-    pcounts = np.bincount(part_of(vids, graph.num_parts), minlength=graph.num_parts)
+    n_v, _, _, pcounts = graph.vertex_meta()
     parts = [
         {"part": p, "rows": int(pcounts[p]), "msg_count": 0, "changed": 0,
          "sum_delta": 0.0}
@@ -615,7 +708,7 @@ def _step0_lineage(graph: GraphShards, expected: list[int], wall_s: float) -> di
     ]
     return {
         "superstep": 0,
-        "rows": int(len(vids)),
+        "rows": int(n_v),
         "msg_count": 0,
         "changed": 0,
         "sum_delta": 0.0,
@@ -704,10 +797,9 @@ def _run_superstep_loop_inner(
     on_step_end: Callable[[int, dict], None] | None,
 ) -> RunResult:
     P = graph.num_parts
-    vids_all = ray.get(graph.vertex_ids_ref)
+    n_v, lo_vid, hi_vid, pcounts = graph.vertex_meta()
     prog._i32_dst = bool(
-        len(vids_all) == 0
-        or (int(vids_all[-1]) < 2**31 and int(vids_all[0]) >= -(2**31))
+        n_v == 0 or (hi_vid < 2**31 and lo_vid >= -(2**31))
     )
     schema = full_schema(prog)
     scatter_task = functools.partial(
@@ -732,7 +824,7 @@ def _run_superstep_loop_inner(
         )
 
     collector = _MetricsCollector.remote()
-    expected = sorted(np.unique(part_of(vids_all, P)).tolist())
+    expected = [p for p in range(P) if pcounts[p] > 0]
     history: list[dict] = []
     k0 = 0
     if resume:
