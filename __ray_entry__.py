@@ -11842,6 +11842,59 @@ def _media_jpeg_quality_sql() -> str:
     )
 
 
+MEDIA_PNG_N = 24
+
+
+def _q_media_png_roundtrip(sf_dir: str):
+    """REAL PNG codec (pngc: RFC 2083 — chunk CRC-32 verification,
+    stdlib-zlib inflate, the five scanline defilters): synthesize
+    splitmix-chain images cycling all four supported color types
+    (gray / gray+alpha / RGB / RGBA) and all three deflate block kinds
+    (zlib level 0 stored / 6 fixed+dynamic / 9 dynamic), encode to
+    actual PNG bytes, decode through the PngVerifyStage actor pool
+    which ASSERTS losslessness (decoded bit-equal to the ORIGINAL
+    pixels — stronger than JPEG's shipped-reconstruction contract).
+    The emitted facts — dims/channels and the DECODED-pixel sum — are
+    closed forms of media_id plus the shared splitmix chain, which the
+    SQL twin replays without ever seeing a byte; a silent decode
+    corruption therefore fails the oracle, not just the in-stage
+    assert."""
+    import ray.data as rd
+
+    from essentials_rd.multimodal import png_roundtrip, synth_coded_png
+
+    media = rd.from_arrow(synth_coded_png(MEDIA_PNG_N, seed=MEDIA_SEED))
+    out = png_roundtrip(media).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    return pa.table({
+        k: pa.array([r[k] for r in out], pa.int64())
+        for k in ("media_id", "width", "height", "n_channels",
+                  "decoded_sum")
+    })
+
+
+def _media_png_sql() -> str:
+    mix = (MEDIA_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    chain = _sm64_ctes(
+        "pg", "media_id, j", f"media_id * 4294967296 + j + {mix}", "pix")
+    return (
+        "WITH dims AS (SELECT i AS media_id, "
+        "CAST(6 + (i % 6) * 5 AS BIGINT) AS width, "
+        "CAST(7 + (i % 5) * 6 AS BIGINT) AS height, "
+        "CAST(1 + (i % 4) AS BIGINT) AS n_channels "
+        f"FROM (SELECT unnest(range({MEDIA_PNG_N})) AS i)), "
+        "pix AS (SELECT media_id, "
+        "unnest(range(width * height * n_channels)) AS j FROM dims), "
+        f"{chain}, "
+        "sums AS (SELECT media_id, "
+        "CAST(SUM(CAST(z % 256 AS BIGINT)) AS BIGINT) AS decoded_sum "
+        "FROM pg3 GROUP BY media_id) "
+        "SELECT d.media_id, d.width, d.height, d.n_channels, "
+        "s.decoded_sum FROM dims d JOIN sums s USING (media_id) "
+        "ORDER BY d.media_id"
+    )
+
+
 def _q_media_resize(sf_dir: str):
     """REAL image resize (multimodal.ResizeStatsStage): decode the coded P6
     PPMs, downsample 2× nearest-neighbor (every even row/column), emit
@@ -21489,6 +21542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rmat_edges": _q_rmat_edges,
         "media_img_stats": _q_media_img_stats,
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
+        "media_png_roundtrip": _q_media_png_roundtrip,
         "media_jpeg_quality": _q_media_jpeg_quality,
         "heaps_vocab_curve": _q_heaps_vocab_curve,
         "token_collision_stats": _q_token_collision_stats,
@@ -23079,6 +23133,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
         "rmat_edges": _rmat_sql(),
         "media_img_stats": _media_img_sql(),
         "media_jpeg_roundtrip": _media_jpeg_sql(),
+        "media_png_roundtrip": _media_png_sql(),
         "media_jpeg_quality": _media_jpeg_quality_sql(),
         "heaps_vocab_curve": _heaps_vocab_sql(),
         "token_collision_stats": _token_collision_sql(),

@@ -125,4 +125,38 @@ def _install_clean_read_parquet() -> None:
         pass
 
 
+def _install_empty_bundle_warning_filter() -> None:
+    """Drop the executor's schema-mismatch warning ONLY when the new
+    schema is empty — i.e. a schema-less RefBundle from an operator
+    that produced zero blocks for a partition.  ``map_groups`` does
+    this by design for every empty sort partition (its wrapper yields
+    no block), so the warning is spurious there: nothing is wrong, the
+    partition was just empty.  Genuine schema mismatches (non-empty
+    differing schemas) still log.  Honors ESSENTIALS_RD_NO_PATCH."""
+    import logging
+    import os as _os
+    import re as _re
+
+    if _os.environ.get("ESSENTIALS_RD_NO_PATCH"):
+        return
+
+    pat = _re.compile(
+        r"Operator produced a RefBundle with a different schema.*"
+        r"new schema:\s*\. This may lead to unexpected behavior",
+        _re.DOTALL,
+    )
+
+    class _EmptyBundleFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            try:
+                return not pat.search(record.getMessage())
+            except Exception:
+                return True
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyBundleFilter())
+
+
 _install_clean_read_parquet()
+_install_empty_bundle_warning_filter()

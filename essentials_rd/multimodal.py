@@ -8,8 +8,10 @@ decode in pure NumPy (``decode_netpbm`` / ``decode_wav_pcm16``), with
 matching encoders so tests pin exact round trips — and REAL for
 baseline JPEG via the pure-NumPy T.81 codec in ``jpegc`` (markers,
 canonical Huffman entropy coding, dequant + IDCT; see that module's
-exactness contract).  The remaining compressed formats (png/mp3/mp4)
-need codec libraries (Pillow, ffmpeg) that are NOT
+exactness contract), and REAL for PNG via the RFC-2083 codec in
+``pngc`` (chunk CRCs, stdlib-zlib inflate, the five scanline
+defilters).  The remaining compressed formats (mp3/mp4)
+need codec libraries (ffmpeg) that are NOT
 in this container, so for those the decode step stays STUBBED: pass
 ``decoder="fake"`` for a deterministic, seed-free fake decoder that
 derives pixel/sample statistics from a hash of the payload bytes — the
@@ -301,9 +303,13 @@ class DecodeFeatureStage:
             from .jpegc import decode_jpeg
 
             return decode_jpeg(payload).ravel() / 256.0
+        if fmt == "png":
+            from .pngc import decode_png
+
+            return decode_png(payload).astype(np.float64).ravel() / 256.0
         raise NotImplementedError(
             f"decoding {fmt!r} requires codec libraries not present in "
-            "this environment (ppm/pgm/wav/jpeg decode natively; use "
+            "this environment (ppm/pgm/wav/jpeg/png decode natively; use "
             "decoder='fake' for the plumbing path otherwise)"
         )
 
@@ -840,6 +846,105 @@ def synth_coded_jpeg(n: int, seed: int = 7) -> pa.Table:
         "expected": pa.array(cols[7], pa.binary()),
         "coded_sum": pa.array(cols[8], pa.int64()),
     })
+
+
+def coded_png_dims(i: int) -> tuple[int, int]:
+    """(w, h) of coded PNG i — closed forms the SQL twin repeats."""
+    return 6 + (i % 6) * 5, 7 + (i % 5) * 6
+
+
+def coded_png_channels(i: int) -> int:
+    """1 gray / 2 gray+alpha / 3 RGB / 4 RGBA, cycling — all four
+    supported PNG color types exercised."""
+    return 1 + (i % 4)
+
+
+def synth_coded_png(n: int, seed: int = 7) -> pa.Table:
+    """n REAL PNG rows (pngc.encode_png — chunk CRCs, stdlib-zlib
+    deflate): pixels are the shared splitmix64 chain mod 256; zlib
+    level cycles 0/6/9 so stored, fixed- and dynamic-Huffman deflate
+    blocks are all exercised.  PNG is lossless, so the decode contract
+    is equality with the ORIGINAL pixels (stronger than JPEG's shipped
+    reconstruction) and the pixel sum the SQL twin replays through
+    ``_sm64_ctes`` is the sum of the DECODED bytes."""
+    from .pngc import encode_png
+
+    rows = []
+    for i in range(n):
+        w, h = coded_png_dims(i)
+        c = coded_png_channels(i)
+        px = (_coded_values(i, w * h * c, seed) % np.uint64(256)).astype(
+            np.uint8
+        )
+        img = px.reshape((h, w) if c == 1 else (h, w, c))
+        buf = encode_png(img, level=(0, 6, 9)[i % 3])
+        rows.append((i, "png", w, h, c, buf, px.tobytes(), int(px.sum())))
+    cols = list(zip(*rows)) if rows else [[]] * 8
+    return pa.table({
+        "media_id": pa.array(cols[0], pa.int64()),
+        "format": pa.array(cols[1], pa.string()),
+        "width": pa.array(cols[2], pa.int64()),
+        "height": pa.array(cols[3], pa.int64()),
+        "n_channels": pa.array(cols[4], pa.int64()),
+        "payload": pa.array(cols[5], pa.binary()),
+        "expected": pa.array(cols[6], pa.binary()),
+        "pixel_sum": pa.array(cols[7], pa.int64()),
+    })
+
+
+class PngVerifyStage:
+    """Actor-pool stage: decode each payload with the real PNG decoder
+    and ASSERT losslessness (decoded array bit-equal to the original
+    pixels).  Emits header facts + the DECODED-pixel sum — the SQL twin
+    replays that sum from the shared splitmix chain, so a silent decode
+    corruption fails the oracle, not just the in-stage assert."""
+
+    def __init__(self) -> None:
+        from .pngc import decode_png  # import once per actor
+
+        self._decode = decode_png
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        got_w = np.empty(n, np.int64)
+        got_h = np.empty(n, np.int64)
+        got_c = np.empty(n, np.int64)
+        dec_sum = np.empty(n, np.int64)
+        payloads = batch.column("payload")
+        expected = batch.column("expected")
+        for i in range(n):  # per ROW is unavoidable: codecs are per-file
+            img = self._decode(payloads[i].as_py())
+            exp = np.frombuffer(expected[i].as_py(), np.uint8)
+            if not np.array_equal(img.ravel(), exp):
+                raise AssertionError(
+                    f"PNG decode mismatch for media_id="
+                    f"{batch.column('media_id')[i].as_py()}"
+                )
+            got_h[i] = img.shape[0]
+            got_w[i] = img.shape[1]
+            got_c[i] = 1 if img.ndim == 2 else img.shape[2]
+            dec_sum[i] = int(img.sum(dtype=np.int64))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "width": pa.array(got_w, pa.int64()),
+            "height": pa.array(got_h, pa.int64()),
+            "n_channels": pa.array(got_c, pa.int64()),
+            "decoded_sum": pa.array(dec_sum, pa.int64()),
+        })
+
+
+def png_roundtrip(
+    media: rd.Dataset, concurrency: int = 8, batch_size: int = 8
+) -> rd.Dataset:
+    """Real PNG decode + losslessness verification as an actor pool."""
+    return media.map_batches(
+        PngVerifyStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+        max_restarts=0,
+    )
 
 
 class JpegVerifyStage:

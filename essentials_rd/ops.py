@@ -39,6 +39,18 @@ def hash_bucket_agg(
     in the bucket (they are complete: same key → same bucket).
     """
 
+    # NOTE on empty sort partitions: ``map_groups`` yields no block at
+    # all for an empty partition, which surfaces as a schema-less
+    # RefBundle and a benign executor warning ("different schema / new
+    # schema: ."); __init__ installs a narrowly-matched log filter for
+    # exactly that empty-new-schema message.  A round-5 attempt to
+    # route ALL 133 hash_bucket_agg call sites through the raw-task
+    # exchange (manual_bucket_agg) for typed empty outputs tripped a
+    # Ray-core refcount CHECK crash (reference_count.cc:581) under
+    # sweep-scale ObjectRef churn and was reverted — keep the Dataset
+    # groupby here; use manual_bucket_agg selectively at pipeline
+    # boundaries.
+
     def _stamp(batch: pa.Table) -> pa.Table:
         b = (hash64(key_fn(batch)) % np.uint64(num_buckets)).astype(np.int32)
         return batch.append_column("__bucket__", pa.array(b, pa.int32()))
@@ -2515,10 +2527,14 @@ def scd2_intervals(
         s = df[seq].to_numpy(np.int64)
         if len(df) and not (np.diff(s)[k[1:] == k[:-1]] > 0).all():
             raise ValueError(f"duplicate {seq!r} within a {key!r} group")
-        nxt = np.r_[s[1:], SCD2_OPEN]
-        same = np.r_[k[1:] == k[:-1], False]
-        df["seq_to"] = np.where(same, nxt, SCD2_OPEN)
-        df["is_current"] = (~same).astype(np.int64)
+        if len(df):
+            nxt = np.r_[s[1:], SCD2_OPEN]
+            same = np.r_[k[1:] == k[:-1], False]
+            df["seq_to"] = np.where(same, nxt, SCD2_OPEN)
+            df["is_current"] = (~same).astype(np.int64)
+        else:  # total on 0-row input (empty-bucket contract)
+            df["seq_to"] = np.zeros(0, np.int64)
+            df["is_current"] = np.zeros(0, np.int64)
         return pa.Table.from_pandas(
             df, preserve_index=False
         ).replace_schema_metadata()
@@ -2843,7 +2859,8 @@ def table_diff(
         s = np_col(grp, "__side__")
         order = np.lexsort((s, k))
         k, v, s = k[order], v[order], s[order]
-        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        starts = (np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+                  if len(k) else np.zeros(0, np.int64))
         counts = np.diff(np.r_[starts, len(k)])
         one = counts == 1
         removed = one & (s[starts] == 0)

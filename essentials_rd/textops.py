@@ -34,19 +34,31 @@ _POLY = np.uint64(0x100000001B3)  # rolling-combine multiplier
 # ------------------------------------------------- vectorized hashing
 
 
-def _flat_token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Split on single spaces and hash every token with ONE vectorized
-    siphash call.  Returns (doc_rep, token_hash) flat arrays."""
-    toks = texts.str.split(" ")
-    counts = toks.str.len().to_numpy(dtype=np.int64)
-    rep = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
-    flat = np.asarray(
-        [t for lst in toks for t in lst], dtype=object
-    )
+def _flat_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Split on single spaces and hash every token.  Arrow-native hot
+    path: ``pc.split_pattern`` + list-flatten + dictionary-encode, then
+    ONE vectorized siphash over the DISTINCT tokens only — hash values
+    are identical to hashing the flat array (``pd.util.hash_array`` is
+    elementwise), pinned by a pytest against the naive split+hash.
+    Accepts a pandas Series or an Arrow (Chunked)Array.  Returns
+    (doc_rep, token_hash) flat arrays."""
+    if isinstance(texts, pd.Series):
+        arr = pa.Array.from_pandas(texts, type=pa.string())
+    else:
+        arr = texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern(arr, " ")
+    counts = np.asarray(pc.list_value_length(toks), np.int64)
+    rep = np.repeat(np.arange(len(arr), dtype=np.int64), counts)
+    flat = toks.flatten()
     if len(flat) == 0:
         return rep, np.zeros(0, np.uint64)
-    h = pd.util.hash_array(flat, categorize=False)
-    return rep, h.astype(np.uint64)
+    d = flat.dictionary_encode()
+    uq = d.dictionary.to_numpy(zero_copy_only=False)
+    hu = pd.util.hash_array(np.asarray(uq, object),
+                            categorize=False).astype(np.uint64)
+    return rep, hu[np.asarray(d.indices, np.int64)]
 
 
 def _gram_sequence(
@@ -123,7 +135,7 @@ def text_stats(docs: rd.Dataset, text_col: str = "text",
     DuckDB oracle ``string_split(text, ' ')`` matches exactly)."""
 
     def _stats(batch: pa.Table) -> pa.Table:
-        s = batch.column(text_col).to_pandas()
+        s = batch.column(text_col)
         rep, h = _flat_token_hashes(s)
         n_tokens = np.bincount(rep, minlength=len(s)).astype(np.int64)
         order = np.lexsort((h, rep))
@@ -133,7 +145,7 @@ def text_stats(docs: rd.Dataset, text_col: str = "text",
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "n_chars": pa.array(s.str.len().to_numpy(np.int64), pa.int64()),
+                "n_chars": pc.utf8_length(s).cast(pa.int64()),
                 "n_tokens": pa.array(n_tokens, pa.int64()),
                 "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
             }
@@ -1212,25 +1224,29 @@ def tfidf_top1(docs: rd.Dataset, text_col: str = "text",
     n_docs = float(docs.count())
 
     def _tf(batch: pa.Table) -> pa.Table:
-        s = batch.column(text_col).to_pandas()
+        # Arrow-native tokenize: split_pattern + flatten +
+        # dictionary-encode — no pandas object-dtype hop in the hot
+        # per-batch path (the round-4 verdict's top remaining fat).
         ids = np_col(batch, id_col)
-        toks = s.str.split(" ")
-        counts = toks.str.len().to_numpy(np.int64)
-        rep = np.repeat(np.arange(len(s)), counts)
-        flat = toks.explode().to_numpy()
-        if not len(flat):
+        toks = pc.split_pattern(
+            batch.column(text_col).combine_chunks(), " "
+        )
+        flat = toks.flatten()
+        if len(flat) == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "token": pa.array([], pa.string()),
                              "tf": pa.array([], pa.int64())})
-        codes, uq = pd.factorize(pd.Series(flat))
-        key = rep.astype(np.int64) * np.int64(len(uq)) + codes
-        uk, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        counts = np.asarray(pc.list_value_length(toks), np.int64)
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        d = flat.dictionary_encode()
+        codes = np.asarray(d.indices, np.int64)
+        n_uq = np.int64(len(d.dictionary))
+        key = rep * n_uq + codes
+        uk, cnt = np.unique(key, return_counts=True)
         return pa.table(
             {
-                id_col: pa.array(ids[(uk // len(uq))], pa.int64()),
-                "token": pa.array(
-                    np.asarray(uq, object)[uk % len(uq)].tolist(), pa.string()
-                ),
+                id_col: pa.array(ids[uk // n_uq], pa.int64()),
+                "token": d.dictionary.take(pa.array(uk % n_uq, pa.int64())),
                 "tf": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
@@ -1238,10 +1254,11 @@ def tfidf_top1(docs: rd.Dataset, text_col: str = "text",
     tf = docs.map_batches(_tf, batch_format="pyarrow")
 
     def _df(grp: pa.Table) -> pa.Table:
-        codes, uq = pd.factorize(grp.column("token").combine_chunks().to_pandas())
-        cnt = np.bincount(codes).astype(np.int64)
-        return pa.table({"token": pa.array(np.asarray(uq, object).tolist(),
-                                           pa.string()),
+        d = grp.column("token").combine_chunks().dictionary_encode()
+        cnt = np.bincount(
+            np.asarray(d.indices, np.int64), minlength=len(d.dictionary)
+        ).astype(np.int64)
+        return pa.table({"token": d.dictionary,
                          "df": pa.array(cnt, pa.int64())})
 
     df_tbl = hash_bucket_agg(
@@ -1267,15 +1284,24 @@ def tfidf_top1(docs: rd.Dataset, text_col: str = "text",
     def _top1(grp: pa.Table) -> pa.Table:
         ids = np_col(grp, id_col)
         sc = np_col(grp, "score")
-        tok = grp.column("token").combine_chunks().to_pandas().to_numpy()
-        order = np.lexsort((tok, -sc, ids))
+        # tie-break by token ASC without an object-dtype lexsort: rank
+        # the distinct tokens once (Arrow C++ sort) and compare ranks
+        tok = grp.column("token").combine_chunks()
+        d = tok.dictionary_encode()
+        order_dict = np.asarray(
+            pc.array_sort_indices(d.dictionary), np.int64
+        )
+        rank_of = np.empty(len(order_dict), np.int64)
+        rank_of[order_dict] = np.arange(len(order_dict), dtype=np.int64)
+        tokrank = rank_of[np.asarray(d.indices, np.int64)]
+        order = np.lexsort((tokrank, -sc, ids))
         si = ids[order]
         first = np.r_[True, si[1:] != si[:-1]] if len(si) else np.zeros(0, bool)
         sel = order[first]
         return pa.table(
             {
                 id_col: pa.array(ids[sel], pa.int64()),
-                "token": pa.array(tok[sel].tolist(), pa.string()),
+                "token": tok.take(pa.array(sel, pa.int64())),
                 "score": pa.array(
                     round_half_up(sc[sel], 6), pa.float64()
                 ),

@@ -55,6 +55,13 @@ def csr_from_edges(
     srcs, counts = np.unique(src, return_counts=True)
     indptr = np.zeros(len(srcs) + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
+    # indices (the |E|-sized dst array, the shard's dominant payload)
+    # compress to int32 when every dst fits — halves the scatter-side
+    # gather bandwidth of every superstep, and the packed-message cast
+    # to the int32 wire becomes a no-op.  At 10^12-file scale vids
+    # exceed int32 and the shard stays int64 (same rule as _i32_dst).
+    if len(dst) and int(dst.min()) >= 0 and int(dst.max()) < 2**31:
+        dst = dst.astype(np.int32)
     shard = {"srcs": srcs, "indptr": indptr, "indices": dst}
     if weight is not None:
         shard["weights"] = np.asarray(weight, dtype=np.float64)[order]

@@ -60,6 +60,35 @@ def test_patch_opt_out_env_var():
     )
 
 
+def test_empty_bundle_warning_filter_is_narrow():
+    """The executor-warning filter must drop ONLY the schema-less
+    empty-bundle message (new schema blank); genuine schema mismatches
+    still log."""
+    import logging
+
+    import essentials_rd  # noqa: F401  installs the filter
+
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    flt = [f for f in lg.filters if type(f).__name__ == "_EmptyBundleFilter"]
+    assert flt, "filter not installed"
+    f = flt[0]
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, "f", 1, msg, (), None)
+
+    dropped = rec(
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: token: string\n__bucket__: int32, "
+        "new schema: . This may lead to unexpected behavior.")
+    kept = rec(
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: a: int64, new schema: a: double. "
+        "This may lead to unexpected behavior.")
+    assert f.filter(dropped) is False
+    assert f.filter(kept) is True
+
+
 def test_patch_degrades_gracefully_on_unknown_ray_version():
     # Fake a future Ray before the package installs its patches: the
     # import must succeed (no ImportError from a moved private symbol)

@@ -919,6 +919,30 @@ def test_verify_jaccard_broadcast_and_partitioned_paths_agree():
     assert np_col(bc, "jaccard").tolist() == np_col(pt, "jaccard").tolist()
 
 
+def test_flat_token_hashes_matches_naive_split_hash():
+    """The Arrow split+dictionary-encode hot path must produce the
+    exact hash VALUES of the naive pandas split + elementwise siphash
+    (minhash signatures, shingles and df bucketing all key on them)."""
+    import pandas as pd
+
+    from essentials_rd.textops import _flat_token_hashes
+
+    texts = ["alpha beta gamma", "", "x", "a  b", "alpha alpha beta",
+             "trailing space ", " leading"]
+    s = pd.Series(texts)
+    naive_toks = s.str.split(" ")
+    counts = naive_toks.str.len().to_numpy(np.int64)
+    naive_rep = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+    flat = np.asarray([t for lst in naive_toks for t in lst], object)
+    naive_h = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+
+    for inp in (s, pa.array(texts, pa.string()),
+                pa.chunked_array([texts[:3], texts[3:]], pa.string())):
+        rep, h = _flat_token_hashes(inp)
+        assert rep.tolist() == naive_rep.tolist()
+        assert h.tolist() == naive_h.tolist()
+
+
 def test_verify_jaccard_foreign_candidate_ids():
     """A candidate pair whose id is absent from docs (pairs fed from an
     external candidate source) must behave as an empty shingle set on
