@@ -633,7 +633,10 @@ def _q_triangles_doulion(sf_dir: str):
 
 
 def _doulion_sql() -> str:
-    mix = (DOULION_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    # literals on purpose (twin-independence) — engine DOULION_SEED=11,
+    # p = 1/2 frozen
+    DOULION_NUM, DOULION_DEN = 1, 2
+    mix = (11 * 0x9E3779B97F4A7C15) & (2**63 - 1)
     thr = (2**64) * DOULION_NUM // DOULION_DEN
     chain = _sm64_ctes("dlz", "src, dst",
                        f"src * 4294967296 + dst + {mix}", "pairs")
@@ -705,6 +708,9 @@ def _q_graph_voronoi(sf_dir: str):
 
 
 def _graph_voronoi_sql() -> str:
+    # literals on purpose (twin-independence) — engine VOR_SEEDS/VOR_ITERS
+    VOR_SEEDS = 8
+    VOR_ITERS = 16
     pack = 1 << 32
     chain = _sm64_ctes("vs", "vid", "vid", "verts")
     steps = [
@@ -3138,10 +3144,11 @@ def _neg_samples_ctes() -> str:
 
 
 def _negative_samples_sql() -> str:
+    # literal on purpose (twin-independence) — engine NEG_K=3 frozen
     return (
         f"WITH {_GRAPH_CTES}, {_neg_samples_ctes()} "
         "SELECT u AS src, cand AS neg, CAST(i AS BIGINT) AS try_i "
-        f"FROM rk WHERE rn <= {NEG_K} ORDER BY src, try_i"
+        "FROM rk WHERE rn <= 3 ORDER BY src, try_i"
     )
 
 
@@ -3535,6 +3542,10 @@ def _q_fastrp(sf_dir: str):
 
 
 def _fastrp_sql() -> str:
+    # literals on purpose (twin-independence) — must equal the
+    # engine's FASTRP_D / FASTRP_K; a module edit breaks the pair loudly
+    FASTRP_D = 8
+    FASTRP_K = 2
     chain = _sm64_ctes(
         "fp", "vid, dim", "vid * 2654435761 + dim",
         "(SELECT v.vid, d.dim FROM verts v, "
@@ -4316,7 +4327,8 @@ def _q_cdc_chunks(sf_dir: str):
 
 
 def _cdc_chunks_sql() -> str:
-    mod = 1 << CDC_K
+    # literal on purpose (twin-independence) — engine CDC_K=6 frozen
+    mod = 1 << 6
     m64 = 1 << 64
     gear = _sm64_ctes("gr", "b", "b", "(SELECT range AS b FROM range(256))")
     return (
@@ -5388,8 +5400,10 @@ def _sm64_ctes(prefix: str, carry: str, key_expr: str, source: str) -> str:
 def _sampled_docs_sql() -> str:
     """DuckDB twin of ops.deterministic_sample's keep rule: the shared
     SplitMix64 CTE chain (``_sm64_ctes``) over doc_id + seed·golden."""
-    threshold = int(SAMPLE_FRAC * float(2**64 - 1))
-    mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    # literals on purpose (twin-independence) — engine SAMPLE_FRAC=0.1,
+    # SAMPLE_SEED=42 frozen
+    threshold = int(0.1 * float(2**64 - 1))
+    mix = (42 * 0x9E3779B97F4A7C15) & (2**63 - 1)
     chain = _sm64_ctes("z", "doc_id, n_chars", f"doc_id + {mix}", "documents")
     return (
         f"WITH {chain} "
@@ -6483,6 +6497,10 @@ def _q_stratified_docs(sf_dir: str):
 
 
 def _stratified_docs_sql() -> str:
+    # literals on purpose (twin-independence) — engine SAMPLE_SEED=42,
+    # STRAT_TARGET=30
+    SAMPLE_SEED = 42
+    STRAT_TARGET = 30
     mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
     chain = _sm64_ctes(
         "z", "doc_id, lang, n", f"doc_id + {mix}",
@@ -6524,6 +6542,10 @@ def _q_mixed_corpus(sf_dir: str):
 
 
 def _mixed_corpus_sql() -> str:
+    # literals on purpose (twin-independence) — engine SAMPLE_SEED and
+    # MIX_QUOTAS frozen; a quota/seed edit breaks the pair loudly
+    SAMPLE_SEED = 42
+    MIX_QUOTAS = {"en": 120, "de": 100, "es": 40, "zh": 25}
     mix = (SAMPLE_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
     chain = _sm64_ctes("z", "doc_id, lang", f"doc_id + {mix}", "documents")
     values = ", ".join(f"('{g}', {q})" for g, q in MIX_QUOTAS.items())
@@ -6889,9 +6911,11 @@ def _q_contaminated_docs(sf_dir: str):
 
 
 def _contaminated_docs_sql() -> str:
-    k = CONTAM_GRAM_K
-    threshold = int(CONTAM_FRAC * float(2**64 - 1))
-    mix = (CONTAM_SEED * 0x9E3779B97F4A7C15) & (2**63 - 1)
+    # literals on purpose (twin-independence) — engine CONTAM_GRAM_K=4,
+    # CONTAM_FRAC=0.1, CONTAM_SEED=9 frozen
+    k = 4
+    threshold = int(0.1 * float(2**64 - 1))
+    mix = (9 * 0x9E3779B97F4A7C15) & (2**63 - 1)
     chain = _sm64_ctes("cz", "doc_id, text", f"doc_id + {mix}", "documents")
     return f"""
 WITH {chain},
@@ -9604,7 +9628,8 @@ def _hll_unroll_ctes(carry: str, src: str, p: int) -> tuple[str, str]:
 
 
 def _hll_user_regs_sql() -> str:
-    p = HLL_P
+    # literal on purpose (twin-independence) — engine HLL_P=10 frozen
+    p = 10
     chain = _sm64_ctes("hz", "user_id", "user_id", "events")
     unroll, last = _hll_unroll_ctes("", "hz3", p)
     return (
@@ -9617,8 +9642,9 @@ def _hll_user_regs_sql() -> str:
 
 
 def _type_user_hll_sql() -> str:
+    # literal on purpose (twin-independence) — engine HLL_GROUP_P=8 frozen
     chain = _sm64_ctes("hz", "event_type, user_id", "user_id", "events")
-    unroll, last = _hll_unroll_ctes("event_type", "hz3", HLL_GROUP_P)
+    unroll, last = _hll_unroll_ctes("event_type", "hz3", 8)
     return (
         f"WITH {chain}, {unroll} "
         "SELECT event_type, reg, CAST(max(rnk) + 1 AS BIGINT) AS rho "
@@ -9627,6 +9653,10 @@ def _type_user_hll_sql() -> str:
 
 
 def _cm_sketch_users_sql() -> str:
+    # literals on purpose (twin-independence) — engine CM_DEPTH=4,
+    # CM_WIDTH=256 frozen
+    CM_DEPTH = 4
+    CM_WIDTH = 256
     chains, selects = [], []
     for j in range(CM_DEPTH):
         seed = (j * 0x9E3779B97F4A7C15) % (1 << 64)
@@ -10310,6 +10340,8 @@ def _q_heavy_hitters(sf_dir: str):
 
 
 def _heavy_hitters_sql() -> str:
+    # literal on purpose (twin-independence) — engine HH_PHI_DEN
+    HH_PHI_DEN = 200
     return (
         "SELECT user_id AS value, CAST(count(*) AS BIGINT) AS count "
         "FROM events GROUP BY 1 HAVING count(*) >= "
@@ -11776,6 +11808,10 @@ def _q_media_jpeg_roundtrip(sf_dir: str):
 
 
 def _media_jpeg_sql() -> str:
+    # literals on purpose (twin-independence) — engine MEDIA_SEED=7,
+    # MEDIA_JPEG_N=36 frozen
+    MEDIA_SEED = 7
+    MEDIA_JPEG_N = 36
     mix = (MEDIA_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
     chain = _sm64_ctes(
         "jp", "media_id, j", f"media_id * 4294967296 + j + {mix}", "pix")
@@ -11874,6 +11910,10 @@ def _q_media_png_roundtrip(sf_dir: str):
 
 
 def _media_png_sql() -> str:
+    # literals on purpose (twin-independence) — engine MEDIA_SEED=7,
+    # MEDIA_PNG_N=24 frozen
+    MEDIA_SEED = 7
+    MEDIA_PNG_N = 24
     mix = (MEDIA_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
     chain = _sm64_ctes(
         "pg", "media_id, j", f"media_id * 4294967296 + j + {mix}", "pix")
@@ -14827,6 +14867,8 @@ def _q_late_events(sf_dir: str):
 
 
 def _late_events_sql() -> str:
+    # literal on purpose (twin-independence) — engine WM_DELAY_US (30 min)
+    WM_DELAY_US = 1_800_000_000
     chain = _sm64_ctes("wz", "event_id, event_type, t",
                        "event_id",
                        "(SELECT event_id, event_type, epoch_us(ts) AS t "
@@ -18278,7 +18320,12 @@ def _q_feature_hash(sf_dir: str):
 
 
 def _feature_hash_sql() -> str:
-    mix = (FH_SEED * 0x9E3779B97F4A7C15) % (1 << 64)
+    # Literals on purpose (twin-independence — THIS is the query the
+    # round-4 FH_DIM shadowing incident silently shifted): FH_DIM and
+    # the seed mix must equal the engine's; a module-constant edit now
+    # breaks the oracle loudly instead of moving both sides together.
+    FH_DIM = 8
+    mix = (53 * 0x9E3779B97F4A7C15) % (1 << 64)  # FH_SEED=53 frozen
     chain = _sm64_ctes("fh", "user_id",
                        f"tr * 24 + h + {mix}", "feats")
     sums = ", ".join(
@@ -21954,6 +22001,12 @@ nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)
 
 
 def _pagerank_sql() -> str:
+    # Literals on purpose (twin-independence, the FH_DIM lesson): these
+    # must equal the engine's ALPHA / PR_ITERS.  A module-constant edit
+    # now breaks the oracle LOUDLY instead of shifting both sides
+    # together; update the literal consciously when semantics change.
+    ALPHA = 0.85
+    PR_ITERS = 8
     steps = [
         "p0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nn) AS val FROM verts)"
     ]
@@ -21990,6 +22043,8 @@ def _top_pagerank_sql() -> str:
 
 
 def _cc_sql() -> str:
+    # literal on purpose (twin-independence) — must equal engine CC_ITERS
+    CC_ITERS = 32
     steps = ["l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)"]
     for k in range(CC_ITERS):
         steps.append(f"""

@@ -1267,7 +1267,11 @@ def tfidf_top1(docs: rd.Dataset, text_col: str = "text",
         _df,
     )
 
-    scored = join(tf, df_tbl, on="token", broadcast=False)
+    # auto-broadcast: the distinct-token df table is vocabulary-sized
+    # (Heaps' law — sublinear in corpus size), so at bench scale it
+    # broadcasts (zero extra shuffles); past the byte limit the join
+    # falls back to the partitioned path on its own
+    scored = join(tf, df_tbl, on="token")
 
     def _score(batch: pa.Table) -> pa.Table:
         score = np_col(batch, "tf").astype(np.float64) * n_docs / np_col(
