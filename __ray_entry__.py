@@ -13488,7 +13488,7 @@ def _q_lsh_cosine(sf_dir: str):
 DBSCAN_EPS = 20       # integer units after x1000 quantization
 DBSCAN_MINPTS = 4     # eps-ball INCLUDING self
 DBSCAN_Q = 1000
-DBSCAN_CC_ITERS = 24  # ≥ measured min-propagation rounds (13 / 21)
+DBSCAN_CC_ITERS = 40  # ≥ measured min-propagation rounds (13 sf0.001 / 21 sf0.01 / 29 sf0.1 — the r5 sf0.1 sweep caught 24 being too small)
 
 
 def _q_dbscan(sf_dir: str):

@@ -208,7 +208,7 @@ def run_queries() -> dict:
                  "heavy_hitter_users", "graph_voronoi8",
                  "rolling_median5", "feature_hash_users",
                  "late_events_watermark", "orders_skyline",
-                 "media_jpeg_roundtrip"):
+                 "media_jpeg_roundtrip", "media_png_roundtrip"):
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         # consume if lazy
