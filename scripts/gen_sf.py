@@ -13,12 +13,21 @@ Two per-tile decorrelations keep the near-dup workloads honest
 candidate pairs ~T^2-fold and destroying the linear-scaling
 comparison):
 
-- documents: tile t > 0 prefixes each text with a tile-unique token
-  ("zzdupt<t>") — within-tile shingle relationships (the planted
-  near-dups) survive, cross-tile shingle sets differ.
-- embeddings: tile t multiplies each vector elementwise by a
-  deterministic +-1 sign pattern s_t.  Within-tile cosines are EXACTLY
-  preserved (sum s_i^2 a_i b_i = a.b), cross-tile pairs decorrelate.
+- documents: tile t > 0 suffixes EVERY token with "_t<t>" — an
+  injective token map, so every within-tile shingle relationship (the
+  planted near-dups) is preserved EXACTLY while cross-tile shingle
+  sets are fully disjoint.  (A first cut only prefixed the text with
+  one tile token; that perturbs just k-1 shingles, so every doc stayed
+  a ~0.95-Jaccard near-dup of its 9 copies and sf1 exploded to 250k
+  candidate pairs — the 20x super-linear near_dup_pairs reading in the
+  first BENCH_sf1 attempt.)
+- embeddings: tile t rotates every vector by a deterministic random
+  orthogonal matrix R_t (QR of a seeded Gaussian).  Within-tile
+  cosines are preserved (up to float32 round-off), cross-tile cosines
+  concentrate around 0 with std ~1/sqrt(d) REGARDLESS of embedding
+  structure.  (The first cut used +-1 sign patterns; clustered
+  low-effective-rank embeddings still produced chance cross-tile
+  cosine hits — 120x pair growth.)
 
 region/nation stay fixed (dimension tables).
 
@@ -78,16 +87,12 @@ def _stride(src: str, cache: dict, fam: tuple[str, str]) -> int:
     return cache[fam]
 
 
-def _sign_pattern(t: int, d: int) -> np.ndarray:
-    """Deterministic +-1 pattern per tile (splitmix-style mix)."""
-    with np.errstate(over="ignore"):
-        x = (np.arange(d, dtype=np.uint64)
-             + np.uint64((t * 0x9E3779B97F4A7C15) % 2**64))
-        x ^= x >> np.uint64(30)
-        x *= np.uint64(0xBF58476D1CE4E5B9)
-        x ^= x >> np.uint64(27)
-    return np.where((x >> np.uint64(63)).astype(bool), -1.0, 1.0).astype(
-        np.float32)
+def _rotation(t: int, d: int) -> np.ndarray:
+    """Deterministic random orthogonal d x d matrix per tile (QR of a
+    seeded Gaussian, sign-fixed so the decomposition is unique)."""
+    rng = np.random.default_rng(1_000_003 * t + 7)
+    q, r = np.linalg.qr(rng.standard_normal((d, d)))
+    return (q * np.sign(np.diag(r))).astype(np.float32)
 
 
 def tile_table(name: str, src: str, tiles: int, stride_cache: dict) -> pa.Table:
@@ -102,9 +107,11 @@ def tile_table(name: str, src: str, tiles: int, stride_cache: dict) -> pa.Table:
             tbl = tbl.set_column(
                 tbl.schema.get_field_index(col), col, shifted)
         if name == "documents" and t > 0:
+            sfx = f"_t{t}"
             txt = pc.binary_join_element_wise(
-                pa.array([f"zzdupt{t}"] * tbl.num_rows, pa.string()),
-                tbl.column("text").cast(pa.string()), " ")
+                pc.replace_substring(tbl.column("text").cast(pa.string()),
+                                     " ", f"{sfx} "),
+                pa.array([sfx] * tbl.num_rows, pa.string()), "")
             i = tbl.schema.get_field_index("text")
             tbl = tbl.set_column(i, "text", txt)
             j = tbl.schema.get_field_index("n_chars")
@@ -116,11 +123,11 @@ def tile_table(name: str, src: str, tiles: int, stride_cache: dict) -> pa.Table:
                               np.float32)
             lens = np.asarray(pc.list_value_length(vec), np.int64)
             d = int(lens[0]) if len(lens) else 0
-            sgn = _sign_pattern(t, d)
-            flipped = (vals.reshape(-1, d) * sgn).reshape(-1)
+            rot = _rotation(t, d)
+            rotated = (vals.reshape(-1, d) @ rot.T).reshape(-1)
             new = pa.ListArray.from_arrays(
                 np.r_[0, np.cumsum(lens)].astype(np.int32),
-                pa.array(flipped, pa.float32()))
+                pa.array(rotated, pa.float32()))
             i = tbl.schema.get_field_index("embedding")
             tbl = tbl.set_column(i, "embedding", new.cast(tbl.schema.field("embedding").type))
         outs.append(tbl)
