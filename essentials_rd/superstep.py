@@ -220,7 +220,11 @@ def _scatter_batch(
         state = {n: np_col(sub, n) for n in state_names}
         msgs, bcast = prog.scatter(state, _cached_shard(shard_refs[p]))
         if msgs is not None and len(msgs["dst"]):
-            dst = np.asarray(msgs["dst"], dtype=np.int64)
+            # keep the shard's native dst dtype (int32 when vids fit —
+            # util.csr_from_edges): upcasting to int64 here would copy
+            # the |messages| array every superstep only for _pack to
+            # cast it straight back down to the int32 wire
+            dst = np.asarray(msgs["dst"])
             mcount = np.asarray(msgs.get("mcount", np.ones(len(dst))), np.int64)
             dp = part_of(dst, P)
             order = np.argsort(dp, kind="stable")
