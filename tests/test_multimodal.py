@@ -31,10 +31,21 @@ def test_decode_features_deterministic_and_shaped():
     assert by_id1[0]["feature"] != by_id1[1]["feature"]
 
 
-def test_real_decoder_is_an_explicit_stub():
+def test_real_decoder_contract_per_format():
+    """PNG now has a REAL decoder (pngc) — a fake payload tagged "png"
+    must fail its signature check LOUDLY (ValueError), never silently
+    produce features; formats with no codec library (mp4) stay an
+    explicit NotImplementedError stub."""
+    import pyarrow as pa
+
     stage = DecodeFeatureStage(decoder="real")
+    with pytest.raises(ValueError, match="signature"):
+        stage(synth_media_table(1))  # fake bytes tagged "png"
+    mp4 = synth_media_table(1)
+    i = mp4.schema.get_field_index("format")
+    mp4 = mp4.set_column(i, "format", pa.array(["mp4"]))
     with pytest.raises(NotImplementedError):
-        stage(synth_media_table(1))
+        stage(mp4)
 
 
 def test_resize_stage():
