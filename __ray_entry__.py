@@ -100,8 +100,7 @@ def _q_shared_token_edges(sf_dir: str):
     )
 
     files = add_sha256(corpus_from_documents(sf_dir))
-    names, _ = build_vertices(files)
-    names_ref = ray.put(names)
+    names_ref, _ = build_vertices(files)
     keys = token_keys(files, min_len=1)
     pairs, _ = shared_key_edges(keys, names_ref, cap=TOKEN_CAP, reason="shared_token")
     deduped = dedup_edges_vid(pairs).select_columns(["src", "dst", "weight"])

@@ -127,7 +127,7 @@ def run_headline() -> dict:
     # read sized to the one block count every downstream stage wants —
     # saves derive's explicit repartition exchange (num_blocks=0)
     files = add_sha256(read_corpus(meta["dir"], override_num_blocks=64))
-    edges, vertices, names, n_heavy = derive_edges(files, cap=10_000,
+    edges, vertices, names_ref, n_heavy = derive_edges(files, cap=10_000,
                                                    num_blocks=0)
     edges = edges.materialize()
     t_derive = time.perf_counter() - t0

@@ -96,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
         edges = None
     else:
         files = add_sha256(read_corpus(args.input))
-        edges, vertices, names, n_heavy = derive_edges(files, cap=args.cap)
+        edges, vertices, names_ref, n_heavy = derive_edges(files, cap=args.cap)
         edges = edges.materialize()
         print(json.dumps({"event": "derived", "heavy_keys_dropped": n_heavy}),
               flush=True)

@@ -29,7 +29,9 @@ def corpus(tmp_path_factory):
 def derived(corpus):
     d, meta = corpus
     files = add_sha256(read_corpus(os.path.join(d, "repo_files.parquet")))
-    edges, vertices, names, n_heavy = derive_edges(files, cap=meta["heavy_key_cap"])
+    edges, vertices, names_ref, n_heavy = derive_edges(files, cap=meta["heavy_key_cap"])
+    import ray
+    names = ray.get(names_ref)
     edges = edges.materialize()
     return d, meta, edges, vertices, names, n_heavy
 
